@@ -1,13 +1,641 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ffiec, Text, Vectors}
+import graft.operators.{CombineParts, Dedup, KeyChecks, Knn, LongPivot}
+import graft.sources.{Scan, XbrlZip}
+import graft.streaming.Sessions
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔
+  * query mapping. Every query orders by a unique key and aliases every
+  * computed column identically to its DuckDB oracle; double aggregates
+  * go through DECIMAL so cross-engine hashes are bit-stable.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright; read nanos as long and integral-divide to
+    * micros (a double roundtrip would lose precision at 1.7e18 ns). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact cross-engine sum of a double column: quantize each value to
+    * DECIMAL(28,4) (deterministic per stored double), sum exactly, cast
+    * back to double. Immune to partial-aggregation order. */
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 4))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q03_join_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- core relational ---------------------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data;
+        // order by the full row so the output order is well-defined.
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    }),
+
+    "q03_join_agg" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(decSum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q04_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    "q05_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "q06_exists_semi" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 200000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // --- reference ETL operators ------------------------------------------
+    "q07_combine_parts" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val part1 = customer.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("c_name"),
+        col("c_nationkey"))
+      val part2 = customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      CombineParts.combine(Seq(part1, part2), key = "c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    "q08_unpivot_long" -> ((s, dir) => {
+      LongPivot.long(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        dtype = DoubleType)
+        .orderBy("l_orderkey", "l_linenumber", "item", "value")
+    }),
+
+    "q09_pivot_wide" -> ((s, dir) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val long = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(28, 4)).as("price"))
+      val wide = LongPivot.wide(long, idCols = Seq("o_custkey"),
+        namesFrom = "o_orderpriority", valuesFrom = "price",
+        items = priorities, valuesFn = "sum")
+      wide.select(
+        col("o_custkey"),
+        col("`1-URGENT`").cast("double").as("p_urgent"),
+        col("`2-HIGH`").cast("double").as("p_high"),
+        col("`3-MEDIUM`").cast("double").as("p_medium"),
+        col("`4-NOT SPECIFIED`").cast("double").as("p_notspec"),
+        col("`5-LOW`").cast("double").as("p_low"))
+        .orderBy("o_custkey")
+    }),
+
+    "q10_parse_dates" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit("0"))
+          .when(col("o_orderkey") % 89 === 0, lit("99991399"))
+          .when(col("o_orderkey") % 83 === 0, lit("00000000"))
+          .otherwise(date_format(col("o_orderdate"), "yyyyMMdd")).as("date_str"))
+      raw.select(col("o_orderkey"), col("date_str"),
+          Ffiec.parseFfiecDate(col("date_str")).as("parsed_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q11_id_zero_null" -> ((s, dir) => {
+      val raw = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("0"))
+          .when(col("c_custkey") % 7 === 0, lit(" "))
+          .otherwise(col("c_custkey").cast("string")).as("id_raw"))
+      raw.select(col("c_custkey"), Ffiec.idZeroNull(col("id_raw")).as("id_clean"))
+        .orderBy("c_custkey")
+    }),
+
+    "q12_pct_to_prop" -> ((s, dir) => {
+      val raw = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat(round(col("l_discount") * 100, 0).cast("int"), lit("%")).as("pct_str"))
+      raw.select(col("l_orderkey"), col("l_linenumber"),
+          round(Ffiec.pctToProp(col("pct_str")), 4).as("prop"))
+        .orderBy("l_orderkey", "l_linenumber", "prop")
+    }),
+
+    "q13_check_pk" -> ((s, dir) => {
+      KeyChecks.pkViolations(t(s, dir, "orders"), Seq("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "q14_null_counts" -> ((s, dir) => {
+      val withNulls = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      KeyChecks.nullCounts(withNulls, Seq("c_name", "c_acctbal"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    }),
+
+    // --- dedup -------------------------------------------------------------
+    "q15_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("fp")
+    }),
+
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5, maxDf = Int.MaxValue)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q17_minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q18_simhash" -> ((s, dir) => {
+      Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")
+    }),
+
+    "q19_embedding_dedup" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.45, planes = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- similarity search -------------------------------------------------
+    "q20_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      Knn.bruteForce(emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q21_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      Knn.ivf(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, c = 16, nprobe = 4)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- text analysis -----------------------------------------------------
+    "q22_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_m"))
+        .orderBy("doc_id")
+    }),
+
+    "q23_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q24_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q25_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // --- scan / union / metadata -------------------------------------------
+    "q26_union_by_name" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val a = orders.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val b = orders.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderstatus")
+      Scan.unionFramesByName(Seq(a, b)).orderBy("o_orderkey")
+    }),
+
+    "q27_item_schedules" -> ((s, dir) => {
+      import s.implicits._
+      val li = LongPivot.colsOfType(t(s, dir, "lineitem"), DoubleType,
+        Seq("l_orderkey", "l_linenumber"))
+      val or = LongPivot.colsOfType(t(s, dir, "orders"), DoubleType,
+        Seq("o_orderkey"))
+      val scheduleItems =
+        (li.map(("lineitem", _)) ++ or.map(("orders", _)))
+          .toDF("schedule", "item")
+      LongPivot.itemSchedules(scheduleItems).orderBy("item")
+    }),
+
+    "q28_xbrl_extract" -> ((s, dir) => {
+      import s.implicits._
+      val xml = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat(
+          lit("""<xbrl xmlns:cc="http://www.ffiec.gov/xbrl"><cc:RCFD2170 contextRef="rc_"""),
+          col("o_orderkey"), lit("""_1998-12-31" unitRef="USD" decimals="0">"""),
+          col("o_custkey"), lit("</cc:RCFD2170></xbrl>")).as("xml"))
+        .as[(Long, String)]
+      xml.flatMap { case (_, doc) => XbrlZip.parseXbrl(doc) }
+        .toDF()
+        .select(col("IDRSSD").as("idrssd"), col("date").as("report_date"),
+          col("schedule"), col("item"), col("unitRef").as("unit_ref"),
+          col("decimals"), col("value"), col("n_attrs"))
+        .orderBy("idrssd")
+    }),
+
+    "q29_tz_convert" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_str"))
+      ev.select(col("event_id"),
+          unix_timestamp(to_utc_timestamp(
+            to_timestamp(col("ts_str"), "yyyy-MM-dd'T'HH:mm:ss"), "-05:00")).as("utc_epoch"))
+        .orderBy("event_id")
+    }),
+
+    // --- events / streaming twins ------------------------------------------
+    "q30_event_windows" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w")).as("window_epoch"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_epoch", "event_type")
+    }),
+
+    "q31_sessionize" -> ((s, dir) => {
+      Sessions.sessionizeBatch(events(s, dir), gapSeconds = 1800)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start").cast("long").as("start_epoch"),
+          col("session_end").cast("long").as("end_epoch"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_seq")
+    })
+  )
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  private val normText =
+    """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  private val toksLower =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
+
+  private val shinglesSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |           ELSE list_transform(range(1, len(tk) - 1),
+       |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |           END) AS sh
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+       |)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Non-SQL-expressible ops are omitted (driver
+    * records a rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q05_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) x
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q06_exists_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_combine_parts" ->
+      """SELECT c_custkey,
+        |  COALESCE(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END, c_name) AS c_name,
+        |  c_nationkey, c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_unpivot_long" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber, item, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |                  l_discount, l_tax FROM lineitem)
+        |  ON COLUMNS(* EXCLUDE (l_orderkey, l_linenumber))
+        |  INTO NAME item VALUE value) u
+        |WHERE value IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, item, value""".stripMargin,
+
+    "q09_pivot_wide" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS p_urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS p_high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS p_medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS p_notspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS p_low
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q10_parse_dates" ->
+      """SELECT o_orderkey, date_str,
+        |  CASE WHEN trim(date_str) IN ('', '0', '00000000') THEN NULL
+        |       ELSE CAST(try_strptime(trim(date_str), '%Y%m%d') AS DATE) END AS parsed_date
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN '0'
+        |             WHEN o_orderkey % 89 = 0 THEN '99991399'
+        |             WHEN o_orderkey % 83 = 0 THEN '00000000'
+        |             ELSE strftime(o_orderdate, '%Y%m%d') END AS date_str
+        |      FROM orders) x
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q11_id_zero_null" ->
+      """SELECT c_custkey,
+        |  CASE WHEN trim(id_raw) IN ('', '0') THEN NULL ELSE trim(id_raw) END AS id_clean
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 10 = 0 THEN '0'
+        |             WHEN c_custkey % 7 = 0 THEN ' '
+        |             ELSE CAST(c_custkey AS VARCHAR) END AS id_raw
+        |      FROM customer) x
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_pct_to_prop" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(CAST(regexp_replace(pct_str, '[%,]', '', 'g') AS DOUBLE) / 100.0, 4) AS prop
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(CAST(ROUND(l_discount * 100, 0) AS INTEGER) AS VARCHAR) || '%' AS pct_str
+        |      FROM lineitem) x
+        |ORDER BY l_orderkey, l_linenumber, prop""".stripMargin,
+
+    "q13_check_pk" ->
+      """SELECT o_custkey, COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q14_null_counts" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS c_name,
+        |         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+        |  FROM customer),
+        |long AS (
+        |  SELECT 'c_name' AS col_name,
+        |         CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT) AS n_na FROM src
+        |  UNION ALL
+        |  SELECT 'c_acctbal',
+        |         CAST(COUNT(*) FILTER (c_acctbal IS NULL) AS BIGINT) FROM src)
+        |SELECT col_name, n_na FROM long WHERE n_na > 0 ORDER BY col_name""".stripMargin,
+
+    "q15_dedup_exact" ->
+      s"""SELECT md5($normText) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q16_ngram_jaccard" ->
+      s"""$shinglesSql
+         |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) p
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q19_embedding_dedup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q20_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q22_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht','das','ein','zu'], x))) AS de,
+         |  len(list_filter(toks, x -> list_contains(['the','and','is','of','to','in','that','it'], x))) AS en,
+         |  len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una','es','por'], x))) AS es,
+         |  len(list_filter(toks, x -> list_contains(['le','la','les','des','est','une','dans','pas'], x))) AS fr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+         |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         |       WHEN en >= es AND en >= fr THEN 'en'
+         |       WHEN es >= fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q24_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tok,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text)
+         |    END AS punct_ratio,
+         |    CASE WHEN len($toksLower) = 0 THEN 0.0
+         |         ELSE len(list_filter($toksLower,
+         |                x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'], x))) * 1.0
+         |              / len($toksLower)
+         |    END AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ROUND(least(n_tok / 50.0, 1.0) * 0.4
+         |        + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+         |        + least(stop_ratio * 3.0, 1.0) * 0.3, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      s"""SELECT doc_id, md5($normText) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q27_item_schedules" ->
+      """SELECT item, list_sort(list(DISTINCT schedule)) AS schedules FROM (
+        |  SELECT 'lineitem' AS schedule, item FROM (
+        |    UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+        |             FROM lineitem LIMIT 1)
+        |    ON COLUMNS(* EXCLUDE (l_orderkey)) INTO NAME item VALUE value)
+        |  UNION ALL
+        |  SELECT 'orders', item FROM (
+        |    UNPIVOT (SELECT o_orderkey, o_totalprice FROM orders LIMIT 1)
+        |    ON COLUMNS(* EXCLUDE (o_orderkey)) INTO NAME item VALUE value))
+        |GROUP BY item ORDER BY item""".stripMargin,
+
+    "q28_xbrl_extract" ->
+      """SELECT CAST(o_orderkey AS INTEGER) AS idrssd,
+        |  '1998-12-31' AS report_date, 'rc' AS schedule, 'RCFD2170' AS item,
+        |  'USD' AS unit_ref, '0' AS decimals,
+        |  CAST(o_custkey AS VARCHAR) AS value, 3 AS n_attrs
+        |FROM orders ORDER BY idrssd""".stripMargin,
+
+    "q29_tz_convert" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S') AS TIMESTAMP))) AS BIGINT)
+        |    + 5 * 3600 AS utc_epoch
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q30_event_windows" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_epoch,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_epoch, event_type""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x)
+        |SELECT user_id, session_seq,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
+  )
 }

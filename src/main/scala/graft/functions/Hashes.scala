@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sketch hashes (MinHash, SimHash) as pure Column
+  * expressions over Spark's codegen'd xxhash64 — signatures are computed
+  * in the scan stage with zero shuffles; only the tiny signatures (not
+  * the documents) flow into downstream joins.
+  */
+object Hashes {
+
+  /** Derive `k` pairwise-independent hash multipliers/offsets from a
+    * seed — driver-side, deterministic (no Random: splitmix64 stream). */
+  private def splitmix64(seed: Long): Iterator[Long] = {
+    var x = seed
+    Iterator.continually {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** MinHash signature (array<long> of length k) over an array<string>
+    * shingle column. Slot i is min over shingles of xxhash64(slot-salt,
+    * shingle) — per-slot salting instead of an affine remix keeps the
+    * arithmetic overflow-free under ANSI mode (Spark 4 default). */
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
+    val salts = splitmix64(seed).take(k).toSeq
+    array(salts.map { salt =>
+      array_min(transform(shingles, s => xxhash64(lit(salt), s)))
+    }: _*)
+  }
+
+  /** LSH band keys for a MinHash signature: `bands` structs of
+    * (band_id, hash-of-rows). Two docs sharing any band key are
+    * candidate duplicates. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+    }: _*)
+
+  /** 64-bit SimHash over an array<string> token column: per-bit majority
+    * vote of token hashes, weight 1 per token. */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitVotes(h), (a, v) => a + v))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** +1/-1 votes for each of the 64 bits of a long hash. */
+  private def bitVotes(h: Column): Column =
+    transform(sequence(lit(0), lit(63)),
+      i => when(call_function("shiftrightunsigned", h, i).bitwiseAND(1) === 1, lit(1))
+        .otherwise(lit(-1)))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Split a 64-bit simhash into `blocks` equal bit-blocks; fingerprints
+    * within hamming distance d < blocks must share at least one block
+    * (pigeonhole) — the block keys drive the candidate join. */
+  def simhashBlocks(fp: Column, blocks: Int): Column = {
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    array((0 until blocks).map { b =>
+      struct(lit(b).as("block"),
+        shiftrightunsigned(fp, b * width).bitwiseAND(mask).as("bits"))
+    }: _*)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>`/`array<double>` embedding
+  * columns, expressed with Spark's higher-order functions (zip_with /
+  * aggregate) so they compile to codegen'd expressions — no UDF
+  * serialization on the 100 TB path.
+  */
+object Vectors {
+
+  /** Dot product of two equal-length numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** L2-normalize a vector (zero vector unchanged). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a)
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Signed random-hyperplane sketch bit: sign(v · h) for a hyperplane
+    * generated deterministically from `seed` on the driver. Used by the
+    * embedding-LSH dedup path. */
+  def hyperplaneBit(v: Column, hyperplane: Seq[Double]): Column =
+    (dot(v, array(hyperplane.map(lit(_)): _*)) >= 0).cast("int")
+}

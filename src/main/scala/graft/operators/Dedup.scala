@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashes, Text, Vectors}
+
+/** Deduplication suite for training-data pipelines. Five strategies,
+  * all shaped so the shuffled payload is a small key/sketch — never the
+  * document text — which is what makes them viable at 100 TB:
+  *
+  *  - exact:     md5(normalized text) group-by; shuffle = 16-byte keys.
+  *  - ngram:     shingle-inverted-index self-join with a document
+  *               frequency cap so boilerplate shingles can't explode
+  *               the join (the classic hot-key guard).
+  *  - minhash:   MinHash signatures + banded LSH; candidates only
+  *               within (band, bucket) groups, verified on signatures.
+  *  - simhash:   64-bit SimHash + pigeonhole block join, hamming verify.
+  *  - embedding: random-hyperplane LSH buckets + cosine verify.
+  *
+  * Pair outputs use (id_a < id_b) canonical ordering. `canonicalize`
+  * turns a pair list into doc→cluster-representative via iterative
+  * min-id propagation (connected components for the shallow clusters
+  * dedup produces).
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per normalized-text fingerprint. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
+  /** Word n-gram Jaccard near-duplicate pairs with similarity ≥ `tau`.
+    * `maxDf` drops shingles present in more than that many documents —
+    * without it one viral shingle creates a quadratic bucket. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, tau: Double = 0.8,
+                        maxDf: Int = 1000): DataFrame = {
+    val shingled = df.select(
+        col(idCol).as("id"),
+        array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val capped =
+      if (maxDf >= Int.MaxValue / 2) shingled // cap disabled — skip the window
+      else shingled
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        .where(col("df") <= maxDf)
+        .drop("df")
+    val a = capped.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = capped.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH candidate pairs, verified by the signature-overlap
+    * Jaccard estimate ≥ `tau`. k = bands * rowsPerBand hash slots. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                      tau: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val signed = df.select(
+      col(idCol).as("id"),
+      Hashes.minhashSignature(
+        array_distinct(Text.wordShingles(col(textCol), shingleN)), k).as("sig"))
+    val banded = signed.select(
+        col("id"), col("sig"), explode(Hashes.lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // Hot-bucket guard: a bucket holding b docs yields b² candidates.
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / lit(bands * rowsPerBand).cast("double"))
+      .where(col("est_jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** SimHash fingerprints for every document. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      Hashes.simhash64(Text.tokens(Text.normalizeText(col(textCol)))).as("simhash"))
+
+  /** SimHash near-dup pairs within hamming distance `maxHamming`.
+    * Pigeonhole over `blocks` bit-blocks (need blocks > maxHamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    require(blocks > maxHamming, "pigeonhole requires blocks > maxHamming")
+    val fps = simhashFingerprints(df, idCol, textCol)
+    val keyed = fps.select(col("id"), col("simhash"),
+        explode(Hashes.simhashBlocks(col("simhash"), blocks)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.block"), col("bk.bits"))
+    val a = keyed.select(col("block"), col("bits"), col("id").as("id_a"), col("simhash").as("fp_a"))
+    val b = keyed.select(col("block"), col("bits"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("block", "bits"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", Hashes.hamming64(col("fp_a"), col("fp_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding cosine near-dup pairs ≥ `tau`. `planes` hyperplane bits
+    * bucket the vectors first (random-hyperplane LSH); pass 0 to brute
+    * force (small data / recall-100 baseline). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     tau: Double = 0.95, planes: Int = 8, dim: Int = 0,
+                     seed: Long = 7L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed =
+      if (planes <= 0) base.withColumn("bucket", lit(0L))
+      else {
+        require(dim > 0, "dim required when planes > 0")
+        val rnd = new scala.util.Random(seed)
+        val hps = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+        val bits = hps.zipWithIndex.map { case (hp, i) =>
+          Vectors.hyperplaneBit(col("vec"), hp).cast("long") * (1L << i)
+        }
+        base.withColumn("bucket", bits.reduce(_ + _))
+      }
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
+  /** Collapse duplicate pairs to doc → cluster representative (min id
+    * reachable) by iterative label propagation; `iters` rounds handle
+    * chains up to length 2^iters (dup clusters are shallow). */
+  def canonicalize(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    var labels = pairs.select(col("id_a").as("id"), col("id_b").as("member"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("member")))
+      .union(pairs.select(col("id_a").as("id"), col("id_a").as("member")))
+      .union(pairs.select(col("id_b").as("id"), col("id_b").as("member")))
+      .groupBy("id").agg(min("member").as("rep"))
+    for (_ <- 1 to iters) {
+      val hop = labels.as("l")
+        .join(labels.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"))
+        .select(col("id"), least(col("rep"), col("rep2")).as("rep"))
+      labels = hop.groupBy("id").agg(min("rep").as("rep"))
+    }
+    labels
+  }
+}

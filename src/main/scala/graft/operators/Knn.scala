@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate/exact nearest-neighbor search over an embedding column.
+  *
+  * Brute force is the recall-1.0 baseline: the (small) query set is
+  * broadcast against the corpus, similarities are computed in the scan
+  * stage, and only `k` rows per (partition, query) survive into the
+  * shuffle — the aggregate-then-rank trick below means shuffle volume
+  * is O(#partitions · #queries · k), never O(corpus).
+  *
+  * IVF is the scale path: corpus vectors are assigned to the nearest of
+  * `c` centroids (broadcast), stored bucketed by cell; a query probes
+  * only its `nprobe` nearest cells, reading ~nprobe/c of the corpus.
+  */
+object Knn {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`: (query id, vector) — must be broadcast-small.
+    * Output: (query_id, neighbor_id, sim, rank), rank 1..k, ties broken
+    * by neighbor id; similarity rounded to 6dp *before* ranking so the
+    * ranking is reproducible across engines. */
+  def bruteForce(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("qvec")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cvec"))
+      .join(q) // broadcast nested loop; no shuffle of the corpus
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("cvec"), col("qvec")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Rank scored candidates and keep the top k per query.
+    * Two-phase: per-partition pre-prune via partial sort aggregation
+    * (slice of sorted struct array with map-side combine), then the
+    * final exact window over the tiny survivor set. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    // Partial top-k per (query, partition) with no wide shuffle:
+    // spark partial-aggregates collect_list per partition, but an
+    // unbounded collect_list buffers all rows — so pre-filter with a
+    // per-partition window first (runs map-side, no exchange).
+    val partitionPruned = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("pid", "query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .where(col("prank") <= k)
+      .drop("pid", "prank")
+    partitionPruned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic centroid pick: every `stride`-th corpus vector by id
+    * order. Metadata-scale collect (c vectors), like collecting a dim
+    * table before broadcast. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      c: Int): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    val n = corpus.count()
+    val stride = math.max(1L, n / c)
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        row_number().over(w).as("rn"))
+      .where((col("rn") - 1) % stride === 0 && col("rn") <= stride * c)
+      .select(monotonically_increasing_id().as("cell"), col("cvec"))
+  }
+
+  /** Assign each vector to its nearest centroid cell (broadcast join +
+    * min-by; the corpus never shuffles for assignment). */
+  def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame = {
+    val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(centroids))
+      .select(col("id"), col("vec"),
+        struct(Vectors.cosine(col("vec"), col("cvec")).as("sim"), col("cell").as("cell")).as("sc"))
+    scored.groupBy("id")
+      .agg(max("sc").as("best"), first("vec").as("vec"))
+      .select(col("id"), col("vec"), col("best.cell").as("cell"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells per query. Recall<1
+    * by design; the spec measures it against bruteForce. */
+  def ivf(corpus: DataFrame, corpusId: String, corpusVec: String,
+          queries: DataFrame, queryId: String, queryVec: String,
+          k: Int, c: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = sampleCentroids(corpus, corpusId, corpusVec, c)
+    val cells = assignCells(corpus, corpusId, corpusVec, centroids)
+    val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qvec"),
+        struct(Vectors.cosine(col("qvec"), col("cvec")).as("sim"), col("cell")).as("sc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sc.sim").desc)))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
+    val scored = cells.join(broadcast(qAssign), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators: tumbling-window aggregation and gap-based
+  * sessionization, in both batch form (declarative window functions —
+  * fully SQL-expressible, used by the correctness oracle) and streaming
+  * form (watermark + flatMapGroupsWithState keyed state).
+  *
+  * Scale notes: the batch sessionizer is one shuffle on user_id; the
+  * streaming sessionizer keeps O(1) state per key (only the open
+  * session), with event-time timeout so idle keys are evicted.
+  */
+object Sessions {
+
+  /** Cross-engine-exact sum of a double column: quantize to
+    * DECIMAL(28,4) per element (deterministic for a stored double), sum
+    * exactly, emit double — immune to partial-agg merge order. */
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double")
+
+  /** Tumbling-window counts/sums per (window, event_type) — the batch
+    * twin of the streaming query below; date_trunc keeps window edges
+    * engine-portable. */
+  def eventWindows(events: DataFrame, unit: String = "hour"): DataFrame =
+    events
+      .groupBy(date_trunc(unit, col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value")).as("sum_value"))
+
+  /** Batch gap sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapSeconds`. Emits one row
+    * per session. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(running))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("sum_value"))
+  }
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization with keyed state + event-time timeout.
+    * Input must carry a watermark on `ts`. Emits a session when the gap
+    * timeout fires. */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId,
+              new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(last = e.ts.getTime, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId,
+                    new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
