@@ -26,24 +26,27 @@ object Hashes {
   /** MinHash signature (array<long> of length k) over an array<string>
     * shingle column. Slot i is min over shingles of xxhash64(slot-salt,
     * shingle) — per-slot salting instead of an affine remix keeps the
-    * arithmetic overflow-free under ANSI mode (Spark 4 default). */
+    * arithmetic overflow-free under ANSI mode (Spark 4 default).
+    *
+    * Built as ONE nested-lambda transform over a literal salt array —
+    * an array(k × array_min(transform(...))) literal tree made codegen
+    * explode (40s of planning/compile for k=64); this form is O(1) tree
+    * size for any k. */
   def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
-    val salts = splitmix64(seed).take(k).toSeq
-    array(salts.map { salt =>
-      array_min(transform(shingles, s => xxhash64(lit(salt), s)))
-    }: _*)
+    val salts = array(splitmix64(seed).take(k).map(lit(_)).toSeq: _*)
+    transform(salts, salt =>
+      array_min(transform(shingles, s => xxhash64(salt, s))))
   }
 
   /** LSH band keys for a MinHash signature: `bands` structs of
     * (band_id, hash-of-rows). Two docs sharing any band key are
-    * candidate duplicates. */
+    * candidate duplicates. Single nested transform (see above). */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
+    transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(
-        lit(b).as("band"),
+        b.as("band"),
         xxhash64(concat_ws(",",
-          slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-    }: _*)
+          slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
 
   /** 64-bit SimHash over an array<string> token column: per-bit majority
     * vote of token hashes, weight 1 per token. */

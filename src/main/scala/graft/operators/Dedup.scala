@@ -38,7 +38,7 @@ object Dedup {
                         maxDf: Int = 1000): DataFrame = {
     val shingled = df.select(
         col(idCol).as("id"),
-        array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+        array_distinct(graft.plans.native.wordShingles(col(textCol), n)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     val capped =
       if (maxDf >= Int.MaxValue / 2) shingled // cap disabled — skip the window
@@ -65,10 +65,22 @@ object Dedup {
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       tau: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    val signed = df.select(
+    // Two materialization barriers, both load-bearing:
+    //  1. shingles — minhashSignature's inner lambda re-evaluates its
+    //     argument expression once PER SALT; if the tokenizer expression
+    //     is inlined there (CollapseProject does this), shingling runs
+    //     k× per row (measured 300× slowdown). Caching makes `sh` a
+    //     plain attribute, evaluated once.
+    //  2. signatures — reused by the band explosion AND the pair
+    //     verification. ~0.5 KB/doc; at petabyte corpus scale both
+    //     would be parquet intermediates instead of caches — same plan.
+    val shingled = df.select(
       col(idCol).as("id"),
-      Hashes.minhashSignature(
-        array_distinct(Text.wordShingles(col(textCol), shingleN)), k).as("sig"))
+      array_distinct(graft.plans.native.wordShingles(col(textCol), shingleN)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val signed = shingled.select(
+      col("id"), graft.plans.native.minhashSig(col("sh"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(
         col("id"), col("sig"), explode(Hashes.lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
@@ -95,12 +107,19 @@ object Dedup {
     df.select(col(idCol).as("id"),
       Hashes.simhash64(Text.tokens(Text.normalizeText(col(textCol)))).as("simhash"))
 
+  /** Persisted variant for pair generation, where the fingerprint feeds
+    * both join sides (same barrier rationale as minhashLshPairs). */
+  private def simhashFingerprintsCached(df: DataFrame, idCol: String,
+                                        textCol: String): DataFrame =
+    simhashFingerprints(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** SimHash near-dup pairs within hamming distance `maxHamming`.
     * Pigeonhole over `blocks` bit-blocks (need blocks > maxHamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
     require(blocks > maxHamming, "pigeonhole requires blocks > maxHamming")
-    val fps = simhashFingerprints(df, idCol, textCol)
+    val fps = simhashFingerprintsCached(df, idCol, textCol)
     val keyed = fps.select(col("id"), col("simhash"),
         explode(Hashes.simhashBlocks(col("simhash"), blocks)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.block"), col("bk.bits"))

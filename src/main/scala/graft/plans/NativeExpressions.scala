@@ -1,0 +1,197 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch/vector hot paths.
+  *
+  * The higher-order-function formulations (graft.functions.Hashes /
+  * Vectors) are correct but evaluate lambdas interpreted, ~µs per
+  * element — a k=64 MinHash over a 60-shingle doc costs ~4k lambda
+  * evaluations per row. These expressions run the same math as a tight
+  * JVM loop invoked from whole-stage codegen (doGenCode emits a single
+  * static call), which is the Spark-native answer when built-ins can't
+  * express the kernel efficiently.
+  */
+object MinHashKernel {
+
+  /** splitmix64 stream — deterministic per-slot salts. */
+  def salts(k: Int, seed: Long): Array[Long] = {
+    val out = new Array[Long](k)
+    var x = seed
+    var i = 0
+    while (i < k) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      out(i) = z ^ (z >>> 31)
+      i += 1
+    }
+    out
+  }
+
+  private val saltCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  def signature(arr: ArrayData, k: Int, seed: Long): ArrayData = {
+    val ss = saltCache.computeIfAbsent((k, seed), t => salts(t._1, t._2))
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XxHash64Function.hash(s, StringType, 42L)
+      var j = 0
+      while (j < k) {
+        // xorshift64 remix of (base ^ salt): a bijection per slot, so
+        // each slot behaves as an independent permutation of shingle
+        // hash space — no multiplies, so ANSI overflow checks are moot.
+        var z = h ^ ss(j)
+        z ^= z << 13; z ^= z >>> 7; z ^= z << 17
+        if (z < mins(j)) mins(j) = z
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** MinHash signature of an array<string> shingle column: array<long>
+  * of k slot minima. Codegen emits one static kernel call. */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signature(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinHashKernel.signature($c, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object VectorKernel {
+  /** Cosine similarity with float→double widening per element; all
+    * three accumulators fold sequentially (left-to-right) so the result
+    * is bit-identical to a sequential reference implementation
+    * (DuckDB's list_cosine_similarity over DOUBLE[]). */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** Cosine similarity between two array<float|double> columns. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float|double>, got $other")
+  }
+  private lazy val aFloat = elemType(left) == FloatType
+  private lazy val bFloat = elemType(right) == FloatType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c1, c2) =>
+      s"graft.plans.VectorKernel.cosine($c1, $c2, $aFloat, $bFloat)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object ShingleKernel {
+  /** Word n-gram shingles of normalized text — byte-for-byte the same
+    * output as Text.wordShingles(Text.normalizeText(c), n): lowercase,
+    * split on \s+, drop empties; docs shorter than n words yield one
+    * whole-text shingle. */
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val out: Array[Any] =
+      if (toks.length < n) Array(org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val arr = new Array[Any](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+}
+
+/** Word n-gram shingles of a string column (normalizing internally). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernel.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object native {
+  def wordShingles(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  /** Column wrappers for the native expressions. */
+  def minhashSig(shingles: Column, k: Int, seed: Long = 42L): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), k, seed))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -22,13 +22,19 @@ object XbrlZip {
 
   private val contextRe = """^([^_]+)_([0-9]+)_([0-9]{4}-[0-9]{2}-[0-9]{2})$""".r
 
+  /** XMLInputFactory construction is ~ms (service discovery); one per
+    * executor thread, not one per document. */
+  private val factories = ThreadLocal.withInitial[XMLInputFactory] { () =>
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
   /** Pure parser for one XBRL document: all elements in the given
     * namespace prefix become facts (ref ns_prefix default "cc"). */
   def parseXbrl(xml: String, nsPrefix: String = "cc"): Seq[Fact] = {
-    val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val reader = factory.createXMLStreamReader(new StringReader(xml))
+    val reader = factories.get().createXMLStreamReader(new StringReader(xml))
     val facts = Seq.newBuilder[Fact]
     var current: Option[(String, Option[String], Option[String], Option[String], Int)] = None
     val text = new StringBuilder
