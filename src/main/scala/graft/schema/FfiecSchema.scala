@@ -49,24 +49,30 @@ object FfiecSchema {
   private val dateFmt = DateTimeFormatter.ofPattern("yyyyMMdd")
 
   /** Compile a column spec: IDRSSD forced int, then overrides, then the
-    * schema map, else string (ref: make_colspec). */
+    * schema map, else string (ref: make_colspec). FFIEC rows terminate
+    * with a tab, so the header carries trailing empty names — they count
+    * toward the expected cell arity (the repair ladder needs that) but
+    * are dropped from the output schema. */
   def colSpec(header: Seq[String],
               schemaMap: Map[String, String] = defaultSchemaMap,
               overrides: Map[String, String] = defaultColOverrides,
               xbrlToSpec: Map[String, String] = defaultXbrlToSpec): ColSpec = {
-    val codes = header.map {
+    val kept = header.reverse.dropWhile(_.isEmpty).reverse
+    val codes = kept.map {
       case "IDRSSD" => "i"
       case nm if overrides.contains(nm) => overrides(nm)
       case nm => schemaMap.get(nm).flatMap(xbrlToSpec.get).getOrElse("c")
     }
-    ColSpec(header.toIndexedSeq, codes.toIndexedSeq)
+    ColSpec(kept.toIndexedSeq, codes.toIndexedSeq, expectedCells = header.size)
   }
 }
 
 /** Compiled parse plan for one schedule member: column names + one-char
   * type codes (d/i/l/c/D). */
-case class ColSpec(names: IndexedSeq[String], codes: IndexedSeq[String]) {
+case class ColSpec(names: IndexedSeq[String], codes: IndexedSeq[String],
+                   expectedCells: Int) extends Serializable {
   require(names.size == codes.size)
+  require(expectedCells >= names.size)
 
   def arity: Int = names.size
 
@@ -78,7 +84,8 @@ case class ColSpec(names: IndexedSeq[String], codes: IndexedSeq[String]) {
     case (n, _)   => StructField(n, StringType)
   })
 
-  private val dateFmt = DateTimeFormatter.ofPattern("yyyyMMdd")
+  // DateTimeFormatter is not Serializable — rebuild per deserialized task.
+  @transient private lazy val dateFmt = DateTimeFormatter.ofPattern("yyyyMMdd")
 
   /** Parse one repaired TSV line into typed values (null on NA token or
     * unparseable cell — a poison cell must not kill a 100 TB job). */

@@ -182,7 +182,7 @@ object ZipTsv {
           val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
           val dataLines = lines.drop(2) // header + description rows
           joinEmbeddedNewlines(dataLines).map { case (raw, joined) =>
-            val (fixed, tabRepaired) = fixExtraTabs(raw, spec.arity)
+            val (fixed, tabRepaired) = fixExtraTabs(raw, spec.expectedCells)
             val repairs =
               (if (joined) Seq("newline-join") else Nil) ++
               (if (tabRepaired) Seq("tab-repair") else Nil)

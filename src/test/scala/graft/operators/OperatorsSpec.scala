@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CombinePartsSpec extends SparkSpec {
+  test("full-outer combine coalesces overlapping columns left-to-right") {
+    val s = spark
+    import s.implicits._
+    val p1 = Seq((1, Some("a"), 10), (2, None, 20)).toDF("IDRSSD", "name", "x")
+    val p2 = Seq((2, Some("b"), 1.5), (3, Some("c"), 2.5)).toDF("IDRSSD", "name", "y")
+    val out = CombineParts.combine(Seq(p1, p2))
+      .orderBy("IDRSSD").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val names = out.map(r => r.getAs[String]("name")).toSeq
+    assert(names == Seq("a", "b", "c")) // 2: p1 null → p2 wins; 3: p2 only
+    assert(out(2).isNullAt(out(2).fieldIndex("x"))) // key 3 has no part-1 cols
+  }
+
+  test("resolveNParts validates multipart structure like the reference") {
+    assert(CombineParts.resolveNParts(Seq(Some(1), Some(2)), Seq(Some(2), Some(2)), "t") == 2)
+    intercept[IllegalArgumentException] { // claimed ≠ found
+      CombineParts.resolveNParts(Seq(Some(1)), Seq(Some(2)), "t")
+    }
+    intercept[IllegalArgumentException] { // non-contiguous
+      CombineParts.resolveNParts(Seq(Some(1), Some(3)), Seq(None, None), "t")
+    }
+    intercept[IllegalArgumentException] { // duplicate part numbers
+      CombineParts.resolveNParts(Seq(Some(1), Some(1)), Seq(None, None), "t")
+    }
+  }
+}
+
+class LongPivotSpec extends SparkSpec {
+  test("long/wide roundtrip preserves values") {
+    val s = spark
+    import s.implicits._
+    val wide = Seq((1, java.sql.Date.valueOf("2024-03-31"), Some(10.0), Some(20.0)),
+                   (2, java.sql.Date.valueOf("2024-03-31"), Some(30.0), None))
+      .toDF("IDRSSD", "date", "RCFD0010", "RCFD0020")
+    val long = LongPivot.long(wide, Seq("IDRSSD", "date"), DoubleType)
+    assert(long.count() == 3) // the NULL is dropped
+    val back = LongPivot.wide(long, Seq("IDRSSD", "date"), "item", "value",
+      items = Seq("RCFD0010", "RCFD0020"))
+    val r = back.orderBy("IDRSSD").collect()
+    assert(r(0).getDouble(2) == 10.0 && r(0).getDouble(3) == 20.0)
+    assert(r(1).getDouble(2) == 30.0 && r(1).isNullAt(3))
+  }
+
+  test("itemSchedules aggregates sorted schedule lists") {
+    val s = spark
+    import s.implicits._
+    val si = Seq(("rc", "RCFD0010"), ("rcb", "RCFD0010"), ("rc", "RCFD0020"))
+      .toDF("schedule", "item")
+    val m = LongPivot.itemSchedules(si).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(m("RCFD0010") == Seq("rc", "rcb"))
+    assert(m("RCFD0020") == Seq("rc"))
+  }
+}
+
+class KeyChecksSpec extends SparkSpec {
+  test("pkViolations / nullCounts / assertNoDups") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Some("a")), (1, Some("b")), (2, None)).toDF("k", "v")
+    val dupes = KeyChecks.pkViolations(df, Seq("k")).collect()
+    assert(dupes.length == 1 && dupes(0).getInt(0) == 1 && dupes(0).getLong(1) == 2)
+    val nulls = KeyChecks.nullCounts(df, Seq("k", "v")).collect()
+    assert(nulls.length == 1 && nulls(0).getString(0) == "v" && nulls(0).getLong(1) == 1)
+    assert(!KeyChecks.checkPkAndNonNull(df, Seq("k")))
+    assert(KeyChecks.checkPkAndNonNull(df.where(col("k") === 2), Seq("k")))
+    intercept[IllegalArgumentException] {
+      KeyChecks.assertNoDups(df, Seq("k"))
+    }
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    // 30 distinct words — periodic text collapses to ~10 distinct
+    // shingles and makes the MinHash estimate too coarse to test.
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("word4", "WORD4")), // case variant → normalized dup
+      (4L, base.replace("word15", "word15 extra")), // near-dup of 1
+      (5L, "completely different text about spark engines and parquet files"),
+      (6L, "another unrelated document mentioning lakes and tables")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized-identical docs") {
+    val groups = Dedup.exact(corpus, "doc_id", "text").collect()
+    val byId = groups.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dupes")).toMap
+    assert(byId(1L) == 3) // 1, 2, 3 fold together; survivor is min id
+    assert(groups.length == 4)
+  }
+
+  test("ngram jaccard finds the planted near-dup, not the unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH surfaces the same clusters") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._2 == 5L || p._2 == 6L))
+  }
+
+  test("simhash pairs within hamming radius") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 5L && p._2 == 6L))
+  }
+
+  test("embedding pairs brute-force and LSH-bucketed agree on high-sim pairs") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingPairs(vecs, "vec_id", "embedding", tau = 0.95, planes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((1L, 2L), (3L, 4L)))
+    val lsh = Dedup.embeddingPairs(vecs, "vec_id", "embedding", tau = 0.95,
+      planes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // LSH may miss, must not invent
+  }
+
+  test("canonicalize maps chains to the cluster minimum") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(11L) == 10L)
+  }
+}
+
+class KnnSpec extends SparkSpec {
+  test("bruteForce returns exact ranked neighbors; ivf recall is sane") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val perQuery = exact.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 10))
+    // rank 1 must be the global argmax similarity (spot-check query 0)
+    val q0 = exact.where(col("query_id") === 0 && col("rank") === 1).collect()(0)
+    val exactSet = exact.where(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val ivf = Knn.ivf(vecs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 10, c = 8, nprobe = 4)
+    val ivfSet = ivf.where(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val recall = (exactSet & ivfSet).size.toDouble / exactSet.size
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall (q0 top=${q0.getLong(1)})")
+    assert(ivfSet.size <= 10)
+  }
+}

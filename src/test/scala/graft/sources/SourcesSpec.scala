@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+import graft.schema.FfiecSchema
+
+class ZipTsvSpec extends SparkSpec {
+
+  private def makeZip(entries: (String, String)*): String = {
+    val f = File.createTempFile("FFIEC CDR Call Bulk All Schedules 03312024", ".zip")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    zos.close()
+    f.getAbsolutePath
+  }
+
+  private val schedTsv =
+    "IDRSSD\tRCFD0010\tRCON8678\tRCON9999\t\n" +       // header
+    "ID\tCash\tText\tDate\t\n" +                        // description row
+    "37\t123.5\thello\t20240331\t\n" +                  // clean row
+    "38\t\tCONF\t0\t\n" +                               // NA tokens
+    "39\t7.25\tbroken\nline\t20240331\t\n" +            // embedded newline
+    "40\t1.0\tgood\t20240331\tstray\ttail\n"            // extra tabs at end
+
+  test("member name manifest parsing mirrors get_cr_files") {
+    val m = ZipTsv.parseMemberName("z.zip",
+      "FFIEC CDR Call Schedule RCB 03312024(1 of 2).txt")
+    assert(m.schedule.contains("RCB"))
+    assert(m.dateRaw.contains("20240331"))
+    assert(m.part.contains(1) && m.nParts.contains(2))
+  }
+
+  test("zip member read: typed columns, NA tokens, repair ladder") {
+    val zip = makeZip(
+      "FFIEC CDR Call Schedule RC 03312024.txt" -> schedTsv,
+      "Readme.txt" -> "ignore me")
+    val members = ZipTsv.listMembers(spark, zip)
+    assert(members.map(_.file) ==
+      Seq("FFIEC CDR Call Schedule RC 03312024.txt"))
+
+    val header = ZipTsv.memberHeader(spark, zip, members.head.file)
+    val spec = FfiecSchema.colSpec(header,
+      schemaMap = Map("RCFD0010" -> "xbrli:monetaryItemType"))
+    val df = ZipTsv.readMember(spark, zip, members.head.file, spec)
+    val rows = df.orderBy("IDRSSD").collect()
+    assert(rows.length == 4)
+    assert(df.schema("IDRSSD").dataType.typeName == "integer")
+    assert(df.schema("RCFD0010").dataType.typeName == "double")
+    assert(df.schema("RCON9999").dataType.typeName == "date")
+
+    val r37 = rows(0)
+    assert(r37.getInt(0) == 37 && r37.getDouble(1) == 123.5 &&
+      r37.getString(2) == "hello" && r37.getDate(3).toString == "2024-03-31")
+    val r38 = rows(1) // NA tokens → nulls; date "0" → null
+    assert(r38.isNullAt(1) && r38.isNullAt(2) && r38.isNullAt(3))
+    val repairsIdx = df.schema.fieldIndex("_repairs")
+    val r39 = rows(2) // embedded newline joined with a space
+    assert(r39.getString(2) == "broken line")
+    assert(r39.getSeq[String](repairsIdx).contains("newline-join"))
+    val r40 = rows(3) // tabs past the expected arity squashed to spaces
+    assert(r40.getString(2) == "good" && r40.getDate(3).toString == "2024-03-31")
+    assert(r40.getSeq[String](repairsIdx).contains("tab-repair"))
+  }
+}
+
+class XbrlZipSpec extends SparkSpec {
+  private val sample =
+    """<?xml version="1.0"?>
+      |<xbrl xmlns:cc="http://www.ffiec.gov/xbrl" xmlns:xbrli="http://www.xbrl.org/2003/instance">
+      |  <xbrli:context id="c1"/>
+      |  <cc:RCFD2170 contextRef="rc_480228_2024-03-31" unitRef="USD" decimals="0">123456</cc:RCFD2170>
+      |  <cc:RCON9999 contextRef="rc_480228_2024-03-31">20240331</cc:RCON9999>
+      |</xbrl>""".stripMargin
+
+  test("parseXbrl extracts namespaced facts with context split") {
+    val facts = XbrlZip.parseXbrl(sample)
+    assert(facts.length == 2)
+    val f = facts.head
+    assert(f.item == "RCFD2170")
+    assert(f.IDRSSD.contains(480228))
+    assert(f.date.contains("2024-03-31"))
+    assert(f.schedule.contains("rc"))
+    assert(f.unitRef.contains("USD"))
+    assert(f.decimals.contains("0"))
+    assert(f.value == "123456")
+    assert(f.n_attrs == 3)
+    assert(facts(1).n_attrs == 1)
+  }
+}
+
+class ScanSpec extends SparkSpec {
+  test("unionByName glob scan merges evolving schemas") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scan").toFile
+    dir.deleteOnExit()
+    Seq((1, 10.0)).toDF("IDRSSD", "RCFD0010")
+      .write.parquet(s"$dir/rc_20240331.parquet")
+    Seq((2, 20.0, "x")).toDF("IDRSSD", "RCFD0020", "RCON8678")
+      .write.parquet(s"$dir/rc_20240630.parquet")
+    val df = Scan.unionByName(spark, s"$dir/rc_*.parquet")
+    assert(df.columns.toSet == Set("IDRSSD", "RCFD0010", "RCFD0020", "RCON8678"))
+    assert(df.count() == 2)
+    assert(Scan.extractSchedule("ffiec_rc_20240331.parquet", "ffiec_") == "rc")
+  }
+}

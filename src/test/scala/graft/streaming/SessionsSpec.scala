@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class SessionsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, 100L, ts("2024-01-01 10:10:00"), "click", 2.0),
+      (3L, 100L, ts("2024-01-01 11:30:00"), "view", 3.0), // > 30min gap → new session
+      (4L, 200L, ts("2024-01-01 10:05:00"), "view", 4.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  test("batch sessionization splits on gap") {
+    val out = Sessions.sessionizeBatch(eventsDf, gapSeconds = 1800)
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)   // user 100 session 1
+    assert(out(0).getAs[Double]("sum_value") == 3.0)
+    assert(out(1).getAs[Long]("n_events") == 1)   // user 100 session 2
+    assert(out(2).getAs[Long]("user_id") == 200L)
+  }
+
+  test("event windows aggregate per hour and type") {
+    val w = Sessions.eventWindows(eventsDf).collect()
+    assert(w.length == 3) // (10h,click) (11h,view) (10h,view)
+    val clicks = w.find(_.getAs[String]("event_type") == "click").get
+    assert(clicks.getAs[Long]("n_events") == 2)
+  }
+
+  test("streaming sessionization emits sessions after the gap timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Sessions.Event]
+    val sessions = Sessions.sessionizeStream(
+      input.toDS().withWatermark("ts", "10 seconds"), gapSeconds = 1800)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Sessions.Event(100L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessions.Event(100L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the session gap → timeout fires
+      input.addData(Sessions.Event(999L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Sessions.Event(998L, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+      val u100 = out.filter(_.getAs[Long]("user_id") == 100L)
+      assert(u100.length == 1)
+      assert(u100(0).getAs[Long]("n_events") == 2)
+      assert(u100(0).getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+}
+
+class BinarySpec extends SparkSpec {
+  test("binary column plumbing: deterministic decode over batches") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = graft.multimodal.Binary.syntheticMedia(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = graft.multimodal.Binary.decodeFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).channels == 3 && feats(1L).features.length == 8)
+    assert(feats(1L).width == 16 + ("hello world".length % 64))
+    // decode is deterministic: same payload → same features
+    val again = graft.multimodal.Binary.decodeFeatures(media)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again(1L) == feats(1L).features.toSeq)
+    val frames = graft.multimodal.Binary.sampleFrames(media, stride = 4)
+    assert(frames.where(org.apache.spark.sql.functions.col("media_id") === 1).count() == 3)
+  }
+}
