@@ -37,27 +37,20 @@ object Knn {
     topKPerQuery(scored, k)
   }
 
-  /** Rank scored candidates and keep the top k per query.
-    * Two-phase: per-partition pre-prune via partial sort aggregation
-    * (slice of sorted struct array with map-side combine), then the
-    * final exact window over the tiny survivor set. */
+  /** Rank scored candidates and keep the top k per query, via the
+    * bounded TopKAggregator: ObjectHashAggregate with map-side partial
+    * heaps, so only O(partitions · queries · k) rows reach the shuffle.
+    * (A window-function formulation would exchange every scored row.) */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    // Partial top-k per (query, partition) with no wide shuffle:
-    // spark partial-aggregates collect_list per partition, but an
-    // unbounded collect_list buffers all rows — so pre-filter with a
-    // per-partition window first (runs map-side, no exchange).
-    val partitionPruned = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prank", row_number().over(
-        Window.partitionBy("pid", "query_id")
-          .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .where(col("prank") <= k)
-      .drop("pid", "prank")
-    partitionPruned
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .where(col("rank") <= k)
+    val topk = TopKAggregator.udaf(k)
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"),
+        col("s._2").as("neighbor_id"),
+        col("s._1").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Deterministic centroid pick: every `stride`-th corpus vector by id
