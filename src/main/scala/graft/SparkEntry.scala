@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Ffiec, Text, Vectors}
-import graft.operators.{CombineParts, Dedup, KeyChecks, Knn, LongPivot}
+import graft.operators.{CombineParts, Dedup, KeyChecks, Knn, LongPivot, TextAnalytics}
 import graft.sources.{Scan, XbrlZip}
 import graft.streaming.Sessions
 
@@ -336,6 +336,34 @@ object SparkEntry {
           col("session_end").cast("long").as("end_epoch"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_seq")
+    }),
+
+    // --- corpus analytics --------------------------------------------------
+    "q32_redact_pii" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(substring(col("text"), 1, 20),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("raw"))
+      synth.select(col("doc_id"),
+          TextAnalytics.redactPii(col("raw")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    "q33_top_terms" -> ((s, dir) => {
+      TextAnalytics.topTerms(t(s, dir, "documents"), "text", 20)
+    }),
+
+    "q34_bigram_counts" -> ((s, dir) => {
+      TextAnalytics.bigramCounts(t(s, dir, "documents"), "text", minCount = 5)
+        .orderBy("bigram")
+    }),
+
+    "q35_contamination" -> ((s, dir) => {
+      TextAnalytics.contamination(t(s, dir, "documents"), "doc_id", "text",
+        Seq("key agg", "batch window", "spark", "customer query"))
+        .orderBy("doc_id", "needle")
     })
   )
 
@@ -636,6 +664,48 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q32_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM (SELECT doc_id,
+        |        substring(text, 1, 20) || ' contact user' || doc_id ||
+        |        '@mail.example.com or call 555-' ||
+        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |      FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
+
+    "q33_top_terms" ->
+      """SELECT term, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents) t
+        |GROUP BY term
+        |ORDER BY n DESC, term ASC
+        |LIMIT 20""".stripMargin,
+
+    "q34_bigram_counts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |    END) AS bigram
+         |  FROM toks)
+         |SELECT bigram, COUNT(*) AS n FROM bg
+         |GROUP BY bigram HAVING COUNT(*) >= 5
+         |ORDER BY bigram""".stripMargin,
+
+    "q35_contamination" ->
+      """SELECT doc_id, needle
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['key agg', 'batch window', 'spark', 'customer query']) AS needle) n
+        |WHERE contains(lower(text), needle)
+        |ORDER BY doc_id, needle""".stripMargin
   )
 }

@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Ffiec
+import graft.operators.{CombineParts, KeyChecks, LongPivot}
+import graft.schema.FfiecSchema
+import graft.sources.ZipTsv
+
+/** End-to-end re-expression of the reference's `ffiec_process`
+  * (ref: /root/reference/R/ffiec_process.R:377 process_ffiec_zip):
+  * one FFIEC bulk zip → per-schedule wide parquet → long parquet per
+  * data type → item/schedule metadata → POR parquet → a manifest row
+  * per written file.
+  *
+  * Scale shape: each (schedule, date) group reads its members in
+  * parallel tasks, writes are independent, and the long-table pass is
+  * a per-schedule unpivot + union + distinct (one shuffle per dtype).
+  * Fleet-level parallelism comes from processing many zips at once —
+  * the reference's furrr::future_map_dfr becomes a plain loop of
+  * independent Spark jobs (or one job per zip on a cluster scheduler).
+  */
+object FfiecPipeline {
+
+  /** MMDDYYYY-named bulk zips in a directory → (path, yyyymmdd), the
+    * reference's ffiec_list_zips (ref: ffiec_manifest.R:51). */
+  def listZips(spark: SparkSession, dir: String,
+               kind: String = "tsv"): Seq[(String, String)] = {
+    val pattern = kind match {
+      case "tsv"  => """^FFIEC CDR Call Bulk All Schedules (\d{8})\.zip$""".r
+      case "xbrl" => """^FFIEC CDR Call Bulk XBRL (\d{8})\.zip$""".r
+      case other  => throw new IllegalArgumentException(s"unknown type: $other")
+    }
+    val fs = new Path(dir).getFileSystem(
+      new Configuration(spark.sparkContext.hadoopConfiguration))
+    val listing = fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+    listing.flatMap { p =>
+      p.getName match {
+        case pattern(mmddyyyy) =>
+          val (mm, dd, yyyy) =
+            (mmddyyyy.substring(0, 2), mmddyyyy.substring(2, 4), mmddyyyy.substring(4, 8))
+          if (mm >= "01" && mm <= "12" && dd >= "01" && dd <= "31")
+            Some(p.toString -> s"$yyyy$mm$dd")
+          else None
+        case _ => None
+      }
+    }.sortBy(_._2)
+  }
+
+  case class Written(kind: String, tpe: String, dateRaw: String,
+                     parquet: String, nParts: Int, ok: Boolean,
+                     innerFiles: Seq[String])
+
+  /** Process one bulk zip into `outDir`. Returns the manifest. */
+  def processZip(spark: SparkSession, zipPath: String, outDir: String,
+                 schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
+                 overrides: Map[String, String] = FfiecSchema.defaultColOverrides,
+                 prefix: String = "ffiec_"): DataFrame = {
+    import spark.implicits._
+    val members = ZipTsv.listMembers(spark, zipPath)
+    val written = Seq.newBuilder[Written]
+
+    // ---- schedules: combine parts, write wide parquet per (schedule, date)
+    val schedGroups = members.filter(_.schedule.isDefined)
+      .groupBy(m => (m.schedule.get.toLowerCase, m.dateRaw.getOrElse("unknown")))
+      .toSeq.sortBy(_._1)
+    val widePaths = schedGroups.map { case ((schedule, dateRaw), ms) =>
+      val sorted = ms.sortBy(_.part.getOrElse(1))
+      val nParts = CombineParts.resolveNParts(
+        sorted.map(_.part), sorted.map(_.nParts), s"$schedule ($dateRaw)")
+      val parts = ZipTsv.readSchedule(spark, zipPath, sorted.map(_.file),
+        schemaMap, overrides).map(_.drop("_repairs"))
+      val combined = CombineParts.combine(parts, key = "IDRSSD")
+        .withColumn("date", to_date(lit(dateRaw), "yyyyMMdd"))
+      val fixed = fixPurePercentCols(combined, schemaMap)
+      val out = s"$outDir/$prefix${schedule}_$dateRaw.parquet"
+      fixed.write.mode("overwrite").parquet(out)
+      written += Written(schedule, "schedule", dateRaw, out, nParts,
+        ok = true, sorted.map(_.file))
+      out
+    }
+
+    // ---- long parquet per arrow dtype (ref: make_long_pq)
+    val dtypes: Seq[(String, DataType)] = Seq(
+      "float" -> DoubleType, "int" -> IntegerType, "str" -> StringType,
+      "date" -> DateType, "bool" -> BooleanType)
+    val dateRaws = schedGroups.map(_._1._2).distinct
+    for (dateRaw <- dateRaws; (dname, dtype) <- dtypes) {
+      val longs = widePaths.filter(_.endsWith(s"_$dateRaw.parquet")).flatMap { p =>
+        val wide = spark.read.parquet(p)
+        val cols = LongPivot.colsOfType(wide, dtype, Seq("IDRSSD", "date"))
+        if (cols.isEmpty) None
+        else Some(LongPivot.long(wide, Seq("IDRSSD", "date"), dtype, distinct = false))
+      }
+      if (longs.nonEmpty) {
+        val all = longs.reduce(_.unionByName(_)).distinct()
+        KeyChecks.assertNoDups(all, Seq("IDRSSD", "date", "item"))
+        val out = s"$outDir/$prefix${dname}_$dateRaw.parquet"
+        all.write.mode("overwrite").parquet(out)
+        written += Written(dname, "long", dateRaw, out, 1, ok = true, Nil)
+      }
+    }
+
+    // ---- item → schedules metadata (ref: make_schedule_pq)
+    for (dateRaw <- dateRaws) {
+      val pairs = widePaths.filter(_.endsWith(s"_$dateRaw.parquet")).flatMap { p =>
+        val schedule = graft.sources.Scan.extractSchedule(
+          p.split('/').last, prefix)
+        spark.read.parquet(p).columns
+          .filterNot(c => c == "IDRSSD" || c == "date")
+          .map(item => (schedule, item))
+      }
+      if (pairs.nonEmpty) {
+        val out = s"$outDir/${prefix}schedules_$dateRaw.parquet"
+        LongPivot.itemSchedules(pairs.toDF("schedule", "item"))
+          .withColumn("date", to_date(lit(dateRaw), "yyyyMMdd"))
+          .write.mode("overwrite").parquet(out)
+        written += Written("schedules", "meta", dateRaw, out, 1, ok = true, Nil)
+      }
+    }
+
+    // ---- POR files (no schedule token in the member name)
+    members.filterNot(_.schedule.isDefined).foreach { m =>
+      val dateRaw = m.dateRaw.getOrElse("unknown")
+      val out = s"$outDir/por_$dateRaw.parquet"
+      ZipTsv.readPor(spark, zipPath, m.file)
+        .drop("_repairs")
+        .withColumn("date", to_date(lit(dateRaw), "yyyyMMdd"))
+        .write.mode("overwrite").parquet(out)
+      written += Written("por", "por", dateRaw, out, 1, ok = true, Seq(m.file))
+    }
+
+    written.result().toDF()
+  }
+
+  /** pureItemType columns arrive as strings, possibly percent-encoded —
+    * convert to numeric proportions (ref: ffeic_read.R:585
+    * fix_pure_percent_cols). */
+  def fixPurePercentCols(df: DataFrame, schemaMap: Map[String, String]): DataFrame = {
+    val pure = df.schema.fields
+      .filter(f => f.dataType == StringType &&
+        schemaMap.get(f.name).contains("xbrli:pureItemType"))
+      .map(_.name)
+    pure.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).contains("%"), Ffiec.pctToProp(col(c)))
+          .otherwise(col(c).cast("double")))
+    }
+  }
+
+  /** Process every bulk zip in a directory (the reference's
+    * ffiec_process); returns the concatenated manifest. */
+  def processAll(spark: SparkSession, rawDir: String, outDir: String,
+                 schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap): DataFrame = {
+    val zips = listZips(spark, rawDir)
+    require(zips.nonEmpty, s"No FFIEC bulk zip files found in $rawDir")
+    val manifests = zips.map { case (zip, _) =>
+      processZip(spark, zip, outDir, schemaMap)
+    }
+    val out = manifests.reduce(_.unionByName(_))
+    out.write.mode("overwrite")
+      .parquet(s"$outDir/ffiec_process_data.parquet")
+    out
+  }
+}

@@ -149,6 +149,42 @@ object ZipTsv {
     }
   }
 
+  /** Read a POR (plain-of-record) member: snake_cased string columns,
+    * IDRSSD int, optional description row auto-detected, Eastern→UTC
+    * submission timestamp, id-zero→NULL normalization
+    * (ref: ffeic_read.R:434 read_por_from_zip + ffiec_process.R:291). */
+  def readPor(spark: SparkSession, zip: String, member: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val confMap = confToMap(new Configuration(spark.sparkContext.hadoopConfiguration))
+    val (rawHeader, secondLine) = withMember(zip, member, confMap) { r =>
+      (Option(r.readLine()).getOrElse(""), Option(r.readLine()))
+    }
+    val header = rawHeader.split("\t", -1).toSeq.map(Ffiec.cleanPorCol)
+      .reverse.dropWhile(_.isEmpty).reverse
+    // description row present iff the IDRSSD cell of line 2 is not an int
+    val idPos = header.indexOf("IDRSSD")
+    val skip = if (idPos >= 0 && secondLine.exists { l =>
+        val cells = l.split("\t", -1)
+        idPos >= cells.length || cells(idPos).trim.toIntOption.isEmpty
+      }) 2 else 1
+    val codes = header.map(n => if (n == "IDRSSD") "i" else "c")
+    val spec = ColSpec(header.toIndexedSeq, codes.toIndexedSeq,
+      expectedCells = rawHeader.split("\t", -1).length)
+    // POR rows do not terminate with a tab — the newline-join repair
+    // only applies to schedule files (as in the reference).
+    val df = readMemberRaw(spark, zip, member, spec, skipRows = skip,
+      repairNewlines = false)
+    val idCols = Seq("financial_institution_zip_code", "fdic_certificate_number",
+      "occ_charter_number", "ots_docket_number", "primary_aba_routing_number")
+      .filter(df.columns.contains)
+    val withIds = idCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, Ffiec.idZeroNull(col(c))))
+    val tsCol = "last_date_time_submission_updated_on"
+    if (withIds.columns.contains(tsCol))
+      withIds.withColumn(tsCol, Ffiec.easternToUtc(col(tsCol)))
+    else withIds
+  }
+
   /** Distributed typed read of one schedule's members (all parts of one
     * schedule/date). Schema is compiled driver-side from the member
     * header + the XBRL schema map; every task parses its member
@@ -167,7 +203,12 @@ object ZipTsv {
   /** Read a single member with a pre-compiled ColSpec. One partition —
     * the member is the parallelism unit; callers union members. */
   def readMember(spark: SparkSession, zip: String, member: String,
-                 spec: ColSpec): DataFrame = {
+                 spec: ColSpec): DataFrame =
+    readMemberRaw(spark, zip, member, spec, skipRows = 2)
+
+  private def readMemberRaw(spark: SparkSession, zip: String, member: String,
+                            spec: ColSpec, skipRows: Int,
+                            repairNewlines: Boolean = true): DataFrame = {
     val confMap = confToMap(new Configuration(spark.sparkContext.hadoopConfiguration))
     val schema = spec.sparkSchema.add("_repairs", ArrayType(StringType))
     val rdd = spark.sparkContext.parallelize(Seq((zip, member)), 1).flatMap {
@@ -180,8 +221,11 @@ object ZipTsv {
           val reader = new BufferedReader(
             new InputStreamReader(zin, StandardCharsets.UTF_8))
           val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          val dataLines = lines.drop(2) // header + description rows
-          joinEmbeddedNewlines(dataLines).map { case (raw, joined) =>
+          val dataLines = lines.drop(skipRows)
+          val repaired =
+            if (repairNewlines) joinEmbeddedNewlines(dataLines)
+            else dataLines.map((_, false))
+          repaired.map { case (raw, joined) =>
             val (fixed, tabRepaired) = fixExtraTabs(raw, spec.expectedCells)
             val repairs =
               (if (joined) Seq("newline-join") else Nil) ++

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FfiecPipelineSpec extends SparkSpec {
+
+  private def writeZip(dir: File, name: String, entries: (String, String)*): String = {
+    val f = new File(dir, name)
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    entries.foreach { case (n, content) =>
+      zos.putNextEntry(new ZipEntry(n))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    zos.close()
+    f.getAbsolutePath
+  }
+
+  private val schemaMap = Map(
+    "RCFD0010" -> "xbrli:monetaryItemType",
+    "RCFD0020" -> "xbrli:monetaryItemType",
+    "RCON3838" -> "xbrli:pureItemType",
+    "RIAD4340" -> "xbrli:integerItemType")
+
+  test("processZip: multipart combine, typed long tables, metadata, POR") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_raw").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq").toFile
+
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 03312024.zip",
+      "FFIEC CDR Call Schedule RC 03312024(1 of 2).txt" ->
+        ("IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t100.5\t\n38\t200.0\t\n"),
+      "FFIEC CDR Call Schedule RC 03312024(2 of 2).txt" ->
+        ("IDRSSD\tRCFD0020\tRCON3838\t\nID\tOther\tRate\t\n37\t7.5\t28%\t\n39\t9.0\t3%\t\n"),
+      "FFIEC CDR Call Schedule RI 03312024.txt" ->
+        ("IDRSSD\tRIAD4340\t\nID\tNet income\t\n37\t42\t\n38\tCONF\t\n"),
+      "FFIEC CDR Call Bulk POR 03312024.txt" ->
+        ("IDRSSD\tFinancial Institution Name\tFDIC Certificate Number\tLast Date/Time Submission Updated On\n" +
+         "37\tFirst Bank\t0\t2024-04-15T10:00:00\n" +
+         "38\tSecond Bank\t1234\t2024-04-15T11:30:00\n"),
+      "Readme.txt" -> "ignore")
+
+    val manifest = FfiecPipeline.processZip(spark, s"$dir/FFIEC CDR Call Bulk All Schedules 03312024.zip",
+      outDir.getAbsolutePath, schemaMap)
+    val kinds = manifest.select("kind").collect().map(_.getString(0)).toSet
+    assert(kinds.contains("rc") && kinds.contains("ri") &&
+      kinds.contains("float") && kinds.contains("schedules") && kinds.contains("por"))
+
+    // wide RC: parts full-joined on IDRSSD, pure % converted
+    val rc = spark.read.parquet(s"$outDir/ffiec_rc_20240331.parquet")
+      .orderBy("IDRSSD").collect()
+    assert(rc.map(_.getInt(0)).toSeq == Seq(37, 38, 39))
+    val r37 = rc(0)
+    assert(r37.getAs[Double]("RCFD0010") == 100.5)
+    assert(r37.getAs[Double]("RCFD0020") == 7.5)
+    assert(r37.getAs[Double]("RCON3838") == 0.28) // "28%" → 0.28
+    assert(rc(1).isNullAt(rc(1).fieldIndex("RCFD0020"))) // 38 only in part 1
+    assert(rc(2).isNullAt(rc(2).fieldIndex("RCFD0010"))) // 39 only in part 2
+
+    // long float table: one row per non-null (IDRSSD, date, item)
+    val longF = spark.read.parquet(s"$outDir/ffiec_float_20240331.parquet")
+    assert(longF.columns.toSet == Set("IDRSSD", "date", "item", "value"))
+    assert(longF.where(col("item") === "RCFD0010").count() == 2)
+    assert(longF.where(col("item") === "RCON3838").count() == 2)
+    // int table separate; CONF dropped as NULL
+    val longI = spark.read.parquet(s"$outDir/ffiec_int_20240331.parquet")
+    assert(longI.count() == 1 && longI.collect()(0).getAs[Int]("value") == 42)
+
+    // schedules metadata: RCFD0010 lives in rc only
+    val meta = spark.read.parquet(s"$outDir/ffiec_schedules_20240331.parquet")
+    val m = meta.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(m("RCFD0010") == Seq("rc") && m("RIAD4340") == Seq("ri"))
+
+    // POR: snake_case, id-zero→null, ET→UTC
+    val por = spark.read.parquet(s"$outDir/por_20240331.parquet")
+      .orderBy("IDRSSD").collect()
+    assert(por(0).getAs[String]("financial_institution_name") == "First Bank")
+    assert(por(0).isNullAt(por(0).fieldIndex("fdic_certificate_number"))) // "0" → null
+    assert(por(1).getAs[String]("fdic_certificate_number") == "1234")
+    // 2024-04-15 is EDT (UTC-4)
+    assert(por(0).getAs[java.sql.Timestamp]("last_date_time_submission_updated_on")
+      .toString == "2024-04-15 14:00:00.0")
+
+    // listZips discovers the bulk zip with its date
+    val zips = FfiecPipeline.listZips(spark, dir.getAbsolutePath)
+    assert(zips.map(_._2) == Seq("20240331"))
+  }
+
+  test("processZip rejects broken multipart structure") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_raw2").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq2").toFile
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 06302024.zip",
+      "FFIEC CDR Call Schedule RC 06302024(1 of 3).txt" ->
+        "IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.0\t\n",
+      "FFIEC CDR Call Schedule RC 06302024(2 of 3).txt" ->
+        "IDRSSD\tRCFD0020\t\nID\tOther\t\n37\t2.0\t\n")
+    intercept[IllegalArgumentException] {
+      FfiecPipeline.processZip(spark,
+        s"$dir/FFIEC CDR Call Bulk All Schedules 06302024.zip",
+        outDir.getAbsolutePath, schemaMap)
+    }
+  }
+}
