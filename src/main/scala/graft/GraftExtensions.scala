@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.plans.{CosineSim, MinHashSig, WordShingles}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * codegen kernels as the DataFrame API:
+  *
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT minhash_sig(word_shingles(text, 3), 64) FROM docs
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or via
+  * [[GraftSession]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "cosine_sim(a, b)")
+        CosineSim(args(0), args(1))
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "word_shingles(text, n)")
+        WordShingles(args(0), intArg(args(1), "n"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3, "minhash_sig(shingles, k[, seed])")
+        val seed = if (args.size == 3) longArg(args(2), "seed") else 42L
+        MinHashSig(args(0), intArg(args(1), "k"), seed)
+      }))
+
+  /** Register the functions on an already-built session (extensions
+    * only run at construction time). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, b) =>
+      org.apache.spark.sql.classic.GraftBridge.registerFunction(spark, id, info, b)
+    }
+}
+
+/** One-stop session builder with graft's extensions and the shuffle
+  * sizing used throughout (callers override per environment — on a
+  * real cluster, shuffle partitions should track total cores). */
+object GraftSession {
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+}

@@ -364,6 +364,23 @@ object SparkEntry {
       TextAnalytics.contamination(t(s, dir, "documents"), "doc_id", "text",
         Seq("key agg", "batch window", "spark", "customer query"))
         .orderBy("doc_id", "needle")
+    }),
+
+    "q36_asof_join" -> ((s, dir) => {
+      // dedupe orders to one per (custkey, orderdate) so the as-of pick
+      // is unique, then point-in-time join events → latest prior order
+      val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+      val orders1 = t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      operators.AsOfJoin.asOf(ev, "user_id", "ts", "event_id",
+        orders1, "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ; epoch via LTZ (session is UTC)
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("order_epoch"),
+          col("o_totalprice"))
+        .orderBy("event_id")
     })
   )
 
@@ -706,6 +723,20 @@ object SparkEntry {
         |FROM documents
         |CROSS JOIN (SELECT unnest(['key agg', 'batch window', 'spark', 'customer query']) AS needle) n
         |WHERE contains(lower(text), needle)
-        |ORDER BY doc_id, needle""".stripMargin
+        |ORDER BY doc_id, needle""".stripMargin,
+
+    "q36_asof_join" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                             ORDER BY o_orderkey) = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey,
+        |  CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch,
+        |  o.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o1 o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
   )
 }

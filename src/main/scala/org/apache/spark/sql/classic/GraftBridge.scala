@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-BUILT session (extensions
+    * only apply at session construction). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
 }
