@@ -163,18 +163,27 @@ object Dedup {
 
   /** Collapse duplicate pairs to doc → cluster representative (min id
     * reachable) by iterative label propagation; `iters` rounds handle
-    * chains up to length 2^iters (dup clusters are shallow). */
+    * chains up to length 2^iters (dup clusters are shallow).
+    *
+    * Each round is persisted and the previous round released —
+    * otherwise the lineage doubles per iteration and the final job
+    * re-executes every round's joins (exponential at scale). */
   def canonicalize(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var labels = pairs.select(col("id_a").as("id"), col("id_b").as("member"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("member")))
       .union(pairs.select(col("id_a").as("id"), col("id_a").as("member")))
       .union(pairs.select(col("id_b").as("id"), col("id_b").as("member")))
       .groupBy("id").agg(min("member").as("rep"))
+      .persist(lvl)
     for (_ <- 1 to iters) {
       val hop = labels.as("l")
         .join(labels.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"))
         .select(col("id"), least(col("rep"), col("rep2")).as("rep"))
-      labels = hop.groupBy("id").agg(min("rep").as("rep"))
+      val next = hop.groupBy("id").agg(min("rep").as("rep")).persist(lvl)
+      next.count() // materialize before dropping the parent
+      labels.unpersist()
+      labels = next
     }
     labels
   }

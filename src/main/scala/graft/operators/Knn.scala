@@ -53,18 +53,18 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** Deterministic centroid pick: every `stride`-th corpus vector by id
-    * order. Metadata-scale collect (c vectors), like collecting a dim
-    * table before broadcast. */
+  /** Deterministic centroid pick: hash-sample ~c vectors by id (no
+    * global sort — a Window.orderBy over the corpus would funnel every
+    * row through one partition). The result is metadata-scale and
+    * broadcast by the callers. */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       c: Int): DataFrame = {
-    val w = Window.orderBy(col(idCol))
     val n = corpus.count()
     val stride = math.max(1L, n / c)
-    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        row_number().over(w).as("rn"))
-      .where((col("rn") - 1) % stride === 0 && col("rn") <= stride * c)
-      .select(monotonically_increasing_id().as("cell"), col("cvec"))
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .where(pmod(xxhash64(col("cid")), lit(stride)) === 0)
+      .limit(c)
+      .select(xxhash64(col("cid")).as("cell"), col("cvec"))
   }
 
   /** Assign each vector to its nearest centroid cell (broadcast join +
