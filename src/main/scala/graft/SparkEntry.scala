@@ -366,6 +366,23 @@ object SparkEntry {
         .orderBy("doc_id", "needle")
     }),
 
+    "q37_stratified_sample" -> ((s, dir) => {
+      operators.Sampling.stratifiedHead(
+        t(s, dir, "documents").select("doc_id", "source"), "source", "doc_id", n = 5)
+        .orderBy("source", "doc_id")
+    }),
+
+    "q38_salted_agg" -> ((s, dir) => {
+      operators.Sampling.saltedAgg(events(s, dir), "event_type", "value", salts = 16)
+        .orderBy("event_type")
+    }),
+
+    "q39_quantiles" -> ((s, dir) => {
+      operators.Sampling.quantiles(
+        t(s, dir, "documents").select(col("n_chars").cast("double").as("n_chars")),
+        "n_chars", Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -724,6 +741,23 @@ object SparkEntry {
         |CROSS JOIN (SELECT unnest(['key agg', 'batch window', 'spark', 'customer query']) AS needle) n
         |WHERE contains(lower(text), needle)
         |ORDER BY doc_id, needle""".stripMargin,
+
+    "q37_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q38_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q39_quantiles" ->
+      """SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75, 0.95]) AS quantiles
+        |FROM documents""".stripMargin,
 
     "q36_asof_join" ->
       """WITH o1 AS (

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus shaping operators for training-data curation. */
+object Sampling {
+
+  /** Deterministic stratified head: at most `n` rows per stratum,
+    * picked by ascending `orderCol` (use a hash column for an unbiased
+    * draw, an id for reproducible slices). One shuffle on the stratum
+    * key; rank is a running window inside each stratum partition. */
+  def stratifiedHead(df: DataFrame, stratumCol: String, orderCol: String,
+                     n: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col(orderCol))))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+
+  /** Two-phase salted aggregation for skewed keys: counts and sums per
+    * key computed as salt-local partials then re-reduced, so one hot
+    * key spreads over `salts` reducers instead of melting one. Result
+    * is identical to a direct groupBy — this is purely a physical
+    * reshaping. */
+  def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
+                salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(valueCol).cast("string")), lit(salts)))
+    val partial = salted
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("__s"))
+    partial
+      .groupBy(col(keyCol))
+      .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_value"))
+  }
+
+  /** Exact quantiles of a numeric column (linear interpolation),
+    * matching SQL quantile_cont semantics. Exact percentile needs a
+    * full sort of the column — at extreme scale swap in
+    * approx_percentile with a documented error bound. */
+  def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame =
+    df.agg(percentile(col(valueCol),
+      array(qs.map(lit(_)): _*)).as("quantiles"))
+
+  /** Write with controlled file layout: range-partition by `sortCol`
+    * (clustered files → parquet min/max pruning works downstream) and
+    * cap rows per file — the small-files and giant-files guards for a
+    * 100 TB table. */
+  def writeClustered(df: DataFrame, path: String, sortCol: String,
+                     numFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+}
