@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Physical-plan regression gates: the properties that make these
+  * operators scale are asserted, not hoped for. If a refactor silently
+  * turns a broadcast join into a cross join or un-pushes a filter,
+  * these fail before any benchmark notices.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): SparkPlan =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+
+  private def planString(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02 pushes every predicate into the parquet scan") {
+    val s = planString("q02_filter_project")
+    assert(s.contains("PushedFilters:"))
+    assert(s.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(s.contains("LessThan(l_quantity,24.0)"))
+    // column pruning: unreferenced columns must not be read
+    assert(!s.contains("l_returnflag"))
+  }
+
+  test("q03 joins dimensions with broadcast, not shuffle") {
+    val s = planString("q03_join_agg")
+    assert(s.contains("BroadcastHashJoin"))
+    assert(!s.contains("SortMergeJoin"))
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q08 unpivots via a single Expand") {
+    val s = planString("q08_unpivot_long")
+    assert("Expand".r.findAllIn(s).size >= 1)
+    assert(!s.contains("Union")) // not a union-of-selects reshape
+  }
+
+  test("q20 KNN never builds a cartesian/crossjoin plan") {
+    val s = planString("q20_knn_bruteforce")
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"))
+  }
+
+  test("q01 aggregates with a map-side partial before the exchange") {
+    val s = planString("q01_pricing_summary")
+    val firstAgg = s.indexOf("HashAggregate")
+    val firstExchange = s.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+  }
+
+  test("every query stays under a sane exchange budget at this size") {
+    // a runaway operator shape (e.g. re-shuffling per band) would blow
+    // this budget long before it melts a cluster
+    for ((name, fn) <- SparkEntry.queries if name != "q17_minhash_dedup") {
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }.size +
+        plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(
+          _.inputPlan.collect { case e: Exchange => e }).size
+      assert(exchanges <= 12, s"$name has $exchanges exchanges")
+    }
+  }
+}

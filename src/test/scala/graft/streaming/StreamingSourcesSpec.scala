@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming coverage beyond sessionization: file-source ingestion,
+  * watermarked window aggregation, and streaming dedup — the
+  * continuous twins of q30/q15.
+  */
+class StreamingSourcesSpec extends SparkSpec {
+
+  test("parquet file source streams into a watermarked window agg") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_src").toFile
+    val staging = java.nio.file.Files.createTempDirectory("stream_staging").toFile
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$staging/b1")
+    // the file stream source lists plain files under `path` — move the
+    // part file in, as an arriving-file producer would
+    val part = new java.io.File(s"$staging/b1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "data1.parquet").toPath)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("path", dir.getAbsolutePath)
+      .format("parquet").load()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+    val q = stream.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("win_out").collect()
+      assert(out.length == 2)
+      val clicks = out.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup via dropDuplicatesWithinWatermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    case class Doc(fp: String, ts: Timestamp)
+    val input = MemoryStream[(String, Timestamp)]
+    val deduped = input.toDS().toDF("fp", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ("aaa", Timestamp.valueOf("2024-01-01 10:00:00")),
+        ("aaa", Timestamp.valueOf("2024-01-01 10:05:00")), // dup inside watermark
+        ("bbb", Timestamp.valueOf("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      input.addData(("aaa", Timestamp.valueOf("2024-01-01 10:20:00"))) // still dup
+      q.processAllAvailable()
+      val fps = spark.table("dedup_out").collect().map(_.getString(0)).toSeq
+      assert(fps.sorted == Seq("aaa", "bbb"))
+    } finally q.stop()
+  }
+}
