@@ -383,6 +383,48 @@ object SparkEntry {
         "n_chars", Seq(0.25, 0.5, 0.75, 0.95))
     }),
 
+    "q40_dataset_split" -> ((s, dir) => {
+      operators.Sampling.splitById(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .orderBy("doc_id")
+    }),
+
+    "q41_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_custkey", "drnk", "o_orderkey")
+    }),
+
+    "q42_rollup" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          decSum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "q43_distinct_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -758,6 +800,41 @@ object SparkEntry {
     "q39_quantiles" ->
       """SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75, 0.95]) AS quantiles
         |FROM documents""".stripMargin,
+
+    "q40_dataset_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |       WHEN doc_id % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q41_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  ROUND(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, drnk, o_orderkey""".stripMargin,
+
+    "q42_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q43_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q36_asof_join" ->
       """WITH o1 AS (

@@ -36,6 +36,21 @@ object Sampling {
       .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_value"))
   }
 
+  /** Deterministic train/val/test split on an integer id. `weights`
+    * are percentages summing to 100; assignment is `id mod 100` range
+    * membership — reproducible across engines and runs, and stable
+    * under corpus growth (a doc keeps its split forever). */
+  def splitById(df: DataFrame, idCol: String,
+                weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 100, "weights must sum to 100")
+    val bucket = pmod(col(idCol), lit(100))
+    val (expr0, _) = weights.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, lo), (name, w)) =>
+        (when(bucket >= lo && bucket < lo + w, name).otherwise(acc), lo + w)
+    }
+    df.withColumn("split", expr0)
+  }
+
   /** Exact quantiles of a numeric column (linear interpolation),
     * matching SQL quantile_cont semantics. Exact percentile needs a
     * full sort of the column — at extreme scale swap in
