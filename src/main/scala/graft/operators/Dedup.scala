@@ -161,6 +161,20 @@ object Dedup {
       .distinct()
   }
 
+  /** One-call corpus dedup: find near-dup pairs (MinHash LSH), collapse
+    * to clusters, and return the corpus with only the cluster
+    * representative (min id) of each duplicate group — the standard
+    * "keep one copy" curation pass. Everything that never appeared in
+    * a pair passes through untouched. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  tau: Double = 0.7): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, tau = tau)
+    val labels = canonicalize(pairs)
+    df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .where(col("rep").isNull || col("rep") === col(idCol))
+      .drop("rep")
+  }
+
   /** Collapse duplicate pairs to doc → cluster representative (min id
     * reachable) by iterative label propagation; `iters` rounds handle
     * chains up to length 2^iters (dup clusters are shallow).

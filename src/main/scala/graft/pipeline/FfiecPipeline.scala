@@ -153,14 +153,30 @@ object FfiecPipeline {
   }
 
   /** Process every bulk zip in a directory (the reference's
-    * ffiec_process); returns the concatenated manifest. */
+    * ffiec_process); returns the concatenated manifest. `concurrency`
+    * submits that many zips as simultaneous Spark jobs — the
+    * Spark-native analogue of the reference's future/furrr multisession
+    * (jobs share the executor pool; the scheduler interleaves stages). */
   def processAll(spark: SparkSession, rawDir: String, outDir: String,
-                 schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap): DataFrame = {
+                 schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
+                 concurrency: Int = 1): DataFrame = {
     val zips = listZips(spark, rawDir)
     require(zips.nonEmpty, s"No FFIEC bulk zip files found in $rawDir")
-    val manifests = zips.map { case (zip, _) =>
-      processZip(spark, zip, outDir, schemaMap)
-    }
+    val manifests =
+      if (concurrency <= 1) zips.map { case (zip, _) =>
+        processZip(spark, zip, outDir, schemaMap)
+      } else {
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(concurrency)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.traverse(zips) { case (zip, _) =>
+            Future(processZip(spark, zip, outDir, schemaMap))
+          }, Duration.Inf)
+        finally pool.shutdown()
+      }
     val out = manifests.reduce(_.unionByName(_))
     out.write.mode("overwrite")
       .parquet(s"$outDir/ffiec_process_data.parquet")

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Randomized invariants (seeded, deterministic) — the contracts each
+  * operator must hold for ANY data, not just the crafted specs.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val words = Vector(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+
+  test("saltedAgg equals direct aggregation across random distributions") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 200).map { _ =>
+        (Seq("a", "b", "hot")(rnd.nextInt(3)), rnd.nextDouble() * 2000 - 1000)
+      }
+      val df = rows.toDF("k", "v")
+      val salted = operators.Sampling.saltedAgg(df, "k", "v")
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val direct = df.groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            .cast("double").as("s"))
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(salted.toSeq == direct.toSeq, s"seed=$seed")
+    }
+  }
+
+  test("TopKAggregator equals global sort-take for random score sets") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val rows = (1 to 120).map { _ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong + 1, rnd.nextInt(1000) / 1000.0)
+      }.distinctBy(t => (t._1, t._2))
+      val df = rows.toDF("query_id", "neighbor_id", "sim")
+      val got = operators.Knn.topKPerQuery(df, 5)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.map(t => (t._3, t._2)).sortBy(t => (-t._1, t._2)).take(5).zipWithIndex
+          .map { case ((_, id), i) => (q, i + 1, id) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("minhash signature overlap estimates true shingle jaccard") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(200 + seed)
+      def doc() = Seq.fill(5 + rnd.nextInt(35))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+      val df = Seq((1L, doc()), (2L, doc())).toDF("id", "text")
+      val sh = df.select(col("id"),
+        array_distinct(plans.native.wordShingles(col("text"), 2)).as("sh"))
+      val shingles = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val trueJ = shingles(1L).intersect(shingles(2L)).size.toDouble /
+        shingles(1L).union(shingles(2L)).size
+      val sigs = sh.select(col("id"), plans.native.minhashSig(col("sh"), 256).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 256.0
+      assert(math.abs(est - trueJ) < 0.2, s"seed=$seed est=$est true=$trueJ")
+    }
+  }
+
+  test("zip repair ladder: row count survives random garbage cells") {
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val cellPool = Vector("x", "", "CONF", "12.5", "has space", "0")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(300 + seed)
+      val rowCells = (1 to 20).map(_ => Seq.fill(3)(cellPool(rnd.nextInt(cellPool.size))))
+      val content = "IDRSSD\tA\tB\t\nID\ta\tb\t\n" +
+        rowCells.zipWithIndex.map { case (cells, i) =>
+          s"$i\t${cells.mkString("\t")}"
+        }.mkString("\t\n") + "\t\n"
+      val f = File.createTempFile("prop", ".zip")
+      f.deleteOnExit()
+      val zos = new ZipOutputStream(new FileOutputStream(f))
+      zos.putNextEntry(new ZipEntry("m.txt"))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+      val header = sources.ZipTsv.memberHeader(spark, f.getAbsolutePath, "m.txt")
+      val spec = schema.FfiecSchema.colSpec(header)
+      val n = sources.ZipTsv.readMember(spark, f.getAbsolutePath, "m.txt", spec).count()
+      assert(n == rowCells.length, s"seed=$seed")
+    }
+  }
+}

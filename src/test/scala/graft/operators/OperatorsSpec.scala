@@ -141,6 +141,14 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute)) // LSH may miss, must not invent
   }
 
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    val out = Dedup.dedupCorpus(corpus, "doc_id", "text", tau = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out.contains(1L))                  // cluster representative
+    assert(!out.contains(2L) && !out.contains(3L)) // dups dropped
+    assert(out.contains(5L) && out.contains(6L))   // uniques untouched
+  }
+
   test("canonicalize maps chains to the cluster minimum") {
     val s = spark
     import s.implicits._

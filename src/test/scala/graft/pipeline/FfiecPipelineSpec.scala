@@ -90,6 +90,24 @@ class FfiecPipelineSpec extends SparkSpec {
     assert(zips.map(_._2) == Seq("20240331"))
   }
 
+  test("processAll drives concurrent zips and writes the process log") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_raw3").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq3").toFile
+    for (d <- Seq("03312024", "06302024")) {
+      writeZip(dir, s"FFIEC CDR Call Bulk All Schedules $d.zip",
+        s"FFIEC CDR Call Schedule RC $d.txt" ->
+          s"IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.5\t\n")
+    }
+    val manifest = FfiecPipeline.processAll(spark, dir.getAbsolutePath,
+      outDir.getAbsolutePath, schemaMap, concurrency = 2)
+    assert(manifest.where(col("kind") === "rc").count() == 2)
+    val log = spark.read.parquet(s"$outDir/ffiec_process_data.parquet")
+    assert(log.count() == manifest.count())
+    // both report dates landed as separate wide parquets
+    assert(new java.io.File(outDir, "ffiec_rc_20240331.parquet").exists())
+    assert(new java.io.File(outDir, "ffiec_rc_20240630.parquet").exists())
+  }
+
   test("processZip rejects broken multipart structure") {
     val dir = java.nio.file.Files.createTempDirectory("ffiec_raw2").toFile
     val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq2").toFile
