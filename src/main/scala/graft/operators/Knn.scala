@@ -67,6 +67,23 @@ object Knn {
       .select(xxhash64(col("cid")).as("cell"), col("cvec"))
   }
 
+  /** Lloyd-refined centroids: start from the hash sample, then
+    * `iters` rounds of assign → per-cell mean. Each round is one
+    * broadcast join over the corpus plus a cell-count-sized aggregate;
+    * centroids stay broadcast-scale throughout. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      c: Int, iters: Int = 2): DataFrame = {
+    val avg = VectorAvgAggregator.udaf()
+    var centroids = sampleCentroids(corpus, idCol, vecCol, c)
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, idCol, vecCol, centroids)
+      centroids = assigned
+        .groupBy("cell")
+        .agg(avg(transform(col("vec"), x => x.cast("double"))).as("cvec"))
+    }
+    centroids
+  }
+
   /** Assign each vector to its nearest centroid cell (broadcast join +
     * min-by; the corpus never shuffles for assignment). */
   def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
@@ -84,8 +101,10 @@ object Knn {
     * by design; the spec measures it against bruteForce. */
   def ivf(corpus: DataFrame, corpusId: String, corpusVec: String,
           queries: DataFrame, queryId: String, queryVec: String,
-          k: Int, c: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = sampleCentroids(corpus, corpusId, corpusVec, c)
+          k: Int, c: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, c, refineIters)
+      else sampleCentroids(corpus, corpusId, corpusVec, c)
     val cells = assignCells(corpus, corpusId, corpusVec, centroids)
     val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
       .join(broadcast(centroids))

@@ -44,3 +44,37 @@ object TopKAggregator {
     org.apache.spark.sql.functions.udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
 }
+
+/** Element-wise mean of dense vectors with map-side partial sums —
+  * the k-means "new centroid" step without ever materializing a cell's
+  * vectors in one buffer (collect_list would). */
+class VectorAvgAggregator
+    extends Aggregator[Seq[Double], (Seq[Double], Long), Seq[Double]] {
+
+  override def zero: (Seq[Double], Long) = (Vector.empty, 0L)
+
+  override def reduce(b: (Seq[Double], Long), v: Seq[Double]): (Seq[Double], Long) =
+    (addInto(b._1, v), b._2 + 1)
+
+  override def merge(a: (Seq[Double], Long), b: (Seq[Double], Long)): (Seq[Double], Long) =
+    (addInto(a._1, b._1), a._2 + b._2)
+
+  private def addInto(acc: Seq[Double], v: Seq[Double]): Seq[Double] =
+    if (acc.isEmpty) v
+    else if (v.isEmpty) acc
+    else acc.lazyZip(v).map(_ + _)
+
+  override def finish(b: (Seq[Double], Long)): Seq[Double] =
+    if (b._2 == 0) b._1 else b._1.map(_ / b._2)
+
+  override def bufferEncoder: Encoder[(Seq[Double], Long)] =
+    ExpressionEncoder[(Seq[Double], Long)]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
+object VectorAvgAggregator {
+  def udaf(): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new VectorAvgAggregator,
+      ExpressionEncoder[Seq[Double]]())
+}

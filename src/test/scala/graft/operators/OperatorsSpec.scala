@@ -184,5 +184,12 @@ class KnnSpec extends SparkSpec {
     val recall = (exactSet & ivfSet).size.toDouble / exactSet.size
     assert(recall >= 0.3, s"IVF recall collapsed: $recall (q0 top=${q0.getLong(1)})")
     assert(ivfSet.size <= 10)
+    // k-means-refined cells must not collapse recall either
+    val refined = Knn.ivf(vecs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 10, c = 8, nprobe = 4, refineIters = 2)
+      .where(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val refinedRecall = (exactSet & refined).size.toDouble / exactSet.size
+    assert(refinedRecall >= 0.3, s"refined IVF recall collapsed: $refinedRecall")
   }
 }

@@ -50,6 +50,27 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamDedup pipeline: normalized-text dedup end-to-end") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamDedup.exactDedupStream(
+      input.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "Hello  World", Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, "hello world", Timestamp.valueOf("2024-01-01 10:01:00")), // normalized dup
+        (3L, "different doc", Timestamp.valueOf("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSeq.sorted
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup via dropDuplicatesWithinWatermark") {
     val s = spark
     import s.implicits._
