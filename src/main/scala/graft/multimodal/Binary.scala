@@ -74,4 +74,32 @@ object Binary {
         explode(sequence(lit(0L), greatest(col("n_bytes") - 1, lit(0L)), lit(stride.toLong)))
           .as("frame_offset"))
       .select(col("media_id"), col("frame_offset"))
+
+  /** Resize stand-in: recompute features at a target resolution. STUB —
+    * a real implementation scales pixels; here output dims are exact
+    * and the feature recompute is deterministic, so the partitioning /
+    * schema / batch shape are tested for real. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): Dataset[DecodedFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val base = decodeStub(id, bytes)
+          base.copy(width = targetW, height = targetH,
+            features = base.features.map(_ * (targetW.toFloat / math.max(base.width, 1))))
+        }
+      }
+  }
+
+  /** Audio-style frame windows over the payload: fixed-length windows
+    * with hop — the (window, hop) shape of spectrogram extraction. */
+  def audioWindows(media: DataFrame, windowBytes: Int, hopBytes: Int): DataFrame =
+    media.select(col("media_id"), col("n_bytes"),
+        explode(sequence(lit(0L),
+          greatest(col("n_bytes") - windowBytes, lit(0L)), lit(hopBytes.toLong)))
+          .as("window_start"))
+      .select(col("media_id"), col("window_start"),
+        least(col("window_start") + windowBytes, col("n_bytes")).as("window_end"))
 }
