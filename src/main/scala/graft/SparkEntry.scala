@@ -425,6 +425,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q44_crossmodal_filter" -> ((s, dir) => {
+      // curation join across modalities: text quality gates which
+      // embeddings survive, then per-label survivor stats
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      val emb = t(s, dir, "embeddings")
+      emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .where(col("q") >= 0.5)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          // q has 6dp — decimal sum makes the mean order-independent
+          round(sum(col("q").cast(DecimalType(28, 8))).cast("double")
+            / count(lit(1)), 6).as("avg_quality"))
+        .orderBy("label")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -835,6 +851,23 @@ object SparkEntry {
         |  COUNT(DISTINCT l_partkey) AS n_part,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_crossmodal_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    ROUND(least(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0, 1.0) * 0.4
+         |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END) * 4.0) * 0.3
+         |      + least((CASE WHEN len($toksLower) = 0 THEN 0.0
+         |          ELSE len(list_filter($toksLower,
+         |                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'], x))) * 1.0
+         |               / len($toksLower) END) * 3.0, 1.0) * 0.3, 6) AS q
+         |  FROM documents)
+         |SELECT label, COUNT(*) AS n_docs,
+         |  ROUND(CAST(SUM(CAST(q AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+         |FROM embeddings e JOIN q ON e.vec_id = q.doc_id
+         |WHERE q.q >= 0.5
+         |GROUP BY label ORDER BY label""".stripMargin,
 
     "q36_asof_join" ->
       """WITH o1 AS (
