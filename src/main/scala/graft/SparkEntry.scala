@@ -238,7 +238,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 100 === 0)
       Knn.ivf(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
-        k = 5, c = 16, nprobe = 4)
+        k = 5, c = 16, nprobe = 4, refineIters = 1)
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
     }),
