@@ -289,7 +289,11 @@ object SparkEntry {
       val scheduleItems =
         (li.map(("lineitem", _)) ++ or.map(("orders", _)))
           .toDF("schedule", "item")
-      LongPivot.itemSchedules(scheduleItems).orderBy("item")
+      // schedules is serialized to a comma-joined string so the driver's
+      // comparator (which sorts/hashes cell values) sees a scalar column.
+      LongPivot.itemSchedules(scheduleItems)
+        .select(col("item"), concat_ws(",", col("schedules")).as("schedules"))
+        .orderBy("item")
     }),
 
     "q28_xbrl_extract" -> ((s, dir) => {
@@ -706,7 +710,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q27_item_schedules" ->
-      """SELECT item, list_sort(list(DISTINCT schedule)) AS schedules FROM (
+      """SELECT item, array_to_string(list_sort(list(DISTINCT schedule)), ',') AS schedules FROM (
         |  SELECT 'lineitem' AS schedule, item FROM (
         |    UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
         |             FROM lineitem LIMIT 1)
@@ -739,7 +743,7 @@ object SparkEntry {
 
     "q31_sessionize" ->
       """WITH x AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
         |         THEN 1 ELSE 0 END AS new_s
@@ -747,8 +751,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |y AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM x)
         |SELECT user_id, session_seq,
         |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,

@@ -29,8 +29,10 @@ object AsOfJoin {
     val joined = left.join(right,
       left(leftKey) === right(rightKey) && right(rightTime) <= left(leftTime),
       "left")
+    // qualify via right(...) so the spec binds correctly even when the
+    // two sides share column names (the common as-of case, e.g. both 'ts')
     val w = Window.partitionBy(col(leftId))
-      .orderBy(col(rightTime).desc_nulls_last, col(rightTiebreak).asc_nulls_last)
+      .orderBy(right(rightTime).desc_nulls_last, right(rightTiebreak).asc_nulls_last)
     joined
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -24,6 +24,20 @@ import graft.functions.{Hashes, Text, Vectors}
   */
 object Dedup {
 
+  private val cacheLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Materialize `out` (persist + count) and then release the
+    * intermediate caches that fed it. Returned frame stays persisted —
+    * it is the small pair/label set, not corpus-sized — and callers may
+    * `unpersist()` it when done. Without this, every call leaked its
+    * MEMORY_AND_DISK intermediates for the session lifetime. */
+  private def materializeAndRelease(out: DataFrame, release: DataFrame*): DataFrame = {
+    val cached = out.persist(cacheLevel)
+    cached.count()
+    release.foreach(_.unpersist(false))
+    cached
+  }
+
   /** Exact dedup: one survivor (min id) per normalized-text fingerprint. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
@@ -92,7 +106,7 @@ object Dedup {
       .drop("bsz")
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("est_jaccard",
@@ -100,6 +114,7 @@ object Dedup {
           v => v === 1)).cast("double") / lit(bands * rowsPerBand).cast("double"))
       .where(col("est_jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    materializeAndRelease(pairs, shingled, signed)
   }
 
   /** SimHash fingerprints for every document. */
@@ -125,12 +140,13 @@ object Dedup {
       .select(col("id"), col("simhash"), col("bk.block"), col("bk.bits"))
     val a = keyed.select(col("block"), col("bits"), col("id").as("id_a"), col("simhash").as("fp_a"))
     val b = keyed.select(col("block"), col("bits"), col("id").as("id_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("block", "bits"))
+    val pairs = a.join(b, Seq("block", "bits"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "fp_a", "fp_b").distinct()
       .withColumn("hamming", Hashes.hamming64(col("fp_a"), col("fp_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    materializeAndRelease(pairs, fps)
   }
 
   /** Embedding cosine near-dup pairs ≥ `tau`. `planes` hyperplane bits
@@ -170,6 +186,7 @@ object Dedup {
                   tau: Double = 0.7): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, tau = tau)
     val labels = canonicalize(pairs)
+    pairs.unpersist(false) // labels is materialized; the pair cache is done
     df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .where(col("rep").isNull || col("rep") === col(idCol))
       .drop("rep")

@@ -25,8 +25,12 @@ object Sampling {
     * reshaping. */
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
                 salts: Int = 16): DataFrame = {
+    // Salt from a row-level source, not the value: a hot key with
+    // identical/low-cardinality values (or NULLs) would otherwise map to
+    // one salt and still melt a single reducer. The salt never appears in
+    // the result, so any per-row assignment preserves exactness.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(valueCol).cast("string")), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = salted
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__n"),

@@ -87,19 +87,22 @@ object XbrlZip {
     val members = ZipTsv.listMembers(spark, glob)
       .filter(_.file.endsWith(".xbrl.xml"))
     val pairs = members.map(m => (m.zip, m.file))
+    // Serialize the session's hadoop conf so runtime filesystem settings
+    // (credentials, endpoints) reach the executor-side open, as in ZipTsv.
+    val confMap = ZipTsv.confToMap(
+      new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration))
     val ds: Dataset[Fact] = spark.createDataset(pairs)
       .repartition(math.max(1, math.min(pairs.size, 1024)))
       .flatMap { case (zip, member) =>
-        val xml = readMemberFully(zip, member)
+        val xml = readMemberFully(zip, member, confMap)
         parseXbrl(xml, nsPrefix)
       }
     ds.toDF()
   }
 
-  private def readMemberFully(zip: String, member: String): String = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val p = new org.apache.hadoop.fs.Path(zip)
-    val zin = new java.util.zip.ZipInputStream(p.getFileSystem(conf).open(p))
+  private def readMemberFully(zip: String, member: String,
+                              confMap: Map[String, String]): String = {
+    val zin = ZipTsv.openStream(zip, confMap)
     try {
       val found = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
         .exists(_.getName == member)

@@ -73,14 +73,14 @@ object ZipTsv {
     }.collect().toSeq.sortBy(m => (m.zip, m.file))
   }
 
-  private def confToMap(conf: Configuration): Map[String, String] = {
+  private[sources] def confToMap(conf: Configuration): Map[String, String] = {
     val it = conf.iterator()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
     b.result()
   }
 
-  private def openStream(zip: String, confMap: Map[String, String]): ZipInputStream = {
+  private[sources] def openStream(zip: String, confMap: Map[String, String]): ZipInputStream = {
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val p = new Path(zip)

@@ -91,7 +91,12 @@ object Sessions {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+              // fMGWS does not pre-filter late rows: a session whose end
+              // already trails the watermark would yield a timeout <=
+              // watermark, which throws and kills the query. Clamp to
+              // watermark+1 so the session closes on the next trigger.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(wm + 1, s.last + gapSeconds * 1000))
             }
             closed.reverseIterator
           }
