@@ -84,17 +84,22 @@ object Knn {
     centroids
   }
 
-  /** Assign each vector to its nearest centroid cell (broadcast join +
-    * min-by; the corpus never shuffles for assignment). */
+  /** Assign each vector to its nearest centroid cell — a per-row argmax
+    * expression over the collected centroid array (NearestCell kernel):
+    * zero joins, zero shuffles, no n×c intermediate. The centroid
+    * collect is bounded by `c` (metadata-scale by construction — the
+    * same bound that makes them broadcastable), which is how k-means
+    * assignment is done everywhere centroids fit on one node. */
   def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame): DataFrame = {
-    val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(broadcast(centroids))
-      .select(col("id"), col("vec"),
-        struct(Vectors.cosine(col("vec"), col("cvec")).as("sim"), col("cell").as("cell")).as("sc"))
-    scored.groupBy("id")
-      .agg(max("sc").as("best"), first("vec").as("vec"))
-      .select(col("id"), col("vec"), col("best.cell").as("cell"))
+    val rows = centroids
+      .select(col("cell"), transform(col("cvec"), _.cast("double")).as("cvec"))
+      .collect()
+    require(rows.nonEmpty, "no centroids")
+    val cells = rows.map(_.getLong(0))
+    val cents = rows.map(_.getSeq[Double](1).toArray)
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      graft.plans.native.nearestCell(col(vecCol), cells, cents).as("cell"))
   }
 
   /** IVF search: probe the `nprobe` nearest cells per query. Recall<1

@@ -133,6 +133,76 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object NearestCellKernel {
+  /** Argmax over the centroid set of cosine(vec, centroid). Cosine is
+    * the same sequential fold as VectorKernel.cosine (bit-stable vs
+    * DuckDB's list_cosine_similarity); ties break toward the larger
+    * cell id, matching the previous max(struct(sim, cell)) semantics. */
+  def nearest(vec: ArrayData, vecFloat: Boolean,
+              cells: Array[Long], cents: Array[Array[Double]]): Long = {
+    val n = vec.numElements()
+    var bestCell = 0L
+    var bestSim = Double.NegativeInfinity
+    var first = true
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = cent(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (denom == 0.0) 0.0 else dot / denom
+      if (first || sim > bestSim || (sim == bestSim && cells(c) > bestCell)) {
+        bestSim = sim; bestCell = cells(c); first = false
+      }
+      c += 1
+    }
+    bestCell
+  }
+}
+
+/** Nearest-centroid cell id for an array<float|double> vector column.
+  * The centroid set rides along as a reference object into generated
+  * code — assignment is a per-row expression with NO join and NO
+  * shuffle, which is what keeps IVF viable when the corpus is 100 TB:
+  * the only data movement is the broadcast of the (metadata-scale)
+  * centroid array inside the serialized expression tree. */
+case class NearestCell(child: Expression, cells: Array[Long],
+                       cents: Array[Array[Double]]) extends UnaryExpression {
+  require(cells.length == cents.length && cells.nonEmpty,
+    "cells/centroids must be non-empty and aligned")
+  private lazy val vecFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCellKernel.nearest(input.asInstanceOf[ArrayData], vecFloat, cells, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("cells", cells, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.NearestCellKernel.nearest($c, $vecFloat, $cellsRef, $centsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 object ShingleKernel {
   /** Word n-gram shingles of normalized text — byte-for-byte the same
     * output as Text.wordShingles(Text.normalizeText(c), n): lowercase,
@@ -194,4 +264,8 @@ object native {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def nearestCell(vec: Column, cells: Array[Long],
+                  cents: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCell(GraftBridge.expression(vec), cells, cents))
 }

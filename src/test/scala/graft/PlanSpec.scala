@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && firstExchange >= 0)
   }
 
+  test("IVF cell assignment is a pure projection — zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = graft.operators.Knn.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = graft.operators.Knn.assignCells(emb, "vec_id", "embedding", centroids)
+    val plan = assigned.queryExecution.executedPlan
+    val exchanges = plan.collect { case e: Exchange => e }.size +
+      plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(
+        _.inputPlan.collect { case e: Exchange => e }).size
+    assert(exchanges == 0, s"assignCells has $exchanges exchanges:\n$plan")
+    assert(!plan.toString.contains("Join"), "assignCells must not join")
+    // and it actually assigns: every row gets one of the sampled cells
+    val cells = centroids.select(col("cell")).collect().map(_.getLong(0)).toSet
+    assert(assigned.select(col("cell")).collect().forall(r => cells(r.getLong(0))))
+  }
+
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster
