@@ -208,20 +208,35 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Gate queries run the md5-portable hash mode so signature, banding
+    // and pair verification are exactly replayed by the DuckDB oracle;
+    // production default stays the xxhash64 codegen kernels (ScalaTest
+    // asserts both modes implement the same algorithm).
     "q17_minhash_dedup" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.35)
+        shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.35,
+        portableHash = true)
         .orderBy("id_a", "id_b")
     }),
 
     "q18_simhash" -> ((s, dir) => {
-      Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        portableHash = true)
         .orderBy("id")
     }),
 
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // The scale path: hyperplane-LSH buckets first, cosine verify inside
+    // buckets only — the shape that survives 100 TB (q19 is the recall
+    // baseline). The oracle replays the same 8 seeded hyperplanes.
+    "q45_embedding_lsh" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.45, planes = 8, dim = 64, seed = 7L)
         .orderBy("id_a", "id_b")
     }),
 
@@ -234,7 +249,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Oracle-replayable IVF: portable centroid hash, no Lloyd rounds —
+    // centroid pick, cell assignment, probing and top-k all verified
+    // value-exact in DuckDB. The k-means-refined path is q46.
     "q21_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      Knn.ivf(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, c = 16, nprobe = 4, refineIters = 0, portableHash = true)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q46_knn_ivf_refined" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 100 === 0)
       Knn.ivf(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
@@ -490,6 +517,30 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** md5-hex first-15-chars → 60-bit int, the DuckDB twin of
+    * Hashes.md5Hash64. */
+  private def md5Hash64Sql(x: String): String =
+    s"""list_reduce(list_transform(range(1,16), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1 AS BIGINT)),
+       |    (a, b) -> a * 16 + b)""".stripMargin
+
+  /** The exact hyperplanes Dedup.embeddingPairs(seed=7) draws, inlined
+    * as SQL literals so the oracle replays the same buckets. Doubles are
+    * rendered with Double.toString (shortest round-trip form), which
+    * DuckDB parses back to the identical double. */
+  private def hyperplanesSql(planes: Int, dim: Int, seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val hps = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    hps.zipWithIndex.map { case (hp, i) =>
+      s"($i, [${hp.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n      ")
+  }
+
+  /** Ordered sequential dot product — same fold as Vectors.dot
+    * (aggregate over zip_with), so the sign test is bit-identical. */
+  private def seqDotSql(vec: String, plane: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), j -> CAST($vec[j] AS DOUBLE) * $plane[j]), (a, b) -> a + b)"
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Non-SQL-expressible ops are omitted (driver
     * records a rows-only check). */
@@ -635,12 +686,114 @@ object SparkEntry {
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q17_minhash_dedup" ->
+      s"""$shinglesSql,
+         |slot AS (
+         |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS m
+         |  FROM ex CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_a[i] = sig_b[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q18_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex($normText, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |                        / power(2, 3 - b % 4)) AS INT) % 2 = 1
+         |             THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+         |  GROUP BY doc_id, b),
+         |nibbles AS (
+         |  SELECT doc_id, CAST(b // 4 AS INT) AS ci,
+         |    CAST(SUM(CASE WHEN v > 0 THEN power(2, 3 - b % 4) ELSE 0 END) AS INT) AS nib
+         |  FROM votes GROUP BY doc_id, CAST(b // 4 AS INT)),
+         |fp AS (
+         |  SELECT doc_id, string_agg(substr('0123456789abcdef', nib + 1, 1), '' ORDER BY ci) AS simhash
+         |  FROM nibbles GROUP BY doc_id)
+         |SELECT d.doc_id AS id, COALESCE(fp.simhash, '0000000000000000') AS simhash
+         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+         |ORDER BY id""".stripMargin,
+
     "q19_embedding_dedup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q45_embedding_lsh" ->
+      s"""WITH planes(i, plane) AS (VALUES
+         |      ${hyperplanesSql(planes = 8, dim = 64, seed = 7L)}),
+         |bucketed AS (
+         |  SELECT e.vec_id,
+         |    SUM(CASE WHEN ${seqDotSql("e.embedding", "p.plane", 64)} >= 0
+         |        THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+         |FROM bucketed a
+         |JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q21_knn_ivf" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |stride AS (SELECT greatest(1, COUNT(*) // 16) AS s FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed, stride WHERE h % s = 0 ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q20_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

@@ -68,6 +68,15 @@ object Hashes {
       i => when(call_function("shiftrightunsigned", h, i).bitwiseAND(1) === 1, lit(1))
         .otherwise(lit(-1)))
 
+  /** Cross-engine-portable 60-bit integer hash: first 15 hex chars of
+    * md5(string form) parsed base-16. DuckDB twin:
+    * list_reduce(list_transform(range(1,16), i ->
+    *   CAST(strpos('0123456789abcdef', substr(md5(x),i,1))-1 AS BIGINT)),
+    *   (a,b) -> a*16+b). Used by the gate queries; production paths keep
+    * xxhash64. */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -74,10 +74,14 @@ object Dedup {
   }
 
   /** MinHash+LSH candidate pairs, verified by the signature-overlap
-    * Jaccard estimate ≥ `tau`. k = bands * rowsPerBand hash slots. */
+    * Jaccard estimate ≥ `tau`. k = bands * rowsPerBand hash slots.
+    * `portableHash` switches the slot/bucket hashes from xxhash64
+    * (production) to md5-derived values reproducible in any SQL engine —
+    * identical algorithm, DuckDB-checkable output (the gate mode). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                      tau: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+                      tau: Double = 0.7, maxBucket: Int = 1000,
+                      portableHash: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     // Two materialization barriers, both load-bearing:
     //  1. shingles — minhashSignature's inner lambda re-evaluates its
@@ -92,11 +96,21 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(graft.plans.native.wordShingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val signed = shingled.select(
-      col("id"), graft.plans.native.minhashSig(col("sh"), k).as("sig"))
+    val sigExpr =
+      if (portableHash) graft.plans.native.md5MinhashSig(col("sh"), k)
+      else graft.plans.native.minhashSig(col("sh"), k)
+    val signed = shingled.select(col("id"), sigExpr.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band bucket = hash of the band's slot values; md5-of-joined-slots
+    // in portable mode (DuckDB: md5(array_to_string(sig[a:b], ','))).
+    val bandKeys =
+      if (portableHash)
+        array((0 until bands).map(b => struct(lit(b).as("band"),
+          md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+            .cast("binary")).as("bucket"))): _*)
+      else Hashes.lshBands(col("sig"), bands, rowsPerBand)
     val banded = signed.select(
-        col("id"), col("sig"), explode(Hashes.lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+        col("id"), col("sig"), explode(bandKeys).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
     // Hot-bucket guard: a bucket holding b docs yields b² candidates.
     val capped = banded
@@ -117,10 +131,17 @@ object Dedup {
     materializeAndRelease(pairs, shingled, signed)
   }
 
-  /** SimHash fingerprints for every document. */
-  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      Hashes.simhash64(Text.tokens(Text.normalizeText(col(textCol)))).as("simhash"))
+  /** SimHash fingerprints for every document. `portableHash` emits the
+    * md5-derived 16-hex-char form (bit-identical in DuckDB SQL — the
+    * gate mode) instead of the production xxhash64 long. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          portableHash: Boolean = false): DataFrame = {
+    val toks = Text.tokens(Text.normalizeText(col(textCol)))
+    val fp =
+      if (portableHash) graft.plans.native.md5Simhash(toks)
+      else Hashes.simhash64(toks)
+    df.select(col(idCol).as("id"), fp.as("simhash"))
+  }
 
   /** Persisted variant for pair generation, where the fingerprint feeds
     * both join sides (same barrier rationale as minhashLshPairs). */

@@ -56,15 +56,22 @@ object Knn {
   /** Deterministic centroid pick: hash-sample ~c vectors by id (no
     * global sort — a Window.orderBy over the corpus would funnel every
     * row through one partition). The result is metadata-scale and
-    * broadcast by the callers. */
+    * broadcast by the callers. `portableHash` swaps xxhash64 for the
+    * md5-derived 60-bit hash (reproducible in DuckDB) and makes the
+    * final pick fully deterministic (TakeOrdered over the ~c-row
+    * sample) so the gate oracle can replay it. */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      c: Int): DataFrame = {
+                      c: Int, portableHash: Boolean = false): DataFrame = {
     val n = corpus.count()
     val stride = math.max(1L, n / c)
-    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .where(pmod(xxhash64(col("cid")), lit(stride)) === 0)
-      .limit(c)
-      .select(xxhash64(col("cid")).as("cell"), col("cvec"))
+    val h =
+      if (portableHash) graft.functions.Hashes.md5Hash64(col(idCol))
+      else xxhash64(col(idCol))
+    val sampled = corpus
+      .select(h.as("cell"), col(vecCol).as("cvec"))
+      .where(pmod(col("cell"), lit(stride)) === 0)
+    if (portableHash) sampled.orderBy("cell").limit(c)
+    else sampled.limit(c)
   }
 
   /** Lloyd-refined centroids: start from the hash sample, then
@@ -106,17 +113,21 @@ object Knn {
     * by design; the spec measures it against bruteForce. */
   def ivf(corpus: DataFrame, corpusId: String, corpusVec: String,
           queries: DataFrame, queryId: String, queryVec: String,
-          k: Int, c: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+          k: Int, c: Int = 16, nprobe: Int = 4, refineIters: Int = 0,
+          portableHash: Boolean = false): DataFrame = {
+    require(!portableHash || refineIters == 0,
+      "portableHash pairs with refineIters=0 (the oracle-replayable path)")
     val centroids =
       if (refineIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, c, refineIters)
-      else sampleCentroids(corpus, corpusId, corpusVec, c)
+      else sampleCentroids(corpus, corpusId, corpusVec, c, portableHash)
     val cells = assignCells(corpus, corpusId, corpusVec, centroids)
     val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
       .join(broadcast(centroids))
       .select(col("query_id"), col("qvec"),
         struct(Vectors.cosine(col("qvec"), col("cvec")).as("sim"), col("cell")).as("sc"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sc.sim").desc)))
+        Window.partitionBy("query_id")
+          .orderBy(col("sc.sim").desc, col("sc.cell").desc)))
       .where(col("rk") <= nprobe)
       .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
     val scored = cells.join(broadcast(qAssign), Seq("cell"))

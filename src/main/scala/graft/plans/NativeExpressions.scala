@@ -133,6 +133,123 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** md5-derived sketch kernels for the CROSS-ENGINE portable hash mode.
+  *
+  * The production sketches hash with xxhash64 (fast, codegen'd), which
+  * DuckDB cannot reproduce — so the correctness gate runs these md5
+  * variants instead: every slot value is an md5 hex string (md5 is
+  * bit-identical in every engine), minima/banding/votes are defined on
+  * the lexicographic hex ordering, and the whole pipeline — signature,
+  * banding, pair verification — becomes exactly expressible in DuckDB
+  * SQL. Same algorithm, portable permutations.
+  */
+object Md5Kernel {
+  import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def md5Hex(s: String): String = {
+    val bytes = digests.get().digest(s.getBytes(UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Slot j = min over shingles of md5("j:shingle") — the DuckDB twin is
+    * min(md5(CAST(j AS VARCHAR) || ':' || s)) GROUP BY doc, j. */
+  def signature(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[String](k)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var j = 0
+      while (j < k) {
+        val h = md5Hex(j.toString + ":" + s)
+        if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)): Array[Any])
+  }
+
+  /** 64-bit SimHash as a 16-hex-char string. Token hash = first 16 hex
+    * chars of md5(token); bit b (MSB-first) read from nibble b/4; strict
+    * majority (>0) sets the bit. Empty token array → all-zero hash. */
+  def simhash(arr: ArrayData): UTF8String = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val hx = md5Hex(arr.getUTF8String(i).toString)
+      var b = 0
+      while (b < 64) {
+        val nib = Character.digit(hx.charAt(b / 4), 16)
+        val bit = (nib >> (3 - b % 4)) & 1
+        votes(b) += (if (bit == 1) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Char](16)
+    var c = 0
+    while (c < 16) {
+      var nib = 0
+      var r = 0
+      while (r < 4) {
+        if (votes(4 * c + r) > 0) nib |= (8 >> r)
+        r += 1
+      }
+      out(c) = HEX(nib)
+      c += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+}
+
+/** Portable MinHash signature: array<string> of k md5-hex slot minima. */
+case class Md5MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_minhash_sig expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "md5_minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    Md5Kernel.signature(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5Kernel.signature($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashSig =
+    copy(child = newChild)
+}
+
+/** Portable SimHash fingerprint: 16-hex-char string over array<string>. */
+case class Md5SimHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_simhash expects array<string>, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "md5_simhash"
+  override def nullSafeEval(input: Any): Any =
+    Md5Kernel.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5Kernel.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash =
+    copy(child = newChild)
+}
+
 object NearestCellKernel {
   /** Argmax over the centroid set of cosine(vec, centroid). Cosine is
     * the same sequential fold as VectorKernel.cosine (bit-stable vs
@@ -268,4 +385,10 @@ object native {
   def nearestCell(vec: Column, cells: Array[Long],
                   cents: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCell(GraftBridge.expression(vec), cells, cents))
+
+  def md5MinhashSig(shingles: Column, k: Int): Column =
+    GraftBridge.column(Md5MinHashSig(GraftBridge.expression(shingles), k))
+
+  def md5Simhash(tokens: Column): Column =
+    GraftBridge.column(Md5SimHash(GraftBridge.expression(tokens)))
 }
