@@ -13,6 +13,18 @@ object Bench {
     // JIT/codegen warmup so the first timed query doesn't absorb
     // session bring-up; uses the smallest sf regardless of target.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Warm-touch every table (full column scan, not metadata count) so
+    // first-touch parquet/page-cache I/O doesn't attach to whichever
+    // query happens to read a table first — per-query attribution was
+    // unstable without this (q15 absorbed the documents first read).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events table
+    new java.io.File(sfDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try {
+          val df = spark.read.parquet(f.getAbsolutePath)
+          df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+        } catch { case _: Throwable => }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

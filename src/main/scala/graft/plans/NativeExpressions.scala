@@ -163,23 +163,59 @@ object Md5Kernel {
     new String(out)
   }
 
+  /** Hex(bytes) preserves unsigned byte order, so minima are tracked on
+    * raw digests (unsigned byte compare) and hex-encoded only once at
+    * the end — no per-(slot, shingle) string allocation. */
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hexOf(bytes: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** "0:" … "63:" prefixes as bytes, shared across calls. */
+  private val slotPrefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(j => (j.toString + ":").getBytes(UTF_8))
+
   /** Slot j = min over shingles of md5("j:shingle") — the DuckDB twin is
     * min(md5(CAST(j AS VARCHAR) || ':' || s)) GROUP BY doc, j. */
   def signature(arr: ArrayData, k: Int): ArrayData = {
-    val mins = new Array[String](k)
+    val md = digests.get()
+    val mins = new Array[Array[Byte]](k)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i).toString
+      val sBytes = arr.getUTF8String(i).getBytes
       var j = 0
       while (j < k) {
-        val h = md5Hex(j.toString + ":" + s)
-        if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+        val prefix =
+          if (j < slotPrefixes.length) slotPrefixes(j)
+          else (j.toString + ":").getBytes(UTF_8)
+        md.update(prefix)
+        md.update(sBytes)
+        val h = md.digest()
+        if (mins(j) == null || lessUnsigned(h, mins(j))) mins(j) = h
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)): Array[Any])
+    new GenericArrayData(mins.map(m =>
+      UTF8String.fromString(if (m == null) "" else hexOf(m))): Array[Any])
   }
 
   /** 64-bit SimHash as a 16-hex-char string. Token hash = first 16 hex
