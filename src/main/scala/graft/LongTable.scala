@@ -30,10 +30,19 @@ final case class LongTable(df: DataFrame,
     copy(df = df.where(col("date") >= lit(from) && col("date") <= lit(to)))
 
   /** Wide frame with one column per item. `valuesFn` as in the
-    * reference's ffiec_pivot. */
-  def pivot(items: Seq[String] = null, valuesFn: String = "first"): DataFrame = {
-    val its = Option(items).getOrElse(
-      df.select("item").distinct().collect().map(_.getString(0)).sorted.toSeq)
+    * reference's ffiec_pivot. With `items = null` the distinct item set
+    * is collected to the driver — bounded by `maxItems` (MDRM item
+    * codes are a few thousand; a runaway cardinality would otherwise
+    * OOM the driver AND produce an absurd pivot schema). */
+  def pivot(items: Seq[String] = null, valuesFn: String = "first",
+            maxItems: Int = 100000): DataFrame = {
+    val its = Option(items).getOrElse {
+      val sample = df.select("item").distinct().limit(maxItems + 1)
+        .collect().map(_.getString(0))
+      require(sample.length <= maxItems,
+        s"pivot item cardinality exceeds $maxItems; pass an explicit item list")
+      sample.sorted.toSeq
+    }
     LongPivot.wide(df, idCols, "item", "value", its, valuesFn)
   }
 

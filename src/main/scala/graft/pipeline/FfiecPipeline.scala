@@ -53,14 +53,51 @@ object FfiecPipeline {
 
   case class Written(kind: String, tpe: String, dateRaw: String,
                      parquet: String, nParts: Int, ok: Boolean,
-                     innerFiles: Seq[String])
+                     repairs: Seq[String], innerFiles: Seq[String])
 
-  /** Process one bulk zip into `outDir`. Returns the manifest. */
+  /** Schema-map auto-resolution when the caller supplies none (the
+    * reference ships an equivalent map as package sysdata): taxonomy
+    * concepts.xsd parsed from "_"-prefixed taxonomy zips beside the
+    * bulk zip — the reference's own build source (data-raw/
+    * ffiec_schema.R) — or from the bulk zip itself; failing that,
+    * type inference over the sibling XBRL bulk zips' facts. Memoized
+    * per directory (processAll calls this once per zip). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  def resolveSchemaMap(spark: SparkSession, zipPath: String): Map[String, String] = {
+    val dir = new Path(zipPath).getParent.toString
+    schemaCache.computeIfAbsent(dir, { _ =>
+      val fs = new Path(dir).getFileSystem(
+        new Configuration(spark.sparkContext.hadoopConfiguration))
+      val zips = fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".zip"))
+      val taxonomy = zips.filter(_.getName.startsWith("_")).map(_.toString)
+      val fromXsd = FfiecSchema.conceptsFromZips(spark, taxonomy :+ zipPath)
+      if (fromXsd.nonEmpty) fromXsd
+      else {
+        val xbrlZips = listZips(spark, dir, "xbrl").map(_._1)
+        if (xbrlZips.isEmpty) Map.empty
+        else {
+          val facts = xbrlZips.map(z => graft.sources.XbrlZip.facts(spark, z))
+            .reduce(_.unionByName(_))
+          FfiecSchema.inferFromFacts(facts).collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+        }
+      }
+    })
+  }
+
+  /** Process one bulk zip into `outDir`. Returns the manifest. With no
+    * `schemaMap`, resolves one from taxonomy/XBRL siblings (see
+    * resolveSchemaMap). */
   def processZip(spark: SparkSession, zipPath: String, outDir: String,
                  schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
                  overrides: Map[String, String] = FfiecSchema.defaultColOverrides,
                  prefix: String = "ffiec_"): DataFrame = {
     import spark.implicits._
+    val resolved =
+      if (schemaMap.nonEmpty) schemaMap else resolveSchemaMap(spark, zipPath)
     val members = ZipTsv.listMembers(spark, zipPath)
     val written = Seq.newBuilder[Written]
 
@@ -72,15 +109,36 @@ object FfiecPipeline {
       val sorted = ms.sortBy(_.part.getOrElse(1))
       val nParts = CombineParts.resolveNParts(
         sorted.map(_.part), sorted.map(_.nParts), s"$schedule ($dateRaw)")
-      val parts = ZipTsv.readSchedule(spark, zipPath, sorted.map(_.file),
-        schemaMap, overrides).map(_.drop("_repairs"))
+      // Per-part diagnostics ride the write job via observed metrics —
+      // no second pass over the zip members (ref: ffiec_process.R:225
+      // ok/repairs recorded per written file).
+      val rawParts = ZipTsv.readSchedule(spark, zipPath, sorted.map(_.file),
+        resolved, overrides)
+      val observations = rawParts.indices.map(i =>
+        org.apache.spark.sql.Observation(s"diag_${schedule}_${dateRaw}_$i"))
+      val parts = rawParts.zip(observations).map { case (p, o) =>
+        p.observe(o,
+          sum(col("_problems")).as("problems"),
+          sum(when(array_contains(col("_repairs"), "newline-join"), 1L)
+            .otherwise(0L)).as("nl"),
+          sum(when(array_contains(col("_repairs"), "tab-repair"), 1L)
+            .otherwise(0L)).as("tab"))
+          .drop("_repairs", "_problems")
+      }
       val combined = CombineParts.combine(parts, key = "IDRSSD")
         .withColumn("date", to_date(lit(dateRaw), "yyyyMMdd"))
-      val fixed = fixPurePercentCols(combined, schemaMap)
+      val fixed = fixPurePercentCols(combined, resolved)
       val out = s"$outDir/$prefix${schedule}_$dateRaw.parquet"
       fixed.write.mode("overwrite").parquet(out)
+      val metrics = observations.map(_.get)
+      def metric(m: Map[String, Any], k: String): Long =
+        Option(m.getOrElse(k, null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val repairs =
+        (if (metrics.exists(metric(_, "nl") > 0)) Seq("newline-join") else Nil) ++
+        (if (metrics.exists(metric(_, "tab") > 0)) Seq("tab-repair") else Nil)
+      val ok = metrics.map(metric(_, "problems")).sum == 0
       written += Written(schedule, "schedule", dateRaw, out, nParts,
-        ok = true, sorted.map(_.file))
+        ok = ok, repairs = repairs, innerFiles = sorted.map(_.file))
       out
     }
 
@@ -101,7 +159,7 @@ object FfiecPipeline {
         KeyChecks.assertNoDups(all, Seq("IDRSSD", "date", "item"))
         val out = s"$outDir/$prefix${dname}_$dateRaw.parquet"
         all.write.mode("overwrite").parquet(out)
-        written += Written(dname, "long", dateRaw, out, 1, ok = true, Nil)
+        written += Written(dname, "long", dateRaw, out, 1, ok = true, Nil, Nil)
       }
     }
 
@@ -119,19 +177,28 @@ object FfiecPipeline {
         LongPivot.itemSchedules(pairs.toDF("schedule", "item"))
           .withColumn("date", to_date(lit(dateRaw), "yyyyMMdd"))
           .write.mode("overwrite").parquet(out)
-        written += Written("schedules", "meta", dateRaw, out, 1, ok = true, Nil)
+        written += Written("schedules", "meta", dateRaw, out, 1, ok = true, Nil, Nil)
       }
     }
 
-    // ---- POR files (no schedule token in the member name)
+    // ---- POR files (no schedule token in the member name). Repairs are
+    // recorded; ok stays true as in the reference (ffiec_process.R:442).
     members.filterNot(_.schedule.isDefined).foreach { m =>
       val dateRaw = m.dateRaw.getOrElse("unknown")
       val out = s"$outDir/por_$dateRaw.parquet"
+      val obs = org.apache.spark.sql.Observation(s"diag_por_$dateRaw")
       ZipTsv.readPor(spark, zipPath, m.file)
-        .drop("_repairs")
+        .observe(obs,
+          sum(when(array_contains(col("_repairs"), "tab-repair"), 1L)
+            .otherwise(0L)).as("tab"))
+        .drop("_repairs", "_problems")
         .withColumn("date", to_date(lit(dateRaw), "yyyyMMdd"))
         .write.mode("overwrite").parquet(out)
-      written += Written("por", "por", dateRaw, out, 1, ok = true, Seq(m.file))
+      val tab = Option(obs.get.getOrElse("tab", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      written += Written("por", "por", dateRaw, out, 1, ok = true,
+        repairs = if (tab > 0) Seq("tab-repair") else Nil,
+        innerFiles = Seq(m.file))
     }
 
     written.result().toDF()

@@ -26,6 +26,35 @@ object Scan {
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** One row per written parquet file with parsed (schedule, date) —
+    * the reference's `ffiec_list_pqs` (ref: ffiec_process.R:622).
+    * `allFiles=false` keeps only `*_YYYYMMDD.parquet` names. Driver-side
+    * FS metadata listing (manifest-scale, like the reference). */
+  case class PqFile(baseName: String, fullName: String,
+                    schedule: String, dateRaw: Option[String])
+
+  private val datedPq = """_(\d{8})\.parquet$""".r
+
+  def listPqs(spark: SparkSession, dataDir: String, prefix: String = "",
+              allFiles: Boolean = false): Seq[PqFile] = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(conf)
+    val listing =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    listing
+      .map { path =>
+        val base = path.getName
+        PqFile(base, path.toString, extractSchedule(base, prefix),
+          datedPq.findFirstMatchIn(base).map(_.group(1)))
+      }
+      .filter(f => allFiles || f.dateRaw.isDefined)
+      .sortBy(f => (f.schedule, f.dateRaw))
+  }
+
   /** Schedule id from a parquet basename `{prefix}{schedule}_YYYYMMDD
     * .parquet` (ref: ffiec_process.R:656 extract_schedule). */
   def extractSchedule(baseName: String, prefix: String = ""): String = {

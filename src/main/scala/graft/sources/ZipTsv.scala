@@ -210,7 +210,9 @@ object ZipTsv {
                             spec: ColSpec, skipRows: Int,
                             repairNewlines: Boolean = true): DataFrame = {
     val confMap = confToMap(new Configuration(spark.sparkContext.hadoopConfiguration))
-    val schema = spec.sparkSchema.add("_repairs", ArrayType(StringType))
+    val schema = spec.sparkSchema
+      .add("_repairs", ArrayType(StringType))
+      .add("_problems", IntegerType)
     val rdd = spark.sparkContext.parallelize(Seq((zip, member)), 1).flatMap {
       case (z, m) =>
         val zin = openStream(z, confMap)
@@ -230,8 +232,8 @@ object ZipTsv {
             val repairs =
               (if (joined) Seq("newline-join") else Nil) ++
               (if (tabRepaired) Seq("tab-repair") else Nil)
-            val values = spec.parseLine(fixed)
-            Row.fromSeq(values :+ repairs)
+            val (values, problems) = spec.parseLineCounted(fixed)
+            Row.fromSeq(values :+ repairs :+ problems)
           }
           // note: stream closed when the iterator is exhausted by the task
         }

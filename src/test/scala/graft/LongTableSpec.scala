@@ -36,6 +36,11 @@ class LongTableSpec extends SparkSpec {
     val dup = LongTable(t.df.union(t.df))
     assert(!dup.checkKeys())
     intercept[IllegalArgumentException](dup.assertNoDups())
+
+    // implicit pivot item list works but is cardinality-guarded
+    val auto = t.pivot().orderBy("date", "IDRSSD").collect()
+    assert(auto.length == 3)
+    intercept[IllegalArgumentException](t.pivot(maxItems = 1))
   }
 
   test("multimodal resize + audio windows stubs keep shape") {

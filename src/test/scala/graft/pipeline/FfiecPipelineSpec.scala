@@ -108,6 +108,85 @@ class FfiecPipelineSpec extends SparkSpec {
     assert(new java.io.File(outDir, "ffiec_rc_20240630.parquet").exists())
   }
 
+  test("processZip with NO schema map resolves types from a taxonomy concepts.xsd") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_raw4").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq4").toFile
+    writeZip(dir, "_FFIEC Taxonomy 2024.zip",
+      "call-2024/concepts.xsd" ->
+        """<?xml version="1.0"?>
+          |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+          |           xmlns:xbrli="http://www.xbrl.org/2003/instance">
+          |  <xs:element name="RCFD0010" type="xbrli:monetaryItemType" substitutionGroup="xbrli:item"/>
+          |  <xs:element name="RCON3838" type="xbrli:pureItemType"/>
+          |  <xs:element name="RIAD4340" type="xbrli:integerItemType"/>
+          |  <xs:element name="RCON1111" type="xbrli:booleanItemType"/>
+          |  <xs:element name="NoTypeHere"/>
+          |</xs:schema>""".stripMargin)
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 03312024.zip",
+      "FFIEC CDR Call Schedule RC 03312024.txt" ->
+        ("IDRSSD\tRCFD0010\tRCON3838\tRCON1111\t\nID\tCash\tRate\tFlag\t\n" +
+         "37\t100.5\t28%\ttrue\t\n38\t200.0\t3%\tfalse\t\n"))
+
+    // no schemaMap argument — the pipeline must find the taxonomy itself
+    FfiecPipeline.processZip(spark,
+      s"$dir/FFIEC CDR Call Bulk All Schedules 03312024.zip", outDir.getAbsolutePath)
+    val rc = spark.read.parquet(s"$outDir/ffiec_rc_20240331.parquet")
+    assert(rc.schema("RCFD0010").dataType.typeName == "double")
+    assert(rc.schema("RCON1111").dataType.typeName == "boolean")
+    // pure % columns land as converted doubles, not strings
+    assert(rc.schema("RCON3838").dataType.typeName == "double")
+    val r37 = rc.orderBy("IDRSSD").collect()(0)
+    assert(r37.getAs[Double]("RCON3838") == 0.28)
+    assert(r37.getAs[Boolean]("RCON1111"))
+  }
+
+  test("inferFromFacts classifies XBRL facts like the reference bootstrap") {
+    import spark.implicits._
+    val facts = Seq(
+      ("RCFD0010", Some("USD"), Some("0"), "123"),
+      ("BOOL1", None, None, "true"),
+      ("STR1", None, None, "hello"),
+      ("PURE1", Some("PURE"), Some("4"), "0.28"),
+      ("INT1", Some("NON-MONETARY"), Some("0"), "42")
+    ).toDF("item", "unitRef", "decimals", "value")
+    val m = graft.schema.FfiecSchema.inferFromFacts(facts)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map(
+      "RCFD0010" -> "xbrli:monetaryItemType",
+      "BOOL1" -> "xbrli:booleanItemType",
+      "STR1" -> "xbrli:stringItemType",
+      "PURE1" -> "xbrli:pureItemType",
+      "INT1" -> "xbrli:integerItemType"))
+  }
+
+  test("manifest surfaces per-file repairs and a real ok flag") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_raw5").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq5").toFile
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 09302024.zip",
+      // RC: one embedded-newline row (repair) + one unparseable double (problem)
+      "FFIEC CDR Call Schedule RC 09302024.txt" ->
+        ("IDRSSD\tRCFD0010\tTEXTX\t\nID\tCash\tNote\t\n" +
+         "37\t1.5\tbroken\nline\t\n" +
+         "38\tnotanumber\tok\t\n"),
+      // RI: clean
+      "FFIEC CDR Call Schedule RI 09302024.txt" ->
+        "IDRSSD\tRIAD4340\t\nID\tNet income\t\n37\t42\t\n")
+    val manifest = FfiecPipeline.processZip(spark,
+      s"$dir/FFIEC CDR Call Bulk All Schedules 09302024.zip",
+      outDir.getAbsolutePath, schemaMap)
+    val rows = manifest.collect()
+      .map(r => r.getAs[String]("kind") ->
+        (r.getAs[Boolean]("ok"), r.getSeq[String](r.fieldIndex("repairs")))).toMap
+    assert(rows("rc")._2.contains("newline-join"))
+    assert(!rows("rc")._1) // "notanumber" failed its monetary parse
+    assert(rows("ri")._1 && rows("ri")._2.isEmpty)
+    // and the repaired row actually landed repaired
+    val rc = spark.read.parquet(s"$outDir/ffiec_rc_20240930.parquet")
+      .orderBy("IDRSSD").collect()
+    assert(rc(0).getAs[String]("TEXTX") == "broken line")
+    assert(rc(1).isNullAt(rc(1).fieldIndex("RCFD0010")))
+  }
+
   test("processZip rejects broken multipart structure") {
     val dir = java.nio.file.Files.createTempDirectory("ffiec_raw2").toFile
     val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq2").toFile

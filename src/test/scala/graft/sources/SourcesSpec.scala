@@ -111,4 +111,26 @@ class ScanSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(Scan.extractSchedule("ffiec_rc_20240331.parquet", "ffiec_") == "rc")
   }
+
+  test("listPqs parses (schedule, date) from written parquet names") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("listpqs").toFile
+    dir.deleteOnExit()
+    Seq((1, 10.0)).toDF("IDRSSD", "RCFD0010")
+      .write.parquet(s"$dir/ffiec_rc_20240331.parquet")
+    Seq((1, 11.0)).toDF("IDRSSD", "RCFD0010")
+      .write.parquet(s"$dir/ffiec_rc_20240630.parquet")
+    Seq((1, "x", 1.0)).toDF("IDRSSD", "item", "value")
+      .write.parquet(s"$dir/ffiec_float_20240331.parquet")
+    Seq((1, 1.0)).toDF("IDRSSD", "v")
+      .write.parquet(s"$dir/notes.parquet") // undated: excluded by default
+    val pqs = Scan.listPqs(spark, dir.getAbsolutePath, prefix = "ffiec_")
+    assert(pqs.map(f => (f.schedule, f.dateRaw.get)) == Seq(
+      ("float", "20240331"), ("rc", "20240331"), ("rc", "20240630")))
+    val all = Scan.listPqs(spark, dir.getAbsolutePath, prefix = "ffiec_",
+      allFiles = true)
+    assert(all.map(_.baseName).contains("notes.parquet"))
+    assert(Scan.listPqs(spark, s"$dir/missing").isEmpty)
+  }
 }
