@@ -49,8 +49,15 @@ object Hashes {
           slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
 
   /** 64-bit SimHash over an array<string> token column: per-bit majority
-    * vote of token hashes, weight 1 per token. */
-  def simhash64(tokens: Column): Column = {
+    * vote of token hashes, weight 1 per token. Hot path — delegates to
+    * the codegen kernel (graft.plans.SimHash64); the HOF reference
+    * formulation below is kept for the cross-check spec. */
+  def simhash64(tokens: Column): Column =
+    graft.plans.native.simhash64(tokens)
+
+  /** Interpreted HOF reference of simhash64 (64 lambda evaluations per
+    * token) — used only to property-check the kernel. */
+  def simhash64Hof(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     val counts = aggregate(
       hashes,

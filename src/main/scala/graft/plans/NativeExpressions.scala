@@ -286,6 +286,50 @@ case class Md5SimHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object SimHash64Kernel {
+  /** 64-bit SimHash over token xxhash64 values — bit-for-bit the HOF
+    * formulation in graft.functions.Hashes.simhash64Hof (PropertySpec
+    * asserts equality), as a single tight loop per row. */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Production SimHash fingerprint of an array<string> token column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Kernel.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64Kernel.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object NearestCellKernel {
   /** Argmax over the centroid set of cosine(vec, centroid). Cosine is
     * the same sequential fold as VectorKernel.cosine (bit-stable vs
@@ -427,4 +471,7 @@ object native {
 
   def md5Simhash(tokens: Column): Column =
     GraftBridge.column(Md5SimHash(GraftBridge.expression(tokens)))
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 }

@@ -72,6 +72,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash64 codegen kernel equals the HOF reference formulation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11L)
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size))))
+    }.toDF("id", "toks")
+    val both = docs.select(
+      graft.functions.Hashes.simhash64(col("toks")).as("kernel"),
+      graft.functions.Hashes.simhash64Hof(col("toks")).as("hof"))
+    assert(both.where(col("kernel") =!= col("hof")).count() == 0)
+    // empty token array: all votes lose → 0 in both formulations
+    val empty = Seq((1L, Seq.empty[String])).toDF("id", "toks").select(
+      graft.functions.Hashes.simhash64(col("toks")).as("k"),
+      graft.functions.Hashes.simhash64Hof(col("toks")).as("h")).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+  }
+
+  test("md5-portable minhash tracks the same overlap structure as the kernel path") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13L)
+    val docs = (1 to 60).map { i =>
+      val base = Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+      (i.toLong, if (i % 3 == 0) base else base + " " + words(rnd.nextInt(words.size)))
+    }.toDF("doc_id", "text")
+    // both modes run the same banding algorithm; exact-dup docs (same
+    // shingle set) must pair under BOTH hash families
+    def pairs(portable: Boolean) =
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        tau = 0.99, portableHash = portable)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDups = pairs(portable = true)
+    assert(exactDups == pairs(portable = false))
+  }
+
   test("zip repair ladder: row count survives random garbage cells") {
     import java.io.{File, FileOutputStream}
     import java.util.zip.{ZipEntry, ZipOutputStream}
