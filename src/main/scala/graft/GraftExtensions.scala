@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{CosineSim, MinHashSig, WordShingles}
+import graft.plans.{CosineSim, Md5MinHashSig, Md5SimHash, MinHashSig, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -56,6 +56,24 @@ object GraftExtensions {
         require(args.size == 2 || args.size == 3, "minhash_sig(shingles, k[, seed])")
         val seed = if (args.size == 3) longArg(args(2), "seed") else 42L
         MinHashSig(args(0), intArg(args(1), "k"), seed)
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "simhash64(tokens)")
+        SimHash64(args(0))
+      }),
+    (FunctionIdentifier("md5_minhash_sig"),
+      new ExpressionInfo(classOf[Md5MinHashSig].getName, "md5_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "md5_minhash_sig(shingles, k)")
+        Md5MinHashSig(args(0), intArg(args(1), "k"))
+      }),
+    (FunctionIdentifier("md5_simhash"),
+      new ExpressionInfo(classOf[Md5SimHash].getName, "md5_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "md5_simhash(tokens)")
+        Md5SimHash(args(0))
       }))
 
   /** Register the functions on an already-built session (extensions

@@ -397,6 +397,29 @@ object SparkEntry {
         .orderBy("doc_id", "needle")
     }),
 
+    "q47_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalytics.repetitionRatio(col("text")), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q48_domain_stats" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), pmod(col("doc_id"), lit(20)),
+          lit(".example.com/p/"), col("doc_id"),
+          lit(" and http://mirror"), pmod(col("doc_id"), lit(7)),
+          lit(".example.org/x")).as("raw"))
+      TextAnalytics.domainStats(synth, "doc_id", "raw").orderBy("domain")
+    }),
+
+    "q49_ngram_contamination" -> ((s, dir) => {
+      TextAnalytics.ngramOverlap(t(s, dir, "documents"), "doc_id", "text",
+        Seq("key agg", "batch window", "customer query", "slow scan", "fast merge"),
+        n = 2)
+        .orderBy("doc_id")
+    }),
+
     "q37_stratified_sample" -> ((s, dir) => {
       operators.Sampling.stratifiedHead(
         t(s, dir, "documents").select("doc_id", "source"), "source", "doc_id", n = 5)
@@ -956,6 +979,41 @@ object SparkEntry {
         |CROSS JOIN (SELECT unnest(['key agg', 'batch window', 'spark', 'customer query']) AS needle) n
         |WHERE contains(lower(text), needle)
         |ORDER BY doc_id, needle""".stripMargin,
+
+    "q47_repetition" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len($toksLower) = 0 THEN 0.0
+         |       ELSE ROUND(1.0 - len(list_distinct($toksLower)) * 1.0 / len($toksLower), 6)
+         |  END AS rep_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q48_domain_stats" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 20) || '.example.com/p/' || doc_id
+        |         || ' and http://mirror' || (doc_id % 7) || '.example.org/x' AS raw
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(lower(raw), 'https?://([a-z0-9.-]+)', 1))) AS domain
+        |  FROM raw)
+        |SELECT domain, COUNT(*) AS n_docs FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q49_ngram_contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+         |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS bg
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN len(bg) = 0 THEN 0.0
+         |       ELSE ROUND(len(list_intersect(bg,
+         |         ['key agg', 'batch window', 'customer query', 'slow scan', 'fast merge'])) * 1.0
+         |         / len(bg), 6) END AS overlap
+         |FROM bg ORDER BY doc_id""".stripMargin,
 
     "q37_stratified_sample" ->
       """SELECT doc_id, source FROM (

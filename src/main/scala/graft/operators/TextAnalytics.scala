@@ -46,4 +46,46 @@ object TextAnalytics {
       .where(col("t").contains(col("needle")))
       .drop("t")
   }
+
+  /** Intra-document repetition ratio: 1 − |distinct units| / |units|,
+    * where a unit is a token (default) or any regex-split segment
+    * (lines, sentences). The standard Gopher/C4-style quality signal
+    * for boilerplate and keyword-stuffed documents; 0 for empty text.
+    * Pure per-row expression — runs in the scan, no shuffle. */
+  def repetitionRatio(c: org.apache.spark.sql.Column,
+                      splitRegex: String = "\\s+"): org.apache.spark.sql.Column = {
+    val units = filter(split(trim(lower(c)), splitRegex), u => u =!= "")
+    when(size(units) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(units)).cast("double") / size(units).cast("double"))
+  }
+
+  /** Domains of http(s) URLs in a text column (RE2-portable pattern) —
+    * the per-document extraction behind domain-level corpus curation
+    * (allowlists, per-domain caps, dedup by canonical URL). */
+  def urlDomains(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(lower(c), lit("https?://([a-z0-9.-]+)"), lit(1))
+
+  /** Per-domain document counts over the corpus: explode the (few)
+    * domains per document, one shuffle of (domain) keys. */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(array_distinct(urlDomains(col(textCol)))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Graded n-gram contamination: fraction of a document's distinct
+    * word n-grams that appear in the benchmark shingle set. Unlike the
+    * binary containment scan, this scores partial overlap — the usual
+    * decontamination threshold signal. Needles ride as an array
+    * literal (broadcast-in-plan); zero corpus shuffle. */
+  def ngramOverlap(df: DataFrame, idCol: String, textCol: String,
+                   needleShingles: Seq[String], n: Int = 2): DataFrame = {
+    val sh = array_distinct(graft.plans.native.wordShingles(col(textCol), n))
+    val needleArr = array(needleShingles.map(lit): _*)
+    df.select(col(idCol),
+      when(size(sh) === 0, lit(0.0))
+        .otherwise(round(
+          size(array_intersect(sh, needleArr)).cast("double") /
+            size(sh).cast("double"), 6)).as("overlap"))
+  }
 }

@@ -56,11 +56,16 @@ class ExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
         |       word_shingles('a b c d', 3) AS sh,
-        |       minhash_sig(word_shingles('a b c d', 3), 8) AS sig
+        |       minhash_sig(word_shingles('a b c d', 3), 8) AS sig,
+        |       simhash64(array('a', 'b')) AS sh64,
+        |       md5_minhash_sig(word_shingles('a b c d', 3), 4) AS msig,
+        |       md5_simhash(array('a', 'b')) AS msh
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(r.getSeq[Long](2).size == 8)
+    assert(r.getSeq[String](4).size == 4 && r.getSeq[String](4).forall(_.length == 32))
+    assert(r.getString(5).length == 16)
   }
 
 }
