@@ -93,6 +93,26 @@ object Binary {
       }
   }
 
+  /** Size-aware repartitioning for decode: pick the partition count
+    * from total payload bytes so each decode task holds ≈
+    * `targetBytesPerPartition` (codec memory ≈ batch bytes, so record
+    * counts are the wrong unit for media). Hash distribution is uniform
+    * in expectation; single payloads larger than the target can still
+    * skew a task — gate them with `oversized` first. */
+  def repartitionForDecode(media: DataFrame,
+                           targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val total = media.agg(sum(coalesce(col("n_bytes"), lit(0L))))
+      .first().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+
+  /** Payloads too large for one decode batch — route these to a
+    * dedicated path (chunked decode or rejection) instead of letting
+    * one 4 GB video melt a uniform task. */
+  def oversized(media: DataFrame, maxPayloadBytes: Long): DataFrame =
+    media.where(coalesce(col("n_bytes"), lit(0L)) > maxPayloadBytes)
+
   /** Audio-style frame windows over the payload: fixed-length windows
     * with hop — the (window, hop) shape of spectrogram extraction. */
   def audioWindows(media: DataFrame, windowBytes: Int, hopBytes: Int): DataFrame =

@@ -109,20 +109,28 @@ object Dedup {
           md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
             .cast("binary")).as("bucket"))): _*)
       else Hashes.lshBands(col("sig"), bands, rowsPerBand)
-    val banded = signed.select(
-        col("id"), col("sig"), explode(bandKeys).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // The banded/capped/candidate stream carries ONLY (band, bucket, id)
+    // — never the ~0.5 KB signatures. At corpus scale the band explosion
+    // is a bands× row multiplier, so keys-only keeps its shuffles (the
+    // hot-bucket window + the candidate distinct) payload-light;
+    // signatures re-join per doc id afterwards (2× the corpus, once per
+    // pair side) for verification.
+    val banded = signed.select(col("id"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
     // Hot-bucket guard: a bucket holding b docs yields b² candidates.
     val capped = banded
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .where(col("bsz") <= maxBucket)
       .drop("bsz")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val pairs = candidates
+      .join(signed.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
           v => v === 1)).cast("double") / lit(bands * rowsPerBand).cast("double"))

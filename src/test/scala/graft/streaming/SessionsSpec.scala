@@ -86,4 +86,21 @@ class BinarySpec extends SparkSpec {
     val frames = graft.multimodal.Binary.sampleFrames(media, stride = 4)
     assert(frames.where(org.apache.spark.sql.functions.col("media_id") === 1).count() == 3)
   }
+
+  test("size-aware decode repartitioning bounds per-task payload bytes") {
+    val s = spark
+    import s.implicits._
+    // 64 docs of ~100 bytes → ~6.4 KB total; 1 KB target → ≥6 partitions
+    val docs = (1 to 64).map(i => (i.toLong, "x" * 100)).toDF("doc_id", "text")
+    val media = graft.multimodal.Binary.syntheticMedia(docs, "doc_id", "text")
+    val parted = graft.multimodal.Binary.repartitionForDecode(media, 1024L)
+    assert(parted.rdd.getNumPartitions >= 6)
+    val perPart = parted.select("n_bytes").as[Long]
+      .mapPartitions(it => Iterator.single(it.sum)).collect()
+    // uniform hash spread: no partition should hold more than ~3× target
+    assert(perPart.max <= 3 * 1024L, s"skewed decode partition: ${perPart.max}")
+    val big = graft.multimodal.Binary.oversized(media, 99L)
+    assert(big.count() == 64) // every payload is 100 bytes
+    assert(graft.multimodal.Binary.oversized(media, 100L).count() == 0)
+  }
 }
