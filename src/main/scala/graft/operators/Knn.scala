@@ -109,6 +109,51 @@ object Knn {
       graft.plans.native.nearestCell(col(vecCol), cells, cents).as("cell"))
   }
 
+  /** Build a persisted IVF index: corpus assigned to cells and written
+    * `partitionBy(cell)` — the on-disk layout that makes probing read
+    * only the probed cells' directories (parquet partition pruning),
+    * i.e. ~nprobe/c of the corpus, which is the entire point of IVF at
+    * 100 TB. Centroids land beside it (metadata-scale). Build once,
+    * probe many. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, c: Int = 16, refineIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(corpus, idCol, vecCol, c, refineIters)
+      else sampleCentroids(corpus, idCol, vecCol, c)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted IVF index. The probed cell set (queries × nprobe,
+    * driver-bounded) becomes an `isin` filter on the partition column,
+    * so the scan prunes to the probed directories before any join. */
+  def searchIvf(spark: SparkSession, path: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qvec"),
+        struct(Vectors.cosine(col("qvec"), col("cvec")).as("sim"), col("cell")).as("sc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sc.sim").desc, col("sc.cell").desc)))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
+    val probedCells = qAssign.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probedCells: _*)) // partition pruning
+    val scored = cells.join(broadcast(qAssign), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF search: probe the `nprobe` nearest cells per query. Recall<1
     * by design; the spec measures it against bruteForce. */
   def ivf(corpus: DataFrame, corpusId: String, corpusVec: String,

@@ -25,4 +25,22 @@ object StreamDedup {
       .withColumn("fp", Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Continuous near-dup suppression at sketch granularity: documents
+    * whose 64-bit simhash collides with one already seen inside the
+    * watermark horizon are dropped. Collision = identical sketch
+    * (hamming 0) — near-identical texts that normalize to the same
+    * majority bits; for hamming ≤ d suppression run the batch
+    * `Dedup.simhashPairs` over a window instead (a per-block
+    * dropDuplicates would over-drop: sharing ONE block is not
+    * near-duplication). State: one 8-byte key per distinct sketch in
+    * the horizon. */
+  def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp",
+        graft.functions.Hashes.simhash64(
+          Text.tokens(Text.normalizeText(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -192,4 +192,36 @@ class KnnSpec extends SparkSpec {
     val refinedRecall = (exactSet & refined).size.toDouble / exactSet.size
     assert(refinedRecall >= 0.3, s"refined IVF recall collapsed: $refinedRecall")
   }
+
+  test("persisted IVF index probes with partition pruning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toFile
+    Knn.writeIvfIndex(vecs, "vec_id", "embedding", dir.getAbsolutePath, c = 8)
+    // cells live as one directory per cell value
+    val cellDirs = new java.io.File(dir, "cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length > 1 && cellDirs.length <= 8)
+
+    val hits = Knn.searchIvf(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val exactSet = exact.where(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val hitSet = hits.where(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert((exactSet & hitSet).size.toDouble / exactSet.size >= 0.3)
+
+    // the probe scan must prune to the probed cell directories
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      "probe scan lost its partition filter")
+  }
 }

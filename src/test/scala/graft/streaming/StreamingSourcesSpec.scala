@@ -71,6 +71,28 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupStream suppresses simhash-colliding documents") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamDedup.nearDedupStream(
+      input.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("sneardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta", Timestamp.valueOf("2024-01-01 10:00:00")),
+        // identical token multiset → identical simhash → suppressed
+        (2L, "ALPHA  beta gamma delta", Timestamp.valueOf("2024-01-01 10:01:00")),
+        (3L, "omega psi chi phi", Timestamp.valueOf("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sneardup_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSeq.sorted
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup via dropDuplicatesWithinWatermark") {
     val s = spark
     import s.implicits._
