@@ -63,6 +63,21 @@ object Sampling {
     df.agg(percentile(col(valueCol),
       array(qs.map(lit(_)): _*)).as("quantiles"))
 
+  /** Bucketed table write: `bucketBy(key)` + sorted buckets, so two
+    * tables bucketed the same way join WITHOUT an exchange — the
+    * co-located fact-fact join that replaces the biggest shuffle in a
+    * repeated-join workload (pay the shuffle once at write time,
+    * never again at read time). Catalog-managed (saveAsTable) because
+    * bucket metadata lives in the table catalog. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Write with controlled file layout: range-partition by `sortCol`
     * (clustered files → parquet min/max pruning works downstream) and
     * cap rows per file — the small-files and giant-files guards for a

@@ -72,6 +72,30 @@ class PlanSpec extends SparkSpec {
     assert(assigned.select(col("cell")).collect().forall(r => cells(r.getLong(0))))
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5)).toDF("k", "id", "v")
+    val dims = (1L to 500L).map(i => (i % 50, s"n$i")).toDF("k", "name")
+    graft.operators.Sampling.writeBucketed(facts, "bkt_facts", "k", 4)
+    graft.operators.Sampling.writeBucketed(dims, "bkt_dims", "k", 4)
+    try {
+      val joined = spark.table("bkt_facts")
+        .join(spark.table("bkt_dims"), "k")
+        .where(col("v") > 0)
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }.size +
+        plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(
+          _.inputPlan.collect { case e: Exchange => e }).size
+      assert(exchanges == 0, s"bucketed join still shuffles ($exchanges exchanges)")
+      assert(joined.count() === 10000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
+
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster
