@@ -38,9 +38,8 @@ object Items {
       broadcastDetails(details), "item", "start_date", "end_date")
 
   private def broadcastDetails(details: DataFrame): DataFrame =
-    broadcast(details.withColumnRenamed("item", "item")
-      .select(col("item"), col("start_date"), col("end_date"),
-        col("reporting_form"), col("itemtype"), col("description")))
+    broadcast(details.select(col("item"), col("start_date"), col("end_date"),
+      col("reporting_form"), col("itemtype"), col("description")))
 
   /** Write the item metadata tables into the parquet output tree
     * (ref: ffiec_create_item_pqs). */

@@ -72,6 +72,19 @@ class PlanSpec extends SparkSpec {
     assert(assigned.select(col("cell")).collect().forall(r => cells(r.getLong(0))))
   }
 
+  test("documents/embeddings queries prune to referenced columns only") {
+    // a 100 TB text table read for a 2-column query must not drag the
+    // other columns through the scan
+    val q47 = planString("q47_repetition")
+    assert(q47.contains("ReadSchema"))
+    assert(!q47.contains("n_chars") && !q47.contains("source"),
+      "q47 reads columns it never uses")
+    val q20 = planString("q20_knn_bruteforce")
+    assert(!q20.contains("label"), "q20 reads the unused label column")
+    val q23 = planString("q23_lang_id")
+    assert(!q23.contains("n_chars") && !q23.contains("source"))
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     import org.apache.spark.sql.functions.col
     val s = spark
