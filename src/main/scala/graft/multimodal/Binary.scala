@@ -113,6 +113,38 @@ object Binary {
   def oversized(media: DataFrame, maxPayloadBytes: Long): DataFrame =
     media.where(coalesce(col("n_bytes"), lit(0L)) > maxPayloadBytes)
 
+  /** Chunked decode for oversized payloads: slice the payload into
+    * `chunkBytes` pieces with a binary substring (no driver round
+    * trip), decode each chunk through the same batched shape, then
+    * merge per media id (first chunk's dims, element-mean features).
+    * This is the spill path `oversized` routes to — one 4 GB payload
+    * flows through fixed-size decode batches instead of one task. */
+  def chunkedDecodeFeatures(media: DataFrame, chunkBytes: Int): Dataset[DecodedFeatures] = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val chunks = media
+      .select(col("media_id").cast("long").as("media_id"), col("payload"),
+        coalesce(col("n_bytes"), lit(0L)).as("nb"))
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), greatest(col("nb") - 1, lit(0L)),
+          lit(chunkBytes.toLong))).as("off"))
+      .select(col("media_id"), col("off"),
+        expr(s"substring(payload, off + 1, $chunkBytes)").as("chunk"))
+      .as[(Long, Long, Array[Byte])]
+    chunks
+      .mapPartitions { rows =>
+        rows.map { case (id, off, bytes) => (id, off, decodeStub(id, bytes)) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val parts = it.toSeq.sortBy(_._2).map(_._3)
+        val feats = Array.tabulate(8)(i =>
+          parts.map(_.features(i)).sum / parts.size)
+        parts.head.copy(media_id = id, features = feats)
+      }
+  }
+
   /** Audio-style frame windows over the payload: fixed-length windows
     * with hop — the (window, hop) shape of spectrogram extraction. */
   def audioWindows(media: DataFrame, windowBytes: Int, hopBytes: Int): DataFrame =

@@ -53,6 +53,28 @@ object Sessions {
         decSum(col("value")).as("sum_value"))
   }
 
+  /** Stream-stream inner join: events matched to annotations for the
+    * same key arriving within ±`windowSeconds` of the event time. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so each side's buffered state is evicted once the other
+    * side's watermark passes — bounded state, the canonical
+    * stream-stream enrichment shape (late labels joining a firehose).
+    *
+    * `events` needs (keyCol, tsCol, …); `annotations` needs
+    * (annKeyCol, annTsCol, …). Column names must be disjoint across
+    * sides apart from the key. */
+  def joinStreams(events: DataFrame, keyCol: String, tsCol: String,
+                  annotations: DataFrame, annKeyCol: String, annTsCol: String,
+                  windowSeconds: Long,
+                  watermark: String = "30 seconds"): DataFrame = {
+    val l = events.withWatermark(tsCol, watermark)
+    val r = annotations.withWatermark(annTsCol, watermark)
+    l.join(r,
+      col(keyCol) === col(annKeyCol) &&
+        col(annTsCol) >= col(tsCol) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col(annTsCol) <= col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -103,4 +103,25 @@ class BinarySpec extends SparkSpec {
     assert(big.count() == 64) // every payload is 100 bytes
     assert(graft.multimodal.Binary.oversized(media, 100L).count() == 0)
   }
+
+  test("chunked decode merges fixed-size payload slices deterministically") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abcdefghij" * 10), (2L, "xy")).toDF("doc_id", "text")
+    val media = graft.multimodal.Binary.syntheticMedia(docs, "doc_id", "text")
+    // chunk larger than any payload → identical to the direct decode
+    val direct = graft.multimodal.Binary.decodeFeatures(media)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val one = graft.multimodal.Binary.chunkedDecodeFeatures(media, 4096)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(one == direct)
+    // small chunks: doc 1 (100 bytes) splits into 4 × 30-byte slices
+    val chunked = graft.multimodal.Binary.chunkedDecodeFeatures(media, 30)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(chunked(2L).features.toSeq == direct(2L)) // single chunk unchanged
+    // multi-chunk output is deterministic across runs
+    val again = graft.multimodal.Binary.chunkedDecodeFeatures(media, 30)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again(1L) == chunked(1L).features.toSeq)
+  }
 }

@@ -90,6 +90,41 @@ class SoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound; state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evIn = MemoryStream[(Long, Timestamp, Double)]
+    val annIn = MemoryStream[(Long, Timestamp, String)]
+    val joined = Sessions.joinStreams(
+      evIn.toDS().toDF("user_id", "ts", "value"), "user_id", "ts",
+      annIn.toDS().toDF("ann_user", "ats", "label"), "ann_user", "ats",
+      windowSeconds = 10, watermark = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val triggers = 10
+      for (t <- 0 until triggers) {
+        val t0 = base + t * 60L
+        evIn.addData((t.toLong, ts(t0), 1.0))
+        // one annotation inside the ±10 s bound, one outside
+        annIn.addData((t.toLong, ts(t0 + 5), "in"), (t.toLong, ts(t0 + 40), "out"))
+        q.processAllAvailable()
+      }
+      // advance both watermarks so all buffered state can be evicted
+      evIn.addData((99999L, ts(base + 86400L), 0.0))
+      annIn.addData((99998L, ts(base + 86400L), "x"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      val out = spark.table("ssj_out")
+      assert(out.where(col("label") === "in").count() == triggers)
+      assert(out.where(col("label") === "out").count() == 0)
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 10,
+        s"stream-stream join state not evicted: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("exactDedupStream soak: fingerprint state evicted at the watermark") {
     val s = spark
     import s.implicits._
