@@ -202,9 +202,12 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("fp")
     }),
 
+    // maxDf hot-shingle cap ACTIVE in the gate (the oracle applies the
+    // same QUALIFY) — viral shingles are dropped from the inverted
+    // index before the candidate join in both engines.
     "q16_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.5, maxDf = Int.MaxValue)
+        n = 3, tau = 0.5, maxDf = 1000)
         .orderBy("id_a", "id_b")
     }),
 
@@ -700,11 +703,13 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "q16_ngram_jaccard" ->
-      s"""$shinglesSql
+      s"""$shinglesSql,
+         |capped AS (
+         |  SELECT * FROM ex QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000)
          |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
-         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) p
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
