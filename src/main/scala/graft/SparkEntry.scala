@@ -562,6 +562,12 @@ object SparkEntry {
     }.mkString(",\n      ")
   }
 
+  /** The per-slot XOR salts Md5MinHashSig uses, as DuckDB VALUES rows
+    * (regenerated from the same splitmix64 stream). */
+  private def xorSaltsSql(k: Int, seed: Long): String =
+    graft.plans.Md5Kernel.salts(k, seed).zipWithIndex
+      .map { case (s, j) => s"($j, $s)" }.mkString(", ")
+
   /** Ordered sequential dot product — same fold as Vectors.dot
     * (aggregate over zip_with), so the sign test is bit-identical. */
   private def seqDotSql(vec: String, plane: String, dim: Int): String =
@@ -716,9 +722,10 @@ object SparkEntry {
 
     "q17_minhash_dedup" ->
       s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
          |slot AS (
-         |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS m
-         |  FROM ex CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
          |  GROUP BY doc_id, j),
          |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
          |banded AS (

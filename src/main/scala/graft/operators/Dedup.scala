@@ -106,8 +106,9 @@ object Dedup {
     val bandKeys =
       if (portableHash)
         array((0 until bands).map(b => struct(lit(b).as("band"),
-          md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-            .cast("binary")).as("bucket"))): _*)
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              _.cast("string"))).cast("binary")).as("bucket"))): _*)
       else Hashes.lshBands(col("sig"), bands, rowsPerBand)
     // The banded/capped/candidate stream carries ONLY (band, bucket, id)
     // — never the ~0.5 KB signatures. At corpus scale the band explosion

@@ -163,59 +163,48 @@ object Md5Kernel {
     new String(out)
   }
 
-  /** Hex(bytes) preserves unsigned byte order, so minima are tracked on
-    * raw digests (unsigned byte compare) and hex-encoded only once at
-    * the end — no per-(slot, shingle) string allocation. */
-  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+  /** 60-bit mask keeping every value DuckDB-BIGINT-positive. */
+  val Mask60: Long = (1L << 60) - 1
+
+  /** Per-slot XOR salts: splitmix64 stream masked to 60 bits —
+    * regenerated identically inside the oracle SQL as literals. */
+  def salts(k: Int, seed: Long): Array[Long] =
+    MinHashKernel.salts(k, seed).map(_ & Mask60)
+
+  private val saltCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  /** First 15 hex chars of md5(s) parsed base-16 — the same value as
+    * Hashes.md5Hash64 / its DuckDB list_reduce twin. */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val d = digests.get().digest(bytes)
+    // 15 hex chars = first 7 bytes + the high nibble of byte 8
+    var h = 0L
     var i = 0
-    while (i < 16) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
-  private def hexOf(bytes: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = HEX(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
-  /** "0:" … "63:" prefixes as bytes, shared across calls. */
-  private val slotPrefixes: Array[Array[Byte]] =
-    Array.tabulate(64)(j => (j.toString + ":").getBytes(UTF_8))
-
-  /** Slot j = min over shingles of md5("j:shingle") — the DuckDB twin is
-    * min(md5(CAST(j AS VARCHAR) || ':' || s)) GROUP BY doc, j. */
-  def signature(arr: ArrayData, k: Int): ArrayData = {
-    val md = digests.get()
-    val mins = new Array[Array[Byte]](k)
+  /** Slot j = min over shingles of (md5hash60(s) XOR salt_j): ONE
+    * digest per shingle, k xors — the DuckDB twin is
+    * MIN(xor(h, salt_j)) over the same salt literals. */
+  def signature(arr: ArrayData, k: Int, seed: Long): ArrayData = {
+    val ss = saltCache.computeIfAbsent((k, seed), t => salts(t._1, t._2))
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val sBytes = arr.getUTF8String(i).getBytes
+      val h = md5Hash60(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < k) {
-        val prefix =
-          if (j < slotPrefixes.length) slotPrefixes(j)
-          else (j.toString + ":").getBytes(UTF_8)
-        md.update(prefix)
-        md.update(sBytes)
-        val h = md.digest()
-        if (mins(j) == null || lessUnsigned(h, mins(j))) mins(j) = h
+        val v = h ^ ss(j)
+        if (v < mins(j)) mins(j) = v
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m =>
-      UTF8String.fromString(if (m == null) "" else hexOf(m))): Array[Any])
+    new GenericArrayData(mins)
   }
 
   /** 64-bit SimHash as a 16-hex-char string. Token hash = first 16 hex
@@ -252,19 +241,21 @@ object Md5Kernel {
   }
 }
 
-/** Portable MinHash signature: array<string> of k md5-hex slot minima. */
-case class Md5MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+/** Portable MinHash signature: array<long> of k (md5hash60 ^ salt_j)
+  * slot minima — one digest per shingle. */
+case class Md5MinHashSig(child: Expression, k: Int, seed: Long = 42L)
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"md5_minhash_sig expects array<string>, got $other")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_minhash_sig"
   override def nullSafeEval(input: Any): Any =
-    Md5Kernel.signature(input.asInstanceOf[ArrayData], k)
+    Md5Kernel.signature(input.asInstanceOf[ArrayData], k, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Md5Kernel.signature($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5Kernel.signature($c, $k, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): Md5MinHashSig =
     copy(child = newChild)
 }

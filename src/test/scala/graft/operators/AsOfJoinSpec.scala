@@ -64,7 +64,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0)
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(r.getSeq[Long](2).size == 8)
-    assert(r.getSeq[String](4).size == 4 && r.getSeq[String](4).forall(_.length == 32))
+    assert(r.getSeq[Long](4).size == 4 && r.getSeq[Long](4).forall(_ >= 0L))
     assert(r.getString(5).length == 16)
   }
 
