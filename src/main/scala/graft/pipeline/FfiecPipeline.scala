@@ -226,22 +226,34 @@ object FfiecPipeline {
     * (jobs share the executor pool; the scheduler interleaves stages). */
   def processAll(spark: SparkSession, rawDir: String, outDir: String,
                  schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
-                 concurrency: Int = 1): DataFrame = {
+                 concurrency: Int = 1, tolerant: Boolean = false): DataFrame = {
+    import spark.implicits._
     val zips = listZips(spark, rawDir)
     require(zips.nonEmpty, s"No FFIEC bulk zip files found in $rawDir")
+    // tolerant=true: a structurally broken zip becomes an ok=false
+    // manifest row instead of killing the fleet run at zip #847 of
+    // 1000. Default matches the reference (fail fast).
+    def one(zip: String, dateRaw: String): DataFrame =
+      if (!tolerant) processZip(spark, zip, outDir, schemaMap)
+      else
+        try processZip(spark, zip, outDir, schemaMap)
+        catch {
+          case e: Exception =>
+            Seq(Written("error", "zip", dateRaw, "", 0, ok = false,
+              repairs = Seq(s"error: ${e.getMessage}"),
+              innerFiles = Seq(zip))).toDF()
+        }
     val manifests =
-      if (concurrency <= 1) zips.map { case (zip, _) =>
-        processZip(spark, zip, outDir, schemaMap)
-      } else {
+      if (concurrency <= 1) zips.map { case (zip, d) => one(zip, d) }
+      else {
         import java.util.concurrent.Executors
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         val pool = Executors.newFixedThreadPool(concurrency)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         try Await.result(
-          Future.traverse(zips) { case (zip, _) =>
-            Future(processZip(spark, zip, outDir, schemaMap))
-          }, Duration.Inf)
+          Future.traverse(zips) { case (zip, d) => Future(one(zip, d)) },
+          Duration.Inf)
         finally pool.shutdown()
       }
     val out = manifests.reduce(_.unionByName(_))

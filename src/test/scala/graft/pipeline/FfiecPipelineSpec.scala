@@ -187,6 +187,32 @@ class FfiecPipelineSpec extends SparkSpec {
     assert(rc(1).isNullAt(rc(1).fieldIndex("RCFD0010")))
   }
 
+  test("tolerant processAll records a broken zip and keeps going") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_raw6").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq6").toFile
+    // one good zip, one with broken multipart structure
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 03312024.zip",
+      "FFIEC CDR Call Schedule RC 03312024.txt" ->
+        "IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.5\t\n")
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 06302024.zip",
+      "FFIEC CDR Call Schedule RC 06302024(1 of 3).txt" ->
+        "IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.0\t\n")
+    // fail-fast default still throws
+    intercept[IllegalArgumentException] {
+      FfiecPipeline.processAll(spark, dir.getAbsolutePath,
+        outDir.getAbsolutePath, schemaMap)
+    }
+    val manifest = FfiecPipeline.processAll(spark, dir.getAbsolutePath,
+      outDir.getAbsolutePath, schemaMap, tolerant = true)
+    val err = manifest.where(col("kind") === "error").collect()
+    assert(err.length == 1 && !err(0).getAs[Boolean]("ok"))
+    assert(err(0).getSeq[String](err(0).fieldIndex("innerFiles"))
+      .head.contains("06302024"))
+    // the good zip still landed
+    assert(manifest.where(col("kind") === "rc" && col("ok")).count() == 1)
+    assert(new java.io.File(outDir, "ffiec_rc_20240331.parquet").exists())
+  }
+
   test("processZip rejects broken multipart structure") {
     val dir = java.nio.file.Files.createTempDirectory("ffiec_raw2").toFile
     val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq2").toFile
