@@ -264,11 +264,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // K-means-refined IVF, oracle mode: one Lloyd round with the
+    // ordered-fold per-cell mean (bit-identical to DuckDB's
+    // list_reduce over id-sorted members). The production parallel
+    // aggregator path stays spec-covered in KnnSpec.
     "q46_knn_ivf_refined" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 100 === 0)
       Knn.ivf(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
-        k = 5, c = 16, nprobe = 4, refineIters = 1)
+        k = 5, c = 16, nprobe = 4, refineIters = 1,
+        portableHash = true, dim = 64)
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -841,6 +846,57 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, sim,
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q46_knn_ivf_refined" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |stride AS (SELECT greatest(1, COUNT(*) // 16) AS s FROM embeddings),
+         |cents0 AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed, stride WHERE h % s = 0 ORDER BY h LIMIT 16),
+         |asn0 AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents0 c),
+         |members AS (SELECT id, vec, cell FROM asn0 WHERE rn = 1),
+         |cm AS (
+         |  SELECT cell, d,
+         |    list_reduce(list(CAST(vec[d] AS DOUBLE) ORDER BY id), (a, b) -> a + b)
+         |      / COUNT(*) AS mu
+         |  FROM members CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+         |  GROUP BY cell, d),
+         |cents AS (SELECT cell, list(mu ORDER BY d) AS cvec FROM cm GROUP BY cell),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,

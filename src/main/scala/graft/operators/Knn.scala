@@ -91,6 +91,30 @@ object Knn {
     centroids
   }
 
+  /** Oracle-replayable Lloyd refinement: per-cell mean computed as an
+    * ORDERED sequential fold over members sorted by id, so the result
+    * is bit-identical to DuckDB's list_reduce(list(x ORDER BY id)) —
+    * the fp-determinism the parallel VectorAvgAggregator (production
+    * path) cannot give, bought by materializing each cell's members in
+    * one aggregation row. Gate/oracle use only; cells hold ~n/c
+    * vectors, so this is NOT the 100 TB path. */
+  def kmeansCentroidsOrdered(corpus: DataFrame, idCol: String, vecCol: String,
+                             c: Int, iters: Int, dim: Int): DataFrame = {
+    var centroids = sampleCentroids(corpus, idCol, vecCol, c, portableHash = true)
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, idCol, vecCol, centroids)
+      centroids = assigned
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("id"), col("vec")))).as("members"))
+        .select(col("cell"),
+          transform(sequence(lit(1), lit(dim)), d =>
+            aggregate(col("members"), lit(0.0),
+              (acc, m) => acc + element_at(m.getField("vec"), d).cast("double"))
+              / size(col("members")).cast("double")).as("cvec"))
+    }
+    centroids
+  }
+
   /** Assign each vector to its nearest centroid cell — a per-row argmax
     * expression over the collected centroid array (NearestCell kernel):
     * zero joins, zero shuffles, no n×c intermediate. The centroid
@@ -159,11 +183,14 @@ object Knn {
   def ivf(corpus: DataFrame, corpusId: String, corpusVec: String,
           queries: DataFrame, queryId: String, queryVec: String,
           k: Int, c: Int = 16, nprobe: Int = 4, refineIters: Int = 0,
-          portableHash: Boolean = false): DataFrame = {
-    require(!portableHash || refineIters == 0,
-      "portableHash pairs with refineIters=0 (the oracle-replayable path)")
+          portableHash: Boolean = false, dim: Int = 0): DataFrame = {
+    require(!portableHash || refineIters == 0 || dim > 0,
+      "portableHash + refineIters needs dim (ordered-mean oracle mode)")
     val centroids =
-      if (refineIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, c, refineIters)
+      if (refineIters > 0 && portableHash)
+        kmeansCentroidsOrdered(corpus, corpusId, corpusVec, c, refineIters, dim)
+      else if (refineIters > 0)
+        kmeansCentroids(corpus, corpusId, corpusVec, c, refineIters)
       else sampleCentroids(corpus, corpusId, corpusVec, c, portableHash)
     val cells = assignCells(corpus, corpusId, corpusVec, centroids)
     val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
