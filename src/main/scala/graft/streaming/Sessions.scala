@@ -66,13 +66,18 @@ object Sessions {
   def joinStreams(events: DataFrame, keyCol: String, tsCol: String,
                   annotations: DataFrame, annKeyCol: String, annTsCol: String,
                   windowSeconds: Long,
-                  watermark: String = "30 seconds"): DataFrame = {
+                  watermark: String = "30 seconds",
+                  joinType: String = "inner"): DataFrame = {
     val l = events.withWatermark(tsCol, watermark)
     val r = annotations.withWatermark(annTsCol, watermark)
+    // left_outer also works here: the watermark + time-bound condition
+    // is exactly what Structured Streaming requires to know when an
+    // unmatched left row can be emitted with nulls.
     l.join(r,
       col(keyCol) === col(annKeyCol) &&
         col(annTsCol) >= col(tsCol) - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col(annTsCol) <= col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"))
+        col(annTsCol) <= col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      joinType)
   }
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

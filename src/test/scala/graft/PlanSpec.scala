@@ -111,8 +111,9 @@ class PlanSpec extends SparkSpec {
 
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
-    // this budget long before it melts a cluster
-    for ((name, fn) <- SparkEntry.queries if name != "q17_minhash_dedup") {
+    // this budget long before it melts a cluster. q17 included since
+    // the keys-only banding rework; its extra signature re-joins fit.
+    for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, dir).queryExecution.executedPlan
       val exchanges = plan.collect { case e: Exchange => e }.size +
         plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(

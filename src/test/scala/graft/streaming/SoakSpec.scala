@@ -125,6 +125,37 @@ class SoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched events after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evIn = MemoryStream[(Long, Timestamp, Double)]
+    val annIn = MemoryStream[(Long, Timestamp, String)]
+    val joined = Sessions.joinStreams(
+      evIn.toDS().toDF("user_id", "ts", "value"), "user_id", "ts",
+      annIn.toDS().toDF("ann_user", "ats", "label"), "ann_user", "ats",
+      windowSeconds = 10, watermark = "5 seconds", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evIn.addData((1L, ts(base), 1.0), (2L, ts(base), 2.0))
+      annIn.addData((1L, ts(base + 3), "hit"))
+      q.processAllAvailable()
+      // advance both watermarks far past the join window
+      evIn.addData((999L, ts(base + 10000L), 0.0))
+      annIn.addData((998L, ts(base + 10000L), "x"))
+      q.processAllAvailable()
+      evIn.addData((997L, ts(base + 20000L), 0.0))
+      annIn.addData((996L, ts(base + 20000L), "y"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      val out = spark.table("ssj_outer")
+      assert(out.where(col("user_id") === 1L && col("label") === "hit").count() == 1)
+      // user 2 had no annotation in-window → emitted with null label
+      assert(out.where(col("user_id") === 2L && col("label").isNull).count() == 1)
+    } finally q.stop()
+  }
+
   test("exactDedupStream soak: fingerprint state evicted at the watermark") {
     val s = spark
     import s.implicits._
