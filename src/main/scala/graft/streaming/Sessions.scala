@@ -2,10 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-stream operators: tumbling-window aggregation and gap-based
   * sessionization, in both batch form (declarative window functions —
@@ -128,5 +128,73 @@ object Sessions {
             closed.reverseIterator
           }
       }
+  }
+
+  /** Same sessionization on Spark 4's transformWithState — typed
+    * ValueState in the RocksDB state store plus explicit event-time
+    * timers (replace-on-extend). Requires
+    * spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider. Semantics identical to
+    * sessionizeStream; the arbitrary-state API is the forward path
+    * (fMGWS is maintenance-only upstream). */
+  def sessionizeStreamTws(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** transformWithState processor: one open session per key in a typed
+  * ValueState; a session-end timer closes it. Timers are replaced
+  * (delete-all + register) whenever new events extend the session, and
+  * clamped to watermark+1 like the fMGWS twin. */
+class SessionProcessor(gapSeconds: Long)
+    extends StatefulProcessor[Long, Sessions.Event, Sessions.SessionOut] {
+  import Sessions.{Event, SessionOut, SessionState}
+
+  @transient private var session: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState("session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+                               timers: TimerValues): Iterator[SessionOut] = {
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var closed = List.empty[SessionOut]
+    var cur = if (session.exists()) Some(session.get()) else None
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts.getTime - s.last <= gapSeconds * 1000 =>
+          cur = Some(s.copy(last = e.ts.getTime, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          closed ::= SessionOut(key,
+            new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+          cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+      }
+    }
+    cur.foreach { s =>
+      session.update(s)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(timers.getCurrentWatermarkInMs() + 1,
+          s.last + gapSeconds * 1000))
+    }
+    closed.reverseIterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[SessionOut] = {
+    if (session.exists()) {
+      val s = session.get()
+      session.clear()
+      Iterator.single(SessionOut(key,
+        new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+    } else Iterator.empty
   }
 }

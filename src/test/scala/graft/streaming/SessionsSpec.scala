@@ -38,6 +38,43 @@ class SessionsSpec extends SparkSpec {
     assert(clicks.getAs[Long]("n_events") == 2)
   }
 
+  test("transformWithState sessionizer matches the fMGWS twin (RocksDB store)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Sessions.Event]
+    val q = Sessions.sessionizeStreamTws(
+        input.toDS().withWatermark("ts", "10 seconds"), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Sessions.Event(100L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessions.Event(100L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(Sessions.Event(999L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Sessions.Event(998L, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val out = spark.table("tws_out").collect()
+      val u100 = out.filter(_.getAs[Long]("user_id") == 100L)
+      assert(u100.length == 1)
+      assert(u100(0).getAs[Long]("n_events") == 2)
+      assert(u100(0).getAs[Double]("sum_value") == 3.0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming sessionization emits sessions after the gap timeout") {
     val s = spark
     import s.implicits._
