@@ -224,4 +224,40 @@ class KnnSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       "probe scan lost its partition filter")
   }
+
+  test("PQ codes compress 32x and ADC+rerank recall tracks brute force") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    assert(books.length == 8 && books(0).length <= 16 && books(0)(0).length == 8)
+    assert(Pq.compressionRatio(64, 8) == 32.0)
+
+    val encoded = Pq.encode(vecs, "vec_id", "embedding", books)
+    val codes = encoded.select("codes").collect()
+    assert(codes.forall(_.getSeq[Int](0).forall(c => c >= 0 && c < books(0).length)))
+    // encoding is deterministic
+    val again = Pq.encode(vecs, "vec_id", "embedding", books)
+      .orderBy("id").select("codes").collect().map(_.getSeq[Int](0))
+    assert(encoded.orderBy("id").select("codes").collect()
+      .map(_.getSeq[Int](0)).toSeq == again.toSeq)
+
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val pq = Pq.search(encoded, queries, "vec_id", "embedding", books,
+      k = 10, shortlist = 50)
+    val recalls = (0L until 5L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val p = pq.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      (e & p).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"PQ+rerank mean recall collapsed: $recalls")
+  }
 }
