@@ -43,27 +43,32 @@ object Pq {
     }
   }
 
-  /** Encode every vector as m codeword ids (nearest by L2 within each
-    * subspace). Pure per-row expression over the broadcast codebooks —
-    * zero shuffle, same shape as Knn.assignCells. */
-  def encode(df: DataFrame, idCol: String, vecCol: String,
-             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  /** The m-codeword encoding as a pure Column over `vec` — argmin L2
+    * per subspace against the broadcast codebook literals. */
+  def codesColumn(vec: org.apache.spark.sql.Column,
+                  codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val codeCols = (0 until m).map { s =>
       val cwArr = array(codebooks(s).map(cw =>
         array(cw.map(lit(_)): _*)): _*)
-      val sub = slice(transform(col(vecCol), _.cast("double")),
-        s * subDim + 1, subDim)
-      // argmin_c ||sub - cw_c||² as a min over (dist, idx) structs
+      val sub = slice(transform(vec, _.cast("double")), s * subDim + 1, subDim)
+      // argmin_c ||sub - cw_c||² as a min over per-codeword distances
       val scored = transform(cwArr, cw =>
         aggregate(zip_with(sub, cw, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v))
       array_position(scored, array_min(scored)).cast("int") - 1
     }
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
+
+  /** Encode every vector as m codeword ids (nearest by L2 within each
+    * subspace). Pure per-row expression over the broadcast codebooks —
+    * zero shuffle, same shape as Knn.assignCells. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      codesColumn(col(vecCol), codebooks).as("codes"))
 
   /** ADC + exact re-rank: shortlist `shortlist` candidates per query by
     * the table-lookup score, then rank the shortlist by exact cosine.
@@ -108,4 +113,95 @@ object Pq {
 
   /** Compression ratio of the code layout vs float32 vectors. */
   def compressionRatio(dim: Int, m: Int): Double = (dim * 4.0) / m
+
+  /** Build the combined IVF+PQ on-disk index: cells partitioned by
+    * `cell` carrying (id, codes, vec) with codes FIRST so the ADC pass
+    * scans a codes-only projection, centroids and codebooks beside it.
+    * Returns the codebooks for immediate searching. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, c: Int = 16, m: Int = 8, k: Int = 16,
+                      dim: Int = 64): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val books = trainCodebooks(corpus, idCol, vecCol, m, k, dim)
+    books.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (cw, code) => (s, code, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Knn.assignCells(corpus, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .withColumn("codes", codesColumn(col("vec"), books))
+      .select("id", "codes", "vec", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    books
+  }
+
+  /** Reload persisted codebooks into the [m][k][subDim] layout. */
+  def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
+  /** Probe the IVF+PQ index: nprobe cells per query (directory-pruned
+    * scan), ADC shortlist over a CODES-ONLY projection of those cells,
+    * exact cosine re-rank reading the vec column only for shortlisted
+    * ids. At 100 TB the heavy scan is m bytes/row over nprobe/c of the
+    * corpus; full vectors are touched for queries × shortlist rows. */
+  def searchIvfPq(spark: SparkSession, path: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val books = loadCodebooks(spark, path)
+    val m = books.length
+    val subDim = books(0)(0).length
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val qAssign = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qvec"),
+        struct(Vectors.cosine(col("qvec"), col("cvec")).as("sim"), col("cell")).as("sc"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sc.sim").desc, col("sc.cell").desc)))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
+    val probed = qAssign.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val tableCol = array((0 until m).map { s =>
+      val qSub = slice(transform(col("qvec"), _.cast("double")),
+        s * subDim + 1, subDim)
+      array(books(s).map { cw =>
+        aggregate(zip_with(qSub, array(cw.map(lit(_)): _*),
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      }: _*)
+    }: _*)
+    val q = broadcast(qAssign.withColumn("tables", tableCol))
+    // ADC pass: codes-only projection of the probed cells
+    val codesScan = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probed: _*))
+      .select("id", "codes", "cell")
+    val scored = codesScan.join(q, Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(col("tables"), s + 1),
+            element_at(col("codes"), s + 1) + 1)).as("sim"))
+    val short = Knn.topKPerQuery(scored, shortlist)
+      .select("query_id", "neighbor_id")
+    // re-rank: vec column read only for the shortlist join
+    val vecScan = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probed: _*))
+      .select(col("id").as("neighbor_id"), col("vec"))
+    val exact = broadcast(short)
+      .join(vecScan, Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
+    Knn.topKPerQuery(exact, k)
+  }
 }

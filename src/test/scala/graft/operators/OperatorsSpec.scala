@@ -260,4 +260,39 @@ class KnnSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.4,
       s"PQ+rerank mean recall collapsed: $recalls")
   }
+
+  test("IVF+PQ index: codes-only ADC over pruned cells, vec only at re-rank") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toFile
+    val books = Pq.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      dir.getAbsolutePath, c = 8, m = 8, k = 16, dim = 64)
+    // codebooks round-trip through parquet
+    val reloaded = Pq.loadCodebooks(spark, dir.getAbsolutePath)
+    assert(reloaded.length == books.length &&
+      reloaded(0)(0).toSeq == books(0)(0).toSeq)
+
+    val hits = Pq.searchIvfPq(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", k = 10, nprobe = 6, shortlist = 60)
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val recalls = (0L until 5L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val p = hits.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      (e & p).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.3,
+      s"IVF+PQ mean recall collapsed: $recalls")
+    // the ADC scan carries partition filters on cell
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
 }
