@@ -236,10 +236,11 @@ object SparkEntry {
 
     // The scale path: hyperplane-LSH buckets first, cosine verify inside
     // buckets only — the shape that survives 100 TB (q19 is the recall
-    // baseline). The oracle replays the same 8 seeded hyperplanes.
+    // baseline). Two OR-amplified tables; the oracle replays the same
+    // 2×8 seeded hyperplanes.
     "q45_embedding_lsh" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        tau = 0.45, planes = 8, dim = 64, seed = 7L)
+        tau = 0.45, planes = 8, dim = 64, seed = 7L, tables = 2)
         .orderBy("id_a", "id_b")
     }),
 
@@ -556,15 +557,17 @@ object SparkEntry {
        |    (a, b) -> a * 16 + b)""".stripMargin
 
   /** The exact hyperplanes Dedup.embeddingPairs(seed=7) draws, inlined
-    * as SQL literals so the oracle replays the same buckets. Doubles are
-    * rendered with Double.toString (shortest round-trip form), which
-    * DuckDB parses back to the identical double. */
-  private def hyperplanesSql(planes: Int, dim: Int, seed: Long): String = {
+    * as SQL literals so the oracle replays the same buckets — one row
+    * per (table, plane). Doubles are rendered with Double.toString
+    * (shortest round-trip form), which DuckDB parses back to the
+    * identical double. */
+  private def hyperplanesSql(planes: Int, dim: Int, seed: Long,
+                             tables: Int = 1): String = {
     val rnd = new scala.util.Random(seed)
-    val hps = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
-    hps.zipWithIndex.map { case (hp, i) =>
-      s"($i, [${hp.map(_.toString).mkString(", ")}])"
-    }.mkString(",\n      ")
+    val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+    (for ((hps, t) <- all.zipWithIndex; (hp, i) <- hps.zipWithIndex)
+      yield s"($t, $i, [${hp.map(_.toString).mkString(", ")}])")
+      .mkString(",\n      ")
   }
 
   /** The per-slot XOR salts Md5MinHashSig uses, as DuckDB VALUES rows
@@ -781,20 +784,24 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q45_embedding_lsh" ->
-      s"""WITH planes(i, plane) AS (VALUES
-         |      ${hyperplanesSql(planes = 8, dim = 64, seed = 7L)}),
+      s"""WITH planes(t, i, plane) AS (VALUES
+         |      ${hyperplanesSql(planes = 8, dim = 64, seed = 7L, tables = 2)}),
          |bucketed AS (
-         |  SELECT e.vec_id,
+         |  SELECT e.vec_id, p.t,
          |    SUM(CASE WHEN ${seqDotSql("e.embedding", "p.plane", 64)} >= 0
          |        THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END) AS bucket
          |  FROM embeddings e CROSS JOIN planes p
-         |  GROUP BY e.vec_id)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bucketed a
+         |  JOIN bucketed b ON a.t = b.t AND a.bucket = b.bucket
+         |                 AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
          |  ROUND(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cosine
-         |FROM bucketed a
-         |JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
          |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -181,25 +181,35 @@ object Dedup {
 
   /** Embedding cosine near-dup pairs ≥ `tau`. `planes` hyperplane bits
     * bucket the vectors first (random-hyperplane LSH); pass 0 to brute
-    * force (small data / recall-100 baseline). */
+    * force (small data / recall-100 baseline). `tables` independent
+    * hyperplane tables OR-amplify recall: a pair is a candidate if it
+    * collides in ANY table (P[miss] = (1 - (1-θ/π)^planes)^tables),
+    * at tables× the bucketing cost — the standard recall knob. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      tau: Double = 0.95, planes: Int = 8, dim: Int = 0,
-                     seed: Long = 7L): DataFrame = {
+                     seed: Long = 7L, tables: Int = 1): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed =
-      if (planes <= 0) base.withColumn("bucket", lit(0L))
+      if (planes <= 0)
+        base.withColumn("tbl", lit(0)).withColumn("bucket", lit(0L))
       else {
         require(dim > 0, "dim required when planes > 0")
         val rnd = new scala.util.Random(seed)
-        val hps = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
-        val bits = hps.zipWithIndex.map { case (hp, i) =>
-          Vectors.hyperplaneBit(col("vec"), hp).cast("long") * (1L << i)
+        // one sequential gaussian stream across tables → table t's
+        // planes are draws [t*planes*dim, (t+1)*planes*dim)
+        val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+        val keys = all.zipWithIndex.map { case (hps, t) =>
+          val bits = hps.zipWithIndex.map { case (hp, i) =>
+            Vectors.hyperplaneBit(col("vec"), hp).cast("long") * (1L << i)
+          }
+          struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
         }
-        base.withColumn("bucket", bits.reduce(_ + _))
+        base.withColumn("bk", explode(array(keys: _*)))
+          .select(col("id"), col("vec"), col("bk.tbl"), col("bk.bucket"))
       }
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= tau)
