@@ -429,6 +429,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q50_weighted_mixture" -> ((s, dir) => {
+      operators.Sampling.weightedMixture(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+        weights = Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5),
+        defaultWeight = 0.75)
+        .orderBy("doc_id")
+    }),
+
     "q37_stratified_sample" -> ((s, dir) => {
       operators.Sampling.stratifiedHead(
         t(s, dir, "documents").select("doc_id", "source"), "source", "doc_id", n = 5)
@@ -1089,6 +1097,16 @@ object SparkEntry {
          |         ['key agg', 'batch window', 'customer query', 'slow scan', 'fast merge'])) * 1.0
          |         / len(bg), 6) END AS overlap
          |FROM bg ORDER BY doc_id""".stripMargin,
+
+    "q50_weighted_mixture" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket,
+         |    CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
+         |                WHEN 'src2' THEN 0.5 ELSE 0.75 END AS w
+         |  FROM documents) x
+         |WHERE CAST(bucket AS DOUBLE) < w * 10000.0
+         |ORDER BY doc_id""".stripMargin,
 
     "q37_stratified_sample" ->
       """SELECT doc_id, source FROM (

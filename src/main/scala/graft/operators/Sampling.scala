@@ -63,6 +63,25 @@ object Sampling {
     df.agg(percentile(col(valueCol),
       array(qs.map(lit(_)): _*)).as("quantiles"))
 
+  /** Deterministic source-weighted corpus mixture: keep each document
+    * with its source's probability, decided by the document id's
+    * portable hash — reproducible across engines and runs, stable
+    * under corpus growth (a kept doc stays kept), zero shuffle (pure
+    * filter in the scan). Sources absent from `weights` default to
+    * `defaultWeight`. The core pretraining-mixture op: upweight books,
+    * downsample web, drop a contaminated source outright. */
+  def weightedMixture(df: DataFrame, idCol: String, sourceCol: String,
+                      weights: Map[String, Double],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "weights must be probabilities in [0, 1]")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    df.where(pmod(graft.functions.Hashes.md5Hash64(col(idCol)), lit(10000L))
+      .cast("double") < w * 10000.0)
+  }
+
   /** Bucketed table write: `bucketBy(key)` + sorted buckets, so two
     * tables bucketed the same way join WITHOUT an exchange — the
     * co-located fact-fact join that replaces the biggest shuffle in a

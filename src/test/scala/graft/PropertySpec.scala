@@ -108,6 +108,27 @@ class PropertySpec extends SparkSpec {
     assert(exactDups == pairs(portable = false))
   }
 
+  test("weightedMixture: exact at 0/1, near target in between, stable under growth") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val kept = graft.operators.Sampling.weightedMixture(docs, "doc_id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"))           // weight 0 drops everything
+    assert(bySrc("src1") == 1000L)            // weight 1 keeps everything
+    assert(bySrc("src2") > 350 && bySrc("src2") < 650) // ≈ half
+    // growth stability: the kept-set over a prefix equals the prefix of
+    // the kept-set (a doc's fate never changes as the corpus grows)
+    val prefixKept = graft.operators.Sampling.weightedMixture(
+      docs.where(col("doc_id") <= 1500), "doc_id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(prefixKept == kept.where(col("doc_id") <= 1500)
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("zip repair ladder: row count survives random garbage cells") {
     import java.io.{File, FileOutputStream}
     import java.util.zip.{ZipEntry, ZipOutputStream}
