@@ -29,6 +29,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("px"))) // MSFT: no prior quote
   }
 
+  test("asOf binds the dedup window to the RIGHT side when both sides share 'ts'") {
+    // regression for the advisor finding: an unqualified col(rightTime)
+    // in the window spec was ambiguous (or bound left) when both sides
+    // carry the same column name — the common as-of case
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, 100L, Timestamp.valueOf("2024-01-01 10:00:10"))
+    ).toDF("event_id", "key", "ts")
+    val snapshots = Seq(
+      (100L, Timestamp.valueOf("2024-01-01 10:00:01"), 10L, "older"),
+      (100L, Timestamp.valueOf("2024-01-01 10:00:05"), 11L, "newest"),
+      (100L, Timestamp.valueOf("2024-01-01 10:00:55"), 12L, "future")
+    ).toDF("skey", "ts", "sid", "tag")
+    val out = AsOfJoin.asOf(events, "key", "ts", "event_id",
+      snapshots, "skey", "ts", "sid").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("tag") == "newest")
+  }
+
   test("rangeJoin matches effective-dated metadata, open-ended NULL end") {
     val s = spark
     import s.implicits._
