@@ -21,6 +21,15 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("driver contract: queries and oracles are key-for-key aligned") {
+    // a typo'd oracle key silently demotes its query to rows-only in
+    // the driver's gate — enforce the zero-rows-only invariant here
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    assert(q == o, s"queries without oracles: ${q -- o}")
+  }
+
   test("q02 pushes every predicate into the parquet scan") {
     val s = planString("q02_filter_project")
     assert(s.contains("PushedFilters:"))
