@@ -3,40 +3,95 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** As-of (point-in-time) join: for each left row, attach the single
   * right row with the greatest `rightTime <= leftTime` for the same
   * key — the canonical operator for joining facts to effective-dated
   * metadata (e.g. FFIEC item definitions valid at a report date) or
-  * quotes to trades.
+  * quotes to trades. Semantics match DuckDB's `ASOF LEFT JOIN`.
   *
-  * Plan shape: an equi-join on the key (so Catalyst shuffles both
-  * sides by key — no theta-join blowup), the range predicate applied
-  * as a join filter, then a per-left-row argmax via row_number. Match
-  * multiplicity is bounded by per-key history depth; for deep
-  * histories at 100 TB you'd bucket `rightTime` into coarse epochs and
-  * join on (key, epoch) ∪ (key, epoch-1) to cap the fan-out — the
-  * declarative shape below stays the same.
+  * Plan shape: the LINEAR union+window merge, not a join. Both sides
+  * are tagged and unioned (right rows carry their payload as a
+  * struct), then one window per key ordered by (time, side) computes
+  * `last(payload, ignoreNulls)` over a rows-frame — each left row
+  * reads the most recent right payload at or before its own time.
+  * The intermediate is O(|left| + |right|) with exactly one shuffle
+  * (the window partitioning), regardless of per-key history depth.
+  *
+  * The obvious alternative — equi-join on key + range filter +
+  * row_number argmax — materializes Σ_k |left_k|·|right_k ≤ t| rows:
+  * per-key-quadratic, and the first thing to melt on deep histories
+  * (quotes-to-trades at 100 TB). The merge form cannot fan out.
   */
 object AsOfJoin {
 
-  /** `leftId` must uniquely identify left rows. Right columns appear
-    * suffixed as-is; ties on `rightTime` break by the given tiebreak
-    * column ascending (deterministic output). */
+  /** Least common type for the key/time columns of the two sides, so
+    * the tagged union lines up without caller-side casts (mirrors the
+    * coercion an equi-join comparison would have applied). */
+  private def widen(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else (a, b) match {
+      case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) =>
+        TimestampType
+      case (DateType, t @ (TimestampType | TimestampNTZType)) => t
+      case (t @ (TimestampType | TimestampNTZType), DateType) => t
+      case (x: NumericType, y: NumericType) =>
+        if (x.isInstanceOf[DecimalType] || y.isInstanceOf[DecimalType]) DoubleType
+        else {
+          val rank: Seq[DataType] =
+            Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+          rank(math.max(rank.indexOf(x), rank.indexOf(y)))
+        }
+      case _ => a
+    }
+
+  /** Output: every left row once (left-join semantics), right columns
+    * appended with their original names, null when no right row is at
+    * or before the left time. Ties on `rightTime` break by
+    * `rightTiebreak` ascending (deterministic output). `leftId` is
+    * retained for API stability; the merge form no longer needs a
+    * unique left id (and, unlike the old argmax form, stays correct
+    * even if left ids collide). */
   def asOf(left: DataFrame, leftKey: String, leftTime: String, leftId: String,
            right: DataFrame, rightKey: String, rightTime: String,
            rightTiebreak: String): DataFrame = {
-    val joined = left.join(right,
-      left(leftKey) === right(rightKey) && right(rightTime) <= left(leftTime),
-      "left")
-    // qualify via right(...) so the spec binds correctly even when the
-    // two sides share column names (the common as-of case, e.g. both 'ts')
-    val w = Window.partitionBy(col(leftId))
-      .orderBy(right(rightTime).desc_nulls_last, right(rightTiebreak).asc_nulls_last)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val kT = widen(left.schema(leftKey).dataType, right.schema(rightKey).dataType)
+    val tT = widen(left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+    val K = "__graft_asof_k"; val T = "__graft_asof_t"; val S = "__graft_asof_side"
+    val TB = "__graft_asof_tb"; val R = "__graft_asof_r"; val M = "__graft_asof_m"
+    val rightCols = right.columns.toSeq
+
+    // Right rows with a null key or null time can never match any left
+    // row (three-valued comparison semantics) — drop before the union
+    // so they can't be swept up by last(...ignoreNulls).
+    val rTagged = right
+      .where(right(rightKey).isNotNull && right(rightTime).isNotNull)
+      .select(
+        right(rightKey).cast(kT).as(K),
+        right(rightTime).cast(tT).as(T),
+        lit(0).as(S),
+        right(rightTiebreak).as(TB),
+        struct(rightCols.map(c => right(c)): _*).as(R))
+    val lTagged = left.select(
+      left(leftKey).cast(kT).as(K) +:
+        left(leftTime).cast(tT).as(T) +:
+        lit(1).as(S) +:
+        left.columns.toSeq.map(c => left(c)): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    // Order: time asc (null left times first → they match nothing),
+    // right before left at equal time (`<=` is inclusive), and among
+    // equal-time right rows the SMALLEST tiebreak sorts LAST so
+    // last() picks it — matching the old argmax's tiebreak-asc pick.
+    val w = Window.partitionBy(col(K))
+      .orderBy(col(T).asc_nulls_first, col(S).asc, col(TB).desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(M, last(col(R), ignoreNulls = true).over(w))
+      .where(col(S) === 1)
+      .select(left.columns.toSeq.map(c => col(c)) ++
+        rightCols.map(c => col(M).getField(c).as(c)): _*)
   }
 
   /** Range join: left rows matched to right intervals

@@ -49,6 +49,74 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getAs[String]("tag") == "newest")
   }
 
+  test("asOf is linear: deep per-key history builds no join, one exchange") {
+    // the scale gate: 10k right rows on ONE key must not fan out into a
+    // per-key product — the merge plan contains no Join node at all and
+    // exactly one exchange (the window partitioning)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val s = spark
+    import s.implicits._
+    val right = s.range(10000).select(
+      lit(1L).as("k"), col("id").as("rt"), col("id").as("rid"),
+      (col("id") * 2).as("payload"))
+    val left = Seq(
+      (100L, 1L, 5000L),   // deep history: latest rt <= 5000 is 5000
+      (101L, 1L, 99999L),  // past the end: latest is 9999
+      (102L, 1L, -5L),     // before history: no match
+      (103L, 2L, 5000L)    // key with no history: no match
+    ).toDF("event_id", "k", "t")
+    val out = AsOfJoin.asOf(left, "k", "t", "event_id",
+      right, "k", "rt", "rid")
+    val plan = out.queryExecution.executedPlan
+    assert(!plan.toString.contains("Join"), s"asOf must not join:\n$plan")
+    val exchanges = plan.collect { case e: Exchange => e }.size +
+      plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(
+        _.inputPlan.collect { case e: Exchange => e }).size
+    assert(exchanges <= 1, s"asOf merge should shuffle once, saw $exchanges")
+    val rows = out.orderBy("event_id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getAs[Long]("payload") == 10000L)
+    assert(rows(1).getAs[Long]("payload") == 19998L)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("payload")))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("payload")))
+  }
+
+  test("asOf tiebreak: equal right times resolve to the smallest tiebreak") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "A", 10L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("A", 10L, 7L, "seven"),
+      ("A", 10L, 3L, "three"),
+      ("A", 10L, 5L, "five")
+    ).toDF("rk", "rt", "rid", "tag")
+    val out = AsOfJoin.asOf(left, "k", "t", "event_id",
+      right, "rk", "rt", "rid").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("tag") == "three")
+  }
+
+  test("asOf drops null-key and null-time right rows instead of matching them") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, Some(9L), Some(10L)),
+      (2L, None: Option[Long], Some(10L)),  // null left key: no match
+      (3L, Some(9L), None: Option[Long])    // null left time: no match
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (Some(9L), Some(5L), 1L, "real"),
+      (None: Option[Long], Some(1L), 2L, "nullkey"),
+      (Some(9L), None: Option[Long], 3L, "nulltime")
+    ).toDF("rk", "rt", "rid", "tag")
+    val out = AsOfJoin.asOf(left, "k", "t", "event_id",
+      right, "rk", "rt", "rid").orderBy("event_id").collect()
+    assert(out(0).getAs[String]("tag") == "real")
+    assert(out(1).isNullAt(out(1).fieldIndex("tag")))
+    assert(out(2).isNullAt(out(2).fieldIndex("tag")))
+  }
+
   test("rangeJoin matches effective-dated metadata, open-ended NULL end") {
     val s = spark
     import s.implicits._
