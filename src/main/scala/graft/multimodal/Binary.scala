@@ -10,12 +10,83 @@ import org.apache.spark.sql.types._
   * amortize init per task (the Scala twin of Python's mapInPandas batch
   * shape).
   *
-  * The actual codecs are NOT in this container, so `decodeStub` is a
+  * IMAGES decode for real: payloads sniffed as PNG/JPEG/GIF/BMP go
+  * through `javax.imageio` (JVM built-in — no external dependency) and
+  * come back with true dimensions, channel count, and deterministic
+  * color/luma features. Video and audio codecs are NOT in this
+  * container, so non-image payloads fall through to `decodeStub`, a
   * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * partition sizing, batch iteration, null handling) is real and
-  * tested; swap `decodeStub` for a JNI/FFMPEG call in production.
+  * partition sizing, batch iteration, null handling) is identical on
+  * both paths; swap the stub for a JNI/FFMPEG call in production.
   */
 object Binary {
+
+  // Disable ImageIO's disk-backed stream cache once per executor JVM:
+  // decode must stay in-memory (no tmp files under load).
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Magic-byte sniff for the formats javax.imageio handles natively.
+    * Mime metadata can lie at corpus scale; bytes don't. */
+  def looksLikeImage(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 4 && {
+      val b = payload
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||                         // GIF
+      (b(0) == 'B' && b(1) == 'M')                                           // BMP
+    }
+
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      imageIoInit
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic 8-dim image features: mean R/G/B, mean luma, and a
+    * 4-bin luma histogram — computed over a ≤64×64 sample grid so a
+    * 100-megapixel scan costs the same as a thumbnail. */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+    var n = 0; var r = 0.0; var g = 0.0; var b = 0.0
+    val hist = new Array[Int](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val pr = (px >> 16) & 0xff; val pg = (px >> 8) & 0xff; val pb = px & 0xff
+        r += pr; g += pg; b += pb
+        val luma = (0.299 * pr + 0.587 * pg + 0.114 * pb).toInt
+        hist(math.min(3, luma >> 6)) += 1
+        n += 1
+        x += sx
+      }
+      y += sy
+    }
+    val d = math.max(1, n).toDouble
+    Array(
+      (r / d / 255.0).toFloat, (g / d / 255.0).toFloat, (b / d / 255.0).toFloat,
+      ((0.299 * r + 0.587 * g + 0.114 * b) / d / 255.0).toFloat,
+      (hist(0) / d).toFloat, (hist(1) / d).toFloat,
+      (hist(2) / d).toFloat, (hist(3) / d).toFloat)
+  }
+
+  /** REAL image decode via javax.imageio — true width/height/channels
+    * and deterministic features. None when the payload isn't a
+    * decodable image (caller falls back to the stub). */
+  def decodeImage(mediaId: Long, payload: Array[Byte]): Option[DecodedFeatures] =
+    readImage(payload).map { img =>
+      DecodedFeatures(mediaId, img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, imageFeatures(img))
+    }
+
+  /** Per-row decode router: images decode for real, everything else
+    * (video/audio/unknown) takes the deterministic stub. */
+  def decode(mediaId: Long, payload: Array[Byte]): DecodedFeatures =
+    decodeImage(mediaId, payload).getOrElse(decodeStub(mediaId, payload))
 
   /** Media row schema: payload + typed metadata, the layout a 100 TB
     * multimodal lake would use (payload column last → parquet column
@@ -29,9 +100,10 @@ object Binary {
   case class DecodedFeatures(media_id: Long, width: Int, height: Int,
                              channels: Int, features: Array[Float])
 
-  /** STUB — deterministic fake decode. Real implementation would hand
-    * the byte buffer to an image codec; here dimensions and features
-    * derive from the bytes so tests are reproducible. */
+  /** STUB — deterministic fake decode for the modalities whose codecs
+    * aren't in this container (video/audio); dimensions and features
+    * derive from the bytes so tests are reproducible. Images never hit
+    * this path — `decode` routes them through `decodeImage`. */
   def decodeStub(mediaId: Long, payload: Array[Byte]): DecodedFeatures = {
     val n = if (payload == null) 0 else payload.length
     val width = 16 + (n % 64)
@@ -51,8 +123,9 @@ object Binary {
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec init would go here (expensive, amortized)
-        rows.map { case (id, bytes) => decodeStub(id, bytes) }
+        // per-partition codec init amortizes here (ImageIO config is
+        // one-time per JVM; a JNI video codec would also init here)
+        rows.map { case (id, bytes) => decode(id, bytes) }
       }
   }
 
@@ -75,23 +148,41 @@ object Binary {
           .as("frame_offset"))
       .select(col("media_id"), col("frame_offset"))
 
-  /** Resize stand-in: recompute features at a target resolution. STUB —
-    * a real implementation scales pixels; here output dims are exact
-    * and the feature recompute is deterministic, so the partitioning /
-    * schema / batch shape are tested for real. */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): Dataset[DecodedFeatures] = {
+  /** Resize at a target resolution. Images scale for REAL (bilinear
+    * Graphics2D draw onto a target-sized buffer, features recomputed
+    * from the scaled pixels); non-image payloads keep the deterministic
+    * stub transform so the partitioning / schema / batch shape are
+    * exercised identically for modalities without a codec. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[DecodedFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val base = decodeStub(id, bytes)
-          base.copy(width = targetW, height = targetH,
-            features = base.features.map(_ * (targetW.toFloat / math.max(base.width, 1))))
+          readImage(bytes) match {
+            case Some(img) =>
+              val scaled = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = scaled.createGraphics()
+              g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, targetW, targetH, null)
+              g2.dispose()
+              DecodedFeatures(id, targetW, targetH,
+                img.getColorModel.getNumComponents, imageFeatures(scaled))
+            case None =>
+              val base = decodeStub(id, bytes)
+              base.copy(width = targetW, height = targetH,
+                features = base.features.map(_ * (targetW.toFloat / math.max(base.width, 1))))
+          }
         }
       }
   }
+
+  /** Back-compat alias from the rounds where resize was stub-only. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): Dataset[DecodedFeatures] =
+    resize(media, targetW, targetH)
 
   /** Size-aware repartitioning for decode: pick the partition count
     * from total payload bytes so each decode task holds ≈

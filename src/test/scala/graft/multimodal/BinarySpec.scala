@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-codec coverage for the image path: actual PNG/JPEG bytes are
+  * built in-test with the same JVM ImageIO that production writes with,
+  * decoded through the distributed batched shape, and checked for TRUE
+  * dimensions, channels, and pixel-derived features. */
+class BinarySpec extends SparkSpec {
+
+  /** 20×10 RGB: left half pure red, right half pure blue. */
+  private def twoToneImage(): BufferedImage = {
+    val img = new BufferedImage(20, 10, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0xff0000 else 0x0000ff)
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JVM has no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("decodeFeatures decodes a real PNG end-to-end: dims, channels, colors") {
+    val s = spark
+    import s.implicits._
+    val png = encode(twoToneImage(), "png")
+    assert(Binary.looksLikeImage(png))
+    val media = Seq((1L, "image/png", png.length.toLong, png))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.decodeFeatures(media).collect()(0)
+    assert(out.width == 20 && out.height == 10)
+    assert(out.channels == 3)
+    // left half red + right half blue: meanR = meanB = 0.5, meanG = 0
+    assert(math.abs(out.features(0) - 0.5f) < 1e-3, s"meanR=${out.features(0)}")
+    assert(out.features(1) == 0.0f)
+    assert(math.abs(out.features(2) - 0.5f) < 1e-3)
+    // all pixels are dark (luma < 128): histogram mass in the low bins
+    assert(out.features(4) + out.features(5) == 1.0f)
+  }
+
+  test("decodeFeatures decodes a real JPEG: true dimensions survive lossy coding") {
+    val s = spark
+    import s.implicits._
+    val jpg = encode(twoToneImage(), "jpg")
+    assert(Binary.looksLikeImage(jpg))
+    val media = Seq((7L, "image/jpeg", jpg.length.toLong, jpg))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.decodeFeatures(media).collect()(0)
+    assert(out.media_id == 7L)
+    assert(out.width == 20 && out.height == 10 && out.channels == 3)
+    // JPEG is lossy: colors only approximately round-trip
+    assert(math.abs(out.features(0) - 0.5f) < 0.1f)
+  }
+
+  test("non-image payloads fall back to the deterministic stub") {
+    val s = spark
+    import s.implicits._
+    val bytes = "definitely not an image".getBytes("UTF-8")
+    assert(!Binary.looksLikeImage(bytes))
+    val media = Seq((3L, "video/mp4", bytes.length.toLong, bytes))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.decodeFeatures(media).collect()(0)
+    val stub = Binary.decodeStub(3L, bytes)
+    assert(out == stub.copy(features = out.features) &&
+      out.features.sameElements(stub.features))
+  }
+
+  test("corrupt image-magic payload degrades to the stub, not an exception") {
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x00, 0x01, 0x02)
+    assert(Binary.looksLikeImage(corrupt))
+    assert(Binary.decodeImage(9L, corrupt).isEmpty)
+    val got = Binary.decode(9L, corrupt)
+    val stub = Binary.decodeStub(9L, corrupt)
+    assert(got.width == stub.width && got.height == stub.height &&
+      got.channels == stub.channels && got.features.sameElements(stub.features))
+  }
+
+  test("resize scales a real image and recomputes features from scaled pixels") {
+    val s = spark
+    import s.implicits._
+    val png = encode(twoToneImage(), "png")
+    val media = Seq((1L, "image/png", png.length.toLong, png))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.resize(media, 8, 8).collect()(0)
+    assert(out.width == 8 && out.height == 8)
+    // the red/blue split survives a bilinear downscale
+    assert(out.features(0) > 0.3f && out.features(2) > 0.3f)
+    assert(out.features(1) < 0.2f)
+  }
+
+  test("mixed image and non-image batch decodes through one partition pass") {
+    val s = spark
+    import s.implicits._
+    val png = encode(twoToneImage(), "png")
+    val txt = "audio-ish payload".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image/png", png.length.toLong, png),
+      (2L, "audio/wav", txt.length.toLong, txt)
+    ).toDF("media_id", "mime", "n_bytes", "payload").repartition(1)
+    val out = Binary.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(out(0).width == 20 && out(0).height == 10) // real decode
+    assert(out(1) == Binary.decodeStub(2L, txt)
+      .copy(features = out(1).features)) // stub path
+  }
+}
