@@ -219,11 +219,27 @@ object FfiecPipeline {
     }
   }
 
-  /** Process every bulk zip in a directory (the reference's
-    * ffiec_process); returns the concatenated manifest. `concurrency`
-    * submits that many zips as simultaneous Spark jobs — the
+  /** Run `one` over every zip, `concurrency` at a time — the
     * Spark-native analogue of the reference's future/furrr multisession
-    * (jobs share the executor pool; the scheduler interleaves stages). */
+    * (concurrent driver threads submit independent Spark jobs that
+    * share the executor pool; the scheduler interleaves stages). */
+  private def mapZips[A](zips: Seq[(String, String)], concurrency: Int)
+                        (one: (String, String) => A): Seq[A] =
+    if (concurrency <= 1) zips.map { case (zip, d) => one(zip, d) }
+    else {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.traverse(zips) { case (zip, d) => Future(one(zip, d)) },
+        Duration.Inf)
+      finally pool.shutdown()
+    }
+
+  /** Process every bulk zip in a directory (the reference's
+    * ffiec_process); returns the concatenated manifest. */
   def processAll(spark: SparkSession, rawDir: String, outDir: String,
                  schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
                  concurrency: Int = 1, tolerant: Boolean = false): DataFrame = {
@@ -243,22 +259,64 @@ object FfiecPipeline {
               repairs = Seq(s"error: ${e.getMessage}"),
               innerFiles = Seq(zip))).toDF()
         }
-    val manifests =
-      if (concurrency <= 1) zips.map { case (zip, d) => one(zip, d) }
-      else {
-        import java.util.concurrent.Executors
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = Executors.newFixedThreadPool(concurrency)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try Await.result(
-          Future.traverse(zips) { case (zip, d) => Future(one(zip, d)) },
-          Duration.Inf)
-        finally pool.shutdown()
-      }
+    val manifests = mapZips(zips, concurrency)(one)
     val out = manifests.reduce(_.unionByName(_))
     out.write.mode("overwrite")
       .parquet(s"$outDir/ffiec_process_data.parquet")
     out
+  }
+
+  case class XbrlWritten(zipfile: String, dateRaw: String, parquet: String,
+                         nFacts: Long, ok: Boolean)
+
+  /** XBRL side of the pipeline (the reference's exported
+    * ffiec_process_xbrls, ref: /root/reference/R/ffiec_process_xbrls.R:33
+    * + process_xbrl_zip :119): walk every `FFIEC CDR Call Bulk XBRL
+    * MMDDYYYY.zip` under `rawDir` (or the explicit `zipfiles` list),
+    * extract every fact from every *.xbrl.xml member, and write one
+    * `{prefix}xbrl_{yyyymmdd}.parquet` per zip plus a manifest row
+    * (zipfile, dateRaw, parquet, nFacts, ok) persisted as
+    * `ffiec_process_xbrls_data.parquet`.
+    *
+    * Scale shape: each zip is one Spark job whose unit of work is an
+    * inner *.xbrl.xml member (XbrlZip.facts — one StAX parse per task),
+    * so a bulk zip with 5k filings fans out across the cluster;
+    * `concurrency` overlaps whole zips on top of that. The fact count
+    * rides the write job as an Observation — no second pass. */
+  def processXbrls(spark: SparkSession, rawDir: String, outDir: String,
+                   zipfiles: Seq[String] = Nil, nsPrefix: String = "cc",
+                   prefix: String = "ffiec_", concurrency: Int = 1,
+                   tolerant: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val dateRe = """(\d{8})""".r
+    val zips: Seq[(String, String)] =
+      if (zipfiles.nonEmpty) zipfiles.map { z =>
+        val mmddyyyy = dateRe.findFirstIn(new Path(z).getName).getOrElse(
+          throw new IllegalArgumentException(
+            s"Could not parse MMDDYYYY date from zip filename: $z"))
+        z -> (mmddyyyy.substring(4, 8) + mmddyyyy.substring(0, 4))
+      }
+      else listZips(spark, rawDir, kind = "xbrl")
+    require(zips.nonEmpty, s"No FFIEC XBRL zip files found in $rawDir")
+
+    def one(zip: String, dateRaw: String): XbrlWritten =
+      try {
+        val out = s"$outDir/${prefix}xbrl_$dateRaw.parquet"
+        val obs = org.apache.spark.sql.Observation(s"xbrl_$dateRaw")
+        graft.sources.XbrlZip.facts(spark, zip, nsPrefix)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(out)
+        val n = Option(obs.get.getOrElse("n", null))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        XbrlWritten(zip, dateRaw, out, n, ok = true)
+      } catch {
+        case e: Exception if tolerant =>
+          XbrlWritten(zip, dateRaw, s"error: ${e.getMessage}", 0L, ok = false)
+      }
+
+    val manifest = mapZips(zips, concurrency)(one).toDF()
+    manifest.write.mode("overwrite")
+      .parquet(s"$outDir/ffiec_process_xbrls_data.parquet")
+    manifest
   }
 }

@@ -213,6 +213,57 @@ class FfiecPipelineSpec extends SparkSpec {
     assert(new java.io.File(outDir, "ffiec_rc_20240331.parquet").exists())
   }
 
+  private def xbrlDoc(idrssd: Int, date: String, value: Long): String =
+    s"""<?xml version="1.0"?>
+       |<xbrl xmlns:cc="http://www.ffiec.gov/xbrl" xmlns:xbrli="http://www.xbrl.org/2003/instance">
+       |  <xbrli:context id="c1"/>
+       |  <cc:RCFD2170 contextRef="rc_${idrssd}_$date" unitRef="USD" decimals="0">$value</cc:RCFD2170>
+       |  <cc:RCON9999 contextRef="rc_${idrssd}_$date">20240331</cc:RCON9999>
+       |</xbrl>""".stripMargin
+
+  test("processXbrls writes per-date facts parquet and a manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_xbrl_raw").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_xbrl_pq").toFile
+    writeZip(dir, "FFIEC CDR Call Bulk XBRL 03312024.zip",
+      "FFIEC CDR Call Bulk 480228.xbrl.xml" -> xbrlDoc(480228, "2024-03-31", 123456),
+      "FFIEC CDR Call Bulk 480229.xbrl.xml" -> xbrlDoc(480229, "2024-03-31", 654321),
+      "Readme.txt" -> "ignore")
+    writeZip(dir, "FFIEC CDR Call Bulk XBRL 06302024.zip",
+      "FFIEC CDR Call Bulk 480228.xbrl.xml" -> xbrlDoc(480228, "2024-06-30", 111111))
+    // a TSV bulk zip beside them must be ignored by the xbrl walk
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 03312024.zip",
+      "FFIEC CDR Call Schedule RC 03312024.txt" ->
+        "IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.5\t\n")
+
+    val manifest = FfiecPipeline.processXbrls(spark, dir.getAbsolutePath,
+      outDir.getAbsolutePath, concurrency = 2)
+    val rows = manifest.orderBy("dateRaw").collect()
+    assert(rows.map(_.getAs[String]("dateRaw")).toSeq == Seq("20240331", "20240630"))
+    assert(rows.forall(_.getAs[Boolean]("ok")))
+    assert(rows(0).getAs[Long]("nFacts") == 4L) // 2 filings x 2 facts
+    assert(rows(1).getAs[Long]("nFacts") == 2L)
+
+    // per-date facts parquet with the reference's fact columns
+    val q1 = spark.read.parquet(s"$outDir/ffiec_xbrl_20240331.parquet")
+    assert(q1.columns.toSet == Set("IDRSSD", "date", "schedule", "item",
+      "unitRef", "decimals", "value", "n_attrs"))
+    val v = q1.where(col("IDRSSD") === 480228 && col("item") === "RCFD2170")
+      .collect()
+    assert(v.length == 1 && v(0).getAs[String]("value") == "123456")
+    // manifest persisted beside the data
+    val log = spark.read.parquet(s"$outDir/ffiec_process_xbrls_data.parquet")
+    assert(log.count() == 2)
+
+    // tolerant mode records a bad zip and keeps going
+    writeZip(dir, "FFIEC CDR Call Bulk XBRL 09302024.zip",
+      "broken.xbrl.xml" -> "<not-xml")
+    val m2 = FfiecPipeline.processXbrls(spark, dir.getAbsolutePath,
+      outDir.getAbsolutePath, tolerant = true)
+    val bad = m2.where(!col("ok")).collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("dateRaw") == "20240930")
+    assert(m2.where(col("ok")).count() == 2)
+  }
+
   test("processZip rejects broken multipart structure") {
     val dir = java.nio.file.Files.createTempDirectory("ffiec_raw2").toFile
     val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq2").toFile
