@@ -746,7 +746,8 @@ object SparkEntry {
          |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
          |banded AS (
          |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
-         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b

@@ -92,9 +92,15 @@ object Dedup {
     //  2. signatures — reused by the band explosion AND the pair
     //     verification. ~0.5 KB/doc; at petabyte corpus scale both
     //     would be parquet intermediates instead of caches — same plan.
+    // Shingle-less docs (text shorter than shingleN words) are excluded:
+    // their signature would otherwise be the degenerate all-MAX sentinel
+    // and every pair of empty docs would band identically with
+    // est_jaccard = 1.0 — semantically wrong, and divergent from the
+    // SQL-oracle replay, which never materializes rows for them.
     val shingled = df.select(
       col(idCol).as("id"),
       array_distinct(graft.plans.native.wordShingles(col(textCol), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigExpr =
       if (portableHash) graft.plans.native.md5MinhashSig(col("sh"), k)

@@ -72,11 +72,13 @@ object Sessions {
     val r = annotations.withWatermark(annTsCol, watermark)
     // left_outer also works here: the watermark + time-bound condition
     // is exactly what Structured Streaming requires to know when an
-    // unmatched left row can be emitted with nulls.
+    // unmatched left row can be emitted with nulls. Columns resolve
+    // against their parent frames so a shared key name (keyCol ==
+    // annKeyCol) is not AMBIGUOUS_REFERENCE.
     l.join(r,
-      col(keyCol) === col(annKeyCol) &&
-        col(annTsCol) >= col(tsCol) - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col(annTsCol) <= col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      l(keyCol) === r(annKeyCol) &&
+        r(annTsCol) >= l(tsCol) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        r(annTsCol) <= l(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
       joinType)
   }
 
@@ -179,7 +181,10 @@ class SessionProcessor(gapSeconds: Long)
     }
     cur.foreach { s =>
       session.update(s)
-      getHandle.listTimers().foreach(t =>
+      // Materialize the timer list before deleting: deleteTimer under a
+      // live listTimers() iterator mutates RocksDB timer state the
+      // iterator is reading — not guaranteed by the API.
+      getHandle.listTimers().toSeq.foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))
       getHandle.registerTimer(
         math.max(timers.getCurrentWatermarkInMs() + 1,

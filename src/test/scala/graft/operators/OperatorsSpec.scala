@@ -116,6 +116,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 5L || p._2 == 6L))
   }
 
+  test("minhash LSH excludes shingle-less docs instead of pairing them") {
+    val s = spark
+    import s.implicits._
+    // two docs too short to shingle (n=3) plus one real near-dup pair
+    val docs = Seq(
+      (1L, "tiny"), (2L, "also tiny"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again!")
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5,
+        portableHash = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((3L, 4L)),
+        s"portable=$portable: empty docs must not band together")
+    }
+  }
+
   test("simhash pairs within hamming radius") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -156,6 +156,20 @@ class SoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinStreams resolves a shared key column name on both sides") {
+    val s = spark
+    import s.implicits._
+    // batch frames exercise the same column-resolution path (the
+    // watermark is a no-op in batch); both sides name the key "user_id"
+    val ev = Seq((1L, ts(base), 1.0), (2L, ts(base), 2.0))
+      .toDF("user_id", "ts", "value")
+    val ann = Seq((1L, ts(base + 3), "hit"), (2L, ts(base + 40), "far"))
+      .toDF("user_id", "ats", "label")
+    val out = Sessions.joinStreams(ev, "user_id", "ts",
+      ann, "user_id", "ats", windowSeconds = 10).collect()
+    assert(out.length == 1 && out(0).getAs[String]("label") == "hit")
+  }
+
   test("exactDedupStream soak: fingerprint state evicted at the watermark") {
     val s = spark
     import s.implicits._
