@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Ffiec, Text, Vectors}
-import graft.operators.{CombineParts, Dedup, KeyChecks, Knn, LongPivot, TextAnalytics}
+import graft.operators.{CombineParts, Dedup, KeyChecks, Knn, LongPivot, Pq, TextAnalytics}
 import graft.sources.{Scan, XbrlZip}
 import graft.streaming.Sessions
 
@@ -275,6 +275,23 @@ object SparkEntry {
       Knn.ivf(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
         k = 5, c = 16, nprobe = 4, refineIters = 1,
         portableHash = true, dim = 64)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ gate query: seeded gaussian codebooks inlined as literals in
+    // BOTH engines (the q45 hyperplane trick — encode/ADC/re-rank
+    // correctness doesn't depend on codebook quality, and the
+    // data-sampled production training stays spec-covered in PqSpec).
+    // Exercises Pq.encode (argmin-L2 codes) + Pq.search (ADC table
+    // lookup, bounded-TopK shortlist, exact cosine re-rank).
+    "q51_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = pqBooks(m = 8, k = 16, subDim = 8, seed = 13L)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      val encoded = Pq.encode(emb, "vec_id", "embedding", books)
+      Pq.search(encoded, queries, "vec_id", "embedding", books,
+        k = 5, shortlist = 50)
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -588,6 +605,22 @@ object SparkEntry {
     * (aggregate over zip_with), so the sign test is bit-identical. */
   private def seqDotSql(vec: String, plane: String, dim: Int): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), j -> CAST($vec[j] AS DOUBLE) * $plane[j]), (a, b) -> a + b)"
+
+  /** Seeded gaussian PQ codebooks [m][k][subDim], shared by the q51
+    * gate query and its oracle (inlined via pqBooksSql). */
+  private def pqBooks(m: Int, k: Int, subDim: Int,
+                      seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(m)(Array.fill(k)(Array.fill(subDim)(rnd.nextGaussian())))
+  }
+
+  /** The same codebooks as DuckDB VALUES rows (s, c, cw). */
+  private def pqBooksSql(m: Int, k: Int, subDim: Int, seed: Long): String = {
+    val books = pqBooks(m, k, subDim, seed)
+    (for (s <- 0 until m; c <- 0 until k)
+      yield s"($s, $c, [${books(s)(c).map(_.toString).mkString(", ")}])")
+      .mkString(",\n      ")
+  }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Non-SQL-expressible ops are omitted (driver
@@ -914,6 +947,63 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // PQ ADC replay: same 8×16×8 seeded codebooks as VALUES literals;
+    // every float step (argmin-L2 encode, per-query dot tables, ADC
+    // fold, cosine re-rank) is an ordered left fold in both engines.
+    "q51_pq_adc" ->
+      s"""WITH books(s, c, cw) AS (VALUES
+         |      ${pqBooksSql(m = 8, k = 16, subDim = 8, seed = 13L)}),
+         |dist AS (
+         |  SELECT e.vec_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])
+         |        * (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM embeddings e CROSS JOIN books b),
+         |enc AS (
+         |  SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+         |    SELECT vec_id, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1 GROUP BY vec_id),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         |qtab AS (
+         |  SELECT query_id, list(dots ORDER BY s) AS tabs FROM (
+         |    SELECT query_id, s, list(dp ORDER BY c) AS dots
+         |    FROM qd GROUP BY query_id, s) x
+         |  GROUP BY query_id),
+         |scored AS (
+         |  SELECT qt.query_id, e.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 9), s ->
+         |      qt.tabs[s][e.codes[s] + 1]), (a, b) -> a + b) AS adc
+         |  FROM enc e CROSS JOIN qtab qt
+         |  WHERE e.vec_id <> qt.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+         |    FROM scored) x WHERE rn <= 50),
+         |exact AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM exact)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
