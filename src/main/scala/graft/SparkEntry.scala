@@ -852,10 +852,9 @@ object SparkEntry {
          |  SELECT vec_id, embedding,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
          |  FROM embeddings),
-         |stride AS (SELECT greatest(1, COUNT(*) // 16) AS s FROM embeddings),
          |cents AS (
          |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM hashed, stride WHERE h % s = 0 ORDER BY h LIMIT 16),
+         |  FROM hashed ORDER BY h LIMIT 16),
          |assign AS (
          |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
          |    row_number() OVER (PARTITION BY hd.vec_id
@@ -904,10 +903,9 @@ object SparkEntry {
          |  SELECT vec_id, embedding,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
          |  FROM embeddings),
-         |stride AS (SELECT greatest(1, COUNT(*) // 16) AS s FROM embeddings),
          |cents0 AS (
          |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM hashed, stride WHERE h % s = 0 ORDER BY h LIMIT 16),
+         |  FROM hashed ORDER BY h LIMIT 16),
          |asn0 AS (
          |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
          |    row_number() OVER (PARTITION BY hd.vec_id

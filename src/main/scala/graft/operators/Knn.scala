@@ -53,25 +53,22 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** Deterministic centroid pick: hash-sample ~c vectors by id (no
-    * global sort — a Window.orderBy over the corpus would funnel every
-    * row through one partition). The result is metadata-scale and
-    * broadcast by the callers. `portableHash` swaps xxhash64 for the
-    * md5-derived 60-bit hash (reproducible in DuckDB) and makes the
-    * final pick fully deterministic (TakeOrdered over the ~c-row
-    * sample) so the gate oracle can replay it. */
+  /** Deterministic one-pass centroid pick: the c smallest id-hashes
+    * (bottom-k sketch — a uniform sample that needs no corpus count,
+    * so index builds scan the corpus exactly once). orderBy+limit plans
+    * as TakeOrderedAndProject: per-partition bounded heaps merged on
+    * the driver, never a full sort shuffle. The result is
+    * metadata-scale and broadcast by the callers. `portableHash` swaps
+    * xxhash64 for the md5-derived 60-bit hash so the gate oracle can
+    * replay the pick as `ORDER BY h LIMIT c` in DuckDB. */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       c: Int, portableHash: Boolean = false): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / c)
     val h =
       if (portableHash) graft.functions.Hashes.md5Hash64(col(idCol))
       else xxhash64(col(idCol))
-    val sampled = corpus
+    corpus
       .select(h.as("cell"), col(vecCol).as("cvec"))
-      .where(pmod(col("cell"), lit(stride)) === 0)
-    if (portableHash) sampled.orderBy("cell").limit(c)
-    else sampled.limit(c)
+      .orderBy("cell").limit(c)
   }
 
   /** Lloyd-refined centroids: start from the hash sample, then

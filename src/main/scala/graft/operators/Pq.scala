@@ -21,19 +21,18 @@ import graft.functions.{Hashes, Vectors}
 object Pq {
 
   /** Codebooks: [subspace][codeword][subDim], trained by deterministic
-    * hash-sampling `k` corpus vectors and slicing them (per-subspace
-    * codewords come from the same sampled set — the cheap, replayable
-    * baseline; swap in per-subspace k-means offline for quality). */
+    * one-pass hash-sampling (bottom-k by md5 id-hash, same sketch as
+    * Knn.sampleCentroids — no corpus count pre-scan) of `k` corpus
+    * vectors and slicing them (per-subspace codewords come from the
+    * same sampled set — the cheap, replayable baseline; swap in
+    * per-subspace k-means offline for quality). */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, dim: Int): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val n = corpus.count()
-    val stride = math.max(1L, n / k)
     val sampled = corpus
       .select(Hashes.md5Hash64(col(idCol)).as("h"),
         transform(col(vecCol), _.cast("double")).as("v"))
-      .where(pmod(col("h"), lit(stride)) === 0)
       .orderBy("h").limit(k)
       .collect()
       .map(_.getSeq[Double](1).toArray)

@@ -81,6 +81,22 @@ class PlanSpec extends SparkSpec {
     assert(assigned.select(col("cell")).collect().forall(r => cells(r.getLong(0))))
   }
 
+  test("centroid/codebook sampling is one pass: TakeOrdered, no sort shuffle") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = graft.operators.Knn.sampleCentroids(emb, "vec_id", "embedding", 8)
+    // bottom-k by hash: plans as TakeOrderedAndProject (per-partition
+    // bounded heaps), never a global Sort + Exchange, and — being a
+    // single job — never a count() pre-scan of the corpus
+    val s = centroids.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$s")
+    assert(!s.contains("Exchange"), s"sampling must not shuffle:\n$s")
+    assert(centroids.count() == 8)
+    // deterministic across invocations
+    val again = graft.operators.Knn.sampleCentroids(emb, "vec_id", "embedding", 8)
+      .select("cell").collect().map(_.getLong(0)).toSeq
+    assert(again == centroids.select("cell").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("documents/embeddings queries prune to referenced columns only") {
     // a 100 TB text table read for a 2-column query must not drag the
     // other columns through the scan
