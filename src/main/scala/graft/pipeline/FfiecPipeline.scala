@@ -94,7 +94,7 @@ object FfiecPipeline {
   def processZip(spark: SparkSession, zipPath: String, outDir: String,
                  schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
                  overrides: Map[String, String] = FfiecSchema.defaultColOverrides,
-                 prefix: String = "ffiec_"): DataFrame = {
+                 prefix: String = "ffiec_", strict: Boolean = false): DataFrame = {
     import spark.implicits._
     val resolved =
       if (schemaMap.nonEmpty) schemaMap else resolveSchemaMap(spark, zipPath)
@@ -127,16 +127,46 @@ object FfiecPipeline {
       }
       val combined = CombineParts.combine(parts, key = "IDRSSD")
         .withColumn("date", to_date(lit(dateRaw), "yyyyMMdd"))
-      val fixed = fixPurePercentCols(combined, resolved)
+      // pct_to_prop strictness (ref: ffeic_read.R:535 pct_to_prop stop()):
+      // in a pure column that is percent-encoded (any '%' present), a
+      // numeric cell WITHOUT '%' is a data-quality error in the
+      // reference. The two signals per column — has-% and bad-cell
+      // count — ride the write job as observed metrics over the
+      // pre-conversion strings; no second pass.
+      val pureStr = combined.schema.fields
+        .filter(f => f.dataType == StringType &&
+          resolved.get(f.name).contains("xbrli:pureItemType"))
+        .map(_.name).toSeq
+      val pureObs =
+        if (pureStr.isEmpty) None
+        else Some(org.apache.spark.sql.Observation(s"pure_${schedule}_$dateRaw"))
+      val observed = pureObs.fold(combined) { o =>
+        val aggs = pureStr.flatMap { c =>
+          Seq(max(col(c).contains("%").cast("long")).as(s"haspct_$c"),
+            sum((col(c).rlike("[0-9]") && !col(c).contains("%")).cast("long"))
+              .as(s"bad_$c"))
+        }
+        combined.observe(o, aggs.head, aggs.tail: _*)
+      }
+      val fixed = fixPurePercentCols(observed, resolved)
       val out = s"$outDir/$prefix${schedule}_$dateRaw.parquet"
       fixed.write.mode("overwrite").parquet(out)
       val metrics = observations.map(_.get)
       def metric(m: Map[String, Any], k: String): Long =
         Option(m.getOrElse(k, null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val badPure: Seq[String] = pureObs.toSeq.flatMap { o =>
+        val m = o.get
+        pureStr.filter(c => metric(m, s"haspct_$c") > 0 && metric(m, s"bad_$c") > 0)
+      }
+      if (strict && badPure.nonEmpty)
+        throw new IllegalStateException(
+          s"pct_to_prop: numeric values not ending in '%' in pure columns " +
+            s"${badPure.mkString(", ")} of $schedule ($dateRaw)")
       val repairs =
         (if (metrics.exists(metric(_, "nl") > 0)) Seq("newline-join") else Nil) ++
-        (if (metrics.exists(metric(_, "tab") > 0)) Seq("tab-repair") else Nil)
-      val ok = metrics.map(metric(_, "problems")).sum == 0
+        (if (metrics.exists(metric(_, "tab") > 0)) Seq("tab-repair") else Nil) ++
+        badPure.map(c => s"pure-pct-bad: $c")
+      val ok = metrics.map(metric(_, "problems")).sum == 0 && badPure.isEmpty
       written += Written(schedule, "schedule", dateRaw, out, nParts,
         ok = ok, repairs = repairs, innerFiles = sorted.map(_.file))
       out
@@ -206,7 +236,11 @@ object FfiecPipeline {
 
   /** pureItemType columns arrive as strings, possibly percent-encoded —
     * convert to numeric proportions (ref: ffeic_read.R:585
-    * fix_pure_percent_cols). */
+    * fix_pure_percent_cols). Cell-level: '%' cells go through
+    * pct_to_prop, others cast to double. The reference's column-level
+    * error for numeric-without-% cells in a %-bearing column is
+    * surfaced by processZip via observed metrics (manifest ok=false /
+    * repairs marker, or a throw under strict=true). */
   def fixPurePercentCols(df: DataFrame, schemaMap: Map[String, String]): DataFrame = {
     val pure = df.schema.fields
       .filter(f => f.dataType == StringType &&
@@ -242,7 +276,8 @@ object FfiecPipeline {
     * ffiec_process); returns the concatenated manifest. */
   def processAll(spark: SparkSession, rawDir: String, outDir: String,
                  schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
-                 concurrency: Int = 1, tolerant: Boolean = false): DataFrame = {
+                 concurrency: Int = 1, tolerant: Boolean = false,
+                 strict: Boolean = false): DataFrame = {
     import spark.implicits._
     val zips = listZips(spark, rawDir)
     require(zips.nonEmpty, s"No FFIEC bulk zip files found in $rawDir")
@@ -250,9 +285,9 @@ object FfiecPipeline {
     // manifest row instead of killing the fleet run at zip #847 of
     // 1000. Default matches the reference (fail fast).
     def one(zip: String, dateRaw: String): DataFrame =
-      if (!tolerant) processZip(spark, zip, outDir, schemaMap)
+      if (!tolerant) processZip(spark, zip, outDir, schemaMap, strict = strict)
       else
-        try processZip(spark, zip, outDir, schemaMap)
+        try processZip(spark, zip, outDir, schemaMap, strict = strict)
         catch {
           case e: Exception =>
             Seq(Written("error", "zip", dateRaw, "", 0, ok = false,

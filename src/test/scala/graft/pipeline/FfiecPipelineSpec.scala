@@ -213,6 +213,41 @@ class FfiecPipelineSpec extends SparkSpec {
     assert(new java.io.File(outDir, "ffiec_rc_20240331.parquet").exists())
   }
 
+  test("pct_to_prop strictness: bare numeric in a percent-bearing pure column") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_raw7").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq7").toFile
+    // RCON3838 is pureItemType and carries '%' values — a bare "28" is
+    // the reference's pct_to_prop() error case
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 12312024.zip",
+      "FFIEC CDR Call Schedule RC 12312024.txt" ->
+        ("IDRSSD\tRCFD0010\tRCON3838\t\nID\tCash\tRate\t\n" +
+         "37\t1.5\t28%\t\n38\t2.0\t28\t\n"))
+    val zip = s"$dir/FFIEC CDR Call Bulk All Schedules 12312024.zip"
+    val manifest = FfiecPipeline.processZip(spark, zip, outDir.getAbsolutePath, schemaMap)
+    val rc = manifest.where(col("kind") === "rc").collect()(0)
+    assert(!rc.getAs[Boolean]("ok"))
+    assert(rc.getSeq[String](rc.fieldIndex("repairs"))
+      .exists(_.startsWith("pure-pct-bad: RCON3838")))
+    // strict mode throws, like the reference's stop()
+    val e = intercept[IllegalStateException] {
+      FfiecPipeline.processZip(spark, zip, outDir.getAbsolutePath, schemaMap,
+        strict = true)
+    }
+    assert(e.getMessage.contains("RCON3838"))
+
+    // reference parity: a pure column with NO '%' anywhere is silently
+    // cast to double — bare numerics are fine there
+    val dir2 = java.nio.file.Files.createTempDirectory("ffiec_raw8").toFile
+    writeZip(dir2, "FFIEC CDR Call Bulk All Schedules 12312024.zip",
+      "FFIEC CDR Call Schedule RC 12312024.txt" ->
+        ("IDRSSD\tRCFD0010\tRCON3838\t\nID\tCash\tRate\t\n" +
+         "37\t1.5\t0.28\t\n38\t2.0\t0.03\t\n"))
+    val m2 = FfiecPipeline.processZip(spark,
+      s"$dir2/FFIEC CDR Call Bulk All Schedules 12312024.zip",
+      outDir.getAbsolutePath, schemaMap, strict = true)
+    assert(m2.where(col("kind") === "rc").collect()(0).getAs[Boolean]("ok"))
+  }
+
   private def xbrlDoc(idrssd: Int, date: String, value: Long): String =
     s"""<?xml version="1.0"?>
        |<xbrl xmlns:cc="http://www.ffiec.gov/xbrl" xmlns:xbrli="http://www.xbrl.org/2003/instance">
