@@ -273,12 +273,27 @@ object FfiecPipeline {
     }
 
   /** Process every bulk zip in a directory (the reference's
-    * ffiec_process); returns the concatenated manifest. */
+    * ffiec_process); returns the concatenated manifest. When
+    * `itemsPath`/`detailsPath` are supplied, the MDRM item metadata
+    * tables are copied into the output tree too (the reference's
+    * ffiec_create_item_pqs step — it ships them as package data; graft
+    * takes them as parquet inputs) and appear as manifest rows. */
   def processAll(spark: SparkSession, rawDir: String, outDir: String,
                  schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap,
                  concurrency: Int = 1, tolerant: Boolean = false,
-                 strict: Boolean = false): DataFrame = {
+                 strict: Boolean = false,
+                 itemsPath: Option[String] = None,
+                 detailsPath: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val itemRows: Seq[Written] = (itemsPath, detailsPath) match {
+      case (Some(ip), Some(dp)) =>
+        val Seq(oi, od) = graft.meta.Items.writeItemPqs(spark, ip, dp, outDir)
+        Seq(Written("items", "meta", "", oi, 1, ok = true, Nil, Seq(ip)),
+          Written("item_details", "meta", "", od, 1, ok = true, Nil, Seq(dp)))
+      case (None, None) => Nil
+      case _ => throw new IllegalArgumentException(
+        "itemsPath and detailsPath must be supplied together")
+    }
     val zips = listZips(spark, rawDir)
     require(zips.nonEmpty, s"No FFIEC bulk zip files found in $rawDir")
     // tolerant=true: a structurally broken zip becomes an ok=false
@@ -294,7 +309,8 @@ object FfiecPipeline {
               repairs = Seq(s"error: ${e.getMessage}"),
               innerFiles = Seq(zip))).toDF()
         }
-    val manifests = mapZips(zips, concurrency)(one)
+    val manifests = mapZips(zips, concurrency)(one) ++
+      (if (itemRows.nonEmpty) Seq(itemRows.toDF()) else Nil)
     val out = manifests.reduce(_.unionByName(_))
     out.write.mode("overwrite")
       .parquet(s"$outDir/ffiec_process_data.parquet")

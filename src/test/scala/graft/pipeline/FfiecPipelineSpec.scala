@@ -98,14 +98,31 @@ class FfiecPipelineSpec extends SparkSpec {
         s"FFIEC CDR Call Schedule RC $d.txt" ->
           s"IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.5\t\n")
     }
+    // supply MDRM item metadata so the full reference output tree lands
+    val s = spark
+    import s.implicits._
+    val itemsDir = java.nio.file.Files.createTempDirectory("ffiec_items").toFile
+    Seq(("RCFD0010", "RCFD", "0010", "Cash", "float"))
+      .toDF("item", "mnemonic", "item_code", "item_name", "data_type")
+      .write.parquet(s"$itemsDir/items.parquet")
+    Seq(("RCFD0010", "031", "2001-01-01", null.asInstanceOf[String], "N", "Cash held", "g", "monetary"))
+      .toDF("item", "reporting_form", "start_date", "end_date",
+        "confidentiality", "description", "seriesglossary", "itemtype")
+      .write.parquet(s"$itemsDir/details.parquet")
     val manifest = FfiecPipeline.processAll(spark, dir.getAbsolutePath,
-      outDir.getAbsolutePath, schemaMap, concurrency = 2)
+      outDir.getAbsolutePath, schemaMap, concurrency = 2,
+      itemsPath = Some(s"$itemsDir/items.parquet"),
+      detailsPath = Some(s"$itemsDir/details.parquet"))
     assert(manifest.where(col("kind") === "rc").count() == 2)
     val log = spark.read.parquet(s"$outDir/ffiec_process_data.parquet")
     assert(log.count() == manifest.count())
     // both report dates landed as separate wide parquets
     assert(new java.io.File(outDir, "ffiec_rc_20240331.parquet").exists())
     assert(new java.io.File(outDir, "ffiec_rc_20240630.parquet").exists())
+    // item metadata tables in the tree + manifest (ffiec_create_item_pqs)
+    assert(manifest.where(col("kind").isin("items", "item_details")).count() == 2)
+    assert(spark.read.parquet(s"$outDir/ffiec_items.parquet").count() == 1)
+    assert(spark.read.parquet(s"$outDir/ffiec_item_details.parquet").count() == 1)
   }
 
   test("processZip with NO schema map resolves types from a taxonomy concepts.xsd") {
