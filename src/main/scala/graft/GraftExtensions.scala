@@ -96,4 +96,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // explicit, though default-on: runtime re-plan splits skewed
+      // join partitions (the complement of saltedAgg, which handles
+      // skewed aggregation)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
 }

@@ -56,12 +56,25 @@ object Sampling {
   }
 
   /** Exact quantiles of a numeric column (linear interpolation),
-    * matching SQL quantile_cont semantics. Exact percentile needs a
-    * full sort of the column — at extreme scale swap in
-    * approx_percentile with a documented error bound. */
+    * matching SQL quantile_cont semantics. Exact percentile buffers the
+    * column per group — use for gate/oracle comparisons and
+    * dimension-scale inputs; at corpus scale use `quantilesApprox`. */
   def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame =
     df.agg(percentile(col(valueCol),
       array(qs.map(lit(_)): _*)).as("quantiles"))
+
+  /** Approximate quantiles via approx_percentile (Greenwald-Khanna
+    * sketch): mergeable fixed-size state, so the aggregation is
+    * map-side-partial + tiny shuffle — the 100 TB path. `accuracy`
+    * bounds RANK error: the returned value's true rank is within
+    * n/accuracy of the requested one (default 10000 → 0.01% of rows).
+    * Returns a plain value from the column (no interpolation), so it
+    * differs from `quantiles` by at most the value-span of that rank
+    * window. */
+  def quantilesApprox(df: DataFrame, valueCol: String, qs: Seq[Double],
+                      accuracy: Int = 10000): DataFrame =
+    df.agg(approx_percentile(col(valueCol),
+      array(qs.map(lit(_)): _*), lit(accuracy)).as("quantiles"))
 
   /** Deterministic source-weighted corpus mixture: keep each document
     * with its source's probability, decided by the document id's

@@ -39,6 +39,81 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("hot-key soak: row-identity salt balances a 90%-hot key; AQE splits the skewed join") {
+    val s = spark
+    import s.implicits._
+    // 200k-row events-like table, 90% of rows on one key
+    val df = spark.range(200000).select(
+      when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+      (col("id") % 100).cast("double").as("v"))
+    // per-salt partial row counts for the hot key must be balanced —
+    // the salt source is row identity, so a constant key (or constant
+    // values) cannot collapse onto one reducer
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(16L)))
+    val counts = salted.where(col("k") === 1L)
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(counts.length == 16, s"hot key landed on ${counts.length}/16 salts")
+    assert(counts.max < 2 * counts.min,
+      s"unbalanced salt partials: min=${counts.min} max=${counts.max}")
+    // and the exactness contract holds on the skewed table
+    val agg = Sampling.saltedAgg(df, "k", "v").where(col("k") === 1L).collect()(0)
+    assert(agg.getLong(1) == 180000L)
+
+    // AQE skew-join: the same hot key as a join side gets split at
+    // runtime (GraftSession enables adaptive + skewJoin; thresholds
+    // lowered here to engage at test scale)
+    val resets = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.getOption("spark.sql.adaptive.enabled"),
+      "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.enabled" -> spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "262144")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = df.withColumn("payload", concat_ws("", Seq.fill(8)(col("v").cast("string")): _*))
+      val dim = (0L until 20000L by 10).map(i => (if (i % 10 != 0) i else i, s"d$i"))
+        .toDF("k", "name").union(Seq((1L, "hot")).toDF("k", "name"))
+      val joined = fact.join(dim, "k")
+      // execute THIS dataset's query execution (count() would build a
+      // separate one and leave this plan unfinalized)
+      assert(joined.collect().length == 182000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew"), s"AQE skew handling did not engage:\n$plan")
+    } finally resets.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("quantilesApprox tracks exact quantiles within the rank-error bound") {
+    val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"))
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val exact = Sampling.quantiles(df, "v", qs)
+      .collect()(0).getSeq[Double](0)
+    val accuracy = 1000
+    val approx = Sampling.quantilesApprox(df, "v", qs, accuracy)
+      .collect()(0).getSeq[Double](0)
+    // rank error ≤ n/accuracy → value bound = exact quantile at q ± eps
+    val n = df.count()
+    val eps = n.toDouble / accuracy / n // as quantile fraction: 1/accuracy
+    val lohi = Sampling.quantiles(df, "v",
+      qs.flatMap(q => Seq(math.max(0, q - 2 * eps), math.min(1, q + 2 * eps))))
+      .collect()(0).getSeq[Double](0)
+    qs.indices.foreach { i =>
+      val (lo, hi) = (lohi(2 * i), lohi(2 * i + 1))
+      assert(approx(i) >= lo && approx(i) <= hi,
+        s"q=${qs(i)}: approx ${approx(i)} outside rank-window [$lo, $hi] (exact ${exact(i)})")
+    }
+  }
+
   test("writeClustered produces range-clustered files with bounded rows") {
     val s = spark
     import s.implicits._
