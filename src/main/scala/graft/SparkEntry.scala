@@ -296,6 +296,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Effective-dated range join (AsOfJoin.rangeJoin): orders matched
+    // to the epoch interval [start, end) containing their date; NULL
+    // end = open-ended, customers %3==0 carry no intervals (left-join
+    // null path). The dimension side is broadcast-scale by design.
+    "q52_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .withColumn("o_date", to_date(col("o_orderdate")))
+      val epochs = t(s, dir, "customer")
+        .where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"))
+        .crossJoin(Seq(("1995-01-01", "1998-01-01", "early"),
+            ("1998-01-01", null, "late"))
+          .toDF("s", "e", "epoch")
+          .select(to_date(col("s")).as("start_date"),
+            to_date(col("e")).as("end_date"), col("epoch")))
+      operators.AsOfJoin.rangeJoin(orders, "o_custkey", "o_date",
+        epochs, "c_custkey", "start_date", "end_date")
+        .select("o_orderkey", "o_custkey", "o_date", "epoch")
+        .orderBy("o_orderkey")
+    }),
+
     // --- text analysis -----------------------------------------------------
     "q22_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1004,6 +1026,21 @@ object SparkEntry {
          |  FROM exact)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q52_range_join" ->
+      """WITH epochs AS (
+        |  SELECT c_custkey, v.s AS start_date, v.e AS end_date, v.epoch
+        |  FROM customer CROSS JOIN (VALUES
+        |    (DATE '1995-01-01', DATE '1998-01-01', 'early'),
+        |    (DATE '1998-01-01', NULL, 'late')) v(s, e, epoch)
+        |  WHERE c_custkey % 3 <> 0)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_date, e.epoch
+        |FROM orders o LEFT JOIN epochs e
+        |  ON o.o_custkey = e.c_custkey
+        | AND e.start_date <= CAST(o.o_orderdate AS DATE)
+        | AND (e.end_date IS NULL OR CAST(o.o_orderdate AS DATE) < e.end_date)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q22_token_count" ->
       """SELECT doc_id,

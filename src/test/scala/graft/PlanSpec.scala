@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Union")) // not a union-of-selects reshape
   }
 
+  test("q52 range join broadcasts the interval dimension") {
+    val s = planString("q52_range_join")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"))
+  }
+
   test("q20 KNN never builds a cartesian/crossjoin plan") {
     val s = planString("q20_knn_bruteforce")
     assert(!s.contains("CartesianProduct"))
