@@ -42,6 +42,39 @@ object Pq {
     }
   }
 
+  /** Per-subspace Lloyd refinement of the sampled codebooks: `iters`
+    * rounds of argmin-encode → per-(subspace, codeword) subvector mean.
+    * Each round is ONE shuffle of (s, code)-keyed subvectors with
+    * map-side partial sums (VectorAvgAggregator — k·m groups, so the
+    * reduce side is metadata-scale); total shuffled payload per round
+    * equals one corpus pass (n·m subvectors of dim/m doubles = n·dim).
+    * Codewords that attract no members keep their previous centroid.
+    * Standard k-means quality uplift over the sampled baseline
+    * (distortion decreases monotonically per round — spec-asserted). */
+  def trainCodebooksKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                           m: Int, k: Int, dim: Int,
+                           iters: Int = 2): Array[Array[Array[Double]]] = {
+    val subDim = dim / m
+    var books = trainCodebooks(corpus, idCol, vecCol, m, k, dim)
+    val avg = VectorAvgAggregator.udaf()
+    for (_ <- 1 to iters) {
+      val means = encode(corpus, idCol, vecCol, books)
+        .select(posexplode(col("codes")).as(Seq("s", "code")),
+          transform(col("vec"), _.cast("double")).as("v"))
+        .select(col("s"), col("code"),
+          slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("sub"))
+        .groupBy("s", "code")
+        .agg(avg(col("sub")).as("cw"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      books = next
+    }
+    books
+  }
+
   /** The m-codeword encoding as a pure Column over `vec` — argmin L2
     * per subspace against the broadcast codebook literals. */
   def codesColumn(vec: org.apache.spark.sql.Column,
@@ -119,12 +152,14 @@ object Pq {
     * Returns the codebooks for immediate searching. */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, c: Int = 16, m: Int = 8, k: Int = 16,
-                      dim: Int = 64): Array[Array[Array[Double]]] = {
+                      dim: Int = 64, trainIters: Int = 0): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val books = trainCodebooks(corpus, idCol, vecCol, m, k, dim)
+    val books =
+      if (trainIters > 0) trainCodebooksKmeans(corpus, idCol, vecCol, m, k, dim, trainIters)
+      else trainCodebooks(corpus, idCol, vecCol, m, k, dim)
     books.zipWithIndex.flatMap { case (cws, s) =>
       cws.zipWithIndex.map { case (cw, code) => (s, code, cw.toSeq) }
     }.toSeq.toDF("sub", "code", "cw")

@@ -279,6 +279,40 @@ class KnnSpec extends SparkSpec {
       s"PQ+rerank mean recall collapsed: $recalls")
   }
 
+  test("k-means codebook training reduces quantization distortion") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 400L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val sampled = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    val trained = Pq.trainCodebooksKmeans(vecs, "vec_id", "embedding",
+      m = 8, k = 16, dim = 64, iters = 2)
+    // mean quantization distortion = Σ_s min_c ||sub - cw_c||², averaged
+    // over the corpus; Lloyd rounds must not increase it
+    val data = vecs.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def distortion(books: Array[Array[Array[Double]]]): Double = {
+      val subDim = 8
+      data.map { v =>
+        (0 until 8).map { sIdx =>
+          val sub = v.slice(sIdx * subDim, (sIdx + 1) * subDim)
+          books(sIdx).map(cw =>
+            sub.zip(cw).map { case (x, y) => (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum / data.length
+    }
+    val d0 = distortion(sampled)
+    val d1 = distortion(trained)
+    assert(d1 < d0, s"k-means did not improve distortion: $d0 -> $d1")
+    // trained books still encode/search end-to-end
+    val encoded = Pq.encode(vecs, "vec_id", "embedding", trained)
+    val queries = vecs.where(col("vec_id") < 3)
+    val hits = Pq.search(encoded, queries, "vec_id", "embedding", trained,
+      k = 5, shortlist = 40)
+    assert(hits.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("IVF+PQ index: codes-only ADC over pruned cells, vec only at re-rank") {
     val s = spark
     import s.implicits._
