@@ -82,8 +82,10 @@ object Pq {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val codeCols = (0 until m).map { s =>
-      val cwArr = array(codebooks(s).map(cw =>
-        array(cw.map(lit(_)): _*)): _*)
+      // one Literal node per subspace (typedLit), not a k×subDim tree of
+      // lit() — Catalyst analysis cost scales with expression node
+      // count, and the tree form dominated q51's runtime at bench scale
+      val cwArr = typedLit(codebooks(s).map(_.toSeq).toSeq)
       val sub = slice(transform(vec, _.cast("double")), s * subDim + 1, subDim)
       // argmin_c ||sub - cw_c||² as a min over per-codeword distances
       val scored = transform(cwArr, cw =>
@@ -116,10 +118,9 @@ object Pq {
     val tableCol = array((0 until m).map { s =>
       val qSub = slice(transform(col("qvec"), _.cast("double")),
         s * subDim + 1, subDim)
-      array(codebooks(s).map { cw =>
-        aggregate(zip_with(qSub, array(cw.map(lit(_)): _*),
-          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-      }: _*)
+      transform(typedLit(codebooks(s).map(_.toSeq).toSeq), cw =>
+        aggregate(zip_with(qSub, cw, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v))
     }: _*)
     val q = broadcast(queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
@@ -208,10 +209,9 @@ object Pq {
     val tableCol = array((0 until m).map { s =>
       val qSub = slice(transform(col("qvec"), _.cast("double")),
         s * subDim + 1, subDim)
-      array(books(s).map { cw =>
-        aggregate(zip_with(qSub, array(cw.map(lit(_)): _*),
-          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-      }: _*)
+      transform(typedLit(books(s).map(_.toSeq).toSeq), cw =>
+        aggregate(zip_with(qSub, cw, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v))
     }: _*)
     val q = broadcast(qAssign.withColumn("tables", tableCol))
     // ADC pass: codes-only projection of the probed cells
