@@ -40,7 +40,9 @@ object Vectors {
 
   /** Signed random-hyperplane sketch bit: sign(v · h) for a hyperplane
     * generated deterministically from `seed` on the driver. Used by the
-    * embedding-LSH dedup path. */
+    * embedding-LSH dedup path. typedLit keeps the hyperplane a single
+    * Literal node — a lit()-per-element tree made Catalyst analysis
+    * scale with planes×dim. */
   def hyperplaneBit(v: Column, hyperplane: Seq[Double]): Column =
-    (dot(v, array(hyperplane.map(lit(_)): _*)) >= 0).cast("int")
+    (dot(v, typedLit(hyperplane)) >= 0).cast("int")
 }
