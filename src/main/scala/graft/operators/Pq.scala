@@ -76,15 +76,22 @@ object Pq {
   }
 
   /** The m-codeword encoding as a pure Column over `vec` — argmin L2
-    * per subspace against the broadcast codebook literals. */
+    * per subspace against the codebooks, via the codegen'd PqCodes
+    * kernel (the books ride into generated code as a reference
+    * object). Bit-identical to `codesColumnHof` (property-spec'd). */
   def codesColumn(vec: org.apache.spark.sql.Column,
-                  codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+                  codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.Column =
+    graft.plans.native.pqCodes(vec, codebooks)
+
+  /** HOF reference formulation of the encoding (kept for cross-checking
+    * the native kernel, same pattern as Vectors.cosineHof). */
+  def codesColumnHof(vec: org.apache.spark.sql.Column,
+                     codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val codeCols = (0 until m).map { s =>
-      // one Literal node per subspace (typedLit), not a k×subDim tree of
-      // lit() — Catalyst analysis cost scales with expression node
-      // count, and the tree form dominated q51's runtime at bench scale
+      // one Literal node per subspace (typedLit), not a k×subDim tree
+      // of lit() — analysis cost scales with expression node count
       val cwArr = typedLit(codebooks(s).map(_.toSeq).toSeq)
       val sub = slice(transform(vec, _.cast("double")), s * subDim + 1, subDim)
       // argmin_c ||sub - cw_c||² as a min over per-codeword distances
@@ -128,9 +135,7 @@ object Pq {
     val scored = encoded.join(q)
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(col("tables"), s + 1),
-            element_at(col("codes"), s + 1) + 1)).as("sim"))
+        graft.plans.native.adcScore(col("codes"), col("tables")).as("sim"))
     // shortlist via the bounded TopK aggregator (map-side partial
     // heaps), NOT a window — the corpus-sized stream never shuffles
     val short = Knn.topKPerQuery(scored, shortlist)
@@ -221,9 +226,7 @@ object Pq {
     val scored = codesScan.join(q, Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(col("tables"), s + 1),
-            element_at(col("codes"), s + 1) + 1)).as("sim"))
+        graft.plans.native.adcScore(col("codes"), col("tables")).as("sim"))
     val short = Knn.topKPerQuery(scored, shortlist)
       .select("query_id", "neighbor_id")
     // re-rank: vec column read only for the shortlist join

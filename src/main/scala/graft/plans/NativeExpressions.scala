@@ -391,6 +391,116 @@ case class NearestCell(child: Expression, cells: Array[Long],
     copy(child = newChild)
 }
 
+object PqKernel {
+  /** Argmin-L2 codeword id per subspace — semantically identical to
+    * the HOF formulation in Pq.codesColumnHof: distances are the same
+    * sequential fold (bit-stable vs the DuckDB oracle replay), ties
+    * break toward the FIRST minimum (array_position-of-array_min). */
+  def codes(vec: ArrayData, vecFloat: Boolean,
+            books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cws = books(s)
+      val subDim = cws(0).length
+      val off = s * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (vecFloat) vec.getFloat(off + i).toDouble
+                  else vec.getDouble(off + i)
+          val diff = x - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: Σ_s tables[s][codes[s]] — the same left fold as the
+    * HOF aggregate-over-sequence form, so scores are bit-identical. */
+  def adcScore(codes: ArrayData, tables: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += tables.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+}
+
+/** PQ codes for an array<float|double> vector column: array<int> of m
+  * argmin-L2 codeword ids. The codebooks ride into generated code as a
+  * reference object (same broadcast-inside-the-expression shape as
+  * NearestCell) — encoding is a per-row expression with no join and no
+  * shuffle, the index-build hot loop at corpus scale. */
+case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+  private lazy val vecFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.codes(input.asInstanceOf[ArrayData], vecFloat, books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.PqKernel.codes($c, $vecFloat, $booksRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** ADC table-lookup score of (codes: array<int>, tables:
+  * array<array<double>>) — the per-candidate inner loop of PQ search,
+  * codegen'd instead of an interpreted aggregate-over-sequence. */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"adc_score expects (array<int>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override def nullSafeEval(codes: Any, tables: Any): Any =
+    PqKernel.adcScore(codes.asInstanceOf[ArrayData], tables.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.plans.PqKernel.adcScore($c, $t)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleKernel {
   /** Word n-gram shingles of normalized text — byte-for-byte the same
     * output as Text.wordShingles(Text.normalizeText(c), n): lowercase,
@@ -456,6 +566,13 @@ object native {
   def nearestCell(vec: Column, cells: Array[Long],
                   cents: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCell(GraftBridge.expression(vec), cells, cents))
+
+  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqCodes(GraftBridge.expression(vec), books))
+
+  def adcScore(codes: Column, tables: Column): Column =
+    GraftBridge.column(AdcScore(GraftBridge.expression(codes),
+      GraftBridge.expression(tables)))
 
   def md5MinhashSig(shingles: Column, k: Int): Column =
     GraftBridge.column(Md5MinHashSig(GraftBridge.expression(shingles), k))

@@ -279,6 +279,28 @@ class KnnSpec extends SparkSpec {
       s"PQ+rerank mean recall collapsed: $recalls")
   }
 
+  test("PqCodes/AdcScore kernels match the HOF formulations bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    val kernel = vecs.select(col("vec_id"),
+        Pq.codesColumn(col("embedding"), books).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    val hof = vecs.select(col("vec_id"),
+        Pq.codesColumnHof(col("embedding"), books).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(kernel.toSeq == hof.toSeq)
+    // adc_score = Σ_s tables[s][codes[s]]
+    val df = Seq((Seq(0, 1), Seq(Seq(1.5, 2.5), Seq(10.0, 20.0))))
+      .toDF("codes", "tables")
+    assert(df.select(graft.plans.native.adcScore(col("codes"), col("tables")))
+      .collect()(0).getDouble(0) == 21.5)
+  }
+
   test("k-means codebook training reduces quantization distortion") {
     val s = spark
     import s.implicits._
