@@ -205,10 +205,11 @@ object Dedup {
         // planes are draws [t*planes*dim, (t+1)*planes*dim)
         val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
         val keys = all.zipWithIndex.map { case (hps, t) =>
-          val bits = hps.zipWithIndex.map { case (hp, i) =>
-            Vectors.hyperplaneBit(col("vec"), hp).cast("long") * (1L << i)
-          }
-          struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+          // codegen'd packed-bit bucket (HyperplaneBucket kernel): same
+          // per-plane sign-of-sequential-dot as the oracle's seqDotSql
+          struct(lit(t).as("tbl"),
+            graft.plans.native.hyperplaneBucket(col("vec"),
+              hps.map(_.toArray).toArray).as("bucket"))
         }
         base.withColumn("bk", explode(array(keys: _*)))
           .select(col("id"), col("vec"), col("bk.tbl"), col("bk.bucket"))

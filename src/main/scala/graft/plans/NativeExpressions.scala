@@ -475,6 +475,63 @@ case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+object HyperplaneKernel {
+  /** Random-hyperplane LSH bucket: bit p = sign(vec · planes[p]), as a
+    * packed long. Each dot is the same sequential fold as Vectors.dot
+    * (and the oracle's seqDotSql), so buckets replay bit-identically. */
+  def bucket(vec: ArrayData, vecFloat: Boolean,
+             planes: Array[Array[Double]]): Long = {
+    var b = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val m = math.min(vec.numElements(), plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        dot += x * plane(i)
+        i += 1
+      }
+      if (dot >= 0) b |= (1L << p)
+      p += 1
+    }
+    b
+  }
+}
+
+/** Packed hyperplane-LSH bucket id for an array<float|double> vector
+  * column; the plane matrix rides into generated code as a reference
+  * object. Replaces `planes` interpreted dot-product HOFs per row in
+  * the embedding-dedup bucketing pass. */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 63, "need 1..63 planes")
+  private lazy val vecFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneKernel.bucket(input.asInstanceOf[ArrayData], vecFloat, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HyperplaneKernel.bucket($c, $vecFloat, $planesRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** ADC table-lookup score of (codes: array<int>, tables:
   * array<array<double>>) — the per-candidate inner loop of PQ search,
   * codegen'd instead of an interpreted aggregate-over-sequence. */
@@ -569,6 +626,9 @@ object native {
 
   def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(PqCodes(GraftBridge.expression(vec), books))
+
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes))
 
   def adcScore(codes: Column, tables: Column): Column =
     GraftBridge.column(AdcScore(GraftBridge.expression(codes),
