@@ -54,16 +54,23 @@ object Dedup {
         col(idCol).as("id"),
         array_distinct(graft.plans.native.wordShingles(col(textCol), n)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .persist(cacheLevel)
+    // Hot-shingle cap as a broadcast anti-join against the (tiny) list
+    // of shingles with df > maxDf — NOT a Window.partitionBy(shingle),
+    // which would shuffle the entire exploded corpus a second time.
+    // The groupBy shuffle is map-side combined down to per-partition
+    // distinct shingles, and viral shingles are by construction few.
     val capped =
-      if (maxDf >= Int.MaxValue / 2) shingled // cap disabled — skip the window
-      else shingled
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-        .where(col("df") <= maxDf)
-        .drop("df")
+      if (maxDf >= Int.MaxValue / 2) shingled // cap disabled
+      else {
+        val hot = shingled.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+          .select("shingle")
+        shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val a = capped.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = capped.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val pairs = a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
@@ -71,6 +78,7 @@ object Dedup {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    materializeAndRelease(pairs, shingled)
   }
 
   /** MinHash+LSH candidate pairs, verified by the signature-overlap
@@ -124,12 +132,15 @@ object Dedup {
     // pair side) for verification.
     val banded = signed.select(col("id"), explode(bandKeys).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .persist(cacheLevel)
     // Hot-bucket guard: a bucket holding b docs yields b² candidates.
-    val capped = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("bsz") <= maxBucket)
-      .drop("bsz")
+    // Broadcast anti-join against the (tiny) over-cap bucket list —
+    // the groupBy shuffle is map-side combined; a Window over
+    // (band, bucket) would re-shuffle the whole band explosion.
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") > maxBucket)
+      .select("band", "bucket")
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -143,7 +154,7 @@ object Dedup {
           v => v === 1)).cast("double") / lit(bands * rowsPerBand).cast("double"))
       .where(col("est_jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
-    materializeAndRelease(pairs, shingled, signed)
+    materializeAndRelease(pairs, shingled, signed, banded)
   }
 
   /** SimHash fingerprints for every document. `portableHash` emits the
