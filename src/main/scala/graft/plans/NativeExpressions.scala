@@ -187,7 +187,10 @@ object Md5Kernel {
 
   /** Slot j = min over shingles of (md5hash60(s) XOR salt_j): ONE
     * digest per shingle, k xors — the DuckDB twin is
-    * MIN(xor(h, salt_j)) over the same salt literals. */
+    * MIN(xor(h, salt_j)) over the same salt literals. An EMPTY shingle
+    * array yields the all-Long.MaxValue sentinel — callers must
+    * exclude shingle-less docs before banding (Dedup.minhashLshPairs
+    * does), or every pair of empty docs bands identically. */
   def signature(arr: ArrayData, k: Int, seed: Long): ArrayData = {
     val ss = saltCache.computeIfAbsent((k, seed), t => salts(t._1, t._2))
     val mins = new Array[Long](k)

@@ -61,8 +61,9 @@ object Sessions {
     * stream-stream enrichment shape (late labels joining a firehose).
     *
     * `events` needs (keyCol, tsCol, …); `annotations` needs
-    * (annKeyCol, annTsCol, …). Column names must be disjoint across
-    * sides apart from the key. */
+    * (annKeyCol, annTsCol, …). The key columns may share a name (they
+    * resolve against their parent frames); NON-key column names should
+    * be disjoint or downstream selects must qualify them. */
   def joinStreams(events: DataFrame, keyCol: String, tsCol: String,
                   annotations: DataFrame, annKeyCol: String, annTsCol: String,
                   windowSeconds: Long,
