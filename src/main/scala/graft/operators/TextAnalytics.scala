@@ -88,4 +88,33 @@ object TextAnalytics {
           size(array_intersect(sh, needleArr)).cast("double") /
             size(sh).cast("double"), 6)).as("overlap"))
   }
+
+  /** ngramOverlap's scale twin for LARGE decontamination sets (a full
+    * eval-benchmark suite is millions of shingles — too big for an
+    * in-plan literal). The needle set arrives as a DataFrame with a
+    * `shingle` column; each document's exploded distinct shingles are
+    * counted against it with a left-SEMI broadcast join (needles are
+    * dimension-scale: broadcast once, corpus never shuffles for the
+    * probe), then per-doc hit counts rejoin the doc's shingle total.
+    * Same output contract as ngramOverlap — equality is spec-asserted
+    * on a shared needle set. */
+  def ngramOverlapLarge(df: DataFrame, idCol: String, textCol: String,
+                        needles: DataFrame, n: Int = 2): DataFrame = {
+    val needleSet = broadcast(needles.select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1)))
+    // explode_outer keeps zero-shingle docs (one null-shingle row), so
+    // the whole computation is ONE corpus pass: scan → broadcast probe
+    // → per-doc aggregate (the only shuffle, keyed by doc id)
+    df.select(col(idCol),
+        array_distinct(graft.plans.native.wordShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_sh"),
+        explode_outer(col("sh")).as("shingle"))
+      .join(needleSet, Seq("shingle"), "left")
+      .groupBy(col(idCol), col("n_sh"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .select(col(idCol),
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_sh").cast("double"), 6)).as("overlap"))
+  }
 }
