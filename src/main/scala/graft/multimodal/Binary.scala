@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real: payloads sniffed as PNG/JPEG/GIF/BMP go
   * through `javax.imageio` (JVM built-in — no external dependency) and
   * come back with true dimensions, channel count, and deterministic
-  * color/luma features. Video and audio codecs are NOT in this
-  * container, so non-image payloads fall through to `decodeStub`, a
-  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * partition sizing, batch iteration, null handling) is identical on
-  * both paths; swap the stub for a JNI/FFMPEG call in production.
+  * color/luma features. AUDIO decodes for real for WAV/PCM via
+  * `javax.sound.sampled` (also JVM built-in): true sample rate,
+  * channels, frame count, RMS/envelope features. Compressed audio
+  * (mp3/ogg) and VIDEO codecs are NOT in this container, so those
+  * payloads fall through to clearly-marked deterministic stubs — the
+  * Spark-side plumbing (schema, partition sizing, batch iteration,
+  * null handling) is identical on both paths; swap the stub for a
+  * JNI/FFMPEG call in production.
   */
 object Binary {
 
@@ -245,4 +248,92 @@ object Binary {
           .as("window_start"))
       .select(col("media_id"), col("window_start"),
         least(col("window_start") + windowBytes, col("n_bytes")).as("window_end"))
+
+  // ---- audio: REAL WAV/PCM decode via javax.sound.sampled (JVM
+  // built-in, same no-external-dependency rationale as javax.imageio
+  // for images). Compressed formats (mp3/ogg/aac) have no JVM codec
+  // and fall through to the stub; video stays stubbed.
+
+  /** RIFF/WAVE magic sniff. */
+  def looksLikeWav(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
+  case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
+                          n_frames: Long, features: Array[Float])
+
+  /** REAL audio decode: true sample rate / channel count / frame count
+    * plus deterministic 8-dim features over channel-0 PCM — mean |amp|,
+    * RMS, peak, zero-crossing rate, and per-quarter RMS envelope.
+    * None when the payload isn't decodable WAV/PCM. */
+  def decodeAudio(mediaId: Long, payload: Array[Byte]): Option[DecodedAudio] =
+    if (!looksLikeWav(payload)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frameSize = fmt.getFrameSize
+        val bits = fmt.getSampleSizeInBits
+        if (frameSize <= 0 || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = ais.readAllBytes()
+          val nFrames = bytes.length / frameSize
+          val bigEndian = fmt.isBigEndian
+          def sample(i: Int): Double = {
+            val off = i * frameSize
+            if (bits == 16) {
+              val lo = bytes(off + (if (bigEndian) 1 else 0)) & 0xff
+              val hi = bytes(off + (if (bigEndian) 0 else 1)).toInt
+              ((hi << 8) | lo).toShort / 32768.0
+            } else (bytes(off) & 0xff) / 255.0 * 2.0 - 1.0 // 8-bit unsigned
+          }
+          var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0
+          val quarters = new Array[Double](4)
+          var prev = 0.0
+          var i = 0
+          while (i < nFrames) {
+            val v = sample(i)
+            val a = math.abs(v)
+            sumAbs += a; sumSq += v * v
+            if (a > peak) peak = a
+            if (i > 0 && (v >= 0) != (prev >= 0)) zc += 1
+            quarters(math.min(3, (i.toLong * 4 / math.max(1, nFrames)).toInt)) += v * v
+            prev = v
+            i += 1
+          }
+          val d = math.max(1, nFrames).toDouble
+          val q = quarters.map(s => math.sqrt(s / math.max(1.0, d / 4)).toFloat)
+          Some(DecodedAudio(mediaId, fmt.getSampleRate.toInt, fmt.getChannels,
+            nFrames.toLong, Array((sumAbs / d).toFloat,
+              math.sqrt(sumSq / d).toFloat, peak.toFloat, (zc / d).toFloat,
+              q(0), q(1), q(2), q(3))))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB for modalities without a JVM codec (compressed audio, video);
+    * deterministic byte-derived values, same contract as decodeStub. */
+  def decodeAudioStub(mediaId: Long, payload: Array[Byte]): DecodedAudio = {
+    val n = if (payload == null) 0 else payload.length
+    DecodedAudio(mediaId, 16000, 1, n.toLong,
+      Array.tabulate(8)(i => if (n == 0) 0f else payload(i % n).toFloat / 128f))
+  }
+
+  /** Batched audio decode: WAV/PCM decodes for real, everything else
+    * takes the stub — same mapPartitions batch shape as
+    * decodeFeatures. */
+  def decodeAudioFeatures(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          decodeAudio(id, bytes).getOrElse(decodeAudioStub(id, bytes))
+        }
+      }
+  }
 }

@@ -110,4 +110,61 @@ class BinarySpec extends SparkSpec {
     assert(out(1) == Binary.decodeStub(2L, txt)
       .copy(features = out(1).features)) // stub path
   }
+
+  /** 16-bit mono PCM WAV of a full-scale-ish sine at `hz`. */
+  private def sineWav(hz: Double, sampleRate: Int, nFrames: Int,
+                      amplitude: Double = 0.8): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = (math.sin(2 * math.Pi * hz * i / sampleRate) * amplitude * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte          // little-endian lo
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudioFeatures decodes a real WAV: rate, frames, RMS physics") {
+    val s = spark
+    import s.implicits._
+    val wav = sineWav(hz = 440, sampleRate = 8000, nFrames = 8000)
+    assert(Binary.looksLikeWav(wav))
+    val media = Seq((7L, "audio/wav", wav.length.toLong, wav))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.decodeAudioFeatures(media).collect()(0)
+    assert(out.sample_rate == 8000 && out.channels == 1 && out.n_frames == 8000)
+    // a sine of amplitude A has RMS A/sqrt(2) ≈ 0.566 and peak ≈ A
+    assert(math.abs(out.features(1) - 0.8 / math.sqrt(2)) < 0.02,
+      s"sine RMS off: ${out.features(1)}")
+    assert(out.features(2) > 0.75f && out.features(2) <= 0.81f)
+    // 440 Hz over 1 s ≈ 880 zero crossings → rate ≈ 0.11 per frame
+    assert(math.abs(out.features(3) - 880.0 / 8000) < 0.01)
+    // quarters of a steady sine have equal energy
+    val q = out.features.slice(4, 8)
+    assert(q.max - q.min < 0.05, s"uneven envelope: ${q.toSeq}")
+  }
+
+  test("compressed-audio payloads fall back to the audio stub") {
+    val s = spark
+    import s.implicits._
+    val fakeMp3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0) ++
+      Array.fill[Byte](50)(33)
+    val media = Seq((8L, "audio/mpeg", fakeMp3.length.toLong, fakeMp3))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.decodeAudioFeatures(media).collect()(0)
+    assert(out == Binary.decodeAudioStub(8L, fakeMp3)
+      .copy(features = out.features))
+    // corrupt RIFF header degrades to the stub, not an exception
+    val corrupt = "RIFFxxxxWAVEgarbage".getBytes("UTF-8")
+    assert(Binary.looksLikeWav(corrupt))
+    val out2 = Binary.decodeAudioFeatures(
+      Seq((9L, "audio/wav", corrupt.length.toLong, corrupt))
+        .toDF("media_id", "mime", "n_bytes", "payload")).collect()(0)
+    assert(out2.sample_rate == 16000) // stub's deterministic rate
+  }
 }
