@@ -317,6 +317,59 @@ object FfiecPipeline {
     out
   }
 
+  /** Continuous ingestion: watch `rawDir` for new FFIEC bulk zips and
+    * run processZip on each exactly once (the file-source checkpoint
+    * tracks processed files across restarts). Each micro-batch appends
+    * its manifest rows to `outDir`/ffiec_process_stream_log.parquet.
+    *
+    * The stream carries only file PATHS (binaryFile source with the
+    * content column pruned away — zips are re-opened inside processZip's
+    * distributed member tasks), so the streaming layer moves metadata,
+    * not the 100 TB. New quarters land as they are published; a broken
+    * zip becomes an ok=false manifest row and the stream keeps going. */
+  def processStream(spark: SparkSession, rawDir: String, outDir: String,
+                    checkpoint: String,
+                    schemaMap: Map[String, String] = FfiecSchema.defaultSchemaMap)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val pattern = """^FFIEC CDR Call Bulk All Schedules (\d{8})\.zip$""".r
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.zip")
+      .schema(StructType(Seq( // the fixed binaryFile schema (streaming
+        StructField("path", StringType), //   sources require it stated)
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(rawDir)
+      .select("path", "length")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val zips = batch.select("path").collect().map(_.getString(0)).toSeq
+          .flatMap { p =>
+            new Path(p).getName match {
+              case pattern(mmddyyyy) =>
+                Some(p -> (mmddyyyy.substring(4, 8) + mmddyyyy.substring(0, 4)))
+              case _ => None
+            }
+          }.sortBy(_._2)
+        val manifests = zips.map { case (zip, dateRaw) =>
+          try processZip(spark, zip, outDir, schemaMap)
+          catch {
+            case e: Exception =>
+              Seq(Written("error", "zip", dateRaw, "", 0, ok = false,
+                repairs = Seq(s"error: ${e.getMessage}"),
+                innerFiles = Seq(zip))).toDF()
+          }
+        }
+        if (manifests.nonEmpty)
+          manifests.reduce(_.unionByName(_)).write.mode("append")
+            .parquet(s"$outDir/ffiec_process_stream_log.parquet")
+      }
+      .start()
+  }
+
   case class XbrlWritten(zipfile: String, dateRaw: String, parquet: String,
                          nFacts: Long, ok: Boolean)
 

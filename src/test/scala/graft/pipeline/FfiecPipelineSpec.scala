@@ -316,6 +316,32 @@ class FfiecPipelineSpec extends SparkSpec {
     assert(m2.where(col("ok")).count() == 2)
   }
 
+  test("processStream ingests newly landed zips exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_stream_raw").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("ffiec_stream_pq").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("ffiec_stream_ck").toFile
+    writeZip(dir, "FFIEC CDR Call Bulk All Schedules 03312024.zip",
+      "FFIEC CDR Call Schedule RC 03312024.txt" ->
+        "IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.5\t\n")
+    val q = FfiecPipeline.processStream(spark, dir.getAbsolutePath,
+      outDir.getAbsolutePath, ckpt.getAbsolutePath, schemaMap)
+    try {
+      q.processAllAvailable()
+      assert(new java.io.File(outDir, "ffiec_rc_20240331.parquet").exists())
+      // a second quarter lands while the stream runs
+      writeZip(dir, "FFIEC CDR Call Bulk All Schedules 06302024.zip",
+        "FFIEC CDR Call Schedule RC 06302024.txt" ->
+          "IDRSSD\tRCFD0010\t\nID\tCash\t\n38\t2.5\t\n")
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      assert(new java.io.File(outDir, "ffiec_rc_20240630.parquet").exists())
+      val log = spark.read.parquet(s"$outDir/ffiec_process_stream_log.parquet")
+      // exactly once: one rc manifest row per zip, no reprocessing
+      assert(log.where(col("kind") === "rc").count() == 2)
+      assert(log.where(!col("ok")).count() == 0)
+    } finally q.stop()
+  }
+
   test("processZip rejects broken multipart structure") {
     val dir = java.nio.file.Files.createTempDirectory("ffiec_raw2").toFile
     val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq2").toFile
