@@ -152,6 +152,99 @@ object Pq {
   /** Compression ratio of the code layout vs float32 vectors. */
   def compressionRatio(dim: Int, m: Int): Double = (dim * 4.0) / m
 
+  // ---- residual quantization: a second codebook level per subspace,
+  // trained on the level-1 residuals. Reconstruction cw1[c1] + cw2[c2]
+  // is strictly finer than one level at the cost of one extra code per
+  // subspace (16× instead of 32× at dim=64/m=8) — the standard recall/
+  // size knob between PQ and full vectors.
+
+  /** Train both levels from ONE bottom-2k corpus sample: the k
+    * smallest-hash rows slice into level 1 (as trainCodebooks), the
+    * NEXT k rows supply the level-1 residuals that level 2 slices —
+    * disjoint on purpose: the level-1 sample's own residuals are all
+    * zero (each sampled vector's nearest codeword is itself), which
+    * would degenerate level 2 to a no-op. Residuals are computed
+    * driver-side on the 2k-row sample, so training stays a single
+    * corpus scan. */
+  def trainResidualCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                             m: Int, k: Int, dim: Int)
+      : (Array[Array[Array[Double]]], Array[Array[Array[Double]]]) = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val sampled = corpus
+      .select(Hashes.md5Hash64(col(idCol)).as("h"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy("h").limit(2 * k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sampled.length >= 2, "need at least 2 codebook samples")
+    val (lvl1, lvl2src0) = sampled.splitAt(math.min(k, sampled.length / 2))
+    val lvl2src = lvl2src0.take(k)
+    val books1 = Array.tabulate(m) { s =>
+      lvl1.map(v => v.slice(s * subDim, (s + 1) * subDim))
+    }
+    val books2 = Array.tabulate(m) { s =>
+      lvl2src.map { v =>
+        val sub = v.slice(s * subDim, (s + 1) * subDim)
+        // level-1 encode of the holdout sample (same argmin as the kernel)
+        val c1 = books1(s).indices.minBy { c =>
+          val cw = books1(s)(c)
+          var d = 0.0; var i = 0
+          while (i < subDim) { val diff = sub(i) - cw(i); d += diff * diff; i += 1 }
+          d
+        }
+        val cw1 = books1(s)(c1)
+        Array.tabulate(subDim)(i => sub(i) - cw1(i))
+      }
+    }
+    (books1, books2)
+  }
+
+  /** Encode with two code levels per subspace (interleaved array<int>
+    * of length 2m) — pure codegen'd per-row expression, zero shuffle. */
+  def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
+                     books1: Array[Array[Array[Double]]],
+                     books2: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      graft.plans.native.residualCodes(col(vecCol), books1, books2).as("codes"))
+
+  /** ADC + exact re-rank over residual codes. Interleaving the two
+    * levels' dot tables to match the interleaved codes means the SAME
+    * AdcScore kernel scores both levels in one pass:
+    * Σ_s q·cw1[c1_s] + q·cw2[c2_s] = q·reconstruction. */
+  def searchResidual(encoded: DataFrame, queries: DataFrame, queryId: String,
+                     queryVec: String, books1: Array[Array[Array[Double]]],
+                     books2: Array[Array[Array[Double]]],
+                     k: Int, shortlist: Int = 50): DataFrame = {
+    val m = books1.length
+    val subDim = books1(0)(0).length
+    def dots(books: Array[Array[Array[Double]]], s: Int) = {
+      val qSub = slice(transform(col("qvec"), _.cast("double")),
+        s * subDim + 1, subDim)
+      transform(typedLit(books(s).map(_.toSeq).toSeq), cw =>
+        aggregate(zip_with(qSub, cw, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v))
+    }
+    val tableCol = array((0 until m).flatMap(s =>
+      Seq(dots(books1, s), dots(books2, s))): _*)
+    val q = broadcast(queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .withColumn("tables", tableCol))
+    val scored = encoded.join(q)
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.plans.native.adcScore(col("codes"), col("tables")).as("sim"))
+    val short = Knn.topKPerQuery(scored, shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = broadcast(short)
+      .join(encoded.select(col("id").as("neighbor_id"), col("vec")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
+    Knn.topKPerQuery(exact, k)
+  }
+
   /** Build the combined IVF+PQ on-disk index: cells partitioned by
     * `cell` carrying (id, codes, vec) with codes FIRST so the ADC pass
     * scans a codes-only projection, centroids and codebooks beside it.

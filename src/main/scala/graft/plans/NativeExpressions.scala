@@ -431,6 +431,60 @@ object PqKernel {
     new GenericArrayData(out)
   }
 
+  /** Two-level residual codes: per subspace, level-1 argmin code then
+    * argmin over the level-2 codebook for the RESIDUAL sub − cw1.
+    * Output interleaves [c1_0, c2_0, c1_1, c2_1, …] (length 2m), which
+    * makes `adcScore` work unchanged with interleaved dot tables:
+    * score = Σ_s q·cw1[c1_s] + q·cw2[c2_s] = q·(cw1+cw2) — the
+    * reconstruction's dot, one extra byte-ish per subspace for a
+    * strictly finer quantization. */
+  def residualCodes(vec: ArrayData, vecFloat: Boolean,
+                    books1: Array[Array[Array[Double]]],
+                    books2: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books1.length
+    val out = new Array[Any](2 * m)
+    var s = 0
+    while (s < m) {
+      val cws1 = books1(s)
+      val subDim = cws1(0).length
+      val off = s * subDim
+      // level 1: argmin over codewords
+      var best1 = 0; var bestD1 = Double.PositiveInfinity
+      var c = 0
+      while (c < cws1.length) {
+        val cw = cws1(c)
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val x = if (vecFloat) vec.getFloat(off + i).toDouble
+                  else vec.getDouble(off + i)
+          val diff = x - cw(i); d += diff * diff; i += 1
+        }
+        if (d < bestD1) { bestD1 = d; best1 = c }
+        c += 1
+      }
+      // level 2: argmin over the residual
+      val cw1 = cws1(best1)
+      val cws2 = books2(s)
+      var best2 = 0; var bestD2 = Double.PositiveInfinity
+      c = 0
+      while (c < cws2.length) {
+        val cw2 = cws2(c)
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val x = if (vecFloat) vec.getFloat(off + i).toDouble
+                  else vec.getDouble(off + i)
+          val diff = (x - cw1(i)) - cw2(i); d += diff * diff; i += 1
+        }
+        if (d < bestD2) { bestD2 = d; best2 = c }
+        c += 1
+      }
+      out(2 * s) = best1
+      out(2 * s + 1) = best2
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC score: Σ_s tables[s][codes[s]] — the same left fold as the
     * HOF aggregate-over-sequence form, so scores are bit-identical. */
   def adcScore(codes: ArrayData, tables: ArrayData): Double = {
@@ -535,6 +589,41 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Two-level residual-PQ codes (see PqKernel.residualCodes): interleaved
+  * array<int> of length 2m; both codebook levels ride as reference
+  * objects. */
+case class ResidualCodes(child: Expression,
+                         books1: Array[Array[Array[Double]]],
+                         books2: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(books1.nonEmpty && books1.length == books2.length,
+    "books1/books2 must be non-empty and aligned per subspace")
+  private lazy val vecFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"residual_codes expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "residual_codes"
+
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.residualCodes(input.asInstanceOf[ArrayData], vecFloat, books1, books2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b1 = ctx.addReferenceObj("books1", books1, "double[][][]")
+    val b2 = ctx.addReferenceObj("books2", books2, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.PqKernel.residualCodes($c, $vecFloat, $b1, $b2)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ResidualCodes =
+    copy(child = newChild)
+}
+
 /** ADC table-lookup score of (codes: array<int>, tables:
   * array<array<double>>) — the per-candidate inner loop of PQ search,
   * codegen'd instead of an interpreted aggregate-over-sequence. */
@@ -632,6 +721,10 @@ object native {
 
   def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes))
+
+  def residualCodes(vec: Column, books1: Array[Array[Array[Double]]],
+                    books2: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(ResidualCodes(GraftBridge.expression(vec), books1, books2))
 
   def adcScore(codes: Column, tables: Column): Column =
     GraftBridge.column(AdcScore(GraftBridge.expression(codes),

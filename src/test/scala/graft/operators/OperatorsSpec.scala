@@ -335,6 +335,60 @@ class KnnSpec extends SparkSpec {
     assert(hits.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("residual PQ: finer reconstruction than one level, same search contract") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val single = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    val (b1, b2) = Pq.trainResidualCodebooks(vecs, "vec_id", "embedding",
+      m = 8, k = 16, dim = 64)
+    assert(b1.length == 8 && b2.length == 8)
+
+    // reconstruction distortion: two levels must beat one
+    val data = vecs.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val subDim = 8
+    def argmin(cws: Array[Array[Double]], target: Array[Double]): Int =
+      cws.indices.minBy { c =>
+        cws(c).zip(target).map { case (y, x) => (x - y) * (x - y) }.sum
+      }
+    var d1 = 0.0; var d2 = 0.0
+    data.foreach { v =>
+      (0 until 8).foreach { sIdx =>
+        val sub = v.slice(sIdx * subDim, (sIdx + 1) * subDim)
+        val c1s = argmin(single(sIdx), sub)
+        d1 += sub.zip(single(sIdx)(c1s)).map { case (x, y) => (x - y) * (x - y) }.sum
+        val c1 = argmin(b1(sIdx), sub)
+        val r = sub.zip(b1(sIdx)(c1)).map { case (x, y) => x - y }
+        val c2 = argmin(b2(sIdx), r)
+        d2 += r.zip(b2(sIdx)(c2)).map { case (x, y) => (x - y) * (x - y) }.sum
+      }
+    }
+    assert(d2 < d1, s"residual level did not refine: $d1 -> $d2")
+
+    // end-to-end search: interleaved codes/tables through the shared
+    // AdcScore kernel, recall at least as sane as single-level PQ
+    val queries = vecs.where(col("vec_id") < 5)
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val encoded = Pq.encodeResidual(vecs, "vec_id", "embedding", b1, b2)
+    assert(encoded.select("codes").collect()
+      .forall(_.getSeq[Int](0).length == 16)) // 2 codes per subspace
+    val hits = Pq.searchResidual(encoded, queries, "vec_id", "embedding",
+      b1, b2, k = 10, shortlist = 50)
+    val recalls = (0L until 5L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val p = hits.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      (e & p).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"residual PQ recall collapsed: $recalls")
+  }
+
   test("IVF+PQ index: codes-only ADC over pruned cells, vec only at re-rank") {
     val s = spark
     import s.implicits._
