@@ -280,17 +280,27 @@ object Pq {
     }.toArray
   }
 
-  /** Probe the IVF+PQ index: nprobe cells per query (directory-pruned
-    * scan), ADC shortlist over a CODES-ONLY projection of those cells,
-    * exact cosine re-rank reading the vec column only for shortlisted
-    * ids. At 100 TB the heavy scan is m bytes/row over nprobe/c of the
-    * corpus; full vectors are touched for queries × shortlist rows. */
-  def searchIvfPq(spark: SparkSession, path: String,
-                  queries: DataFrame, queryId: String, queryVec: String,
-                  k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
-    val books = loadCodebooks(spark, path)
-    val m = books.length
-    val subDim = books(0)(0).length
+  /** Per-subspace ADC dot table over `qvec` for one codebook level. */
+  private def dotTable(books: Array[Array[Array[Double]]], s: Int,
+                       subDim: Int): org.apache.spark.sql.Column = {
+    val qSub = slice(transform(col("qvec"), _.cast("double")),
+      s * subDim + 1, subDim)
+    transform(typedLit(books(s).map(_.toSeq).toSeq), cw =>
+      aggregate(zip_with(qSub, cw, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** Shared on-disk ADC search core: probe nprobe cells per query
+    * (directory-pruned scan), ADC shortlist over a CODES-ONLY
+    * projection of those cells, exact cosine re-rank reading the vec
+    * column only for shortlisted ids. At 100 TB the heavy scan is
+    * code-bytes/row over nprobe/c of the corpus; full vectors are
+    * touched for queries × shortlist rows. `tableCol` supplies the
+    * per-query dot tables matched to the stored code layout. */
+  private def searchIvfAdc(spark: SparkSession, path: String,
+                           queries: DataFrame, queryId: String, queryVec: String,
+                           k: Int, nprobe: Int, shortlist: Int,
+                           tableCol: org.apache.spark.sql.Column): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val qAssign = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
@@ -304,13 +314,6 @@ object Pq {
       .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
     val probed = qAssign.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val tableCol = array((0 until m).map { s =>
-      val qSub = slice(transform(col("qvec"), _.cast("double")),
-        s * subDim + 1, subDim)
-      transform(typedLit(books(s).map(_.toSeq).toSeq), cw =>
-        aggregate(zip_with(qSub, cw, (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v))
-    }: _*)
     val q = broadcast(qAssign.withColumn("tables", tableCol))
     // ADC pass: codes-only projection of the probed cells
     val codesScan = spark.read.parquet(s"$path/cells")
@@ -333,5 +336,67 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"),
         round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
     Knn.topKPerQuery(exact, k)
+  }
+
+  /** Probe the IVF+PQ index built by writeIvfPqIndex. */
+  def searchIvfPq(spark: SparkSession, path: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val books = loadCodebooks(spark, path)
+    val subDim = books(0)(0).length
+    searchIvfAdc(spark, path, queries, queryId, queryVec, k, nprobe, shortlist,
+      array(books.indices.map(dotTable(books, _, subDim)): _*))
+  }
+
+  /** IVF + RESIDUAL quantization on disk: same layout as
+    * writeIvfPqIndex but cells carry interleaved two-level codes and
+    * the codebooks parquet gains a `level` column. The middle rung of
+    * the recall/size ladder — 16× compression instead of 32× at
+    * dim=64/m=8, strictly finer reconstruction. */
+  def writeIvfRqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, c: Int = 16, m: Int = 8, k: Int = 16,
+                      dim: Int = 64)
+      : (Array[Array[Array[Double]]], Array[Array[Array[Double]]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val (b1, b2) = trainResidualCodebooks(corpus, idCol, vecCol, m, k, dim)
+    Seq(b1, b2).zipWithIndex.flatMap { case (books, level) =>
+      books.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, code) => (level, s, code, cw.toSeq) }
+      }.toSeq
+    }.toDF("level", "sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Knn.assignCells(corpus, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .withColumn("codes", graft.plans.native.residualCodes(col("vec"), b1, b2))
+      .select("id", "codes", "vec", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    (b1, b2)
+  }
+
+  /** Reload two-level codebooks written by writeIvfRqIndex. */
+  def loadResidualCodebooks(spark: SparkSession, path: String)
+      : (Array[Array[Array[Double]]], Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("level", "sub", "code", "cw")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray))
+    def level(l: Int) = rows.filter(_._1 == l).groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._3).map(_._4) }.toArray
+    (level(0), level(1))
+  }
+
+  /** Probe the IVF+RQ index: interleaved two-level dot tables through
+    * the same ADC core (score = q·(cw1+cw2) per subspace). */
+  def searchIvfRq(spark: SparkSession, path: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val (b1, b2) = loadResidualCodebooks(spark, path)
+    val subDim = b1(0)(0).length
+    searchIvfAdc(spark, path, queries, queryId, queryVec, k, nprobe, shortlist,
+      array(b1.indices.flatMap(s =>
+        Seq(dotTable(b1, s, subDim), dotTable(b2, s, subDim))): _*))
   }
 }

@@ -389,6 +389,39 @@ class KnnSpec extends SparkSpec {
       s"residual PQ recall collapsed: $recalls")
   }
 
+  test("IVF+RQ index: interleaved two-level codes search through the shared ADC core") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfrq").toFile
+    val (b1, b2) = Pq.writeIvfRqIndex(vecs, "vec_id", "embedding",
+      dir.getAbsolutePath, c = 8, m = 8, k = 16, dim = 64)
+    // two-level codebooks round-trip through parquet
+    val (r1, r2) = Pq.loadResidualCodebooks(spark, dir.getAbsolutePath)
+    assert(r1(0)(0).toSeq == b1(0)(0).toSeq && r2(0)(0).toSeq == b2(0)(0).toSeq)
+    // cells carry interleaved 2m codes
+    val codes = spark.read.parquet(s"$dir/cells").select("codes").collect()
+    assert(codes.forall(_.getSeq[Int](0).length == 16))
+
+    val hits = Pq.searchIvfRq(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", k = 10, nprobe = 6, shortlist = 60)
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val exactSet = exact.where(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val hitSet = hits.where(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert((exactSet & hitSet).size.toDouble / exactSet.size >= 0.3)
+    // probe scan still prunes to the probed cell directories
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+
   test("IVF+PQ index: codes-only ADC over pruned cells, vec only at re-rank") {
     val s = spark
     import s.implicits._
