@@ -75,6 +75,47 @@ object Pq {
     books
   }
 
+  /** Oracle-replayable single Lloyd round over given codebooks: the
+    * per-(subspace, codeword) mean is an ORDERED sequential fold over
+    * members sorted by id — bit-identical to DuckDB's
+    * list_reduce(list(x ORDER BY id)), the fp-determinism the parallel
+    * VectorAvgAggregator (production path, trainCodebooksKmeans) cannot
+    * give. Same gate/oracle-only trade as Knn.kmeansCentroidsOrdered:
+    * each (s, code) group materializes its members in one aggregation
+    * row, so this is NOT the 100 TB path. Codewords with no members
+    * keep their previous (rounded) value. Output: one row per
+    * (s, code, d) with the refined component `mu` — flat doubles, no
+    * arrays, so the cross-engine comparator sees scalars. */
+  def refineCodebooksOrdered(corpus: DataFrame, idCol: String, vecCol: String,
+                             books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val subDim = books(0)(0).length
+    val means = encode(corpus, idCol, vecCol, books)
+      .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")),
+        transform(col("vec"), _.cast("double")).as("v"))
+      .select(col("id"), col("s"), col("code"),
+        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("sub"))
+      .groupBy("s", "code")
+      .agg(array_sort(collect_list(struct(col("id"), col("sub")))).as("members"))
+      .select(col("s"), col("code"),
+        posexplode(transform(sequence(lit(1), lit(subDim)), d =>
+          aggregate(col("members"), lit(0.0),
+            (acc, mm) => acc + element_at(mm.getField("sub"), d))
+            / size(col("members")).cast("double"))).as(Seq("d0", "mu")))
+      .select(col("s"), col("code"), (col("d0") + 1).cast("int").as("d"),
+        col("mu"))
+    val grid = (for {
+      (cws, s) <- books.zipWithIndex
+      (cw, c) <- cws.zipWithIndex
+      (x, d0) <- cw.zipWithIndex
+    } yield (s, c, d0 + 1, x)).toSeq.toDF("s", "code", "d", "cw0")
+    broadcast(grid).join(means, Seq("s", "code", "d"), "left")
+      .select(col("s"), col("code"), col("d"),
+        round(coalesce(col("mu"), col("cw0")), 6).as("mu"))
+  }
+
   /** The m-codeword encoding as a pure Column over `vec` — argmin L2
     * per subspace against the codebooks, via the codegen'd PqCodes
     * kernel (the books ride into generated code as a reference

@@ -335,6 +335,46 @@ class KnnSpec extends SparkSpec {
     assert(hits.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("refineCodebooksOrdered matches a driver-side single Lloyd round") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    val got = Pq.refineCodebooksOrdered(vecs, "vec_id", "embedding", books)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    assert(got.size == 8 * 16 * 8)
+    // reference: encode every vector with the kernel's argmin, mean the
+    // members per (s, code) in id order, keep sampled values for empty
+    // codewords
+    val data = vecs.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val subDim = 8
+    for (sIdx <- 0 until 8; code <- 0 until 16; d <- 0 until subDim) {
+      val members = data.filter { case (_, v) =>
+        val sub = v.slice(sIdx * subDim, (sIdx + 1) * subDim)
+        val c = books(sIdx).indices.minBy { c =>
+          var acc = 0.0; var i = 0
+          while (i < subDim) {
+            val diff = sub(i) - books(sIdx)(c)(i); acc += diff * diff; i += 1
+          }
+          acc
+        }
+        c == code
+      }
+      val want =
+        if (members.isEmpty) books(sIdx)(code)(d)
+        else members.map(_._2(sIdx * subDim + d)).sum / members.length
+      val gotMu = got((sIdx, code, d + 1))
+      assert(math.abs(gotMu - want) < 1e-6,
+        s"(s=$sIdx, code=$code, d=$d): got $gotMu want $want")
+    }
+  }
+
   test("residual PQ: finer reconstruction than one level, same search contract") {
     val s = spark
     import s.implicits._
