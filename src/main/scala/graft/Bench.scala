@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * driver heap, cpus, system load, timestamp — and runs
   * SPARK_GRAFT_BENCH_PASSES passes (default 2), reporting the per-query
   * MIN so a cold/contended first pass can't masquerade as a regression.
+  *
+  * Failure visibility: a query that throws is listed in `err` (and its
+  * entry in `queries` is -1) instead of being silently timed — a broken
+  * query must not masquerade as a fast one.
+  *
+  * Planning-vs-execution split: `planning` carries per-query Catalyst
+  * planning seconds (QueryPlanningTracker phase sums — analysis +
+  * optimization + physical planning, measured on a fresh build of the
+  * same query), and env.planning_total_sec their sum. This is the data
+  * behind the "local-mode planning floor" claim: at sf0.1 most of the
+  * per-query wall time is plan construction, not execution, and that
+  * constant does not scale with data size.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,28 +50,53 @@ object Bench {
         } catch { case _: Throwable => }
       }
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    // Per-pass timing; a thrown query records NaN for that pass.
     val passResults: Seq[Map[String, Double]] = (1 to math.max(1, passes)).map { _ =>
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
       }.toMap
     }
-    val best = names.map(n => n -> passResults.map(_(n)).min)
+    val errs = names.filter(n => passResults.exists(_(n).isNaN))
+    def minOk(n: String): Double = {
+      val ok = passResults.map(_(n)).filterNot(_.isNaN)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val best = names.map(n => n -> minOk(n))
+    // Planning seconds per query: build the SAME query fresh and force
+    // physical planning without executing; the tracker's phase spans
+    // (analysis / optimization / planning) sum to the Catalyst cost.
+    val planning: Seq[(String, Double)] = names.map { name =>
+      name -> (try {
+        val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        qe.executedPlan // forces analysis → optimization → planning
+        qe.tracker.phases.values
+          .map(p => p.endTimeMs - p.startTimeMs).sum / 1e3
+      } catch { case _: Throwable => -1.0 })
+    }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = best.map(_._2).sum
-    val passTotals = passResults.map(_.values.sum)
+    val ps = planning.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = best.map(_._2).filter(_ >= 0).sum
+    val planningTotal = planning.map(_._2).filter(_ >= 0).sum
+    val passTotals = passResults
+      .map(_.values.filterNot(_.isNaN).sum)
       .mkString("[", ",", "]")
+    val errJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = Runtime.getRuntime
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val env = s"""{"driver_mem_gb":${rt.maxMemory / 1e9},"cpus":"$cpus",""" +
       s""""host_cpus":${rt.availableProcessors()},"load_avg":$load,""" +
       s""""passes":$passes,"pass_totals":$passTotals,""" +
+      s""""planning_total_sec":$planningTotal,""" +
       s""""timestamp":"${java.time.Instant.now()}"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""planning":$ps,"err":$errJson,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }
