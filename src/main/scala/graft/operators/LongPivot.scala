@@ -28,15 +28,36 @@ object LongPivot {
 
   /** Unpivot all non-id columns of the given data type into
     * (idCols..., item, value), dropping NULL values and deduplicating —
-    * exactly the reference's long-parquet semantics. */
+    * exactly the reference's long-parquet semantics.
+    *
+    * Deduplicating plan shape: any duplicate long row shares its id
+    * columns, so the input is hash-partitioned by idCols FIRST (narrow
+    * rows, 1× data volume) and the long form is built with
+    * explode-of-structs — Generate PRESERVES the child partitioning
+    * (Expand does not: ExpandExec reports UnknownPartitioning), so the
+    * dedup aggregate's ClusteredDistribution over
+    * (idCols, item, value) is already satisfied and the plan carries
+    * ONE exchange total. The naive unpivot().distinct() shuffles the
+    * k×-expanded rows instead — k× the bytes, and at 100 TB the
+    * difference between one narrow shuffle and one k×-wide one. */
   def long(df: DataFrame, idCols: Seq[String], dtype: DataType,
            distinct: Boolean = true): DataFrame = {
     val values = colsOfType(df, dtype, idCols)
     require(values.nonEmpty, s"no columns of type $dtype to unpivot")
-    val unp = df.unpivot(
-      idCols.map(col).toArray, values.map(col).toArray, "item", "value")
-      .where(col("value").isNotNull)
-    if (distinct) unp.distinct() else unp
+    if (distinct && idCols.nonEmpty) {
+      val iv = explode(array(values.map(c =>
+        struct(lit(c).as("item"), col(c).as("value"))): _*)).as("iv")
+      df.repartition(idCols.map(col): _*)
+        .select(idCols.map(col) :+ iv: _*)
+        .select(idCols.map(col) :+ col("iv.item").as("item")
+          :+ col("iv.value").as("value"): _*)
+        .where(col("value").isNotNull)
+        .distinct()
+    } else {
+      df.unpivot(
+        idCols.map(col).toArray, values.map(col).toArray, "item", "value")
+        .where(col("value").isNotNull)
+    }
   }
 
   /** Pivot a long table back to wide. `values_fn` ∈

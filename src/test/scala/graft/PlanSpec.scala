@@ -46,10 +46,26 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
-  test("q08 unpivots via a single Expand") {
-    val s = planString("q08_unpivot_long")
-    assert("Expand".r.findAllIn(s).size >= 1)
+  test("q08 long reshape: ONE narrow exchange, generate preserves partitioning") {
+    // the dedup aggregate must reuse the pre-generate hash partitioning
+    // on the id columns (Generate preserves it; Expand would not) — the
+    // only exchange is the narrow 1×-volume input repartition (plus the
+    // gate query's final output sort).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = SparkEntry.queries("q08_unpivot_long")(spark, dir)
+      .queryExecution.executedPlan
+    val inner = plan.collect { case a: AdaptiveSparkPlanExec => a }
+      .map(_.inputPlan).headOption.getOrElse(plan)
+    val s = inner.toString
+    assert(s.contains("Generate"), s"expected explode-based reshape:\n$s")
     assert(!s.contains("Union")) // not a union-of-selects reshape
+    val shuffles = inner.collect { case e: ShuffleExchangeLike => e }
+    // 1 = repartition by id cols; 2nd allowed only for the output sort
+    assert(shuffles.size <= 2, s"expected <=2 shuffles (repartition + sort):\n$s")
+    val hashShuffles = shuffles.map(_.toString).count(_.contains("hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"expected exactly one hash exchange (the narrow pre-generate repartition):\n$s")
   }
 
   test("q52 range join broadcasts the interval dimension") {
