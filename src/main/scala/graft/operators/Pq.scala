@@ -304,10 +304,15 @@ object Pq {
       cws.zipWithIndex.map { case (cw, code) => (s, code, cw.toSeq) }
     }.toSeq.toDF("sub", "code", "cw")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    // One file per cell, rows SORTED BY id: the re-rank pass filters the
+    // vec scan by the shortlisted ids, and sorted row groups give that
+    // filter tight min/max stats to prune with.
     Knn.assignCells(corpus, idCol, vecCol,
       spark.read.parquet(s"$path/centroids"))
       .withColumn("codes", codesColumn(col("vec"), books))
       .select("id", "codes", "vec", "cell")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     books
   }
@@ -334,10 +339,15 @@ object Pq {
   /** Shared on-disk ADC search core: probe nprobe cells per query
     * (directory-pruned scan), ADC shortlist over a CODES-ONLY
     * projection of those cells, exact cosine re-rank reading the vec
-    * column only for shortlisted ids. At 100 TB the heavy scan is
-    * code-bytes/row over nprobe/c of the corpus; full vectors are
-    * touched for queries × shortlist rows. `tableCol` supplies the
-    * per-query dot tables matched to the stored code layout. */
+    * column only for shortlisted ids: the shortlist (queries ×
+    * shortlist rows — driver-bounded by construction) is collected and
+    * pushed into the vec scan as an id filter, which the sorted-by-id
+    * cell layout (writeIvfPqIndex/writeIvfRqIndex) turns into parquet
+    * row-group pruning. At 100 TB the heavy scan is code-bytes/row
+    * over nprobe/c of the corpus; full-width vectors are decoded only
+    * for row groups that can contain a shortlisted id. `tableCol`
+    * supplies the per-query dot tables matched to the stored code
+    * layout. */
   private def searchIvfAdc(spark: SparkSession, path: String,
                            queries: DataFrame, queryId: String, queryVec: String,
                            k: Int, nprobe: Int, shortlist: Int,
@@ -364,11 +374,25 @@ object Pq {
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         graft.plans.native.adcScore(col("codes"), col("tables")).as("sim"))
-    val short = Knn.topKPerQuery(scored, shortlist)
-      .select("query_id", "neighbor_id")
-    // re-rank: vec column read only for the shortlist join
+    // Shortlist is queries × shortlist rows — driver-bounded by
+    // construction, so materialize it once and reuse it both as the
+    // re-rank join side and as a pushed id filter on the vec scan.
+    val shortRows = Knn.topKPerQuery(scored, shortlist)
+      .select("query_id", "neighbor_id").collect()
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(shortRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          scored.schema("query_id").dataType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          scored.schema("neighbor_id").dataType))))
+    val shortIds = shortRows.map(_.get(1)).distinct.toSeq
+    // re-rank: vec column read only for shortlisted ids — the isin
+    // filter reaches the parquet scan, and the cells' sorted-by-id row
+    // groups let its min/max stats prune (large IN lists push down as
+    // a range over the sorted ids)
     val vecScan = spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(probed: _*))
+      .where(col("cell").isin(probed: _*) && col("id").isin(shortIds: _*))
       .select(col("id").as("neighbor_id"), col("vec"))
     val exact = broadcast(short)
       .join(vecScan, Seq("neighbor_id"))
@@ -409,10 +433,13 @@ object Pq {
       }.toSeq
     }.toDF("level", "sub", "code", "cw")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    // Same sorted-by-id cell layout as writeIvfPqIndex (re-rank pruning).
     Knn.assignCells(corpus, idCol, vecCol,
       spark.read.parquet(s"$path/centroids"))
       .withColumn("codes", graft.plans.native.residualCodes(col("vec"), b1, b2))
       .select("id", "codes", "vec", "cell")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     (b1, b2)
   }

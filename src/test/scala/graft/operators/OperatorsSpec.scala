@@ -495,5 +495,22 @@ class KnnSpec extends SparkSpec {
     val plan = hits.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    // the re-rank vec scan carries a PUSHED id filter (the collected
+    // shortlist), which the sorted-by-id cell files turn into row-group
+    // pruning — full-width vectors are decoded only where a shortlisted
+    // id can live, making the "vec touched only for the shortlist"
+    // claim a plan property, not prose
+    val scanBlocks = plan.split("\\(\\d+\\) Scan parquet").toSeq
+    val vecScans = scanBlocks.filter(b =>
+      b.contains("vec") && b.contains("PushedFilters"))
+    assert(vecScans.exists(b =>
+      b.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("id"))),
+      s"no pushed id filter on the vec re-rank scan:\n$plan")
+    // cells are written sorted by id (row-group stats monotone)
+    val cellDir = new java.io.File(dir, "cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).head
+    val ids = spark.read.parquet(cellDir.getAbsolutePath)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted, "cell rows are not id-sorted")
   }
 }
