@@ -94,6 +94,105 @@ object AsOfJoin {
         rightCols.map(c => col(M).getField(c).as(c)): _*)
   }
 
+  /** Skew-proof variant of [[asOf]]: the single-key straggler killer.
+    * `asOf`'s one window serializes each key onto one task — correct,
+    * linear, but a corpus where one key holds most rows (one instrument
+    * dominating quotes-to-trades) runs that key on a single core. Here
+    * the time axis is cut into `epochs` buckets and the merge runs in
+    * two phases:
+    *
+    *   1. the same union+window merge per (key, epoch) — hot keys now
+    *      spread over `epochs` tasks;
+    *   2. each epoch's FINAL right payload (computed in the same
+    *      WindowExec, full-partition frame) is aggregated to one row
+    *      per (key, epoch) — metadata-scale — and a window over that
+    *      tiny table ordered by epoch carries the last non-null prior
+    *      payload forward; rows whose epoch-local merge found nothing
+    *      coalesce to the carried payload.
+    *
+    * One big-data shuffle total: the (key, epoch) window partitioning
+    * is reused by both the epoch-final aggregate and the carry-back
+    * join (EnsureRequirements elides their exchanges); the bounds pass
+    * that sizes the buckets scans only the time column. Results are
+    * identical to [[asOf]] (spec-asserted on hot-key data).
+    */
+  def asOfBucketed(left: DataFrame, leftKey: String, leftTime: String,
+                   leftId: String, right: DataFrame, rightKey: String,
+                   rightTime: String, rightTiebreak: String,
+                   epochs: Int = 32): DataFrame = {
+    require(epochs >= 2, s"epochs must be >= 2, got $epochs")
+    val kT = widen(left.schema(leftKey).dataType, right.schema(rightKey).dataType)
+    val tT = widen(left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+    val K = "__graft_asof_k"; val T = "__graft_asof_t"; val S = "__graft_asof_side"
+    val TB = "__graft_asof_tb"; val R = "__graft_asof_r"; val M = "__graft_asof_m"
+    val E = "__graft_asof_e"; val F = "__graft_asof_f"; val C = "__graft_asof_c"
+    val rightCols = right.columns.toSeq
+
+    val rTagged = right
+      .where(right(rightKey).isNotNull && right(rightTime).isNotNull)
+      .select(
+        right(rightKey).cast(kT).as(K),
+        right(rightTime).cast(tT).as(T),
+        lit(0).as(S),
+        right(rightTiebreak).as(TB),
+        struct(rightCols.map(c => right(c)): _*).as(R))
+    val lTagged = left.select(
+      left(leftKey).cast(kT).as(K) +:
+        left(leftTime).cast(tT).as(T) +:
+        lit(1).as(S) +:
+        left.columns.toSeq.map(c => left(c)): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    // Monotone numeric image of the time column (epoch cut points must
+    // preserve time order): days for dates, micros for timestamps,
+    // the value itself for numerics.
+    def toNum(c: Column): Column = tT match {
+      case DateType => unix_date(c).cast(DoubleType)
+      case TimestampType | TimestampNTZType =>
+        unix_micros(c.cast(TimestampType)).cast(DoubleType)
+      case _ => c.cast(DoubleType)
+    }
+    // Bounds pass: column-pruned scan of the time column only.
+    val bounds = unioned.agg(
+      min(toNum(col(T))).as("mn"), max(toNum(col(T))).as("mx")).collect()(0)
+    val epochCol =
+      if (bounds.isNullAt(0)) lit(0L)
+      else {
+        val mn = bounds.getDouble(0); val mx = bounds.getDouble(1)
+        val width = math.max((mx - mn) / epochs, java.lang.Double.MIN_NORMAL)
+        // null T must stay epoch NULL (least() would skip the null and
+        // return the cap, landing null-time rows in the last epoch with
+        // a carried payload they must not see)
+        when(col(T).isNull, lit(null).cast(LongType))
+          .otherwise(least(floor((toNum(col(T)) - lit(mn)) / lit(width)),
+            lit(epochs - 1L)).cast(LongType))
+      }
+
+    val wBase = Window.partitionBy(col(K), col(E))
+      .orderBy(col(T).asc_nulls_first, col(S).asc, col(TB).desc_nulls_first)
+    val staged = unioned
+      .withColumn(E, epochCol)
+      .withColumn(M, last(col(R), ignoreNulls = true)
+        .over(wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(F, last(col(R), ignoreNulls = true)
+        .over(wBase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // F is constant within (key, epoch): one row per group, then the
+    // strictly-prior-epoch carry (null-T rows land in epoch NULL, which
+    // sorts first and therefore carries nothing — they match nothing,
+    // same as asOf).
+    val carried = staged
+      .groupBy(col(K), col(E))
+      .agg(first(col(F)).as(F))
+      .withColumn(C, last(col(F), ignoreNulls = true).over(
+        Window.partitionBy(col(K)).orderBy(col(E).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(K), col(E), col(C))
+    staged.join(carried, Seq(K, E), "left")
+      .where(col(S) === 1)
+      .select(left.columns.toSeq.map(c => col(c)) ++
+        rightCols.map(c => coalesce(col(M), col(C)).getField(c).as(c)): _*)
+  }
+
   /** Range join: left rows matched to right intervals
     * [startCol, endCol) containing leftTime; NULL end = open-ended
     * (the FFIEC item-details effective-dating convention). */

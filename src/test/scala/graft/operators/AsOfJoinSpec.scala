@@ -117,6 +117,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("tag")))
   }
 
+  test("asOfBucketed matches asOf on hot-key data and splits the key across epochs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    // 90% of rows on ONE hot key, cross-epoch matches guaranteed (many
+    // left times fall in epochs whose right history is in a prior
+    // bucket), plus ties and a null left time
+    def key(i: Int): Long = if (rnd.nextDouble() < 0.9) 7L else (i % 3).toLong
+    val left = (1 to 4000).map { i =>
+      (i.toLong, key(i),
+        if (i == 17) null
+        else new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L))
+    }.toDF("event_id", "key", "ts")
+    val right = (1 to 800).map { i =>
+      (key(i), new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+        i.toLong, s"payload_$i")
+    }.toDF("rkey", "rts", "rid", "tag")
+    val base = AsOfJoin.asOf(left, "key", "ts", "event_id",
+      right, "rkey", "rts", "rid")
+      .orderBy("event_id").collect().map(_.toSeq)
+    val bucketed = AsOfJoin.asOfBucketed(left, "key", "ts", "event_id",
+      right, "rkey", "rts", "rid", epochs = 8)
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(base.length == bucketed.length)
+    assert(base.toSeq == bucketed.toSeq,
+      "bucketed merge diverged from the linear merge")
+    // the phase-1 window partitions by (key, epoch) — the hot key runs
+    // on `epochs` tasks instead of one
+    val plan = AsOfJoin.asOfBucketed(left, "key", "ts", "event_id",
+      right, "rkey", "rts", "rid", epochs = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_asof_e"),
+      s"epoch column missing from the plan:\n$plan")
+    assert(plan.contains("hashpartitioning(__graft_asof_k"),
+      s"expected (key, epoch) window partitioning:\n$plan")
+  }
+
   test("rangeJoin matches effective-dated metadata, open-ended NULL end") {
     val s = spark
     import s.implicits._
