@@ -87,7 +87,8 @@ object Binary {
     }
 
   /** Per-row decode router: images decode for real, everything else
-    * (video/audio/unknown) takes the deterministic stub. */
+    * (video/audio/unknown) takes the deterministic stub. Equivalent to
+    * `JvmCodec.decode` — kept as the stable per-row entrypoint. */
   def decode(mediaId: Long, payload: Array[Byte]): DecodedFeatures =
     decodeImage(mediaId, payload).getOrElse(decodeStub(mediaId, payload))
 
@@ -119,8 +120,12 @@ object Binary {
   }
 
   /** Batched decode: one codec "session" per partition, rows streamed
-    * through it. Input needs (media_id, payload). */
-  def decodeFeatures(media: DataFrame): Dataset[DecodedFeatures] = {
+    * through it. Input needs (media_id, payload). The codec is the
+    * injection point for modalities this container cannot decode —
+    * production swaps [[JvmCodec]] for an FFmpeg/JNI implementation
+    * without touching the Spark plumbing. */
+  def decodeFeatures(media: DataFrame,
+                     codec: Codec = JvmCodec): Dataset[DecodedFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
@@ -128,7 +133,8 @@ object Binary {
       .mapPartitions { rows =>
         // per-partition codec init amortizes here (ImageIO config is
         // one-time per JVM; a JNI video codec would also init here)
-        rows.map { case (id, bytes) => decode(id, bytes) }
+        codec.init()
+        rows.map { case (id, bytes) => codec.decode(id, bytes) }
       }
   }
 
@@ -211,8 +217,15 @@ object Binary {
     * `chunkBytes` pieces with a binary substring (no driver round
     * trip), decode each chunk through the same batched shape, then
     * merge per media id (first chunk's dims, element-mean features).
-    * This is the spill path `oversized` routes to — one 4 GB payload
-    * flows through fixed-size decode batches instead of one task. */
+    * This is the spill path `oversized` routes to: it bounds CODEC
+    * batch memory to ~chunkBytes per call. Honest limits: a single
+    * Spark binary value caps at 2 GiB, so this path carries payloads
+    * up to that — not arbitrarily large ones — and the pre-projection
+    * explode pairs each offset with the full payload row (whole-stage
+    * codegen pipelines it per-row; the payload is not duplicated into
+    * a materialized intermediate, but it is re-read per chunk).
+    * Payloads beyond 2 GiB need a file-reference column and a
+    * range-read codec, not an inline binary. */
   def chunkedDecodeFeatures(media: DataFrame, chunkBytes: Int): Dataset[DecodedFeatures] = {
     require(chunkBytes > 0, "chunkBytes must be positive")
     val spark = media.sparkSession
@@ -324,16 +337,56 @@ object Binary {
 
   /** Batched audio decode: WAV/PCM decodes for real, everything else
     * takes the stub — same mapPartitions batch shape as
-    * decodeFeatures. */
-  def decodeAudioFeatures(media: DataFrame): Dataset[DecodedAudio] = {
+    * decodeFeatures; the codec injects mp3/ogg/aac support in
+    * production. */
+  def decodeAudioFeatures(media: DataFrame,
+                          codec: Codec = JvmCodec): Dataset[DecodedAudio] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          decodeAudio(id, bytes).getOrElse(decodeAudioStub(id, bytes))
-        }
+        codec.init()
+        rows.map { case (id, bytes) => codec.decodeAudio(id, bytes) }
       }
   }
+}
+
+/** Codec SPI: the seam between graft's Spark-side media plumbing
+  * (schema, size-aware partitioning, batched mapPartitions iteration)
+  * and the actual byte decoders. Implementations must be Serializable —
+  * the codec rides into task closures. `init()` runs once per
+  * partition, where a native codec loads its libraries / allocates a
+  * context; the default is a no-op.
+  *
+  * Production injects an FFmpeg/JNI-backed implementation to light up
+  * video and compressed audio without forking [[Binary]]; this
+  * container ships [[JvmCodec]] (real javax image/WAV decode, honest
+  * deterministic stubs beyond that) and [[StubCodec]] (stubs only, for
+  * tests and codec-less environments). */
+trait Codec extends Serializable {
+  def init(): Unit = ()
+  def decode(mediaId: Long, payload: Array[Byte]): Binary.DecodedFeatures
+  def decodeAudio(mediaId: Long, payload: Array[Byte]): Binary.DecodedAudio
+}
+
+/** Default codec: javax.imageio images + javax.sound.sampled WAV/PCM
+  * for real; video and compressed audio fall through to the
+  * deterministic stubs (no codec libs in this container). */
+object JvmCodec extends Codec {
+  override def decode(mediaId: Long, payload: Array[Byte]): Binary.DecodedFeatures =
+    Binary.decode(mediaId, payload)
+  override def decodeAudio(mediaId: Long, payload: Array[Byte]): Binary.DecodedAudio =
+    Binary.decodeAudio(mediaId, payload)
+      .getOrElse(Binary.decodeAudioStub(mediaId, payload))
+}
+
+/** Stub-only codec: every modality takes the deterministic byte-derived
+  * fake — the codec-less environment baseline, and the spec's proof
+  * that the SPI actually switches the decode path. */
+object StubCodec extends Codec {
+  override def decode(mediaId: Long, payload: Array[Byte]): Binary.DecodedFeatures =
+    Binary.decodeStub(mediaId, payload)
+  override def decodeAudio(mediaId: Long, payload: Array[Byte]): Binary.DecodedAudio =
+    Binary.decodeAudioStub(mediaId, payload)
 }

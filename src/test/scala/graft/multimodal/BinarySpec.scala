@@ -167,4 +167,47 @@ class BinarySpec extends SparkSpec {
         .toDF("media_id", "mime", "n_bytes", "payload")).collect()(0)
     assert(out2.sample_rate == 16000) // stub's deterministic rate
   }
+
+  test("Codec SPI: an injected codec replaces the decode path wholesale") {
+    val s = spark
+    import s.implicits._
+    // a fake "FFmpeg" standing where production's JNI codec would go —
+    // recognizable constants no real or stub path produces, plus an
+    // init marker proving per-partition initialization runs
+    object FakeFfmpeg extends Codec {
+      override def init(): Unit = FakeInitProbe.mark()
+      override def decode(id: Long, payload: Array[Byte]): Binary.DecodedFeatures =
+        Binary.DecodedFeatures(id, 1920, 1080, 3, Array.fill(8)(0.5f))
+      override def decodeAudio(id: Long, payload: Array[Byte]): Binary.DecodedAudio =
+        Binary.DecodedAudio(id, 44100, 2, 12345L, Array.fill(8)(0.25f))
+    }
+    FakeInitProbe.reset()
+    val png = encode(twoToneImage(), "png")
+    val media = Seq(
+      (1L, "image/png", png.length.toLong, png),
+      (2L, "video/mp4", 10L, Array.fill[Byte](10)(7))
+    ).toDF("media_id", "mime", "n_bytes", "payload")
+    // default JvmCodec: the PNG decodes for real
+    val jvm = Binary.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(jvm(0).width == 20 && jvm(0).height == 10)
+    // injected codec: EVERY payload goes through the fake — same
+    // plumbing, different decoder, no Binary fork
+    val fake = Binary.decodeFeatures(media, FakeFfmpeg).collect().sortBy(_.media_id)
+    assert(fake.forall(f => f.width == 1920 && f.height == 1080))
+    assert(FakeInitProbe.count() > 0, "codec init() never ran in tasks")
+    val fakeAudio = Binary.decodeAudioFeatures(media, FakeFfmpeg).collect()
+    assert(fakeAudio.forall(a => a.sample_rate == 44100 && a.n_frames == 12345L))
+    // StubCodec on an image: proves the SPI switches even the real path
+    val stub = Binary.decodeFeatures(media, StubCodec).collect().sortBy(_.media_id)
+    assert(stub(0).width == 16 + (png.length % 64)) // stub dims, not 20×10
+  }
+}
+
+/** Cross-JVM-safe init marker for the codec spec (local mode: tasks
+  * share the driver JVM, so a static counter observes task-side init). */
+object FakeInitProbe {
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  def mark(): Unit = n.incrementAndGet()
+  def reset(): Unit = n.set(0)
+  def count(): Int = n.get()
 }
