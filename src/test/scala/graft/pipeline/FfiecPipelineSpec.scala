@@ -230,6 +230,59 @@ class FfiecPipelineSpec extends SparkSpec {
     assert(new java.io.File(outDir, "ffiec_rc_20240331.parquet").exists())
   }
 
+  test("fleet soak: 60 zips (3 broken) through tolerant concurrent processAll") {
+    // the 100 TB ingestion posture in miniature: a quarter-century of
+    // quarterly drops processed in one tolerant concurrent run —
+    // asserts manifest COMPLETENESS (every zip accounted for, broken
+    // ones as error rows, no output lost to a neighbor's failure) and
+    // that concurrency overlaps zip-level work
+    val dir = java.nio.file.Files.createTempDirectory("ffiec_fleet").toFile
+    val quarters = for {
+      y <- 2010 to 2024; q <- Seq("0331", "0630", "0930", "1231")
+    } yield s"$q$y"
+    val dates = quarters.take(60)
+    val broken = Set(dates(7), dates(23), dates(41))
+    dates.foreach { d =>
+      if (broken(d)) {
+        // declared multipart but a part is missing — structural break
+        writeZip(dir, s"FFIEC CDR Call Bulk All Schedules $d.zip",
+          s"FFIEC CDR Call Schedule RC $d(1 of 3).txt" ->
+            "IDRSSD\tRCFD0010\t\nID\tCash\t\n37\t1.0\t\n")
+      } else {
+        writeZip(dir, s"FFIEC CDR Call Bulk All Schedules $d.zip",
+          s"FFIEC CDR Call Schedule RC $d.txt" ->
+            s"IDRSSD\tRCFD0010\tRCFD0020\t\nID\tCash\tDue\t\n37\t1.5\t2.5\t\n93\t3.5\t4.5\t\n")
+      }
+    }
+    def run(conc: Int): (org.apache.spark.sql.DataFrame, Double) = {
+      val outDir = java.nio.file.Files.createTempDirectory(s"ffiec_fleet_out$conc").toFile
+      val t0 = System.nanoTime()
+      val m = FfiecPipeline.processAll(spark, dir.getAbsolutePath,
+        outDir.getAbsolutePath, schemaMap, concurrency = conc, tolerant = true)
+        .cache()
+      m.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // completeness: 57 good rc tables + 3 error rows, every output on disk
+      assert(m.where(col("kind") === "rc" && col("ok")).count() == 57)
+      assert(m.where(col("kind") === "error" && !col("ok")).count() == 3)
+      dates.filterNot(broken).foreach { d =>
+        val ymd = d.takeRight(4) + d.take(4)
+        assert(new File(outDir, s"ffiec_rc_$ymd.parquet").exists(), s"missing $ymd")
+      }
+      val log = spark.read.parquet(s"$outDir/ffiec_process_data.parquet")
+      assert(log.count() == m.count())
+      (m, sec)
+    }
+    val (_, serialSec) = run(1)
+    val (_, concSec) = run(8)
+    info(f"fleet soak: 60 zips serial=$serialSec%.1fs concurrency8=$concSec%.1fs")
+    // concurrency must not be slower than serial by more than noise —
+    // wall-time scaling is recorded in SURVEY, not hard-asserted (CI
+    // boxes vary); the guard catches accidental serialization regressions
+    assert(concSec < serialSec * 1.5,
+      f"concurrent run pathologically slow: $concSec%.1fs vs $serialSec%.1fs")
+  }
+
   test("pct_to_prop strictness: bare numeric in a percent-bearing pure column") {
     val dir = java.nio.file.Files.createTempDirectory("ffiec_raw7").toFile
     val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq7").toFile
