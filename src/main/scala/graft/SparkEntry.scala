@@ -228,6 +228,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Duplicated-passage signal (substring-dedup metric): fraction of
+    // each doc's 3-token windows (with multiplicity) occurring >= 2
+    // times corpus-wide.
+    "q57_duplicated_windows" -> ((s, dir) => {
+      Dedup.duplicatedWindowFraction(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDf = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Cross-corpus decontamination: training docs (doc_id%10!=0) that
+    // MinHash-band with any eval doc (doc_id%10==0) at est_jaccard >=
+    // tau — md5-portable mode, replayed key-for-key by the oracle.
+    "q58_decontam_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalDocs = docs.where(col("doc_id") % 10 === 0)
+      val train = docs.where(col("doc_id") % 10 =!= 0)
+      Dedup.minhashLshPairsAcross(train, "doc_id", "text",
+        evalDocs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.35,
+        portableHash = true)
+        .orderBy("id_l", "id_r")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -893,6 +916,54 @@ object SparkEntry {
          |  FROM pairs) p
          |WHERE est_jaccard >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q57_duplicated_windows" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(1, len(tk) - 1),
+         |                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS w
+         |  FROM toks),
+         |g AS (SELECT w, COUNT(*) AS c FROM wins GROUP BY w),
+         |per AS (
+         |  SELECT x.doc_id, COUNT(*) AS tot,
+         |         SUM(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS dup
+         |  FROM wins x JOIN g USING (w) GROUP BY x.doc_id)
+         |SELECT doc_id, ROUND(dup * 1.0 / tot, 6) AS dup_frac
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Cross-corpus decontamination: same signature/banding replay as
+    // q17, with the pair join split train-side × eval-side. The
+    // hot-bucket QUALIFY runs over ALL banded rows (each doc bands on
+    // exactly one side, so the union equals the full corpus banding —
+    // key-for-key the operator's union cap).
+    "q58_decontam_pairs" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |         any_value(a.sig) AS sig_l, any_value(b.sig) AS sig_r
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_l, id_r, est_jaccard FROM (
+         |  SELECT id_l, id_r,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_l[i] = sig_r[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_l, id_r""".stripMargin,
 
     "q18_simhash" ->
       s"""WITH toks AS (

@@ -235,6 +235,99 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicated-passage signal (the substring-dedup quality metric of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, arXiv:2107.06499 — document-granular here):
+    * fraction of each document's n-token windows (stride 1, WITH
+    * multiplicity) that occur >= `minDf` times across the whole
+    * corpus. High fractions mark boilerplate/template documents whose
+    * text is mostly copies of corpus-frequent passages.
+    *
+    * Plan: explode windows (linear, n× token volume) → window-keyed
+    * count (ONE keys-only shuffle, map-side combined) → join counts
+    * back (shuffle on the same key — reused partitioning) → per-doc
+    * aggregate. No all-pairs anywhere; both shuffles are keyed by the
+    * window hash, so the shape survives 100 TB. Documents shorter than
+    * n tokens contribute their single whole-text window (wordShingles
+    * semantics) — two short identical docs therefore count as
+    * duplicated, which is the intended reading. */
+  def duplicatedWindowFraction(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 20, minDf: Long = 2L): DataFrame = {
+    val ex = df.select(col(idCol),
+      explode(graft.plans.native.wordShingles(col(textCol), n)).as("w"))
+    val counts = ex.groupBy("w").agg(count(lit(1)).as("c"))
+    ex.join(counts, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("tot"),
+        sum((col("c") >= minDf).cast("long")).as("dup"))
+      .select(col(idCol),
+        round(col("dup").cast("double") / col("tot").cast("double"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Cross-corpus near-dup decontamination: MinHash+LSH candidate
+    * pairs BETWEEN two tables — training docs banding with any eval
+    * doc (the doc-granular train/test-leak scan; ngramOverlapLarge is
+    * the span-granular twin). Same signature/banding machinery as
+    * minhashLshPairs, but candidates pair a left doc with a right doc
+    * only, so the output is (left id, right id, est_jaccard >= tau).
+    * The right (eval) side is usually dimension-scale; both sides'
+    * band streams stay keys-only, and the hot-bucket cap is the same
+    * broadcast anti-join. `portableHash` = the DuckDB gate mode. */
+  def minhashLshPairsAcross(left: DataFrame, leftId: String, leftText: String,
+                            right: DataFrame, rightId: String, rightText: String,
+                            shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                            tau: Double = 0.7, maxBucket: Int = 1000,
+                            portableHash: Boolean = false): DataFrame = {
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val shingled = df.select(
+        col(idCol).as("id"),
+        array_distinct(graft.plans.native.wordShingles(col(textCol), shingleN)).as("sh"))
+        .where(size(col("sh")) > 0)
+      val sigExpr =
+        if (portableHash) graft.plans.native.md5MinhashSig(col("sh"), k)
+        else graft.plans.native.minhashSig(col("sh"), k)
+      shingled.select(col("id"), sigExpr.as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def band(signed: DataFrame): DataFrame = {
+      val bandKeys =
+        if (portableHash)
+          array((0 until bands).map(b => struct(lit(b).as("band"),
+            md5(concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+                _.cast("string"))).cast("binary")).as("bucket"))): _*)
+        else Hashes.lshBands(col("sig"), bands, rowsPerBand)
+      signed.select(col("id"), explode(bandKeys).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bucket"))
+    }
+    val lSigned = prep(left, leftId, leftText)
+    val rSigned = prep(right, rightId, rightText)
+    val lBanded = band(lSigned); val rBanded = band(rSigned)
+    // hot-bucket guard over the UNION of both band streams (a bucket
+    // viral on either side explodes the cross product)
+    val hot = lBanded.union(rBanded).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") > maxBucket)
+      .select("band", "bucket")
+    val lCap = lBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val rCap = rBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val candidates = lCap.select(col("band"), col("bucket"), col("id").as("id_l"))
+      .join(rCap.select(col("band"), col("bucket"), col("id").as("id_r")),
+        Seq("band", "bucket"))
+      .where(col("id_l") =!= col("id_r"))
+      .select("id_l", "id_r").distinct()
+    val pairs = candidates
+      .join(lSigned.select(col("id").as("id_l"), col("sig").as("sig_l")), Seq("id_l"))
+      .join(rSigned.select(col("id").as("id_r"), col("sig").as("sig_r")), Seq("id_r"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / lit(k).cast("double"))
+      .where(col("est_jaccard") >= tau)
+      .select(col("id_l"), col("id_r"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    materializeAndRelease(pairs, lSigned, rSigned)
+  }
+
   /** One-call corpus dedup: find near-dup pairs (MinHash LSH), collapse
     * to clusters, and return the corpus with only the cluster
     * representative (min id) of each duplicate group — the standard

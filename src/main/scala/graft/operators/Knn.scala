@@ -148,6 +148,20 @@ object Knn {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Append a new batch to a persisted IVF index: assign against the
+    * EXISTING centroids and append into the cell directories —
+    * build-once / append-many, the incremental-ingest half of the
+    * index lifecycle. Probes need no change (same layout, pruning
+    * intact); centroid drift from distribution shift is handled by a
+    * periodic full rebuild, the standard IVF maintenance trade. */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val spark = batch.sparkSession
+    assignCells(batch, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Probe a persisted IVF index. The probed cell set (queries × nprobe,
     * driver-bounded) becomes an `isin` filter on the partition column,
     * so the scan prunes to the probed directories before any join. */

@@ -317,6 +317,25 @@ object Pq {
     books
   }
 
+  /** Append a new batch to a persisted IVF+PQ index: encode with the
+    * EXISTING codebooks, assign against the existing centroids, and
+    * append id-sorted cell files (each appended file keeps tight
+    * row-group id stats, so the re-rank pushdown keeps pruning).
+    * Build-once / append-many; codebook drift is a periodic-rebuild
+    * concern, as with the centroids. */
+  def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = batch.sparkSession
+    val books = loadCodebooks(spark, path)
+    Knn.assignCells(batch, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .withColumn("codes", codesColumn(col("vec"), books))
+      .select("id", "codes", "vec", "cell")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Reload persisted codebooks into the [m][k][subDim] layout. */
   def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$path/codebooks")

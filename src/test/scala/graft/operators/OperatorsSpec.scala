@@ -176,6 +176,48 @@ class DedupSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
     assert(labels(11L) == 10L)
   }
+
+  test("duplicatedWindowFraction scores planted boilerplate exactly") {
+    val s = spark
+    import s.implicits._
+    // doc 1 and 2 share the passage "a b c d"; doc 3 is fully unique
+    val docs = Seq(
+      (1L, "a b c d x1 y1 z1"),   // windows: abc bcd cdx1 dx1y1 x1y1z1 (5)
+      (2L, "a b c d x2 y2 z2"),   // shares abc, bcd with doc 1
+      (3L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedWindowFraction(docs, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // docs 1/2: 2 of 5 windows ("a b c", "b c d") are corpus-duplicated
+    assert(out(1L) == 0.4 && out(2L) == 0.4, s"got $out")
+    assert(out(3L) == 0.0)
+  }
+
+  test("minhashLshPairsAcross finds only cross-corpus near-dups") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val train = Seq(
+      (1L, base),                                 // near-dup of eval 101
+      (2L, base),                                 // ALSO near-dup of 1 — but intra-train pairs must not emit
+      (3L, "unrelated text about spark engines and columnar files")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (101L, base.replace("word15", "word15x")),  // near-dup of train 1/2
+      (102L, "totally distinct evaluation prompt set")
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val pairs = Dedup.minhashLshPairsAcross(train, "doc_id", "text",
+        evalDocs, "doc_id", "text", tau = 0.5, portableHash = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 101L)) && pairs.contains((2L, 101L)),
+        s"portable=$portable missed the planted leak: $pairs")
+      // direction: left ids are train, right ids are eval — never (1,2)
+      assert(pairs.forall { case (l, r) => l < 100L && r >= 100L },
+        s"portable=$portable emitted a same-side pair: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 102L))
+    }
+  }
 }
 
 class KnnSpec extends SparkSpec {
@@ -460,6 +502,52 @@ class KnnSpec extends SparkSpec {
     val plan = hits.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+
+  test("append to persisted IVF / IVF+PQ: new batch searchable, layout intact") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(71)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus = mk(0 until 200)
+    val batch = mk(1000 until 1100)
+
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_append").toFile
+    Knn.writeIvfIndex(corpus, "vec_id", "embedding", ivfDir.getAbsolutePath, c = 8)
+    Knn.appendIvfIndex(batch, "vec_id", "embedding", ivfDir.getAbsolutePath)
+    // query = an appended vector: its twin must be the top hit, proving
+    // appended rows land in the probed cell layout
+    val q = batch.where(col("vec_id") === 1000L)
+      .select(col("vec_id") + 1000000L, col("embedding"))
+      .toDF("vec_id", "embedding")
+    val hits = Knn.searchIvf(spark, ivfDir.getAbsolutePath, q,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val top = hits.where(col("rank") === 1).collect()(0)
+    assert(top.getAs[Long]("neighbor_id") == 1000L)
+    assert(top.getAs[Double]("sim") == 1.0)
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_append").toFile
+    Pq.writeIvfPqIndex(corpus, "vec_id", "embedding",
+      pqDir.getAbsolutePath, c = 8, m = 8, k = 16, dim = 64)
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", pqDir.getAbsolutePath)
+    val pqHits = Pq.searchIvfPq(spark, pqDir.getAbsolutePath, q,
+      "vec_id", "embedding", k = 3, nprobe = 3, shortlist = 40)
+    val pqTop = pqHits.where(col("rank") === 1).collect()(0)
+    assert(pqTop.getAs[Long]("neighbor_id") == 1000L)
+    assert(pqTop.getAs[Double]("sim") == 1.0)
+    // appended files keep per-file id-sorted order (row-group stats)
+    val cellDir = new java.io.File(pqDir, "cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).head
+    cellDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"append broke id order in ${f.getName}")
+    }
   }
 
   test("IVF+PQ index: codes-only ADC over pruned cells, vec only at re-rank") {
