@@ -237,6 +237,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Span-level duplicated-passage removal (Lee et al. cut): 3-token
+    // windows occurring >= 2 times corpus-wide are removed from every
+    // doc except the globally-first occurrence (keepOne).
+    "q59_remove_dup_spans" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDf = 2, keepOne = true)
+        .orderBy("doc_id")
+    }),
+
     // Cross-corpus decontamination: training docs (doc_id%10!=0) that
     // MinHash-band with any eval doc (doc_id%10==0) at est_jaccard >=
     // tau — md5-portable mode, replayed key-for-key by the oracle.
@@ -933,6 +942,44 @@ object SparkEntry {
          |  FROM wins x JOIN g USING (w) GROUP BY x.doc_id)
          |SELECT doc_id, ROUND(dup * 1.0 / tot, 6) AS dup_frac
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Span removal replay: windows with positions, per-window count +
+    // first-occurrence exemption (row_number over (doc_id, pos)), and
+    // the token rewrite as a list_filter with DuckDB's 1-BASED lambda
+    // index (Spark's filter index is 0-based — hence i - 1).
+    "q59_remove_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, u.pos, u.w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)), i ->
+        |      struct_pack(pos := i - 1, w := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS u
+        |    FROM toks) x),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+        |    COUNT(*) OVER (PARTITION BY w) AS c
+        |  FROM wins),
+        |spans AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+        |  FROM occ WHERE c >= 2 AND rn > 1 GROUP BY doc_id),
+        |joined AS (
+        |  SELECT t.doc_id, t.tk, s.starts FROM toks t
+        |  LEFT JOIN spans s ON t.doc_id = s.doc_id),
+        |kept AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN starts IS NULL THEN tk
+        |         ELSE list_filter(tk, (x, i) ->
+        |           NOT len(list_filter(starts, ss -> i - 1 >= ss AND i - 1 <= ss + 2)) > 0)
+        |    END AS kp
+        |  FROM joined)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kp, ' '), '') AS clean_text,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(tk) - len(kp) AS INT) AS n_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus decontamination: same signature/banding replay as
     // q17, with the pair join split train-side × eval-side. The

@@ -265,6 +265,62 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Span-level duplicated-passage REMOVAL — the cut half of the
+    * substring-dedup pipeline (q57/duplicatedWindowFraction scores
+    * docs; this rewrites them): every n-token window occurring >=
+    * `minDf` times corpus-wide marks its token span for removal; a
+    * doc's surviving tokens are re-joined with single spaces
+    * (whitespace normalization is inherent to token-level rewriting).
+    * `keepOne = true` (default) exempts the globally-first occurrence
+    * of each duplicated window (min (id, pos)) so one canonical copy
+    * of every passage survives the corpus; note an exempted window can
+    * still lose tokens to a DIFFERENT overlapping duplicated span —
+    * span semantics, documented not fixed.
+    *
+    * Plan shape: windows with positions (per-row transform — no
+    * shuffle), window-keyed count+argmin (one keys-only shuffle),
+    * occurrence semi-join back (same key — partitioning reused),
+    * per-doc position collect, and the rewrite itself is a pure
+    * filter-with-index HOF over the token array. Output: (id,
+    * clean_text, n_tokens, n_removed). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 20, minDf: Long = 2L,
+                            keepOne: Boolean = true): DataFrame = {
+    // null text → zero tokens (not a null token array): the rewrite
+    // must emit a row for every input doc with deterministic columns
+    val base = df.select(col(idCol),
+      filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "").as("tk"))
+    val winIdx = base.where(size(col("tk")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("tk")) - n),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("tk"), i + 1, lit(n))).as("w")))).as("pw"))
+      .select(col(idCol), col("pw.pos").as("pos"), col("pw.w").as("w"))
+    val stats = winIdx.groupBy("w")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("keep"))
+      .where(col("c") >= minDf)
+      .select("w", "keep")
+    val occ = winIdx.join(stats, Seq("w"))
+    val removable =
+      if (keepOne)
+        occ.where(!(col(idCol) === col("keep.kid") && col("pos") === col("keep.kpos")))
+      else occ
+    val spans = removable.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(col("tk"), (t, i) =>
+          col("starts").isNull ||
+            !exists(col("starts"), s => i >= s && i <= s + (n - 1))))
+          .as("clean_text"),
+        size(col("tk")).as("n_tokens"),
+        (size(col("tk")) - size(filter(col("tk"), (t, i) =>
+          col("starts").isNull ||
+            !exists(col("starts"), s => i >= s && i <= s + (n - 1)))))
+          .as("n_removed"))
+  }
+
   /** Cross-corpus near-dup decontamination: MinHash+LSH candidate
     * pairs BETWEEN two tables — training docs banding with any eval
     * doc (the doc-granular train/test-leak scan; ngramOverlapLarge is

@@ -193,6 +193,32 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == 0.0)
   }
 
+  test("removeDuplicatedSpans cuts shared passages, keeps one canonical copy") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "a b c d x2 y2 z2"),
+      (3L, "p q r s t u v"),
+      (4L, "a b")                     // shorter than n → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // duplicated windows: "a b c" and "b c d" (docs 1+2). keepOne
+    // exempts doc 1's occurrences (min id), so doc 1 is untouched and
+    // doc 2 loses tokens 0..3 ("a b c d")
+    assert(out(1L) == ("a b c d x1 y1 z1", 7, 0), out.toString)
+    assert(out(2L) == ("x2 y2 z2", 7, 4), out.toString)
+    assert(out(3L) == ("p q r s t u v", 7, 0))
+    assert(out(4L) == ("a b", 2, 0))
+    // aggressive mode removes every occurrence, doc 1 included
+    val all = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 3,
+      minDf = 2, keepOne = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "x1 y1 z1" && all(2L) == "x2 y2 z2")
+  }
+
   test("minhashLshPairsAcross finds only cross-corpus near-dups") {
     val s = spark
     import s.implicits._
