@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import java.sql.Timestamp
 
-import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+import graft.functions.{Hashes, Text}
 
 /** Continuous exact-dedup for a document stream: fingerprint each
   * arriving document (normalized-text md5 — same key as the batch
@@ -43,4 +46,123 @@ object StreamDedup {
           Text.tokens(Text.normalizeText(col(textCol)))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  case class BandHit(doc_id: Long, ts: Timestamp, text: String,
+                     band: Int, bucket: Long, sig: Array[Long])
+  case class BandVerdict(doc_id: Long, ts: Timestamp, text: String, dup: Boolean)
+  case class DocVerdict(doc_id: Long, ts: Timestamp, text: String, is_dup: Boolean)
+
+  /** Continuous MinHash-LSH near-dup detection — the streaming twin of
+    * `Dedup.minhashLshPairs` at full LSH granularity (nearDedupStream
+    * above only catches hamming-0 simhash collisions). Two chained
+    * stateful stages, both in the RocksDB-backed transformWithState
+    * API:
+    *
+    *   1. keyed by (band, bucket): the FIRST signature to claim a
+    *      bucket inside the watermark horizon is held in a ValueState;
+    *      later arrivals in the same bucket verify signature overlap
+    *      against the holder (>= tau → that band votes duplicate).
+    *      An event-time timer evicts the holder once the horizon
+    *      passes — state is bounded by distinct buckets per horizon,
+    *      keys-only scale (the 100 TB posture of the batch path).
+    *   2. keyed by doc id: the `bands` per-doc votes (which arrive in
+    *      one micro-batch — they are one exploded input row) combine
+    *      into a single verdict: is_dup = any band voted duplicate.
+    *
+    * Emits EVERY document with its verdict (filter `!is_dup` for the
+    * kept stream). Within a batch, earlier (ts, doc_id) claims a
+    * bucket first — same-batch duplicates resolve deterministically. */
+  def nearDedupStreamMinhash(docs: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, bands: Int = 16, rowsPerBand: Int = 4,
+                             tau: Double = 0.7,
+                             watermark: String = "1 hour"): Dataset[DocVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    val banded = docs
+      .withColumn("sig", graft.plans.native.minhashSig(
+        array_distinct(graft.plans.native.wordShingles(col(textCol), 3)), k))
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"), col(textCol).as("text"), col("sig"),
+        explode(Hashes.lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("ts"), col("text"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("sig"))
+      .as[BandHit]
+    val verdicts = banded
+      .groupByKey(h => (h.band, h.bucket))
+      .transformWithState(new BucketHolderProcessor(tau, k),
+        "ts", OutputMode.Append())
+    verdicts
+      .groupByKey(_.doc_id)
+      .transformWithState(new DocVerdictProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** Stage-1 processor for [[StreamDedup.nearDedupStreamMinhash]]: holds
+  * each LSH bucket's first signature; later arrivals verify overlap
+  * against it. The event-time timer set at claim time evicts the
+  * holder when the watermark passes it (horizon = the stream's
+  * watermark delay, enforced by timer expiry at holder-ts). */
+case class BucketHolder(sig: Array[Long], firstMs: Long)
+
+class BucketHolderProcessor(tau: Double, k: Int)
+    extends StatefulProcessor[(Int, Long), StreamDedup.BandHit, StreamDedup.BandVerdict] {
+  import StreamDedup.{BandHit, BandVerdict}
+
+  @transient private var holder: ValueState[BucketHolder] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    holder = getHandle.getValueState("holder",
+      Encoders.product[BucketHolder], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[BandHit],
+                               timers: TimerValues): Iterator[BandVerdict] = {
+    val sorted = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+    val out = Seq.newBuilder[BandVerdict]
+    sorted.foreach { h =>
+      val cur = if (holder.exists()) Some(holder.get()) else None
+      cur match {
+        case None =>
+          holder.update(BucketHolder(h.sig, h.ts.getTime))
+          // evict once the watermark passes the holder: the horizon is
+          // exactly the stream's watermark delay (clamp to wm+1 so a
+          // late claim can't register an already-expired timer)
+          getHandle.registerTimer(
+            math.max(timers.getCurrentWatermarkInMs() + 1, h.ts.getTime + 1))
+          out += BandVerdict(h.doc_id, h.ts, h.text, dup = false)
+        case Some(old) =>
+          var eq = 0; var i = 0
+          while (i < k) { if (old.sig(i) == h.sig(i)) eq += 1; i += 1 }
+          out += BandVerdict(h.doc_id, h.ts, h.text, dup = eq.toDouble / k >= tau)
+      }
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[BandVerdict] = {
+    if (holder.exists()) holder.clear()
+    Iterator.empty
+  }
+}
+
+/** Stage-2 processor: combines one document's per-band votes (one
+  * exploded input row → one micro-batch, so all votes arrive together)
+  * into a single verdict row. Stateless across batches by
+  * construction. */
+class DocVerdictProcessor
+    extends StatefulProcessor[Long, StreamDedup.BandVerdict, StreamDedup.DocVerdict] {
+  import StreamDedup.{BandVerdict, DocVerdict}
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+  override def handleInputRows(key: Long, rows: Iterator[BandVerdict],
+                               timers: TimerValues): Iterator[DocVerdict] = {
+    val vs = rows.toSeq
+    if (vs.isEmpty) Iterator.empty
+    else Iterator.single(DocVerdict(key, vs.map(_.ts).minBy(_.getTime),
+      vs.head.text, vs.exists(_.dup)))
+  }
 }

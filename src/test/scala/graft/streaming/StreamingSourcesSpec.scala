@@ -93,6 +93,45 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupStreamMinhash flags verified LSH near-dups across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamDedup.nearDedupStreamMinhash(
+      input.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      tau = 0.5, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("mh_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, base, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, "totally unrelated words about engines", Timestamp.valueOf("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      input.addData( // later batch: near-dup of doc 1 + fresh doc
+        (3L, base.replace("tok15", "tok15x"), Timestamp.valueOf("2024-01-01 10:01:00")),
+        (4L, "more fresh content entirely different", Timestamp.valueOf("2024-01-01 10:01:10")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val rows = spark.table("mh_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+      assert(!rows(1L) && !rows(2L) && !rows(4L))
+      assert(rows(3L), s"near-dup of doc 1 not flagged: $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming exact dedup via dropDuplicatesWithinWatermark") {
     val s = spark
     import s.implicits._
