@@ -392,37 +392,133 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   tau: Double = 0.7): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, tau = tau)
-    val labels = canonicalize(pairs)
+    // convergence-checked star algorithm — no cluster-shape assumption
+    val labels = canonicalizeCc(pairs).localCheckpoint(true)
     pairs.unpersist(false) // labels is materialized; the pair cache is done
     df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .where(col("rep").isNull || col("rep") === col(idCol))
       .drop("rep")
   }
 
+  /** Connected-components canonicalization without the chain-depth
+    * assumption of [[canonicalize]]: alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) converge in O(log² n) rounds
+    * on ANY graph shape — the form to use when dup clusters can chain
+    * arbitrarily deep (site mirrors, boilerplate families). Each round
+    * is two keyed aggregates + co-keyed joins; neighborhoods are never
+    * collected into a single row, so a high-degree hub cannot blow a
+    * task. Convergence is checked by (count, order-independent
+    * hash-sum) signature; `maxIters` is a safety backstop far above
+    * the log² bound. Output contract matches [[canonicalize]]: one
+    * (id, rep) row per id appearing in `pairs`, rep = component min.
+    *
+    * Lineage is cut with an EAGER localCheckpoint each round — persist
+    * alone caches data but leaves the logical plan intact, and this
+    * loop's plan references its child several times per round (sym +
+    * two joins), i.e. the un-truncated tree grows EXPONENTIALLY with
+    * rounds (found the hard way: round ~20 OOMs merely stringifying
+    * the plan for the SQL listener). At cluster scale prefer
+    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()` if
+    * executor loss during the loop must be survivable. */
+  def canonicalizeCc(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    def sym(e: DataFrame) =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def sig(e: DataFrame): (Long, String) = {
+      // hash-sum in decimal: ANSI mode overflows a LONG sum of random
+      // 64-bit hashes
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0))
+          .cast("string").as("h")).collect()(0)
+      (r.getLong(0), r.getString(1))
+    }
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var curSig = sig(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // large-star: every neighbor larger than u re-points at u's
+      // neighborhood minimum. Checkpointed: the small-star phase reads
+      // ls several times (sym + mins + union).
+      val nbrs = sym(edges)
+      val mins = nbrs.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // small-star: u and its not-larger neighbors all re-point at the
+      // neighborhood minimum
+      val nbrs2 = sym(ls)
+      val mins2 = nbrs2.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ss = nbrs2.join(mins2, "u")
+        .where(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val nextSig = sig(ss)
+      edges = ss
+      converged = nextSig == curSig
+      curSig = nextSig
+      it += 1
+    }
+    // fixpoint edges are (child, root) stars; roots map to themselves
+    edges.select(col("u").as("id"), col("v").as("rep"))
+      .union(edges.select(col("v").as("id"), col("v").as("rep")))
+      .groupBy("id").agg(min("rep").as("rep"))
+  }
+
   /** Collapse duplicate pairs to doc → cluster representative (min id
-    * reachable) by iterative label propagation; `iters` rounds handle
-    * chains up to length 2^iters (dup clusters are shallow).
+    * reachable) by iterative label propagation; `iters` rounds of
+    * pointer-doubling + edge relaxation reach component minima across
+    * chains up to ~2^iters pointer hops (dup clusters are shallow; for
+    * arbitrary depth with a convergence check use [[canonicalizeCc]],
+    * which is also what [[dedupCorpus]] runs).
+    *
+    * The EDGE-RELAXATION step (each round, a node also adopts the best
+    * rep among its direct neighbors) is load-bearing: pointer-chasing
+    * alone strands nodes whose own rep pointer is a self-loop even
+    * though a NEIGHBOR knows a smaller rep — e.g. edges (2,3),(1,3):
+    * node 2's initial rep is 2 (its smallest neighbor, 3, is larger),
+    * and no amount of following 2→2 discovers that 3's rep is 1. The
+    * round-4 canonicalizeCc cross-check caught exactly this under-
+    * merging on random cluster graphs.
     *
     * Each round is persisted and the previous round released —
     * otherwise the lineage doubles per iteration and the final job
     * re-executes every round's joins (exponential at scale). */
   def canonicalize(pairs: DataFrame, iters: Int = 5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var labels = pairs.select(col("id_a").as("id"), col("id_b").as("member"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("member")))
-      .union(pairs.select(col("id_a").as("id"), col("id_a").as("member")))
-      .union(pairs.select(col("id_b").as("id"), col("id_b").as("member")))
+    val edgesSym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .persist(lvl)
+    var labels = edgesSym.select(col("id"), col("nbr").as("member"))
+      .union(edgesSym.select(col("id"), col("id").as("member")))
       .groupBy("id").agg(min("member").as("rep"))
       .persist(lvl)
     for (_ <- 1 to iters) {
+      // pointer doubling: follow my rep's rep
       val hop = labels.as("l")
         .join(labels.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"))
         .select(col("id"), least(col("rep"), col("rep2")).as("rep"))
-      val next = hop.groupBy("id").agg(min("rep").as("rep")).persist(lvl)
+      // edge relaxation: adopt the best rep among direct neighbors
+      val viaEdges = edgesSym
+        .join(labels.select(col("id").as("nbr"), col("rep")), Seq("nbr"))
+        .select(col("id"), col("rep"))
+      val next = hop.union(viaEdges)
+        .groupBy("id").agg(min("rep").as("rep")).persist(lvl)
       next.count() // materialize before dropping the parent
       labels.unpersist()
       labels = next
     }
+    edgesSym.unpersist()
     labels
   }
 }

@@ -175,6 +175,13 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
     assert(labels(11L) == 10L)
+    // regression for the round-4 under-merge: node 2's smallest
+    // neighbor (3) is LARGER than itself, so pure pointer-chasing
+    // strands rep(2)=2; the edge-relaxation step must pull 1 through 3
+    val vee = Seq((2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val veeLabels = Dedup.canonicalize(vee).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(veeLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), veeLabels.toString)
   }
 
   test("duplicatedWindowFraction scores planted boilerplate exactly") {
@@ -191,6 +198,29 @@ class DedupSpec extends SparkSpec {
     // docs 1/2: 2 of 5 windows ("a b c", "b c d") are corpus-duplicated
     assert(out(1L) == 0.4 && out(2L) == 0.4, s"got $out")
     assert(out(3L) == 0.0)
+  }
+
+  test("canonicalizeCc collapses arbitrarily deep chains and matches label propagation") {
+    val s = spark
+    import s.implicits._
+    // a 100-node chain: beyond label propagation's 2^5 reach, trivial
+    // for the star algorithm
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.canonicalizeCc(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size == 100)
+    assert(reps.values.forall(_ == 1L), s"chain not fully collapsed: $reps")
+    // shallow random clusters: must agree with the propagation form
+    val rnd = new scala.util.Random(83)
+    val pairs = (1 to 120).map { _ =>
+      val cluster = rnd.nextInt(10) * 100L
+      (cluster + rnd.nextInt(8), cluster + rnd.nextInt(8))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val cc = Dedup.canonicalizeCc(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == lp, s"cc=$cc\nlp=$lp")
   }
 
   test("removeDuplicatedSpans cuts shared passages, keeps one canonical copy") {
