@@ -246,6 +246,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Connected components on a deliberately DEEP graph: chain edges
+    // (k, k-3) make three components of depth n/3 — far beyond any
+    // fixed-round label propagation, trivial for the convergence-
+    // checked star algorithm. The oracle is the closed-form ground
+    // truth (components are residue classes mod 3, rep = class min).
+    "q60_connected_components" -> ((s, dir) => {
+      val pairs = t(s, dir, "customer").where(col("c_custkey") > 3)
+        .select(col("c_custkey").as("id_a"), (col("c_custkey") - 3).as("id_b"))
+      Dedup.canonicalizeCc(pairs).orderBy("id")
+    }),
+
     // Cross-corpus decontamination: training docs (doc_id%10!=0) that
     // MinHash-band with any eval doc (doc_id%10==0) at est_jaccard >=
     // tau — md5-portable mode, replayed key-for-key by the oracle.
@@ -980,6 +991,18 @@ object SparkEntry {
         |  CAST(len(tk) AS INT) AS n_tokens,
         |  CAST(len(tk) - len(kp) AS INT) AS n_removed
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // Ground-truth oracle, not a replay: with chain edges (k, k-3) the
+    // components are exactly the residue classes mod 3, so the
+    // expected rep is the class minimum — a closed form the window MIN
+    // computes directly.
+    "q60_connected_components" ->
+      """WITH ids AS (
+        |  SELECT c_custkey AS id FROM customer WHERE c_custkey > 3
+        |  UNION
+        |  SELECT c_custkey - 3 FROM customer WHERE c_custkey > 3)
+        |SELECT id, MIN(id) OVER (PARTITION BY id % 3) AS rep
+        |FROM ids ORDER BY id""".stripMargin,
 
     // Cross-corpus decontamination: same signature/banding replay as
     // q17, with the pair join split train-side × eval-side. The
