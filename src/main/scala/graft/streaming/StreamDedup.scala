@@ -98,6 +98,65 @@ object StreamDedup {
       .transformWithState(new DocVerdictProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class EmbHit(doc_id: Long, ts: Timestamp, tbl: Int, bucket: Long,
+                    vec: Array[Double])
+  case class EmbVote(doc_id: Long, ts: Timestamp, dup: Boolean)
+  case class EmbVerdict(doc_id: Long, ts: Timestamp, is_dup: Boolean)
+
+  /** Continuous EMBEDDING-level near-dup detection — the streaming twin
+    * of `Dedup.embeddingPairs` (batch q45): random-hyperplane LSH
+    * buckets with `tables`-way OR-amplification instead of minhash
+    * bands. Same two-stage transformWithState shape as
+    * [[nearDedupStreamMinhash]]:
+    *
+    *   1. keyed by (table, bucket): the first vector to claim a bucket
+    *      inside the watermark horizon is held; later arrivals verify
+    *      TRUE cosine against the holder (>= tau → that table votes
+    *      duplicate — bucket collision alone is never a verdict). An
+    *      event-time timer evicts the holder past the horizon, so
+    *      state is bounded by distinct (table, bucket) keys per
+    *      horizon — each holding one vector, not a corpus.
+    *   2. keyed by doc id: the `tables` votes (one exploded input row
+    *      → same micro-batch) OR-combine into one verdict.
+    *
+    * Planes are drawn from the SAME sequential gaussian stream as the
+    * batch `embeddingPairs(seed, planes, tables)` — a batch-built
+    * corpus and this stream agree bucket-for-bucket, so a batch
+    * backfill + streaming tail see identical collision sets. */
+  def nearDedupStreamEmbedding(docs: DataFrame, idCol: String, vecCol: String,
+                               tsCol: String, dim: Int, tau: Double = 0.95,
+                               planes: Int = 8, tables: Int = 2, seed: Long = 7L,
+                               watermark: String = "1 hour"): Dataset[EmbVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(dim > 0 && planes > 0 && tables > 0, "dim, planes, tables must be positive")
+    val rnd = new scala.util.Random(seed)
+    // identical draw order to Dedup.embeddingPairs: table t's planes
+    // are gaussian draws [t*planes*dim, (t+1)*planes*dim)
+    val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+    val keys = all.zipWithIndex.map { case (hps, t) =>
+      struct(lit(t).as("tbl"),
+        graft.plans.native.hyperplaneBucket(col(vecCol),
+          hps.map(_.toArray).toArray).as("bucket"))
+    }
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        col(vecCol).cast("array<double>").as("vec"),
+        explode(array(keys: _*)).as("bk"))
+      .select(col("doc_id"), col("ts"), col("bk.tbl").as("tbl"),
+        col("bk.bucket").as("bucket"), col("vec"))
+      .as[EmbHit]
+    val votes = banded
+      .groupByKey(h => (h.tbl, h.bucket))
+      .transformWithState(new EmbBucketHolderProcessor(tau),
+        "ts", OutputMode.Append())
+    votes
+      .groupByKey(_.doc_id)
+      .transformWithState(new EmbVerdictProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** Stage-1 processor for [[StreamDedup.nearDedupStreamMinhash]]: holds
@@ -164,5 +223,69 @@ class DocVerdictProcessor
     if (vs.isEmpty) Iterator.empty
     else Iterator.single(DocVerdict(key, vs.map(_.ts).minBy(_.getTime),
       vs.head.text, vs.exists(_.dup)))
+  }
+}
+
+/** Stage-1 processor for [[StreamDedup.nearDedupStreamEmbedding]]:
+  * holds each hyperplane bucket's first vector; later arrivals verify
+  * true cosine against it. Timer eviction identical to
+  * [[BucketHolderProcessor]] (horizon = watermark delay). */
+case class EmbHolder(vec: Array[Double], firstMs: Long)
+
+class EmbBucketHolderProcessor(tau: Double)
+    extends StatefulProcessor[(Int, Long), StreamDedup.EmbHit, StreamDedup.EmbVote] {
+  import StreamDedup.{EmbHit, EmbVote}
+
+  @transient private var holder: ValueState[EmbHolder] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    holder = getHandle.getValueState("holder",
+      Encoders.product[EmbHolder], TTLConfig.NONE)
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[EmbHit],
+                               timers: TimerValues): Iterator[EmbVote] = {
+    val sorted = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+    val out = Seq.newBuilder[EmbVote]
+    sorted.foreach { h =>
+      if (!holder.exists()) {
+        holder.update(EmbHolder(h.vec, h.ts.getTime))
+        getHandle.registerTimer(
+          math.max(timers.getCurrentWatermarkInMs() + 1, h.ts.getTime + 1))
+        out += EmbVote(h.doc_id, h.ts, dup = false)
+      } else {
+        out += EmbVote(h.doc_id, h.ts,
+          dup = cosine(holder.get().vec, h.vec) >= tau)
+      }
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[EmbVote] = {
+    if (holder.exists()) holder.clear()
+    Iterator.empty
+  }
+}
+
+/** Stage-2 processor: OR-combines one document's per-table votes. */
+class EmbVerdictProcessor
+    extends StatefulProcessor[Long, StreamDedup.EmbVote, StreamDedup.EmbVerdict] {
+  import StreamDedup.{EmbVote, EmbVerdict}
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+  override def handleInputRows(key: Long, rows: Iterator[EmbVote],
+                               timers: TimerValues): Iterator[EmbVerdict] = {
+    val vs = rows.toSeq
+    if (vs.isEmpty) Iterator.empty
+    else Iterator.single(EmbVerdict(key, vs.map(_.ts).minBy(_.getTime),
+      vs.exists(_.dup)))
   }
 }

@@ -132,6 +132,46 @@ class StreamingSourcesSpec extends SparkSpec {
     }
   }
 
+  test("nearDedupStreamEmbedding flags cosine near-dups via hyperplane buckets") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Array[Double], Timestamp)]
+    val out = StreamDedup.nearDedupStreamEmbedding(
+      input.toDS().toDF("doc_id", "vec", "ts"), "doc_id", "vec", "ts",
+      dim = 4, tau = 0.95, planes = 8, tables = 2, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("emb_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, Array(1.0, 0.2, -0.3, 0.5), Timestamp.valueOf("2024-01-01 10:00:00")),
+        // orthogonal-ish direction: different buckets or cosine < tau
+        (2L, Array(-0.4, 1.0, 0.8, -0.2), Timestamp.valueOf("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      input.addData( // later batch: scaled copy of doc 1 (cosine 1.0) + fresh doc
+        (3L, Array(2.0, 0.4, -0.6, 1.0), Timestamp.valueOf("2024-01-01 10:01:00")),
+        (4L, Array(0.1, -0.9, 0.3, 0.7), Timestamp.valueOf("2024-01-01 10:01:10")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val rows = spark.table("emb_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+      assert(!rows(1L), s"first occurrence flagged: $rows")
+      assert(rows(3L), s"scaled copy of doc 1 not flagged: $rows")
+      assert(!rows(4L), s"fresh doc flagged: $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming exact dedup via dropDuplicatesWithinWatermark") {
     val s = spark
     import s.implicits._
