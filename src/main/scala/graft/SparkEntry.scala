@@ -287,6 +287,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup: IVF-cluster the embedding space, pair ONLY within a
+    // cluster, mark dup iff a smaller-id cluster-mate has cosine >=
+    // tau. Portable centroid hash so the oracle replays the pick,
+    // the NearestCell assignment, the maxCell QUALIFY and the
+    // epsilon-ball marking key-for-key.
+    "q61_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.45, c = 16, maxCell = 1000, portableHash = true)
+        .orderBy("id")
+    }),
+
     // --- similarity search -------------------------------------------------
     "q20_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1087,6 +1098,37 @@ object SparkEntry {
          |JOIN embeddings eb ON eb.vec_id = c.id_b
          |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays the full SemDeDup chain: bottom-k centroid pick (same
+    // md5 hash), NearestCell assignment (sim DESC, cell DESC
+    // tie-break — the kernel's rule), hot-cell QUALIFY aligned with
+    // the Spark maxCell anti-join, then the within-cluster
+    // smaller-id epsilon-ball marking.
+    "q61_semantic_dedup" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |capped AS (
+         |  SELECT * FROM cells
+         |  QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 1000),
+         |dup AS (
+         |  SELECT DISTINCT a.id
+         |  FROM capped a JOIN capped b ON a.cell = b.cell AND b.id < a.id
+         |  WHERE ${cosSql("a.vec", "b.vec")} >= 0.45)
+         |SELECT c.id, c.cell, (d.id IS NOT NULL) AS is_dup
+         |FROM cells c LEFT JOIN dup d ON c.id = d.id
+         |ORDER BY c.id""".stripMargin,
 
     "q21_knn_ivf" ->
       s"""WITH hashed AS (

@@ -235,6 +235,51 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the embedding space (IVF
+    * assignment against `c` bottom-k-sampled centroids), then compare
+    * pairs ONLY within a cluster and mark a document duplicate iff a
+    * smaller-id member of its cluster has cosine >= `tau`. One-shot
+    * epsilon-ball marking — the paper's semantics: a doc is compared
+    * against ALL smaller-id cluster-mates, including ones themselves
+    * marked duplicate, with no transitive-component collapse and no
+    * canonical-representative guarantee beyond min-id-survives (for
+    * component semantics use [[embeddingPairs]]+[[canonicalizeCc]]).
+    *
+    * Scale shape: assignment is the zero-shuffle NearestCell kernel
+    * (broadcast centroids, no join); the within-cluster self-join
+    * shuffles on cell and is quadratic only in cluster size (~n/c —
+    * and c grows with the corpus, which is the point of clustering
+    * first). `maxCell` drops oversized cells from PAIRING via the
+    * broadcast anti-join posture of the q16/q17 caps — their members
+    * stay in the output as non-dups. Output: one row per input doc,
+    * (id, cell, is_dup). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double = 0.95, c: Int = 1024,
+                    maxCell: Int = 100000,
+                    portableHash: Boolean = false): DataFrame = {
+    val centroids = Knn.sampleCentroids(df, idCol, vecCol, c, portableHash)
+    val assigned = Knn.assignCells(df, idCol, vecCol, centroids).persist(cacheLevel)
+    val capped =
+      if (maxCell >= Int.MaxValue / 2) assigned
+      else {
+        val hot = assigned.groupBy("cell")
+          .agg(count(lit(1)).as("csz")).where(col("csz") > maxCell)
+          .select("cell")
+        assigned.join(broadcast(hot), Seq("cell"), "left_anti")
+      }
+    val peers = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val dups = capped.join(peers, Seq("cell"))
+      .where(col("id_b") < col("id") &&
+        Vectors.cosine(col("vec"), col("vec_b")) >= tau)
+      .select("id").distinct()
+    val out = assigned
+      .join(dups.withColumn("d", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), coalesce(col("d"), lit(false)).as("is_dup"))
+    materializeAndRelease(out, assigned)
+  }
+
   /** Duplicated-passage signal (the substring-dedup quality metric of
     * "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, arXiv:2107.06499 — document-granular here):

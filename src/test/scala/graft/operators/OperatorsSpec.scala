@@ -159,6 +159,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute)) // LSH may miss, must not invent
   }
 
+  test("semanticDedup marks epsilon-ball dups within clusters, honors maxCell") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0.6f, 0.6f, 0f, 0f)), // cos(1,2) = cos(2,3) ≈ 0.707
+      (3L, Array(0f, 1.0f, 0f, 0f)),   // cos(1,3) = 0
+      (4L, Array(0f, 0f, 1.0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding", tau = 0.7, c = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // one-shot epsilon-ball: doc 3 is marked via doc 2 even though doc 2
+    // is itself removed — SemDeDup's non-transitive marking
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+    val capped = Dedup.semanticDedup(vecs, "vec_id", "embedding", tau = 0.7,
+      c = 1, maxCell = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(capped.keySet == Set(1L, 2L, 3L, 4L))
+    assert(capped.values.forall(_ == false), // oversized cell never pairs
+      s"maxCell-excluded cell produced dups: $capped")
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     val out = Dedup.dedupCorpus(corpus, "doc_id", "text", tau = 0.5)
       .collect().map(_.getAs[Long]("doc_id")).toSet
