@@ -49,7 +49,12 @@ object Bench {
           df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
         } catch { case _: Throwable => }
       }
+    // Dev knob: SPARK_GRAFT_BENCH_ONLY=q60,q08 times just those queries
+    // (prefix match) — full runs leave it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // Per-pass timing; a thrown query records NaN for that pass.
     val passResults: Seq[Map[String, Double]] = (1 to math.max(1, passes)).map { _ =>
       names.map { name =>

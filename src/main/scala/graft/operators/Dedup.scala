@@ -458,14 +458,25 @@ object Dedup {
     * the log² bound. Output contract matches [[canonicalize]]: one
     * (id, rep) row per id appearing in `pairs`, rep = component min.
     *
-    * Lineage is cut with an EAGER localCheckpoint each round — persist
-    * alone caches data but leaves the logical plan intact, and this
-    * loop's plan references its child several times per round (sym +
-    * two joins), i.e. the un-truncated tree grows EXPONENTIALLY with
+    * Lineage is cut with a localCheckpoint each round — persist alone
+    * caches data but leaves the logical plan intact, and this loop's
+    * plan references its child several times per round (sym + two
+    * joins), i.e. the un-truncated tree grows EXPONENTIALLY with
     * rounds (found the hard way: round ~20 OOMs merely stringifying
-    * the plan for the SQL listener). At cluster scale prefer
-    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()` if
-    * executor loss during the loop must be survivable. */
+    * the plan for the SQL listener). The checkpoint is LAZY (the plan
+    * cut happens at once; materialization rides the convergence-
+    * signature collect) so each round costs one job, not three. At
+    * cluster scale prefer `spark.sparkContext.setCheckpointDir` +
+    * `.checkpoint()` if executor loss during the loop must be
+    * survivable.
+    *
+    * Local-mode cost note (measured on the q60 deep-chain gate graph,
+    * diameter 5000 → exactly log₂ = 13+1 rounds): wall time is rounds
+    * × ~8 AQE stage dispatches × ~50-90 ms — a fixed floor invariant
+    * to data size. AQE must stay ON (10× slower without its partition
+    * coalescing here) and shrinking checkpoint partitions to 1 also
+    * measured slower; per-round stage count is already minimal (two
+    * agg+join phases, one distinct, one signature agg). */
   def canonicalizeCc(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     def sym(e: DataFrame) =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -478,25 +489,34 @@ object Dedup {
           .cast("string").as("h")).collect()(0)
       (r.getLong(0), r.getString(1))
     }
+    // LAZY localCheckpoints throughout the loop: eager=false still cuts
+    // the logical plan immediately (the DF becomes a LogicalRDD over
+    // the not-yet-materialized RDD — the exponential-lineage hazard is
+    // gone either way), but materialization rides the signature
+    // collect, so each round is ONE job instead of three. At local-
+    // mode scale job dispatch dominated this loop 3:1 (q60 bench).
     var edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var curSig = sig(edges)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       // large-star: every neighbor larger than u re-points at u's
-      // neighborhood minimum. Checkpointed: the small-star phase reads
-      // ls several times (sym + mins + union).
+      // neighborhood minimum. NOT checkpointed: the small-star phase
+      // reads ls several times (sym + mins + join), but those are
+      // identical subplans — ReuseExchange computes the shuffle once.
       val nbrs = sym(edges)
       val mins = nbrs.groupBy("u")
         .agg(min(least(col("v"), col("u"))).as("m"))
+      // no distinct here: duplicate edges are absorbed by the next
+      // groupBy and the round-final distinct; a mid-phase distinct is
+      // a whole extra exchange per round
       val ls = nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .where(col("u") =!= col("v"))
       // small-star: u and its not-larger neighbors all re-point at the
       // neighborhood minimum
       val nbrs2 = sym(ls)
@@ -507,12 +527,14 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
-      val nextSig = sig(ss)
+        .localCheckpoint(false)
+      val nextSig = sig(ss) // materializes the checkpoint
       edges = ss
       converged = nextSig == curSig
       curSig = nextSig
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"cc round $it sig=$nextSig converged=$converged")
     }
     // fixpoint edges are (child, root) stars; roots map to themselves
     edges.select(col("u").as("id"), col("v").as("rep"))
