@@ -632,6 +632,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Concat-and-chunk packing offsets: distributed two-phase prefix
+    // sum (value-range buckets + tiny offset window) — never the
+    // single-task global window the oracle is allowed to use.
+    "q62_pack_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Sampling.packChunks(d, "doc_id", "n_tokens", seqLen = 512)
+        .orderBy("id")
+    }),
+
     "q41_window_suite" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1700,6 +1710,24 @@ object SparkEntry {
         |       WHEN doc_id % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Ground truth is the single global running-sum window DuckDB can
+    // afford at oracle scale; the Spark side must reproduce it from
+    // the distributed bucketed form value-for-value.
+    "q62_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+        |  FROM t)
+        |SELECT id, n_tokens, "offset",
+        |  CASE WHEN n_tokens > 0 THEN "offset" // 512 END AS start_chunk,
+        |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 512 END AS end_chunk
+        |FROM c ORDER BY id""".stripMargin,
 
     "q41_window_suite" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

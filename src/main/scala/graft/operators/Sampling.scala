@@ -40,6 +40,65 @@ object Sampling {
       .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_value"))
   }
 
+  /** Concat-and-chunk sequence packing: the standard LLM pre-training
+    * layout — documents are (logically) concatenated in `idCol` order
+    * and the token stream is cut every `seqLen` tokens, documents
+    * straddling cut points. Emits, per document, its exclusive global
+    * token offset and the [start_chunk, end_chunk] span of training
+    * sequences it lands in (NULL span for zero-token docs, which
+    * occupy no stream position).
+    *
+    * The global running sum is a DISTRIBUTED two-phase prefix sum —
+    * the naive `Window.orderBy(id)` with no partition key would drag
+    * the whole corpus through ONE task. Ids are bucketed by VALUE
+    * RANGE (width from the id bounds — order-preserving, so bucket i's
+    * ids all precede bucket i+1's): phase 1 aggregates per-bucket
+    * token subtotals (keys-only, map-side combined); phase 2 turns
+    * them into exclusive bucket offsets with a window over that
+    * metadata-scale frame; phase 3 adds the broadcast offset to a
+    * within-bucket running sum. ONE corpus-scale shuffle (the
+    * within-bucket window, on a 3-column projection — the operator
+    * never sees document text), and the result is independent of the
+    * bucket boundaries, so it replays engine-exactly against a
+    * single-window oracle. Balance follows the id distribution: dense
+    * ids (the usual corpus layout) spread evenly; tune `parts` for
+    * pathological sparsity. */
+  def packChunks(df: DataFrame, idCol: String, nTokCol: String,
+                 seqLen: Int, parts: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val p = if (parts > 0) parts
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val narrow = df.select(col(idCol).cast("long").as("id"),
+      col(nTokCol).cast("long").as("n_tokens"))
+    val bounds = narrow.agg(min("id"), max("id")).head()
+    if (bounds.isNullAt(0))
+      return narrow.select(col("id"), col("n_tokens"),
+        lit(null).cast("long").as("offset"),
+        lit(null).cast("long").as("start_chunk"),
+        lit(null).cast("long").as("end_chunk"))
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / p + 1)
+    val bucketed = narrow.withColumn("__b", expr(s"(id - $lo) DIV $width"))
+    val offsets = bucketed.groupBy("__b")
+      .agg(sum("n_tokens").as("__bsum"))
+      .withColumn("__boff",
+        coalesce(sum("__bsum").over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__boff")
+    val local = Window.partitionBy("__b").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("offset", col("__boff") + coalesce(sum("n_tokens").over(local), lit(0L)))
+      .withColumn("start_chunk",
+        when(col("n_tokens") > 0, expr(s"offset DIV $seqLen")))
+      .withColumn("end_chunk",
+        when(col("n_tokens") > 0, expr(s"(offset + n_tokens - 1) DIV $seqLen")))
+      .select(col("id"), col("n_tokens"), col("offset"),
+        col("start_chunk"), col("end_chunk"))
+  }
+
   /** Deterministic train/val/test split on an integer id. `weights`
     * are percentages summing to 100; assignment is `id mod 100` range
     * membership — reproducible across engines and runs, and stable

@@ -92,6 +92,51 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packChunks two-phase prefix sum matches the single-window form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // sparse, shuffled ids; a few zero-token docs
+    val rows = rnd.shuffle((1 to 3000).map(i =>
+      (i.toLong * 7 + (i % 13), if (i % 41 == 0) 0L else rnd.nextInt(900).toLong + 1)))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val got = Sampling.packChunks(df, "doc_id", "n_tokens", seqLen = 256, parts = 7)
+      .orderBy("id").collect()
+    val expect = rows.sortBy(_._1).foldLeft((0L, Vector.empty[(Long, Long, Long)])) {
+      case ((off, acc), (id, n)) => (off + n, acc :+ ((id, n, off)))
+    }._2
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (r, (id, n, off)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == n && r.getLong(2) == off,
+        s"row mismatch: got $r want ($id,$n,$off)")
+      if (n > 0) {
+        assert(r.getLong(3) == off / 256)
+        assert(r.getLong(4) == (off + n - 1) / 256)
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    // the corpus-side running sum must be partitioned — the only
+    // unpartitioned window allowed is the one over the per-bucket
+    // AGGREGATE (metadata-scale: one row per bucket)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Sampling.packChunks(df, "doc_id", "n_tokens", 256, parts = 7)
+      .queryExecution.executedPlan
+    val all = plan.collect { case w: WindowExec => w } ++
+      plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(
+        _.inputPlan.collect { case w: WindowExec => w })
+    assert(all.nonEmpty, "expected window nodes in the packChunks plan")
+    val badGlobal = all.filter(_.partitionSpec.isEmpty).filter(w =>
+      w.child.collectFirst { case ag: BaseAggregateExec => ag }.isEmpty)
+    assert(badGlobal.isEmpty,
+      s"unpartitioned window over a non-aggregated frame:\n$plan")
+    // empty input degrades to an empty frame with the full schema
+    val empty = Sampling.packChunks(df.where(lit(false)), "doc_id", "n_tokens", 256)
+    assert(empty.columns.toSeq ==
+      Seq("id", "n_tokens", "offset", "start_chunk", "end_chunk"))
+    assert(empty.count() == 0)
+  }
+
   test("quantilesApprox tracks exact quantiles within the rank-error bound") {
     val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select(col("l_extendedprice").as("v"))
