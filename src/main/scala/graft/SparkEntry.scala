@@ -642,6 +642,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // DSIR importance scores: eval-split docs (doc_id%10=0) are the
+    // target distribution; every doc scores its hashed unigram+bigram
+    // log-ratio mass in integer micro-nats (decimal-exact across
+    // engines; the float weight is score_micro/1e6).
+    "q63_dsir_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalytics.dsirScores(docs,
+        docs.where(col("doc_id") % 10 === 0), "doc_id", "text",
+        buckets = 4096, portableHash = true)
+        .orderBy("doc_id")
+    }),
+
     "q41_window_suite" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1710,6 +1722,41 @@ object SparkEntry {
         |       WHEN doc_id % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the full DSIR chain: normalized unigram+bigram grams,
+    // md5 bucket hash, add-one-smoothed target/corpus multinomials,
+    // per-bucket log-ratio rounded to micro-nats (the rounding is
+    // what makes the per-doc BIGINT sum engine-exact), per-doc sum.
+    "q63_dsir_scores" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, list_filter(list_concat(
+         |      tk,
+         |      CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+         |           ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END),
+         |    x -> x IS NOT NULL AND x <> '') AS gr
+         |  FROM tk),
+         |ex AS (SELECT doc_id, unnest(gr) AS g FROM gr),
+         |bx AS (SELECT doc_id, (${md5Hash64Sql("g")}) % 4096 AS b FROM ex),
+         |cq AS (SELECT b, COUNT(*) AS c FROM bx GROUP BY b),
+         |cp AS (SELECT b, COUNT(*) AS c FROM bx WHERE doc_id % 10 = 0 GROUP BY b),
+         |tot AS (SELECT (SELECT COUNT(*) FROM bx WHERE doc_id % 10 = 0) AS np,
+         |               (SELECT COUNT(*) FROM bx) AS nq),
+         |lam AS (
+         |  SELECT q.b,
+         |    CAST(round(1e6 * ln(((COALESCE(p.c, 0) + 1.0) * (t.nq + 4096.0)) /
+         |                        ((q.c + 1.0) * (t.np + 4096.0)))) AS BIGINT) AS lam
+         |  FROM cq q LEFT JOIN cp p ON q.b = p.b CROSS JOIN tot t),
+         |sc AS (
+         |  SELECT bx.doc_id, CAST(SUM(l.lam) AS BIGINT) AS score
+         |  FROM bx JOIN lam l ON bx.b = l.b GROUP BY bx.doc_id)
+         |SELECT g2.doc_id, CAST(len(g2.gr) AS BIGINT) AS n_grams,
+         |  COALESCE(sc.score, 0) AS score_micro
+         |FROM gr g2 LEFT JOIN sc ON g2.doc_id = sc.doc_id
+         |ORDER BY g2.doc_id""".stripMargin,
 
     // Ground truth is the single global running-sum window DuckDB can
     // afford at oracle scale; the Spark side must reproduce it from

@@ -117,4 +117,56 @@ object TextAnalytics {
           .otherwise(round(col("n_hit").cast("double") /
             col("n_sh").cast("double"), 6)).as("overlap"))
   }
+
+  /** DSIR-style hashed n-gram importance weights ("Data Selection for
+    * Language Models via Importance Resampling", Xie et al. 2023,
+    * arXiv:2302.03169): every doc's unigrams+bigrams hash into
+    * `buckets` slots; a add-one-smoothed multinomial is fit over the
+    * buckets on the TARGET set and on the raw corpus, and each doc
+    * scores the sum over its grams of log(p_target / p_corpus) — high
+    * scorers look like the target distribution and survive
+    * importance resampling.
+    *
+    * Scale shape: the two distributions are keys-only aggregates
+    * (`buckets` keys, map-side combined) collected to a
+    * metadata-scale array; scoring is then a ZERO-shuffle corpus scan
+    * — the log-ratio table rides the plan as a literal and each doc
+    * folds its own gram buckets. Returns (idCol, n_grams,
+    * score_micro): the score in integer MICRO-nats (each bucket's
+    * log-ratio rounded to 1e-6 then summed exactly), which is what
+    * makes the result decimal-exact across engines; divide by 1e6
+    * for the float weight. `portableHash` swaps xxhash64 for the
+    * md5 hash the DuckDB oracle replays. */
+  def dsirScores(corpus: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 8192,
+                 portableHash: Boolean = false): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def grams(c: org.apache.spark.sql.Column) =
+      filter(concat(graft.plans.native.wordShingles(c, 1),
+        graft.plans.native.wordShingles(c, 2)), g => g =!= "")
+    def bucketOf(g: org.apache.spark.sql.Column) =
+      pmod(if (portableHash) graft.functions.Hashes.md5Hash64(g) else xxhash64(g),
+        lit(buckets.toLong)).cast("int")
+    def dist(df: DataFrame): (Array[Long], Long) = {
+      val rows = df.select(explode(grams(col(textCol))).as("g"))
+        .select(bucketOf(col("g")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect()
+      val arr = new Array[Long](buckets)
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      (arr, arr.sum)
+    }
+    val (cp, np) = dist(target)
+    val (cq, nq) = dist(corpus)
+    val lamMicro: Array[Long] = Array.tabulate(buckets) { b =>
+      math.round(1e6 * math.log(
+        ((cp(b) + 1.0) * (nq + buckets.toDouble)) /
+          ((cq(b) + 1.0) * (np + buckets.toDouble))))
+    }
+    val lamLit = typedLit(lamMicro.toSeq)
+    corpus.select(col(idCol), grams(col(textCol)).as("gr"))
+      .select(col(idCol), size(col("gr")).cast("long").as("n_grams"),
+        aggregate(transform(col("gr"), g => element_at(lamLit, bucketOf(g) + 1)),
+          lit(0L), (acc, x) => acc + x).as("score_micro"))
+  }
 }

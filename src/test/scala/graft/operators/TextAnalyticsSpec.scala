@@ -35,4 +35,34 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"needle probe not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("dsirScores ranks target-like docs above off-target docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),   // target-like
+      (2L, "alpha beta gamma epsilon"),            // target-like
+      (3L, "zzz yyy xxx www vvv uuu"),             // off-target
+      (4L, "qqq rrr sss ttt"),                     // off-target
+      (5L, "")                                     // zero grams
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "beta gamma delta alpha")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.dsirScores(corpus, target, "doc_id", "text",
+      buckets = 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(5L) == ((0L, 0L)), s"zero-gram doc must score 0: $out")
+    val perGram = out.collect { case (id, (n, sc)) if n > 0 => id -> sc.toDouble / n }
+    assert(perGram(1L) > perGram(3L) && perGram(1L) > perGram(4L),
+      s"target-like doc must outscore off-target: $perGram")
+    assert(perGram(2L) > perGram(3L), s"partial match must outscore off-target: $perGram")
+    // portable and production hash modes agree on the RANKING
+    val port = TextAnalytics.dsirScores(corpus, target, "doc_id", "text",
+      buckets = 512, portableHash = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(port(1L) > port(3L) && port(2L) > port(4L))
+  }
 }
