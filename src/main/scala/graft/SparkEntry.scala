@@ -654,6 +654,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 topical relevance in integer micro-units (same decimal-
+    // exact replay trick as q63): per-(doc,term) score rounded to
+    // 1e-6 then summed exactly; the SQL mirrors the float expression
+    // parenthesis-for-parenthesis.
+    "q64_bm25" -> ((s, dir) => {
+      operators.TextAnalytics.bm25Scores(t(s, dir, "documents"),
+        "doc_id", "text", terms = Seq("spark", "join", "vector", "stream"))
+        .orderBy("doc_id")
+    }),
+
     "q41_window_suite" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1757,6 +1767,38 @@ object SparkEntry {
          |  COALESCE(sc.score, 0) AS score_micro
          |FROM gr g2 LEFT JOIN sc ON g2.doc_id = sc.doc_id
          |ORDER BY g2.doc_id""".stripMargin,
+
+    // Same operation order as TextAnalytics.bm25Scores, term by term:
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); s = idf * ((tf*(k1+1))
+    // / (tf + k1*(1 - b + b*(dl/avgdl)))); micro = round(1e6*s).
+    "q64_bm25" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |st AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |        FROM st),
+         |ex AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM ex
+         |  WHERE term IN ('spark', 'join', 'vector', 'stream')
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(1e6 * (ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+         |      ((tf.tf * (1.2 + 1.0)) /
+         |       (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (s.dl / t.avgdl))))))
+         |      AS BIGINT) AS m
+         |  FROM tf JOIN dfreq d ON tf.term = d.term
+         |  JOIN st s ON tf.doc_id = s.doc_id CROSS JOIN tot t),
+         |agg AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS score
+         |        FROM sc GROUP BY doc_id)
+         |SELECT st.doc_id, st.dl AS n_tokens,
+         |  COALESCE(agg.score, 0) AS score_micro
+         |FROM st LEFT JOIN agg ON st.doc_id = agg.doc_id
+         |ORDER BY st.doc_id""".stripMargin,
 
     // Ground truth is the single global running-sum window DuckDB can
     // afford at oracle scale; the Spark side must reproduce it from

@@ -118,6 +118,58 @@ object TextAnalytics {
             col("n_sh").cast("double"), 6)).as("overlap"))
   }
 
+  /** Okapi BM25 relevance of every document against a (small) query
+    * term set — the standard retrieval score, useful for search-style
+    * curation (pull the corpus slice most relevant to a topic).
+    * tf comes from one explode filtered to the query terms (the
+    * corpus never shuffles rows that match no term), df from the
+    * metadata-scale (term, doc) frame, and N/avgdl from one
+    * aggregate. Scores are integer MICRO-units of the BM25 value
+    * (per-(doc, term) score rounded to 1e-6, then summed exactly) so
+    * results replay decimal-exact across engines; divide by 1e6 for
+    * the float score. Docs matching no term score 0 (still emitted).
+    *
+    * The per-pair formula is evaluated with a FIXED operation order —
+    * idf = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    * s = idf * ((tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl /
+    * avgdl)))) — mirrored parenthesis-for-parenthesis by the oracle
+    * SQL, which is what makes the doubles bit-identical before the
+    * micro rounding. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = df.select(col(idCol),
+      graft.plans.native.wordShingles(col(textCol), 1).as("tk"))
+      .select(col(idCol), filter(col("tk"), t => t =!= "").as("tk"))
+    val lens = toks.select(col(idCol), size(col("tk")).cast("long").as("dl"))
+    val totRow = lens.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    val n = totRow.getLong(0)
+    if (n == 0)
+      return lens.select(col(idCol), col("dl").as("n_tokens"),
+        lit(0L).as("score_micro"))
+    val avgdl = totRow.getLong(1).toDouble / n
+    val tf = toks
+      .select(col(idCol), explode(col("tk")).as("term"))
+      .where(col("term").isin(terms.map(_.toLowerCase): _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))
+    val pairMicro = round(lit(1e6) *
+      (idf * ((col("tf") * lit(k1 + 1.0)) / denom))).cast("long")
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq(idCol))
+      .select(col(idCol), pairMicro.as("m"))
+      .groupBy(col(idCol)).agg(sum("m").as("score_micro"))
+    lens.join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("dl").as("n_tokens"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+
   /** DSIR-style hashed n-gram importance weights ("Data Selection for
     * Language Models via Importance Resampling", Xie et al. 2023,
     * arXiv:2302.03169): every doc's unigrams+bigrams hash into

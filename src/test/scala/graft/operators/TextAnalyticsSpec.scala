@@ -36,6 +36,24 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("bm25Scores ranks term-dense docs higher, zero for no-match docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark streaming engine"),
+      (2L, "spark appears once in this much longer document about other things entirely"),
+      (3L, "nothing relevant here at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.bm25Scores(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._2 > out(2L)._2, s"tf-dense doc must outrank: $out")
+    assert(out(2L)._2 > 0)
+    assert(out(3L)._2 == 0 && out(4L)._2 == 0)
+    assert(out(1L)._1 == 5 && out(4L)._1 == 0) // token counts ride along
+  }
+
   test("dsirScores ranks target-like docs above off-target docs") {
     val s = spark
     import s.implicits._
