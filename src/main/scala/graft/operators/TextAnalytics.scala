@@ -118,6 +118,34 @@ object TextAnalytics {
             col("n_sh").cast("double"), 6)).as("overlap"))
   }
 
+  /** Bloom-filter twin of [[ngramOverlapLarge]] for decontamination
+    * sets too large even for a broadcast JOIN (billions of shingles):
+    * the needle set is folded ONCE into a fixed-RAM Bloom filter
+    * (`df.stat.bloomFilter` — distributed build, OR-merged sketches),
+    * and the corpus pass probes it per shingle with the codegen'd
+    * BloomContains kernel — no join, no explode, no shuffle, not even
+    * an aggregate: one projection over the scan. Overlap is an UPPER
+    * bound on the exact score (false positives at `fpp`, never false
+    * negatives) — the right direction for contamination screening;
+    * route flagged docs through [[ngramOverlapLarge]] to confirm. */
+  def ngramOverlapBloom(df: DataFrame, idCol: String, textCol: String,
+                        needles: DataFrame, n: Int = 2,
+                        expectedItems: Long = 0L,
+                        fpp: Double = 0.001): DataFrame = {
+    val distinctNeedles = needles.select(col("shingle")).distinct()
+    val items = if (expectedItems > 0) expectedItems else distinctNeedles.count()
+    val bloom = distinctNeedles.stat.bloomFilter("shingle", math.max(items, 1L), fpp)
+    df.select(col(idCol),
+        array_distinct(graft.plans.native.wordShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_sh"),
+        size(filter(col("sh"),
+          s => graft.plans.native.bloomContains(s, bloom))).as("n_hit"))
+      .select(col(idCol),
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_sh").cast("double"), 6)).as("overlap"))
+  }
+
   /** Okapi BM25 relevance of every document against a (small) query
     * term set — the standard retrieval score, useful for search-style
     * curation (pull the corpus slice most relevant to a topic).

@@ -701,9 +701,45 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Membership probe against a pre-built Bloom filter (org.apache.spark
+  * .util.sketch.BloomFilter — the same sketch `df.stat.bloomFilter`
+  * builds distributed). The filter rides the plan as a reference
+  * object (broadcast with the task closures, fixed RAM regardless of
+  * needle count); probing is a codegen'd per-row call — no join, no
+  * shuffle. False positives at the filter's fpp; never false
+  * negatives. */
+case class BloomContains(child: Expression,
+                         bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains expects string, got $other")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainBinary(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$bloomRef.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+}
+
 object native {
   def wordShingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def bloomContains(text: Column,
+                    bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftBridge.column(BloomContains(GraftBridge.expression(text), bloom))
 
   /** Column wrappers for the native expressions. */
   def minhashSig(shingles: Column, k: Int, seed: Long = 42L): Column =

@@ -36,6 +36,36 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("ngramOverlapBloom upper-bounds the exact overlap with no join in the plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sleeps all day long"),
+      (3L, "completely unrelated text with no benchmark overlap at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val needleShingles = "the quick brown fox jumps".split(" ")
+      .sliding(2).map(_.mkString(" ")).toSeq.toDF("shingle")
+    val exact = TextAnalytics.ngramOverlapLarge(docs, "doc_id", "text",
+      needleShingles, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bloom = TextAnalytics.ngramOverlapBloom(docs, "doc_id", "text",
+      needleShingles, n = 2, fpp = 1e-4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, ov) =>
+      assert(bloom(id) >= ov, s"bloom must never under-count: doc $id $bloom vs $exact")
+    }
+    assert(bloom(1L) > 0.4 && bloom(3L) == 0.0 && bloom(4L) == 0.0)
+    // fixed-RAM probe: no join, no exchange — a pure projection pass
+    val plan = TextAnalytics.ngramOverlapBloom(docs, "doc_id", "text",
+      needleShingles, n = 2, fpp = 1e-4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"bloom probe must not join or shuffle:\n$plan")
+  }
+
   test("bm25Scores ranks term-dense docs higher, zero for no-match docs") {
     val s = spark
     import s.implicits._
