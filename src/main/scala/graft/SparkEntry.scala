@@ -319,6 +319,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Corpus-wide kNN graph: every embedding is a query; per-row cell
+    // probe (in-row struct sort over the collected centroids), cell
+    // join co-keyed — never a corpus broadcast.
+    "q65_knn_graph" -> ((s, dir) => {
+      Knn.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, c = 16, nprobe = 2, portableHash = true)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // K-means-refined IVF, oracle mode: one Lloyd round with the
     // ordered-fold per-cell mean (bit-identical to DuckDB's
     // list_reduce over id-sorted members). The production parallel
@@ -1161,6 +1171,44 @@ object SparkEntry {
          |SELECT c.id, c.cell, (d.id IS NOT NULL) AS is_dup
          |FROM cells c LEFT JOIN dup d ON c.id = d.id
          |ORDER BY c.id""".stripMargin,
+
+    // q21's replay with queries = the whole corpus, nprobe 2, k 3 —
+    // the graph edges every vector contributes to its probed cells.
+    "q65_knn_graph" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c) x
+         |  WHERE rk <= 2),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q21_knn_ivf" ->
       s"""WITH hashed AS (

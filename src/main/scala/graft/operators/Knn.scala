@@ -219,4 +219,48 @@ object Knn {
         round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Corpus-wide approximate kNN GRAPH — every vector is a query
+    * (the input for SemDeDup-style clustering, graph dedup, label
+    * propagation). Differs from [[ivf]] in the two places where
+    * "queries = the whole corpus" changes the physics:
+    *
+    *  - probe assignment is a PER-ROW expression: each vector ranks
+    *    the (collected, metadata-scale) centroids in an in-row struct
+    *    sort and explodes its top `nprobe` cells — no corpus×c join,
+    *    no per-query window shuffle (at very large c swap the sort
+    *    for a bounded-heap kernel, same contract);
+    *  - the cell join shuffles BOTH sides co-keyed on cell —
+    *    broadcasting the "query" side (the corpus!) is exactly what
+    *    must not happen here.
+    *
+    * Output: (query_id, neighbor_id, sim, rank), k rows per vector,
+    * same ordering contract as [[bruteForce]]. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, c: Int = 16, nprobe: Int = 2,
+               portableHash: Boolean = false): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, c, portableHash)
+    val cells = assignCells(corpus, idCol, vecCol, centroids)
+    val rows = centroids
+      .select(col("cell"), transform(col("cvec"), _.cast("double")).as("cvec"))
+      .collect()
+    require(rows.nonEmpty, "no centroids")
+    val scs = rows.map { r =>
+      struct(
+        Vectors.cosine(col(vecCol),
+          typedLit(r.getSeq[Double](1).toArray.toSeq)).as("sim"),
+        lit(r.getLong(0)).as("cell"))
+    }
+    // lexicographic struct sort: ascending (sim, cell) reversed =
+    // sim DESC, ties cell DESC — the same probe order as ivf()
+    val qAssign = corpus
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(slice(reverse(array_sort(array(scs: _*))), 1, nprobe)).as("sc"))
+      .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
+    val scored = cells.join(qAssign, Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
 }

@@ -331,6 +331,43 @@ class KnnSpec extends SparkSpec {
     assert(refinedRecall >= 0.3, s"refined IVF recall collapsed: $refinedRecall")
   }
 
+  test("knnGraph links cluster-mates and shuffles (not broadcasts) the cell join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // 4 tight clusters around orthogonal axes: true neighbors share a cluster
+    val vecs = (0L until 200L).map { i =>
+      val base = Array.fill(8)(0.05f * rnd.nextGaussian().toFloat)
+      base((i % 4).toInt) = 1.0f
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val g = Knn.knnGraph(vecs, "vec_id", "embedding", k = 3, c = 8, nprobe = 2)
+      .collect()
+    val byQuery = g.groupBy(_.getLong(0))
+    assert(byQuery.size == 200, s"every vector must emit edges: ${byQuery.size}")
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 3 &&
+        rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    // rank-1 neighbors overwhelmingly share the query's cluster
+    val sameCluster = g.filter(_.getInt(3) == 1)
+      .count(r => r.getLong(0) % 4 == r.getLong(1) % 4)
+    assert(sameCluster >= 180, s"cluster structure lost: $sameCluster/200")
+    // with broadcast off (the 100 TB regime — both sides corpus-scale)
+    // the cell join must plan as a shuffle join, and the probe
+    // assignment must add no join at all
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Knn.knnGraph(vecs, "vec_id", "embedding", k = 3, c = 8, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"corpus side must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a co-keyed shuffle join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("persisted IVF index probes with partition pruning") {
     val s = spark
     import s.implicits._
