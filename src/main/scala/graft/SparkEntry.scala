@@ -257,6 +257,17 @@ object SparkEntry {
       Dedup.canonicalizeCc(pairs).orderBy("id")
     }),
 
+    // Graph-clustered SemDeDup: the q19 exact pair set collapsed to
+    // connected components by the star algorithm; the oracle computes
+    // the SAME components via a recursive-CTE transitive closure — a
+    // genuine cross-algorithm check (epsilon-GRAPH components, the
+    // transitive alternative to q61's one-shot marking).
+    "q66_semdedup_graph" -> ((s, dir) => {
+      val pairs = Dedup.embeddingPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.45, planes = 0)
+      Dedup.canonicalizeCc(pairs.select("id_a", "id_b")).orderBy("id")
+    }),
+
     // Cross-corpus decontamination: training docs (doc_id%10!=0) that
     // MinHash-band with any eval doc (doc_id%10==0) at est_jaccard >=
     // tau — md5-portable mode, replayed key-for-key by the oracle.
@@ -664,6 +675,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Packed-slice plan: q62's offsets exploded into one row per
+    // (chunk, doc) token slice — the table a packed-sequence writer
+    // consumes. Pure integer arithmetic, exact in any engine.
+    "q67_pack_slices" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Sampling.packSlices(d, "doc_id", "n_tokens", seqLen = 512)
+        .orderBy("chunk_id", "id")
+    }),
+
     // BM25 topical relevance in integer micro-units (same decimal-
     // exact replay trick as q63): per-(doc,term) score rounded to
     // 1e-6 then summed exactly; the SQL mirrors the float expression
@@ -1044,6 +1065,24 @@ object SparkEntry {
         |  CAST(len(tk) AS INT) AS n_tokens,
         |  CAST(len(tk) - len(kp) AS INT) AS n_removed
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // Components via WITH RECURSIVE transitive closure — a different
+    // algorithm than the Spark side's large-star/small-star, agreeing
+    // on the fixpoint. Closure stays small: epsilon-graph components
+    // at this tau are a handful of docs each.
+    "q66_semdedup_graph" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM r GROUP BY u)
+         |SELECT id, rep FROM m ORDER BY id""".stripMargin,
 
     // Ground-truth oracle, not a replay: with chain edges (k, k-3) the
     // components are exactly the residue classes mod 3, so the
@@ -1815,6 +1854,29 @@ object SparkEntry {
          |  COALESCE(sc.score, 0) AS score_micro
          |FROM gr g2 LEFT JOIN sc ON g2.doc_id = sc.doc_id
          |ORDER BY g2.doc_id""".stripMargin,
+
+    // q62's single-window ground truth exploded per straddled chunk;
+    // slice bounds are GREATEST/LEAST integer clamps (no NULLs in
+    // play, so Spark's null-skipping least() is equivalent).
+    "q67_pack_slices" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         |  FROM t),
+         |s AS (
+         |  SELECT id, n_tokens, "offset",
+         |    unnest(range("offset" // 512, ("offset" + n_tokens - 1) // 512 + 1)) AS chunk_id
+         |  FROM c WHERE n_tokens > 0)
+         |SELECT chunk_id, id,
+         |  GREATEST("offset", chunk_id * 512) - "offset" AS doc_from,
+         |  LEAST("offset" + n_tokens, (chunk_id + 1) * 512)
+         |    - GREATEST("offset", chunk_id * 512) AS slice_len
+         |FROM s ORDER BY chunk_id, id""".stripMargin,
 
     // Same operation order as TextAnalytics.bm25Scores, term by term:
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); s = idf * ((tf*(k1+1))

@@ -99,6 +99,29 @@ object Sampling {
         col("start_chunk"), col("end_chunk"))
   }
 
+  /** The materialization plan for [[packChunks]]: one row per
+    * (chunk, doc) SLICE — which token range of each document lands in
+    * which training sequence. `doc_from` is the 0-based token start
+    * within the doc, `slice_len` its length; a writer groups by
+    * `chunk_id` and concatenates slices in id order to emit packed
+    * sequences (every chunk sums to exactly `seqLen` tokens except
+    * the ragged last). Pure integer arithmetic on top of the
+    * distributed prefix sum — the explode multiplies rows only by
+    * each doc's chunk-span (|span| ≤ n_tokens/seqLen + 2). */
+  def packSlices(df: DataFrame, idCol: String, nTokCol: String,
+                 seqLen: Int, parts: Int = 0): DataFrame = {
+    val l = lit(seqLen.toLong)
+    packChunks(df, idCol, nTokCol, seqLen, parts)
+      .where(col("n_tokens") > 0)
+      .select(col("id"), col("n_tokens"), col("offset"),
+        explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk_id"))
+      .select(col("chunk_id"), col("id"),
+        (greatest(col("offset"), col("chunk_id") * l) - col("offset"))
+          .as("doc_from"),
+        (least(col("offset") + col("n_tokens"), (col("chunk_id") + 1) * l)
+          - greatest(col("offset"), col("chunk_id") * l)).as("slice_len"))
+  }
+
   /** Deterministic train/val/test split on an integer id. `weights`
     * are percentages summing to 100; assignment is `id mod 100` range
     * membership — reproducible across engines and runs, and stable

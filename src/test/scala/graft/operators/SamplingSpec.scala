@@ -137,6 +137,37 @@ class SamplingSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("packSlices tiles every chunk to exactly seqLen and covers every doc") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 800).map(i =>
+      (i.toLong, if (i % 37 == 0) 0L else rnd.nextInt(700).toLong + 1))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val slices = Sampling.packSlices(df, "doc_id", "n_tokens", seqLen = 256, parts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val lastChunk = (total - 1) / 256
+    // every chunk except the ragged last holds exactly seqLen tokens
+    slices.groupBy(_._1).foreach { case (chunk, ss) =>
+      val n = ss.map(_._4).sum
+      if (chunk < lastChunk) assert(n == 256, s"chunk $chunk holds $n tokens")
+      else assert(n == total - lastChunk * 256)
+    }
+    // every non-empty doc is fully covered by contiguous slices
+    val byDoc = slices.groupBy(_._2)
+    rows.filter(_._2 > 0).foreach { case (id, n) =>
+      val ss = byDoc(id).sortBy(_._1)
+      assert(ss.map(_._4).sum == n, s"doc $id covered ${ss.map(_._4).sum}/$n")
+      assert(ss.head._3 == 0L)
+      ss.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap in doc $id slices")
+        case _ =>
+      }
+    }
+    assert(!byDoc.contains(37L * 1)) // zero-token docs emit no slices
+  }
+
   test("quantilesApprox tracks exact quantiles within the rank-error bound") {
     val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select(col("l_extendedprice").as("v"))
