@@ -685,6 +685,14 @@ object SparkEntry {
         .orderBy("chunk_id", "id")
     }),
 
+    // End of the packing path: actual (chunk_id, tokens) training
+    // sequences — every row exactly 512 tokens except the last.
+    "q68_pack_sequences" -> ((s, dir) => {
+      operators.Sampling.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", seqLen = 512)
+        .orderBy("chunk_id")
+    }),
+
     // BM25 topical relevance in integer micro-units (same decimal-
     // exact replay trick as q63): per-(doc,term) score rounded to
     // 1e-6 then summed exactly; the SQL mirrors the float expression
@@ -1877,6 +1885,30 @@ object SparkEntry {
          |  LEAST("offset" + n_tokens, (chunk_id + 1) * 512)
          |    - GREATEST("offset", chunk_id * 512) AS slice_len
          |FROM s ORDER BY chunk_id, id""".stripMargin,
+
+    // q67's slice table joined to the token arrays, chunk pieces
+    // concatenated in id order (flatten of an ORDER BY id list agg).
+    "q68_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(SUM(CAST(len(tk) AS BIGINT)) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         |  FROM t),
+         |s AS (
+         |  SELECT id, tk, n_tokens, "offset",
+         |    unnest(range("offset" // 512, ("offset" + n_tokens - 1) // 512 + 1)) AS chunk_id
+         |  FROM c WHERE n_tokens > 0),
+         |p AS (
+         |  SELECT chunk_id, id,
+         |    tk[GREATEST("offset", chunk_id * 512) - "offset" + 1 :
+         |       LEAST("offset" + n_tokens, (chunk_id + 1) * 512) - "offset"] AS piece
+         |  FROM s)
+         |SELECT chunk_id, flatten(list(piece ORDER BY id)) AS tokens
+         |FROM p GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
     // Same operation order as TextAnalytics.bm25Scores, term by term:
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); s = idf * ((tf*(k1+1))

@@ -122,6 +122,31 @@ object Sampling {
           - greatest(col("offset"), col("chunk_id") * l)).as("slice_len"))
   }
 
+  /** True packed-sequence OUTPUT: [[packSlices]] joined back to the
+    * tokenized text, each (chunk, doc) slice cut with `slice()`, and
+    * each chunk's pieces concatenated in id order — (chunk_id,
+    * tokens), every row exactly `seqLen` tokens except the ragged
+    * last. The per-chunk collect is bounded by seqLen (one training
+    * sequence per row), the slice join is co-keyed on id — nothing
+    * here holds more than one chunk's tokens at a time, so the path
+    * writes packed pre-training data straight to parquet at corpus
+    * scale. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, parts: Int = 0): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.Text.tokens(col(textCol)).as("tk"))
+    val counts = toks.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+    val slices = packSlices(counts, "id", "n_tokens", seqLen, parts)
+    slices.join(toks, Seq("id"))
+      .select(col("chunk_id"), col("id"),
+        slice(col("tk"), (col("doc_from") + 1).cast("int"),
+          col("slice_len").cast("int")).as("piece"))
+      .groupBy("chunk_id")
+      .agg(array_sort(collect_list(struct(col("id"), col("piece")))).as("ps"))
+      .select(col("chunk_id"),
+        flatten(transform(col("ps"), p => p.getField("piece"))).as("tokens"))
+  }
+
   /** Deterministic train/val/test split on an integer id. `weights`
     * are percentages summing to 100; assignment is `id mod 100` range
     * membership — reproducible across engines and runs, and stable

@@ -168,6 +168,29 @@ class SamplingSpec extends SparkSpec {
     assert(!byDoc.contains(37L * 1)) // zero-token docs emit no slices
   }
 
+  test("packSequences emits exact seqLen token rows reconstructing the stream") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Array("aa", "bb", "cc", "dd", "ee")
+    val rows = (1 to 120).map { i =>
+      (i.toLong,
+        (0 until (if (i % 29 == 0) 0 else rnd.nextInt(40) + 1))
+          .map(_ => words(rnd.nextInt(5)) + i).mkString(" "))
+    }
+    val out = Sampling.packSequences(rows.toDF("doc_id", "text"),
+      "doc_id", "text", seqLen = 64, parts = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val stream = rows.sortBy(_._1).flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+    val expect = stream.grouped(64).toSeq
+    assert(out.length == expect.length)
+    out.zip(expect).zipWithIndex.foreach { case (((cid, toks), want), i) =>
+      assert(cid == i.toLong, s"chunk ids must be dense: $cid at $i")
+      assert(toks == want, s"chunk $i tokens diverge")
+    }
+  }
+
   test("quantilesApprox tracks exact quantiles within the rank-error bound") {
     val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select(col("l_extendedprice").as("v"))
