@@ -685,6 +685,14 @@ object SparkEntry {
         .orderBy("chunk_id", "id")
     }),
 
+    // Dataset-card mixture manifest: per-source docs/tokens/share.
+    "q69_mixture_manifest" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Sampling.mixtureManifest(d, "source", "n_tokens")
+        .orderBy("source")
+    }),
+
     // End of the packing path: actual (chunk_id, tokens) training
     // sequences — every row exactly 512 tokens except the last.
     "q68_pack_sequences" -> ((s, dir) => {
@@ -1885,6 +1893,20 @@ object SparkEntry {
          |  LEAST("offset" + n_tokens, (chunk_id + 1) * 512)
          |    - GREATEST("offset", chunk_id * 512) AS slice_len
          |FROM s ORDER BY chunk_id, id""".stripMargin,
+
+    "q69_mixture_manifest" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) /
+        |        CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+        |FROM a ORDER BY source""".stripMargin,
 
     // q67's slice table joined to the token arrays, chunk pieces
     // concatenated in id order (flatten of an ORDER BY id list agg).

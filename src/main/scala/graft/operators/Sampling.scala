@@ -147,6 +147,22 @@ object Sampling {
         flatten(transform(col("ps"), p => p.getField("piece"))).as("tokens"))
   }
 
+  /** Training-mixture manifest: per-source document and token counts
+    * with token share — the dataset-card report for a curated corpus
+    * (and the input to rebalancing decisions via
+    * [[weightedMixture]]). One keys-only aggregate; the share divides
+    * by the window-summed total (sources are few, the window frame is
+    * metadata-scale). */
+  def mixtureManifest(df: DataFrame, sourceCol: String,
+                      nTokCol: String): DataFrame = {
+    val agg = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nTokCol).cast("long")).as("n_tokens"))
+    agg.select(col("source"), col("n_docs"), col("n_tokens"),
+      round(col("n_tokens").cast("double") /
+        sum("n_tokens").over(Window.partitionBy()), 6).as("token_share"))
+  }
+
   /** Deterministic train/val/test split on an integer id. `weights`
     * are percentages summing to 100; assignment is `id mod 100` range
     * membership — reproducible across engines and runs, and stable
