@@ -685,6 +685,32 @@ object SparkEntry {
         .orderBy("chunk_id", "id")
     }),
 
+    // The skew-proof as-of through the SAME DuckDB ASOF ground truth
+    // as q36 — gate-level proof the (key, epoch) two-phase merge is
+    // observationally identical to the linear form.
+    "q70_asof_bucketed" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+      val orders1 = t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      operators.AsOfJoin.asOfBucketed(ev, "user_id", "ts", "event_id",
+        orders1, "o_custkey", "o_orderdate", "o_orderkey", epochs = 8)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("order_epoch"),
+          col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
+    // Flagship one-call curation end-to-end: minhash pairs → star
+    // components → keep-one-representative, all replayed by the
+    // oracle (q17's sketch chain + q66's recursive closure).
+    "q71_dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+        tau = 0.35, portableHash = true)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // Dataset-card mixture manifest: per-source docs/tokens/share.
     "q69_mixture_manifest" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("source"),
@@ -1894,6 +1920,42 @@ object SparkEntry {
          |    - GREATEST("offset", chunk_id * 512) AS slice_len
          |FROM s ORDER BY chunk_id, id""".stripMargin,
 
+    // q17's sketch/banding chain at tau 0.35 feeding q66's recursive
+    // transitive closure; survivors = docs that are their component's
+    // min (or never paired).
+    "q71_dedup_corpus" ->
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |p2 AS (
+         |  SELECT id_a, id_b FROM prs
+         |  WHERE len(list_filter(range(1,65), i -> sig_a[i] = sig_b[i])) / 64.0 >= 0.35),
+         |eg AS (SELECT id_a AS u, id_b AS v FROM p2
+         |       UNION SELECT id_b, id_a FROM p2),
+         |r(u, v) AS (
+         |  SELECT u, v FROM eg
+         |  UNION
+         |  SELECT r.u, eg.v FROM r JOIN eg ON r.v = eg.u),
+         |m2 AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM r GROUP BY u)
+         |SELECT d.doc_id, d.source
+         |FROM documents d LEFT JOIN m2 ON d.doc_id = m2.id
+         |WHERE m2.rep IS NULL OR m2.rep = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q69_mixture_manifest" ->
       """WITH t AS (
         |  SELECT source,
@@ -2027,18 +2089,24 @@ object SparkEntry {
          |WHERE q.q >= 0.5
          |GROUP BY label ORDER BY label""".stripMargin,
 
-    "q36_asof_join" ->
-      """WITH o1 AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
-        |  FROM orders
-        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
-        |                             ORDER BY o_orderkey) = 1)
-        |SELECT e.event_id, e.user_id, o.o_orderkey,
-        |  CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch,
-        |  o.o_totalprice
-        |FROM events e
-        |ASOF LEFT JOIN o1 o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+    "q36_asof_join" -> asofOracleSql,
+
+    // Same ground truth as q36 — the bucketed two-phase merge must be
+    // observationally identical to the linear form.
+    "q70_asof_bucketed" -> asofOracleSql
   )
+
+  private lazy val asofOracleSql =
+    """WITH o1 AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      |  FROM orders
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                             ORDER BY o_orderkey) = 1)
+      |SELECT e.event_id, e.user_id, o.o_orderkey,
+      |  CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch,
+      |  o.o_totalprice
+      |FROM events e
+      |ASOF LEFT JOIN o1 o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
 }

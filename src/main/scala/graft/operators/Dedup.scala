@@ -435,8 +435,9 @@ object Dedup {
     * "keep one copy" curation pass. Everything that never appeared in
     * a pair passes through untouched. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-                  tau: Double = 0.7): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, tau = tau)
+                  tau: Double = 0.7, portableHash: Boolean = false): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, tau = tau,
+      portableHash = portableHash)
     // convergence-checked star algorithm — no cluster-shape assumption
     val labels = canonicalizeCc(pairs).localCheckpoint(true)
     pairs.unpersist(false) // labels is materialized; the pair cache is done
