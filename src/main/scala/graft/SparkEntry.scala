@@ -340,6 +340,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The persisted-index lifecycle under the gate: build the
+    // cell-partitioned IVF index on disk, then answer through the
+    // directory-pruned probe path — results must equal the in-memory
+    // IVF (q21's oracle verbatim).
+    "q72_ivf_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_gate").toString
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tmp, c = 16, portableHash = true)
+      Knn.searchIvf(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // K-means-refined IVF, oracle mode: one Lloyd round with the
     // ordered-fold per-cell mean (bit-identical to DuckDB's
     // list_reduce over id-sorted members). The production parallel
@@ -1291,41 +1305,11 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
-    "q21_knn_ivf" ->
-      s"""WITH hashed AS (
-         |  SELECT vec_id, embedding,
-         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM hashed ORDER BY h LIMIT 16),
-         |assign AS (
-         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
-         |    row_number() OVER (PARTITION BY hd.vec_id
-         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
-         |               c.cell DESC) AS rn
-         |  FROM hashed hd CROSS JOIN cents c),
-         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
-         |qa AS (
-         |  SELECT query_id, qvec, cell FROM (
-         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
-         |                 c.cell DESC) AS rk
-         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
-         |  WHERE rk <= 4),
-         |scored AS (
-         |  SELECT qa.query_id, cl.id AS neighbor_id,
-         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
-         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
-         |  WHERE cl.id <> qa.query_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q21_knn_ivf" -> ivfOracleSql,
+
+    // Persisted-index twin: identical semantics, answered through the
+    // on-disk cell-partitioned index + pruned probe.
+    "q72_ivf_persisted" -> ivfOracleSql,
 
     "q20_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
@@ -2095,6 +2079,42 @@ object SparkEntry {
     // observationally identical to the linear form.
     "q70_asof_bucketed" -> asofOracleSql
   )
+
+  private lazy val ivfOracleSql =
+    s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
 
   private lazy val asofOracleSql =
     """WITH o1 AS (

@@ -137,11 +137,12 @@ object Knn {
     * 100 TB. Centroids land beside it (metadata-scale). Build once,
     * probe many. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    path: String, c: Int = 16, refineIters: Int = 0): Unit = {
+                    path: String, c: Int = 16, refineIters: Int = 0,
+                    portableHash: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val centroids =
       if (refineIters > 0) kmeansCentroids(corpus, idCol, vecCol, c, refineIters)
-      else sampleCentroids(corpus, idCol, vecCol, c)
+      else sampleCentroids(corpus, idCol, vecCol, c, portableHash)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assignCells(corpus, idCol, vecCol,
       spark.read.parquet(s"$path/centroids"))
