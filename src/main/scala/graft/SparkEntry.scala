@@ -340,6 +340,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The SQL surface under the gate: the injected functions answer a
+    // pure-SQL query (registration path + kernel semantics together).
+    "q73_sql_surface" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("g_emb")
+      t(s, dir, "documents").createOrReplaceTempView("g_docs")
+      s.sql("""
+        SELECT d.doc_id,
+               size(word_shingles(d.text, 3)) AS n_shingles,
+               ROUND(cosine_sim(e.embedding, e.embedding), 6) AS self_sim
+        FROM g_docs d JOIN g_emb e ON d.doc_id = e.vec_id
+        ORDER BY d.doc_id""")
+    }),
+
     // The persisted-index lifecycle under the gate: build the
     // cell-partitioned IVF index on disk, then answer through the
     // directory-pruned probe path — results must equal the in-memory
@@ -1304,6 +1318,19 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Shingle count with multiplicity (kernel semantics: < n tokens →
+    // one whole-text shingle); self-cosine is 1 for any nonzero vec.
+    "q73_sql_surface" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents)
+         |SELECT t.doc_id,
+         |  CAST(CASE WHEN len(t.tk) < 3 THEN 1 ELSE len(t.tk) - 2 END AS INTEGER) AS n_shingles,
+         |  ROUND(${cosSql("e.embedding", "e.embedding")}, 6) AS self_sim
+         |FROM tk t JOIN embeddings e ON t.doc_id = e.vec_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q21_knn_ivf" -> ivfOracleSql,
 
