@@ -755,6 +755,14 @@ object SparkEntry {
         .orderBy("chunk_id")
     }),
 
+    // Token-type entropy in micro-nats: distributional repetition
+    // signal (complements q47's adjacency signal).
+    "q74_token_entropy" -> ((s, dir) => {
+      operators.TextAnalytics.tokenEntropy(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // BM25 topical relevance in integer micro-units (same decimal-
     // exact replay trick as q63): per-(doc,term) score rounded to
     // 1e-6 then summed exactly; the SQL mirrors the float expression
@@ -2004,6 +2012,26 @@ object SparkEntry {
          |  FROM s)
          |SELECT chunk_id, flatten(list(piece ORDER BY id)) AS tokens
          |FROM p GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+    // -p·ln(p) per token type, rounded to micro-nats, summed exactly;
+    // operand order mirrored: (c / CAST(n AS DOUBLE)).
+    "q74_token_entropy" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk),
+         |ex AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+         |c AS (SELECT doc_id, t, COUNT(*) AS c FROM ex GROUP BY doc_id, t),
+         |m AS (
+         |  SELECT c.doc_id,
+         |    CAST(round(1e6 * -((c.c / CAST(n.n_tokens AS DOUBLE)) *
+         |      ln(c.c / CAST(n.n_tokens AS DOUBLE)))) AS BIGINT) AS mm
+         |  FROM c JOIN n ON c.doc_id = n.doc_id),
+         |s AS (SELECT doc_id, CAST(SUM(mm) AS BIGINT) AS e FROM m GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_tokens, COALESCE(s.e, 0) AS entropy_micro
+         |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
 
     // Same operation order as TextAnalytics.bm25Scores, term by term:
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); s = idf * ((tf*(k1+1))

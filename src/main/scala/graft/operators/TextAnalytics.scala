@@ -198,6 +198,30 @@ object TextAnalytics {
         coalesce(col("score_micro"), lit(0L)).as("score_micro"))
   }
 
+  /** Token-type Shannon entropy per document — low entropy flags
+    * repetitive/boilerplate text (a handful of token types dominate),
+    * high entropy tracks lexical diversity; complements
+    * [[repetitionRatio]] (adjacent repeats) with a distributional
+    * signal. One (doc, token)-keyed count shuffle + a per-doc sum.
+    * Integer MICRO-NAT output (each type's -p·ln(p) rounded at 1e-6,
+    * summed exactly — the q63 trick) so the oracle replays it
+    * decimal-exact; divide by 1e6 for nats. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      filter(graft.plans.native.wordShingles(col(textCol), 1), t => t =!= "").as("tk"))
+    val lens = toks.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+    val counts = toks.select(col(idCol), explode(col("tk")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val ratio = col("c") / col("n_tokens").cast("double")
+    val micro = round(lit(1e6) * -(ratio * log(ratio))).cast("long")
+    val scored = counts.join(lens, Seq(idCol))
+      .select(col(idCol), micro.as("m"))
+      .groupBy(col(idCol)).agg(sum("m").as("entropy_micro"))
+    lens.join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
+  }
+
   /** DSIR-style hashed n-gram importance weights ("Data Selection for
     * Language Models via Importance Resampling", Xie et al. 2023,
     * arXiv:2302.03169): every doc's unigrams+bigrams hash into

@@ -66,6 +66,22 @@ class TextAnalyticsSpec extends SparkSpec {
       s"bloom probe must not join or shuffle:\n$plan")
   }
 
+  test("tokenEntropy: diverse text scores high, repeated text low, empty zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"), // 8 distinct: ln(8)
+      (2L, "spam spam spam spam spam spam spam spam"), // 1 type: 0
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 8 && math.abs(out(1L)._2 - math.round(1e6 * math.log(8)) * 1) <= 8,
+      s"uniform-8 entropy should be ~ln(8) nats: $out")
+    assert(out(2L) == ((8L, 0L)), s"single-type doc must score 0: $out")
+    assert(out(3L) == ((0L, 0L)))
+  }
+
   test("bm25Scores ranks term-dense docs higher, zero for no-match docs") {
     val s = spark
     import s.implicits._
