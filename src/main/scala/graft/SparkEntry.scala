@@ -368,6 +368,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The WHOLE on-disk IVF+PQ lifecycle under the gate: data-sampled
+    // codebooks (bottom-k md5 — deterministic and SQL-replayable),
+    // portable centroid pick, cell-partitioned build, then the
+    // codes-only ADC probe + shortlist + exact re-rank.
+    "q75_ivfpq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_gate").toString
+      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", tmp,
+        c = 16, m = 8, k = 16, dim = 64, portableHash = true)
+      Pq.searchIvfPq(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // K-means-refined IVF, oracle mode: one Lloyd round with the
     // ordered-fold per-cell mean (bit-identical to DuckDB's
     // list_reduce over id-sorted members). The production parallel
@@ -1339,6 +1354,93 @@ object SparkEntry {
          |  ROUND(${cosSql("e.embedding", "e.embedding")}, 6) AS self_sim
          |FROM tk t JOIN embeddings e ON t.doc_id = e.vec_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // q21's probe machinery + data-sampled codebooks (the SAME bottom-16
+    // md5 rows as the centroids) + q51's encode/ADC/shortlist/re-rank,
+    // scoped to the probed cells.
+    "q75_ivfpq_persisted" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |cwrows AS (
+         |  SELECT row_number() OVER (ORDER BY h) - 1 AS code,
+         |         CAST(embedding AS DOUBLE[]) AS v
+         |  FROM (SELECT h, embedding FROM hashed ORDER BY h LIMIT 16) y),
+         |books AS (
+         |  SELECT ss.s, cwrows.code AS c, cwrows.v[ss.s*8+1 : ss.s*8+8] AS cw
+         |  FROM cwrows CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |dist AS (
+         |  SELECT e.vec_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])
+         |        * (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM embeddings e CROSS JOIN books b),
+         |enc AS (
+         |  SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+         |    SELECT vec_id, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1 GROUP BY vec_id),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         |qtab AS (
+         |  SELECT query_id, list(dots ORDER BY s) AS tabs FROM (
+         |    SELECT query_id, s, list(dp ORDER BY c) AS dots
+         |    FROM qd GROUP BY query_id, s) x
+         |  GROUP BY query_id),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 9), s ->
+         |      qt.tabs[s][en.codes[s] + 1]), (a, b) -> a + b) AS adc
+         |  FROM cells cl
+         |  JOIN qa ON cl.cell = qa.cell
+         |  JOIN enc en ON en.vec_id = cl.id
+         |  JOIN qtab qt ON qt.query_id = qa.query_id
+         |  WHERE cl.id <> qa.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+         |    FROM scored) x WHERE rn <= 50),
+         |exact AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM exact)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q21_knn_ivf" -> ivfOracleSql,
 

@@ -292,10 +292,11 @@ object Pq {
     * Returns the codebooks for immediate searching. */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, c: Int = 16, m: Int = 8, k: Int = 16,
-                      dim: Int = 64, trainIters: Int = 0): Array[Array[Array[Double]]] = {
+                      dim: Int = 64, trainIters: Int = 0,
+                      portableHash: Boolean = false): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c)
+    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val books =
       if (trainIters > 0) trainCodebooksKmeans(corpus, idCol, vecCol, m, k, dim, trainIters)
