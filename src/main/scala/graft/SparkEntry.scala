@@ -383,6 +383,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The on-disk IVF+RQ twin of q75: level-1 books from the bottom-32
+    // md5 rows' first half, level-2 books the HOLDOUT half's residuals
+    // vs their level-1 argmin — all closed-form from data, replayed in
+    // SQL; probe through interleaved two-level ADC + re-rank.
+    "q76_ivfrq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfrq_gate").toString
+      Pq.writeIvfRqIndex(emb, "vec_id", "embedding", tmp,
+        c = 16, m = 8, k = 16, dim = 64, portableHash = true)
+      Pq.searchIvfRq(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // K-means-refined IVF, oracle mode: one Lloyd round with the
     // ordered-fold per-cell mean (bit-identical to DuckDB's
     // list_reduce over id-sorted members). The production parallel
@@ -1417,6 +1432,140 @@ object SparkEntry {
          |  SELECT qa.query_id, cl.id AS neighbor_id,
          |    list_reduce(list_transform(range(1, 9), s ->
          |      qt.tabs[s][en.codes[s] + 1]), (a, b) -> a + b) AS adc
+         |  FROM cells cl
+         |  JOIN qa ON cl.cell = qa.cell
+         |  JOIN enc en ON en.vec_id = cl.id
+         |  JOIN qtab qt ON qt.query_id = qa.query_id
+         |  WHERE cl.id <> qa.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+         |    FROM scored) x WHERE rn <= 50),
+         |exact AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM exact)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q75's probe scaffolding with DATA-DERIVED two-level books: b1 =
+    // subvectors of the bottom-32 md5 rows' first 16, b2 = residuals
+    // of the holdout 16 vs their level-1 argmin codeword; then q53's
+    // interleaved encode/ADC replay scoped to the probed cells.
+    "q76_ivfrq_persisted" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |cw32 AS (
+         |  SELECT row_number() OVER (ORDER BY h) - 1 AS code,
+         |         CAST(embedding AS DOUBLE[]) AS v
+         |  FROM (SELECT h, embedding FROM hashed ORDER BY h LIMIT 32) y),
+         |b1 AS (
+         |  SELECT ss.s, cw32.code AS c, cw32.v[ss.s*8+1 : ss.s*8+8] AS cw
+         |  FROM cw32 CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+         |  WHERE cw32.code < 16),
+         |hsub AS (
+         |  SELECT ss.s, cw32.code - 16 AS j2, cw32.v[ss.s*8+1 : ss.s*8+8] AS sub
+         |  FROM cw32 CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+         |  WHERE cw32.code >= 16),
+         |hd2 AS (
+         |  SELECT h.s, h.j2, b.c, h.sub, b.cw,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (h.sub[j] - b.cw[j]) * (h.sub[j] - b.cw[j])), (a, x) -> a + x) AS d
+         |  FROM hsub h JOIN b1 b ON b.s = h.s),
+         |b2 AS (
+         |  SELECT s, j2 AS c,
+         |    list_transform(range(1, 9), j -> sub[j] - cw[j]) AS cw FROM (
+         |    SELECT s, j2, sub, cw,
+         |      row_number() OVER (PARTITION BY s, j2 ORDER BY d ASC, c ASC) AS rn
+         |    FROM hd2) x WHERE rn = 1),
+         |dist1 AS (
+         |  SELECT e.vec_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])
+         |        * (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM embeddings e CROSS JOIN b1 b),
+         |c1 AS (
+         |  SELECT vec_id, s, c AS c1 FROM (
+         |    SELECT vec_id, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist1) x WHERE rn = 1),
+         |dist2 AS (
+         |  SELECT c1.vec_id, c1.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      ((CAST(e.embedding[c1.s * 8 + j] AS DOUBLE) - w1.cw[j]) - b.cw[j])
+         |        * ((CAST(e.embedding[c1.s * 8 + j] AS DOUBLE) - w1.cw[j]) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM c1
+         |  JOIN embeddings e ON e.vec_id = c1.vec_id
+         |  JOIN b1 w1 ON w1.s = c1.s AND w1.c = c1.c1
+         |  JOIN b2 b ON b.s = c1.s),
+         |c2 AS (
+         |  SELECT vec_id, s, c AS c2 FROM (
+         |    SELECT vec_id, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist2) x WHERE rn = 1),
+         |enc AS (
+         |  SELECT vec_id, list(code ORDER BY pos) AS codes FROM (
+         |    SELECT vec_id, s * 2 AS pos, c1 AS code FROM c1
+         |    UNION ALL
+         |    SELECT vec_id, s * 2 + 1 AS pos, c2 AS code FROM c2) u
+         |  GROUP BY vec_id),
+         |qd1 AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN b1 b WHERE q.vec_id % 100 = 0),
+         |qd2 AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN b2 b WHERE q.vec_id % 100 = 0),
+         |qtab AS (
+         |  SELECT query_id, list(dots ORDER BY pos) AS tabs FROM (
+         |    SELECT query_id, s * 2 AS pos, list(dp ORDER BY c) AS dots
+         |    FROM qd1 GROUP BY query_id, s
+         |    UNION ALL
+         |    SELECT query_id, s * 2 + 1 AS pos, list(dp ORDER BY c) AS dots
+         |    FROM qd2 GROUP BY query_id, s) u
+         |  GROUP BY query_id),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      qt.tabs[i][en.codes[i] + 1]), (a, b) -> a + b) AS adc
          |  FROM cells cl
          |  JOIN qa ON cl.cell = qa.cell
          |  JOIN enc en ON en.vec_id = cl.id

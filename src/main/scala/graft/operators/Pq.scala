@@ -440,11 +440,11 @@ object Pq {
     * dim=64/m=8, strictly finer reconstruction. */
   def writeIvfRqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, c: Int = 16, m: Int = 8, k: Int = 16,
-                      dim: Int = 64)
+                      dim: Int = 64, portableHash: Boolean = false)
       : (Array[Array[Array[Double]]], Array[Array[Array[Double]]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c)
+    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val (b1, b2) = trainResidualCodebooks(corpus, idCol, vecCol, m, k, dim)
     Seq(b1, b2).zipWithIndex.flatMap { case (books, level) =>
