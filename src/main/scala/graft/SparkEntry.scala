@@ -769,6 +769,25 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // Window-free latest-per-key: one-row-per-key-per-partition
+    // partial aggregation, never a full-row window shuffle.
+    "q77_keep_latest" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      operators.Sampling.keepLatest(o, "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // Deterministic exact-size sample: bottom-100 md5 id hashes
+    // (TakeOrdered — no sort shuffle), reproducible in any engine.
+    "q78_sample_exact" -> ((s, dir) => {
+      operators.Sampling.sampleExact(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", n = 100, portableHash = true)
+        .orderBy("doc_id")
+    }),
+
     // Dataset-card mixture manifest: per-source docs/tokens/share.
     "q69_mixture_manifest" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("source"),
@@ -2225,6 +2244,21 @@ object SparkEntry {
          |FROM documents d LEFT JOIN m2 ON d.doc_id = m2.id
          |WHERE m2.rep IS NULL OR m2.rep = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // (o_orderdate, o_orderkey) is unique per customer row, so the
+    // lexicographic struct max equals this QUALIFY pick exactly.
+    "q77_keep_latest" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q78_sample_exact" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents ORDER BY h LIMIT 100) x
+         |ORDER BY doc_id""".stripMargin,
 
     "q69_mixture_manifest" ->
       """WITH t AS (

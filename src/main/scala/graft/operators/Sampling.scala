@@ -163,6 +163,38 @@ object Sampling {
         sum("n_tokens").over(Window.partitionBy()), 6).as("token_share"))
   }
 
+  /** Latest-version-per-key WITHOUT a window: `max(struct(ts, tie,
+    * payload...))` aggregates lexicographically, so the partial
+    * (map-side) aggregate keeps ONE row per key per partition and the
+    * shuffle moves one row per (key, partition) — a window
+    * formulation would exchange every version of every key. (ts,
+    * tie) must be unique per key (tie an id), which also makes the
+    * pick deterministic; payload fields are never compared. The
+    * dedup-by-recency pass every snapshot/CDC corpus needs. */
+  def keepLatest(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val payload = df.columns.filterNot(c =>
+      c == keyCol || c == tsCol || c == tieCol).toSeq
+    val packed = struct((Seq(tsCol, tieCol) ++ payload).map(col): _*)
+    df.groupBy(col(keyCol)).agg(max(packed).as("__latest"))
+      .select(col(keyCol) +:
+        (Seq(tsCol, tieCol) ++ payload).map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** Deterministic exact-size uniform sample: the n smallest id
+    * hashes. Plans as TakeOrderedAndProject (per-partition bounded
+    * heaps merged on the driver — no sort shuffle), is reproducible
+    * across runs and engines, and a doc's membership is stable under
+    * corpus growth only of larger hashes — the sampling twin of the
+    * bottom-k centroid pick. `portableHash` = md5 gate mode. */
+  def sampleExact(df: DataFrame, idCol: String, n: Int,
+                  portableHash: Boolean = false): DataFrame = {
+    val h =
+      if (portableHash) graft.functions.Hashes.md5Hash64(col(idCol))
+      else xxhash64(col(idCol))
+    df.withColumn("__h", h).orderBy("__h").limit(n).drop("__h")
+  }
+
   /** Deterministic train/val/test split on an integer id. `weights`
     * are percentages summing to 100; assignment is `id mod 100` range
     * membership — reproducible across engines and runs, and stable
