@@ -514,6 +514,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // SCD2 history builder: collapse the per-(customer, date) order
+    // status series into effective-dated versions — the operator that
+    // BUILDS tables like q56's item_details dimension from raw
+    // periodic observations. Snapshot attr is MAX(status) per day
+    // (deterministic); the oracle replays lag-change/running-version/
+    // lead-close with the same null-safe change test.
+    "q80_scd2_history" -> ((s, dir) => {
+      val snap = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderstatus")).as("status"))
+      operators.AsOfJoin.scd2(snap, Seq("o_custkey"), "o_orderdate", Seq("status"))
+        .orderBy("o_custkey", "valid_from")
+    }),
+
     // --- text analysis -----------------------------------------------------
     "q22_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -809,6 +823,16 @@ object SparkEntry {
     "q74_token_entropy" -> ((s, dir) => {
       operators.TextAnalytics.tokenEntropy(t(s, dir, "documents"),
         "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Bigram-LM log-probability (CCNet-style perplexity filter) in
+    // micro-nats: the corpus self-scored under its own add-one-
+    // smoothed bigram model; the oracle refits the identical model
+    // in SQL and mirrors ln((c2 + 1.0) / (c1 + V)) exactly.
+    "q79_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalytics.lmScores(docs, docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2317,6 +2341,61 @@ object SparkEntry {
          |SELECT n.doc_id, n.n_tokens, COALESCE(s.e, 0) AS entropy_micro
          |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+
+    // The oracle refits the add-one bigram LM from scratch: strict
+    // adjacent bigrams (none for <2 tokens), context = first word,
+    // V = distinct token types; per-occurrence micro-nat rounding
+    // mirrors lmScores' ln((c2 + 1.0) / (c1 + V)) operand order.
+    "q79_lm_score" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |      END AS bg
+         |  FROM tk),
+         |n AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams FROM bg),
+         |ex AS (SELECT doc_id, unnest(bg) AS b FROM bg),
+         |c2 AS (SELECT b, COUNT(*) AS c2 FROM ex GROUP BY b),
+         |c1 AS (SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS c1 FROM ex GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+         |      FROM (SELECT unnest(tk) AS t FROM tk)),
+         |m AS (
+         |  SELECT ex.doc_id,
+         |    CAST(round(1e6 * ln((c2.c2 + 1.0) / (c1.c1 + v.v))) AS BIGINT) AS mm
+         |  FROM ex JOIN c2 ON ex.b = c2.b
+         |  JOIN c1 ON split_part(ex.b, ' ', 1) = c1.w1 CROSS JOIN v),
+         |s AS (SELECT doc_id, CAST(SUM(mm) AS BIGINT) AS lp FROM m GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_bigrams, COALESCE(s.lp, 0) AS logprob_micro
+         |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
+
+    // lag-change flag (IS DISTINCT FROM = the null-safe <=> test),
+    // running SUM = version, MIN(date) per version, lead() closes.
+    "q80_scd2_history" ->
+      """WITH snap AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderstatus) AS status
+        |  FROM orders GROUP BY 1, 2),
+        |f AS (
+        |  SELECT o_custkey, o_orderdate, status,
+        |    CASE WHEN status IS DISTINCT FROM lag(status) OVER w
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)),
+        |v AS (
+        |  SELECT o_custkey, o_orderdate, status,
+        |    CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM f),
+        |g AS (
+        |  SELECT o_custkey, status, ver, MIN(o_orderdate) AS valid_from
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT o_custkey, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
+        |    AS valid_to
+        |FROM g ORDER BY o_custkey, valid_from""".stripMargin,
 
     // Same operation order as TextAnalytics.bm25Scores, term by term:
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); s = idf * ((tf*(k1+1))

@@ -193,6 +193,43 @@ object AsOfJoin {
         rightCols.map(c => coalesce(col(M), col(C)).getField(c).as(c)): _*)
   }
 
+  /** SCD2 history builder — the INVERSE of [[rangeJoin]]/[[asOf]]:
+    * collapse a snapshot series (one observed attribute tuple per key
+    * per observation time) into effective-dated versions
+    * [valid_from, valid_to), merging consecutive observations whose
+    * attributes are unchanged; `valid_to` is the next version's
+    * `valid_from`, NULL for the open current version. This is how the
+    * effective-dated metadata tables the reference consumes (item
+    * definitions valid over a date range —
+    * /root/reference/R/ffiec_item_details.R:1) get BUILT from raw
+    * periodic observations.
+    *
+    * Change detection is null-safe (`IS DISTINCT FROM` semantics), so
+    * attribute columns may hold nulls. Plan: one shuffle on the key;
+    * the change-flag and running-version windows share the same
+    * (key, time) sort, and the final lead() window runs over the
+    * collapsed version rows — per-key linear, no fan-out. */
+  def scd2(snapshots: DataFrame, keyCols: Seq[String], timeCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "key and attr columns required")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol).asc)
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = when(attrs <=> lag(attrs, 1).over(w), 0).otherwise(1)
+    val versioned = snapshots
+      .withColumn("__graft_ver", sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // attrs are constant within a version by construction, so they
+    // join the grouping key (A→B→A re-visits stay distinct versions
+    // because the running version number differs)
+    val collapsed = versioned
+      .groupBy((keyCols ++ attrCols).map(col) :+ col("__graft_ver"): _*)
+      .agg(min(col(timeCol)).as("valid_from"))
+    val wv = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from").asc)
+    collapsed
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .drop("__graft_ver")
+  }
+
   /** Range join: left rows matched to right intervals
     * [startCol, endCol) containing leftTime; NULL end = open-ended
     * (the FFIEC item-details effective-dating convention). */

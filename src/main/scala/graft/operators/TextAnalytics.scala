@@ -222,6 +222,69 @@ object TextAnalytics {
         coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
   }
 
+  /** Bigram language-model log-probability per document — the
+    * CCNet-style perplexity quality filter ("CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", Wenzek et al.
+    * 2020): fit an add-one-smoothed bigram LM on `model` and score
+    * every `corpus` doc's total log P(w_i | w_{i-1}); low per-bigram
+    * log-prob (high perplexity) flags noisy/garbled text, and
+    * anomalously HIGH scores flag boilerplate. Pass the same frame as
+    * both to self-score a corpus.
+    *
+    * P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V), V = distinct token
+    * types in the model. Scale shape: the bigram-count table is
+    * corpus-sized at 100 TB, so scoring joins doc bigrams to it on the
+    * bigram key (one co-keyed shuffle each side — never a literal);
+    * the context table is vocabulary-sized (dimension scale) and
+    * broadcasts. V is the only driver-side scalar.
+    *
+    * Returns (idCol, n_bigrams, logprob_micro): integer MICRO-NATS
+    * (each occurrence's ln P rounded at 1e-6, summed exactly — the
+    * q63/q74 trick) so the result replays decimal-exact across
+    * engines; divide by 1e6·n_bigrams for the per-token log-prob.
+    * Docs with <2 tokens emit (0, 0). The per-occurrence formula is
+    * evaluated with a FIXED operation order — ln((c2 + 1.0) / (c1 +
+    * V)) — mirrored parenthesis-for-parenthesis by the oracle SQL. */
+  def lmScores(corpus: DataFrame, model: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(graft.plans.native.wordShingles(c, 1), t => t =!= "")
+    // strict adjacent bigrams (none for <2 tokens — wordShingles'
+    // whole-text fallback would fabricate a unigram "bigram" here)
+    val bg = {
+      val tk = col("tk")
+      when(size(tk) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+    }
+    val modelBg = model.select(toks(col(textCol)).as("tk"))
+      .select(bg.as("bg"))
+    val corpusBg = corpus.select(col(idCol), toks(col(textCol)).as("tk"))
+      .select(col(idCol), bg.as("bg"))
+    val c2 = modelBg.select(explode(col("bg")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val c1 = modelBg.select(explode(col("bg")).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = model.select(explode(toks(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val lens = corpusBg.select(col(idCol), size(col("bg")).cast("long").as("n_bigrams"))
+    val occ = corpusBg.select(col(idCol), explode(col("bg")).as("b"))
+    val micro = round(lit(1e6) *
+      log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + lit(v.toDouble)))).cast("long")
+    val scored = occ
+      .join(c2, Seq("b"), "left")
+      .join(broadcast(c1), substring_index(col("b"), " ", 1) === c1("w1"), "left")
+      .select(col(idCol), micro.as("m"))
+      .groupBy(idCol).agg(sum("m").as("logprob_micro"))
+    lens.join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
+
   /** DSIR-style hashed n-gram importance weights ("Data Selection for
     * Language Models via Importance Resampling", Xie et al. 2023,
     * arXiv:2302.03169): every doc's unigrams+bigrams hash into

@@ -173,6 +173,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1).getAs[String]("description") == "new defn")
     assert(out(2).isNullAt(out(2).fieldIndex("description")))
   }
+
+  test("scd2 collapses unchanged runs, keeps A→B→A distinct, closes with lead") {
+    val s = spark
+    import s.implicits._
+    val snaps = Seq(
+      // key 1: A A B A — four observations, three versions
+      (1L, Date.valueOf("2024-01-01"), Some("A")),
+      (1L, Date.valueOf("2024-02-01"), Some("A")),
+      (1L, Date.valueOf("2024-03-01"), Some("B")),
+      (1L, Date.valueOf("2024-04-01"), Some("A")),
+      // key 2: null attr runs merge null-safely (null, null, C)
+      (2L, Date.valueOf("2024-01-01"), None),
+      (2L, Date.valueOf("2024-02-01"), None),
+      (2L, Date.valueOf("2024-03-01"), Some("C"))
+    ).toDF("k", "d", "attr")
+    val out = AsOfJoin.scd2(snaps, Seq("k"), "d", Seq("attr"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("attr"),
+        r.getAs[Date]("valid_from").toString,
+        Option(r.getAs[Date]("valid_to")).map(_.toString).orNull))
+    assert(out.toSeq == Seq(
+      (1L, "A", "2024-01-01", "2024-03-01"),
+      (1L, "B", "2024-03-01", "2024-04-01"),
+      (1L, "A", "2024-04-01", null),
+      (2L, null, "2024-01-01", "2024-03-01"),
+      (2L, "C", "2024-03-01", null)), out.mkString("\n"))
+    // round-trip: the built history feeds rangeJoin back to the
+    // original observation → every snapshot resolves to its own version
+    val hist = AsOfJoin.scd2(snaps, Seq("k"), "d", Seq("attr"))
+      .withColumnRenamed("attr", "vattr").withColumnRenamed("k", "vk")
+    val resolved = AsOfJoin.rangeJoin(snaps, "k", "d",
+      hist, "vk", "valid_from", "valid_to")
+      .select(col("k"), col("d"), col("attr"), col("vattr")).collect()
+    assert(resolved.length == snaps.count())
+    resolved.foreach(r => assert(r.getAs[String]("attr") == r.getAs[String]("vattr"),
+      s"range-join round-trip mismatch: $r"))
+  }
 }
 
 class ExtensionsSpec extends SparkSpec {

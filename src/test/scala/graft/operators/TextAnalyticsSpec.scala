@@ -100,6 +100,34 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(out(1L)._1 == 5 && out(4L)._1 == 0) // token counts ride along
   }
 
+  test("lmScores: in-model text scores higher per bigram than garbled text") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),       // fluent under the model
+      (2L, "the cat sat on the mat again"), // mostly fluent
+      (3L, "mat the on sat cat zzz"),       // scrambled + OOV context
+      (4L, "hello"),                        // <2 tokens: no bigrams
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.lmScores(corpus, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(4L) == ((0L, 0L)) && out(5L) == ((0L, 0L)),
+      s"sub-bigram docs must emit (0,0): $out")
+    assert(out(1L)._1 == 5 && out(3L)._1 == 5)
+    val perBg = out.collect { case (id, (n, lp)) if n > 0 => id -> lp.toDouble / n }
+    assert(perBg(1L) > perBg(3L),
+      s"fluent text must out-score scrambled text per bigram: $perBg")
+    // all log-probs are negative (P < 1 always under add-one smoothing)
+    out.values.filter(_._1 > 0).foreach { case (_, lp) => assert(lp < 0) }
+    // the vocabulary-scale context table broadcasts; the bigram-count
+    // join is the co-keyed shuffle join (corpus-sized at 100 TB)
+    val plan = TextAnalytics.lmScores(corpus, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"context join not broadcast:\n$plan")
+  }
+
   test("dsirScores ranks target-like docs above off-target docs") {
     val s = spark
     import s.implicits._
