@@ -528,6 +528,17 @@ object SparkEntry {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // Z-order (Morton) clustering key: the multi-dimensional layout
+    // column zorderWrite ranges/sorts on so parquet min/max stats
+    // prune scans filtering on ANY of the interleaved columns. Pure
+    // bit arithmetic, exact in any engine.
+    "q81_zorder_key" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        operators.Layout.zValue(
+          Seq(col("o_custkey"), col("o_orderkey")), bits = 16).as("z"))
+        .orderBy("o_orderkey")
+    }),
+
     // --- text analysis -----------------------------------------------------
     "q22_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -2372,6 +2383,16 @@ object SparkEntry {
          |SELECT n.doc_id, n.n_bigrams, COALESCE(s.lp, 0) AS logprob_micro
          |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+
+    // The same bit interleave, generated term-for-term: bit b of
+    // column i lands at output bit b*2+i.
+    "q81_zorder_key" -> {
+      val z = (for (b <- 0 until 16; (c, i) <- Seq("o_custkey", "o_orderkey").zipWithIndex)
+        yield s"(((CAST($c AS BIGINT) >> $b) & 1) << ${b * 2 + i})")
+        .mkString(" | ")
+      s"""SELECT o_orderkey, $z AS z
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    },
 
     // lag-change flag (IS DISTINCT FROM = the null-safe <=> test),
     // running SUM = version, MIN(date) per version, lead() closes.
