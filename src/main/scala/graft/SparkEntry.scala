@@ -282,6 +282,26 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // The persisted-fingerprint incremental-dedup lifecycle under the
+    // gate: build the store from one corpus slice, APPEND a second
+    // slice, then probe a batch against the combined history — the
+    // on-disk build-once/probe-many analog of q58's in-memory
+    // cross-corpus pairs (same banding semantics, so the oracle is the
+    // same replay with an even/odd split).
+    "q82_minhash_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
+      graft.operators.MinhashStore.write(
+        docs.where(col("doc_id") % 4 === 0), "doc_id", "text", tmp,
+        shingleN = 3, bands = 16, rowsPerBand = 4, portableHash = true)
+      graft.operators.MinhashStore.append(
+        docs.where(col("doc_id") % 4 === 2), "doc_id", "text", tmp)
+      graft.operators.MinhashStore.probe(s, tmp,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        tau = 0.35, maxBucket = 1000)
+        .orderBy("id_new", "id_store")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -1288,6 +1308,36 @@ object SparkEntry {
          |  FROM pairs) p
          |WHERE est_jaccard >= 0.35
          |ORDER BY id_l, id_r""".stripMargin,
+
+    // Store-probe replay: identical banding to q58, batch = odd ids
+    // (left), store = even ids (right). The operator's hot-bucket cap
+    // sums prebuilt store counts + batch counts, which equals the full
+    // corpus banding count — key-for-key this QUALIFY.
+    "q82_minhash_store" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_store,
+         |         any_value(a.sig) AS sig_new, any_value(b.sig) AS sig_store
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_new, id_store, est_jaccard FROM (
+         |  SELECT id_new, id_store,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_new[i] = sig_store[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_new, id_store""".stripMargin,
 
     "q18_simhash" ->
       s"""WITH toks AS (

@@ -16,7 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // SQL surface live in the gate session
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev knob mirroring Bench's: SPARK_GRAFT_VERIFY_ONLY=q82 dumps just
+    // those queries (prefix match) — driver runs leave it unset.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -31,11 +31,47 @@ object Dedup {
     * it is the small pair/label set, not corpus-sized — and callers may
     * `unpersist()` it when done. Without this, every call leaked its
     * MEMORY_AND_DISK intermediates for the session lifetime. */
-  private def materializeAndRelease(out: DataFrame, release: DataFrame*): DataFrame = {
+  private[operators] def materializeAndRelease(out: DataFrame, release: DataFrame*): DataFrame = {
     val cached = out.persist(cacheLevel)
     cached.count()
     release.foreach(_.unpersist(false))
     cached
+  }
+
+  /** (id, sig) MinHash signatures, shingle-less docs excluded (their
+    * signature would be the degenerate all-MAX sentinel — see
+    * [[minhashLshPairs]]). Returned PERSISTED: every caller reads it at
+    * least twice (banding + pair verification); callers release it via
+    * [[materializeAndRelease]] or `unpersist`. */
+  private[operators] def minhashSigned(df: DataFrame, idCol: String, textCol: String,
+                                       shingleN: Int, k: Int,
+                                       portableHash: Boolean): DataFrame = {
+    val shingled = df.select(
+      col(idCol).as("id"),
+      array_distinct(graft.plans.native.wordShingles(col(textCol), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigExpr =
+      if (portableHash) graft.plans.native.md5MinhashSig(col("sh"), k)
+      else graft.plans.native.minhashSig(col("sh"), k)
+    shingled.select(col("id"), sigExpr.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** (id, band, bucket) banded LSH keys — keys only, never the ~0.5 KB
+    * signatures (the band explosion is a bands× row multiplier; see
+    * [[minhashLshPairs]]). Portable mode buckets are md5 strings
+    * (DuckDB-replayable); production buckets are xxhash64 longs. */
+  private[operators] def minhashBanded(signed: DataFrame, bands: Int, rowsPerBand: Int,
+                                       portableHash: Boolean): DataFrame = {
+    val bandKeys =
+      if (portableHash)
+        array((0 until bands).map(b => struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              _.cast("string"))).cast("binary")).as("bucket"))): _*)
+      else Hashes.lshBands(col("sig"), bands, rowsPerBand)
+    signed.select(col("id"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
   }
 
   /** Exact dedup: one survivor (min id) per normalized-text fingerprint. */
@@ -381,31 +417,10 @@ object Dedup {
                             tau: Double = 0.7, maxBucket: Int = 1000,
                             portableHash: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
-    def prep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-      val shingled = df.select(
-        col(idCol).as("id"),
-        array_distinct(graft.plans.native.wordShingles(col(textCol), shingleN)).as("sh"))
-        .where(size(col("sh")) > 0)
-      val sigExpr =
-        if (portableHash) graft.plans.native.md5MinhashSig(col("sh"), k)
-        else graft.plans.native.minhashSig(col("sh"), k)
-      shingled.select(col("id"), sigExpr.as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    def band(signed: DataFrame): DataFrame = {
-      val bandKeys =
-        if (portableHash)
-          array((0 until bands).map(b => struct(lit(b).as("band"),
-            md5(concat_ws(",",
-              transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-                _.cast("string"))).cast("binary")).as("bucket"))): _*)
-        else Hashes.lshBands(col("sig"), bands, rowsPerBand)
-      signed.select(col("id"), explode(bandKeys).as("bk"))
-        .select(col("id"), col("bk.band"), col("bk.bucket"))
-    }
-    val lSigned = prep(left, leftId, leftText)
-    val rSigned = prep(right, rightId, rightText)
-    val lBanded = band(lSigned); val rBanded = band(rSigned)
+    val lSigned = minhashSigned(left, leftId, leftText, shingleN, k, portableHash)
+    val rSigned = minhashSigned(right, rightId, rightText, shingleN, k, portableHash)
+    val lBanded = minhashBanded(lSigned, bands, rowsPerBand, portableHash)
+    val rBanded = minhashBanded(rSigned, bands, rowsPerBand, portableHash)
     // hot-bucket guard over the UNION of both band streams (a bucket
     // viral on either side explodes the cross product)
     val hot = lBanded.union(rBanded).groupBy("band", "bucket")

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash fingerprint store — the dedup analog of the
+  * persisted IVF index ([[Knn.writeIvfIndex]]): fingerprint the corpus
+  * ONCE, keep signatures and banded LSH keys on disk, and near-dedup
+  * every arriving batch against the full history with a probe that
+  * never recomputes or reshuffles the store. At 100 TB this is the
+  * only viable dedup posture — re-running [[Dedup.minhashLshPairs]]
+  * over (corpus + batch) per increment re-pays the corpus scan and the
+  * full band shuffle every time, while the store amortizes both to
+  * build time (ref behavior this extends: the reference dedups within
+  * one dataset per run; incremental arrival is the 100 TB reality).
+  *
+  * Layout under `path`:
+  *   - `params/`        one row: (shingle_n, bands, rows_per_band,
+  *                      portable_hash) — the store is self-describing,
+  *                      append/probe read these (mirrors centroids
+  *                      living beside the IVF cells).
+  *   - `sigs/`          (id, sig) MinHash signatures (~0.5 KB/doc).
+  *   - `bands/`         (bucket, id) partitioned by band — keys only.
+  *   - `bucket_counts/` (band, bucket, n) per write batch; probe-time
+  *                      hot-bucket totals come from summing these, so
+  *                      the guard needs NO store re-scan.
+  *
+  * Probe plan shape (the load-bearing property, spec-asserted): the
+  * batch's banded keys are BROADCAST into one pass over `bands/` and
+  * the shortlisted candidates are broadcast into one pass over
+  * `sigs/` — the store contributes two scans and zero exchanges; only
+  * batch-scale and candidate-scale rows ever shuffle.
+  *
+  * Same semantics as [[Dedup.minhashLshPairsAcross]] (batch = left,
+  * store = right), including the hot-bucket cap over the COMBINED
+  * store+batch bucket size — a bucket viral on either side explodes
+  * the cross product.
+  */
+object MinhashStore {
+
+  private case class Params(shingleN: Int, bands: Int, rowsPerBand: Int,
+                            portableHash: Boolean) {
+    def k: Int = bands * rowsPerBand
+  }
+
+  private def readParams(spark: SparkSession, path: String): Params = {
+    val r = spark.read.parquet(s"$path/params").collect()(0)
+    Params(r.getAs[Int]("shingle_n"), r.getAs[Int]("bands"),
+      r.getAs[Int]("rows_per_band"), r.getAs[Boolean]("portable_hash"))
+  }
+
+  /** Build the store from an initial corpus (overwrites `path`). */
+  def write(df: DataFrame, idCol: String, textCol: String, path: String,
+            shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+            portableHash: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleN, bands, rowsPerBand, portableHash))
+      .toDF("shingle_n", "bands", "rows_per_band", "portable_hash")
+      .write.mode("overwrite").parquet(s"$path/params")
+    writeBatch(df, idCol, textCol, path,
+      Params(shingleN, bands, rowsPerBand, portableHash), overwrite = true)
+  }
+
+  /** Append a batch's fingerprints (same params as the build — read
+    * from the store, not re-specified). Typically called after [[probe]]
+    * has dropped the batch's duplicates, so the store stays the
+    * canonical survivor set. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+             path: String): Unit =
+    writeBatch(batch, idCol, textCol, path,
+      readParams(batch.sparkSession, path), overwrite = false)
+
+  private def writeBatch(df: DataFrame, idCol: String, textCol: String,
+                         path: String, p: Params, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val signed = Dedup.minhashSigned(df, idCol, textCol, p.shingleN, p.k, p.portableHash)
+    val banded = Dedup.minhashBanded(signed, p.bands, p.rowsPerBand, p.portableHash)
+    signed.write.mode(mode).parquet(s"$path/sigs")
+    banded.write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .write.mode(mode).parquet(s"$path/bucket_counts")
+    signed.unpersist(false)
+  }
+
+  /** Near-dup pairs between `batch` docs and store docs:
+    * (id_new, id_store, est_jaccard >= tau). The batch is assumed
+    * increment-scale (broadcastable bands/candidates); the store is
+    * unbounded. */
+  def probe(spark: SparkSession, path: String,
+            batch: DataFrame, idCol: String, textCol: String,
+            tau: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val (verified, signed, banded) =
+      probePlanned(spark, path, batch, idCol, textCol, tau, maxBucket)
+    Dedup.materializeAndRelease(verified, signed, banded)
+  }
+
+  /** The probe plan before materialization (plus the two batch-side
+    * caches to release) — split out so the plan-shape spec can assert
+    * on the real physical plan rather than a cache-substituted one. */
+  private[graft] def probePlanned(spark: SparkSession, path: String,
+                                  batch: DataFrame, idCol: String, textCol: String,
+                                  tau: Double, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val p = readParams(spark, path)
+    val signed = Dedup.minhashSigned(batch, idCol, textCol, p.shingleN, p.k, p.portableHash)
+    val banded = Dedup.minhashBanded(signed, p.bands, p.rowsPerBand, p.portableHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket totals = store counts (prebuilt, summed across appends)
+    // + batch counts. The store counts table is corpus-keyed, so it is
+    // first semi-filtered down to the batch's buckets (broadcast) —
+    // buckets the batch never touches can't produce pairs.
+    val batchCounts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+    val storeCounts = spark.read.parquet(s"$path/bucket_counts")
+      .join(broadcast(batchCounts.select("band", "bucket")),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket").agg(sum("n").as("sn"))
+    val hot = batchCounts
+      .join(storeCounts, Seq("band", "bucket"), "left")
+      .where(coalesce(col("sn"), lit(0L)) + col("bn") > maxBucket)
+      .select("band", "bucket")
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col("id").as("id_new"))
+    // ONE pass over the store's banded keys: batch keys broadcast in.
+    // Store rows in hot buckets drop out automatically (capped excludes
+    // those buckets, so the join produces nothing for them).
+    val cand = spark.read.parquet(s"$path/bands")
+      .join(broadcast(capped), Seq("band", "bucket"))
+      .where(col("id") =!= col("id_new"))
+      .select(col("id_new"), col("id").as("id_store")).distinct()
+    // ONE pass over the store's signatures: candidates broadcast in,
+    // then the (small) matched set joins the batch signatures.
+    val verified = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("id_store"), col("sig").as("sig_store"))
+      .join(broadcast(cand), Seq("id_store"))
+      .join(broadcast(signed.select(col("id").as("id_new"), col("sig").as("sig_new"))),
+        Seq("id_new"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_new"), col("sig_store"),
+          (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
+          / lit(p.k).cast("double"))
+      .where(col("est_jaccard") >= tau)
+      .select(col("id_new"), col("id_store"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+    (verified, signed, banded)
+  }
+
+  /** One-call incremental ingest: probe the batch against the store,
+    * keep only docs with no near-dup in the history (nor a smaller-id
+    * near-dup within the batch itself — via [[Dedup.minhashLshPairs]]
+    * on the batch alone), append the survivors' fingerprints, and
+    * return the surviving batch rows. */
+  def ingest(batch: DataFrame, idCol: String, textCol: String, path: String,
+             tau: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    val p = readParams(spark, path)
+    val probed = probe(spark, path, batch, idCol, textCol, tau, maxBucket)
+    val pairsWithin = Dedup.minhashLshPairs(batch, idCol, textCol,
+      p.shingleN, p.bands, p.rowsPerBand, tau, maxBucket, p.portableHash)
+    val survivors = batch
+      .join(probed.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .join(pairsWithin.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.count()
+    append(survivors, idCol, textCol, path)
+    probed.unpersist(false)
+    pairsWithin.unpersist(false)
+    survivors
+  }
+}

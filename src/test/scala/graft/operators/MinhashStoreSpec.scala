@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MinhashStoreSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val other = (1 to 30).map(i => s"term$i").mkString(" ")
+    Seq(
+      (1L, base),
+      (2L, base.replace("word15", "word15 extra")), // near-dup of 1
+      (3L, other),
+      (4L, "completely different text about spark engines and parquet files"),
+      (11L, base), // batch: dup of store doc 1
+      (12L, other.replace("term7", "term7 also")), // batch: near-dup of 3
+      (13L, "a fresh novel document with entirely new content here"),
+      (14L, "a fresh novel document with entirely new content here"), // dup within batch
+      (15L, "unrelated singleton text mentioning lakes and rivers")
+    ).toDF("doc_id", "text")
+  }
+
+  private def store = corpus.where(col("doc_id") < 10)
+  private def batch = corpus.where(col("doc_id") >= 10)
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("probe against a built store matches the in-memory cross-corpus pairs") {
+    val path = tmpDir("mh_store_eq")
+    MinhashStore.write(store, "doc_id", "text", path,
+      shingleN = 3, bands = 16, rowsPerBand = 4)
+    val got = MinhashStore.probe(spark, path, batch, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.minhashLshPairsAcross(
+      batch, "doc_id", "text", store, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"probe=$got across=$want")
+    assert(got.exists { case (n, st, _) => n == 11L && st == 1L }) // planted dup found
+  }
+
+  test("append extends the history: build A + append B == build A∪B") {
+    val a = store.where(col("doc_id") <= 2)
+    val b = store.where(col("doc_id") > 2)
+    val incremental = tmpDir("mh_store_inc")
+    MinhashStore.write(a, "doc_id", "text", incremental)
+    MinhashStore.append(b, "doc_id", "text", incremental)
+    val oneShot = tmpDir("mh_store_full")
+    MinhashStore.write(store, "doc_id", "text", oneShot)
+    def probeSet(p: String) =
+      MinhashStore.probe(spark, p, batch, "doc_id", "text", tau = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeSet(incremental) == probeSet(oneShot))
+  }
+
+  test("ingest keeps only novel docs and appends their fingerprints") {
+    val path = tmpDir("mh_store_ingest")
+    MinhashStore.write(store, "doc_id", "text", path)
+    val survivors = MinhashStore.ingest(batch, "doc_id", "text", path, tau = 0.5)
+    val ids = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 11 dups store doc 1; 12 near-dups store doc 3; 14 dups 13 within
+    // the batch (min id 13 survives); 13 and 15 are novel.
+    assert(ids == Set(13L, 15L), s"survivors=$ids")
+    // survivors' fingerprints are now history: re-probing the same novel
+    // text finds the stored copy
+    val s = spark
+    import s.implicits._
+    val again = Seq((21L, "a fresh novel document with entirely new content here"))
+      .toDF("doc_id", "text")
+    val hits = MinhashStore.probe(spark, path, again, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((21L, 13L)), s"hits=$hits")
+    survivors.unpersist(false)
+  }
+
+  test("probe never shuffles the store: its scans sit under broadcast joins only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val path = tmpDir("mh_store_plan")
+    MinhashStore.write(store, "doc_id", "text", path)
+    val (frame, signed, banded) = MinhashStore.probePlanned(
+      spark, path, batch, "doc_id", "text", 0.5, 1000)
+    val plan = frame.queryExecution.executedPlan
+    signed.unpersist(false); banded.unpersist(false)
+    val smjOverStore = plan.collect { case j: SortMergeJoinExec => j }
+      .exists(_.collect { case sc: FileSourceScanExec => sc }
+        .exists(_.relation.location.rootPaths.exists(_.toString.contains(path))))
+    assert(!smjOverStore, s"store scan under a sort-merge join:\n$plan")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$s")
+  }
+}
