@@ -302,6 +302,28 @@ object SparkEntry {
         .orderBy("id_new", "id_store")
     }),
 
+    // JSONL ingest round-trip under the gate: corpus → JSONL shards →
+    // tolerant read (a deliberately malformed shard is planted — its
+    // lines must vanish, not fail the job or skew the aggregate) →
+    // per-(lang, source) fidelity digest. The md5-of-text MIN proves
+    // the text column survived JSON escaping byte-for-byte; the oracle
+    // reads the original parquet, so any round-trip corruption breaks
+    // the value compare.
+    "q83_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.sources.Jsonl.write(docs, tmp)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/zz-corrupt.json"),
+        "{not json at all\n\"also broken\n{\"doc_id\": }\n")
+      graft.sources.Jsonl.readClean(s, tmp, docs.schema)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min(md5(col("text").cast("binary"))).as("min_md5"))
+        .orderBy("lang", "source")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -1338,6 +1360,15 @@ object SparkEntry {
          |  FROM pairs) p
          |WHERE est_jaccard >= 0.35
          |ORDER BY id_new, id_store""".stripMargin,
+
+    // The oracle reads the ORIGINAL parquet — the Spark side must
+    // round-trip through JSONL (plus planted garbage lines) and land on
+    // identical values, digest included.
+    "q83_jsonl_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(md5(text)) AS min_md5
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q18_simhash" ->
       s"""WITH toks AS (

@@ -134,3 +134,44 @@ class ScanSpec extends SparkSpec {
     assert(Scan.listPqs(spark, s"$dir/missing").isEmpty)
   }
 }
+
+class JsonlSpec extends SparkSpec {
+
+  private def sample = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "plain text", "en", 10L),
+      (2L, "escaping \"quotes\" and\ttabs and \\ slashes", "en", 40L),
+      (3L, null.asInstanceOf[String], "de", 0L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("JSONL round trip preserves values including escapes and nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    Jsonl.write(sample, dir)
+    val back = Jsonl.readClean(spark, dir, sample.schema)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
+    val orig = sample
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
+    assert(back == orig)
+  }
+
+  test("malformed lines are tolerated, dropped by readClean, surfaced by corruptLines") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_bad").toString
+    Jsonl.write(sample, dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zz-bad.json"),
+      "{broken\nnot json\n{\"doc_id\": 9, \"lang\": \"fr\"}\n")
+    // the parseable-but-partial line is a valid row (missing fields null)
+    val clean = Jsonl.readClean(spark, dir, sample.schema)
+    assert(clean.count() == 4)
+    assert(clean.where(org.apache.spark.sql.functions.col("doc_id") === 9).count() == 1)
+    val bad = Jsonl.corruptLines(spark, dir, sample.schema).collect()
+    assert(bad.length == 2)
+    assert(bad.forall(_.getString(0).contains("zz-bad.json")))
+    assert(bad.map(_.getString(1)).toSet == Set("{broken", "not json"))
+  }
+}
