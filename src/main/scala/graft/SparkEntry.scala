@@ -324,6 +324,20 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // Scalar quantization end-to-end: per-dim min/max train (an exact,
+    // order-insensitive aggregate — the oracle RECOMPUTES it in SQL,
+    // no driver literals), uint8 encode, asymmetric dequantized-dot
+    // search. Every float step is an ordered fold, replayed
+    // step-for-step by the oracle.
+    "q84_sq8_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = Pq.sq8Train(emb, "embedding", 64)
+      val enc = Pq.sq8Encode(emb, "vec_id", "embedding", mins, maxs)
+      Pq.searchSq8(enc, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", mins, maxs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -1369,6 +1383,43 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(md5(text)) AS min_md5
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // SQ8 replay: min/max recomputed per dimension, then the same
+    // round-encode and the same ordered dequantized-dot fold. ROUND(x)
+    // is half-away-from-zero in both engines (all operands >= 0 here),
+    // and CAST after ROUND is exact, so codes match bit-for-bit.
+    "q84_sq8_adc" ->
+      """WITH rng AS (
+        |  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+        |         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        |  GROUP BY d),
+        |scd AS (SELECT d, mn,
+        |         CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS sc
+        |       FROM rng),
+        |mnl AS (SELECT list(mn ORDER BY d) AS mn, list(sc ORDER BY d) AS sc FROM scd),
+        |codes AS (
+        |  SELECT vec_id, list_transform(range(1, 65), d ->
+        |    CASE WHEN sc[d] = 0 THEN 0
+        |         ELSE CAST(ROUND((CAST(embedding[d] AS DOUBLE) - mn[d]) / sc[d]) AS INT)
+        |    END) AS codes
+        |  FROM embeddings CROSS JOIN mnl),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_reduce(list_transform(range(1, 65), d ->
+        |      CAST(q.qvec[d] AS DOUBLE) * (mn[d] + codes[d] * sc[d])),
+        |      (a, b) -> a + b), 6) AS sim
+        |  FROM codes c CROSS JOIN q CROSS JOIN mnl
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q18_simhash" ->
       s"""WITH toks AS (

@@ -193,6 +193,71 @@ object Pq {
   /** Compression ratio of the code layout vs float32 vectors. */
   def compressionRatio(dim: Int, m: Int): Double = (dim * 4.0) / m
 
+  // ---- scalar quantization (SQ8): per-dimension affine uint8 grid —
+  // the 4× compression point between full floats and PQ codes, and the
+  // variant that keeps per-dimension semantics (codes are per-dim, so
+  // range filters / partial distances still make sense). Training is
+  // ONE exact min/max aggregate — order-insensitive, so unlike the PQ
+  // codebooks the oracle recomputes it in SQL instead of inlining
+  // driver-side literals.
+
+  /** Per-dimension (min, max) over the corpus: one aggregate pass,
+    * metadata-scale result (2·dim doubles, broadcast by callers). */
+  def sq8Train(corpus: DataFrame, vecCol: String,
+               dim: Int): (Array[Double], Array[Double]) = {
+    val aggs = (1 to dim).flatMap(d => Seq(
+      min(element_at(col(vecCol), d)).cast("double").as(s"mn$d"),
+      max(element_at(col(vecCol), d)).cast("double").as(s"mx$d")))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (Array.tabulate(dim)(i => r.getDouble(2 * i)),
+      Array.tabulate(dim)(i => r.getDouble(2 * i + 1)))
+  }
+
+  private def sq8Scales(mins: Array[Double], maxs: Array[Double]): Array[Double] =
+    mins.indices.map(d =>
+      if (maxs(d) == mins(d)) 0.0 else (maxs(d) - mins(d)) / 255.0).toArray
+
+  /** Encode each vector as dim uint8 codes:
+    * code_d = round((v_d - min_d) / scale_d), scale_d = range_d/255.
+    * Constant dimensions (scale 0) encode as 0. Kept alongside the id
+    * AND the vector here (callers project; a persisted layout would
+    * write codes-first like writeIvfPqIndex). */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String,
+                mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    val dim = mins.length
+    val mnL = typedLit(mins.toSeq)
+    val scL = typedLit(sq8Scales(mins, maxs).toSeq)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      transform(sequence(lit(1), lit(dim)), d =>
+        when(element_at(scL, d) === 0.0, lit(0))
+          .otherwise(round((element_at(col(vecCol), d).cast("double")
+            - element_at(mnL, d)) / element_at(scL, d), 0).cast("int")))
+        .as("codes"))
+  }
+
+  /** Asymmetric SQ8 search: float queries against dequantized codes —
+    * sim = Σ_d q_d · (min_d + code_d·scale_d), an ORDERED fold so the
+    * oracle replays it bit-exactly. Queries broadcast; the corpus side
+    * touches only (id, codes) — the 4×-smaller scan — and ranking goes
+    * through the bounded TopK aggregator, never a window. */
+  def searchSq8(encoded: DataFrame, queries: DataFrame,
+                queryId: String, queryVec: String,
+                mins: Array[Double], maxs: Array[Double], k: Int): DataFrame = {
+    val dim = mins.length
+    val mnL = typedLit(mins.toSeq)
+    val scL = typedLit(sq8Scales(mins, maxs).toSeq)
+    val q = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("qvec")))
+    val scored = encoded.select(col("id"), col("codes")).join(q)
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, d) =>
+          acc + element_at(col("qvec"), d).cast("double") *
+            (element_at(mnL, d) + element_at(col("codes"), d) * element_at(scL, d))),
+          6).as("sim"))
+    Knn.topKPerQuery(scored, k)
+  }
+
   // ---- residual quantization: a second codebook level per subspace,
   // trained on the level-1 residuals. Reconstruction cw1[c1] + cw2[c2]
   // is strictly finer than one level at the cost of one extra code per

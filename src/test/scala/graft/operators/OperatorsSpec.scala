@@ -400,6 +400,46 @@ class KnnSpec extends SparkSpec {
       "probe scan lost its partition filter")
   }
 
+  test("SQ8: codes stay in [0,255], dequant error <= scale/2, recall near brute force") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val (mins, maxs) = Pq.sq8Train(vecs, "embedding", 16)
+    assert(mins.length == 16 && mins.indices.forall(d => mins(d) <= maxs(d)))
+    val enc = Pq.sq8Encode(vecs, "vec_id", "embedding", mins, maxs)
+    val rows = enc.collect()
+    assert(rows.forall(_.getSeq[Int](2).forall(c => c >= 0 && c <= 255)))
+    // per-dim dequantization error is bounded by half a grid step
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1); val c = r.getSeq[Int](2)
+      (0 until 16).foreach { d =>
+        val sc = (maxs(d) - mins(d)) / 255.0
+        val deq = mins(d) + c(d) * sc
+        assert(math.abs(deq - v(d)) <= sc / 2 + 1e-9,
+          s"dim $d: v=${v(d)} deq=$deq sc=$sc")
+      }
+    }
+    // asymmetric search tracks exact dot-product ranking closely at 4x
+    // compression (top-10 of 300 random vectors)
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val sq = Pq.searchSq8(enc, queries, "vec_id", "embedding", mins, maxs, k = 10)
+    val recalls = (0L until 5L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val p = sq.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      (e & p).size.toDouble / e.size
+    }
+    // brute force ranks by cosine, SQ8 by raw dot — overlap is high but
+    // not 1.0 on gaussian data where norms vary
+    assert(recalls.sum / recalls.size >= 0.5, s"SQ8 recall collapsed: $recalls")
+  }
+
   test("PQ codes compress 32x and ADC+rerank recall tracks brute force") {
     val s = spark
     import s.implicits._
