@@ -338,6 +338,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // BPE tokenizer training under the gate: 8 merge rounds over the
+    // corpus word-frequency table. The oracle unrolls the SAME
+    // argmax + string-replace rounds as CTEs — an iterative trainer
+    // replayed exactly, round for round (the driver loop is the Spark
+    // side's only non-SQL element).
+    "q85_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 8)
+        .toDF("step", "lhs", "rhs", "merged", "freq")
+        .orderBy("step")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -1036,6 +1048,40 @@ object SparkEntry {
     graft.plans.Md5Kernel.salts(k, seed).zipWithIndex
       .map { case (s, j) => s"($j, $s)" }.mkString(", ")
 
+  /** The q85 oracle: `rounds` BPE merge rounds unrolled as CTE pairs —
+    * per round, the weighted adjacent-pair argmax (ties (f DESC, a, b))
+    * and the greedy-leftmost rewrite as the SAME prefix-separator
+    * string replace the Spark trainer runs (Bpe.train). chr(31) is
+    * Bpe.SEP. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS f FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |             i -> struct_pack(a := t[i], b := t[i+1]))) AS u, freq
+         |    FROM (SELECT string_split(substr(symstr, 2), chr(31)) AS t, freq
+         |          FROM w${r - 1}) x) y
+         |  GROUP BY u.a, u.b),
+         |b$r AS (SELECT a, b, f FROM p$r ORDER BY f DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS (SELECT replace(symstr, chr(31)||a||chr(31)||b, chr(31)||a||b) AS symstr, freq
+         |        FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val steps = (1 to rounds).map(r =>
+      s"SELECT $r AS step, a AS lhs, b AS rhs, a || b AS merged, f AS freq FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT chr(31) || array_to_string(
+       |           list_transform(range(1, len(word)+1), j -> word[j]), chr(31)) AS symstr,
+       |         CAST(f AS BIGINT) AS freq
+       |  FROM (SELECT tok AS word, COUNT(*) AS f
+       |        FROM (SELECT unnest($toksLower) AS tok FROM documents) z
+       |        GROUP BY tok) wc),
+       |$roundCtes
+       |SELECT step, lhs, rhs, merged, freq FROM (
+       |  $steps) m
+       |ORDER BY step""".stripMargin
+  }
+
   /** Ordered sequential dot product — same fold as Vectors.dot
     * (aggregate over zip_with), so the sign test is bit-identical. */
   private def seqDotSql(vec: String, plane: String, dim: Int): String =
@@ -1420,6 +1466,8 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q85_bpe_train" -> bpeOracleSql(8),
 
     "q18_simhash" ->
       s"""WITH toks AS (

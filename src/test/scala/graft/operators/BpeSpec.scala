@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  test("train learns hand-checkable merges with greedy-leftmost rewrites") {
+    val s = spark
+    import s.implicits._
+    // word counts: aaab×2, ab×1.
+    // r1 pairs: (a,a)=4 (two per 'aaab'), (a,b)=3       → merge (a,a)
+    //   'aaab' rewrites GREEDY LEFTMOST to [aa, a, b] — not [a, aa, b]
+    // r2 pairs: (aa,a)=2, (a,b)=3                        → merge (a,b)
+    // r3 pairs: (aa,ab)=2                                → merge (aa,ab)
+    // r4: no pair reaches minFreq=2                      → stop early
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 5, minFreq = 2L)
+    assert(merges == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("encodeColumn applies merges in priority order per word") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val out = Seq((1L, "aaab ab aa aaa b"), (2L, "aab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.encodeColumn(col("text"), merges).as("toks"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    // 'aaa' → greedy [aa, a]; 'aab' → [aa, b] (the (a,b) merge can't
+    // claim the middle 'a' — it was consumed by (a,a))
+    assert(out(0) == Seq("aaab", "ab", "aa", "aa", "a", "b"))
+    assert(out(1) == Seq("aa", "b"))
+  }
+
+  test("encode round-trips: concatenated subwords rebuild each word") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog the end"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 6, minFreq = 1L)
+      .map(m => (m._2, m._3))
+    val rebuilt = docs.select(
+      concat_ws(" ", transform(
+        Bpe.encodeColumn(col("text"), merges), x => x)).as("flat"),
+      concat_ws(" ", transform(
+        Bpe.encodeColumn(col("text"), Nil), x => x)).as("chars"))
+      .collect()(0)
+    // with no merges every word is its characters; with merges the
+    // concatenation (ignoring boundaries) is identical
+    assert(rebuilt.getString(0).replace(" ", "") ==
+      rebuilt.getString(1).replace(" ", ""))
+  }
+}
