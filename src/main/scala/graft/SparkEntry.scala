@@ -350,6 +350,22 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // Paragraph dedup + reassembly. The corpus has no multi-paragraph
+    // docs, so the gate synthesizes them: every doc gets a second
+    // paragraph — its decade-anchor's text — so each anchor paragraph
+    // recurs 11× and only the globally-first copy (the anchor doc's
+    // OWN first paragraph) survives.
+    "q86_dedup_paragraphs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val anchors = docs.select(col("doc_id").as("aid"), col("text").as("atext"))
+      val pdocs = docs
+        .withColumn("aid", col("doc_id") - pmod(col("doc_id"), lit(10)))
+        .join(anchors, Seq("aid"))
+        .select(col("doc_id").as("pid"),
+          concat(col("text"), lit("\n\n"), col("atext")).as("text"))
+      Dedup.dedupParagraphs(pdocs, "pid", "text").orderBy("pid")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -1468,6 +1484,37 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q85_bpe_train" -> bpeOracleSql(8),
+
+    // Paragraph-dedup replay: same synthesized two-paragraph docs,
+    // first-occurrence via row_number over (pid, pos), rewrite as the
+    // 1-based list_filter twin of Spark's 0-based filter-by-index.
+    "q86_dedup_paragraphs" ->
+      """WITH pdocs AS (
+        |  SELECT d.doc_id AS pid,
+        |         d.text || chr(10) || chr(10) || a.text AS text
+        |  FROM documents d
+        |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 10)),
+        |sp AS (SELECT pid, string_split(text, chr(10) || chr(10)) AS ps FROM pdocs),
+        |paras AS (
+        |  SELECT pid, u.pos, u.para FROM (
+        |    SELECT pid, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> struct_pack(pos := i - 1, para := ps[i]))) AS u
+        |    FROM sp) x),
+        |occ AS (
+        |  SELECT pid, pos,
+        |         row_number() OVER (PARTITION BY md5(para) ORDER BY pid, pos) AS rn
+        |  FROM paras),
+        |drops AS (
+        |  SELECT pid, list(pos ORDER BY pos) AS dr
+        |  FROM occ WHERE rn > 1 GROUP BY pid)
+        |SELECT sp.pid,
+        |  array_to_string(CASE WHEN dr IS NULL THEN ps
+        |    ELSE list_filter(ps, (x, i) -> NOT list_contains(dr, i - 1)) END,
+        |    chr(10) || chr(10)) AS clean_text,
+        |  CAST(len(ps) AS INT) AS n_paras,
+        |  CAST(CASE WHEN dr IS NULL THEN 0 ELSE len(dr) END AS INT) AS n_removed
+        |FROM sp LEFT JOIN drops USING (pid)
+        |ORDER BY pid""".stripMargin,
 
     "q18_simhash" ->
       s"""WITH toks AS (

@@ -402,6 +402,47 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Paragraph-level exact dedup WITH document reassembly — the
+    * CCNet/RefinedWeb curation pass (Wenzek et al. 2020,
+    * arXiv:1911.00359): hash every delimiter-bounded paragraph, keep
+    * only the globally-first occurrence (min (id, pos)) of each
+    * distinct paragraph, and rebuild each document from its surviving
+    * paragraphs in order. Kills boilerplate (headers, footers, cookie
+    * banners) that exact doc-level dedup can't see and span-removal
+    * (removeDuplicatedSpans) only catches at fixed window lengths.
+    *
+    * Plan shape: split is per-row; the dedup key stream is
+    * (md5, id, pos) — 16-byte hashes, the paragraph TEXT never
+    * shuffles; one keys-only first-occurrence aggregate + the loser
+    * join on the same key (partitioning reused) + a per-doc position
+    * collect (bounded by paragraphs-per-doc); the rewrite is a pure
+    * filter-by-index HOF. Survives 100 TB for the same reason q15
+    * does. Output: (id, clean_text, n_paras, n_removed). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val base = df.select(col(idCol),
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)).as("paras"))
+    val keyed = base
+      .select(col(idCol), posexplode(col("paras")).as(Seq("pos", "para")))
+      .select(col(idCol), col("pos"), md5(col("para").cast("binary")).as("h"))
+    val first = keyed.groupBy("h")
+      .agg(min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("keep"))
+    val drops = keyed.join(first, Seq("h"))
+      .where(!(col(idCol) === col("keep.kid") && col("pos") === col("keep.kpos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("drop"))
+    base.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(col("paras"), (p, i) =>
+            col("drop").isNull || !array_contains(col("drop"), i)), sep)
+          .as("clean_text"),
+        size(col("paras")).as("n_paras"),
+        when(col("drop").isNull, lit(0)).otherwise(size(col("drop")))
+          .as("n_removed"))
+  }
+
   /** Cross-corpus near-dup decontamination: MinHash+LSH candidate
     * pairs BETWEEN two tables — training docs banding with any eval
     * doc (the doc-granular train/test-leak scan; ngramOverlapLarge is

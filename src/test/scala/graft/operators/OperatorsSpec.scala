@@ -108,6 +108,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("paragraph dedup keeps the globally-first copy and reassembles in order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nshared footer\n\nbeta"),
+      (2L, "gamma\n\nshared footer"),
+      (3L, "shared footer\n\ndelta\n\ndelta"),
+      (4L, "epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out(0) == ((1L, "alpha\n\nshared footer\n\nbeta", 3, 0))) // first copy survives
+    assert(out(1) == ((2L, "gamma", 2, 1)))
+    assert(out(2) == ((3L, "delta", 3, 2))) // footer dropped AND the repeated delta
+    assert(out(3) == ((4L, "epsilon", 1, 0)))
+  }
+
   test("minhash LSH surfaces the same clusters") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
