@@ -366,6 +366,25 @@ object SparkEntry {
       Dedup.dedupParagraphs(pdocs, "pid", "text").orderBy("pid")
     }),
 
+    // Canonical-URL dedup: four synthesized crawl variants of each
+    // logical page (tracking params / http + trailing slash / HTTPS
+    // shouting + :443 + fragment / bare) must collapse per page key.
+    "q87_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(lit("site"), pmod(col("doc_id"), lit(20)), lit(".example.com"))
+      val path = concat(lit("/page/"), pmod(col("doc_id"), lit(50)))
+      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("https://www."), host, path, lit("/?utm_source=x&ref=y")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("http://"), host, path, lit("/")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          upper(concat(lit("https://"), host, lit(":443"), path)))
+        .otherwise(concat(host, path, lit("#frag")))
+      TextAnalytics.dedupByUrl(
+        docs.select(col("doc_id"), url.as("url")), "doc_id", "url")
+        .orderBy("url_canon")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -1515,6 +1534,38 @@ object SparkEntry {
         |  CAST(CASE WHEN dr IS NULL THEN 0 ELSE len(dr) END AS INT) AS n_removed
         |FROM sp LEFT JOIN drops USING (pid)
         |ORDER BY pid""".stripMargin,
+
+    // Canonical-URL replay: same synthesized variants, same ordered
+    // replace chain (DuckDB regexp_replace is first-match-only, which
+    // is exactly what these anchored patterns need).
+    "q87_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://www.site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 50) || '/?utm_source=x&ref=y'
+        |      WHEN 1 THEN 'http://site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 50) || '/'
+        |      WHEN 2 THEN upper('https://site' || (doc_id % 20) || '.example.com:443/page/' || (doc_id % 50))
+        |      ELSE 'site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 50) || '#frag'
+        |    END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        replace(replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(trim(lower(url)), '#.*$', ''),
+        |                '\?.*$', ''),
+        |              '^https?://', ''),
+        |            '^www\.', ''),
+        |          ':80/', '/'), ':443/', '/'),
+        |        ':(80|443)$', ''),
+        |      '/+$', '') AS url_canon
+        |  FROM raw)
+        |SELECT url_canon, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+        |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin,
 
     "q18_simhash" ->
       s"""WITH toks AS (

@@ -73,6 +73,35 @@ object TextAnalytics {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Canonical "same page" key for web-corpus URL dedup: lowercase,
+    * strip fragment, query string, scheme, leading www., default
+    * ports, and trailing slashes — the variants crawlers collect for
+    * one page (tracking params, http/https, www mirrors) collapse to
+    * one key. A sequential chain of effectively-anchored regexp
+    * replaces with NO capture groups, so the identical chain replays
+    * in any SQL engine (capture-group syntax differs across engines;
+    * the port strip therefore uses literal replaces — a ':80/' inside
+    * a path segment is out of scope for this heuristic). */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c0 = trim(lower(url))
+    val c1 = regexp_replace(c0, "#.*$", "")
+    val c2 = regexp_replace(c1, "\\?.*$", "")
+    val c3 = regexp_replace(c2, "^https?://", "")
+    val c4 = regexp_replace(c3, "^www\\.", "")
+    val c5 = regexp_replace(
+      replace(replace(c4, lit(":80/"), lit("/")), lit(":443/"), lit("/")),
+      ":(80|443)$", "")
+    regexp_replace(c5, "/+$", "")
+  }
+
+  /** URL dedup: one survivor (min id) per canonical URL —
+    * (url_canon, id, n_dupes), the q15-exact-dedup posture keyed by
+    * [[canonicalUrl]]. Shuffle payload is the canonical key + id. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalUrl(col(urlCol)).as("url_canon"))
+      .groupBy("url_canon")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
   /** Graded n-gram contamination: fraction of a document's distinct
     * word n-grams that appear in the benchmark shingle set. Unlike the
     * binary containment scan, this scores partial overlap — the usual

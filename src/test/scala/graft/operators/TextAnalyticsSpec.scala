@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 
 class TextAnalyticsSpec extends SparkSpec {
 
+  test("canonicalUrl collapses crawl variants onto one page key") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://www.Site3.Example.com/Page/7/?utm_source=x&ref=y",
+      "http://site3.example.com/page/7/",
+      "HTTPS://SITE3.EXAMPLE.COM:443/PAGE/7",
+      "site3.example.com:80/page/7#frag",
+      "site3.example.com/page/7")
+    val canon = urls.toDF("url")
+      .select(TextAnalytics.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon == Set("site3.example.com/page/7"), canon)
+    // distinct pages stay distinct
+    val other = Seq("https://site3.example.com/page/8",
+      "https://site4.example.com/page/7")
+      .toDF("url").select(TextAnalytics.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(other.size == 2 && !other.contains("site3.example.com/page/7"))
+    val groups = TextAnalytics.dedupByUrl(
+      urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url"),
+      "id", "url").collect()
+    assert(groups.length == 1 && groups(0).getLong(2) == 5L)
+  }
+
   test("ngramOverlapLarge equals the literal-needle ngramOverlap") {
     val s = spark
     import s.implicits._
