@@ -385,6 +385,30 @@ object SparkEntry {
         .orderBy("url_canon")
     }),
 
+    // Compaction binning: exclusive-cumsum-div-target over (size DESC,
+    // id) — the documents table stands in as the file manifest (one
+    // row per file, metadata-scale; Layout.compact drives the same
+    // rule against real directories in ScalaTest).
+    "q88_compaction_plan" -> ((s, dir) => {
+      operators.Layout.packBySize(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", targetBytes = 4000L)
+        .orderBy("doc_id")
+    }),
+
+    // ANALYZE-style one-pass column profile (nulls synthesized as in
+    // q14 so n_null is non-trivial); min/max rendered as strings over
+    // engine-portable column types.
+    "q89_analyze_table" -> ((s, dir) => {
+      val src = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_name")).as("c_name"),
+        col("c_mktsegment"), col("c_nationkey"))
+      KeyChecks.analyze(src,
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+        .orderBy("col_name")
+    }),
+
     "q19_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.45, planes = 0)
@@ -1566,6 +1590,42 @@ object SparkEntry {
         |  FROM raw)
         |SELECT url_canon, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
         |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    "q88_compaction_plan" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000 AS BIGINT) AS bin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q89_analyze_table" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS c_name,
+        |         c_mktsegment, c_nationkey
+        |  FROM customer),
+        |long AS (
+        |  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM src
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_name) AS BIGINT),
+        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_mktsegment IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_nationkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+        |    CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM src)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM long ORDER BY col_name""".stripMargin,
 
     "q18_simhash" ->
       s"""WITH toks AS (

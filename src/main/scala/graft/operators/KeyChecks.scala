@@ -40,4 +40,37 @@ object KeyChecks {
     val n = pkViolations(df, cols).count()
     require(n == 0, s"Found $n duplicate key groups on {${cols.mkString(", ")}}")
   }
+
+  /** ANALYZE-style column profile in ONE corpus pass: for each listed
+    * column — rows, nulls, exact distincts, min/max (rendered as
+    * strings so heterogeneous columns share one long schema). The
+    * multi-COUNT(DISTINCT) plans as the q43 Expand (a cols× row
+    * multiplier before the partial aggregate — the standard price of
+    * one-pass multi-distinct); at 100 TB swap `exact = false` to get
+    * HLL approx_count_distinct and a plain single aggregate. min/max
+    * string rendering is engine-portable for int/string/date columns
+    * (floats format differently across engines — profile those via a
+    * decimal cast). Output: (col_name, n_rows, n_null, n_distinct,
+    * min_val, max_val), one row per column. */
+  def analyze(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"__null__$c"),
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__dist__$c"),
+        min(col(c)).cast("string").as(s"__min__$c"),
+        max(col(c)).cast("string").as(s"__max__$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n_rows").as("n_rows"),
+        col(s"__null__$c").as("n_null"),
+        col(s"__dist__$c").as("n_distinct"),
+        col(s"__min__$c").as("min_val"),
+        col(s"__max__$c").as("max_val"))): _*)).as("s"))
+      .select(col("s.*"))
+  }
 }

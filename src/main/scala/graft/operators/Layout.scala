@@ -53,4 +53,52 @@ object Layout {
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Assign items (files) to compaction bins by EXCLUSIVE cumulative
+    * size over a deterministic order (size DESC, id ASC):
+    * bin = cum_before div targetBytes. A bin can overshoot the target
+    * by at most its last item — the same slicing rule Spark's
+    * files.maxPartitionBytes applies to splits — in exchange for a
+    * rule that is a pure window expression (SQL-replayable, the q88
+    * oracle) instead of a sequential first-fit loop. The manifest is
+    * one row per FILE (metadata-scale even for a 100 TB table), which
+    * is what makes the single-partition window acceptable here and
+    * nowhere else. Output: (id, size, bin). */
+  def packBySize(manifest: DataFrame, idCol: String, sizeCol: String,
+                 targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    manifest.select(col(idCol), col(sizeCol),
+      expr(s"coalesce(sum($sizeCol) over (order by $sizeCol desc, $idCol asc " +
+        s"rows between unbounded preceding and 1 preceding), 0L) div ${targetBytes}L")
+        .as("bin"))
+  }
+
+  /** Small-file compaction: plan bins over the directory's file
+    * manifest ([[packBySize]]), then rewrite each bin as ONE output
+    * file (coalesce(1) append — no shuffle; each task streams its
+    * bin's files). Returns the bin manifest (bin, n_files, bytes).
+    * Bins are written sequentially here; at fleet scale wrap the bin
+    * loop in the bounded thread pool FfiecPipeline.processAll uses —
+    * Spark schedules concurrent jobs fine. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    require(files.nonEmpty, s"no parquet files under $inDir")
+    import spark.implicits._
+    val plan = packBySize(files.toDF("file", "bytes"), "file", "bytes", targetBytes)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    plan.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, group) =>
+      spark.read.parquet(group.map(_._1): _*)
+        .coalesce(1)
+        .write.mode("append").parquet(outDir)
+    }
+    plan.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (bin, g) => (bin, g.size.toLong, g.map(_._2).sum) }
+      .toDF("bin", "n_files", "bytes")
+  }
 }

@@ -55,3 +55,66 @@ class LayoutSpec extends SparkSpec {
       s"z-order must beat the linear sort on the second dim: $sy")
   }
 }
+
+class CompactionSpec extends SparkSpec {
+
+  test("packBySize bins by exclusive cumulative size over (size DESC, id)") {
+    val s = spark
+    import s.implicits._
+    // sorted by size desc: 900, 800, 500, 300, 100 → cum-before
+    // 0, 900, 1700, 2200, 2500 → div 1000 → bins 0, 0, 1, 2, 2
+    val m = Seq(("a", 900L), ("b", 800L), ("c", 500L), ("d", 300L), ("e", 100L))
+      .toDF("file", "bytes")
+    val got = Layout.packBySize(m, "file", "bytes", 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "d" -> 2L, "e" -> 2L))
+  }
+
+  test("compact rewrites many small files into few, preserving all rows") {
+    val s = spark
+    import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
+    // 20 single-row files (repartition(1) per write)
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val nIn = new java.io.File(in).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nIn == 20)
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    val manifest = Layout.compact(spark, in, out, targetBytes = 4096L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == (1L to 20L).toSet)
+    val nOut = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val bins = manifest.collect()
+    assert(nOut == bins.length && nOut < nIn,
+      s"expected fewer output files: in=$nIn out=$nOut bins=${bins.length}")
+    assert(bins.map(_.getLong(1)).sum == 20L) // every input file planned
+  }
+}
+
+class AnalyzeSpec extends SparkSpec {
+
+  test("analyze profiles columns in one pass: nulls, distincts, min/max") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some("x"), 10),
+      (2L, None, 20),
+      (3L, Some("y"), 10),
+      (4L, Some("x"), 30)
+    ).toDF("id", "name", "grp")
+    val got = KeyChecks.analyze(df, Seq("id", "name", "grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("name") == ((4L, 1L, 2L, "x", "y"))) // distinct ignores null
+    assert(got("grp") == ((4L, 0L, 3L, "10", "30")))
+    // approx mode stays close on small data
+    val approx = KeyChecks.analyze(df, Seq("id"), exact = false).collect()(0)
+    assert(math.abs(approx.getLong(3) - 4L) <= 1)
+  }
+}
