@@ -1551,9 +1551,9 @@ object SparkEntry {
         |  SELECT pid, list(pos ORDER BY pos) AS dr
         |  FROM occ WHERE rn > 1 GROUP BY pid)
         |SELECT sp.pid,
-        |  array_to_string(CASE WHEN dr IS NULL THEN ps
+        |  COALESCE(array_to_string(CASE WHEN dr IS NULL THEN ps
         |    ELSE list_filter(ps, (x, i) -> NOT list_contains(dr, i - 1)) END,
-        |    chr(10) || chr(10)) AS clean_text,
+        |    chr(10) || chr(10)), '') AS clean_text,
         |  CAST(len(ps) AS INT) AS n_paras,
         |  CAST(CASE WHEN dr IS NULL THEN 0 ELSE len(dr) END AS INT) AS n_removed
         |FROM sp LEFT JOIN drops USING (pid)
