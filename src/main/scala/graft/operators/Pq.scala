@@ -217,44 +217,61 @@ object Pq {
     mins.indices.map(d =>
       if (maxs(d) == mins(d)) 0.0 else (maxs(d) - mins(d)) / 255.0).toArray
 
-  /** Encode each vector as dim uint8 codes:
-    * code_d = round((v_d - min_d) / scale_d), scale_d = range_d/255.
-    * Constant dimensions (scale 0) encode as 0. Kept alongside the id
-    * AND the vector here (callers project; a persisted layout would
-    * write codes-first like writeIvfPqIndex). */
-  def sq8Encode(df: DataFrame, idCol: String, vecCol: String,
-                mins: Array[Double], maxs: Array[Double]): DataFrame = {
-    val dim = mins.length
+  /** The SQ8 code expression: code_d = round((v_d - min_d) / scale_d),
+    * scale_d = range_d/255; constant dimensions (scale 0) encode 0. */
+  private def sq8CodesColumn(vec: org.apache.spark.sql.Column,
+                             mins: Array[Double],
+                             maxs: Array[Double]): org.apache.spark.sql.Column = {
     val mnL = typedLit(mins.toSeq)
     val scL = typedLit(sq8Scales(mins, maxs).toSeq)
+    transform(sequence(lit(1), lit(mins.length)), d =>
+      when(element_at(scL, d) === 0.0, lit(0))
+        .otherwise(round((element_at(vec, d).cast("double")
+          - element_at(mnL, d)) / element_at(scL, d), 0).cast("int")))
+  }
+
+  /** Encode each vector as dim uint8 codes ([[sq8CodesColumn]]). Kept
+    * alongside the id AND the vector here (callers project; the
+    * persisted layout is [[writeIvfSq8Index]]). */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String,
+                mins: Array[Double], maxs: Array[Double]): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      transform(sequence(lit(1), lit(dim)), d =>
-        when(element_at(scL, d) === 0.0, lit(0))
-          .otherwise(round((element_at(col(vecCol), d).cast("double")
-            - element_at(mnL, d)) / element_at(scL, d), 0).cast("int")))
-        .as("codes"))
+      sq8CodesColumn(col(vecCol), mins, maxs).as("codes"))
+
+  /** Per-dim 256-entry ADC tables for a query vector:
+    * tables[d][c] = q_d · (min_d + c·scale_d). Computed once per query
+    * (broadcast side); each per-candidate score is then one AdcScore
+    * kernel lookup-sum in whole-stage codegen — term- and order-
+    * identical to the naive per-pair fold
+    * Σ_d q_d · (min_d + code_d·scale_d), so oracles replay the fold. */
+  private def sq8Tables(qvec: org.apache.spark.sql.Column,
+                        mins: Array[Double],
+                        maxs: Array[Double]): org.apache.spark.sql.Column = {
+    val sc = sq8Scales(mins, maxs)
+    array(mins.indices.map { d =>
+      transform(sequence(lit(0), lit(255)), cc =>
+        element_at(qvec, d + 1).cast("double") *
+          (lit(mins(d)) + cc * lit(sc(d))))
+    }: _*)
   }
 
   /** Asymmetric SQ8 search: float queries against dequantized codes —
-    * sim = Σ_d q_d · (min_d + code_d·scale_d), an ORDERED fold so the
-    * oracle replays it bit-exactly. Queries broadcast; the corpus side
-    * touches only (id, codes) — the 4×-smaller scan — and ranking goes
-    * through the bounded TopK aggregator, never a window. */
+    * sim = Σ_d q_d · (min_d + code_d·scale_d), evaluated as per-query
+    * ADC tables ([[sq8Tables]]) + the AdcScore codegen kernel (the
+    * 64-step interpreted HOF fold measured 3× slower at sf0.1).
+    * Queries broadcast; the corpus side touches only (id, codes) — the
+    * 4×-smaller scan — and ranking goes through the bounded TopK
+    * aggregator, never a window. */
   def searchSq8(encoded: DataFrame, queries: DataFrame,
                 queryId: String, queryVec: String,
                 mins: Array[Double], maxs: Array[Double], k: Int): DataFrame = {
-    val dim = mins.length
-    val mnL = typedLit(mins.toSeq)
-    val scL = typedLit(sq8Scales(mins, maxs).toSeq)
-    val q = broadcast(queries.select(
-      col(queryId).as("query_id"), col(queryVec).as("qvec")))
+    val q = broadcast(queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .withColumn("tables", sq8Tables(col("qvec"), mins, maxs)))
     val scored = encoded.select(col("id"), col("codes")).join(q)
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        round(aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, d) =>
-          acc + element_at(col("qvec"), d).cast("double") *
-            (element_at(mnL, d) + element_at(col("codes"), d) * element_at(scL, d))),
-          6).as("sim"))
+        round(graft.plans.native.adcScore(col("codes"), col("tables")), 6).as("sim"))
     Knn.topKPerQuery(scored, k)
   }
 
@@ -551,5 +568,54 @@ object Pq {
     searchIvfAdc(spark, path, queries, queryId, queryVec, k, nprobe, shortlist,
       array(b1.indices.flatMap(s =>
         Seq(dotTable(b1, s, subDim), dotTable(b2, s, subDim))): _*))
+  }
+
+  /** IVF + SQ8 on disk — FAISS's "IVF,SQ8" point on the recall/size
+    * ladder: same cell-partitioned, id-sorted layout as
+    * writeIvfPqIndex, but codes are per-DIMENSION uint8 (dim bytes/row,
+    * 4× compression) and there is NO codebook training — the ranges
+    * are one exact min/max aggregate, written beside the centroids.
+    * SQ8 is exactly PQ with subDim=1 and the closed-form codebook
+    * cw[d][c] = min_d + c·scale_d, which is why the probe reuses the
+    * shared [[searchIvfAdc]] core (per-dim 256-entry dot tables feed
+    * the same AdcScore kernel over the codes-only scan). */
+  def writeIvfSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+                       path: String, c: Int = 16, dim: Int = 64,
+                       portableHash: Boolean = false)
+      : (Array[Double], Array[Double]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val (mins, maxs) = sq8Train(corpus, vecCol, dim)
+    mins.indices.map(d => (d, mins(d), maxs(d))).toDF("d", "mn", "mx")
+      .write.mode("overwrite").parquet(s"$path/ranges")
+    Knn.assignCells(corpus, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .withColumn("codes", sq8CodesColumn(col("vec"), mins, maxs))
+      .select("id", "codes", "vec", "cell")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    (mins, maxs)
+  }
+
+  /** Reload the per-dimension ranges written by writeIvfSq8Index. */
+  def loadSq8Ranges(spark: SparkSession, path: String)
+      : (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(s"$path/ranges").orderBy("d").collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Probe the IVF+SQ8 index: per-dim 256-entry ADC tables
+    * (tables[d][c] = q_d · (min_d + c·scale_d) — term-identical to
+    * [[searchSq8]]'s dequantized-dot fold) through the shared pruned
+    * codes-scan + shortlist + exact-re-rank core. */
+  def searchIvfSq8(spark: SparkSession, path: String,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val (mins, maxs) = loadSq8Ranges(spark, path)
+    searchIvfAdc(spark, path, queries, queryId, queryVec, k, nprobe, shortlist,
+      sq8Tables(col("qvec"), mins, maxs))
   }
 }

