@@ -350,6 +350,21 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // Train-then-tokenize end-to-end: the corpus tokenized with its
+    // OWN learned merges; per-doc subword vs word counts. The oracle
+    // joins the unrolled trainer's final vocabulary back to each doc.
+    "q92_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      docs.where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(graft.operators.Bpe.encodeColumn(col("text"), merges))
+            .cast("long").as("n_bpe_tokens"),
+          Text.tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // Paragraph dedup + reassembly. The corpus has no multi-paragraph
     // docs, so the gate synthesizes them: every doc gets a second
     // paragraph — its decade-anchor's text — so each anchor paragraph
@@ -955,6 +970,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-key exact-size sampling: bottom-3 id-hashes per source via
+    // map-side bounded heaps (the corpus never shuffles; the oracle's
+    // QUALIFY-window formulation would).
+    "q91_sample_per_key" -> ((s, dir) => {
+      operators.Sampling.samplePerKey(
+        t(s, dir, "documents").select("source", "doc_id"),
+        "source", "doc_id", k = 3, portableHash = true)
+        .orderBy("source", "doc_id")
+    }),
+
     // Dataset-card mixture manifest: per-source docs/tokens/share.
     "q69_mixture_manifest" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("source"),
@@ -1122,12 +1147,13 @@ object SparkEntry {
     graft.plans.Md5Kernel.salts(k, seed).zipWithIndex
       .map { case (s, j) => s"($j, $s)" }.mkString(", ")
 
-  /** The q85 oracle: `rounds` BPE merge rounds unrolled as CTE pairs —
-    * per round, the weighted adjacent-pair argmax (ties (f DESC, a, b))
-    * and the greedy-leftmost rewrite as the SAME prefix-separator
-    * string replace the Spark trainer runs (Bpe.train). chr(31) is
-    * Bpe.SEP. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** Shared CTE chain for the BPE oracles: `rounds` merge rounds
+    * unrolled — per round, the weighted adjacent-pair argmax (ties
+    * (f DESC, a, b)) and the greedy-leftmost rewrite as the SAME
+    * prefix-separator string replace the Spark trainer runs
+    * (Bpe.train). chr(31) is Bpe.SEP; `word` rides along so the
+    * token-count oracle can join the final vocabulary back to docs. */
+  private def bpeRoundsCte(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS f FROM (
@@ -1137,24 +1163,50 @@ object SparkEntry {
          |          FROM w${r - 1}) x) y
          |  GROUP BY u.a, u.b),
          |b$r AS (SELECT a, b, f FROM p$r ORDER BY f DESC, a ASC, b ASC LIMIT 1),
-         |w$r AS (SELECT replace(symstr, chr(31)||a||chr(31)||b, chr(31)||a||b) AS symstr, freq
+         |w$r AS (SELECT word,
+         |          replace(symstr, chr(31)||a||chr(31)||b, chr(31)||a||b) AS symstr,
+         |          freq
          |        FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
-    val steps = (1 to rounds).map(r =>
-      s"SELECT $r AS step, a AS lhs, b AS rhs, a || b AS merged, f AS freq FROM b$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH w0 AS (
-       |  SELECT chr(31) || array_to_string(
+       |  SELECT word,
+       |         chr(31) || array_to_string(
        |           list_transform(range(1, len(word)+1), j -> word[j]), chr(31)) AS symstr,
        |         CAST(f AS BIGINT) AS freq
        |  FROM (SELECT tok AS word, COUNT(*) AS f
        |        FROM (SELECT unnest($toksLower) AS tok FROM documents) z
        |        GROUP BY tok) wc),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** The q85 oracle: the merge list itself. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map(r =>
+      s"SELECT $r AS step, a AS lhs, b AS rhs, a || b AS merged, f AS freq FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeRoundsCte(rounds)}
        |SELECT step, lhs, rhs, merged, freq FROM (
        |  $steps) m
        |ORDER BY step""".stripMargin
   }
+
+  /** The q92 oracle: per-doc subword counts under the learned merges —
+    * the final round's per-word symbol counts joined back to each
+    * doc's word instances. */
+  private def bpeTokensOracleSql(rounds: Int): String =
+    s"""${bpeRoundsCte(rounds)},
+       |vocab AS (
+       |  SELECT word,
+       |         CAST(len(string_split(substr(symstr, 2), chr(31))) AS BIGINT) AS ntok
+       |  FROM w$rounds),
+       |docw AS (
+       |  SELECT doc_id, unnest($toksLower) AS word
+       |  FROM documents WHERE doc_id < 100)
+       |SELECT dw.doc_id,
+       |  CAST(SUM(v.ntok) AS BIGINT) AS n_bpe_tokens,
+       |  COUNT(*) AS n_words
+       |FROM docw dw JOIN vocab v USING (word)
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
   /** Ordered sequential dot product — same fold as Vectors.dot
     * (aggregate over zip_with), so the sign test is bit-identical. */
@@ -1542,6 +1594,8 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q85_bpe_train" -> bpeOracleSql(8),
+
+    "q92_bpe_tokens" -> bpeTokensOracleSql(8),
 
     // Paragraph-dedup replay: same synthesized two-paragraph docs,
     // first-occurrence via row_number over (pid, pos), rewrite as the
@@ -2719,6 +2773,17 @@ object SparkEntry {
          |    ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents ORDER BY h LIMIT 100) x
          |ORDER BY doc_id""".stripMargin,
+
+    // Same bottom-k-per-key membership via the window form, ordered by
+    // the same double-cast hash the aggregator ranks on.
+    "q91_sample_per_key" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) ASC,
+         |               doc_id ASC) AS rn
+         |  FROM documents) x
+         |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
 
     "q69_mixture_manifest" ->
       """WITH t AS (

@@ -195,6 +195,29 @@ object Sampling {
     df.withColumn("__h", h).orderBy("__h").limit(n).drop("__h")
   }
 
+  /** Deterministic exactly-k sample PER KEY — [[sampleExact]]'s
+    * grouped twin (balanced per-source subsets, eval-slice carving):
+    * the k smallest id-hashes within each key, computed with the
+    * bounded TopK aggregator on the NEGATED hash, so map-side partial
+    * heaps ship ≤ partitions·keys·k rows into the shuffle — the
+    * window/QUALIFY formulation (which the oracle replays, ordering
+    * by the same double) would shuffle the whole corpus. Hash ties
+    * break by id; negation is IEEE-exact, so desc(-h) ≡ asc(h).
+    * `portableHash` = md5 gate mode. Output: (key, id). */
+  def samplePerKey(df: DataFrame, keyCol: String, idCol: String, k: Int,
+                   portableHash: Boolean = false): DataFrame = {
+    val h =
+      if (portableHash) graft.functions.Hashes.md5Hash64(col(idCol))
+      else xxhash64(col(idCol))
+    val topk = TopKAggregator.udaf(k)
+    df.select(col(keyCol).as("key"), col(idCol).cast("long").as("id"),
+        negate(h.cast("double")).as("s"))
+      .groupBy("key")
+      .agg(topk(col("id"), col("s")).as("top"))
+      .select(col("key").as(keyCol), explode(col("top")).as("s"))
+      .select(col(keyCol), col("s._2").as(idCol))
+  }
+
   /** Deterministic train/val/test split on an integer id. `weights`
     * are percentages summing to 100; assignment is `id mod 100` range
     * membership — reproducible across engines and runs, and stable

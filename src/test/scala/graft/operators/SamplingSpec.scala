@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
 
+  test("samplePerKey draws exactly k deterministic rows per key") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (s"k${i % 4}", i)).toDF("grp", "id")
+    val got = Sampling.samplePerKey(df, "grp", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    assert(got.map(_._1).toSet == Set("k0", "k1", "k2", "k3"))
+    // deterministic across runs
+    val again = Sampling.samplePerKey(df, "grp", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet == again.toSet)
+    // membership matches the window formulation on the same hash
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("h",
+        org.apache.spark.sql.functions.xxhash64(col("id")).cast("double"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("grp").orderBy(col("h").asc, col("id").asc)))
+      .where(col("rn") <= 5).select("grp", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.toSet == want)
+    // keys with fewer than k rows keep all their rows
+    val small = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
+    assert(Sampling.samplePerKey(small, "grp", "id", k = 5).count() == 3)
+  }
+
   test("stratifiedHead caps each stratum deterministically") {
     val s = spark
     import s.implicits._
