@@ -970,6 +970,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Count-min sketch: fixed-RAM token-frequency estimation — build
+    // the d×width sketch over the corpus, then point-estimate a fixed
+    // probe list (including an absent term → 0 or pure collision
+    // noise). Cell-for-cell md5 replay in the oracle.
+    "q93_cms_estimate" -> ((s, dir) => {
+      val sketch = TextAnalytics.countMinSketch(
+        t(s, dir, "documents"), "text", d = 4, width = 512)
+      TextAnalytics.cmsEstimate(sketch,
+        Seq("key", "agg", "table", "value", "spark", "window",
+          "zzz_absent_term"), d = 4, width = 512)
+        .orderBy("term")
+    }),
+
     // Per-key exact-size sampling: bottom-3 id-hashes per source via
     // map-side bounded heaps (the corpus never shuffles; the oracle's
     // QUALIFY-window formulation would).
@@ -2773,6 +2786,24 @@ object SparkEntry {
          |    ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents ORDER BY h LIMIT 100) x
          |ORDER BY doc_id""".stripMargin,
+
+    "q93_cms_estimate" ->
+      s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
+         |cells AS (
+         |  SELECT i AS row,
+         |         ${md5Hash64Sql("(CAST(i AS VARCHAR) || '|' || tok)")} % 512 AS col,
+         |         COUNT(*) AS c
+         |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+         |  GROUP BY 1, 2),
+         |probes(term) AS (VALUES ('key'), ('agg'), ('table'), ('value'),
+         |                        ('spark'), ('window'), ('zzz_absent_term')),
+         |pc AS (
+         |  SELECT term, i AS row,
+         |         ${md5Hash64Sql("(CAST(i AS VARCHAR) || '|' || term)")} % 512 AS col
+         |  FROM probes CROSS JOIN (SELECT unnest(range(4)) AS i) ii)
+         |SELECT term, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+         |FROM pc LEFT JOIN cells USING (row, col)
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     // Same bottom-k-per-key membership via the window form, ordered by
     // the same double-cast hash the aggregator ranks on.

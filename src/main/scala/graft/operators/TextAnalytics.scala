@@ -73,6 +73,51 @@ object TextAnalytics {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Count-min sketch over corpus tokens (Cormode & Muthukrishnan
+    * 2005): d hash rows × `width` columns of counts — fixed-RAM
+    * frequency estimation whose state size is INDEPENDENT of corpus
+    * and vocabulary size (vs topTerms' exact per-term counts). The
+    * build is explode → (row, col)-keyed count: the shuffle carries at
+    * most d·width distinct keys (map-side combined), metadata-scale
+    * regardless of corpus size, and sketches from corpus shards merge
+    * by cell-wise addition (counts are linear). Point estimates
+    * overcount only (min over d rows bounds collision error by
+    * ~tokens/width per row). md5-derived hashing, so the gate oracle
+    * replays cell-for-cell. Returns (row, col, c) — only nonzero
+    * cells. */
+  def countMinSketch(df: DataFrame, textCol: String,
+                     d: Int = 4, width: Int = 1024): DataFrame = {
+    require(d > 0 && width > 0, "d and width must be positive")
+    df.select(explode(Text.tokens(Text.normalizeText(col(textCol)))).as("tok"))
+      .select(explode(array((0 until d).map(i => struct(
+        lit(i).as("row"),
+        pmod(graft.functions.Hashes.md5Hash64(
+          concat(lit(s"$i|"), col("tok"))), lit(width.toLong)).as("col"))): _*))
+        .as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for `terms` against a count-min sketch built with
+    * the same (d, width): est(term) = min over rows of the term's cell
+    * count (0 when a cell is empty). The sketch is d·width rows at
+    * most — broadcast side; never an estimate under the true count. */
+  def cmsEstimate(sketch: DataFrame, terms: Seq[String],
+                  d: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probes = terms.toDF("term")
+      .select(col("term"), explode(array((0 until d).map(i => struct(
+        lit(i).as("row"),
+        pmod(graft.functions.Hashes.md5Hash64(
+          concat(lit(s"$i|"), col("term"))), lit(width.toLong)).as("col"))): _*))
+        .as("rc"))
+      .select(col("term"), col("rc.row").as("row"), col("rc.col").as("col"))
+    probes.join(broadcast(sketch), Seq("row", "col"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   /** Canonical "same page" key for web-corpus URL dedup: lowercase,
     * strip fragment, query string, scheme, leading www., default
     * ports, and trailing slashes — the variants crawlers collect for

@@ -5,6 +5,38 @@ import org.apache.spark.sql.functions._
 
 class TextAnalyticsSpec extends SparkSpec {
 
+  test("count-min sketch never undercounts, is exact without collisions, and merges") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana date"),
+      (3L, "apple cherry")
+    ).toDF("doc_id", "text")
+    val exact = Map("apple" -> 4L, "banana" -> 3L, "cherry" -> 2L, "date" -> 1L)
+    val terms = exact.keys.toSeq :+ "absent"
+    // wide sketch → no collisions on 4 distinct tokens → exact counts
+    val wide = TextAnalytics.countMinSketch(docs, "text", d = 4, width = 4096)
+    val estWide = TextAnalytics.cmsEstimate(wide, terms, d = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (t, c) => estWide(t) == c }, estWide)
+    assert(estWide("absent") == 0L)
+    // tiny sketch → collisions allowed, but NEVER an undercount
+    val tiny = TextAnalytics.countMinSketch(docs, "text", d = 2, width = 2)
+    val estTiny = TextAnalytics.cmsEstimate(tiny, terms, d = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (t, c) => estTiny(t) >= c }, estTiny)
+    // linearity: shard sketches merged cell-wise == whole-corpus sketch
+    val sh1 = TextAnalytics.countMinSketch(docs.where(col("doc_id") < 3), "text", 4, 4096)
+    val sh2 = TextAnalytics.countMinSketch(docs.where(col("doc_id") === 3), "text", 4, 4096)
+    val merged = sh1.union(sh2).groupBy("row", "col")
+      .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+    val estMerged = TextAnalytics.cmsEstimate(merged, terms, d = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estMerged == estWide)
+  }
+
   test("canonicalUrl collapses crawl variants onto one page key") {
     val s = spark
     import s.implicits._
