@@ -75,11 +75,15 @@ object MinhashStore {
                          path: String, p: Params, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val signed = Dedup.minhashSigned(df, idCol, textCol, p.shingleN, p.k, p.portableHash)
+    // cache the band explosion: it feeds both the bands write and the
+    // counts write (keys-only rows, bands× the doc count)
     val banded = Dedup.minhashBanded(signed, p.bands, p.rowsPerBand, p.portableHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     signed.write.mode(mode).parquet(s"$path/sigs")
     banded.write.mode(mode).partitionBy("band").parquet(s"$path/bands")
     banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .write.mode(mode).parquet(s"$path/bucket_counts")
+    banded.unpersist(false)
     signed.unpersist(false)
   }
 

@@ -62,6 +62,22 @@ object Jsonl {
       .select(schema.fieldNames.toSeq.map(f => col(s"p.`$f`").as(f)): _*)
   }
 
+  /** Streaming twin of [[read]]: the same explicit-schema tolerant
+    * parse as a file-source stream — shards landing in `path` are
+    * processed exactly once under the file-source contract (pairs
+    * with FfiecPipeline.processStream's checkpointed ingest posture).
+    * Filter the corrupt column / drop it downstream exactly as with
+    * the batch read. `maxFilesPerTrigger` bounds per-batch work. */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+                 corruptCol: String = "_corrupt_record",
+                 maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema.add(corruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
   /** Audit view of what [[readClean]] would drop: (file, corrupt_line).
     * Reads the text source and re-parses with from_json — Spark
     * disallows JSON-source queries whose only referenced data column is

@@ -159,6 +159,30 @@ class JsonlSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("readStream picks up landed shards exactly once, tolerating garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/shard1.json"),
+      "{\"doc_id\": 1, \"text\": \"a\", \"lang\": \"en\", \"n_chars\": 1}\n{broken\n")
+    val schema = sample.schema
+    val q = Jsonl.readStream(spark, dir, schema)
+      .where(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream").count() == 1)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/shard2.json"),
+        "{\"doc_id\": 2, \"text\": \"b\", \"lang\": \"de\", \"n_chars\": 1}\n")
+      q.processAllAvailable()
+      val ids = spark.table("jsonl_stream")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L)) // shard1 not reprocessed
+    } finally q.stop()
+  }
+
   test("malformed lines are tolerated, dropped by readClean, surfaced by corruptLines") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl_bad").toString
     Jsonl.write(sample, dir)
