@@ -149,6 +149,31 @@ object MinhashStore {
     (verified, signed, banded)
   }
 
+  /** Streaming incremental dedup: every micro-batch is probed against
+    * the store and only the survivors' rows land in `outDir` (and
+    * their fingerprints in the store) — the fingerprint store as a
+    * running service. The store DIRECTORY is the cross-batch state:
+    * the stream holds no in-memory dedup state, restarts resume from
+    * disk under the checkpoint contract, and a doc that duplicates
+    * anything ingested in ANY earlier batch is dropped. Pair with
+    * [[graft.sources.Jsonl.readStream]] for landed-shard corpora.
+    * (The transformWithState twins in StreamDedup keep state in the
+    * state store instead — bounded by watermark; this keeps it
+    * unbounded and queryable at rest.) */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String,
+                   path: String, outDir: String, checkpoint: String,
+                   tau: Double = 0.7, maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = ingest(batch, idCol, textCol, path, tau, maxBucket)
+        survivors.write.mode("append").parquet(outDir)
+        survivors.unpersist(false)
+        ()
+      }
+      .start()
+
   /** One-call incremental ingest: probe the batch against the store,
     * keep only docs with no near-dup in the history (nor a smaller-id
     * near-dup within the batch itself — via [[Dedup.minhashLshPairs]]

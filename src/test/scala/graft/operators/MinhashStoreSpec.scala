@@ -77,6 +77,38 @@ class MinhashStoreSpec extends SparkSpec {
     survivors.unpersist(false)
   }
 
+  test("ingestStream dedups each landed shard against all earlier ones") {
+    import org.apache.spark.sql.types._
+    val land = java.nio.file.Files.createTempDirectory("mh_land").toString
+    val out = java.nio.file.Files.createTempDirectory("mh_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_ckpt").toString
+    val path = tmpDir("mh_stream_store")
+    MinhashStore.write(store, "doc_id", "text", path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$land/shard1.json"),
+      """{"doc_id": 31, "text": "a fresh novel document with entirely new content here"}""" + "\n")
+    val query = MinhashStore.ingestStream(
+      graft.sources.Jsonl.readStream(spark, land, schema)
+        .where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      "doc_id", "text", path, out, ckpt)
+    try {
+      query.processAllAvailable()
+      // 31 is novel vs the store → survives
+      assert(spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(31L))
+      // shard2: 41 duplicates shard1's 31 (cross-BATCH dup), 42 novel
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$land/shard2.json"),
+        """{"doc_id": 41, "text": "a fresh novel document with entirely new content here"}""" + "\n" +
+        """{"doc_id": 42, "text": "some genuinely distinct sentence nothing else resembles"}""" + "\n")
+      query.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(31L, 42L))
+    } finally query.stop()
+  }
+
   test("probe never shuffles the store: its scans sit under broadcast joins only") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
