@@ -970,6 +970,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Integer-arithmetic PageRank over a synthesized link graph (every
+    // doc links its two mod-hubs): 3 iterative-join rounds in exact
+    // micro-unit longs, replayed round-for-round by the oracle.
+    "q94_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+        .where(col("src") =!= col("dst"))
+      operators.Graph.pagerankInt(edges, "src", "dst", iters = 3)
+        .orderBy("node")
+    }),
+
     // Count-min sketch: fixed-RAM token-frequency estimation — build
     // the d×width sketch over the corpus, then point-estimate a fixed
     // probe list (including an absent term → 0 or pure collision
@@ -2786,6 +2800,27 @@ object SparkEntry {
          |    ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents ORDER BY h LIMIT 100) x
          |ORDER BY doc_id""".stripMargin,
+
+    "q94_pagerank" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e2.dst, SUM(r.rank_micro // o.n) AS s
+           |       FROM e2 JOIN r${i - 1} r ON r.node = e2.src
+           |       JOIN outdeg o ON o.src = e2.src GROUP BY e2.dst),
+           |r$i AS (SELECT nodes.node,
+           |         CAST(150000 + (COALESCE(c$i.s, 0) * 85) // 100 AS BIGINT) AS rank_micro
+           |       FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 31 FROM documents),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+         |outdeg AS (SELECT src, COUNT(*) AS n FROM e2 GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin
+    },
 
     "q93_cms_estimate" ->
       s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),

@@ -118,3 +118,30 @@ class AnalyzeSpec extends SparkSpec {
     assert(math.abs(approx.getLong(3) - 4L) <= 1)
   }
 }
+
+class GraphSpec extends SparkSpec {
+
+  test("pagerankInt: hand-computed one round, hubs dominate after three") {
+    val s = spark
+    import s.implicits._
+    // a→c, b→c, c→a (all outdeg 1). Round 1 in micro-units:
+    //   a: 150000 + 85% of c's 1e6  = 1000000
+    //   b: 150000 + 0               = 150000
+    //   c: 150000 + 85% of (a+b)=2e6 = 1850000
+    val tri = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = Graph.pagerankInt(tri, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1000000L, 2L -> 150000L, 3L -> 1850000L), r1)
+    // determinism across runs (exact integer arithmetic)
+    val r1b = Graph.pagerankInt(tri, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r1b)
+    // star graph: 50 leaves → 1 hub; after 3 rounds the hub holds the
+    // mass, every leaf sits at the teleport floor
+    val star = (10L to 59L).map(i => (i, 1L)).toDF("src", "dst")
+    val r3 = Graph.pagerankInt(star, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(1L) > 40L * 150000L, s"hub=${r3(1L)}")
+    assert((10L to 59L).forall(r3(_) == 150000L))
+  }
+}
