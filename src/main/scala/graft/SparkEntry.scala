@@ -970,6 +970,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JL random projection 64→8: each output dim an ordered-fold dot
+    // with a seeded gaussian row, scaled 1/sqrt(8); rounded 6dp so the
+    // projected vectors compare value-exact as list columns.
+    "q95_random_projection" -> ((s, dir) => {
+      t(s, dir, "embeddings").where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(
+            Vectors.randomProjection(col("embedding"), dim = 64, outDim = 8),
+            x => round(x, 6)).as("proj"))
+        .orderBy("vec_id")
+    }),
+
     // Integer-arithmetic PageRank over a synthesized link graph (every
     // doc links its two mod-hubs): 3 iterative-join rounds in exact
     // micro-unit longs, replayed round-for-round by the oracle.
@@ -2800,6 +2812,22 @@ object SparkEntry {
          |    ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents ORDER BY h LIMIT 100) x
          |ORDER BY doc_id""".stripMargin,
+
+    "q95_random_projection" -> {
+      val rows = graft.functions.Vectors.projectionMatrix(64, 8, 7L)
+      val vals = rows.zipWithIndex.map { case (r, j) =>
+        s"($j, [${r.map(_.toString).mkString(", ")}])"
+      }.mkString(",\n      ")
+      val scale = (1.0 / math.sqrt(8.0)).toString
+      s"""WITH proj(j, g) AS (VALUES
+         |      $vals)
+         |SELECT vec_id, list(ROUND(dp * $scale, 6) ORDER BY j) AS proj FROM (
+         |  SELECT e.vec_id, p.j,
+         |    ${seqDotSql("e.embedding", "p.g", 64)} AS dp
+         |  FROM embeddings e CROSS JOIN proj p
+         |  WHERE e.vec_id % 5 = 0) x
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "q94_pagerank" -> {
       def round(i: Int): String =

@@ -45,4 +45,35 @@ object Vectors {
     * scale with planes×dim. */
   def hyperplaneBit(v: Column, hyperplane: Seq[Double]): Column =
     (dot(v, typedLit(hyperplane)) >= 0).cast("int")
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions:
+    * y_j = (v · g_j) / sqrt(outDim) with seeded gaussian rows g_j —
+    * pairwise distances preserved in expectation (JL lemma), which
+    * makes it the standard cheap pre-step before LSH/clustering/ANN
+    * on wide embeddings (projection cost dim×outDim mults per row, a
+    * pure per-row expression — no shuffle, no UDF). Deterministic for
+    * a given seed: the matrix regenerates identically on the driver
+    * and inlines as literals (broadcast-in-plan); each output dim is
+    * the ordered fold the oracles replay (seqDotSql shape). */
+  def randomProjection(v: Column, dim: Int, outDim: Int,
+                       seed: Long = 7L): Column = {
+    require(dim > 0 && outDim > 0)
+    val rnd = new scala.util.Random(seed)
+    val rows = Seq.fill(outDim)(Seq.fill(dim)(rnd.nextGaussian()))
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array(rows.map { row =>
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, d) =>
+        acc + element_at(v, d).cast("double") *
+          element_at(typedLit(row), d)) * lit(scale)
+    }: _*)
+  }
+
+  /** The projection matrix [[randomProjection]] draws for (dim,
+    * outDim, seed) — exposed so gate oracles can inline the identical
+    * literals. */
+  def projectionMatrix(dim: Int, outDim: Int,
+                       seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
 }

@@ -92,3 +92,36 @@ class TextHashVectorSpec extends SparkSpec {
     assert(h(1L) != h(3L))
   }
 }
+
+class RandomProjectionSpec extends SparkSpec {
+
+  test("randomProjection is deterministic and JL-preserves pairwise distances") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val proj = vecs.select(col("vec_id"),
+      Vectors.randomProjection(col("embedding"), 64, 16).as("p"))
+    val p1 = proj.orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val p2 = vecs.select(col("vec_id"),
+        Vectors.randomProjection(col("embedding"), 64, 16).as("p"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    assert(p1.zip(p2).forall { case (a, b) => a.sameElements(b) }) // deterministic
+    assert(p1.forall(_.length == 16))
+    val orig = vecs.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val pairs = for (i <- 0 until 40; j <- i + 1 until 40 if (i + j) % 7 == 0)
+      yield (dist(orig(i), orig(j)), dist(p1(i), p1(j)))
+    // JL at outDim 16: distances preserved within a loose band — check
+    // the mean relative distortion and that no pair collapses/explodes
+    val distortions = pairs.map { case (d0, d1) => math.abs(d1 - d0) / d0 }
+    assert(distortions.sum / distortions.size < 0.35,
+      s"mean distortion ${distortions.sum / distortions.size}")
+    assert(distortions.max < 1.0, s"worst distortion ${distortions.max}")
+  }
+}
