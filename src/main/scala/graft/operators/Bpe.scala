@@ -97,6 +97,24 @@ object Bpe {
     out.toSeq
   }
 
+  /** Persist learned merges (train-once / tokenize-many — the
+    * codebooks-beside-the-index posture for the tokenizer artifact).
+    * Step order IS the merge priority order. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[(Int, String, String, String, Long)],
+                  path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("step", "lhs", "rhs", "merged", "freq")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload merges in priority order for [[encodeColumn]]. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("step")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Tokenize a text column with learned merges: per word, start from
     * characters and apply each merge in priority order (statically
     * unrolled replaces — fine for the spec-scale merge lists used

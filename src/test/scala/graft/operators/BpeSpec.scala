@@ -36,6 +36,23 @@ class BpeSpec extends SparkSpec {
     assert(out(1) == Seq("aa", "b"))
   }
 
+  test("merges persist and reload in priority order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 5, minFreq = 2L)
+    val path = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.writeMerges(spark, merges, path)
+    val back = Bpe.loadMerges(spark, path)
+    assert(back == merges.map(m => (m._2, m._3)))
+    // reloaded merges tokenize identically
+    val a = docs.select(Bpe.encodeColumn(col("text"),
+      merges.map(m => (m._2, m._3))).as("t")).collect()(0).getSeq[String](0)
+    val b = docs.select(Bpe.encodeColumn(col("text"), back).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(a == b)
+  }
+
   test("encode round-trips: concatenated subwords rebuild each word") {
     val s = spark
     import s.implicits._
