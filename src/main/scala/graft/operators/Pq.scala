@@ -218,7 +218,12 @@ object Pq {
       if (maxs(d) == mins(d)) 0.0 else (maxs(d) - mins(d)) / 255.0).toArray
 
   /** The SQ8 code expression: code_d = round((v_d - min_d) / scale_d),
-    * scale_d = range_d/255; constant dimensions (scale 0) encode 0. */
+    * scale_d = range_d/255; constant dimensions (scale 0) encode 0.
+    * Codes clamp to [0, 255]: a no-op when the ranges come from the
+    * encoded data itself (the gate case — oracles need no clamp), but
+    * load-bearing for appendIvfSq8Index, where a drifted batch value
+    * outside the stored range would otherwise index past the 256-entry
+    * ADC tables. */
   private def sq8CodesColumn(vec: org.apache.spark.sql.Column,
                              mins: Array[Double],
                              maxs: Array[Double]): org.apache.spark.sql.Column = {
@@ -226,8 +231,9 @@ object Pq {
     val scL = typedLit(sq8Scales(mins, maxs).toSeq)
     transform(sequence(lit(1), lit(mins.length)), d =>
       when(element_at(scL, d) === 0.0, lit(0))
-        .otherwise(round((element_at(vec, d).cast("double")
-          - element_at(mnL, d)) / element_at(scL, d), 0).cast("int")))
+        .otherwise(least(greatest(round((element_at(vec, d).cast("double")
+          - element_at(mnL, d)) / element_at(scL, d), 0), lit(0.0)), lit(255.0))
+          .cast("int")))
   }
 
   /** Encode each vector as dim uint8 codes ([[sq8CodesColumn]]). Kept
@@ -598,6 +604,24 @@ object Pq {
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     (mins, maxs)
+  }
+
+  /** Append a new batch to a persisted IVF+SQ8 index: encode with the
+    * EXISTING ranges, assign against the existing centroids, append
+    * id-sorted cell files (same contract as appendIvfPqIndex; range
+    * drift — new values outside the stored min/max clip to the grid
+    * ends via round+code bounds — is a periodic-rebuild concern). */
+  def appendIvfSq8Index(batch: DataFrame, idCol: String, vecCol: String,
+                        path: String): Unit = {
+    val spark = batch.sparkSession
+    val (mins, maxs) = loadSq8Ranges(spark, path)
+    Knn.assignCells(batch, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .withColumn("codes", sq8CodesColumn(col("vec"), mins, maxs))
+      .select("id", "codes", "vec", "cell")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Reload the per-dimension ranges written by writeIvfSq8Index. */

@@ -723,6 +723,36 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ8 append: drifted batch values clamp to the grid, dup findable") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val base = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8_app").toFile
+    Pq.writeIvfSq8Index(vecs, "vec_id", "embedding", dir.getAbsolutePath,
+      c = 8, dim = 16)
+    // batch: an exact copy of vec 7 plus a wildly out-of-range vector
+    // (10x the training range — codes must clamp, not crash the probe)
+    val batch = Seq(
+      (1000L, base(7)._2),
+      (1001L, Array.fill(16)(10f * rnd.nextGaussian().toFloat))
+    ).toDF("vec_id", "embedding")
+    Pq.appendIvfSq8Index(batch, "vec_id", "embedding", dir.getAbsolutePath)
+    val q = vecs.where(col("vec_id") === 7)
+    val hits = Pq.searchIvfSq8(spark, dir.getAbsolutePath, q,
+      "vec_id", "embedding", k = 3, nprobe = 8, shortlist = 40)
+    val top = hits.where(col("rank") === 1).collect()(0)
+    assert(top.getAs[Long]("neighbor_id") == 1000L)
+    assert(top.getAs[Double]("sim") == 1.0)
+    // every stored code in [0, 255] including the drifted batch
+    val codes = spark.read.parquet(s"${dir.getAbsolutePath}/cells")
+      .select("codes").collect().flatMap(_.getSeq[Int](0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+  }
+
   test("IVF+SQ8 index: pruned probe matches flat SQ8 ranking, ranges round-trip") {
     val s = spark
     import s.implicits._
