@@ -970,6 +970,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cross-corpus embedding pairs (semantic decontamination / bitext
+    // join): even ids vs odd ids through the shared hyperplane-LSH
+    // bucketing, cosine-verified — q45's machinery split across two
+    // tables.
+    "q96_embedding_across" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingPairsAcross(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        tau = 0.45, planes = 8, dim = 64, seed = 7L, tables = 2)
+        .orderBy("id_l", "id_r")
+    }),
+
     // JL random projection 64→8: each output dim an ordered-fold dot
     // with a seeded gaussian row, scaled 1/sqrt(8); rounded 6dp so the
     // projected vectors compare value-exact as list columns.
@@ -2812,6 +2825,30 @@ object SparkEntry {
          |    ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents ORDER BY h LIMIT 100) x
          |ORDER BY doc_id""".stripMargin,
+
+    // q45's bucketing replay with the pair join split even×odd and no
+    // ordering constraint (ids come from different corpora).
+    "q96_embedding_across" ->
+      s"""WITH planes(t, i, plane) AS (VALUES
+         |      ${hyperplanesSql(planes = 8, dim = 64, seed = 7L, tables = 2)}),
+         |bucketed AS (
+         |  SELECT e.vec_id, p.t,
+         |    SUM(CASE WHEN ${seqDotSql("e.embedding", "p.plane", 64)} >= 0
+         |        THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_l, b.vec_id AS id_r
+         |  FROM bucketed a
+         |  JOIN bucketed b ON a.t = b.t AND a.bucket = b.bucket
+         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+         |SELECT c.id_l, c.id_r,
+         |  ROUND(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_l
+         |JOIN embeddings eb ON eb.vec_id = c.id_r
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+         |ORDER BY id_l, id_r""".stripMargin,
 
     "q95_random_projection" -> {
       val rows = graft.functions.Vectors.projectionMatrix(64, 8, 7L)

@@ -238,29 +238,38 @@ object Dedup {
     * hyperplane tables OR-amplify recall: a pair is a candidate if it
     * collides in ANY table (P[miss] = (1 - (1-θ/π)^planes)^tables),
     * at tables× the bucketing cost — the standard recall knob. */
+  /** (id, vec, tbl, bucket) hyperplane-LSH bucketing shared by the
+    * within- and cross-corpus embedding pair finders: `tables`
+    * independent hyperplane tables drawn from ONE sequential gaussian
+    * stream (table t's planes are draws [t·planes·dim, (t+1)·planes·
+    * dim)), each bucket a packed-bit HyperplaneBucket kernel value —
+    * the same per-plane sign-of-sequential-dot the oracles replay via
+    * seqDotSql. planes <= 0 degenerates to a single global bucket
+    * (brute force). */
+  private def hyperplaneBucketed(df: DataFrame, idCol: String, vecCol: String,
+                                 planes: Int, dim: Int, seed: Long,
+                                 tables: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (planes <= 0)
+      base.withColumn("tbl", lit(0)).withColumn("bucket", lit(0L))
+    else {
+      require(dim > 0, "dim required when planes > 0")
+      val rnd = new scala.util.Random(seed)
+      val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+      val keys = all.zipWithIndex.map { case (hps, t) =>
+        struct(lit(t).as("tbl"),
+          graft.plans.native.hyperplaneBucket(col("vec"),
+            hps.map(_.toArray).toArray).as("bucket"))
+      }
+      base.withColumn("bk", explode(array(keys: _*)))
+        .select(col("id"), col("vec"), col("bk.tbl"), col("bk.bucket"))
+    }
+  }
+
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      tau: Double = 0.95, planes: Int = 8, dim: Int = 0,
                      seed: Long = 7L, tables: Int = 1): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed =
-      if (planes <= 0)
-        base.withColumn("tbl", lit(0)).withColumn("bucket", lit(0L))
-      else {
-        require(dim > 0, "dim required when planes > 0")
-        val rnd = new scala.util.Random(seed)
-        // one sequential gaussian stream across tables → table t's
-        // planes are draws [t*planes*dim, (t+1)*planes*dim)
-        val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
-        val keys = all.zipWithIndex.map { case (hps, t) =>
-          // codegen'd packed-bit bucket (HyperplaneBucket kernel): same
-          // per-plane sign-of-sequential-dot as the oracle's seqDotSql
-          struct(lit(t).as("tbl"),
-            graft.plans.native.hyperplaneBucket(col("vec"),
-              hps.map(_.toArray).toArray).as("bucket"))
-        }
-        base.withColumn("bk", explode(array(keys: _*)))
-          .select(col("id"), col("vec"), col("bk.tbl"), col("bk.bucket"))
-      }
+    val bucketed = hyperplaneBucketed(df, idCol, vecCol, planes, dim, seed, tables)
     val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("tbl", "bucket"))
@@ -268,6 +277,28 @@ object Dedup {
       .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
+  /** Cross-corpus embedding near-dup pairs — the embedding-layer twin
+    * of [[minhashLshPairsAcross]] (semantic decontamination: training
+    * docs whose EMBEDDING collides with an eval doc even when their
+    * surface text differs; also the bitext-mining join). Both sides
+    * bucket with the SAME hyperplane tables, candidates pair a left
+    * row with a right row only, and OR-amplified tables dedup through
+    * the final distinct. Output: (id_l, id_r, cosine >= tau). */
+  def embeddingPairsAcross(left: DataFrame, leftId: String, leftVec: String,
+                           right: DataFrame, rightId: String, rightVec: String,
+                           tau: Double = 0.95, planes: Int = 8, dim: Int = 0,
+                           seed: Long = 7L, tables: Int = 1): DataFrame = {
+    val a = hyperplaneBucketed(left, leftId, leftVec, planes, dim, seed, tables)
+      .select(col("tbl"), col("bucket"), col("id").as("id_l"), col("vec").as("vec_l"))
+    val b = hyperplaneBucketed(right, rightId, rightVec, planes, dim, seed, tables)
+      .select(col("tbl"), col("bucket"), col("id").as("id_r"), col("vec").as("vec_r"))
+    a.join(b, Seq("tbl", "bucket"))
+      .withColumn("cosine", Vectors.cosine(col("vec_l"), col("vec_r")))
+      .where(col("cosine") >= tau)
+      .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
 

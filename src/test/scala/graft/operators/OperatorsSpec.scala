@@ -177,6 +177,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute)) // LSH may miss, must not invent
   }
 
+  test("embeddingPairsAcross finds cross-corpus twins, never within-side pairs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val vecs = Seq(
+      (0L, base),                                  // left
+      (2L, Array.fill(16)(rnd.nextGaussian().toFloat)), // left noise
+      (1L, base.map(x => x * 1.001f)),             // right: twin of 0
+      (3L, Array.fill(16)(rnd.nextGaussian().toFloat))  // right noise
+    ).toDF("vec_id", "embedding")
+    val left = vecs.where(col("vec_id") % 2 === 0)
+    val right = vecs.where(col("vec_id") % 2 === 1)
+    // brute force (planes=0): the planted twin is the only pair
+    val bf = Dedup.embeddingPairsAcross(left, "vec_id", "embedding",
+      right, "vec_id", "embedding", tau = 0.95, planes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf == Set((0L, 1L)), bf)
+    // LSH-bucketed with OR-amplification finds it too
+    val lsh = Dedup.embeddingPairsAcross(left, "vec_id", "embedding",
+      right, "vec_id", "embedding", tau = 0.95, planes = 4, dim = 16, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((0L, 1L)), lsh)
+  }
+
   test("semanticDedup marks epsilon-ball dups within clusters, honors maxCell") {
     val s = spark
     import s.implicits._
