@@ -159,7 +159,16 @@ object MinhashStore {
     * [[graft.sources.Jsonl.readStream]] for landed-shard corpora.
     * (The transformWithState twins in StreamDedup keep state in the
     * state store instead — bounded by watermark; this keeps it
-    * unbounded and queryable at rest.) */
+    * unbounded and queryable at rest.)
+    *
+    * Failure semantics: foreachBatch is at-least-once, and the two
+    * writes (survivor rows, then fingerprints) are not atomic
+    * together. `ingest` writes SURVIVORS FIRST: a crash between the
+    * writes means a retried batch re-emits rows whose fingerprints
+    * were never recorded (duplicate OUTPUT rows, dedupable by id
+    * downstream). The opposite order would be silent DATA LOSS — the
+    * retry would find the failed attempt's own fingerprints in the
+    * store and drop every doc of the batch. */
   def ingestStream(stream: DataFrame, idCol: String, textCol: String,
                    path: String, outDir: String, checkpoint: String,
                    tau: Double = 0.7, maxBucket: Int = 1000)
@@ -167,8 +176,8 @@ object MinhashStore {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val survivors = ingest(batch, idCol, textCol, path, tau, maxBucket)
-        survivors.write.mode("append").parquet(outDir)
+        val survivors = ingest(batch, idCol, textCol, path, tau, maxBucket,
+          survivorSink = Some(df => df.write.mode("append").parquet(outDir)))
         survivors.unpersist(false)
         ()
       }
@@ -177,10 +186,16 @@ object MinhashStore {
   /** One-call incremental ingest: probe the batch against the store,
     * keep only docs with no near-dup in the history (nor a smaller-id
     * near-dup within the batch itself — via [[Dedup.minhashLshPairs]]
-    * on the batch alone), append the survivors' fingerprints, and
-    * return the surviving batch rows. */
+    * on the batch alone; dropping every pair's id_b assumes the usual
+    * shallow dup clusters — for strict component semantics run
+    * [[Dedup.canonicalizeCc]] on the pairs instead), append the
+    * survivors' fingerprints, and return the surviving batch rows.
+    * `survivorSink`, when given, runs BEFORE the fingerprint append —
+    * see [[ingestStream]]'s failure-semantics note for why that order
+    * is load-bearing. */
   def ingest(batch: DataFrame, idCol: String, textCol: String, path: String,
-             tau: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+             tau: Double = 0.7, maxBucket: Int = 1000,
+             survivorSink: Option[DataFrame => Unit] = None): DataFrame = {
     val spark = batch.sparkSession
     val p = readParams(spark, path)
     val probed = probe(spark, path, batch, idCol, textCol, tau, maxBucket)
@@ -191,6 +206,7 @@ object MinhashStore {
       .join(pairsWithin.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     survivors.count()
+    survivorSink.foreach(_(survivors))
     append(survivors, idCol, textCol, path)
     probed.unpersist(false)
     pairsWithin.unpersist(false)
