@@ -87,10 +87,70 @@ object MinhashStore {
     signed.unpersist(false)
   }
 
+  /** Tombstone `ids` (one column, same type as the store's id): probes
+    * stop reporting them immediately; their bytes are reclaimed at the
+    * next [[compactStore]]. Deletion is append-only metadata — no store
+    * rewrite happens here, so it is safe to call per-batch (GDPR-style
+    * takedowns, retraction feeds). The tombstone set must stay
+    * broadcast-scale between compactions (it rides into the probe as a
+    * broadcast anti-join); compaction zeroes it. */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id").distinct())
+    else None
+  }
+
+  /** Rewrite the store minus tombstones and collapse the per-append
+    * `bucket_counts` shards into one exact recount. Run this in a
+    * maintenance window (the component swap is not atomic with respect
+    * to concurrent probes). Returns a manifest:
+    * (component, rows) for sigs/bands plus the applied tombstone count.
+    *
+    * Compaction restores the two properties appends and deletes erode:
+    * probe-time hot-bucket totals stop over-counting deleted docs (the
+    * pre-compact cap is conservative — counts still include tombstoned
+    * rows), and the counts scan stops paying one shard per append. */
+  def compactStore(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = tombstonesOpt(spark, path)
+    val nTomb = tomb.map(_.count()).getOrElse(0L)
+    def minus(df: DataFrame): DataFrame = tomb.fold(df)(t =>
+      df.join(broadcast(t), df("id") === t("id"), "left_anti"))
+    val tmp = s"$path/_compact_tmp"
+    fs.delete(new Path(tmp), true)
+    minus(spark.read.parquet(s"$path/sigs")).write.parquet(s"$tmp/sigs")
+    minus(spark.read.parquet(s"$path/bands"))
+      .write.partitionBy("band").parquet(s"$tmp/bands")
+    // recount from the compacted bands already on disk — one shard,
+    // exact, tombstone-free
+    spark.read.parquet(s"$tmp/bands")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .write.parquet(s"$tmp/bucket_counts")
+    Seq("sigs", "bands", "bucket_counts").foreach { c =>
+      fs.delete(new Path(s"$path/$c"), true)
+      fs.rename(new Path(s"$tmp/$c"), new Path(s"$path/$c"))
+    }
+    fs.delete(new Path(tmp), true)
+    fs.delete(new Path(s"$path/tombstones"), true)
+    import spark.implicits._
+    Seq(("sigs", spark.read.parquet(s"$path/sigs").count()),
+        ("bands", spark.read.parquet(s"$path/bands").count()),
+        ("tombstones_applied", nTomb))
+      .toDF("component", "rows")
+  }
+
   /** Near-dup pairs between `batch` docs and store docs:
     * (id_new, id_store, est_jaccard >= tau). The batch is assumed
     * increment-scale (broadcastable bands/candidates); the store is
-    * unbounded. */
+    * unbounded. Tombstoned store docs never surface as pairs (their
+    * band keys still count toward the hot-bucket totals until
+    * [[compactStore]] — a conservative cap, never a wrong pair). */
   def probe(spark: SparkSession, path: String,
             batch: DataFrame, idCol: String, textCol: String,
             tau: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
@@ -128,10 +188,15 @@ object MinhashStore {
     // ONE pass over the store's banded keys: batch keys broadcast in.
     // Store rows in hot buckets drop out automatically (capped excludes
     // those buckets, so the join produces nothing for them).
-    val cand = spark.read.parquet(s"$path/bands")
+    val candRaw = spark.read.parquet(s"$path/bands")
       .join(broadcast(capped), Seq("band", "bucket"))
       .where(col("id") =!= col("id_new"))
       .select(col("id_new"), col("id").as("id_store")).distinct()
+    // Tombstoned docs drop out of the candidate set here (broadcast
+    // anti-join over the small candidate frame) — deleted history can
+    // never re-surface as a pair even before compaction reclaims it.
+    val cand = tombstonesOpt(spark, path).fold(candRaw)(t =>
+      candRaw.join(broadcast(t), candRaw("id_store") === t("id"), "left_anti"))
     // ONE pass over the store's signatures: candidates broadcast in,
     // then the (small) matched set joins the batch signatures.
     val verified = spark.read.parquet(s"$path/sigs")

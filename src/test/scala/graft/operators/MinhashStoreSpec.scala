@@ -109,6 +109,55 @@ class MinhashStoreSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("delete tombstones a store doc: probes stop pairing it immediately") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("mh_store_del")
+    MinhashStore.write(store, "doc_id", "text", path)
+    MinhashStore.delete(Seq(1L).toDF("doc_id"), "doc_id", path)
+    val got = MinhashStore.probe(spark, path, batch, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(_._2 == 1L), s"tombstoned doc 1 re-surfaced: $got")
+    assert(got.contains((12L, 3L)), s"unrelated pair lost: $got") // 3 untouched
+  }
+
+  test("compactStore == rebuilding from the surviving docs; tombstones cleared") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("mh_store_cmp")
+    // two appends → multiple bucket_counts shards, then a delete
+    MinhashStore.write(store.where(col("doc_id") <= 2), "doc_id", "text", path)
+    MinhashStore.append(store.where(col("doc_id") > 2), "doc_id", "text", path)
+    MinhashStore.delete(Seq(1L).toDF("doc_id"), "doc_id", path)
+    val manifest = MinhashStore.compactStore(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(manifest("tombstones_applied") == 1L)
+    assert(manifest("sigs") == 3L, s"manifest=$manifest") // docs 2,3,4 remain
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")), "tombstones not cleared")
+    // the compacted store behaves exactly like one built fresh from the
+    // survivors — same probe pairs, same hot-bucket accounting
+    val fresh = tmpDir("mh_store_fresh")
+    MinhashStore.write(store.where(col("doc_id") =!= 1L), "doc_id", "text", fresh)
+    def probeSet(p: String) =
+      MinhashStore.probe(spark, p, batch, "doc_id", "text", tau = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeSet(path) == probeSet(fresh))
+    // bucket_counts collapsed to a single recount shard
+    val countFiles = new java.io.File(s"$path/bucket_counts")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(countFiles <= spark.sparkContext.defaultParallelism,
+      s"bucket_counts still sharded per append: $countFiles files")
+    // lifecycle continues: append after compact still works (params kept)
+    MinhashStore.append(Seq((5L, "another brand new doc about glaciers"))
+      .toDF("doc_id", "text"), "doc_id", "text", path)
+    val again = MinhashStore.probe(spark, path,
+      Seq((22L, "another brand new doc about glaciers")).toDF("doc_id", "text"),
+      "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == Set((22L, 5L)), s"post-compact append lost: $again")
+  }
+
   test("probe never shuffles the store: its scans sit under broadcast joins only") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
