@@ -18,22 +18,29 @@ import graft.functions.Text
   * canonicalizeCc.
   *
   * Representation: a word's symbol sequence is a SINGLE STRING of
-  * US(0x1f)-PREFIXED symbols ("␟c␟a␟t"), and applying merge (a,b) is
-  * `replace(symstr, "␟a␟b", "␟ab")` — plain codegen'd string ops, and
-  * exactly BPE's greedy leftmost non-overlapping semantics: the match
-  * consumes b's leading separator, so an overlapping second occurrence
-  * ("␟a␟a␟a" with merge (a,a)) cannot re-use a consumed symbol, while
-  * a disjoint one ("␟a␟a␟a␟a") still matches on resume. The prefix
-  * separator also makes token boundaries unambiguous (a pattern can
-  * only match a symbol START, and the trailing ␟/end-of-string pins
-  * the symbol END), so no false sub-symbol matches. The same replay
-  * runs verbatim in any SQL engine — the q85 oracle unrolls it.
-  * Assumption: input words never contain US(0x1f) (a C0 control char;
-  * scraped corpora should have stripped those in cleaning).
+  * WRAPPED symbols — US(0x1f) before and RS(0x1e) after each one
+  * ("␟c␞␟a␞␟t␞") — and applying merge (a,b) is
+  * `replace(symstr, "␟a␞␟b␞", "␟ab␞")`: plain codegen'd string ops
+  * with exactly BPE's greedy leftmost non-overlapping semantics. The
+  * wrapper pins BOTH boundaries of BOTH symbols — ␟ occurs only at
+  * a symbol start and ␞ only at a symbol end — so the pattern
+  * matches the pair (a,b) and nothing else. (A prefix-only separator
+  * is NOT enough: "␟an␟an␟a" vs pattern "␟an␟a" false-matches the
+  * second symbol's leading 'a' MID-SYMBOL and emits a corrupted
+  * out-of-vocab token "anan" — the rank-map kernel
+  * [[graft.plans.BpeTokens]] caught that divergence; the wrapped form
+  * is the fix.) Overlap semantics stay right: a match consumes b's
+  * whole wrapper, so "␟a␞␟a␞␟a␞" with merge (a,a) yields [aa, a],
+  * while the disjoint "␟a␞␟a␞␟a␞␟a␞" re-matches on resume →
+  * [aa, aa]. The same replay runs verbatim in any SQL engine — the
+  * q85 oracle unrolls it. Assumption: input words contain neither
+  * 0x1f nor 0x1e (C0 control chars; scraped corpora should have
+  * stripped those in cleaning).
   */
 object Bpe {
 
   private val SEP = "\u001f"
+  private val END = "\u001e"
 
   /** (word, freq) over whitespace-normalized lowercase tokens — the one
     * corpus-scale pass. */
@@ -41,15 +48,19 @@ object Bpe {
     df.select(explode(Text.tokens(Text.normalizeText(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Initial symbol string: the word's characters, each SEP-prefixed. */
+  /** Initial symbol string: the word's characters, each SEP/END-wrapped. */
   private def initialSymstr(word: Column): Column =
-    concat(lit(SEP),
-      array_join(transform(sequence(lit(1), length(word)),
-        j => word.substr(j, lit(1))), SEP))
+    array_join(transform(sequence(lit(1), length(word)),
+      j => concat(lit(SEP), word.substr(j, lit(1)), lit(END))), "")
+
+  /** Symbols of a symstr: strip the outer wrappers, split on the
+    * END+SEP boundary between consecutive symbols. */
+  private def symbolsOf(symstr: Column): Column =
+    split(substr(symstr, lit(2), length(symstr) - 2), END + SEP)
 
   /** Adjacent symbol pairs of a symstr, as (a, b) structs. */
   private def adjacentPairs(symstr: Column): Column = {
-    val t = split(substr(symstr, lit(2), length(symstr)), SEP)
+    val t = symbolsOf(symstr)
     when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
@@ -85,7 +96,8 @@ object Bpe {
         val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((step, a, b, a + b, f))
         val next = words.select(
-          replace(col("symstr"), lit(SEP + a + SEP + b), lit(SEP + a + b)).as("symstr"),
+          replace(col("symstr"), lit(SEP + a + END + SEP + b + END),
+            lit(SEP + a + b + END)).as("symstr"),
           col("freq"))
         words =
           if (step % checkpointEvery == 0) { val c = next.localCheckpoint(false); c }
@@ -118,15 +130,27 @@ object Bpe {
   /** Tokenize a text column with learned merges: per word, start from
     * characters and apply each merge in priority order (statically
     * unrolled replaces — fine for the spec-scale merge lists used
-    * inline; ship a vocab-trie kernel for production 30k-merge
-    * tokenizers). Output: array of subword tokens. */
+    * inline and for SQL-replayable oracles; [[encodeColumnFast]] is
+    * the production form for large vocabularies). Output: array of
+    * subword tokens. */
   def encodeColumn(textCol: Column, merges: Seq[(String, String)]): Column = {
     val perWord = (w: Column) => {
       val merged = merges.foldLeft(initialSymstr(w)) { case (c, (a, b)) =>
-        replace(c, lit(SEP + a + SEP + b), lit(SEP + a + b))
+        replace(c, lit(SEP + a + END + SEP + b + END), lit(SEP + a + b + END))
       }
-      split(substr(merged, lit(2), length(merged)), SEP)
+      symbolsOf(merged)
     }
     flatten(transform(Text.tokens(Text.normalizeText(textCol)), perWord))
   }
+
+  /** Production tokenize: same output as [[encodeColumn]] through the
+    * greedy lowest-rank-pair kernel ([[graft.plans.BpeTokens]]) — per
+    * word a map lookup per adjacent pair instead of one codegen'd
+    * replace per vocab entry, so a 30k-merge production vocabulary
+    * neither blows the 64KB codegen method limit nor scans each word
+    * 30k times. Equal to encodeColumn for every rank-consistent merge
+    * list (anything [[train]] emits); see the kernel scaladoc for the
+    * consistency argument. */
+  def encodeColumnFast(textCol: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.native.bpeTokens(textCol, merges)
 }

@@ -733,7 +733,116 @@ case class BloomContains(child: Expression,
     copy(child = newChild)
 }
 
+object BpeKernel {
+  private val SEP = "\\u001f"
+
+  /** Merge table → rank map keyed "a␟b" (rank = merge priority,
+    * 0 = learned first). */
+  def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      if (!m.containsKey(a + SEP + b)) m.put(a + SEP + b, Int.box(i))
+    }
+    m
+  }
+
+  /** Greedy BPE encode of one document: lowercase, split on
+    * whitespace, then per word repeatedly merge the LOWEST-RANK
+    * adjacent symbol pair present (all leftmost non-overlapping
+    * occurrences per sweep) until no learnable pair remains — Sennrich
+    * 2016's apply_bpe loop. O(word·merges-applied) per word, vocab
+    * size irrelevant to per-row cost. */
+  def encode(text: org.apache.spark.unsafe.types.UTF8String,
+             ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
+    var t = 0
+    while (t < toks.length) {
+      val word = toks(t)
+      var len = word.length
+      val syms = new Array[String](len)
+      var c = 0
+      while (c < len) { syms(c) = String.valueOf(word.charAt(c)); c += 1 }
+      var done = len < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var bestA: String = null
+        var bestB: String = null
+        var i = 0
+        while (i < len - 1) {
+          val r = ranks.get(syms(i) + SEP + syms(i + 1))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestA = syms(i); bestB = syms(i + 1)
+          }
+          i += 1
+        }
+        if (bestA == null) done = true
+        else {
+          var w = 0
+          i = 0
+          while (i < len) {
+            if (i < len - 1 && syms(i) == bestA && syms(i + 1) == bestB) {
+              syms(w) = bestA + bestB; i += 2
+            } else { syms(w) = syms(i); i += 1 }
+            w += 1
+          }
+          len = w
+          done = len < 2
+        }
+      }
+      var k = 0
+      while (k < len) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(syms(k))
+        k += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Production BPE tokenization with a learned merge table: the greedy
+  * lowest-rank-pair loop instead of [[graft.operators.Bpe.encodeColumn]]'s
+  * one codegen'd replace per VOCAB ENTRY — a 30k-merge production
+  * vocabulary costs a map lookup per adjacent pair, not 30k string
+  * scans per word (and no 64KB-method codegen blowup). The rank map
+  * rides the plan as ONE reference object, shipped per task with the
+  * closures — per-row work is shuffle-free and scan-shaped.
+  *
+  * Output is IDENTICAL to encodeColumn for any rank-consistent merge
+  * list — and every trained list is consistent: a pair involving a
+  * merged symbol can only be learned AFTER the merge that created the
+  * symbol, so applying pairs in rank order never misses a lower-rank
+  * pair created by a higher-rank merge (property-spec'd in BpeSpec). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  @transient private lazy val ranks = BpeKernel.rankMap(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeKernel.encode(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.plans.BpeKernel.encode($c, $ranksRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 object native {
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeTokens(GraftBridge.expression(text), merges))
+
   def wordShingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
 

@@ -53,6 +53,41 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("encodeColumnFast == encodeColumn on trained merges, word by word") {
+    val s = spark
+    import s.implicits._
+    // a corpus rich enough to learn overlapping/cascading merges, plus
+    // encode-time words the trainer never saw (novel words exercise the
+    // partial-merge path) and greedy-overlap traps (aaa, aab)
+    val train = Seq(
+      (1L, "the cat sat on the mat the cat ran"),
+      (2L, "that hat is the cats hat not thE CAT'S"),
+      (3L, "aaab aaab ab aab aaa banana bandana")).toDF("doc_id", "text")
+    val merges = Bpe.train(train, "text", numMerges = 12, minFreq = 1L)
+      .map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    val docs = train.union(Seq(
+      (4L, "unseen catastrophe thematic aaaa aaaaa abab"),
+      (5L, "  MiXeD   Case\tand\nwhitespace  "),
+      (6L, "")).toDF("doc_id", "text"))
+    val rows = docs.select(col("doc_id"),
+        Bpe.encodeColumn(col("text"), merges).as("slow"),
+        Bpe.encodeColumnFast(col("text"), merges).as("fast"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: slow=${r.getSeq[String](1)} fast=${r.getSeq[String](2)}")
+    }
+    // and the kernel carries vocab sizes the unrolled form cannot:
+    // 2k synthetic merges through one expression, still correct on a
+    // word hitting none of them
+    val big = (1 to 2000).map(i => (s"x$i", s"y$i"))
+    val untouched = Seq((9L, "plain")).toDF("doc_id", "text")
+      .select(Bpe.encodeColumnFast(col("text"), big).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(untouched == Seq("p", "l", "a", "i", "n"))
+  }
+
   test("encode round-trips: concatenated subwords rebuild each word") {
     val s = spark
     import s.implicits._
