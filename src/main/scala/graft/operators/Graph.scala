@@ -14,7 +14,7 @@ object Graph {
   /** PageRank in INTEGER MICRO-UNITS — the q63/q64 float-replay trick
     * applied to an iterative algorithm: ranks are longs (1.0 =
     * 1,000,000), each round is
-    *   rank' = (1-d)·1e6 + (d_pct · Σ_in floor(rank/outdeg)) div 100
+    *   rank' = (1-d)·1e6 + (d_pct · (Σ_in floor(rank/outdeg) + dang)) div 100
     * so every operation is exact integer arithmetic, reproducible
     * bit-for-bit in any engine (the oracle unrolls rounds as CTEs) —
     * a float formulation would diverge across engines on the
@@ -26,37 +26,92 @@ object Graph {
     * src — both sides partition by src; outdeg rides the same key) and
     * one dst-keyed aggregate with map-side combine — the standard
     * iterative-join PageRank plan. Lineage is cut with a lazy
-    * localCheckpoint per round (canonicalizeCc rationale). Dangling
-    * nodes (no out-edges) keep receiving rank but redistribute none —
-    * the usual simplification; add a dangling-mass term if the graph
-    * has many sinks. Output: (node, rank_micro). */
+    * localCheckpoint per round (canonicalizeCc rationale).
+    *
+    * `dangling = true` redistributes sink mass: each round the rank
+    * held by nodes with no out-edges is summed (a 1-row aggregate that
+    * rides into the update as a broadcast cross join — no driver
+    * round-trip) and every node receives floor(danglingSum / N) inside
+    * the damped term, so total rank stays ≈ N·1e6 instead of leaking
+    * out of every sink. Off by default (the usual simplification, and
+    * q94's gated form).
+    *
+    * `convergeEarly = true` stops before `iters` once a round is a
+    * FIXPOINT: a (sum, hash-sum) signature of the rank table is
+    * collected per round — the same collect materializes the lazy
+    * checkpoint, so it costs no extra job (canonicalizeCc pattern) —
+    * and equality with the previous round's signature ends the loop.
+    * Integer truncation can in principle oscillate with period > 1;
+    * `iters` stays the hard bound. Off by default: a data-dependent
+    * round count is not SQL-replayable, so gated queries run fixed
+    * rounds.
+    *
+    * Output: (node, rank_micro). */
   def pagerankInt(edges: DataFrame, srcCol: String, dstCol: String,
-                  iters: Int, dampingPct: Int = 85): DataFrame = {
+                  iters: Int, dampingPct: Int = 85,
+                  dangling: Boolean = false,
+                  convergeEarly: Boolean = false): DataFrame =
+    pagerankIntRounds(edges, srcCol, dstCol, iters, dampingPct,
+      dangling, convergeEarly)._1
+
+  /** [[pagerankInt]] plus the number of rounds actually run (== iters
+    * unless convergeEarly stopped at a fixpoint). */
+  private[graft] def pagerankIntRounds(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPct: Int = 85,
+      dangling: Boolean = false,
+      convergeEarly: Boolean = false): (DataFrame, Int) = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("n"))
+      .persist(lvl)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("n")).persist(lvl)
+    val nNodes = if (dangling) nodes.count() else 0L
     val base = lit((100 - dampingPct) * 10000L) // (1-d) · 1e6
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
-    for (_ <- 1 to iters) {
+    var prevSig: Option[(Long, Long)] = None
+    var round = 0
+    var stop = false
+    while (round < iters && !stop) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst"), expr("rank_micro div n").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = nodes
+      val joined = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (base + expr(s"coalesce(s, 0L) * $dampingPct div 100"))
-            .as("rank_micro"))
-        .localCheckpoint(false)
+      val next =
+        if (dangling) {
+          val dang = ranks
+            .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+            .agg(coalesce(sum("rank_micro"), lit(0L)).as("ds"))
+          joined.crossJoin(broadcast(dang))
+            .select(col("node"),
+              (base + expr(
+                s"(coalesce(s, 0L) + (ds div ${nNodes}L)) * $dampingPct div 100"))
+                .as("rank_micro"))
+        } else {
+          joined.select(col("node"),
+            (base + expr(s"coalesce(s, 0L) * $dampingPct div 100"))
+              .as("rank_micro"))
+        }
+      ranks = next.localCheckpoint(false)
+      round += 1
+      if (convergeEarly) {
+        val sig = ranks.agg(
+          sum("rank_micro").cast("long").as("s"),
+          sum(xxhash64(col("node"), col("rank_micro"))).as("h")).collect()(0)
+        val cur = (sig.getLong(0), sig.getLong(1))
+        if (prevSig.contains(cur)) stop = true else prevSig = Some(cur)
+      }
     }
     e.unpersist(false)
     nodes.unpersist(false)
-    ranks
+    outdeg.unpersist(false)
+    (ranks, round)
   }
 }

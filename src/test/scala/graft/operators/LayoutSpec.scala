@@ -144,4 +144,46 @@ class GraphSpec extends SparkSpec {
     assert(r3(1L) > 40L * 150000L, s"hub=${r3(1L)}")
     assert((10L to 59L).forall(r3(_) == 150000L))
   }
+
+  test("pagerankInt dangling: sink mass redistributes, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // chain 1→2→3; 3 is a sink. N=3, share_r = ds // 3.
+    // r1: ds=1e6, share=333333
+    //   1: 150000 + (0       +333333)*85//100 =  433333
+    //   2: 150000 + (1000000 +333333)*85//100 = 1283333
+    //   3: same as 2                          = 1283333
+    // r2: ds=1283333, share=427777
+    //   1: 150000 + (0      +427777)*85//100 =  513610
+    //   2: 150000 + (433333 +427777)*85//100 =  881943
+    //   3: 150000 + (1283333+427777)*85//100 = 1604443
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r2 = Graph.pagerankInt(chain, "src", "dst", iters = 2, dangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 513610L, 2L -> 881943L, 3L -> 1604443L), r2)
+    // conservation: with redistribution, total rank stays near N·1e6
+    // (teleport floor + damped mass; without it the sink leaks all of it)
+    val total = r2.values.sum
+    assert(total > 2900000L && total <= 3000000L, s"total=$total")
+    val leaky = Graph.pagerankInt(chain, "src", "dst", iters = 2)
+      .collect().map(_.getLong(1)).sum
+    assert(leaky < total, s"leaky=$leaky total=$total")
+  }
+
+  test("pagerankInt convergeEarly: 2-cycle fixpoint stops before iters") {
+    val s = spark
+    import s.implicits._
+    // 1↔2: r' = 150000 + 85% of r → already at the 1e6 fixpoint, so
+    // round 2's signature equals round 1's and the loop stops there
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (ranks, rounds) = Graph.pagerankIntRounds(
+      cyc, "src", "dst", iters = 50, convergeEarly = true)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L), got)
+    assert(rounds == 2, s"rounds=$rounds")
+    // early stop returns the same table as running the full budget
+    val full = Graph.pagerankInt(cyc, "src", "dst", iters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
 }
