@@ -35,14 +35,20 @@ object Text {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
         "that", "for", "on", "with", "as", "was", "at", "by")
 
+  /** Count of (lowercased) English stopword tokens — the integer-exact
+    * building block [[stopwordRatio]] and the linear classifier share. */
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(lower(c)), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Count of punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
+
   /** Fraction of tokens that are (lowercased) English stopwords. */
   def stopwordRatio(c: Column): Column = {
-    val toks = tokens(lower(c))
-    val n = size(toks)
+    val n = tokenCount(c)
     when(n === 0, lit(0.0))
-      .otherwise(
-        size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
-          .cast("double") / n.cast("double"))
+      .otherwise(stopwordCount(c).cast("double") / n.cast("double"))
   }
 
   /** Mean token length in characters (0 for empty text). */

@@ -533,6 +533,41 @@ object Dedup {
       .drop("rep")
   }
 
+  /** [[dedupCorpus]] with QUALITY-AWARE representative selection: each
+    * duplicate cluster keeps its best-scoring member — (scoreCol DESC,
+    * id ASC) — instead of the min id. This is how production curation
+    * picks survivors (drop the truncated mirror, keep the clean
+    * original); min-id keep is an arbitrary choice the moment a
+    * quality signal exists ([[TextAnalytics.linearQualityScore]],
+    * Text.qualityScore, PageRank priors all produce one).
+    *
+    * Scale shape: identical to dedupCorpus plus one window over the
+    * LABELED subset only — component members are pair-scale (dup
+    * clusters), orders of magnitude smaller than the corpus, so the
+    * per-cluster row_number never sees corpus-scale rows; the corpus
+    * itself joins on id keys twice and never otherwise shuffles. */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String, tau: Double = 0.7,
+                          portableHash: Boolean = false): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, tau = tau,
+      portableHash = portableHash)
+    val labels = canonicalizeCc(pairs).localCheckpoint(true)
+    pairs.unpersist(false)
+    val members = labels
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep")
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    val keepers = members
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id").as(idCol), lit(true).as("__keep"))
+    df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(keepers, Seq(idCol), "left")
+      .where(col("rep").isNull || col("__keep"))
+      .drop("rep", "__keep")
+  }
+
   /** Connected-components canonicalization without the chain-depth
     * assumption of [[canonicalize]]: alternating large-star /
     * small-star rounds (Kiveris et al., "Connected Components in

@@ -47,6 +47,39 @@ object TextAnalytics {
       .drop("t")
   }
 
+  /** Linear quality-classifier INFERENCE in exact integer micro-units —
+    * the fastText / logistic-regression filtering pass every curation
+    * pipeline runs after training a small model offline (weights come
+    * from the caller; this is the serving side). Features are plain
+    * integer counts over the text (n_tokens, n_chars, n_punct,
+    * n_stopwords — the same primitives as [[graft.functions.Text]]'s
+    * quality heuristic), weights and bias are longs in micro-units
+    * (1e-6), and
+    *   logit_micro = bias + w_tok·f_tok + w_chr·f_chr + w_pun·f_pun + w_stp·f_stp
+    * is exact 64-bit arithmetic — so the decision boundary replays
+    * bit-for-bit in any engine (`keep` = logit_micro >= 0, i.e. the
+    * sigmoid-0.5 threshold WITHOUT evaluating a sigmoid; probability
+    * callers apply it downstream). Scan-shaped: per-row codegen
+    * expressions, no shuffle, no UDF — classifier filtering at 100 TB
+    * costs exactly one corpus pass.
+    * Output: (id, n_tokens, n_chars, n_punct, n_stopwords,
+    * logit_micro, keep). */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+                         wTokens: Long, wChars: Long, wPunct: Long,
+                         wStopwords: Long, biasMicro: Long): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        Text.tokenCount(t).cast("long").as("n_tokens"),
+        length(t).cast("long").as("n_chars"),
+        Text.punctCount(t).cast("long").as("n_punct"),
+        Text.stopwordCount(t).cast("long").as("n_stopwords"))
+      .withColumn("logit_micro",
+        lit(biasMicro)
+          + col("n_tokens") * wTokens + col("n_chars") * wChars
+          + col("n_punct") * wPunct + col("n_stopwords") * wStopwords)
+      .withColumn("keep", col("logit_micro") >= 0L)
+  }
+
   /** Intra-document repetition ratio: 1 − |distinct units| / |units|,
     * where a unit is a token (default) or any regex-split segment
     * (lines, sentences). The standard Gopher/C4-style quality signal

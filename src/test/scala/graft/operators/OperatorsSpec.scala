@@ -232,6 +232,51 @@ class DedupSpec extends SparkSpec {
     assert(out.contains(5L) && out.contains(6L))   // uniques untouched
   }
 
+  test("dedupCorpusKeepBest keeps the top-scoring member, not the min id") {
+    val s = spark
+    import s.implicits._
+    // score doc 4 (near-dup of 1/2/3) above the rest of its cluster:
+    // keep-best must select 4 where dedupCorpus would keep 1
+    val scored = corpus.withColumn("score",
+      when(col("doc_id") === 4L, 10L).otherwise(col("doc_id")))
+    val out = Dedup.dedupCorpusKeepBest(scored, "doc_id", "text", "score",
+      tau = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out.contains(4L), s"best-scoring member dropped: $out")
+    assert(!out.contains(1L) && !out.contains(2L) && !out.contains(3L), out)
+    assert(out.contains(5L) && out.contains(6L)) // uniques untouched
+    // tie on score → min id wins (deterministic)
+    val flat = corpus.withColumn("score", lit(1L))
+    val tied = Dedup.dedupCorpusKeepBest(flat, "doc_id", "text", "score",
+      tau = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(tied.contains(1L) && !tied.contains(2L), tied)
+  }
+
+  test("linearQualityScore: hand-computed integer logit and threshold") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat, happily!"), // 7 toks, 32 chars, 2 punct, 3 stops
+      (2L, ""),                                 // all-zero features → logit = bias
+      (3L, "!!!! ???? ;;;;")                    // punct-only → negative
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.linearQualityScore(docs, "doc_id", "text",
+      wTokens = 100000L, wChars = 1000L, wPunct = -200000L,
+      wStopwords = 50000L, biasMicro = -500000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    // doc 1: -500000 + 7·100000 + 32·1000 + 2·(-200000) + 3·50000 = 16000? no:
+    //   700000 + 32000 - 400000 + 150000 - 500000 = -18000 → keep=false
+    assert(got(1L) == ((7L, 32L, 2L, 3L, -18000L, false)), got(1L).toString)
+    assert(got(2L) == ((0L, 0L, 0L, 0L, -500000L, false)))
+    val (t3, c3, p3, s3, l3, k3) = got(3L)
+    assert(t3 == 3L && p3 == 12L && !k3 && l3 < -1000000L,
+      s"punct-only doc: ${got(3L)}")
+    assert(c3 == 14L && s3 == 0L)
+  }
+
   test("canonicalize maps chains to the cluster minimum") {
     val s = spark
     import s.implicits._
