@@ -302,6 +302,29 @@ object SparkEntry {
         .orderBy("id_new", "id_store")
     }),
 
+    // The store MAINTENANCE lifecycle under the gate: build + append as
+    // q82, then DELETE a slice (tombstones) and COMPACT (rewrite minus
+    // tombstones, bucket_counts recounted in one shard) before probing.
+    // The oracle is q82's replay with the deleted ids filtered out of
+    // the banded universe — pairs AND hot-bucket accounting must both
+    // behave as if the deleted docs were never ingested.
+    "q97_store_compacted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mh_cmp").toString
+      graft.operators.MinhashStore.write(
+        docs.where(col("doc_id") % 4 === 0), "doc_id", "text", tmp,
+        shingleN = 3, bands = 16, rowsPerBand = 4, portableHash = true)
+      graft.operators.MinhashStore.append(
+        docs.where(col("doc_id") % 4 === 2), "doc_id", "text", tmp)
+      graft.operators.MinhashStore.delete(
+        docs.where(col("doc_id") % 8 === 0).select("doc_id"), "doc_id", tmp)
+      graft.operators.MinhashStore.compactStore(s, tmp)
+      graft.operators.MinhashStore.probe(s, tmp,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        tau = 0.35, maxBucket = 1000)
+        .orderBy("id_new", "id_store")
+    }),
+
     // JSONL ingest round-trip under the gate: corpus → JSONL shards →
     // tolerant read (a deliberately malformed shard is planted — its
     // lines must vanish, not fail the job or skew the aggregate) →
@@ -360,6 +383,24 @@ object SparkEntry {
       docs.where(col("doc_id") < 100)
         .select(col("doc_id"),
           size(graft.operators.Bpe.encodeColumn(col("text"), merges))
+            .cast("long").as("n_bpe_tokens"),
+          Text.tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // The PRODUCTION tokenizer path under the gate: the same
+    // train-then-tokenize as q92 but through the rank-map kernel
+    // (Bpe.encodeColumnFast / BpeTokens) instead of the per-merge
+    // unrolled replaces — the form that carries a 30k-merge vocabulary.
+    // Same oracle family, different doc slice; a kernel/unrolled
+    // divergence on any word breaks the value compare.
+    "q98_bpe_kernel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      docs.where(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          size(graft.operators.Bpe.encodeColumnFast(col("text"), merges))
             .cast("long").as("n_bpe_tokens"),
           Text.tokenCount(col("text")).cast("long").as("n_words"))
         .orderBy("doc_id")
@@ -1009,6 +1050,46 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // PageRank with DANGLING-MASS redistribution: the same mod-hub
+    // graph (whose low hubs are genuine sinks — a hub below 31 has both
+    // self-loops dropped, so it absorbs rank), 3 rounds, each round
+    // adding floor(sinkMass/N) to every node inside the damped term.
+    // The oracle unrolls the same rounds with the dangling CTE — exact
+    // integer replay of an iterative algorithm WITH a global term.
+    "q99_pagerank_dangling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+        .where(col("src") =!= col("dst"))
+      operators.Graph.pagerankInt(edges, "src", "dst", iters = 3,
+        dangling = true)
+        .orderBy("node")
+    }),
+
+    // Linear quality-classifier inference in exact integer micro-units:
+    // four count features, caller-supplied weights, logit threshold —
+    // the fastText-style filtering pass with a decision boundary that
+    // replays bit-for-bit (no sigmoid, no floats anywhere).
+    "q100_quality_classifier" -> ((s, dir) => {
+      TextAnalytics.linearQualityScore(t(s, dir, "documents"),
+        "doc_id", "text",
+        wTokens = 40000L, wChars = -100L, wPunct = -50000L,
+        wStopwords = 100000L, biasMicro = -3000000L)
+        .orderBy("doc_id")
+    }),
+
+    // Quality-aware dedup: same minhash pairs + star components as q71,
+    // but each cluster keeps its best member by (n_chars DESC, id ASC)
+    // instead of the min id — production survivor selection. The oracle
+    // extends q71's recursive closure with the same QUALIFY pick.
+    "q101_dedup_keep_best" -> ((s, dir) => {
+      Dedup.dedupCorpusKeepBest(t(s, dir, "documents"), "doc_id", "text",
+        scoreCol = "n_chars", tau = 0.35, portableHash = true)
+        .select("doc_id", "n_chars", "source").orderBy("doc_id")
+    }),
+
     // Count-min sketch: fixed-RAM token-frequency estimation — build
     // the d×width sketch over the corpus, then point-estimate a fixed
     // probe list (including an absent term → 0 or pure collision
@@ -1202,8 +1283,10 @@ object SparkEntry {
   /** Shared CTE chain for the BPE oracles: `rounds` merge rounds
     * unrolled — per round, the weighted adjacent-pair argmax (ties
     * (f DESC, a, b)) and the greedy-leftmost rewrite as the SAME
-    * prefix-separator string replace the Spark trainer runs
-    * (Bpe.train). chr(31) is Bpe.SEP; `word` rides along so the
+    * wrapped-symbol string replace the Spark trainer runs (Bpe.train:
+    * chr(31)=SEP before, chr(30)=END after each symbol — both
+    * boundaries pinned, so the pattern can never false-match a
+    * symbol's prefix mid-symbol); `word` rides along so the
     * token-count oracle can join the final vocabulary back to docs. */
   private def bpeRoundsCte(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
@@ -1211,19 +1294,22 @@ object SparkEntry {
          |  SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS f FROM (
          |    SELECT unnest(list_transform(range(1, len(t)),
          |             i -> struct_pack(a := t[i], b := t[i+1]))) AS u, freq
-         |    FROM (SELECT string_split(substr(symstr, 2), chr(31)) AS t, freq
+         |    FROM (SELECT string_split(substr(symstr, 2, len(symstr) - 2),
+         |                              chr(30)||chr(31)) AS t, freq
          |          FROM w${r - 1}) x) y
          |  GROUP BY u.a, u.b),
          |b$r AS (SELECT a, b, f FROM p$r ORDER BY f DESC, a ASC, b ASC LIMIT 1),
          |w$r AS (SELECT word,
-         |          replace(symstr, chr(31)||a||chr(31)||b, chr(31)||a||b) AS symstr,
+         |          replace(symstr, chr(31)||a||chr(30)||chr(31)||b||chr(30),
+         |                  chr(31)||a||b||chr(30)) AS symstr,
          |          freq
          |        FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS (
        |  SELECT word,
-       |         chr(31) || array_to_string(
-       |           list_transform(range(1, len(word)+1), j -> word[j]), chr(31)) AS symstr,
+       |         array_to_string(
+       |           list_transform(range(1, len(word)+1),
+       |                          j -> chr(31) || word[j] || chr(30)), '') AS symstr,
        |         CAST(f AS BIGINT) AS freq
        |  FROM (SELECT tok AS word, COUNT(*) AS f
        |        FROM (SELECT unnest($toksLower) AS tok FROM documents) z
@@ -1245,15 +1331,17 @@ object SparkEntry {
   /** The q92 oracle: per-doc subword counts under the learned merges —
     * the final round's per-word symbol counts joined back to each
     * doc's word instances. */
-  private def bpeTokensOracleSql(rounds: Int): String =
+  private def bpeTokensOracleSql(rounds: Int,
+                                 docFilter: String = "doc_id < 100"): String =
     s"""${bpeRoundsCte(rounds)},
        |vocab AS (
        |  SELECT word,
-       |         CAST(len(string_split(substr(symstr, 2), chr(31))) AS BIGINT) AS ntok
+       |         CAST(len(string_split(substr(symstr, 2, len(symstr) - 2),
+       |                               chr(30)||chr(31))) AS BIGINT) AS ntok
        |  FROM w$rounds),
        |docw AS (
        |  SELECT doc_id, unnest($toksLower) AS word
-       |  FROM documents WHERE doc_id < 100)
+       |  FROM documents WHERE $docFilter)
        |SELECT dw.doc_id,
        |  CAST(SUM(v.ntok) AS BIGINT) AS n_bpe_tokens,
        |  COUNT(*) AS n_words
@@ -1599,6 +1687,37 @@ object SparkEntry {
          |WHERE est_jaccard >= 0.35
          |ORDER BY id_new, id_store""".stripMargin,
 
+    // q82's replay over the post-delete universe: doc_id % 8 = 0 rows
+    // vanish from the banded CTE BEFORE the hot-bucket QUALIFY — after
+    // compactStore the recounted bucket_counts must make the Spark
+    // probe's cap accounting identical to a store that never held them.
+    "q97_store_compacted" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  WHERE doc_id % 8 <> 0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_store,
+         |         any_value(a.sig) AS sig_new, any_value(b.sig) AS sig_store
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_new, id_store, est_jaccard FROM (
+         |  SELECT id_new, id_store,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_new[i] = sig_store[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_new, id_store""".stripMargin,
+
     // The oracle reads the ORIGINAL parquet — the Spark side must
     // round-trip through JSONL (plus planted garbage lines) and land on
     // identical values, digest included.
@@ -1648,6 +1767,8 @@ object SparkEntry {
     "q85_bpe_train" -> bpeOracleSql(8),
 
     "q92_bpe_tokens" -> bpeTokensOracleSql(8),
+
+    "q98_bpe_kernel" -> bpeTokensOracleSql(8, docFilter = "doc_id % 7 = 3"),
 
     // Paragraph-dedup replay: same synthesized two-paragraph docs,
     // first-occurrence via row_number over (pid, pos), rewrite as the
@@ -2886,6 +3007,89 @@ object SparkEntry {
          |${round(3)}
          |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin
     },
+
+    "q99_pagerank_dangling" -> {
+      def round(i: Int): String =
+        s"""d$i AS (SELECT COALESCE(SUM(rank_micro), 0) AS ds FROM r${i - 1}
+           |       WHERE node NOT IN (SELECT src FROM outdeg)),
+           |c$i AS (SELECT e2.dst, SUM(r.rank_micro // o.n) AS s
+           |       FROM e2 JOIN r${i - 1} r ON r.node = e2.src
+           |       JOIN outdeg o ON o.src = e2.src GROUP BY e2.dst),
+           |r$i AS (SELECT nodes.node,
+           |         CAST(150000 +
+           |              ((COALESCE(c$i.s, 0) + d$i.ds // nn.n) * 85) // 100
+           |           AS BIGINT) AS rank_micro
+           |       FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node
+           |       CROSS JOIN d$i CROSS JOIN nn)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 31 FROM documents),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |outdeg AS (SELECT src, COUNT(*) AS n FROM e2 GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin
+    },
+
+    "q100_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter($toksLower,
+         |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'], x))) AS BIGINT) AS n_stopwords
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords,
+         |    CAST(-3000000 + n_tokens * 40000 + n_chars * (-100)
+         |         + n_punct * (-50000) + n_stopwords * 100000 AS BIGINT) AS logit_micro
+         |  FROM f)
+         |SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords, logit_micro,
+         |       logit_micro >= 0 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q101_dedup_keep_best" ->
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |p2 AS (
+         |  SELECT id_a, id_b FROM prs
+         |  WHERE len(list_filter(range(1,65), i -> sig_a[i] = sig_b[i])) / 64.0 >= 0.35),
+         |eg AS (SELECT id_a AS u, id_b AS v FROM p2
+         |       UNION SELECT id_b, id_a FROM p2),
+         |r(u, v) AS (
+         |  SELECT u, v FROM eg
+         |  UNION
+         |  SELECT r.u, eg.v FROM r JOIN eg ON r.v = eg.u),
+         |m2 AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM r GROUP BY u),
+         |keep AS (
+         |  SELECT m2.id FROM m2 JOIN documents d ON d.doc_id = m2.id
+         |  QUALIFY row_number() OVER (PARTITION BY m2.rep
+         |    ORDER BY d.n_chars DESC NULLS LAST, m2.id ASC) = 1)
+         |SELECT d.doc_id, d.n_chars, d.source
+         |FROM documents d LEFT JOIN m2 ON d.doc_id = m2.id
+         |             LEFT JOIN keep k ON d.doc_id = k.id
+         |WHERE m2.rep IS NULL OR k.id IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q93_cms_estimate" ->
       s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
