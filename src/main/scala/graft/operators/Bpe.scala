@@ -153,4 +153,20 @@ object Bpe {
     * consistency argument. */
   def encodeColumnFast(textCol: Column, merges: Seq[(String, String)]): Column =
     graft.plans.native.bpeTokens(textCol, merges)
+
+  /** Subword token IDS via the hashing trick: each [[encodeColumnFast]]
+    * token maps to pmod(md5hash(token), vocabSize) — the
+    * embedding-bag / hashed-vocab form models consume (array<int>, no
+    * OOV handling needed: unseen subwords hash like any other). The
+    * portable md5 hash keeps ids engine-reproducible, so a training
+    * shard regenerated by a different engine gets identical ids.
+    * Collisions are the standard hashing-trick tradeoff — size
+    * vocabSize ≳ 4× distinct subwords. */
+  def encodeHashedIds(textCol: Column, merges: Seq[(String, String)],
+                      vocabSize: Int): Column = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    transform(encodeColumnFast(textCol, merges),
+      t => pmod(graft.functions.Hashes.md5Hash64(t), lit(vocabSize.toLong))
+        .cast("int"))
+  }
 }

@@ -88,6 +88,24 @@ class BpeSpec extends SparkSpec {
     assert(untouched == Seq("p", "l", "a", "i", "n"))
   }
 
+  test("encodeHashedIds: one bounded id per subword, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val got = docs.select(col("doc_id"),
+        Bpe.encodeColumnFast(col("text"), merges).as("toks"),
+        Bpe.encodeHashedIds(col("text"), merges, 4096).as("ids"))
+      .orderBy("doc_id").collect()
+    val (toks, ids) = (got(0).getSeq[String](1), got(0).getSeq[Int](2))
+    assert(ids.length == toks.length)
+    assert(ids.forall(i => i >= 0 && i < 4096))
+    // same subword → same id, wherever it appears
+    val byTok = toks.zip(ids).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byTok.values.forall(_.size == 1), byTok.toMap.toString)
+    assert(got(1).getSeq[Int](2).isEmpty) // empty text → empty ids
+  }
+
   test("encode round-trips: concatenated subwords rebuild each word") {
     val s = spark
     import s.implicits._
