@@ -233,6 +233,55 @@ object Sampling {
     df.withColumn("split", expr0)
   }
 
+  /** Deterministic training-order shuffle key: md5 of (seed ":" id).
+    * Ordering a corpus by this key is a seeded pseudo-random
+    * permutation that any engine reproduces — the "shuffle the corpus
+    * before training" step without RNG state. Different seeds give
+    * independent permutations (new data order per epoch). */
+  def shuffleKey(id: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed.toString), id.cast("string")).cast("binary"))
+
+  /** Write the corpus in seeded-shuffle order: one range shuffle on the
+    * shuffle key (sampled split points → evenly sized files), per-file
+    * local sort, helper column dropped before the bytes land. Readers
+    * that consume files in name order stream a deterministic
+    * pseudo-random permutation — no global sort, no single-task
+    * bottleneck (the [[Layout.zorderWrite]] write shape, keyed by
+    * [[shuffleKey]]). */
+  def shuffleWrite(df: DataFrame, idCol: String, seed: Long,
+                   numFiles: Int, path: String): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__graft_shuffle", shuffleKey(col(idCol), seed))
+      .repartitionByRange(numFiles, col("__graft_shuffle"))
+      .sortWithinPartitions("__graft_shuffle")
+      .drop("__graft_shuffle")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** LEAKAGE-FREE train/val/test split: near-duplicate documents must
+    * land on the SAME side, or the eval split silently contains copies
+    * of training docs ([[splitById]] splits per doc and has exactly
+    * that leak once dups exist). `labels` is the (id, rep) component
+    * table from [[Dedup.canonicalizeCc]] over near-dup pairs; the
+    * split decision hashes the component representative (portable
+    * md5 mod 100 against percentage ranges), so every member inherits
+    * the rep's side, singletons hash their own id, and assignment
+    * stays stable under corpus growth. One id-keyed join against the
+    * pair-scale label table — the corpus never shuffles. */
+  def splitLeakageFree(df: DataFrame, idCol: String, labels: DataFrame,
+                       weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 100, "weights must sum to 100")
+    val grp = coalesce(col("rep"), col(idCol))
+    val bucket = pmod(graft.functions.Hashes.md5Hash64(grp), lit(100L))
+    val (expr0, _) = weights.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, lo), (name, w)) =>
+        (when(bucket >= lo && bucket < lo + w, name).otherwise(acc), lo + w)
+    }
+    df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("split", expr0)
+      .drop("rep")
+  }
+
   /** Exact quantiles of a numeric column (linear interpolation),
     * matching SQL quantile_cont semantics. Exact percentile buffers the
     * column per group — use for gate/oracle comparisons and

@@ -239,6 +239,51 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shuffleWrite streams a seeded permutation in file-name order") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).toDF("id")
+    val path = java.nio.file.Files.createTempDirectory("graft_shuf").toString
+    Sampling.shuffleWrite(docs, "id", seed = 7L, numFiles = 4, path = path)
+    val back = spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .withColumn("k", Sampling.shuffleKey(col("id"), 7L))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(0)))
+    // nothing lost or duplicated
+    assert(back.map(_._3).sorted.toSeq == (1L to 400L))
+    // reading files in name order yields the global hash order: keys
+    // within a file are sorted, and files partition disjoint key ranges
+    val byFile = back.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    byFile.foreach(ks => assert(ks.toSeq == ks.sorted.toSeq, "file not sorted"))
+    byFile.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max <= b.min, "file ranges overlap")
+      case _ =>
+    }
+    assert(byFile.size == 4)
+    // a different seed is a different permutation
+    val k1 = docs.select(Sampling.shuffleKey(col("id"), 1L)).collect().map(_.getString(0))
+    val k2 = docs.select(Sampling.shuffleKey(col("id"), 2L)).collect().map(_.getString(0))
+    assert(k1.zip(k2).exists { case (a, b) => a != b })
+  }
+
+  test("splitLeakageFree keeps near-dup components on one side") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 1000L).toDF("doc_id")
+    // components: {1,2,3} and {10,500}; everything else singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (500L, 10L))
+      .toDF("id", "rep")
+    val out = Sampling.splitLeakageFree(docs, "doc_id", labels,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L), "component 1 split apart")
+    assert(out(10L) == out(500L), "component 10 split apart")
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    // rough mass check: the 80/10/10 hash ranges hold within noise
+    val train = out.values.count(_ == "train")
+    assert(train > 700 && train < 900, s"train=$train")
+  }
+
   test("writeClustered produces range-clustered files with bounded rows") {
     val s = spark
     import s.implicits._
