@@ -1090,6 +1090,47 @@ object SparkEntry {
         .select("doc_id", "n_chars", "source").orderBy("doc_id")
     }),
 
+    // Hashed token IDS end-to-end: train BPE on the corpus, tokenize a
+    // slice through the rank-map kernel, map every subword to
+    // pmod(md5hash, 4096) — the (array<int>) form models consume. The
+    // oracle rebuilds each doc's ordered id sequence from the unrolled
+    // vocabulary (per-word subword lists flattened in word order).
+    "q102_bpe_hashed_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      docs.where(col("doc_id") % 9 === 4)
+        .select(col("doc_id"),
+          graft.operators.Bpe.encodeHashedIds(col("text"), merges, 4096)
+            .as("token_ids"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic training-order shuffle: the seeded md5 permutation
+    // key, replayed exactly — the order a reader streams shuffled
+    // shards in is an engine-independent function of (seed, id).
+    "q103_shuffle_order" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") % 5 === 2)
+        .select(col("doc_id"),
+          operators.Sampling.shuffleKey(col("doc_id"), seed = 7L).as("skey"))
+        .orderBy("skey", "doc_id")
+    }),
+
+    // Leakage-free split: near-dup docs (q71's components) land on the
+    // same side because the split hashes the component REP, not the
+    // doc — the eval-contamination guard a per-doc split lacks.
+    "q104_split_leakage_free" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.35,
+        portableHash = true)
+      val labels = Dedup.canonicalizeCc(pairs)
+      operators.Sampling.splitLeakageFree(docs.select("doc_id", "source"),
+        "doc_id", labels,
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy("doc_id")
+    }),
+
     // Count-min sketch: fixed-RAM token-frequency estimation — build
     // the d×width sketch over the corpus, then point-estimate a fixed
     // probe list (including an absent term → 0 or pure collision
@@ -3034,6 +3075,75 @@ object SparkEntry {
          |${round(3)}
          |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin
     },
+
+    // Per-doc ordered id sequence rebuilt from the unrolled vocab: each
+    // word's subword list (final-round symstr split) hashed per token,
+    // flattened in word order; empty docs keep an empty INT[].
+    "q102_bpe_hashed_ids" ->
+      s"""${bpeRoundsCte(8)},
+         |vt AS (SELECT word,
+         |         string_split(substr(symstr, 2, len(symstr) - 2),
+         |                      chr(30)||chr(31)) AS toks
+         |       FROM w8),
+         |docw AS (
+         |  SELECT doc_id, u.i AS wi, u.w AS word FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+         |             i -> struct_pack(i := i, w := ws[i]))) AS u
+         |    FROM (SELECT doc_id, $toksLower AS ws FROM documents
+         |          WHERE doc_id % 9 = 4) z) x),
+         |wid AS (
+         |  SELECT dw.doc_id, dw.wi,
+         |         list_transform(vt.toks,
+         |           t -> CAST(${md5Hash64Sql("t")} % 4096 AS INT)) AS ids
+         |  FROM docw dw JOIN vt ON vt.word = dw.word),
+         |agg AS (
+         |  SELECT doc_id, flatten(list(ids ORDER BY wi)) AS token_ids
+         |  FROM wid GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.token_ids, CAST([] AS INT[])) AS token_ids
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 9 = 4) d
+         |LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q103_shuffle_order" ->
+      """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS skey
+        |FROM documents WHERE doc_id % 5 = 2
+        |ORDER BY skey, doc_id""".stripMargin,
+
+    "q104_split_leakage_free" ->
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |p2 AS (
+         |  SELECT id_a, id_b FROM prs
+         |  WHERE len(list_filter(range(1,65), i -> sig_a[i] = sig_b[i])) / 64.0 >= 0.35),
+         |eg AS (SELECT id_a AS u, id_b AS v FROM p2
+         |       UNION SELECT id_b, id_a FROM p2),
+         |r(u, v) AS (
+         |  SELECT u, v FROM eg
+         |  UNION
+         |  SELECT r.u, eg.v FROM r JOIN eg ON r.v = eg.u),
+         |m2 AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM r GROUP BY u)
+         |SELECT doc_id, source,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT d.doc_id, d.source,
+         |    ${md5Hash64Sql("CAST(COALESCE(m2.rep, d.doc_id) AS VARCHAR)")} % 100 AS b
+         |  FROM documents d LEFT JOIN m2 ON m2.id = d.doc_id) x
+         |ORDER BY doc_id""".stripMargin,
 
     "q100_quality_classifier" ->
       s"""WITH f AS (
