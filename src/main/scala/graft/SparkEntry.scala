@@ -325,6 +325,36 @@ object SparkEntry {
         .orderBy("id_new", "id_store")
     }),
 
+    // WARC ingest round-trip under the gate: corpus → WARC shards
+    // (Content-Length-framed response records, metadata as headers) →
+    // record walk back (plus a planted garbage shard that must vanish)
+    // → per-(lang, source) fidelity digest vs the original parquet —
+    // the q83 JSONL posture for the web-crawl wire format.
+    "q105_warc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      graft.sources.Warc.write(
+        docs.select(
+          concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+          col("text").cast("binary").as("payload"),
+          map(lit("X-Lang"), col("lang"),
+              lit("X-Source"), col("source")).as("hdrs")),
+        tmp, "uri", "payload", Some("hdrs"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/zz-corrupt.warc"),
+        "garbage, not a warc record\r\n\r\n")
+      graft.sources.Warc.read(s, tmp).toDF()
+        .where(col("record_type") === "response")
+        .select(col("headers")("X-Lang").as("lang"),
+          col("headers")("X-Source").as("source"),
+          col("payload").cast("string").as("text"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          min(md5(col("text").cast("binary"))).as("min_md5"))
+        .orderBy("lang", "source")
+    }),
+
     // JSONL ingest round-trip under the gate: corpus → JSONL shards →
     // tolerant read (a deliberately malformed shard is planted — its
     // lines must vanish, not fail the job or skew the aggregate) →
@@ -1758,6 +1788,14 @@ object SparkEntry {
          |  FROM pairs) p
          |WHERE est_jaccard >= 0.35
          |ORDER BY id_new, id_store""".stripMargin,
+
+    // Same fidelity-digest posture as q83, WARC framing instead of
+    // JSON escaping; sum_chars recomputed from text on both sides.
+    "q105_warc_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  MIN(md5(text)) AS min_md5
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     // The oracle reads the ORIGINAL parquet — the Spark side must
     // round-trip through JSONL (plus planted garbage lines) and land on

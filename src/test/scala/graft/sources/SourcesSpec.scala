@@ -199,3 +199,79 @@ class JsonlSpec extends SparkSpec {
     assert(bad.map(_.getString(1)).toSet == Set("{broken", "not json"))
   }
 }
+
+class WarcSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "hello warc world", "en"),
+      (2L, "payload with WARC/1.0 inside and\r\nCRLFs too", "en"),
+      (3L, "tres pequeño documento", "es"), // non-ASCII: byte len != char len
+      (4L, "", "und")                       // empty payload
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  private def writeDir(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc").toString
+    Warc.write(
+      df.select(
+        concat(lit("http://t.example/"), col("doc_id")).as("uri"),
+        col("text").cast("binary").as("payload"),
+        map(lit("X-Lang"), col("lang"),
+            lit("X-Doc-Id"), col("doc_id").cast("string")).as("hdrs")),
+      dir, "uri", "payload", Some("hdrs"))
+    dir
+  }
+
+  test("WARC round trip is byte-exact, framed by Content-Length") {
+    import org.apache.spark.sql.functions._
+    val dir = writeDir(docs)
+    val back = Warc.read(spark, dir)
+      .toDF()
+      .select(col("headers")("X-Doc-Id").cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"),
+        col("headers")("X-Lang").as("lang"),
+        col("record_type"), col("target_uri"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    val want = docs.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(back.keySet == want.keySet)
+    want.foreach { case (id, (text, lang)) =>
+      val (t, l, rt, uri) = back(id)
+      assert(t == text, s"doc $id payload mangled: '$t'")
+      assert(l == lang && rt == "response" && uri == s"http://t.example/$id")
+    }
+  }
+
+  test("a malformed file yields its clean prefix and is then skipped") {
+    import org.apache.spark.sql.functions._
+    val dir = writeDir(docs)
+    // whole-file garbage: zero records from it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zz-bad.warc"), "not a warc\r\n\r\n")
+    // clean record followed by a truncated one: the prefix survives
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".warc")).minBy(_.getName).toPath.toString))
+    val truncated = good ++ "WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort".getBytes("UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/zz-trunc.warc"), truncated)
+    val byFile = Warc.read(spark, dir).toDF()
+      .groupBy("file").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!byFile.keys.exists(_.contains("zz-bad.warc")))
+    val truncCount = byFile.collectFirst {
+      case (f, n) if f.contains("zz-trunc.warc") => n }
+    assert(truncCount.exists(_ >= 1L), s"prefix records lost: $byFile")
+    // and the planted garbage never corrupted the good files' totals
+    val total = Warc.read(spark, dir).toDF()
+      .where(!col("file").contains("zz-"))
+      .count()
+    assert(total == 4L, s"total=$total")
+  }
+}
