@@ -1146,6 +1146,29 @@ object SparkEntry {
         .orderBy("skey", "doc_id")
     }),
 
+    // Upsampling mixture: weights past 1.0 repeat docs (floor copies +
+    // hash-chosen fractional extras) — the "2.5 epochs of src2" half
+    // of pretraining mixtures a keep/drop filter can't express.
+    "q106_upsample_mixture" -> ((s, dir) => {
+      operators.Sampling.upsampleMixture(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.5, "src3" -> 3.0))
+        .orderBy("doc_id", "copy")
+    }),
+
+    // Exact per-source token budgets: deterministic hash-order cut via
+    // the two-phase prefix sum; the oracle is the single-window QUALIFY
+    // form (which would serialize each source at scale).
+    "q107_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Sampling.sampleTokenBudget(d, "doc_id", "source",
+        "n_tokens", Map("src0" -> 500L, "src1" -> 0L),
+        defaultBudget = 1500L)
+        .orderBy("doc_id")
+    }),
+
     // Leakage-free split: near-dup docs (q71's components) land on the
     // same side because the split hashes the component REP, not the
     // doc — the eval-contamination guard a per-doc split lacks.
@@ -2891,6 +2914,38 @@ object SparkEntry {
          |                WHEN 'src2' THEN 0.5 ELSE 0.75 END AS w
          |  FROM documents) x
          |WHERE CAST(bucket AS DOUBLE) < w * 10000.0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q106_upsample_mixture" ->
+      s"""SELECT * FROM (
+         |  SELECT doc_id, source, unnest(range(n)) AS copy FROM (
+         |    SELECT doc_id, source,
+         |      CAST(FLOOR(w) AS BIGINT) +
+         |      CASE WHEN CAST(h AS DOUBLE) < (w - FLOOR(w)) * 10000.0
+         |           THEN 1 ELSE 0 END AS n
+         |    FROM (
+         |      SELECT doc_id, source,
+         |        CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+         |                    WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 3.0
+         |                    ELSE 1.0 END AS w,
+         |        ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS h
+         |      FROM documents) x) y
+         |  WHERE n > 0) z
+         |ORDER BY doc_id, copy""".stripMargin,
+
+    "q107_token_budget" ->
+      s"""SELECT source, doc_id, n_tokens FROM (
+         |  SELECT source, doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 0
+         |         ELSE 1500 END AS budget
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |      ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |    FROM documents) x) y
+         |WHERE cum < budget
          |ORDER BY doc_id""".stripMargin,
 
     "q37_stratified_sample" ->

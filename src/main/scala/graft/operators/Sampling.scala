@@ -322,6 +322,79 @@ object Sampling {
       .cast("double") < w * 10000.0)
   }
 
+  /** [[weightedMixture]] generalized past probability 1: weight 2.3
+    * means every doc of that source appears twice and a deterministic
+    * hash-chosen 30% of them a third time — the UPSAMPLING half of
+    * pretraining mixtures ("2.3 epochs of books, 0.5 of web"), which
+    * a keep/drop filter cannot express. Output repeats input rows
+    * with a 0-based `copy` column (downstream shuffles/packing treat
+    * (id, copy) as the key). Weight w<=1 degenerates to exactly
+    * weightedMixture's keep set (copy 0). Zero shuffle: a per-row
+    * explode of at most ceil(w) elements in the scan. */
+  def upsampleMixture(df: DataFrame, idCol: String, sourceCol: String,
+                      weights: Map[String, Double],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    val extra = (pmod(graft.functions.Hashes.md5Hash64(col(idCol)), lit(10000L))
+      .cast("double") < (w - floor(w)) * 10000.0).cast("long")
+    df.withColumn("__n", floor(w).cast("long") + extra)
+      .where(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
+  /** EXACT per-source token-budget sampling: keep each source's docs
+    * in deterministic hash order until the budget is hit — "30B web
+    * tokens, 5B book tokens" as a reproducible cut rather than a
+    * probabilistic one ([[weightedMixture]] hits a RATE, not a
+    * TOTAL). A doc is kept iff the tokens BEFORE it (exclusive cumsum
+    * in (hash, id) order) are under its source's budget, so a source
+    * overshoots by at most its last doc — packBySize's slicing rule.
+    *
+    * Scale shape: the naive per-source window serializes each source
+    * onto one task (a 60%-web corpus = one straggler). This runs the
+    * packChunks two-phase prefix sum instead, partitioned by (source,
+    * hash-bucket): per-bucket sums (tiny aggregate) broadcast back as
+    * exclusive bucket offsets, the row-level window runs per (source,
+    * bucket) — ONE corpus shuffle on well-spread keys, no straggler.
+    * Budget semantics are bucketing-invariant (the cumsum is global
+    * per source), so `buckets` only shapes the plan. */
+  def sampleTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                        tokCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long = Long.MaxValue,
+                        buckets: Int = 0): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val p = if (buckets > 0) buckets
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val width = 1000000L / p + 1
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val narrow = df
+      .withColumn("__h",
+        pmod(graft.functions.Hashes.md5Hash64(col(idCol)), lit(1000000L)))
+      .withColumn("__b", expr(s"__h DIV ${width}L"))
+    val offs = narrow.groupBy(sourceCol, "__b")
+      .agg(sum(col(tokCol).cast("long")).as("__bsum"))
+      .withColumn("__boff",
+        coalesce(sum("__bsum").over(
+          Window.partitionBy(sourceCol).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(sourceCol), col("__b"), col("__boff"))
+    val local = Window.partitionBy(sourceCol, "__b").orderBy("__h", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    narrow.join(broadcast(offs), Seq(sourceCol, "__b"))
+      .withColumn("__cum",
+        col("__boff") + coalesce(sum(col(tokCol).cast("long")).over(local), lit(0L)))
+      .where(col("__cum") < budget)
+      .drop("__h", "__b", "__boff", "__cum")
+  }
+
   /** Bucketed table write: `bucketBy(key)` + sorted buckets, so two
     * tables bucketed the same way join WITHOUT an exchange — the
     * co-located fact-fact join that replaces the biggest shuffle in a

@@ -284,6 +284,57 @@ class SamplingSpec extends SparkSpec {
     assert(train > 700 && train < 900, s"train=$train")
   }
 
+  test("upsampleMixture: integer weights repeat exactly, fractions by rate") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i <= 200) "triple" else if (i <= 400) "drop"
+          else if (i <= 700) "frac" else "keep")).toDF("doc_id", "source")
+    val out = Sampling.upsampleMixture(docs, "doc_id", "source",
+      Map("triple" -> 3.0, "drop" -> 0.0, "frac" -> 1.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("triple") == 600, bySrc.toString)   // 200 docs × 3 copies
+    assert(!bySrc.contains("drop"))
+    assert(bySrc("keep") == 300)                     // default weight 1.0
+    val frac = bySrc("frac")
+    assert(frac > 380 && frac < 520, s"1.5× of 300 docs gave $frac")
+    // copies are 0-based and dense per doc
+    val copies = out.filter(_._2 == "triple").groupBy(_._1).values
+    assert(copies.forall(_.map(_._3).sorted.toSeq == Seq(0L, 1L, 2L)))
+    // w <= 1 degenerates to weightedMixture's keep set
+    val up = Sampling.upsampleMixture(docs, "doc_id", "source",
+      Map("triple" -> 0.4), defaultWeight = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    val wm = Sampling.weightedMixture(docs, "doc_id", "source",
+      Map("triple" -> 0.4), defaultWeight = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(up == wm)
+  }
+
+  test("sampleTokenBudget: exclusive-cumsum cut, bucketing-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L)).toDF("doc_id", "source", "n_tok")
+    val out = Sampling.sampleTokenBudget(docs, "doc_id", "source", "n_tok",
+      Map("a" -> 105L, "b" -> 0L), defaultBudget = Long.MaxValue)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    // budget 105, 10-token docs: exclusive cumsum < 105 keeps 11 docs
+    // (the 11th starts at 100 < 105 — the one-doc overshoot rule)
+    assert(out.count(_._2 == "a") == 11, out.count(_._2 == "a").toString)
+    assert(!out.exists(_._2 == "b"))
+    // the kept set is the hash-order prefix: same result at any bucketing
+    def run(b: Int) = Sampling.sampleTokenBudget(docs, "doc_id", "source",
+      "n_tok", Map("a" -> 105L), defaultBudget = 37L, buckets = b)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(run(1) == run(7) && run(7) == run(64))
+    // budget bigger than the source keeps everything
+    val all = Sampling.sampleTokenBudget(docs, "doc_id", "source", "n_tok",
+      Map.empty, defaultBudget = Long.MaxValue).count()
+    assert(all == 300L)
+  }
+
   test("writeClustered produces range-clustered files with bounded rows") {
     val s = spark
     import s.implicits._
