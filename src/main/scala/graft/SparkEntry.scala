@@ -1169,6 +1169,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Best-k-per-key curation cut ("5 longest docs per source") via
+    // bounded map-side heaps — the oracle's QUALIFY window shuffles the
+    // whole corpus; the aggregator ships ≤k rows per key per partition.
+    "q108_top_per_key" -> ((s, dir) => {
+      operators.Sampling.topKPerKey(
+        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars", k = 5)
+        .orderBy("source", "rank")
+    }),
+
+    // Curriculum staging: 4 difficulty bands by exact quartile
+    // boundaries of n_chars, assignment a scan-side CASE over inlined
+    // boundary literals (percentile ≡ quantile_cont — the q39 bridge).
+    "q109_curriculum" -> ((s, dir) => {
+      operators.Sampling.curriculumStages(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", stages = 4, exact = true)
+        .orderBy("doc_id")
+    }),
+
     // Leakage-free split: near-dup docs (q71's components) land on the
     // same side because the split hashes the component REP, not the
     // doc — the eval-contamination guard a per-doc split lacks.
@@ -2947,6 +2967,27 @@ object SparkEntry {
          |    FROM documents) x) y
          |WHERE cum < budget
          |ORDER BY doc_id""".stripMargin,
+
+    // (n_chars DESC, doc_id ASC) is a total order per source, so the
+    // bounded-heap pick equals this window exactly.
+    "q108_top_per_key" ->
+      """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS n_chars, rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM documents) x
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q109_curriculum" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS bs
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN n_chars >= bs[1] THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars >= bs[2] THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars >= bs[3] THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM documents CROSS JOIN b
+        |ORDER BY doc_id""".stripMargin,
 
     "q37_stratified_sample" ->
       """SELECT doc_id, source FROM (

@@ -218,6 +218,57 @@ object Sampling {
       .select(col(keyCol), col("s._2").as(idCol))
   }
 
+  /** Curriculum staging: band the corpus into `stages` difficulty
+    * levels by VALUE-based quantile boundaries of `scoreCol` (stage =
+    * number of boundaries at or below the score, 0-based) — the
+    * easy-to-hard data-ordering step of curriculum training. Value-
+    * based banding (not ntile ranks) makes the assignment a pure
+    * scan-side CASE once the boundaries exist: boundaries are ONE tiny
+    * aggregate (exact `percentile` for gate/dimension scale,
+    * Greenwald-Khanna `approx_percentile` for 100 TB — the
+    * quantilesApprox posture) collected to the driver and inlined as
+    * literals, so the corpus itself never shuffles. Ties share a
+    * stage, so stage populations can be uneven on tie-heavy scores —
+    * the price of an engine-replayable, rank-free definition. */
+  def curriculumStages(df: DataFrame, scoreCol: String, stages: Int,
+                       exact: Boolean = false,
+                       accuracy: Int = 10000): DataFrame = {
+    require(stages >= 2, "need at least 2 stages")
+    val qs = (1 until stages).map(_.toDouble / stages)
+    val sc = col(scoreCol).cast("double")
+    val boundsRow =
+      if (exact) df.agg(percentile(sc, array(qs.map(lit(_)): _*)).as("b")).head()
+      else df.agg(approx_percentile(sc, array(qs.map(lit(_)): _*),
+        lit(accuracy)).as("b")).head()
+    if (boundsRow.isNullAt(0)) df.withColumn("stage", lit(0))
+    else {
+      val stage = boundsRow.getSeq[Double](0).foldLeft(lit(0)) { (acc, b) =>
+        acc + when(sc >= lit(b), lit(1)).otherwise(lit(0))
+      }
+      df.withColumn("stage", stage.cast("int"))
+    }
+  }
+
+  /** Best k rows per key by an arbitrary SCORE (desc, id asc tiebreak)
+    * — "keep the 100 highest-quality docs per domain", the curation
+    * cut [[samplePerKey]] is the uniform special case of. Bounded
+    * map-side heaps: each partition ships at most k rows per key into
+    * the shuffle (O(partitions·keys·k)), where the QUALIFY/window
+    * formulation shuffles the whole corpus. Output: (key, id, score,
+    * rank) with rank 1-based in score order. */
+  def topKPerKey(df: DataFrame, keyCol: String, idCol: String,
+                 scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = TopKAggregator.udaf(k)
+    df.select(col(keyCol).as("key"), col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("s"))
+      .groupBy("key")
+      .agg(topk(col("id"), col("s")).as("top"))
+      .select(col("key").as(keyCol), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col(keyCol), col("t._2").as(idCol), col("t._1").as(scoreCol),
+        (col("p") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic train/val/test split on an integer id. `weights`
     * are percentages summing to 100; assignment is `id mod 100` range
     * membership — reproducible across engines and runs, and stable

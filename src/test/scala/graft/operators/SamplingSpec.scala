@@ -335,6 +335,41 @@ class SamplingSpec extends SparkSpec {
     assert(all == 300L)
   }
 
+  test("topKPerKey equals the window formulation, score desc id asc") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).map(i => (i, s"k${i % 7}", (i * 37 % 50).toDouble))
+      .toDF("id", "key", "score")
+    val got = Sampling.topKPerKey(rows, "key", "id", "score", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+    val want = rows.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("curriculumStages bands by value quantiles, monotone in score") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val got = Sampling.curriculumStages(rows, "score", stages = 4, exact = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // quartile boundaries of 1..100 (linear interp): 25.75, 50.5, 75.25
+    assert(got(1L) == 0 && got(25L) == 0)
+    assert(got(26L) == 1 && got(50L) == 1)
+    assert(got(51L) == 2 && got(75L) == 2)
+    assert(got(76L) == 3 && got(100L) == 3)
+    // approx mode: same banding up to boundary-rank tolerance; monotone
+    val approx = Sampling.curriculumStages(rows, "score", stages = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((1L to 99L).forall(i => approx(i) <= approx(i + 1)))
+    assert(approx.values.toSet == Set(0, 1, 2, 3))
+  }
+
   test("writeClustered produces range-clustered files with bounded rows") {
     val s = spark
     import s.implicits._
