@@ -102,6 +102,29 @@ object Warc {
     out.iterator
   }
 
+  /** Streaming twin of [[read]]: WARC shards landing in `path` are
+    * parsed exactly once under the file-source contract (the
+    * Jsonl.readStream posture for crawl archives) — binaryFile is a
+    * regular FileFormat, so the file stream source drives the same
+    * per-file record walk. `maxFilesPerTrigger` bounds per-batch work;
+    * tolerance semantics match the batch read. */
+  def readStream(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Int = 100): Dataset[WarcRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (f, b) => parseFile(f, b) })
+  }
+
   /** Write response records, one .warc file per partition. `uriCol` is
     * the WARC-Target-URI, `payloadCol` (binary) the record body, and
     * `headersCol` (optional map<string,string>) extra headers written

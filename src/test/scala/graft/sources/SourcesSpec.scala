@@ -274,4 +274,45 @@ class WarcSpec extends SparkSpec {
       .count()
     assert(total == 4L, s"total=$total")
   }
+
+  test("readStream parses landed WARC shards exactly once") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toString
+    // land shard 1 = docs 1-2 as one .warc file
+    Warc.write(
+      docs.where(col("doc_id") <= 2).select(
+        concat(lit("http://t.example/"), col("doc_id")).as("uri"),
+        col("text").cast("binary").as("payload"),
+        map(lit("X-Doc-Id"), col("doc_id").cast("string")).as("hdrs"))
+        .coalesce(1),
+      s"$dir/batch1", "uri", "payload", Some("hdrs"))
+    new java.io.File(s"$dir/batch1").listFiles()
+      .filter(_.getName.endsWith(".warc"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/${f.getName.replace("part", "a")}")))
+    val q = Warc.readStream(spark, s"$dir/*.warc").toDF()
+      .select(col("headers")("X-Doc-Id").cast("long").as("doc_id"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      Warc.write(
+        docs.where(col("doc_id") === 3L).select(
+          concat(lit("http://t.example/"), col("doc_id")).as("uri"),
+          col("text").cast("binary").as("payload"),
+          map(lit("X-Doc-Id"), col("doc_id").cast("string")).as("hdrs"))
+          .coalesce(1),
+        s"$dir/batch2", "uri", "payload", Some("hdrs"))
+      new java.io.File(s"$dir/batch2").listFiles()
+        .filter(_.getName.endsWith(".warc"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/${f.getName.replace("part", "b")}")))
+      q.processAllAvailable()
+      // shard 1 not reprocessed, shard 2 picked up
+      assert(spark.table("warc_stream").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
