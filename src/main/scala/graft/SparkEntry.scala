@@ -1146,6 +1146,32 @@ object SparkEntry {
         .orderBy("skey", "doc_id")
     }),
 
+    // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
+    // train docs near-dup'ing any eval doc are anti-joined out; the
+    // oracle replays the pairs then NOT-INs the leaked ids.
+    "q110_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 10 === 0), "doc_id", "text",
+        tau = 0.35, portableHash = true)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // Unicode NFC under the gate: a decomposed combining-sequence
+    // marker (chr-built in BOTH engines) is appended to every doc and
+    // normalized — length and digest match only if Spark's JDK NFC and
+    // DuckDB's nfc_normalize agree glyph-for-glyph.
+    "q111_nfc_normalize" -> ((s, dir) => {
+      val marker = " e\u0301a\u030Ao\u0302" // decomposed é å ô (NFC → éåô)
+      val norm = Text.normalizeNfc(concat(col("text"), lit(marker)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(norm).cast("long").as("n_nfc"),
+          md5(norm.cast("binary")).as("h_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // Upsampling mixture: weights past 1.0 repeat docs (floor copies +
     // hash-chosen fractional extras) — the "2.5 epochs of src2" half
     // of pretraining mixtures a keep/drop filter can't express.
@@ -2935,6 +2961,42 @@ object SparkEntry {
          |  FROM documents) x
          |WHERE CAST(bucket AS DOUBLE) < w * 10000.0
          |ORDER BY doc_id""".stripMargin,
+
+    "q110_decontaminate" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |         any_value(a.sig) AS sig_l, any_value(b.sig) AS sig_r
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  GROUP BY a.doc_id, b.doc_id),
+         |leaks AS (
+         |  SELECT DISTINCT id_l FROM pairs
+         |  WHERE len(list_filter(range(1,65), i -> sig_l[i] = sig_r[i])) / 64.0 >= 0.35)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT id_l FROM leaks)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // chr(769/778/770) are the combining acute/ring/circumflex — the
+    // same decomposed marker the Spark side appends as \\u escapes.
+    "q111_nfc_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(text || ' e' || chr(769) || 'a' || chr(778) || 'o' || chr(770)) AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_nfc, md5(t) AS h_nfc
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q106_upsample_mixture" ->
       s"""SELECT * FROM (

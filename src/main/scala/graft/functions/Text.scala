@@ -35,6 +35,15 @@ object Text {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
         "that", "for", "on", "with", "as", "was", "at", "by")
 
+  /** Unicode NFC normalization (precomposed canonical form) — run
+    * BEFORE any exact-hash text operation: scraped corpora mix
+    * precomposed ("é") and decomposed ("e"+U+0301) encodings of the
+    * same glyph, which hash differently and silently defeat exact
+    * dedup keys, fingerprints, and shingles. Codegen'd JDK-normalizer
+    * kernel ([[graft.plans.NfcNormalize]]); DuckDB's nfc_normalize is
+    * the cross-engine twin. */
+  def normalizeNfc(c: Column): Column = graft.plans.native.nfcNormalize(c)
+
   /** Count of (lowercased) English stopword tokens — the integer-exact
     * building block [[stopwordRatio]] and the linear classifier share. */
   def stopwordCount(c: Column): Column =

@@ -533,6 +533,26 @@ object Dedup {
       .drop("rep")
   }
 
+  /** One-call eval decontamination: drop every corpus doc whose text
+    * near-dups ANY eval/benchmark doc ([[minhashLshPairsAcross]] at
+    * `tau`, then a keys-only anti-join) — the remove-the-leaks
+    * counterpart to q58's report-the-pairs. The eval set rides the
+    * broadcast side (eval suites are tiny against a training corpus);
+    * the corpus contributes one fingerprint pass and an id anti-join,
+    * never a text shuffle. For signals beyond surface text pair this
+    * with [[embeddingPairsAcross]] (semantic leaks) or
+    * TextAnalytics.ngramOverlap* (n-gram contamination scores). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    evalDf: DataFrame, evalIdCol: String, evalTextCol: String,
+                    tau: Double = 0.7, maxBucket: Int = 1000,
+                    portableHash: Boolean = false): DataFrame = {
+    val pairs = minhashLshPairsAcross(corpus, idCol, textCol,
+      evalDf, evalIdCol, evalTextCol, tau = tau, maxBucket = maxBucket,
+      portableHash = portableHash)
+    corpus.join(pairs.select(col("id_l").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** [[dedupCorpus]] with QUALITY-AWARE representative selection: each
     * duplicate cluster keeps its best-scoring member — (scoreCol DESC,
     * id ASC) — instead of the min id. This is how production curation

@@ -839,7 +839,46 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+object UnicodeKernel {
+  /** Unicode NFC via the JDK normalizer; pure per-row, no state. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString,
+        java.text.Normalizer.Form.NFC))
+}
+
+/** Unicode NFC normalization — the first cleaning step on scraped
+  * text, where the same glyph arrives precomposed ("é" U+00E9) or
+  * decomposed ("e" + U+0301) and every downstream exact-hash
+  * operation (fingerprints, shingles, exact dedup keys) silently
+  * treats them as different documents. Scan-shaped codegen call into
+  * the JDK normalizer (Unicode NFC is an engine-portable spec —
+  * DuckDB's nfc_normalize replays it, the q111 gate bridge). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeKernel.nfc(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.UnicodeKernel.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object native {
+  def nfcNormalize(text: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeTokens(GraftBridge.expression(text), merges))
 

@@ -253,6 +253,46 @@ class DedupSpec extends SparkSpec {
     assert(tied.contains(1L) && !tied.contains(2L), tied)
   }
 
+  test("decontaminate drops corpus docs near-dup'ing any eval doc") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val train = Seq(
+      (1L, base),                                    // leaks: dups eval 100
+      (2L, base.replace("word9", "word9 extra")),    // leaks: near-dups 100
+      (3L, "a completely unrelated clean document about engines"),
+      (4L, "another clean text mentioning rivers and lakes")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, base)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, "doc_id", "text",
+      eval, "doc_id", "text", tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"kept=$kept")
+  }
+
+  test("nfc normalization: decomposed == precomposed, idempotent") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "cafe\u0301 au lait"), // decomposed
+      (2L, "caf\u00e9 au lait"),   // precomposed
+      (3L, "plain ascii"),
+      (4L, "")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"),
+        graft.functions.Text.normalizeNfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L), s"${out(1L)} != ${out(2L)}")
+    assert(out(1L) == "caf\u00e9 au lait")
+    assert(out(3L) == "plain ascii" && out(4L) == "")
+    // idempotent
+    val twice = rows.select(graft.functions.Text.normalizeNfc(
+        graft.functions.Text.normalizeNfc(col("t"))).as("n2"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == rows.select(graft.functions.Text.normalizeNfc(col("t")))
+      .collect().map(_.getString(0)).toSeq)
+  }
+
   test("linearQualityScore: hand-computed integer logit and threshold") {
     val s = spark
     import s.implicits._
