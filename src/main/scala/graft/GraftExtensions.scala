@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{CosineSim, Md5MinHashSig, Md5SimHash, MinHashSig, SimHash64, WordShingles}
+import graft.plans.{CosineSim, Md5MinHashSig, Md5SimHash, MinHashSig, NfcNormalize, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -74,6 +74,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "md5_simhash(tokens)")
         Md5SimHash(args(0))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "nfc_normalize(text)")
+        NfcNormalize(args(0))
       }))
 
   /** Register the functions on an already-built session (extensions

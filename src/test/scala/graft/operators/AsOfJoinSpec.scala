@@ -221,13 +221,14 @@ class ExtensionsSpec extends SparkSpec {
         |       minhash_sig(word_shingles('a b c d', 3), 8) AS sig,
         |       simhash64(array('a', 'b')) AS sh64,
         |       md5_minhash_sig(word_shingles('a b c d', 3), 4) AS msig,
-        |       md5_simhash(array('a', 'b')) AS msh
+        |       md5_simhash(array('a', 'b')) AS msh,
+        |       nfc_normalize('café') AS nfc
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(r.getSeq[Long](2).size == 8)
     assert(r.getSeq[Long](4).size == 4 && r.getSeq[Long](4).forall(_ >= 0L))
     assert(r.getString(5).length == 16)
+    assert(r.getString(6) == "café") // combining acute composed
   }
-
 }
