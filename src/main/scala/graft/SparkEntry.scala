@@ -1146,6 +1146,17 @@ object SparkEntry {
         .orderBy("skey", "doc_id")
     }),
 
+    // LSH tuning harness under the gate: three bandings measured
+    // against exact-Jaccard ground truth — candidate/truth/hit counts
+    // and precision/recall per config, every number replayed (the
+    // S-curve, measured rather than assumed).
+    "q112_lsh_grid" -> ((s, dir) => {
+      Dedup.lshGridEval(t(s, dir, "documents"), "doc_id", "text",
+        tau = 0.35, configs = Seq((16, 4), (4, 16), (32, 2)),
+        portableHash = true)
+        .orderBy("bands", "rows_per_band")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -2961,6 +2972,59 @@ object SparkEntry {
          |  FROM documents) x
          |WHERE CAST(bucket AS DOUBLE) < w * 10000.0
          |ORDER BY doc_id""".stripMargin,
+
+    "q112_lsh_grid" -> {
+      def bandCte(name: String, bands: Int, r: Int): String =
+        s"""$name AS (
+           |  SELECT doc_id, bnd,
+           |         md5(array_to_string(sig[bnd*$r+1 : bnd*$r+$r], ',')) AS bucket
+           |  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS bnd) x),
+           |${name}c AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM $name a JOIN $name b
+           |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+          .stripMargin
+      def metric(bands: Int, r: Int, c: String): String =
+        s"""SELECT $bands AS bands, $r AS rows_per_band,
+           |  (SELECT COUNT(*) FROM $c) AS n_candidates,
+           |  (SELECT COUNT(*) FROM truth) AS n_truth,
+           |  (SELECT COUNT(*) FROM $c x JOIN truth t
+           |     ON x.id_a = t.id_a AND x.id_b = t.id_b) AS hits""".stripMargin
+      s"""$shinglesSql,
+         |capped AS (
+         |  SELECT * FROM ex QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         |truth AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+         |    FROM capped a JOIN capped b
+         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) p
+         |  WHERE jaccard >= 0.35),
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |${bandCte("g1", 16, 4)},
+         |${bandCte("g2", 4, 16)},
+         |${bandCte("g3", 32, 2)},
+         |m AS (
+         |  ${metric(16, 4, "g1c")}
+         |  UNION ALL ${metric(4, 16, "g2c")}
+         |  UNION ALL ${metric(32, 2, "g3c")})
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(hits AS BIGINT) AS hits,
+         |  CASE WHEN n_candidates = 0 THEN 1.0
+         |       ELSE CAST(hits AS DOUBLE) / n_candidates END AS "precision",
+         |  CASE WHEN n_truth = 0 THEN 1.0
+         |       ELSE CAST(hits AS DOUBLE) / n_truth END AS recall
+         |FROM m ORDER BY bands, rows_per_band""".stripMargin
+    },
 
     "q110_decontaminate" ->
       s"""$shinglesSql,

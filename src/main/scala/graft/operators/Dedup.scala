@@ -533,6 +533,54 @@ object Dedup {
       .drop("rep")
   }
 
+  /** LSH parameter tuning: for each (bands, rowsPerBand) config,
+    * measure the banding's candidate set against EXACT n-gram Jaccard
+    * ground truth at `tau` — (n_candidates, n_truth, hits, precision,
+    * recall) per config. This answers the question every minhash
+    * deployment starts with: which banding hits my tau with acceptable
+    * candidate volume? (The S-curve P[band collision] = 1-(1-s^r)^b
+    * predicts the shape; this measures it on YOUR corpus, skew and
+    * all.) Run it on a SAMPLE (sampleExact / samplePerKey) — ground
+    * truth is the all-pairs shingle join, corpus-scale by design only
+    * for the candidates. Each config re-bands the SAME cached
+    * signatures (k = max over configs of b·r slots, prefix-sliced), so
+    * the corpus is fingerprinted once. */
+  def lshGridEval(df: DataFrame, idCol: String, textCol: String,
+                  tau: Double, configs: Seq[(Int, Int)],
+                  shingleN: Int = 3, maxDf: Int = 1000,
+                  portableHash: Boolean = false): DataFrame = {
+    require(configs.nonEmpty, "need at least one (bands, rowsPerBand) config")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = configs.map { case (b, r) => b * r }.max
+    val truth = ngramJaccardPairs(df, idCol, textCol, shingleN, tau, maxDf)
+      .select(col("id_a"), col("id_b"))
+      .persist(cacheLevel)
+    val nTruth = truth.count()
+    val signed = minhashSigned(df, idCol, textCol, shingleN, k, portableHash)
+    val rows = configs.map { case (b, r) =>
+      val banded = minhashBanded(
+        signed.select(col("id"), slice(col("sig"), 1, b * r).as("sig")),
+        b, r, portableHash)
+      val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .persist(cacheLevel)
+      val nCand = cand.count()
+      val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+      cand.unpersist(false)
+      (b, r, nCand, nTruth, hits,
+        if (nCand == 0) 1.0 else hits.toDouble / nCand,
+        if (nTruth == 0) 1.0 else hits.toDouble / nTruth)
+    }
+    truth.unpersist(false)
+    signed.unpersist(false)
+    rows.toDF("bands", "rows_per_band", "n_candidates", "n_truth",
+      "hits", "precision", "recall")
+  }
+
   /** One-call eval decontamination: drop every corpus doc whose text
     * near-dups ANY eval/benchmark doc ([[minhashLshPairsAcross]] at
     * `tau`, then a keys-only anti-join) — the remove-the-leaks

@@ -253,6 +253,40 @@ class DedupSpec extends SparkSpec {
     assert(tied.contains(1L) && !tied.contains(2L), tied)
   }
 
+  test("lshGridEval: more bands raise recall, longer rows raise precision") {
+    val s = spark
+    import s.implicits._
+    // clusters of near-dups at varying similarity + unrelated noise
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tok7x")),            // very similar to 1
+      (3L, base.replace("tok7 tok8 tok9", "a b c")),  // moderately similar
+      (10L, "one completely unrelated document about glaciers and fjords"),
+      (11L, "another standalone text mentioning volcanoes and basalt")
+    ) ++ (20L to 40L).map(i =>
+      (i, (1 to 40).map(j => s"w${i}_$j").mkString(" ")))).toDF("doc_id", "text")
+    val grid = Dedup.lshGridEval(docs, "doc_id", "text", tau = 0.5,
+      configs = Seq((16, 4), (4, 16), (32, 2)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val (_, nTruth, _, _, rec16x4) = grid((16, 4))
+    assert(nTruth >= 1L) // ground truth found the planted cluster
+    // 32 bands of 2 rows: collision-happy → recall at least as high
+    val rec32x2 = grid((32, 2))._5
+    assert(rec32x2 >= rec16x4, s"$grid")
+    // 4 bands of 16 rows: strict → no spurious candidates on noise docs
+    val (cand4x16, _, hits4x16, prec4x16, _) = grid((4, 16))
+    assert(cand4x16 == hits4x16 && (cand4x16 == 0 || prec4x16 == 1.0),
+      s"strict banding produced false candidates: $grid")
+    // every metric is internally consistent
+    grid.values.foreach { case (c, t, h, p, r) =>
+      assert(h <= c && h <= t)
+      assert(p >= 0 && p <= 1 && r >= 0 && r <= 1)
+    }
+  }
+
   test("decontaminate drops corpus docs near-dup'ing any eval doc") {
     val s = spark
     import s.implicits._
