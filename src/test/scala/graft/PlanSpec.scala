@@ -156,6 +156,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q107 token budget: bucket offsets broadcast, corpus shuffles once") {
+    // the two-phase prefix sum's load-bearing shape: the per-bucket
+    // offset table joins back as a BROADCAST (it is sources×buckets
+    // rows) and the corpus pays ONE (source, bucket) exchange for the
+    // local window — a plain per-source window would both serialize
+    // hot sources and shuffle without the spread key.
+    val s = planString("q107_token_budget")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q110 decontaminate: the leak filter is a broadcast anti-join") {
+    // corpus survival must never shuffle corpus text: the leaked-id
+    // set (eval-scale) broadcasts into a LeftAnti join
+    val s = planString("q110_decontaminate")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"), s)
+  }
+
+  test("q108 topKPerKey aggregates partially before the key shuffle") {
+    // the bounded-heap aggregator must run map-side (partial) so each
+    // partition ships at most k rows per key — the whole point vs a
+    // window formulation
+    val s = planString("q108_top_per_key")
+    assert(s.contains("ObjectHashAggregate") && s.contains("partial"), s)
+    assert(!s.contains("Window"), s)
+  }
+
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster. q17 included since
