@@ -140,14 +140,26 @@ object Warc {
       headersCol.map(col).getOrElse(
         map().cast("map<string,string>")).as("hdrs"))
     import rows.sparkSession.implicits._
+    // Ship the SESSION's Hadoop conf to the tasks (Configuration is a
+    // Writable — public serialization), so filesystem credentials and
+    // custom schemes survive; a fresh Configuration() in the task
+    // would silently drop them on any non-default FS.
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      rows.sparkSession.sparkContext.hadoopConfiguration
+        .write(new java.io.DataOutputStream(baos))
+      baos.toByteArray
+    }
     val ds = rows.as[(String, Array[Byte], Map[String, String])]
     ds.rdd.mapPartitionsWithIndex { (part, it) =>
       if (it.isEmpty) Iterator.empty
       else {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(confBytes)))
         val target = new org.apache.hadoop.fs.Path(
           path, f"part-$part%05d.warc")
-        val fs = target.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val fs = target.getFileSystem(conf)
         val outStream = fs.create(target, true)
         var n = 0L
         it.foreach { case (uri, payload, hdrs) =>
