@@ -120,8 +120,12 @@ object MinhashStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = tombstonesOpt(spark, path)
     val nTomb = tomb.map(_.count()).getOrElse(0L)
+    // no broadcast hint here: the probe-path anti-join broadcasts
+    // because its candidate frame is batch-scale, but a compaction may
+    // carry an arbitrarily large tombstone backlog — let AQE pick
+    // broadcast vs shuffle from the actual size
     def minus(df: DataFrame): DataFrame = tomb.fold(df)(t =>
-      df.join(broadcast(t), df("id") === t("id"), "left_anti"))
+      df.join(t, df("id") === t("id"), "left_anti"))
     val tmp = s"$path/_compact_tmp"
     fs.delete(new Path(tmp), true)
     minus(spark.read.parquet(s"$path/sigs")).write.parquet(s"$tmp/sigs")
