@@ -36,14 +36,37 @@ object Warc {
   private val Magic = "WARC/1.0"
 
   /** Parse every WARC record in every file under `path` (non-recursive
-    * glob semantics follow the binaryFile source). */
+    * glob semantics follow the binaryFile source). `.gz`/`.warc.gz`
+    * files are inflated first — including CONCATENATED gzip members,
+    * Common Crawl's actual on-disk form (one member per record), which
+    * the JDK's GZIPInputStream walks natively. Compressed archives
+    * remain per-file work units either way (gzip isn't splittable);
+    * the record walk is identical after inflation. */
   def read(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (file, bytes) => parseFile(file, bytes) })
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        parseFile(file, maybeGunzip(file, bytes))
+      })
   }
+
+  /** Inflate `.gz` payloads (multi-member streams included); a file
+    * that fails to inflate yields no bytes — the same skip-the-shard
+    * tolerance as a mid-file framing error. */
+  private[sources] def maybeGunzip(file: String,
+                                   bytes: Array[Byte]): Array[Byte] =
+    if (!file.endsWith(".gz")) bytes
+    else try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } catch { case _: java.io.IOException => Array.emptyByteArray }
 
   /** Record walk over one file's bytes. Package-visible for specs. */
   private[sources] def parseFile(file: String,
@@ -122,7 +145,9 @@ object Warc {
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (f, b) => parseFile(f, b) })
+      .mapPartitions(_.flatMap { case (f, b) =>
+        parseFile(f, maybeGunzip(f, b))
+      })
   }
 
   /** Write response records, one .warc file per partition. `uriCol` is

@@ -315,4 +315,41 @@ class WarcSpec extends SparkSpec {
         .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("gzipped WARC files inflate, including concatenated members") {
+    import org.apache.spark.sql.functions._
+    val dir = writeDir(docs)
+    // every plain part becomes ONE gzip member of a single .warc.gz —
+    // the Common Crawl layout (concatenated members, one per record
+    // group), plus one extra hand-built record as a final member
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val members = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc")).sortBy(_.getName)
+      .map(f => gz(java.nio.file.Files.readAllBytes(f.toPath)))
+    val extra = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:md5:ff>\r\nWARC-Date: d\r\n" +
+      "WARC-Target-URI: http://t.example/99\r\n" +
+      "X-Doc-Id: 99\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n")
+      .getBytes("UTF-8")
+    val gzDir = java.nio.file.Files.createTempDirectory("warc_gz").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$gzDir/all.warc.gz"),
+      members.foldLeft(Array.emptyByteArray)(_ ++ _) ++ gz(extra))
+    val got = Warc.read(spark, gzDir).toDF()
+      .select(col("headers")("X-Doc-Id").cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 99L), got.keySet.toString)
+    assert(got(99L) == "hello")
+    assert(got(2L).contains("WARC/1.0 inside")) // payloads still byte-exact
+    // a corrupt gz shard vanishes rather than failing the job
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$gzDir/bad.warc.gz"),
+      Array[Byte](0x1f, 0x0b, 1, 2, 3))
+    assert(Warc.read(spark, gzDir).toDF().count() == 5L)
+  }
 }
