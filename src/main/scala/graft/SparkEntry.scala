@@ -325,6 +325,44 @@ object SparkEntry {
         .orderBy("id_new", "id_store")
     }),
 
+    // The EMBEDDING-store maintenance lifecycle under the gate — q97's
+    // posture at the semantic layer: build the IVF-backed store from
+    // the even embeddings, DELETE a slice (tombstones filter the cells
+    // scan BEFORE top-k ranking — post-ranking masking would let the
+    // deleted doc eat the k=1 slot and hide a live near-dup), COMPACT
+    // (cells rewritten minus tombstones, pruning layout preserved),
+    // then probe the odd embeddings against the surviving history.
+    "q113_store_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_emb_life").toString
+      graft.operators.EmbeddingStore.write(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", tmp,
+        c = 16, portableHash = true)
+      graft.operators.EmbeddingStore.delete(
+        emb.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id", tmp)
+      graft.operators.EmbeddingStore.compactStore(s, tmp)
+      graft.operators.EmbeddingStore.probe(s, tmp,
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        tau = 0.3, nprobe = 4)
+        .orderBy("id_new")
+    }),
+
+    // Centroid-drift metric under the gate: centroids frozen on the
+    // even half, the odd half APPENDED against them, drift reported in
+    // exact integer micro-units (per-row round at 1e-6, integer DIV
+    // means) — the number a rebuild scheduler compares across runs, so
+    // it must be bit-stable across engines.
+    "q114_centroid_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_emb_drift").toString
+      graft.operators.EmbeddingStore.write(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", tmp,
+        c = 16, portableHash = true)
+      graft.operators.EmbeddingStore.append(
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", tmp)
+      graft.operators.EmbeddingStore.drift(s, tmp)
+    }),
+
     // WARC ingest round-trip under the gate: corpus → WARC shards
     // (Content-Length-framed response records, metadata as headers) →
     // record walk back (plus a planted garbage shard that must vanish)
@@ -2461,6 +2499,78 @@ object SparkEntry {
     // Persisted-index twin: identical semantics, answered through the
     // on-disk cell-partitioned index + pruned probe.
     "q72_ivf_persisted" -> ivfOracleSql,
+
+    // The embedding-store lifecycle replay: q72's IVF machinery with
+    // centroids picked from the EVEN half (the write-time universe,
+    // INCLUDING later-deleted rows — deletion does not retrain) and
+    // the cells universe filtered to the compaction survivors
+    // (id % 4 <> 0): pairs must behave as if the deleted docs were
+    // never ingested, while the centroid pick must remember they were.
+    "q113_store_semantic" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1 AND id % 4 <> 0),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 2 = 1) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id AS id_new, neighbor_id AS id_store, sim
+         |FROM ranked WHERE rank = 1 AND sim >= 0.3
+         |ORDER BY id_new""".stripMargin,
+
+    // Drift replay: the same frozen even-half centroid pick and
+    // nearest-cell assignment over ALL vectors (evens at write, odds
+    // at append), per-row angular distance rounded to micro-units,
+    // then integer-DIV means — SUM/COUNT stay in exact integer
+    // arithmetic so the metric is bit-stable across engines.
+    "q114_centroid_drift" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cell, c.cvec,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |d AS (
+         |  SELECT cell,
+         |    CAST(round(1e6 * (1.0 - ${cosSql("vec", "cvec")})) AS BIGINT) AS d
+         |  FROM assign WHERE rn = 1),
+         |pc AS (SELECT cell, COUNT(*) AS n, SUM(d) AS s FROM d GROUP BY cell)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(s) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS mean_drift_micro,
+         |  MAX(CAST(s AS BIGINT) // CAST(n AS BIGINT)) AS max_cell_drift_micro
+         |FROM pc""".stripMargin,
 
     "q20_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

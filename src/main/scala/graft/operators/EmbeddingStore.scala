@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *   - `cells/`     (id, vec) partitioned by cell — probes read only
   *                  the probed cells' directories.
   *
-  * Centroid drift under distribution shift is handled by a periodic
-  * full rebuild ([[write]] on the accumulated corpus) — the standard
-  * IVF maintenance trade, same note as [[Knn.appendIvfIndex]].
+  * Maintenance lifecycle (MinhashStore parity): [[delete]] tombstones
+  * ids (probes stop reporting them immediately), [[compactStore]]
+  * reclaims their bytes, and [[drift]] measures centroid staleness —
+  * appends assign against frozen centroids, so rising drift is the
+  * signal to schedule the periodic full rebuild ([[write]] on the
+  * accumulated corpus), the standard IVF maintenance trade.
   */
 object EmbeddingStore {
 
@@ -39,14 +42,102 @@ object EmbeddingStore {
     * (id_new, id_store, sim >= tau). k=1 suffices for detection — the
     * TOP neighbor beats every other, so "best >= tau" is exactly
     * "any >= tau". The probe reads ~nprobe/c of the store
-    * (partition-pruned; plan-asserted in Knn's specs). */
+    * (partition-pruned; plan-asserted in Knn's specs). Tombstoned ids
+    * are filtered out of the cells scan BEFORE top-k ranking (see
+    * [[Knn.searchIvf]]'s `exclude` note — post-ranking masking would
+    * let a deleted doc eat the one rank slot and hide a live dup). */
   def probe(spark: SparkSession, path: String,
             batch: DataFrame, idCol: String, vecCol: String,
             tau: Double = 0.95, nprobe: Int = 4): DataFrame =
-    Knn.searchIvf(spark, path, batch, idCol, vecCol, k = 1, nprobe)
+    Knn.searchIvf(spark, path, batch, idCol, vecCol, k = 1, nprobe,
+      exclude = tombstonesOpt(spark, path))
       .where(col("sim") >= tau)
       .select(col("query_id").as("id_new"),
         col("neighbor_id").as("id_store"), col("sim"))
+
+  /** Tombstone `ids` (one column, same type as the store's id): probes
+    * stop reporting them immediately; bytes are reclaimed at the next
+    * [[compactStore]]. Append-only metadata — no store rewrite — so it
+    * is safe per-batch (takedowns, retraction feeds). The tombstone
+    * set must stay broadcast-scale between compactions (it rides into
+    * every probe's cells scan as a broadcast anti-join). Same contract
+    * as [[MinhashStore.delete]]. */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id").distinct())
+    else None
+  }
+
+  /** Rewrite `cells/` minus tombstones (cell partitioning preserved —
+    * probe pruning is untouched) and drop the tombstone set. Centroids
+    * are NOT retrained: compaction reclaims bytes, it does not answer
+    * distribution shift — that is [[drift]]'s job, and the answer is a
+    * full [[write]] rebuild. Run in a maintenance window (the
+    * directory swap is not atomic w.r.t. concurrent probes). Returns a
+    * manifest: (component, rows). AQE sizes the anti-join — a
+    * compaction may carry an arbitrarily large tombstone backlog, so
+    * no broadcast hint here (same posture as
+    * [[MinhashStore.compactStore]]). */
+  def compactStore(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = tombstonesOpt(spark, path)
+    val nTomb = tomb.map(_.count()).getOrElse(0L)
+    val cells = spark.read.parquet(s"$path/cells")
+    val kept = tomb.fold(cells)(t =>
+      cells.join(t, cells("id") === t("id"), "left_anti"))
+    val tmp = s"$path/_compact_tmp"
+    fs.delete(new Path(tmp), true)
+    kept.write.partitionBy("cell").parquet(s"$tmp/cells")
+    fs.delete(new Path(s"$path/cells"), true)
+    fs.rename(new Path(s"$tmp/cells"), new Path(s"$path/cells"))
+    fs.delete(new Path(tmp), true)
+    fs.delete(new Path(s"$path/tombstones"), true)
+    import spark.implicits._
+    Seq(("cells", spark.read.parquet(s"$path/cells").count()),
+        ("tombstones_applied", nTomb))
+      .toDF("component", "rows")
+  }
+
+  /** Centroid-drift metric — the rebuild scheduler's input. One row:
+    * (n_vectors, mean_drift_micro, max_cell_drift_micro) where a
+    * vector's drift is its angular distance to its own cell's centroid,
+    * 1 − cos(vec, centroid), in exact integer micro-units (per-row
+    * round at 1e-6, then exact integer sums — the q63/q94 cross-engine
+    * replay trick, so the metric is bit-stable across engines and
+    * runs). Appends assign against FROZEN centroids, so as the data
+    * distribution shifts this number rises monotonically in
+    * expectation; compare against the post-build baseline and trigger
+    * a [[write]] rebuild past a ratio threshold (FAISS-style IVF
+    * maintenance, made measurable). Cost: one scan of `cells/` joined
+    * to the broadcast metadata-scale centroids — no shuffle beyond the
+    * 1-row aggregate. Tombstoned rows are excluded (they will leave at
+    * the next compaction and should not hold the metric hostage). */
+  def drift(spark: SparkSession, path: String): DataFrame = {
+    val centroids = broadcast(
+      spark.read.parquet(s"$path/centroids")
+        .select(col("cell"), col("cvec")))
+    val cells = spark.read.parquet(s"$path/cells")
+    val live = tombstonesOpt(spark, path).fold(cells)(t =>
+      cells.join(broadcast(t), cells("id") === t("id"), "left_anti"))
+    val microDist = round(
+      (lit(1.0) - graft.functions.Vectors.cosine(col("vec"), col("cvec"))) * 1e6)
+      .cast("long")
+    live.join(centroids, Seq("cell"))
+      .select(microDist.as("d"), col("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"), sum(col("d")).as("s"))
+      // integer FLOOR division (DIV) throughout: double-divide-then-cast
+      // truncates in Spark but banker's-rounds in DuckDB — DIV is the
+      // one mean both engines compute bit-identically on BIGINTs
+      .agg(sum(col("n")).as("n_vectors"),
+        expr("sum(s) DIV sum(n)").as("mean_drift_micro"),
+        max(expr("s DIV n")).as("max_cell_drift_micro"))
+  }
 
   /** One-call incremental ingest: drop batch docs with a semantic
     * near-dup in the history (or a smaller-id near-dup within the

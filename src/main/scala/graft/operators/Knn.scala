@@ -165,10 +165,17 @@ object Knn {
 
   /** Probe a persisted IVF index. The probed cell set (queries × nprobe,
     * driver-bounded) becomes an `isin` filter on the partition column,
-    * so the scan prunes to the probed directories before any join. */
+    * so the scan prunes to the probed directories before any join.
+    *
+    * `exclude`: optional one-column `id` frame of corpus ids to drop
+    * from the scan BEFORE scoring (broadcast anti-join — must stay
+    * broadcast-scale). Filtering pre-top-k is load-bearing: an excluded
+    * id that merely got masked post-ranking would eat a rank slot and
+    * hide a live neighbor (EmbeddingStore tombstones ride here). */
   def searchIvf(spark: SparkSession, path: String,
                 queries: DataFrame, queryId: String, queryVec: String,
-                k: Int, nprobe: Int = 4): DataFrame = {
+                k: Int, nprobe: Int = 4,
+                exclude: Option[DataFrame] = None): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
       .join(broadcast(centroids))
@@ -181,8 +188,10 @@ object Knn {
       .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
     val probedCells = qAssign.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(s"$path/cells")
+    val cellsRaw = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probedCells: _*)) // partition pruning
+    val cells = exclude.fold(cellsRaw)(t =>
+      cellsRaw.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
     val scored = cells.join(broadcast(qAssign), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
