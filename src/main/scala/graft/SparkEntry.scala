@@ -1195,6 +1195,60 @@ object SparkEntry {
         .orderBy("bands", "rows_per_band")
     }),
 
+    // Grid → measure → PICK closed under the gate: the cheapest
+    // banding whose measured recall meets 0.9 (min candidate volume);
+    // the oracle re-ranks its own q112 replay the same way.
+    "q118_lsh_pick" -> ((s, dir) => {
+      Dedup.pickLshConfig(t(s, dir, "documents"), "doc_id", "text",
+        tau = 0.35, configs = Seq((16, 4), (4, 16), (32, 2)),
+        targetRecall = 0.9, portableHash = true)
+    }),
+
+    // Vocab TABLE artifact: stable contiguous ids — base chars in
+    // UTF8-lexical order, then merge outputs by rank (first surface
+    // form wins) — the embedding-matrix-row contract q102's hashing
+    // trick can't give. The oracle rebuilds the identical table from
+    // the unrolled trainer CTEs.
+    "q115_bpe_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      graft.operators.Bpe.vocabTable(docs, "text", merges)
+        .orderBy("id")
+    }),
+
+    // Contiguous-id tokenization end-to-end: a doc slice encoded
+    // through the vocab TABLE (ids = embedding rows); OOV is
+    // impossible by construction (the slice ⊆ the training corpus),
+    // so any -1 in the output is a real bug the value compare catches.
+    "q116_bpe_vocab_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      val vocab = graft.operators.Bpe.vocabTable(docs, "text", merges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      docs.where(col("doc_id") % 9 === 5)
+        .select(col("doc_id"),
+          graft.operators.Bpe.encodeIds(col("text"), merges, vocab)
+            .as("token_ids"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-ordered token budgets: each source's budget buys its
+    // BEST tokens (score DESC, id) — score-range buckets from one
+    // GK-quantile aggregate feed q107's two-phase prefix sum; the
+    // oracle is the per-source single-window form that would
+    // serialize each source at scale.
+    "q117_token_budget_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.qualityScore(col("text")).as("score"))
+      operators.Sampling.sampleTokenBudgetBest(d, "doc_id", "source",
+        "n_tokens", "score", Map("src0" -> 500L, "src1" -> 0L),
+        defaultBudget = 700L)
+        .orderBy("doc_id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -1507,6 +1561,29 @@ object SparkEntry {
   }
 
   /** The q85 oracle: the merge list itself. */
+  /** Vocab CTEs shared by q115/q116 (expects bpeRoundsCte's w0/b1..b8
+    * in scope): base chars with lexical contiguous ids, then
+    * first-occurrence merge outputs appended in rank order. */
+  private lazy val bpeVocabCtes: String =
+    s"""chars AS (
+       |  SELECT DISTINCT t AS token FROM (
+       |    SELECT unnest(list_transform(range(1, len(word)+1),
+       |                                 j -> word[j])) AS t
+       |    FROM w0) x
+       |  WHERE t <> ''),
+       |base AS (
+       |  SELECT token,
+       |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
+       |  FROM chars),
+       |msteps AS (
+       |  ${(1 to 8).map(r => s"SELECT $r AS step, a || b AS token FROM b$r").mkString("\n  UNION ALL ")}),
+       |mfirst AS (SELECT token, MIN(step) AS st FROM msteps GROUP BY token),
+       |mids AS (
+       |  SELECT token,
+       |    (SELECT COUNT(*) FROM base)
+       |      + CAST(row_number() OVER (ORDER BY st) - 1 AS BIGINT) AS id
+       |  FROM mfirst)""".stripMargin
+
   private def bpeOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map(r =>
       s"SELECT $r AS step, a AS lhs, b AS rhs, a || b AS merged, f AS freq FROM b$r")
@@ -3083,58 +3160,15 @@ object SparkEntry {
          |WHERE CAST(bucket AS DOUBLE) < w * 10000.0
          |ORDER BY doc_id""".stripMargin,
 
-    "q112_lsh_grid" -> {
-      def bandCte(name: String, bands: Int, r: Int): String =
-        s"""$name AS (
-           |  SELECT doc_id, bnd,
-           |         md5(array_to_string(sig[bnd*$r+1 : bnd*$r+$r], ',')) AS bucket
-           |  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS bnd) x),
-           |${name}c AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM $name a JOIN $name b
-           |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
-          .stripMargin
-      def metric(bands: Int, r: Int, c: String): String =
-        s"""SELECT $bands AS bands, $r AS rows_per_band,
-           |  (SELECT COUNT(*) FROM $c) AS n_candidates,
-           |  (SELECT COUNT(*) FROM truth) AS n_truth,
-           |  (SELECT COUNT(*) FROM $c x JOIN truth t
-           |     ON x.id_a = t.id_a AND x.id_b = t.id_b) AS hits""".stripMargin
-      s"""$shinglesSql,
-         |capped AS (
-         |  SELECT * FROM ex QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
-         |truth AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |           COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
-         |    FROM capped a JOIN capped b
-         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) p
-         |  WHERE jaccard >= 0.35),
-         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
-         |slot AS (
-         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
-         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
-         |  GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
-         |${bandCte("g1", 16, 4)},
-         |${bandCte("g2", 4, 16)},
-         |${bandCte("g3", 32, 2)},
-         |m AS (
-         |  ${metric(16, 4, "g1c")}
-         |  UNION ALL ${metric(4, 16, "g2c")}
-         |  UNION ALL ${metric(32, 2, "g3c")})
-         |SELECT CAST(bands AS INT) AS bands,
-         |  CAST(rows_per_band AS INT) AS rows_per_band,
-         |  CAST(n_candidates AS BIGINT) AS n_candidates,
-         |  CAST(n_truth AS BIGINT) AS n_truth,
-         |  CAST(hits AS BIGINT) AS hits,
-         |  CASE WHEN n_candidates = 0 THEN 1.0
-         |       ELSE CAST(hits AS DOUBLE) / n_candidates END AS "precision",
-         |  CASE WHEN n_truth = 0 THEN 1.0
-         |       ELSE CAST(hits AS DOUBLE) / n_truth END AS recall
-         |FROM m ORDER BY bands, rows_per_band""".stripMargin
-    },
+    "q112_lsh_grid" -> lshGridOracleSql,
+
+    // The pick re-ranks the same measured grid: recall gate, then min
+    // candidate volume (ties: bands, rows_per_band).
+    "q118_lsh_pick" ->
+      s"""SELECT * FROM (
+         |$lshGridOracleSql
+         |) g WHERE recall >= 0.9
+         |ORDER BY n_candidates, bands, rows_per_band LIMIT 1""".stripMargin,
 
     "q110_decontaminate" ->
       s"""$shinglesSql,
@@ -3473,6 +3507,78 @@ object SparkEntry {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 9 = 4) d
          |LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Rebuilds the contiguous-id vocab from the unrolled trainer:
+    // distinct corpus characters in lexical order first, then the 8
+    // merge outputs in rank order (a repeated surface form keeps its
+    // min step — first occurrence wins, as in the Scala builder).
+    "q115_bpe_vocab" ->
+      s"""${bpeRoundsCte(8)},
+         |$bpeVocabCtes
+         |SELECT token, id
+         |FROM (SELECT * FROM base UNION ALL SELECT * FROM mids) v
+         |ORDER BY id""".stripMargin,
+
+    // q102's ordered per-doc reconstruction, but ids resolved through
+    // the rebuilt vocab TABLE instead of the hashing trick.
+    "q116_bpe_vocab_ids" ->
+      s"""${bpeRoundsCte(8)},
+         |$bpeVocabCtes,
+         |voc AS (SELECT * FROM base UNION ALL SELECT * FROM mids),
+         |vt AS (SELECT word,
+         |         string_split(substr(symstr, 2, len(symstr) - 2),
+         |                      chr(30)||chr(31)) AS toks
+         |       FROM w8),
+         |vt2 AS (
+         |  SELECT word, u.j AS j, u.t AS tok FROM (
+         |    SELECT word, unnest(list_transform(range(1, len(toks)+1),
+         |             i -> struct_pack(j := i, t := toks[i]))) AS u
+         |    FROM vt) x),
+         |docw AS (
+         |  SELECT doc_id, u.i AS wi, u.w AS word FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+         |             i -> struct_pack(i := i, w := ws[i]))) AS u
+         |    FROM (SELECT doc_id, $toksLower AS ws FROM documents
+         |          WHERE doc_id % 9 = 5) z) x),
+         |wid AS (
+         |  SELECT dw.doc_id, dw.wi, v2.j, v.id AS tid
+         |  FROM docw dw JOIN vt2 v2 ON v2.word = dw.word
+         |  JOIN voc v ON v.token = v2.tok),
+         |agg1 AS (SELECT doc_id, wi, list(tid ORDER BY j) AS ids
+         |         FROM wid GROUP BY doc_id, wi),
+         |agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS token_ids
+         |        FROM agg1 GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.token_ids, CAST([] AS BIGINT[])) AS token_ids
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 9 = 5) d
+         |LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Ground truth is the per-source single quality-ordered window —
+    // the Spark side must reproduce it from the score-range-bucketed
+    // two-phase form value-for-value.
+    "q117_token_budget_best" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    ROUND(least(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0, 1.0) * 0.4
+         |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END) * 4.0) * 0.3
+         |      + least((CASE WHEN len($toksLower) = 0 THEN 0.0
+         |          ELSE len(list_filter($toksLower,
+         |                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'], x))) * 1.0
+         |               / len($toksLower) END) * 3.0, 1.0) * 0.3, 6) AS score
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens, score,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 0
+         |         ELSE 700 END AS budget
+         |  FROM f)
+         |SELECT doc_id, source, n_tokens, score FROM c
+         |WHERE cum < budget
+         |ORDER BY doc_id""".stripMargin,
 
     "q103_shuffle_order" ->
       """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS skey
@@ -3824,6 +3930,62 @@ object SparkEntry {
     // observationally identical to the linear form.
     "q70_asof_bucketed" -> asofOracleSql
   )
+
+
+  /** The q112 measured-grid replay, shared with the q118 auto-pick
+    * wrapper. */
+  private lazy val lshGridOracleSql: String = {
+    def bandCte(name: String, bands: Int, r: Int): String =
+      s"""$name AS (
+         |  SELECT doc_id, bnd,
+         |         md5(array_to_string(sig[bnd*$r+1 : bnd*$r+$r], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS bnd) x),
+         |${name}c AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM $name a JOIN $name b
+         |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+        .stripMargin
+    def metric(bands: Int, r: Int, c: String): String =
+      s"""SELECT $bands AS bands, $r AS rows_per_band,
+         |  (SELECT COUNT(*) FROM $c) AS n_candidates,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM $c x JOIN truth t
+         |     ON x.id_a = t.id_a AND x.id_b = t.id_b) AS hits""".stripMargin
+    s"""$shinglesSql,
+       |capped AS (
+       |  SELECT * FROM ex QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+       |truth AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+       |    FROM capped a JOIN capped b
+       |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) p
+       |  WHERE jaccard >= 0.35),
+       |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+       |slot AS (
+       |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+       |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+       |${bandCte("g1", 16, 4)},
+       |${bandCte("g2", 4, 16)},
+       |${bandCte("g3", 32, 2)},
+       |m AS (
+       |  ${metric(16, 4, "g1c")}
+       |  UNION ALL ${metric(4, 16, "g2c")}
+       |  UNION ALL ${metric(32, 2, "g3c")})
+       |SELECT CAST(bands AS INT) AS bands,
+       |  CAST(rows_per_band AS INT) AS rows_per_band,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  CASE WHEN n_candidates = 0 THEN 1.0
+       |       ELSE CAST(hits AS DOUBLE) / n_candidates END AS "precision",
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE CAST(hits AS DOUBLE) / n_truth END AS recall
+       |FROM m ORDER BY bands, rows_per_band""".stripMargin
+  }
 
   private lazy val ivfOracleSql =
     s"""WITH hashed AS (

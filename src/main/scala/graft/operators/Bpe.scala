@@ -154,6 +154,66 @@ object Bpe {
   def encodeColumnFast(textCol: Column, merges: Seq[(String, String)]): Column =
     graft.plans.native.bpeTokens(textCol, merges)
 
+  /** Vocabulary TABLE artifact: (token, id) with stable CONTIGUOUS ids
+    * — the embedding-matrix-row contract (row i = token id i) that the
+    * hashing trick ([[encodeHashedIds]]) can't give (hashed ids collide
+    * and strand unused rows). Id assignment is deterministic and
+    * SQL-replayable: base single-character symbols first (every
+    * character observed in the corpus word universe, UTF8-lexically
+    * sorted), then merge OUTPUTS in merge-rank order (first occurrence
+    * wins when two merge paths produce the same surface token). Because
+    * merge ids extend the tail, retraining with MORE merges on the same
+    * corpus grows the table WITHOUT renumbering existing ids —
+    * append-only vocab growth, so old checkpoints stay loadable.
+    *
+    * Scale shape: one corpus-scale word aggregate (reuses
+    * [[wordCounts]]'s keys-only shuffle), then everything is
+    * vocab-scale — the id window's single task orders distinct
+    * CHARACTERS, not the corpus. */
+  def vocabTable(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // char extraction mirrors initialSymstr's substr walk so the char
+    // universe is exactly the trainer's base-symbol universe
+    val chars = wordCounts(df, textCol)
+      .select(explode(transform(sequence(lit(1), length(col("word"))),
+        j => col("word").substr(j, lit(1)))).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+    val base = chars.withColumn("id",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("token")) - 1).cast("long"))
+    val nBase = base.count()
+    val mergedTokens = merges.map { case (a, b) => a + b }.distinct
+    val mergedDf = mergedTokens.zipWithIndex
+      .map { case (t, i) => (t, nBase + i) }
+      .toDF("token", "id")
+    base.select("token", "id").union(mergedDf)
+  }
+
+  /** Persist the vocab table beside the merges (same train-once /
+    * tokenize-many artifact lifecycle as [[writeMerges]]). */
+  def writeVocab(vocab: DataFrame, path: String): Unit =
+    vocab.write.mode("overwrite").parquet(path)
+
+  /** Reload a persisted vocab table as the (token → id) map
+    * [[encodeIds]] consumes. Vocab-scale collect by construction. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                path: String): Map[String, Long] =
+    spark.read.parquet(path).select("token", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Contiguous token IDS through the vocab table: every
+    * [[encodeColumnFast]] subword mapped via a plan-literal (token→id)
+    * map — the same merges-as-plan-reference posture as the BpeTokens
+    * kernel, no per-token join, no shuffle. Unseen subwords (characters
+    * the training corpus never saw) map to `oovId`. */
+  def encodeIds(textCol: Column, merges: Seq[(String, String)],
+                vocab: Map[String, Long], oovId: Long = -1L): Column =
+    transform(encodeColumnFast(textCol, merges),
+      t => coalesce(element_at(typedLit(vocab), t), lit(oovId)))
+
   /** Subword token IDS via the hashing trick: each [[encodeColumnFast]]
     * token maps to pmod(md5hash(token), vocabSize) — the
     * embedding-bag / hashed-vocab form models consume (array<int>, no

@@ -581,6 +581,24 @@ object Dedup {
       "hits", "precision", "recall")
   }
 
+  /** Auto-pick over [[lshGridEval]]: the CHEAPEST banding whose
+    * measured recall meets `targetRecall` — min candidate volume,
+    * ties broken (bands ASC, rows_per_band ASC). One row (empty when
+    * no config qualifies — raise k or lower the target). This closes
+    * the tuning loop: grid → measure → pick, on a sample of YOUR
+    * corpus, instead of trusting the analytic S-curve on skewed
+    * real-world shingle distributions. */
+  def pickLshConfig(df: DataFrame, idCol: String, textCol: String,
+                    tau: Double, configs: Seq[(Int, Int)],
+                    targetRecall: Double,
+                    shingleN: Int = 3, maxDf: Int = 1000,
+                    portableHash: Boolean = false): DataFrame =
+    lshGridEval(df, idCol, textCol, tau, configs, shingleN, maxDf, portableHash)
+      .where(col("recall") >= targetRecall)
+      .orderBy(col("n_candidates").asc, col("bands").asc,
+        col("rows_per_band").asc)
+      .limit(1)
+
   /** One-call eval decontamination: drop every corpus doc whose text
     * near-dups ANY eval/benchmark doc ([[minhashLshPairsAcross]] at
     * `tau`, then a keys-only anti-join) — the remove-the-leaks

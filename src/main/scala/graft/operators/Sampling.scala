@@ -446,6 +446,73 @@ object Sampling {
       .drop("__h", "__b", "__boff", "__cum")
   }
 
+  /** [[sampleTokenBudget]] with QUALITY-ORDERED spend: each source's
+    * budget buys its BEST tokens — docs kept in (score DESC, id ASC)
+    * order until the budget is hit — rather than a hash-random slice.
+    * This is the production curation form the moment a quality signal
+    * exists (Text.qualityScore, a classifier logit, PageRank): "5B of
+    * our HIGHEST-quality book tokens", not "5B random book tokens".
+    *
+    * Scale shape: the same two-phase prefix sum as sampleTokenBudget,
+    * but buckets must follow the SCORE order, so they come from
+    * per-source approx-quantile boundaries (ONE corpus aggregate,
+    * GK-sketch — metadata-scale result) instead of the id hash:
+    * bucket i's scores all sort before bucket i+1's, per-bucket sums
+    * broadcast back as exclusive offsets, and the row-level window
+    * runs per (source, bucket). The CUT stays exact regardless of
+    * boundary placement — bucketing only shapes the plan (same
+    * invariance argument as sampleTokenBudget, spec'd at 1/7/64
+    * buckets) — so approximate quantiles never make the result
+    * approximate. NULL scores sort last (worst), after all scored
+    * docs. */
+  def sampleTokenBudgetBest(df: DataFrame, idCol: String, sourceCol: String,
+                            tokCol: String, scoreCol: String,
+                            budgets: Map[String, Long],
+                            defaultBudget: Long = Long.MaxValue,
+                            buckets: Int = 0): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val p = math.max(1, if (buckets > 0) buckets
+                         else df.sparkSession.sessionState.conf.numShufflePartitions)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    // NULL-safe ordering key: nulls become -inf so they land in the
+    // last bucket AND sort after every real score (desc_nulls_last
+    // in the window keeps the within-bucket order consistent).
+    val scoreKey = coalesce(col(scoreCol).cast("double"),
+      lit(Double.NegativeInfinity))
+    val withB =
+      if (p == 1) df.withColumn("__b", lit(0))
+      else {
+        // ascending boundaries b_1 <= ... <= b_{p-1}; a doc's bucket is
+        // the count of boundaries STRICTLY above its score — bucket 0
+        // holds the best scores, equal scores always share a bucket.
+        val bnds = df.groupBy(sourceCol)
+          .agg(percentile_approx(scoreKey,
+            typedlit((1 until p).map(_.toDouble / p)), lit(10000)).as("__bnds"))
+        df.join(broadcast(bnds), Seq(sourceCol))
+          .withColumn("__b",
+            size(filter(col("__bnds"), b => b > scoreKey)))
+          .drop("__bnds")
+      }
+    val offs = withB.groupBy(sourceCol, "__b")
+      .agg(sum(col(tokCol).cast("long")).as("__bsum"))
+      .withColumn("__boff",
+        coalesce(sum("__bsum").over(
+          Window.partitionBy(sourceCol).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(sourceCol), col("__b"), col("__boff"))
+    val local = Window.partitionBy(sourceCol, "__b")
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offs), Seq(sourceCol, "__b"))
+      .withColumn("__cum",
+        col("__boff") + coalesce(sum(col(tokCol).cast("long")).over(local), lit(0L)))
+      .where(col("__cum") < budget)
+      .drop("__b", "__boff", "__cum")
+  }
+
   /** Bucketed table write: `bucketBy(key)` + sorted buckets, so two
     * tables bucketed the same way join WITHOUT an exchange — the
     * co-located fact-fact join that replaces the biggest shuffle in a

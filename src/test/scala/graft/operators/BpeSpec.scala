@@ -124,4 +124,56 @@ class BpeSpec extends SparkSpec {
     assert(rebuilt.getString(0).replace(" ", "") ==
       rebuilt.getString(1).replace(" ", ""))
   }
+
+  test("vocabTable: contiguous ids, base chars sorted, append-only growth") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the cat sat on the mat the cat sat the cat"))
+      .toDF("doc_id", "text")
+    val m4 = Bpe.train(docs, "text", numMerges = 4, minFreq = 1L).map(m => (m._2, m._3))
+    val v4 = Bpe.vocabTable(docs, "text", m4).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // ids are exactly 0..n-1
+    assert(v4.map(_._2).toSeq == (0L until v4.length).toSeq, v4.mkString(","))
+    // base chars are the corpus characters, sorted
+    val chars = "the cat sat on the mat".split("").filter(_ != " ").distinct.sorted
+    assert(v4.take(chars.length).map(_._1).toSeq == chars.toSeq, v4.mkString(","))
+    // merge outputs follow in rank order
+    assert(v4.drop(chars.length).map(_._1).toSeq ==
+      m4.map { case (a, b) => a + b }.distinct, v4.mkString(","))
+    // retraining with MORE merges extends the tail without renumbering
+    val m6 = Bpe.train(docs, "text", numMerges = 6, minFreq = 1L).map(m => (m._2, m._3))
+    assert(m6.take(4) == m4, "greedy trainer must be prefix-stable")
+    val v6 = Bpe.vocabTable(docs, "text", m6).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v6.take(v4.length).toSeq == v4.toSeq,
+      "existing ids must survive vocab growth")
+  }
+
+  test("encodeIds maps through the vocab table; unseen chars hit oovId") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the cat sat on the mat the cat sat the cat"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 4, minFreq = 1L)
+      .map(m => (m._2, m._3))
+    val vocabDf = Bpe.vocabTable(docs, "text", merges)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    Bpe.writeVocab(vocabDf, dir)
+    val vocab = Bpe.loadVocab(spark, dir)
+    // training corpus: no OOV anywhere, ids < vocab size
+    val ids = docs.select(Bpe.encodeIds(col("text"), merges, vocab).as("ids"))
+      .collect()(0).getSeq[Long](0)
+    assert(ids.nonEmpty && ids.forall(i => i >= 0 && i < vocab.size), ids.mkString(","))
+    // id sequence decodes back to the token sequence
+    val toks = docs.select(Bpe.encodeColumnFast(col("text"), merges).as("t"))
+      .collect()(0).getSeq[String](0)
+    val inv = vocab.map(_.swap)
+    assert(ids.map(inv) == toks, "ids must be the tokens' table rows")
+    // a char the corpus never saw → oovId
+    val oov = Seq((1L, "zebra! q")).toDF("doc_id", "text")
+      .select(Bpe.encodeIds(col("text"), merges, vocab, oovId = -7L).as("ids"))
+      .collect()(0).getSeq[Long](0)
+    assert(oov.contains(-7L), oov.mkString(","))
+  }
 }

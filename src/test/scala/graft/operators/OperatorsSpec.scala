@@ -287,6 +287,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pickLshConfig: cheapest banding meeting the recall target; empty when none") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tok7x")),
+      (3L, base.replace("tok7 tok8 tok9", "a b c"))
+    ) ++ (20L to 40L).map(i =>
+      (i, (1 to 40).map(j => s"w${i}_$j").mkString(" ")))).toDF("doc_id", "text")
+    val configs = Seq((16, 4), (4, 16), (32, 2))
+    val grid = Dedup.lshGridEval(docs, "doc_id", "text", tau = 0.5, configs)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(6)))
+    val eligible = grid.filter(_._4 >= 0.5)
+    assume(eligible.nonEmpty, "fixture must have a config at recall >= 0.5")
+    val want = eligible.minBy { case (b, r, c, _) => (c, b, r) }
+    val got = Dedup.pickLshConfig(docs, "doc_id", "text", tau = 0.5,
+      configs, targetRecall = 0.5).collect()
+    assert(got.length == 1)
+    assert((got(0).getInt(0), got(0).getInt(1)) == ((want._1, want._2)), got.mkString)
+    // unreachable target → empty pick, not a wrong one
+    assert(Dedup.pickLshConfig(docs, "doc_id", "text", tau = 0.5,
+      configs, targetRecall = 1.1).collect().isEmpty)
+  }
+
   test("decontaminate drops corpus docs near-dup'ing any eval doc") {
     val s = spark
     import s.implicits._

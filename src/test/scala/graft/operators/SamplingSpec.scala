@@ -335,6 +335,50 @@ class SamplingSpec extends SparkSpec {
     assert(all == 300L)
   }
 
+  test("sampleTokenBudgetBest: budget buys the best-score prefix, bucketing-invariant") {
+    val s = spark
+    import s.implicits._
+    // scores descend with id, so the best-prefix is ids 1..11 for "a"
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 2 == 0) "b" else "a", 10L, 1000.0 - i)).toDF("doc_id", "source", "n_tok", "score")
+    val out = Sampling.sampleTokenBudgetBest(docs, "doc_id", "source",
+      "n_tok", "score", Map("a" -> 105L, "b" -> 0L),
+      defaultBudget = Long.MaxValue)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val aKept = out.filter(_._2 == "a").map(_._1).toSet
+    // 11 best "a" docs = the 11 smallest odd ids (highest scores)
+    assert(aKept == (1L to 21L by 2).toSet, aKept.toString)
+    assert(!out.exists(_._2 == "b"))
+    // the cut is the SCORE-ORDER prefix at any bucketing (GK boundary
+    // placement must not leak into the result)
+    def run(b: Int) = Sampling.sampleTokenBudgetBest(docs, "doc_id", "source",
+      "n_tok", "score", Map("a" -> 105L), defaultBudget = 37L, buckets = b)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(run(1) == run(7) && run(7) == run(64))
+    // single-window ground truth: same kept set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val truth = docs
+      .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+      .where(col("cum") < when(col("source") === "a", 105L).otherwise(37L))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val got = Sampling.sampleTokenBudgetBest(docs, "doc_id", "source",
+      "n_tok", "score", Map("a" -> 105L), defaultBudget = 37L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == truth)
+    // ties on score: id ASC breaks them — and NULL scores sort last
+    val tied = (1L to 10L).map(i =>
+      (i, "t", 10L, if (i <= 2) null.asInstanceOf[java.lang.Double]
+                    else java.lang.Double.valueOf(5.0)))
+      .toDF("doc_id", "source", "n_tok", "score")
+    val keptTied = Sampling.sampleTokenBudgetBest(tied, "doc_id", "source",
+      "n_tok", "score", Map("t" -> 45L))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // 45 tokens buy 5 docs: the four scored (3..6 by id) before any null
+    assert(keptTied == Set(3L, 4L, 5L, 6L, 7L), keptTied.toString)
+  }
+
   test("topKPerKey equals the window formulation, score desc id asc") {
     val s = spark
     import s.implicits._
