@@ -371,13 +371,29 @@ object SparkEntry {
     "q105_warc_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      def warcCols(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+        col("text").cast("binary").as("payload"),
+        map(lit("X-Lang"), col("lang"),
+            lit("X-Source"), col("source")).as("hdrs"))
+      // evens travel as plain .warc; odds through GZIPPED shards (the
+      // Common Crawl .warc.gz form — each shard one gzip stream here;
+      // the concatenated-member case is spec'd in SourcesSpec). The
+      // digest only matches the parquet oracle if BOTH paths decode.
       graft.sources.Warc.write(
-        docs.select(
-          concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
-          col("text").cast("binary").as("payload"),
-          map(lit("X-Lang"), col("lang"),
-              lit("X-Source"), col("source")).as("hdrs")),
+        warcCols(docs.where(col("doc_id") % 2 === 0)),
         tmp, "uri", "payload", Some("hdrs"))
+      val gzTmp = java.nio.file.Files.createTempDirectory("graft_warc_gz").toString
+      graft.sources.Warc.write(
+        warcCols(docs.where(col("doc_id") % 2 === 1)),
+        gzTmp, "uri", "payload", Some("hdrs"))
+      new java.io.File(gzTmp).listFiles().filter(_.getName.endsWith(".warc"))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(s"$tmp/gz-${f.getName}.gz")
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(java.nio.file.Files.readAllBytes(f.toPath))
+          gz.close()
+        }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$tmp/zz-corrupt.warc"),
         "garbage, not a warc record\r\n\r\n")
@@ -1246,6 +1262,40 @@ object SparkEntry {
       operators.Sampling.sampleTokenBudgetBest(d, "doc_id", "source",
         "n_tokens", "score", Map("src0" -> 500L, "src1" -> 0L),
         defaultBudget = 700L)
+        .orderBy("doc_id")
+    }),
+
+    // Asymmetric shingle CONTAINMENT (Broder's second resemblance
+    // measure): |A∩B|/|A| — the truncated-mirror signal Jaccard
+    // structurally misses; same inverted-index + df-cap plan as q16.
+    "q119_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C4's line/page heuristics value-exact: every predicate is a
+    // plain string test (no regex), replayed verbatim in SQL.
+    "q120_c4_clean" -> ((s, dir) => {
+      operators.TextAnalytics.c4Clean(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // HTML boilerplate strip: docs wrapped in a synthetic page
+    // (style + script blocks, attributes, entities) must come back as
+    // text — both engines run the IDENTICAL RE2-safe regex chain, so
+    // the digest matches only if every stage agrees byte-for-byte.
+    "q121_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>body{color:red}</style></head><body><p class=\"t\">"),
+        col("text"),
+        lit("</p><script>var x = 1 &amp;&amp; 2;</script> &lt;done&gt;</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalytics.stripHtml(html).as("clean"))
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("n_clean"),
+          md5(col("clean").cast("binary")).as("h_clean"))
         .orderBy("doc_id")
     }),
 
@@ -3579,6 +3629,70 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, score FROM c
          |WHERE cum < budget
          |ORDER BY doc_id""".stripMargin,
+
+    // Containment filters on the UNROUNDED ratio (as the Spark where
+    // does) and emits the rounded value.
+    "q119_containment" ->
+      s"""$shinglesSql,
+         |capped AS (
+         |  SELECT * FROM ex QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         COUNT(*) * 1.0 / a.n_sh AS c_raw
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh)
+         |SELECT id_a, id_b, ROUND(c_raw, 6) AS containment
+         |FROM p WHERE c_raw >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Line predicates replayed verbatim; array_to_string([]) is NULL
+    // in DuckDB where Spark's array_join is '' — COALESCE (q86/q59).
+    "q120_c4_clean" ->
+      """WITH l AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |         string_split(COALESCE(text, ''), chr(10)) AS lines
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_transform(
+        |      list_filter(lines, x ->
+        |        right(trim(x), 1) IN ('.', '!', '?', '"')
+        |        AND len(list_filter(string_split_regex(trim(x), '\s+'),
+        |                            w -> w <> '')) >= 3
+        |        AND NOT contains(lower(trim(x)), 'javascript')),
+        |      x -> trim(x)) AS kept
+        |  FROM l)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  (len(kept) >= 5 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS keep_doc
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // The identical RE2-safe chain: block-drop, tag-drop, the five
+    // entities (amp LAST), whitespace collapse.
+    "q121_strip_html" ->
+      """SELECT doc_id,
+        |  CAST(length(clean) AS BIGINT) AS n_clean,
+        |  md5(clean) AS h_clean
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            '<html><head><style>body{color:red}</style></head><body><p class="t">'
+        |              || text ||
+        |              '</p><script>var x = 1 &amp;&amp; 2;</script> &lt;done&gt;</body></html>',
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
 
     "q103_shuffle_order" ->
       """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS skey

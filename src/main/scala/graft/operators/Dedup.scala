@@ -117,6 +117,48 @@ object Dedup {
     materializeAndRelease(pairs, shingled)
   }
 
+  /** Shingle-CONTAINMENT pairs: |A∩B| / |A| >= `tau` — the asymmetric
+    * near-dup signal Jaccard structurally misses. A truncated mirror
+    * (page B = the first 20% of page A) has Jaccard ≈ 0.2 — invisible
+    * at any sane Jaccard tau — but containment(B in A) = 1.0. Standard
+    * companion to Jaccard in crawl dedup (Broder 1997's two
+    * resemblance measures). Output: (id_a, id_b, containment) where
+    * id_a is the CONTAINED doc (the suspected truncation/excerpt),
+    * id_b the container; both directions are emitted when both clear
+    * tau (mutual containment ≈ exact dup). Self-pairs excluded.
+    *
+    * Plan shape: identical to [[ngramJaccardPairs]] — inverted-index
+    * join keyed on shingle with the broadcast anti-join df cap; the
+    * only change is the denominator (n_a alone, not n_a+n_b-inter),
+    * so everything said there about 100 TB viability carries over. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tau: Double = 0.9,
+                       maxDf: Int = 1000): DataFrame = {
+    val shingled = df.select(
+        col(idCol).as("id"),
+        array_distinct(graft.plans.native.wordShingles(col(textCol), n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .persist(cacheLevel)
+    val capped =
+      if (maxDf >= Int.MaxValue / 2) shingled
+      else {
+        val hot = shingled.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+          .select("shingle")
+        shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val a = capped.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = capped.select(col("id").as("id_b"), col("shingle"))
+    val pairs = a.join(b, Seq("shingle"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "n_a")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .where(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+    materializeAndRelease(pairs, shingled)
+  }
+
   /** MinHash+LSH candidate pairs, verified by the signature-overlap
     * Jaccard estimate ≥ `tau`. k = bands * rowsPerBand hash slots.
     * `portableHash` switches the slot/bucket hashes from xxhash64

@@ -18,6 +18,78 @@ object TextAnalytics {
     regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
   }
 
+  /** C4-style heuristic cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning...", §2.2 — the web-scale curation
+    * rules behind the C4 corpus), line- and page-level:
+    *
+    *  LINE rules (a line survives iff ALL hold):
+    *   - ends in a terminal punctuation mark (. ! ? or closing quote)
+    *   - has at least `minLineWords` words
+    *   - does not mention "javascript" (case-insensitive)
+    *  PAGE rules (keep_doc):
+    *   - at least `minKeptLines` surviving lines
+    *   - no "lorem ipsum" (case-insensitive), no '{' anywhere
+    *
+    * Output: (id, clean_text = surviving lines re-joined, n_lines,
+    * n_kept, keep_doc). Pure per-row expressions — zero shuffles, the
+    * whole pass pipelines inside the scan at any corpus size. Every
+    * predicate is a plain string test (no regex), so the gate replays
+    * it verbatim in SQL. The paper's remaining rules live elsewhere:
+    * three-sentence-span dedup = [[Dedup.removeDuplicatedSpans]],
+    * blocklist words = [[blockwordRatio]], language ID = Text.langId. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 3, minKeptLines: Int = 5): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = split(txt, "\n")
+    val keepLine = (l: org.apache.spark.sql.Column) => {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(t, "\\s+"), w => w =!= "")) >= minLineWords &&
+        !contains(lower(t), lit("javascript"))
+    }
+    val kept = filter(lines, keepLine)
+    df.select(col(idCol),
+      array_join(transform(kept, l => trim(l)), "\n").as("clean_text"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      (size(kept) >= minKeptLines &&
+        !contains(lower(txt), lit("lorem ipsum")) &&
+        !contains(txt, lit("{"))).as("keep_doc"))
+  }
+
+  /** Blocklist-word exposure: fraction of a doc's tokens on `words`
+    * (the C4 "bad words" page rule, reported as a RATE so the caller
+    * picks the threshold — drop at > 0 for C4's rule, higher for
+    * laxer policies). Pure scan-side expression; the list rides the
+    * plan as a literal array (policy lists are hundreds of words —
+    * metadata-scale). */
+  def blockwordRatio(c: org.apache.spark.sql.Column,
+                     words: Seq[String]): org.apache.spark.sql.Column = {
+    val toks = Text.tokens(Text.normalizeText(c))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(round(
+        size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("double") /
+          size(toks).cast("double"), 6))
+  }
+
+  /** Strip HTML to text: script/style blocks dropped wholesale, tags
+    * removed, the five standard entities unescaped, whitespace
+    * collapsed. RE2-compatible patterns ((?is) flags, non-greedy, no
+    * lookaround) so the identical regex chain runs in DuckDB/RE2 and
+    * Java — the boilerplate-removal front door of a crawl pipeline
+    * (a trafilatura-class extractor plugs in upstream when layout
+    * heuristics are needed; this is the dependency-free floor). */
+  def stripHtml(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Most frequent lowercase tokens across the corpus: (term, n),
     * top `n` by count desc then term asc. Map-side partial counts →
     * one shuffle; the limit is a TakeOrdered, no global sort. */

@@ -287,6 +287,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs flags truncations Jaccard misses, direction-correct") {
+    val s = spark
+    import s.implicits._
+    val full = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val truncated = (1 to 12).map(i => s"tok$i").mkString(" ") // first 24%
+    val docs = Seq(
+      (1L, full),
+      (2L, truncated),
+      (3L, "a completely different document about something else entirely")
+    ).toDF("doc_id", "text")
+    // Jaccard between 1 and 2 is ~10/48 ≈ 0.2 — invisible at tau 0.5
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+    assert(jac.collect().isEmpty, "jaccard must miss the truncation")
+    jac.unpersist(false)
+    // containment of 2-in-1 is 1.0 (every shingle of 2 appears in 1)
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+    val got = cont.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((2L, 1L, 1.0)), got.toString)
+    cont.unpersist(false)
+    // mutual containment on exact dups: both directions emitted
+    val dup = Seq((1L, full), (2L, full)).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(dup, "doc_id", "text", n = 3, tau = 0.9)
+    assert(both.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 1L)))
+    both.unpersist(false)
+  }
+
   test("pickLshConfig: cheapest banding meeting the recall target; empty when none") {
     val s = spark
     import s.implicits._

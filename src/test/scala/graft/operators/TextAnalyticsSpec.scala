@@ -215,4 +215,79 @@ class TextAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(port(1L) > port(3L) && port(2L) > port(4L))
   }
+
+  test("c4Clean applies the line and page rules exactly") {
+    val s = spark
+    import s.implicits._
+    val goodLine = "This sentence has plenty of words and ends properly."
+    val doc = Seq(
+      goodLine,                                     // kept
+      "No terminal punctuation here",               // dropped: ending
+      "Too short.",                                 // dropped: < 3 words
+      "Please enable javascript to continue here.", // dropped: javascript
+      "  A padded line with five words.  ",         // kept (trimmed)
+      "He said \"stop right there\"",               // kept: closing quote IS terminal
+      "a trailing comma is not terminal,",          // dropped
+      "Is this a kept question line?"               // kept
+    ).mkString("\n")
+    val out = TextAnalytics.c4Clean(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+      minLineWords = 3, minKeptLines = 2).collect()(0)
+    assert(out.getAs[Int]("n_lines") == 8)
+    assert(out.getAs[Int]("n_kept") == 4, out.toString)
+    assert(out.getAs[String]("clean_text") ==
+      Seq(goodLine, "A padded line with five words.",
+        "He said \"stop right there\"",
+        "Is this a kept question line?").mkString("\n"))
+    assert(out.getAs[Boolean]("keep_doc"))
+    // page rules: lorem ipsum / brace kill the doc even with kept lines
+    val pages = Seq(
+      (1L, goodLine + "\nMore Lorem Ipsum filler text here."),
+      (2L, goodLine + "\nfunction f() { return 1; }"),
+      (3L, goodLine)
+    ).toDF("doc_id", "text")
+    val keeps = TextAnalytics.c4Clean(pages, "doc_id", "text",
+      minKeptLines = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
+    assert(keeps == Map(1L -> false, 2L -> false, 3L -> true), keeps.toString)
+    // below the kept-lines floor → dropped
+    val thin = TextAnalytics.c4Clean(
+      Seq((9L, goodLine)).toDF("doc_id", "text"), "doc_id", "text",
+      minKeptLines = 5).collect()(0)
+    assert(!thin.getAs[Boolean]("keep_doc"))
+  }
+
+  test("stripHtml drops blocks and tags, unescapes entities, collapses space") {
+    val s = spark
+    import s.implicits._
+    val html =
+      """<html><head><title>T</title><style type="text/css">p { color: red }</style>
+        |</head><body onload="f()"><h1>Heading</h1>
+        |<p>Tom &amp; Jerry say &quot;hi&quot; &lt;loudly&gt;.</p>
+        |<script>if (a < b && b > c) { alert("x"); }</script>
+        |<p>Second   paragraph.</p></body></html>""".stripMargin
+    val got = Seq((1L, html)).toDF("doc_id", "text")
+      .select(TextAnalytics.stripHtml(col("text")).as("t"))
+      .collect()(0).getString(0)
+    assert(got == """T Heading Tom & Jerry say "hi" <loudly>. Second paragraph.""", got)
+    // amp unescapes LAST: &amp;lt; is the literal text "&lt;", not "<"
+    val doubled = Seq((1L, "<p>&amp;lt;</p>")).toDF("doc_id", "text")
+      .select(TextAnalytics.stripHtml(col("text")).as("t"))
+      .collect()(0).getString(0)
+    assert(doubled == "&lt;", doubled)
+  }
+
+  test("blockwordRatio counts blocklisted token exposure") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "clean friendly text here"),
+      (2L, "badword one badword two"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalytics.blockwordRatio(col("text"), Seq("badword", "worse")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) == 0.0 && rows(2L) == 0.5 && rows(3L) == 0.0, rows.toString)
+  }
 }
