@@ -1299,6 +1299,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher's rule set in exact integer micro-units: every metric is
+    // integer arithmetic over plain string tests, replayed verbatim.
+    "q122_gopher_rules" -> ((s, dir) => {
+      operators.TextAnalytics.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3693,6 +3700,59 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // Integer micro-unit DIVs throughout (// in DuckDB, div in Spark —
+    // identical truncation on the non-negative operands here).
+    "q122_gopher_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'),
+        |                w -> w <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+        |         AS BIGINT) AS sum_len,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |         AS BIGINT) AS alpha_w,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_transform(toks, w -> lower(w))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS required_hits,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lines
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, n_words, sum_len, n_sym, alpha_w, required_hits,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•')))
+        |         AS BIGINT) AS bullet_l,
+        |    CAST(len(list_filter(lines, l -> right(l, 3) = '...' OR right(l, 1) = '…'))
+        |         AS BIGINT) AS ell_l,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_l
+        |  FROM c),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE (sum_len * 1000000) // n_words END AS mean_len_micro,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE (n_sym * 1000000) // n_words END AS symbol_micro,
+        |    CASE WHEN n_lines = 0 THEN 0 ELSE (bullet_l * 1000000) // n_lines END AS bullet_micro,
+        |    CASE WHEN n_lines = 0 THEN 0 ELSE (ell_l * 1000000) // n_lines END AS ellipsis_micro,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE (alpha_w * 1000000) // n_words END AS alpha_micro,
+        |    required_hits,
+        |    CASE WHEN n_lines = 0 THEN 0 ELSE (dup_l * 1000000) // n_lines END AS dup_line_micro
+        |  FROM d)
+        |SELECT doc_id, n_words, mean_len_micro, symbol_micro, bullet_micro,
+        |  ellipsis_micro, alpha_micro, required_hits, dup_line_micro,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND mean_len_micro BETWEEN 3000000 AND 10000000
+        |    AND symbol_micro <= 100000 AND bullet_micro < 900000
+        |    AND ellipsis_micro < 300000 AND alpha_micro >= 800000
+        |    AND required_hits >= 2 AND dup_line_micro <= 300000) AS keep_doc
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q103_shuffle_order" ->
       """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS skey

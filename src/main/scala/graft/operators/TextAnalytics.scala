@@ -72,6 +72,79 @@ object TextAnalytics {
           size(toks).cast("double"), 6))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A —
+    * the other canonical web-curation rule set beside [[c4Clean]]).
+    * Per-doc metrics in exact integer MICRO-units (count*1e6 DIV
+    * denominator — the repo's bit-stable cross-engine mean; no double
+    * division anywhere) plus the combined `keep_doc` verdict:
+    *
+    *   - `n_words` in [minWords, maxWords]        (paper: 50..100k)
+    *   - `mean_len_micro` in [3e6, 10e6]          (mean word length 3..10)
+    *   - `symbol_micro` <= 1e5                    (#/ellipsis per word <= 0.1)
+    *   - `bullet_micro` < 9e5                     (<90% lines bullet-led)
+    *   - `ellipsis_micro` < 3e5                   (<30% lines ...-ended)
+    *   - `alpha_micro` >= 8e5                     (>=80% words have a letter)
+    *   - `required_hits` >= minRequired           (>=2 of the 8 stop words)
+    *   - `dup_line_micro` <= 3e5                  (repetition: dup lines <=30%)
+    *
+    * Pure per-row expressions — zero shuffles, pipelines inside the
+    * scan at any corpus size; every metric is integer arithmetic over
+    * plain string tests, so the gate replays it verbatim. Gopher's
+    * duplicate-N-GRAM repetition screens are corpus-level operators
+    * here: [[repetitionRatio]] (q47) and Dedup's q57/q59 machinery. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minRequired: Int = 2): DataFrame = {
+    val M = 1000000L
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = Text.tokens(txt)
+    val nW = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // non-overlapping occurrence counts via length deltas (integer-exact)
+    val nHash = (length(txt) - length(replace(txt, lit("#"), lit("")))).cast("long")
+    val nEll = floor((length(txt) -
+      length(replace(txt, lit("..."), lit("")))).cast("long") / 3).cast("long")
+    val alphaW = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val hits = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(required.map(lit(_)): _*))).cast("long")
+    val lines = filter(transform(split(txt, "\n"), l => trim(l)), l => l =!= "")
+    val nL = size(lines).cast("long")
+    val bulletL = size(filter(lines,
+      l => substring(l, 1, 1).isin("-", "*", "•"))).cast("long")
+    val ellL = size(filter(lines,
+      l => substring(l, -3, 3) === "..." || substring(l, -1, 1) === "…"))
+      .cast("long")
+    val dupL = nL - size(array_distinct(lines)).cast("long")
+    // raw integer counts first, then micro-unit DIVs by NAME (the SQL
+    // `div` operator is the only bit-stable integer mean both engines
+    // share — double division would reintroduce low-bit drift)
+    val base = df.select(col(idCol), nW.as("n_words"), sumLen.as("sum_len"),
+      (nHash + nEll).as("n_sym"), alphaW.as("alpha_w"), hits.as("required_hits"),
+      nL.as("n_lines"), bulletL.as("bullet_l"), ellL.as("ell_l"), dupL.as("dup_l"))
+    def perM(num: String, den: String) =
+      expr(s"CASE WHEN $den = 0 THEN 0 ELSE ($num * $M) div $den END")
+    base.select(col(idCol), col("n_words"),
+        perM("sum_len", "n_words").as("mean_len_micro"),
+        perM("n_sym", "n_words").as("symbol_micro"),
+        perM("bullet_l", "n_lines").as("bullet_micro"),
+        perM("ell_l", "n_lines").as("ellipsis_micro"),
+        perM("alpha_w", "n_words").as("alpha_micro"),
+        col("required_hits"),
+        perM("dup_l", "n_lines").as("dup_line_micro"))
+      .withColumn("keep_doc",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_len_micro") >= 3L * M && col("mean_len_micro") <= 10L * M &&
+          col("symbol_micro") <= M / 10 &&
+          col("bullet_micro") < M * 9 / 10 &&
+          col("ellipsis_micro") < M * 3 / 10 &&
+          col("alpha_micro") >= M * 8 / 10 &&
+          col("required_hits") >= minRequired &&
+          col("dup_line_micro") <= M * 3 / 10)
+  }
+
   /** Strip HTML to text: script/style blocks dropped wholesale, tags
     * removed, the five standard entities unescaped, whitespace
     * collapsed. RE2-compatible patterns ((?is) flags, non-greedy, no

@@ -277,6 +277,38 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(doubled == "&lt;", doubled)
   }
 
+  test("gopherFilter: each rule fires on its own violating doc") {
+    val s = spark
+    import s.implicits._
+    // base doc passes EVERYTHING: 60 words incl. 'the' and 'of',
+    // mean word length ~5, no symbols/bullets/ellipses/dup lines
+    val good = (1 to 58).map(i => s"word$i").mkString(" ") + " the of"
+    val docs = Seq(
+      1L -> good,
+      2L -> "the of short doc.",                              // < 50 words
+      3L -> ((1 to 58).map(_ => "aa").mkString(" ") + " the of"),  // mean len < 3
+      4L -> good.replace("word1 ", "word1 #### ### # "),      // 8 '#' on 63 words > 0.1
+      // 29 of 30 lines bullet-led (distinct, alphabetic) — ONLY the
+      // bullet rule fires (alpha 147/176 = 0.835, dup lines 0)
+      5L -> ((1 to 29).map(i => s"- bullet line variant$i\n").mkString + good),
+      6L -> good.replaceAll("the of$", "111 222"),            // required hits 0
+      7L -> ((1 to 50).map(i => "99" + i).mkString(" ") + " the of 11 22 33 44 55 66 77 88") // alpha frac < 0.8
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false), got.toString)
+    // metric values are exact micro-units
+    val m = TextAnalytics.gopherFilter(
+      Seq(10L -> "aa bbbb\naa bbbb\ndd cc...").toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(m.getAs[Long]("n_words") == 6)
+    assert(m.getAs[Long]("mean_len_micro") == (2L+4+2+4+2+5) * 1000000L / 6)
+    assert(m.getAs[Long]("dup_line_micro") == 1000000L / 3)
+    assert(m.getAs[Long]("ellipsis_micro") == 1000000L / 3)
+    assert(m.getAs[Long]("symbol_micro") == 1000000L / 6)
+  }
+
   test("blockwordRatio counts blocklisted token exposure") {
     val s = spark
     import s.implicits._
