@@ -1306,6 +1306,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window chunker: 32-token windows, stride 24 → 1-4
+    // chunks per 10-99-word doc; windows stop at the doc end.
+    "q123_chunk_docs" -> ((s, dir) => {
+      operators.TextAnalytics.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3700,6 +3708,28 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // range(0, stop, step) is end-EXCLUSIVE in DuckDB where Spark's
+    // sequence is inclusive — the stop is (n_chunks-1)*stride + 1.
+    // list_slice is 1-based inclusive-both-ends and clamps, matching
+    // Spark's slice(toks, off+1, len) at the tail.
+    "q123_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'),
+        |                w -> w <> '') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |    1 + (CASE WHEN len(toks) > 32 THEN len(toks) - 32 ELSE 0 END + 23) // 24
+        |      AS n_chunks
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(off // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, n - off) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, off + 1, off + 32), ' ') AS chunk_text
+        |FROM n, UNNEST(range(0, CAST((n_chunks - 1) * 24 + 1 AS BIGINT), 24)) AS u(off)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Integer micro-unit DIVs throughout (// in DuckDB, div in Spark —
     // identical truncation on the non-negative operands here).

@@ -163,6 +163,46 @@ object TextAnalytics {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** Sliding-window document chunker — the embedding/retrieval
+    * ingestion front door: each doc becomes overlapping windows of
+    * `chunkTokens` whitespace tokens advancing by `stride`
+    * (overlap = chunkTokens - stride), the shape every
+    * embed-then-index pipeline feeds its encoder. Chunk count is
+    * 1 + ceil(max(0, n - chunkTokens) / stride) — windows stop once
+    * one reaches the end of the doc, so no chunk is a strict suffix
+    * of its predecessor (the HF `return_overflowing_tokens` + stride
+    * convention). Zero-token docs emit nothing.
+    *
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text) with
+    * chunk_text the window re-joined by single spaces (chunking is
+    * tokenized — original whitespace is not preserved; pair with the
+    * doc table by id when raw offsets matter). Pure per-row
+    * explode — no shuffle anywhere; at 100 TB the pass stays inside
+    * the scan and output parallelism is input parallelism. Unlike
+    * [[graft.operators.Sampling.packChunks]]/packSequences (which
+    * pack the CORPUS into fixed training rows across doc boundaries),
+    * this is per-doc windowing for retrieval/embedding. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 128, stride: Int = 96): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val base = df.select(col(idCol),
+        Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .where(col("n") > 0L)
+      // integer ceil by NAME (div — no double division)
+      .withColumn("n_chunks",
+        expr(s"1 + (CASE WHEN n > $chunkTokens THEN n - $chunkTokens ELSE 0 END" +
+          s" + ${stride - 1}) div $stride"))
+    base.select(col(idCol), col("toks"), col("n"),
+        posexplode(expr(s"sequence(0L, (n_chunks - 1) * ${stride}L, ${stride}L)"))
+          .as(Seq("chunk_idx", "off")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens.toLong), col("n") - col("off")).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("off").cast("int") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Most frequent lowercase tokens across the corpus: (term, n),
     * top `n` by count desc then term asc. Map-side partial counts →
     * one shuffle; the limit is a TakeOrdered, no global sort. */

@@ -309,6 +309,36 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(m.getAs[Long]("symbol_micro") == 1000000L / 6)
   }
 
+  test("chunkDocs: overlapping windows cover every token, stop at doc end") {
+    val s = spark
+    import s.implicits._
+    val toks = (1 to 25).map(i => s"t$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),   // 25 tokens: chunks at 0, 8 → wait: see asserts
+      (2L, "a b c"),              // fits one window
+      (3L, ""),                   // zero tokens → no rows
+      (4L, "  \n  ")              // whitespace only → no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.chunkDocs(docs, "doc_id", "text",
+      chunkTokens = 10, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: n=25 → n_chunks = 1 + ceil(15/8) = 3 → offsets 0, 8, 16
+    assert(got.map(x => (x._1, x._2)).toList ==
+      List((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)), got.mkString(", "))
+    assert(got(0)._4 == toks.take(10).mkString(" "))
+    assert(got(1)._4 == toks.slice(8, 18).mkString(" "))
+    assert(got(2)._4 == toks.slice(16, 25).mkString(" ") && got(2)._3 == 9L)
+    assert(got(3)._4 == "a b c" && got(3)._3 == 3L)
+    // coverage: chunk 0 + the post-overlap tail of each later chunk
+    // reconstructs the doc exactly
+    val rebuilt = got.filter(_._1 == 1L).sortBy(_._2).zipWithIndex.flatMap {
+      case ((_, _, _, txt), 0) => txt.split(" ").toSeq
+      case ((_, _, _, txt), _) => txt.split(" ").toSeq.drop(10 - 8)
+    }
+    assert(rebuilt.toList == toks.toList)
+  }
+
   test("blockwordRatio counts blocklisted token exposure") {
     val s = spark
     import s.implicits._
