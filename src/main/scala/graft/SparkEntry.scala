@@ -1314,6 +1314,24 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Mojibake repair: docs with doc_id%3=0 get a suffix exercising
+    // EVERY entry of the cp1252 repair table; both engines run a
+    // replace chain generated from the same table.
+    "q124_fix_mojibake" -> ((s, dir) => {
+      val bad = operators.TextAnalytics.mojibakeTable.map(_._1).mkString(" ")
+      val in = when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + bad)))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), in.as("txt"))
+        .select(col("doc_id"),
+          operators.TextAnalytics.mojibakeCount(col("txt")).as("n_bad"),
+          operators.TextAnalytics.fixMojibake(col("txt")).as("clean"))
+        .select(col("doc_id"), col("n_bad"),
+          length(col("clean")).cast("long").as("len_clean"),
+          md5(col("clean").cast("binary")).as("h_clean"))
+        .orderBy("doc_id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3708,6 +3726,28 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // Replace chain + counts GENERATED from TextAnalytics.mojibakeTable
+    // (the same object the Spark query folds over) — drift impossible.
+    "q124_fix_mojibake" -> {
+      val tbl = operators.TextAnalytics.mojibakeTable
+      val badSuffix = tbl.map(_._1).mkString(" ")
+      val chain = tbl.foldLeft("txt") { case (acc, (bad, good)) =>
+        s"replace($acc, '$bad', '$good')" }
+      val counts = tbl.map { case (bad, _) =>
+        s"(length(txt) - length(replace(txt, '$bad', ''))) // ${bad.length}"
+      }.mkString("\n      + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' $badSuffix'
+         |         ELSE text END AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST($counts AS BIGINT) AS n_bad,
+         |  CAST(length($chain) AS BIGINT) AS len_clean,
+         |  md5($chain) AS h_clean
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     // range(0, stop, step) is end-EXCLUSIVE in DuckDB where Spark's
     // sequence is inclusive — the stop is (n_chunks-1)*stride + 1.

@@ -203,6 +203,49 @@ object TextAnalytics {
           .as("chunk_text"))
   }
 
+  /** The common UTF-8-read-as-cp1252 double-encodings (mojibake),
+    * DERIVED from the actual encoding round-trip: each repaired
+    * character's UTF-8 bytes decoded as windows-1252 (Java maps the
+    * five undefined cp1252 bytes to their C1 controls, which is what
+    * survives in real scraped text, e.g. U+201D becomes "\u00e2\u20ac"
+    * + U+009D), so no entry can be hand-typo'd. All corrupted forms
+    * are 2-3 chars starting with \u00e2/\u00c3/\u00c2 and no form is a
+    * prefix of another, so chain order is irrelevant. Public: the
+    * gate generates its DuckDB replace chain from this SAME table,
+    * making query/oracle drift impossible. */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    // smart punctuation (E2 80 xx family) + euro
+    '\u2019', '\u2018', '\u201c', '\u201d', '\u2013', '\u2014',
+    '\u2026', '\u2022', '\u20ac',
+    // Latin-1 letters (C3 xx family)
+    '\u00e9', '\u00e8', '\u00e1', '\u00e0', '\u00f3', '\u00ed',
+    '\u00fa', '\u00f1', '\u00fc', '\u00f6', '\u00e4', '\u00e7',
+    '\u00ef', '\u00eb', '\u00df',
+    // symbols incl. NBSP (C2 xx family)
+    '\u00ab', '\u00bb', '\u00b0', '\u00b7', '\u00a0'
+  ).map { ch =>
+    new String(ch.toString.getBytes("UTF-8"), "windows-1252") -> ch.toString
+  }
+
+  /** Repair mojibake: scraped corpora are full of UTF-8 text that was
+    * decoded as cp1252 and re-encoded ("itâ€™s", "naÃ¯ve", "â€”") —
+    * these sequences defeat tokenizers, dedup keys, and language ID.
+    * Applies [[mojibakeTable]] as a literal replace chain (the ftfy
+    * floor: the high-frequency deterministic repairs, no statistical
+    * decoding). Pure scan-side expression, zero shuffles. */
+  def fixMojibake(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    mojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good)) }
+
+  /** Count of mojibake sequences present (pre-repair) — the FILTER
+    * signal: a high count marks a doc whose source encoding is
+    * damaged beyond these repairs. Integer-exact via length deltas. */
+  def mojibakeCount(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    mojibakeTable.map { case (bad, _) =>
+      ((length(c) - length(replace(c, lit(bad), lit("")))) / bad.length)
+        .cast("long")
+    }.reduce(_ + _)
+
   /** Most frequent lowercase tokens across the corpus: (term, n),
     * top `n` by count desc then term asc. Map-side partial counts →
     * one shuffle; the limit is a TakeOrdered, no global sort. */

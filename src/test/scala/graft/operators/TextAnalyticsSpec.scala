@@ -339,6 +339,31 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(rebuilt.toList == toks.toList)
   }
 
+  test("fixMojibake repairs the cp1252 round-trip; clean text untouched") {
+    val s = spark
+    import s.implicits._
+    def corrupt(t: String) = new String(t.getBytes("UTF-8"), "windows-1252")
+    val originals = Seq(
+      "it’s a naïve café — “quoted”…",
+      "«München» kostet 5€ · 30°",
+      "plain ascii stays plain ascii")
+    val rows = originals.zipWithIndex
+      .map { case (t, i) => (i.toLong, corrupt(t)) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalytics.fixMojibake(col("text")).as("fixed"),
+        TextAnalytics.mojibakeCount(col("text")).as("n_bad"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(rows.map(_._2) == originals, rows.toString)
+    assert(rows(2)._3 == 0L)            // clean doc: nothing counted
+    assert(rows(0)._3 == 7L, rows.toString)  // ’ ï é — “ ” …
+    // û is NOT in the table (coûte corrupts to "coÃ»te" and stays) —
+    // the count/repair only touch table entries, never guess
+    val partial = Seq((1L, corrupt("coûte"))).toDF("doc_id", "text")
+      .select(TextAnalytics.fixMojibake(col("text")).as("f")).collect()(0).getString(0)
+    assert(partial == corrupt("coûte"))
+  }
+
   test("blockwordRatio counts blocklisted token exposure") {
     val s = spark
     import s.implicits._
