@@ -1332,6 +1332,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled mixture weights (n^0.5 smoothing): sqrt is
+    // IEEE-exact in both engines, the normalizing sum is an ordered
+    // fold, and micro outputs go through floor — value-exact doubles.
+    "q125_temperature_mix" -> ((s, dir) => {
+      operators.Sampling.temperatureWeights(t(s, dir, "documents"), "source",
+        budgetDocs = 300L)
+        .orderBy("source")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3726,6 +3735,27 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // 0.0-seeded fold == DuckDB's init-free list_reduce (x + 0.0 is
+    // exact); both engines sum sqrt masses in source-sorted order.
+    "q125_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |s AS (
+        |  SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS s FROM c),
+        |t AS (
+        |  SELECT list_reduce(
+        |    list_transform(
+        |      list_sort(list(struct_pack(source := source, s := s))),
+        |      x -> x.s),
+        |    (a, b) -> a + b) AS t
+        |  FROM s)
+        |SELECT source, n_docs,
+        |  CAST(floor((s / t) * 1000000.0) AS BIGINT) AS weight_micro,
+        |  CAST(floor(least(1.0, 300.0 * (s / t) / CAST(n_docs AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS rate_micro
+        |FROM s, t ORDER BY source""".stripMargin,
 
     // Replace chain + counts GENERATED from TextAnalytics.mojibakeTable
     // (the same object the Spark query folds over) — drift impossible.

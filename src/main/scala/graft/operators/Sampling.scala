@@ -163,6 +163,45 @@ object Sampling {
         sum("n_tokens").over(Window.partitionBy()), 6).as("token_share"))
   }
 
+  /** Temperature-scaled source weights — the multilingual/multi-source
+    * sampling standard (mBERT/XLM-R's exponentiated smoothing): each
+    * source's sampling mass is n_s^alpha renormalized, with alpha < 1
+    * UPweighting small sources (alpha=1 is proportional, alpha=0
+    * uniform). Output per source: (source, n_docs, weight_micro,
+    * rate_micro) where weight is the normalized mass and rate =
+    * min(1, budgetDocs * weight / n_s) is the per-source Bernoulli
+    * rate that spends `budgetDocs` across the corpus — feed it to
+    * [[weightedMixture]] (or [[upsampleMixture]] when small sources
+    * should repeat, rate > 1 capped here).
+    *
+    * One count shuffle; everything after is metadata-scale (one row
+    * per source). Bit-stability: alpha=0.5 routes through sqrt (IEEE
+    * exactly-rounded in BOTH engines, unlike pow's 1-ulp license),
+    * the normalizing sum is an ORDERED fold over the source-sorted
+    * list, and micro-unit outputs go through floor (double→long CAST
+    * truncates in Spark but rounds in DuckDB — floor is the one
+    * shared quantizer). Non-0.5 alphas work but their gate-exactness
+    * is not guaranteed cross-engine. */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+                         budgetDocs: Long, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0, "alpha must be non-negative")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val scaled = counts.withColumn("s",
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha)))
+    val total = scaled.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("t"))
+    val w = col("s") / col("t")
+    scaled.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        floor(w * 1000000.0).cast("long").as("weight_micro"),
+        floor(least(lit(1.0),
+          lit(budgetDocs.toDouble) * w / col("n_docs").cast("double"))
+          * 1000000.0).cast("long").as("rate_micro"))
+  }
+
   /** Latest-version-per-key WITHOUT a window: `max(struct(ts, tie,
     * payload...))` aggregates lexicographically, so the partial
     * (map-side) aggregate keeps ONE row per key per partition and the

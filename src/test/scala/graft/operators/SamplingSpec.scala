@@ -432,4 +432,42 @@ class SamplingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("temperatureWeights: alpha endpoints, small-source upweighting, budget spend") {
+    val s = spark
+    import s.implicits._
+    // 3 sources: 800 / 150 / 50 docs
+    val docs = ((1L to 800L).map(i => (i, "web")) ++
+      (801L to 950L).map(i => (i, "books")) ++
+      (951L to 1000L).map(i => (i, "code"))).toDF("doc_id", "source")
+    def weights(alpha: Double) =
+      Sampling.temperatureWeights(docs, "source", budgetDocs = 300L, alpha = alpha)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // alpha=0: uniform weights regardless of size
+    val w0 = weights(0.0)
+    assert(w0.values.map(_._2).toSet.size == 1, w0.toString)
+    // alpha=1: proportional (web weight = 800/1000)
+    val w1 = weights(1.0)
+    assert(w1("web")._2 == 800000L, w1.toString)
+    // alpha=0.5 sits between: small source gets MORE than proportional,
+    // big source LESS; ordering of weights still follows size
+    val wh = weights(0.5)
+    assert(wh("code")._2 > w1("code")._2 && wh("web")._2 < w1("web")._2)
+    assert(wh("web")._2 > wh("books")._2 && wh("books")._2 > wh("code")._2)
+    // rates: never above 1e6; expected spend sum(n*rate) recovers the
+    // budget within rounding when nothing capped
+    assert(wh.values.forall(_._3 <= 1000000L))
+    val spend = wh.values.map { case (n, _, r) => n * r / 1000000.0 }.sum
+    assert(math.abs(spend - 300.0) < 1.0, spend.toString)
+    // a budget big enough to exhaust a small source: its rate caps at
+    // 1e6 and the capped mass is the (documented) undershoot
+    val capped = Sampling.temperatureWeights(docs, "source", budgetDocs = 900L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(capped("code") == 1000000L, capped.toString)
+    // plumbing into weightedMixture: rate_micro drives a deterministic draw
+    val rates = wh.map { case (src, (_, _, r)) => src -> r / 1000000.0 }
+    val kept = Sampling.weightedMixture(docs, "doc_id", "source", rates).count()
+    assert(kept > 200 && kept < 400, kept.toString)
+  }
 }
