@@ -1341,6 +1341,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Prototype pruning: drop the 30% most-central members of every
+    // semantic cell (q61's cells); ranks replay exactly because the
+    // sort key is round(cosine, 6) with id tiebreak in both engines.
+    "q126_prototype_prune" -> ((s, dir) => {
+      Dedup.prototypePrune(t(s, dir, "embeddings"), "vec_id", "embedding",
+        c = 16, dropPermille = 300, portableHash = true)
+        .orderBy("id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3735,6 +3744,33 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    "q126_prototype_prune" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |ranked AS (
+         |  SELECT ce.id, ce.cell,
+         |    row_number() OVER (PARTITION BY ce.cell
+         |      ORDER BY ROUND(${cosSql("ce.vec", "ct.cvec")}, 6) DESC, ce.id ASC)
+         |      AS proto_rank,
+         |    COUNT(*) OVER (PARTITION BY ce.cell) AS n_cell
+         |  FROM cells ce JOIN cents ct ON ce.cell = ct.cell)
+         |SELECT id, cell, CAST(proto_rank AS BIGINT) AS proto_rank,
+         |  CAST(n_cell AS BIGINT) AS n_cell,
+         |  proto_rank > (n_cell * 300) // 1000 AS keep
+         |FROM ranked ORDER BY id""".stripMargin,
 
     // 0.0-seeded fold == DuckDB's init-free list_reduce (x + 0.0 is
     // exact); both engines sum sqrt masses in source-sorted order.

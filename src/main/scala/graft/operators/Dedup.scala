@@ -389,6 +389,44 @@ object Dedup {
     materializeAndRelease(out, assigned)
   }
 
+  /** Prototype-distance pruning (the SSL-prototypes / D4 curation
+    * step: Sorscher et al. 2022 "Beyond neural scaling laws" — prune
+    * the most PROTOTYPICAL fraction of each semantic cluster, whose
+    * redundant easy examples contribute least to training): cluster
+    * by the q61 cell machinery, rank each cell's members by cosine to
+    * their centroid (most prototypical first), and mark the top
+    * `dropPermille`/1000 of every cell as pruned. Complements
+    * [[semanticDedup]]: that removes near-DUPLICATE pairs; this
+    * removes near-CENTROID redundancy even when no pair is close.
+    *
+    * Ranking sorts on round(cosine, 6) with id tiebreak — a quantized
+    * key both engines compute identically, so ranks (not just the
+    * verdict) replay in the gate. Plan: broadcast-kernel assignment
+    * (zero shuffle), one cell-keyed shuffle for the window — no
+    * pairwise join anywhere, so unlike semanticDedup there is no
+    * quadratic-in-cell-size term and no cap is needed; a hot cell
+    * costs one sort, and c grows with the corpus. Output: one row per
+    * doc, (id, cell, proto_rank, n_cell, keep). */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     c: Int = 1024, dropPermille: Int = 300,
+                     portableHash: Boolean = false): DataFrame = {
+    require(dropPermille >= 0 && dropPermille <= 1000,
+      "dropPermille must be in [0, 1000]")
+    val centroids = Knn.sampleCentroids(df, idCol, vecCol, c, portableHash)
+    val assigned = Knn.assignCells(df, idCol, vecCol, centroids)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(col("__sim").desc, col("id").asc)
+    assigned
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("__sim", round(Vectors.cosine(col("vec"), col("cvec")), 6))
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .withColumn("keep",  // floor: tiny cells (n*frac < 1) keep all members
+        col("proto_rank") > expr(s"(n_cell * $dropPermille) div 1000"))
+      .select("id", "cell", "proto_rank", "n_cell", "keep")
+  }
+
   /** Duplicated-passage signal (the substring-dedup quality metric of
     * "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, arXiv:2107.06499 — document-granular here):

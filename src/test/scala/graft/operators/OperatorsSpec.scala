@@ -315,6 +315,41 @@ class DedupSpec extends SparkSpec {
     both.unpersist(false)
   }
 
+  test("prototypePrune drops the most-central fraction per cell, floor on tiny cells") {
+    val s = spark
+    import s.implicits._
+    // 2-D unit vectors at increasing angles; with c=1 every doc lands
+    // in the single centroid's cell and prototypicality = cosine to it
+    val n = 10
+    val rows = (0 until n).map { i =>
+      val theta = i * 0.15
+      (i.toLong, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cvec = Knn.sampleCentroids(df, "vec_id", "embedding", 1)
+      .collect()(0).getSeq[Float](1).map(_.toDouble).toArray
+    val expectedOrder = rows.map { case (id, v) =>
+      val dot = v(0) * cvec(0) + v(1) * cvec(1)
+      val cos = dot / (math.sqrt(v(0) * v(0) + v(1) * v(1)) *
+        math.sqrt(cvec(0) * cvec(0) + cvec(1) * cvec(1)))
+      id -> BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sortBy { case (id, c) => (-c, id) }.map(_._1)
+    val got = Dedup.prototypePrune(df, "vec_id", "embedding",
+      c = 1, dropPermille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    val byRank = got.sortBy(_._2).map(_._1).toList
+    assert(byRank == expectedOrder.toList, byRank.toString)
+    // floor(10 * 0.3) = 3 most-prototypical pruned, 7 kept
+    assert(got.count(!_._3) == 3)
+    assert(got.filter(!_._3).map(_._2).toSet == Set(1L, 2L, 3L))
+    // dropPermille=0 keeps everything
+    assert(Dedup.prototypePrune(df, "vec_id", "embedding", c = 1,
+      dropPermille = 0).where(!col("keep")).count() == 0)
+    // singleton cells (c >= n: every vector its own centroid) keep all
+    assert(Dedup.prototypePrune(df, "vec_id", "embedding", c = 100,
+      dropPermille = 300).where(!col("keep")).count() == 0)
+  }
+
   test("pickLshConfig: cheapest banding meeting the recall target; empty when none") {
     val s = spark
     import s.implicits._
