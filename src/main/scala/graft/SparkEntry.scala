@@ -1350,6 +1350,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // HLL vocabulary sketch: per-source register table + estimate,
+    // replayed register-for-register (md5 60-bit hash, bin()-length
+    // ranks, ordered power-of-two harmonic fold); exact distinct
+    // rides along so the ~1.04/sqrt(m) accuracy is visible in-row.
+    "q127_hll_distinct" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(lower(col("text")))).as("tok"))
+      val est = operators.TextAnalytics.hllEstimate(
+        operators.TextAnalytics.hllRegisters(toks, "source", "tok", p = 10), p = 10)
+      val exact = toks.groupBy(col("source").as("key"))
+        .agg(count_distinct(col("tok")).as("n_exact"))
+      est.join(exact, Seq("key"))
+        .select(col("key").as("source"), col("n_regs"), col("est_floor"),
+          col("n_exact"))
+        .orderBy("source")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3744,6 +3761,40 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // alpha·m² rendered from the SAME Scala double hllEstimate uses
+    // (Double.toString round-trips); power(2,-r) terms are FP-exact.
+    "q127_hll_distinct" -> {
+      val m = 1L << 10
+      val am2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+      s"""WITH t AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source,
+         |      unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |             w -> w <> '')) AS tok
+         |    FROM documents) x),
+         |h AS (SELECT source, ${md5Hash64Sql("tok")} AS h FROM t),
+         |rv AS (SELECT source, h % $m AS bucket, h // $m AS v FROM h),
+         |rk AS (SELECT source, bucket,
+         |         CASE WHEN v = 0 THEN 51 ELSE 51 - length(bin(v)) END AS rank
+         |       FROM rv),
+         |regs AS (SELECT source, bucket, MAX(rank) AS r
+         |         FROM rk GROUP BY source, bucket),
+         |agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |    list_reduce(list_transform(
+         |      list_sort(list(struct_pack(bucket := bucket, r := r))),
+         |      x -> power(2.0, -x.r)), (a, b) -> a + b) AS s
+         |  FROM regs GROUP BY source),
+         |ex AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+         |       FROM t GROUP BY source)
+         |SELECT a.source, n_regs,
+         |  CAST(floor($am2 / (s + CAST($m - n_regs AS DOUBLE))) AS BIGINT)
+         |    AS est_floor,
+         |  n_exact
+         |FROM agg a JOIN ex USING (source)
+         |ORDER BY source""".stripMargin
+    },
 
     "q126_prototype_prune" ->
       s"""WITH hashed AS (

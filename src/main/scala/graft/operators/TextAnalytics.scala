@@ -246,6 +246,56 @@ object TextAnalytics {
         .cast("long")
     }.reduce(_ + _)
 
+  /** HyperLogLog register table per key — the mergeable fixed-RAM
+    * cardinality sketch (Flajolet et al. 2007): per-key vocabulary
+    * size at 100 TB where COUNT(DISTINCT) would shuffle every token.
+    * m = 2^p registers/key; register j holds the max over hashed
+    * values landing in bucket j of (leading-zero count of the
+    * remaining 60-p hash bits) + 1. Shuffle is keys-only, bounded by
+    * |keys|·m rows regardless of corpus size, with map-side partial
+    * max; shard sketches MERGE by cell-wise register max
+    * (linearity spec'd). Portability: the md5-derived 60-bit hash and
+    * rank-via-`bin()`-length (both engines print minimal binary)
+    * replay register-for-register in DuckDB. */
+  def hllRegisters(df: DataFrame, keyCol: String, valueCol: String,
+                   p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1L << p
+    val h = graft.functions.Hashes.md5Hash64(col(valueCol))
+    // h div m, NOT floor(h/m): double division is lossy above 2^53
+    df.select(col(keyCol).as("key"), h.as("h"))
+      .select(col("key"), pmod(col("h"), lit(m)).as("bucket"),
+        expr(s"h div ${m}L").as("v"))
+      .withColumn("rank",
+        when(col("v") === 0L, lit(60 - p + 1))
+          .otherwise(lit(60 - p + 1) - length(bin(col("v")))))
+      .groupBy("key", "bucket")
+      .agg(max("rank").as("r"))
+  }
+
+  /** HLL cardinality estimates from [[hllRegisters]] output: per key,
+    * (key, n_regs, est_floor) where est = alpha_m·m²/Σ2^(−M_j)
+    * (absent registers contribute 2^0). The harmonic sum is an
+    * ORDERED fold over bucket-sorted registers and every term is a
+    * power of two (FP-exact), so the estimate is bit-identical across
+    * engines; floor-quantized output. The standard small-range
+    * LinearCounting correction needs ln() (not bit-stable
+    * cross-engine) — apply it caller-side when |keys| is small; the
+    * raw estimate here is within ~1.04/sqrt(m) rel. error outside
+    * that regime. */
+  def hllEstimate(regs: DataFrame, p: Int = 10): DataFrame = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy("key")
+      .agg(count(lit(1)).as("n_regs"),
+        aggregate(array_sort(collect_list(struct(col("bucket"), col("r")))),
+          lit(0.0), (acc, x) => acc + pow(lit(2.0), -x.getField("r"))).as("s"))
+      .select(col("key"), col("n_regs"),
+        floor(lit(alpha * m * m) /
+          (col("s") + (lit(m) - col("n_regs")).cast("double")))
+          .cast("long").as("est_floor"))
+  }
+
   /** Most frequent lowercase tokens across the corpus: (term, n),
     * top `n` by count desc then term asc. Map-side partial counts →
     * one shuffle; the limit is a TakeOrdered, no global sort. */

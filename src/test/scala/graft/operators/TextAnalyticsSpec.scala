@@ -364,6 +364,37 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(partial == corrupt("coûte"))
   }
 
+  test("HLL registers merge by max; estimate within the rel-error bound") {
+    val s = spark
+    import s.implicits._
+    val p = 10
+    val m = 1 << p
+    // 5000 distinct values under one key
+    val vals = (1 to 5000).map(i => ("k", s"value$i")).toDF("key", "v")
+    val est = TextAnalytics.hllEstimate(
+      TextAnalytics.hllRegisters(vals, "key", "v", p), p)
+      .collect()(0).getAs[Long]("est_floor")
+    // 3 sigma of 1.04/sqrt(m) ≈ 9.75%
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.1, est.toString)
+    // duplicates don't move the estimate (sketch sees sets)
+    val dup = vals.union(vals).union(vals)
+    val estDup = TextAnalytics.hllEstimate(
+      TextAnalytics.hllRegisters(dup, "key", "v", p), p)
+      .collect()(0).getAs[Long]("est_floor")
+    assert(estDup == est)
+    // shard-merge linearity: registers(A ∪ B) == cellwise-max of
+    // registers(A), registers(B)
+    val a = vals.where(col("v").substr(6, 10).cast("long") % 2 === 0)
+    val b = vals.where(col("v").substr(6, 10).cast("long") % 2 === 1)
+    val whole = TextAnalytics.hllRegisters(vals, "key", "v", p)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val merged = TextAnalytics.hllRegisters(a, "key", "v", p)
+      .union(TextAnalytics.hllRegisters(b, "key", "v", p))
+      .groupBy("key", "bucket").agg(max("r").as("r"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(merged == whole)
+  }
+
   test("blockwordRatio counts blocklisted token exposure") {
     val s = spark
     import s.implicits._
