@@ -1367,6 +1367,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Scalable exact percentile rank: two-phase bucketed form must
+    // equal the single-window ground truth rank-for-rank (heavy ties
+    // from integer token counts exercise the id tiebreak).
+    "q128_rank_normalize" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("double").as("score"))
+      operators.Sampling.rankNormalize(scored, "doc_id", "score", buckets = 16)
+        .orderBy("doc_id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3761,6 +3771,23 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // The oracle is the single-window form the operator replaces.
+    "q128_rank_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         w -> w <> '')) AS DOUBLE) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rank,
+        |    COUNT(*) OVER () AS n
+        |  FROM t)
+        |SELECT doc_id, score AS score_key, CAST(rank AS BIGINT) AS rank,
+        |  CAST(CASE WHEN n <= 1 THEN 0
+        |       ELSE ((rank - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // alpha·m² rendered from the SAME Scala double hllEstimate uses
     // (Double.toString round-trips); power(2,-r) terms are FP-exact.

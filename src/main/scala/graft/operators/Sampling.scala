@@ -202,6 +202,59 @@ object Sampling {
           * 1000000.0).cast("long").as("rate_micro"))
   }
 
+  /** Exact global percentile rank WITHOUT a single-partition window —
+    * the normalization step for quality-signal ensembles (rank-blend
+    * heterogeneous scores before averaging/thresholding, curriculum
+    * position, calibration plots). `Window.orderBy(score)` alone
+    * funnels the corpus through ONE task; this is its scalable twin,
+    * the q117/packChunks two-phase shape: approx-quantile range
+    * buckets (boundary QUALITY only affects balance, never the
+    * result — bucketing-invariance is spec'd at 1/7/64 buckets),
+    * per-bucket counts → broadcast prefix offsets, then a per-BUCKET
+    * window; rank = bucket offset + local row_number. All parallelism
+    * is across buckets, which scale with the cluster.
+    *
+    * Rank is row_number semantics by (score ASC, id ASC): ties take
+    * distinct consecutive ranks deterministically (not SQL
+    * percent_rank's shared ranks — document choice, spec'd). NULL
+    * scores sort first (worst, pct ~0 — the sampleTokenBudgetBest
+    * -inf convention). Output: (id, score key, rank 1-based,
+    * pct_micro = (rank-1)*1e6 div (n-1); 0 when n = 1). */
+  def rankNormalize(df: DataFrame, idCol: String, scoreCol: String,
+                    buckets: Int = 0): DataFrame = {
+    val p = math.max(1, if (buckets > 0) buckets
+                         else df.sparkSession.sessionState.conf.numShufflePartitions)
+    val scoreKey = coalesce(col(scoreCol).cast("double"),
+      lit(Double.NegativeInfinity))
+    val withB =
+      if (p == 1) df.withColumn("__b", lit(0))
+      else {
+        val bnds = df.agg(percentile_approx(scoreKey,
+          typedlit((1 until p).map(_.toDouble / p)), lit(10000)).as("__bnds"))
+        df.crossJoin(broadcast(bnds))
+          // bucket = boundaries strictly BELOW the score: equal scores
+          // always share a bucket, so the in-bucket id tiebreak is total
+          .withColumn("__b", size(filter(col("__bnds"), b => b < scoreKey)))
+          .drop("__bnds")
+      }
+    val offs = withB.groupBy("__b")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum("__bn").over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__n", sum("__bn").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__b"), col("__boff"), col("__n"))
+    val local = Window.partitionBy("__b")
+      .orderBy(scoreKey.asc, col(idCol).asc)
+    withB.join(broadcast(offs), Seq("__b"))
+      .withColumn("rank", col("__boff") + row_number().over(local).cast("long"))
+      .withColumn("pct_micro",
+        expr("CASE WHEN __n <= 1 THEN 0 ELSE ((rank - 1) * 1000000) div (__n - 1) END"))
+      .select(col(idCol), scoreKey.as("score_key"), col("rank"), col("pct_micro"))
+  }
+
   /** Latest-version-per-key WITHOUT a window: `max(struct(ts, tie,
     * payload...))` aggregates lexicographically, so the partial
     * (map-side) aggregate keeps ONE row per key per partition and the

@@ -470,4 +470,35 @@ class SamplingSpec extends SparkSpec {
     val kept = Sampling.weightedMixture(docs, "doc_id", "source", rates).count()
     assert(kept > 200 && kept < 400, kept.toString)
   }
+
+  test("rankNormalize: bucketing-invariant exact ranks, ties by id, nulls first") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy ties: scores drawn from just 7 values, plus some nulls
+    val rows = (1L to 300L).map { i =>
+      (i, if (i % 29 == 0) None else Some((rnd.nextInt(7) * 10).toDouble))
+    }
+    val df = rows.toDF("id", "score")
+    def run(b: Int) = Sampling.rankNormalize(df, "id", "score", buckets = b)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    val one = run(1)   // single bucket == plain global window
+    assert(run(7) == one && run(64) == one, "bucketing must not change ranks")
+    // ranks are a permutation of 1..n
+    assert(one.map(_._3).sorted == (1L to 300L).toList)
+    // nulls (as -inf) take the lowest ranks, ordered by id
+    val nullIds = rows.filter(_._2.isEmpty).map(_._1)
+    val nullRanks = one.filter(r => nullIds.contains(r._1)).sortBy(_._1).map(_._3)
+    assert(nullRanks == (1L to nullIds.length).toList, nullRanks.toString)
+    // ties ordered by id within equal scores
+    val byScore = one.filterNot(r => nullIds.contains(r._1)).groupBy(_._2)
+    byScore.values.foreach { grp =>
+      assert(grp.sortBy(_._1).map(_._3) == grp.map(_._3).sorted,
+        "tie ranks must follow id order")
+    }
+    // pct_micro endpoints: rank 1 -> 0, rank n -> exactly 1e6
+    assert(one.find(_._3 == 1L).get._4 == 0L)
+    assert(one.find(_._3 == 300L).get._4 == 1000000L)
+  }
 }
