@@ -183,15 +183,86 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window"), s)
   }
 
+  // NB: AdaptiveSparkPlanExec.inputPlan is the plan BEFORE
+  // EnsureRequirements in Spark 4 — it contains no exchanges at all, so
+  // counting there silently reports 0. `a.executedPlan` (== initialPlan
+  // until stages materialize) is the one with the real exchanges.
+  private def exchangesIn(df: org.apache.spark.sql.DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan
+    plan.collect { case e: Exchange => e }.size +
+      plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(
+        _.executedPlan.collect { case e: Exchange => e }).size
+  }
+
+  test("scan-shaped text ops are pure projections — zero exchanges") {
+    // c4Clean / gopherFilter / stripHtml+fixMojibake / chunkDocs must
+    // pipeline inside the scan: no join, no aggregate, no window, no
+    // exchange anywhere. The 100 TB claim for all of q120-q124.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val shapes = Seq(
+      "c4Clean" -> operators.TextAnalytics.c4Clean(docs, "doc_id", "text"),
+      "gopher" -> operators.TextAnalytics.gopherFilter(docs, "doc_id", "text"),
+      "strip+moji" -> docs.select(
+        operators.TextAnalytics.fixMojibake(
+          operators.TextAnalytics.stripHtml(org.apache.spark.sql.functions.col("text")))),
+      "chunkDocs" -> operators.TextAnalytics.chunkDocs(docs, "doc_id", "text", 32, 24))
+    for ((name, df) <- shapes) {
+      assert(exchangesIn(df) == 0, s"$name shuffles")
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("Window") && !s.contains("Join"), s"$name: $s")
+    }
+  }
+
+  test("containmentPairs caps hot shingles with a broadcast anti-join, no Window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val s = operators.Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5).queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"), s)
+    assert(!s.contains("Window"), s)
+  }
+
+  test("temperatureWeights: one corpus aggregate, metadata joins broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = operators.Sampling.temperatureWeights(docs, "source", 300L)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("SortMergeJoin"), s)
+    // corpus-scale work is the count groupBy; everything downstream is
+    // per-source metadata
+    assert(exchangesIn(df) <= 4, df.queryExecution.executedPlan.toString)
+  }
+
+  test("hllRegisters: one keys-only exchange with a map-side partial max") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.explode(
+        graft.functions.Text.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("tok"))
+    val df = operators.TextAnalytics.hllRegisters(toks, "source", "tok", 10)
+    assert(exchangesIn(df) == 1, df.queryExecution.executedPlan.toString)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("partial_max") || s.contains("partial"), s)
+  }
+
+  test("rankNormalize windows partition by bucket — never the whole corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("double").as("score"))
+    val df = operators.Sampling.rankNormalize(docs, "doc_id", "score", 16)
+    val s = df.queryExecution.executedPlan.toString
+    // the row_number over the DATA must be keyed by __b; the only
+    // unpartitioned windows run over the p-row bucket metadata
+    val rnWindows = s.linesIterator.filter(l =>
+      l.contains("row_number()")).toList
+    assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("__b")), s)
+  }
+
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster. q17 included since
     // the keys-only banding rework; its extra signature re-joins fit.
     for ((name, fn) <- SparkEntry.queries) {
-      val plan = fn(spark, dir).queryExecution.executedPlan
-      val exchanges = plan.collect { case e: Exchange => e }.size +
-        plan.collect { case a: AdaptiveSparkPlanExec => a }.flatMap(
-          _.inputPlan.collect { case e: Exchange => e }).size
+      val exchanges = exchangesIn(fn(spark, dir))
       assert(exchanges <= 12, s"$name has $exchanges exchanges")
     }
   }
