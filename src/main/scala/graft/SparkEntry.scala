@@ -1377,6 +1377,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Rank-blend ensemble: two incomparable signals normalized to
+    // exact percentiles, weighted 0.75/0.25 (FP-exact weights).
+    "q129_blend_ranks" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("double").as("n_tok"),
+        length(col("text")).cast("double").as("n_chars"))
+      operators.Sampling.blendRanks(scored, "doc_id",
+        Seq("n_tok" -> 0.75, "n_chars" -> 0.25), buckets = 16)
+        .orderBy("doc_id")
+    }),
+
+    // Snapshot drift: today's simulated shard (rows dropped, names
+    // nulled, a segment renamed) vs yesterday's — per-column deltas.
+    "q130_stats_drift" -> ((s, dir) => {
+      val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      val a = t(s, dir, "customer").select(cols.map(col): _*)
+      val b = t(s, dir, "customer").where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit(null))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("c_mktsegment") === "BUILDING", lit("ZBUILDING"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"))
+      operators.KeyChecks.statsDrift(a, b, cols).orderBy("col_name")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3771,6 +3797,97 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // Same fold order as blendRanks: (p1*w1 + p2*w2) / totalW, floor.
+    "q129_blend_ranks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         w -> w <> '')) AS DOUBLE) AS n_tok,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY n_tok ASC, doc_id ASC) AS rank,
+        |         COUNT(*) OVER () AS n FROM t),
+        |p1 AS (SELECT doc_id, CAST(CASE WHEN n <= 1 THEN 0
+        |         ELSE ((rank - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_n_tok
+        |       FROM r1),
+        |r2 AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank,
+        |         COUNT(*) OVER () AS n FROM t),
+        |p2 AS (SELECT doc_id, CAST(CASE WHEN n <= 1 THEN 0
+        |         ELSE ((rank - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_n_chars
+        |       FROM r2)
+        |SELECT p1.doc_id, pct_n_tok, pct_n_chars,
+        |  CAST(floor((pct_n_tok * 0.75 + pct_n_chars * 0.25) / 1.0) AS BIGINT)
+        |    AS blend_micro
+        |FROM p1 JOIN p2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q89's analyze replayed per side, joined, deltas in SQL.
+    "q130_stats_drift" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer),
+        |b AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS c_name,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 'ZBUILDING'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey % 11 <> 0),
+        |la AS (
+        |  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM a
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_name) AS BIGINT),
+        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM a
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_mktsegment IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM a
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_nationkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+        |    CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM a),
+        |lb AS (
+        |  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM b
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_name) AS BIGINT),
+        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM b
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_mktsegment IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM b
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_nationkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+        |    CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM b)
+        |SELECT la.col_name,
+        |  la.n_rows AS n_rows_a, lb.n_rows AS n_rows_b,
+        |  lb.n_rows - la.n_rows AS row_delta,
+        |  la.n_null AS n_null_a, lb.n_null AS n_null_b,
+        |  lb.n_null - la.n_null AS null_delta,
+        |  la.n_distinct AS n_distinct_a, lb.n_distinct AS n_distinct_b,
+        |  lb.n_distinct - la.n_distinct AS distinct_delta,
+        |  NOT (lb.min_val IS NOT DISTINCT FROM la.min_val) AS min_changed,
+        |  NOT (lb.max_val IS NOT DISTINCT FROM la.max_val) AS max_changed
+        |FROM la JOIN lb USING (col_name)
+        |ORDER BY col_name""".stripMargin,
 
     // The oracle is the single-window form the operator replaces.
     "q128_rank_normalize" ->

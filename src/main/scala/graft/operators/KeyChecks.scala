@@ -52,6 +52,36 @@ object KeyChecks {
     * (floats format differently across engines — profile those via a
     * decimal cast). Output: (col_name, n_rows, n_null, n_distinct,
     * min_val, max_val), one row per column. */
+  /** Snapshot drift report — the data-quality regression alarm
+    * between two versions of the same table (yesterday's crawl shard
+    * vs today's, pre- vs post-migration): per column, both sides'
+    * [[analyze]] stats joined with integer deltas and min/max change
+    * flags. A pipeline asserts on this output (row_delta bounds,
+    * null_delta == 0, distinct drift %) instead of eyeballing
+    * dashboards. Two single-pass aggregates (one per snapshot,
+    * metadata-scale output) + a |cols|-row join — corpus size only
+    * enters through the scans. */
+  def statsDrift(a: DataFrame, b: DataFrame, cols: Seq[String],
+                 exact: Boolean = true): DataFrame = {
+    val sa = analyze(a, cols, exact)
+    val sb = analyze(b, cols, exact)
+    def side(df: DataFrame, s: String) = df.select(
+      col("col_name"),
+      col("n_rows").as(s"n_rows_$s"), col("n_null").as(s"n_null_$s"),
+      col("n_distinct").as(s"n_distinct_$s"),
+      col("min_val").as(s"min_$s"), col("max_val").as(s"max_$s"))
+    side(sa, "a").join(side(sb, "b"), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        (col("n_rows_b") - col("n_rows_a")).as("row_delta"),
+        col("n_null_a"), col("n_null_b"),
+        (col("n_null_b") - col("n_null_a")).as("null_delta"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        (col("n_distinct_b") - col("n_distinct_a")).as("distinct_delta"),
+        (!(col("min_b") <=> col("min_a"))).as("min_changed"),
+        (!(col("max_b") <=> col("max_a"))).as("max_changed"))
+  }
+
   def analyze(df: DataFrame, cols: Seq[String],
               exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "analyze needs at least one column")

@@ -255,6 +255,33 @@ object Sampling {
       .select(col(idCol), scoreKey.as("score_key"), col("rank"), col("pct_micro"))
   }
 
+  /** Rank-blend ensemble: heterogeneous quality signals (classifier
+    * scores, PageRank, token entropy, …) are incomparable in raw
+    * units — normalize each to its exact global percentile
+    * ([[rankNormalize]]) and take the weighted mean. The standard way
+    * curation stacks combine filters without per-signal threshold
+    * tuning. One rankNormalize pass per signal (bucket-parallel, see
+    * there) plus |signals|−1 id-keyed joins; output (id,
+    * pct_<signal>… , blend_micro). blend_micro =
+    * floor(Σ wᵢ·pctᵢ / Σw) evaluated in declaration order — the
+    * oracle replays the identical fold, so render weights from the
+    * same literals. */
+  def blendRanks(df: DataFrame, idCol: String,
+                 weights: Seq[(String, Double)],
+                 buckets: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "need at least one signal with positive weight")
+    val totalW = weights.map(_._2).sum
+    val ranked = weights.map { case (c, _) =>
+      rankNormalize(df.select(col(idCol), col(c)), idCol, c, buckets)
+        .select(col(idCol), col("pct_micro").as(s"pct_$c"))
+    }.reduce(_.join(_, Seq(idCol)))
+    val blend = weights.map { case (c, w) => col(s"pct_$c") * lit(w) }
+      .reduce(_ + _)
+    ranked.withColumn("blend_micro",
+      floor(blend / lit(totalW)).cast("long"))
+  }
+
   /** Latest-version-per-key WITHOUT a window: `max(struct(ts, tie,
     * payload...))` aggregates lexicographically, so the partial
     * (map-side) aggregate keeps ONE row per key per partition and the

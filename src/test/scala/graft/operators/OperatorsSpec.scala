@@ -75,6 +75,29 @@ class KeyChecksSpec extends SparkSpec {
       KeyChecks.assertNoDups(df, Seq("k"))
     }
   }
+
+  test("statsDrift: planted drift surfaces, identical snapshots are silent") {
+    val s = spark
+    import s.implicits._
+    val a = (1L to 100L).map(i => (i, s"name$i", i % 5)).toDF("id", "name", "grp")
+    val b = (1L to 100L).filter(_ % 10 != 0)
+      .map(i => (i, if (i % 4 == 0) null else s"name$i", i % 5))
+      .toDF("id", "name", "grp")
+    val d = KeyChecks.statsDrift(a, b, Seq("id", "name", "grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("id").getAs[Long]("row_delta") == -10L)
+    assert(d("name").getAs[Long]("null_delta") > 0)
+    assert(d("id").getAs[Boolean]("max_changed"))   // 100 dropped (100 % 10 == 0)
+    assert(!d("grp").getAs[Boolean]("min_changed") &&
+      !d("grp").getAs[Boolean]("max_changed"))
+    // identical snapshots: zero deltas, no flags
+    val same = KeyChecks.statsDrift(a, a, Seq("id", "name", "grp")).collect()
+    same.foreach { r =>
+      assert(r.getAs[Long]("row_delta") == 0 && r.getAs[Long]("null_delta") == 0
+        && r.getAs[Long]("distinct_delta") == 0)
+      assert(!r.getAs[Boolean]("min_changed") && !r.getAs[Boolean]("max_changed"))
+    }
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -501,4 +501,24 @@ class SamplingSpec extends SparkSpec {
     assert(one.find(_._3 == 1L).get._4 == 0L)
     assert(one.find(_._3 == 300L).get._4 == 1000000L)
   }
+
+  test("blendRanks: weighted percentile mean, single-signal identity") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, (i * 7 % 100).toDouble, (100 - i).toDouble))
+      .toDF("id", "sa", "sb")
+    val got = Sampling.blendRanks(df, "id", Seq("sa" -> 0.75, "sb" -> 0.25), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // blend is exactly the floored weighted mean of the two pcts
+    got.foreach { case (_, pa, pb, bl) =>
+      assert(bl == math.floor((pa * 0.75 + pb * 0.25) / 1.0).toLong)
+    }
+    // sb is a strictly decreasing function of id: its pct must invert id order
+    val pbById = got.sortBy(_._1).map(_._3)
+    assert(pbById.zip(pbById.tail).forall { case (x, y) => x > y })
+    // single signal: blend == its own pct
+    val solo = Sampling.blendRanks(df, "id", Seq("sa" -> 2.0), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    solo.foreach { case (_, pct, bl) => assert(bl == pct) }
+  }
 }
