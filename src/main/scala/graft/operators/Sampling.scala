@@ -210,16 +210,26 @@ object Sampling {
     * the q117/packChunks two-phase shape: approx-quantile range
     * buckets (boundary QUALITY only affects balance, never the
     * result — bucketing-invariance is spec'd at 1/7/64 buckets),
-    * per-bucket counts → broadcast prefix offsets, then a per-BUCKET
-    * window; rank = bucket offset + local row_number. All parallelism
-    * is across buckets, which scale with the cluster.
+    * per-bucket counts collected (metadata-scale) into plan-literal
+    * prefix offsets, then a per-BUCKET window; rank = bucket offset +
+    * local row_number. All parallelism is across buckets, which scale
+    * with the cluster.
     *
     * Rank is row_number semantics by (score ASC, id ASC): ties take
     * distinct consecutive ranks deterministically (not SQL
     * percent_rank's shared ranks — document choice, spec'd). NULL
     * scores sort first (worst, pct ~0 — the sampleTokenBudgetBest
     * -inf convention). Output: (id, score key, rank 1-based,
-    * pct_micro = (rank-1)*1e6 div (n-1); 0 when n = 1). */
+    * pct_micro = (rank-1)*1e6 div (n-1); 0 when n = 1).
+    *
+    * Skew posture: equal scores MUST share a bucket (the id tiebreak
+    * is resolved inside one window), so a degenerate corpus where one
+    * value carries most of the mass serializes that value's rows onto
+    * one task — same inherent-order caveat as the as-of merge. Real
+    * quality scores are near-continuous so this is theoretical; if it
+    * bites, the fix is composite (score, id-range) boundaries drawn
+    * from a sorted sample so ties split across buckets and local
+    * ranks stay exact — candidate for a later round. */
   def rankNormalize(df: DataFrame, idCol: String, scoreCol: String,
                     buckets: Int = 0): DataFrame = {
     val p = math.max(1, if (buckets > 0) buckets
@@ -237,21 +247,26 @@ object Sampling {
           .withColumn("__b", size(filter(col("__bnds"), b => b < scoreKey)))
           .drop("__bnds")
       }
-    val offs = withB.groupBy("__b")
-      .agg(count(lit(1)).as("__bn"))
-      .withColumn("__boff",
-        coalesce(sum("__bn").over(
-          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .withColumn("__n", sum("__bn").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__b"), col("__boff"), col("__n"))
+    // bucket counts are metadata-scale (<= buckets rows): collect them
+    // and ride the offsets as a plan-literal CASE instead of two
+    // single-partition windows + a broadcast join — 4 fewer exchanges
+    // per signal (the blendRanks exchange-budget gate caught the fat
+    // form). Exact-rank inherently needs the extra counting pass.
+    val countRows = withB.groupBy("__b").agg(count(lit(1)).as("__bn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = countRows.map(_._2).sum
+    val offsets = countRows.map(_._1)
+      .zip(countRows.scanLeft(0L)(_ + _._2).dropRight(1))
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__b") === b, lit(off)).otherwise(acc)
+    }
     val local = Window.partitionBy("__b")
       .orderBy(scoreKey.asc, col(idCol).asc)
-    withB.join(broadcast(offs), Seq("__b"))
-      .withColumn("rank", col("__boff") + row_number().over(local).cast("long"))
+    withB
+      .withColumn("rank", offExpr + row_number().over(local).cast("long"))
       .withColumn("pct_micro",
-        expr("CASE WHEN __n <= 1 THEN 0 ELSE ((rank - 1) * 1000000) div (__n - 1) END"))
+        if (n <= 1L) lit(0L)
+        else expr(s"((rank - 1) * 1000000) div ${n - 1}L"))
       .select(col(idCol), scoreKey.as("score_key"), col("rank"), col("pct_micro"))
   }
 
