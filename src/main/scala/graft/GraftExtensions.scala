@@ -80,6 +80,46 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "nfc_normalize(text)")
         NfcNormalize(args(0))
+      }),
+    // Composition functions built from CATALYST nodes (a Column-built
+    // tree carries unresolved ColumnNode wrappers the analyzer won't
+    // touch inside a registry builder). They share the TextAnalytics
+    // tables, and an ExtensionsSpec equality test guards drift against
+    // the Column forms.
+    (FunctionIdentifier("strip_html"),
+      new ExpressionInfo(graft.operators.TextAnalytics.getClass.getName, "strip_html"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "strip_html(text)")
+        import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringReplace, StringTrim}
+        val ta = graft.operators.TextAnalytics
+        val noBlocks = RegExpReplace(args(0), Literal(ta.htmlBlockPattern), Literal(" "))
+        val noTags = RegExpReplace(noBlocks, Literal(ta.htmlTagPattern), Literal(" "))
+        val unescaped = ta.htmlEntities.foldLeft[Expression](noTags) {
+          case (acc, (e, v)) => StringReplace(acc, Literal(e), Literal(v))
+        }
+        StringTrim(RegExpReplace(unescaped, Literal("\\s+"), Literal(" ")))
+      }),
+    (FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(graft.operators.TextAnalytics.getClass.getName, "fix_mojibake"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "fix_mojibake(text)")
+        import org.apache.spark.sql.catalyst.expressions.StringReplace
+        graft.operators.TextAnalytics.mojibakeTable.foldLeft(args(0)) {
+          case (acc, (bad, good)) => StringReplace(acc, Literal(bad), Literal(good))
+        }
+      }),
+    (FunctionIdentifier("mojibake_count"),
+      new ExpressionInfo(graft.operators.TextAnalytics.getClass.getName, "mojibake_count"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "mojibake_count(text)")
+        import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Length, StringReplace, Subtract}
+        import org.apache.spark.sql.types.LongType
+        graft.operators.TextAnalytics.mojibakeTable.map { case (bad, _) =>
+          Cast(Divide(
+            Subtract(Length(args(0)),
+              Length(StringReplace(args(0), Literal(bad), Literal("")))),
+            Literal(bad.length)), LongType): Expression
+        }.reduce(Add(_, _))
       }))
 
   /** Register the functions on an already-built session (extensions

@@ -152,13 +152,20 @@ object TextAnalytics {
     * Java — the boilerplate-removal front door of a crawl pipeline
     * (a trafilatura-class extractor plugs in upstream when layout
     * heuristics are needed; this is the dependency-free floor). */
+  /** Entity table shared by the Column API and the SQL-surface
+    * catalyst builder (GraftExtensions) — amp LAST, so "&amp;lt;"
+    * stays the literal text "&lt;". */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  val htmlBlockPattern = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+  val htmlTagPattern = "(?s)<[^>]*>"
+
   def stripHtml(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val noBlocks = regexp_replace(c,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
-    val unescaped = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val noBlocks = regexp_replace(c, htmlBlockPattern, " ")
+    val noTags = regexp_replace(noBlocks, htmlTagPattern, " ")
+    val unescaped = htmlEntities
       .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
     trim(regexp_replace(unescaped, "\\s+", " "))
   }

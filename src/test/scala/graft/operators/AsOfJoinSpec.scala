@@ -222,7 +222,10 @@ class ExtensionsSpec extends SparkSpec {
         |       simhash64(array('a', 'b')) AS sh64,
         |       md5_minhash_sig(word_shingles('a b c d', 3), 4) AS msig,
         |       md5_simhash(array('a', 'b')) AS msh,
-        |       nfc_normalize('café') AS nfc
+        |       nfc_normalize('café') AS nfc,
+        |       strip_html('<p>a &amp; b</p>') AS sh_txt,
+        |       fix_mojibake('itâ€™s') AS fm,
+        |       mojibake_count('itâ€™s naÃ¯ve') AS mc
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
@@ -230,5 +233,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](4).size == 4 && r.getSeq[Long](4).forall(_ >= 0L))
     assert(r.getString(5).length == 16)
     assert(r.getString(6) == "café") // combining acute composed
+    assert(r.getString(7) == "a & b")
+    assert(r.getString(8) == "it’s")
+    assert(r.getLong(9) == 2L)
+  }
+
+  test("SQL composition functions equal their Column-API forms (drift guard)") {
+    graft.GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    val tricky = Seq(
+      "<p>Tom &amp; Jerry &amp;lt; say \"hi\"</p><script>a<b && c>d</script>",
+      "itâ€™s â€” a naÃ¯ve cafÃ© Â« test Â»",
+      "plain text, no markup")
+    val df = tricky.toDF("t")
+    df.createOrReplaceTempView("drift_t")
+    val viaSql = spark.sql(
+      """SELECT strip_html(t) AS a, fix_mojibake(t) AS b, mojibake_count(t) AS c
+        |FROM drift_t""".stripMargin).collect()
+    val viaCol = df.select(
+      TextAnalytics.stripHtml(col("t")).as("a"),
+      TextAnalytics.fixMojibake(col("t")).as("b"),
+      TextAnalytics.mojibakeCount(col("t")).as("c")).collect()
+    assert(viaSql.map(_.toString).toList == viaCol.map(_.toString).toList)
   }
 }
