@@ -1403,6 +1403,25 @@ object SparkEntry {
       operators.KeyChecks.statsDrift(a, b, cols).orderBy("col_name")
     }),
 
+    // HLL store lifecycle: two shards written independently, then
+    // compacted — the merged estimate must equal the single-pass
+    // sketch over the whole corpus (the oracle recomputes exactly
+    // that; merge associativity is what's being gated).
+    "q131_hll_store" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(Text.tokens(lower(col("text")))).as("tok"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hll").toString
+      operators.HllStore.write(
+        toks.where(col("doc_id") % 2 === 0), "source", "tok", tmp, p = 10)
+      operators.HllStore.append(
+        toks.where(col("doc_id") % 2 === 1), "source", "tok", tmp)
+      operators.HllStore.compactStore(s, tmp)
+      operators.HllStore.estimate(s, tmp)
+        .select(col("key").as("source"), col("n_regs"), col("est_floor"))
+        .orderBy("source")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3905,6 +3924,37 @@ object SparkEntry {
         |  CAST(CASE WHEN n <= 1 THEN 0
         |       ELSE ((rank - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_micro
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Identical to the q127 replay minus the exact column: the store's
+    // shard-merged registers must land on the single-pass sketch.
+    "q131_hll_store" -> {
+      val m = 1L << 10
+      val am2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+      s"""WITH t AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source,
+         |      unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |             w -> w <> '')) AS tok
+         |    FROM documents) x),
+         |h AS (SELECT source, ${md5Hash64Sql("tok")} AS h FROM t),
+         |rv AS (SELECT source, h % $m AS bucket, h // $m AS v FROM h),
+         |rk AS (SELECT source, bucket,
+         |         CASE WHEN v = 0 THEN 51 ELSE 51 - length(bin(v)) END AS rank
+         |       FROM rv),
+         |regs AS (SELECT source, bucket, MAX(rank) AS r
+         |         FROM rk GROUP BY source, bucket),
+         |agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |    list_reduce(list_transform(
+         |      list_sort(list(struct_pack(bucket := bucket, r := r))),
+         |      x -> power(2.0, -x.r)), (a, b) -> a + b) AS s
+         |  FROM regs GROUP BY source)
+         |SELECT source, n_regs,
+         |  CAST(floor($am2 / (s + CAST($m - n_regs AS DOUBLE))) AS BIGINT)
+         |    AS est_floor
+         |FROM agg
+         |ORDER BY source""".stripMargin
+    },
 
     // alpha·m² rendered from the SAME Scala double hllEstimate uses
     // (Double.toString round-trips); power(2,-r) terms are FP-exact.
