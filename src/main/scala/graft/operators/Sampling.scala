@@ -222,14 +222,14 @@ object Sampling {
     * -inf convention). Output: (id, score key, rank 1-based,
     * pct_micro = (rank-1)*1e6 div (n-1); 0 when n = 1).
     *
-    * Skew posture: equal scores MUST share a bucket (the id tiebreak
-    * is resolved inside one window), so a degenerate corpus where one
-    * value carries most of the mass serializes that value's rows onto
-    * one task — same inherent-order caveat as the as-of merge. Real
-    * quality scores are near-continuous so this is theoretical; if it
-    * bites, the fix is composite (score, id-range) boundaries drawn
-    * from a sorted sample so ties split across buckets and local
-    * ranks stay exact — candidate for a later round. */
+    * Skew posture: score-percentile boundaries cannot split ties, so
+    * a bucket whose mass concentrates on one value (>4×/p of the
+    * corpus) gets a SECOND-level split by composite (score, id)
+    * boundary pairs sampled content-hash-deterministically from the
+    * bucket — lexicographic cuts preserve the (score, id) total
+    * order, so ranks stay exact for any boundary choice and the hot
+    * value's rows spread over ~its-share×buckets tasks (spec'd on a
+    * 90%-one-value corpus). */
   def rankNormalize(df: DataFrame, idCol: String, scoreCol: String,
                     buckets: Int = 0): DataFrame = {
     val p = math.max(1, if (buckets > 0) buckets
@@ -255,14 +255,60 @@ object Sampling {
     val countRows = withB.groupBy("__b").agg(count(lit(1)).as("__bn"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = countRows.map(_._2).sum
-    val offsets = countRows.map(_._1)
-      .zip(countRows.scanLeft(0L)(_ + _._2).dropRight(1))
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col("__b") === b, lit(off)).otherwise(acc)
+    // HEAVY buckets (score ties concentrate mass — percentile
+    // boundaries cannot split ties) get a second-level split by
+    // composite (score, id) boundary PAIRS sampled content-hash-
+    // deterministically from inside the bucket. Lexicographic cuts
+    // preserve the (score ASC, id ASC) order across sub-buckets, so
+    // ranks stay exact for ANY boundary choice — same invariance
+    // argument as the score boundaries themselves.
+    val heavy = countRows.filter { case (_, bn) =>
+      p > 1 && bn > 1 && bn * p > 4L * n }
+    val subBnds: Map[Int, Seq[(Double, Any)]] = heavy.map { case (b, bn) =>
+      val subP = math.min(p, math.ceil(bn.toDouble * p / n).toInt)
+      val target = subP * 32L
+      val mod = math.max(1L, bn / target)
+      def idLt(a: Any, c: Any): Boolean = (a, c) match {
+        case (x: Long, y: Long) => x < y
+        case (x: Int, y: Int) => x < y
+        case (x: Double, y: Double) => x < y
+        case (x: String, y: String) => x < y
+        case (x, y) => x.toString < y.toString
+      }
+      val sample = withB.where(col("__b") === b)
+        .where(pmod(graft.functions.Hashes.md5Hash64(col(idCol)), lit(mod)) === 0L)
+        .select(scoreKey.as("__s"), col(idCol))
+        .limit(100000)
+        .collect().map(r => (r.getDouble(0), r.get(1)))
+        .sortWith { case ((s1, i1), (s2, i2)) =>
+          s1 < s2 || (s1 == s2 && idLt(i1, i2)) }
+      val step = math.max(1, sample.length / subP)
+      b -> sample.grouped(step).map(_.head).drop(1).toSeq
+    }.toMap
+    val subExpr = subBnds.foldLeft(lit(0)) { case (acc, (b, bnds)) =>
+      if (bnds.isEmpty) acc
+      else {
+        val cnt = bnds.map { case (bs, bi) =>
+          when(scoreKey > bs ||
+            (scoreKey === bs && col(idCol) > lit(bi)), 1).otherwise(0)
+        }.reduce(_ + _)
+        when(col("__b") === b, cnt).otherwise(acc)
+      }
     }
-    val local = Window.partitionBy("__b")
+    val withSb = withB.withColumn("__sb", subExpr)
+    // final counts per (bucket, sub-bucket): metadata-scale again
+    val fine = withSb.groupBy("__b", "__sb")
+      .agg(count(lit(1)).as("__bn"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = fine.map(_._1)
+      .zip(fine.scanLeft(0L)(_ + _._2).dropRight(1))
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, ((b, sb), off)) =>
+      when(col("__b") === b && col("__sb") === sb, lit(off)).otherwise(acc)
+    }
+    val local = Window.partitionBy("__b", "__sb")
       .orderBy(scoreKey.asc, col(idCol).asc)
-    withB
+    withSb
       .withColumn("rank", offExpr + row_number().over(local).cast("long"))
       .withColumn("pct_micro",
         if (n <= 1L) lit(0L)

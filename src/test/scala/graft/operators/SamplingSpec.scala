@@ -502,6 +502,27 @@ class SamplingSpec extends SparkSpec {
     assert(one.find(_._3 == 300L).get._4 == 1000000L)
   }
 
+  test("rankNormalize splits a 90%-tie hot value across sub-buckets, ranks exact") {
+    val s = spark
+    import s.implicits._
+    // 900 of 1000 rows share one score: percentile boundaries cannot
+    // split them; the composite (score, id) second level must
+    val df = (1L to 1000L).map { i =>
+      (i, if (i <= 900) 5.0 else i.toDouble / 100.0 + 100.0)
+    }.toDF("id", "score")
+    val got = Sampling.rankNormalize(df, "id", "score", buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    // exact ranks: the tie block ordered by id, then the tail by score
+    got.take(900).zipWithIndex.foreach { case ((id, rank), i) =>
+      assert(id == i + 1L && rank == i + 1L, s"id=$id rank=$rank")
+    }
+    assert(got.drop(900).map(_._2).toList == (901L to 1000L).toList)
+    // and the plan really partitions the data window by the sub-bucket
+    val plan = Sampling.rankNormalize(df, "id", "score", buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__sb"), plan)
+  }
+
   test("blendRanks: weighted percentile mean, single-signal identity") {
     val s = spark
     import s.implicits._
