@@ -1422,6 +1422,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // CMS store lifecycle: two shards + compaction must equal the
+    // single-pass sketch — counter linearity (cell-wise ADD) is the
+    // thing gated; oracle is the q93 replay.
+    "q132_cms_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cms").toString
+      operators.CmsStore.write(
+        docs.where(col("doc_id") % 2 === 0), "text", tmp, d = 4, width = 512)
+      operators.CmsStore.append(docs.where(col("doc_id") % 2 === 1), "text", tmp)
+      operators.CmsStore.compactStore(s, tmp)
+      operators.CmsStore.estimate(s, tmp,
+        Seq("key", "agg", "table", "value", "spark", "window",
+          "zzz_absent_term"))
+        .orderBy("term")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -4231,6 +4247,26 @@ object SparkEntry {
          |             LEFT JOIN keep k ON d.doc_id = k.id
          |WHERE m2.rep IS NULL OR k.id IS NOT NULL
          |ORDER BY d.doc_id""".stripMargin,
+
+    // The store's shard-summed cells must land on the single-pass
+    // q93 replay verbatim.
+    "q132_cms_store" ->
+      s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
+         |cells AS (
+         |  SELECT i AS row,
+         |         ${md5Hash64Sql("(CAST(i AS VARCHAR) || '|' || tok)")} % 512 AS col,
+         |         COUNT(*) AS c
+         |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+         |  GROUP BY 1, 2),
+         |probes(term) AS (VALUES ('key'), ('agg'), ('table'), ('value'),
+         |                        ('spark'), ('window'), ('zzz_absent_term')),
+         |pc AS (
+         |  SELECT term, i AS row,
+         |         ${md5Hash64Sql("(CAST(i AS VARCHAR) || '|' || term)")} % 512 AS col
+         |  FROM probes CROSS JOIN (SELECT unnest(range(4)) AS i) ii)
+         |SELECT term, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+         |FROM pc LEFT JOIN cells USING (row, col)
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     "q93_cms_estimate" ->
       s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),

@@ -39,3 +39,33 @@ class HllStoreSpec extends SparkSpec {
     assert(estMap(HllStore.estimate(s, tmp)) == single)
   }
 }
+
+class CmsStoreSpec extends SparkSpec {
+
+  test("shard-summed estimates equal the single-pass sketch, never undercount") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 600L).map(i => (i, s"tok${i % 50} common tok${i % 7}"))
+      .toDF("id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cms_spec").toString
+    CmsStore.write(docs.where(col("id") <= 200), "text", tmp, d = 4, width = 256)
+    CmsStore.append(docs.where(col("id") > 200 && col("id") <= 400), "text", tmp)
+    CmsStore.append(docs.where(col("id") > 400), "text", tmp)
+    val terms = Seq("common", "tok1", "tok49", "nope_absent")
+    def ests(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sharded = ests(CmsStore.estimate(s, tmp, terms))
+    val single = ests(TextAnalytics.cmsEstimate(
+      TextAnalytics.countMinSketch(docs, "text", 4, 256), terms, 4, 256))
+    assert(sharded == single, s"sharded=$sharded single=$single")
+    // one-sided: estimates never undercount the true frequencies
+    assert(sharded("common") >= 600L)
+    assert(sharded("tok1") >= 12L)   // 600/50
+    // compaction shrinks the backlog, estimates unchanged
+    val before = s.read.parquet(s"$tmp/cells").count()
+    val after = CmsStore.compactStore(s, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("cells") < before)
+    assert(ests(CmsStore.estimate(s, tmp, terms)) == single)
+  }
+}
