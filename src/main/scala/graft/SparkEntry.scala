@@ -1438,6 +1438,14 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // Exact stratified split: per-source 80/10/10 with EXACT floor
+    // boundaries (splitById's hash-Bernoulli sizes wobble ±sqrt n).
+    "q133_split_stratified" -> ((s, dir) => {
+      operators.Sampling.splitStratified(t(s, dir, "documents"), "doc_id",
+        "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3832,6 +3840,27 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // Cut fractions rendered from the SAME Scala cumulative doubles
+    // the operator folds (0.8 + 0.1 is not 0.9 in binary).
+    "q133_split_stratified" -> {
+      val cfs = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      s"""WITH c AS (
+         |  SELECT doc_id, source, ${md5Hash64Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |n AS (SELECT source, COUNT(*) AS ns FROM c GROUP BY source),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC)
+         |      AS rank
+         |  FROM c)
+         |SELECT r.doc_id, r.source,
+         |  CASE WHEN rank <= floor(${cfs(0)} * ns) THEN 'train'
+         |       WHEN rank <= floor(${cfs(1)} * ns) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r JOIN n USING (source)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Same fold order as blendRanks: (p1*w1 + p2*w2) / totalW, floor.
     "q129_blend_ranks" ->

@@ -398,6 +398,66 @@ object Sampling {
       .select(col(keyCol), col("s._2").as(idCol))
   }
 
+  /** EXACT stratified split — train/val/test with exact per-stratum
+    * counts (floor(cumFrac·n_s) boundaries), not the hash-Bernoulli
+    * approximation of [[splitById]] whose split sizes wobble ±√n.
+    * Eval-set construction wants "exactly 10% of every source", and
+    * at 100 TB the wobble of a 0.1% eval split is millions of docs.
+    *
+    * Rows order within their stratum by (md5-hash, id) — deterministic,
+    * content-keyed, unbiased — and the split is a rank range. Ranking
+    * uses the rankNormalize two-phase shape with one improvement: the
+    * hash is UNIFORM on [0, 2^60), so range buckets are fixed-width
+    * slices (h div width) and need no quantile pass at all; counts
+    * per (stratum, bucket) collect (metadata-scale) into plan-literal
+    * offsets and the data pays ONE (stratum, bucket) exchange. Hot
+    * strata spread across all `buckets` sub-ranges — skew-proof by
+    * construction. Output: (id, stratum, split). */
+  def splitStratified(df: DataFrame, idCol: String, stratumCol: String,
+                      fractions: Seq[(String, Double)],
+                      buckets: Int = 0): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must be positive and sum to 1")
+    val p = math.max(1, if (buckets > 0) buckets
+                         else df.sparkSession.sessionState.conf.numShufflePartitions)
+    val width = math.max(1L, (1L << 60) / p)
+    val h = graft.functions.Hashes.md5Hash64(col(idCol))
+    val withB = df.select(col(idCol), col(stratumCol).as("__st"), h.as("__h"))
+      .withColumn("__b", expr(s"__h div ${width}L").cast("int"))
+    val countRows = withB.groupBy("__st", "__b")
+      .agg(count(lit(1)).as("__bn"))
+      .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+    val byStratum = countRows.groupBy(_._1)
+    // per-stratum: bucket offsets and cumulative split boundaries
+    val offExpr = byStratum.foldLeft(lit(0L)) { case (acc, (st, rows)) =>
+      val sorted = rows.sortBy(_._2)
+      val offs = sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3).dropRight(1))
+      val inner = offs.foldLeft(lit(0L)) { case (a, (b, off)) =>
+        when(col("__b") === b, lit(off)).otherwise(a)
+      }
+      when(col("__st") === st, inner).otherwise(acc)
+    }
+    val splitExpr = byStratum.foldLeft(lit(fractions.last._1)) {
+      case (acc, (st, rows)) =>
+        val ns = rows.map(_._3).sum
+        val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+          .map(cf => math.floor(cf * ns).toLong)
+        val inner = fractions.map(_._1).zip(cuts).init
+          .foldRight(lit(fractions.last._1): org.apache.spark.sql.Column) {
+            case ((label, cut), rest) =>
+              when(col("rank") <= cut, lit(label)).otherwise(rest)
+          }
+        when(col("__st") === st, inner).otherwise(acc)
+    }
+    val local = Window.partitionBy("__st", "__b")
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withB
+      .withColumn("rank", offExpr + row_number().over(local).cast("long"))
+      .withColumn("split", splitExpr)
+      .select(col(idCol), col("__st").as(stratumCol), col("split"))
+  }
+
   /** Curriculum staging: band the corpus into `stages` difficulty
     * levels by VALUE-based quantile boundaries of `scoreCol` (stage =
     * number of boundaries at or below the score, 0-based) — the

@@ -542,4 +542,36 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     solo.foreach { case (_, pct, bl) => assert(bl == pct) }
   }
+
+  test("splitStratified: exact per-stratum counts, bucket-invariant, disjoint") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 1000L).map(i => (i, "web")) ++
+      (1001L to 1137L).map(i => (i, "books")) ++
+      (1138L to 1144L).map(i => (i, "code"))).toDF("id", "src")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def run(b: Int) = Sampling.splitStratified(df, "id", "src", fr, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = run(0)
+    // exhaustive and disjoint
+    assert(got.length == 1144 && got.map(_._1).distinct.length == 1144)
+    // EXACT floor counts per stratum
+    val counts = got.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+    def cuts(n: Long) = {
+      val c1 = math.floor(0.8 * n).toLong
+      val c2 = math.floor((0.8 + 0.1) * n).toLong
+      (c1, c2 - c1, n - c2)
+    }
+    for ((srcName, n) <- Seq(("web", 1000L), ("books", 137L), ("code", 7L))) {
+      val (tr, va, te) = cuts(n)
+      assert(counts.getOrElse((srcName, "train"), 0) == tr, s"$srcName train")
+      assert(counts.getOrElse((srcName, "val"), 0) == va, s"$srcName val")
+      assert(counts.getOrElse((srcName, "test"), 0) == te, s"$srcName test")
+    }
+    // bucket count never changes the assignment (uniform-hash ranges)
+    assert(run(1).sortBy(_._1).toList == got.sortBy(_._1).toList)
+    assert(run(64).sortBy(_._1).toList == got.sortBy(_._1).toList)
+    // deterministic across invocations
+    assert(run(0).sortBy(_._1).toList == got.sortBy(_._1).toList)
+  }
 }
