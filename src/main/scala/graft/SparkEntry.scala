@@ -1446,6 +1446,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Key-skew report: top-10 heaviest l_suppkey values with integer
+    // micro shares — the measure-before-you-salt signal.
+    "q134_key_skew" -> ((s, dir) => {
+      operators.KeyChecks.keySkew(t(s, dir, "lineitem"), "l_suppkey", topK = 10)
+        .orderBy("rank")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3840,6 +3847,22 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+
+    // String-cast keys so ordering ties and output types align.
+    "q134_key_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (
+        |  SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        |    row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+        |  FROM c)
+        |SELECT key, n_rows,
+        |  CAST((n_rows * 1000000) // total AS BIGINT) AS share_micro,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r, t WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     // Cut fractions rendered from the SAME Scala cumulative doubles
     // the operator folds (0.8 + 0.1 is not 0.9 in binary).

@@ -52,6 +52,28 @@ object KeyChecks {
     * (floats format differently across engines — profile those via a
     * decimal cast). Output: (col_name, n_rows, n_null, n_distinct,
     * min_val, max_val), one row per column. */
+  /** Key-skew report — the "measure before you salt" companion to
+    * [[Sampling.saltedAgg]] and AQE skew-join tuning: the `topK`
+    * heaviest values of a join/aggregation key with each one's share
+    * of the table in integer micro-units. A 900000-micro top key says
+    * "salt this or let AQE split it"; a flat report says the plain
+    * hash partition is fine. One keyed count (map-side partial) →
+    * bounded TakeOrdered for the top-K (no full sort) → one collected
+    * scalar for the total; key cardinality never hits the driver.
+    * Output: (key string, n_rows, share_micro, rank). */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows")).head().getLong(0)
+    counts.orderBy(col("n_rows").desc, col("key").asc).limit(topK)
+      .withColumn("share_micro",
+        expr(s"(n_rows * 1000000) div ${math.max(1L, total)}L"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("key").asc)).cast("long"))
+  }
+
   /** Snapshot drift report — the data-quality regression alarm
     * between two versions of the same table (yesterday's crawl shard
     * vs today's, pre- vs post-migration): per column, both sides'

@@ -76,6 +76,22 @@ class KeyChecksSpec extends SparkSpec {
     }
   }
 
+  test("keySkew surfaces a planted hot key with its exact share") {
+    val s = spark
+    import s.implicits._
+    // 5000 rows on "hot", 100 keys with 10 rows each
+    val df = ((1 to 5000).map(_ => "hot") ++
+      (1 to 100).flatMap(k => Seq.fill(10)(s"k$k"))).toDF("key")
+    val got = KeyChecks.keySkew(df, "key", topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 5)
+    assert(got(0)._1 == "hot" && got(0)._2 == 5000L && got(0)._4 == 1L)
+    assert(got(0)._3 == 5000L * 1000000L / 6000L)  // exact micro share
+    // runners-up tie at 10 rows, key-asc order deterministic
+    assert(got.drop(1).forall(_._2 == 10L))
+    assert(got.drop(1).map(_._1).toList == got.drop(1).map(_._1).sorted.toList)
+  }
+
   test("statsDrift: planted drift surfaces, identical snapshots are silent") {
     val s = spark
     import s.implicits._
