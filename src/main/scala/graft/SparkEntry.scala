@@ -1453,6 +1453,25 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Robust median/MAD scaling in exact micro-units: med and MAD of
+    // n_chars land on .0/.5 (integers in micro space), so the per-row
+    // robust_micro is an exact integer DIV both engines replay.
+    "q135_robust_scale" -> ((s, dir) => {
+      operators.Sampling.robustScale(t(s, dir, "documents"), "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Span-level decontamination excision: trigram needles from the
+    // doc_id%50==0 "benchmark" subset cut matching spans out of the
+    // rest of the corpus; docs survive minus the leaked passages.
+    "q136_excise_passages" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.excisePassages(
+        docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3863,6 +3882,61 @@ object SparkEntry {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r, t WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    // Median and MAD of integers land on .0/.5 — exact doubles both
+    // engines rescale to the SAME micro longs; the row expression is
+    // then pure integer arithmetic (div = // : both truncate to zero).
+    "q135_robust_scale" ->
+      """WITH m AS (
+        |  SELECT CAST(round(quantile_cont(CAST(n_chars AS BIGINT), 0.5) * 1000000) AS BIGINT) AS med
+        |  FROM documents),
+        |d AS (
+        |  SELECT CAST(round(quantile_cont(abs(CAST(n_chars AS BIGINT) * 1000000 - m.med), 0.5)) AS BIGINT) AS mad
+        |  FROM documents, m)
+        |SELECT doc_id, n_chars,
+        |  CAST(((CAST(n_chars AS BIGINT) * 1000000 - m.med) * 1000000)
+        |       // greatest(1, d.mad) AS BIGINT) AS robust_micro
+        |FROM documents, m, d ORDER BY doc_id""".stripMargin,
+
+    // q59's window/rewrite replay with the count filter swapped for a
+    // needle-gram semi-join: spans come from trigrams of the benchmark
+    // subset, the rewrite HOF is identical.
+    "q136_excise_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |wins AS (
+        |  SELECT doc_id, u.pos, u.w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)), i ->
+        |      struct_pack(pos := i - 1, w := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS u
+        |    FROM toks) x),
+        |ntoks AS (
+        |  SELECT list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |grams AS (
+        |  SELECT DISTINCT u.w FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 1)), i ->
+        |      struct_pack(pos := i - 1, w := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS u
+        |    FROM ntoks) x),
+        |spans AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+        |  FROM wins WHERE w IN (SELECT w FROM grams) GROUP BY doc_id),
+        |joined AS (
+        |  SELECT t.doc_id, t.tk, s.starts FROM toks t
+        |  LEFT JOIN spans s ON t.doc_id = s.doc_id),
+        |kept AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN starts IS NULL THEN tk
+        |         ELSE list_filter(tk, (x, i) ->
+        |           NOT len(list_filter(starts, ss -> i - 1 >= ss AND i - 1 <= ss + 2)) > 0)
+        |    END AS kp
+        |  FROM joined)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kp, ' '), '') AS clean_text,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(tk) - len(kp) AS INT) AS n_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // Cut fractions rendered from the SAME Scala cumulative doubles
     // the operator folds (0.8 + 0.1 is not 0.9 in binary).

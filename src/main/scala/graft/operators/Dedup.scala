@@ -699,6 +699,54 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Span-level decontamination EXCISION — the surgical third mode of
+    * the leak toolkit: [[decontaminate]] DROPS whole docs,
+    * TextAnalytics.ngramOverlap* SCORES them, this one cuts only the
+    * leaked passages and keeps the rest of the document (what
+    * production pipelines actually ship: a 50k-token page should not
+    * die for quoting one benchmark question). Every n-token corpus
+    * window whose space-joined form equals ANY n-gram of the needle
+    * corpus marks its token span; surviving tokens re-join with single
+    * spaces ([[removeDuplicatedSpans]] rewrite semantics — overlapping
+    * spans union, whitespace normalization inherent).
+    *
+    * Plan shape: needle n-grams are a distinct'd dimension-scale set
+    * (eval suites vs a training corpus) BROADCAST into the probe, so
+    * the corpus contributes one windowing pass (per-row transform, no
+    * shuffle), a broadcast semi-join, and a per-doc position collect
+    * of MATCHED windows only; the full text never shuffles. Tokens =
+    * `\s+` splits; callers wanting case-folded matching lower() both
+    * sides first. Output: (id, clean_text, n_tokens, n_removed). */
+  def excisePassages(corpus: DataFrame, idCol: String, textCol: String,
+                     needles: DataFrame, needleTextCol: String,
+                     n: Int = 8): DataFrame = {
+    require(n >= 1, "window length must be positive")
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "")
+    def windows(tk: org.apache.spark.sql.Column) = transform(
+      sequence(lit(0), size(tk) - n),
+      i => struct(i.as("pos"), concat_ws(" ", slice(tk, i + 1, lit(n))).as("w")))
+    val base = corpus.select(col(idCol), toks(col(textCol)).as("tk"))
+    val winIdx = base.where(size(col("tk")) >= n)
+      .select(col(idCol), explode(windows(col("tk"))).as("pw"))
+      .select(col(idCol), col("pw.pos").as("pos"), col("pw.w").as("w"))
+    val grams = needles.select(toks(col(needleTextCol)).as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(explode(windows(col("tk"))).as("pw"))
+      .select(col("pw.w").as("w")).distinct()
+    val spans = winIdx.join(broadcast(grams), Seq("w"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    def kept = filter(col("tk"), (t, i) =>
+      col("starts").isNull ||
+        !exists(col("starts"), s => i >= s && i <= s + (n - 1)))
+    base.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        size(col("tk")).as("n_tokens"),
+        (size(col("tk")) - size(kept)).as("n_removed"))
+  }
+
   /** [[dedupCorpus]] with QUALITY-AWARE representative selection: each
     * duplicate cluster keeps its best-scoring member — (scoreCol DESC,
     * id ASC) — instead of the min id. This is how production curation

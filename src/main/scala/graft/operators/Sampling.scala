@@ -202,6 +202,40 @@ object Sampling {
           * 1000000.0).cast("long").as("rate_micro"))
   }
 
+  /** Robust (median / MAD) score scaling in exact integer micro-units
+    * — the outlier-proof normalizer of the score-calibration family:
+    * [[rankNormalize]] destroys the score's shape (uniform ranks),
+    * z-scores let one viral page drag the mean; median/MAD moves for
+    * neither. `robust_micro = ((v·1e6 − med_micro)·1e6) div
+    * max(1, mad_micro)` — so 1_000_000 means "one MAD above the
+    * median" (multiply by 0.6745 for a σ-consistent z under
+    * normality).
+    *
+    * `valueCol` must be integer-valued (token/char counts, micro-unit
+    * scores — every quality signal in this repo) with |v| ≲ 9e9:
+    * medians of integers land on .0/.5 and MAD inputs on .25 steps,
+    * all exact in doubles and re-scaled to exact longs, which is what
+    * makes the output decimal-replayable across engines (the q63
+    * micro-unit discipline applied to location/scale statistics).
+    *
+    * Plan shape: two driver-collected scalar aggregates (exact
+    * `percentile` here; swap Greenwald-Khanna `approx_percentile` at
+    * 100 TB — the [[quantilesApprox]] posture, then med/mad become
+    * rank-bounded approximations) inlined as plan literals + ONE
+    * scan-shaped projection; the corpus never shuffles. */
+  def robustScale(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val v = s"CAST($valueCol AS BIGINT)"
+    val medRow = df.agg(expr(s"percentile($v, 0.5d)")).head()
+    require(!medRow.isNullAt(0), "robustScale needs at least one non-null value")
+    val medMicro = math.rint(medRow.getDouble(0) * 1e6).toLong
+    val madMicro = math.rint(
+      df.agg(expr(s"percentile(abs($v * 1000000L - ${medMicro}L), 0.5d)"))
+        .head().getDouble(0)).toLong
+    df.select(col(idCol), col(valueCol),
+      expr(s"(($v * 1000000L - ${medMicro}L) * 1000000L) div " +
+        s"greatest(1L, ${madMicro}L)").as("robust_micro"))
+  }
+
   /** Exact global percentile rank WITHOUT a single-partition window —
     * the normalization step for quality-signal ensembles (rank-blend
     * heterogeneous scores before averaging/thresholding, curriculum

@@ -560,6 +560,26 @@ class DedupSpec extends SparkSpec {
     assert(all(1L) == "x1 y1 z1" && all(2L) == "x2 y2 z2")
   }
 
+  test("excisePassages cuts needle spans, leaves the rest of the doc") {
+    val s = spark
+    import s.implicits._
+    val needles = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y a b c z w"),       // one trigram hit ("a b c") → cut 3
+      (2L, "x a b c d y"),         // overlapping hits "a b c"+"b c d" → cut 4
+      (3L, "p q r s t"),           // no match → untouched
+      (4L, "a b")                  // shorter than n → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.excisePassages(corpus, "doc_id", "text",
+      needles, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ("x y z w", 7, 3), out.toString)
+    assert(out(2L) == ("x y", 6, 4), out.toString)
+    assert(out(3L) == ("p q r s t", 5, 0))
+    assert(out(4L) == ("a b", 2, 0))
+  }
+
   test("minhashLshPairsAcross finds only cross-corpus near-dups") {
     val s = spark
     import s.implicits._

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
 
+  test("robustScale emits exact median/MAD micro-units") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 10L)).toDF("id", "v")
+    // median 2.5 → 2_500_000 micro; |v·1e6−med| = {1.5e6, .5e6, .5e6, 7.5e6},
+    // MAD = (.5e6+1.5e6)/2 = 1_000_000 micro
+    val got = Sampling.robustScale(df, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> -1500000L, 2L -> -500000L,
+      3L -> 500000L, 4L -> 7500000L), got.toString)
+    // constant column: MAD 0 → guard divisor 1, all rows scale to 0
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "v")
+    assert(Sampling.robustScale(const, "id", "v")
+      .collect().forall(_.getLong(2) == 0L))
+  }
+
   test("samplePerKey draws exactly k deterministic rows per key") {
     val s = spark
     import s.implicits._
