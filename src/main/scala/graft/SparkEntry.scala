@@ -1472,6 +1472,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Embedding-space contrast report: per-label ordered-fold
+    // centroids (the q46 fp-determinism trick), then pairwise centroid
+    // cosine over the 10-label metadata frame.
+    "q137_label_contrast" -> ((s, dir) => {
+      operators.Knn.centroidContrast(
+        operators.Knn.groupCentroids(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", dim = 64, ordered = true))
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3882,6 +3892,24 @@ object SparkEntry {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r, t WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    // Per-label ordered-fold centroids (the q46 cm-CTE replay) +
+    // pairwise list_cosine_similarity over the label frame.
+    "q137_label_contrast" ->
+      """WITH cm AS (
+        |  SELECT label AS grp, d,
+        |    list_reduce(list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id), (a, b) -> a + b)
+        |      / COUNT(*) AS mu,
+        |    COUNT(*) AS n
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        |  GROUP BY label, d),
+        |cents AS (
+        |  SELECT grp, CAST(MIN(n) AS BIGINT) AS n, list(mu ORDER BY d) AS cvec
+        |  FROM cm GROUP BY grp)
+        |SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b,
+        |  ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) AS cos
+        |FROM cents a JOIN cents b ON a.grp < b.grp
+        |ORDER BY grp_a, grp_b""".stripMargin,
 
     // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is

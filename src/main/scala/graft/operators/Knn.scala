@@ -112,6 +112,58 @@ object Knn {
     centroids
   }
 
+  /** Per-group embedding centroids — the corpus diagnostic underneath
+    * [[centroidContrast]]: one (group, n, cvec) row per value of
+    * `groupCol` (source, language, topic label, crawl snapshot).
+    * Production path (`ordered = false`) is the parallel
+    * VectorAvgAggregator — one keyed shuffle of vec-width partials,
+    * group count never hits the driver. `ordered = true` is the
+    * gate/oracle twin: each group's mean computed as an ORDERED
+    * sequential fold over members sorted by id (bit-identical to
+    * DuckDB's `list_reduce(list(x ORDER BY id))` — the
+    * kmeansCentroidsOrdered fp-determinism trick), bought by
+    * materializing each group's members in one aggregation row — NOT
+    * the 100 TB path. */
+  def groupCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     groupCol: String, dim: Int,
+                     ordered: Boolean = false): DataFrame =
+    if (ordered)
+      df.groupBy(col(groupCol).as("grp"))
+        .agg(array_sort(collect_list(
+          struct(col(idCol).as("id"), col(vecCol).as("vec")))).as("members"))
+        .select(col("grp"), size(col("members")).cast("long").as("n"),
+          transform(sequence(lit(1), lit(dim)), d =>
+            aggregate(col("members"), lit(0.0),
+              (acc, m) => acc + element_at(m.getField("vec"), d).cast("double"))
+              / size(col("members")).cast("double")).as("cvec"))
+    else {
+      val avg = VectorAvgAggregator.udaf()
+      df.groupBy(col(groupCol).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          avg(transform(col(vecCol), x => x.cast("double"))).as("cvec"))
+    }
+
+  /** Pairwise cosine between group centroids — the embedding-space
+    * contrast/drift report (how close are two sources' embedding
+    * distributions? did this week's crawl move against last week's?):
+    * (grp_a < grp_b, n_a, n_b, cos rounded to 6). Centroid frames are
+    * group-cardinality-scale by construction, so the inequality join
+    * is a broadcast nested loop over metadata — no corpus involvement
+    * at any width. Near-1 cos between sources flags redundant
+    * mixtures ([[graft.operators.Sampling.weightedMixture]] inputs);
+    * near-0 flags distribution shift worth a [[Dedup.semanticDedup]]
+    * re-run. */
+  def centroidContrast(cents: DataFrame): DataFrame = {
+    val a = cents.select(col("grp").as("grp_a"), col("n").as("n_a"),
+      col("cvec").as("__va"))
+    val b = cents.select(col("grp").as("grp_b"), col("n").as("n_b"),
+      col("cvec").as("__vb"))
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        round(graft.functions.Vectors.cosine(col("__va"), col("__vb")), 6)
+          .as("cos"))
+  }
+
   /** Assign each vector to its nearest centroid cell — a per-row argmax
     * expression over the collected centroid array (NearestCell kernel):
     * zero joins, zero shuffles, no n×c intermediate. The centroid

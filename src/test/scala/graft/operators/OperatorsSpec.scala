@@ -608,6 +608,42 @@ class DedupSpec extends SparkSpec {
 }
 
 class KnnSpec extends SparkSpec {
+  test("groupCentroids production/ordered agree; centroidContrast geometry") {
+    val s = spark
+    import s.implicits._
+    // two groups on known axes: a → (1,0,..), b → (0,1,..) with one
+    // perturbed member each so the mean is non-trivial
+    val dim = 4
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(dim)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val df = Seq(
+      (1L, "a", v(0 -> 1f)), (2L, "a", v(0 -> 3f)),
+      (3L, "b", v(1 -> 2f)), (4L, "b", v(1 -> 4f)),
+      (5L, "c", v(0 -> 1f, 1 -> 1f))
+    ).toDF("id", "grp0", "vec")
+    val ordered = Knn.groupCentroids(df, "id", "vec", "grp0", dim, ordered = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2).toArray)).toMap
+    assert(ordered("a")._1 == 2L && ordered("a")._2.sameElements(Array(2.0, 0, 0, 0)))
+    assert(ordered("b")._2.sameElements(Array(0, 3.0, 0, 0)))
+    // parallel aggregator path agrees to fp noise
+    val prod = Knn.groupCentroids(df, "id", "vec", "grp0", dim)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](2).toArray).toMap
+    ordered.foreach { case (g, (_, cv)) =>
+      cv.zip(prod(g)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+    // contrast: a⊥b → 0, c at 45° to both → cos 0.707107; pairs a<b only
+    val con = Knn.centroidContrast(
+        Knn.groupCentroids(df, "id", "vec", "grp0", dim, ordered = true))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(con.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(con(("a", "b"))._3 == 0.0)
+    assert(con(("a", "c"))._3 == 0.707107 && con(("b", "c"))._3 == 0.707107)
+    assert(con(("a", "b"))._1 == 2L && con(("a", "b"))._2 == 2L)
+  }
+
   test("bruteForce returns exact ranked neighbors; ivf recall is sane") {
     val s = spark
     import s.implicits._
