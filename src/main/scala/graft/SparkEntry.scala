@@ -1482,6 +1482,42 @@ object SparkEntry {
         .orderBy("grp_a", "grp_b")
     }),
 
+    // Portable Bloom decontamination: eval-slice bigrams fold into the
+    // register-exact md5/double-hashing Bloom, train docs probe it in
+    // one scan-shaped pass; the exact semi-join count rides along so
+    // the gate also checks the no-false-negative direction (n_bloom >=
+    // n_exact row by row). The filter is DELIBERATELY undersized
+    // (2^12 bits vs the needle set's ~860·5 positions) so false
+    // positives exist at sf0.01 (46 of them) — the gate then fails if
+    // the probe is anything but this exact bit math (an exact join
+    // would under-count n_bloom). Production sizing guidance lives in
+    // the bloomBuild scaladoc.
+    "q138_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mBits = 1 << 12
+      val k = 5
+      val needles = docs.where(col("doc_id") % 10 === 0)
+        .select(explode(
+          array_distinct(graft.plans.native.wordShingles(col("text"), 2)))
+          .as("shingle"))
+      val words = operators.TextAnalytics.bloomWords(
+        operators.TextAnalytics.bloomBuild(needles, "shingle", mBits, k), mBits)
+      val probes = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          array_distinct(graft.plans.native.wordShingles(col("text"), 2)).as("sh"))
+      val flagged = probes.select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_sh"),
+        size(filter(col("sh"), sh => operators.TextAnalytics
+          .bloomMightContain(sh, words, mBits, k))).cast("long").as("n_bloom"))
+      val exact = probes.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(needles.distinct()), Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      flagged.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"), col("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy("doc_id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3910,6 +3946,48 @@ object SparkEntry {
         |  ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) AS cos
         |FROM cents a JOIN cents b ON a.grp < b.grp
         |ORDER BY grp_a, grp_b""".stripMargin,
+
+    // Replays the Bloom bit math position-for-position: h1/odd-stride
+    // double hashing from the shared 60-bit md5 hash, membership =
+    // all 5 probe positions present in the needle position set.
+    "q138_bloom_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksLower AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+         |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS bg
+         |  FROM toks),
+         |needles AS (
+         |  SELECT DISTINCT unnest(bg) AS shingle FROM bg WHERE doc_id % 10 = 0),
+         |nh AS (SELECT ${md5Hash64Sql("shingle")} AS h FROM needles),
+         |npos AS (
+         |  SELECT DISTINCT ((h % 1073741824) +
+         |    i * ((h // 1073741824) - (h // 1073741824) % 2 + 1)) % 4096 AS p
+         |  FROM nh CROSS JOIN (SELECT unnest(range(0, 5)) AS i) ii),
+         |ex AS (SELECT doc_id, len(bg) AS n_sh, unnest(bg) AS shingle
+         |       FROM bg WHERE doc_id % 10 <> 0),
+         |ph AS (SELECT doc_id, shingle, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |pp AS (
+         |  SELECT doc_id, shingle,
+         |    ((h % 1073741824) +
+         |     i * ((h // 1073741824) - (h // 1073741824) % 2 + 1)) % 4096 AS p
+         |  FROM ph CROSS JOIN (SELECT unnest(range(0, 5)) AS i) ii),
+         |shing AS (
+         |  SELECT doc_id, shingle, COUNT(np.p) AS nset
+         |  FROM pp LEFT JOIN npos np ON pp.p = np.p
+         |  GROUP BY doc_id, shingle),
+         |bh AS (SELECT doc_id, CAST(COUNT(*) FILTER (WHERE nset = 5) AS BIGINT) AS n_bloom
+         |       FROM shing GROUP BY doc_id),
+         |exact AS (
+         |  SELECT e.doc_id, CAST(COUNT(n.shingle) AS BIGINT) AS n_exact
+         |  FROM ex e LEFT JOIN needles n ON e.shingle = n.shingle
+         |  GROUP BY e.doc_id),
+         |base AS (SELECT doc_id, CAST(any_value(n_sh) AS BIGINT) AS n_sh
+         |         FROM ex GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_sh, COALESCE(bh.n_bloom, 0) AS n_bloom, exact.n_exact
+         |FROM base b JOIN exact USING (doc_id) LEFT JOIN bh USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is

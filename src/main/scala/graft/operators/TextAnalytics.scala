@@ -538,6 +538,90 @@ object TextAnalytics {
             col("n_sh").cast("double"), 6)).as("overlap"))
   }
 
+  /** Bit positions a value sets in a portable Bloom filter of `mBits`
+    * bits with `k` probes — the cross-engine-replayable twin of
+    * [[ngramOverlapBloom]]'s Murmur3 sketch (same role q127's
+    * register-exact HLL plays for approx_count_distinct). Double
+    * hashing (Kirsch–Mitzenmacher 2006): the 60-bit md5 hash splits
+    * into h1 = h mod 2^30 and an odd stride h2 = (h div 2^30) with the
+    * low bit forced on; probe i lands on (h1 + i·h2) mod mBits. All
+    * arithmetic stays below 2^35 so it is ANSI-overflow-free and
+    * replays integer-exact in DuckDB. */
+  private def bloomPositions(h: org.apache.spark.sql.Column, mBits: Int,
+                             k: Int): org.apache.spark.sql.Column = {
+    val h1 = pmod(h, lit(1L << 30))
+    // h is a nonnegative 60-bit value, so unsigned shift IS div 2^30
+    // (integral — Column `/` would round-trip through double and lose
+    // bits above 2^53); forcing the low bit makes the stride odd.
+    val h2raw = shiftrightunsigned(h, 30)
+    val h2 = h2raw - pmod(h2raw, lit(2L)) + lit(1L)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(mBits.toLong)))
+  }
+
+  /** Build the portable Bloom filter over the distinct values of
+    * `valueCol`: a sparse (word, bits) table — word w holds the OR of
+    * 1L<<(pos mod 64) for every set position with pos div 64 = w. The
+    * build is one distinct + one word-keyed BIT_OR aggregate, both
+    * map-side-combining; output is metadata-scale (≤ mBits/64 rows
+    * regardless of corpus size). Shard sketches built over splits of
+    * the value set MERGE by cell-wise BIT_OR ([[bloomMerge]]) — the
+    * same associative-merge contract as the HLL (max) and CMS (add)
+    * stores, spec'd in TextAnalyticsSpec. */
+  def bloomBuild(values: DataFrame, valueCol: String, mBits: Int,
+                 k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    values.select(col(valueCol).as("v")).distinct()
+      .select(explode(bloomPositions(
+        graft.functions.Hashes.md5Hash64(col("v")), mBits, k)).as("pos"))
+      .distinct()
+      .select(expr("pos div 64").as("word"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast("int"))
+          .as("mask"))
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Merge two Bloom shards (same mBits/k): cell-wise OR. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("word").agg(bit_or(col("bits")).as("bits"))
+
+  /** Collect a built Bloom into the dense Array[Long] probe form —
+    * driver metadata (mBits/64 longs: 16 KiB at 2^20 bits, 16 MiB at
+    * 2^30; beyond that probe against the (word, bits) table with a
+    * join instead of this literal form). */
+  def bloomWords(bloom: DataFrame, mBits: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
+    bloom.collect().foreach { r =>
+      words(r.getLong(0).toInt) = r.getLong(1)
+    }
+    words
+  }
+
+  /** Membership probe against the dense word array: true iff all `k`
+    * probe bits are set. The word array rides the plan as ONE
+    * ArrayType literal (broadcast with the closure, never shuffled)
+    * and the test is a forall over k positions — a pure projection in
+    * WholeStageCodegen: no join, no shuffle, no aggregate. False
+    * positives at the sized rate, never false negatives — the right
+    * direction for decontamination screening (route flagged docs
+    * through [[ngramOverlapLarge]] to confirm). Pass a pre-computed
+    * md5 hash column to probe many shingles per row without re-hashing. */
+  def bloomMightContainHash(h: org.apache.spark.sql.Column, words: Array[Long],
+                            mBits: Int, k: Int): org.apache.spark.sql.Column = {
+    require(words.length == mBits / 64, "words must be the dense mBits/64 array")
+    val wlit = typedLit(words.toSeq)
+    forall(bloomPositions(h, mBits, k), pos =>
+      element_at(wlit, (shiftrightunsigned(pos, 6) + lit(1L)).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64L)).cast("int"))) =!= 0L)
+  }
+
+  /** [[bloomMightContainHash]] over a raw value column. */
+  def bloomMightContain(value: org.apache.spark.sql.Column, words: Array[Long],
+                        mBits: Int, k: Int): org.apache.spark.sql.Column =
+    bloomMightContainHash(graft.functions.Hashes.md5Hash64(value), words, mBits, k)
+
   /** Okapi BM25 relevance of every document against a (small) query
     * term set — the standard retrieval score, useful for search-style
     * curation (pull the corpus slice most relevant to a topic).

@@ -124,6 +124,45 @@ class TextAnalyticsSpec extends SparkSpec {
       s"bloom probe must not join or shuffle:\n$plan")
   }
 
+  test("portable Bloom: no false negatives, shard merge == joint build, scan-shaped probe") {
+    val s = spark
+    import s.implicits._
+    val mBits = 1024
+    val k = 5
+    val in = (1 to 40).map(i => s"needle_$i")
+    val inDf = in.toDF("v")
+    val words = TextAnalytics.bloomWords(
+      TextAnalytics.bloomBuild(inDf, "v", mBits, k), mBits)
+    // 1. every inserted value probes true (no false negatives, ever)
+    val probeIn = inDf.select(col("v"),
+      TextAnalytics.bloomMightContain(col("v"), words, mBits, k).as("hit"))
+      .collect()
+    assert(probeIn.forall(_.getBoolean(1)), "inserted value probed false")
+    // 2. a disjoint probe set mostly misses (fill ~0.18 → fp ~0.02%),
+    //    and a deliberately tiny filter (64 bits) forces false
+    //    positives — the upper-bound direction, never the reverse
+    val out = (1 to 500).map(i => s"other_$i").toDF("v")
+    val misses = out.select(TextAnalytics.bloomMightContain(col("v"), words, mBits, k))
+      .collect().count(_.getBoolean(0))
+    assert(misses <= 5, s"fp rate insane for 1024-bit/40-item filter: $misses/500")
+    val tiny = TextAnalytics.bloomWords(TextAnalytics.bloomBuild(inDf, "v", 64, k), 64)
+    val tinyHits = out.select(TextAnalytics.bloomMightContain(col("v"), tiny, 64, k))
+      .collect().count(_.getBoolean(0))
+    assert(tinyHits > 400, s"64-bit filter holding 40 items must saturate: $tinyHits")
+    // 3. shard merge: build(a ∪ b) == merge(build(a), build(b)) cell-for-cell
+    val (a, b) = (in.take(25).toDF("v"), in.drop(25).toDF("v"))
+    val merged = TextAnalytics.bloomMerge(
+      TextAnalytics.bloomBuild(a, "v", mBits, k),
+      TextAnalytics.bloomBuild(b, "v", mBits, k))
+    assert(TextAnalytics.bloomWords(merged, mBits).toSeq == words.toSeq,
+      "cell-wise OR merge must equal the joint build")
+    // 4. the probe is a pure projection: no join, no exchange
+    val plan = out.select(TextAnalytics.bloomMightContain(col("v"), words, mBits, k))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"bloom probe must not join or shuffle:\n$plan")
+  }
+
   test("tokenEntropy: diverse text scores high, repeated text low, empty zero") {
     val s = spark
     import s.implicits._
