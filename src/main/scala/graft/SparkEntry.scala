@@ -1518,6 +1518,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·idf with
+    // integer micro-unit scores; the oracle replays the whole chain
+    // (tf, df, the fixed-order ln, the window pick) from the raw text.
+    "q139_tfidf_keywords" -> ((s, dir) => {
+      operators.TextAnalytics.tfidfKeywords(
+        t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -3988,6 +3997,32 @@ object SparkEntry {
          |SELECT b.doc_id, b.n_sh, COALESCE(bh.n_bloom, 0) AS n_bloom, exact.n_exact
          |FROM base b JOIN exact USING (doc_id) LEFT JOIN bh USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // tf and df are integer counts; idf replays with the same
+    // fixed-order ln then micro-rounds, so score_micro = tf · idf_micro
+    // is pure integer arithmetic in both engines.
+    "q139_tfidf_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksLower AS tk FROM documents),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |tfg AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) t
+         |  GROUP BY doc_id, term),
+         |dfg AS (SELECT term, COUNT(*) AS df FROM tfg GROUP BY term),
+         |sc AS (
+         |  SELECT doc_id, term, tf, df,
+         |    tf * (CAST(round(1e6 * ln((n.n + 1.0) / (df + 1.0))) AS BIGINT)
+         |          + 1000000) AS score_micro
+         |  FROM tfg JOIN dfg USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+         |       CAST(df AS BIGINT) AS df, score_micro
+         |FROM (
+         |  SELECT doc_id, term, tf, df, score_micro,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score_micro DESC, term ASC) AS rank
+         |  FROM sc QUALIFY rank <= 3) q
+         |ORDER BY doc_id, rank""".stripMargin,
 
     // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is

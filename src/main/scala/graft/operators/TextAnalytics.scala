@@ -622,6 +622,54 @@ object TextAnalytics {
                         mBits: Int, k: Int): org.apache.spark.sql.Column =
     bloomMightContainHash(graft.functions.Hashes.md5Hash64(value), words, mBits, k)
 
+  /** Per-document TF-IDF top-`k` keyword extraction — the corpus-aware
+    * "what is this page about" signal (topic labeling, cluster naming,
+    * mixture auditing): raw TF alone surfaces stopwords, IDF alone
+    * surfaces typos; tf·idf surfaces the terms that are frequent HERE
+    * and rare elsewhere. idf = ln((N + 1) / (df + 1)) + 1 (unit-offset
+    * smoothing — never zero, never negative since df <= N).
+    *
+    * Scale shape: one (doc, term) count shuffle builds TF; DF is a
+    * keys-only rollup of that frame (vocabulary-scale, map-side
+    * combining); the idf join is term-co-keyed (never a literal — a
+    * 100 TB vocabulary doesn't broadcast); the final top-k window
+    * partitions by doc, whose group size is bounded by DOCUMENT length
+    * (not corpus size), so no partition outgrows a task at any corpus
+    * width. Nothing in the plan materializes per-corpus state on the
+    * driver except the single row count N.
+    *
+    * Scores are exact integers: idf in MICRO-units (ln rounded at
+    * 1e-6, + the 1e6 offset) times the integer tf — products stay
+    * under 2^40, ANSI-overflow-free, and the oracle replays them
+    * decimal-exact (the q63 micro-unit discipline; the ln argument is
+    * evaluated in the FIXED order (N + 1.0) / (df + 1.0) on both
+    * engines). Output: (idCol, rank, term, tf, df, score_micro), the
+    * top `k` terms per doc by (score desc, term asc). */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = df.select(col(idCol),
+      filter(graft.plans.native.wordShingles(col(textCol), 1), t => t =!= "")
+        .as("tk"))
+    val n = toks.count()
+    val tf = toks.select(col(idCol), explode(col("tk")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idfMicro = round(lit(1e6) *
+      log((lit(n.toDouble) + lit(1.0)) / (col("df") + lit(1.0)))).cast("long") +
+      lit(1000000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * idfMicro).as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("score_micro"))
+  }
+
   /** Okapi BM25 relevance of every document against a (small) query
     * term set — the standard retrieval score, useful for search-style
     * curation (pull the corpus slice most relevant to a topic).

@@ -163,6 +163,36 @@ class TextAnalyticsSpec extends SparkSpec {
       s"bloom probe must not join or shuffle:\n$plan")
   }
 
+  test("tfidfKeywords: topical terms beat stopwords, rank bounded and tie-ordered") {
+    val s = spark
+    import s.implicits._
+    // "the" appears in every doc (df=4, idf floor); each doc has one
+    // topical term repeated twice (df=1, idf high)
+    val docs = Seq(
+      (1L, "the the spark spark cluster"),
+      (2L, "the the quantum quantum flux"),
+      (3L, "the the minhash minhash band"),
+      (4L, "the the alpha beta beta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.tfidfKeywords(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+    // <= k rows per doc, ranks consecutive from 1
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length == 2))
+    assert(byDoc.values.forall(_.map(_.getLong(1)).sorted.sameElements(Seq(1L, 2L))))
+    // rank-1 term per doc is the topical (tf=2, df=1) term, never "the"
+    val top1 = out.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1 == Map(1L -> "spark", 2L -> "quantum", 3L -> "minhash", 4L -> "beta"))
+    // doc 4 tie: alpha (tf=1,df=1) vs "the" (tf=2, df=4): score decides;
+    // and among equal scores the term-asc tie-break is deterministic
+    val d4 = out.filter(_.getLong(0) == 4L).map(_.getString(2))
+    assert(d4.head == "beta")
+    // df column: "the" would carry df=4 — check via a k wide enough
+    val wide = TextAnalytics.tfidfKeywords(docs, "doc_id", "text", 10)
+      .where(col("term") === "the").select("df").distinct().collect()
+    assert(wide.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("tokenEntropy: diverse text scores high, repeated text low, empty zero") {
     val s = spark
     import s.implicits._
