@@ -1527,6 +1527,18 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // Inverted-index lifecycle: build the bucket-partitioned postings
+    // index, then the top-20 BM25 search must reproduce — through the
+    // persisted denormalized (tf, dl, df) postings and the pruned
+    // bucket read — exactly what DuckDB computes from the raw text.
+    "q140_inverted_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_inv").toString
+      operators.InvertedIndex.write(
+        t(s, dir, "documents"), "doc_id", "text", tmp, buckets = 16)
+      operators.InvertedIndex.searchBm25(s, tmp,
+        terms = Seq("spark", "join", "vector", "stream"), k = 20)
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -4023,6 +4035,39 @@ object SparkEntry {
          |                       ORDER BY score_micro DESC, term ASC) AS rank
          |  FROM sc QUALIFY rank <= 3) q
          |ORDER BY doc_id, rank""".stripMargin,
+
+    // The q64 BM25 replay (identical operation order) cut to the
+    // top-20 by (score desc, doc asc) — what the index-mediated
+    // search must reproduce through its persisted postings.
+    "q140_inverted_index" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |st AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |        FROM st),
+         |ex AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM ex
+         |  WHERE term IN ('spark', 'join', 'vector', 'stream')
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(1e6 * (ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+         |      ((tf.tf * (1.2 + 1.0)) /
+         |       (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (s.dl / t.avgdl))))))
+         |      AS BIGINT) AS m
+         |  FROM tf JOIN dfreq d ON tf.term = d.term
+         |  JOIN st s ON tf.doc_id = s.doc_id CROSS JOIN tot t),
+         |agg AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS score_micro
+         |        FROM sc GROUP BY doc_id)
+         |SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank,
+         |       doc_id, score_micro
+         |FROM agg
+         |ORDER BY score_micro DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
 
     // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index with bucket-pruned BM25 search — the
+  * build-once/query-many form of [[TextAnalytics.bm25Scores]] (which
+  * re-scans the corpus per query), the same shift writeIvfIndex makes
+  * over brute-force KNN: pay one indexing pass, then every search
+  * reads only the term buckets it probes.
+  *
+  * Layout: `path/postings/bucket=<b>/` holds (term, doc_id, tf, dl,
+  * df) rows partitioned by `bucket = pmod(xxhash64(term), buckets)`;
+  * `path/_stats` holds one row (n_docs, total_tokens, buckets). The
+  * per-doc length dl and per-term df are DENORMALIZED into the
+  * postings (the classic search-engine trick: postings carry their
+  * norms) so a search touches NOTHING but the probed buckets — no
+  * side join against a corpus-scale lengths table, no second pass.
+  * 8 extra bytes/posting buys a search plan whose bytes are
+  * O(query-term postings), not O(corpus).
+  *
+  * At 100 TB: the build is two corpus shuffles (the (doc, term) TF
+  * count and the term-keyed df join) done once; each bucket directory
+  * is a hash slice of the VOCABULARY, so buckets stay balanced no
+  * matter how skewed document lengths are (a hot term makes a big
+  * bucket — raise `buckets` or split hot terms by doc-range within a
+  * bucket; df stays correct since it rides each row). Search reads
+  * ~|terms|/buckets of the index via parquet partition pruning
+  * (PartitionFilters on bucket, spec-asserted), scores in one
+  * projection, and cuts top-k with a bounded TakeOrdered — per-
+  * partition truncation, no full sort, no window.
+  */
+object InvertedIndex {
+
+  private def toks(textCol: String) =
+    filter(graft.plans.native.wordShingles(col(textCol), 1), t => t =!= "")
+
+  /** Build the index at `path` (overwrites). Tokenization matches
+    * bm25Scores: lowercased whitespace tokens, empties dropped. */
+  def write(df: DataFrame, idCol: String, textCol: String, path: String,
+            buckets: Int = 256): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val tk = df.select(col(idCol).as("doc_id"), toks(textCol).as("tk"))
+    val lens = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val postings = tk
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.join(dfreq, Seq("term"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    lens.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("total_tokens"),
+        lit(buckets.toLong).as("buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Top-`k` docs by BM25 over the query `terms`, reading ONLY the
+    * buckets those terms hash into. Scores are integer MICRO-units
+    * with bm25Scores' exact operation order (same oracle replay);
+    * only docs matching >= 1 term appear; ties cut by doc_id asc.
+    * Output: (rank, doc_id, score_micro). */
+  def searchBm25(spark: SparkSession, path: String, terms: Seq[String],
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    val st = spark.read.parquet(s"$path/_stats").head()
+    val n = st.getLong(st.fieldIndex("n_docs"))
+    val buckets = st.getLong(st.fieldIndex("buckets"))
+    require(n > 0, "empty index")
+    val avgdl = st.getLong(st.fieldIndex("total_tokens")).toDouble / n
+    val termsL = terms.map(_.toLowerCase).distinct
+    // bucket ids via the SAME Spark expression the writer used —
+    // metadata-scale local evaluation, no engine drift
+    import spark.implicits._
+    val bks = termsL.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(bks: _*) && col("term").isin(termsL: _*))
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))
+    val pairMicro = round(lit(1e6) *
+      (idf * ((col("tf") * lit(k1 + 1.0)) / denom))).cast("long")
+    val scored = post.select(col("doc_id"), pairMicro.as("m"))
+      .groupBy("doc_id").agg(sum("m").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    // row_number over the <= k collected rows — metadata-scale window
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_micro"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec {
+
+  test("index-mediated BM25 equals the direct corpus scan; probe prunes to term buckets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark joins the vector stream quickly"),
+      (2L, "the quick brown fox"),
+      (3L, "vector vector vector stream"),
+      (4L, "join join spark"),
+      (5L, "nothing relevant here at all"),
+      (6L, "stream of consciousness")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("inv_spec").toString
+    InvertedIndex.write(docs, "doc_id", "text", tmp, buckets = 8)
+    val terms = Seq("spark", "vector", "stream")
+    val hits = InvertedIndex.searchBm25(s, tmp, terms, k = 10)
+    // ground truth: the scan-per-query operator on the same corpus —
+    // the index's denormalized (tf, dl, df) must reproduce it exactly
+    val direct = TextAnalytics.bm25Scores(docs, "doc_id", "text", terms)
+      .where(col("score_micro") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val got = hits.orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == direct, s"index search diverged: got=$got want=$direct")
+    // k cuts deterministically by (score desc, doc asc)
+    val top2 = InvertedIndex.searchBm25(s, tmp, terms, k = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top2 == direct.take(2).map(_._1))
+    // the postings scan prunes to the probed bucket directories
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "postings scan lost its bucket partition filter")
+    // unknown terms: empty result, no error
+    assert(InvertedIndex.searchBm25(s, tmp, Seq("zzzznope"), k = 5).count() == 0)
+  }
+}
