@@ -1539,6 +1539,14 @@ object SparkEntry {
         terms = Seq("spark", "join", "vector", "stream"), k = 20)
     }),
 
+    // Record linkage on the customer table: prefix blocking, then
+    // in-block Levenshtein <= 1 — integer metric, exact cross-engine.
+    "q141_record_linkage" -> ((s, dir) => {
+      operators.Dedup.linkRecords(t(s, dir, "customer"), "c_custkey",
+        "c_name", substring(col("c_name"), 1, 16), maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -4068,6 +4076,20 @@ object SparkEntry {
          |FROM agg
          |ORDER BY score_micro DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
+
+    // Same blocking key, same hot-block cap, same integer edit
+    // distance — DuckDB's levenshtein is the identical metric.
+    "q141_record_linkage" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS v, substr(c_name, 1, 16) AS block
+        |  FROM customer),
+        |cap AS (
+        |  SELECT * FROM r QUALIFY COUNT(*) OVER (PARTITION BY block) <= 10000)
+        |SELECT a.id AS id_a, b.id AS id_b, a.block AS block,
+        |       CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+        |FROM cap a JOIN cap b ON a.block = b.block AND a.id < b.id
+        |WHERE levenshtein(a.v, b.v) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is

@@ -596,6 +596,46 @@ object Dedup {
     materializeAndRelease(pairs, lSigned, rSigned)
   }
 
+  /** Record linkage (entity resolution) by blocking + edit distance:
+    * find pairs of STRUCTURED records (customers, suppliers, crawl
+    * metadata) that are near-identical on a string field — the
+    * record-level sibling of the document near-dup family (two rows
+    * describing the same real-world entity with a typo between them).
+    *
+    * Classic blocking (Fellegi–Sunter practice): only records sharing
+    * `blockCol` are compared, so the quadratic Levenshtein stage runs
+    * inside blocks, never corpus × corpus. The self-join is
+    * block-co-keyed (one shuffle per side); oversized blocks — a NULL
+    * or default-valued key would cross-product — are dropped via the
+    * SAME broadcast anti-join guard as the LSH bucket cap (`maxBlock`,
+    * count map-side combined, droppees keys-only). Within a block
+    * every survivor pair is scored with the codegen'd `levenshtein`
+    * and kept at distance <= `maxDist` — an INTEGER, so the gate
+    * replays it exactly (DuckDB `levenshtein`, same metric).
+    *
+    * Output: (id_a < id_b, block, dist). Compose for multi-field
+    * rules: link on name, then join phone/address equality as
+    * confirmatory columns, or canonicalizeCc the pairs into entity
+    * clusters. */
+  def linkRecords(df: DataFrame, idCol: String, valueCol: String,
+                  blockCol: org.apache.spark.sql.Column, maxDist: Int,
+                  maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(maxBlock >= 2, "maxBlock must allow at least one pair")
+    val recs = df.select(col(idCol).as("id"), col(valueCol).as("v"),
+      blockCol.as("block")).where(col("block").isNotNull)
+    val hot = recs.groupBy("block").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBlock).select("block")
+    val capped = recs.join(broadcast(hot), Seq("block"), "left_anti")
+    val a = capped.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("v_a"), col("v_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("block"), col("dist"))
+  }
+
   /** One-call corpus dedup: find near-dup pairs (MinHash LSH), collapse
     * to clusters, and return the corpus with only the cluster
     * representative (min id) of each duplicate group — the standard

@@ -354,6 +354,40 @@ class DedupSpec extends SparkSpec {
     both.unpersist(false)
   }
 
+  test("linkRecords: typo pairs inside blocks, blocking bounds scope, hot blocks drop") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      (1L, "acme corporation", "ac"),
+      (2L, "acme corporatiom", "ac"),   // 1 substitution from #1
+      (3L, "acme corp", "ac"),          // 7 edits from #1
+      (4L, "acme corporation", "zz"),   // identical to #1 but other block
+      (5L, "zenith labs", "ze"),
+      (6L, "zenith lab", "ze")          // 1 deletion from #5
+    ).toDF("id", "name", "blk")
+    val pairs = Dedup.linkRecords(recs, "id", "name", col("blk"), maxDist = 1)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // typo pairs found with their exact distances; the cross-block
+    // identical record (#4) is never compared — blocking IS the scope
+    assert(pairs.toList == List((1L, 2L, 1L), (5L, 6L, 1L)), pairs.toList.toString)
+    // maxDist widens the net within blocks only
+    val wide = Dedup.linkRecords(recs, "id", "name", col("blk"), maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+    // a hot block (> maxBlock rows) is dropped whole by the anti-join
+    val hot = (1L to 5L).map(i => (i, s"name$i", "hot")) :+ (10L, "solo", "ok") :+
+      (11L, "solp", "ok")
+    val capped = Dedup.linkRecords(hot.toDF("id", "name", "blk"), "id", "name",
+      col("blk"), maxDist = 1, maxBlock = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)), s"hot block must drop whole: $capped")
+    // NULL blocking keys never pair
+    val withNull = Seq((1L, "same", null.asInstanceOf[String]),
+      (2L, "same", null.asInstanceOf[String])).toDF("id", "name", "blk")
+    assert(Dedup.linkRecords(withNull, "id", "name", col("blk"), 1).count() == 0)
+  }
+
   test("prototypePrune drops the most-central fraction per cell, floor on tiny cells") {
     val s = spark
     import s.implicits._
