@@ -1547,6 +1547,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // PMI collocation mining: top-50 above-chance token pairs in
+    // micro-nats; the oracle replays counts, the fixed-order ln, and
+    // the deterministic (pmi desc, bigram asc) cut.
+    "q142_pmi_collocations" -> ((s, dir) => {
+      operators.TextAnalytics.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, k = 50)
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -4090,6 +4098,37 @@ object SparkEntry {
         |FROM cap a JOIN cap b ON a.block = b.block AND a.id < b.id
         |WHERE levenshtein(a.v, b.v) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Strict adjacent bigrams (q79's CTE), grand totals over the
+    // UNFILTERED counts, then ln((c_ab/N_bi) / ((c_a/N_uni) *
+    // (c_b/N_uni))) operand-for-operand.
+    "q142_pmi_collocations" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |bgl AS (
+         |  SELECT CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |    END AS bg
+         |  FROM tk),
+         |uni AS (SELECT t, COUNT(*) AS c
+         |        FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+         |big AS (SELECT bg, COUNT(*) AS c_ab
+         |        FROM (SELECT unnest(bg) AS bg FROM bgl) GROUP BY bg),
+         |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+         |nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n FROM big)
+         |SELECT bg AS bigram, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b,
+         |  CAST(round(1e6 * ln((c_ab / nb.n) /
+         |    ((a.c / nu.n) * (b.c / nu.n)))) AS BIGINT) AS pmi_micro
+         |FROM big
+         |JOIN uni a ON split_part(bg, ' ', 1) = a.t
+         |JOIN uni b ON split_part(bg, ' ', 2) = b.t
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c_ab >= 5
+         |ORDER BY pmi_micro DESC, bigram ASC
+         |LIMIT 50""".stripMargin,
 
     // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is

@@ -622,6 +622,67 @@ object TextAnalytics {
                         mBits: Int, k: Int): org.apache.spark.sql.Column =
     bloomMightContainHash(graft.functions.Hashes.md5Hash64(value), words, mBits, k)
 
+  /** Top-`k` collocations by pointwise mutual information — the
+    * corpus-statistics signal for multi-word expressions ("new york",
+    * "machine learning"): raw bigram counts surface "of the"; PMI =
+    * ln(p(ab) / (p(a)·p(b))) surfaces pairs that co-occur far above
+    * chance, which is what vocabulary curation and tokenizer-merge
+    * auditing want. `minCount` guards the classic PMI pathology
+    * (hapax pairs score highest).
+    *
+    * Scale shape: one strict-adjacent-bigram count and one unigram
+    * count (both keys-only, map-side combined); the two probability
+    * joins are token-CO-KEYED against the vocabulary-scale unigram
+    * frame (never a literal); the final cut is a bounded TakeOrdered.
+    * The corpus text itself is scanned once and never shuffled. The
+    * only driver scalars are the two grand totals.
+    *
+    * Integer MICRO-NAT scores (the q63 discipline) with the ln
+    * argument evaluated in the FIXED order (c_ab / N_bi) / ((c_a /
+    * N_uni) * (c_b / N_uni)) — mirrored by the oracle. Output:
+    * (bigram, c_ab, c_a, c_b, pmi_micro) by (pmi desc, bigram asc). */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val toks = df.select(
+      filter(graft.plans.native.wordShingles(col(textCol), 1), t => t =!= "")
+        .as("tk"))
+    val bgArr = {
+      val tk = col("tk")
+      when(size(tk) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+    }
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val big = toks.select(explode(bgArr).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val nUni = uni.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val nBi = big.agg(coalesce(sum("c_ab"), lit(0L))).head().getLong(0)
+    if (nBi == 0 || nUni == 0)
+      return big.select(col("bg").as("bigram"), col("c_ab"),
+        lit(0L).as("c_a"), lit(0L).as("c_b"), lit(0L).as("pmi_micro"))
+        .limit(0)
+    val pmiMicro = round(lit(1e6) *
+      log((col("c_ab") / lit(nBi.toDouble)) /
+        ((col("c_a") / lit(nUni.toDouble)) *
+         (col("c_b") / lit(nUni.toDouble))))).cast("long")
+    big.where(col("c_ab") >= minCount)
+      .join(uni.select(col("t"), col("c").as("c_a")),
+        substring_index(col("bg"), " ", 1) === col("t"))
+      .drop("t")
+      .join(uni.select(col("t"), col("c").as("c_b")),
+        substring_index(col("bg"), " ", -1) === col("t"))
+      .drop("t")
+      .select(col("bg").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        pmiMicro.as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-document TF-IDF top-`k` keyword extraction — the corpus-aware
     * "what is this page about" signal (topic labeling, cluster naming,
     * mixture auditing): raw TF alone surfaces stopwords, IDF alone

@@ -193,6 +193,32 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(wide.map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("pmiCollocations: bound pairs beat chance pairs, minCount guards hapax, strict bigrams") {
+    val s = spark
+    import s.implicits._
+    // "hong kong" always co-occurs (PMI high); "the" pairs with
+    // everything (chance-level PMI); "rare gem" appears once (hapax)
+    val base = (1 to 20).map(i =>
+      (i.toLong, s"the hong kong office filed the report number$i"))
+    val docs = (base :+ (99L, "rare gem")).toDF("doc_id", "text")
+    val out = TextAnalytics.pmiCollocations(docs, "text", minCount = 2, k = 5)
+      .collect()
+    val byBg = out.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(byBg.contains("hong kong"), s"missing the bound pair: $byBg")
+    // hapax pair is excluded by minCount even though its PMI is max
+    assert(!byBg.contains("rare gem"), "minCount must drop hapax pairs")
+    // the bound pair outranks any "the"-headed chance pair that made the cut
+    val theScores = out.filter(_.getString(0).startsWith("the ")).map(_.getLong(4))
+    assert(theScores.forall(_ < byBg("hong kong")),
+      s"chance pairs must score below the bound pair: $byBg")
+    // counts are exact: "hong kong" 20 occurrences, both unigrams 20
+    val hk = out.filter(_.getString(0) == "hong kong").head
+    assert((hk.getLong(1), hk.getLong(2), hk.getLong(3)) == ((20L, 20L, 20L)))
+    // single-token docs contribute no bigrams (strict, no fallback)
+    val single = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalytics.pmiCollocations(single, "text", 1, 5).count() == 0)
+  }
+
   test("tokenEntropy: diverse text scores high, repeated text low, empty zero") {
     val s = spark
     import s.implicits._
