@@ -1555,6 +1555,20 @@ object SparkEntry {
         t(s, dir, "documents"), "text", minCount = 5, k = 50)
     }),
 
+    // Row-level snapshot diff: two snapshots derived from documents
+    // (residue-class drops on each side + a planted text mutation);
+    // the diff must classify every id added/removed/changed exactly.
+    "q143_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 11 =!= 3)
+      val neu = docs.where(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      operators.KeyChecks.snapshotDiff(old, neu, "doc_id",
+        Seq("text", "source"))
+        .orderBy("id")
+    }),
+
     // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -4129,6 +4143,30 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // The digests never cross engines — DuckDB re-derives the status
+    // from its own md5 over the same derived snapshots.
+    "q143_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id AS id, md5(concat_ws(chr(1), text, source)) AS h
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |    md5(concat_ws(chr(1),
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
+        |      source)) AS h
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |  CASE WHEN o.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |WHERE (CASE WHEN o.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY id""".stripMargin,
 
     // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is

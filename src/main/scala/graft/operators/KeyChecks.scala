@@ -104,6 +104,37 @@ object KeyChecks {
         (!(col("max_b") <=> col("max_a"))).as("max_changed"))
   }
 
+  /** Row-level snapshot diff — [[statsDrift]]'s per-row sibling:
+    * WHICH ids were added, removed, or content-changed between two
+    * versions of a table (yesterday's crawl vs today's), the
+    * incremental-ingest planner's input (re-embed/re-dedup only the
+    * `added`+`changed` slice instead of the full corpus).
+    *
+    * Each side reduces to (id, md5-of-content) BEFORE the join — the
+    * full-outer join ships 16-byte digests, never the payload, and is
+    * id-co-keyed (one shuffle per side, AQE-balanced). `unchanged`
+    * rows — the overwhelming bulk of a healthy snapshot pair — are
+    * filtered before anything leaves the join, so output is
+    * change-scale, not corpus-scale. The digest never crosses engines
+    * (status is derived in-engine), so only injectivity matters, not
+    * digest equality. NULL content cells are skipped by concat_ws on
+    * both engines; a NULL↔'' flip therefore reads as `unchanged` —
+    * normalize upstream if that distinction is load-bearing.
+    * Output: (id, status in added|removed|changed). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    def digest(df: DataFrame, hc: String) = df.select(col(idCol).as("id"),
+      md5(concat_ws("\u0001", contentCols.map(col): _*)).as(hc))
+    digest(oldDf, "h_old").join(digest(newDf, "h_new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
   def analyze(df: DataFrame, cols: Seq[String],
               exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "analyze needs at least one column")

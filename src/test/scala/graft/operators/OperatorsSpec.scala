@@ -114,6 +114,26 @@ class KeyChecksSpec extends SparkSpec {
       assert(!r.getAs[Boolean]("min_changed") && !r.getAs[Boolean]("max_changed"))
     }
   }
+
+  test("snapshotDiff: added/removed/changed exact, unchanged silent, boundary-injective") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "t", "src")
+    val neu = Seq((2L, "b", "y"), (3L, "c2", "z"), (4L, "d", "w"))
+      .toDF("id", "t", "src")
+    val got = KeyChecks.snapshotDiff(old, neu, "id", Seq("t", "src"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"), got.toString)
+    // identical snapshots diff empty
+    assert(KeyChecks.snapshotDiff(old, old, "id", Seq("t", "src")).count() == 0)
+    // column-boundary injectivity: ("ab","c") must differ from ("a","bc")
+    val l = Seq((1L, "ab", "c")).toDF("id", "t", "src")
+    val r = Seq((1L, "a", "bc")).toDF("id", "t", "src")
+    val shifted = KeyChecks.snapshotDiff(l, r, "id", Seq("t", "src")).collect()
+    assert(shifted.map(x => (x.getLong(0), x.getString(1))).toSeq ==
+      Seq((1L, "changed")), "boundary shift must read as changed")
+  }
 }
 
 class DedupSpec extends SparkSpec {
