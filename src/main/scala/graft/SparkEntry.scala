@@ -1555,6 +1555,22 @@ object SparkEntry {
         t(s, dir, "documents"), "text", minCount = 5, k = 50)
     }),
 
+    // Fellegi-Sunter linkage: customer vs a dirtied copy of itself
+    // (segments nulled on %10, balances shifted on %7); every record
+    // must find its twin as match/possible, neighbors score negative.
+    "q144_linkage_score" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val dirty = cust
+        .withColumn("c_mktsegment", when(col("c_custkey") % 10 === 0,
+          lit(null).cast("string")).otherwise(col("c_mktsegment")))
+        .withColumn("c_acctbal", when(col("c_custkey") % 7 === 0,
+          col("c_acctbal") + lit(1.0)).otherwise(col("c_acctbal")))
+      operators.Dedup.linkScoreFs(cust, dirty, "c_custkey", "c_custkey",
+        substring(col("c_name"), 1, 17), substring(col("c_name"), 1, 17),
+        fields = fsFields, upperMicro = 12000000L, lowerMicro = 0L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Row-level snapshot diff: two snapshots derived from documents
     // (residue-class drops on each side + a planted text mutation);
     // the diff must classify every id added/removed/changed exactly.
@@ -1793,6 +1809,13 @@ object SparkEntry {
 
   private val normText =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** q144's FS field spec — shared between the gate query and the
+    * oracle so both engines inline the identical micro weights. */
+  private val fsFields = Seq(
+    ("c_name", "c_name", 0.95, 0.0001),
+    ("c_mktsegment", "c_mktsegment", 0.9, 0.2), // 5 segments: u is high
+    ("c_acctbal", "c_acctbal", 0.9, 0.0001))
 
   private val toksLower =
     """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
@@ -4143,6 +4166,44 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // Weights are Scala-computed integer literals in BOTH plans; the
+    // score is then pure integer CASE arithmetic on field equality.
+    "q144_linkage_score" -> {
+      val ws = fsFields.map { case (_, _, m, u) =>
+        operators.Dedup.fsWeightsMicro(m, u) }
+      def fieldCase(ca: String, cb: String, w: (Long, Long)) =
+        s"""(CASE WHEN a.$ca IS NULL OR b.$cb IS NULL THEN 0
+           |      WHEN a.$ca = b.$cb THEN ${w._1} ELSE ${w._2} END)""".stripMargin
+      val scoreSql = fsFields.zip(ws).map { case ((ca, cb, _, _), w) =>
+        fieldCase(ca, cb, w) }.mkString(" +\n")
+      s"""WITH a AS (
+         |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         |         substr(c_name, 1, 17) AS blk
+         |  FROM customer),
+         |b AS (
+         |  SELECT c_custkey, c_name,
+         |    CASE WHEN c_custkey % 10 = 0 THEN NULL
+         |         ELSE c_mktsegment END AS c_mktsegment,
+         |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0
+         |         ELSE c_acctbal END AS c_acctbal,
+         |    substr(c_name, 1, 17) AS blk
+         |  FROM customer),
+         |cnt AS (SELECT blk, COUNT(*) AS c FROM
+         |        (SELECT blk FROM a UNION ALL SELECT blk FROM b) GROUP BY blk),
+         |ok AS (SELECT blk FROM cnt WHERE c <= 10000),
+         |p AS (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |    CAST($scoreSql AS BIGINT) AS score_micro
+         |  FROM a JOIN ok USING (blk) JOIN b ON a.blk = b.blk)
+         |SELECT id_a, id_b, score_micro,
+         |  CASE WHEN score_micro >= 12000000 THEN 'match'
+         |       WHEN score_micro > 0 THEN 'possible'
+         |       ELSE 'non_match' END AS decision
+         |FROM p
+         |WHERE score_micro > 0
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // The digests never cross engines — DuckDB re-derives the status
     // from its own md5 over the same derived snapshots.

@@ -636,6 +636,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("block"), col("dist"))
   }
 
+  /** Fellegi–Sunter multi-field record-linkage scoring (Fellegi &
+    * Sunter 1969, JASA — the canonical probabilistic entity-resolution
+    * decision model): candidate pairs from two sources are scored by
+    * summing per-field log-likelihood-ratio weights — agreement on a
+    * field adds ln(m/u), disagreement adds ln((1-m)/(1-u)), where m =
+    * P(agree | same entity) and u = P(agree | different entities) —
+    * then cut into match / possible / non_match by the two thresholds.
+    * A NULL on either side contributes 0 (missing = no information,
+    * the standard FS treatment), so a record with a lost phone number
+    * degrades gracefully instead of being pushed to non_match.
+    *
+    * `fields` rows are (colA, colB, m, u); weights are micro-rounded
+    * ONCE driver-side ([[fsWeightsMicro]]) and ride both engines'
+    * plans as integer literals, so the whole score is exact integer
+    * arithmetic — no cross-engine ln at query time. Blocking and the
+    * hot-block broadcast anti-join guard are [[linkRecords]]'s (the
+    * count unions both sides: a block viral on EITHER side explodes
+    * the cross product). Non-matches are dropped by default — at
+    * 100 TB they dominate every block — pass `keepNonMatches = true`
+    * for threshold calibration runs.
+    * Output: (id_a, id_b, score_micro, decision). */
+  def linkScoreFs(a: DataFrame, b: DataFrame, idA: String, idB: String,
+                  blockA: org.apache.spark.sql.Column,
+                  blockB: org.apache.spark.sql.Column,
+                  fields: Seq[(String, String, Double, Double)],
+                  upperMicro: Long, lowerMicro: Long,
+                  maxBlock: Int = 10000,
+                  keepNonMatches: Boolean = false): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(upperMicro > lowerMicro, "upper threshold must exceed lower")
+    val weights = fields.map { case (_, _, m, u) => fsWeightsMicro(m, u) }
+    val l = a.select(Seq(col(idA).as("id_a"), blockA.as("block")) ++
+      fields.zipWithIndex.map { case (f, i) => col(f._1).as(s"__a$i") }: _*)
+      .where(col("block").isNotNull)
+    val r = b.select(Seq(col(idB).as("id_b"), blockB.as("block")) ++
+      fields.zipWithIndex.map { case (f, i) => col(f._2).as(s"__b$i") }: _*)
+      .where(col("block").isNotNull)
+    val hot = l.select("block").unionByName(r.select("block"))
+      .groupBy("block").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBlock).select("block")
+    val score = fields.indices.map { i =>
+      val (wa, wd) = weights(i)
+      when(col(s"__a$i").isNull || col(s"__b$i").isNull, lit(0L))
+        .when(col(s"__a$i") === col(s"__b$i"), lit(wa))
+        .otherwise(lit(wd))
+    }.reduce(_ + _)
+    val decision = when(col("score_micro") >= upperMicro, "match")
+      .when(col("score_micro") > lowerMicro, "possible")
+      .otherwise("non_match")
+    val pairs = l.join(broadcast(hot), Seq("block"), "left_anti")
+      .join(r.join(broadcast(hot), Seq("block"), "left_anti"), Seq("block"))
+      .select(col("id_a"), col("id_b"), score.as("score_micro"))
+      .withColumn("decision", decision)
+    if (keepNonMatches) pairs else pairs.where(col("decision") =!= "non_match")
+  }
+
+  /** The FS field weights in integer micro-nats: (agreement =
+    * round(1e6·ln(m/u)), disagreement = round(1e6·ln((1-m)/(1-u)))).
+    * Exposed so oracle SQL can inline the identical literals. */
+  def fsWeightsMicro(m: Double, u: Double): (Long, Long) = {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"need 0 < u < m < 1, got m=$m u=$u")
+    (math.round(1e6 * math.log(m / u)),
+     math.round(1e6 * math.log((1 - m) / (1 - u))))
+  }
+
   /** One-call corpus dedup: find near-dup pairs (MinHash LSH), collapse
     * to clusters, and return the corpus with only the cluster
     * representative (min id) of each duplicate group — the standard

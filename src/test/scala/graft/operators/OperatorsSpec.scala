@@ -408,6 +408,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.linkRecords(withNull, "id", "name", col("blk"), 1).count() == 0)
   }
 
+  test("linkScoreFs: FS weights sum exactly, NULL fields contribute zero, thresholds cut") {
+    val s = spark
+    import s.implicits._
+    val (nameA, nameD) = Dedup.fsWeightsMicro(0.9, 0.001)
+    val (cityA, cityD) = Dedup.fsWeightsMicro(0.8, 0.2)
+    val a = Seq(
+      (1L, "ann lee", "york", "b1"),
+      (2L, "bo chan", "rome", "b1"),
+      (3L, "cy drew", null.asInstanceOf[String], "b1")
+    ).toDF("id", "name", "city", "blk")
+    val b = Seq(
+      (11L, "ann lee", "york", "b1"),  // full twin of 1
+      (12L, "bo chan", "pisa", "b1"),  // city disagrees with 2
+      (13L, "cy drew", "oslo", "b1")   // 3's city NULL -> no info
+    ).toDF("id", "name", "city", "blk")
+    val fields = Seq(("name", "name", 0.9, 0.001), ("city", "city", 0.8, 0.2))
+    val all = Dedup.linkScoreFs(a, b, "id", "id", col("blk"), col("blk"),
+      fields, upperMicro = nameA + cityA, lowerMicro = 0L, keepNonMatches = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // exact integer sums of the driver-computed weights
+    assert(all((1L, 11L)) == ((nameA + cityA, "match")))
+    assert(all((2L, 12L)) == ((nameA + cityD, "possible")))
+    assert(all((3L, 13L)) == ((nameA, "possible")))  // NULL city = +0
+    assert(all((1L, 12L))._1 == nameD + cityD)       // full disagree
+    assert(all.size == 9, "3x3 block must yield 9 scored pairs")
+    // default drops non-matches
+    val kept = Dedup.linkScoreFs(a, b, "id", "id", col("blk"), col("blk"),
+      fields, upperMicro = nameA + cityA, lowerMicro = 0L).collect()
+    assert(kept.forall(_.getString(3) != "non_match") && kept.length == 3)
+    // hot-block guard counts BOTH sides (3+3 > 5 drops the block)
+    val capped = Dedup.linkScoreFs(a, b, "id", "id", col("blk"), col("blk"),
+      fields, upperMicro = nameA + cityA, lowerMicro = 0L, maxBlock = 5,
+      keepNonMatches = true)
+    assert(capped.count() == 0, "union-side block count must trigger the cap")
+  }
+
   test("prototypePrune drops the most-central fraction per cell, floor on tiny cells") {
     val s = spark
     import s.implicits._
