@@ -21,6 +21,14 @@ import org.apache.spark.sql.SparkSession
   * behind the "local-mode planning floor" claim: at sf0.1 most of the
   * per-query wall time is plan construction, not execution, and that
   * constant does not scale with data size.
+  *
+  * Section split: a handful of gate queries are deliberate LIFECYCLE
+  * soaks (build a persisted store in a tempdir, append, compact, probe
+  * — or run an iterative deep chain); their wall time is dominated by
+  * multi-job orchestration + tempdir I/O, not scan/shuffle throughput.
+  * `lifecycle_sec` / `scan_sec` split the total so the scan-shaped
+  * queries' closeness to the dispatch floor reads directly from the
+  * JSON instead of being buried under the soaks.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,6 +95,16 @@ object Bench {
     val ps = planning.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = best.map(_._2).filter(_ >= 0).sum
+    // Lifecycle soaks: persisted-store build/append/compact/probe
+    // cycles and iterative deep chains — multi-job by design.
+    val lifecycle = Set("q60_connected_components", "q66_semdedup_graph",
+      "q65_knn_graph", "q75_ivfpq_persisted", "q76_ivfrq_persisted",
+      "q82_minhash_store", "q83_jsonl_roundtrip", "q97_store_compacted",
+      "q105_warc_roundtrip", "q131_hll_store", "q132_cms_store",
+      "q140_inverted_index")
+    val lifecycleSec = best.collect {
+      case (n, v) if v >= 0 && lifecycle(n) => v }.sum
+    val scanSec = total - lifecycleSec
     val planningTotal = planning.map(_._2).filter(_ >= 0).sum
     val passTotals = passResults
       .map(_.values.filterNot(_.isNaN).sum)
@@ -101,7 +119,9 @@ object Bench {
       s""""planning_total_sec":$planningTotal,""" +
       s""""timestamp":"${java.time.Instant.now()}"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""planning":$ps,"err":$errJson,"sf":"$sfDir","env":$env}""")
+      s""""planning":$ps,"err":$errJson,""" +
+      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec,""" +
+      s""""sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }
