@@ -1571,6 +1571,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Equal-width histogram of order totals: 2-dp money scales at 100,
+    // bin assignment is then pure integer arithmetic in both engines.
+    "q145_histogram" -> ((s, dir) => {
+      operators.KeyChecks.histogram(t(s, dir, "orders"), "o_totalprice",
+        bins = 32, scale = 100L)
+        .orderBy("bin")
+    }),
+
+    // FK orphans: orders pointing at a customer subset with a
+    // residue class removed — every orphan group must surface.
+    "q146_fk_orphans" -> ((s, dir) => {
+      operators.KeyChecks.fkOrphans(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer").where(col("c_custkey") % 9 =!= 4), "c_custkey")
+        .orderBy("o_custkey")
+    }),
+
     // Row-level snapshot diff: two snapshots derived from documents
     // (residue-class drops on each side + a planted text mutation);
     // the diff must classify every id added/removed/changed exactly.
@@ -4166,6 +4183,28 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // Scaled-integer bin arithmetic: both engines compute
+    // ((v - min) * bins) div (range + 1) on nonnegative longs.
+    "q145_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM v)
+        |SELECT ((v - mn) * 32) // (mx - mn + 1) AS bin,
+        |       COUNT(*) AS n_rows
+        |FROM v CROSS JOIN mm
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
+
+    "q146_fk_orphans" ->
+      """SELECT o_custkey, COUNT(*) AS n_rows
+        |FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_custkey % 9 <> 4 AND c_custkey IS NOT NULL)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     // Weights are Scala-computed integer literals in BOTH plans; the
     // score is then pure integer CASE arithmetic on field equality.

@@ -135,6 +135,51 @@ object KeyChecks {
       .where(col("status") =!= "unchanged")
   }
 
+  /** Equal-width histogram of a numeric column — the profiling
+    * complement to [[Sampling.quantiles]] (equal-frequency): `bins`
+    * fixed-width buckets over [min, max] with exact counts, the
+    * distribution-shape report behind outlier screens and binning
+    * decisions. Values are scaled to integers (round(v·scale)) FIRST,
+    * so bin assignment is pure integer arithmetic — ((v - min) · bins)
+    * div (range + 1) — and replays exactly across engines (the q135
+    * micro-unit discipline; `scale` = 100 for 2-dp money columns, 1e6
+    * for generic doubles). One metadata-scale min/max aggregate
+    * (collected, inlined as plan literals) + one map-side-combined
+    * count per bin; NULLs are dropped. Output: (bin, n_rows); empty
+    * bins emit no row (join against sequence(0, bins-1) to densify). */
+  def histogram(df: DataFrame, valueCol: String, bins: Int,
+                scale: Long = 1000000L): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(scale >= 1, "scale must be >= 1")
+    val v = round(col(valueCol).cast("double") * lit(scale.toDouble)).cast("long")
+    val mm = df.where(col(valueCol).isNotNull)
+      .agg(min(v).as("mn"), max(v).as("mx")).head()
+    if (mm.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bin"), lit(0L).as("n_rows")).limit(0)
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    df.where(col(valueCol).isNotNull)
+      .select(v.as("__v"))
+      .select(expr(s"((__v - ${mn}L) * ${bins}L) div ${mx - mn + 1}L").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Referential-integrity orphans: child rows whose foreign key has
+    * no matching parent key, grouped by the dangling value — the
+    * cross-table sibling of [[pkViolations]] (a broken ingest usually
+    * shows up as a block of FK values, not scattered rows, so the
+    * grouped report is the actionable one). One key-co-keyed LEFT ANTI
+    * join (parent side prunes to its key column; AQE broadcasts a
+    * dimension-scale parent) + a map-side-combined count. NULL foreign
+    * keys are excluded (SQL semantics: NULL matches nothing, but it is
+    * a [[nullCounts]] finding, not an orphan). Output: (fk value
+    * column named after `childKey`, n_rows). */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+    child.where(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .groupBy(childKey).agg(count(lit(1)).as("n_rows"))
+
   def analyze(df: DataFrame, cols: Seq[String],
               exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "analyze needs at least one column")

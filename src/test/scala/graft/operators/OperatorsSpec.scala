@@ -115,6 +115,39 @@ class KeyChecksSpec extends SparkSpec {
     }
   }
 
+  test("histogram: exact counts, extremes in end bins, NULLs dropped, constant column") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(0.0, 0.25, 0.5, 0.75, 1.0, 1.0, null.asInstanceOf[Any])
+      .map(v => Tuple1(Option(v).map(_.asInstanceOf[Double])))
+      .toDF("x")
+    val h = KeyChecks.histogram(vals, "x", bins = 4, scale = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scaled range [0,100], width (101/4): 0->b0, 25->b0, 50->b1, 75->b2, 100x2->b3
+    assert(h == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L), h.toString)
+    assert(h.values.sum == 6, "NULL must be dropped, not binned")
+    // max value lands in the last bin, never bins (the +1 range guard)
+    assert(h.keys.max == 3L)
+    // constant column: everything in bin 0
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val hc = KeyChecks.histogram(const, "x", bins = 8, scale = 100L).collect()
+    assert(hc.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 3L)))
+  }
+
+  test("fkOrphans: dangling groups surface with counts, NULL fks excluded, clean is empty") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val got = KeyChecks.fkOrphans(child, "fk", parent, "pk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(9L -> 3L, 8L -> 1L), got.toString)
+    // fully-covered child: zero orphan rows
+    val clean = Seq(1L, 2L, 2L).toDF("fk")
+    assert(KeyChecks.fkOrphans(clean, "fk", parent, "pk").count() == 0)
+  }
+
   test("snapshotDiff: added/removed/changed exact, unchanged silent, boundary-injective") {
     val s = spark
     import s.implicits._
