@@ -1571,6 +1571,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Trigram-index substring search: build the bucket-partitioned
+    // trigram postings, then the index-mediated lookup must equal
+    // DuckDB's direct contains() scan doc-for-doc.
+    "q147_trigram_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_trgm").toString
+      operators.InvertedIndex.writeTrigram(docs, "doc_id", "text", tmp,
+        buckets = 16)
+      operators.InvertedIndex.searchSubstring(s, tmp, docs, "doc_id", "text",
+        needle = "stream batch")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Equal-width histogram of order totals: 2-dp money scales at 100,
     // bin assignment is then pure integer arithmetic in both engines.
     "q145_histogram" -> ((s, dir) => {
@@ -4183,6 +4197,12 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // The ground truth the index must reproduce: the direct scan.
+    "q147_trigram_search" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE contains(text, 'stream batch')
+        |ORDER BY doc_id""".stripMargin,
 
     // Scaled-integer bin arithmetic: both engines compute
     // ((v - min) * bins) div (range + 1) on nonnegative longs.

@@ -59,6 +59,68 @@ object InvertedIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
 
+  /** Character trigrams of a string column: substr positions 1 ..
+    * len-2, empty for strings shorter than 3 (an explicit guard —
+    * Spark's sequence(1, 0) DESCENDS rather than yielding empty). */
+  private def charTrigrams(name: String) =
+    when(length(col(name)) < 3, array().cast("array<string>"))
+      .otherwise(expr(s"transform(sequence(1, length($name) - 2)," +
+        s" i -> substr($name, i, 3))"))
+
+  /** Build a TRIGRAM index for substring search — the pg_trgm idea
+    * re-expressed as a bucket-partitioned postings table: every
+    * distinct character 3-gram of each doc becomes a (trigram,
+    * doc_id) row, partitioned by pmod(xxhash64(trigram), buckets).
+    * This is what makes `WHERE contains(text, needle)` tractable at
+    * 100 TB: the full-corpus scan becomes a read of the needle's
+    * ~|needle| trigram buckets. Postings are O(total characters) —
+    * the known, accepted pg_trgm cost, same class as the BM25
+    * postings. */
+  def writeTrigram(df: DataFrame, idCol: String, textCol: String,
+                   path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(charTrigrams(textCol))).as("tri"))
+      .withColumn("bucket", pmod(xxhash64(col("tri")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/trigrams")
+    import df.sparkSession.implicits._
+    Seq(buckets.toLong).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Exact substring search through the trigram index: candidate docs
+    * are those containing EVERY trigram of the needle (a guaranteed
+    * SUPERSET of true matches — a substring occurrence contains all
+    * its trigrams; contiguity is what the candidates can lie about),
+    * then one verification semi-join + `contains` filter against the
+    * corpus makes the result EXACTLY equal to the direct
+    * `corpus.where(contains(text, needle))` scan. The index read
+    * touches only the needle's trigram buckets (PartitionFilters,
+    * spec-asserted) and stays keys-only until the final semi-join;
+    * the corpus is touched only for candidate rows. Needles shorter
+    * than 3 chars have no trigrams — fall back to the direct scan. */
+  def searchSubstring(spark: SparkSession, path: String, corpus: DataFrame,
+                      idCol: String, textCol: String,
+                      needle: String): DataFrame = {
+    require(needle.length >= 3,
+      "needle must be >= 3 chars (shorter: scan directly)")
+    val buckets = spark.read.parquet(s"$path/_stats").head().getLong(0)
+    val tris = needle.sliding(3).toSeq.distinct
+    import spark.implicits._
+    val bks = tris.toDF("tri")
+      .select(pmod(xxhash64(col("tri")), lit(buckets)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val candidates = spark.read.parquet(s"$path/trigrams")
+      .where(col("bucket").isin(bks: _*) && col("tri").isin(tris: _*))
+      .groupBy("doc_id").agg(count_distinct(col("tri")).as("n"))
+      .where(col("n") === tris.size)
+      .select(col("doc_id").as(idCol))
+    corpus.join(candidates, Seq(idCol), "left_semi")
+      .where(col(textCol).contains(needle))
+  }
+
   /** Top-`k` docs by BM25 over the query `terms`, reading ONLY the
     * buckets those terms hash into. Scores are integer MICRO-units
     * with bm25Scores' exact operation order (same oracle replay);

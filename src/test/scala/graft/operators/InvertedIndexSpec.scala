@@ -41,4 +41,36 @@ class InvertedIndexSpec extends SparkSpec {
     // unknown terms: empty result, no error
     assert(InvertedIndex.searchBm25(s, tmp, Seq("zzzznope"), k = 5).count() == 0)
   }
+
+  test("trigram search: equals direct scan, kills non-contiguous candidates, prunes buckets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick abcd fox"),
+      (2L, "abc here and bcd there"), // all trigrams of "abcd", not contiguous
+      (3L, "no match at all"),
+      (4L, "ends with abcd"),
+      (5L, "ab")                      // shorter than a trigram
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("trgm_spec").toString
+    InvertedIndex.writeTrigram(docs, "doc_id", "text", tmp, buckets = 8)
+    val hits = InvertedIndex.searchSubstring(s, tmp, docs, "doc_id", "text", "abcd")
+    // doc 2 is a candidate (has "abc" and "bcd") but MUST be verified out
+    assert(hits.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    // equals the direct scan on a second needle
+    val direct = docs.where(col("text").contains("ck ab"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaIdx = InvertedIndex.searchSubstring(s, tmp, docs, "doc_id", "text", "ck ab")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIdx == direct && direct == Seq(1L))
+    // the trigram read prunes to the needle's buckets
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "trigram scan lost its bucket partition filter")
+    // sub-trigram needles are rejected (caller scans directly)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.searchSubstring(s, tmp, docs, "doc_id", "text", "ab")
+    }
+  }
 }
