@@ -1571,6 +1571,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Cluster auto-labeling (c-TF-IDF): embeddings assign to cells via
+    // the q21 kernel machinery, then each cluster's top-5 distinctive
+    // terms; the oracle replays assignment AND labeling end-to-end.
+    "q148_cluster_keywords" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val cents = Knn.sampleCentroids(emb, "vec_id", "embedding", 16,
+        portableHash = true)
+      val assigned = Knn.assignCells(emb, "vec_id", "embedding", cents)
+        .select(col("id").as("doc_id"), col("cell"))
+      operators.TextAnalytics.clusterKeywords(
+        docs.join(assigned, Seq("doc_id")), "cell", "text", 5)
+        .orderBy("cell", "rank")
+    }),
+
     // Trigram-index substring search: build the bucket-partitioned
     // trigram postings, then the index-mediated lookup must equal
     // DuckDB's direct contains() scan doc-for-doc.
@@ -4100,7 +4115,7 @@ object SparkEntry {
     "q139_tfidf_keywords" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksLower AS tk FROM documents),
-         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
          |tfg AS (
          |  SELECT doc_id, term, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) t
@@ -4197,6 +4212,45 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // The q21 assignment CTEs feeding the q139 labeling CTEs keyed by
+    // cell — assignment and c-TF-IDF replayed end-to-end.
+    "q148_cluster_keywords" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS doc_id, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cl AS (SELECT doc_id, cell FROM assign WHERE rn = 1),
+         |toks AS (SELECT doc_id, $toksLower AS tk FROM documents),
+         |lab AS (SELECT cl.cell, t.tk FROM toks t JOIN cl ON t.doc_id = cl.doc_id),
+         |n AS (SELECT COUNT(DISTINCT cell) AS n FROM lab),
+         |tfg AS (
+         |  SELECT cell, term, COUNT(*) AS tf
+         |  FROM (SELECT cell, unnest(tk) AS term FROM lab) x
+         |  GROUP BY cell, term),
+         |dfg AS (SELECT term, COUNT(*) AS df FROM tfg GROUP BY term),
+         |sc AS (
+         |  SELECT cell, term, tf, df,
+         |    tf * (CAST(round(1e6 * ln((n.n + 1.0) / (df + 1.0))) AS BIGINT)
+         |          + 1000000) AS score_micro
+         |  FROM tfg JOIN dfg USING (term) CROSS JOIN n)
+         |SELECT cell, rank, term, CAST(tf AS BIGINT) AS tf,
+         |       CAST(df AS BIGINT) AS df, score_micro
+         |FROM (
+         |  SELECT cell, term, tf, df, score_micro,
+         |    row_number() OVER (PARTITION BY cell
+         |                       ORDER BY score_micro DESC, term ASC) AS rank
+         |  FROM sc QUALIFY rank <= 5) q
+         |ORDER BY cell, rank""".stripMargin,
 
     // The ground truth the index must reproduce: the direct scan.
     "q147_trigram_search" ->

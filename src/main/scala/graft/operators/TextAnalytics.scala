@@ -712,7 +712,10 @@ object TextAnalytics {
     val toks = df.select(col(idCol),
       filter(graft.plans.native.wordShingles(col(textCol), 1), t => t =!= "")
         .as("tk"))
-    val n = toks.count()
+    // DISTINCT ids, not rows: on a unique-id corpus they coincide, and
+    // under grouped reuse (many rows per cluster id — clusterKeywords)
+    // N stays the number of "documents" idf is defined over.
+    val n = toks.agg(count_distinct(col(idCol))).head().getLong(0)
     val tf = toks.select(col(idCol), explode(col("tk")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -730,6 +733,20 @@ object TextAnalytics {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
         col("score_micro"))
   }
+
+  /** Cluster auto-labeling by class-based TF-IDF (the BERTopic
+    * c-TF-IDF idea, Grootendorst 2022): treat each cluster as one
+    * pseudo-document — tf aggregates over ALL the cluster's docs, df
+    * counts CLUSTERS containing the term, N is the cluster count — so
+    * the top terms are what distinguishes a cluster from the other
+    * clusters, which is the label a corpus map wants. Pure reuse:
+    * exactly [[tfidfKeywords]] keyed by the cluster column (tf rows
+    * accumulate per (cluster, term) in the same one count shuffle; no
+    * per-cluster text concatenation ever materializes — the cluster
+    * "pseudo-document" exists only as aggregation state). */
+  def clusterKeywords(df: DataFrame, clusterCol: String, textCol: String,
+                      k: Int): DataFrame =
+    tfidfKeywords(df, clusterCol, textCol, k)
 
   /** Okapi BM25 relevance of every document against a (small) query
     * term set — the standard retrieval score, useful for search-style

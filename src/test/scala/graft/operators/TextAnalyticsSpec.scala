@@ -219,6 +219,30 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(TextAnalytics.pmiCollocations(single, "text", 1, 5).count() == 0)
   }
 
+  test("clusterKeywords: c-TF-IDF — cluster-distinctive terms win, tf pools across docs") {
+    val s = spark
+    import s.implicits._
+    // two clusters; "common" is in every doc of both (df = both clusters);
+    // each cluster has a signature term spread across its docs
+    val docs = Seq(
+      (10L, "common kernel kernel"), (10L, "common kernel gpu"),
+      (20L, "common sonnet verse"), (20L, "common verse verse")
+    ).toDF("cell", "text")
+    val out = TextAnalytics.clusterKeywords(docs, "cell", "text", 2)
+      .orderBy("cell", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // rank-1 per cluster is the signature term with POOLED tf across docs
+    assert(out.filter(t => t._1 == 10L && t._2 == 1L).head._3 == "kernel")
+    assert(out.filter(t => t._1 == 10L && t._2 == 1L).head._4 == 3L) // 3 over 2 docs
+    assert(out.filter(t => t._1 == 20L && t._2 == 1L).head._3 == "verse")
+    // "common" carries df = 2 (clusters, not docs)
+    val common = TextAnalytics.clusterKeywords(docs, "cell", "text", 10)
+      .where(col("term") === "common").select("df").distinct().collect()
+    assert(common.map(_.getLong(0)).toSeq == Seq(2L))
+    // and never outranks the signature terms
+    assert(out.filter(_._2 == 1L).forall(_._3 != "common"))
+  }
+
   test("tokenEntropy: diverse text scores high, repeated text low, empty zero") {
     val s = spark
     import s.implicits._
