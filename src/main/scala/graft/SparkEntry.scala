@@ -1571,6 +1571,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Gap-fill: sparse daily revenue (2% of orders) per priority is
+    // completed to the full day grid with forward-carried levels;
+    // pre-first-observation days must stay NULL.
+    "q149_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .where(col("o_orderkey") % 50 === 0)
+        .groupBy(col("o_orderpriority").as("grp"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      operators.TimeSeries.gapFill(daily, "grp", "d", "cents", forward = true)
+        .orderBy("grp", "d")
+    }),
+
     // Cluster auto-labeling (c-TF-IDF): embeddings assign to cells via
     // the q21 kernel machinery, then each cluster's top-5 distinctive
     // terms; the oracle replays assignment AND labeling end-to-end.
@@ -4212,6 +4225,28 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // Same grid (generate_series over the sparse set's bounds), same
+    // IGNORE NULLS running last — cents are exact integers.
+    "q149_gap_fill" ->
+      """WITH sp AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM sp),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds),
+        |grid AS (SELECT grp, d FROM (SELECT DISTINCT grp FROM sp) CROSS JOIN days),
+        |j AS (SELECT g.grp, g.d, sp.cents FROM grid g
+        |      LEFT JOIN sp ON g.grp = sp.grp AND g.d = sp.d)
+        |SELECT grp, d,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY grp ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+        |FROM j
+        |ORDER BY grp, d""".stripMargin,
 
     // The q21 assignment CTEs feeding the q139 labeling CTEs keyed by
     // cell — assignment and c-TF-IDF replayed end-to-end.

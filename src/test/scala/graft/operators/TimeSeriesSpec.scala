@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+class TimeSeriesSpec extends SparkSpec {
+
+  test("gapFill: grid completes the span, zero vs forward semantics, leading NULLs kept") {
+    val s = spark
+    import s.implicits._
+    val daily = Seq(
+      ("a", Date.valueOf("2024-01-01"), 10L),
+      ("a", Date.valueOf("2024-01-04"), 40L),
+      ("b", Date.valueOf("2024-01-03"), 30L)
+    ).toDF("grp", "d", "v")
+    // zero fill: every (key, day) cell exists, holes are 0
+    val zero = TimeSeries.gapFill(daily, "grp", "d", "v", forward = false)
+      .orderBy("grp", "d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(zero.length == 8, "2 keys x 4 days")
+    assert(zero.toSeq == Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 0L),
+      ("a", "2024-01-03", 0L), ("a", "2024-01-04", 40L),
+      ("b", "2024-01-01", 0L), ("b", "2024-01-02", 0L),
+      ("b", "2024-01-03", 30L), ("b", "2024-01-04", 0L)))
+    // forward fill: levels carry across holes; before a key's first
+    // observation the value stays NULL (no fabricated level)
+    val fwd = TimeSeries.gapFill(daily, "grp", "d", "v", forward = true)
+      .orderBy("grp", "d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(fwd.toSeq == Seq(
+      ("a", "2024-01-01", Some(10L)), ("a", "2024-01-02", Some(10L)),
+      ("a", "2024-01-03", Some(10L)), ("a", "2024-01-04", Some(40L)),
+      ("b", "2024-01-01", None), ("b", "2024-01-02", None),
+      ("b", "2024-01-03", Some(30L)), ("b", "2024-01-04", Some(30L))))
+    // single-day span degenerates to the input
+    val one = Seq(("a", Date.valueOf("2024-02-01"), 7L)).toDF("grp", "d", "v")
+    assert(TimeSeries.gapFill(one, "grp", "d", "v", forward = true)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq == Seq(("a", 7L)))
+  }
+}
