@@ -1571,6 +1571,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Bloom-filtered semi-join: the runtime-filter technique made
+    // explicit — result must equal the plain semi-join exactly.
+    "q150_bloom_semijoin" -> ((s, dir) => {
+      operators.Joins.bloomSemiJoin(
+        t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier").where(col("s_suppkey") % 97 === 0), "s_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "qty", "cents")
+    }),
+
     // Gap-fill: sparse daily revenue (2% of orders) per priority is
     // completed to the full day grid with forward-carried levels;
     // pre-first-observation days must stay NULL.
@@ -4225,6 +4237,17 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // The Bloom is an optimization, not a semantic: ground truth is
+    // the plain IN-subquery semi-join.
+    "q150_bloom_semijoin" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_suppkey, CAST(l_quantity AS BIGINT) AS qty,
+        |       CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                    WHERE s_suppkey % 97 = 0)
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, qty, cents""".stripMargin,
 
     // Same grid (generate_series over the sparse set's bounds), same
     // IGNORE NULLS running last — cents are exact integers.

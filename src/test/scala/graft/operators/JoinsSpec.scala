@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+
+  test("bloomSemiJoin equals the plain semi-join; probe is a pre-join scan filter") {
+    val s = spark
+    import s.implicits._
+    // parquet-backed so the probe filter survives in the plan
+    // (ConvertToLocalRelation folds filters over in-memory relations)
+    val tmp = java.nio.file.Files.createTempDirectory("bloomjoin_spec").toString
+    (1L to 5000L).map(i => (i, i % 250)).toDF("row_id", "fk")
+      .write.parquet(s"$tmp/big")
+    val big = s.read.parquet(s"$tmp/big")
+    val dim = Seq(3L, 17L, 101L, 249L).toDF("pk")
+    val viaBloom = Joins.bloomSemiJoin(big, "fk", dim, "pk")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val plain = big.join(dim.select(col("pk").as("fk")), Seq("fk"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == plain && plain.nonEmpty,
+      "bloom path must reproduce the exact semi-join")
+    // the Bloom probe shows up as a scan-side filter (forall over the
+    // literal word array), not as an extra join or exchange
+    val plan = Joins.bloomSemiJoin(big, "fk", dim, "pk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("forall"), s"expected the bloom probe filter in:\n$plan")
+    assert(plan.split("Join").length - 1 == 1,
+      s"exactly ONE join (the exact semi-join) expected:\n$plan")
+    // empty dimension: empty result, no job blow-up
+    assert(Joins.bloomSemiJoin(big, "fk", dim.where(lit(false)), "pk").count() == 0)
+    // NULL fks never pass (semi-join semantics preserved)
+    val withNull = Seq(Tuple1(Option.empty[Long]), Tuple1(Some(3L))).toDF("fk")
+    assert(Joins.bloomSemiJoin(withNull, "fk", dim, "pk").count() == 1)
+  }
+}
