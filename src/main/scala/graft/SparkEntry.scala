@@ -1571,6 +1571,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Cohort retention triangle over the event stream: weekly
+    // first-touch cohorts x activity-week offsets, distinct users.
+    // The event_id >= user_id*300 filter staggers first touches so
+    // the triangle has real off-diagonal mass at gate scale.
+    "q151_cohort_retention" -> ((s, dir) => {
+      operators.TimeSeries.cohortRetention(
+        events(s, dir).where(col("event_id") >= col("user_id") * 300),
+        "user_id", "ts")
+        .select(unix_timestamp(col("cohort_week")).as("cohort_epoch"),
+          col("offset_weeks"), col("n_users"))
+        .orderBy("cohort_epoch", "offset_weeks")
+    }),
+
     // Bloom-filtered semi-join: the runtime-filter technique made
     // explicit — result must equal the plain semi-join exactly.
     "q150_bloom_semijoin" -> ((s, dir) => {
@@ -4237,6 +4250,21 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // Monday-start week truncation and integer day-diff div 7 on
+    // both engines; distinct users per (cohort, offset).
+    "q151_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        |  WHERE event_id >= user_id * 300),
+        |c AS (SELECT user_id, MIN(wk) AS c0 FROM e GROUP BY user_id)
+        |SELECT CAST(floor(epoch(c0)) AS BIGINT) AS cohort_epoch,
+        |  CAST(date_diff('day', CAST(c0 AS DATE), CAST(wk AS DATE)) // 7
+        |       AS BIGINT) AS offset_weeks,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // The Bloom is an optimization, not a semantic: ground truth is
     // the plain IN-subquery semi-join.

@@ -26,6 +26,32 @@ object TimeSeries {
     * the actuals join is (key, date)-co-keyed; the forward-fill
     * window partitions by key and its group size is bounded by the
     * day span, not the corpus. Output: (keyCol, dateCol, valueCol). */
+  /** Cohort retention matrix — the product-analytics staple: users
+    * grouped by the week of their FIRST event (the cohort), then for
+    * every later week the count of cohort members still active. The
+    * output (cohort_week, offset_weeks, n_users) is the retention
+    * triangle; read row-wise it answers "how fast does each weekly
+    * cohort decay".
+    *
+    * Scale shape: the first-touch is one user-keyed min aggregate
+    * (map-side combined); the join back is user-CO-KEYED (the cohort
+    * frame is users-scale — never broadcast blindly, AQE decides);
+    * the final (cohort, offset) distinct-count shuffles (cohort,
+    * offset, user) keys once. Nothing corpus-shaped hits the driver.
+    * Weeks truncate Monday-start (date_trunc semantics shared by
+    * Spark and DuckDB), offsets are exact integer day-diffs div 7. */
+  def cohortRetention(df: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val e = df.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).as("wk"))
+    val first = e.groupBy("u").agg(min("wk").as("c0"))
+    e.join(first, Seq("u"))
+      .select(col("u"), col("c0"),
+        expr("datediff(to_date(wk), to_date(c0)) div 7").as("offset_weeks"))
+      .groupBy(col("c0").as("cohort_week"), col("offset_weeks"))
+      .agg(count_distinct(col("u")).as("n_users"))
+  }
+
   def gapFill(df: DataFrame, keyCol: String, dateCol: String,
               valueCol: String, forward: Boolean): DataFrame = {
     val mm = df.agg(min(col(dateCol)).as("mn"), max(col(dateCol)).as("mx"))

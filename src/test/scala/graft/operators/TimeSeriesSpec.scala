@@ -40,4 +40,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.gapFill(one, "grp", "d", "v", forward = true)
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq == Seq(("a", 7L)))
   }
+
+  test("cohortRetention: first touch fixes the cohort, offsets count distinct users") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 10:00:00")
+    // 2024-01-01 and 2024-01-08 are Mondays (week starts)
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-02")),  // same week: one cell
+      (1L, ts("2024-01-10")),                           // week+1
+      (2L, ts("2024-01-03")),                           // cohort w0, never returns
+      (3L, ts("2024-01-08")), (3L, ts("2024-01-16"))    // cohort w1, returns w2
+    ).toDF("user_id", "t")
+    val got = TimeSeries.cohortRetention(ev, "user_id", "t")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),   // users 1 and 2 in week-0 cohort, week 0
+      ("2024-01-01", 1L, 1L),   // only user 1 returns in week 1
+      ("2024-01-08", 0L, 1L),   // user 3's own cohort
+      ("2024-01-08", 1L, 1L)),  // user 3 returns
+      got.toString)
+  }
 }
