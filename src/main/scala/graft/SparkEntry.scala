@@ -1571,6 +1571,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 7-day trailing revenue over the zero-filled daily grid — the
+    // rolling window rides the regular grid gapFill guarantees.
+    "q152_rolling_window" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .where(col("o_orderkey") % 50 === 0)
+        .groupBy(col("o_orderpriority").as("grp"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val filled = operators.TimeSeries.gapFill(daily, "grp", "d", "cents",
+        forward = false)
+      operators.TimeSeries.rollingSum(filled, "grp", "d", "cents", days = 7)
+        .orderBy("grp", "d")
+    }),
+
+    // Ordered funnel over a 3-day slice: view -> click -> purchase,
+    // each step strictly after the previous step's first touch.
+    "q153_funnel" -> ((s, dir) => {
+      operators.TimeSeries.funnel(
+        events(s, dir).where(col("ts") < lit("2024-01-04").cast("timestamp")),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
     // Cohort retention triangle over the event stream: weekly
     // first-touch cohorts x activity-week offsets, distinct users.
     // The event_id >= user_id*300 filter staggers first touches so
@@ -4250,6 +4273,46 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // The q149 grid with zero fill, then SUM OVER 6 PRECEDING.
+    "q152_rolling_window" ->
+      """WITH sp AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM sp),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds),
+        |grid AS (SELECT grp, d FROM (SELECT DISTINCT grp FROM sp) CROSS JOIN days),
+        |f AS (SELECT g.grp, g.d, COALESCE(sp.cents, 0) AS cents
+        |      FROM grid g LEFT JOIN sp ON g.grp = sp.grp AND g.d = sp.d)
+        |SELECT grp, d, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY grp ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
+        |FROM f
+        |ORDER BY grp, d""".stripMargin,
+
+    // Each step's threshold chains off the previous: first qualifying
+    // event strictly after the prior step's first touch.
+    "q153_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |ORDER BY step""".stripMargin,
 
     // Monday-start week truncation and integer day-diff div 7 on
     // both engines; distinct users per (cohort, offset).

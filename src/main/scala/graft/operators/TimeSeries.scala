@@ -26,6 +26,50 @@ object TimeSeries {
     * the actuals join is (key, date)-co-keyed; the forward-fill
     * window partitions by key and its group size is bounded by the
     * day span, not the corpus. Output: (keyCol, dateCol, valueCol). */
+  /** Trailing `days`-window sum over a REGULAR daily grid (one row
+    * per (key, day) — compose after [[gapFill]], which guarantees it;
+    * on an irregular frame a rows-window would silently span gaps).
+    * The window partitions by key ordered by date, ROWS days-1
+    * PRECEDING — group size bounded by the day span. NULL cells
+    * (gapFill's leading forward-fill rows) stay NULL-transparent:
+    * the window sums the non-NULL cells, both engines alike. */
+  def rollingSum(df: DataFrame, keyCol: String, dateCol: String,
+                 valueCol: String, days: Int): DataFrame = {
+    require(days >= 1, "days must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(-(days - 1), Window.currentRow)
+    df.select(col(keyCol), col(dateCol), col(valueCol),
+      sum(col(valueCol)).over(w).as(s"rolling_$valueCol"))
+  }
+
+  /** Ordered funnel conversion: how many users reach each step of
+    * `steps` IN ORDER — step k counts users with an event of type k
+    * strictly after their step-(k-1) time (first-touch semantics:
+    * the earliest qualifying event advances the funnel). Set-based:
+    * one user-keyed min-aggregate per step joined user-CO-KEYED onto
+    * the previous threshold — |steps| passes over the (filtered)
+    * event stream, no per-user event list ever materializes. Output:
+    * (step, step_name, n_users), monotone non-increasing. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val s = df.sparkSession
+    import s.implicits._
+    var cur = df.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+    val counts = Seq.newBuilder[(Long, String, Long)]
+    counts += ((1L, steps.head, cur.count()))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      cur = df.where(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("__ts"))
+        .join(cur, Seq("u"))
+        .where(col("__ts") > col("t"))
+        .groupBy("u").agg(min(col("__ts")).as("t"))
+      counts += ((i + 1L, st, cur.count()))
+    }
+    counts.result().toDF("step", "step_name", "n_users")
+  }
+
   /** Cohort retention matrix — the product-analytics staple: users
     * grouped by the week of their FIRST event (the cohort), then for
     * every later week the count of cohort members still active. The

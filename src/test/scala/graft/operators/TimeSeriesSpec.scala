@@ -41,6 +41,53 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq == Seq(("a", 7L)))
   }
 
+  test("rollingSum: trailing window sums exactly, truncates at series start, NULL-transparent") {
+    val s = spark
+    import s.implicits._
+    val grid = Seq(
+      ("a", Date.valueOf("2024-01-01"), Some(1L)),
+      ("a", Date.valueOf("2024-01-02"), Some(2L)),
+      ("a", Date.valueOf("2024-01-03"), Some(4L)),
+      ("a", Date.valueOf("2024-01-04"), Some(8L)),
+      ("b", Date.valueOf("2024-01-01"), None),
+      ("b", Date.valueOf("2024-01-02"), Some(5L))
+    ).toDF("grp", "d", "v")
+    val out = TimeSeries.rollingSum(grid, "grp", "d", "v", days = 3)
+      .orderBy("grp", "d").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      ("a", Some(1L)), ("a", Some(3L)), ("a", Some(7L)), ("a", Some(14L)),
+      ("b", None), ("b", Some(5L))),  // leading NULL window is NULL, then ignores it
+      out.toSeq.toString)
+  }
+
+  test("funnel: strict ordering chains steps, out-of-order events don't convert") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d)
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "buy"),
+      // u2: clicked BEFORE viewing — click must not count; a later
+      // click after the view does
+      (2L, ts("2024-01-01 08:00:00"), "click"),
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 12:00:00"), "click"),
+      // u3: only views
+      (3L, ts("2024-01-01 09:30:00"), "view"),
+      // u4: buys before any view — never enters the funnel
+      (4L, ts("2024-01-01 07:00:00"), "buy")
+    ).toDF("user_id", "t", "et")
+    val got = TimeSeries.funnel(ev, "user_id", "t", "et",
+      Seq("view", "click", "buy"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "buy", 1L)),
+      got.toString)
+  }
+
   test("cohortRetention: first touch fixes the cohort, offsets count distinct users") {
     val s = spark
     import s.implicits._
