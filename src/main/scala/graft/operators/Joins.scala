@@ -37,13 +37,17 @@ object Joins {
       s"dimension too large for a driver-literal Bloom ($rawBits bits); semi-join directly")
     val mBits = (((rawBits + 63) / 64) * 64).toInt
     val k = 5
+    // xxhash64 mode: the exact join below makes the result
+    // hash-independent, so nothing needs the replayable md5 chain —
+    // and the probe stays a one-instruction hash in codegen.
     val words = TextAnalytics.bloomWords(
       TextAnalytics.bloomBuild(
-        dim.select(col(dimKey).cast("string").as("v")), "v", mBits, k),
+        dim.select(col(dimKey).cast("string").as("v")), "v", mBits, k,
+        portableHash = false),
       mBits)
     big
       .where(TextAnalytics.bloomMightContain(
-        col(bigKey).cast("string"), words, mBits, k))
+        col(bigKey).cast("string"), words, mBits, k, portableHash = false))
       .join(dim.select(col(dimKey).cast(big.schema(bigKey).dataType).as(bigKey))
         .distinct(), Seq(bigKey), "left_semi")
   }

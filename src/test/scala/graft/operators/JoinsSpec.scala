@@ -21,11 +21,13 @@ class JoinsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(viaBloom == plain && plain.nonEmpty,
       "bloom path must reproduce the exact semi-join")
-    // the Bloom probe shows up as a scan-side filter (forall over the
-    // literal word array), not as an extra join or exchange
+    // the Bloom probe shows up as a scan-side filter (unrolled
+    // element_at bit tests over the literal word array — codegen-able,
+    // no HOF), not as an extra join or exchange
     val plan = Joins.bloomSemiJoin(big, "fk", dim, "pk")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("forall"), s"expected the bloom probe filter in:\n$plan")
+    assert(plan.contains("element_at"), s"expected the bloom probe filter in:\n$plan")
+    assert(!plan.contains("forall"), "probe must be the unrolled codegen form")
     assert(plan.split("Join").length - 1 == 1,
       s"exactly ONE join (the exact semi-join) expected:\n$plan")
     // empty dimension: empty result, no job blow-up
