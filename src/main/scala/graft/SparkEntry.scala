@@ -1571,6 +1571,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Trailing z-score anomalies on the zero-filled grid: spikes
+    // against a 14-day self-excluding baseline, |z| >= 3.
+    "q154_rolling_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .where(col("o_orderkey") % 50 === 0)
+        .groupBy(col("o_orderpriority").as("grp"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val filled = operators.TimeSeries.gapFill(daily, "grp", "d", "cents",
+        forward = false)
+      operators.TimeSeries.anomalies(filled, "grp", "d", "cents",
+        days = 14, zThresholdMicro = 3000000L, minPoints = 5)
+        .orderBy("grp", "d")
+    }),
+
     // 7-day trailing revenue over the zero-filled daily grid — the
     // rolling window rides the regular grid gapFill guarantees.
     "q152_rolling_window" -> ((s, dir) => {
@@ -4273,6 +4288,40 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // Integer window moments (sum v, sum v^2), fixed-order float z,
+    // IEEE sqrt — bit-identical before the micro rounding.
+    "q154_rolling_anomaly" ->
+      """WITH sp AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM sp),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds),
+        |grid AS (SELECT grp, d FROM (SELECT DISTINCT grp FROM sp) CROSS JOIN days),
+        |f AS (SELECT g.grp, g.d, COALESCE(sp.cents, 0) AS cents
+        |      FROM grid g LEFT JOIN sp ON g.grp = sp.grp AND g.d = sp.d),
+        |st AS (SELECT grp, d, cents,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+        |  CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2,
+        |  COUNT(cents) OVER w AS n
+        |  FROM f WINDOW w AS (PARTITION BY grp ORDER BY d
+        |                      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT grp, d, cents,
+        |  CAST(round(1e6 * ((cents - CAST(s1 AS DOUBLE) / n) /
+        |    sqrt(CAST(s2 AS DOUBLE) / n -
+        |         (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))))
+        |    AS BIGINT) AS z_micro
+        |  FROM st
+        |  WHERE n >= 5 AND (CAST(s2 AS DOUBLE) / n -
+        |        (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) > 0)
+        |SELECT grp, d, cents, z_micro FROM z
+        |WHERE abs(z_micro) >= 3000000
+        |ORDER BY grp, d""".stripMargin,
 
     // The q149 grid with zero fill, then SUM OVER 6 PRECEDING.
     "q152_rolling_window" ->

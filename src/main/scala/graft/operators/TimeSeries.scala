@@ -42,6 +42,43 @@ object TimeSeries {
       sum(col(valueCol)).over(w).as(s"rolling_$valueCol"))
   }
 
+  /** Trailing-window anomaly detection over a REGULAR daily grid
+    * (compose after [[gapFill]]): each day's value is z-scored
+    * against the preceding `days` window — EXCLUDING the current day,
+    * so a spike can't dilute its own baseline — and days with
+    * |z| >= the threshold are flagged. The metric-monitoring staple
+    * (did today's volume/revenue/error-count jump?).
+    *
+    * Exact cross-engine replay despite the float z: window sums of v
+    * and v² are exact integer aggregates; mean/variance/z then follow
+    * a FIXED operation order, and IEEE sqrt is correctly rounded —
+    * bit-identical on both engines — before the single micro
+    * rounding. Windows with fewer than `minPoints` observations or
+    * zero variance emit nothing (no baseline — no verdict).
+    * Output: (keyCol, dateCol, valueCol, z_micro). */
+  def anomalies(df: DataFrame, keyCol: String, dateCol: String,
+                valueCol: String, days: Int, zThresholdMicro: Long,
+                minPoints: Int = 5): DataFrame = {
+    require(days >= 2, "days must be >= 2")
+    require(minPoints >= 2 && minPoints <= days, "need 2 <= minPoints <= days")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(-days, -1)
+    val v = col(valueCol)
+    val withStats = df.select(col(keyCol), col(dateCol), v,
+      sum(v).over(w).as("__s1"),
+      sum(v * v).over(w).as("__s2"),
+      count(v).over(w).as("__n"))
+    val mean = col("__s1").cast("double") / col("__n")
+    val ex2 = col("__s2").cast("double") / col("__n")
+    val variance = ex2 - mean * mean
+    val zMicro = round(lit(1e6) *
+      ((v.cast("double") - mean) / sqrt(variance))).cast("long")
+    withStats
+      .where(col("__n") >= minPoints && variance > lit(0.0))
+      .select(col(keyCol), col(dateCol), v, zMicro.as("z_micro"))
+      .where(abs(col("z_micro")) >= zThresholdMicro)
+  }
+
   /** Ordered funnel conversion: how many users reach each step of
     * `steps` IN ORDER — step k counts users with an event of type k
     * strictly after their step-(k-1) time (first-touch semantics:

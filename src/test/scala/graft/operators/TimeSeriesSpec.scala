@@ -61,6 +61,34 @@ class TimeSeriesSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("anomalies: spike flags against its own history, baseline excludes current day") {
+    val s = spark
+    import s.implicits._
+    // 10 flat days then a spike; flat noise alternates 10/12 so the
+    // baseline variance is nonzero
+    val rows = (1 to 10).map(i =>
+      ("a", Date.valueOf(f"2024-01-$i%02d"), if (i % 2 == 0) 12L else 10L)) :+
+      (("a", Date.valueOf("2024-01-11"), 500L))
+    val grid = rows.toDF("grp", "d", "v")
+    val hits = TimeSeries.anomalies(grid, "grp", "d", "v",
+      days = 14, zThresholdMicro = 3000000L, minPoints = 5)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(hits.length == 1 && hits.head._1 == "2024-01-11" && hits.head._2 == 500L,
+      hits.toSeq.toString)
+    assert(hits.head._3 > 3000000L, "spike z must exceed the threshold positively")
+    // the spike day's own value is NOT in its baseline: z uses the
+    // flat history's mean ~11, so z is enormous; verify magnitude
+    assert(hits.head._3 > 100000000L, s"self-excluding baseline expected: ${hits.head._3}")
+    // constant history: zero variance -> no verdict, even for a jump
+    val const = ((1 to 10).map(i => ("b", Date.valueOf(f"2024-02-$i%02d"), 7L)) :+
+      (("b", Date.valueOf("2024-02-11"), 900L))).toDF("grp", "d", "v")
+    assert(TimeSeries.anomalies(const, "grp", "d", "v", 14, 3000000L).count() == 0)
+    // too-short history: silent
+    val short = Seq(("c", Date.valueOf("2024-03-01"), 1L),
+      ("c", Date.valueOf("2024-03-02"), 999L)).toDF("grp", "d", "v")
+    assert(TimeSeries.anomalies(short, "grp", "d", "v", 14, 3000000L).count() == 0)
+  }
+
   test("funnel: strict ordering chains steps, out-of-order events don't convert") {
     val s = spark
     import s.implicits._
