@@ -90,6 +90,26 @@ object InvertedIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
 
+  /** Append new docs' trigram postings to an existing index — sound
+    * WITHOUT rebuild because trigram postings carry no corpus-level
+    * stats (unlike the BM25 postings, whose denormalized df/avgdl go
+    * stale on append and need a rebuild): search semantics are
+    * per-doc set membership, so old and new postings just coexist in
+    * the same bucket directories. Caller owns id uniqueness across
+    * batches (duplicate ids would double-count toward the
+    * all-trigrams candidate test). */
+  def appendTrigram(df: DataFrame, idCol: String, textCol: String,
+                    path: String): Unit = {
+    val spark = df.sparkSession
+    val buckets = spark.read.parquet(s"$path/_stats").head().getLong(0)
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(charTrigrams(textCol))).as("tri"))
+      .withColumn("bucket", pmod(xxhash64(col("tri")), lit(buckets)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/trigrams")
+  }
+
   /** Exact substring search through the trigram index: candidate docs
     * are those containing EVERY trigram of the needle (a guaranteed
     * SUPERSET of true matches — a substring occurrence contains all

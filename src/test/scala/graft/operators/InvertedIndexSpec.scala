@@ -72,5 +72,12 @@ class InvertedIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InvertedIndex.searchSubstring(s, tmp, docs, "doc_id", "text", "ab")
     }
+    // append: new docs join the searchable set without a rebuild
+    val more = Seq((6L, "late arrival with abcd too")).toDF("doc_id", "text")
+    InvertedIndex.appendTrigram(more, "doc_id", "text", tmp)
+    val all = docs.unionByName(more)
+    val after = InvertedIndex.searchSubstring(s, tmp, all, "doc_id", "text", "abcd")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(1L, 4L, 6L), s"appended doc must be found: $after")
   }
 }
