@@ -1571,6 +1571,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Weighted sample: 100 docs drawn by n_chars mass, seeded-hash
+    // deterministic; the oracle replays hash, uniform, and priority.
+    "q155_weighted_sample" -> ((s, dir) => {
+      operators.Sampling.sampleWeighted(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100, seed = 7L)
+        .orderBy("priority_micro", "doc_id")
+    }),
+
     // Trailing z-score anomalies on the zero-filled grid: spikes
     // against a 14-day self-excluding baseline, |z| >= 3.
     "q154_rolling_anomaly" -> ((s, dir) => {
@@ -4288,6 +4297,24 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // u = (h mod p + 1)/(p + 1) of the shared md5 hash, then
+    // -ln(u)/w in fixed order; cut by (rounded priority, id).
+    "q155_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    ${md5Hash64Sql("'7:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents WHERE n_chars > 0),
+         |pr AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(round(1e6 * (-ln((CAST(h % 1000000007 AS DOUBLE) + 1.0)
+         |                          / 1000000008.0)
+         |                      / CAST(n_chars AS DOUBLE))) AS BIGINT)
+         |      AS priority_micro
+         |  FROM h)
+         |SELECT doc_id, n_chars, priority_micro FROM pr
+         |ORDER BY priority_micro, doc_id
+         |LIMIT 100""".stripMargin,
 
     // Integer window moments (sum v, sum v^2), fixed-order float z,
     // IEEE sqrt — bit-identical before the micro rounding.

@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
 /** Corpus shaping operators for training-data curation. */
 object Sampling {
 
+  /** Weighted sampling WITHOUT replacement, exactly `k` rows,
+    * deterministic (Efraimidis & Spirakis 2006 via the exponential
+    * formulation: priority = -ln(u)/w with u uniform per item — the
+    * k smallest priorities are a w-weighted sample; "sample by
+    * quality score" as a primitive). u is derived from a seeded hash
+    * of the id — no RNG, rerunnable, and DuckDB-replayable: u = (h
+    * mod p + 1)/(p + 1) is an exact rational of the shared md5 hash,
+    * the priority follows a fixed operation order, and the k-cut is
+    * by (rounded priority, id) — total order, no flap. The plan is
+    * one scan + a bounded TakeOrdered (per-partition truncation at
+    * k); nothing shuffles but k-row partials. Non-positive weights
+    * are excluded (they have no sampling mass). Output: input columns
+    * + priority_micro, ordered by the draw. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = graft.functions.Hashes.md5Hash64(
+      concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val u = (pmod(h, lit(1000000007L)).cast("double") + lit(1.0)) /
+      lit(1000000008.0)
+    val pr = round(lit(1e6) *
+      (-log(u) / col(weightCol).cast("double"))).cast("long")
+    df.where(col(weightCol) > 0)
+      .withColumn("priority_micro", pr)
+      .orderBy(col("priority_micro").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic stratified head: at most `n` rows per stratum,
     * picked by ascending `orderCol` (use a hash column for an unbiased
     * draw, an id for reproducible slices). One shuffle on the stratum

@@ -21,6 +21,31 @@ class SamplingSpec extends SparkSpec {
       .collect().forall(_.getLong(2) == 0L))
   }
 
+  test("sampleWeighted: exactly k, deterministic, weight-dominant, positive-mass only") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).map(i => (i, if (i == 42L) 1e12 else 1.0)) ++
+      Seq((201L, 0.0), (202L, -5.0))
+    val df = rows.toDF("id", "w")
+    val a = Sampling.sampleWeighted(df, "id", "w", k = 20, seed = 3L)
+      .collect().map(_.getLong(0)).toSeq
+    // exactly k, rerun identical (no RNG), overwhelming weight always in
+    assert(a.length == 20)
+    val b = Sampling.sampleWeighted(df, "id", "w", k = 20, seed = 3L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "seeded draw must be reproducible")
+    assert(a.contains(42L), "a weight 1e12 item must always be drawn")
+    // zero/negative weights never drawn even with k > candidates
+    val all = Sampling.sampleWeighted(df, "id", "w", k = 500, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!all.contains(201L) && !all.contains(202L))
+    assert(all.size == 200)
+    // different seeds give different draws (not a fixed head)
+    val c = Sampling.sampleWeighted(df, "id", "w", k = 20, seed = 4L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a != c, "distinct seeds should permute the draw")
+  }
+
   test("samplePerKey draws exactly k deterministic rows per key") {
     val s = spark
     import s.implicits._
