@@ -1571,6 +1571,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Per-source weighted draw: 10 docs per source by n_chars mass.
+    "q156_weighted_per_key" -> ((s, dir) => {
+      operators.Sampling.sampleWeightedPerKey(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", k = 10, seed = 7L)
+        .select("source", "draw_rank", "doc_id", "n_chars", "priority_micro")
+        .orderBy("source", "draw_rank")
+    }),
+
     // Weighted sample: 100 docs drawn by n_chars mass, seeded-hash
     // deterministic; the oracle replays hash, uniform, and priority.
     "q155_weighted_sample" -> ((s, dir) => {
@@ -4297,6 +4306,26 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // The q155 priority math cut per key with QUALIFY row_number.
+    "q156_weighted_per_key" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${md5Hash64Sql("'7:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents WHERE n_chars > 0),
+         |pr AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(round(1e6 * (-ln((CAST(h % 1000000007 AS DOUBLE) + 1.0)
+         |                          / 1000000008.0)
+         |                      / CAST(n_chars AS DOUBLE))) AS BIGINT)
+         |      AS priority_micro
+         |  FROM h)
+         |SELECT source, rank AS draw_rank, doc_id, n_chars, priority_micro
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY priority_micro ASC, doc_id ASC) AS rank
+         |  FROM pr QUALIFY rank <= 10) q
+         |ORDER BY source, draw_rank""".stripMargin,
 
     // u = (h mod p + 1)/(p + 1) of the shared md5 hash, then
     // -ln(u)/w in fixed order; cut by (rounded priority, id).

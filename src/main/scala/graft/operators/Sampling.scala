@@ -35,6 +35,30 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[sampleWeighted]] per key: at most `k` rows PER value of
+    * `keyCol`, drawn by weight within each key ("k docs per domain by
+    * quality" — the per-stratum form of the ES draw; same priority
+    * math, but the cut is a row_number window partitioned by key, so
+    * the shuffle is one key-partitioned exchange and each window
+    * group is that key's rows, never the corpus). */
+  def sampleWeightedPerKey(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, k: Int,
+                           seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = graft.functions.Hashes.md5Hash64(
+      concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val u = (pmod(h, lit(1000000007L)).cast("double") + lit(1.0)) /
+      lit(1000000008.0)
+    val pr = round(lit(1e6) *
+      (-log(u) / col(weightCol).cast("double"))).cast("long")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("priority_micro").asc, col(idCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("priority_micro", pr)
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .where(col("draw_rank") <= k)
+  }
+
   /** Deterministic stratified head: at most `n` rows per stratum,
     * picked by ascending `orderCol` (use a hash column for an unbiased
     * draw, an id for reproducible slices). One shuffle on the stratum

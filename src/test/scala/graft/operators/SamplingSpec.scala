@@ -46,6 +46,24 @@ class SamplingSpec extends SparkSpec {
     assert(a != c, "distinct seeds should permute the draw")
   }
 
+  test("sampleWeightedPerKey: k per key, same priority math as the global draw") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 50L).map(i => (i, "a", 1.0)) ++
+      (51L to 60L).map(i => (i, "b", 1.0)) ++
+      Seq((99L, "b", 1e12))).toDF("id", "src", "w")
+    val got = Sampling.sampleWeightedPerKey(df, "src", "id", "w", k = 5, seed = 9L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(got("a").length == 5 && got("b").length == 5)
+    assert(got("b").map(_._2).contains(99L), "heavy item wins inside its key")
+    // per-key cut agrees with the global priority order restricted to the key
+    val globalB = Sampling.sampleWeighted(
+      df.where(col("src") === "b"), "id", "w", k = 5, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got("b").map(_._2).toSet == globalB,
+      "per-key draw must equal the global draw restricted to that key")
+  }
+
   test("samplePerKey draws exactly k deterministic rows per key") {
     val s = spark
     import s.implicits._
