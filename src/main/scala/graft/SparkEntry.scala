@@ -1571,6 +1571,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Rendezvous routing of customers onto 5 shards, md5 gate mode;
+    // every per-key argmax must replay.
+    "q157_rendezvous" -> ((s, dir) => {
+      operators.Joins.rendezvousAssign(
+        t(s, dir, "customer").select("c_custkey"),
+        "c_custkey", Seq("s1", "s2", "s3", "s4", "s5"), portableHash = true)
+        .orderBy("c_custkey")
+    }),
+
     // Per-source weighted draw: 10 docs per source by n_chars mass.
     "q156_weighted_per_key" -> ((s, dir) => {
       operators.Sampling.sampleWeightedPerKey(
@@ -4306,6 +4315,21 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // argmax by (score desc, shard desc) mirrors greatest's struct
+    // ordering tie-break.
+    "q157_rendezvous" ->
+      s"""WITH scored AS (
+         |  SELECT c_custkey, sh.shard,
+         |    ${md5Hash64Sql("sh.shard || ':' || CAST(c_custkey AS VARCHAR)")} AS s
+         |  FROM customer
+         |  CROSS JOIN (SELECT unnest(['s1','s2','s3','s4','s5']) AS shard) sh)
+         |SELECT c_custkey, shard FROM (
+         |  SELECT c_custkey, shard,
+         |    row_number() OVER (PARTITION BY c_custkey
+         |                       ORDER BY s DESC, shard DESC) AS rn
+         |  FROM scored QUALIFY rn = 1) q
+         |ORDER BY c_custkey""".stripMargin,
 
     // The q155 priority math cut per key with QUALIFY row_number.
     "q156_weighted_per_key" ->

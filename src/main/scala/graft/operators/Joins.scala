@@ -26,6 +26,34 @@ object Joins {
     * ~2^30 bits (see [[TextAnalytics.bloomWords]]); size via
     * `bitsPerKey` (default 16 ≈ 0.05% fp with k=5). For dimensions
     * too big for that, a Bloom no longer beats just semi-joining. */
+  /** Rendezvous (highest-random-weight) shard assignment: each key
+    * routes to argmax over shards of hash(shard, key) — the stable
+    * alternative to `pmod(hash, n)`: growing the shard list moves
+    * ONLY the keys whose new argmax IS the new shard (≈1/(n+1) of
+    * them), where mod-n reshuffles nearly everything. The routing
+    * layer under incremental stores and sticky writers.
+    *
+    * Pure per-row expression: |shards| hash evaluations folded with
+    * `greatest` over (score, shard) structs — no join, no shuffle, no
+    * explode; the shard list rides the plan as literals. Ties (never,
+    * with a 60-bit hash) break toward the larger shard name — the
+    * struct ordering, mirrored by the oracle. `portableHash` = the
+    * md5 gate mode; production keeps codegen'd xxhash64. */
+  def rendezvousAssign(df: DataFrame, keyCol: String, shards: Seq[String],
+                       portableHash: Boolean = false): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      "shards must be non-empty and unique")
+    def h(sh: String) = {
+      val v = concat(lit(sh), lit(":"), col(keyCol).cast("string"))
+      if (portableHash) graft.functions.Hashes.md5Hash64(v)
+      else xxhash64(v)
+    }
+    val scored = shards.map(sh => struct(h(sh).as("s"), lit(sh).as("shard")))
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn("shard", best.getField("shard"))
+  }
+
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     dim: DataFrame, dimKey: String,
                     bitsPerKey: Int = 16): DataFrame = {

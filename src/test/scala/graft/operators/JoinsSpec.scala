@@ -36,4 +36,32 @@ class JoinsSpec extends SparkSpec {
     val withNull = Seq(Tuple1(Option.empty[Long]), Tuple1(Some(3L))).toDF("fk")
     assert(Joins.bloomSemiJoin(withNull, "fk", dim, "pk").count() == 1)
   }
+
+  test("rendezvousAssign: balanced, deterministic, and adding a shard moves only its keys") {
+    val s = spark
+    import s.implicits._
+    val keys = (1L to 3000L).toDF("k")
+    val three = Seq("a", "b", "c")
+    val m3 = Joins.rendezvousAssign(keys, "k", three)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic rerun
+    val again = Joins.rendezvousAssign(keys, "k", three)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m3 == again)
+    // roughly balanced: each shard gets 1/3 +- 40%
+    val counts = m3.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.values.forall(c => c > 600 && c < 1400), counts.toMap.toString)
+    // THE property: with shard d added, every changed key moved TO d
+    val m4 = Joins.rendezvousAssign(keys, "k", three :+ "d")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = m3.keys.filter(k => m3(k) != m4(k)).toSeq
+    assert(moved.nonEmpty && moved.forall(k => m4(k) == "d"),
+      "rendezvous movement must only target the new shard")
+    // and ~1/4 of keys moved (1/(n+1)), +- 40%
+    assert(moved.size > 450 && moved.size < 1050, s"moved=${moved.size}")
+    // portable mode routes identically across reruns too
+    val p = Joins.rendezvousAssign(keys, "k", three, portableHash = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p.values.toSet.subsetOf(three.toSet))
+  }
 }
