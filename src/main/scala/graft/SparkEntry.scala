@@ -1571,6 +1571,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Per-priority revenue trend: OLS slope over (day index, cents)
+    // from exact integer moments.
+    "q158_trend" -> ((s, dir) => {
+      val sp = t(s, dir, "orders")
+        .where(col("o_orderkey") % 50 === 0)
+        .groupBy(col("o_orderpriority").as("grp"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val d0 = sp.agg(min("d")).head().getDate(0)
+      operators.TimeSeries.trendPerKey(
+        sp.withColumn("x", datediff(col("d"), lit(d0))),
+        "grp", "x", "cents")
+        .orderBy("grp")
+    }),
+
     // Rendezvous routing of customers onto 5 shards, md5 gate mode;
     // every per-key argmax must replay.
     "q157_rendezvous" -> ((s, dir) => {
@@ -4315,6 +4330,40 @@ object SparkEntry {
          |WHERE c_ab >= 5
          |ORDER BY pmi_micro DESC, bigram ASC
          |LIMIT 50""".stripMargin,
+
+    // Exact integer moments, then the identical fixed-order slope /
+    // intercept floats, rounded once to micro.
+    "q158_trend" ->
+      """WITH sp AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  GROUP BY 1, 2),
+        |d0 AS (SELECT MIN(d) AS d0 FROM sp),
+        |xy AS (SELECT grp, date_diff('day', d0, d) AS x, cents AS y
+        |       FROM sp CROSS JOIN d0),
+        |m AS (
+        |  SELECT grp, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM xy GROUP BY grp)
+        |SELECT grp, n,
+        |  CAST(round(1e6 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST(round(1e6 * ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT)
+        |    AS intercept_micro
+        |FROM m
+        |WHERE n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |ORDER BY grp""".stripMargin,
 
     // argmax by (score desc, shard desc) mirrors greatest's struct
     // ordering tie-break.

@@ -42,6 +42,39 @@ object TimeSeries {
       sum(col(valueCol)).over(w).as(s"rolling_$valueCol"))
   }
 
+  /** Per-key linear trend (OLS slope/intercept) in ONE aggregate —
+    * "is this metric drifting up?" per source/priority/domain at any
+    * key cardinality: closed-form least squares from the five moment
+    * sums (n, Σx, Σy, Σx², Σxy), which are exact integer aggregates
+    * with map-side combine; the slope then follows a FIXED float
+    * operation order over those exact sums, so the result replays
+    * bit-identically before the micro rounding (the q154 discipline).
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = ȳ − slope·x̄.
+    * Keys with n < 2 or constant x emit nothing (no line to fit).
+    * `xCol`/`yCol` must be integer-valued (day index, cents).
+    * Output: (keyCol, n, slope_micro, intercept_micro). */
+  def trendPerKey(df: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val denom = nd * sxxd - sxd * sxd
+    val slope = (nd * sxyd - sxd * syd) / denom
+    val icept = (syd / nd) - slope * (sxd / nd)
+    agg.where(col("n") >= 2 && denom > lit(0.0))
+      .select(col(keyCol), col("n"),
+        round(lit(1e6) * slope).cast("long").as("slope_micro"),
+        round(lit(1e6) * icept).cast("long").as("intercept_micro"))
+  }
+
   /** Trailing-window anomaly detection over a REGULAR daily grid
     * (compose after [[gapFill]]): each day's value is z-scored
     * against the preceding `days` window — EXCLUDING the current day,

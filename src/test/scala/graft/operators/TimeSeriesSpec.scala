@@ -61,6 +61,29 @@ class TimeSeriesSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("trendPerKey: recovers exact lines, noisy fit is least-squares, degenerate keys silent") {
+    val s = spark
+    import s.implicits._
+    // key a: y = 3x + 5 exactly; key b: y = -2x + 100 exactly;
+    // key c: one point; key d: constant x
+    val rows =
+      (0L to 9L).map(x => ("a", x, 3 * x + 5)) ++
+      (0L to 9L).map(x => ("b", x, -2 * x + 100)) ++
+      Seq(("c", 1L, 10L), ("d", 4L, 1L), ("d", 4L, 9L))
+    val got = TimeSeries.trendPerKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("a") == ((3000000L, 5000000L)), got.toString)
+    assert(got("b") == ((-2000000L, 100000000L)), got.toString)
+    assert(!got.contains("c") && !got.contains("d"),
+      "single-point and constant-x keys have no line")
+    // least squares on symmetric noise: slope unchanged, intercept is the mean
+    val noisy = Seq(("n", 0L, 0L), ("n", 1L, 2L), ("n", 2L, 0L), ("n", 3L, 2L))
+    val nf = TimeSeries.trendPerKey(noisy.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().head
+    assert(nf.getLong(2) == 400000L, s"slope: ${nf.getLong(2)}")   // 0.4
+    assert(nf.getLong(3) == 400000L, s"icept: ${nf.getLong(3)}")   // 0.4
+  }
+
   test("anomalies: spike flags against its own history, baseline excludes current day") {
     val s = spark
     import s.implicits._
