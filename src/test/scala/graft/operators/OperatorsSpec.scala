@@ -441,6 +441,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.linkRecords(withNull, "id", "name", col("blk"), 1).count() == 0)
   }
 
+  test("linkRecords composes with phonetic blocking: soundex groups sound-alike typos") {
+    val s = spark
+    import s.implicits._
+    // "smith"/"smyth" share soundex S530; "jones" is J520 — prefix
+    // blocking would split smith/smyth (different 3rd char), phonetic
+    // blocking pairs them without any corpus-wide comparison
+    val recs = Seq(
+      (1L, "smith consulting"),
+      (2L, "smyth consulting"),
+      (3L, "jones consulting")
+    ).toDF("id", "name")
+    val pairs = Dedup.linkRecords(recs, "id", "name",
+      soundex(substring_index(col("name"), " ", 1)), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)), pairs.toSeq.toString)
+  }
+
   test("linkScoreFs: FS weights sum exactly, NULL fields contribute zero, thresholds cut") {
     val s = spark
     import s.implicits._
