@@ -1951,6 +1951,110 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // CDC last-writer-wins merge: orders as a change log over the
+    // customer base — status F rows delete the key, others upsert
+    // (bal := totalprice, seg := priority); o_orderkey breaks same-day
+    // ties so the merge is total-ordered and replayable.
+    "q159_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+      val log = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+          col("o_totalprice").as("bal"), col("o_orderpriority").as("seg"),
+          col("o_orderkey").as("seq"))
+      operators.Scd.applyChangeLog(base, log, "k", "ts", "op",
+        Seq("bal", "seg"), tieCols = Seq("seq"))
+        .orderBy("k")
+    }),
+
+    // User-journey transition matrix: P(next event type | event type)
+    // over per-user time-ordered streams; (user_id, ts) is unique so
+    // the ordering is total without a tie-break.
+    "q161_markov" -> ((s, dir) => {
+      operators.Sequences.markovTransitions(events(s, dir), "user_id", "ts",
+        "event_type")
+        .orderBy("from_state", "to_state")
+    }),
+
+    // First/last-touch revenue attribution: purchases credit the
+    // first and last non-purchase event in the strictly-preceding
+    // 7-day window; no touch in window → NULL channel.
+    "q162_attribution" -> ((s, dir) => {
+      operators.Sequences.touchAttribution(events(s, dir), "user_id", "ts",
+        "event_type", "value", "purchase", lookbackDays = 7)
+        .orderBy("touch", "channel")
+    }),
+
+    // Exact per-node triangle counts on the co-purchase graph (parts
+    // sharing an order, thinned to the %10 partkey stratum so the
+    // graph stays bench-scale); degree-ordered node-iterator inside.
+    "q163_triangles" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .where(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = lp.join(lp.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      operators.Graph.triangleCounts(e, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // Same-customer overlapping order intervals ([orderdate,
+    // orderdate + 1..30 days]) via the binned overlap join; the
+    // oracle is the naive quadratic self-join — bins must only prune.
+    "q164_interval_overlap" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("id"),
+          to_date(col("o_orderdate")).as("start_d"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 30 + 1).cast("int")).as("end_d"))
+      operators.AsOfJoin.overlapJoin(iv, "k", "id", "start_d", "end_d",
+        binDays = 30)
+        .select(col("k_a").as("k"), col("id_a"), col("id_b"))
+        .orderBy("k", "id_a", "id_b")
+    }),
+
+    // A/B readout: Welch z per event type, users split by parity;
+    // moments exact, z replayed in fixed float order.
+    "q165_welch" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("g", when(col("user_id") % 2 === 0, "a").otherwise("b"))
+        .withColumn("v_milli", round(col("value") * 1000).cast("long"))
+      operators.Stats.welchZ(ev, "event_type", "g", "a", "b", "v_milli")
+        .orderBy("stratum")
+    }),
+
+    // Pareto frontier per brand: parts no brand-mate beats on both
+    // (price, size); window-only sort-scan skyline vs the oracle's
+    // NOT EXISTS ground truth.
+    "q166_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("price_cents", round(col("p_retailprice") * 100).cast("long"))
+      operators.Stats.skyline2d(p, "price_cents", "p_size", Seq("p_brand"))
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+        .orderBy("p_brand", "p_partkey")
+    }),
+
+    // Per-user integer EWMA (α=1/2) of event values in milli-units —
+    // the fold replays exactly via DuckDB's list_reduce.
+    "q167_ewma" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("v_milli", round(col("value") * 1000).cast("long"))
+      operators.TimeSeries.ewmaHalfPerKey(ev, "user_id", "ts", "v_milli")
+        .orderBy("user_id")
+    }),
+
+    // Market-basket rules over order baskets: pairs with support >= 3,
+    // confidence/lift in micros from exact counts.
+    "q168_assoc_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      operators.Assoc.pairRules(li, "b", "i", minSupport = 3)
+        .orderBy("item_a", "item_b")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -5426,6 +5530,180 @@ object SparkEntry {
          |FROM embeddings e JOIN q ON e.vec_id = q.doc_id
          |WHERE q.q >= 0.5
          |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q161_markov" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, COUNT(*) AS n
+        |      FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS row_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, n,
+        |  CAST(round(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) * 1e6)
+        |       AS BIGINT) AS p_micro
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    // The range frame [ts-7d, ts) in epoch micros replays Spark's
+    // rangeBetween exactly; IGNORE NULLS skips other purchases.
+    "q162_attribution" ->
+      """WITH x AS (
+        |  SELECT event_type, value, epoch_us(ts) AS e,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS) OVER w AS last_ch,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                IGNORE NULLS) OVER w AS first_ch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+        |conv AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents
+        |         FROM x WHERE event_type = 'purchase')
+        |SELECT touch, channel, COUNT(*) AS n_conversions,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT 'first' AS touch, first_ch AS channel, cents FROM conv
+        |  UNION ALL
+        |  SELECT 'last' AS touch, last_ch AS channel, cents FROM conv)
+        |GROUP BY touch, channel
+        |ORDER BY touch, channel NULLS FIRST""".stripMargin,
+
+    // Canonical x<y<z triangle enumeration — orientation-free ground
+    // truth for the degree-ordered Spark plan; per-corner credit via
+    // unnest.
+    "q163_triangles" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // Naive quadratic ground truth — the Spark side's binning must
+    // prune candidates without changing the pair set.
+    "q164_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_custkey AS k, o_orderkey AS id,
+        |    CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e
+        |  FROM orders)
+        |SELECT a.k AS k, a.id AS id_a, b.id AS id_b
+        |FROM iv a JOIN iv b
+        |  ON a.k = b.k AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Same moment pivot, same fixed float order as the Spark side.
+    "q165_welch" ->
+      """WITH ev AS (
+        |  SELECT event_type AS stratum,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT stratum, g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ss
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (
+        |  SELECT stratum,
+        |    MAX(CASE WHEN g = 'a' THEN n END) AS n_a,
+        |    MAX(CASE WHEN g = 'a' THEN s END) AS s_a,
+        |    MAX(CASE WHEN g = 'a' THEN ss END) AS ss_a,
+        |    MAX(CASE WHEN g = 'b' THEN n END) AS n_b,
+        |    MAX(CASE WHEN g = 'b' THEN s END) AS s_b,
+        |    MAX(CASE WHEN g = 'b' THEN ss END) AS ss_b
+        |  FROM m GROUP BY stratum)
+        |SELECT stratum, n_a, n_b,
+        |  CAST(round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000) AS BIGINT)
+        |    AS mean_diff_micro,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    CAST(round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |               / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |            / CAST(n_a AS DOUBLE)
+        |          + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |               / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |            / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM p WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+        |ORDER BY stratum""".stripMargin,
+
+    // NOT EXISTS dominance ground truth for the window skyline.
+    "q166_skyline" ->
+      """WITH p AS (
+        |  SELECT p_brand, p_partkey, p_size,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        |  FROM part)
+        |SELECT p_brand, p_partkey, price_cents, p_size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    // list_reduce replays the (e + x) // 2 fold in ts order; values
+    // are non-negative so // (floor) == Spark's div (trunc).
+    "q167_ewma" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  list_reduce(list(CAST(round(value * 1000) AS BIGINT) ORDER BY ts),
+        |              (a, b) -> (a + b) // 2) AS ewma_milli
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The basket cap replayed as a QUALIFY (q17 lesson: cap in query
+    // AND oracle, key-for-key); no-op on this data, same predicate.
+    "q168_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |capped AS (
+        |  SELECT * FROM it QUALIFY COUNT(*) OVER (PARTITION BY b) <= 1000),
+        |nb AS (SELECT COUNT(DISTINCT b) AS n FROM capped),
+        |pairs AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_ab
+        |  FROM capped a JOIN capped c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |supp AS (SELECT i, COUNT(*) AS n_i FROM capped GROUP BY 1)
+        |SELECT item_a, item_b, n_ab, sa.n_i AS n_a, sb.n_i AS n_b,
+        |  CAST(round(CAST(n_ab AS DOUBLE) / CAST(sa.n_i AS DOUBLE) * 1e6)
+        |       AS BIGINT) AS conf_ab_micro,
+        |  CAST(round(CAST(n_ab AS DOUBLE) / CAST(sb.n_i AS DOUBLE) * 1e6)
+        |       AS BIGINT) AS conf_ba_micro,
+        |  CAST(round(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE)) * 1e6)
+        |       AS BIGINT) AS lift_micro
+        |FROM pairs
+        |JOIN supp sa ON sa.i = item_a
+        |JOIN supp sb ON sb.i = item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Base rows enter at ts NULL (sorted last under DESC NULLS LAST)
+    // so any log row beats the base; op DESC is a dead tie-break kept
+    // for parity with the operator's total order.
+    "q159_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS k, o_orderdate AS ts,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS bal, o_orderpriority AS seg, o_orderkey AS seq
+        |  FROM orders),
+        |base AS (
+        |  SELECT c_custkey AS k, CAST(NULL AS TIMESTAMP) AS ts, 'U' AS op,
+        |    c_acctbal AS bal, c_mktsegment AS seg, CAST(NULL AS BIGINT) AS seq
+        |  FROM customer),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM log),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |        ORDER BY ts DESC NULLS LAST, seq DESC NULLS LAST, op DESC) AS rn
+        |      FROM u)
+        |SELECT k, bal, seg FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
 
     "q36_asof_join" -> asofOracleSql,
 

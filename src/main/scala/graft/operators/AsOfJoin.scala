@@ -241,4 +241,56 @@ object AsOfJoin {
         right(startCol) <= left(leftTime) &&
         (right(endCol).isNull || left(leftTime) < right(endCol)),
       "left")
+
+  /** Interval-overlap SELF-join: all pairs of intervals of the same
+    * key that overlap (closed intervals: a.start <= b.end AND
+    * b.start <= a.end), each unordered pair once (a's id < b's id).
+    * The naive plan is the key-equi-join with the overlap predicate
+    * residual — correct, but a key whose intervals pile up produces
+    * the full n² pair blowup INSIDE one join group even when few
+    * pairs actually overlap.
+    *
+    * This form cuts the time axis into `binDays` buckets and joins on
+    * (key, bin): an interval registers in every bin it touches
+    * (sequence-explode, output-sized — an interval spanning many bins
+    * is itself long), a candidate pair meets only in bins both touch,
+    * and the pair dedupes to its FIRST shared bin (both engines
+    * compute the same arithmetic first-bin, no distinct needed): one
+    * equality predicate more selective than the bare key, same
+    * result. Overlap is re-verified exactly on the bin-met
+    * candidates, so bins affect pruning only, never semantics.
+    *
+    * `idCol` must be unique per row. Dates are compared as epoch
+    * days; NULL starts/ends are not supported here (close open
+    * intervals at a horizon before calling — overlap against +∞
+    * pairs a hot key with everything, which is the caller's modeling
+    * decision to make explicit). Output: a-side then b-side columns
+    * suffixed `_a`/`_b`. */
+  def overlapJoin(df: DataFrame, keyCol: String, idCol: String,
+                  startCol: String, endCol: String,
+                  binDays: Int = 30): DataFrame = {
+    require(binDays >= 1, s"binDays must be >= 1, got $binDays")
+    val sd = unix_date(col(startCol).cast(DateType))
+    val ed = unix_date(col(endCol).cast(DateType))
+    val binned = df
+      .withColumn("__s", sd).withColumn("__e", ed)
+      .withColumn("__bin",
+        explode(sequence(expr(s"__s div $binDays"), expr(s"__e div $binDays"))))
+    def side(sfx: String) = binned.select(
+      col("__bin").as(s"__bin$sfx") +: col("__s").as(s"__s$sfx") +:
+        col("__e").as(s"__e$sfx") +:
+        df.columns.toSeq.map(c => col(c).as(s"$c$sfx")): _*)
+    val a = side("_a")
+    val b = side("_b")
+    a.join(b,
+        col("__bin_a") === col("__bin_b") &&
+          col(s"${keyCol}_a") === col(s"${keyCol}_b") &&
+          col(s"${idCol}_a") < col(s"${idCol}_b") &&
+          col("__s_a") <= col("__e_b") && col("__s_b") <= col("__e_a") &&
+          // first shared bin: both intervals live there, and it is the
+          // earliest bin both touch — max of the two start-bins.
+          col("__bin_a") === greatest(expr(s"__s_a div $binDays"),
+            expr(s"__s_b div $binDays")))
+      .drop("__bin_a", "__bin_b", "__s_a", "__e_a", "__s_b", "__e_b")
+  }
 }

@@ -114,4 +114,51 @@ object Graph {
     outdeg.unpersist(false)
     (ranks, round)
   }
+
+  /** Exact triangle count per node via the degree-ordered
+    * node-iterator (Schank–Wagner / Cohen's MapReduce form): orient
+    * every undirected edge from the (degree, id)-smaller endpoint to
+    * the larger, enumerate wedges only at each edge's SMALLER
+    * endpoint, and close them against the oriented edge set. The
+    * orientation caps a node's oriented out-degree at O(√m) on any
+    * graph — the wedge explosion a hub would cause under naive
+    * enumeration (deg² pairs at the hub) becomes m^{3/2} total work,
+    * the optimal bound for exact counting.
+    *
+    * Input may contain duplicates, self-loops, or both directions of
+    * an edge; all are normalized away first. Three shuffles: dedupe,
+    * degree join, and the wedge-close join on the (a, c) pair — each
+    * keyed, no broadcast needed at any scale.
+    *
+    * Output: (node, n_triangles) for every node in ≥1 triangle, each
+    * triangle credited to all three corners. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower endpoint keeps the out-edge
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+    // wedges at the small endpoint: a→b, a→c with b < c, closed by b→c
+    val w1 = oriented.select(col("a"), col("b"))
+    val w2 = oriented.select(col("a").as("a2"), col("b").as("c"))
+    val wedges = w1.join(w2, col("a") === col("a2") && col("b") < col("c"))
+      .select(col("a"), col("b"), col("c"))
+    val closed = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")).unionByName(
+        oriented.select(col("a").as("c"), col("b").as("b"))),
+      Seq("b", "c"))
+    closed.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

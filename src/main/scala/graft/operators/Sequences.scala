@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity ordered-event analytics: what follows what. The event
+  * stream shapes here (journey transition matrices, conversion
+  * attribution) are window-over-key plans — one shuffle on the entity
+  * key, per-key group size bounded by that entity's event count,
+  * never corpus-wide state. The q153 funnel / q151 cohort family's
+  * sequential cousins.
+  */
+object Sequences {
+
+  /** First-order Markov transition matrix of `stateCol` ordered by
+    * (`tsCol`, `tieCols`…) within each `keyCol`: for every observed
+    * (from, to) adjacent pair, its count and the row-normalized
+    * probability in integer micros (count/row_total under a FIXED
+    * float op order over exact longs — replays bit-identically).
+    * Self-transitions count; each key's last event emits nothing.
+    *
+    * Scale shape: one shuffle on key for the lead() window (bounded
+    * per-key groups), then a map-side-combined groupBy on the tiny
+    * (from, to) state-pair domain; the final normalize joins against
+    * the per-from totals — a broadcast, the state domain is small by
+    * definition (else a Markov matrix is the wrong model).
+    * Output: (from_state, to_state, n, p_micro). */
+  def markovTransitions(df: DataFrame, keyCol: String, tsCol: String,
+                        stateCol: String,
+                        tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    val pairs = df
+      .select(col(keyCol) +: col(tsCol) +: col(stateCol).as("from_state") +:
+        tieCols.map(col): _*)
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .where(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_state")
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("from_state"))
+      .withColumn("p_micro",
+        round(col("n").cast("double") / col("row_total").cast("double") * 1e6)
+          .cast("long"))
+      .select("from_state", "to_state", "n", "p_micro")
+  }
+
+  /** Position-based conversion attribution: each conversion event
+    * (`typeCol` == `conversionType`) credits its value to the LAST
+    * and (separately) the FIRST non-conversion event of the same key
+    * within the strictly-preceding `lookbackDays` window. Both
+    * touches come from ONE range-frame window over the epoch-micros
+    * ordering — `[ts − lookback, ts)` per conversion, first/last with
+    * ignoreNulls skipping other conversions — so there is NO
+    * self-join: one shuffle on key, per-key bounded frames.
+    * Conversions with no touch in the window fall into the NULL
+    * channel (unattributable). Requires (key, ts) unique — the frame
+    * ordering must be total for the pick to be deterministic.
+    *
+    * Output: (touch ∈ {first, last}, channel, n_conversions,
+    * revenue_cents) with revenue in exact cents. */
+  def touchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, valueCol: String,
+                       conversionType: String,
+                       lookbackDays: Int): DataFrame = {
+    val touchCh = when(col(typeCol) =!= conversionType, col(typeCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("epoch_us"))
+      .rangeBetween(-lookbackDays * 86400000000L, -1L)
+    val tagged = df
+      .withColumn("epoch_us", unix_micros(col(tsCol)))
+      .withColumn("last_ch", last(touchCh, ignoreNulls = true).over(w))
+      .withColumn("first_ch", first(touchCh, ignoreNulls = true).over(w))
+      .where(col(typeCol) === conversionType)
+      .withColumn("cents", round(col(valueCol) * 100).cast("long"))
+    def side(touch: String, ch: String) = tagged
+      .groupBy(lit(touch).as("touch"), col(ch).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("revenue_cents"))
+    side("first", "first_ch")
+      .unionByName(side("last", "last_ch"))
+      .select("touch", "channel", "n_conversions", "revenue_cents")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Comparative statistics over experiment strata: the measurement
+  * side of a data pipeline (A/B readouts, Pareto-efficient configs).
+  * Everything follows the exact-integer-moments discipline
+  * ([[TimeSeries.trendPerKey]]): aggregates are exact (longs /
+  * decimals with map-side combine), the float formula over them has a
+  * FIXED operation order, so results replay bit-identically across
+  * engines.
+  */
+object Stats {
+
+  /** Welch's unequal-variance z statistic per stratum: group A vs
+    * group B on an integer-valued measure (`milliCol` — pre-scale
+    * doubles to milli-units upstream so the moments stay exact).
+    * One aggregate computes (n, Σx, Σx²) per (stratum, group) —
+    * Σx² through DECIMAL(38,0), immune to long overflow and to
+    * partial-agg order — then the pivot to A/B columns and
+    *   z = (m_A − m_B) / √(v_A/n_A + v_B/n_B)
+    * run per stratum-row in fixed order. Sample variance (n−1);
+    * strata where either group has n < 2 or zero variance emit NULL z
+    * rather than a fake infinity.
+    *
+    * Scale shape: one map-side-combined shuffle on (stratum, group) —
+    * moments, never rows, cross the wire; the pivot is a groupBy on
+    * stratum over 2 rows/stratum. Output: (stratum, n_a, n_b,
+    * mean_diff_micro, z_micro). */
+  def welchZ(df: DataFrame, stratumCol: String, groupCol: String,
+             groupA: String, groupB: String, milliCol: String): DataFrame = {
+    val m = df
+      .where(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(stratumCol).as("stratum"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(milliCol).cast("long")).as("s"),
+        sum(col(milliCol).cast(DecimalType(38, 0))
+          * col(milliCol).cast(DecimalType(38, 0))).as("ss"))
+    def pick(c: String, g: String) =
+      first(when(col("g") === g, col(c)), ignoreNulls = true)
+    val piv = m.groupBy("stratum").agg(
+      pick("n", groupA).as("n_a"), pick("s", groupA).as("s_a"),
+      pick("ss", groupA).as("ss_a"),
+      pick("n", groupB).as("n_b"), pick("s", groupB).as("s_b"),
+      pick("ss", groupB).as("ss_b"))
+    // fixed float order over the exact moments (milli → units = /1e3;
+    // variance in milli² → micro-var via /1e6 happens inside the z)
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def variance(ss: String, s: String, n: String) =
+      (col(ss).cast("double")
+        - col(s).cast("double") * col(s).cast("double") / col(n).cast("double")) /
+        (col(n).cast("double") - lit(1.0))
+    val z = (mean("s_a", "n_a") - mean("s_b", "n_b")) /
+      sqrt(variance("ss_a", "s_a", "n_a") / col("n_a").cast("double")
+        + variance("ss_b", "s_b", "n_b") / col("n_b").cast("double"))
+    piv
+      .where(col("n_a").isNotNull && col("n_b").isNotNull)
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        round((mean("s_a", "n_a") - mean("s_b", "n_b")) * 1000).cast("long")
+          .as("mean_diff_micro"),
+        when(col("n_a") >= 2 && col("n_b") >= 2,
+          round(z * 1e6).cast("long")).as("z_micro"))
+  }
+
+  /** 2-D skyline (Pareto frontier), minimizing both `xCol` and
+    * `yCol` within each `keyCols` group: rows no other row dominates
+    * (other ≤ in both, < in at least one). Window-only — NO self-join:
+    * sorted by x, a row is dominated iff min(y) over strictly-smaller
+    * x is ≤ its y, or some same-x row has strictly smaller y. Both
+    * windows share one (keys, x) sort; per-group frames, corpus never
+    * fans out. The classic sort-scan skyline (Börzsönyi's SFS) as two
+    * Catalyst windows.
+    *
+    * `xCol` must be integer-valued (the strict-predecessor frame is
+    * RANGE −1); scale doubles to cents/micros upstream. Exact
+    * duplicate (x, y) pairs dominate nothing and are all kept. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                keyCols: Seq[String] = Nil): DataFrame = {
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(xCol)).rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy((keyCols :+ xCol).map(col): _*)
+    df
+      .withColumn("__min_prev", min(col(yCol)).over(wPrev))
+      .withColumn("__min_same", min(col(yCol)).over(wSame))
+      .where((col("__min_prev").isNull || col("__min_prev") > col(yCol)) &&
+        col("__min_same") === col(yCol))
+      .drop("__min_prev", "__min_same")
+  }
+}

@@ -187,4 +187,32 @@ object TimeSeries {
         coalesce(col(valueCol), lit(0L)).as(valueCol))
     }
   }
+
+  /** Per-key exponential smoothing in EXACT INTEGER arithmetic,
+    * α = 1/2: fold e ← (e + x) div 2 over the key's series in
+    * (`tsCol`) order, x in non-negative milli-units (`milliCol`).
+    * Halving in longs makes every step exact and engine-replayable —
+    * a float EWMA's (1−α)ⁿ tail is fp-order-sensitive; this one is a
+    * pure integer recurrence (the pagerankInt discipline applied to a
+    * fold). Truncation bias is ≤ 1 milli-unit per step, deterministic.
+    * Requires non-negative values and unique ts per key (`div`
+    * truncates toward zero but `//`-floor engines differ on
+    * negatives; ties would make the fold order ambiguous).
+    *
+    * Scale shape: ONE map-side-combinable... no — collect_list is the
+    * honest caveat: the fold is inherently sequential, so the key's
+    * full series is assembled (sort_array + aggregate) on one
+    * executor. Per-ENTITY series (a user's events, an item's daily
+    * sales) are bounded and this is fine at any corpus size; do not
+    * point it at a single corpus-wide key. Output: (key, n,
+    * ewma_milli). */
+  def ewmaHalfPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                     milliCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).as("t"), col(milliCol).cast("long").as("v")))).as("sr"))
+      .select(col(keyCol), size(col("sr")).cast("long").as("n"),
+        expr("aggregate(sr, CAST(NULL AS BIGINT), (acc, e) -> " +
+          "CASE WHEN acc IS NULL THEN e.v ELSE (acc + e.v) div 2 END)")
+          .as("ewma_milli"))
 }

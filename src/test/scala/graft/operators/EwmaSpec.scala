@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ewmaHalfPerKey folds (e + x) div 2 in ts order") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:02", 100L),
+      (1L, "2024-01-01 00:00:01", 10L),   // out of order on purpose
+      (1L, "2024-01-01 00:00:03", 50L),
+      (2L, "2024-01-01 00:00:01", 7L))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp($"ts"))
+    val out = TimeSeries.ewmaHalfPerKey(df, "k", "ts", "v")
+      .orderBy("k").as[(Long, Long, Long)].collect.toSeq
+    // key 1: fold over 10, 100, 50 → (10+100)/2=55 → (55+50)/2=52
+    assert(out == Seq((1L, 3L, 52L), (2L, 1L, 7L)))
+  }
+
+  test("ewmaHalfPerKey converges toward a constant series' level") {
+    val df = (1 to 40).map(i => (1L, f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d", 1000L))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp($"ts"))
+    val Array((_, _, e)) = TimeSeries.ewmaHalfPerKey(df, "k", "ts", "v")
+      .as[(Long, Long, Long)].collect()
+    assert(e == 1000L)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SequencesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String, Double)*) =
+    rows.toDF("u", "ts", "et", "v").withColumn("ts", to_timestamp($"ts"))
+
+  test("markovTransitions counts adjacent pairs and row-normalizes") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "a", 0), (1L, "2024-01-01 00:01:00", "b", 0),
+      (1L, "2024-01-01 00:02:00", "a", 0), (1L, "2024-01-01 00:03:00", "a", 0),
+      (2L, "2024-01-01 00:00:00", "a", 0), (2L, "2024-01-01 00:01:00", "b", 0))
+    val out = Sequences.markovTransitions(df, "u", "ts", "et")
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Long)].collect.toSeq
+    // a→b ×2, a→a ×1 (P 2/3, 1/3); b→a ×1 (P 1); last events emit nothing
+    assert(out == Seq(
+      ("a", "a", 1L, 333333L), ("a", "b", 2L, 666667L), ("b", "a", 1L, 1000000L)))
+  }
+
+  test("markovTransitions orders within key only — keys never chain") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "x", 0),
+      (2L, "2024-01-01 00:00:30", "y", 0))
+    assert(Sequences.markovTransitions(df, "u", "ts", "et").count() == 0)
+  }
+
+  test("touchAttribution credits first/last touch in window, NULL outside") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "view", 0.0),   // first touch
+      (1L, "2024-01-02 00:00:00", "click", 0.0),  // last touch
+      (1L, "2024-01-03 00:00:00", "purchase", 10.0),
+      // second user: only touch is outside the 7-day lookback
+      (2L, "2024-01-01 00:00:00", "view", 0.0),
+      (2L, "2024-01-20 00:00:00", "purchase", 5.0),
+      // purchase with NO preceding event at all
+      (3L, "2024-01-05 00:00:00", "purchase", 2.0))
+    val out = Sequences.touchAttribution(df, "u", "ts", "et", "v", "purchase", 7)
+      .orderBy("touch", "channel")
+      .as[(String, Option[String], Long, Long)].collect.toSeq
+    assert(out == Seq(
+      ("first", None, 2L, 700L), ("first", Some("view"), 1L, 1000L),
+      ("last", None, 2L, 700L), ("last", Some("click"), 1L, 1000L)))
+  }
+
+  test("touchAttribution skips other purchases when picking the touch") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "click", 0.0),
+      (1L, "2024-01-02 00:00:00", "purchase", 1.0),
+      (1L, "2024-01-03 00:00:00", "purchase", 2.0))
+    val out = Sequences.touchAttribution(df, "u", "ts", "et", "v", "purchase", 7)
+      .where($"touch" === "last").orderBy("channel")
+      .as[(String, Option[String], Long, Long)].collect.toSeq
+    // both purchases attribute to the click, not to each other
+    assert(out == Seq(("last", Some("click"), 2L, 300L)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welchZ matches a hand-computed two-sample case") {
+    // A: 1000, 2000, 3000 (n=3, mean 2000, var 1e6)
+    // B: 1000, 1000 (n=2, mean 1000, var 0)
+    val df = Seq(
+      ("s", "a", 1000L), ("s", "a", 2000L), ("s", "a", 3000L),
+      ("s", "b", 1000L), ("s", "b", 1000L))
+      .toDF("st", "g", "v")
+    val out = Stats.welchZ(df, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Option[Long])].collect.toSeq
+    // z = 1000 / sqrt(1e6/3 + 0) = sqrt(3e6)/sqrt(3)... = 1000/577.35 = 1.7320508
+    val (_, na, nb, d, z) = out.head
+    assert(na == 3 && nb == 2 && d == 1000000L)
+    assert(z.contains(math.round(math.sqrt(3.0) * 1e6)))
+  }
+
+  test("welchZ: stratum missing a group is dropped; n<2 gives NULL z") {
+    val df = Seq(
+      ("only_a", "a", 5L), ("only_a", "a", 6L),
+      ("tiny", "a", 5L), ("tiny", "b", 7L), ("tiny", "b", 8L))
+      .toDF("st", "g", "v")
+    val out = Stats.welchZ(df, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Option[Long])].collect.toSeq
+    assert(out.map(_._1) == Seq("tiny"))
+    assert(out.head._5.isEmpty) // n_a = 1 → no z
+  }
+
+  test("skyline2d equals the NOT EXISTS ground truth, with groups and ties") {
+    val df = Seq(
+      // group g1: (1,5) and (2,4) and (4,1) on frontier; (3,5) dominated by (1,5)
+      ("g1", 1L, 1L, 5L), ("g1", 2L, 2L, 4L), ("g1", 3L, 3L, 5L), ("g1", 4L, 4L, 1L),
+      // duplicates: both kept (neither strictly dominates)
+      ("g2", 5L, 1L, 1L), ("g2", 6L, 1L, 1L),
+      // same x, different y: only smaller y survives
+      ("g3", 7L, 2L, 9L), ("g3", 8L, 2L, 3L))
+      .toDF("grp", "id", "x", "y")
+    val got = Stats.skyline2d(df, "x", "y", Seq("grp"))
+      .select("id").as[Long].collect.toSet
+    val naive = {
+      val rows = df.as[(String, Long, Long, Long)].collect
+      rows.filter { case (g, _, x, y) =>
+        !rows.exists { case (g2, _, x2, y2) =>
+          g2 == g && x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+      }.map(_._2).toSet
+    }
+    assert(got == naive && got == Set(1L, 2L, 4L, 5L, 6L, 8L))
+  }
+
+  test("skyline2d randomized: window result == brute force") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i =>
+      (i, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val df = rows.toDF("id", "x", "y")
+    val got = Stats.skyline2d(df, "x", "y").select("id").as[Long].collect.toSet
+    val naive = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, x2, y2) => x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.map(_._1).toSet
+    assert(got == naive)
+  }
+
+  test("skyline2d plan is window-only — no join") {
+    val df = Seq((1L, 1L, 1L)).toDF("id", "x", "y")
+    val plan = Stats.skyline2d(df, "x", "y").queryExecution.optimizedPlan
+    assert(!plan.toString.toLowerCase.contains("join"))
+  }
+}
