@@ -20,13 +20,24 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; read nanos as long and integral-divide to
-    * micros (a double roundtrip would lose precision at 1.7e18 ns). */
+  /** events.parquet's `ts` physical type has changed across testdata
+    * generations (TIMESTAMP(NANOS) read as long vs timestamp[us] read as
+    * timestamp). Never assume: read the stored schema and adapt. Nanos
+    * arrive as LongType only under `nanosAsLong`, so set that conf first,
+    * then integral-divide to micros when (and only when) the column is a
+    * long (a double roundtrip would lose precision at 1.7e18 ns). */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp[us] with isAdjustedToUTC=false reads as TIMESTAMP_NTZ;
+      // the gate session pins spark.sql.session.timeZone=UTC, so casting
+      // to TIMESTAMP(LTZ) preserves the stored micros exactly and keeps
+      // downstream unix_micros/casts working.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Exact cross-engine sum of a double column: quantize each value to
@@ -1024,7 +1035,15 @@ object SparkEntry {
     "q62_pack_chunks" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // Empty docs carry NULL chunk bounds; the driver's hasher coerces
+      // nullable int64 to float64, so pin every column to non-null long
+      // (-1 sentinel, mirrored in the oracle) for a dtype-stable hash.
       operators.Sampling.packChunks(d, "doc_id", "n_tokens", seqLen = 512)
+        .select(col("id").cast("long").as("id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("offset").cast("long").as("offset"),
+          coalesce(col("start_chunk").cast("long"), lit(-1L)).as("start_chunk"),
+          coalesce(col("end_chunk").cast("long"), lit(-1L)).as("end_chunk"))
         .orderBy("id")
     }),
 
@@ -1109,14 +1128,17 @@ object SparkEntry {
     }),
 
     // JL random projection 64→8: each output dim an ordered-fold dot
-    // with a seeded gaussian row, scaled 1/sqrt(8); rounded 6dp so the
-    // projected vectors compare value-exact as list columns.
+    // with a seeded gaussian row, scaled 1/sqrt(8); quantized to exact
+    // integer micros and comma-joined so the driver's comparator (which
+    // lexsorts cell values — lists are unhashable there) sees a scalar
+    // string column. The raw array form stays under ScalaTest.
     "q95_random_projection" -> ((s, dir) => {
       t(s, dir, "embeddings").where(col("vec_id") % 5 === 0)
         .select(col("vec_id"),
-          transform(
+          concat_ws(",", transform(
             Vectors.randomProjection(col("embedding"), dim = 64, outDim = 8),
-            x => round(x, 6)).as("proj"))
+            x => round(round(x, 6) * 1e6).cast("long").cast("string")))
+            .as("proj_micro"))
         .orderBy("vec_id")
     }),
 
@@ -1183,10 +1205,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
         .map(m => (m._2, m._3))
+      // comma-joined for the driver's comparator (q27 precedent); the
+      // array form is exercised under ScalaTest.
       docs.where(col("doc_id") % 9 === 4)
         .select(col("doc_id"),
-          graft.operators.Bpe.encodeHashedIds(col("text"), merges, 4096)
-            .as("token_ids"))
+          concat_ws(",", transform(
+            graft.operators.Bpe.encodeHashedIds(col("text"), merges, 4096),
+            x => x.cast("string"))).as("token_ids"))
         .orderBy("doc_id")
     }),
 
@@ -1243,10 +1268,13 @@ object SparkEntry {
         .map(m => (m._2, m._3))
       val vocab = graft.operators.Bpe.vocabTable(docs, "text", merges)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // comma-joined for the driver's comparator (q27 precedent); the
+      // array form is exercised under ScalaTest.
       docs.where(col("doc_id") % 9 === 5)
         .select(col("doc_id"),
-          graft.operators.Bpe.encodeIds(col("text"), merges, vocab)
-            .as("token_ids"))
+          concat_ws(",", transform(
+            graft.operators.Bpe.encodeIds(col("text"), merges, vocab),
+            x => x.cast("string"))).as("token_ids"))
         .orderBy("doc_id")
     }),
 
@@ -1865,10 +1893,13 @@ object SparkEntry {
     }),
 
     // End of the packing path: actual (chunk_id, tokens) training
-    // sequences — every row exactly 512 tokens except the last.
+    // sequences — every row exactly 512 tokens except the last. Tokens
+    // are unit-separator-joined (words may contain commas) so the
+    // driver's comparator sees a scalar string; array form in ScalaTest.
     "q68_pack_sequences" -> ((s, dir) => {
       operators.Sampling.packSequences(t(s, dir, "documents"),
         "doc_id", "text", seqLen = 512)
+        .select(col("chunk_id"), concat_ws("\u001f", col("tokens")).as("tokens"))
         .orderBy("chunk_id")
     }),
 
@@ -1967,6 +1998,18 @@ object SparkEntry {
       operators.Scd.applyChangeLog(base, log, "k", "ts", "op",
         Seq("bal", "seg"), tieCols = Seq("seq"))
         .orderBy("k")
+    }),
+
+    // Per-source token-concentration audit: Gini over each source's
+    // per-document token counts (exact rank moments → fixed-order
+    // float → micros). The mixture-report statistic: a source whose
+    // tokens sit in a handful of giant documents upsamples those
+    // documents under doc-level sampling.
+    "q160_gini" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Stats.giniByKey(d, "source", "n_tokens", "doc_id")
+        .orderBy("key")
     }),
 
     // User-journey transition matrix: P(next event type | event type)
@@ -4035,7 +4078,10 @@ object SparkEntry {
       val scale = (1.0 / math.sqrt(8.0)).toString
       s"""WITH proj(j, g) AS (VALUES
          |      $vals)
-         |SELECT vec_id, list(ROUND(dp * $scale, 6) ORDER BY j) AS proj FROM (
+         |SELECT vec_id,
+         |  array_to_string(
+         |    list(CAST(ROUND(ROUND(dp * $scale, 6) * 1000000) AS BIGINT)
+         |         ORDER BY j), ',') AS proj_micro FROM (
          |  SELECT e.vec_id, p.j,
          |    ${seqDotSql("e.embedding", "p.g", 64)} AS dp
          |  FROM embeddings e CROSS JOIN proj p
@@ -4114,7 +4160,9 @@ object SparkEntry {
          |agg AS (
          |  SELECT doc_id, flatten(list(ids ORDER BY wi)) AS token_ids
          |  FROM wid GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(agg.token_ids, CAST([] AS INT[])) AS token_ids
+         |SELECT d.doc_id,
+         |  array_to_string(COALESCE(agg.token_ids, CAST([] AS INT[])), ',')
+         |    AS token_ids
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 9 = 4) d
          |LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
@@ -4159,7 +4207,9 @@ object SparkEntry {
          |         FROM wid GROUP BY doc_id, wi),
          |agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS token_ids
          |        FROM agg1 GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(agg.token_ids, CAST([] AS BIGINT[])) AS token_ids
+         |SELECT d.doc_id,
+         |  array_to_string(COALESCE(agg.token_ids, CAST([] AS BIGINT[])), ',')
+         |    AS token_ids
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 9 = 5) d
          |LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
@@ -5348,7 +5398,8 @@ object SparkEntry {
          |    tk[GREATEST("offset", chunk_id * 512) - "offset" + 1 :
          |       LEAST("offset" + n_tokens, (chunk_id + 1) * 512) - "offset"] AS piece
          |  FROM s)
-         |SELECT chunk_id, flatten(list(piece ORDER BY id)) AS tokens
+         |SELECT chunk_id,
+         |  array_to_string(flatten(list(piece ORDER BY id)), chr(31)) AS tokens
          |FROM p GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
     // -p·ln(p) per token type, rounded to micro-nats, summed exactly;
@@ -5482,8 +5533,10 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
         |  FROM t)
         |SELECT id, n_tokens, "offset",
-        |  CASE WHEN n_tokens > 0 THEN "offset" // 512 END AS start_chunk,
-        |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 512 END AS end_chunk
+        |  CAST(COALESCE(CASE WHEN n_tokens > 0 THEN "offset" // 512 END, -1)
+        |    AS BIGINT) AS start_chunk,
+        |  CAST(COALESCE(CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 512 END, -1)
+        |    AS BIGINT) AS end_chunk
         |FROM c ORDER BY id""".stripMargin,
 
     "q41_window_suite" ->
@@ -5530,6 +5583,24 @@ object SparkEntry {
          |FROM embeddings e JOIN q ON e.vec_id = q.doc_id
          |WHERE q.q >= 0.5
          |GROUP BY label ORDER BY label""".stripMargin,
+
+    // Rank-formula Gini from the same exact moments (row_number ties
+    // broken by doc_id on both sides; Σ i·x through DECIMAL(38,0)).
+    "q160_gini" ->
+      """WITH t AS (
+        |  SELECT source AS key, doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS x
+        |  FROM documents),
+        |r AS (SELECT key, x,
+        |        row_number() OVER (PARTITION BY key ORDER BY x, doc_id) AS i
+        |      FROM t),
+        |a AS (SELECT key, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
+        |        SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+        |      FROM r GROUP BY key)
+        |SELECT key, n, total,
+        |  CAST(round((2.0 * CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS gini_micro
+        |FROM a WHERE total > 0 ORDER BY key""".stripMargin,
 
     "q161_markov" ->
       """WITH p AS (

@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // a finished gate query's persisted/checkpointed blocks are dead
+      // weight for every query after it — release at each boundary
+      graft.plans.Blocks.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

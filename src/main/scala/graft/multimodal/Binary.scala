@@ -370,6 +370,27 @@ trait Codec extends Serializable {
   def decodeAudio(mediaId: Long, payload: Array[Byte]): Binary.DecodedAudio
 }
 
+object Codec {
+  /** PRODUCTION injection path: resolve a codec by fully-qualified
+    * class name. The FFmpeg/JNI implementation ships in its own jar on
+    * the driver/executor classpath (`--jars`) and is selected by
+    * config — graft takes NO compile-time dependency on it. Accepts a
+    * Scala `object` (`...$` / MODULE$) or any no-arg-constructible
+    * class implementing [[Codec]]. */
+  def load(className: String): Codec = {
+    def moduleOf(name: String): Option[Codec] =
+      try Some(Class.forName(name).getField("MODULE$").get(null).asInstanceOf[Codec])
+      catch {
+        case _: ClassNotFoundException | _: NoSuchFieldException => None
+      }
+    // a Scala `object Foo` lives in class Foo$ (the bare Foo, if
+    // present, is only a static forwarder with no MODULE$ and no ctor)
+    moduleOf(className + "$").orElse(moduleOf(className)).getOrElse(
+      Class.forName(className).getDeclaredConstructor()
+        .newInstance().asInstanceOf[Codec])
+  }
+}
+
 /** Default codec: javax.imageio images + javax.sound.sampled WAV/PCM
   * for real; video and compressed audio fall through to the
   * deterministic stubs (no codec libs in this container). */

@@ -32,7 +32,14 @@ object Assoc {
     val items = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
     val big = items.groupBy("b").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") > maxBasket).select("b")
+    // capped is read four times (both self-join sides, item supports,
+    // basket count): materialize it ONCE — without the cut each
+    // reference re-plans the distinct + anti-join subtree (23 exchanges
+    // vs ~7). The count below rides the same materialization. Blocks
+    // back the returned frame; free at a query boundary
+    // (graft.plans.Blocks.releaseAll).
     val capped = items.join(broadcast(big), Seq("b"), "left_anti")
+      .localCheckpoint(true)
     val nBaskets = capped.select("b").distinct().count()
     val pairs = capped
       .join(capped.select(col("b"), col("i").as("i2")), Seq("b"))

@@ -82,6 +82,10 @@ object Bpe {
     base.count()
     var words = base
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    // outstanding lineage-cut checkpoint; superseded ones are freed as
+    // soon as the next is materialized (session-hygiene: blocks must
+    // not outlive the training call)
+    var lastCp: Option[DataFrame] = None
     var step = 1
     var done = false
     while (!done && step <= numMerges) {
@@ -100,12 +104,22 @@ object Bpe {
             lit(SEP + a + b + END)).as("symstr"),
           col("freq"))
         words =
-          if (step % checkpointEvery == 0) { val c = next.localCheckpoint(false); c }
+          if (step % checkpointEvery == 0) {
+            // eager: materializing now lets the previous checkpoint's
+            // blocks be freed immediately instead of at session GC
+            val c = next.localCheckpoint(true)
+            lastCp.foreach(graft.plans.Blocks.free)
+            lastCp = Some(c)
+            c
+          }
           else next
         step += 1
       }
     }
     base.unpersist(false)
+    // train returns driver-side merges only — nothing reads the symbol
+    // table again; release the final checkpoint too
+    lastCp.foreach(graft.plans.Blocks.free)
     out.toSeq
   }
 

@@ -712,7 +712,9 @@ object Dedup {
     val pairs = minhashLshPairs(df, idCol, textCol, tau = tau,
       portableHash = portableHash)
     // convergence-checked star algorithm — no cluster-shape assumption
-    val labels = canonicalizeCc(pairs).localCheckpoint(true)
+    val cc = canonicalizeCc(pairs)
+    val labels = cc.localCheckpoint(true)
+    graft.plans.Blocks.free(cc) // labels re-materialized the cc result
     pairs.unpersist(false) // labels is materialized; the pair cache is done
     df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .where(col("rep").isNull || col("rep") === col(idCol))
@@ -871,7 +873,9 @@ object Dedup {
                           portableHash: Boolean = false): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, tau = tau,
       portableHash = portableHash)
-    val labels = canonicalizeCc(pairs).localCheckpoint(true)
+    val cc = canonicalizeCc(pairs)
+    val labels = cc.localCheckpoint(true)
+    graft.plans.Blocks.free(cc)
     pairs.unpersist(false)
     val members = labels
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
@@ -972,6 +976,10 @@ object Dedup {
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(false)
       val nextSig = sig(ss) // materializes the checkpoint
+      // ss is materialized; the superseded round's blocks are done —
+      // free them NOW (GC-scheduled cleanup let every round's blocks
+      // pile up for the whole session, round-4 verdict #4)
+      graft.plans.Blocks.free(edges)
       edges = ss
       converged = nextSig == curSig
       curSig = nextSig
@@ -979,7 +987,10 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"cc round $it sig=$nextSig converged=$converged")
     }
-    // fixpoint edges are (child, root) stars; roots map to themselves
+    // fixpoint edges are (child, root) stars; roots map to themselves.
+    // The returned frame reads the final round's checkpoint blocks —
+    // callers that re-materialize it (localCheckpoint/persist/write)
+    // should then graft.plans.Blocks.free it.
     edges.select(col("u").as("id"), col("v").as("rep"))
       .union(edges.select(col("v").as("id"), col("v").as("rep")))
       .groupBy("id").agg(min("rep").as("rep"))

@@ -74,6 +74,9 @@ object Graph {
     val base = lit((100 - dampingPct) * 10000L) // (1-d) · 1e6
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
     var prevSig: Option[(Long, Long)] = None
+    // previous round's checkpoint — freed as soon as the next round is
+    // materialized, so block residue stays O(1) rounds, not O(iters)
+    var prevCp: Option[DataFrame] = None
     var round = 0
     var stop = false
     while (round < iters && !stop) {
@@ -99,7 +102,12 @@ object Graph {
             (base + expr(s"coalesce(s, 0L) * $dampingPct div 100"))
               .as("rank_micro"))
         }
-      ranks = next.localCheckpoint(false)
+      // convergeEarly: the signature collect materializes a LAZY
+      // checkpoint (no extra job). Fixed-rounds: checkpoint EAGERLY so
+      // the previous round's blocks can be freed now instead of
+      // accumulating until the caller's first action (one cheap count
+      // job per round, reading this round's freshly cached blocks).
+      ranks = next.localCheckpoint(!convergeEarly)
       round += 1
       if (convergeEarly) {
         val sig = ranks.agg(
@@ -108,10 +116,14 @@ object Graph {
         val cur = (sig.getLong(0), sig.getLong(1))
         if (prevSig.contains(cur)) stop = true else prevSig = Some(cur)
       }
+      prevCp.foreach(graft.plans.Blocks.free)
+      prevCp = Some(ranks)
     }
     e.unpersist(false)
     nodes.unpersist(false)
     outdeg.unpersist(false)
+    // The FINAL round's checkpoint backs the returned frame; the caller
+    // (or graft.plans.Blocks.releaseAll at a query boundary) frees it.
     (ranks, round)
   }
 
@@ -126,9 +138,14 @@ object Graph {
     * the optimal bound for exact counting.
     *
     * Input may contain duplicates, self-loops, or both directions of
-    * an edge; all are normalized away first. Three shuffles: dedupe,
-    * degree join, and the wedge-close join on the (a, c) pair — each
-    * keyed, no broadcast needed at any scale.
+    * an edge; all are normalized away first. The oriented edge list is
+    * MATERIALIZED once (eager localCheckpoint, m rows of two longs):
+    * the downstream plan references it four times (both wedge sides
+    * and both close-union sides), and without the cut each reference
+    * re-plans the whole dedupe+degree+orient subtree — ~70 exchanges
+    * in the physical plan vs ~6 with it. The returned frame reads the
+    * checkpoint's blocks; free them at a query boundary
+    * ([[graft.plans.Blocks.releaseAll]]) once consumed.
     *
     * Output: (node, n_triangles) for every node in ≥1 triangle, each
     * triangle credited to all three corners. */
@@ -149,6 +166,7 @@ object Graph {
           col("u")).otherwise(col("v")).as("a"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
     // wedges at the small endpoint: a→b, a→c with b < c, closed by b→c
     val w1 = oriented.select(col("a"), col("b"))
     val w2 = oriented.select(col("a").as("a2"), col("b").as("c"))

@@ -66,6 +66,39 @@ object Stats {
           round(z * 1e6).cast("long")).as("z_micro"))
   }
 
+  /** Gini concentration per key over an integer measure — the
+    * mixture-audit statistic: how unevenly are tokens (bytes, docs)
+    * distributed across a source's documents? 0 = perfectly even,
+    * →1 = one document holds everything. The rank formulation
+    *   G = (2·Σ i·x_i) / (n·Σx) − (n+1)/n,   x ascending, i = 1..n
+    * needs one (key)-partitioned sort window for ranks — ties broken
+    * by `idCol` so the rank assignment replays in any engine — and
+    * one aggregate of exact moments (Σx as long, Σ i·x through
+    * DECIMAL(38,0): rank×value exceeds long at corpus scale). The
+    * groupBy reuses the window's hash partitioning: ONE shuffle total.
+    * Final float math runs per key-row in fixed order over identical
+    * longs → bit-stable micros. Keys with Σx = 0 are dropped (Gini
+    * undefined). Output: (key, n, total, gini_micro). */
+  def giniByKey(df: DataFrame, keyCol: String, valueCol: String,
+                idCol: String): DataFrame = {
+    val ranked = df
+      .select(col(keyCol).as("key"), col(valueCol).cast("long").as("x"),
+        col(idCol).as("id"))
+      .withColumn("i", row_number().over(Window.partitionBy("key")
+        .orderBy(col("x").asc, col("id").asc)))
+    val agg = ranked.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("total"),
+      sum(col("i").cast(DecimalType(38, 0))
+        * col("x").cast(DecimalType(38, 0))).as("s2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg.where(col("total") > 0)
+      .select(col("key"), col("n"), col("total"),
+        round((lit(2.0) * d(col("s2")) / (d(col("n")) * d(col("total")))
+          - (d(col("n")) + lit(1.0)) / d(col("n"))) * 1e6)
+          .cast("long").as("gini_micro"))
+  }
+
   /** 2-D skyline (Pareto frontier), minimizing both `xCol` and
     * `yCol` within each `keyCols` group: rows no other row dominates
     * (other ≤ in both, < in at least one). Window-only — NO self-join:

@@ -201,6 +201,30 @@ class BinarySpec extends SparkSpec {
     val stub = Binary.decodeFeatures(media, StubCodec).collect().sortBy(_.media_id)
     assert(stub(0).width == 16 + (png.length % 64)) // stub dims, not 20×10
   }
+
+  test("Codec.load resolves a codec by class name — the external-jar wiring") {
+    val s = spark
+    import s.implicits._
+    // production selects the codec by config string; graft.main has no
+    // compile-time reference to JarShapedCodec (test sources stand in
+    // for the external jar on the classpath)
+    val codec = Codec.load("graft.multimodal.JarShapedCodec")
+    val media = Seq((1L, "video/mp4", 4L, Array.fill[Byte](4)(9)))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.decodeFeatures(media, codec).collect()(0)
+    assert(out.width == 7680 && out.height == 4320) // the jar codec's marker dims
+    // Scala objects resolve too (MODULE$ / trailing-$ both accepted)
+    assert(Codec.load("graft.multimodal.StubCodec").isInstanceOf[Codec])
+  }
+}
+
+/** Stands in for a codec class shipped in an external jar: no-arg
+  * constructor, resolved only by name via [[Codec.load]]. */
+class JarShapedCodec extends Codec {
+  override def decode(id: Long, payload: Array[Byte]): Binary.DecodedFeatures =
+    Binary.DecodedFeatures(id, 7680, 4320, 3, Array.fill(8)(1f))
+  override def decodeAudio(id: Long, payload: Array[Byte]): Binary.DecodedAudio =
+    Binary.DecodedAudio(id, 48000, 2, 1L, Array.fill(8)(1f))
 }
 
 /** Cross-JVM-safe init marker for the codec spec (local mode: tasks

@@ -70,4 +70,45 @@ class StatsSpec extends SparkSpec {
     val plan = Stats.skyline2d(df, "x", "y").queryExecution.optimizedPlan
     assert(!plan.toString.toLowerCase.contains("join"))
   }
+
+  test("giniByKey: uniform → 0, single-holder → (n−1)/n, brute-force parity") {
+    // 4 equal docs: perfectly even, G = 0
+    val even = (1L to 4L).map(i => ("a", i, 100L)).toDF("src", "id", "x")
+    val g0 = Stats.giniByKey(even, "src", "x", "id").collect()(0)
+    assert(g0.getAs[Long]("gini_micro") === 0L)
+    assert(g0.getAs[Long]("total") === 400L)
+    // one doc holds everything: G = (n−1)/n = 0.75 for n = 4
+    val one = Seq(("b", 1L, 0L), ("b", 2L, 0L), ("b", 3L, 0L), ("b", 4L, 80L))
+      .toDF("src", "id", "x")
+    assert(Stats.giniByKey(one, "src", "x", "id")
+      .collect()(0).getAs[Long]("gini_micro") === 750000L)
+    // zero-total keys dropped
+    val zeros = Seq(("z", 1L, 0L), ("z", 2L, 0L)).toDF("src", "id", "x")
+    assert(Stats.giniByKey(zeros, "src", "x", "id").count() === 0L)
+    // randomized parity with the driver-side rank formula
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map(i => (s"k${i % 3}", i, rnd.nextInt(50).toLong))
+    val got = Stats.giniByKey(rows.toDF("src", "id", "x"), "src", "x", "id")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("gini_micro")).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val xs = g.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.size.toDouble
+      val s1 = xs.sum.toDouble
+      val s2 = xs.zipWithIndex.map { case (x, j) => (j + 1).toDouble * x }.sum
+      val expect = math.round((2.0 * s2 / (n * s1) - (n + 1.0) / n) * 1e6)
+      assert(got(k) === expect, s"key $k")
+    }
+  }
+
+  test("giniByKey: rank window and aggregate share ONE key shuffle") {
+    val df = (1L to 40L).map(i => (s"s${i % 4}", i, i % 7)).toDF("src", "id", "x")
+    val out = Stats.giniByKey(df, "src", "x", "id")
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = out.queryExecution.executedPlan
+    val n = plan.collect { case e: Exchange => e }.size +
+      plan.collect { case a: AdaptiveSparkPlanExec => a }
+        .flatMap(_.inputPlan.collect { case e: Exchange => e }).size
+    assert(n <= 1, s"giniByKey shuffles $n times:\n$plan")
+  }
 }
