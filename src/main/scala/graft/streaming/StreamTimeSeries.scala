@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming twin of the batch daily-metrics chain
+  * [[graft.operators.TimeSeries.gapFill]] →
+  * [[graft.operators.TimeSeries.rollingSum]] →
+  * [[graft.operators.TimeSeries.anomalies]]: per-key daily values on a
+  * complete grid, each day carrying its trailing `days`-window rolling
+  * sum and (when a baseline exists) its z-score vs the trailing
+  * `zDays` window excluding the day itself.
+  *
+  * Day-close semantics: a (key, day) row is FINAL — it is emitted once
+  * the event-time watermark passes the day's end (exactly the
+  * append-mode contract a daily tumbling aggregate would have), with
+  * per-day sums accumulated in keyed MapState and an event-time timer
+  * at the earliest open day's end. Gap days (no events between two
+  * observed days) are emitted when the next observed day closes —
+  * zero-filled or forward-carried per `forward`, exactly the batch
+  * gapFill fill rule. Days AFTER a key's last observation are not
+  * emitted (the stream cannot know the key went quiet vs the data
+  * being late; batch fills to the global max date — the one documented
+  * divergence, it disappears for any key once more data arrives).
+  *
+  * Exact replay discipline: values are longs, rolling sums are long
+  * adds, and the z float math runs in the SAME fixed operation order
+  * as the batch operator over the same exact integer window moments —
+  * bit-identical rows (StreamTimeSeriesSpec pins streaming == batch).
+  *
+  * Scale shape: state per key is one ring buffer of max(days−1,
+  * zDays) longs plus the open-day map (bounded by watermark delay ÷ 1
+  * day); timers are one per key. RocksDB-backed transformWithState —
+  * the same posture as [[SessionProcessor]].
+  */
+object StreamTimeSeries {
+
+  case class Point(key: Long, ts: Timestamp, v: Long)
+  case class DayRow(key: Long, day: Date, v: Long,
+                    rolling: Long, z_micro: Option[Long])
+  case class GridState(lastDay: Long, lastValue: Long, buf: Array[Long])
+
+  /** `points` must carry a watermark on `ts`. `days` is the rolling-sum
+    * window (current day inclusive), `zDays` the anomaly baseline
+    * (current day exclusive), `minPoints` the minimum baseline size. */
+  def dailyGridStream(points: Dataset[Point], days: Int, forward: Boolean,
+                      zDays: Int, minPoints: Int): Dataset[DayRow] = {
+    require(days >= 1 && zDays >= 2 && minPoints >= 2 && minPoints <= zDays)
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .transformWithState(
+        new DailyGridProcessor(days, forward, zDays, minPoints),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** transformWithState processor backing
+  * [[StreamTimeSeries.dailyGridStream]]: MapState epochDay → open sum,
+  * ValueState for the closed-day cursor (last closed day, last value
+  * for forward fill, trailing ring buffer), one event-time timer at
+  * the earliest open day's end. */
+class DailyGridProcessor(days: Int, forward: Boolean,
+                         zDays: Int, minPoints: Int)
+    extends StatefulProcessor[Long, StreamTimeSeries.Point, StreamTimeSeries.DayRow] {
+  import StreamTimeSeries.{DayRow, GridState, Point}
+
+  private val DayMs = 86400000L
+  private val bufMax = math.max(days - 1, zDays)
+
+  @transient private var cursor: ValueState[GridState] = _
+  @transient private var open: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cursor = getHandle.getValueState("cursor",
+      Encoders.product[GridState], TTLConfig.NONE)
+    open = getHandle.getMapState("open",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def retimer(wmMs: Long): Unit = {
+    getHandle.listTimers().toSeq.foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    val openDays = open.keys().toSeq
+    if (openDays.nonEmpty) {
+      val dayEnd = (openDays.min + 1) * DayMs
+      getHandle.registerTimer(math.max(wmMs + 1, dayEnd))
+    }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Point],
+                               timers: TimerValues): Iterator[DayRow] = {
+    rows.foreach { p =>
+      val d = math.floorDiv(p.ts.getTime, DayMs)
+      val cur = if (open.containsKey(d)) open.getValue(d) else 0L
+      open.updateValue(d, cur + p.v)
+    }
+    retimer(timers.getCurrentWatermarkInMs())
+    Iterator.empty
+  }
+
+  /** Close a day: push its grid value through the ring buffer, compute
+    * rolling (current + trailing days−1) and z (trailing zDays,
+    * current excluded) with the batch operators' float order. */
+  private def close(key: Long, day: Long, value: Long,
+                    st: GridState): (DayRow, GridState) = {
+    val buf = st.buf
+    // rolling: last (days-1) closed values + this day's
+    val rolling = value + buf.takeRight(days - 1).sum
+    // z baseline: last zDays closed values, n >= minPoints, var > 0
+    val base = buf.takeRight(zDays)
+    val z: Option[Long] =
+      if (base.length < minPoints) None
+      else {
+        val n = base.length
+        val s1 = base.sum
+        var s2 = 0L
+        base.foreach(x => s2 += x * x)
+        val mean = s1.toDouble / n
+        val ex2 = s2.toDouble / n
+        val variance = ex2 - mean * mean
+        if (variance > 0.0)
+          Some(math.round(1e6 * ((value.toDouble - mean) / math.sqrt(variance))))
+        else None
+      }
+    val nextBuf = (buf :+ value).takeRight(bufMax)
+    (DayRow(key, Date.valueOf(java.time.LocalDate.ofEpochDay(day)),
+       value, rolling, z),
+     GridState(day, value, nextBuf))
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[DayRow] = {
+    val wm = timers.getCurrentWatermarkInMs()
+    val ready = open.keys().toSeq.filter(d => (d + 1) * DayMs <= wm).sorted
+    var st = if (cursor.exists()) cursor.get()
+             else GridState(Long.MinValue, 0L, Array.empty)
+    val out = Seq.newBuilder[DayRow]
+    ready.foreach { d =>
+      // fill the grid between the cursor and this observed day
+      if (st.lastDay != Long.MinValue) {
+        var g = st.lastDay + 1
+        while (g < d) {
+          val fillV = if (forward) st.lastValue else 0L
+          val (row, next) = close(key, g, fillV, st)
+          out += row
+          st = next
+          g += 1
+        }
+      }
+      val (row, next) = close(key, d, open.getValue(d), st)
+      out += row
+      st = next
+      open.removeKey(d)
+    }
+    cursor.update(st)
+    retimer(wm)
+    out.result().iterator
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.{Date, Timestamp}
+
+import graft.SparkSpec
+import graft.operators.TimeSeries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming ∘ batch parity for the daily-metrics chain: the
+  * transformWithState daily grid must reproduce, value-for-value, what
+  * gapFill → rollingSum → anomalies computes over the same events —
+  * the round-4 "streaming twins for the time-series family" item.
+  */
+class StreamTimeSeriesSpec extends SparkSpec {
+
+  private val day0 = java.time.LocalDate.parse("2024-01-01")
+  private def tsAt(d: Int, h: Int = 12): Timestamp =
+    Timestamp.valueOf(day0.plusDays(d).atTime(h, 0, 0))
+
+  // 3 keys, 15 days, deterministic values, holes at different places;
+  // every key observes day 0 (aligns the batch grid's global min with
+  // each key's own start — the zero-fill comparison premise)
+  private def points: Seq[StreamTimeSeries.Point] =
+    for {
+      k <- 1L to 3L
+      d <- 0 until 15
+      if !(k == 1L && Set(3, 4, 9)(d)) && !(k == 2L && Set(7)(d)) &&
+        !(k == 3L && Set(1, 2, 11, 12, 13)(d))
+      part <- 0 until 2 // two events per observed (key, day)
+    } yield StreamTimeSeries.Point(k, tsAt(d, 6 + 6 * part),
+      (k * 100 + d * 7 + part * 3) % 97)
+
+  private def runStream(forward: Boolean): Seq[StreamTimeSeries.DayRow] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamTimeSeries.Point]
+    val name = s"ts_grid_${if (forward) "fwd" else "zero"}"
+    val q = StreamTimeSeries.dailyGridStream(
+        input.toDS().withWatermark("ts", "1 second"),
+        days = 3, forward = forward, zDays = 5, minPoints = 3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two waves (state must survive across batches), then sentinel
+      // events on a throwaway key push the watermark past day 14
+      val (w1, w2) = points.partition(_.ts.getTime < tsAt(8).getTime)
+      input.addData(w1: _*); q.processAllAvailable()
+      input.addData(w2: _*); q.processAllAvailable()
+      input.addData(StreamTimeSeries.Point(99L, tsAt(40), 1L))
+      q.processAllAvailable()
+      input.addData(StreamTimeSeries.Point(99L, tsAt(41), 1L))
+      q.processAllAvailable()
+      spark.table(name).as[StreamTimeSeries.DayRow].collect().toSeq
+        .filter(_.key != 99L)
+    } finally q.stop()
+  }
+
+  private def dailyBatch = {
+    val s = spark
+    import s.implicits._
+    points.toDF("key", "ts", "v")
+      .groupBy(col("key"), to_date(col("ts")).as("day"))
+      .agg(sum("v").as("v"))
+  }
+
+  test("zero-fill grid: streaming rows == gapFill∘rollingSum∘anomalies") {
+    val s = spark
+    import s.implicits._
+    val grid = TimeSeries.gapFill(dailyBatch, "key", "day", "v", forward = false)
+    val rolling = TimeSeries.rollingSum(grid, "key", "day", "v", days = 3)
+      .as[(Long, Date, Long, Long)].collect()
+      .map { case (k, d, v, r) => (k, d.toString) -> (v, r) }.toMap
+    val streamed = runStream(forward = false)
+    // every key observes day 0 and day 14 → the streamed grid covers
+    // the full batch span
+    assert(streamed.size === rolling.size,
+      s"rows: streamed ${streamed.size} vs batch ${rolling.size}")
+    streamed.foreach { r =>
+      val (v, roll) = rolling((r.key, r.day.toString))
+      assert(v === r.v && roll === r.rolling, s"at ${(r.key, r.day)}")
+    }
+    // anomalies: batch flags |z| >= 1.2e6 over the zero-filled grid
+    val thr = 1200000L
+    val batchZ = TimeSeries.anomalies(grid, "key", "day", "v",
+      days = 5, zThresholdMicro = thr, minPoints = 3)
+      .select(col("key"), col("day").cast("string"), col("z_micro"))
+      .as[(Long, String, Long)].collect().toSet
+    val streamZ = streamed
+      .collect { case r if r.z_micro.exists(z => math.abs(z) >= thr) =>
+        (r.key, r.day.toString, r.z_micro.get) }.toSet
+    assert(streamZ === batchZ)
+    assert(batchZ.nonEmpty, "threshold chosen to flag at least one day")
+  }
+
+  test("forward-fill grid: carried values match the batch forward fill") {
+    val s = spark
+    import s.implicits._
+    val grid = TimeSeries.gapFill(dailyBatch, "key", "day", "v", forward = true)
+    val batch = TimeSeries.rollingSum(grid, "key", "day", "v", days = 3)
+      .where(col("v").isNotNull)
+      .as[(Long, Date, Long, Long)].collect()
+      .map { case (k, d, v, r) => (k, d.toString) -> (v, r) }.toMap
+    val streamed = runStream(forward = true)
+    assert(streamed.size === batch.size)
+    streamed.foreach { r =>
+      val (v, roll) = batch((r.key, r.day.toString))
+      assert(v === r.v && roll === r.rolling, s"at ${(r.key, r.day)}")
+    }
+  }
+}
