@@ -2098,6 +2098,49 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // Benford first-digit screen over order totals in cents, per
+    // priority stratum — expected proportions are driver-computed
+    // constants shared verbatim with the oracle; deviation is an
+    // integer subtraction (no cross-engine float path).
+    "q169_benford" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      operators.Stats.benfordDeviation(o, "o_orderpriority", "cents")
+        .orderBy("key", "digit")
+    }),
+
+    // Two-sample KS drift per priority stratum: open vs finished
+    // orders on the cents distribution — the argmax runs in exact
+    // integer cross-products, one float division at the end.
+    "q170_ks_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      operators.Stats.ksByStratum(o, "o_orderpriority", "o_orderstatus",
+        "O", "F", "cents")
+        .orderBy("stratum")
+    }),
+
+    // Top user-journey trigrams: (user_id, ts) is unique so the lead
+    // ordering is total; top-25 cut tie-broken on the path itself.
+    "q171_top_paths" -> ((s, dir) => {
+      operators.Sequences.topPaths3(events(s, dir), "user_id", "ts",
+        "event_type", topN = 25)
+        .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+    }),
+
+    // Flesch reading ease per doc slice — scan-only projection; the
+    // regex heuristics are RE2-safe so DuckDB counts identically.
+    // Wordless docs are filtered (their score is NULL by contract, and
+    // the driver's hasher coerces nullable int64 → float64).
+    "q172_readability" -> ((s, dir) => {
+      operators.TextAnalytics.readability(
+        t(s, dir, "documents").where(col("doc_id") % 7 === 2),
+        "doc_id", "text")
+        .where(col("n_words") > 0)
+        .orderBy("doc_id")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -5756,6 +5799,84 @@ object SparkEntry {
         |JOIN supp sb ON sb.i = item_b
         |CROSS JOIN nb
         |ORDER BY item_a, item_b""".stripMargin,
+
+    // Expected micros interpolated from the SAME driver-side constants
+    // the Spark operator embeds — no cross-engine log10 ever runs.
+    "q169_benford" -> {
+      val exp = operators.Stats.benfordExpectedMicro.toSeq.sorted
+        .map { case (d, m) => s"($d, $m)" }.mkString(", ")
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS key,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |pos AS (SELECT key, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |        FROM src WHERE cents > 0),
+         |counts AS (SELECT key, digit, CAST(COUNT(*) AS BIGINT) AS n_d
+         |           FROM pos GROUP BY 1, 2),
+         |totals AS (SELECT key, CAST(SUM(n_d) AS BIGINT) AS n FROM counts GROUP BY 1),
+         |expd(digit, exp_micro) AS (VALUES $exp),
+         |grid AS (SELECT t.key, e.digit, t.n, CAST(e.exp_micro AS BIGINT) AS exp_micro
+         |         FROM totals t CROSS JOIN expd e)
+         |SELECT g.key, g.digit, CAST(COALESCE(c.n_d, 0) AS BIGINT) AS n_d, g.n,
+         |  CAST(round(1e6 * CAST(COALESCE(c.n_d, 0) AS DOUBLE) / CAST(g.n AS DOUBLE))
+         |       AS BIGINT) AS obs_micro,
+         |  g.exp_micro,
+         |  CAST(round(1e6 * CAST(COALESCE(c.n_d, 0) AS DOUBLE) / CAST(g.n AS DOUBLE))
+         |       AS BIGINT) - g.exp_micro AS dev_micro
+         |FROM grid g LEFT JOIN counts c USING (key, digit)
+         |ORDER BY key, digit""".stripMargin
+    },
+
+    // The KS argmax runs in exact integer cross-products (HUGEINT in
+    // DuckDB, DECIMAL(38,0) in Spark); ONE float division at the end.
+    "q170_ks_drift" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS stratum, o_orderstatus AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |c AS (SELECT stratum, v,
+        |        SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS ca,
+        |        SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS cb
+        |      FROM src GROUP BY 1, 2),
+        |cum AS (SELECT stratum,
+        |         SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+        |        FROM c WINDOW w AS (PARTITION BY stratum ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT stratum, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |          CAST(SUM(cb) AS BIGINT) AS n_b FROM c GROUP BY 1)
+        |SELECT t.stratum, t.n_a, t.n_b,
+        |  CAST(round(1e6 * CAST(MAX(ABS(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
+        |    / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))) AS BIGINT) AS d_micro
+        |FROM cum JOIN tot t USING (stratum)
+        |WHERE t.n_a > 0 AND t.n_b > 0
+        |GROUP BY t.stratum, t.n_a, t.n_b
+        |ORDER BY t.stratum""".stripMargin,
+
+    "q171_top_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS p1,
+        |    LEAD(event_type, 1) OVER w AS p2,
+        |    LEAD(event_type, 2) OVER w AS p3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |c AS (SELECT p1, p2, p3, COUNT(*) AS n FROM p
+        |      WHERE p3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT p1, p2, p3, n FROM c
+        |ORDER BY n DESC, p1, p2, p3 LIMIT 25""".stripMargin,
+
+    "q172_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(round(1e6 * (206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))))
+        |    AS BIGINT) AS flesch_micro
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents WHERE doc_id % 7 = 2) x
+        |WHERE n_words > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // Base rows enter at ts NULL (sorted last under DESC NULLS LAST)
     // so any log row beats the base; op DESC is a dead tie-break kept

@@ -47,6 +47,32 @@ object Sequences {
       .select("from_state", "to_state", "n", "p_micro")
   }
 
+  /** Top event-type trigram paths: the "what do users actually do"
+    * report — every 3-step (a → b → c) run of consecutive events
+    * within a key, counted corpus-wide, top `topN` by (count DESC,
+    * path ASC). Two lead() taps on ONE key window (single shuffle,
+    * bounded per-key groups), a map-side-combined count on the tiny
+    * path domain, and a TakeOrdered for the top-N (never a global
+    * sort). The deterministic tie-break makes the cut SQL-replayable.
+    * Output: (p1, p2, p3, n). */
+  def topPaths3(df: DataFrame, keyCol: String, tsCol: String,
+                typeCol: String, topN: Int,
+                tieCols: Seq[String] = Nil): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    df
+      .select(col(keyCol) +: col(tsCol) +: col(typeCol).as("p1") +:
+        tieCols.map(col): _*)
+      .withColumn("p2", lead(col("p1"), 1).over(w))
+      .withColumn("p3", lead(col("p1"), 2).over(w))
+      .where(col("p3").isNotNull)
+      .groupBy("p1", "p2", "p3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+      .limit(topN)
+  }
+
   /** Position-based conversion attribution: each conversion event
     * (`typeCol` == `conversionType`) credits its value to the LAST
     * and (separately) the FIRST non-conversion event of the same key

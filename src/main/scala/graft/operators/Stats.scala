@@ -99,6 +99,81 @@ object Stats {
           .cast("long").as("gini_micro"))
   }
 
+  /** Per-digit Benford deviation over a positive integer measure —
+    * the financial-forensics screen (fabricated figures drift from
+    * the log distribution real ledgers follow). First significant
+    * digit is taken from the INTEGER's decimal rendering
+    * (substring(cast(v as string),1,1)) — engine-portable, unlike
+    * log10-of-double edge cases. One (key, digit) count shuffle, a
+    * key-scale total, and the 1..9 grid completed by broadcast cross
+    * join so absent digits surface as explicit zero rows. Expected
+    * proportions are driver-side constants (round(1e6·log10(1+1/d)))
+    * embedded identically in the SQL oracle — no cross-engine float
+    * path at all; dev_micro is an integer subtraction.
+    * Output: (key, digit, n_d, n, obs_micro, exp_micro, dev_micro). */
+  def benfordDeviation(df: DataFrame, keyCol: String,
+                       valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("long")
+    val counts = df.where(v > 0)
+      .select(col(keyCol).as("key"),
+        substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("key", "digit").agg(count(lit(1)).as("n_d"))
+    val totals = counts.groupBy("key").agg(sum("n_d").as("n"))
+    val expected = benfordExpectedMicro.toSeq.sorted.toDF("digit", "exp_micro")
+    totals
+      .crossJoin(broadcast(expected))
+      .join(counts, Seq("key", "digit"), "left")
+      .select(col("key"), col("digit"),
+        coalesce(col("n_d"), lit(0L)).as("n_d"), col("n"),
+        round(lit(1e6) * coalesce(col("n_d"), lit(0L)).cast("double")
+          / col("n").cast("double")).cast("long").as("obs_micro"),
+        col("exp_micro"))
+      .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
+  }
+
+  /** round(1e6 · log10(1 + 1/d)) for d = 1..9 — computed once on the
+    * driver and shared verbatim with the oracle SQL. */
+  val benfordExpectedMicro: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(1e6 * math.log10(1.0 + 1.0 / d))).toMap
+
+  /** Two-sample Kolmogorov–Smirnov D per stratum — the drift screen
+    * between corpus snapshots or A/B populations: D = max_x
+    * |F_A(x) − F_B(x)| over the pooled support. Runs EXACTLY in
+    * integers until one final division: per-(stratum, value) side
+    * counts (one shuffle), cumulative counts via a stratum window
+    * (reuses the same partitioning), and the max of
+    * |cumA·n_B − cumB·n_A| through DECIMAL(38,0) — an exact integer
+    * max, no float comparison ever decides the argmax. d_micro =
+    * round(1e6 · maxdiff / (n_A·n_B)). Strata missing either side are
+    * dropped. `valueCol` must be integer-valued (cents, milli-units).
+    * Output: (stratum, n_a, n_b, d_micro). */
+  def ksByStratum(df: DataFrame, stratumCol: String, groupCol: String,
+                  groupA: String, groupB: String,
+                  valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val c = df.where(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(stratumCol).as("stratum"), v.as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("stratum").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.select(col("stratum"),
+      sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+    val tot = c.groupBy("stratum")
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cum.join(tot, Seq("stratum"))
+      .groupBy(col("stratum"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cuma").cast(DecimalType(38, 0)) * col("n_b")
+        - col("cumb").cast(DecimalType(38, 0)) * col("n_a"))).as("maxdiff"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        round(lit(1e6) * col("maxdiff").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .cast("long").as("d_micro"))
+  }
+
   /** 2-D skyline (Pareto frontier), minimizing both `xCol` and
     * `yCol` within each `keyCols` group: rows no other row dominates
     * (other ≤ in both, < in at least one). Window-only — NO self-join:

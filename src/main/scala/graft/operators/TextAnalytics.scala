@@ -964,4 +964,32 @@ object TextAnalytics {
         aggregate(transform(col("gr"), g => element_at(lamLit, bucketOf(g) + 1)),
           lit(0L), (acc, x) => acc + x).as("score_micro"))
   }
+
+  /** Flesch reading ease per document — the classic readability
+    * filter (a pretraining-quality signal alongside the Gopher rules
+    * and LM scores): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word), with the standard regex heuristics —
+    * sentences = runs of [.!?] (floored at 1), syllables = vowel-group
+    * runs of [aeiouy] in the lowercased text (whitespace already
+    * breaks groups; RE2-safe so any engine counts identically). All
+    * three counts are exact integers from a pure scan projection
+    * (zero shuffles, whole-stage codegen); the formula then runs per
+    * row in fixed float order → micros. Docs with no words emit NULL
+    * (no prose to score). Output: (idCol, n_words, n_sentences,
+    * n_syllables, flesch_micro). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = Text.tokenCount(col(textCol)).cast("long")
+    val sentences = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    df.select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .withColumn("flesch_micro",
+        when(col("n_words") > 0,
+          round(lit(1e6) * (lit(206.835)
+            - lit(1.015) * (d(col("n_words")) / d(col("n_sentences")))
+            - lit(84.6) * (d(col("n_syllables")) / d(col("n_words")))))
+            .cast("long")))
+  }
 }

@@ -58,4 +58,22 @@ class SequencesSpec extends SparkSpec {
     // both purchases attribute to the click, not to each other
     assert(out == Seq(("last", Some("click"), 2L, 300L)))
   }
+
+  test("topPaths3 counts consecutive trigrams with a deterministic top-N cut") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "a", 0), (1L, "2024-01-01 00:01:00", "b", 0),
+      (1L, "2024-01-01 00:02:00", "c", 0), (1L, "2024-01-01 00:03:00", "a", 0),
+      (2L, "2024-01-01 00:00:00", "a", 0), (2L, "2024-01-01 00:01:00", "b", 0),
+      (2L, "2024-01-01 00:02:00", "c", 0),
+      // a 2-event key contributes no trigram
+      (3L, "2024-01-01 00:00:00", "a", 0), (3L, "2024-01-01 00:01:00", "b", 0))
+    val all = Sequences.topPaths3(df, "u", "ts", "et", topN = 10)
+      .as[(String, String, String, Long)].collect.toSeq
+    // key 1: abc, bca; key 2: abc → abc×2 first, then bca
+    assert(all == Seq(("a", "b", "c", 2L), ("b", "c", "a", 1L)))
+    // the cut keeps the count-desc path-asc prefix
+    val top1 = Sequences.topPaths3(df, "u", "ts", "et", topN = 1)
+      .as[(String, String, String, Long)].collect.toSeq
+    assert(top1 == Seq(("a", "b", "c", 2L)))
+  }
 }

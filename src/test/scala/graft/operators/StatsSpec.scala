@@ -100,6 +100,53 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("benfordDeviation: grid complete, proportions exact, constants canonical") {
+    // digits by construction: 1×4, 2×2, 9×2, others absent; zero/negative dropped
+    val df = Seq(("k", 1L), ("k", 15L), ("k", 123L), ("k", 1999L),
+      ("k", 2L), ("k", 25L), ("k", 9L), ("k", 90L), ("k", 0L), ("k", -7L))
+      .toDF("src", "v")
+    val out = Stats.benfordDeviation(df, "src", "v")
+      .orderBy("digit").collect()
+    assert(out.length === 9) // the full 1..9 grid, absent digits as zeros
+    val byDigit = out.map(r => r.getAs[Int]("digit") ->
+      (r.getAs[Long]("n_d"), r.getAs[Long]("obs_micro"), r.getAs[Long]("dev_micro"))).toMap
+    assert(byDigit(1)._1 === 4L && byDigit(1)._2 === 500000L)
+    assert(byDigit(2)._1 === 2L && byDigit(9)._1 === 2L)
+    assert(byDigit(3)._1 === 0L && byDigit(3)._2 === 0L)
+    // Benford's law: expected proportions sum to 1e6 (±rounding)
+    assert(math.abs(Stats.benfordExpectedMicro.values.sum - 1000000L) <= 2)
+    assert(Stats.benfordExpectedMicro(1) === 301030L)
+    // dev = obs − exp exactly
+    out.foreach(r => assert(r.getAs[Long]("dev_micro") ===
+      r.getAs[Long]("obs_micro") - r.getAs[Long]("exp_micro")))
+  }
+
+  test("ksByStratum matches the brute-force D statistic") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { i =>
+      val st = s"s${i % 2}"
+      val g = if (i % 3 == 0) "A" else "B"
+      // group A shifted upward in stratum s1 → real drift there
+      val v = rnd.nextInt(40).toLong + (if (g == "A" && st == "s1") 15L else 0L)
+      (st, g, v)
+    }
+    val out = Stats.ksByStratum(rows.toDF("st", "g", "v"), "st", "g", "A", "B", "v")
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("d_micro"))).toMap
+    rows.groupBy(_._1).foreach { case (st, g) =>
+      val a = g.filter(_._2 == "A").map(_._3).sorted
+      val b = g.filter(_._2 == "B").map(_._3).sorted
+      val support = (a ++ b).distinct.sorted
+      val d = support.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.size - b.count(_ <= x).toDouble / b.size)
+      }.max
+      val (na, nb, dMicro) = out(st)
+      assert(na === a.size.toLong && nb === b.size.toLong)
+      assert(math.abs(dMicro - math.round(d * 1e6)) <= 1, s"stratum $st")
+    }
+    assert(out("s1")._3 > out("s0")._3, "shifted stratum must show more drift")
+  }
+
   test("giniByKey: rank window and aggregate share ONE key shuffle") {
     val df = (1L to 40L).map(i => (s"s${i % 4}", i, i % 7)).toDF("src", "id", "x")
     val out = Stats.giniByKey(df, "src", "x", "id")

@@ -527,4 +527,25 @@ class TextAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rows(1L) == 0.0 && rows(2L) == 0.5 && rows(3L) == 0.0, rows.toString)
   }
+
+  test("readability: counts and Flesch formula on known prose") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences
+      (2L, "no terminal punctuation here"), // sentences floored at 1
+      (3L, "")                              // wordless → NULL score
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") === 6L)
+    assert(r1.getAs[Long]("n_sentences") === 2L)
+    // vowel groups: e,a,a,e,o,a → 6
+    assert(r1.getAs[Long]("n_syllables") === 6L)
+    val expect1 = math.round(1e6 * (206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)))
+    assert(r1.getAs[Long]("flesch_micro") === expect1)
+    assert(out(2L).getAs[Long]("n_sentences") === 1L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("flesch_micro")))
+  }
 }
