@@ -153,10 +153,18 @@ object Stats {
                   groupA: String, groupB: String,
                   valueCol: String): DataFrame = {
     val v = col(valueCol).cast("long")
-    val c = df.where(col(groupCol).isin(groupA, groupB))
+    ksFromCounts(df.where(col(groupCol).isin(groupA, groupB))
       .groupBy(col(stratumCol).as("stratum"), v.as("v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
-        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb")))
+  }
+
+  /** [[ksByStratum]] over PRE-AGGREGATED per-(stratum, v) side counts
+    * (ca, cb) — the form incremental pipelines hold (a persisted count
+    * store vs a reference histogram: [[graft.streaming.StreamMonitor]]).
+    * Input needs (stratum, v, ca, cb); absent values on one side must
+    * appear with that side's count 0 (a full-outer count join). */
+  def ksFromCounts(c: DataFrame): DataFrame = {
     val w = Window.partitionBy("stratum").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = c.select(col("stratum"),
