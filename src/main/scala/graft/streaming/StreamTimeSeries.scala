@@ -55,6 +55,75 @@ object StreamTimeSeries {
         new DailyGridProcessor(days, forward, zDays, minPoints),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class EwmaRow(key: Long, n: Long, ewma_milli: Long)
+  case class EwmaFold(n: Long, e: Long)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.ewmaHalfPerKey]]:
+    * the α=1/2 integer fold e ← (e + x) div 2, applied in strict
+    * event-time order. Out-of-order arrivals are buffered in MapState
+    * (ts → value) and folded only once the watermark passes them — the
+    * fold order is then total (unique ts per key, the batch contract),
+    * so every emitted running value is a value the batch fold passes
+    * through, and the final row per key equals the batch result.
+    * Emits one (key, n, ewma_milli) row per fold ADVANCE (not per
+    * event): append-mode running updates. State per key: the running
+    * (n, e) pair + the watermark-bounded out-of-order buffer. */
+  def ewmaStream(points: Dataset[Point]): Dataset[EwmaRow] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .transformWithState(new EwmaProcessor(),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** transformWithState processor backing [[StreamTimeSeries.ewmaStream]]:
+  * buffered (epochMicros → value) MapState, one timer at the earliest
+  * buffered ts, ValueState for the running (n, ewma) fold. */
+class EwmaProcessor
+    extends StatefulProcessor[Long, StreamTimeSeries.Point, StreamTimeSeries.EwmaRow] {
+  import StreamTimeSeries.{EwmaFold => Fold, EwmaRow, Point}
+
+  @transient private var fold: ValueState[Fold] = _
+  @transient private var buf: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    fold = getHandle.getValueState("fold", Encoders.product[Fold], TTLConfig.NONE)
+    buf = getHandle.getMapState("buf",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def retimer(wmMs: Long): Unit = {
+    getHandle.listTimers().toSeq.foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    val ts = buf.keys().toSeq
+    if (ts.nonEmpty)
+      getHandle.registerTimer(math.max(wmMs + 1, ts.min / 1000 + 1))
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Point],
+                               timers: TimerValues): Iterator[EwmaRow] = {
+    rows.foreach(p => buf.updateValue(p.ts.getTime * 1000, p.v))
+    retimer(timers.getCurrentWatermarkInMs())
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[EwmaRow] = {
+    val wmUs = timers.getCurrentWatermarkInMs() * 1000
+    val ready = buf.keys().toSeq.filter(_ < wmUs).sorted
+    if (ready.isEmpty) { retimer(timers.getCurrentWatermarkInMs()); return Iterator.empty }
+    var st = if (fold.exists()) fold.get() else Fold(0L, -1L)
+    ready.foreach { ts =>
+      val x = buf.getValue(ts)
+      st = if (st.n == 0L) Fold(1L, x) else Fold(st.n + 1, (st.e + x) / 2)
+      buf.removeKey(ts)
+    }
+    fold.update(st)
+    retimer(timers.getCurrentWatermarkInMs())
+    Iterator.single(EwmaRow(key, st.n, st.e))
+  }
 }
 
 /** transformWithState processor backing

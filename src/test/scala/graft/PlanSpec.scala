@@ -257,6 +257,31 @@ class PlanSpec extends SparkSpec {
     assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("__b")), s)
   }
 
+  test("readability is a pure scan projection — zero exchanges") {
+    // the 100 TB claim for q172: three regex counts + one arithmetic
+    // projection, all inside the parquet scan's codegen stage
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = operators.TextAnalytics.readability(docs, "doc_id", "text")
+    assert(exchangesIn(df) == 0, "readability shuffles")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window") && !s.contains("Join"), s)
+  }
+
+  test("ks drift: cumulative window reuses the count shuffle's stratum keying") {
+    // counts shuffle on (stratum, v); the ecdf window partitions by
+    // stratum — a prefix of that key set — and the totals ride the
+    // same counts: the whole statistic fits a small exchange budget
+    // with no corpus-shaped residual (q170's scale claim).
+    val n = exchangesIn(SparkEntry.queries("q170_ks_drift")(spark, dir))
+    assert(n <= 6, s"ks drift has $n exchanges")
+  }
+
+  test("benford: expected-proportion grid joins as a broadcast") {
+    val s = planString("q169_benford")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster. q17 included since

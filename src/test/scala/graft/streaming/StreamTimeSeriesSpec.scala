@@ -98,6 +98,45 @@ class StreamTimeSeriesSpec extends SparkSpec {
     assert(batchZ.nonEmpty, "threshold chosen to flag at least one day")
   }
 
+  test("ewmaStream: running fold converges to the batch ewmaHalfPerKey") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // unique ts per key; wave 2 delivers ts BETWEEN wave 1's (out of
+    // order across batches — the buffer must reorder before folding)
+    val mk = (k: Long, d: Int, v: Long) => StreamTimeSeries.Point(k, tsAt(d), v)
+    val wave1 = Seq(mk(1, 0, 100), mk(1, 4, 60), mk(2, 0, 9))
+    val wave2 = Seq(mk(1, 2, 40), mk(1, 6, 200), mk(2, 1, 81))
+    val input = MemoryStream[StreamTimeSeries.Point]
+    val q = StreamTimeSeries.ewmaStream(
+        input.toDS().withWatermark("ts", "10 days"))
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(wave1: _*); q.processAllAvailable()
+      input.addData(wave2: _*); q.processAllAvailable()
+      input.addData(mk(99, 60, 1)); q.processAllAvailable()
+      input.addData(mk(99, 90, 1)); q.processAllAvailable()
+      val rows = spark.table("ewma_out").as[StreamTimeSeries.EwmaRow]
+        .collect().filter(_.key != 99L)
+      val finals = rows.groupBy(_.key).map { case (k, rs) =>
+        k -> rs.maxBy(_.n) }
+      val batch = graft.operators.TimeSeries.ewmaHalfPerKey(
+        (wave1 ++ wave2).toDF("key", "ts", "v"), "key", "ts", "v")
+        .collect().map(r => r.getAs[Long]("key") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("ewma_milli"))).toMap
+      assert(finals.keySet === batch.keySet)
+      finals.foreach { case (k, row) =>
+        assert((row.n, row.ewma_milli) === batch(k), s"key $k") }
+      // running updates pass through batch-fold intermediate values:
+      // key 1 folds 100 → (100+40)/2=70 → (70+60)/2=65 → (65+200)/2=132
+      assert(rows.filter(_.key == 1L).map(_.ewma_milli).toSet
+        .subsetOf(Set(100L, 70L, 65L, 132L)))
+    } finally q.stop()
+  }
+
   test("forward-fill grid: carried values match the batch forward fill") {
     val s = spark
     import s.implicits._
