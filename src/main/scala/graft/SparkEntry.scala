@@ -2129,6 +2129,27 @@ object SparkEntry {
         .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
     }),
 
+    // Histogram-store lifecycle: write half the orders' cents into
+    // per-priority fixed bins, append the other half as a second
+    // shard, compact, then read exact lower-edge quantiles — the
+    // distribution member of the HLL/CMS mergeable-store family. The
+    // oracle replays binning + the ceil-rank rule over ALL orders
+    // (shard merge is cell-wise addition, so they must agree).
+    "q173_hist_store" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("p"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString
+      operators.HistStore.write(o.where(col("o_orderkey") % 2 === 0),
+        "p", "cents", tmp, lo = 0L, width = 500000L, bins = 64)
+      operators.HistStore.append(o.where(col("o_orderkey") % 2 === 1),
+        "p", "cents", tmp)
+      operators.HistStore.compactStore(s, tmp)
+      operators.HistStore.quantiles(s, tmp,
+        Seq(250000L, 500000L, 900000L, 990000L))
+        .orderBy("key", "q_micro")
+    }),
+
     // Flesch reading ease per doc slice — scan-only projection; the
     // regex heuristics are RE2-safe so DuckDB counts identically.
     // Wordless docs are filtered (their score is NULL by contract, and
@@ -5861,6 +5882,32 @@ object SparkEntry {
         |      WHERE p3 IS NOT NULL GROUP BY 1, 2, 3)
         |SELECT p1, p2, p3, n FROM c
         |ORDER BY n DESC, p1, p2, p3 LIMIT 25""".stripMargin,
+
+    // Shard merge is cell-wise addition, so the two-shard store must
+    // answer exactly as one pass over all orders; the ceil-rank
+    // (a + b−1) div b idiom is portable on non-negative numerators.
+    "q173_hist_store" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS key,
+        |    LEAST(GREATEST((CAST(round(o_totalprice * 100) AS BIGINT) - 0) // 500000, 0), 63) AS bin
+        |  FROM orders),
+        |cells AS (SELECT key, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM src GROUP BY 1, 2),
+        |cum AS (SELECT key, bin,
+        |         SUM(n) OVER (PARTITION BY key ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM cells),
+        |tot AS (SELECT key, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |qs(q_micro) AS (VALUES (250000), (500000), (900000), (990000)),
+        |r AS (SELECT t.key, q.q_micro, t.n,
+        |        LEAST(GREATEST((q.q_micro * t.n + 999999) // 1000000, 1), t.n) AS rank
+        |      FROM tot t CROSS JOIN qs q)
+        |SELECT r.key, CAST(r.q_micro AS BIGINT) AS q_micro, r.n,
+        |  CAST(MIN(c.bin) AS BIGINT) AS bin,
+        |  CAST(0 + MIN(c.bin) * 500000 AS BIGINT) AS value_edge
+        |FROM r JOIN cum c ON c.key = r.key AND c.cum >= r.rank
+        |GROUP BY r.key, r.q_micro, r.n
+        |ORDER BY r.key, q_micro""".stripMargin,
 
     "q172_readability" ->
       """SELECT doc_id, n_words, n_sentences, n_syllables,
