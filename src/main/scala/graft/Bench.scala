@@ -113,7 +113,7 @@ object Bench {
       "q65_knn_graph", "q75_ivfpq_persisted", "q76_ivfrq_persisted",
       "q82_minhash_store", "q83_jsonl_roundtrip", "q97_store_compacted",
       "q105_warc_roundtrip", "q131_hll_store", "q132_cms_store",
-      "q140_inverted_index", "q147_trigram_search")
+      "q140_inverted_index", "q147_trigram_search", "q173_hist_store")
     val lifecycleSec = best.collect {
       case (n, v) if v >= 0 && lifecycle(n) => v }.sum
     val scanSec = total - lifecycleSec
