@@ -1717,6 +1717,22 @@ object SparkEntry {
         .orderBy("grp", "d")
     }),
 
+    // Week-over-week deltas on the zero-filled daily order-count grid;
+    // rows without a comparable prior period (first 7 grid days, or a
+    // zero base) are filtered so every output column is a non-null
+    // long (driver-comparator dtype contract).
+    "q174_period_delta" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("grp"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val grid = operators.TimeSeries.gapFill(daily, "grp", "d", "n",
+        forward = false)
+      operators.TimeSeries.periodDelta(grid, "grp", "d", "n", lagDays = 7)
+        .where(col("prev_value").isNotNull && col("prev_value") =!= 0L)
+        .orderBy("grp", "d")
+    }),
+
     // Cluster auto-labeling (c-TF-IDF): embeddings assign to cells via
     // the q21 kernel machinery, then each cluster's top-5 distinctive
     // terms; the oracle replays assignment AND labeling end-to-end.
@@ -4756,6 +4772,29 @@ object SparkEntry {
         |  last_value(cents IGNORE NULLS) OVER (PARTITION BY grp ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
         |FROM j
+        |ORDER BY grp, d""".stripMargin,
+
+    "q174_period_delta" ->
+      """WITH sp AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM sp),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds),
+        |grid AS (SELECT grp, d FROM (SELECT DISTINCT grp FROM sp) CROSS JOIN days),
+        |g AS (SELECT g.grp, g.d, COALESCE(sp.n, 0) AS n FROM grid g
+        |      LEFT JOIN sp ON g.grp = sp.grp AND g.d = sp.d),
+        |l AS (SELECT grp, d, n,
+        |        LAG(n, 7) OVER (PARTITION BY grp ORDER BY d) AS prev_value
+        |      FROM g)
+        |SELECT grp, d, n, CAST(prev_value AS BIGINT) AS prev_value,
+        |  CAST(n - prev_value AS BIGINT) AS delta,
+        |  CAST(round(1e6 * CAST(n - prev_value AS DOUBLE)
+        |    / CAST(prev_value AS DOUBLE)) AS BIGINT) AS pct_micro
+        |FROM l WHERE prev_value IS NOT NULL AND prev_value <> 0
         |ORDER BY grp, d""".stripMargin,
 
     // The q21 assignment CTEs feeding the q139 labeling CTEs keyed by

@@ -188,6 +188,29 @@ object TimeSeries {
     }
   }
 
+  /** Period-over-period deltas on a REGULAR daily grid (compose after
+    * [[gapFill]]): each (key, day) row gains the value `lagDays` back,
+    * the absolute delta, and the relative change in integer micros —
+    * the WoW/MoM reporting staple (lagDays 7 / 28). One lag() on the
+    * (key)-window: single shuffle, per-key groups bounded by the day
+    * span. Rows with no prior period (the grid's first lagDays days)
+    * or a zero/NULL base emit NULL deltas — a fabricated 0% there
+    * would be a lie, same contract as gapFill's leading NULLs. The
+    * pct is round(1e6·(v − prev)/prev) over exact longs in fixed
+    * order. Output: input cols + (prev_value, delta, pct_micro). */
+  def periodDelta(df: DataFrame, keyCol: String, dateCol: String,
+                  valueCol: String, lagDays: Int): DataFrame = {
+    require(lagDays >= 1, "lagDays must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+    val v = col(valueCol).cast("long")
+    df.withColumn("prev_value", lag(v, lagDays).over(w))
+      .withColumn("delta", v - col("prev_value"))
+      .withColumn("pct_micro",
+        when(col("prev_value").isNotNull && col("prev_value") =!= 0L,
+          round(lit(1e6) * (v - col("prev_value")).cast("double")
+            / col("prev_value").cast("double")).cast("long")))
+  }
+
   /** Per-key exponential smoothing in EXACT INTEGER arithmetic,
     * α = 1/2: fold e ← (e + x) div 2 over the key's series in
     * (`tsCol`) order, x in non-negative milli-units (`milliCol`).

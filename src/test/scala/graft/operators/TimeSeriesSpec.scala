@@ -160,4 +160,26 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-08", 1L, 1L)),  // user 3 returns
       got.toString)
   }
+
+  test("periodDelta: lag, delta, micro pct; no-prior and zero-base stay NULL") {
+    val s = spark
+    import s.implicits._
+    val grid = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 0L),
+      ("a", "2024-01-03", 15L), ("a", "2024-01-04", 30L),
+      ("b", "2024-01-03", 7L), ("b", "2024-01-04", 7L))
+      .toDF("k", "d", "v")
+      .withColumn("d", org.apache.spark.sql.functions.to_date($"d"))
+    val out = TimeSeries.periodDelta(grid, "k", "d", "v", lagDays = 2)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[java.sql.Date]("d").toString) ->
+        (Option(r.getAs[Any]("prev_value")), Option(r.getAs[Any]("delta")),
+          Option(r.getAs[Any]("pct_micro")))).toMap
+    // first lagDays rows per key have no prior period
+    assert(out(("a", "2024-01-01")) === (None, None, None))
+    assert(out(("b", "2024-01-03")) === (None, None, None))
+    // a@03: prev 10 → delta 5, +50%
+    assert(out(("a", "2024-01-03")) === (Some(10L), Some(5L), Some(500000L)))
+    // a@04: prev 0 → delta defined, pct NULL (no fabricated %)
+    assert(out(("a", "2024-01-04")) === (Some(0L), Some(30L), None))
+  }
 }
