@@ -5632,8 +5632,8 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (ORDER BY id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
         |  FROM t)
         |SELECT id, n_tokens, "offset",
         |  CAST(COALESCE(CASE WHEN n_tokens > 0 THEN "offset" // 512 END, -1)

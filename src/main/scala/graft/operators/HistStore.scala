@@ -94,11 +94,16 @@ object HistStore {
     // rank = clamp(ceil(q·n/1e6), 1, n); ceil-divide of a NON-NEGATIVE
     // numerator as (a + b−1) div b — truncating (Spark div) and
     // flooring (DuckDB //) integer division agree on non-negatives,
-    // so the idiom is engine-portable where -(-a div b) is not
+    // so the idiom is engine-portable where -(-a div b) is not.
+    // q_micro·n runs through DECIMAL(38,0) (the ksFromCounts rule):
+    // at 1e6 micros a long product overflows past n ≈ 9.2e12 rows —
+    // reachable under the store's 100 TB posture. div returns BIGINT.
     cum.join(tot, Seq("key"))
       .crossJoin(broadcast(qs))
       .withColumn("rank",
-        least(greatest(expr("(q_micro * n + 999999) div 1000000"), lit(1L)), col("n")))
+        least(greatest(expr(
+          "(CAST(q_micro AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))" +
+            " + 999999) div 1000000"), lit(1L)), col("n")))
       .where(col("cum") >= col("rank"))
       .groupBy("key", "q_micro", "n")
       .agg(min("bin").as("bin"))

@@ -71,26 +71,67 @@ object Stats {
     * distributed across a source's documents? 0 = perfectly even,
     * →1 = one document holds everything. The rank formulation
     *   G = (2·Σ i·x_i) / (n·Σx) − (n+1)/n,   x ascending, i = 1..n
-    * needs one (key)-partitioned sort window for ranks — ties broken
-    * by `idCol` so the rank assignment replays in any engine — and
-    * one aggregate of exact moments (Σx as long, Σ i·x through
-    * DECIMAL(38,0): rank×value exceeds long at corpus scale). The
-    * groupBy reuses the window's hash partitioning: ONE shuffle total.
-    * Final float math runs per key-row in fixed order over identical
-    * longs → bit-stable micros. Keys with Σx = 0 are dropped (Gini
-    * undefined). Output: (key, n, total, gini_micro). */
+    * never materializes per-row ranks: a tie run of c rows on value x
+    * with o smaller rows before it contributes x·(c·o + c(c+1)/2)
+    * regardless of within-tie order (`idCol` kept for API stability —
+    * the statistic is provably tie-order invariant), so everything
+    * runs over DISTINCT (key, value) counts.
+    *
+    * Skew posture (the mixture-audit hot key IS one giant source):
+    * no (key)-partitioned window ever sees row- or pair-scale data.
+    * Prefix counts o are two-phase — global value-range buckets from
+    * distinct-pair percentiles (equal values share a bucket, so
+    * bucket order == value order and in-bucket windows stay
+    * ~pairs/p); per-(key,bucket) subtotals give per-key bucket
+    * offsets over ≤ p rows/key; the in-bucket prefix is local to the
+    * (key,bucket) partition. A hot key therefore spreads across all
+    * p partitions. Moments are exact (Σx·c as long, value×count×rank
+    * products through DECIMAL(38,0); c(c+1)/2 halves the even factor
+    * BEFORE multiplying so the triangular number never rounds); the
+    * final float math runs per key-row in fixed order over identical
+    * integers → bit-stable micros. Keys with Σx = 0 are dropped
+    * (Gini undefined). Output: (key, n, total, gini_micro). */
   def giniByKey(df: DataFrame, keyCol: String, valueCol: String,
                 idCol: String): DataFrame = {
-    val ranked = df
-      .select(col(keyCol).as("key"), col(valueCol).cast("long").as("x"),
-        col(idCol).as("id"))
-      .withColumn("i", row_number().over(Window.partitionBy("key")
-        .orderBy(col("x").asc, col("id").asc)))
+    val spark = df.sparkSession
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val dec = DecimalType(38, 0)
+    val grouped = df
+      .select(col(keyCol).as("key"), col(valueCol).cast("long").as("x"))
+      .groupBy("key", "x").agg(count(lit(1)).as("c"))
+    // NULL x sorts first (bucket 0, nulls-first in-bucket): it shifts
+    // offsets of real values — exactly the ranks row_number gave it —
+    // while its own contribution is NULL and drops out of the sums.
+    val bucketed =
+      if (p == 1) grouped.withColumn("__b", lit(0))
+      else {
+        val bnds = grouped.agg(percentile_approx(col("x").cast("double"),
+          typedlit((1 until p).map(_.toDouble / p)), lit(10000)).as("__bnds"))
+        grouped.crossJoin(broadcast(bnds))
+          .withColumn("__b", size(filter(col("__bnds"),
+            b => b < col("x").cast("double"))))
+          .drop("__bnds")
+      }
+    val perBucket = bucketed.groupBy("key", "__b").agg(sum("c").as("__bc"))
+    val wOff = Window.partitionBy("key").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum("__bc").over(wOff), lit(0L)))
+      .select("key", "__b", "__off")
+    val wLoc = Window.partitionBy("key", "__b").orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bucketed.join(offsets, Seq("key", "__b"))
+      .withColumn("o", col("__off") + coalesce(sum("c").over(wLoc), lit(0L)))
+    // tie-run rank sum c·o + c(c+1)/2; shiftright halves the even
+    // factor exactly (c and o are non-negative counts)
+    val tri = when(pmod(col("c"), lit(2L)) === 0L,
+      shiftright(col("c"), 1).cast(dec) * (col("c") + 1).cast(dec))
+      .otherwise(col("c").cast(dec) * shiftright(col("c") + 1, 1).cast(dec))
     val agg = ranked.groupBy("key").agg(
-      count(lit(1)).as("n"),
-      sum("x").as("total"),
-      sum(col("i").cast(DecimalType(38, 0))
-        * col("x").cast(DecimalType(38, 0))).as("s2"))
+      sum("c").as("n"),
+      sum(col("x").cast(dec) * col("c").cast(dec)).cast("long").as("total"),
+      sum(col("x").cast(dec)
+        * (col("c").cast(dec) * col("o").cast(dec) + tri)).as("s2"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     agg.where(col("total") > 0)
       .select(col("key"), col("n"), col("total"),

@@ -227,15 +227,33 @@ object TimeSeries {
     * full series is assembled (sort_array + aggregate) on one
     * executor. Per-ENTITY series (a user's events, an item's daily
     * sales) are bounded and this is fine at any corpus size; do not
-    * point it at a single corpus-wide key. Output: (key, n,
-    * ewma_milli). */
+    * point it at a single corpus-wide key. That bound is ENFORCED:
+    * a cheap map-combined count pass rides in as a broadcast scalar,
+    * and any key over `maxPerKey` rows raises BEFORE the partial
+    * aggregates start assembling lists (the guard lives inside the
+    * collected value expression, so pruning can't drop it) — an OOM
+    * hours into a corpus-scale job becomes an immediate, named error.
+    * Unbounded series belong to the streaming twin
+    * ([[graft.streaming.StreamTimeSeries.ewmaStream]]). Output:
+    * (key, n, ewma_milli). */
   def ewmaHalfPerKey(df: DataFrame, keyCol: String, tsCol: String,
-                     milliCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+                     milliCol: String, maxPerKey: Long = 1L << 22): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    val biggest = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max("__n"), lit(0L)).as("__mx"))
+    val v = when(col("__mx") > maxPerKey,
+      raise_error(concat(lit("ewmaHalfPerKey: a key holds "), col("__mx"),
+        lit(s" rows > maxPerKey=$maxPerKey; the sequential fold would" +
+          " assemble that series on one task. Use StreamTimeSeries" +
+          ".ewmaStream for unbounded series, or raise maxPerKey."))).cast("long"))
+      .otherwise(col(milliCol).cast("long"))
+    df.crossJoin(broadcast(biggest))
+      .groupBy(col(keyCol))
       .agg(sort_array(collect_list(
-        struct(col(tsCol).as("t"), col(milliCol).cast("long").as("v")))).as("sr"))
+        struct(col(tsCol).as("t"), v.as("v")))).as("sr"))
       .select(col(keyCol), size(col("sr")).cast("long").as("n"),
         expr("aggregate(sr, CAST(NULL AS BIGINT), (acc, e) -> " +
           "CASE WHEN acc IS NULL THEN e.v ELSE (acc + e.v) div 2 END)")
           .as("ewma_milli"))
+  }
 }

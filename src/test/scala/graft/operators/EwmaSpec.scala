@@ -26,4 +26,20 @@ class EwmaSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(e == 1000L)
   }
+
+  test("ewmaHalfPerKey raises a named error when a key exceeds maxPerKey") {
+    val df = (1 to 50).map(i => (1L, f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d", 10L))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp($"ts"))
+    val ex = intercept[Exception] {
+      TimeSeries.ewmaHalfPerKey(df, "k", "ts", "v", maxPerKey = 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m =>
+      m.contains("ewmaHalfPerKey") && m.contains("maxPerKey=10")), ex.toString)
+    // keys at the cap still compute (the guard is > not >=)
+    val ok = TimeSeries.ewmaHalfPerKey(df, "k", "ts", "v", maxPerKey = 50L)
+      .as[(Long, Long, Long)].collect()
+    assert(ok.head._2 == 50L)
+  }
 }

@@ -147,15 +147,49 @@ class StatsSpec extends SparkSpec {
     assert(out("s1")._3 > out("s0")._3, "shifted stratum must show more drift")
   }
 
-  test("giniByKey: rank window and aggregate share ONE key shuffle") {
+  test("giniByKey: 90%-hot-key corpus stays exact") {
+    // one source holds 90% of the rows with many distinct values —
+    // the mixture-audit skew case the two-phase offsets exist for
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 1000L).map { i =>
+      val k = if (i % 10 == 0) s"cold${i % 30}" else "hot"
+      (k, i, rnd.nextInt(200).toLong)
+    }
+    val got = Stats.giniByKey(rows.toDF("src", "id", "x"), "src", "x", "id")
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("total"), r.getAs[Long]("gini_micro"))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val xs = g.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.size.toDouble
+      val s1 = xs.sum.toDouble
+      val s2 = xs.zipWithIndex.map { case (x, j) => (j + 1).toDouble * x }.sum
+      val expect = math.round((2.0 * s2 / (n * s1) - (n + 1.0) / n) * 1e6)
+      assert(got(k) === (g.size.toLong, xs.sum, expect), s"key $k")
+    }
+  }
+
+  test("giniByKey: no row-scale window is partitioned by key alone") {
+    // the hot-key guarantee, plan-gated: every window over pair-scale
+    // data must be keyed by (key, bucket); the only key-only window
+    // runs over the ≤ p-rows/key bucket subtotals (an aggregate child)
     val df = (1L to 40L).map(i => (s"s${i % 4}", i, i % 7)).toDF("src", "id", "x")
     val out = Stats.giniByKey(df, "src", "x", "id")
-    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val plan = out.queryExecution.executedPlan
-    val n = plan.collect { case e: Exchange => e }.size +
+    val wins = plan.collect { case w: WindowExec => w } ++
       plan.collect { case a: AdaptiveSparkPlanExec => a }
-        .flatMap(_.inputPlan.collect { case e: Exchange => e }).size
-    assert(n <= 1, s"giniByKey shuffles $n times:\n$plan")
+        .flatMap(_.inputPlan.collect { case w: WindowExec => w })
+    assert(wins.nonEmpty, s"expected window nodes:\n$plan")
+    wins.foreach { w =>
+      val keyOnly = w.partitionSpec.size < 2
+      lazy val overBucketTotals = w.child.collect {
+        case a: BaseAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("__b")) => a
+      }.nonEmpty
+      assert(!keyOnly || overBucketTotals,
+        s"key-only window over row-scale input:\n$w")
+    }
   }
 }
