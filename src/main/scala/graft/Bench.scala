@@ -130,10 +130,48 @@ object Bench {
       s""""passes":$passes,"pass_totals":$passTotals,""" +
       s""""planning_total_sec":$planningTotal,""" +
       s""""timestamp":"${java.time.Instant.now()}"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning":$ps,"err":$errJson,""" +
       s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec,""" +
-      s""""sf":"$sfDir","env":$env}""")
+      s""""sf":"$sfDir","env":$env}"""
+    // Truncation-proofing (the r5 artifact lesson): the driver may keep
+    // only the last ~2000 stdout chars, and the full line is ~6 KB — so
+    // per-query WALL times vanished from BENCH_r05. Three copies now:
+    // (1) the complete JSON — per-pass times included — at a stable
+    // path for anyone with repo access, (2) the full one-line JSON
+    // first for whole-stdout capture, (3) LAST a compact summary line
+    // (aggregates first, then the slowest queries, the regression-
+    // relevant tail) sized to survive a 2000-char tail capture intact.
+    val passesJson = passResults.map { m =>
+      names.map(n => s"\"" + n + "\":" + m(n)).mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val fullFile = fullJson.dropRight(1) + s""","passes":$passesJson}"""
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fullFile)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
+    }
+    println(fullJson)
+    val slowest = best.filter(_._2 >= 0).sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+    // aggregates + errs + env ≈ 500 chars; keep the whole line < 1900
+    val topQs = {
+      val budget = 1300
+      val sb = new StringBuilder
+      slowest.takeWhile { s =>
+        if (sb.length + s.length + 1 > budget) false
+        else { if (sb.nonEmpty) sb.append(','); sb.append(s); true }
+      }
+      sb.toString
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec,""" +
+      s""""planning_total_sec":$planningTotal,"err":$errJson,""" +
+      s""""sf":"$sfDir","full_artifact":"target/bench_full.json",""" +
+      s""""env":$env,"queries_slowest":{$topQs}}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -18,26 +19,32 @@ object StreamMonitor {
 
   /** Per-trigger KS drift of the live stream vs a fixed reference.
     *
-    * Each micro-batch appends its (stratum, v) counts to `storeDir`
-    * (append-only parquet — blind writes, no read-modify-write race),
-    * re-aggregates the store into the accumulated live histogram, and
-    * hands `sink` the per-stratum [[Stats.ksFromCounts]] drift frame
-    * (stratum, n_a, n_b, d_micro) with the reference on the A side —
-    * plus the batch id for checkpoint-aware idempotence.
+    * Each micro-batch OVERWRITES its own shard `storeDir/b<batchId>`
+    * with its (stratum, v) counts. foreachBatch is at-least-once, and
+    * a batchId-keyed overwrite is what makes the replay harmless: the
+    * re-run rewrites the same shard with the same counts instead of
+    * appending a second copy (which would permanently inflate the
+    * accumulated histogram and every later d_micro). That — plus the
+    * crash-safe compaction below — is the restart-safety contract.
     *
-    * Scale shape: the per-batch append shuffles only the BATCH's
+    * Every `compactEvery` batches the backlog is folded into one
+    * compacted shard IN the stream (see [[compactShards]]), so a
+    * week-long monitor re-aggregates a bounded shard set each trigger
+    * instead of linearly slowing with stream lifetime. 0 disables.
+    *
+    * Scale shape: the per-batch write shuffles only the BATCH's
     * counts; the store re-aggregation is (stratum, v)-keyed over
-    * histogram-scale rows (distinct values, not events); the
-    * reference histogram is computed once up front. Compaction of a
-    * long-lived store rides the same pattern as CmsStore.compactStore
-    * (re-aggregate + rewrite offline).
+    * histogram-scale rows (distinct values, not events) across a
+    * compaction-bounded shard count; the reference histogram is
+    * computed once up front.
     *
     * `ref` is raw reference rows (`refStratumCol`, `refValueCol` —
     * integer-valued). `live` is the streaming frame with `stratumCol`,
-    * `valueCol`. */
+    * `valueCol`. Sink receives (drift frame, batchId). */
   def ksDriftStream(live: DataFrame, stratumCol: String, valueCol: String,
                     ref: DataFrame, refStratumCol: String, refValueCol: String,
-                    storeDir: String, checkpointDir: String)
+                    storeDir: String, checkpointDir: String,
+                    compactEvery: Int = 32)
                    (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = live.sparkSession
     // reference histogram, computed once — histogram-scale, reused
@@ -53,10 +60,74 @@ object StreamMonitor {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy("stratum", "v").agg(count(lit(1)).as("cb"))
-          .write.mode("append").parquet(storeDir)
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactShards(spark, storeDir, s"c$batchId")
         sink(ksAgainstStore(spark, refCounts, storeDir), batchId)
       }
       .start()
+  }
+
+  /** Fold every live shard into one compacted shard `storeDir/<name>`
+    * (cell-wise count addition — exact, order-free), then delete the
+    * sources. Crash-safe under foreachBatch replay via a sources
+    * marker written INSIDE the target after its data:
+    *
+    *  - die before the marker → sources are untouched (deletes only
+    *    start after the marker lands); the replay recomputes the
+    *    target from them — overwrite clears any half-written data;
+    *  - die mid-delete → the marker survives (it is removed last), so
+    *    the replay skips recompute and only finishes the listed
+    *    deletes — the target already holds every source's counts;
+    *  - die after the deletes → replay sees no marker and no sources
+    *    (the target is excluded from its own inputs) and no-ops.
+    *
+    * Single-writer discipline (one stream owns a store) is assumed,
+    * same as every store in the family. */
+  def compactShards(spark: SparkSession, storeDir: String,
+                    targetName: String): Unit = {
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(base, targetName)
+    val marker = new Path(target, "_compacted_sources")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      listed.foreach(d => fs.delete(new Path(base, d), true))
+      fs.delete(marker, false)
+    } else {
+      val sources = fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName != targetName)
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      if (sources.nonEmpty) {
+        spark.read.parquet(sources.map(n => s"$storeDir/$n"): _*)
+          .groupBy("stratum", "v").agg(sum("cb").as("cb"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(target.toString)
+        val out = fs.create(marker, true)
+        try out.write(sources.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        sources.foreach(d => fs.delete(new Path(base, d), true))
+        fs.delete(marker, false)
+      }
+    }
+  }
+
+  /** The accumulated live histogram across every shard in the store
+    * (cell-wise sum). Reads the per-batch shard layout; a flat legacy
+    * store (parquet files directly under `storeDir`) still reads. */
+  def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    val raw = if (dirs.isEmpty) spark.read.parquet(storeDir)
+              else spark.read.parquet(dirs: _*)
+    raw.groupBy("stratum", "v").agg(sum("cb").as("cb"))
   }
 
   /** The drift frame a monitor emits: reference counts (A side) full-
@@ -65,8 +136,7 @@ object StreamMonitor {
     * entry point — point it at any monitor's store directory. */
   def ksAgainstStore(spark: SparkSession, refCounts: DataFrame,
                      storeDir: String): DataFrame = {
-    val liveCounts = spark.read.parquet(storeDir)
-      .groupBy("stratum", "v").agg(sum("cb").as("cb"))
+    val liveCounts = readStore(spark, storeDir)
     val joined = refCounts.join(liveCounts, Seq("stratum", "v"), "full_outer")
       .select(col("stratum"), col("v"),
         coalesce(col("ca"), lit(0L)).as("ca"),

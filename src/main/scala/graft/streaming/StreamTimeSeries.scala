@@ -20,10 +20,17 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, S
   * at the earliest open day's end. Gap days (no events between two
   * observed days) are emitted when the next observed day closes —
   * zero-filled or forward-carried per `forward`, exactly the batch
-  * gapFill fill rule. Days AFTER a key's last observation are not
-  * emitted (the stream cannot know the key went quiet vs the data
-  * being late; batch fills to the global max date — the one documented
-  * divergence, it disappears for any key once more data arrives).
+  * gapFill fill rule. TWO documented edge divergences from batch, both
+  * from batch gridding every key over the GLOBAL [min, max] date span:
+  * (1) trailing — days after a key's last observation are not emitted
+  * (the stream cannot know the key went quiet vs the data being late;
+  * disappears for a key once more of its data arrives); (2) leading —
+  * a key first observed after the global min starts its streamed grid
+  * at its OWN first day, while batch backfills it from the global min
+  * (zero rows under zero fill, NULL rows under forward fill — nothing
+  * to carry yet). The stream has no global-min concept, so those
+  * leading filler rows never stream. Both are spec-pinned
+  * (StreamTimeSeriesSpec's late-first-observation case).
   *
   * Exact replay discipline: values are longs, rolling sums are long
   * adds, and the z float math runs in the SAME fixed operation order

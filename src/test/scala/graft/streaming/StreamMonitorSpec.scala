@@ -63,4 +63,72 @@ class StreamMonitorSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("stratum") -> r.getAs[Long]("d_micro")).toMap
     assert(offline("s1") === d1)
   }
+
+  test("ksDriftStream: compaction bounds the shard backlog across ≥3 cycles") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ksmonc").toFile
+    val ref = (for (v <- 0L until 10L) yield ("s0", v)).toDF("st", "v")
+    val input = MemoryStream[(String, Long)]
+    var lastN = 0L
+    val q = StreamMonitor.ksDriftStream(
+      input.toDF().toDF("st", "v"), "st", "v",
+      ref, "st", "v",
+      s"$tmp/store", s"$tmp/ckpt", compactEvery = 2) { (drift, _) =>
+      lastN = drift.collect().headOption.map(_.getAs[Long]("n_b")).getOrElse(0L)
+    }
+    try {
+      // 7 batches → compactions at batchIds 2, 4, 6: three full cycles
+      (1 to 7).foreach { i =>
+        input.addData(("s0", (i % 10).toLong)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // accumulated count survives every compaction exactly
+    assert(lastN === 7L)
+    // backlog stays bounded: after the batch-6 compaction at most the
+    // compacted shard + the post-compaction batch shard remain
+    val shards = new java.io.File(s"$tmp/store").listFiles().filter(_.isDirectory)
+    assert(shards.length <= 2, shards.map(_.getName).mkString(","))
+    assert(shards.exists(_.getName == "c6"), shards.map(_.getName).mkString(","))
+  }
+
+  test("compactShards: replayed batch shard and interrupted compaction stay exact") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ksmonr").toFile
+    val store = s"$tmp/store"
+    def shard(n: String, rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("stratum", "v", "cb").write.mode("overwrite").parquet(s"$store/$n")
+    def total(): Long = StreamMonitor.readStore(spark, store)
+      .agg(org.apache.spark.sql.functions.sum("cb")).as[Long].collect()(0)
+    shard("b0", Seq(("s0", 1L, 3L), ("s0", 2L, 2L)))
+    shard("b1", Seq(("s0", 1L, 1L)))
+    // at-least-once replay: the same shard rewritten is absorbed, not added
+    shard("b1", Seq(("s0", 1L, 1L)))
+    assert(total() === 6L)
+    // die-before-marker: a half-written target without a marker is
+    // recomputed from the intact sources by the replayed compaction
+    shard("c2", Seq(("s0", 99L, 999L))) // garbage from the "first attempt"
+    StreamMonitor.compactShards(spark, store, "c2")
+    assert(total() === 6L)
+    val left = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(left.toSeq === Seq("c2"))
+    // replay after completion: no sources left → no-op, totals unchanged
+    StreamMonitor.compactShards(spark, store, "c2")
+    assert(total() === 6L)
+    // die-mid-delete: marker present, one listed source already gone,
+    // another still on disk — recovery deletes it WITHOUT recompute
+    shard("b3", Seq(("s0", 5L, 4L)))
+    shard("c4", Seq(("s0", 1L, 4L), ("s0", 2L, 2L), ("s0", 5L, 4L)))
+    val marker = new java.io.File(s"$store/c4/_compacted_sources")
+    java.nio.file.Files.writeString(marker.toPath, "c2\nb3\nbGONE")
+    // c2 + b3 are already folded into c4 (the "first attempt" finished
+    // its write); recovery must finish their deletes
+    StreamMonitor.compactShards(spark, store, "c4")
+    assert(total() === 10L)
+    val after = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(after.toSeq === Seq("c4"))
+    assert(!marker.exists())
+  }
 }

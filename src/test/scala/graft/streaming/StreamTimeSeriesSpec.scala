@@ -137,6 +137,58 @@ class StreamTimeSeriesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-first-observation key: stream starts at ITS day, batch backfills") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // key 1 observes from day 0; key 2 first appears on day 6 (with a
+    // hole at day 8) — the leading-edge divergence case
+    val pts = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 3, 13L), (1L, 9, 19L),
+      (2L, 6, 26L), (2L, 7, 27L), (2L, 9, 29L))
+      .map { case (k, d, v) => StreamTimeSeries.Point(k, tsAt(d), v) }
+    val input = MemoryStream[StreamTimeSeries.Point]
+    val q = StreamTimeSeries.dailyGridStream(
+        input.toDS().withWatermark("ts", "1 second"),
+        days = 3, forward = false, zDays = 5, minPoints = 3)
+      .writeStream.format("memory").queryName("ts_grid_late")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      input.addData(pts: _*); q.processAllAvailable()
+      input.addData(StreamTimeSeries.Point(99L, tsAt(40), 1L)); q.processAllAvailable()
+      input.addData(StreamTimeSeries.Point(99L, tsAt(41), 1L)); q.processAllAvailable()
+      spark.table("ts_grid_late").as[StreamTimeSeries.DayRow]
+        .collect().toSeq.filter(_.key != 99L)
+    } finally q.stop()
+    val grid = TimeSeries.gapFill(
+      pts.toDF("key", "ts", "v")
+        .groupBy(col("key"), to_date(col("ts")).as("day"))
+        .agg(sum("v").as("v")),
+      "key", "day", "v", forward = false)
+    val batch = TimeSeries.rollingSum(grid, "key", "day", "v", days = 3)
+      .as[(Long, Date, Long, Long)].collect()
+      .map { case (k, d, v, r) => (k, d.toString) -> (v, r) }.toMap
+    // key 2's streamed grid starts at its first observed day (6), with
+    // its in-span hole (day 8) still gap-filled
+    val k2Days = streamed.filter(_.key == 2L).map(_.day.toString).sorted
+    assert(k2Days === (6 to 9).map(d => day0.plusDays(d).toString))
+    // batch backfills key 2 from the global min: exactly days 0..5 of
+    // zero filler exist there and never stream
+    val k2Extra = batch.keys.filter(_._1 == 2L).map(_._2).toSeq
+      .filterNot(k2Days.contains).sorted
+    assert(k2Extra === (0 to 5).map(d => day0.plusDays(d).toString))
+    k2Extra.foreach(d => assert(batch((2L, d))._1 === 0L))
+    // on the shared span every streamed row matches batch value-for-
+    // value — including key 2's warm-up days: batch's trailing window
+    // saw only zero filler there, which adds nothing to the sum
+    streamed.foreach { r =>
+      val (v, roll) = batch((r.key, r.day.toString))
+      assert((v, roll) === (r.v, r.rolling), s"at ${(r.key, r.day)}")
+    }
+  }
+
   test("forward-fill grid: carried values match the batch forward fill") {
     val s = spark
     import s.implicits._
