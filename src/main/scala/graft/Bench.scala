@@ -130,10 +130,28 @@ object Bench {
       s""""passes":$passes,"pass_totals":$passTotals,""" +
       s""""planning_total_sec":$planningTotal,""" +
       s""""timestamp":"${java.time.Instant.now()}"}"""
+    // Computed baseline ratio: BASELINE_MEASURED.json carries the
+    // DuckDB-oracle timings (tools/bench_baseline.py — same SQL the
+    // correctness gate replays, same parquet, same host). If present
+    // and same-sf, vs_baseline = our total / oracle total.
+    val baseline: Option[Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BASELINE_MEASURED.json"))
+        val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(m => sfDir.endsWith(m.group(1).split('/').last))
+        """"total_sec":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+          .filter(v => sfOk && v > 0 && only.isEmpty) // subset runs: no ratio
+      } catch { case _: Throwable => None }
+    val vsBaseline = baseline
+      .map(b => s""","baseline_total_sec":$b,"vs_baseline":${
+        math.round(total / b * 1000) / 1000.0}""")
+      .getOrElse("")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning":$ps,"err":$errJson,""" +
-      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec,""" +
+      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec$vsBaseline,""" +
       s""""sf":"$sfDir","env":$env}"""
     // Truncation-proofing (the r5 artifact lesson): the driver may keep
     // only the last ~2000 stdout chars, and the full line is ~6 KB — so
@@ -168,7 +186,7 @@ object Bench {
       sb.toString
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec,""" +
+      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec$vsBaseline,""" +
       s""""planning_total_sec":$planningTotal,"err":$errJson,""" +
       s""""sf":"$sfDir","full_artifact":"target/bench_full.json",""" +
       s""""env":$env,"queries_slowest":{$topQs}}""")
