@@ -2178,6 +2178,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MDRM dictionary build under the gate (ref: data-raw/ffiec_dict.R):
+    // a deterministic MDRM-shaped export — banner line the reader must
+    // skip, Fed column headers needing snake-casing, quoted embedded
+    // commas, M/d/yyyy h:mm:ss a dates with the 12/31/9999 open-ended
+    // sentinel — is synthesized from `part` into a real zip, then
+    // readMdrm → itemsFromMdrm ⋈ itemDetailsFromMdrm rebuild the
+    // metadata tables. The oracle recomputes every snake-case/sentinel/
+    // case-restoration/typing rule in SQL from the same table. The
+    // driver-side collect is the operator's contract: MDRM is
+    // metadata-scale (the Fed's full dictionary is tens of MB).
+    "q175_mdrm_dict" -> ((s, dir) => {
+      val rows = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("k"), col("p_name"))
+        .orderBy("k").collect()
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_mdrm")
+      val zipPath = s"$tmpDir/MDRM.zip"
+      val zout = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zipPath))
+      zout.putNextEntry(new java.util.zip.ZipEntry("MDRM_CSV.csv"))
+      val sb = new StringBuilder
+      sb.append("PUBLIC MDRM export - banner line the reader must skip\n")
+      sb.append("\"Mnemonic\",\"Item Code\",\"Start Date\",\"End Date\"," +
+        "\"Item Name\",\"Confidentiality\",\"ItemType\",\"Reporting Form\"," +
+        "\"Description\",\"SeriesGlossary\"\n")
+      rows.foreach { r =>
+        val k = r.getLong(0); val nm = r.getString(1)
+        val code = f"$k%05d"
+        val start = s"${k % 12 + 1}/${k % 28 + 1}/${2000 + k % 20} 12:00:00 AM"
+        val end = if (k % 2 == 0) "12/31/9999 11:59:59 PM"
+                  else "6/30/2010 12:00:00 AM"
+        val conf = if (k % 2 == 0) "Y" else "N"
+        val itype = if (k % 3 == 0) "F" else "D"
+        sb.append(s""""RCON","$code","$start","$end","u.s. $nm ffiec tier 1",""" +
+          s""""$conf","$itype","FFIEC 031","Loans, net of $nm","g"""" + "\n")
+      }
+      zout.write(sb.toString.getBytes("UTF-8"))
+      zout.closeEntry(); zout.close()
+      val mdrm = graft.meta.Items.readMdrm(s, zipPath)
+      val typed = t(s, dir, "part").select(
+        concat(lit("RCON"),
+          lpad(col("p_partkey").cast("string"), 5, "0")).as("item"),
+        element_at(array(lit("integer"), lit("string"), lit("date")),
+          (col("p_partkey").cast("long") % 3 + 1).cast("int")).as("data_type"))
+      val items = graft.meta.Items.itemsFromMdrm(mdrm, typed)
+      val details = graft.meta.Items.itemDetailsFromMdrm(mdrm, typed)
+      items.join(details, Seq("item"))
+        .select(col("item"), col("mnemonic"), col("item_code"),
+          col("item_name"), col("data_type"), col("reporting_form"),
+          col("confidentiality"), col("description"), col("itemtype"),
+          col("start_date"),
+          when(col("end_date").isNull, lit(1L)).otherwise(lit(0L)).as("end_open"),
+          coalesce(col("end_date"),
+            lit(java.sql.Date.valueOf("1900-01-01"))).as("end_date_f"))
+        .orderBy("item")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -5947,6 +6003,33 @@ object SparkEntry {
         |FROM r JOIN cum c ON c.key = r.key AND c.cum >= r.rank
         |GROUP BY r.key, r.q_micro, r.n
         |ORDER BY r.key, q_micro""".stripMargin,
+
+    // Replays the whole MDRM normalization chain the Spark side runs
+    // over the synthesized export: snake-cased headers land as these
+    // column names, the 12/31/9999 end date is the open-ended NULL
+    // (surfaced as end_open to keep gate dtypes non-null), dates parse
+    // M/d/yyyy, and the case pipeline (sentence case → U.S. → FFIEC →
+    // Tier 1) resolves to a closed form over the lowercase p_name.
+    "q175_mdrm_dict" ->
+      """WITH b AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS nm,
+        |    'RCON' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS item
+        |  FROM part)
+        |SELECT item, 'RCON' AS mnemonic,
+        |  lpad(CAST(k AS VARCHAR), 5, '0') AS item_code,
+        |  'U.S. ' || nm || ' FFIEC Tier 1' AS item_name,
+        |  CASE CAST(k % 3 AS INT) WHEN 0 THEN 'integer'
+        |    WHEN 1 THEN 'string' ELSE 'date' END AS data_type,
+        |  'FFIEC 031' AS reporting_form,
+        |  CASE WHEN k % 2 = 0 THEN 'Y' ELSE 'N' END AS confidentiality,
+        |  'Loans, net of ' || nm AS description,
+        |  CASE WHEN k % 3 = 0 THEN 'F' ELSE 'D' END AS itemtype,
+        |  make_date(CAST(2000 + k % 20 AS INT), CAST(k % 12 + 1 AS INT),
+        |    CAST(k % 28 + 1 AS INT)) AS start_date,
+        |  CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS end_open,
+        |  CASE WHEN k % 2 = 0 THEN DATE '1900-01-01'
+        |    ELSE DATE '2010-06-30' END AS end_date_f
+        |FROM b ORDER BY item""".stripMargin,
 
     "q172_readability" ->
       """SELECT doc_id, n_words, n_sentences, n_syllables,
