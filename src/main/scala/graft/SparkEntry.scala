@@ -2234,6 +2234,71 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // Exact Jaccard set-similarity self-join with lossless PPJoin
+    // prefix filtering; the %3 stratum keeps the ORACLE's naive
+    // token-inverted self-join bench-scale (the Spark side would take
+    // the full corpus).
+    "q176_set_sim_join" -> ((s, dir) => {
+      operators.Dedup.setSimilarityJoin(
+        t(s, dir, "documents").where(col("doc_id") % 3 === 0),
+        "doc_id", "text", tau = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Functional-dependency audit: orders whose lines carry more than
+    // one return flag violate l_orderkey → l_returnflag.
+    "q177_fd_violations" -> ((s, dir) => {
+      operators.KeyChecks.fdViolations(t(s, dir, "lineitem"),
+        Seq("l_orderkey"), "l_returnflag")
+        .orderBy("l_orderkey")
+    }),
+
+    // Sorted-neighborhood linkage candidates over a (segment, banded
+    // balance) blocking key; exact zipWithIndex total order inside.
+    "q178_sorted_neighborhood" -> ((s, dir) => {
+      val key = concat(col("c_mktsegment"),
+        lpad((floor(col("c_acctbal")) + 1000).cast("long").cast("string"),
+          5, "0"))
+      operators.Dedup.sortedNeighborhoodPairs(t(s, dir, "customer"),
+        "c_custkey", key, w = 3)
+        .orderBy("pos_a", "pos_b")
+    }),
+
+    // Reciprocal-rank fusion of two length signals (chars, tokens):
+    // exact descending two-phase ranks, integer-division rrf terms.
+    "q179_rrf_fuse" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Sampling.rrfFuse(d, "doc_id", Seq("n_chars", "n_tok"), k = 60)
+        .orderBy("doc_id")
+    }),
+
+    // Interpolated Kneser-Ney bigram table (d = 1/2) over the corpus;
+    // continuation-count backoff, fixed-order float replay.
+    "q180_kn_bigram" -> ((s, dir) => {
+      operators.TextAnalytics.knBigramTable(t(s, dir, "documents"), "text",
+        minCount = 5)
+        .orderBy("w1", "w2")
+    }),
+
+    // Per-source winsorization of document lengths to the exact
+    // [p5, p95] band; thresholds from distinct-value cumulative
+    // counts (no per-row hot-key window).
+    "q181_winsorize" -> ((s, dir) => {
+      operators.Stats.winsorizePerKey(t(s, dir, "documents"), "source",
+        "n_chars", "doc_id", pLoMicro = 50000L, pHiMicro = 950000L)
+        .orderBy("key", "id")
+    }),
+
+    // Chi-square contingency cells source × lang: exact integral-
+    // division micros (DECIMAL div BIGINT), margins broadcast back.
+    "q182_chi2_cells" -> ((s, dir) => {
+      operators.KeyChecks.chiSquareCells(t(s, dir, "documents"),
+        "source", "lang")
+        .orderBy("a", "b")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6030,6 +6095,138 @@ object SparkEntry {
         |  CASE WHEN k % 2 = 0 THEN DATE '1900-01-01'
         |    ELSE DATE '2010-06-30' END AS end_date_f
         |FROM b ORDER BY item""".stripMargin,
+
+    // Naive token-inverted self-join — the prefix filter being
+    // LOSSLESS means the exhaustive answer is the oracle.
+    "q176_set_sim_join" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lower(t) AS token
+        |  FROM documents, UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS u(t)
+        |  WHERE doc_id % 3 = 0),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+        |pair AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.s AS size_a, sb.s AS size_b,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  CAST((inter * 1000000) // (sa.s + sb.s - inter) AS BIGINT) AS jacc_micro
+        |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE inter * 1000000 >= 700000 * (sa.s + sb.s - inter)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q177_fd_violations" ->
+      """SELECT l_orderkey, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_returnflag) AS n_distinct_rhs,
+        |  CAST(MIN(l_returnflag) AS VARCHAR) AS rhs_min,
+        |  CAST(MAX(l_returnflag) AS VARCHAR) AS rhs_max
+        |FROM lineitem
+        |GROUP BY 1 HAVING COUNT(DISTINCT l_returnflag) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    // 0-based pos replays zipWithIndex; the band join is a non-equi
+    // range join DuckDB handles via IEJoin at oracle scale.
+    "q178_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT c_custkey AS id,
+        |    c_mktsegment || lpad(CAST(CAST(floor(c_acctbal) + 1000 AS BIGINT)
+        |      AS VARCHAR), 5, '0') AS k
+        |  FROM customer),
+        |r AS (SELECT id, k,
+        |        row_number() OVER (ORDER BY k, id) - 1 AS pos FROM k)
+        |SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+        |  CAST(a.pos AS BIGINT) AS pos_a, CAST(b.pos AS BIGINT) AS pos_b,
+        |  CAST(b.pos - a.pos AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 3
+        |ORDER BY pos_a, pos_b""".stripMargin,
+
+    // Descending row_number ranks (score DESC, id ASC) replay
+    // rankNormalize-over-negated-score; rrf terms are integer
+    // divisions so the sum is exact.
+    "q179_rrf_fuse" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC,
+        |          doc_id) AS BIGINT) AS rank_n_chars,
+        |        CAST(row_number() OVER (ORDER BY CAST(n_tok AS DOUBLE) DESC,
+        |          doc_id) AS BIGINT) AS rank_n_tok
+        |      FROM t)
+        |SELECT doc_id, rank_n_chars, rank_n_tok,
+        |  CAST(1000000 // (60 + rank_n_chars)
+        |     + 1000000 // (60 + rank_n_tok) AS BIGINT) AS rrf_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Strict adjacent bigrams (docs with < 2 tokens contribute none);
+    // the KN float formula replays Spark's fixed operation order.
+    "q180_kn_bigram" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM toks WHERE len(tk) >= 2),
+         |c AS (SELECT split_part(bigram, ' ', 1) AS w1,
+         |        split_part(bigram, ' ', 2) AS w2, COUNT(*) AS c12
+         |      FROM bg GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |        COUNT(*) AS n1p FROM c GROUP BY 1),
+         |r AS (SELECT w2, COUNT(*) AS ncont FROM c GROUP BY 1),
+         |d AS (SELECT COUNT(*) AS d FROM c)
+         |SELECT w1, w2, c12, c1, n1p, ncont,
+         |  CAST(round(1e6 * ((CAST(c12 AS DOUBLE) - 0.5) / CAST(c1 AS DOUBLE)
+         |    + (CAST(n1p AS DOUBLE) / (2.0 * CAST(c1 AS DOUBLE)))
+         |      * (CAST(ncont AS DOUBLE) / CAST(d AS DOUBLE)))) AS BIGINT)
+         |    AS p_micro
+         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN d
+         |WHERE c12 >= 5 ORDER BY w1, w2""".stripMargin,
+
+    // Type-1 percentiles from distinct-value cumulative counts —
+    // the operator's exact rank bounds in the same integer micros.
+    "q181_winsorize" ->
+      """WITH rowsrc AS (
+        |  SELECT source AS key, doc_id AS id, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents),
+        |g AS (SELECT key, x, COUNT(*) AS c FROM rowsrc
+        |      WHERE x IS NOT NULL GROUP BY 1, 2),
+        |cumt AS (SELECT key, x,
+        |           SUM(c) OVER (PARTITION BY key ORDER BY x) AS cum,
+        |           SUM(c) OVER (PARTITION BY key) AS n
+        |         FROM g),
+        |th AS (SELECT key,
+        |         MIN(CASE WHEN cum >= greatest(1, (n * 50000 + 999999) // 1000000)
+        |             THEN x END) AS x_lo,
+        |         MIN(CASE WHEN cum >= greatest(1, (n * 950000 + 999999) // 1000000)
+        |             THEN x END) AS x_hi
+        |       FROM cumt GROUP BY 1)
+        |SELECT key, id, x, x_lo, x_hi,
+        |  CASE WHEN x IS NULL THEN NULL
+        |       ELSE least(greatest(x, x_lo), x_hi) END AS x_wins
+        |FROM rowsrc JOIN th USING (key)
+        |ORDER BY key, id""".stripMargin,
+
+    // HUGEINT floor-division replays Spark's DECIMAL(38,0) `div`.
+    "q182_chi2_cells" ->
+      """WITH c AS (SELECT source AS a, lang AS b, COUNT(*) AS o
+        |           FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS row_total FROM c GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS col_total FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c)
+        |SELECT a, b, o, row_total, col_total,
+        |  CAST((CAST(row_total AS HUGEINT) * col_total * 1000000) // n
+        |    AS BIGINT) AS e_micro,
+        |  CAST(((CAST(o AS HUGEINT) * n - CAST(row_total AS HUGEINT) * col_total)
+        |      * (CAST(o AS HUGEINT) * n - CAST(row_total AS HUGEINT) * col_total)
+        |      * 1000000)
+        |    // (CAST(row_total AS HUGEINT) * col_total * n) AS BIGINT)
+        |    AS contrib_micro
+        |FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n
+        |ORDER BY a, b""".stripMargin,
 
     "q172_readability" ->
       """SELECT doc_id, n_words, n_sentences, n_syllables,

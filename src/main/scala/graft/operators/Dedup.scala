@@ -1042,4 +1042,133 @@ object Dedup {
     edgesSym.unpersist()
     labels
   }
+
+  /** Exact set-similarity self-join (Jaccard ≥ `tau` over the distinct
+    * whitespace-token SET of each document) with PPJoin-style prefix
+    * filtering — the lossless pruning that makes exact all-pairs
+    * similarity viable at corpus scale (Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08 — public
+    * algorithm; this is an independent Spark formulation).
+    *
+    * Candidate generation only joins on PREFIX tokens: with every
+    * doc's token set sorted by ascending global document frequency
+    * (rarest first, token string as tie-break), a doc of set-size s
+    * keeps a prefix of its first s − ⌈tau·s⌉ + 1 tokens. Any pair
+    * with J ≥ tau must share ≥ ⌈tau·max(sa,sb)⌉ tokens, so skipping
+    * the last ⌈tau·s⌉ − 1 of either side cannot erase every shared
+    * token — sharing a prefix token is a NECESSARY condition, and the
+    * exact verify step removes all false positives: the join is
+    * lossless. Because prefixes are the RAREST tokens, boilerplate
+    * vocabulary ("the") never lands in a long doc's prefix — the
+    * classic inverted-index hot-bucket is pruned away rather than
+    * capped, unlike [[ngramJaccardPairs]]'s lossy `maxDf` guard.
+    *
+    * Shape: one shuffle on token for the df counts, a per-DOC window
+    * for the frequency sort (partitioned by doc id — parallel across
+    * the corpus, bounded by doc length), one shuffle on prefix token
+    * for candidates, then an array-intersect verify over the two
+    * (distinct, doc-length-bounded) token arrays. A size filter
+    * ⌈tau·sa⌉ ≤ sb ≤ ⌊sa/tau⌋ prunes candidates before the arrays
+    * are even joined in.
+    *
+    * Output: (id_a, id_b, size_a, size_b, inter, jacc_micro) with
+    * id_a < id_b and jacc_micro = ⌊1e6·|∩| / |∪|⌋ — integer-exact,
+    * engine-portable. `lowercase` folds tokens before the set is
+    * formed. */
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+                        tau: Double, lowercase: Boolean = true): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val tauMicro = math.round(tau * 1e6)
+    val tokRaw = Text.tokens(col(textCol))
+    val tok = df.select(col(idCol).as("id"),
+        explode(if (lowercase) transform(tokRaw, lower(_)) else tokRaw)
+          .as("token"))
+      .distinct()
+      .persist(cacheLevel)
+    val docFreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(docFreq, Seq("token"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val pos = ordered
+      .withColumn("pos", row_number().over(
+        byDoc.orderBy(col("df").asc, col("token").asc)))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    // prefix length s - ceil(tau*s) + 1, in exact integer arithmetic
+    val prefixLen = col("sz") - expr(s"(sz * ${tauMicro}L + 999999L) div 1000000L") + 1
+    val prefix = pos.where(col("pos") <= prefixLen)
+      .select(col("id"), col("token"), col("sz"))
+    val docSets = pos.groupBy("id")
+      .agg(sort_array(collect_list(col("token"))).as("toks"),
+           first(col("sz")).as("sz"))
+      .persist(cacheLevel)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.token") === col("b.token") && col("a.id") < col("b.id") &&
+          // symmetric size filter: ceil(tau*max) <= min is implied by these
+          col("b.sz") * lit(1000000L) >= col("a.sz") * lit(tauMicro) &&
+          col("a.sz") * lit(1000000L) >= col("b.sz") * lit(tauMicro))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val out = cand
+      .join(docSets.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("sz").as("size_a")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .where(col("inter") * lit(1000000L) >=
+        lit(tauMicro) * (col("size_a") + col("size_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+        col("inter"),
+        ((col("inter") * lit(1000000L)) /
+          (col("size_a") + col("size_b") - col("inter")))
+          .cast("long").as("jacc_micro"))
+    materializeAndRelease(out, tok, docSets)
+  }
+
+  /** Sorted-neighborhood blocking for record linkage: sort the corpus
+    * by a fuzzy blocking key and emit every pair within `w` positions
+    * of each other — the classic merge-purge windowing (Hernández &
+    * Stolfo, SIGMOD'95; public algorithm) that turns O(n²) candidate
+    * generation into O(n·w).
+    *
+    * The global position is EXACT and cluster-parallel: range-partition
+    * by (key, id), sort within partitions, then `zipWithIndex` stamps
+    * contiguous global indexes with per-partition offsets (one extra
+    * count job — the documented cost of a total order without a
+    * single-partition window). (key, id) is a total order because ids
+    * are unique, so the index is deterministic for ANY range-boundary
+    * sample. Pairing is a banded self-join on g = pos div w: a pair at
+    * gap ≤ w either shares g or sits in adjacent bands, so two
+    * equi-joins (g = g, g+1 = g) cover all pairs — no window function,
+    * no cross join, each band ~w rows.
+    *
+    * Output: (id_a, id_b, key_a, key_b, pos_a, pos_b, gap) with
+    * pos_a < pos_b and 1 ≤ gap ≤ w, ordered by nothing (caller sorts).
+    * Ids must be long-castable (parquet int64 ids). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              blockKey: org.apache.spark.sql.Column,
+                              w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val keyed = df.select(blockKey.cast("string").as("k"),
+        col(idCol).cast("long").as("id"))
+      .repartitionByRange(p, col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+      .as[(String, Long)]
+    val idx = keyed.rdd.zipWithIndex()
+      .map { case ((k, id), pos) => (id, k, pos) }
+      .toDF("id", "k", "pos")
+    val g = idx.withColumn("g", expr(s"pos div ${w}L"))
+    val a = g.select(col("id").as("id_a"), col("k").as("key_a"),
+      col("pos").as("pos_a"), col("g"))
+    val b = g.select(col("id").as("id_b"), col("k").as("key_b"),
+      col("pos").as("pos_b"), col("g").as("g_b"))
+    val same = a.join(b, col("g") === col("g_b"))
+    val next = a.join(b, col("g") + 1 === col("g_b"))
+    same.union(next)
+      .where((col("pos_b") - col("pos_a")).between(1, w))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("pos_a"), col("pos_b"), (col("pos_b") - col("pos_a")).as("gap"))
+  }
 }

@@ -201,4 +201,80 @@ object KeyChecks {
         col(s"__max__$c").as("max_val"))): _*)).as("s"))
       .select(col("s.*"))
   }
+
+  /** Functional-dependency audit: groups of `lhs` whose `rhs` takes
+    * more than one value — the violations of the dependency lhs → rhs
+    * (schema-inference and silver-layer conformance checks run exactly
+    * this). Emits one row per violating lhs group with the row count,
+    * the number of distinct rhs values, and the min/max offending rhs
+    * as witness examples.
+    *
+    * Shape: a single exact-distinct aggregation (two shuffles on lhs —
+    * Spark expands count_distinct; violations-only output is usually
+    * tiny). No row data beyond (lhs, rhs) ever shuffles. */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations needs at least one lhs column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(rhs)).as("n_distinct_rhs"),
+        min(col(rhs)).cast("string").as("rhs_min"),
+        max(col(rhs)).cast("string").as("rhs_max"))
+      .where(col("n_distinct_rhs") > 1)
+  }
+
+  /** Pearson chi-square contingency table between two categorical
+    * columns — the dependence screen feature-selection and drift
+    * checks start from. Emits the full cell table: observed count,
+    * expected count (micro-scaled), and the cell's chi-square
+    * contribution (micro-scaled), plus the row/col totals the caller
+    * needs for degrees of freedom.
+    *
+    * Exactness discipline: expected = rowTot·colTot/N and the
+    * contribution (o·N − rowTot·colTot)²·1e6 / (rowTot·colTot·N) are
+    * evaluated as integer-exact DECIMAL(38,0) ratios with floor
+    * division — no float accumulation, so any engine replays the
+    * numbers bit-identically (the cross-product trick
+    * [[Stats.ksFromCounts]] uses). The numerator (o·N − rt·ct)²·1e6
+    * stays within DECIMAL(38) up to ~10¹⁵ rows.
+    *
+    * Shape: one groupBy (a,b) for cells, two keys-only re-aggregations
+    * for the margins, broadcast-joined back (margins are
+    * cardinality(a)+cardinality(b) rows). */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = cells.groupBy("a").agg(sum("o").as("row_total"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("col_total"))
+    val n = cells.groupBy().agg(sum("o").as("n"))
+    // `div` (IntegralDivide) on DECIMAL operands returns the exact
+    // integral quotient as BIGINT — decimal `/` would round HALF_UP at
+    // its result scale BEFORE a floor() could run, off-by-one on
+    // quotients like 4.9999999. All quantities are non-negative so
+    // truncation == floor; DuckDB's HUGEINT `//` replays it.
+    val out = cells
+      .join(broadcast(rowTot), Seq("a"))
+      .join(broadcast(colTot), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("__dev",
+        col("o").cast(dec) * col("n").cast(dec) -
+          col("row_total").cast(dec) * col("col_total").cast(dec))
+      .withColumn("__eNum",
+        col("row_total").cast(dec) * col("col_total").cast(dec) *
+          lit(1000000L).cast(dec))
+      .withColumn("__cNum", col("__dev") * col("__dev") * lit(1000000L).cast(dec))
+      .withColumn("__cDen",
+        col("row_total").cast(dec) * col("col_total").cast(dec) *
+          col("n").cast(dec))
+      .select(col("a"), col("b"), col("o"), col("row_total"), col("col_total"),
+        expr("CAST((__eNum div n) AS BIGINT)").as("e_micro"),
+        expr("CAST((__cNum div __cDen) AS BIGINT)").as("contrib_micro"))
+    // cell table is cardinality(a)×cardinality(b) — materialize the
+    // (equally small) result, then release the intermediate cache
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cells.unpersist(false)
+    cached
+  }
 }

@@ -429,6 +429,40 @@ object Sampling {
       floor(blend / lit(totalW)).cast("long"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09 — public
+    * method): combine heterogeneous retrieval/quality signals by
+    * DESCENDING rank alone, rrf = Σᵢ 1/(k + rankᵢ). The standard
+    * no-tuning ensemble when signal SCALES are incomparable but
+    * orderings are trustworthy; `k` (default 60) damps the head.
+    *
+    * Ranks are exact descending row_number ranks — (score DESC,
+    * id ASC) tie-break — computed by [[rankNormalize]] over the
+    * NEGATED score (null score → +∞ after negation, i.e. ranked
+    * worst), so the bucket-parallel two-phase rank machinery (no
+    * single-partition window, heavy-tie sub-splits) is reused as-is.
+    * rrf_micro = Σ ⌊1e6/(k + rank)⌋ — each term an integer division,
+    * the sum exact: engine-portable without float-order caveats.
+    *
+    * Output: (id, rank_<signal>…, rrf_micro). One rankNormalize pass
+    * per signal plus |signals|−1 id-keyed joins ([[blendRanks]]'s
+    * exchange budget). */
+  def rrfFuse(df: DataFrame, idCol: String, signals: Seq[String],
+              k: Int = 60, buckets: Int = 0): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(k >= 0, s"k must be >= 0, got $k")
+    val ranked = signals.map { c =>
+      val neg = df.select(col(idCol),
+        coalesce(-col(c).cast("double"), lit(Double.PositiveInfinity))
+          .as(s"__neg_$c"))
+      rankNormalize(neg, idCol, s"__neg_$c", buckets)
+        .select(col(idCol), col("rank").as(s"rank_$c"))
+    }.reduce(_.join(_, Seq(idCol)))
+    val rrf = signals.map { c =>
+      expr(s"1000000L div (${k}L + rank_$c)")
+    }.reduce(_ + _)
+    ranked.withColumn("rrf_micro", rrf.cast("long"))
+  }
+
   /** Latest-version-per-key WITHOUT a window: `max(struct(ts, tie,
     * payload...))` aggregates lexicographically, so the partial
     * (map-side) aggregate keeps ONE row per key per partition and the

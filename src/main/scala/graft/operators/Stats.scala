@@ -140,6 +140,53 @@ object Stats {
           .cast("long").as("gini_micro"))
   }
 
+  /** Per-key winsorization of an integer measure: clamp every row's
+    * value into the key's [pLo, pHi] exact percentile band — the
+    * outlier-capping step feature pipelines run before scaling
+    * (heavy-tailed doc lengths, spend, token counts).
+    *
+    * Percentile convention is type-1 (inverse ECDF): the value at
+    * ascending rank ⌈p·n⌉ (clamped to ≥ 1), identical on both engines
+    * in pure integer arithmetic — rank bounds come from micro-scaled
+    * p so no float ever enters. Thresholds are computed from DISTINCT
+    * (key, value) counts with a per-key cumulative sum over distinct
+    * values only (the [[giniByKey]] discipline): the rank-r order
+    * statistic is the smallest value whose cumulative count reaches
+    * r, so per-row ranks are never materialized and a hot key costs
+    * its distinct-value count, not its row count. Rows then get the
+    * broadcast-joined thresholds and a two-sided clamp — a zero-window
+    * row-side pass.
+    *
+    * Output: one row per input row — (key, id, x, x_lo, x_hi,
+    * x_wins). NULL values pass through unclamped (no rank). */
+  def winsorizePerKey(df: DataFrame, keyCol: String, valueCol: String,
+                      idCol: String, pLoMicro: Long, pHiMicro: Long): DataFrame = {
+    require(pLoMicro >= 0 && pHiMicro <= 1000000L && pLoMicro < pHiMicro,
+      s"need 0 <= pLo < pHi <= 1e6 in micros, got ($pLoMicro, $pHiMicro)")
+    val rows = df.select(col(keyCol).as("key"), col(idCol).as("id"),
+      col(valueCol).cast("long").as("x"))
+    val grouped = rows.where(col("x").isNotNull)
+      .groupBy("key", "x").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("key").orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy("key")
+    val cum = grouped
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wKey))
+      .withColumn("lo_rank",
+        greatest(lit(1L), expr(s"(n * ${pLoMicro}L + 999999L) div 1000000L")))
+      .withColumn("hi_rank",
+        greatest(lit(1L), expr(s"(n * ${pHiMicro}L + 999999L) div 1000000L")))
+    val thresholds = cum.groupBy("key").agg(
+      min(when(col("cum") >= col("lo_rank"), col("x"))).as("x_lo"),
+      min(when(col("cum") >= col("hi_rank"), col("x"))).as("x_hi"))
+    rows.join(broadcast(thresholds), Seq("key"))
+      .select(col("key"), col("id"), col("x"), col("x_lo"), col("x_hi"),
+        when(col("x").isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(col("x"), col("x_lo")), col("x_hi")))
+          .as("x_wins"))
+  }
+
   /** Per-digit Benford deviation over a positive integer measure —
     * the financial-forensics screen (fabricated figures drift from
     * the log distribution real ledgers follow). First significant

@@ -709,6 +709,71 @@ object TextAnalytics {
       .limit(k)
   }
 
+  /** Interpolated Kneser-Ney bigram model (fixed discount d = 0.5) —
+    * the smoothing that actually ranks continuations well, because
+    * the backoff is the CONTINUATION probability (in how many distinct
+    * contexts does w₂ appear?) rather than raw frequency; "francisco"
+    * is frequent but follows only "san", so KN correctly scores it low
+    * after anything else. (Kneser & Ney, ICASSP'95 — public method.)
+    *
+    *   p(w₂|w₁) = (c₁₂ − d)/c₁ + (d·N₁₊(w₁)/c₁) · (N_cont(w₂)/D)
+    *
+    * with c₁ = Σ_w c₁w (bigram-start total), N₁₊(w₁) = distinct
+    * continuations of w₁, N_cont(w₂) = distinct predecessors of w₂,
+    * D = distinct bigram types. Everything derives from ONE
+    * vocabulary-scale bigram count table (strict in-document adjacent
+    * pairs, [[pmiCollocations]]'s construction): two keys-only
+    * re-aggregations for the w₁/w₂ margins, token-co-keyed joins
+    * back, D the single driver scalar. Corpus text is scanned once
+    * and never shuffled.
+    *
+    * Counts are exact longs; the float formula runs per output row in
+    * the FIXED order (c₁₂−0.5)/c₁ + (N₁₊/(2·c₁))·(N_cont/D), mirrored
+    * literally by the oracle — bit-stable micros (the q63/q160
+    * discipline). Output: (w1, w2, c12, c1, n1p, ncont, p_micro) for
+    * c₁₂ ≥ `minCount`. */
+  def knBigramTable(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = df.select(
+      filter(graft.plans.native.wordShingles(col(textCol), 1), t => t =!= "")
+        .as("tk"))
+    val pairArr = {
+      val tk = col("tk")
+      when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+    }
+    val big = toks.select(explode(pairArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = big.groupBy("w1").agg(sum("c12").as("c1"),
+      count(lit(1)).as("n1p"))
+    val right = big.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val d = big.count() // distinct bigram types: the one driver scalar
+    val out =
+      if (d == 0)
+        big.select(col("w1"), col("w2"), col("c12"), lit(0L).as("c1"),
+          lit(0L).as("n1p"), lit(0L).as("ncont"), lit(0L).as("p_micro"))
+          .limit(0)
+      else big.where(col("c12") >= minCount)
+        .join(left, Seq("w1"))
+        .join(right, Seq("w2"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1p"),
+          col("ncont"),
+          round(lit(1e6) *
+            ((col("c12").cast("double") - lit(0.5)) / col("c1").cast("double") +
+             (col("n1p").cast("double") / (lit(2.0) * col("c1").cast("double"))) *
+             (col("ncont").cast("double") / lit(d.toDouble))))
+            .cast("long").as("p_micro"))
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    big.unpersist(false)
+    cached
+  }
+
   /** Per-document TF-IDF top-`k` keyword extraction — the corpus-aware
     * "what is this page about" signal (topic labeling, cluster naming,
     * mixture auditing): raw TF alone surfaces stopwords, IDF alone

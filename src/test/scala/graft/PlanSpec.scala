@@ -286,9 +286,15 @@ class PlanSpec extends SparkSpec {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster. q17 included since
     // the keys-only banding rework; its extra signature re-joins fit.
+    // Documented exceptions — budgets still FIXED, just higher:
+    //   q160: the skew-proof gini (round-5 close) pays two extra
+    //         exchanges for the per-(key,bucket) offsets join that
+    //         replaced the hot-key single-task window — a deliberate
+    //         constant-factor trade for unbounded-key scaling.
+    val budget = Map("q160_gini" -> 14).withDefaultValue(12)
     for ((name, fn) <- SparkEntry.queries) {
       val exchanges = exchangesIn(fn(spark, dir))
-      assert(exchanges <= 12, s"$name has $exchanges exchanges")
+      assert(exchanges <= budget(name), s"$name has $exchanges exchanges")
     }
   }
 }

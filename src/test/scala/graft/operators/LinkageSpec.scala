@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 linkage / data-quality operators: exact set-similarity join
+  * (PPJoin prefix filter), sorted-neighborhood blocking, FD audit,
+  * chi-square cells. Each is checked against a naive driver-side
+  * ground truth so the pruning (prefix filter, banded join) is proven
+  * LOSSLESS, not just plausible. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveJaccard(docs: Seq[(Long, String)], tau: Double) = {
+    val sets = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      uni = (sa | sb).size
+      if uni > 0 && inter.toDouble / uni >= tau
+    } yield (ia, ib, sa.size.toLong, sb.size.toLong, inter.toLong,
+      inter.toLong * 1000000L / uni)).toSet
+  }
+
+  test("setSimilarityJoin equals the exhaustive Jaccard join (prefix filter is lossless)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),      // J(1,2) = 3/5 = 0.6
+      (3L, "alpha beta gamma delta extra"),  // J(1,3) = 4/5 = 0.8
+      (4L, "zeta eta theta"),                // disjoint from 1-3
+      (5L, "zeta eta theta"),                // J(4,5) = 1.0
+      (6L, "Alpha BETA gamma delta"),        // case-folded == doc 1
+      (7L, "only one shared alpha"),         // low overlap with 1
+      (8L, ""))                              // empty set: no pairs
+    val df = docs.toDF("id", "text")
+    for (tau <- Seq(0.5, 0.7, 0.99)) {
+      val got = Dedup.setSimilarityJoin(df, "id", "text", tau)
+        .as[(Long, Long, Long, Long, Long, Long)].collect.toSet
+      assert(got == naiveJaccard(docs, tau), s"tau=$tau")
+    }
+  }
+
+  test("setSimilarityJoin tau=1.0 finds exact-set duplicates only") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b")).toDF("id", "text")
+    val got = Dedup.setSimilarityJoin(df, "id", "text", 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(got == Set((1L, 2L))) // order-insensitive set equality
+  }
+
+  test("sortedNeighborhoodPairs equals the naive windowed pairs across partition boundaries") {
+    // 20 rows over 4 shuffle partitions: band and range boundaries are
+    // both crossed; ties on the blocking key fall back to id order.
+    val rows = (1L to 20L).map(i => (i, s"k${(i % 5)}"))
+    val df = rows.toDF("id", "blk")
+    val w = 3
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", col("blk"), w)
+      .select("id_a", "id_b", "gap").as[(Long, Long, Long)].collect.toSet
+    val sorted = rows.map { case (id, k) => (k, id) }.sorted
+    val naive = (for {
+      i <- sorted.indices; j <- (i + 1) to math.min(i + w, sorted.size - 1)
+    } yield (sorted(i)._2, sorted(j)._2, (j - i).toLong)).toSet
+    assert(got == naive)
+    assert(got.size == (sorted.size * w - w * (w + 1) / 2))
+  }
+
+  test("fdViolations finds only violating groups with witness values") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // violated: {x, y}
+      (2L, "z"), (2L, "z"),            // fine
+      (3L, "q"))                       // fine
+      .toDF("k", "v")
+    val got = KeyChecks.fdViolations(df, Seq("k"), "v")
+      .as[(Long, Long, Long, String, String)].collect.toSeq
+    assert(got == Seq((1L, 3L, 2L, "x", "y")))
+  }
+
+  test("chiSquareCells matches hand-computed micros on a 2x2 table") {
+    // o: (a1,b1)=10 (a1,b2)=20 (a2,b1)=30 (a2,b2)=40; N=100
+    // rt(a1)=30 rt(a2)=70; ct(b1)=40 ct(b2)=60
+    // e(a1,b1) = 30*40/100 = 12 -> e_micro 12000000
+    // contrib(a1,b1) = (10-12)^2/12 = 1/3 -> floor 333333
+    val df = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+      Seq.fill(30)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2"))).toDF("a", "b")
+    val got = KeyChecks.chiSquareCells(df, "a", "b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a1", "b1")) == ("a1", "b1", 10L, 30L, 40L, 12000000L, 333333L))
+    assert(got(("a1", "b2")) == ("a1", "b2", 20L, 30L, 60L, 18000000L, 222222L))
+    assert(got(("a2", "b1")) == ("a2", "b1", 30L, 70L, 40L, 28000000L, 142857L))
+    assert(got(("a2", "b2")) == ("a2", "b2", 40L, 70L, 60L, 42000000L, 95238L))
+  }
+
+  test("chiSquareCells: perfectly independent table has zero contributions") {
+    val df = (Seq.fill(2)(("a1", "b1")) ++ Seq.fill(4)(("a1", "b2")) ++
+      Seq.fill(3)(("a2", "b1")) ++ Seq.fill(6)(("a2", "b2"))).toDF("a", "b")
+    val got = KeyChecks.chiSquareCells(df, "a", "b")
+      .select("contrib_micro").as[Long].collect.toSeq
+    assert(got.forall(_ == 0L))
+  }
+}

@@ -633,4 +633,22 @@ class SamplingSpec extends SparkSpec {
     // deterministic across invocations
     assert(run(0).sortBy(_._1).toList == got.sortBy(_._1).toList)
   }
+
+  test("rrfFuse: exact descending ranks, integer rrf terms, null scores worst") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(30.0), Some(5.0)),
+      (2L, Some(20.0), Some(9.0)),
+      (3L, Some(30.0), Some(1.0)),  // ties 1 on s1 -> id breaks: 1 then 3
+      (4L, None, Some(7.0)))        // null s1 ranks last on s1
+      .toDF("id", "s1", "s2")
+    val got = Sampling.rrfFuse(df, "id", Seq("s1", "s2"), k = 10)
+      .as[(Long, Long, Long, Long)].collect.map(r => r._1 -> r).toMap
+    // s1 desc, id asc: 1(30),3(30),2(20),4(null) -> ranks 1,2,3,4
+    // s2 desc: 2(9),4(7),1(5),3(1) -> ranks 1,2,3,4
+    assert(got(1L) == (1L, 1L, 3L, 1000000L / 11 + 1000000L / 13))
+    assert(got(3L) == (3L, 2L, 4L, 1000000L / 12 + 1000000L / 14))
+    assert(got(2L) == (2L, 3L, 1L, 1000000L / 13 + 1000000L / 11))
+    assert(got(4L) == (4L, 4L, 2L, 1000000L / 14 + 1000000L / 12))
+  }
 }

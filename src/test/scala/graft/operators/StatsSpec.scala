@@ -192,4 +192,37 @@ class StatsSpec extends SparkSpec {
         s"key-only window over row-scale input:\n$w")
     }
   }
+
+  test("winsorizePerKey clamps to exact type-1 percentiles per key") {
+    import spark.implicits._
+    // key a: values 1..10 -> p20 rank ceil(.2*10)=2 -> x_lo=2;
+    // p80 rank 8 -> x_hi=8. key b: single value -> lo=hi=value.
+    val df = ((1L to 10L).map(i => ("a", i, i * 10)) :+ (("b", 99L, 7L)))
+      .toDF("k", "id", "v")
+    val got = Stats.winsorizePerKey(df, "k", "v", "id", 200000L, 800000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", 1L))._6 == 20L)   // 10 -> clamped up to p20=20
+    assert(got(("a", 2L))._6 == 20L)
+    assert(got(("a", 3L))._6 == 30L)   // inside band
+    assert(got(("a", 8L))._6 == 80L)
+    assert(got(("a", 9L))._6 == 80L)   // 90 -> clamped down to p80=80
+    assert(got(("a", 10L))._6 == 80L)
+    assert(got(("b", 99L)) == ("b", 99L, 7L, 7L, 7L, 7L))
+  }
+
+  test("winsorizePerKey: duplicate-heavy key and null passthrough") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(5L) ++ Seq(1L, 100L)).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, Some(v)) }
+      .toDF("k", "id", "v")
+      .union(Seq(("k", 100L, Option.empty[Long])).toDF("k", "id", "v"))
+    // sorted: 1,5x8,100 (n=10): p10 rank 1 -> 1; p90 rank 9 -> 5
+    val got = Stats.winsorizePerKey(df, "k", "v", "id", 100000L, 900000L)
+    import org.apache.spark.sql.functions.col
+    val nullRow = got.where(col("id") === 100L).collect.head
+    assert(nullRow.isNullAt(nullRow.fieldIndex("x_wins")))
+    val big = got.where(col("id") === 9L).as[(String, Long, Long, Long, Long, Long)].collect.head
+    assert(big == ("k", 9L, 100L, 1L, 5L, 5L))
+  }
 }

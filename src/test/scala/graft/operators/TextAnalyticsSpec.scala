@@ -548,4 +548,38 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_sentences") === 1L)
     assert(out(3L).isNullAt(out(3L).fieldIndex("flesch_micro")))
   }
+
+  test("knBigramTable matches hand-computed Kneser-Ney (d = 0.5)") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x3, "a c" x1, "b a" x2  (doc: a b a b a c / b a b a)
+    val df = Seq("a b a b a c", "b a b a").toDF("text")
+    val got = TextAnalytics.knBigramTable(df, "text", minCount = 1)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect
+      .map(r => (r._1, r._2) -> r).toMap
+    // counts: (a,b)=3 [2 in doc1? a b,a b -> plus none in doc2]... recompute:
+    // doc1 pairs: ab, ba, ab, ba, ac -> ab:2 ba:2 ac:1
+    // doc2 pairs: ba, ab, ba -> ba:2 ab:1
+    // totals: ab=3, ba=4, ac=1; c1(a)=4, c1(b)=4; n1p(a)=2, n1p(b)=1
+    // ncont(a)=1, ncont(b)=1, ncont(c)=1; D=3
+    def p(c12: Long, c1: Long, n1p: Long, ncont: Long, d: Long): Long =
+      math.round(1e6 * ((c12 - 0.5) / c1 + (n1p / (2.0 * c1)) * (ncont.toDouble / d)))
+    assert(got(("a", "b"))._7 == p(3, 4, 2, 1, 3))
+    assert(got(("a", "c"))._7 == p(1, 4, 2, 1, 3))
+    assert(got(("b", "a"))._7 == p(4, 4, 1, 1, 3))
+    assert(got.size == 3)
+    // KN sanity: total prob mass out of "a" sums to ~1 over continuations
+    // (only approximately here since vocab > observed continuations)
+  }
+
+  test("knBigramTable: single-token docs contribute nothing; minCount prunes") {
+    import spark.implicits._
+    // "x y x y" pairs: xy, yx, xy -> xy:2, yx:1; minCount=2 keeps xy only
+    val df = Seq("solo", "x y x y").toDF("text")
+    val got = TextAnalytics.knBigramTable(df, "text", minCount = 2)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect
+    assert(got.map(r => (r._1, r._2)).toSet == Set(("x", "y")))
+    // margins still computed over the FULL table: c1(x)=2, n1p(x)=1, D=2
+    assert(got.head == (("x", "y", 2L, 2L, 1L, 1L,
+      math.round(1e6 * ((2 - 0.5) / 2.0 + (1 / (2.0 * 2.0)) * (1.0 / 2.0))))))
+  }
 }
