@@ -2299,6 +2299,34 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Exact integer Gram matrix of the embedding corpus (micro-
+    // quantized, DECIMAL-summed): the one-pass second-moment reduce
+    // PCA/whitening starts from.
+    "q183_gram_matrix" -> ((s, dir) => {
+      operators.Pca.gramMicro(t(s, dir, "embeddings"), "embedding")
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("g").cast("long").as("g"))
+        .orderBy("i", "j")
+    }),
+
+    // Add-one-smoothed categorical KL between the even/odd doc_id
+    // halves over source — the mixture-drift screen, per-value terms.
+    "q184_categorical_kl" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.KeyChecks.categoricalKl(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "source")
+        .orderBy("v")
+    }),
+
+    // Cross-source quantile normalization of document lengths onto
+    // the pooled distribution; exact ranks both sides.
+    "q185_quantile_normalize" -> ((s, dir) => {
+      operators.Sampling.quantileNormalizeByKey(t(s, dir, "documents"),
+        "source", "n_chars", "doc_id")
+        .orderBy("key", "id")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6208,6 +6236,58 @@ object SparkEntry {
         |  CASE WHEN x IS NULL THEN NULL
         |       ELSE least(greatest(x, x_lo), x_hi) END AS x_wins
         |FROM rowsrc JOIN th USING (key)
+        |ORDER BY key, id""".stripMargin,
+
+    // Positional double-unnest (generate_subscripts) replays the
+    // posexplode pair loop; HUGEINT products sum exactly.
+    "q183_gram_matrix" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS vi
+        |  FROM embeddings)
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  CAST(SUM(CAST(a.vi AS HUGEINT) * b.vi) AS BIGINT) AS g
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    // The float term replays Spark's left-assoc (1e6 * pa) * ln(pa/pb)
+    // with pa/pb in the identical (c+1)/(N+V) order.
+    "q184_categorical_kl" ->
+      """WITH ca AS (SELECT CAST(source AS VARCHAR) AS v, COUNT(*) AS c_a
+        |            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT CAST(source AS VARCHAR) AS v, COUNT(*) AS c_b
+        |       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT v, CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+        |        CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+        |      FROM ca FULL JOIN cb USING (v)),
+        |t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+        |        CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS vc FROM j)
+        |SELECT v, c_a, c_b,
+        |  CAST(round(1e6
+        |    * ((CAST(c_a AS DOUBLE) + 1.0) / CAST(na + vc AS DOUBLE))
+        |    * ln(((CAST(c_a AS DOUBLE) + 1.0) / CAST(na + vc AS DOUBLE))
+        |       / ((CAST(c_b AS DOUBLE) + 1.0) / CAST(nb + vc AS DOUBLE))))
+        |    AS BIGINT) AS kl_term_micro
+        |FROM j CROSS JOIN t ORDER BY v""".stripMargin,
+
+    // Both ranks are exact row_numbers over the same (x, id) total
+    // order; the target-rank bridge is pure long arithmetic.
+    "q185_quantile_normalize" ->
+      """WITH rowsrc AS (
+        |  SELECT source AS key, doc_id AS id, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT key, id, x,
+        |        CAST(row_number() OVER (PARTITION BY key ORDER BY x, id)
+        |          AS BIGINT) AS r,
+        |        CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_k,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |      FROM rowsrc),
+        |g AS (SELECT x AS gx,
+        |        CAST(row_number() OVER (ORDER BY x, id) AS BIGINT) AS gpos
+        |      FROM rowsrc)
+        |SELECT key, id, x, r, n_k, gx AS x_norm
+        |FROM r JOIN g ON (r * n + n_k - 1) // n_k = gpos
         |ORDER BY key, id""".stripMargin,
 
     // HUGEINT floor-division replays Spark's DECIMAL(38,0) `div`.

@@ -277,4 +277,43 @@ object KeyChecks {
     cells.unpersist(false)
     cached
   }
+
+  /** Add-one-smoothed categorical KL divergence D(a ‖ b) over a
+    * column's value distribution, emitted as the per-value term table
+    * (the drift diagnosis wants WHICH values moved, not just the
+    * total — Σ kl_term_micro is the statistic). The classic
+    * mixture-shift screen between two corpus snapshots.
+    *
+    * Smoothing: p = (c + 1)/(N + V) over the UNION domain (V values),
+    * so absent values are defined on both sides and the divergence is
+    * finite. Counts are exact long aggregates; the float term
+    * p_a·ln(p_a/p_b) runs per value-row in the FIXED order
+    * ((c_a+1)/(N_a+V)) / ((c_b+1)/(N_b+V)) — the [[Stats.giniByKey]]
+    * replay discipline; ln is the one libm call, same as the green
+    * PMI/DSIR gates. The three totals (N_a, N_b, V) are driver
+    * scalars embedded as plan literals.
+    *
+    * Shape: one groupBy per side (keys only), a value-keyed full
+    * outer join at domain scale. Output: (v, c_a, c_b,
+    * kl_term_micro) — micro-nats. */
+  def categoricalKl(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val ca = a.groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c_a"))
+    val cb = b.groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c_b"))
+    val joined = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = joined.agg(sum("c_a"), sum("c_b"), count(lit(1))).head()
+    val (na, nb, vCard) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val pa = (col("c_a").cast("double") + lit(1.0)) / lit((na + vCard).toDouble)
+    val pb = (col("c_b").cast("double") + lit(1.0)) / lit((nb + vCard).toDouble)
+    val out = joined.select(col("v"), col("c_a"), col("c_b"),
+      round(lit(1e6) * pa * log(pa / pb)).cast("long").as("kl_term_micro"))
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    joined.unpersist(false)
+    cached
+  }
 }

@@ -463,6 +463,52 @@ object Sampling {
     ranked.withColumn("rrf_micro", rrf.cast("long"))
   }
 
+  /** Quantile normalization across keys: replace each row's value by
+    * the GLOBAL value at the row's within-key percentile, so every
+    * key's distribution maps onto the pooled one (the cross-source
+    * length/score harmonization trick, microarray-normalization
+    * lineage). Exact integer semantics end to end: within-key rank r
+    * of n_k (row_number by (x, id) — total order), target global
+    * rank ⌈r·N/n_k⌉ in pure long arithmetic, and the global order
+    * statistic looked up by an equi-join on an exact zipWithIndex
+    * rank over the range-partitioned sort ([[Dedup
+    * .sortedNeighborhoodPairs]]'s total-order discipline — one extra
+    * count job, no single-partition window for the GLOBAL side).
+    *
+    * The within-key rank is a per-key window: parallel across keys,
+    * with the usual hot-key straggler caveat (a dominant key
+    * serializes its own rows; the two-phase [[rankNormalize]]
+    * machinery is the upgrade path if a single key can exceed a
+    * task). Output: (key, id, x, r, n_k, x_norm), non-null x only. */
+  def quantileNormalizeByKey(df: DataFrame, keyCol: String, valueCol: String,
+                             idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(keyCol).as("key"), col(idCol).cast("long").as("id"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rows.count() // the one driver scalar (also materializes the cache)
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val wk = Window.partitionBy("key").orderBy(col("x").asc, col("id").asc)
+    val r = rows
+      .withColumn("r", row_number().over(wk).cast("long"))
+      .withColumn("n_k", count(lit(1)).over(Window.partitionBy("key")))
+      .withColumn("target", expr(s"(r * ${n}L + n_k - 1L) div n_k"))
+    val gidx = rows.select(col("x"), col("id"))
+      .repartitionByRange(p, col("x").asc, col("id").asc)
+      .sortWithinPartitions("x", "id")
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((x, _), pos) => (pos + 1, x) }
+      .toDF("gpos", "gx")
+    // rows stays persisted — both the window side and the global index
+    // read it, and the result is row-scale (persisting IT would double
+    // the footprint). Query-boundary Blocks.releaseAll reclaims it.
+    r.join(gidx, col("target") === col("gpos"))
+      .select(col("key"), col("id"), col("x"), col("r"), col("n_k"),
+        col("gx").as("x_norm"))
+  }
+
   /** Latest-version-per-key WITHOUT a window: `max(struct(ts, tie,
     * payload...))` aggregates lexicographically, so the partial
     * (map-side) aggregate keeps ONE row per key per partition and the

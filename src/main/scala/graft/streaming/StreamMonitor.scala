@@ -143,4 +143,46 @@ object StreamMonitor {
         coalesce(col("cb"), lit(0L)).as("cb"))
     Stats.ksFromCounts(joined)
   }
+
+  /** Streaming heavy hitters: exact running counts per key with the
+    * top-k emitted every trigger — the live twin of
+    * [[graft.operators.KeyChecks.keySkew]] (hot-partition / abuse-key
+    * watch over an ingest).
+    *
+    * Counts are EXACT, not sketched, because the state lives in the
+    * same parquet shard store as [[ksDriftStream]] (key rides the
+    * store's `stratum` column, `v` pinned to 0): per-batch counts
+    * overwrite a batchId shard (idempotent under foreachBatch
+    * replay), `compactEvery` folds the backlog so a long-lived stream
+    * re-aggregates a bounded shard set, and the store stays readable
+    * offline. Per-trigger shuffle is the BATCH's distinct keys; the
+    * emit is a key-scale aggregate + bounded TakeOrdered(k). */
+  def heavyHittersStream(live: DataFrame, keyCol: String, k: Int,
+                         storeDir: String, checkpointDir: String,
+                         compactEvery: Int = 32)
+                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(k >= 1, "k must be >= 1")
+    val spark = live.sparkSession
+    live
+      .select(col(keyCol).cast("string").as("stratum"), lit(0L).as("v"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy("stratum", "v").agg(count(lit(1)).as("cb"))
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactShards(spark, storeDir, s"c$batchId")
+        sink(topKFromStore(spark, storeDir, k), batchId)
+      }
+      .start()
+  }
+
+  /** Top-k keys by accumulated count from a heavy-hitters store —
+    * also the offline entry point. (key ASC tie-break: deterministic
+    * emits.) */
+  def topKFromStore(spark: SparkSession, storeDir: String, k: Int): DataFrame =
+    readStore(spark, storeDir)
+      .select(col("stratum").as("key"), col("cb").cast("long").as("n"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(k)
 }

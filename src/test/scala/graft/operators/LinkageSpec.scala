@@ -98,4 +98,28 @@ class LinkageSpec extends SparkSpec {
       .select("contrib_micro").as[Long].collect.toSeq
     assert(got.forall(_ == 0L))
   }
+
+  test("categoricalKl matches hand-computed smoothed terms; total >= 0") {
+    val a = (Seq.fill(6)("x") ++ Seq.fill(2)("y")).toDF("v0")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(4)("y") ++ Seq.fill(2)("z")).toDF("v0")
+    val got = KeyChecks.categoricalKl(a, b, "v0")
+      .as[(String, Long, Long, Long)].collect.map(r => r._1 -> r).toMap
+    // union domain V=3; Na=8, Nb=8 -> denom 11 both sides
+    def term(ca: Long, cb: Long): Long = {
+      val pa = (ca + 1.0) / 11.0; val pb = (cb + 1.0) / 11.0
+      math.round(1e6 * pa * math.log(pa / pb))
+    }
+    assert(got("x") == (("x", 6L, 2L, term(6, 2))))
+    assert(got("y") == (("y", 2L, 4L, term(2, 4))))
+    assert(got("z") == (("z", 0L, 2L, term(0, 2))))
+    // Gibbs: the summed divergence is non-negative
+    assert(got.values.map(_._4).sum >= 0)
+  }
+
+  test("categoricalKl of a distribution against itself is ~zero everywhere") {
+    val a = (Seq.fill(5)("p") ++ Seq.fill(3)("q")).toDF("v0")
+    val got = KeyChecks.categoricalKl(a, a, "v0")
+      .select("kl_term_micro").as[Long].collect
+    assert(got.forall(_ == 0L))
+  }
 }

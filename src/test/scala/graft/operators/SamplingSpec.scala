@@ -651,4 +651,27 @@ class SamplingSpec extends SparkSpec {
     assert(got(2L) == (2L, 3L, 1L, 1000000L / 13 + 1000000L / 11))
     assert(got(4L) == (4L, 4L, 2L, 1000000L / 14 + 1000000L / 12))
   }
+
+  test("quantileNormalizeByKey maps each key onto the pooled order statistics") {
+    import spark.implicits._
+    // key a: 10,20,30,40 (n_k=4); key b: 100,200 (n_k=2); N=6
+    // global sorted: 10,20,30,40,100,200
+    // a ranks 1..4 -> targets ceil(r*6/4) = 2,3,5,6 -> 20,30,100,200
+    // b ranks 1..2 -> targets ceil(r*6/2) = 3,6 -> 30,200
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("a", 4L, 40L),
+      ("b", 5L, 100L), ("b", 6L, 200L)).toDF("k", "id", "v")
+    val got = Sampling.quantileNormalizeByKey(df, "k", "v", "id")
+      .select("id", "x_norm").as[(Long, Long)].collect.toMap
+    assert(got == Map(1L -> 20L, 2L -> 30L, 3L -> 100L, 4L -> 200L,
+      5L -> 30L, 6L -> 200L))
+  }
+
+  test("quantileNormalizeByKey: a single key normalizes to itself; ties stay deterministic") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 5L), ("k", 2L, 5L), ("k", 3L, 9L)).toDF("k", "id", "v")
+    val got = Sampling.quantileNormalizeByKey(df, "k", "v", "id")
+      .select("id", "x_norm").as[(Long, Long)].collect.toMap
+    // r*N/n_k = r: identity mapping onto its own sorted values
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 9L))
+  }
 }

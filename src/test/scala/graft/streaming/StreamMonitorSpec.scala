@@ -131,4 +131,34 @@ class StreamMonitorSpec extends SparkSpec {
     assert(after.toSeq === Seq("c4"))
     assert(!marker.exists())
   }
+
+  test("heavyHittersStream: exact accumulated top-k across triggers, store readable offline") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hhmon").toFile
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(String, Long)])]
+    val input = MemoryStream[String]
+    val q = StreamMonitor.heavyHittersStream(
+      input.toDF().toDF("k"), "k", k = 2,
+      s"$tmp/store", s"$tmp/ckpt") { (top, batchId) =>
+      seen += batchId -> top.collect().map(r =>
+        (r.getAs[String]("key"), r.getAs[Long]("n"))).toSeq
+    }
+    try {
+      input.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"): _*)
+      q.processAllAvailable()
+      // second wave flips the leader: c surges past a
+      input.addData(Seq.fill(9)("c") ++ Seq.fill(2)("b"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.map(_._1) == Seq(0L, 1L))
+    assert(seen.head._2 == Seq(("a", 5L), ("b", 3L)))
+    // accumulated: a=5, b=5, c=10 -> top2 = c, then a/b tie broken by key
+    assert(seen.last._2 == Seq(("c", 10L), ("a", 5L)))
+    // offline reader sees the same accumulated counts
+    val offline = StreamMonitor.topKFromStore(s, s"$tmp/store", 3)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"))).toSeq
+    assert(offline == Seq(("c", 10L), ("a", 5L), ("b", 5L)))
+  }
 }
