@@ -2327,6 +2327,50 @@ object SparkEntry {
         .orderBy("key", "id")
     }),
 
+    // FastSS deletion-neighborhood edit-distance join (k = 1) over
+    // customer names; exhaustive-oracle-verified lossless.
+    "q186_editdist_pairs" -> ((s, dir) => {
+      operators.Dedup.editDistancePairs(
+        t(s, dir, "customer").where(col("c_nationkey") < 5),
+        "c_custkey", "c_name", k = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Survivorship per nation cluster: max balance, min name,
+    // most-frequent segment (tie → smallest) — the golden record.
+    "q187_golden_record" -> ((s, dir) => {
+      operators.Dedup.goldenRecord(t(s, dir, "customer"), "c_nationkey",
+        maxCols = Seq("c_acctbal"), minCols = Seq("c_name"),
+        modeCols = Seq("c_mktsegment"))
+        .orderBy("cluster")
+    }),
+
+    // Nonparametric src0-vs-src1 length comparison per language:
+    // exact half-unit rank sums over distinct-value counts.
+    "q188_mann_whitney" -> ((s, dir) => {
+      operators.Stats.mannWhitneyU(t(s, dir, "documents"), "lang",
+        "source", "src0", "src1", "n_chars")
+        .orderBy("stratum")
+    }),
+
+    // 1-D nearest matching src0 → src1 on length per language; two
+    // linear as-of merges, ties break low.
+    "q189_nn_match" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Stats.nearestMatch1d(
+        d.where(col("source") === "src0"), d.where(col("source") === "src1"),
+        "lang", "n_chars", "doc_id")
+        .orderBy("stratum", "id")
+    }),
+
+    // Lag-1 autocorrelation of daily event volume per type — exact
+    // integer moments over the (d, d+1) arithmetic pair join.
+    "q190_autocorr" -> ((s, dir) => {
+      operators.TimeSeries.lagCorrDaily(events(s, dir), "event_type", "ts",
+        lag = 1)
+        .orderBy("key")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6289,6 +6333,139 @@ object SparkEntry {
         |SELECT key, id, x, r, n_k, gx AS x_norm
         |FROM r JOIN g ON (r * n + n_k - 1) // n_k = gpos
         |ORDER BY key, id""".stripMargin,
+
+    // Exhaustive quadratic self-join — the lossless-ness check the
+    // deletion-neighborhood join is graded against. DuckDB's
+    // levenshtein is the same unit-cost edit distance as Spark's.
+    "q186_editdist_pairs" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_nationkey < 5)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS s_a, b.c_name AS s_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mode tie-break: highest count, then smallest value — both
+    // sides pick via the same max-count filter + MIN.
+    "q187_golden_record" ->
+      """WITH base AS (SELECT c_nationkey AS cluster, c_acctbal, c_name,
+        |                c_mktsegment FROM customer),
+        |agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |          MAX(c_acctbal) AS c_acctbal_max, MIN(c_name) AS c_name_min
+        |        FROM base GROUP BY 1),
+        |cnt AS (SELECT cluster, c_mktsegment AS v, COUNT(*) AS cnt
+        |        FROM base WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+        |best AS (SELECT cluster, MAX(cnt) AS top FROM cnt GROUP BY 1),
+        |pick AS (SELECT cluster, MIN(v) AS c_mktsegment_mode
+        |         FROM cnt JOIN best USING (cluster) WHERE cnt = top
+        |         GROUP BY 1)
+        |SELECT cluster, n_records, c_acctbal_max, c_name_min,
+        |  c_mktsegment_mode
+        |FROM agg LEFT JOIN pick USING (cluster)
+        |ORDER BY cluster""".stripMargin,
+
+    // Half-unit rank sums over distinct-value counts; the z replays
+    // Spark's fixed float order incl. the ±1 continuity correction
+    // (2U units).
+    "q188_mann_whitney" ->
+      """WITH rowsrc AS (
+        |  SELECT lang AS stratum,
+        |    CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS g,
+        |    CAST(n_chars AS BIGINT) AS x
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |grp AS (SELECT stratum, x,
+        |          SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |          SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |        FROM rowsrc GROUP BY 1, 2),
+        |cum AS (SELECT stratum, x, ca, cb, ca + cb AS c,
+        |          COALESCE(SUM(ca + cb) OVER (PARTITION BY stratum ORDER BY x
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |        FROM grp),
+        |agg AS (SELECT stratum, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |          CAST(SUM(cb) AS BIGINT) AS n_b,
+        |          CAST(SUM(CAST(ca AS HUGEINT) * (2 * o + c + 1)) AS BIGINT)
+        |            AS r2_a,
+        |          SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+        |        FROM cum GROUP BY 1),
+        |u AS (SELECT stratum, n_a, n_b, r2_a,
+        |        CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |        n_a + n_b AS n, ties
+        |      FROM agg),
+        |f AS (SELECT *,
+        |        CAST(u2_a AS DOUBLE)
+        |          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS diff,
+        |        (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0)
+        |          * ((CAST(n AS DOUBLE) + 1.0)
+        |            - CAST(ties AS DOUBLE)
+        |              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |          AS s2
+        |      FROM u)
+        |SELECT stratum, n_a, n_b, r2_a, u2_a,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND n >= 2 AND s2 > 0
+        |    THEN CAST(round((CASE WHEN diff > 0 THEN diff - 1.0
+        |                          WHEN diff < 0 THEN diff + 1.0
+        |                          ELSE 0.0 END / sqrt(s2)) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM f ORDER BY stratum""".stripMargin,
+
+    // DuckDB ASOF joins replay both linear merges (pred on x, succ on
+    // the negated axis); tie-low pick in the same CASE order.
+    "q189_nn_match" ->
+      """WITH a AS (SELECT lang AS stratum, doc_id AS id,
+        |             CAST(n_chars AS BIGINT) AS x
+        |           FROM documents
+        |           WHERE source = 'src0' AND n_chars IS NOT NULL),
+        |b AS (SELECT lang AS stratum, CAST(n_chars AS BIGINT) AS bx
+        |      FROM documents
+        |      WHERE source = 'src1' AND n_chars IS NOT NULL),
+        |p AS (SELECT a.stratum, a.id, a.x, b.bx AS x_lo
+        |      FROM a ASOF LEFT JOIN b
+        |        ON a.stratum = b.stratum AND b.bx <= a.x),
+        |nb AS (SELECT stratum, -bx AS nbx, bx FROM b),
+        |na AS (SELECT stratum, id, -x AS nx FROM a),
+        |s AS (SELECT na.stratum, na.id, nb.bx AS x_hi
+        |      FROM na ASOF LEFT JOIN nb
+        |        ON na.stratum = nb.stratum AND nb.nbx <= na.nx),
+        |m AS (SELECT stratum, id, x,
+        |        CASE WHEN x_lo IS NULL THEN x_hi
+        |             WHEN x_hi IS NULL THEN x_lo
+        |             WHEN x - x_lo <= x_hi - x THEN x_lo
+        |             ELSE x_hi END AS x_match
+        |      FROM p JOIN s USING (stratum, id))
+        |SELECT stratum, id, x, x_match, ABS(x - x_match) AS gap
+        |FROM m ORDER BY stratum, id""".stripMargin,
+
+    // The (d, d+1) pair join and the exact HUGEINT moments; r_micro
+    // replays Spark's (cov/sqrt(vx*vy))*1e6 order.
+    "q190_autocorr" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |                 CAST(COUNT(*) AS BIGINT) AS v
+        |               FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.key, a.v AS x, b.v AS y
+        |          FROM daily a JOIN daily b
+        |            ON a.key = b.key AND b.d = a.d + 1),
+        |m AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS np,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM pairs GROUP BY 1),
+        |f AS (SELECT key, np,
+        |        CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |          / CAST(np AS DOUBLE) AS cov,
+        |        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |          / CAST(np AS DOUBLE) AS vx,
+        |        CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |          / CAST(np AS DOUBLE) AS vy
+        |      FROM m)
+        |SELECT key, np AS n_pairs,
+        |  CASE WHEN np >= 2 AND vx > 0 AND vy > 0
+        |    THEN CAST(round(cov / sqrt(vx * vy) * 1e6) AS BIGINT)
+        |  END AS r_micro
+        |FROM f ORDER BY key""".stripMargin,
 
     // HUGEINT floor-division replays Spark's DECIMAL(38,0) `div`.
     "q182_chi2_cells" ->

@@ -1171,4 +1171,96 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
         col("pos_a"), col("pos_b"), (col("pos_b") - col("pos_a")).as("gap"))
   }
+
+  /** Edit-distance similarity self-join: every pair of rows whose
+    * `strCol` values are within Levenshtein distance `k` (k ∈ {1, 2}),
+    * found WITHOUT the O(n²) all-pairs scan. Candidate generation is
+    * the deletion-neighborhood dictionary (FastSS, Bocek et al. 2007 —
+    * public algorithm): each string emits itself plus every variant
+    * obtained by deleting up to k characters; if ed(a, b) ≤ k the two
+    * neighborhoods intersect (align the edit script and delete the
+    * edited positions from both sides), so an equi-join on the variant
+    * string is a COMPLETE candidate filter. An exact `levenshtein`
+    * verify then removes the false positives — the join is lossless.
+    *
+    * Shape: one explode to O(n·L^k) (variant, id, original) rows, one
+    * shuffle on the variant string for the self-join, distinct on the
+    * canonical (id_a < id_b) pair, then a scalar verify. The strings
+    * ride along with the variants so no second join is needed; the
+    * shuffled payload is short-key-scale (names/titles — the operator
+    * is for identifier-like columns, not documents; L ≈ tens). A
+    * length-difference prefilter |len_a − len_b| ≤ k prunes before the
+    * verify even runs.
+    *
+    * Output: (id_a, id_b, s_a, s_b, dist) with id_a < id_b and
+    * dist ≤ k; dist from Spark's codegen'd `levenshtein` (identical to
+    * DuckDB's — classic unit-cost edit distance). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        k: Int): DataFrame = {
+    require(k == 1 || k == 2,
+      s"deletion-neighborhood join supports k in {1, 2}, got $k")
+    // delete the character at 1-based position i+1; i == len gives the
+    // string itself (delete nothing past the end)
+    def del1(s: org.apache.spark.sql.Column) = concat(array(s),
+      when(length(s) > 0, transform(sequence(lit(0), length(s) - 1),
+        i => concat(s.substr(lit(1), i), s.substr(i + 2, length(s)))))
+        .otherwise(array().cast("array<string>")))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).cast("string").as("s"))
+      .where(col("s").isNotNull)
+    val variants0 = del1(col("s"))
+    val variants =
+      if (k == 1) array_distinct(variants0)
+      else array_distinct(flatten(transform(variants0, v => del1(v))))
+    val v = base.select(col("id"), col("s"), explode(variants).as("v"))
+    val cand = v.as("a")
+      .join(v.as("b"), col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct()
+    cand
+      .where(abs(length(col("s_a")) - length(col("s_b"))) <= k)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= k)
+  }
+
+  /** Survivorship (golden-record construction) for resolved entity
+    * clusters: collapse each cluster to one canonical row under
+    * per-column merge rules — the step after [[linkRecords]] /
+    * connected components in a master-data pipeline.
+    *
+    * Rules (all deterministic, all exact):
+    *  - `max` / `min`: extreme value over the cluster (nulls ignored).
+    *  - `mode`: most frequent non-null value; ties break to the
+    *    SMALLEST value, so the pick replays bit-identically anywhere.
+    *
+    * Shape: one map-side-combined groupBy per mode column on
+    * (cluster, value) — counts, never rows, shuffle — then a
+    * metadata-scale argmax per cluster; min/max columns share a single
+    * groupBy on cluster. Results join back on the cluster key (each
+    * side is one row per cluster, sort-merge on aligned partitioning).
+    * No windows, no collect. Output: (cluster, n_records,
+    * <col>_max/min..., <col>_mode...). */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+                   maxCols: Seq[String] = Nil, minCols: Seq[String] = Nil,
+                   modeCols: Seq[String] = Nil): DataFrame = {
+    require(maxCols.nonEmpty || minCols.nonEmpty || modeCols.nonEmpty,
+      "at least one survivorship rule is required")
+    val cluster = col(clusterCol).as("cluster")
+    val aggs = count(lit(1)).as("n_records") +:
+      (maxCols.map(c => max(col(c)).as(s"${c}_max")) ++
+        minCols.map(c => min(col(c)).as(s"${c}_min")))
+    var out = df.groupBy(cluster).agg(aggs.head, aggs.tail: _*)
+    for (c <- modeCols) {
+      val cnt = df.where(col(c).isNotNull)
+        .groupBy(col(clusterCol).as("cluster"), col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = cnt.groupBy("cluster").agg(max("cnt").as("top"))
+      val pick = cnt.join(best, Seq("cluster"))
+        .where(col("cnt") === col("top"))
+        .groupBy("cluster").agg(min(col("v")).as(s"${c}_mode"))
+      out = out.join(pick, Seq("cluster"), "left")
+    }
+    out
+  }
 }

@@ -294,4 +294,106 @@ object Stats {
         col("__min_same") === col(yCol))
       .drop("__min_prev", "__min_same")
   }
+
+  /** Mann–Whitney U per stratum — the nonparametric sibling of
+    * [[welchZ]] for skewed measures (lengths, latencies) where a mean
+    * comparison misleads. All rank arithmetic runs over DISTINCT
+    * (stratum, value) counts, never per-row ranks: a tie run of
+    * c = c_a + c_b rows with o smaller rows before it has average
+    * rank o + (c+1)/2, so A's rank-sum in HALF-units (to stay in
+    * integers) is Σ_x c_a(x)·(2o(x) + c(x) + 1). The per-stratum
+    * cumulative o comes from a window over distinct values only
+    * (the [[winsorizePerKey]] discipline — a hot stratum costs its
+    * distinct-value count). The normal-approximation z uses the
+    * exact tie-corrected variance
+    *   σ² = (n_a·n_b/12)·(n + 1 − Σ(t³−t)/(n(n−1)))
+    * computed from exact integer moments (tie cross-products through
+    * DECIMAL(38,0)), then ONE fixed-order float expression; the ½
+    * continuity correction is applied toward the null. Strata where
+    * either group is empty or σ = 0 emit NULL z.
+    *
+    * Output: (stratum, n_a, n_b, r2_a — 2·rank-sum of A,
+    * u2_a — 2·U_A, z_micro). */
+  def mannWhitneyU(df: DataFrame, stratumCol: String, groupCol: String,
+                   groupA: String, groupB: String,
+                   valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df
+      .where(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        when(col(groupCol) === groupA, lit("a")).otherwise(lit("b")).as("g"),
+        col(valueCol).cast("long").as("x"))
+    val grouped = rows.groupBy("stratum", "x").agg(
+      sum(when(col("g") === "a", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === "b", 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.partitionBy("stratum").orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grouped
+      .withColumn("c", col("ca") + col("cb"))
+      .withColumn("o", coalesce(sum(col("c")).over(wCum), lit(0L)))
+    val agg = cum.groupBy("stratum").agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum(col("ca").cast(dec) * (lit(2L) * col("o") + col("c") + lit(1L))
+        .cast(dec)).cast("long").as("r2_a"),
+      // Σ(t³ − t) over tie runs (c = 1 contributes 0) — exact
+      sum((col("c").cast(dec) * col("c").cast(dec) * col("c").cast(dec)
+        - col("c").cast(dec))).cast(dec).as("ties"))
+    // fixed float order over the exact integers
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val withU = agg
+      .withColumn("u2_a",
+        col("r2_a") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("n", col("n_a") + col("n_b"))
+    val mean2 = d(col("n_a")) * d(col("n_b")) // E[2U] = n_a·n_b
+    val sigma2sq = (d(col("n_a")) * d(col("n_b")) / lit(3.0)) *
+      ((d(col("n")) + lit(1.0)) -
+        d(col("ties")) / (d(col("n")) * (d(col("n")) - lit(1.0))))
+    val diff = d(col("u2_a")) - mean2
+    val corrected = when(diff > 0, diff - lit(1.0))
+      .when(diff < 0, diff + lit(1.0)).otherwise(lit(0.0))
+    val z = corrected / sqrt(sigma2sq)
+    withU.select(col("stratum"), col("n_a"), col("n_b"),
+      col("r2_a"), col("u2_a"),
+      when(col("n_a") >= 1 && col("n_b") >= 1 && col("n") >= 2 &&
+        sigma2sq > 0, round(z * 1e6).cast("long")).as("z_micro"))
+  }
+
+  /** Nearest-neighbor 1-D matching per stratum (caliper matching, the
+    * covariate-balance step of an observational readout): each
+    * treatment row matches the control value nearest to its own; ties
+    * break LOW. Composed from two [[AsOfJoin.asOf]] merges — the
+    * largest control ≤ x and (on the negated axis) the smallest
+    * control ≥ x — so the plan is the linear union+window merge, never
+    * a per-stratum quadratic join; deep strata cost O(|A| + |B|).
+    * Output: (stratum, id, x, x_match, gap); x_match NULL only when
+    * the stratum has no control rows at all. */
+  def nearestMatch1d(treat: DataFrame, control: DataFrame,
+                     stratumCol: String, valueCol: String,
+                     idCol: String): DataFrame = {
+    val a = treat.select(col(stratumCol).as("stratum"),
+      col(idCol).cast("long").as("id"), col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull)
+    val b = control.select(col(stratumCol).as("stratum"),
+      col(valueCol).cast("long").as("bx"))
+      .where(col("bx").isNotNull)
+    val pred = AsOfJoin.asOf(a, "stratum", "x", "id",
+      b.select(col("stratum").as("bstr"), col("bx"), col("bx").as("x_lo")),
+      "bstr", "bx", "bx")
+      .select(col("stratum"), col("id"), col("x"), col("x_lo"))
+    val aNeg = a.select(col("stratum"), col("id"), col("x"),
+      (-col("x")).as("xn"))
+    val succ = AsOfJoin.asOf(aNeg, "stratum", "xn", "id",
+      b.select(col("stratum").as("bstr"), (-col("bx")).as("bxn"),
+        col("bx").as("x_hi")),
+      "bstr", "bxn", "bxn")
+      .select(col("stratum"), col("id"), col("x_hi"))
+    pred.join(succ, Seq("stratum", "id"))
+      .withColumn("x_match",
+        when(col("x_lo").isNull, col("x_hi"))
+          .when(col("x_hi").isNull, col("x_lo"))
+          .when(col("x") - col("x_lo") <= col("x_hi") - col("x"), col("x_lo"))
+          .otherwise(col("x_hi")))
+      .select(col("stratum"), col("id"), col("x"), col("x_match"),
+        abs(col("x") - col("x_match")).as("gap"))
+  }
 }

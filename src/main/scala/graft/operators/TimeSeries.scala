@@ -256,4 +256,44 @@ object TimeSeries {
           "CASE WHEN acc IS NULL THEN e.v ELSE (acc + e.v) div 2 END)")
           .as("ewma_milli"))
   }
+
+  /** Lag-k Pearson autocorrelation of each key's daily measure — the
+    * seasonality/burstiness screen over a metric grid (lag 1: is
+    * today's volume predictive of tomorrow's? lag 7: weekly cycle?).
+    * Works on the PAIRED series: day d joined to day d + lag per key
+    * — an arithmetic equi-join on (key, date), no windows, no
+    * collect_list, so a key's cost is its day count and the plan is
+    * two shuffles (daily aggregate, pair join) regardless of how hot
+    * a key is. Input is event-level; the measure is count(*) per
+    * (key, day). Pearson r over the pairs from exact integer moments
+    * (Σx, Σy, Σxy, Σx², Σy² — products through DECIMAL(38,0)), then
+    * one fixed-order float expression → bit-stable micros. Keys with
+    * < 2 pairs or zero variance on either side emit NULL r.
+    * Output: (key, n_pairs, r_micro). */
+  def lagCorrDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   lag: Int = 1): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1, got $lag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("v"))
+    val a = daily.select(col("key"), col("d"), col("v").as("x"))
+    val b = daily.select(col("key"), date_sub(col("d"), lag).as("d"),
+      col("v").as("y"))
+    val pairs = a.join(b, Seq("key", "d"))
+    val m = pairs.groupBy("key").agg(
+      count(lit(1)).as("np"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("np")
+    val cov = d("sxy") - d("sx") * d("sy") / n
+    val vx = d("sxx") - d("sx") * d("sx") / n
+    val vy = d("syy") - d("sy") * d("sy") / n
+    m.select(col("key"), col("np").as("n_pairs"),
+      when(col("np") >= 2 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy) * 1e6).cast("long")).as("r_micro"))
+  }
 }

@@ -225,4 +225,75 @@ class StatsSpec extends SparkSpec {
     val big = got.where(col("id") === 9L).as[(String, Long, Long, Long, Long, Long)].collect.head
     assert(big == ("k", 9L, 100L, 1L, 5L, 5L))
   }
+
+  test("mannWhitneyU matches the hand-computed rank sums with ties") {
+    // stratum s: A = {1, 2, 2}, B = {2, 3}
+    // sorted: 1(A) 2 2 2 (AAB tie run) 3(B)
+    // avg rank of the 2-run: o=1, c=3 → 1 + 2 = 3; rank(1)=1, rank(3)=5
+    // R_A = 1 + 3 + 3 = 7 → r2_a = 14; U_A = 7 − 6 = 1 → u2_a = 2
+    val df = Seq(
+      ("s", "a", 1L), ("s", "a", 2L), ("s", "a", 2L),
+      ("s", "b", 2L), ("s", "b", 3L))
+      .toDF("st", "g", "v")
+    val out = Stats.mannWhitneyU(df, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect.head
+    val (_, na, nb, r2, u2, z) = out
+    assert(na == 3 && nb == 2 && r2 == 14L && u2 == 2L)
+    // 2U−E[2U] = 2−6 = −4 → corrected −3; 4σ² = (6/3)·(6 − 24/20) = 9.6
+    val expZ = math.round(-3.0 / math.sqrt(9.6) * 1e6)
+    assert(z.contains(expZ))
+  }
+
+  test("mannWhitneyU randomized equals the per-row rank formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      ("s" + rnd.nextInt(3), if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextInt(15).toLong)
+    }
+    val df = rows.toDF("st", "g", "v")
+    val got = Stats.mannWhitneyU(df, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect.map(r => (r._1, r._4)).toMap
+    // naive: average ranks per stratum, doubled
+    val want = rows.groupBy(_._1).map { case (st, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val rankOf = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+      val r2a = rs.filter(_._2 == "a").map(r => 2 * rankOf(r._3)).sum
+      st -> math.round(r2a)
+    }
+    assert(got == want)
+  }
+
+  test("nearestMatch1d picks the closer side, ties break low") {
+    val a = Seq(("s", 1L, 10L), ("s", 2L, 14L), ("s", 3L, 100L),
+      ("t", 4L, 5L), ("empty", 5L, 1L))
+      .toDF("st", "id", "x")
+    val b = Seq(("s", 8L), ("s", 12L), ("s", 16L), ("t", 5L))
+      .toDF("st", "x")
+    val out = Stats.nearestMatch1d(a, b, "st", "x", "id")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect.map(r => r._2 -> (r._4, r._5)).toMap
+    assert(out(1L) == (Some(8L), Some(2L)))   // 8 vs 12 equidistant → low
+    assert(out(2L) == (Some(12L), Some(2L)))  // 12 vs 16 → 12
+    assert(out(3L) == (Some(16L), Some(84L))) // only predecessors
+    assert(out(4L) == (Some(5L), Some(0L)))   // exact hit
+    assert(out(5L) == (None, None))           // no controls in stratum
+  }
+
+  test("nearestMatch1d randomized equals brute force") {
+    val rnd = new scala.util.Random(5)
+    val as = (1L to 200L).map(i => ("s" + rnd.nextInt(2), i, rnd.nextInt(1000).toLong))
+    val bs = (1 to 150).map(_ => ("s" + rnd.nextInt(2), rnd.nextInt(1000).toLong))
+    val got = Stats.nearestMatch1d(as.toDF("st", "id", "x"),
+      bs.toDF("st", "x"), "st", "x", "id")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect.map(r => r._2 -> r._4).toMap
+    val want = as.map { case (st, id, x) =>
+      val cands = bs.filter(_._1 == st).map(_._2)
+      id -> (if (cands.isEmpty) None
+      else Some(cands.minBy(b => (math.abs(b - x), b))))
+    }.toMap
+    assert(got == want)
+  }
 }

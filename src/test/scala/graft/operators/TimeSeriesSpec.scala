@@ -182,4 +182,38 @@ class TimeSeriesSpec extends SparkSpec {
     // a@04: prev 0 → delta defined, pct NULL (no fabricated %)
     assert(out(("a", "2024-01-04")) === (Some(0L), Some(30L), None))
   }
+
+  test("lagCorrDaily: perfectly autocorrelated and anti-correlated keys") {
+    val s = spark
+    import s.implicits._
+    // key "up": daily counts 1,2,3,4,5 → lag-1 pairs (1,2)..(4,5), r = 1
+    // key "alt": counts 1,3,1,3,1 → pairs perfectly anti-correlated, r = −1
+    def mk(key: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, day) => (1 to c).map(_ =>
+        (key, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")))
+    }
+    val df = (mk("up", Seq(1, 2, 3, 4, 5)) ++ mk("alt", Seq(1, 3, 1, 3, 1)))
+      .toDF("k", "ts")
+    val out = TimeSeries.lagCorrDaily(df, "k", "ts", lag = 1)
+      .as[(String, Long, Option[Long])].collect.map(r => r._1 -> r).toMap
+    assert(out("up") == ("up", 4L, Some(1000000L)))
+    assert(out("alt") == ("alt", 4L, Some(-1000000L)))
+  }
+
+  test("lagCorrDaily: gaps break pairs; constant series yields NULL r") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // key "gap": days 1, 2, 4 — only (1,2) pairs up; 1 pair → NULL r
+      ("gap", "2024-01-01"), ("gap", "2024-01-02"), ("gap", "2024-01-02"),
+      ("gap", "2024-01-04"),
+      // key "flat": constant 1/day → zero variance → NULL r
+      ("flat", "2024-01-01"), ("flat", "2024-01-02"), ("flat", "2024-01-03"))
+      .map { case (k, d) =>
+        (k, java.sql.Timestamp.valueOf(s"$d 00:30:00")) }
+    val out = TimeSeries.lagCorrDaily(rows.toDF("k", "ts"), "k", "ts", 1)
+      .as[(String, Long, Option[Long])].collect.map(r => r._1 -> r).toMap
+    assert(out("gap") == ("gap", 1L, None))
+    assert(out("flat") == ("flat", 2L, None))
+  }
 }
