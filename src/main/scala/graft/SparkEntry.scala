@@ -2371,6 +2371,51 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // The incremental-components lifecycle under the gate: write a
+    // mod-6 chain forest, append the mod-3 chain (merges 6 → 3
+    // classes), compact (pending folded, one-shard forest), then
+    // append a single (1,2) bridge — components must read it through
+    // the fresh pending without recomputing history. Closed form:
+    // rep = 0 for ids ≡ 0 (mod 3), else 1.
+    "q191_cc_store" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cc_store").toString
+      val k = t(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))
+      operators.CcStore.write(
+        k.where(col("k") > 6)
+          .select(col("k").as("id_a"), (col("k") - 6).as("id_b")), tmp)
+      operators.CcStore.append(
+        k.where(col("k") > 3)
+          .select(col("k").as("id_a"), (col("k") - 3).as("id_b")), tmp)
+      operators.CcStore.compactStore(s, tmp)
+      operators.CcStore.append(Seq((1L, 2L)).toDF("id_a", "id_b"), tmp)
+      operators.CcStore.components(s, tmp).orderBy("id")
+    }),
+
+    // Bayardo-style lossless cosine all-pairs over distinct token
+    // sets; pair membership decided in pure integers (inter²·10¹² vs
+    // τ²micro·sa·sb), graded against the exhaustive shared-token join.
+    "q192_cosine_pairs" -> ((s, dir) => {
+      operators.Dedup.cosineSetJoin(
+        t(s, dir, "documents").where(col("doc_id") % 3 === 1),
+        "doc_id", "text", tau = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Reliability table of event value (milli-scaled) vs purchase
+    // outcome: exact integer bin edges, counts, micro rates; the bin
+    // spine keeps empty bins visible.
+    "q193_calibration" -> ((s, dir) => {
+      operators.Stats.calibrationBins(
+        events(s, dir).select(
+          round(col("value") * 1000).cast("long").as("v_milli"),
+          (col("event_type") === "purchase").as("y")),
+        "v_milli", "y", bins = 10, loMilli = 0L, hiMilli = 100000L)
+        // comparator dtype contract: empty-bin NULL rate → -1 sentinel
+        .withColumn("rate_micro", coalesce(col("rate_micro"), lit(-1L)))
+        .orderBy("bin")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6437,6 +6482,62 @@ object SparkEntry {
         |      FROM p JOIN s USING (stratum, id))
         |SELECT stratum, id, x, x_match, ABS(x - x_match) AS gap
         |FROM m ORDER BY stratum, id""".stripMargin,
+
+    // Closed-form ground truth: after the mod-6 chains, the mod-3
+    // chains, and the (1,2) bridge, components are {≡0 mod 3} (rep 3
+    // — id 0 never appears in any k>6 / k>3 edge) and {≡1 ∪ ≡2 mod 3}
+    // (rep 1); ids 1..max all appear as edge endpoints.
+    "q191_cc_store" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 3 ELSE 1 END AS BIGINT)
+        |    AS rep
+        |FROM customer WHERE c_custkey >= 1 ORDER BY id""".stripMargin,
+
+    // Exhaustive shared-token join (lossless for τ > 0 since a
+    // qualifying pair shares ≥ 1 token); the integer verify and the
+    // floor-over-IEEE-sqrt cos replay the operator bit-for-bit.
+    "q192_cosine_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lower(t) AS token
+        |  FROM documents, UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS u(t)
+        |  WHERE doc_id % 3 = 1),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+        |pair AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.s AS size_a, sb.s AS size_b,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  CAST(FLOOR(CAST(inter AS DOUBLE) * 1000000
+        |    / sqrt(CAST(sa.s * sb.s AS DOUBLE))) AS BIGINT) AS cos_micro
+        |FROM pair JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS HUGEINT) * inter * 1000000000000
+        |  >= CAST(360000000000 AS HUGEINT) * sa.s * sb.s
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Integer bin arithmetic replayed with the same clamp (floor-vs-
+    // truncate div differences die in the GREATEST(0)); -1 sentinel
+    // for empty bins per the comparator dtype contract.
+    "q193_calibration" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS v,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT LEAST(GREATEST((v * 10) // 100000, 0), 9) AS bin,
+        |        CAST(y AS BIGINT) AS y
+        |      FROM ev),
+        |c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS pos
+        |      FROM b GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bin)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(bin * 10000 AS BIGINT) AS lo_milli,
+        |  CAST((bin + 1) * 10000 AS BIGINT) AS hi_milli,
+        |  COALESCE(n, 0) AS n, COALESCE(pos, 0) AS pos,
+        |  COALESCE((pos * 1000000) // n, -1) AS rate_micro
+        |FROM spine LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin,
 
     // The (d, d+1) pair join and the exact HUGEINT moments; r_micro
     // replays Spark's (cov/sqrt(vx*vy))*1e6 order.

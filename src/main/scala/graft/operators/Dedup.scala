@@ -1224,6 +1224,76 @@ object Dedup {
       .where(col("dist") <= k)
   }
 
+  /** Cosine similarity self-join over DISTINCT token sets — the
+    * angular sibling of [[setSimilarityJoin]] (all-pairs similarity
+    * search, Bayardo et al. WWW'07 — public algorithm): all pairs with
+    *   cos(a, b) = |a ∩ b| / √(|a|·|b|) ≥ tau,
+    * found losslessly without the O(n²) scan. Prefix filtering uses
+    * the cosine bound: a qualifying pair has |∩| ≥ τ·√(sa·sb) ≥
+    * τ²·max(sa, sb) (the size filter sb ≥ τ²·sa makes the last step
+    * tight), so each doc only indexes its sz − ⌈τ²·sz⌉ + 1 RAREST
+    * tokens and candidates join prefix-to-prefix under the global
+    * (df, token) order. The exact verify is pure integer arithmetic —
+    * inter²·10¹² ≥ tauMicro²·sa·sb through DECIMAL(38,0) — so the
+    * pair set replays bit-identically; only the reported cos_micro
+    * touches floats (floor over an IEEE sqrt, same on every engine).
+    *
+    * Same shape and hot-bucket posture as [[setSimilarityJoin]]:
+    * boilerplate tokens never land in a prefix, shuffled payload is
+    * tokens/ids, never text. Output: (id_a, id_b, size_a, size_b,
+    * inter, cos_micro) with id_a < id_b. */
+  def cosineSetJoin(df: DataFrame, idCol: String, textCol: String,
+                    tau: Double, lowercase: Boolean = true): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val tauMicro = math.round(tau * 1e6)
+    val t2 = tauMicro * tauMicro // τ² in units of 1e-12 — fits a long
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tokRaw = Text.tokens(col(textCol))
+    val tok = df.select(col(idCol).as("id"),
+        explode(if (lowercase) transform(tokRaw, lower(_)) else tokRaw)
+          .as("token"))
+      .distinct()
+      .persist(cacheLevel)
+    val docFreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val pos = tok.join(docFreq, Seq("token"))
+      .withColumn("pos", row_number().over(
+        byDoc.orderBy(col("df").asc, col("token").asc)))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    // prefix length sz − ⌈τ²·sz⌉ + 1 in exact integer micros²
+    val prefixLen = col("sz") -
+      expr(s"(sz * ${t2}L + 999999999999L) div 1000000000000L") + 1
+    val prefix = pos.where(col("pos") <= prefixLen)
+      .select(col("id"), col("token"), col("sz"))
+    val docSets = pos.groupBy("id")
+      .agg(sort_array(collect_list(col("token"))).as("toks"),
+           first(col("sz")).as("sz"))
+      .persist(cacheLevel)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.token") === col("b.token") && col("a.id") < col("b.id") &&
+          // cosine size filter: s_small ≥ τ²·s_big, both directions
+          col("b.sz") * lit(1000000000000L) >= col("a.sz") * lit(t2) &&
+          col("a.sz") * lit(1000000000000L) >= col("b.sz") * lit(t2))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val out = cand
+      .join(docSets.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("sz").as("size_a")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .where(col("inter").cast(dec) * col("inter") * lit(1000000000000L) >=
+        lit(t2).cast(dec) * col("size_a") * col("size_b"))
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+        col("inter"),
+        floor(col("inter").cast("double") * lit(1000000.0) /
+          sqrt((col("size_a") * col("size_b")).cast("double")))
+          .cast("long").as("cos_micro"))
+    materializeAndRelease(out, tok, docSets)
+  }
+
   /** Survivorship (golden-record construction) for resolved entity
     * clusters: collapse each cluster to one canonical row under
     * per-column merge rules — the step after [[linkRecords]] /

@@ -358,6 +358,47 @@ object Stats {
         sigma2sq > 0, round(z * 1e6).cast("long")).as("z_micro"))
   }
 
+  /** Calibration (reliability) table for a scoring model: fixed-width
+    * bins over a caller-declared [loMilli, hiMilli) score range, per
+    * bin the exact count, positive count, and the observed positive
+    * rate in integer micros (pos·10⁶ div n — no float ever). The
+    * eval-side twin of a quality classifier ([[TextAnalytics]]'s
+    * linear scorer): a well-calibrated model's rate_micro tracks the
+    * bin midpoint. Out-of-range scores clamp to the edge bins (they
+    * are evidence about the extremes, not discardable); NULL scores
+    * or labels drop. One map-side-combined groupBy on ≤ `bins` keys —
+    * nothing else. Empty bins emit explicit zero rows via a broadcast
+    * bin spine, so the table shape is fixed. Output: (bin, lo_milli,
+    * hi_milli, n, pos, rate_micro — NULL when the bin is empty). */
+  def calibrationBins(df: DataFrame, scoreMilliCol: String,
+                      labelCol: String, bins: Int,
+                      loMilli: Long, hiMilli: Long): DataFrame = {
+    require(bins >= 1 && hiMilli > loMilli,
+      s"need bins >= 1 and lo < hi, got bins=$bins [$loMilli, $hiMilli)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val span = hiMilli - loMilli
+    // truncating vs flooring div differ only below zero — the clamp
+    // to bin 0 swallows the difference on both engines
+    val idx = expr(s"((CAST($scoreMilliCol AS BIGINT) - ${loMilli}L)" +
+      s" * ${bins}L) div ${span}L")
+    val bin = least(greatest(idx, lit(0L)), lit(bins - 1L))
+    val counted = df
+      .where(col(scoreMilliCol).isNotNull && col(labelCol).isNotNull)
+      .select(bin.as("bin"),
+        col(labelCol).cast("boolean").cast("long").as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val spine = (0 until bins).map(b => (b.toLong,
+      loMilli + span * b / bins, loMilli + span * (b + 1) / bins))
+      .toDF("bin", "lo_milli", "hi_milli")
+    broadcast(spine).join(counted, Seq("bin"), "left")
+      .select(col("bin"), col("lo_milli"), col("hi_milli"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("pos"), lit(0L)).as("pos"),
+        when(col("n").isNotNull,
+          expr("(pos * 1000000L) div n")).as("rate_micro"))
+  }
+
   /** Nearest-neighbor 1-D matching per stratum (caliper matching, the
     * covariate-balance step of an observational readout): each
     * treatment row matches the control value nearest to its own; ties

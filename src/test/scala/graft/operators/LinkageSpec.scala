@@ -122,4 +122,65 @@ class LinkageSpec extends SparkSpec {
       .select("kl_term_micro").as[Long].collect
     assert(got.forall(_ == 0L))
   }
+
+  private def naiveCosine(docs: Seq[(Long, String)], tau: Double) = {
+    val sets = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      if sa.nonEmpty && sb.nonEmpty &&
+        inter / math.sqrt(sa.size.toDouble * sb.size) >= tau
+    } yield (ia, ib, sa.size.toLong, sb.size.toLong, inter.toLong)).toSet
+  }
+
+  test("cosineSetJoin equals the exhaustive cosine join (prefix filter lossless)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),     // cos = 3/4
+      (3L, "alpha beta gamma delta extra"), // cos(1,3) = 4/√20 ≈ 0.894
+      (4L, "zeta eta theta"),
+      (5L, "zeta eta theta"),               // cos = 1
+      (6L, "Alpha BETA gamma delta"),       // case-folded dup of 1
+      (7L, "alpha lone token here four"),
+      (8L, ""))
+    val df = docs.toDF("id", "text")
+    for (tau <- Seq(0.5, 0.75, 0.9, 1.0)) {
+      val got = Dedup.cosineSetJoin(df, "id", "text", tau)
+        .select("id_a", "id_b", "size_a", "size_b", "inter")
+        .as[(Long, Long, Long, Long, Long)].collect.toSet
+      assert(got == naiveCosine(docs, tau), s"tau=$tau")
+    }
+  }
+
+  test("cosineSetJoin randomized: lossless across sizes and thresholds") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val docs = (1L to 60L).map(i =>
+      i -> rnd.shuffle(vocab).take(3 + rnd.nextInt(8)).mkString(" "))
+    for (tau <- Seq(0.4, 0.7)) {
+      val got = Dedup.cosineSetJoin(docs.toDF("id", "text"), "id", "text", tau)
+        .select("id_a", "id_b", "size_a", "size_b", "inter")
+        .as[(Long, Long, Long, Long, Long)].collect.toSet
+      assert(got == naiveCosine(docs, tau), s"tau=$tau")
+    }
+  }
+
+  test("calibrationBins: exact counts, clamped edges, empty-bin spine") {
+    val df = Seq(
+      (-500L, true),   // below range → bin 0
+      (5000L, false), (9999L, true),   // bin 0
+      (10000L, true),                  // bin 1 (left-closed edge)
+      (95000L, false), (120000L, true) // bin 9 incl. overflow clamp
+    ).toDF("v", "y")
+    val out = Stats.calibrationBins(df, "v", "y", bins = 10,
+      loMilli = 0L, hiMilli = 100000L)
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect.map(r => r._1 -> r).toMap
+    assert(out.size == 10)
+    assert(out(0L) == (0L, 0L, 10000L, 3L, 2L, Some(666666L)))
+    assert(out(1L) == (1L, 10000L, 20000L, 1L, 1L, Some(1000000L)))
+    assert(out(5L) == (5L, 50000L, 60000L, 0L, 0L, None))
+    assert(out(9L) == (9L, 90000L, 100000L, 2L, 1L, Some(500000L)))
+  }
 }
