@@ -2380,7 +2380,10 @@ object SparkEntry {
     "q191_cc_store" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_cc_store").toString
+      // id cap: chain depth (and so star-rounds) stays fixed across
+      // sf — the gate exercises the lifecycle, not an O(log diam) soak
       val k = t(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))
+        .where(col("k") < 2000)
       operators.CcStore.write(
         k.where(col("k") > 6)
           .select(col("k").as("id_a"), (col("k") - 6).as("id_b")), tmp)
@@ -2400,6 +2403,34 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") % 3 === 1),
         "doc_id", "text", tau = 0.6)
         .orderBy("id_a", "id_b")
+    }),
+
+    // k-core peel on clique-plus-chain: every chain tail cascades
+    // away at k = 3, the 8-clique survives intact (degree 7 each).
+    "q194_kcore" -> ((s, dir) => {
+      val ids = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"))
+      val chain = ids.where(col("k").between(1, 99))
+        .select(col("k").as("u"), (col("k") - 1).as("v"))
+      val cl = ids.where(col("k") < 8)
+      val clique = cl.select(col("k").as("u"))
+        .crossJoin(cl.select(col("k").as("v")))
+        .where(col("u") < col("v"))
+      operators.Graph.kcore(chain.unionByName(clique), "u", "v", k = 3)
+        .orderBy("id")
+    }),
+
+    // Multi-source BFS over mod-300 chains: dist = id div 300, bounded
+    // depth across sf via the id cap.
+    "q195_bfs" -> ((s, dir) => {
+      val ids = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"))
+        .where(col("k") < 3000)
+      val edges = ids.where(col("k") >= 300)
+        .select(col("k").as("u"), (col("k") - 300).as("v"))
+      operators.Graph.bfsDistances(edges, "u", "v",
+        ids.where(col("k") < 300), "k")
+        .orderBy("id")
     }),
 
     // Reliability table of event value (milli-scaled) vs purchase
@@ -6491,7 +6522,21 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS id,
         |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 3 ELSE 1 END AS BIGINT)
         |    AS rep
-        |FROM customer WHERE c_custkey >= 1 ORDER BY id""".stripMargin,
+        |FROM customer WHERE c_custkey >= 1 AND c_custkey < 2000
+        |ORDER BY id""".stripMargin,
+
+    // Peel fixpoint in closed form: only the 8-clique survives k = 3,
+    // in-core degree 7 for every member.
+    "q194_kcore" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, CAST(7 AS BIGINT) AS degree
+        |FROM customer WHERE c_custkey < 8 ORDER BY id""".stripMargin,
+
+    // Chain hops in closed form: dist = id div 300 (sources < 300 at
+    // 0); every id below the cap is reachable.
+    "q195_bfs" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  CAST(c_custkey // 300 AS BIGINT) AS dist
+        |FROM customer WHERE c_custkey < 3000 ORDER BY id""".stripMargin,
 
     // Exhaustive shared-token join (lossless for τ > 0 since a
     // qualifying pair shares ≥ 1 token); the integer verify and the

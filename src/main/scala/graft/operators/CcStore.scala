@@ -78,6 +78,32 @@ object CcStore {
     Dedup.canonicalizeCc(all.where(col("id_a") =!= col("id_b")))
   }
 
+  /** Streaming edge ingest — the stream twin of [[append]]: each
+    * micro-batch's (id_a, id_b) pairs land in the pending log, and
+    * every `compactEvery` batches the backlog folds into the forest
+    * so [[components]] reads stay bounded by |V| + recent backlog
+    * (the CmsStore in-stream-compaction pattern). The store must be
+    * [[write]]-initialized (possibly from an empty edge frame).
+    *
+    * Failure semantics: foreachBatch is at-least-once, and a replayed
+    * batch re-appends its edges — which is HARMLESS here: connected
+    * components are idempotent under edge duplication (the star
+    * algorithm distincts its input), so no batchId bookkeeping is
+    * needed for correctness; duplicates cost pending bytes until the
+    * next compaction reclaims them. */
+  def ingestStream(edges: DataFrame, path: String, checkpoint: String,
+                   compactEvery: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        append(batch, path)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactStore(batch.sparkSession, path)
+        ()
+      }
+      .start()
+
   /** Fold the pending backlog into a fresh one-shard forest snapshot
     * and clear it. Returns a manifest (component, rows). */
   def compactStore(spark: SparkSession, path: String): DataFrame = {

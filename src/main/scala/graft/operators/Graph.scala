@@ -179,4 +179,105 @@ object Graph {
     closed.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition (membership for a fixed k): iteratively peel
+    * every node of degree < k until the remainder is stable — the
+    * classic density filter for link graphs (a page inside a k-core
+    * sits in a tightly-linked cluster: navigation boilerplate, spam
+    * farms, genuine hubs — all of which mixing policies want flagged).
+    *
+    * Each round is one degree aggregate + one co-keyed semi-join pair
+    * (both keyed on the endpoint — map-side combine, no windows, no
+    * neighborhood collection, so hubs never serialize onto one task);
+    * convergence is edge-count equality (peeling is monotone — equal
+    * count ⇒ fixpoint), rounds bounded by `maxIters` far above the
+    * O(√m) peel-depth bound of real graphs. Lineage cut per round
+    * (lazy localCheckpoint, [[Dedup.canonicalizeCc]] rationale).
+    *
+    * Input edges are undirected (symmetrized internally, self-loops
+    * dropped). Output: (id, degree) for surviving nodes — degree
+    * counted inside the k-core. */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      // canonical undirected form BEFORE distinct — a reverse
+      // duplicate must not double a node's degree
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var n = e.count()
+    var it = 0
+    var converged = n == 0
+    while (!converged && it < maxIters) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("u")
+      val next = e
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(false)
+      val m = next.count()
+      graft.plans.Blocks.free(e)
+      e = next
+      converged = m == n
+      n = m
+      it += 1
+    }
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Multi-source BFS distances: hop count from the nearest source
+    * for every reachable node — the reachability/taint-propagation
+    * primitive (spam-seed distance, crawl-frontier depth, citation
+    * radius). Frontier expansion with a global distance table:
+    * each round joins the frontier to the symmetrized edge list
+    * (co-keyed on the frontier node) and anti-joins already-settled
+    * nodes; rounds = graph diameter from the sources, each one
+    * shuffle pair. The distance table and frontier are checkpointed
+    * per round, superseded blocks freed.
+    *
+    * Output: (id, dist) — sources at 0; unreachable nodes absent. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, idCol: String,
+                   maxIters: Int = 50): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(false)
+    var frontier = dist
+    var it = 0
+    var done = frontier.isEmpty
+    while (!done && it < maxIters) {
+      // eager checkpoints: the frees below must only run after the
+      // depending frame has fully materialized (a lazy checkpoint
+      // materialized by isEmpty computes one partition, then reads of
+      // the rest would hit freed parent blocks)
+      val next = frontier
+        .join(sym, frontier("id") === sym("u"))
+        .select(col("v").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("id").agg(min("dist").as("dist"))
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      done = next.isEmpty
+      if (!done) {
+        val merged = dist.unionByName(next).localCheckpoint(true)
+        graft.plans.Blocks.free(dist)
+        if (it > 0) graft.plans.Blocks.free(frontier)
+        dist = merged
+        frontier = next
+      } else if (it > 0) graft.plans.Blocks.free(frontier)
+      it += 1
+    }
+    dist
+  }
 }

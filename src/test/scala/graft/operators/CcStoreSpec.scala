@@ -50,4 +50,27 @@ class CcStoreSpec extends SparkSpec {
     val got = comps(tmp)
     assert(got.size == 101 && got.values.forall(_ == 0L))
   }
+
+  test("ingestStream: batches accumulate, duplicates harmless, in-stream compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ccs4").toString
+    CcStore.write(Seq.empty[(Long, Long)].toDF("id_a", "id_b"), tmp)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = CcStore.ingestStream(input.toDF().toDF("id_a", "id_b"), tmp,
+      java.nio.file.Files.createTempDirectory("ccs4ck").toString,
+      compactEvery = 2)
+    try {
+      input.addData((1L, 2L), (3L, 4L)); q.processAllAvailable()
+      assert(comps(tmp) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      // duplicate edge + a merge; batch 1 leaves pending un-compacted
+      input.addData((1L, 2L), (2L, 3L)); q.processAllAvailable()
+      assert(comps(tmp) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      // batch 2 triggers compaction: pending folded, components stable
+      input.addData((10L, 11L)); q.processAllAvailable()
+      assert(comps(tmp) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      assert(!new java.io.File(s"$tmp/pending").exists())
+    } finally q.stop()
+  }
 }

@@ -32,4 +32,61 @@ class GraphTriangleSpec extends SparkSpec {
     } { brute(i) += 1; brute(j) += 1; brute(k) += 1 }
     assert(out == brute.toMap)
   }
+
+  private def bruteKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.filter(p => p._1 != p._2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    var changed = true
+    while (changed) {
+      val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter(p => keep(p._1) && keep(p._2))
+      changed = next.size != e.size
+      e = next
+    }
+    e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("kcore: clique survives, chains cascade away; brute-force parity") {
+    val clique = for (i <- 0L until 6L; j <- (i + 1) until 6L) yield (i, j)
+    val chain = (6L to 30L).map(i => (i - 1, i))
+    val edges = (clique ++ chain) :+ (40L, 41L)
+    val got = Graph.kcore(edges.toDF("u", "v"), "u", "v", 3)
+      .as[(Long, Long)].collect.toMap
+    assert(got == bruteKcore(edges, 3))
+    assert(got == (0L until 6L).map(_ -> 5L).toMap)
+  }
+
+  test("kcore randomized equals iterative brute force across k") {
+    val rnd = new scala.util.Random(9)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    for (k <- Seq(2, 3, 5)) {
+      val got = Graph.kcore(edges.toDF("u", "v"), "u", "v", k)
+        .as[(Long, Long)].collect.toMap
+      assert(got == bruteKcore(edges, k), s"k=$k")
+    }
+  }
+
+  test("bfsDistances: multi-source hop counts, unreachable absent") {
+    // two chains from sources {0, 100}; island {50,51} unreachable
+    val edges = (1L to 5L).map(i => (i - 1, i)) ++
+      (101L to 103L).map(i => (i - 1, i)) :+ (50L, 51L)
+    val src = Seq(0L, 100L).toDF("id")
+    val got = Graph.bfsDistances(edges.toDF("u", "v"), "u", "v", src, "id")
+      .as[(Long, Long)].collect.toMap
+    val want = (0L to 5L).map(i => i -> i).toMap ++
+      (100L to 103L).map(i => i -> (i - 100)).toMap
+    assert(got == want)
+  }
+
+  test("bfsDistances takes the SHORTEST route when chains meet") {
+    // ring 0-1-2-3-4-5-0: dist from {0} is min(i, 6-i)
+    val ring = (1L to 5L).map(i => (i - 1, i)) :+ (5L, 0L)
+    val got = Graph.bfsDistances(ring.toDF("u", "v"), "u", "v",
+      Seq(0L).toDF("id"), "id")
+      .as[(Long, Long)].collect.toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
 }
