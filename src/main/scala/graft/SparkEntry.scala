@@ -2405,6 +2405,46 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Two-feature OLS per event type: value ~ hour + weekday from
+    // exact DECIMAL moments, Cramer solve in one fixed float order.
+    "q196_ols2" -> ((s, dir) => {
+      operators.Stats.ols2PerKey(
+        events(s, dir).select(col("event_type"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          round(col("value") * 1000).cast("long").as("y")),
+        "event_type", "x1", "x2", "y")
+        .orderBy("key")
+    }),
+
+    // One-way ANOVA F of doc length across sources per language —
+    // group moments exact, ratio quantized to q6 before the exact
+    // stratum fold so the sum is order-independent.
+    "q197_anova" -> ((s, dir) => {
+      operators.Stats.anovaF(t(s, dir, "documents"), "lang", "source",
+        "n_chars")
+        .orderBy("stratum")
+    }),
+
+    // Cumulative gains table of event value vs purchase outcome:
+    // two-phase exact desc ranks, integer slice cuts and lift micros.
+    "q198_lift" -> ((s, dir) => {
+      operators.Stats.liftTable(
+        events(s, dir).select(
+          round(col("value") * 1000).cast("long").as("x"),
+          (col("event_type") === "purchase").as("y")),
+        "x", "y", bins = 10)
+        .orderBy("slice")
+    }),
+
+    // Per-cell mutual information source × lang — the dependence
+    // screen beside q182's chi-square deviations.
+    "q199_mutual_info" -> ((s, dir) => {
+      operators.KeyChecks.mutualInformationCells(t(s, dir, "documents"),
+        "source", "lang")
+        .orderBy("a", "b")
+    }),
+
     // k-core peel on clique-plus-chain: every chain tail cascades
     // away at k = 3, the 8-clique survives intact (degree 7 each).
     "q194_kcore" -> ((s, dir) => {
@@ -6524,6 +6564,132 @@ object SparkEntry {
         |    AS rep
         |FROM customer WHERE c_custkey >= 1 AND c_custkey < 2000
         |ORDER BY id""".stripMargin,
+
+    // 3×3 Cramer replay: HUGEINT moments, the identical cofactor
+    // expansion order, DuckDB dow+1 == Spark dayofweek.
+    "q196_ols2" ->
+      """WITH e AS (
+        |  SELECT event_type AS key, CAST(hour(ts) AS BIGINT) AS x1,
+        |    CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS x2,
+        |    CAST(round(value * 1000) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        |        CAST(SUM(y) AS BIGINT) AS sy,
+        |        SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |        SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |        SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |        SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |        SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+        |      FROM e GROUP BY 1),
+        |f AS (SELECT key, n,
+        |        CAST(n AS DOUBLE) AS an, CAST(s1 AS DOUBLE) AS a12,
+        |        CAST(s2 AS DOUBLE) AS a13, CAST(s11 AS DOUBLE) AS a22,
+        |        CAST(s12 AS DOUBLE) AS a23, CAST(s22 AS DOUBLE) AS a33,
+        |        CAST(sy AS DOUBLE) AS r1, CAST(s1y AS DOUBLE) AS r2,
+        |        CAST(s2y AS DOUBLE) AS r3
+        |      FROM m),
+        |dets AS (SELECT key, n,
+        |    an*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |      + a13*(a12*a23 - a22*a13) AS det,
+        |    r1*(a22*a33 - a23*a23) - a12*(r2*a33 - a23*r3)
+        |      + a13*(r2*a23 - a22*r3) AS det0,
+        |    an*(r2*a33 - r3*a23) - r1*(a12*a33 - a23*a13)
+        |      + a13*(a12*r3 - r2*a13) AS det1,
+        |    an*(a22*r3 - a23*r2) - a12*(a12*r3 - r2*a13)
+        |      + r1*(a12*a23 - a22*a13) AS det2,
+        |    abs(an*a22*a33) + 1.0 AS scale_ref
+        |  FROM f)
+        |SELECT key, n,
+        |  CASE WHEN n >= 3 AND abs(det) > scale_ref * 1e-9
+        |    THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS b0_micro,
+        |  CASE WHEN n >= 3 AND abs(det) > scale_ref * 1e-9
+        |    THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS b1_micro,
+        |  CASE WHEN n >= 3 AND abs(det) > scale_ref * 1e-9
+        |    THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS b2_micro
+        |FROM dets ORDER BY key""".stripMargin,
+
+    // Group moments exact; the s²/n ratio is quantized to micros per
+    // group BEFORE the stratum sum (order-independent), F replays
+    // Spark's fixed float order.
+    "q197_anova" ->
+      """WITH g AS (
+        |  SELECT lang AS stratum, source AS grp,
+        |    CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sg,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ssg
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |q AS (SELECT stratum, ng, sg, ssg,
+        |        CAST(round((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |          / CAST(ng AS DOUBLE)) * 1e6) AS HUGEINT) AS rq6
+        |      FROM g),
+        |a AS (SELECT stratum, CAST(SUM(ng) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS k,
+        |        CAST(SUM(sg) AS BIGINT) AS s, SUM(ssg) AS ss,
+        |        SUM(rq6) AS rq6
+        |      FROM q GROUP BY 1),
+        |f AS (SELECT stratum, n, k,
+        |        CAST(rq6 AS DOUBLE) / 1e6
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |            / CAST(n AS DOUBLE) AS ssb,
+        |        CAST(ss AS DOUBLE) - CAST(rq6 AS DOUBLE) / 1e6 AS ssw
+        |      FROM a)
+        |SELECT stratum, n, k,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0
+        |    THEN CAST(round((ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6)
+        |      AS BIGINT) END AS f_micro
+        |FROM f ORDER BY stratum""".stripMargin,
+
+    // Exact desc ranks over distinct-score runs (oracle may window
+    // freely — the operator's two-phase ranks are the same integers),
+    // integer slice cuts, HUGEINT-safe lift micros.
+    "q198_lift" ->
+      """WITH rowsrc AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS x,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+        |        CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS p
+        |      FROM rowsrc GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot,
+        |        CAST(SUM(p) AS BIGINT) AS p_tot FROM g),
+        |o AS (SELECT x, c, p,
+        |        COALESCE(SUM(c) OVER (ORDER BY x DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |      FROM g),
+        |s AS (SELECT (o * 10) // n_tot AS slice, SUM(c) AS n, SUM(p) AS pos
+        |      FROM o CROSS JOIN t GROUP BY 1),
+        |cumt AS (SELECT slice, CAST(n AS BIGINT) AS n,
+        |           CAST(pos AS BIGINT) AS pos,
+        |           CAST(SUM(n) OVER (ORDER BY slice) AS BIGINT) AS cum_n,
+        |           CAST(SUM(pos) OVER (ORDER BY slice) AS BIGINT) AS cum_pos
+        |         FROM s)
+        |SELECT CAST(slice AS BIGINT) AS slice, n, pos, cum_n, cum_pos,
+        |  CASE WHEN p_tot > 0 THEN
+        |    CAST((CAST(cum_pos AS HUGEINT) * n_tot * 1000000)
+        |      // (CAST(cum_n AS HUGEINT) * p_tot) AS BIGINT) END AS lift_micro
+        |FROM cumt CROSS JOIN t ORDER BY slice""".stripMargin,
+
+    // The (c_ab/N)·ln(c_ab·N/(c_a·c_b)) term in the identical float
+    // order over identical exact counts.
+    "q199_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT CAST(source AS VARCHAR) AS a, CAST(lang AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cells)
+        |SELECT a, b, c_ab, c_a, c_b, n,
+        |  CAST(round((CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS mi_term_micro
+        |FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+        |ORDER BY a, b""".stripMargin,
 
     // Peel fixpoint in closed form: only the 8-clique survives k = 3,
     // in-core degree 7 for every member.

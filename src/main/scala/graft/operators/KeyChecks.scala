@@ -316,4 +316,39 @@ object KeyChecks {
     joined.unpersist(false)
     cached
   }
+
+  /** Mutual information between two categorical columns, reported as
+    * per-cell terms (Σ = MI in nats·10⁻⁶) — the dependence screen
+    * beside [[chiSquareCells]]'s deviation view: does `source` carry
+    * information about `lang`? All counts exact ((a, b) cells +
+    * broadcast margins — the chiSquareCells shuffle shape); the term
+    *   (c_ab/N)·ln(c_ab·N / (c_a·c_b))
+    * is ONE fixed-order float expression per cell over identical
+    * integers → bit-stable micros. Only observed cells emit (absent
+    * cells contribute 0 to MI by limit). Output: (a, b, c_ab, c_a,
+    * c_b, n, mi_term_micro). */
+  def mutualInformationCells(df: DataFrame, aCol: String,
+                             bCol: String): DataFrame = {
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = cells.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val mb = cells.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val n = cells.agg(sum("c_ab")).head().getLong(0)
+    def d(c: String) = col(c).cast("double")
+    val term = (d("c_ab") / lit(n.toDouble)) *
+      log(d("c_ab") * lit(n.toDouble) / (d("c_a") * d("c_b")))
+    val out = cells
+      .join(broadcast(ma), Seq("a"))
+      .join(broadcast(mb), Seq("b"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        lit(n).as("n"),
+        round(term * 1e6).cast("long").as("mi_term_micro"))
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cells.unpersist(false)
+    cached
+  }
 }

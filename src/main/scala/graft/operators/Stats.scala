@@ -358,6 +358,168 @@ object Stats {
         sigma2sq > 0, round(z * 1e6).cast("long")).as("z_micro"))
   }
 
+  /** Two-feature OLS per key — the next step past
+    * [[TimeSeries.trendPerKey]]'s single regressor: fit
+    * y = b0 + b1·x1 + b2·x2 per key by the closed-form 3×3 normal
+    * equations (Cramer expansion), every moment an exact integer
+    * aggregate (cross-products through DECIMAL(38,0), immune to
+    * partial-agg order) and the solve ONE fixed-order float
+    * expression per key-row → bit-stable micros. Keys with n < 3 or
+    * a singular system (|det| below 1e-9 of scale) emit NULL
+    * coefficients rather than garbage. Inputs must be integer-valued
+    * (milli-scale upstream). Output: (key, n, b0_micro, b1_micro,
+    * b2_micro). */
+  def ols2PerKey(df: DataFrame, keyCol: String, x1Col: String,
+                 x2Col: String, yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x1 = col(x1Col).cast("long"); val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    def cp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum(a.cast(dec) * b.cast(dec))
+    val m = df
+      .where(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(
+        count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+        cp(x1, x1).as("s11"), cp(x1, x2).as("s12"), cp(x2, x2).as("s22"),
+        cp(x1, y).as("s1y"), cp(x2, y).as("s2y"))
+    def d(c: String) = col(c).cast("double")
+    // normal matrix A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]],
+    // rhs = [sy, s1y, s2y]; Cramer with a FIXED cofactor order
+    val (an, a12, a13) = (d("n"), d("s1"), d("s2"))
+    val (a22, a23, a33) = (d("s11"), d("s12"), d("s22"))
+    val (r1, r2, r3) = (d("sy"), d("s1y"), d("s2y"))
+    def det3(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             c: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column,
+             q: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+             x: org.apache.spark.sql.Column, yy: org.apache.spark.sql.Column,
+             z: org.apache.spark.sql.Column) =
+      a * (q * z - r * yy) - b * (p * z - r * x) + c * (p * yy - q * x)
+    val det = det3(an, a12, a13, a12, a22, a23, a13, a23, a33)
+    val det0 = det3(r1, a12, a13, r2, a22, a23, r3, a23, a33)
+    val det1 = det3(an, r1, a13, a12, r2, a23, a13, r3, a33)
+    val det2 = det3(an, a12, r1, a12, a22, r2, a13, a23, r3)
+    // scale-aware singularity guard: |det| relative to the matrix's
+    // own magnitude (n·s11·s22 term) — pure fixed-order float compare
+    val scaleRef = abs(an * a22 * a33) + lit(1.0)
+    val ok = col("n") >= 3 && abs(det) > scaleRef * lit(1e-9)
+    m.select(col("key"), col("n"),
+      when(ok, round(det0 / det * 1e6).cast("long")).as("b0_micro"),
+      when(ok, round(det1 / det * 1e6).cast("long")).as("b1_micro"),
+      when(ok, round(det2 / det * 1e6).cast("long")).as("b2_micro"))
+  }
+
+  /** One-way ANOVA F per stratum over k groups — [[welchZ]]'s
+    * many-group sibling (equal-variance omnibus): F = (SSB/(k−1)) /
+    * (SSW/(n−k)) from per-(stratum, group) exact moments (n, Σy,
+    * Σy² via DECIMAL). The group moments aggregate once more per
+    * stratum (metadata-scale), then ONE fixed-order float formula:
+    *   SSB = Σ_g s_g²/n_g − S²/n,  SSW = Σ_g ss_g − Σ_g s_g²/n_g.
+    * Strata with k < 2, n ≤ k, or SSW = 0 emit NULL F. Output:
+    * (stratum, n, k, f_micro). */
+  def anovaF(df: DataFrame, stratumCol: String, groupCol: String,
+             milliCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val y = col(milliCol).cast("long")
+    val g = df.where(y.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ng"), sum(y).as("sg"),
+        sum(y.cast(dec) * y.cast(dec)).as("ssg"))
+    // per-group ratio terms stay EXACT rationals until the stratum
+    // fold: sum s_g²/n_g in fixed order via DECIMAL division is not
+    // exact — instead keep Σ (s_g²·LCM-free) as float but in ONE
+    // deterministic map-side-free aggregate: sort-order independence
+    // requires the sum be exact, so compute s_g²/n_g per group row as
+    // DOUBLE and sum via DECIMAL(38,6) quantization (deterministic
+    // per group, exact addition)
+    val ratio = (col("sg").cast("double") * col("sg").cast("double") /
+      col("ng").cast("double"))
+    val q6 = round(ratio * 1e6).cast(DecimalType(38, 0))
+    val agg = g.groupBy("stratum").agg(
+      sum("ng").as("n"), count(lit(1)).as("k"),
+      sum("sg").as("s"), sum("ssg").as("ss"),
+      sum(q6).as("ratio_q6"))
+    def d(c: String) = col(c).cast("double")
+    val ratioSum = col("ratio_q6").cast("double") / lit(1e6)
+    val ssb = ratioSum - d("s") * d("s") / d("n")
+    val ssw = d("ss") - ratioSum
+    val f = (ssb / (d("k") - lit(1.0))) / (ssw / (d("n") - d("k")))
+    agg.select(col("stratum"), col("n"), col("k"),
+      when(col("k") >= 2 && col("n") > col("k") && ssw > 0,
+        round(f * 1e6).cast("long")).as("f_micro"))
+  }
+
+  /** Cumulative gains / lift table: rows ranked by score descending,
+    * cut into `bins` equal-population slices by the EXACT type-1 rank
+    * rule (slice = (rank−1)·bins div n), per slice the positives and
+    * the cumulative lift
+    *   lift_micro = (cumPos·n·10⁶) div (cumN·P)
+    * in pure integer arithmetic. Ranks come from distinct-value
+    * cumulative counts (ties share the slice of their run's FIRST
+    * rank — deterministic, no per-row window): a tie run starting at
+    * global rank o+1 lands wholly in slice o·bins div n. The
+    * model-targeting readout (top decile captures X× random).
+    * Output: (slice, n, pos, cum_n, cum_pos, lift_micro). */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val rows = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("x"),
+        col(labelCol).cast("boolean").cast("long").as("y"))
+    val grouped = rows.groupBy("x")
+      .agg(count(lit(1)).as("c"), sum("y").as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two-phase global rank (the giniByKey discipline — no global
+    // window): percentile buckets over distinct scores, bucket
+    // offsets folded driver-side (≤ p rows, metadata-scale), the
+    // in-bucket prefix local to its bucket partition
+    val bucketed =
+      if (p == 1) grouped.withColumn("__b", lit(0))
+      else {
+        val bnds = grouped.agg(percentile_approx(col("x").cast("double"),
+          typedlit((1 until p).map(_.toDouble / p)), lit(10000)).as("__bnds"))
+        grouped.crossJoin(broadcast(bnds))
+          .withColumn("__b", size(filter(col("__bnds"),
+            b => b < col("x").cast("double"))))
+          .drop("__bnds")
+      }
+    val offRows = bucketed.groupBy("__b").agg(sum("c").as("bc"))
+      .collect().map(r => (r.getAs[Int]("__b"), r.getAs[Long]("bc")))
+      .sortBy(_._1)
+    val nTot = offRows.map(_._2).sum
+    val offsets = {
+      var acc = 0L
+      offRows.map { case (b, bc) => val o = acc; acc += bc; (b, o) }.toSeq
+    }.toDF("__b", "__off")
+    val wIn = Window.partitionBy("__b").orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cumIncl", col("__off") + sum("c").over(wIn))
+      // rows STRICTLY greater than this run (desc-rank offset)
+      .withColumn("o", lit(nTot) - col("cumIncl"))
+    val pTot = rows.agg(coalesce(sum("y"), lit(0L))).as[Long].collect()(0)
+    val sliced = cum
+      .withColumn("slice", expr(s"(o * ${bins}L) div ${math.max(nTot, 1L)}L"))
+      .groupBy("slice").agg(sum("c").as("n"), sum("p").as("pos"))
+    // cumulative over ≤ bins rows: broadcast triangular self-join,
+    // no single-partition window
+    val tiny = sliced.select(col("slice").as("s2"), col("n").as("n2"),
+      col("pos").as("pos2"))
+    val out = sliced.join(broadcast(tiny), col("s2") <= col("slice"))
+      .groupBy("slice").agg(first("n").as("n"), first("pos").as("pos"),
+        sum("n2").as("cum_n"), sum("pos2").as("cum_pos"))
+      .select(col("slice"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        when(lit(pTot) > 0,
+          expr(s"(cum_pos * ${nTot}L * 1000000L) div (cum_n * ${math.max(pTot, 1L)}L)"))
+          .as("lift_micro"))
+    grouped.unpersist(false)
+    out
+  }
+
   /** Calibration (reliability) table for a scoring model: fixed-width
     * bins over a caller-declared [loMilli, hiMilli) score range, per
     * bin the exact count, positive count, and the observed positive

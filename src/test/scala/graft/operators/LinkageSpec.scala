@@ -166,6 +166,23 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("mutualInformationCells: independent columns ~0, dependent positive") {
+    // independent: a ⊥ b uniform 2x2 → every term 0 exactly
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val t0 = KeyChecks.mutualInformationCells(ind, "a", "b")
+      .select("mi_term_micro").as[Long].collect
+    assert(t0.length == 4 && t0.forall(_ == 0L))
+    // perfectly dependent: a == b → MI = ln(2) over two cells
+    val dep = (for (a <- Seq("x", "y"); _ <- 1 to 5)
+      yield (a, a)).toDF("a", "b")
+    val t1 = KeyChecks.mutualInformationCells(dep, "a", "b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect
+    assert(t1.length == 2)
+    // each cell: (5/10)·ln(5·10/(5·5)) = 0.5·ln 2 → 346574 micros
+    assert(t1.forall(_._7 == math.round(0.5 * math.log(2.0) * 1e6)))
+  }
+
   test("calibrationBins: exact counts, clamped edges, empty-bin spine") {
     val df = Seq(
       (-500L, true),   // below range → bin 0

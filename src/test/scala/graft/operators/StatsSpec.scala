@@ -281,6 +281,75 @@ class StatsSpec extends SparkSpec {
     assert(out(5L) == (None, None))           // no controls in stratum
   }
 
+  test("ols2PerKey recovers exact planes; collinear features yield NULL") {
+    // y = 10 + 2*x1 + 3*x2 exactly, over a non-degenerate grid
+    val plane = for (x1 <- 0L to 4L; x2 <- 0L to 3L)
+      yield ("p", x1, x2, 10 + 2 * x1 + 3 * x2)
+    // x2 = 2*x1 → singular normal matrix
+    val collin = (0L to 9L).map(i => ("c", i, 2 * i, 5 + i))
+    val df = (plane ++ collin).toDF("k", "x1", "x2", "y")
+    val out = Stats.ols2PerKey(df, "k", "x1", "x2", "y")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect.map(r => r._1 -> r).toMap
+    assert(out("p") == ("p", 20L, Some(10000000L), Some(2000000L), Some(3000000L)))
+    assert(out("c")._3.isEmpty && out("c")._4.isEmpty && out("c")._5.isEmpty)
+  }
+
+  test("anovaF matches a hand-computed three-group case") {
+    // groups: {1,2,3}, {4,5,6}, {7,8,9} — means 2,5,8; SSW = 2+2+2 = 6
+    // SSB = 3·(9+0+9) = 54; F = (54/2)/(6/6) = 27
+    val df = (for ((g, vs) <- Seq(("a", Seq(1L, 2L, 3L)),
+      ("b", Seq(4L, 5L, 6L)), ("c", Seq(7L, 8L, 9L))); v <- vs)
+      yield ("s", g, v)).toDF("st", "g", "v")
+    val out = Stats.anovaF(df, "st", "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect.head
+    assert(out._2 == 9 && out._3 == 3)
+    assert(out._4.contains(27000000L))
+  }
+
+  test("anovaF: single group or zero within-variance yields NULL F") {
+    val df = Seq(("one", "g", 5L), ("one", "g", 7L),
+      ("const", "a", 4L), ("const", "a", 4L), ("const", "b", 9L),
+      ("const", "b", 9L)).toDF("st", "g", "v")
+    val out = Stats.anovaF(df, "st", "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect
+      .map(r => r._1 -> r._4).toMap
+    assert(out("one").isEmpty && out("const").isEmpty)
+  }
+
+  test("liftTable: exact slices, cumulative lift, tie runs stay together") {
+    // 10 rows, scores 10..1, positives at scores 10, 9, 1
+    val rows = (1L to 10L).map(x => (x, x == 10 || x == 9 || x == 1))
+    val out = Stats.liftTable(rows.toDF("x", "y"), "x", "y", bins = 5)
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect.map(r => r._1 -> r).toMap
+    // slice 0 = top 2 scores {10, 9}: both positive
+    assert(out(0L) == (0L, 2L, 2L, 2L, 2L, Some((2L * 10 * 1000000L) / (2 * 3))))
+    // final slice: all rows, lift = 1
+    assert(out(4L) == (4L, 2L, 1L, 10L, 3L, Some(1000000L)))
+  }
+
+  test("liftTable randomized equals a driver-side replay") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(5) == 0))
+    val bins = 10
+    val got = Stats.liftTable(rows.toDF("x", "y"), "x", "y", bins)
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect.map(r => r._1 -> (r._2, r._3)).toMap
+    val n = rows.size
+    val byScore = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+    var o = 0L
+    val naive = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((_, xs) <- byScore) {
+      val slice = o * bins / n
+      val (cn, cp) = naive.getOrElse(slice, (0L, 0L))
+      naive(slice) = (cn + xs.size, cp + xs.count(_._2))
+      o += xs.size
+    }
+    assert(got == naive.toMap)
+  }
+
   test("nearestMatch1d randomized equals brute force") {
     val rnd = new scala.util.Random(5)
     val as = (1L to 200L).map(i => ("s" + rnd.nextInt(2), i, rnd.nextInt(1000).toLong))
