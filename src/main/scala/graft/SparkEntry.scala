@@ -2487,6 +2487,174 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Release-risk audit over (nation, segment) quasi-identifiers with
+    // account cents as the sensitive attribute — class sizes,
+    // sensitive diversity, both risk flags.
+    "q200_kanonymity" -> ((s, dir) => {
+      operators.KeyChecks.kAnonymity(
+        t(s, dir, "customer").select(
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents")),
+        Seq("nat", "seg"), "cents", k = 50, l = 20)
+        .orderBy("nat", "seg")
+    }),
+
+    // Peak concurrent synthetic sessions per event type: start = ts,
+    // duration = value-derived seconds (non-negative by data contract,
+    // so % is identical on both engines).
+    "q201_max_concurrent" -> ((s, dir) => {
+      val iv = events(s, dir).select(col("event_type"), col("ts"),
+        timestamp_micros(unix_micros(col("ts"))
+          + (pmod(round(col("value") * 1000).cast("long"), lit(3600L))
+            + 60L) * 1000000L).as("te"))
+      operators.TimeSeries.maxConcurrent(iv, "event_type", "ts", "te")
+        .orderBy("key")
+    }),
+
+    // Where did each event type's daily level shift? Integer CUSUM
+    // peak over the daily-count series.
+    "q202_cusum" -> ((s, dir) => {
+      operators.TimeSeries.cusumChangepoint(events(s, dir), "event_type", "ts")
+        .orderBy("key")
+    }),
+
+    // Robust daily trend per event type: lower median of all pairwise
+    // slopes — outlier days can't drag it.
+    "q203_theilsen" -> ((s, dir) => {
+      operators.Stats.theilSenDaily(events(s, dir), "event_type", "ts")
+        .orderBy("key")
+    }),
+
+    // Monotone association per source between the stored char count
+    // and the tokenizer's token count — doubled-average-rank Spearman.
+    "q204_spearman" -> ((s, dir) => {
+      operators.Stats.spearmanByKey(
+        t(s, dir, "documents").select(col("source"),
+          col("n_chars"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long")
+            .as("n_tok")),
+        "source", "n_chars", "n_tok")
+        .orderBy("key")
+    }),
+
+    // PAVA recalibration of q193's reliability bins: pooled monotone
+    // rates via the minimax closed form over exact prefix sums.
+    "q205_isotonic" -> ((s, dir) => {
+      operators.Stats.isotonicFit(
+        events(s, dir).select(
+          round(col("value") * 1000).cast("long").as("v_milli"),
+          (col("event_type") === "purchase").as("y")),
+        "v_milli", "y", bins = 10, loMilli = 0L, hiMilli = 100000L)
+        .orderBy("bin")
+    }),
+
+    // Deterministic bounded-noise count release per source — the DP
+    // release plumbing with a seeded-hash noise surrogate.
+    "q206_dp_counts" -> ((s, dir) => {
+      operators.Stats.dpNoisyCounts(t(s, dir, "documents"), "source",
+        bound = 50, seed = 11L)
+        .orderBy("key")
+    }),
+
+    // Top 50 stems: the suffix-stripping rule chain collapses
+    // plural/participle surface forms before counting.
+    "q207_stem_terms" -> ((s, dir) => {
+      operators.TextAnalytics.stemmedTopTerms(t(s, dir, "documents"),
+        "text", 50)
+    }),
+
+    // Which event types precede which (anywhere in a user's stream,
+    // not just adjacently)? Span-collapsed precedence support.
+    "q208_precedence" -> ((s, dir) => {
+      operators.Sequences.precedencePairs(events(s, dir), "user_id",
+        "event_type", "ts", minSupport = 5L)
+        .orderBy("t1", "t2")
+    }),
+
+    // 32-bit-word bitmap index over order status — membership words +
+    // popcounts per (value, word).
+    "q209_bitmap_index" -> ((s, dir) => {
+      operators.InvertedIndex.bitmapIndex(t(s, dir, "orders"),
+        "o_orderkey", "o_orderstatus")
+        .orderBy("value", "word_idx")
+    }),
+
+    // Trailing 7-row OLS slope on the zero-filled daily order-count
+    // grid — the local trend feature, windows over exact moments.
+    "q210_rolling_slope" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("grp"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val grid = operators.TimeSeries.gapFill(daily, "grp", "d", "n",
+        forward = false)
+      operators.TimeSeries.rollingSlope(grid, "grp", "d", "n", days = 7)
+        .where(col("slope_micro").isNotNull)
+        .orderBy("grp", "d")
+    }),
+
+    // Full cube over (returnflag, linestatus) with the grouping-id
+    // bitmask — all four aggregation levels in one pass.
+    "q211_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), asc("gid"))
+    }),
+
+    // Mann–Kendall S and tau-a per event type — the test statistic
+    // beside q203's Theil–Sen estimate.
+    "q212_mann_kendall" -> ((s, dir) => {
+      operators.Stats.mannKendallDaily(events(s, dir), "event_type", "ts")
+        .orderBy("key")
+    }),
+
+    // Day-of-week seasonal indexes per event type; dow is pure
+    // (epoch_day + 4) mod 7 arithmetic.
+    "q213_seasonal" -> ((s, dir) => {
+      operators.TimeSeries.seasonalProfile(events(s, dir), "event_type", "ts")
+        .orderBy("key", "dow")
+    }),
+
+    // Poisson bootstrap of the mean event value per type: 16
+    // replicates, integer-threshold draws, exact weighted moments.
+    "q214_bootstrap" -> ((s, dir) => {
+      operators.Stats.bootstrapMeans(
+        events(s, dir).select(col("event_type"), col("event_id"),
+          round(col("value") * 1000).cast("long").as("v_milli")),
+        "event_type", "event_id", "v_milli", reps = 16, seed = 5L)
+        .orderBy("key", "b")
+    }),
+
+    // Exact distinct users per event type through the bitmap lane —
+    // the shuffle carries words, not raw ids.
+    "q215_bitmap_distinct" -> ((s, dir) => {
+      operators.InvertedIndex.bitmapDistinct(events(s, dir),
+        "event_type", "user_id")
+        .orderBy("key")
+    }),
+
+    // Word-aligned AND/OR/Jaccard between order-status bitmaps — set
+    // algebra on the index, no row rescans.
+    "q216_bitmap_algebra" -> ((s, dir) => {
+      operators.InvertedIndex.bitmapAlgebra(
+        operators.InvertedIndex.bitmapIndex(t(s, dir, "orders"),
+          "o_orderkey", "o_orderstatus"))
+        .orderBy("value_a", "value_b")
+    }),
+
+    // Trailing 7-day distinct actives per event type via the
+    // range-delta reformulation — graded against brute-force
+    // windowed COUNT(DISTINCT).
+    "q217_sliding_distinct" -> ((s, dir) => {
+      operators.TimeSeries.slidingDistinct(events(s, dir), "event_type",
+        "user_id", "ts", days = 7)
+        .orderBy("key", "d")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -5950,6 +6118,403 @@ object SparkEntry {
         |  CAST(COALESCE(CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 512 END, -1)
         |    AS BIGINT) AS end_chunk
         |FROM c ORDER BY id""".stripMargin,
+
+    "q200_kanonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))
+        |    AS BIGINT) AS n_sensitive,
+        |  (COUNT(*) < 50) AS risky_k,
+        |  (COUNT(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) < 20)
+        |    AS risky_l
+        |FROM customer GROUP BY 1, 2 ORDER BY nat, seg""".stripMargin,
+
+    // Sweep line replayed as one global running sum per key; the
+    // per-timestamp NET collapse encodes ends-before-starts at equal
+    // instants (half-open intervals) on both engines.
+    "q201_max_concurrent" ->
+      """WITH iv AS (
+        |  SELECT event_type AS key, epoch_us(ts) AS s,
+        |    epoch_us(ts) + ((CAST(round(value * 1000) AS BIGINT) % 3600)
+        |      + 60) * 1000000 AS e
+        |  FROM events),
+        |d AS (SELECT key, s AS t, 1 AS dl FROM iv
+        |      UNION ALL SELECT key, e, -1 FROM iv),
+        |p AS (SELECT key, t, SUM(dl) AS net FROM d GROUP BY 1, 2),
+        |r AS (SELECT key,
+        |        SUM(net) OVER (PARTITION BY key ORDER BY t) AS run
+        |      FROM p),
+        |n AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |      FROM iv GROUP BY 1),
+        |m AS (SELECT key, CAST(GREATEST(MAX(run), 0) AS BIGINT)
+        |        AS max_concurrent FROM r GROUP BY 1)
+        |SELECT key, n_intervals, max_concurrent
+        |FROM n JOIN m USING (key) ORDER BY key""".stripMargin,
+
+    // Integer CUSUM: S_i = P_i·D − i·T through HUGEINT, argmax with
+    // the earliest-day tie break.
+    "q202_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT key, d,
+        |        ROW_NUMBER() OVER w AS i,
+        |        SUM(c) OVER w AS p,
+        |        COUNT(*) OVER (PARTITION BY key) AS nd,
+        |        SUM(c) OVER (PARTITION BY key) AS t
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY key ORDER BY d)),
+        |sc AS (SELECT key, nd, t, d,
+        |         abs(CAST(p AS HUGEINT) * nd - CAST(i AS HUGEINT) * t) AS sa
+        |       FROM s)
+        |SELECT key, CAST(nd AS BIGINT) AS n_days, CAST(t AS BIGINT) AS total,
+        |  d AS cp_date, CAST(sa AS BIGINT) AS s_abs_max
+        |FROM sc
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY sa DESC, d ASC) = 1
+        |ORDER BY key""".stripMargin,
+
+    // Pairwise-slope floor over IEEE doubles (exact-integer inputs →
+    // identical quotients), lower-median pick in pure integer rank
+    // arithmetic.
+    "q203_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |pr AS (SELECT a.key,
+        |         CAST(FLOOR(CAST(b.v - a.v AS DOUBLE) * 1e6
+        |           / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_micro
+        |       FROM daily a JOIN daily b
+        |         ON a.key = b.key AND a.d < b.d),
+        |med AS (SELECT key,
+        |          CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_pairs,
+        |          slope_micro,
+        |          ROW_NUMBER() OVER (PARTITION BY key ORDER BY slope_micro) AS rn
+        |        FROM pr)
+        |SELECT key, n_days, n_pairs, slope_micro
+        |FROM nd JOIN med USING (key)
+        |WHERE rn = (n_pairs + 1) // 2 ORDER BY key""".stripMargin,
+
+    // Doubled average ranks (2o + c + 1 — integers even under ties),
+    // Pearson over them with HUGEINT moments and the fixed float
+    // order; affine invariance makes it exactly Spearman's rho.
+    "q204_spearman" ->
+      """WITH rows_ AS (
+        |  SELECT source AS key, CAST(n_chars AS BIGINT) AS xv,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      z -> z <> '')) AS BIGINT) AS yv
+        |  FROM documents),
+        |gx AS (SELECT key, xv, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM rows_ GROUP BY 1, 2),
+        |ox AS (SELECT key, xv,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY key ORDER BY xv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS rx
+        |       FROM gx),
+        |gy AS (SELECT key, yv, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM rows_ GROUP BY 1, 2),
+        |oy AS (SELECT key, yv,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY key ORDER BY yv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS ry
+        |       FROM gy),
+        |j AS (SELECT r.key, ox.rx, oy.ry
+        |      FROM rows_ r
+        |      JOIN ox ON r.key = ox.key AND r.xv = ox.xv
+        |      JOIN oy ON r.key = oy.key AND r.yv = oy.yv),
+        |m AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+        |        SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |        SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |        SUM(CAST(ry AS HUGEINT) * ry) AS syy
+        |      FROM j GROUP BY 1),
+        |f AS (SELECT key, n,
+        |        CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |          / CAST(n AS DOUBLE) AS cov,
+        |        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |          / CAST(n AS DOUBLE) AS vx,
+        |        CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |          / CAST(n AS DOUBLE) AS vy
+        |      FROM m)
+        |SELECT key, n,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+        |    THEN CAST(round(cov / sqrt(vx * vy) * 1e6) AS BIGINT)
+        |  END AS rho_micro
+        |FROM f ORDER BY key""".stripMargin,
+
+    // q193's integer binning, then the PAVA minimax closed form over
+    // bounded interval joins — identical IEEE interval averages →
+    // identical monotone fit.
+    "q205_isotonic" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS v,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT LEAST(GREATEST((v * 10) // 100000, 0), 9) AS bin,
+        |        CAST(y AS BIGINT) AS y
+        |      FROM ev),
+        |c AS (SELECT CAST(bin AS BIGINT) AS bin,
+        |        CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT bin, n, pos, SUM(n) OVER (ORDER BY bin) AS pn,
+        |        SUM(pos) OVER (ORDER BY bin) AS pp
+        |      FROM c),
+        |ivl AS (SELECT j.bin AS j, k.bin AS k,
+        |          CAST(k.pp - (j.pp - j.pos) AS DOUBLE)
+        |            / CAST(k.pn - (j.pn - j.n) AS DOUBLE) AS avg_jk
+        |        FROM p j JOIN p k ON j.bin <= k.bin),
+        |pi AS (SELECT c.bin AS i, ivl.j, MIN(avg_jk) AS mn
+        |       FROM c JOIN ivl ON ivl.j <= c.bin AND c.bin <= ivl.k
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT i, MAX(mn) AS iso FROM pi GROUP BY 1)
+        |SELECT c.bin, CAST(c.bin * 10000 AS BIGINT) AS lo_milli,
+        |  CAST((c.bin + 1) * 10000 AS BIGINT) AS hi_milli, n, pos,
+        |  CAST(round(iso * 1e6) AS BIGINT) AS iso_micro
+        |FROM c JOIN iso ON iso.i = c.bin ORDER BY bin""".stripMargin,
+
+    // Seeded md5₆₀ noise in [−50, 50] (mod 101 on a non-negative
+    // hash, so % == pmod), non-negativity clamp on the release.
+    "q206_dp_counts" ->
+      s"""SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(${md5Hash64Sql("'11:' || source")} % 101 - 50 AS BIGINT)
+         |    AS noise,
+         |  CAST(GREATEST(COUNT(*)
+         |    + (${md5Hash64Sql("'11:' || source")} % 101 - 50), 0) AS BIGINT)
+         |    AS n_noisy
+         |FROM documents GROUP BY source ORDER BY key""".stripMargin,
+
+    // The identical rule chain (ends_with / left — no regex captures)
+    // replayed in SQL; edge-punctuation strip is the same RE2-safe
+    // character-class pattern with the global flag.
+    "q207_stem_terms" ->
+      """WITH w0 AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+        |    '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |w1 AS (SELECT regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+        |         AS w FROM w0),
+        |w2 AS (SELECT CASE
+        |         WHEN ends_with(w, 'sses') THEN left(w, length(w) - 2)
+        |         WHEN ends_with(w, 'ies') THEN left(w, length(w) - 2)
+        |         WHEN ends_with(w, 'ss') THEN w
+        |         WHEN ends_with(w, 's') AND length(w) >= 4
+        |           THEN left(w, length(w) - 1)
+        |         ELSE w END AS w
+        |       FROM w1 WHERE w <> ''),
+        |w3 AS (SELECT CASE
+        |         WHEN ends_with(w, 'ing') AND length(w) >= 6
+        |           THEN left(w, length(w) - 3)
+        |         WHEN ends_with(w, 'ed') AND length(w) >= 5
+        |           THEN left(w, length(w) - 2)
+        |         WHEN ends_with(w, 'ly') AND length(w) >= 5
+        |           THEN left(w, length(w) - 2)
+        |         ELSE w END AS stem
+        |       FROM w2)
+        |SELECT stem, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w3 GROUP BY 1 ORDER BY n DESC, stem ASC LIMIT 50""".stripMargin,
+
+    // Span collapse: (a before b for a user) ⇔ min_ts(a) < max_ts(b) —
+    // the T×T-per-user join, support = distinct users by construction.
+    "q208_precedence" ->
+      """WITH sp AS (
+        |  SELECT user_id AS u, event_type AS t,
+        |    MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT a.t AS t1, b.t AS t2, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM sp a JOIN sp b ON a.u = b.u AND a.t <> b.t AND a.lo < b.hi
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY t1, t2""".stripMargin,
+
+    // 32-bit words in BIGINT lanes: no sign-bit shift on either
+    // engine; popcount after the OR.
+    "q209_bitmap_index" ->
+      """WITH w AS (
+        |  SELECT CAST(o_orderstatus AS VARCHAR) AS value,
+        |    CAST(o_orderkey // 32 AS BIGINT) AS word_idx,
+        |    CAST(bit_or(CAST(1 AS BIGINT)
+        |      << CAST(o_orderkey % 32 AS INTEGER)) AS BIGINT) AS word
+        |  FROM orders
+        |  WHERE o_orderkey >= 0 AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT value, word_idx, word, CAST(bit_count(word) AS BIGINT) AS bits
+        |FROM w ORDER BY value, word_idx""".stripMargin,
+
+    // gapFill's global-span zero-filled grid, then the five trailing
+    // moment windows and the trendPerKey closed form in the same
+    // float order.
+    "q210_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+        |keys AS (SELECT DISTINCT grp FROM daily),
+        |grid AS (SELECT grp, CAST(unnest(generate_series(mn, mx,
+        |           INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM keys CROSS JOIN span),
+        |g AS (SELECT grid.grp, grid.d, COALESCE(daily.n, 0) AS n,
+        |        CAST(grid.d - DATE '1970-01-01' AS BIGINT) AS x
+        |      FROM grid LEFT JOIN daily
+        |        ON daily.grp = grid.grp AND daily.d = grid.d),
+        |w AS (SELECT grp, d, n,
+        |        COUNT(*) OVER win AS c,
+        |        SUM(x) OVER win AS sx, SUM(n) OVER win AS sy,
+        |        SUM(CAST(x AS HUGEINT) * n) OVER win AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx
+        |      FROM g
+        |      WINDOW win AS (PARTITION BY grp ORDER BY d
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT grp, d, n,
+        |  CAST(round((CAST(c AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) AS BIGINT)
+        |    AS slope_micro
+        |FROM w
+        |WHERE c >= 2 AND CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |ORDER BY grp, d""".stripMargin,
+
+    // GROUPING(a, b) carries the same MSB-first bitmask as Spark's
+    // grouping_id().
+    "q211_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST, gid ASC""".stripMargin,
+
+    // Pairwise sign sum in pure integers; tau through round (not
+    // integer div — S goes negative).
+    "q212_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |agg AS (SELECT a.key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |          CAST(SUM(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT)
+        |            AS s_stat
+        |        FROM daily a JOIN daily b
+        |          ON a.key = b.key AND a.d < b.d
+        |        GROUP BY 1)
+        |SELECT key, n_days, n_pairs, s_stat,
+        |  CAST(round(CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS tau_micro
+        |FROM nd JOIN agg USING (key) ORDER BY key""".stripMargin,
+
+    // (epoch_day + 4) mod 7 on both engines — no dayofweek()
+    // convention ever enters; micro mean by non-negative integer
+    // division, index in the same fixed float order.
+    "q213_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT key, (d + 4) % 7 AS dow, v FROM daily),
+        |bd AS (SELECT key, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(v) AS BIGINT) AS sd
+        |       FROM dw GROUP BY 1, 2),
+        |bk AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(v) AS BIGINT) AS s
+        |       FROM dw GROUP BY 1)
+        |SELECT key, CAST(dow AS BIGINT) AS dow, n_days,
+        |  CAST((sd * 1000000) // n_days AS BIGINT) AS mean_micro,
+        |  CASE WHEN s > 0 THEN
+        |    CAST(round((CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+        |  END AS index_micro
+        |FROM bd JOIN bk USING (key) ORDER BY key, dow""".stripMargin,
+
+    // The identical ⌊CDF·2⁶⁰⌋ integer thresholds (rendered from the
+    // same Scala constants) against the same md5₆₀ draw — both
+    // engines deal identical Poisson weights, so the replicate means
+    // replay exactly.
+    "q214_bootstrap" -> {
+      val t = graft.operators.Stats.poissonThresholds
+      val h = md5Hash64Sql(
+        "'5:' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT event_type AS key, event_id,
+         |    CAST(round(value * 1000) AS BIGINT) AS v, b
+         |  FROM events CROSS JOIN (SELECT unnest(range(16)) AS b) reps),
+         |w AS (SELECT key, v, b,
+         |        CASE WHEN $h < ${t(0)} THEN 0
+         |             WHEN $h < ${t(1)} THEN 1
+         |             WHEN $h < ${t(2)} THEN 2
+         |             WHEN $h < ${t(3)} THEN 3
+         |             WHEN $h < ${t(4)} THEN 4
+         |             ELSE 5 END AS w
+         |      FROM r),
+         |m AS (SELECT key, CAST(b AS BIGINT) AS b,
+         |        CAST(SUM(w) AS BIGINT) AS n_eff,
+         |        SUM(CAST(w AS HUGEINT) * v) AS ws
+         |      FROM w GROUP BY 1, 2)
+         |SELECT key, b, n_eff,
+         |  CASE WHEN n_eff > 0 THEN
+         |    CAST(round(CAST(ws AS DOUBLE) / CAST(n_eff AS DOUBLE) * 1000)
+         |      AS BIGINT)
+         |  END AS mean_micro
+         |FROM m ORDER BY key, b""".stripMargin
+    },
+
+    "q215_bitmap_distinct" ->
+      """SELECT event_type AS key,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE user_id >= 0 GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // Ground truth from raw id sets — the bitmap result must agree
+    // with plain set intersection/union cardinalities.
+    "q216_bitmap_algebra" ->
+      """WITH ids AS (
+        |  SELECT DISTINCT CAST(o_orderstatus AS VARCHAR) AS value,
+        |    o_orderkey AS id
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderstatus IS NOT NULL),
+        |tot AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM ids GROUP BY 1),
+        |pairs AS (SELECT a.value AS value_a, b.value AS value_b,
+        |            CAST(COUNT(*) AS BIGINT) AS n_and
+        |          FROM ids a JOIN ids b
+        |            ON a.id = b.id AND a.value < b.value
+        |          GROUP BY 1, 2),
+        |spine AS (SELECT ta.value AS value_a, tb.value AS value_b,
+        |            ta.t AS t_a, tb.t AS t_b
+        |          FROM tot ta JOIN tot tb ON ta.value < tb.value)
+        |SELECT value_a, value_b,
+        |  COALESCE(n_and, 0) AS n_and,
+        |  t_a + t_b - COALESCE(n_and, 0) AS n_or,
+        |  CASE WHEN t_a + t_b - COALESCE(n_and, 0) > 0 THEN
+        |    (COALESCE(n_and, 0) * 1000000)
+        |      // (t_a + t_b - COALESCE(n_and, 0))
+        |  END AS jaccard_micro
+        |FROM spine LEFT JOIN pairs USING (value_a, value_b)
+        |ORDER BY value_a, value_b""".stripMargin,
+
+    // Brute-force trailing-window COUNT(DISTINCT) over the global-span
+    // grid — the quadratic truth the range-delta plan must equal.
+    "q217_sliding_distinct" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT event_type AS key, user_id AS id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+        |  FROM events),
+        |span AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM occ),
+        |keys AS (SELECT DISTINCT key FROM occ),
+        |grid AS (SELECT key, unnest(range(mn, mx + 1)) AS d
+        |         FROM keys CROSS JOIN span)
+        |SELECT g.key, CAST(g.d AS BIGINT) AS d,
+        |  CAST(COUNT(DISTINCT o.id) AS BIGINT) AS n_distinct
+        |FROM grid g LEFT JOIN occ o
+        |  ON o.key = g.key AND o.t BETWEEN g.d - 6 AND g.d
+        |GROUP BY 1, 2 ORDER BY g.key, d""".stripMargin,
 
     "q41_window_suite" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

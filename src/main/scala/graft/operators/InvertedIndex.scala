@@ -179,4 +179,79 @@ object InvertedIndex {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("score_micro"))
   }
+
+  /** Roaring-style bitmap index over a low-cardinality column: one row
+    * per (value, word_idx) holding a 32-bit membership word (packed in
+    * a BIGINT — bit b set ⇔ row id word_idx·32 + b carries the value).
+    * The set-algebra primitive behind fast categorical filters: AND/OR
+    * two values' bitmaps word-by-word with an equi-join on word_idx
+    * instead of re-scanning rows, cardinality via bit_count.
+    *
+    * 32-bit words in a 64-bit lane keep every word positive — no
+    * sign-bit shifts, so the arithmetic replays identically on any
+    * engine. One map-side-combined aggregate on (value, word_idx);
+    * ids must be non-negative. Output: (value, word_idx, word, bits)
+    * with bits = popcount(word). */
+  def bitmapIndex(df: DataFrame, idCol: String, valCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    df.where(id >= 0 && col(valCol).isNotNull)
+      .select(col(valCol).cast("string").as("value"),
+        shiftrightunsigned(id, 5).as("word_idx"),
+        pmod(id, lit(32L)).cast("int").as("__sh"))
+      .select(col("value"), col("word_idx"),
+        expr("shiftleft(1L, __sh)").as("bit"))
+      .groupBy("value", "word_idx")
+      .agg(bit_or(col("bit")).as("word"))
+      .withColumn("bits", bit_count(col("word")).cast("long"))
+  }
+
+  /** Set algebra over a [[bitmapIndex]]: exact |A∩B|, |A∪B|, and
+    * Jaccard micros for every value pair, computed word-by-word with
+    * ONE equi-join on word_idx — never a rescan of the indexed rows.
+    * AND popcounts come from the shared-word join; OR is derived
+    * exactly as |A| + |B| − |A∩B| from the per-value totals (a word
+    * present on one side only can contribute nothing to AND, so the
+    * inner join loses nothing). The pair spine is the value domain
+    * crossed with itself (categorical-scale, broadcast), so
+    * non-overlapping pairs still emit with n_and = 0. Jaccard by
+    * integer division (non-negative); NULL when both sides are empty.
+    * Output: (value_a, value_b, n_and, n_or, jaccard_micro),
+    * value_a < value_b. */
+  def bitmapAlgebra(index: DataFrame): DataFrame = {
+    val totals = index.groupBy("value").agg(sum("bits").as("tot"))
+    val spine = totals.select(col("value").as("value_a"),
+        col("tot").as("tot_a"))
+      .crossJoin(broadcast(totals.select(col("value").as("value_b"),
+        col("tot").as("tot_b"))))
+      .where(col("value_a") < col("value_b"))
+    val a = index.select(col("value").as("value_a"), col("word_idx"),
+      col("word").as("wa"))
+    val b = index.select(col("value").as("value_b"), col("word_idx"),
+      col("word").as("wb"))
+    val ands = a.join(b, Seq("word_idx"))
+      .where(col("value_a") < col("value_b"))
+      .groupBy("value_a", "value_b")
+      .agg(sum(bit_count(col("wa").bitwiseAND(col("wb"))).cast("long"))
+        .as("n_and"))
+    spine.join(ands, Seq("value_a", "value_b"), "left")
+      .select(col("value_a"), col("value_b"),
+        coalesce(col("n_and"), lit(0L)).as("n_and"),
+        (col("tot_a") + col("tot_b")
+          - coalesce(col("n_and"), lit(0L))).as("n_or"))
+      .select(col("value_a"), col("value_b"), col("n_and"), col("n_or"),
+        when(col("n_or") > 0, expr("(n_and * 1000000L) div n_or"))
+          .as("jaccard_micro"))
+  }
+
+  /** Exact distinct ids per key through the bitmap lane — the scale
+    * alternative to count_distinct when ids repeat heavily: the
+    * shuffle carries (key, word_idx) cells (ids/32 words, deduped
+    * map-side by the partial bit_or) instead of every raw id, then
+    * popcounts sum per key. Same contract as [[bitmapIndex]]: ids
+    * non-negative. Output: (key, n_distinct). */
+  def bitmapDistinct(df: DataFrame, keyCol: String,
+                     idCol: String): DataFrame =
+    bitmapIndex(df, idCol, keyCol)
+      .groupBy(col("value").as("key"))
+      .agg(sum("bits").as("n_distinct"))
 }

@@ -351,4 +351,29 @@ object KeyChecks {
     cells.unpersist(false)
     cached
   }
+
+  /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    * the re-identification screen a release pipeline runs before
+    * publishing: every equivalence class (distinct quasi-identifier
+    * combination) with its row count, its distinct-sensitive-value
+    * count, and the two risk flags (risky_k: fewer than k rows share
+    * the combination; risky_l: fewer than l distinct sensitive values,
+    * so the class leaks the attribute even at size ≥ k). NULL
+    * quasi-values form their own class (NULL-safe grouping — a null
+    * zip code is itself identifying).
+    *
+    * Scale: one map-side-combined aggregate on the quasi tuple;
+    * distinct-sensitive is exact count_distinct (a second partial
+    * within the same shuffle). No windows, no joins. Output: quasi
+    * cols + (n, n_sensitive, risky_k, risky_l). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"need k, l >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("risky_k", col("n") < k)
+      .withColumn("risky_l", col("n_sensitive") < l)
+  }
 }

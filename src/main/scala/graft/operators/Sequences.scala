@@ -107,4 +107,30 @@ object Sequences {
       .unionByName(side("last", "last_ch"))
       .select("touch", "channel", "n_conversions", "revenue_cents")
   }
+
+  /** Frequent precedence pairs (a strictly-before b, NOT necessarily
+    * adjacent) across user event streams — the sequential-pattern
+    * screen complementing [[topPaths3]]'s adjacent windows: "users who
+    * ever do a later do b" regardless of what happens in between.
+    * Support counts DISTINCT users exhibiting the pair.
+    *
+    * The scale trick: a user's raw stream never self-joins. Per
+    * (user, type) only (min_ts, max_ts) survive the first aggregate,
+    * and the pair (a, b) holds for a user iff min_ts(a) < max_ts(b) —
+    * so the join is T×T per user with T = the user's DISTINCT type
+    * count (vocabulary-bounded), not events². Self-pairs (a = a) are
+    * excluded. Output: (t1, t2, support) with support ≥ minSupport. */
+  def precedencePairs(df: DataFrame, keyCol: String, typeCol: String,
+                      tsCol: String, minSupport: Long): DataFrame = {
+    val spans = df
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("u"), col(typeCol).as("t"))
+      .agg(min(unix_micros(col(tsCol))).as("lo"),
+        max(unix_micros(col(tsCol))).as("hi"))
+    spans.select(col("u"), col("t").as("t1"), col("lo"))
+      .join(spans.select(col("u"), col("t").as("t2"), col("hi")), Seq("u"))
+      .where(col("t1") =!= col("t2") && col("lo") < col("hi"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
 }

@@ -93,15 +93,43 @@ object Stats {
     * (Gini undefined). Output: (key, n, total, gini_micro). */
   def giniByKey(df: DataFrame, keyCol: String, valueCol: String,
                 idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val dec = DecimalType(38, 0)
     val grouped = df
       .select(col(keyCol).as("key"), col(valueCol).cast("long").as("x"))
       .groupBy("key", "x").agg(count(lit(1)).as("c"))
-    // NULL x sorts first (bucket 0, nulls-first in-bucket): it shifts
-    // offsets of real values — exactly the ranks row_number gave it —
-    // while its own contribution is NULL and drops out of the sums.
+    val ranked = prefixCounts(grouped)
+    // tie-run rank sum c·o + c(c+1)/2; shiftright halves the even
+    // factor exactly (c and o are non-negative counts)
+    val tri = when(pmod(col("c"), lit(2L)) === 0L,
+      shiftright(col("c"), 1).cast(dec) * (col("c") + 1).cast(dec))
+      .otherwise(col("c").cast(dec) * shiftright(col("c") + 1, 1).cast(dec))
+    val agg = ranked.groupBy("key").agg(
+      sum("c").as("n"),
+      sum(col("x").cast(dec) * col("c").cast(dec)).cast("long").as("total"),
+      sum(col("x").cast(dec)
+        * (col("c").cast(dec) * col("o").cast(dec) + tri)).as("s2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg.where(col("total") > 0)
+      .select(col("key"), col("n"), col("total"),
+        round((lit(2.0) * d(col("s2")) / (d(col("n")) * d(col("total")))
+          - (d(col("n")) + lit(1.0)) / d(col("n"))) * 1e6)
+          .cast("long").as("gini_micro"))
+  }
+
+  /** Per-(key, value) strict-prefix row counts — the shared skew
+    * posture of [[giniByKey]] / [[spearmanByKey]]: input is DISTINCT
+    * (key, x) rows with multiplicity c; output adds o = number of rows
+    * of the key with strictly smaller x. Two-phase: global value-range
+    * buckets from distinct-pair percentiles (equal values share a
+    * bucket, so bucket order == value order), per-(key, bucket)
+    * subtotals give per-key bucket offsets over ≤ p rows/key, and the
+    * in-bucket prefix is local to the (key, bucket) partition — a hot
+    * key spreads across all p partitions instead of serializing onto
+    * one task. NULL x sorts first (bucket 0, nulls-first in-bucket);
+    * callers decide whether its contribution survives their sums. */
+  private[operators] def prefixCounts(grouped: DataFrame): DataFrame = {
+    val p = math.max(1,
+      grouped.sparkSession.sessionState.conf.numShufflePartitions)
     val bucketed =
       if (p == 1) grouped.withColumn("__b", lit(0))
       else {
@@ -120,24 +148,238 @@ object Stats {
       .select("key", "__b", "__off")
     val wLoc = Window.partitionBy("key", "__b").orderBy(col("x").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = bucketed.join(offsets, Seq("key", "__b"))
+    bucketed.join(offsets, Seq("key", "__b"))
       .withColumn("o", col("__off") + coalesce(sum("c").over(wLoc), lit(0L)))
-    // tie-run rank sum c·o + c(c+1)/2; shiftright halves the even
-    // factor exactly (c and o are non-negative counts)
-    val tri = when(pmod(col("c"), lit(2L)) === 0L,
-      shiftright(col("c"), 1).cast(dec) * (col("c") + 1).cast(dec))
-      .otherwise(col("c").cast(dec) * shiftright(col("c") + 1, 1).cast(dec))
-    val agg = ranked.groupBy("key").agg(
-      sum("c").as("n"),
-      sum(col("x").cast(dec) * col("c").cast(dec)).cast("long").as("total"),
-      sum(col("x").cast(dec)
-        * (col("c").cast(dec) * col("o").cast(dec) + tri)).as("s2"))
+      .drop("__bc")
+  }
+
+  /** Spearman rank correlation per key between two integer measures —
+    * the monotone-association screen (does quality score track token
+    * count?) robust to any monotone rescaling. Ties get average ranks;
+    * to keep every moment exact the DOUBLED average rank is used
+    * (2·avgrank = 2o + c + 1, an integer — o strict-prefix rows, c tie
+    * run), and Pearson over doubled ranks equals Pearson over ranks
+    * (correlation is affine-invariant per key since both axes scale by
+    * the same 2). Rank attachment is two joins back to rows on
+    * (key, value) — never a per-row window, so the [[giniByKey]] skew
+    * posture holds: a hot key costs its distinct-value count per
+    * partition, not its row count on one task.
+    *
+    * Moments go through DECIMAL(38,0); the float formula
+    * cov/√(vx·vy) runs per key-row in fixed order → bit-stable
+    * micros. Keys with n < 2 or zero variance on either axis emit
+    * NULL. Output: (key, n, rho_micro). */
+  def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // rows feeds both axes' distinct tables AND the final rank join;
+    // each grouped table feeds its percentile bounds AND the bucketed
+    // prefix — persist all three so no subtree replans (the
+    // mutualInformationCells discipline; gate/bench harnesses release
+    // at query boundaries via Blocks.releaseAll)
+    val rows = df
+      .select(col(keyCol).as("key"), col(xCol).cast("long").as("xv"),
+        col(yCol).cast("long").as("yv"))
+      .where(col("xv").isNotNull && col("yv").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ranks(vCol: String, out: String) =
+      prefixCounts(rows.groupBy(col("key"), col(vCol).as("x"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .select(col("key"), col("x").as(vCol),
+          (lit(2L) * col("o") + col("c") + lit(1L)).as(out))
+    val withR = rows
+      .join(ranks("xv", "rx"), Seq("key", "xv"))
+      .join(ranks("yv", "ry"), Seq("key", "yv"))
+    val m = withR.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+      sum(col("rx").cast(dec) * col("ry").cast(dec)).as("sxy"),
+      sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx"),
+      sum(col("ry").cast(dec) * col("ry").cast(dec)).as("syy"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    agg.where(col("total") > 0)
-      .select(col("key"), col("n"), col("total"),
-        round((lit(2.0) * d(col("s2")) / (d(col("n")) * d(col("total")))
-          - (d(col("n")) + lit(1.0)) / d(col("n"))) * 1e6)
-          .cast("long").as("gini_micro"))
+    val cov = d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))
+    val vx = d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))
+    val vy = d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n"))
+    m.select(col("key"), col("n"),
+      when(col("n") >= 2 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy) * 1e6).cast("long")).as("rho_micro"))
+  }
+
+  /** Theil–Sen robust trend per key over daily counts: the LOWER
+    * median of all pairwise slopes (d1 < d2) — one wild day cannot
+    * drag the estimate the way it drags [[TimeSeries.trendPerKey]]'s
+    * OLS slope. Slopes are exact-integer-fed floors:
+    * ⌊Δv·10⁶ / Δdays⌋ over IEEE doubles (both engines round-to-nearest
+    * the same quotient, Δv·10⁶ ≤ 2⁵³ exact), so every slope is the
+    * identical long on both engines, and the lower-median selection
+    * (ascending position ⌈n/2⌉) is pure integer arithmetic.
+    *
+    * Scale: days are calendar-bounded (a year of days → ~6.7e4 pairs
+    * per key), so the per-key pair join and the one ranking window are
+    * bounded by days², never by row count — the same bound
+    * [[TimeSeries.lagCorrDaily]] documents. Output: (key, n_days,
+    * n_pairs, slope_micro); keys with < 2 days drop (no pair). */
+  def theilSenDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("key"), unix_date(col(tsCol).cast("date")).as("d"))
+      .where(col("d").isNotNull)
+      .groupBy("key", "d").agg(count(lit(1)).as("v"))
+    val pairs = daily.as("a")
+      .join(daily.withColumnRenamed("d", "d2").withColumnRenamed("v", "v2")
+        .as("b"), col("a.key") === col("b.key") && col("a.d") < col("d2"))
+      .select(col("a.key").as("key"),
+        floor((col("v2") - col("v")).cast("double") * 1e6
+          / (col("d2") - col("a.d")).cast("double")).cast("long")
+          .as("slope_micro"))
+    val nDays = daily.groupBy("key").agg(count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("key").orderBy("slope_micro")
+    val med = pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy("key")))
+      // lower median: ascending position ⌈np/2⌉ = (np + 1) div 2
+      .where(col("__rn") === expr("(__np + 1L) div 2L"))
+      .select(col("key"), col("__np").as("n_pairs"), col("slope_micro"))
+    nDays.join(med, Seq("key"))
+  }
+
+  /** Isotonic regression over calibration bins (PAVA fit): the
+    * monotone recalibration step after [[calibrationBins]] — pooled
+    * positive rates that never decrease with score. Uses the minimax
+    * closed form ŷ_i = max_{j≤i} min_{k≥i} avg(pos_j..k / n_j..k) over
+    * the non-empty bins, which equals the pool-adjacent-violators fit
+    * but is expressible as bounded joins: bins are metadata-scale
+    * (≤ ~10³), so the bins³ interval enumeration is trivial while the
+    * row-scale work stays one map-side-combined aggregate. Interval
+    * averages are IEEE quotients of exact longs — identical doubles on
+    * both engines — so the minimax and the final micro are bit-stable.
+    * Output: (bin, lo_milli, hi_milli, n, pos, iso_micro) for
+    * non-empty bins, iso_micro monotone non-decreasing. */
+  def isotonicFit(df: DataFrame, scoreMilliCol: String, labelCol: String,
+                  bins: Int, loMilli: Long, hiMilli: Long): DataFrame = {
+    // ≤ bins rows feeding three consumers (prefix, interval spine,
+    // final join) — persist so the row-scale binning aggregate runs
+    // once (released at query boundaries via Blocks.releaseAll)
+    val binned = calibrationBins(df, scoreMilliCol, labelCol, bins,
+      loMilli, hiMilli)
+      .where(col("n") > 0)
+      .select("bin", "lo_milli", "hi_milli", "n", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bins-scale from here on: prefix sums over ≤ `bins` rows
+    val wp = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = binned.select(col("bin"), col("n"), col("pos"),
+      sum("n").over(wp).as("pn"), sum("pos").over(wp).as("pp"))
+    val ivl = pref.select(col("bin").as("j"),
+        (col("pn") - col("n")).as("pn0"), (col("pp") - col("pos")).as("pp0"))
+      .join(pref.select(col("bin").as("k"), col("pn").as("pnk"),
+        col("pp").as("ppk")), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("ppk") - col("pp0")).cast("double")
+          / (col("pnk") - col("pn0")).cast("double")).as("avg_jk"))
+    val perI = binned.select(col("bin").as("i"))
+      .join(ivl, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("avg_jk").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso"))
+    binned.join(perI, col("bin") === col("i"))
+      .select(col("bin"), col("lo_milli"), col("hi_milli"), col("n"),
+        col("pos"), round(col("iso") * 1e6).cast("long").as("iso_micro"))
+  }
+
+  /** Mann–Kendall trend statistic per key over daily counts — the
+    * hypothesis-test companion of [[theilSenDaily]] (the two are the
+    * standard robust-trend pair): S = Σ_{i<j} sign(v_j − v_i) over
+    * day pairs, plus tau-a = S / n_pairs. S and the pair counts are
+    * pure integer aggregates over the same calendar-bounded pair join
+    * as theilSen; tau goes through one fixed-order float (round, not
+    * integer div — S can be negative and truncate/floor semantics
+    * diverge across engines below zero). Output: (key, n_days,
+    * n_pairs, s_stat, tau_micro). Keys with < 2 days drop. */
+  def mannKendallDaily(df: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("key"), unix_date(col(tsCol).cast("date")).as("d"))
+      .where(col("d").isNotNull)
+      .groupBy("key", "d").agg(count(lit(1)).as("v"))
+    val nDays = daily.groupBy("key").agg(count(lit(1)).as("n_days"))
+    val pairs = daily.as("a")
+      .join(daily.withColumnRenamed("d", "d2").withColumnRenamed("v", "v2")
+        .as("b"), col("a.key") === col("b.key") && col("a.d") < col("d2"))
+      .select(col("a.key").as("key"), signum(col("v2") - col("v"))
+        .cast("long").as("sgn"))
+    val agg = pairs.groupBy("key").agg(count(lit(1)).as("n_pairs"),
+      sum("sgn").as("s_stat"))
+    nDays.join(agg, Seq("key"))
+      .select(col("key"), col("n_days"), col("n_pairs"), col("s_stat"),
+        round(col("s_stat").cast("double") / col("n_pairs").cast("double")
+          * 1e6).cast("long").as("tau_micro"))
+  }
+
+  /** Poisson bootstrap of the per-key mean — THE scale-out bootstrap:
+    * classical resampling needs n draws per replicate from one urn
+    * (undistributable); the Poisson approximation gives every row an
+    * independent Poisson(1) weight per replicate, so the whole B-fold
+    * resample is one explode + one aggregate, embarrassingly
+    * parallel. Weights come from a seeded md5₆₀ draw against the
+    * EXACT integer thresholds ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ (k ≤ 4, tail
+    * capped at 5) — no float enters the draw, so every engine deals
+    * identical weights. Per (key, replicate): n_eff = Σw and the
+    * weighted mean in fixed float order → bit-stable micros (input is
+    * milli-scaled; NULL when a replicate draws no weight). Replicate
+    * spread IS the sampling distribution of the mean. Output: (key,
+    * b, n_eff, mean_micro). */
+  def bootstrapMeans(df: DataFrame, keyCol: String, idCol: String,
+                     valueMilliCol: String, reps: Int,
+                     seed: Long): DataFrame = {
+    require(reps >= 1, s"need reps >= 1, got $reps")
+    val dec = DecimalType(38, 0)
+    val h = graft.functions.Hashes.md5Hash64(
+      concat(lit(s"$seed:"), col("b").cast("string"), lit(":"),
+        col("__id").cast("string")))
+    val w = poissonThresholds.zipWithIndex.foldRight(
+      lit(5L): org.apache.spark.sql.Column) { case ((t, k), rest) =>
+        when(h < t, k.toLong).otherwise(rest) }
+    df.select(col(keyCol).as("key"), col(idCol).cast("string").as("__id"),
+        col(valueMilliCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("w", w)
+      .groupBy("key", "b").agg(sum("w").as("n_eff"),
+        sum(col("w").cast(dec) * col("v").cast(dec)).as("ws"))
+      .select(col("key"), col("b").cast("long").as("b"), col("n_eff"),
+        when(col("n_eff") > 0,
+          round(col("ws").cast("double") / col("n_eff").cast("double")
+            * 1000).cast("long")).as("mean_micro"))
+  }
+
+  /** ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ for k = 0..4 — the integer draw
+    * thresholds [[bootstrapMeans]] and its oracle share verbatim. */
+  private[graft] val poissonThresholds: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val pmf = Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24).map(_ * e)
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => (c * 1152921504606846976.0).toLong) // × 2⁶⁰
+  }
+
+  /** Per-key counts with deterministic bounded integer noise — the
+    * shape of a differentially-private release pipeline (count, plus
+    * noise, plus a non-negativity clamp), with the noise drawn from a
+    * seeded hash instead of a Laplace sampler so the release is
+    * replayable in tests and across engines. NOT a privacy guarantee:
+    * a production deployment swaps `noise` for a real Laplace/discrete-
+    * Gaussian draw at scale ε — the plumbing (per-key draw, clamp,
+    * released-vs-true audit columns) is what this operator pins.
+    * noise = (md5₆₀(seed:key) mod (2·bound+1)) − bound, uniform on
+    * [−bound, bound]. Output: (key, n, noise, n_noisy ≥ 0). */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, bound: Int,
+                    seed: Long): DataFrame = {
+    require(bound >= 0, s"noise bound must be >= 0, got $bound")
+    val h = graft.functions.Hashes.md5Hash64(
+      concat(lit(s"$seed:"), col("key").cast("string")))
+    df.select(col(keyCol).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .withColumn("noise", pmod(h, lit(2L * bound + 1)) - lit(bound.toLong))
+      .withColumn("n_noisy", greatest(col("n") + col("noise"), lit(0L)))
   }
 
   /** Per-key winsorization of an integer measure: clamp every row's
@@ -501,23 +743,31 @@ object Stats {
       .withColumn("cumIncl", col("__off") + sum("c").over(wIn))
       // rows STRICTLY greater than this run (desc-rank offset)
       .withColumn("o", lit(nTot) - col("cumIncl"))
-    val pTot = rows.agg(coalesce(sum("y"), lit(0L))).as[Long].collect()(0)
-    val sliced = cum
+    // total positives from the persisted distinct-score table — never
+    // re-aggregate the raw rows (that would replan the whole source)
+    val pTot = grouped.agg(coalesce(sum("p"), lit(0L))).as[Long].collect()(0)
+    // ≤ bins slice rows: fold the cumulative sums driver-side (the
+    // bucket-offset discipline above — metadata-scale, and it keeps
+    // the triangular-join/window subtree out of the plan entirely)
+    val sliceRows = cum
       .withColumn("slice", expr(s"(o * ${bins}L) div ${math.max(nTot, 1L)}L"))
       .groupBy("slice").agg(sum("c").as("n"), sum("p").as("pos"))
-    // cumulative over ≤ bins rows: broadcast triangular self-join,
-    // no single-partition window
-    val tiny = sliced.select(col("slice").as("s2"), col("n").as("n2"),
-      col("pos").as("pos2"))
-    val out = sliced.join(broadcast(tiny), col("s2") <= col("slice"))
-      .groupBy("slice").agg(first("n").as("n"), first("pos").as("pos"),
-        sum("n2").as("cum_n"), sum("pos2").as("cum_pos"))
-      .select(col("slice"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
-        when(lit(pTot) > 0,
-          expr(s"(cum_pos * ${nTot}L * 1000000L) div (cum_n * ${math.max(pTot, 1L)}L)"))
-          .as("lift_micro"))
+      .collect()
+      .map(r => (r.getAs[Long]("slice"), r.getAs[Long]("n"),
+        r.getAs[Long]("pos")))
+      .sortBy(_._1)
     grouped.unpersist(false)
-    out
+    var (cn, cp) = (0L, 0L)
+    val folded = sliceRows.map { case (slice, n, pos) =>
+      cn += n; cp += pos
+      // all factors non-negative → BigInt quotient == truncating div
+      val lift = if (pTot > 0)
+        Some(((BigInt(cp) * nTot * 1000000L) /
+          (BigInt(cn) * math.max(pTot, 1L))).toLong)
+      else None
+      (slice, n, pos, cn, cp, lift)
+    }.toSeq
+    folded.toDF("slice", "n", "pos", "cum_n", "cum_pos", "lift_micro")
   }
 
   /** Calibration (reliability) table for a scoring model: fixed-width

@@ -313,6 +313,43 @@ object TextAnalytics {
       .orderBy(col("n").desc, col("term").asc)
       .limit(n)
 
+  /** Lightweight suffix-stripping stemmer (Porter step-1-flavoured)
+    * as a pure Column expression — collapses plural/participle
+    * variants so term statistics aggregate per stem instead of per
+    * surface form. Deliberately rule-exact rather than linguistically
+    * complete: two fixed CASE passes over `ends_with`/`left`, every
+    * rule replayable verbatim in any SQL engine (no regex captures,
+    * no lookbehind — the portability constraint). Pass 1 plurals:
+    * sses→ss, ies→i, ss kept, s dropped (len ≥ 4); pass 2 suffixes:
+    * ing dropped (len ≥ 6), ed (len ≥ 5), ly (len ≥ 5). */
+  def stemLite(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def drop(x: org.apache.spark.sql.Column, k: Int) =
+      x.substr(lit(1), length(x) - lit(k))
+    val p1 = when(c.endsWith("sses"), drop(c, 2))
+      .when(c.endsWith("ies"), drop(c, 2))
+      .when(c.endsWith("ss"), c)
+      .when(c.endsWith("s") && length(c) >= 4, drop(c, 1))
+      .otherwise(c)
+    when(p1.endsWith("ing") && length(p1) >= 6, drop(p1, 3))
+      .when(p1.endsWith("ed") && length(p1) >= 5, drop(p1, 2))
+      .when(p1.endsWith("ly") && length(p1) >= 5, drop(p1, 2))
+      .otherwise(p1)
+  }
+
+  /** [[topTerms]] over stems: lowercase whitespace tokens, punctuation
+    * stripped at the edges (`[^a-z0-9]` — same character-class regex
+    * in Java and RE2), [[stemLite]] applied, then count desc / stem
+    * asc top `n`. Map-side partial counts → one shuffle → TakeOrdered. */
+  def stemmedTopTerms(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(Text.tokens(lower(col(textCol)))).as("w"))
+      .select(regexp_replace(col("w"),
+        "^[^a-z0-9]+|[^a-z0-9]+$", "").as("w"))
+      .where(col("w") =!= "")
+      .select(stemLite(col("w")).as("stem"))
+      .groupBy("stem").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("stem").asc)
+      .limit(n)
+
   /** Adjacent-token bigram counts with a minimum frequency. */
   def bigramCounts(df: DataFrame, textCol: String, minCount: Long): DataFrame =
     df.select(explode(graft.plans.native.wordShingles(col(textCol), 2)).as("bigram"))

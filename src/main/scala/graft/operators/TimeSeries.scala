@@ -296,4 +296,233 @@ object TimeSeries {
       when(col("np") >= 2 && vx > 0 && vy > 0,
         round(cov / sqrt(vx * vy) * 1e6).cast("long")).as("r_micro"))
   }
+
+  /** Peak concurrency per key over half-open intervals [start, end) —
+    * the capacity statistic (max simultaneous sessions, peak open
+    * connections). Classic sweep line: +1 at start, −1 at end, peak =
+    * max prefix of the ordered deltas. Half-open means an interval
+    * ending exactly when another starts never overlaps it, which the
+    * per-timestamp collapse encodes for free: within one timestamp the
+    * ends all land before the starts, so the interior dip never
+    * exceeds a neighbor and the max over prefixes equals the max over
+    * per-timestamp NET cumulative sums.
+    *
+    * Skew posture (the [[Stats.giniByKey]] two-phase): timestamps
+    * bucket by global percentiles, each (key, bucket) computes its
+    * local ordered prefix maximum and subtotal, bucket offsets come
+    * from a per-key window over ≤ p rows, and the peak is
+    * max(offset + local max) — a hot key spreads across all p
+    * partitions; no per-key window ever sees row-scale data.
+    * Output: (key, n_intervals, max_concurrent). Rows with NULL
+    * start/end are dropped; end < start is rejected by filter (an
+    * inverted interval would silently corrupt the sweep). */
+  def maxConcurrent(df: DataFrame, keyCol: String, startCol: String,
+                    endCol: String): DataFrame = {
+    val iv = df.select(col(keyCol).as("key"),
+        unix_micros(col(startCol)).as("s"), unix_micros(col(endCol)).as("e"))
+      .where(col("s").isNotNull && col("e").isNotNull && col("s") <= col("e"))
+    val nIv = iv.groupBy("key").agg(count(lit(1)).as("n_intervals"))
+    val deltas = iv.select(col("key"), col("s").as("t"), lit(1L).as("dl"))
+      .unionByName(iv.select(col("key"), col("e").as("t"),
+        lit(-1L).as("dl")))
+    val perT = deltas.groupBy("key", "t").agg(sum("dl").as("net"))
+    nIv.join(peakOverDeltas(perT), Seq("key"))
+      .select(col("key"), col("n_intervals"), col("max_concurrent"))
+  }
+
+  /** Max prefix of per-timestamp NET deltas, per key — the sweep-line
+    * core shared by [[maxConcurrent]] and the streaming concurrency
+    * monitor ([[graft.streaming.StreamMonitor.concurrencyStream]]).
+    * Input: (key, t, net) with at most one row per (key, t); output:
+    * (key, max_concurrent ≥ 0). The two-phase bucket/offset shape is
+    * documented on [[maxConcurrent]]. */
+  private[graft] def peakOverDeltas(perT: DataFrame): DataFrame = {
+    val p = math.max(1,
+      perT.sparkSession.sessionState.conf.numShufflePartitions)
+    val bucketed =
+      if (p == 1) perT.withColumn("__b", lit(0))
+      else {
+        val bnds = perT.agg(percentile_approx(col("t").cast("double"),
+          typedlit((1 until p).map(_.toDouble / p)), lit(10000)).as("__bnds"))
+        perT.crossJoin(broadcast(bnds))
+          .withColumn("__b", size(filter(col("__bnds"),
+            b => b < col("t").cast("double"))))
+          .drop("__bnds")
+      }
+    val wLoc = Window.partitionBy("key", "__b").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("__pre", sum("net").over(wLoc))
+      .groupBy("key", "__b")
+      .agg(sum("net").as("__bsum"), max("__pre").as("__bmax"))
+    val wOff = Window.partitionBy("key").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
+      .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
+      .groupBy("key")
+      .agg(greatest(max(col("__off") + col("__bmax")), lit(0L))
+        .as("max_concurrent"))
+  }
+
+  /** CUSUM changepoint per key over the daily count series: the day
+    * where the cumulative deviation from a flat rate peaks — the
+    * standard "when did the level shift?" detector for volume drops
+    * and launches. Pure integer form: with D days, total T and prefix
+    * P_i at the i-th day (ascending), the scaled statistic
+    *   S_i = P_i·D − i·T   (= D·T·CUSUM_i in the usual normalization)
+    * never touches a float; the changepoint is the day maximizing
+    * |S_i|, ties → earliest day. S_D = 0 by construction, so a
+    * perfectly flat series reports its first day with s_abs_max = 0.
+    *
+    * Per-key windows order by day — group size is calendar-bounded
+    * (the [[lagCorrDaily]] bound), not corpus-bounded. Products go
+    * through DECIMAL(38,0) (P·D and i·T can pass 2⁶³ on wide spans ×
+    * heavy days). Output: (key, n_days, total, cp_date, s_abs_max). */
+  def cusumChangepoint(df: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("d").isNotNull)
+    val wSeq = Window.partitionBy("key").orderBy("d")
+    val wAll = Window.partitionBy("key")
+    val scored = daily
+      .withColumn("__i", row_number().over(wSeq).cast("long"))
+      .withColumn("__p", sum("c").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nd", count(lit(1)).over(wAll))
+      .withColumn("__t", sum("c").over(wAll))
+      .withColumn("__s", abs(col("__p").cast(dec) * col("__nd").cast(dec)
+        - col("__i").cast(dec) * col("__t").cast(dec)))
+    val wPick = Window.partitionBy("key")
+      .orderBy(col("__s").desc, col("d").asc)
+    scored.withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1)
+      .select(col("key"), col("__nd").as("n_days"), col("__t").as("total"),
+        col("d").as("cp_date"), col("__s").cast("long").as("s_abs_max"))
+  }
+
+  /** Exact sliding-window distinct count per (key, day) — trailing
+    * `days`-day distinct actives (7-day unique users, 28-day unique
+    * repos), the metric COUNT(DISTINCT) over a sliding window cannot
+    * express scalably because per-day distinct sets are not additive.
+    *
+    * The range-delta reformulation makes it one pass: dedup to
+    * (key, id, day) occurrences, lag() gives each occurrence its
+    * predecessor day for the same (key, id), and an occurrence at day
+    * t with predecessor p is the COUNTED representative of its id
+    * exactly for window-end days d ∈ [max(t, p + days), t + days − 1]
+    * (before that the predecessor is still inside the window; after
+    * it the occurrence has slid out). Each occurrence thus becomes a
+    * +1/−1 day-range delta; per-(key, day) nets prefix-sum to the
+    * exact distinct count. No window ever touches an id set — the
+    * lag window is bounded by one id's day count, the prefix window
+    * by the calendar ([[lagCorrDaily]] bound).
+    *
+    * The emit grid is the global [min, max] day span per key
+    * (gapFill's span posture: two collected literals, a per-key
+    * sequence explode), count 0 before a key's first active window.
+    * Output: (key, d — epoch day, n_distinct). */
+  def slidingDistinct(df: DataFrame, keyCol: String, idCol: String,
+                      tsCol: String, days: Int): DataFrame = {
+    require(days >= 1, s"need days >= 1, got $days")
+    val occ = df
+      .select(col(keyCol).as("key"), col(idCol).as("id"),
+        unix_date(col(tsCol).cast("date")).cast("long").as("t"))
+      .where(col("t").isNotNull)
+      .distinct()
+    val wPrev = Window.partitionBy("key", "id").orderBy("t")
+    val contrib = occ
+      .withColumn("__prev", lag("t", 1).over(wPrev))
+      .select(col("key"),
+        greatest(col("t"), coalesce(col("__prev") + days, col("t")))
+          .as("lo"),
+        (col("t") + days - 1).as("hi"))
+    val net = contrib.select(col("key"), col("lo").as("d"),
+        lit(1L).as("dl"))
+      .unionByName(contrib.select(col("key"), (col("hi") + 1).as("d"),
+        lit(-1L).as("dl")))
+      .groupBy("key", "d").agg(sum("dl").as("net"))
+    val wRun = Window.partitionBy("key").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = net.withColumn("cnt", sum("net").over(wRun))
+      .select("key", "d", "cnt")
+    val mm = occ.agg(min("t").as("mn"), max("t").as("mx")).head()
+    require(!mm.isNullAt(0), "slidingDistinct needs at least one dated row")
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val grid = occ.select("key").distinct()
+      .select(col("key"), explode(sequence(lit(mn), lit(mx))).as("d"))
+    val wFill = Window.partitionBy("key").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(run, Seq("key", "d"), "left")
+      .select(col("key"), col("d"),
+        coalesce(last("cnt", ignoreNulls = true).over(wFill), lit(0L))
+          .as("n_distinct"))
+  }
+
+  /** Day-of-week seasonal profile per key — the multiplicative
+    * decomposition step forecasting and anomaly pipelines run before
+    * comparing a Monday to a Sunday: per (key, dow) the day count,
+    * the exact mean daily volume (integer micro division — sums and
+    * counts are non-negative, so truncate == floor on every engine),
+    * and the seasonal index (dow mean / overall mean) in one
+    * fixed-order float expression. Day-of-week is PURE ARITHMETIC —
+    * (epoch_day + 4) mod 7, 0 = Sunday — because dayofweek()
+    * conventions differ across engines (1-based Sunday-first vs
+    * 0-based) and an off-by-one here silently shifts every index.
+    * Output: (key, dow, n_days, mean_micro, index_micro). */
+  def seasonalProfile(df: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("key"),
+        unix_date(col(tsCol).cast("date")).cast("long").as("d"))
+      .where(col("d").isNotNull)
+      .groupBy("key", "d").agg(count(lit(1)).as("v"))
+      .withColumn("dow", pmod(col("d") + 4, lit(7L)))
+    val byDow = daily.groupBy("key", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("v").as("sd"))
+    val byKey = daily.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    def d(c: String) = col(c).cast("double")
+    byDow.join(byKey, Seq("key"))
+      .select(col("key"), col("dow"), col("n_days"),
+        expr("(sd * 1000000L) div n_days").as("mean_micro"),
+        when(col("s") > 0,
+          round((d("sd") / d("n_days")) / (d("s") / d("n")) * 1e6)
+            .cast("long")).as("index_micro"))
+  }
+
+  /** Trailing OLS slope per (key, day) over the last `days` rows of a
+    * REGULAR daily grid (compose after [[gapFill]], same contract as
+    * [[rollingSum]]) — the local trend feature forecasting pipelines
+    * attach to every day. The five moment sums run as ONE set of
+    * trailing windows (exact integers, x = epoch day, products through
+    * DECIMAL(38,0)); the slope is the [[trendPerKey]] closed form in
+    * fixed float order over those exact sums → bit-stable micros.
+    * Rows whose trailing window holds < 2 non-NULL points (or constant
+    * x — impossible on a daily grid, kept for safety) emit NULL.
+    * Window group size is day-span-bounded. Output: (key, date,
+    * value, slope_micro). */
+  def rollingSlope(df: DataFrame, keyCol: String, dateCol: String,
+                   valueCol: String, days: Int): DataFrame = {
+    require(days >= 2, s"need days >= 2 for a slope, got $days")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(-(days - 1), Window.currentRow)
+    val x = unix_date(col(dateCol).cast("date")).cast("long")
+    val y = col(valueCol).cast("long")
+    // __-prefixed moment aliases: the caller's value column may
+    // itself be named n/sx/...
+    val base = df.select(col(keyCol), col(dateCol), col(valueCol),
+      count(y).over(w).as("__n"),
+      sum(when(y.isNotNull, x)).over(w).as("__sx"), sum(y).over(w).as("__sy"),
+      sum(x.cast(dec) * y.cast(dec)).over(w).as("__sxy"),
+      sum(when(y.isNotNull, x.cast(dec) * x.cast(dec))).over(w).as("__sxx"))
+    def d(c: String) = col(c).cast("double")
+    val den = d("__n") * d("__sxx") - d("__sx") * d("__sx")
+    val num = d("__n") * d("__sxy") - d("__sx") * d("__sy")
+    base.select(col(keyCol), col(dateCol), col(valueCol),
+      when(col("__n") >= 2 && den > 0,
+        round(num / den * 1e6).cast("long")).as("slope_micro"))
+  }
 }

@@ -185,4 +185,57 @@ object StreamMonitor {
       .select(col("stratum").as("key"), col("cb").cast("long").as("n"))
       .orderBy(col("n").desc, col("key").asc)
       .limit(k)
+
+  /** Streaming peak-concurrency monitor: the live twin of
+    * [[graft.operators.TimeSeries.maxConcurrent]] — "what is the
+    * all-time peak of simultaneous sessions per key, as of now?"
+    * emitted every trigger over half-open [start, end) intervals.
+    *
+    * State is the same parquet shard store as [[ksDriftStream]], with
+    * the sweep-line's per-timestamp NET deltas riding the store's
+    * cells: `stratum` = key, `v` = epoch micros, `cb` = Σ(+1 starts,
+    * −1 ends) at that instant. Net deltas are CLOSED under the
+    * store's cell-wise addition — a batch's contribution to an
+    * instant simply adds — so idempotent batchId-shard overwrite,
+    * compaction, and offline readback all work unchanged. Late or
+    * out-of-order intervals are folded exactly (the peak is
+    * recomputed from the full accumulated delta field, not
+    * incrementally), trading per-trigger cost — bounded by distinct
+    * (key, instant) cells across a compaction-bounded shard set — for
+    * exactness under any arrival order. */
+  def concurrencyStream(live: DataFrame, keyCol: String, startCol: String,
+                        endCol: String, storeDir: String,
+                        checkpointDir: String, compactEvery: Int = 32)
+                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = live.sparkSession
+    live
+      .select(col(keyCol).cast("string").as("stratum"),
+        unix_micros(col(startCol)).as("s"), unix_micros(col(endCol)).as("e"))
+      .where(col("s").isNotNull && col("e").isNotNull && col("s") <= col("e"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col("stratum"), col("s").as("v"), lit(1L).as("dl"))
+          .unionByName(batch.select(col("stratum"), col("e").as("v"),
+            lit(-1L).as("dl")))
+          .groupBy("stratum", "v").agg(sum("dl").as("cb"))
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactShards(spark, storeDir, s"c$batchId")
+        sink(peakFromStore(spark, storeDir), batchId)
+      }
+      .start()
+  }
+
+  /** All-time peak concurrency per key from a concurrency store —
+    * also the offline entry point. Zero-net instants (an interval
+    * fully contained in one batch's same-instant churn, or a
+    * compacted cancellation) drop before the sweep: they cannot move
+    * any prefix. */
+  def peakFromStore(spark: SparkSession, storeDir: String): DataFrame =
+    graft.operators.TimeSeries.peakOverDeltas(
+      readStore(spark, storeDir)
+        .where(col("cb") =!= 0L)
+        .select(col("stratum").as("key"), col("v").as("t"),
+          col("cb").as("net")))
 }

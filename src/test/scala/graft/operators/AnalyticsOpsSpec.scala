@@ -1,0 +1,383 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Round-6 analytics additions: rank/robust statistics, sweep-line
+  * concurrency, changepoints, privacy audits, bitmap indexes, and the
+  * portable stemmer. Each test pins a hand-computed ground truth. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // --- spearmanByKey ------------------------------------------------------
+
+  test("spearmanByKey: perfect monotone = 1e6, anti-monotone = -1e6") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L), ("up", 4L, 99L),
+      ("dn", 1L, 9L), ("dn", 2L, 8L), ("dn", 3L, 7L))
+      .toDF("k", "x", "y")
+    val m = Stats.spearmanByKey(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m("up") == 1000000L && m("dn") == -1000000L)
+  }
+
+  test("spearmanByKey: ties get average ranks (hand case)") {
+    // x: 1,2,2,4 → ranks 1, 2.5, 2.5, 4; y: 10,20,20,40 → same ranks
+    // → rho = 1 exactly even with ties
+    val df = Seq(("t", 1L, 10L), ("t", 2L, 20L), ("t", 2L, 20L),
+      ("t", 4L, 40L)).toDF("k", "x", "y")
+    val rho = Stats.spearmanByKey(df, "k", "x", "y")
+      .collect().head.getLong(2)
+    assert(rho == 1000000L)
+  }
+
+  test("spearmanByKey: constant axis → NULL, n<2 → NULL") {
+    val df = Seq(("c", 5L, 1L), ("c", 5L, 2L), ("one", 1L, 1L))
+      .toDF("k", "x", "y")
+    val out = Stats.spearmanByKey(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(out("c") && out("one"))
+  }
+
+  // --- theilSenDaily ------------------------------------------------------
+
+  test("theilSenDaily: outlier day does not drag the median slope") {
+    // key a: days 0..4 counts 1,2,3,4,1000 — OLS would explode; the
+    // 10 pairwise slopes (×1e6): five pairs among 1..4 give 1e6 each
+    // (slope exactly 1), pairs with day4: (1000-1)/4, (1000-2)/3,
+    // (1000-3)/2, (1000-4)/1 — all huge. Sorted asc: 1e6 ×6? no:
+    // slopes: d(0,1)=1,d(0,2)=1,d(0,3)=1,d(1,2)=1,d(1,3)=1,d(2,3)=1 →
+    // six 1e6 slopes, four huge → lower median (pos 5 of 10) = 1e6.
+    val rows = for {
+      (d, c) <- Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 1000))
+      i <- 1 to c
+    } yield ("a", ts(f"2024-01-0$d%d 00:00:00"))
+    val df = rows.toDF("k", "t")
+    val out = Stats.theilSenDaily(df, "k", "t").collect().head
+    assert(out.getLong(1) == 5L)       // n_days
+    assert(out.getLong(2) == 10L)      // n_pairs
+    assert(out.getLong(3) == 1000000L) // slope_micro robust to the spike
+  }
+
+  test("theilSenDaily: single-day key drops (no pair)") {
+    val df = Seq(("solo", ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    assert(Stats.theilSenDaily(df, "k", "t").count() == 0)
+  }
+
+  // --- isotonicFit --------------------------------------------------------
+
+  test("isotonicFit: PAVA pools a violating middle bin") {
+    // bins (v in milli, bins=4 over [0,4000)): rates 0/2, 2/2, 1/2, 2/2
+    // → violation at bin2 (0.5 after 1.0): pool bins 1-2 → 3/4 = 0.75
+    // fit: 0, 0.75, 0.75, 1.0
+    val rows =
+      Seq((500L, false), (500L, false),
+        (1500L, true), (1500L, true),
+        (2500L, true), (2500L, false),
+        (3500L, true), (3500L, true))
+    val df = rows.toDF("v", "y")
+    val out = Stats.isotonicFit(df, "v", "y", bins = 4, loMilli = 0L,
+      hiMilli = 4000L)
+      .orderBy("bin")
+      .select("bin", "n", "pos", "iso_micro")
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    assert(out == Seq((0L, 2L, 0L, 0L), (1L, 2L, 2L, 750000L),
+      (2L, 2L, 1L, 750000L), (3L, 2L, 2L, 1000000L)))
+  }
+
+  test("isotonicFit: already-monotone rates pass through unchanged") {
+    val rows = Seq((500L, false), (1500L, true), (1500L, false),
+      (2500L, true))
+    val out = Stats.isotonicFit(rows.toDF("v", "y"), "v", "y", bins = 4,
+      loMilli = 0L, hiMilli = 4000L)
+      .orderBy("bin").select("iso_micro").as[Long].collect.toSeq
+    assert(out == Seq(0L, 500000L, 1000000L))
+  }
+
+  // --- dpNoisyCounts ------------------------------------------------------
+
+  test("dpNoisyCounts: noise bounded, deterministic, clamped at zero") {
+    val df = (1 to 40).map(i => s"k${i % 4}").toDF("k")
+    val out = Stats.dpNoisyCounts(df, "k", bound = 3, seed = 7L)
+      .as[(String, Long, Long, Long)].collect.toSeq.sortBy(_._1)
+    assert(out.map(_._2).sum == 40)
+    assert(out.forall { case (_, n, noise, noisy) =>
+      noise >= -3 && noise <= 3 && noisy == math.max(n + noise, 0L) })
+    val again = Stats.dpNoisyCounts(df, "k", bound = 3, seed = 7L)
+      .as[(String, Long, Long, Long)].collect.toSeq.sortBy(_._1)
+    assert(out == again)
+    // a tiny key with a big bound can clamp
+    val tiny = Stats.dpNoisyCounts(Seq("x").toDF("k"), "k",
+      bound = 100, seed = 1L).collect().head
+    assert(tiny.getLong(3) >= 0)
+  }
+
+  // --- kAnonymity ---------------------------------------------------------
+
+  test("kAnonymity flags small classes and low sensitive diversity") {
+    val df = Seq(
+      // class (10, "a"): 3 rows, 3 distinct sensitives → safe at k=3,l=3
+      (10L, "a", 1L), (10L, "a", 2L), (10L, "a", 3L),
+      // class (10, "b"): 2 rows → risky_k at k=3
+      (10L, "b", 1L), (10L, "b", 2L),
+      // class (20, "a"): 3 rows but 1 distinct sensitive → risky_l at l=3
+      (20L, "a", 9L), (20L, "a", 9L), (20L, "a", 9L))
+      .toDF("zip", "seg", "s")
+    val out = KeyChecks.kAnonymity(df, Seq("zip", "seg"), "s", k = 3, l = 3)
+      .orderBy("zip", "seg")
+      .as[(Long, String, Long, Long, Boolean, Boolean)].collect.toSeq
+    assert(out == Seq(
+      (10L, "a", 3L, 3L, false, false),
+      (10L, "b", 2L, 2L, true, true),
+      (20L, "a", 3L, 1L, false, true)))
+  }
+
+  // --- maxConcurrent ------------------------------------------------------
+
+  test("maxConcurrent: half-open touch does not overlap; nesting counts") {
+    val df = Seq(
+      // k1: [0,10) [10,20) touch → peak 1; [5,8) nests? no — with
+      // [0,10): [0,10) and [5,8) overlap → peak 2
+      ("k1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:10")),
+      ("k1", ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:20")),
+      ("k1", ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:08")),
+      // k2: three fully nested → peak 3
+      ("k2", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00")),
+      ("k2", ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:50")),
+      ("k2", ts("2024-01-01 00:00:20"), ts("2024-01-01 00:00:40")))
+      .toDF("k", "s", "e")
+    val m = TimeSeries.maxConcurrent(df, "k", "s", "e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("k1") == ((3L, 2L)))
+    assert(m("k2") == ((3L, 3L)))
+  }
+
+  test("maxConcurrent: two-phase peak equals the single-window ground truth") {
+    // randomized-ish deterministic pile of intervals; compare against
+    // a plain global-window sweep computed with a different plan
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 200).map { i =>
+      val s = (i * 37) % 500
+      ("hot", new Timestamp(base + s * 1000L),
+        new Timestamp(base + (s + 13 + i % 11) * 1000L))
+    }
+    val df = rows.toDF("k", "s", "e")
+    val got = TimeSeries.maxConcurrent(df, "k", "s", "e")
+      .collect().head.getLong(2)
+    // oracle: explicit event sort in local scala
+    val evs = rows.flatMap { case (_, s, e) =>
+      Seq((s.getTime, 1), (e.getTime, -1)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var run = 0L; var peak = 0L
+    evs.foreach { case (_, d) => run += d; peak = math.max(peak, run) }
+    assert(got == peak)
+  }
+
+  // --- cusumChangepoint ---------------------------------------------------
+
+  test("cusumChangepoint finds a level shift at its last low day") {
+    // 3 days at 10 then 3 days at 100: |S| peaks at the boundary
+    val rows = for {
+      (d, c) <- Seq((1, 10), (2, 10), (3, 10), (4, 100), (5, 100), (6, 100))
+      i <- 1 to c
+    } yield ("a", ts(f"2024-02-0$d%d 12:00:00"))
+    val out = TimeSeries.cusumChangepoint(rows.toDF("k", "t"), "k", "t")
+      .collect().head
+    assert(out.getLong(1) == 6L && out.getLong(2) == 330L)
+    assert(out.getDate(3).toString == "2024-02-03")
+    // S_3 = P_3·D − 3·T = 30·6 − 3·330 = 180 − 990 = −810 → |S| = 810
+    assert(out.getLong(4) == 810L)
+  }
+
+  test("cusumChangepoint: flat series reports first day with S=0") {
+    val rows = for { d <- 1 to 4; _ <- 1 to 7 }
+      yield ("flat", ts(f"2024-03-0$d%d 00:00:00"))
+    val out = TimeSeries.cusumChangepoint(rows.toDF("k", "t"), "k", "t")
+      .collect().head
+    assert(out.getDate(3).toString == "2024-03-01" && out.getLong(4) == 0L)
+  }
+
+  // --- rollingSlope -------------------------------------------------------
+
+  test("rollingSlope: exact slope on a linear daily grid") {
+    import java.sql.Date
+    val rows = (0 until 10).map(i =>
+      ("a", Date.valueOf(f"2024-01-${i + 1}%02d"), 100L + 7L * i))
+    val out = TimeSeries.rollingSlope(rows.toDF("k", "d", "v"),
+      "k", "d", "v", days = 4)
+      .orderBy("d").select("slope_micro").as[Option[Long]].collect.toSeq
+    assert(out.head.isEmpty)                    // first row: n = 1
+    assert(out.tail.forall(_.contains(7000000L))) // slope exactly 7
+  }
+
+  // --- precedencePairs ----------------------------------------------------
+
+  test("precedencePairs: span collapse matches the quadratic truth") {
+    val df = Seq(
+      // u1: a@1, b@2, a@3 → a<b (1<2), b<a (2<3), both hold
+      (1L, "a", ts("2024-01-01 00:00:01")),
+      (1L, "b", ts("2024-01-01 00:00:02")),
+      (1L, "a", ts("2024-01-01 00:00:03")),
+      // u2: a@5, b@4 → only b<a
+      (2L, "a", ts("2024-01-01 00:00:05")),
+      (2L, "b", ts("2024-01-01 00:00:04")),
+      // u3: a and b simultaneous → neither (strict <)
+      (3L, "a", ts("2024-01-01 00:00:09")),
+      (3L, "b", ts("2024-01-01 00:00:09")))
+      .toDF("u", "t", "ts")
+    val out = Sequences.precedencePairs(df, "u", "t", "ts", minSupport = 1L)
+      .as[(String, String, Long)].collect.toSet
+    assert(out == Set(("a", "b", 1L), ("b", "a", 2L)))
+  }
+
+  // --- bitmapIndex --------------------------------------------------------
+
+  test("bitmapIndex packs 32-bit words with exact popcounts") {
+    val df = Seq((0L, "x"), (1L, "x"), (31L, "x"), (32L, "x"), (33L, "y"),
+      (-5L, "x"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val out = InvertedIndex.bitmapIndex(df, "id", "v")
+      .orderBy("value", "word_idx")
+      .as[(String, Long, Long, Long)].collect.toSeq
+    // x word0: bits 0,1,31 → 1 + 2 + 2^31; x word1: bit 0 → 1
+    assert(out == Seq(
+      ("x", 0L, 1L + 2L + (1L << 31), 3L),
+      ("x", 1L, 1L, 1L),
+      ("y", 1L, 2L, 1L)))
+  }
+
+  // --- stemLite / stemmedTopTerms ----------------------------------------
+
+  test("stemLite rule chain on canonical forms") {
+    val df = Seq("classes", "studies", "class", "dogs", "gas", "running",
+      "jumped", "quickly", "red", "sing").toDF("w")
+    val got = df.select(TextAnalytics.stemLite(col("w")).as("s"))
+      .as[String].collect.toSeq
+    assert(got == Seq("class", "studi", "class", "dog", "gas", "runn",
+      "jump", "quick", "red", "sing"))
+  }
+
+  test("stemmedTopTerms merges plural and edge-punctuated variants") {
+    val df = Seq("the cats sat", "A cat, sat!", "cats cats").toDF("text")
+    val out = TextAnalytics.stemmedTopTerms(df, "text", 10)
+      .as[(String, Long)].collect.toSeq
+    assert(out.head == (("cat", 4L)))
+    assert(out.contains(("sat", 2L)))
+  }
+
+  // --- mannKendallDaily ---------------------------------------------------
+
+  test("mannKendallDaily: monotone series → tau = ±1; flat → 0") {
+    val rows =
+      (for { (d, c) <- Seq((1, 1), (2, 2), (3, 3), (4, 4)); _ <- 1 to c }
+        yield ("up", ts(f"2024-01-0$d%d 00:00:00"))) ++
+      (for { (d, c) <- Seq((1, 9), (2, 6), (3, 3)); _ <- 1 to c }
+        yield ("dn", ts(f"2024-01-0$d%d 00:00:00"))) ++
+      (for { d <- 1 to 3; _ <- 1 to 5 }
+        yield ("fl", ts(f"2024-01-0$d%d 00:00:00")))
+    val m = Stats.mannKendallDaily(rows.toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("up") == ((6L, 6L, 1000000L)))   // all 6 pairs concordant
+    assert(m("dn") == ((3L, -3L, -1000000L)))
+    assert(m("fl") == ((3L, 0L, 0L)))
+  }
+
+  // --- seasonalProfile ----------------------------------------------------
+
+  test("seasonalProfile: arithmetic dow and exact indexes") {
+    // 2024-01-07 is a Sunday (epoch day 19729; (19729+4)%7 = 0)
+    val rows =
+      (for (_ <- 1 to 10) yield ("a", ts("2024-01-07 09:00:00"))) ++ // Sun
+      (for (_ <- 1 to 30) yield ("a", ts("2024-01-08 09:00:00"))) ++ // Mon
+      (for (_ <- 1 to 20) yield ("a", ts("2024-01-14 09:00:00")))    // Sun
+    val out = TimeSeries.seasonalProfile(rows.toDF("k", "t"), "k", "t")
+      .orderBy("dow")
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    // Sunday: 2 days, 30 total → mean 15; Monday: 1 day, 30 → mean 30
+    // overall mean = 60/3 = 20 → indexes 0.75 and 1.5
+    assert(out == Seq(("a", 0L, 2L, 15000000L, 750000L),
+      ("a", 1L, 1L, 30000000L, 1500000L)))
+  }
+
+  // --- bootstrapMeans -----------------------------------------------------
+
+  test("bootstrapMeans: deterministic, replicates vary, weights Poisson-ish") {
+    val df = (1 to 500).map(i => ("k", i.toLong, 1000L + (i % 7)))
+      .toDF("k", "id", "v")
+    val out = Stats.bootstrapMeans(df, "k", "id", "v", reps = 8, seed = 3L)
+      .orderBy("b")
+      .as[(String, Long, Long, Option[Long])].collect.toSeq
+    assert(out.size == 8 && out.map(_._2) == (0L to 7L))
+    // Poisson(1) weights: n_eff concentrates near n = 500
+    assert(out.forall { case (_, _, ne, m) =>
+      ne > 350 && ne < 650 && m.exists(v => v > 1000000L && v < 1010000L) })
+    // replicate means are not all identical (the spread IS the point)
+    assert(out.map(_._4).distinct.size > 1)
+    val again = Stats.bootstrapMeans(df, "k", "id", "v", reps = 8, seed = 3L)
+      .orderBy("b")
+      .as[(String, Long, Long, Option[Long])].collect.toSeq
+    assert(out == again)
+  }
+
+  // --- bitmapAlgebra / bitmapDistinct ------------------------------------
+
+  test("bitmapAlgebra: AND/OR/Jaccard across word boundaries") {
+    // x = {0, 40}, y = {0, 40, 80}, z = {200} (disjoint from both)
+    val df = Seq((0L, "x"), (40L, "x"), (0L, "y"), (40L, "y"), (80L, "y"),
+      (200L, "z")).toDF("id", "v")
+    val out = InvertedIndex.bitmapAlgebra(
+      InvertedIndex.bitmapIndex(df, "id", "v"))
+      .orderBy("value_a", "value_b")
+      .as[(String, String, Long, Long, Option[Long])].collect.toSeq
+    assert(out == Seq(
+      ("x", "y", 2L, 3L, Some(666666L)),
+      ("x", "z", 0L, 3L, Some(0L)),
+      ("y", "z", 0L, 4L, Some(0L))))
+  }
+
+  test("bitmapDistinct equals count_distinct") {
+    val df = Seq((1L, "a"), (1L, "a"), (33L, "a"), (64L, "a"),
+      (1L, "b"), (1L, "b")).toDF("id", "k")
+    val out = InvertedIndex.bitmapDistinct(df, "k", "id")
+      .as[(String, Long)].collect.toMap
+    assert(out == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  // --- slidingDistinct ----------------------------------------------------
+
+  test("slidingDistinct: range-delta equals brute-force windowed distinct") {
+    // deterministic scatter of (key, user, day) occurrences with
+    // repeats inside and across windows
+    val rows = for {
+      k <- Seq("a", "b"); i <- 0 until 60
+    } yield (k, (i * 7 + (if (k == "a") 3 else 5)) % 11,
+      ts(f"2024-01-${(i * 13) % 28 + 1}%02d 06:00:00"))
+    val df = rows.toDF("k", "u", "t")
+    val got = TimeSeries.slidingDistinct(df, "k", "u", "t", days = 7)
+      .as[(String, Long, Long)].collect.toSeq.sorted
+    // brute force in scala
+    val occ = rows.map { case (k, u, t) =>
+      (k, u, t.toLocalDateTime.toLocalDate.toEpochDay) }.distinct
+    val (mn, mx) = (occ.map(_._3).min, occ.map(_._3).max)
+    val expect = (for {
+      k <- Seq("a", "b"); d <- mn to mx
+    } yield (k, d,
+      occ.filter(o => o._1 == k && o._3 >= d - 6 && o._3 <= d)
+        .map(_._2).distinct.size.toLong)).sorted
+    assert(got == expect)
+  }
+
+  test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
+    // a single row: some replicates draw weight 0 → NULL mean
+    val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
+    val out = Stats.bootstrapMeans(df, "k", "id", "v", reps = 40, seed = 1L)
+      .as[(String, Long, Long, Option[Long])].collect.toSeq
+    assert(out.exists(_._3 == 0L) || out.size == 40)
+    assert(out.filter(_._3 == 0L).forall(_._4.isEmpty))
+    assert(out.filter(_._3 > 0L).forall(_._4.contains(5000000L)))
+  }
+}

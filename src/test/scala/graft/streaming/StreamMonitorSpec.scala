@@ -161,4 +161,50 @@ class StreamMonitorSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"))).toSeq
     assert(offline == Seq(("c", 10L), ("a", 5L), ("b", 5L)))
   }
+
+  test("concurrencyStream: accumulated peak == batch maxConcurrent, " +
+    "through a compaction cycle and out-of-order arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val tmp = java.nio.file.Files.createTempDirectory("ccmon").toFile
+    // wave 1: k1 has 2 overlapping; wave 2 arrives EARLIER in time and
+    // lifts the same span to 3; k2 stays at 1 (touching, half-open)
+    val wave1 = Seq(("k1", ts(10), ts(20)), ("k1", ts(15), ts(25)),
+      ("k2", ts(0), ts(10)), ("k2", ts(10), ts(20)))
+    val wave2 = Seq(("k1", ts(5), ts(18)))
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, Long])]
+    val input = MemoryStream[(String, Timestamp, Timestamp)]
+    // compactEvery = 1: every post-zero batch folds the shards — the
+    // peak after wave 2 is computed from a COMPACTED store
+    val q = StreamMonitor.concurrencyStream(
+      input.toDF().toDF("k", "st", "en"), "k", "st", "en",
+      s"$tmp/store", s"$tmp/ckpt", compactEvery = 1) { (peak, batchId) =>
+      seen += batchId -> peak.collect().map(r =>
+        r.getAs[String]("key") -> r.getAs[Long]("max_concurrent")).toMap
+    }
+    try {
+      input.addData(wave1: _*); q.processAllAvailable()
+      input.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(seen.map(_._1).toSeq == Seq(0L, 1L))
+    assert(seen.head._2 == Map("k1" -> 2L, "k2" -> 1L))
+    // batch ground truth over wave1 ∪ wave2
+    val expect = graft.operators.TimeSeries.maxConcurrent(
+      (wave1 ++ wave2).toDF("k", "st", "en"), "k", "st", "en")
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Long]("max_concurrent")).toMap
+    assert(seen.last._2 == expect)
+    assert(seen.last._2 == Map("k1" -> 3L, "k2" -> 1L))
+    // offline reader over the compacted store agrees
+    val offline = StreamMonitor.peakFromStore(s, s"$tmp/store")
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Long]("max_concurrent")).toMap
+    assert(offline == seen.last._2)
+  }
 }
