@@ -2655,6 +2655,43 @@ object SparkEntry {
         .orderBy("key", "d")
     }),
 
+    // Robust typical daily volume per event type — lower median of
+    // doubled Walsh sums, halved exactly into micros.
+    "q218_hodges_lehmann" -> ((s, dir) => {
+      operators.Stats.hodgesLehmannDaily(events(s, dir), "event_type", "ts")
+        .orderBy("key")
+    }),
+
+    // Degree histogram + CCDF + discrete power-law MLE over the
+    // customer↔order bipartite edges.
+    "q219_degree_dist" -> ((s, dir) => {
+      operators.Graph.degreeDistribution(t(s, dir, "orders"),
+        "o_custkey", "o_orderkey", dMin = 1L)
+        .orderBy("degree")
+    }),
+
+    // Exact p50/p90 of per-user inter-event gaps (seconds) per event
+    // type — distinct-count rank selection, no approximation.
+    "q220_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type", "user_id").orderBy("t")
+      val gaps = events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("gap_s",
+          expr("(t - lag(t) over (partition by event_type, user_id order by t)) div 1000000L"))
+        .where(col("gap_s").isNotNull)
+      operators.Stats.quantilesPerKey(gaps, "event_type", "gap_s",
+        Seq(500000L, 900000L))
+        .orderBy("key", "p_micro")
+    }),
+
+    // Token-mass concentration per source: Herfindahl beside q160's
+    // Gini.
+    "q221_hhi" -> ((s, dir) => {
+      operators.Stats.hhiByKey(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("key")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6466,6 +6503,87 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Doubled Walsh sums (i ≤ j), lower-median rank pick, ×500000 —
+    // no half ever floats.
+    "q218_hodges_lehmann" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |wl AS (SELECT a.key, a.v + b.v AS w2
+        |       FROM daily a JOIN daily b
+        |         ON a.key = b.key AND a.d <= b.d),
+        |med AS (SELECT key,
+        |          CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_walsh,
+        |          w2,
+        |          ROW_NUMBER() OVER (PARTITION BY key ORDER BY w2) AS rn
+        |        FROM wl)
+        |SELECT key, n_days, n_walsh,
+        |  CAST(w2 * 500000 AS BIGINT) AS hl_micro
+        |FROM nd JOIN med USING (key)
+        |WHERE rn = (n_walsh + 1) // 2 ORDER BY key""".stripMargin,
+
+    // Same ln() per distinct degree, micro-quantized BEFORE the
+    // weighted sum (order-free integer fold), CSN alpha in one float
+    // expression.
+    "q219_degree_dist" ->
+      """WITH ends AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS id FROM orders
+        |  UNION ALL SELECT CAST(o_orderkey AS BIGINT) FROM orders),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM ends GROUP BY 1),
+        |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |         FROM deg WHERE degree >= 1 GROUP BY 1),
+        |mle AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n,
+        |          CAST(SUM(CAST(round(ln(CAST(degree AS DOUBLE) / 0.5) * 1e6)
+        |            AS BIGINT) * n_nodes) AS BIGINT) AS slog_micro
+        |        FROM hist)
+        |SELECT degree, n_nodes,
+        |  CAST(SUM(n_nodes) OVER (ORDER BY degree DESC) AS BIGINT) AS cum_ge,
+        |  CAST(round(1e6 + CAST(n AS DOUBLE) * 1e12
+        |    / CAST(slog_micro AS DOUBLE)) AS BIGINT) AS alpha_micro
+        |FROM hist CROSS JOIN mle ORDER BY degree""".stripMargin,
+
+    // LAG gaps (ties → 0 regardless of tie order), then the exact
+    // type-1 rank selection over cumulative distinct-value counts.
+    "q220_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type AS key, user_id, epoch_us(ts) AS t
+        |  FROM events),
+        |g AS (SELECT key,
+        |        (t - LAG(t) OVER (PARTITION BY key, user_id ORDER BY t))
+        |          // 1000000 AS x
+        |      FROM e),
+        |gr AS (SELECT key, x, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM g WHERE x IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT key, x, c,
+        |          SUM(c) OVER (PARTITION BY key ORDER BY x) AS cum,
+        |          SUM(c) OVER (PARTITION BY key) AS n
+        |        FROM gr),
+        |ps AS (SELECT unnest([500000, 900000]) AS p_micro)
+        |SELECT key, CAST(p_micro AS BIGINT) AS p_micro,
+        |  CAST(x AS BIGINT) AS value
+        |FROM cum CROSS JOIN ps
+        |WHERE cum - c < GREATEST((p_micro * n + 999999) // 1000000, 1)
+        |  AND GREATEST((p_micro * n + 999999) // 1000000, 1) <= cum
+        |ORDER BY key, p_micro""".stripMargin,
+
+    // Σx² through HUGEINT, shares squared in one float expression.
+    "q221_hhi" ->
+      """WITH a AS (
+        |  SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ss
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+        |SELECT key, n, total,
+        |  CAST(round(CAST(ss AS DOUBLE)
+        |    / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS hhi_micro
+        |FROM a WHERE total > 0 ORDER BY key""".stripMargin,
 
     "q215_bitmap_distinct" ->
       """SELECT event_type AS key,

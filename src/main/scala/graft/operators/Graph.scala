@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph operators for web-corpus curation. Connected components
@@ -279,5 +280,45 @@ object Graph {
       it += 1
     }
     dist
+  }
+
+  /** Degree histogram with CCDF and the discrete power-law MLE — the
+    * "is this graph scale-free, and how heavy is the tail?" summary
+    * (α ≈ 2–3 for web/citation graphs; a light tail breaks the
+    * hub-pruning assumptions samplers make). Per distinct degree d ≥
+    * dMin: node count, cum_ge = #nodes with degree ≥ d (the CCDF
+    * numerator), and the Clauset–Shalizi–Newman discrete estimator
+    *   α̂ = 1 + n / Σᵢ ln(dᵢ / (dMin − ½))
+    * as a constant column (one fixed-order float over an exact
+    * Σ-of-logs aggregate; each log is the same IEEE value per distinct
+    * degree — summed via ROUND-TO-MICROS integers so partial-agg
+    * order cannot wiggle low bits).
+    *
+    * Degrees: one aggregate over the symmetrized edge list; histogram
+    * and CCDF windows run over DISTINCT degrees (domain-bounded, not
+    * node-bounded). Output: (degree, n_nodes, cum_ge, alpha_micro). */
+  def degreeDistribution(edges: DataFrame, srcCol: String, dstCol: String,
+                         dMin: Long = 1L): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val ends = edges.select(col(srcCol).cast("long").as("id"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("id")))
+    val deg = ends.groupBy("id").agg(count(lit(1)).as("degree"))
+    val hist = deg.where(col("degree") >= dMin)
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    // per-distinct-degree log term, micro-quantized BEFORE the sum so
+    // the fold is exact integer addition (order-free)
+    val logTermMicro = round(
+      log(col("degree").cast("double") / lit(dMin - 0.5)) * 1e6)
+      .cast("long")
+    val mle = hist.agg(sum("n_nodes").as("n"),
+      sum(logTermMicro * col("n_nodes")).as("slog_micro"))
+    val wGe = Window.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_ge", sum("n_nodes").over(wGe))
+      .crossJoin(broadcast(mle))
+      .select(col("degree"), col("n_nodes"), col("cum_ge"),
+        round(lit(1e6) + col("n").cast("double") * 1e12
+          / col("slog_micro").cast("double")).cast("long").as("alpha_micro"))
   }
 }

@@ -352,6 +352,93 @@ object Stats {
             * 1000).cast("long")).as("mean_micro"))
   }
 
+  /** Hodges–Lehmann location estimator per key over daily counts —
+    * the robust "typical daily volume" (median of all pairwise Walsh
+    * averages (v_i + v_j)/2, i ≤ j): ~30% more efficient than the
+    * plain median under normality, still 29%-breakdown robust; the
+    * natural location companion of [[theilSenDaily]]'s slope. Walsh
+    * sums are kept DOUBLED (v_i + v_j, exact longs) so no half ever
+    * floats; the lower-median pick is integer rank arithmetic and the
+    * final estimate is w/2 in micros (w·500000 — exact). Pairs are
+    * calendar-bounded ([[theilSenDaily]]'s bound). Output: (key,
+    * n_days, n_walsh, hl_micro). */
+  def hodgesLehmannDaily(df: DataFrame, keyCol: String,
+                         tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("key"), unix_date(col(tsCol).cast("date")).as("d"))
+      .where(col("d").isNotNull)
+      .groupBy("key", "d").agg(count(lit(1)).as("v"))
+    val nDays = daily.groupBy("key").agg(count(lit(1)).as("n_days"))
+    val walsh = daily.as("a")
+      .join(daily.withColumnRenamed("d", "d2").withColumnRenamed("v", "v2")
+        .as("b"), col("a.key") === col("b.key") && col("a.d") <= col("d2"))
+      .select(col("a.key").as("key"), (col("v") + col("v2")).as("w2"))
+    val w = Window.partitionBy("key").orderBy("w2")
+    val med = walsh
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy("key")))
+      .where(col("__rn") === expr("(__np + 1L) div 2L"))
+      .select(col("key"), col("__np").as("n_walsh"),
+        (col("w2") * 500000L).as("hl_micro"))
+    nDays.join(med, Seq("key"))
+  }
+
+  /** Herfindahl–Hirschman concentration per key — the market-share
+    * view beside [[giniByKey]]'s inequality view (mixture audits:
+    * how concentrated is a source's token mass across documents?):
+    * HHI = Σ sᵢ² over shares sᵢ = xᵢ/Σx ∈ (0, 1]. Exact integer
+    * moments (Σx as long, Σx² through DECIMAL(38,0) — partial-agg
+    * order immune), one fixed-order float → micros. 1/n ≤ HHI ≤ 1;
+    * keys with Σx ≤ 0 drop. One map-side-combined aggregate, nothing
+    * else. Output: (key, n, total, hhi_micro). */
+  def hhiByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col(valueCol).cast("long")
+    val agg = df.where(x.isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"), sum(x).as("total"),
+        sum(x.cast(dec) * x.cast(dec)).as("ss"))
+    def d(c: String) = col(c).cast("double")
+    agg.where(col("total") > 0)
+      .select(col("key"), col("n"), col("total"),
+        round(d("ss") / (d("total") * d("total")) * 1e6).cast("long")
+          .as("hhi_micro"))
+  }
+
+  /** Exact type-1 (inverse-ECDF) percentiles per key for a set of
+    * micro-scaled probabilities — "p50/p90/p99 of X per key" with NO
+    * approximation: the rank-⌈p·n⌉ order statistic is the smallest
+    * value whose cumulative DISTINCT-value count reaches the rank
+    * (the [[winsorizePerKey]] discipline), so a hot key costs its
+    * distinct-value count, never its row count, and no float enters
+    * the rank math (ranks from p_micro·n with ceil in pure integer
+    * arithmetic). Output: (key, p_micro, value) — one row per
+    * requested percentile per key. */
+  def quantilesPerKey(df: DataFrame, keyCol: String, valueCol: String,
+                      psMicro: Seq[Long]): DataFrame = {
+    require(psMicro.nonEmpty && psMicro.forall(p => p >= 0 && p <= 1000000L),
+      s"p_micro values must be in [0, 1e6], got $psMicro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df
+      .select(col(keyCol).as("key"), col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull)
+      .groupBy("key", "x").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("key").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("key")
+    val cum = grouped
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+    val ps = psMicro.toDF("p_micro")
+    // rank = ceil(p·n / 1e6) clamped to ≥ 1, pure integers
+    cum.join(broadcast(ps))
+      .withColumn("rank",
+        greatest(expr("(p_micro * n + 999999L) div 1000000L"), lit(1L)))
+      .where(col("cum") - col("c") < col("rank") && col("rank") <= col("cum"))
+      .select(col("key"), col("p_micro"), col("x").as("value"))
+  }
+
   /** ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ for k = 0..4 — the integer draw
     * thresholds [[bootstrapMeans]] and its oracle share verbatim. */
   private[graft] val poissonThresholds: Seq[Long] = {

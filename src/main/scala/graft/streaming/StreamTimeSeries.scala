@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.{Date, Timestamp}
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming twin of the batch daily-metrics chain
@@ -82,6 +82,142 @@ object StreamTimeSeries {
       .groupByKey(_.key)
       .transformWithState(new EwmaProcessor(),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  case class Occ(key: String, id: Long, ts: Timestamp)
+  case class DeltaRow(key: String, d: Long, net: Long)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.slidingDistinct]]:
+    * live trailing `days`-day distinct actives per key.
+    *
+    * The batch operator's range-delta reformulation is what makes a
+    * streaming version possible AT ALL: per-day distinct SETS are
+    * neither additive nor storable, but each (key, id, day) occurrence
+    * contributes a closed-form ±1 day-range once its per-(key, id)
+    * PREDECESSOR day is known — and that predecessor is one long of
+    * keyed state. A transformWithState processor per (key, id) holds
+    * (lastDay, watermark-ordered pending buffer) and emits the delta
+    * rows as days close under the watermark; the deltas then ride the
+    * [[StreamMonitor]] shard store (cells are additive ⇒ idempotent
+    * batchId overwrite, crash-safe compaction, offline readback).
+    *
+    * Watermark contract: days are folded in event-time order per
+    * (key, id); a day arriving after the watermark closed it is
+    * DROPPED (standard lateness semantics — the batch operator, which
+    * sees all data, is the reconciliation path). Emits from
+    * [[slidingDistinctFromStore]] are SPARSE BREAKPOINTS (key, d,
+    * n_distinct): the count for window-end day d, valid until the
+    * next breakpoint — the batch grid's gap days are the preceding
+    * breakpoint's value.
+    *
+    * `occ` must carry a watermark on `ts`. State per (key, id): one
+    * long + the watermark-bounded pending-day buffer. */
+  def slidingDistinctStream(occ: Dataset[Occ], days: Int, storeDir: String,
+                            checkpointDir: String, compactEvery: Int = 32)
+                           (sink: (org.apache.spark.sql.DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(days >= 1, s"need days >= 1, got $days")
+    val spark = occ.sparkSession
+    import spark.implicits._
+    // named imports: functions._ would shadow the `days` parameter
+    // with the partition-transform days()
+    import org.apache.spark.sql.functions.{col, sum}
+    occ
+      .groupByKey(o => (o.key, o.id))
+      .transformWithState(new SlidingDistinctProcessor(days),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DeltaRow], batchId: Long) =>
+        batch.groupBy(col("key").as("stratum"), col("d").as("v"))
+          .agg(sum("net").as("cb"))
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          StreamMonitor.compactShards(spark, storeDir, s"c$batchId")
+        sink(slidingDistinctFromStore(spark, storeDir), batchId)
+      }
+      .start()
+  }
+
+  /** Sparse distinct-count breakpoints from a sliding-distinct store —
+    * also the offline entry point: per key, the running prefix of the
+    * accumulated range deltas at every delta day. (key, d,
+    * n_distinct); d is the epoch day, the value holds until the next
+    * row of the key. */
+  def slidingDistinctFromStore(spark: SparkSession,
+                               storeDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("key").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    StreamMonitor.readStore(spark, storeDir)
+      .select(col("stratum").as("key"), col("v").as("d"), col("cb"))
+      .withColumn("n_distinct", sum("cb").over(w))
+      .select("key", "d", "n_distinct")
+  }
+}
+
+/** transformWithState processor backing
+  * [[StreamTimeSeries.slidingDistinctStream]]: per (key, id), pending
+  * days buffer in MapState until the watermark closes them, then the
+  * event-time-ordered fold against the lastDay cursor emits each
+  * occurrence's ±1 window-end-day range (the batch operator's lag()
+  * logic, one group at a time). Duplicate or late days fold to
+  * nothing. */
+class SlidingDistinctProcessor(days: Int)
+    extends StatefulProcessor[(String, Long), StreamTimeSeries.Occ,
+      StreamTimeSeries.DeltaRow] {
+  import StreamTimeSeries.{DeltaRow, Occ}
+
+  private val DayMs = 86400000L
+
+  @transient private var lastDay: ValueState[Long] = _
+  @transient private var pending: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    lastDay = getHandle.getValueState("lastDay",
+      Encoders.scalaLong, TTLConfig.NONE)
+    pending = getHandle.getMapState("pending",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def retimer(wmMs: Long): Unit = {
+    getHandle.listTimers().toSeq.foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    val ds = pending.keys().toSeq
+    if (ds.nonEmpty)
+      getHandle.registerTimer(math.max(wmMs + 1, (ds.min + 1) * DayMs))
+  }
+
+  override def handleInputRows(key: (String, Long), rows: Iterator[Occ],
+                               timers: TimerValues): Iterator[DeltaRow] = {
+    rows.foreach { o =>
+      val d = math.floorDiv(o.ts.getTime, DayMs)
+      if (!pending.containsKey(d)) pending.updateValue(d, 1L)
+    }
+    retimer(timers.getCurrentWatermarkInMs())
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (String, Long), timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[DeltaRow] = {
+    val wm = timers.getCurrentWatermarkInMs()
+    val ready = pending.keys().toSeq.filter(d => (d + 1) * DayMs <= wm).sorted
+    val out = Seq.newBuilder[DeltaRow]
+    var prev = if (lastDay.exists()) lastDay.get() else Long.MinValue
+    ready.foreach { t =>
+      if (t > prev) {
+        val lo = if (prev == Long.MinValue) t
+                 else math.max(t, prev + days)
+        out += DeltaRow(key._1, lo, 1L)
+        out += DeltaRow(key._1, t + days, -1L)
+        prev = t
+      }
+      pending.removeKey(t)
+    }
+    if (prev != Long.MinValue) lastDay.update(prev)
+    retimer(wm)
+    out.result().iterator
   }
 }
 

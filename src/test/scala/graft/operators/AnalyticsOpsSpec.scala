@@ -371,6 +371,63 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  // --- hodgesLehmannDaily -------------------------------------------------
+
+  test("hodgesLehmannDaily: hand case with an outlier day") {
+    // days 1..4 counts 1,2,3,10: walsh doubled sums (i<=j):
+    // 2,3,4,11, 4,5,12, 6,13, 20 → sorted: 2,3,4,4,5,6,11,12,13,20
+    // lower median pos (10+1)//2=5 → 5 → hl = 2.5 → 2500000 micro
+    val rows = for {
+      (d, c) <- Seq((1, 1), (2, 2), (3, 3), (4, 10)); _ <- 1 to c
+    } yield ("a", ts(f"2024-01-0$d%d 00:00:00"))
+    val out = Stats.hodgesLehmannDaily(rows.toDF("k", "t"), "k", "t")
+      .collect().head
+    assert(out.getLong(1) == 4L && out.getLong(2) == 10L)
+    assert(out.getLong(3) == 2500000L)
+  }
+
+  // --- degreeDistribution -------------------------------------------------
+
+  test("degreeDistribution: histogram, ccdf, and CSN alpha") {
+    // star: center 0 with leaves 1..4 → center degree 4, leaves 1
+    val edges = (1L to 4L).map(i => (0L, i)).toDF("u", "v")
+    val out = Graph.degreeDistribution(edges, "u", "v")
+      .orderBy("degree")
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    // hist: degree 1 ×4, degree 4 ×1; ccdf: ge(1)=5, ge(4)=1
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq((1L, 4L, 5L), (4L, 1L, 1L)))
+    // alpha = 1 + 5 / (4·ln2 + ln8) with micro-quantized logs
+    val slog = 4 * math.round(math.log(1 / 0.5) * 1e6) +
+      math.round(math.log(4 / 0.5) * 1e6)
+    val alpha = math.round(1e6 + 5.0 * 1e12 / slog)
+    assert(out.forall(_._4 == alpha))
+  }
+
+  // --- quantilesPerKey ----------------------------------------------------
+
+  test("quantilesPerKey: exact type-1 picks with ties") {
+    // key a: 1,2,2,2,10 (n=5): p50 rank ⌈2.5⌉=3 → 2; p90 rank 5 → 10;
+    // p0 clamps to rank 1 → 1
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 2L), ("a", 10L))
+      .toDF("k", "x")
+    val out = Stats.quantilesPerKey(df, "k", "x",
+      Seq(0L, 500000L, 900000L, 1000000L))
+      .orderBy("p_micro")
+      .as[(String, Long, Long)].collect.toSeq
+    assert(out == Seq(("a", 0L, 1L), ("a", 500000L, 2L),
+      ("a", 900000L, 10L), ("a", 1000000L, 10L)))
+  }
+
+  // --- hhiByKey -----------------------------------------------------------
+
+  test("hhiByKey: monopoly = 1e6, equal shares = 1e6/n") {
+    val df = Seq(("mono", 7L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("eq", 5L)).toDF("k", "x")
+    val out = Stats.hhiByKey(df, "k", "x")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("mono") == 1000000L && out("eq") == 250000L)
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")

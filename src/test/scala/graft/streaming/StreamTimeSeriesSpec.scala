@@ -204,4 +204,51 @@ class StreamTimeSeriesSpec extends SparkSpec {
       assert(v === r.v && roll === r.rolling, s"at ${(r.key, r.day)}")
     }
   }
+
+  test("slidingDistinctStream: store breakpoints match batch slidingDistinct " +
+    "through a compaction cycle") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("sdmon").toFile
+    // deterministic scatter: users revisit within and across windows
+    val occs = for {
+      k <- Seq("a", "b"); i <- 0 until 40
+    } yield StreamTimeSeries.Occ(k, (i * 3 + (if (k == "a") 1 else 2)) % 7,
+      tsAt((i * 5) % 13))
+    val input = MemoryStream[StreamTimeSeries.Occ]
+    val q = StreamTimeSeries.slidingDistinctStream(
+      input.toDS().withWatermark("ts", "1 second"),
+      days = 7, s"$tmp/store", s"$tmp/ckpt", compactEvery = 1) { (_, _) => () }
+    try {
+      val (w1, w2) = occs.partition(_.ts.getTime < tsAt(6).getTime)
+      input.addData(w1: _*); q.processAllAvailable()
+      input.addData(w2: _*); q.processAllAvailable()
+      // sentinel key pushes the watermark past every real day
+      input.addData(StreamTimeSeries.Occ("zz", 0L, tsAt(40)))
+      q.processAllAvailable()
+      input.addData(StreamTimeSeries.Occ("zz", 0L, tsAt(41)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val breakpoints = StreamTimeSeries
+      .slidingDistinctFromStore(s, s"$tmp/store")
+      .as[(String, Long, Long)].collect().toSeq
+      .filter(_._1 != "zz")
+    assert(breakpoints.nonEmpty)
+    val batch = TimeSeries.slidingDistinct(
+      occs.toDF("k", "u", "ts"), "k", "u", "ts", days = 7)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, d, n) => (k, d) -> n }.toMap
+    // every streamed breakpoint inside the batch grid matches exactly
+    breakpoints.foreach { case (k, d, n) =>
+      batch.get((k, d)).foreach(expected =>
+        assert(n == expected, s"at ($k, $d)")) }
+    // and the peak day agrees per key (the monitor's headline number)
+    for (k <- Seq("a", "b")) {
+      val got = breakpoints.filter(_._1 == k).map(_._3).max
+      val want = batch.collect { case ((`k`, _), n) => n }.max
+      assert(got == want, s"peak for $k")
+    }
+  }
 }
