@@ -2692,6 +2692,20 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Planner-style equi-join cardinality estimate between the en and
+    // non-en token streams from their CMS cells alone.
+    "q222_cms_joinsize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = TextAnalytics.countMinSketch(
+        docs.where(col("lang") === "en"), "text", d = 4, width = 512)
+      val b = TextAnalytics.countMinSketch(
+        docs.where(col("lang") =!= "en"), "text", d = 4, width = 512)
+      TextAnalytics.cmsJoinSize(a, b, d = 4)
+        .select(col("row").cast("long").as("row"), col("dot"),
+          col("join_size_est"))
+        .orderBy("row")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -2745,10 +2759,14 @@ object SparkEntry {
     s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
   /** md5-hex first-15-chars → 60-bit int, the DuckDB twin of
-    * Hashes.md5Hash64. */
+    * Hashes.md5Hash64. The lambda variable is deliberately obscure
+    * (`__hx`): DuckDB lambda parameters shadow same-named OUTER
+    * column references inside `x`, which silently de-correlates any
+    * caller passing e.g. a row index named `i` (the q222 join-size
+    * oracle hit exactly that — its sketch rows all hashed alike). */
   private def md5Hash64Sql(x: String): String =
-    s"""list_reduce(list_transform(range(1,16), i ->
-       |      CAST(strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1 AS BIGINT)),
+    s"""list_reduce(list_transform(range(1,16), __hx ->
+       |      CAST(strpos('0123456789abcdef', substr(md5($x), __hx, 1)) - 1 AS BIGINT)),
        |    (a, b) -> a * 16 + b)""".stripMargin
 
   /** The exact hyperplanes Dedup.embeddingPairs(seed=7) draws, inlined
@@ -6503,6 +6521,37 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Both sketches rebuilt cell-for-cell; per-row dots with a 0..d-1
+    // spine, min as the headline estimate.
+    "q222_cms_joinsize" ->
+      s"""WITH ta AS (SELECT unnest($toksLower) AS tok FROM documents
+         |            WHERE lang = 'en'),
+         |tb AS (SELECT unnest($toksLower) AS tok FROM documents
+         |       WHERE lang <> 'en'),
+         |ca AS (SELECT ii.i AS row,
+         |         ${md5Hash64Sql("(CAST(ii.i AS VARCHAR) || '|' || tok)")} % 512
+         |           AS col,
+         |         COUNT(*) AS c
+         |       FROM ta CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+         |       GROUP BY 1, 2),
+         |cb AS (SELECT ii.i AS row,
+         |         ${md5Hash64Sql("(CAST(ii.i AS VARCHAR) || '|' || tok)")} % 512
+         |           AS col,
+         |         COUNT(*) AS c
+         |       FROM tb CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+         |       GROUP BY 1, 2),
+         |dots AS (SELECT ca.row,
+         |           CAST(SUM(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS dot
+         |         FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+         |         GROUP BY 1),
+         |spine AS (SELECT unnest(range(4)) AS row),
+         |filled AS (SELECT CAST(spine.row AS BIGINT) AS row,
+         |             COALESCE(dot, 0) AS dot
+         |           FROM spine LEFT JOIN dots ON dots.row = spine.row)
+         |SELECT row, dot,
+         |  (SELECT MIN(dot) FROM filled) AS join_size_est
+         |FROM filled ORDER BY row""".stripMargin,
 
     // Doubled Walsh sums (i ≤ j), lower-median rank pick, ×500000 —
     // no half ever floats.

@@ -473,6 +473,36 @@ object TextAnalytics {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Join-size estimation from two count-min sketches — the classic
+    * sketch inner product a query planner uses to cost an equi-join
+    * WITHOUT touching either side's rows: true size Σ_v fA(v)·fB(v)
+    * is never overestimated BELOW by est = min over hash rows of
+    * Σ_col cA·cB (each row's dot product adds only non-negative
+    * collision mass, so every row upper-bounds the truth and min
+    * tightens it). Both sketches must share (d, width) and the
+    * [[countMinSketch]] hash family. The join is cell-keyed —
+    * d·width cells a side at most, metadata-scale; products through
+    * DECIMAL(38,0). Output: (row, dot, join_size_est) — one row per
+    * hash row (absent rows dot 0), est repeated as the headline. */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, d: Int = 4): DataFrame = {
+    require(d > 0, "d must be positive")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perRow = a.select(col("row"), col("col"), col("c").as("ca"))
+      .join(b.select(col("row"), col("col"), col("c").as("cb")),
+        Seq("row", "col"))
+      .groupBy("row")
+      .agg(sum(col("ca").cast(dec) * col("cb").cast(dec)).cast("long")
+        .as("dot"))
+    val spine = (0 until d).map(_.toLong).toDF("row")
+    val filled = broadcast(spine).join(perRow, Seq("row"), "left")
+      .select(col("row"), coalesce(col("dot"), lit(0L)).as("dot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = filled.agg(min("dot").as("join_size_est"))
+    filled.crossJoin(broadcast(est))
+  }
+
   /** Canonical "same page" key for web-corpus URL dedup: lowercase,
     * strip fragment, query string, scheme, leading www., default
     * ports, and trailing slashes — the variants crawlers collect for

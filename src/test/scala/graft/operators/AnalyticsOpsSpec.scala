@@ -428,6 +428,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("mono") == 1000000L && out("eq") == 250000L)
   }
 
+  // --- cmsJoinSize --------------------------------------------------------
+
+  test("cmsJoinSize: collision-free estimate equals the true join size") {
+    // A: apple×3, pear×2; B: apple×4, plum×5 → true Σ fA·fB = 12;
+    // 1024-wide rows over 3 tokens → no collisions → every dot = 12
+    val a = TextAnalytics.countMinSketch(
+      Seq("apple apple apple pear pear").toDF("text"), "text",
+      d = 4, width = 1024)
+    val b = TextAnalytics.countMinSketch(
+      Seq("apple apple apple apple plum plum plum plum plum").toDF("text"),
+      "text", d = 4, width = 1024)
+    val out = TextAnalytics.cmsJoinSize(a, b, d = 4)
+      .orderBy("row")
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(out.size == 4)
+    assert(out.forall { case (_, dot, est) => dot == 12L && est == 12L })
+  }
+
+  test("cmsJoinSize: disjoint vocabularies estimate zero") {
+    val a = TextAnalytics.countMinSketch(Seq("aa bb").toDF("text"), "text")
+    val b = TextAnalytics.countMinSketch(Seq("cc dd").toDF("text"), "text")
+    val est = TextAnalytics.cmsJoinSize(a, b)
+      .select("join_size_est").as[Long].head()
+    assert(est == 0L)
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
