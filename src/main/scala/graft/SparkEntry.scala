@@ -2706,6 +2706,31 @@ object SparkEntry {
         .orderBy("row")
     }),
 
+    // Robust outlier audit: median/MAD in pure integers, |x−m| > 3·MAD.
+    "q223_mad" -> ((s, dir) => {
+      operators.Stats.madOutliersPerKey(
+        events(s, dir).select(col("event_type"),
+          round(col("value") * 1000).cast("long").as("v_milli")),
+        "event_type", "v_milli", k = 3L)
+        .orderBy("key")
+    }),
+
+    // Planner selectivity from the histogram store: integer
+    // uniform-within-bin interpolation over a mid-bin range.
+    "q224_selectivity" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("p"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sel").toString
+      operators.HistStore.write(o.where(col("o_orderkey") % 2 === 0),
+        "p", "cents", tmp, lo = 0L, width = 500000L, bins = 64)
+      operators.HistStore.append(o.where(col("o_orderkey") % 2 === 1),
+        "p", "cents", tmp)
+      operators.HistStore.estimateRange(s, tmp,
+        loQ = 2300000L, hiQ = 15250000L)
+        .orderBy("key")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6521,6 +6546,58 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Two type-1 rank-selected medians (value, then absolute
+    // deviation), exact-integer 3·MAD threshold.
+    "q223_mad" ->
+      """WITH r AS (
+        |  SELECT event_type AS key, CAST(round(value * 1000) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |g1 AS (SELECT key, x, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM r GROUP BY 1, 2),
+        |c1 AS (SELECT key, x, c,
+        |         SUM(c) OVER (PARTITION BY key ORDER BY x) AS cum,
+        |         SUM(c) OVER (PARTITION BY key) AS n
+        |       FROM g1),
+        |med AS (SELECT key, x AS median FROM c1
+        |        WHERE cum - c < GREATEST((500000 * n + 999999) // 1000000, 1)
+        |          AND GREATEST((500000 * n + 999999) // 1000000, 1) <= cum),
+        |dev AS (SELECT r.key, med.median, abs(r.x - med.median) AS d
+        |        FROM r JOIN med ON r.key = med.key),
+        |g2 AS (SELECT key, d, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT key, d, c,
+        |         SUM(c) OVER (PARTITION BY key ORDER BY d) AS cum,
+        |         SUM(c) OVER (PARTITION BY key) AS n
+        |       FROM g2),
+        |mad AS (SELECT key, d AS mad FROM c2
+        |        WHERE cum - c < GREATEST((500000 * n + 999999) // 1000000, 1)
+        |          AND GREATEST((500000 * n + 999999) // 1000000, 1) <= cum)
+        |SELECT dev.key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(dev.median) AS BIGINT) AS median,
+        |  CAST(MIN(mad.mad) AS BIGINT) AS mad,
+        |  CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.key = mad.key
+        |GROUP BY 1 ORDER BY dev.key""".stripMargin,
+
+    // The store's clamp-binning over ALL orders (shard merge is
+    // addition), then the same integer overlap interpolation.
+    "q224_selectivity" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS key,
+        |    LEAST(GREATEST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      // 500000, 0), 63) AS bin
+        |  FROM orders),
+        |cells AS (SELECT key, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM src GROUP BY 1, 2),
+        |ov AS (SELECT key, n,
+        |         GREATEST(LEAST(15250000, bin * 500000 + 500000)
+        |           - GREATEST(2300000, bin * 500000), 0) AS o
+        |       FROM cells)
+        |SELECT key, CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(SUM((n * o) // 500000) AS BIGINT) AS est
+        |FROM ov GROUP BY 1 ORDER BY key""".stripMargin,
 
     // Both sketches rebuilt cell-for-cell; per-row dots with a 0..d-1
     // spine, min as the headline estimate.

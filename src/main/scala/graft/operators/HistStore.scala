@@ -110,6 +110,33 @@ object HistStore {
       .withColumn("value_edge", lit(lo) + col("bin") * lit(width))
   }
 
+  /** Histogram selectivity estimate — the query-planner read: how
+    * many rows per key fall in [`loQ`, `hiQ`) WITHOUT scanning rows?
+    * Bins fully inside count whole; the edge bins contribute the
+    * standard uniform-within-bin interpolation, in PURE INTEGER
+    * micro arithmetic — contribution = (n · overlap) div width with
+    * overlap = max(0, min(hiQ, binHi) − max(loQ, binLo)) — so the
+    * estimate replays bit-for-bit on any engine (no float density
+    * ever). Caveat (standard, documented): the store clamps
+    * out-of-range values into edge bins, so estimates touching bin 0
+    * or bins−1 include that clamped mass. Companion of
+    * [[graft.operators.TextAnalytics.cmsJoinSize]] on the
+    * planner-statistics shelf. Output: (key, n_total, est). */
+  def estimateRange(spark: SparkSession, path: String,
+                    loQ: Long, hiQ: Long): DataFrame = {
+    require(loQ < hiQ, s"need loQ < hiQ, got [$loQ, $hiQ)")
+    val (lo, width, _) = readParams(spark, path)
+    val binLo = lit(lo) + col("bin") * lit(width)
+    val overlap = greatest(
+      least(lit(hiQ), binLo + lit(width)) - greatest(lit(loQ), binLo),
+      lit(0L))
+    cells(spark, path)
+      .withColumn("__ov", overlap)
+      .groupBy("key")
+      .agg(sum("n").as("n_total"),
+        sum(expr(s"(n * __ov) div ${width}L")).as("est"))
+  }
+
   /** Rewrite the shard backlog as one merged shard (reads unchanged —
     * addition is associative). Returns (component, rows). */
   def compactStore(spark: SparkSession, path: String): DataFrame = {

@@ -439,6 +439,42 @@ object Stats {
       .select(col("key"), col("p_micro"), col("x").as("value"))
   }
 
+  /** Median/MAD robust outlier audit per key — the data-quality
+    * screen that survives the outliers it hunts (mean/std absorbs a
+    * heavy tail into its own threshold; the 50%-breakdown median/MAD
+    * pair does not). Per key: the type-1 median m, the median
+    * absolute deviation MAD = median(|x − m|), and the count of rows
+    * with |x − m| > k·MAD — all in pure integers (both medians via
+    * [[quantilesPerKey]]'s distinct-count rank selection; the
+    * threshold compare is exact longs, no 1.4826 consistency float
+    * anywhere). MAD = 0 (a majority-constant key) flags every
+    * deviating row — deterministic and the honest reading. Cost: two
+    * distinct-count median passes + one row-side join per pass; a hot
+    * key pays its distinct values, never its rows, on any single
+    * task. Output: (key, n, median, mad, n_outliers). */
+  def madOutliersPerKey(df: DataFrame, keyCol: String, valueCol: String,
+                        k: Long = 3L): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val rows = df
+      .select(col(keyCol).as("key"), col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = quantilesPerKey(rows, "key", "x", Seq(500000L))
+      .select(col("key"), col("value").as("median"))
+    val dev = rows.join(med, Seq("key"))
+      .select(col("key"), col("median"), abs(col("x") - col("median"))
+        .as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = quantilesPerKey(dev, "key", "d", Seq(500000L))
+      .select(col("key"), col("value").as("mad"))
+    dev.join(mad, Seq("key"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), first("median").as("median"),
+        first("mad").as("mad"),
+        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ for k = 0..4 — the integer draw
     * thresholds [[bootstrapMeans]] and its oracle share verbatim. */
   private[graft] val poissonThresholds: Seq[Long] = {

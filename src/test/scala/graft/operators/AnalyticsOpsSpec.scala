@@ -454,6 +454,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  // --- madOutliersPerKey --------------------------------------------------
+
+  test("madOutliersPerKey: hand case and MAD-zero degenerate") {
+    // key a: 1,2,3,4,100 → median 3 (rank ⌈2.5⌉), devs 2,1,0,1,97 →
+    // MAD = 1 (sorted 0,1,1,2,97, rank 3), outliers: dev > 3 → {97}
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      // key z: 5,5,5,9 → median 5, devs 0,0,0,4 → MAD 0 → dev>0 outlier
+      ("z", 5L), ("z", 5L), ("z", 5L), ("z", 9L))
+      .toDF("k", "x")
+    val out = Stats.madOutliersPerKey(df, "k", "x", k = 3L)
+      .orderBy("key")
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    assert(out == Seq(("a", 5L, 3L, 1L, 1L), ("z", 4L, 5L, 0L, 1L)))
+  }
+
+  // --- HistStore.estimateRange --------------------------------------------
+
+  test("estimateRange: exact on bin edges, interpolated mid-bin") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("selest").toString
+    // key a: 10 values in bin 0 ([0,100)), 30 in bin 1 ([100,200))
+    val df = ((1 to 10).map(i => ("a", 50L)) ++
+      (1 to 30).map(i => ("a", 150L))).toDF("k", "v")
+    HistStore.write(df, "k", "v", tmp, lo = 0L, width = 100L, bins = 4)
+    // full-domain query → everything
+    val full = HistStore.estimateRange(s, tmp, 0L, 400L)
+      .collect().head
+    assert(full.getLong(1) == 40L && full.getLong(2) == 40L)
+    // [100, 150): half of bin 1 → 30·50 div 100 = 15
+    val half = HistStore.estimateRange(s, tmp, 100L, 150L)
+      .collect().head.getLong(2)
+    assert(half == 15L)
+    // [75, 125): quarter of bin 0 + quarter of bin 1 → 2 + 7 = 9
+    val straddle = HistStore.estimateRange(s, tmp, 75L, 125L)
+      .collect().head.getLong(2)
+    assert(straddle == (10L * 25 / 100) + (30L * 25 / 100))
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
