@@ -39,8 +39,8 @@ object HistStore {
     * oracle): least(greatest((v − lo) div width, 0), bins−1). The
     * truncate-vs-floor divide difference on negative (v − lo) is
     * absorbed by the greatest(…, 0) clamp. */
-  private def shard(df: DataFrame, keyCol: String, valueCol: String,
-                    lo: Long, width: Long, bins: Int): DataFrame =
+  private[graft] def shard(df: DataFrame, keyCol: String, valueCol: String,
+                           lo: Long, width: Long, bins: Int): DataFrame =
     df.select(col(keyCol).as("key"),
         least(greatest(expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) div ${width}L"),
           lit(0L)), lit(bins - 1L)).as("bin"))
@@ -80,14 +80,24 @@ object HistStore {
     * bin, value_edge), ordered downstream by the caller. */
   def quantiles(spark: SparkSession, path: String,
                 qMicros: Seq[Long]): DataFrame = {
-    require(qMicros.nonEmpty && qMicros.forall(q => q >= 0 && q <= 1000000L))
     val (lo, width, _) = readParams(spark, path)
+    quantilesFromCells(cells(spark, path), lo, width, qMicros)
+  }
+
+  /** [[quantiles]] over an arbitrary merged (key, bin, n) cell frame —
+    * the layout-free core, shared with the streaming histogram store
+    * ([[graft.streaming.StreamMonitor.histStream]]'s shard cells adapt
+    * straight into it). */
+  def quantilesFromCells(cellsDf: DataFrame, lo: Long, width: Long,
+                         qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty && qMicros.forall(q => q >= 0 && q <= 1000000L))
+    val spark = cellsDf.sparkSession
     import spark.implicits._
     val qs = qMicros.toDF("q_micro")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = cells(spark, path)
+    val cum = cellsDf
       .withColumn("cum", sum("n").over(w))
       .select("key", "bin", "cum") // per-cell n would collide with tot's
     val tot = cum.groupBy("key").agg(max("cum").as("n"))
@@ -124,13 +134,20 @@ object HistStore {
     * planner-statistics shelf. Output: (key, n_total, est). */
   def estimateRange(spark: SparkSession, path: String,
                     loQ: Long, hiQ: Long): DataFrame = {
-    require(loQ < hiQ, s"need loQ < hiQ, got [$loQ, $hiQ)")
     val (lo, width, _) = readParams(spark, path)
+    estimateFromCells(cells(spark, path), lo, width, loQ, hiQ)
+  }
+
+  /** [[estimateRange]] over an arbitrary merged (key, bin, n) cell
+    * frame — the layout-free core ([[quantilesFromCells]]'s sibling). */
+  def estimateFromCells(cellsDf: DataFrame, lo: Long, width: Long,
+                        loQ: Long, hiQ: Long): DataFrame = {
+    require(loQ < hiQ, s"need loQ < hiQ, got [$loQ, $hiQ)")
     val binLo = lit(lo) + col("bin") * lit(width)
     val overlap = greatest(
       least(lit(hiQ), binLo + lit(width)) - greatest(lit(loQ), binLo),
       lit(0L))
-    cells(spark, path)
+    cellsDf
       .withColumn("__ov", overlap)
       .groupBy("key")
       .agg(sum("n").as("n_total"),

@@ -227,6 +227,49 @@ object StreamMonitor {
       .start()
   }
 
+  /** Streaming histogram ingest — the live feed for the
+    * [[graft.operators.HistStore]] read family: per-key value
+    * DISTRIBUTION accumulated over an unbounded stream, answering
+    * exact binned quantiles and planner selectivity estimates AS OF
+    * NOW. Bin counts are linear, so the clamp-binned cells ride the
+    * shard store unchanged (`stratum` = key, `v` = bin, `cb` = count
+    * — idempotent batchId overwrite, crash-safe compaction); every
+    * trigger the accumulated cells adapt straight into
+    * [[graft.operators.HistStore.quantilesFromCells]] /
+    * [[graft.operators.HistStore.estimateFromCells]]. The sink
+    * receives the merged (key, bin, n) frame + batchId; compose the
+    * read you need. */
+  def histStream(live: DataFrame, keyCol: String, valueCol: String,
+                 lo: Long, width: Long, bins: Int,
+                 storeDir: String, checkpointDir: String,
+                 compactEvery: Int = 32)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(width > 0 && bins > 0, "need positive bin width and count")
+    val spark = live.sparkSession
+    live
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.HistStore.shard(batch, keyCol, valueCol,
+            lo, width, bins)
+          .select(col("key").as("stratum"), col("bin").as("v"),
+            col("n").as("cb"))
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactShards(spark, storeDir, s"c$batchId")
+        sink(histCells(spark, storeDir), batchId)
+      }
+      .start()
+  }
+
+  /** Accumulated (key, bin, n) cells from a histogram store — the
+    * adapter into the HistStore read family; also the offline entry
+    * point. */
+  def histCells(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, storeDir)
+      .select(col("stratum").as("key"), col("v").as("bin"),
+        col("cb").as("n"))
+
   /** All-time peak concurrency per key from a concurrency store —
     * also the offline entry point. Zero-net instants (an interval
     * fully contained in one batch's same-instant churn, or a

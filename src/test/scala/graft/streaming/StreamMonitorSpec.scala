@@ -162,6 +162,48 @@ class StreamMonitorSpec extends SparkSpec {
     assert(offline == Seq(("c", 10L), ("a", 5L), ("b", 5L)))
   }
 
+  test("histStream: streamed cells answer the same quantiles and " +
+    "selectivity as the batch HistStore over the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.HistStore
+    val tmp = java.nio.file.Files.createTempDirectory("histmon").toFile
+    val rows = (0 until 300).map(i => (s"k${i % 3}", (i * 17) % 400L))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(String, Long)]
+    val q = StreamMonitor.histStream(
+      input.toDF().toDF("k", "v"), "k", "v",
+      lo = 0L, width = 50L, bins = 8,
+      s"$tmp/store", s"$tmp/ckpt", compactEvery = 1) { (_, batchId) =>
+      seen += batchId }
+    try {
+      val (w1, w2) = rows.splitAt(120)
+      input.addData(w1: _*); q.processAllAvailable()
+      input.addData(w2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.toSeq == Seq(0L, 1L))
+
+    // batch twin over the identical rows
+    val btmp = java.nio.file.Files.createTempDirectory("histb").toString
+    HistStore.write(rows.toDF("k", "v"), "k", "v", btmp,
+      lo = 0L, width = 50L, bins = 8)
+    val streamedCells = StreamMonitor.histCells(s, s"$tmp/store")
+    val qs = Seq(250000L, 500000L, 900000L)
+    val gotQ = HistStore.quantilesFromCells(streamedCells, 0L, 50L, qs)
+      .orderBy("key", "q_micro")
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    val wantQ = HistStore.quantiles(s, btmp, qs)
+      .orderBy("key", "q_micro")
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    assert(gotQ == wantQ && gotQ.nonEmpty)
+    val gotE = HistStore.estimateFromCells(streamedCells, 0L, 50L, 60L, 310L)
+      .orderBy("key").as[(String, Long, Long)].collect.toSeq
+    val wantE = HistStore.estimateRange(s, btmp, 60L, 310L)
+      .orderBy("key").as[(String, Long, Long)].collect.toSeq
+    assert(gotE == wantE && gotE.nonEmpty)
+  }
+
   test("concurrencyStream: accumulated peak == batch maxConcurrent, " +
     "through a compaction cycle and out-of-order arrival") {
     val s = spark
