@@ -2731,6 +2731,38 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // One-scan expectation suite over orders: every rule a
+    // conditional sum in a single aggregate.
+    "q225_rule_audit" -> ((s, dir) => {
+      operators.KeyChecks.ruleAudit(t(s, dir, "orders"), Seq(
+        "orderkey_positive" -> (col("o_orderkey") > 0),
+        "price_in_range" -> col("o_totalprice").between(0.0, 1000000.0),
+        "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+        "priority_nonnull" -> col("o_orderpriority").isNotNull,
+        "date_modern" -> (col("o_orderdate").cast("date")
+          >= lit("1990-01-01").cast("date"))))
+    }),
+
+    // Time-to-convert percentiles: view → purchase latency per user,
+    // exact p50/p90 via the distinct-count rank selection.
+    "q226_time_to_convert" -> ((s, dir) => {
+      val lat = operators.Sequences.timeToConvert(events(s, dir),
+        "user_id", "ts", "event_type", "view", "purchase")
+        .withColumn("pair", lit("view_to_purchase"))
+      operators.Stats.quantilesPerKey(lat, "pair", "latency_s",
+        Seq(500000L, 900000L))
+        .orderBy("p_micro")
+    }),
+
+    // Language-ID eval loop: stored label × heuristic prediction
+    // confusion cells.
+    "q227_langid_confusion" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6546,6 +6578,74 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Rule-by-rule conditional sums (false OR NULL = violation),
+    // micro rates by integer division.
+    "q225_rule_audit" ->
+      """WITH v AS (SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN COALESCE(o_orderkey > 0, false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        |  CAST(SUM(CASE WHEN COALESCE(o_totalprice BETWEEN 0 AND 1000000,
+        |    false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'),
+        |    false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |  CAST(SUM(CASE WHEN COALESCE(CAST(o_orderdate AS DATE)
+        |      >= DATE '1990-01-01', false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v4
+        |FROM orders)
+        |SELECT rule, n, n_violations,
+        |  CASE WHEN n > 0 THEN (n_violations * 1000000) // n
+        |       ELSE 0 END AS rate_micro
+        |FROM (
+        |  SELECT 'orderkey_positive' AS rule, n, v0 AS n_violations FROM v
+        |  UNION ALL SELECT 'price_in_range', n, v1 FROM v
+        |  UNION ALL SELECT 'status_known', n, v2 FROM v
+        |  UNION ALL SELECT 'priority_nonnull', n, v3 FROM v
+        |  UNION ALL SELECT 'date_modern', n, v4 FROM v)""".stripMargin,
+
+    // First-exposure → first-qualifying-conversion latency per user,
+    // then the exact rank-selected percentiles.
+    "q226_time_to_convert" ->
+      """WITH a AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS ta
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT user_id AS u, epoch_us(ts) AS tb
+        |      FROM events WHERE event_type = 'purchase'),
+        |lat AS (SELECT a.u, (MIN(tb) - ta) // 1000000 AS x
+        |        FROM a JOIN b ON a.u = b.u AND b.tb > a.ta
+        |        GROUP BY a.u, ta),
+        |g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY 1),
+        |cum AS (SELECT x, c, SUM(c) OVER (ORDER BY x) AS cum,
+        |          SUM(c) OVER () AS n
+        |        FROM g),
+        |ps AS (SELECT unnest([500000, 900000]) AS p_micro)
+        |SELECT 'view_to_purchase' AS key, CAST(p_micro AS BIGINT) AS p_micro,
+        |  CAST(x AS BIGINT) AS value
+        |FROM cum CROSS JOIN ps
+        |WHERE cum - c < GREATEST((p_micro * n + 999999) // 1000000, 1)
+        |  AND GREATEST((p_micro * n + 999999) // 1000000, 1) <= cum
+        |ORDER BY p_micro""".stripMargin,
+
+    // The q23 marker heuristic aggregated into confusion cells.
+    "q227_langid_confusion" ->
+      s"""WITH t AS (SELECT lang, $toksLower AS toks FROM documents),
+         |h AS (SELECT lang,
+         |  len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht','das','ein','zu'], x))) AS de,
+         |  len(list_filter(toks, x -> list_contains(['the','and','is','of','to','in','that','it'], x))) AS en,
+         |  len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una','es','por'], x))) AS es,
+         |  len(list_filter(toks, x -> list_contains(['le','la','les','des','est','une','dans','pas'], x))) AS fr
+         |  FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+         |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         |       WHEN en >= es AND en >= fr THEN 'en'
+         |       WHEN es >= fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |  FROM h)
+         |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
 
     // Two type-1 rank-selected medians (value, then absolute
     // deviation), exact-integer 3·MAD threshold.

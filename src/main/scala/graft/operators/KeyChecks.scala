@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks mirroring the reference's integrity gate
@@ -350,6 +350,33 @@ object KeyChecks {
     cached.count()
     cells.unpersist(false)
     cached
+  }
+
+  /** Declarative expectation-suite audit — the "great-expectations"
+    * contract check a pipeline runs before publishing a table: each
+    * rule is a (name, predicate Column) pair that every row SHOULD
+    * satisfy; the audit returns, per rule, the total row count, the
+    * violation count (predicate false OR NULL — an unevaluable rule
+    * is a violation, not a pass), and the violation rate in integer
+    * micros. ALL rules evaluate in ONE scan (a single aggregate of
+    * conditional sums — no per-rule passes, no shuffle beyond the
+    * one-row aggregate), so auditing 50 rules costs the same scan as
+    * auditing one. Output: (rule, n, n_violations, rate_micro),
+    * one row per rule in the given order. */
+  def ruleAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    rules.zipWithIndex.map { case ((name, _), i) =>
+      val v = row.getLong(i + 1)
+      (name, n, v, if (n > 0) v * 1000000L / n else 0L)
+    }.toDF("rule", "n", "n_violations", "rate_micro")
   }
 
   /** k-anonymity / l-diversity audit over a quasi-identifier tuple —

@@ -108,6 +108,30 @@ object Sequences {
       .select("touch", "channel", "n_conversions", "revenue_cents")
   }
 
+  /** Per-user conversion latency: for each user, seconds from their
+    * FIRST `fromType` event to the first `toType` event strictly
+    * after it — the raw material for time-to-convert percentiles
+    * (compose with [[Stats.quantilesPerKey]]) and SLA monitors. Two
+    * filtered aggregates + one equi-join on user — both sides are
+    * filtered to their event type BEFORE the shuffle, and the
+    * earliest-qualifying-b pick is an aggregate, not a window, so a
+    * hot user costs one group, never a sort. Non-converting users
+    * emit nothing (NULL latency would poison percentiles). Output:
+    * (u, latency_s). */
+  def timeToConvert(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String,
+                    toType: String): DataFrame = {
+    val a = df.where(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(unix_micros(col(tsCol))).as("ta"))
+    val b = df.where(col(typeCol) === toType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("tb"))
+    a.join(b, Seq("u"))
+      .where(col("tb") > col("ta"))
+      .groupBy("u", "ta").agg(min("tb").as("tb"))
+      .select(col("u"), expr("(tb - ta) div 1000000L").as("latency_s"))
+  }
+
   /** Frequent precedence pairs (a strictly-before b, NOT necessarily
     * adjacent) across user event streams — the sequential-pattern
     * screen complementing [[topPaths3]]'s adjacent windows: "users who

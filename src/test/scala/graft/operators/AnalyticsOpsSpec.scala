@@ -492,6 +492,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(straddle == (10L * 25 / 100) + (30L * 25 / 100))
   }
 
+  // --- ruleAudit ----------------------------------------------------------
+
+  test("ruleAudit: NULL predicates are violations; one scan, ordered rows") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (-3L, None))
+      .toDF("id", "tag")
+    val out = KeyChecks.ruleAudit(df, Seq(
+      "id_positive" -> (col("id") > 0),
+      "tag_is_a" -> (col("tag") === "a"),   // NULL tag → violation
+      "always" -> lit(true)))
+      .as[(String, Long, Long, Long)].collect.toSeq
+    assert(out == Seq(
+      ("id_positive", 3L, 1L, 333333L),
+      ("tag_is_a", 3L, 2L, 666666L),
+      ("always", 3L, 0L, 0L)))
+  }
+
+  // --- timeToConvert ------------------------------------------------------
+
+  test("timeToConvert: first exposure to first qualifying conversion") {
+    val df = Seq(
+      // u1: view@10, purchase@40 → 30s; later purchase ignored
+      (1L, "view", ts("2024-01-01 00:00:10")),
+      (1L, "purchase", ts("2024-01-01 00:00:40")),
+      (1L, "purchase", ts("2024-01-01 00:01:40")),
+      // u2: purchase BEFORE first view → only the later one counts
+      (2L, "purchase", ts("2024-01-01 00:00:05")),
+      (2L, "view", ts("2024-01-01 00:00:20")),
+      (2L, "purchase", ts("2024-01-01 00:00:50")),
+      // u3: view only → no row
+      (3L, "view", ts("2024-01-01 00:00:00")))
+      .toDF("u", "et", "ts")
+    val out = Sequences.timeToConvert(df, "u", "ts", "et",
+      "view", "purchase")
+      .as[(Long, Long)].collect.toMap
+    assert(out == Map(1L -> 30L, 2L -> 30L))
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
