@@ -2763,6 +2763,49 @@ object SparkEntry {
         .orderBy("lang", "lang_pred")
     }),
 
+    // Kaplan–Meier view→purchase survival, censored at each
+    // non-converter's last event; cohorts by user parity.
+    "q228_kaplan_meier" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // a feeds conv + cens, conv feeds union + anti-join — persist
+      // both so neither subtree replans (Blocks.releaseAll frees
+      // them at the query boundary)
+      val a = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("u"))
+        .agg(min(unix_micros(col("ts"))).as("ta"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("tb"))
+        .join(a, Seq("u")).where(col("tb") > col("ta"))
+        .groupBy("u", "ta").agg(min("tb").as("tb"))
+        .select(col("u"), expr("(tb - ta) div 1000000L").as("t"),
+          lit(true).as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val last = ev.groupBy(col("user_id").as("u"))
+        .agg(max(unix_micros(col("ts"))).as("tmax"))
+      val cens = a.join(last, Seq("u"))
+        .join(conv.select(col("u"), lit(1).as("__c")), Seq("u"), "left_anti")
+        .select(col("u"), expr("(tmax - ta) div 1000000L").as("t"),
+          lit(false).as("e"))
+      val subjects = conv.unionByName(cens)
+        .withColumn("cohort", concat(lit("c"), pmod(col("u"), lit(2L))))
+      operators.Stats.kaplanMeier(subjects, "cohort", "t", "e")
+        .orderBy("key", "t")
+    }),
+
+    // When did each event type's level shift, and what were the
+    // slopes on either side?
+    "q229_segmented_trend" -> ((s, dir) => {
+      operators.TimeSeries.segmentedTrend(events(s, dir), "event_type", "ts")
+        // comparator dtype contract: a one-day segment's NULL slope →
+        // sentinel long
+        .withColumn("slope_before_micro",
+          coalesce(col("slope_before_micro"), lit(Long.MinValue)))
+        .withColumn("slope_after_micro",
+          coalesce(col("slope_after_micro"), lit(Long.MinValue)))
+        .orderBy("key")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6578,6 +6621,93 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Survivor replay: per-step log factors micro-quantized FIRST
+    // (identical IEEE ln), INTEGER cumulative, one exp per row; the
+    // d = n_risk terminal step pins a sentinel the exp flushes to 0.
+    "q228_kaplan_meier" ->
+      """WITH a AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS ta
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT a.u, (MIN(tb) - ta) // 1000000 AS t, true AS e
+        |         FROM a JOIN (SELECT user_id AS u, epoch_us(ts) AS tb
+        |                      FROM events WHERE event_type = 'purchase') b
+        |           ON a.u = b.u AND b.tb > a.ta
+        |         GROUP BY a.u, ta),
+        |lastev AS (SELECT user_id AS u, MAX(epoch_us(ts)) AS tmax
+        |           FROM events GROUP BY 1),
+        |cens AS (SELECT a.u, (tmax - ta) // 1000000 AS t, false AS e
+        |         FROM a JOIN lastev ON a.u = lastev.u
+        |         WHERE a.u NOT IN (SELECT u FROM conv)),
+        |subj AS (SELECT 'c' || CAST(u % 2 AS VARCHAR) AS key, t,
+        |           CAST(e AS BIGINT) AS e
+        |         FROM (SELECT * FROM conv UNION ALL SELECT * FROM cens)),
+        |cells AS (SELECT key, t, CAST(COUNT(*) AS BIGINT) AS c,
+        |            CAST(SUM(e) AS BIGINT) AS d
+        |          FROM subj GROUP BY 1, 2),
+        |ar AS (SELECT key, t, d,
+        |         CAST(SUM(c) OVER (PARTITION BY key ORDER BY t DESC)
+        |           AS BIGINT) AS n_risk
+        |       FROM cells),
+        |lf AS (SELECT key, t, d, n_risk,
+        |         CASE WHEN d < n_risk THEN
+        |           CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+        |             / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+        |         ELSE -100000000 END AS lfm
+        |       FROM ar WHERE d > 0)
+        |SELECT key, t, n_risk, d,
+        |  CAST(round(exp(CAST(SUM(lfm) OVER (PARTITION BY key ORDER BY t)
+        |    AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS s_micro
+        |FROM lf ORDER BY key, t""".stripMargin,
+
+    // cusum's argmax day splits the daily series; per-segment OLS in
+    // the trendPerKey float order; one-day segments → sentinel.
+    "q229_segmented_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT key, d,
+        |        ROW_NUMBER() OVER w AS i, SUM(v) OVER w AS p,
+        |        COUNT(*) OVER (PARTITION BY key) AS nd,
+        |        SUM(v) OVER (PARTITION BY key) AS tt
+        |      FROM daily WINDOW w AS (PARTITION BY key ORDER BY d)),
+        |cp AS (SELECT key, d AS cp_date
+        |       FROM (SELECT key, d,
+        |               abs(CAST(p AS HUGEINT) * nd
+        |                 - CAST(i AS HUGEINT) * tt) AS sa
+        |             FROM s)
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY key
+        |         ORDER BY sa DESC, d ASC) = 1),
+        |tagged AS (SELECT daily.key, cp.cp_date,
+        |             CASE WHEN daily.d <= cp.cp_date THEN 'b'
+        |                  ELSE 'a' END AS seg,
+        |             CAST(daily.d - DATE '1970-01-01' AS BIGINT) AS x,
+        |             v
+        |           FROM daily JOIN cp ON daily.key = cp.key),
+        |m AS (SELECT key, cp_date, seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * v) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM tagged GROUP BY 1, 2, 3),
+        |sc AS (SELECT key, cp_date, seg, n,
+        |         CASE WHEN n >= 2
+        |             AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |           THEN CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6)
+        |             AS BIGINT)
+        |         END AS slope_micro
+        |       FROM m)
+        |SELECT key, cp_date,
+        |  COALESCE(MAX(CASE WHEN seg = 'b' THEN n END), 0) AS n_before,
+        |  COALESCE(MAX(CASE WHEN seg = 'b' THEN slope_micro END),
+        |    -9223372036854775808) AS slope_before_micro,
+        |  COALESCE(MAX(CASE WHEN seg = 'a' THEN n END), 0) AS n_after,
+        |  COALESCE(MAX(CASE WHEN seg = 'a' THEN slope_micro END),
+        |    -9223372036854775808) AS slope_after_micro
+        |FROM sc GROUP BY 1, 2 ORDER BY key""".stripMargin,
 
     // Rule-by-rule conditional sums (false OR NULL = violation),
     // micro rates by integer division.

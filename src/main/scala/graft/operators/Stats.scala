@@ -475,6 +475,54 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** Kaplan–Meier survival curve per key over right-censored
+    * durations — "how long until churn/conversion, given that many
+    * subjects haven't converted YET?" (dropping censored rows biases
+    * short; KM is the standard correction). Input rows: (key,
+    * duration t ≥ 0 integer, event ∈ {true = observed, false =
+    * censored}). At each distinct observed-event time, with n_i at
+    * risk (t ≥ tᵢ) and dᵢ events, the survivor multiplies by
+    * (nᵢ − dᵢ)/nᵢ.
+    *
+    * The cumulative PRODUCT is the replay hazard (product aggregates
+    * differ across engines; exp∘Σlog reorders floats) — so each
+    * step's log factor is micro-quantized FIRST
+    * (round(ln((n−d)/n)·10⁶), the same IEEE double everywhere), the
+    * cumulative is an exact INTEGER window sum over distinct event
+    * times, and S = round(exp(cum/10⁶)·10⁶) is one fixed float per
+    * row. At-risk counts come from a descending cumulative over
+    * distinct (key, t) cells — a hot key costs its distinct times
+    * (the [[giniByKey]] cost model), never its rows. Output: (key,
+    * t, n_risk, d, s_micro), one row per distinct observed-event
+    * time, ordered by t per key downstream. */
+  def kaplanMeier(df: DataFrame, keyCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val rows = df.select(col(keyCol).as("key"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").cast("long").as("e"))
+      .where(col("t").isNotNull && col("t") >= 0 && col("e").isNotNull)
+    val cells = rows.groupBy("key", "t")
+      .agg(count(lit(1)).as("c"), sum("e").as("d"))
+    val wGe = Window.partitionBy("key").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = cells.withColumn("n_risk", sum("c").over(wGe))
+      .where(col("d") > 0)
+    val lf = round(log((col("n_risk") - col("d")).cast("double")
+      / col("n_risk").cast("double")) * 1e6).cast("long")
+    val wCum = Window.partitionBy("key").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atRisk
+      // d = n_risk (everyone at risk dies at the last step) → S = 0:
+      // ln 0 is -inf; pin the log-micro to a sentinel the exp rounds
+      // to exactly 0 on both engines
+      .withColumn("__lf", when(col("d") < col("n_risk"), lf)
+        .otherwise(lit(-100000000L)))
+      .withColumn("__cum", sum("__lf").over(wCum))
+      .select(col("key"), col("t"), col("n_risk"), col("d"),
+        round(exp(col("__cum").cast("double") / 1e6) * 1e6).cast("long")
+          .as("s_micro"))
+  }
+
   /** ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ for k = 0..4 — the integer draw
     * thresholds [[bootstrapMeans]] and its oracle share verbatim. */
   private[graft] val poissonThresholds: Seq[Long] = {

@@ -492,6 +492,45 @@ object TimeSeries {
             .cast("long")).as("index_micro"))
   }
 
+  /** Segmented trend around the CUSUM changepoint — the follow-up
+    * question after [[cusumChangepoint]] says WHEN the level shifted:
+    * what were the slopes BEFORE (day ≤ changepoint) and AFTER? One
+    * daily aggregate tagged by segment, the five exact OLS moments
+    * per (key, segment) ([[trendPerKey]]'s closed form and float
+    * order), pivoted to one row per key. Segments with < 2 days or
+    * constant x emit NULL slope. Output: (key, cp_date, n_before,
+    * slope_before_micro, n_after, slope_after_micro). */
+  def segmentedTrend(df: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cp = cusumChangepoint(df, keyCol, tsCol).select("key", "cp_date")
+    val daily = df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("v"))
+      .where(col("d").isNotNull)
+    val tagged = daily.join(cp, Seq("key"))
+      .withColumn("seg", when(col("d") <= col("cp_date"), lit("b"))
+        .otherwise(lit("a")))
+      .withColumn("x", unix_date(col("d")).cast("long"))
+    val m = tagged.groupBy("key", "cp_date", "seg").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("v").as("sy"),
+      sum(col("x").cast(dec) * col("v").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+    def d(c: String) = col(c).cast("double")
+    val den = d("n") * d("sxx") - d("sx") * d("sx")
+    val slope = when(col("n") >= 2 && den > 0,
+      round((d("n") * d("sxy") - d("sx") * d("sy")) / den * 1e6)
+        .cast("long"))
+    val scored = m.select(col("key"), col("cp_date"), col("seg"),
+      col("n"), slope.as("slope_micro"))
+    def pick(c: String, s: String) =
+      first(when(col("seg") === s, col(c)), ignoreNulls = true)
+    scored.groupBy("key", "cp_date").agg(
+      coalesce(pick("n", "b"), lit(0L)).as("n_before"),
+      pick("slope_micro", "b").as("slope_before_micro"),
+      coalesce(pick("n", "a"), lit(0L)).as("n_after"),
+      pick("slope_micro", "a").as("slope_after_micro"))
+  }
+
   /** Trailing OLS slope per (key, day) over the last `days` rows of a
     * REGULAR daily grid (compose after [[gapFill]], same contract as
     * [[rollingSum]]) — the local trend feature forecasting pipelines

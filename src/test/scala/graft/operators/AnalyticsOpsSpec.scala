@@ -529,6 +529,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 30L, 2L -> 30L))
   }
 
+  // --- kaplanMeier --------------------------------------------------------
+
+  test("kaplanMeier: censoring shrinks risk sets without forcing events") {
+    // t=1 event, t=2 censored, t=3 event ×2, t=4 censored:
+    // S(1) = 4/5, S(3) = 4/5 · 1/3 (risk set at 3 is {3,3,4})
+    val df = Seq(("k", 1L, true), ("k", 2L, false), ("k", 3L, true),
+      ("k", 3L, true), ("k", 4L, false)).toDF("g", "t", "e")
+    val out = Stats.kaplanMeier(df, "g", "t", "e")
+      .orderBy("t")
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    val l1 = math.round(math.log(4.0 / 5.0) * 1e6)
+    val l3 = math.round(math.log(1.0 / 3.0) * 1e6)
+    val s1 = math.round(math.exp(l1 / 1e6) * 1e6)
+    val s3 = math.round(math.exp((l1 + l3) / 1e6) * 1e6)
+    assert(out == Seq(("k", 1L, 5L, 1L, s1), ("k", 3L, 3L, 2L, s3)))
+    assert(s1 == 800000L && math.abs(s3 - 266667L) <= 1)
+  }
+
+  test("kaplanMeier: terminal full-death step lands exactly at zero") {
+    val df = Seq(("k", 1L, true), ("k", 2L, true)).toDF("g", "t", "e")
+    val out = Stats.kaplanMeier(df, "g", "t", "e")
+      .orderBy("t").select("s_micro").as[Long].collect.toSeq
+    assert(out.last == 0L)
+  }
+
+  // --- segmentedTrend -----------------------------------------------------
+
+  test("segmentedTrend: slopes on both sides of the CUSUM break") {
+    val rows = for {
+      (d, c) <- Seq((1, 2), (2, 4), (3, 6), (4, 30), (5, 40), (6, 50))
+      _ <- 1 to c
+    } yield ("a", ts(f"2024-03-0$d%d 00:00:00"))
+    val out = TimeSeries.segmentedTrend(rows.toDF("k", "t"), "k", "t")
+      .collect().head
+    assert(out.getDate(1).toString == "2024-03-03")
+    assert(out.getLong(2) == 3L && out.getLong(3) == 2000000L)
+    assert(out.getLong(4) == 3L && out.getLong(5) == 10000000L)
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
