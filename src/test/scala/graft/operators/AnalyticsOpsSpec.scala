@@ -568,6 +568,82 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.getLong(4) == 3L && out.getLong(5) == 10000000L)
   }
 
+  // --- randomized parity (seeded, deterministic) --------------------------
+
+  test("spearmanByKey equals local doubled-rank Pearson on random data") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(400 + seed)
+      val rows = (1 to 150).map { _ =>
+        (s"k${rnd.nextInt(3)}", rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)
+      }
+      val got = Stats.spearmanByKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      def r2(vs: Seq[Long]): Map[Long, Long] = {
+        val sorted = vs.sorted
+        vs.distinct.map { v =>
+          val o = sorted.count(_ < v).toLong
+          val c = sorted.count(_ == v).toLong
+          v -> (2 * o + c + 1)
+        }.toMap
+      }
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val rx = r2(rs.map(_._2)); val ry = r2(rs.map(_._3))
+        val xs = rs.map(t => rx(t._2).toDouble)
+        val ys = rs.map(t => ry(t._3).toDouble)
+        val n = rs.size.toDouble
+        val cov = (xs, ys).zipped.map(_ * _).sum - xs.sum * ys.sum / n
+        val vx = xs.map(v => v * v).sum - xs.sum * xs.sum / n
+        val vy = ys.map(v => v * v).sum - ys.sum * ys.sum / n
+        val want = if (rs.size >= 2 && vx > 0 && vy > 0)
+          Some(math.round(cov / math.sqrt(vx * vy) * 1e6)) else None
+        assert(got(k) == want, s"seed=$seed key=$k")
+      }
+    }
+  }
+
+  test("maxConcurrent equals the local sweep on random interval piles") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(500 + seed)
+      val base = ts("2024-01-01 00:00:00").getTime
+      val rows = (1 to 120).map { _ =>
+        val s0 = rnd.nextInt(1000)
+        (s"k${rnd.nextInt(2)}", new Timestamp(base + s0 * 1000L),
+          new Timestamp(base + (s0 + 1 + rnd.nextInt(50)) * 1000L))
+      }
+      val got = TimeSeries.maxConcurrent(rows.toDF("k", "s", "e"),
+        "k", "s", "e")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val evs = rs.flatMap(t => Seq((t._2.getTime, 1), (t._3.getTime, -1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        var run = 0L; var peak = 0L
+        evs.foreach { case (_, d) => run += d; peak = math.max(peak, run) }
+        assert(got(k) == peak, s"seed=$seed key=$k")
+      }
+    }
+  }
+
+  test("quantilesPerKey equals local type-1 selection on random data") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(600 + seed)
+      val rows = (1 to 200).map(_ =>
+        (s"k${rnd.nextInt(3)}", rnd.nextInt(40).toLong))
+      val ps = Seq(100000L, 500000L, 770000L, 1000000L)
+      val got = Stats.quantilesPerKey(rows.toDF("k", "x"), "k", "x", ps)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val sorted = rs.map(_._2).sorted
+        ps.foreach { p =>
+          val rank = math.max(1L,
+            (p * sorted.size + 999999L) / 1000000L).toInt
+          assert(got((k, p)) == sorted(rank - 1), s"seed=$seed $k p=$p")
+        }
+      }
+    }
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
