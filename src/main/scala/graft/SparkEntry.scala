@@ -2806,6 +2806,14 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Drain-lite template inventory over the corpus: length-grouped,
+    // constant-vs-wildcard per position, first 16 positions analyzed.
+    "q230_log_templates" -> ((s, dir) => {
+      operators.TextAnalytics.mineTemplates(t(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 16)
+        .orderBy("n_tokens")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6621,6 +6629,31 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Same length-group / position-distinct decision; rebuild is a
+    // position-ordered string_agg.
+    "q230_log_templates" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksLower AS toks FROM documents),
+         |bb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         toks[1:16] AS head
+         |       FROM base WHERE len(toks) > 0),
+         |nm AS (SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS n_messages
+         |       FROM bb GROUP BY 1),
+         |cells AS (SELECT n_tokens, pos, COUNT(DISTINCT tok) AS nd,
+         |            MIN(tok) AS tok1
+         |          FROM (SELECT n_tokens, unnest(head) AS tok,
+         |                  generate_subscripts(head, 1) AS pos
+         |                FROM bb)
+         |          GROUP BY 1, 2),
+         |tpl AS (SELECT n_tokens,
+         |          string_agg(CASE WHEN nd = 1 THEN tok1 ELSE '<*>' END,
+         |            ' ' ORDER BY pos) AS t
+         |        FROM cells GROUP BY 1)
+         |SELECT nm.n_tokens, n_messages,
+         |  CASE WHEN nm.n_tokens > 16 THEN t || ' <…>' ELSE t END AS template
+         |FROM nm JOIN tpl ON nm.n_tokens = tpl.n_tokens
+         |ORDER BY nm.n_tokens""".stripMargin,
 
     // Survivor replay: per-step log factors micro-quantized FIRST
     // (identical IEEE ln), INTEGER cumulative, one exp per row; the

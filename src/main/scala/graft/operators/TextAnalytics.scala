@@ -503,6 +503,50 @@ object TextAnalytics {
     filled.crossJoin(broadcast(est))
   }
 
+  /** Log-template mining (Drain-lite): collapse a message stream into
+    * its structural templates — messages group by token COUNT (the
+    * Drain first-level heuristic), and within a group each token
+    * position either holds one constant token (kept) or varies
+    * (wildcarded to `<*>`). The inventory-of-shapes view an ingest
+    * pipeline runs over raw logs before writing parsers. Only the
+    * first `maxTokens` positions are analyzed; longer messages keep
+    * their full count as the group key and carry a trailing `<…>`
+    * marker. Deterministic: the per-position decision is a distinct
+    * count (= 1 ⇒ constant), the rebuild is position-ordered.
+    *
+    * Scale: one posexplode bounded by maxTokens per message, one
+    * (group, pos, token)-keyed aggregate, one (group, pos) distinct
+    * fold, one ordered rebuild over ≤ maxTokens cells per group — no
+    * message-scale windows. Output: (n_tokens, n_messages, template)
+    * ordered by n_tokens downstream. */
+  def mineTemplates(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int = 16): DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    val toks = Text.tokens(lower(col(textCol)))
+    val base = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("__id"), size(col("__toks")).cast("long").as("n_tokens"),
+        slice(col("__toks"), 1, maxTokens).as("__head"))
+    val nMsg = base.groupBy("n_tokens")
+      .agg(count(lit(1)).as("n_messages"))
+    val cells = base
+      .select(col("n_tokens"), posexplode(col("__head")).as(Seq("pos", "tok")))
+      .groupBy("n_tokens", "pos")
+      .agg(count_distinct(col("tok")).as("nd"),
+        min("tok").as("tok1"))
+    val slots = cells.select(col("n_tokens"), col("pos"),
+      when(col("nd") === 1, col("tok1")).otherwise(lit("<*>")).as("slot"))
+    val rebuilt = slots.groupBy("n_tokens")
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("slot"))))
+        .getField("slot"), " ").as("__tpl"))
+    nMsg.join(rebuilt, Seq("n_tokens"))
+      .select(col("n_tokens"), col("n_messages"),
+        when(col("n_tokens") > maxTokens,
+          concat(col("__tpl"), lit(" <…>"))).otherwise(col("__tpl"))
+          .as("template"))
+  }
+
   /** Canonical "same page" key for web-corpus URL dedup: lowercase,
     * strip fragment, query string, scheme, leading www., default
     * ports, and trailing slashes — the variants crawlers collect for

@@ -270,6 +270,58 @@ object StreamMonitor {
       .select(col("stratum").as("key"), col("v").as("bin"),
         col("cb").as("n"))
 
+  /** Streaming expectation-suite monitor — the live twin of
+    * [[graft.operators.KeyChecks.ruleAudit]]: per-rule violation
+    * counts and rates accumulated over an unbounded ingest, one
+    * conditional-sum scan per micro-batch (all rules in one pass,
+    * exactly the batch operator's cost model). Counts ride the shard
+    * store as (stratum = rule, v ∈ {0 = violations, 1 = total}) —
+    * additive cells, so idempotent overwrite / compaction / offline
+    * readback are unchanged. Sink receives the accumulated audit
+    * frame (rule, n, n_violations, rate_micro) + batchId. */
+  def ruleAuditStream(live: DataFrame,
+                      rules: Seq[(String, org.apache.spark.sql.Column)],
+                      storeDir: String, checkpointDir: String,
+                      compactEvery: Int = 32)
+                     (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(rules.nonEmpty, "need at least one rule")
+    val spark = live.sparkSession
+    live
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+          case ((_, pred), i) =>
+            sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+              .as(s"__v$i")
+        }
+        val row = batch.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(0)
+        import spark.implicits._
+        rules.zipWithIndex.flatMap { case ((name, _), i) =>
+          Seq((name, 0L, row.getLong(i + 1)), (name, 1L, n))
+        }.toDF("stratum", "v", "cb")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactShards(spark, storeDir, s"c$batchId")
+        sink(auditFromStore(spark, storeDir), batchId)
+      }
+      .start()
+  }
+
+  /** Accumulated audit frame from a rule-audit store — also the
+    * offline entry point. */
+  def auditFromStore(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, storeDir)
+      .groupBy(col("stratum").as("rule"))
+      .agg(sum(when(col("v") === 1L, col("cb")).otherwise(0L)).as("n"),
+        sum(when(col("v") === 0L, col("cb")).otherwise(0L))
+          .as("n_violations"))
+      .withColumn("rate_micro",
+        when(col("n") > 0, expr("(n_violations * 1000000L) div n"))
+          .otherwise(0L))
+
   /** All-time peak concurrency per key from a concurrency store —
     * also the offline entry point. Zero-net instants (an interval
     * fully contained in one batch's same-instant churn, or a

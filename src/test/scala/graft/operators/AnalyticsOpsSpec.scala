@@ -644,6 +644,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  // --- mineTemplates ------------------------------------------------------
+
+  test("mineTemplates: constant slots kept, varying slots wildcarded") {
+    val df = Seq(
+      (1L, "error db timeout 500"),
+      (2L, "error db timeout 712"),
+      (3L, "error db refused 500"),
+      (4L, "user login ok"),
+      (5L, "user login ok")).toDF("id", "text")
+    val out = TextAnalytics.mineTemplates(df, "id", "text", maxTokens = 16)
+      .orderBy("n_tokens")
+      .as[(Long, Long, String)].collect.toSeq
+    assert(out == Seq(
+      (3L, 2L, "user login ok"),
+      (4L, 3L, "error db <*> <*>")))
+  }
+
+  test("mineTemplates: long messages truncate analysis with a marker") {
+    val long1 = (1 to 20).map(i => "tok").mkString(" ")
+    val long2 = (1 to 19).map(_ => "tok").mkString(" ") + " zzz"
+    val out = TextAnalytics.mineTemplates(
+      Seq((1L, long1), (2L, long2)).toDF("id", "text"), "id", "text",
+      maxTokens = 16)
+      .as[(Long, Long, String)].collect.toSeq
+    assert(out == Seq((20L, 2L,
+      (1 to 16).map(_ => "tok").mkString(" ") + " <…>")))
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")

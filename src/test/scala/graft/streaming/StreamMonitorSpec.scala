@@ -204,6 +204,42 @@ class StreamMonitorSpec extends SparkSpec {
     assert(gotE == wantE && gotE.nonEmpty)
   }
 
+  test("ruleAuditStream: accumulated audit == batch ruleAudit over " +
+    "the union of waves") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("ramon").toFile
+    val rules = Seq(
+      "positive" -> (col("v") > 0L),
+      "small" -> (col("v") < 100L))
+    val wave1 = Seq(5L, -1L, 50L)
+    val wave2 = Seq(200L, 7L, -2L, 3L)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, (Long, Long, Long)])]
+    val input = MemoryStream[Long]
+    val q = StreamMonitor.ruleAuditStream(
+      input.toDF().toDF("v"), rules,
+      s"$tmp/store", s"$tmp/ckpt", compactEvery = 1) { (audit, batchId) =>
+      seen += batchId -> audit.collect().map(r =>
+        r.getAs[String]("rule") -> (r.getAs[Long]("n"),
+          r.getAs[Long]("n_violations"), r.getAs[Long]("rate_micro"))).toMap
+    }
+    try {
+      input.addData(wave1: _*); q.processAllAvailable()
+      input.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.map(_._1).toSeq == Seq(0L, 1L))
+    val expect = graft.operators.KeyChecks.ruleAudit(
+      (wave1 ++ wave2).toDF("v"), rules)
+      .collect().map(r => r.getAs[String]("rule") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("rate_micro"))).toMap
+    assert(seen.last._2 == expect)
+    assert(expect("positive") == ((7L, 2L, 285714L)))
+    assert(expect("small") == ((7L, 1L, 142857L)))
+  }
+
   test("concurrencyStream: accumulated peak == batch maxConcurrent, " +
     "through a compaction cycle and out-of-order arrival") {
     val s = spark
