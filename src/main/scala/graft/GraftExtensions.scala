@@ -19,8 +19,10 @@ import graft.plans.{CosineSim, Md5MinHashSig, Md5SimHash, MinHashSig, NfcNormali
   * [[GraftSession]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+  }
 }
 
 object GraftExtensions {
@@ -124,10 +126,18 @@ object GraftExtensions {
 
   /** Register the functions on an already-built session (extensions
     * only run at construction time). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, b) =>
       org.apache.spark.sql.classic.GraftBridge.registerFunction(spark, id, info, b)
     }
+    // live-session twin of injectOptimizerRule (extensions can only
+    // be configured at session build)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinThresholdRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.LevenshteinThresholdRule
+  }
 }
 
 /** One-stop session builder with graft's extensions and the shuffle

@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The optimizer-rule layer: LevenshteinThresholdRule must rewrite
+  * unbounded edit-distance filters to the banded threshold kernel
+  * with a length pre-filter, without changing a single row. */
+class RulesSpec extends SparkSpec {
+
+  private def withRule[T](f: => T): T = {
+    graft.GraftExtensions.register(spark)
+    f
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("<= filter rewrites to the threshold kernel + length guard") {
+    withRule {
+      // non-foldable source — a literal row would constant-fold the
+      // whole filter away before the plan can be inspected
+      val df = spark.range(4)
+        .selectExpr("CAST(id AS STRING) AS a", "repeat('x', 2) AS b")
+        .where(expr("levenshtein(a, b) <= 2"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Some(2)) >= 0"), opt)
+      assert(opt.contains("abs((length"), opt)
+    }
+  }
+
+  test("rewrite preserves every row on random strings, <= and <") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(42)
+      val words = Vector("cat", "cart", "card", "art", "a", "", "scatter",
+        "catter", "kitten", "sitting", "mitten")
+      val rows = (1 to 300).map { _ =>
+        (words(rnd.nextInt(words.size)), words(rnd.nextInt(words.size)))
+      }
+      val df = rows.toDF("a", "b")
+      for ((pred, check) <- Seq(
+        "levenshtein(a, b) <= 2" ->
+          ((a: String, b: String) => levRef(a, b) <= 2),
+        "levenshtein(a, b) < 2" ->
+          ((a: String, b: String) => levRef(a, b) < 2),
+        "2 >= levenshtein(a, b)" ->
+          ((a: String, b: String) => levRef(a, b) <= 2))) {
+        val got = df.where(expr(pred)).as[(String, String)].collect.toSeq
+        val want = rows.filter(t => check(t._1, t._2))
+        assert(got == want, pred)
+      }
+    }
+  }
+
+  test("NULL inputs filter identically under the rewrite") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val df = Seq(("x", Option("x")), ("y", None))
+        .toDF("a", "b")
+        .where(expr("levenshtein(a, b) <= 1"))
+      assert(df.collect().map(_.getString(0)).toSeq == Seq("x"))
+    }
+  }
+
+  test("column-valued bounds keep the unbounded form (no rewrite)") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val df = Seq(("cat", "cart", 1)).toDF("a", "b", "k")
+        .where(expr("levenshtein(a, b) <= k"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("levenshtein(a, b, "), opt)
+      assert(df.count() == 1)
+    }
+  }
+}
