@@ -2814,6 +2814,34 @@ object SparkEntry {
         .orderBy("n_tokens")
     }),
 
+    // Paired within-user views-vs-clicks shift per cohort — Wilcoxon
+    // signed rank over doubled average ranks.
+    "q231_wilcoxon" -> ((s, dir) => {
+      val paired = events(s, dir)
+        .groupBy(col("user_id").as("u"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("y"))
+        .select(concat(lit("c"), pmod(col("u"), lit(2L))).as("cohort"),
+          (col("x") - col("y")).as("diff"))
+      operators.Stats.wilcoxonSignedRank(paired, "cohort", "diff")
+        .orderBy("key")
+    }),
+
+    // Did viewers convert to purchasers? McNemar on the paired
+    // (viewed, purchased) booleans per cohort.
+    "q232_mcnemar" -> ((s, dir) => {
+      val paired = events(s, dir)
+        .groupBy(col("user_id").as("u"))
+        .agg(max(col("event_type") === "view").as("a"),
+          max(col("event_type") === "purchase").as("b"))
+        .select(concat(lit("c"), pmod(col("u"), lit(2L))).as("cohort"),
+          col("a"), col("b"))
+      operators.Stats.mcnemar(paired, "cohort", "a", "b")
+        .orderBy("key")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6629,6 +6657,66 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Doubled average ranks over distinct |diff| magnitudes, exact
+    // integer moments incl. the Σ(t³−t) tie correction, one float z.
+    "q231_wilcoxon" ->
+      """WITH paired AS (
+        |  SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS key,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dv
+        |  FROM events GROUP BY user_id),
+        |nz AS (SELECT key, dv, abs(dv) AS x FROM paired WHERE dv <> 0),
+        |g AS (SELECT key, x, CAST(COUNT(*) AS BIGINT) AS c,
+        |        CAST(SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS pos
+        |      FROM nz GROUP BY 1, 2),
+        |r AS (SELECT key, x, c, pos,
+        |        2 * COALESCE(SUM(c) OVER (PARTITION BY key ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          + c + 1 AS r2
+        |      FROM g),
+        |agg AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n,
+        |          CAST(SUM(CAST(pos AS HUGEINT) * r2) AS BIGINT) AS w2,
+        |          CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS BIGINT)
+        |            AS ties
+        |        FROM r GROUP BY 1)
+        |SELECT key, n, w2,
+        |  CASE WHEN n >= 1
+        |      AND 2.0 * n * (n + 1.0) * (2.0 * n + 1.0)
+        |        - CAST(ties AS DOUBLE) > 0
+        |    THEN CAST(round((CAST(w2 AS DOUBLE) - n * (n + 1.0) / 2.0)
+        |      / sqrt((2.0 * n * (n + 1.0) * (2.0 * n + 1.0)
+        |        - CAST(ties AS DOUBLE)) / 12.0) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM agg ORDER BY key""".stripMargin,
+
+    // Discordant-pair counts in one aggregate; (b−c)² micro by
+    // non-negative division.
+    "q232_mcnemar" ->
+      """WITH paired AS (
+        |  SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS key,
+        |    MAX(event_type = 'view') AS a,
+        |    MAX(event_type = 'purchase') AS b
+        |  FROM events GROUP BY user_id)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b01,
+        |  CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c10,
+        |  CASE WHEN SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) > 0
+        |    THEN CAST(((SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+        |      * (SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+        |      * 1000000)
+        |      // (SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+        |      AS BIGINT)
+        |  END AS stat_micro
+        |FROM paired GROUP BY 1 ORDER BY key""".stripMargin,
 
     // Same length-group / position-distinct decision; rebuild is a
     // position-ordered string_agg.

@@ -523,6 +523,73 @@ object Stats {
           .as("s_micro"))
   }
 
+  /** Wilcoxon signed-rank test per stratum over paired integer
+    * differences — the PAIRED companion of [[mannWhitneyU]] (same
+    * subject measured twice: before/after, A-vs-B within user). Zero
+    * differences drop (the standard convention); |diff| ranks use
+    * DOUBLED average ranks (2o + c + 1 — exact under ties, the
+    * [[spearmanByKey]] device) over DISTINCT (stratum, |diff|) counts
+    * via the shared [[prefixCounts]] two-phase machinery, so a hot
+    * stratum costs its distinct magnitudes. The doubled statistic
+    * W₂ = Σ_{diff>0} r₂ has E[W₂] = n(n+1)/2 and
+    * 12·Var[W₂] = 2n(n+1)(2n+1) − Σ(t³−t) (tie runs t) — every
+    * moment an exact integer; one fixed-order float z at the end.
+    * Output: (key, n, w2, z_micro — NULL when n < 1 or the
+    * tie-corrected variance is 0). */
+  def wilcoxonSignedRank(df: DataFrame, stratumCol: String,
+                         diffCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df
+      .select(col(stratumCol).as("key"), col(diffCol).cast("long").as("dv"))
+      .where(col("dv").isNotNull && col("dv") =!= 0L)
+    // grouped feeds prefixCounts' percentile bounds AND the bucketed
+    // prefix — persist (the spearmanByKey discipline; Blocks.releaseAll
+    // frees at query boundaries)
+    val grouped = rows
+      .groupBy(col("key"), abs(col("dv")).as("x"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("dv") > 0, 1L).otherwise(0L)).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = prefixCounts(grouped)
+      .withColumn("r2", lit(2L) * col("o") + col("c") + lit(1L))
+    val agg = ranked.groupBy("key").agg(
+      sum("c").as("n"),
+      sum(col("pos").cast(dec) * col("r2").cast(dec)).cast("long").as("w2"),
+      sum(col("c").cast(dec) * col("c").cast(dec) * col("c").cast(dec)
+        - col("c").cast(dec)).as("ties"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val mean = d(col("n")) * (d(col("n")) + lit(1.0)) / lit(2.0)
+    val var12 = lit(2.0) * d(col("n")) * (d(col("n")) + lit(1.0)) *
+      (lit(2.0) * d(col("n")) + lit(1.0)) - d(col("ties"))
+    agg.select(col("key"), col("n"), col("w2"),
+      when(col("n") >= 1 && var12 > 0,
+        round((d(col("w2")) - mean) / sqrt(var12 / 12.0) * 1e6)
+          .cast("long")).as("z_micro"))
+  }
+
+  /** McNemar's test per stratum over paired booleans — "did the
+    * treatment flip outcomes?" on the same subjects (a = before,
+    * b = after): only the DISCORDANT pairs carry information, and the
+    * statistic (b01 − c10)² / (b01 + c10) compares the two flip
+    * directions. One map-side-combined aggregate; the stat is
+    * integer-exact micros by non-negative division ((b−c)² ≥ 0).
+    * NULL on either side drops the pair. Output: (key, n_pairs, b01
+    * — a true, b false — c10 — a false, b true — stat_micro, NULL
+    * when no discordant pairs). */
+  def mcnemar(df: DataFrame, stratumCol: String, aCol: String,
+              bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    df.where(a.isNotNull && b.isNotNull)
+      .groupBy(col(stratumCol).as("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("b01"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("c10"))
+      .withColumn("stat_micro",
+        when(col("b01") + col("c10") > 0,
+          expr("((b01 - c10) * (b01 - c10) * 1000000L) div (b01 + c10)")))
+  }
+
   /** ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ for k = 0..4 — the integer draw
     * thresholds [[bootstrapMeans]] and its oracle share verbatim. */
   private[graft] val poissonThresholds: Seq[Long] = {

@@ -672,6 +672,36 @@ class AnalyticsOpsSpec extends SparkSpec {
       (1 to 16).map(_ => "tok").mkString(" ") + " <…>")))
   }
 
+  // --- wilcoxonSignedRank / mcnemar --------------------------------------
+
+  test("wilcoxonSignedRank: hand case with ties and dropped zeros") {
+    // diffs: +1, -1, +2, +2, -3, 0 → nonzero n=5; |d| ranks:
+    // 1,1 → avg 1.5 (r2=3); 2,2 → avg 3.5 (r2=7); 3 → rank 5 (r2=10)
+    // W2 = positives: +1(3) + +2(7) + +2(7) = 17
+    val df = Seq(("s", 1L), ("s", -1L), ("s", 2L), ("s", 2L), ("s", -3L),
+      ("s", 0L)).toDF("k", "d")
+    val out = Stats.wilcoxonSignedRank(df, "k", "d").collect().head
+    assert(out.getLong(1) == 5L && out.getLong(2) == 17L)
+    // mean W2 = 15; 12·var = 2·5·6·11 − Σ(t³−t) = 660 − (6+6+0) = 648
+    val z = math.round((17.0 - 15.0) / math.sqrt(648.0 / 12.0) * 1e6)
+    assert(out.getLong(3) == z)
+  }
+
+  test("mcnemar: discordant-pair statistic, concordant-only → NULL") {
+    val df = Seq(
+      ("s", true, false), ("s", true, false), ("s", true, false),
+      ("s", false, true), ("s", true, true), ("s", false, false),
+      ("t", true, true), ("t", false, false))
+      .toDF("k", "a", "b")
+    val out = Stats.mcnemar(df, "k", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // s: b01=3, c10=1 → (3−1)²·1e6/4 = 1e6
+    assert(out("s") == ((6L, 3L, 1L, Some(1000000L))))
+    assert(out("t") == ((2L, 0L, 0L, None)))
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
