@@ -2842,6 +2842,32 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Effect size for the source × lang dependence: V beside q182's
+    // χ² deviations and q199's MI.
+    "q233_cramers_v" -> ((s, dir) => {
+      operators.Stats.cramersV(t(s, dir, "documents"), "source", "lang")
+    }),
+
+    // Effect size beside q165's significance: Cohen's d on the same
+    // parity split.
+    "q234_effect_size" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("g", when(col("user_id") % 2 === 0, "a").otherwise("b"))
+        .withColumn("v_milli", round(col("value") * 1000).cast("long"))
+      operators.Stats.cohensD(ev, "event_type", "g", "a", "b", "v_milli")
+        .orderBy("stratum")
+    }),
+
+    // Conversion-rate A/B per event type: purchase-flag proportions
+    // on the parity split, pooled-p̂ z.
+    "q235_proportions" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("g", when(col("user_id") % 2 === 0, "a").otherwise("b"))
+        .withColumn("y", col("value") > 100.0)
+      operators.Stats.proportionsZ(ev, "event_type", "g", "a", "b", "y")
+        .orderBy("stratum")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6657,6 +6683,105 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Per-cell χ² terms micro-quantized before the exact fold, V in
+    // one final float.
+    "q233_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT CAST(source AS VARCHAR) AS a, CAST(lang AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |        CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+        |        CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+        |      FROM cells),
+        |spine AS (SELECT a, rt, b, ct, COALESCE(o, 0) AS o
+        |          FROM ra CROSS JOIN cb
+        |          LEFT JOIN cells USING (a, b)),
+        |terms AS (SELECT
+        |    CAST(round(
+        |      CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+        |        AS DOUBLE)
+        |      * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+        |        AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS tm
+        |  FROM spine CROSS JOIN t)
+        |SELECT n, r, c,
+        |  CAST(SUM(tm) AS BIGINT) AS chi2_micro,
+        |  CASE WHEN r >= 2 AND c >= 2 THEN
+        |    CAST(round(sqrt(CAST(SUM(tm) AS DOUBLE) / 1e6
+        |      / (CAST(n AS DOUBLE) * LEAST(r - 1, c - 1))) * 1e6) AS BIGINT)
+        |  END AS v_micro
+        |FROM terms CROSS JOIN t GROUP BY n, r, c""".stripMargin,
+
+    // welchZ's exact moments, pooled (n−1)-weighted variance, one
+    // fixed-order d.
+    "q234_effect_size" ->
+      """WITH m AS (
+        |  SELECT event_type AS stratum,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s,
+        |    SUM(CAST(round(value * 1000) AS HUGEINT)
+        |      * CAST(round(value * 1000) AS HUGEINT)) AS ss
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT stratum,
+        |        MAX(CASE WHEN g = 'a' THEN n END) AS n_a,
+        |        MAX(CASE WHEN g = 'a' THEN s END) AS s_a,
+        |        MAX(CASE WHEN g = 'a' THEN ss END) AS ss_a,
+        |        MAX(CASE WHEN g = 'b' THEN n END) AS n_b,
+        |        MAX(CASE WHEN g = 'b' THEN s END) AS s_b,
+        |        MAX(CASE WHEN g = 'b' THEN ss END) AS ss_b
+        |      FROM m GROUP BY 1),
+        |f AS (SELECT stratum, n_a, n_b,
+        |        (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+        |            * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+        |            * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+        |          AS pooled,
+        |        CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff
+        |      FROM p WHERE n_a IS NOT NULL AND n_b IS NOT NULL)
+        |SELECT stratum, n_a, n_b,
+        |  CASE WHEN n_a + n_b >= 3 AND pooled > 0
+        |    THEN CAST(round(diff / sqrt(pooled) * 1e6) AS BIGINT)
+        |  END AS d_micro
+        |FROM f ORDER BY stratum""".stripMargin,
+
+    // Pooled-p̂ two-proportion z from exact counts.
+    "q235_proportions" ->
+      """WITH m AS (
+        |  SELECT event_type AS stratum,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT stratum,
+        |        MAX(CASE WHEN g = 'a' THEN n END) AS n_a,
+        |        MAX(CASE WHEN g = 'a' THEN pos END) AS pos_a,
+        |        MAX(CASE WHEN g = 'b' THEN n END) AS n_b,
+        |        MAX(CASE WHEN g = 'b' THEN pos END) AS pos_b
+        |      FROM m GROUP BY 1),
+        |f AS (SELECT stratum, n_a, pos_a, n_b, pos_b,
+        |        (CAST(pos_a AS DOUBLE) + CAST(pos_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS ph
+        |      FROM p WHERE n_a IS NOT NULL AND n_b IS NOT NULL)
+        |SELECT stratum, n_a, pos_a, n_b, pos_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND pos_a + pos_b > 0
+        |      AND pos_a + pos_b < n_a + n_b
+        |    THEN CAST(round((CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt(ph * (1.0 - ph)
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |      * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM f ORDER BY stratum""".stripMargin,
 
     // Doubled average ranks over distinct |diff| magnitudes, exact
     // integer moments incl. the Σ(t³−t) tie correction, one float z.

@@ -590,6 +590,120 @@ object Stats {
           expr("((b01 - c10) * (b01 - c10) * 1000000L) div (b01 + c10)")))
   }
 
+  /** Cramér's V for a two-way contingency table — the EFFECT-SIZE
+    * companion of the chi-square screen (χ² says "dependent",
+    * V ∈ [0, 1] says "how strongly", comparable across table sizes):
+    * V = √(χ² / (n · min(r−1, c−1))). χ² accumulates per cell as
+    * (o·n − rt·ct)² / (n·rt·ct) over exact integer margins — every
+    * product through DECIMAL, one fixed-order float per cell,
+    * micro-summed exactly (order-free), then one final float. Output:
+    * one row (n, r, c, chi2_micro, v_micro); degenerate tables
+    * (r < 2 or c < 2) emit NULL v. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ra = cells.groupBy("a").agg(sum("o").as("rt"))
+    val cb = cells.groupBy("b").agg(sum("o").as("ct"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // per-cell χ² term over exact integers, micro-quantized before the
+    // exact integer fold (the q199 discipline)
+    val num = d(col("o").cast(dec) * col("n").cast(dec)
+      - col("rt").cast(dec) * col("ct").cast(dec))
+    val den = d(col("n").cast(dec) * col("rt").cast(dec)
+      * col("ct").cast(dec))
+    val termMicro = round(num * num / den * 1e6).cast("long")
+    val n = cells.agg(sum("o").as("n"), count_distinct(col("a")).as("r"),
+      count_distinct(col("b")).as("c"))
+    // FULL r×c spine (margins crossed, categorical-scale): a zero cell
+    // still contributes (rt·ct)²/(n·rt·ct) — dropping it understates
+    // χ² exactly where the association is strongest
+    val agg = broadcast(ra).crossJoin(broadcast(cb))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .agg(first("n").as("n"), first("r").as("r"), first("c").as("c"),
+        sum(termMicro).as("chi2_micro"))
+    agg.select(col("n"), col("r"), col("c"), col("chi2_micro"),
+      when(col("r") >= 2 && col("c") >= 2,
+        round(sqrt(d(col("chi2_micro")) / lit(1e6)
+          / (d(col("n")) * least(col("r") - 1, col("c") - 1)
+            .cast("double"))) * 1e6).cast("long")).as("v_micro"))
+  }
+
+  /** Cohen's d per stratum — the effect size beside [[welchZ]]'s
+    * significance (a tiny shift on a huge n is "significant" but may
+    * be negligible; d normalizes by the pooled spread): d = (m_A −
+    * m_B) / s_pooled with the (n_A−1)/(n_B−1)-weighted pooled sample
+    * variance. Same exact-moment aggregate as welchZ (Σx, Σx²
+    * through DECIMAL), one fixed-order float. Strata missing a group
+    * drop; n_A + n_B < 3 or zero pooled variance → NULL d. Output:
+    * (stratum, n_a, n_b, d_micro). */
+  def cohensD(df: DataFrame, stratumCol: String, groupCol: String,
+              groupA: String, groupB: String, milliCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = df
+      .where(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(stratumCol).as("stratum"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(milliCol).cast("long")).as("s"),
+        sum(col(milliCol).cast(dec) * col(milliCol).cast(dec)).as("ss"))
+    def pick(c: String, g: String) =
+      first(when(col("g") === g, col(c)), ignoreNulls = true)
+    val piv = m.groupBy("stratum").agg(
+      pick("n", groupA).as("n_a"), pick("s", groupA).as("s_a"),
+      pick("ss", groupA).as("ss_a"),
+      pick("n", groupB).as("n_b"), pick("s", groupB).as("s_b"),
+      pick("ss", groupB).as("ss_b"))
+    def d(c: String) = col(c).cast("double")
+    def css(ss: String, s: String, n: String) =
+      d(ss) - d(s) * d(s) / d(n)
+    val pooled = (css("ss_a", "s_a", "n_a") + css("ss_b", "s_b", "n_b")) /
+      (d("n_a") + d("n_b") - lit(2.0))
+    val diff = d("s_a") / d("n_a") - d("s_b") / d("n_b")
+    piv.where(col("n_a").isNotNull && col("n_b").isNotNull)
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        when(col("n_a") + col("n_b") >= 3 && pooled > 0,
+          round(diff / sqrt(pooled) * 1e6).cast("long")).as("d_micro"))
+  }
+
+  /** Two-proportion z-test per stratum — conversion-rate A/B on
+    * binary outcomes: z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B))
+    * with the pooled p̂. One aggregate of exact counts, one
+    * fixed-order float. Degenerate strata (missing group, n = 0, or
+    * pooled p̂ ∈ {0, 1}) → NULL z. Output: (stratum, n_a, pos_a,
+    * n_b, pos_b, z_micro). */
+  def proportionsZ(df: DataFrame, stratumCol: String, groupCol: String,
+                   groupA: String, groupB: String,
+                   labelCol: String): DataFrame = {
+    val m = df
+      .where(col(groupCol).isin(groupA, groupB) &&
+        col(labelCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("boolean").cast("long")).as("pos"))
+    def pick(c: String, g: String) =
+      first(when(col("g") === g, col(c)), ignoreNulls = true)
+    val piv = m.groupBy("stratum").agg(
+      pick("n", groupA).as("n_a"), pick("pos", groupA).as("pos_a"),
+      pick("n", groupB).as("n_b"), pick("pos", groupB).as("pos_b"))
+    def d(c: String) = col(c).cast("double")
+    val pHat = (d("pos_a") + d("pos_b")) / (d("n_a") + d("n_b"))
+    val se = sqrt(pHat * (lit(1.0) - pHat)
+      * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b")))
+    val z = (d("pos_a") / d("n_a") - d("pos_b") / d("n_b")) / se
+    piv.where(col("n_a").isNotNull && col("n_b").isNotNull)
+      .select(col("stratum"), col("n_a"), col("pos_a"), col("n_b"),
+        col("pos_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("pos_a") + col("pos_b") > 0 &&
+          col("pos_a") + col("pos_b") < col("n_a") + col("n_b"),
+          round(z * 1e6).cast("long")).as("z_micro"))
+  }
+
   /** ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ for k = 0..4 — the integer draw
     * thresholds [[bootstrapMeans]] and its oracle share verbatim. */
   private[graft] val poissonThresholds: Seq[Long] = {

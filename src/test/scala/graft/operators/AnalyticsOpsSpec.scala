@@ -702,6 +702,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("t") == ((2L, 0L, 0L, None)))
   }
 
+  // --- cramersV / cohensD / proportionsZ ---------------------------------
+
+  test("cramersV: perfect association = 1e6, independence = 0") {
+    val perfect = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
+      .toDF("a", "b")
+    val vP = Stats.cramersV(perfect, "a", "b").collect().head
+    assert(vP.getLong(4) == 1000000L)
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("1", "2"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val vI = Stats.cramersV(indep, "a", "b").collect().head
+    assert(vI.getLong(3) == 0L && vI.getLong(4) == 0L)
+  }
+
+  test("cohensD: unit separation on a hand-computed pair") {
+    // A: 0, 2000 (css 2e6); B: 1000, 3000 (css 2e6);
+    // pooled = 4e6/2 = 2e6, diff = -1000 → d = -1000/sqrt(2e6)
+    val df = Seq(("s", "a", 0L), ("s", "a", 2000L),
+      ("s", "b", 1000L), ("s", "b", 3000L)).toDF("st", "g", "v")
+    val out = Stats.cohensD(df, "st", "g", "a", "b", "v").collect().head
+    assert(out.getLong(3) ==
+      math.round(-1000.0 / math.sqrt(2e6) * 1e6))
+  }
+
+  test("proportionsZ: hand case and degenerate NULLs") {
+    // A: 8/10, B: 4/10 → p̂ = 0.6, z = 0.4/sqrt(0.24·0.2)
+    val rows = (1 to 10).map(i => ("s", "a", i <= 8)) ++
+      (1 to 10).map(i => ("s", "b", i <= 4)) ++
+      Seq(("allpos", "a", true), ("allpos", "b", true))
+    val df = rows.toDF("st", "g", "y")
+    val out = Stats.proportionsZ(df, "st", "g", "a", "b", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    val z = math.round(0.4 / math.sqrt(0.6 * 0.4 * 0.2) * 1e6)
+    assert(out("s").contains(z))
+    assert(out("allpos").isEmpty) // p̂ = 1 → NULL, not a fake infinity
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
