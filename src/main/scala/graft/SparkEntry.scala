@@ -2868,6 +2868,50 @@ object SparkEntry {
         .orderBy("stratum")
     }),
 
+    // TPC-H Q5 shape (local supplier volume): six-table snowflake,
+    // both dims broadcast, revenue in exact integer micro-cents
+    // (cents × (10000 − discount_bp)) so no float product ever sums.
+    "q236_tpch_q5" -> ((s, dir) => {
+      val rev = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(rev.cast(DecimalType(38, 0))).cast("long")
+          .as("revenue_e6"))
+        .orderBy(col("revenue_e6").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    // lost revenue on returned lines in a quarter.
+    "q237_tpch_q10" -> ((s, dir) => {
+      val rev = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_returnflag") === "R")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(rev.cast(DecimalType(38, 0))).cast("long")
+          .as("revenue_e6"))
+        .orderBy(col("revenue_e6").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6683,6 +6727,42 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    // Integer micro-cents revenue: round-to-cents × (10000 − bp) —
+    // identical longs on both engines, exact HUGEINT sum.
+    "q236_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |    * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_e6
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_e6 DESC, n_name""".stripMargin,
+
+    "q237_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |    * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_e6
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_e6 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     // Per-cell χ² terms micro-quantized before the exact fold, V in
     // one final float.
