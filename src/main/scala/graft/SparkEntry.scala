@@ -2912,6 +2912,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Which order columns could serve as keys? One multi-distinct
+    // aggregate over the column list.
+    "q238_candidate_keys" -> ((s, dir) => {
+      operators.KeyChecks.candidateKeys(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+    }),
+
+    // Exact equi-depth bucket boundaries per priority from the
+    // rank-selected quantiles — the histogram layout planners want
+    // when value skew breaks fixed-width bins.
+    "q239_equidepth" -> ((s, dir) => {
+      operators.Stats.quantilesPerKey(
+        t(s, dir, "orders").select(col("o_orderpriority").as("p"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "p", "cents", Seq(250000L, 500000L, 750000L, 1000000L))
+        .orderBy("key", "p_micro")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6727,6 +6745,48 @@ object SparkEntry {
          |  END AS mean_micro
          |FROM m ORDER BY key, b""".stripMargin
     },
+
+    "q238_candidate_keys" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d0,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m0,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d1,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m1,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d2,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m2,
+        |  CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d3,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m3
+        |FROM orders)
+        |SELECT "column", n, n_distinct, n_nulls,
+        |  (n_distinct = n AND n_nulls = 0) AS is_key
+        |FROM (
+        |  SELECT 'o_orderkey' AS "column", n, d0 AS n_distinct,
+        |    m0 AS n_nulls FROM a
+        |  UNION ALL SELECT 'o_custkey', n, d1, m1 FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n, d2, m2 FROM a
+        |  UNION ALL SELECT 'o_orderdate', n, d3, m3 FROM a)""".stripMargin,
+
+    "q239_equidepth" ->
+      """WITH r AS (SELECT o_orderpriority AS key,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |           FROM orders),
+        |g AS (SELECT key, x, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM r GROUP BY 1, 2),
+        |cum AS (SELECT key, x, c,
+        |          SUM(c) OVER (PARTITION BY key ORDER BY x) AS cum,
+        |          SUM(c) OVER (PARTITION BY key) AS n
+        |        FROM g),
+        |ps AS (SELECT unnest([250000, 500000, 750000, 1000000]) AS p_micro)
+        |SELECT key, CAST(p_micro AS BIGINT) AS p_micro,
+        |  CAST(x AS BIGINT) AS value
+        |FROM cum CROSS JOIN ps
+        |WHERE cum - c < GREATEST((p_micro * n + 999999) // 1000000, 1)
+        |  AND GREATEST((p_micro * n + 999999) // 1000000, 1) <= cum
+        |ORDER BY key, p_micro""".stripMargin,
 
     // Integer micro-cents revenue: round-to-cents × (10000 − bp) —
     // identical longs on both engines, exact HUGEINT sum.

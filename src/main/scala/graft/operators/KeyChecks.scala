@@ -379,6 +379,32 @@ object KeyChecks {
     }.toDF("rule", "n", "n_violations", "rate_micro")
   }
 
+  /** Candidate-key discovery across a column list — the schema-
+    * inference step before declaring primary keys or bucketing
+    * layouts: per column, exact distinct count, null count, and
+    * whether it is a candidate key (distinct == rows with zero
+    * nulls). All columns profile in ONE aggregate (Spark expands a
+    * multi-count-distinct into one grouped pass — column-count
+    * bounded, never a per-column scan). Output: (column, n,
+    * n_distinct, n_nulls, is_key), one row per input column in the
+    * given order. */
+  def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count_distinct(col(c)).as(s"__d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__m_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    cols.zipWithIndex.map { case (c, i) =>
+      val d = row.getLong(1 + 2 * i)
+      val m = row.getLong(2 + 2 * i)
+      (c, n, d, m, d == n && m == 0L)
+    }.toDF("column", "n", "n_distinct", "n_nulls", "is_key")
+  }
+
   /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
     * the re-identification screen a release pipeline runs before
     * publishing: every equivalence class (distinct quasi-identifier

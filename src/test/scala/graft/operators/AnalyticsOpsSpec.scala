@@ -739,6 +739,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("allpos").isEmpty) // p̂ = 1 → NULL, not a fake infinity
   }
 
+  // --- candidateKeys ------------------------------------------------------
+
+  test("candidateKeys: unique non-null column is a key; others are not") {
+    val df = Seq((1L, Some("a"), "x"), (2L, Some("a"), "y"),
+      (3L, None, "x")).toDF("id", "tag", "grp")
+    val out = KeyChecks.candidateKeys(df, Seq("id", "tag", "grp"))
+      .as[(String, Long, Long, Long, Boolean)].collect.toSeq
+    assert(out == Seq(
+      ("id", 3L, 3L, 0L, true),
+      ("tag", 3L, 1L, 1L, false),
+      ("grp", 3L, 2L, 0L, false)))
+  }
+
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {
     // a single row: some replicates draw weight 0 → NULL mean
     val df = Seq(("k", 1L, 5000L)).toDF("k", "id", "v")
