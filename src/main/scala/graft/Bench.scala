@@ -22,13 +22,19 @@ import org.apache.spark.sql.SparkSession
   * per-query wall time is plan construction, not execution, and that
   * constant does not scale with data size.
   *
-  * Section split: a handful of gate queries are deliberate LIFECYCLE
-  * soaks (build a persisted store in a tempdir, append, compact, probe
-  * — or run an iterative deep chain); their wall time is dominated by
-  * multi-job orchestration + tempdir I/O, not scan/shuffle throughput.
-  * `lifecycle_sec` / `scan_sec` split the total so the scan-shaped
-  * queries' closeness to the dispatch floor reads directly from the
-  * JSON instead of being buried under the soaks.
+  * Section split: gate queries fall in three shapes. LIFECYCLE soaks
+  * build a persisted store/index in a tempdir (append, compact, probe)
+  * — wall time is multi-job orchestration + local-disk I/O the
+  * replay-only oracle never pays. ITERATIVE gates loop driver rounds
+  * to convergence (CC / PageRank / BPE merges / Lloyd) — wall time is
+  * per-round stage dispatch, a data-size-invariant local-mode
+  * constant. Everything else is SCAN-shaped: one declarative plan,
+  * directly comparable to the DuckDB replay. `scan_sec` /
+  * `lifecycle_sec` / `iterative_sec` split the total, and when
+  * BASELINE_MEASURED.json is present each section gets its own
+  * baseline subtotal + vs_baseline ratio, so the scan-shaped queries'
+  * closeness to the engine floor reads directly from the JSON instead
+  * of being buried under the soaks.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -107,16 +113,39 @@ object Bench {
     val ps = planning.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = best.map(_._2).filter(_ >= 0).sum
-    // Lifecycle soaks: persisted-store build/append/compact/probe
-    // cycles and iterative deep chains — multi-job by design.
-    val lifecycle = Set("q60_connected_components", "q66_semdedup_graph",
-      "q65_knn_graph", "q75_ivfpq_persisted", "q76_ivfrq_persisted",
-      "q82_minhash_store", "q83_jsonl_roundtrip", "q97_store_compacted",
-      "q105_warc_roundtrip", "q131_hll_store", "q132_cms_store",
-      "q140_inverted_index", "q147_trigram_search", "q173_hist_store")
+    // Lifecycle soaks: gates that build a PERSISTED artifact (store /
+    // index / file roundtrip) in a tempdir as part of the measured
+    // query — wall time is multi-job orchestration + local-disk I/O
+    // the replay-only DuckDB oracle never pays. Membership = exactly
+    // the gates that call createTempDirectory in SparkEntry.
+    val lifecycle = Set(
+      "q72_ivf_persisted", "q75_ivfpq_persisted", "q76_ivfrq_persisted",
+      "q82_minhash_store", "q83_jsonl_roundtrip", "q90_ivfsq8_persisted",
+      "q97_store_compacted", "q105_warc_roundtrip", "q113_store_semantic",
+      "q114_centroid_drift", "q131_hll_store", "q132_cms_store",
+      "q140_inverted_index", "q147_trigram_search", "q173_hist_store",
+      "q175_mdrm_dict", "q191_cc_store", "q224_selectivity")
+    // Iterative driver-loop convergence/training gates: wall time is
+    // dominated by per-round stage dispatch (a data-size-INVARIANT
+    // local-mode constant, measured in the q60 scaladoc) — the DuckDB
+    // oracle replays a closed-form/recursive-CTE equivalent in one
+    // query. Membership = gates whose operator loops jobs on the
+    // driver until convergence (CC / PageRank / BFS / k-core / Lloyd /
+    // BPE merge rounds / LSH config grids).
+    val iterative = Set(
+      "q55_pq_kmeans_ordered", "q60_connected_components", "q65_knn_graph",
+      "q66_semdedup_graph", "q85_bpe_train", "q92_bpe_tokens",
+      "q94_pagerank", "q98_bpe_kernel", "q99_pagerank_dangling",
+      "q102_bpe_hashed_ids", "q112_lsh_grid", "q115_bpe_vocab",
+      "q116_bpe_vocab_ids", "q118_lsh_pick", "q194_kcore", "q195_bfs")
+    def sectionOf(n: String): String =
+      if (lifecycle(n)) "lifecycle" else if (iterative(n)) "iterative"
+      else "scan"
     val lifecycleSec = best.collect {
       case (n, v) if v >= 0 && lifecycle(n) => v }.sum
-    val scanSec = total - lifecycleSec
+    val iterativeSec = best.collect {
+      case (n, v) if v >= 0 && iterative(n) => v }.sum
+    val scanSec = total - lifecycleSec - iterativeSec
     val planningTotal = planning.map(_._2).filter(_ >= 0).sum
     val passTotals = passResults
       .map(_.values.filterNot(_.isNaN).sum)
@@ -130,28 +159,54 @@ object Bench {
       s""""passes":$passes,"pass_totals":$passTotals,""" +
       s""""planning_total_sec":$planningTotal,""" +
       s""""timestamp":"${java.time.Instant.now()}"}"""
-    // Computed baseline ratio: BASELINE_MEASURED.json carries the
-    // DuckDB-oracle timings (tools/bench_baseline.py — same SQL the
-    // correctness gate replays, same parquet, same host). If present
-    // and same-sf, vs_baseline = our total / oracle total.
-    val baseline: Option[Double] =
+    // Computed baseline ratios: BASELINE_MEASURED.json carries the
+    // per-query DuckDB-oracle timings (tools/bench_baseline.py — same
+    // SQL the correctness gate replays, same parquet, same host). If
+    // present and same-sf, vs_baseline = our total / oracle total,
+    // plus PER-SECTION ratios so the scan-shaped queries' closeness to
+    // the engine floor is not buried under lifecycle/iterative soaks
+    // whose oracles replay only the final query.
+    val baselinePerQuery: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("BASELINE_MEASURED.json"))
         val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
           .exists(m => sfDir.endsWith(m.group(1).split('/').last))
-        """"total_sec":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
-          .filter(v => sfOk && v > 0 && only.isEmpty) // subset runs: no ratio
-      } catch { case _: Throwable => None }
-    val vsBaseline = baseline
-      .map(b => s""","baseline_total_sec":$b,"vs_baseline":${
-        math.round(total / b * 1000) / 1000.0}""")
-      .getOrElse("")
+        if (!sfOk || only.nonEmpty) Map.empty // subset runs: no ratio
+        else {
+          val qBlock = txt.indexOf("\"queries\"")
+          val body = txt.substring(txt.indexOf('{', qBlock) + 1)
+          """"(q[^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val vsBaseline =
+      if (baselinePerQuery.isEmpty) ""
+      else {
+        // baseline subtotals over EXACTLY the queries this run timed OK
+        val okNames = best.collect { case (n, v) if v >= 0 => n }
+          .filter(baselinePerQuery.contains)
+        val bTotal = okNames.map(baselinePerQuery).sum
+        val bBySec = okNames.groupBy(sectionOf)
+          .view.mapValues(_.map(baselinePerQuery).sum).toMap
+        val sBySec = best.collect { case (n, v) if v >= 0 => (n, v) }
+          .groupBy { case (n, _) => sectionOf(n) }
+          .view.mapValues(_.map(_._2).sum).toMap
+        def sec(name: String): String = {
+          val b = bBySec.getOrElse(name, 0.0)
+          val s = sBySec.getOrElse(name, 0.0)
+          if (b <= 0) "" else
+            s""","baseline_${name}_sec":${r3(b)},"vs_baseline_$name":${r3(s / b)}"""
+        }
+        s""","baseline_total_sec":${r3(bTotal)},"vs_baseline":${
+          r3(total / bTotal)}${sec("scan")}${sec("lifecycle")}${sec("iterative")}"""
+      }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning":$ps,"err":$errJson,""" +
-      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec$vsBaseline,""" +
+      s""""lifecycle_sec":$lifecycleSec,"iterative_sec":$iterativeSec,""" +
+      s""""scan_sec":$scanSec$vsBaseline,""" +
       s""""sf":"$sfDir","env":$env}"""
     // Truncation-proofing (the r5 artifact lesson): the driver may keep
     // only the last ~2000 stdout chars, and the full line is ~6 KB — so
@@ -186,7 +241,8 @@ object Bench {
       sb.toString
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""lifecycle_sec":$lifecycleSec,"scan_sec":$scanSec$vsBaseline,""" +
+      s""""lifecycle_sec":$lifecycleSec,"iterative_sec":$iterativeSec,""" +
+      s""""scan_sec":$scanSec$vsBaseline,""" +
       s""""planning_total_sec":$planningTotal,"err":$errJson,""" +
       s""""sf":"$sfDir","full_artifact":"target/bench_full.json",""" +
       s""""env":$env,"queries_slowest":{$topQs}}""")

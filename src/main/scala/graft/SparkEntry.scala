@@ -2663,10 +2663,16 @@ object SparkEntry {
     }),
 
     // Degree histogram + CCDF + discrete power-law MLE over the
-    // customer↔order bipartite edges.
+    // customer↔order bipartite edges. The two key columns share one
+    // numeric id namespace, so the order side is NEGATED before the
+    // symmetrizing union — otherwise a custkey equal to an orderkey
+    // would merge two unrelated nodes' degrees (orderkeys are >= 1,
+    // so negation is a disjoint namespace).
     "q219_degree_dist" -> ((s, dir) => {
-      operators.Graph.degreeDistribution(t(s, dir, "orders"),
-        "o_custkey", "o_orderkey", dMin = 1L)
+      val e = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("src"),
+        (-col("o_orderkey").cast("long")).as("dst"))
+      operators.Graph.degreeDistribution(e, "src", "dst", dMin = 1L)
         .orderBy("degree")
     }),
 
@@ -7275,7 +7281,7 @@ object SparkEntry {
     "q219_degree_dist" ->
       """WITH ends AS (
         |  SELECT CAST(o_custkey AS BIGINT) AS id FROM orders
-        |  UNION ALL SELECT CAST(o_orderkey AS BIGINT) FROM orders),
+        |  UNION ALL SELECT -CAST(o_orderkey AS BIGINT) FROM orders),
         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
         |        FROM ends GROUP BY 1),
         |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes

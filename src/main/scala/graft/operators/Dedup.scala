@@ -86,16 +86,50 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, tau: Double = 0.8,
                         maxDf: Int = 1000): DataFrame = {
-    val shingled = df.select(
-        col(idCol).as("id"),
-        array_distinct(graft.plans.native.wordShingles(col(textCol), n)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-      .persist(cacheLevel)
-    // Hot-shingle cap as a broadcast anti-join against the (tiny) list
-    // of shingles with df > maxDf — NOT a Window.partitionBy(shingle),
-    // which would shuffle the entire exploded corpus a second time.
-    // The groupBy shuffle is map-side combined down to per-partition
-    // distinct shingles, and viral shingles are by construction few.
+    val pairs = cappedShinglePairs(df, idCol, textCol, n, maxDf)
+    pairs
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Co-occurrence pair stream (id_a < id_b, one row per shared capped
+    * shingle) for [[ngramJaccardPairs]] / [[containmentPairs]]: group
+    * the inverted index by shingle into a SORTED posting list (bounded
+    * by `maxDf` — viral shingles drop via a broadcast anti-join BEFORE
+    * the posting-list shuffle, so no key ever funnels an unbounded
+    * list into one reducer), then generate the i<j pairs IN-ROW with
+    * two nested posexplode/slice generators. Versus the former
+    * index self-join this emits half the rows (ordered pairs only,
+    * no post-join `id_a < id_b` discard), runs one fewer corpus
+    * exchange, and pays no join build/probe — the pair stream flows
+    * map-side from the grouped posting lists straight into the
+    * per-pair count aggregate. Each pair row carries both docs' FULL
+    * distinct-shingle counts so no size dimension ever joins back. */
+  private def cappedShinglePairs(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 maxDf: Int): DataFrame = {
+    val shArr = array_distinct(graft.plans.native.wordShingles(col(textCol), n))
+    // n_sh is embedded INTO the generator elements (arrays_zip with a
+    // repeated size — zip args evaluate once per DOC row inside
+    // Generate), not projected beside the explode: a post-Generate
+    // projection re-evaluates its expressions PER EXPLODED ROW
+    // (CollapseProject folds the doc-level select into it), silently
+    // re-running the whole shingle+distinct pipeline ~|doc| times per
+    // doc — measured 10x wall on this operator. (A transform-lambda
+    // embedding is no better: the lambda body evaluates per ELEMENT.)
+    val shingled = df.select(col(idCol).as("id"),
+        explode(arrays_zip(shArr.as("shingle"),
+          array_repeat(size(shArr).cast("long"), size(shArr)).as("n_sh")))
+          .as("e"))
+      .select(col("id"), col("e.n_sh").as("n_sh"), col("e.shingle").as("shingle"))
+    // The hot list is a partial-aggregated count groupBy (safe for
+    // viral keys) and tiny by construction; re-deriving `shingled` for
+    // it is a map-side re-scan — cheaper than persisting the exploded
+    // corpus.
     val capped =
       if (maxDf >= Int.MaxValue / 2) shingled // cap disabled
       else {
@@ -104,17 +138,16 @@ object Dedup {
           .select("shingle")
         shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    val a = capped.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = capped.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    val pairs = a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .where(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-    materializeAndRelease(pairs, shingled)
+    val groups = capped.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("xs"))
+    groups
+      .select(col("xs"), posexplode(col("xs")))
+      .select(col("col").getField("id").as("id_a"),
+        col("col").getField("n_sh").as("n_a"),
+        explode(slice(col("xs"), col("pos") + lit(2), size(col("xs")))).as("y"))
+      .select(col("id_a"), col("n_a"),
+        col("y").getField("id").as("id_b"),
+        col("y").getField("n_sh").as("n_b"))
   }
 
   /** Shingle-CONTAINMENT pairs: |A∩B| / |A| >= `tau` — the asymmetric
@@ -134,29 +167,22 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, tau: Double = 0.9,
                        maxDf: Int = 1000): DataFrame = {
-    val shingled = df.select(
-        col(idCol).as("id"),
-        array_distinct(graft.plans.native.wordShingles(col(textCol), n)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-      .persist(cacheLevel)
-    val capped =
-      if (maxDf >= Int.MaxValue / 2) shingled
-      else {
-        val hot = shingled.groupBy("shingle")
-          .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
-          .select("shingle")
-        shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
-      }
-    val a = capped.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = capped.select(col("id").as("id_b"), col("shingle"))
-    val pairs = a.join(b, Seq("shingle"))
-      .where(col("id_a") =!= col("id_b"))
-      .groupBy("id_a", "id_b", "n_a")
+    // Count each unordered pair once (the i<j stream), then emit both
+    // orientations from the counted frame — the symmetrization runs
+    // over pair-count-scale rows, not the co-occurrence stream.
+    val counted = cappedShinglePairs(df, idCol, textCol, n, maxDf)
+      .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
+    counted
+      .select(explode(array(
+        struct(col("id_a"), col("id_b"), col("n_a"), col("inter")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("n_b").as("n_a"), col("inter")))).as("r"))
+      .select(col("r.id_a").as("id_a"), col("r.id_b").as("id_b"),
+        col("r.n_a").as("n_a"), col("r.inter").as("inter"))
       .withColumn("containment", col("inter").cast("double") / col("n_a"))
       .where(col("containment") >= tau)
       .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
-    materializeAndRelease(pairs, shingled)
   }
 
   /** MinHash+LSH candidate pairs, verified by the signature-overlap
@@ -1075,45 +1101,85 @@ object Dedup {
     * id_a < id_b and jacc_micro = ⌊1e6·|∩| / |∪|⌋ — integer-exact,
     * engine-portable. `lowercase` folds tokens before the set is
     * formed. */
+  /** Shared PPJoin scaffolding for [[setSimilarityJoin]] /
+    * [[cosineSetJoin]]: ONE corpus-scale aggregate produces, per doc,
+    * both the df-ordered token list (`ord`, rarest first — the prefix
+    * source, with positions for PPJoin's positional filter) and the
+    * token-sorted verify array (`toks`, an in-row re-sort of `ord`).
+    * Compared to the earlier exploded-`distinct` + window formulation
+    * this drops two corpus exchanges and a per-partition sort: the
+    * token sets are deduped in-row (`array_distinct` before explode),
+    * and the df-rank ordering is an in-row `array_sort` after the
+    * per-doc collect, not a window. Returns the persisted per-doc
+    * frame (id, sz, ord, toks); caller releases it. */
+  private def ppjoinDocs(df: DataFrame, idCol: String, textCol: String,
+                         lowercase: Boolean): DataFrame = {
+    val tokRaw = Text.tokens(col(textCol))
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        if (lowercase) transform(tokRaw, lower(_)) else tokRaw)).as("token"))
+    val docFreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    tok.join(docFreq, Seq("token"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("token")))).as("ord"))
+      .withColumn("toks",
+        array_sort(transform(col("ord"), _.getField("token"))))
+      .persist(cacheLevel)
+  }
+
+  /** (id, token, pos, sz) prefix rows: the first `prefixLen` entries of
+    * each doc's df-ordered list, with 1-based position for the
+    * positional filter. Map-side off the persisted [[ppjoinDocs]]
+    * frame — the prefix is never shuffled on its own lineage. */
+  private def ppjoinPrefix(docs: DataFrame,
+                           prefixLen: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col("id"), col("sz"),
+        posexplode(slice(col("ord"), lit(1),
+          greatest(prefixLen.cast("int"), lit(0)))))
+      .select(col("id"), col("sz"), col("col").getField("token").as("token"),
+        (col("pos") + 1).as("p"))
+
   def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                         tau: Double, lowercase: Boolean = true): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     val tauMicro = math.round(tau * 1e6)
-    val tokRaw = Text.tokens(col(textCol))
-    val tok = df.select(col(idCol).as("id"),
-        explode(if (lowercase) transform(tokRaw, lower(_)) else tokRaw)
-          .as("token"))
-      .distinct()
-      .persist(cacheLevel)
-    val docFreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    val ordered = tok.join(docFreq, Seq("token"))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val pos = ordered
-      .withColumn("pos", row_number().over(
-        byDoc.orderBy(col("df").asc, col("token").asc)))
-      .withColumn("sz", count(lit(1)).over(byDoc))
+    val docs = ppjoinDocs(df, idCol, textCol, lowercase)
     // prefix length s - ceil(tau*s) + 1, in exact integer arithmetic
-    val prefixLen = col("sz") - expr(s"(sz * ${tauMicro}L + 999999L) div 1000000L") + 1
-    val prefix = pos.where(col("pos") <= prefixLen)
-      .select(col("id"), col("token"), col("sz"))
-    val docSets = pos.groupBy("id")
-      .agg(sort_array(collect_list(col("token"))).as("toks"),
-           first(col("sz")).as("sz"))
-      .persist(cacheLevel)
+    val prefix = ppjoinPrefix(docs,
+      col("sz") - expr(s"(sz * ${tauMicro}L + 999999L) div 1000000L") + 1)
+    // J >= tau needs overlap alpha = ceil(tau/(1+tau) * (sa+sb)). A
+    // shared prefix token at 1-based positions (pa, pb) bounds the
+    // overlap by min(pa,pb)-1 shared tokens strictly before it (both
+    // lists follow the same global (df,token) order) plus 1 plus
+    // min(sa-pa, sb-pb) after it — PPJoin's positional filter (Xiao et
+    // al. WWW'08) in its STATELESS form, sound for every shared-token
+    // row, not just the earliest. Lossless prune on top of the size
+    // filter (the exact verify still runs after).
+    // floor instead of ceil: a sound UNDER-estimate of alpha (prunes
+    // one candidate fewer in the tie case, never a true pair); keeps
+    // the arithmetic in double-exact range without an integer-div expr
+    val dMicro = 1000000L + tauMicro
+    val alpha = (lit(tauMicro) * (col("a.sz") + col("b.sz")))
+      .divide(lit(dMicro)).cast("long")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.token") === col("b.token") && col("a.id") < col("b.id") &&
           // symmetric size filter: ceil(tau*max) <= min is implied by these
           col("b.sz") * lit(1000000L) >= col("a.sz") * lit(tauMicro) &&
-          col("a.sz") * lit(1000000L) >= col("b.sz") * lit(tauMicro))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+          col("a.sz") * lit(1000000L) >= col("b.sz") * lit(tauMicro) &&
+          least(col("a.p"), col("b.p")) +
+            least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))
+            >= alpha)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__pfx_overlap")) // dedupe; map-side combined
     val out = cand
-      .join(docSets.select(col("id").as("id_a"), col("toks").as("ta"),
+      .join(docs.select(col("id").as("id_a"), col("toks").as("ta"),
         col("sz").as("size_a")), Seq("id_a"))
-      .join(docSets.select(col("id").as("id_b"), col("toks").as("tb"),
+      .join(docs.select(col("id").as("id_b"), col("toks").as("tb"),
         col("sz").as("size_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("inter", // codegen'd merge count over the sorted sets
+        graft.plans.native.sortedIntersectCount(col("ta"), col("tb")))
       .where(col("inter") * lit(1000000L) >=
         lit(tauMicro) * (col("size_a") + col("size_b") - col("inter")))
       .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
@@ -1121,7 +1187,7 @@ object Dedup {
         ((col("inter") * lit(1000000L)) /
           (col("size_a") + col("size_b") - col("inter")))
           .cast("long").as("jacc_micro"))
-    materializeAndRelease(out, tok, docSets)
+    materializeAndRelease(out, docs)
   }
 
   /** Sorted-neighborhood blocking for record linkage: sort the corpus
@@ -1248,42 +1314,34 @@ object Dedup {
     val tauMicro = math.round(tau * 1e6)
     val t2 = tauMicro * tauMicro // τ² in units of 1e-12 — fits a long
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val tokRaw = Text.tokens(col(textCol))
-    val tok = df.select(col(idCol).as("id"),
-        explode(if (lowercase) transform(tokRaw, lower(_)) else tokRaw)
-          .as("token"))
-      .distinct()
-      .persist(cacheLevel)
-    val docFreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val pos = tok.join(docFreq, Seq("token"))
-      .withColumn("pos", row_number().over(
-        byDoc.orderBy(col("df").asc, col("token").asc)))
-      .withColumn("sz", count(lit(1)).over(byDoc))
+    val docs = ppjoinDocs(df, idCol, textCol, lowercase)
     // prefix length sz − ⌈τ²·sz⌉ + 1 in exact integer micros²
-    val prefixLen = col("sz") -
-      expr(s"(sz * ${t2}L + 999999999999L) div 1000000000000L") + 1
-    val prefix = pos.where(col("pos") <= prefixLen)
-      .select(col("id"), col("token"), col("sz"))
-    val docSets = pos.groupBy("id")
-      .agg(sort_array(collect_list(col("token"))).as("toks"),
-           first(col("sz")).as("sz"))
-      .persist(cacheLevel)
+    val prefix = ppjoinPrefix(docs,
+      col("sz") - expr(s"(sz * ${t2}L + 999999999999L) div 1000000000000L") + 1)
+    // cos >= tau needs overlap alpha = ceil(tau*sqrt(sa*sb)); floor of
+    // the double sqrt is a sound under-estimate (double-exact for
+    // sa*sb < 2^52; sqrt rounds half-ulp — never above the true ceil)
+    val alpha = floor(sqrt((col("a.sz") * col("b.sz")).cast("double"))
+      * lit(tauMicro / 1e6)).cast("long")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.token") === col("b.token") && col("a.id") < col("b.id") &&
           // cosine size filter: s_small ≥ τ²·s_big, both directions
           col("b.sz") * lit(1000000000000L) >= col("a.sz") * lit(t2) &&
-          col("a.sz") * lit(1000000000000L) >= col("b.sz") * lit(t2))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+          col("a.sz") * lit(1000000000000L) >= col("b.sz") * lit(t2) &&
+          // PPJoin stateless positional filter (see setSimilarityJoin)
+          least(col("a.p"), col("b.p")) +
+            least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))
+            >= alpha)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__pfx_overlap")) // dedupe; map-side combined
     val out = cand
-      .join(docSets.select(col("id").as("id_a"), col("toks").as("ta"),
+      .join(docs.select(col("id").as("id_a"), col("toks").as("ta"),
         col("sz").as("size_a")), Seq("id_a"))
-      .join(docSets.select(col("id").as("id_b"), col("toks").as("tb"),
+      .join(docs.select(col("id").as("id_b"), col("toks").as("tb"),
         col("sz").as("size_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("inter", // codegen'd merge count over the sorted sets
+        graft.plans.native.sortedIntersectCount(col("ta"), col("tb")))
       .where(col("inter").cast(dec) * col("inter") * lit(1000000000000L) >=
         lit(t2).cast(dec) * col("size_a") * col("size_b"))
       .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
@@ -1291,7 +1349,7 @@ object Dedup {
         floor(col("inter").cast("double") * lit(1000000.0) /
           sqrt((col("size_a") * col("size_b")).cast("double")))
           .cast("long").as("cos_micro"))
-    materializeAndRelease(out, tok, docSets)
+    materializeAndRelease(out, docs)
   }
 
   /** Survivorship (golden-record construction) for resolved entity

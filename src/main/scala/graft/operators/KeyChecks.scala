@@ -367,9 +367,11 @@ object KeyChecks {
     require(rules.nonEmpty, "need at least one rule")
     val spark = df.sparkSession
     import spark.implicits._
+    // coalesce: sum over an empty input is NULL — getLong would NPE.
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
       case ((_, pred), i) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+        coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"__v$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)
@@ -392,9 +394,11 @@ object KeyChecks {
     require(cols.nonEmpty, "need at least one column")
     val spark = df.sparkSession
     import spark.implicits._
+    // coalesce: sum over an empty input is NULL — getLong would NPE.
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(count_distinct(col(c)).as(s"__d_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__m_$c"))
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__m_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)

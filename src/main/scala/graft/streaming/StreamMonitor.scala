@@ -290,10 +290,12 @@ object StreamMonitor {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // coalesce: sum over an empty micro-batch (recovery replay,
+        // no-data trigger) is NULL — getLong would NPE and kill the query.
         val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
           case ((_, pred), i) =>
-            sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
-              .as(s"__v$i")
+            coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+              lit(0L)).as(s"__v$i")
         }
         val row = batch.agg(aggs.head, aggs.tail: _*).head()
         val n = row.getLong(0)

@@ -85,6 +85,26 @@ class TextHashVectorSpec extends SparkSpec {
     }
   }
 
+  test("sortedIntersectCount: merge count == size(array_intersect) on " +
+    "sorted distinct arrays, including empty and disjoint") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "c", "x")),
+      (Seq("a", "b"), Seq("c", "d")),          // disjoint
+      (Seq.empty[String], Seq("a")),           // empty left
+      (Seq("a", "é", "日"), Seq("a", "z", "é", "日")), // non-ASCII binary order
+      (Seq("a", "b", "c"), Seq("a", "b", "c"))  // identical
+    ).toDF("a", "b")
+      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val got = df.select(
+      graft.plans.native.sortedIntersectCount(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 0L, 0L, 3L, 3L))
+  }
+
   test("rollingHash64 deterministic and normalization-stable") {
     val h = docs.select(col("id"), Text.rollingHash64(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

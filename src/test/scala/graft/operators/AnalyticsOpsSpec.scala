@@ -508,6 +508,13 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("always", 3L, 0L, 0L)))
   }
 
+  test("ruleAudit: empty input yields zero rows audited, no NPE") {
+    val df = Seq((1L, "a")).toDF("id", "tag").where(lit(false))
+    val out = KeyChecks.ruleAudit(df, Seq("id_positive" -> (col("id") > 0)))
+      .as[(String, Long, Long, Long)].collect.toSeq
+    assert(out == Seq(("id_positive", 0L, 0L, 0L)))
+  }
+
   // --- timeToConvert ------------------------------------------------------
 
   test("timeToConvert: first exposure to first qualifying conversion") {
@@ -750,6 +757,14 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("id", 3L, 3L, 0L, true),
       ("tag", 3L, 1L, 1L, false),
       ("grp", 3L, 2L, 0L, false)))
+  }
+
+  test("candidateKeys: empty input profiles to zero counts, no NPE") {
+    val df = Seq((1L, "a")).toDF("id", "tag").where(lit(false))
+    val out = KeyChecks.candidateKeys(df, Seq("id", "tag"))
+      .as[(String, Long, Long, Long, Boolean)].collect.toSeq
+    // 0 distinct == 0 rows with 0 nulls: vacuously a key on empty input
+    assert(out == Seq(("id", 0L, 0L, 0L, true), ("tag", 0L, 0L, 0L, true)))
   }
 
   test("bootstrapMeans: empty replicate emits NULL mean, not garbage") {

@@ -240,6 +240,31 @@ class StreamMonitorSpec extends SparkSpec {
     assert(expect("small") == ((7L, 1L, 142857L)))
   }
 
+  test("ruleAuditStream: an empty micro-batch writes zero cells " +
+    "instead of killing the query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("ramone").toFile
+    val rules = Seq("positive" -> (col("v") > 0L))
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (batchId, n, n_violations)
+    val input = MemoryStream[Long]
+    // the filter empties every micro-batch — the recovery/no-data shape
+    val q = StreamMonitor.ruleAuditStream(
+      input.toDF().toDF("v").where(lit(false)), rules,
+      s"$tmp/store", s"$tmp/ckpt", compactEvery = 1) { (audit, batchId) =>
+      val r = audit.collect().head
+      seen += ((batchId, r.getAs[Long]("n"), r.getAs[Long]("n_violations")))
+    }
+    try {
+      input.addData(5L, -1L); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+    assert(seen.toSeq == Seq((0L, 0L, 0L)))
+  }
+
   test("concurrencyStream: accumulated peak == batch maxConcurrent, " +
     "through a compaction cycle and out-of-order arrival") {
     val s = spark
