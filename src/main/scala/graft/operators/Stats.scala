@@ -172,25 +172,43 @@ object Stats {
   def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
                     yCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    // rows feeds both axes' distinct tables AND the final rank join;
-    // each grouped table feeds its percentile bounds AND the bucketed
-    // prefix — persist all three so no subtree replans (the
-    // mutualInformationCells discipline; gate/bench harnesses release
-    // at query boundaries via Blocks.releaseAll)
+    // rows feeds the stacked distinct tables AND the final rank join;
+    // the ranked frame feeds both axes' filters — persist both so no
+    // subtree replans (the mutualInformationCells discipline;
+    // gate/bench harnesses release at query boundaries via
+    // Blocks.releaseAll)
     val rows = df
       .select(col(keyCol).as("key"), col(xCol).cast("long").as("xv"),
         col(yCol).cast("long").as("yv"))
       .where(col("xv").isNotNull && col("yv").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def ranks(vCol: String, out: String) =
-      prefixCounts(rows.groupBy(col("key"), col(vCol).as("x"))
-          .agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        .select(col("key"), col("x").as(vCol),
-          (lit(2L) * col("o") + col("c") + lit(1L)).as(out))
+    // BOTH axes ride one prefixCounts pipeline under a composite
+    // (key, axis) key — the percentile bounds, bucket subtotals and
+    // offset windows run once over the stacked distinct tables
+    // instead of once per axis (the round-6 20-exchange shape). The
+    // global bucket boundaries mix both axes' values, which is fine:
+    // prefixCounts only needs equal values to share a bucket and
+    // bucket order to follow value order; the o counts stay per
+    // (key, axis).
+    val axes = rows.select(col("key"),
+        explode(array(
+          struct(lit(0).as("axis"), col("xv").as("v")),
+          struct(lit(1).as("axis"), col("yv").as("v")))).as("e"))
+      .select(col("key"), col("e.axis").as("axis"), col("e.v").as("v"))
+    val grouped = axes
+      .groupBy(struct(col("key").as("key"), col("axis").as("axis")).as("key"),
+        col("v").as("x"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = prefixCounts(grouped)
+      .select(col("key.key").as("key"), col("key.axis").as("axis"),
+        col("x"), (lit(2L) * col("o") + col("c") + lit(1L)).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ranks(axis: Int, vCol: String, out: String) =
+      ranked.where(col("axis") === axis)
+        .select(col("key"), col("x").as(vCol), col("r").as(out))
     val withR = rows
-      .join(ranks("xv", "rx"), Seq("key", "xv"))
-      .join(ranks("yv", "ry"), Seq("key", "yv"))
+      .join(ranks(0, "xv", "rx"), Seq("key", "xv"))
+      .join(ranks(1, "yv", "ry"), Seq("key", "yv"))
     val m = withR.groupBy("key").agg(
       count(lit(1)).as("n"),
       sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),

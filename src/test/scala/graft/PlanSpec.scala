@@ -291,11 +291,13 @@ class PlanSpec extends SparkSpec {
     //         exchanges for the per-(key,bucket) offsets join that
     //         replaced the hot-key single-task window — a deliberate
     //         constant-factor trade for unbounded-key scaling.
-    //   q204: Spearman runs the q160 two-phase rank TWICE (one per
-    //         axis) plus the two (key,value) joins attaching ranks to
-    //         rows — 2× the gini machinery, same rationale: no per-key
-    //         window ever sees row-scale data on a hot key.
-    val budget = Map("q160_gini" -> 14, "q204_spearman" -> 20)
+    //   q204: Spearman stacks BOTH axes through one two-phase rank
+    //         pipeline under a (key, axis) composite key (round-7
+    //         slimming of the former 20-exchange two-pass shape), plus
+    //         the two (key,value) joins attaching ranks to rows — same
+    //         rationale as q160: no per-key window ever sees row-scale
+    //         data on a hot key.
+    val budget = Map("q160_gini" -> 14, "q204_spearman" -> 14)
       .withDefaultValue(12)
     for ((name, fn) <- SparkEntry.queries) {
       val exchanges = exchangesIn(fn(spark, dir))
