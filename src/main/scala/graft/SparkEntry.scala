@@ -2918,6 +2918,51 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q17 SHAPE: correlated scalar subquery (per-part average
+    // quantity threshold) written AS SQL so Catalyst's decorrelation
+    // (RewriteCorrelatedScalarSubquery) is the machinery under test —
+    // the physical plan must be an aggregate-then-join, never a
+    // per-row subquery (PlanSpec asserts). Arithmetic: quantities are
+    // integral doubles, so SUM/AVG/0.2* replay bit-identically in
+    // DuckDB; revenue sums exact integer cents.
+    "q241_tpch_q17" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM g_lineitem JOIN g_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12' AND p_size < 15
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM g_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // TPC-H Q18 SHAPE: group-filter-join-back — the IN subquery over
+    // a HAVING aggregate plans as a semi-join on the aggregated key,
+    // then the big three-way join re-aggregates. Quantities integral
+    // -> exact long sums.
+    "q242_tpch_q18" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM g_customer, g_orders, g_lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey
+                             FROM g_lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        ORDER BY total_cents DESC, o_orderkey
+        LIMIT 100""")
+    }),
+
     // Which order columns could serve as keys? One multi-distinct
     // aggregate over the column list.
     "q238_candidate_keys" -> ((s, dir) => {
@@ -2934,6 +2979,18 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long").as("cents")),
         "p", "cents", Seq(250000L, 500000L, 750000L, 1000000L))
         .orderBy("key", "p_micro")
+    }),
+
+    // Composite candidate-key discovery over the arity-2 lattice:
+    // o_orderkey is the only single key, so its three pairs are
+    // lattice-IMPLIED (-1 sentinels, never scanned); of the scanned
+    // pairs, (custkey,totalprice) and (orderdate,totalprice) surface
+    // as MINIMAL composite keys.
+    "q240_composite_keys" -> ((s, dir) => {
+      operators.KeyChecks.compositeKeys(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        maxArity = 2)
+        .orderBy("arity", "columns")
     }),
 
     "q36_asof_join" -> ((s, dir) => {
@@ -6793,6 +6850,100 @@ object SparkEntry {
         |WHERE cum - c < GREATEST((p_micro * n + 999999) // 1000000, 1)
         |  AND GREATEST((p_micro * n + 999999) // 1000000, 1) <= cum
         |ORDER BY key, p_micro""".stripMargin,
+
+    // Null-safe tuple distincts via row(); the lattice prune replays
+    // as CASE logic: a pair containing a single-column key carries the
+    // -1 sentinels and is_key TRUE / is_minimal FALSE by implication.
+    "q240_composite_keys" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT row(o_custkey)) AS BIGINT) AS dc,
+        |  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mc,
+        |  CAST(COUNT(DISTINCT row(o_orderdate)) AS BIGINT) AS dd,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS md,
+        |  CAST(COUNT(DISTINCT row(o_orderkey)) AS BIGINT) AS dk,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mk,
+        |  CAST(COUNT(DISTINCT row(o_totalprice)) AS BIGINT) AS dt,
+        |  CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mt,
+        |  CAST(COUNT(DISTINCT row(o_custkey, o_orderdate)) AS BIGINT) AS dcd,
+        |  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL OR o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mcd,
+        |  CAST(COUNT(DISTINCT row(o_custkey, o_totalprice)) AS BIGINT) AS dct,
+        |  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL OR o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mct,
+        |  CAST(COUNT(DISTINCT row(o_orderdate, o_totalprice)) AS BIGINT) AS ddt,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL OR o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mdt,
+        |  CAST(COUNT(DISTINCT row(o_custkey, o_orderkey)) AS BIGINT) AS dck,
+        |  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL OR o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mck,
+        |  CAST(COUNT(DISTINCT row(o_orderdate, o_orderkey)) AS BIGINT) AS ddk,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL OR o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mdk,
+        |  CAST(COUNT(DISTINCT row(o_orderkey, o_totalprice)) AS BIGINT) AS dkt,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL OR o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS mkt
+        |FROM orders)
+        |SELECT columns, CAST(arity AS BIGINT) AS arity, n, n_distinct,
+        |  n_nulls, is_key, is_minimal_key
+        |FROM (
+        |  SELECT 'o_custkey' AS columns, 1 AS arity, n, dc AS n_distinct,
+        |    mc AS n_nulls, dc = n AS is_key, dc = n AS is_minimal_key FROM s
+        |  UNION ALL SELECT 'o_orderdate', 1, n, dd, md, dd = n, dd = n FROM s
+        |  UNION ALL SELECT 'o_orderkey', 1, n, dk, mk, dk = n, dk = n FROM s
+        |  UNION ALL SELECT 'o_totalprice', 1, n, dt, mt, dt = n, dt = n FROM s
+        |  UNION ALL SELECT 'o_custkey,o_orderdate', 2, n,
+        |    CASE WHEN dc = n OR dd = n THEN -1 ELSE dcd END,
+        |    CASE WHEN dc = n OR dd = n THEN -1 ELSE mcd END,
+        |    CASE WHEN dc = n OR dd = n THEN TRUE ELSE dcd = n END,
+        |    CASE WHEN dc = n OR dd = n THEN FALSE ELSE dcd = n END FROM s
+        |  UNION ALL SELECT 'o_custkey,o_orderkey', 2, n,
+        |    CASE WHEN dc = n OR dk = n THEN -1 ELSE dck END,
+        |    CASE WHEN dc = n OR dk = n THEN -1 ELSE mck END,
+        |    CASE WHEN dc = n OR dk = n THEN TRUE ELSE dck = n END,
+        |    CASE WHEN dc = n OR dk = n THEN FALSE ELSE dck = n END FROM s
+        |  UNION ALL SELECT 'o_custkey,o_totalprice', 2, n,
+        |    CASE WHEN dc = n OR dt = n THEN -1 ELSE dct END,
+        |    CASE WHEN dc = n OR dt = n THEN -1 ELSE mct END,
+        |    CASE WHEN dc = n OR dt = n THEN TRUE ELSE dct = n END,
+        |    CASE WHEN dc = n OR dt = n THEN FALSE ELSE dct = n END FROM s
+        |  UNION ALL SELECT 'o_orderdate,o_orderkey', 2, n,
+        |    CASE WHEN dd = n OR dk = n THEN -1 ELSE ddk END,
+        |    CASE WHEN dd = n OR dk = n THEN -1 ELSE mdk END,
+        |    CASE WHEN dd = n OR dk = n THEN TRUE ELSE ddk = n END,
+        |    CASE WHEN dd = n OR dk = n THEN FALSE ELSE ddk = n END FROM s
+        |  UNION ALL SELECT 'o_orderdate,o_totalprice', 2, n,
+        |    CASE WHEN dd = n OR dt = n THEN -1 ELSE ddt END,
+        |    CASE WHEN dd = n OR dt = n THEN -1 ELSE mdt END,
+        |    CASE WHEN dd = n OR dt = n THEN TRUE ELSE ddt = n END,
+        |    CASE WHEN dd = n OR dt = n THEN FALSE ELSE ddt = n END FROM s
+        |  UNION ALL SELECT 'o_orderkey,o_totalprice', 2, n,
+        |    CASE WHEN dk = n OR dt = n THEN -1 ELSE dkt END,
+        |    CASE WHEN dk = n OR dt = n THEN -1 ELSE mkt END,
+        |    CASE WHEN dk = n OR dt = n THEN TRUE ELSE dkt = n END,
+        |    CASE WHEN dk = n OR dt = n THEN FALSE ELSE dkt = n END FROM s)
+        |ORDER BY arity, columns""".stripMargin,
+
+    // Same correlated scalar subquery; quantities are integral doubles
+    // so AVG and 0.2* replay bit-identically.
+    "q241_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#12' AND p_size < 15
+        |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // Group-filter-join-back; exact integer quantity sums.
+    "q242_tpch_q18" ->
+      """SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+        |       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey
+        |                     FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        |ORDER BY total_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     // Integer micro-cents revenue: round-to-cents × (10000 − bp) —
     // identical longs on both engines, exact HUGEINT sum.

@@ -433,4 +433,70 @@ object KeyChecks {
       .withColumn("risky_k", col("n") < k)
       .withColumn("risky_l", col("n_sensitive") < l)
   }
+
+  /** Composite candidate-key discovery over the column-subset lattice
+    * up to `maxArity` — the schema-inference step [[candidateKeys]]
+    * can't do: it finds SINGLE-column keys only, while real tables
+    * (the reference's composite PKs in check_pk_and_non_null,
+    * reference R/ffiec_manifest.R) key on tuples.
+    *
+    * Keyness here is NULL-SAFE tuple uniqueness (NULLs compare equal —
+    * `dropDuplicates` semantics): a subset S is a key iff the number
+    * of distinct S-tuples equals the row count. Under that definition
+    * every superset of a key is a key, which gives the lattice prune:
+    * levels run in arity order, ONE single-scan aggregate per level
+    * (all that level's count_distincts share the scan), and any
+    * subset containing an already-discovered key is IMPLIED — emitted
+    * with is_key = true, is_minimal = false and the -1 sentinel for
+    * its unscanned stats, never costing distinct-count state. With a
+    * unique id column in a 20-column list, arity 2 scans 171 pairs
+    * instead of 190 — and the prune compounds at arity 3+.
+    *
+    * Scale: one aggregate pass per arity level (subset count is
+    * authoring-bounded); count_distinct state is per-subset
+    * tuple-cardinality bounded, the usual exact-distinct cost. Output
+    * (one row per subset, ordered by (arity, columns)): (columns
+    * comma-joined, arity, n, n_distinct, n_nulls = rows with any null
+    * component, is_key, is_minimal_key); implied rows carry -1 for
+    * n_distinct / n_nulls. */
+  def compositeKeys(df: DataFrame, cols: Seq[String],
+                    maxArity: Int = 2): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(maxArity >= 1 && maxArity <= cols.length,
+      s"maxArity must be in [1, ${cols.length}], got $maxArity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    var keys = Seq.empty[Set[String]]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Boolean, Boolean)]
+    for (arity <- 1 to maxArity) {
+      val level = cols.combinations(arity).toSeq
+      val (implied, scan) =
+        level.partition(s => keys.exists(_.subsetOf(s.toSet)))
+      implied.foreach { s =>
+        out += ((s.mkString(","), arity.toLong, n, -1L, -1L, true, false))
+      }
+      if (scan.nonEmpty) {
+        val aggs = scan.zipWithIndex.flatMap { case (s, i) =>
+          val anyNull = s.map(col(_).isNull).reduce(_ || _)
+          Seq(count_distinct(struct(s.map(col): _*)).as(s"__d_$i"),
+            coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
+              .as(s"__m_$i"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val found = scan.zipWithIndex.flatMap { case (s, i) =>
+          val d = row.getLong(2 * i)
+          val m = row.getLong(2 * i + 1)
+          val isKey = d == n
+          out += ((s.mkString(","), arity.toLong, n, d, m, isKey, isKey))
+          if (isKey) Some(s.toSet) else None
+        }
+        keys ++= found
+      }
+    }
+    out.sortBy(r => (r._2, r._1)).toSeq
+      .toDF("columns", "arity", "n", "n_distinct", "n_nulls",
+        "is_key", "is_minimal_key")
+  }
 }

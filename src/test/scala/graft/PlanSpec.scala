@@ -282,6 +282,23 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s)
   }
 
+  test("q241 decorrelates the scalar subquery into an aggregate join " +
+    "— no per-row subquery execution") {
+    val s = planString("q241_tpch_q17")
+    // RewriteCorrelatedScalarSubquery must have turned the correlated
+    // AVG into a grouped aggregate joined back on l_partkey
+    assert(!s.contains("ScalarSubquery"), s)
+    assert(s.contains("HashAggregate") || s.contains("SortAggregate"), s)
+    assert(s.contains("Join"), s)
+  }
+
+  test("q242's HAVING-IN plans as a semi join on the aggregated key") {
+    val s = planString("q242_tpch_q18")
+    assert(s.contains("LeftSemi"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster. q17 included since

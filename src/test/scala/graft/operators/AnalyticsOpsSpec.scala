@@ -759,6 +759,30 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("grp", 3L, 2L, 0L, false)))
   }
 
+  test("compositeKeys: null-safe tuple keys, lattice-implied supersets " +
+    "carry sentinels and lose minimality") {
+    // id unique; (grp, sub) unique only as a pair; NULLs compare equal
+    // (two (NULL, x) rows collide -> not a key)
+    val df = Seq(
+      (1L, Some("a"), 1L), (2L, Some("a"), 2L),
+      (3L, Some("b"), 1L), (4L, Some("b"), 2L)).toDF("id", "grp", "sub")
+    val out = KeyChecks.compositeKeys(df, Seq("grp", "id", "sub"), 2)
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)].collect.toSeq
+    assert(out == Seq(
+      ("grp", 1L, 4L, 2L, 0L, false, false),
+      ("id", 1L, 4L, 4L, 0L, true, true),
+      ("sub", 1L, 4L, 2L, 0L, false, false),
+      ("grp,id", 2L, 4L, -1L, -1L, true, false),   // implied, unscanned
+      ("grp,sub", 2L, 4L, 4L, 0L, true, true),     // minimal composite
+      ("id,sub", 2L, 4L, -1L, -1L, true, false)))
+    // null-safe: duplicate (NULL) tuples block keyness
+    val withNulls = Seq((Some(1L), "x"), (None, "y"), (None, "z"))
+      .toDF("a", "b")
+    val o2 = KeyChecks.compositeKeys(withNulls, Seq("a"), 1)
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)].collect.head
+    assert(o2 == (("a", 1L, 3L, 2L, 2L, false, false)))
+  }
+
   test("candidateKeys: empty input profiles to zero counts, no NPE") {
     val df = Seq((1L, "a")).toDF("id", "tag").where(lit(false))
     val out = KeyChecks.candidateKeys(df, Seq("id", "tag"))
