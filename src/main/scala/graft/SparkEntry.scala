@@ -2963,6 +2963,15 @@ object SparkEntry {
         LIMIT 100""")
     }),
 
+    // The CDR fetch-step twin (reference data-raw/get_xbrl_zips.py):
+    // quarterly period ends in range with the exact bulk-zip names the
+    // pipeline's listZips pattern expects — pure date arithmetic, no
+    // network, no table scan.
+    "q243_fetch_plan" -> ((s, dir) => {
+      graft.pipeline.FfiecPipeline.fetchPlan(s, "2001-01-01", "2005-12-31",
+        kind = "xbrl")
+    }),
+
     // Which order columns could serve as keys? One multi-distinct
     // aggregate over the column list.
     "q238_candidate_keys" -> ((s, dir) => {
@@ -6916,6 +6925,21 @@ object SparkEntry {
         |    CASE WHEN dk = n OR dt = n THEN TRUE ELSE dkt = n END,
         |    CASE WHEN dk = n OR dt = n THEN FALSE ELSE dkt = n END FROM s)
         |ORDER BY arity, columns""".stripMargin,
+
+    // Quarter ends via month-series + last_day, names via strftime.
+    "q243_fetch_plan" ->
+      """WITH m AS (SELECT unnest(generate_series(DATE '2001-01-01',
+        |             DATE '2005-12-31', INTERVAL 1 MONTH)) AS m),
+        |q AS (SELECT DISTINCT last_day(m) AS period_end FROM m
+        |      WHERE month(last_day(m)) IN (3, 6, 9, 12)
+        |        AND last_day(m) >= DATE '2001-01-01'
+        |        AND last_day(m) <= DATE '2005-12-31')
+        |SELECT period_end,
+        |  strftime(period_end, '%Y%m%d') AS period,
+        |  'FFIEC CDR Call Bulk XBRL ' || strftime(period_end, '%m%d%Y')
+        |    || '.zip' AS zip_name,
+        |  'xbrl' AS kind
+        |FROM q ORDER BY period_end""".stripMargin,
 
     // Same correlated scalar subquery; quantities are integral doubles
     // so AVG and 0.2* replay bit-identically.

@@ -327,6 +327,35 @@ object Binary {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The 8-dim audio feature vector over raw s16le MONO PCM bytes —
+    * the same math [[decodeAudio]] runs over decoded WAV frames
+    * (mean |amp|, RMS, peak, zero-crossing rate, per-quarter RMS
+    * envelope), shared with the FFmpeg transcode path so compressed
+    * audio and WAV land in one feature space. */
+  def featuresFromPcm16leMono(pcm: Array[Byte]): Array[Float] = {
+    val nFrames = pcm.length / 2
+    var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0
+    val quarters = new Array[Double](4)
+    var prev = 0.0
+    var i = 0
+    while (i < nFrames) {
+      val lo = pcm(2 * i) & 0xff
+      val hi = pcm(2 * i + 1).toInt
+      val v = ((hi << 8) | lo).toShort / 32768.0
+      val a = math.abs(v)
+      sumAbs += a; sumSq += v * v
+      if (a > peak) peak = a
+      if (i > 0 && (v >= 0) != (prev >= 0)) zc += 1
+      quarters(math.min(3, (i.toLong * 4 / math.max(1, nFrames)).toInt)) += v * v
+      prev = v
+      i += 1
+    }
+    val d = math.max(1, nFrames).toDouble
+    val q = quarters.map(s => math.sqrt(s / math.max(1.0, d / 4)).toFloat)
+    Array((sumAbs / d).toFloat, math.sqrt(sumSq / d).toFloat, peak.toFloat,
+      (zc / d).toFloat, q(0), q(1), q(2), q(3))
+  }
+
   /** STUB for modalities without a JVM codec (compressed audio, video);
     * deterministic byte-derived values, same contract as decodeStub. */
   def decodeAudioStub(mediaId: Long, payload: Array[Byte]): DecodedAudio = {

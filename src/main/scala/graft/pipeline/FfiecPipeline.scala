@@ -26,6 +26,43 @@ import graft.sources.ZipTsv
   */
 object FfiecPipeline {
 
+  /** Quarterly CDR bulk-download PLAN for a date range — the twin of
+    * the reference's fetch step (ref: data-raw/get_xbrl_zips.py:1-34),
+    * which walks the downloader's period list for the single-period
+    * call-report product and pulls one bulk zip per quarter end. This
+    * environment has no network, so the plan IS the testable artifact:
+    * every calendar quarter end in [fromDate, toDate] with the period
+    * encodings and the EXACT zip file name the rest of the pipeline
+    * ([[listZips]], [[processZip]]) expects to appear in the download
+    * directory — a user points their fetcher at the manifest and the
+    * pipeline picks the files up with no renaming.
+    *
+    * Pure date arithmetic on a generated range (one in-memory
+    * sequence, no scan). Output, ordered by period_end: (period_end
+    * DATE, period yyyymmdd, zip_name, kind). */
+  def fetchPlan(spark: SparkSession, fromDate: String, toDate: String,
+                kind: String = "xbrl"): DataFrame = {
+    val stem = kind match {
+      case "tsv"  => "FFIEC CDR Call Bulk All Schedules"
+      case "xbrl" => "FFIEC CDR Call Bulk XBRL"
+      case other  => throw new IllegalArgumentException(s"unknown type: $other")
+    }
+    spark.sql(
+        s"SELECT explode(sequence(to_date('$fromDate'), to_date('$toDate'), " +
+          "interval 1 month)) AS m")
+      .select(last_day(col("m")).as("period_end"))
+      .where(month(col("period_end")).isin(3, 6, 9, 12))
+      .where(col("period_end") >= to_date(lit(fromDate)) &&
+        col("period_end") <= to_date(lit(toDate)))
+      .distinct()
+      .select(col("period_end"),
+        date_format(col("period_end"), "yyyyMMdd").as("period"),
+        concat(lit(stem + " "), date_format(col("period_end"), "MMddyyyy"),
+          lit(".zip")).as("zip_name"),
+        lit(kind).as("kind"))
+      .orderBy("period_end")
+  }
+
   /** MMDDYYYY-named bulk zips in a directory → (path, yyyymmdd), the
     * reference's ffiec_list_zips (ref: ffiec_manifest.R:51). */
   def listZips(spark: SparkSession, dir: String,

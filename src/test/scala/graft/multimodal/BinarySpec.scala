@@ -168,6 +168,46 @@ class BinarySpec extends SparkSpec {
     assert(out2.sample_rate == 16000) // stub's deterministic rate
   }
 
+  test("FfmpegCodec: WAV and images take the JVM path; beyond-JVM " +
+    "payloads transcode when ffmpeg exists, stub honestly when not") {
+    // WAV always decodes for real (no subprocess involved)
+    val wav = sineWav(hz = 440, sampleRate = 8000, nFrames = 4000)
+    val real = FfmpegCodec.decodeAudio(1L, wav)
+    assert(real.sample_rate == 8000 && real.n_frames == 4000L)
+    // feature math parity: the shared PCM-mono helper == the WAV path
+    val viaHelper = Binary.featuresFromPcm16leMono(
+      java.util.Arrays.copyOfRange(wav, 44, wav.length)) // RIFF hdr = 44B
+    real.features.zip(viaHelper).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4, s"$a vs $b") }
+    // a fake-mp3 payload: with no ffmpeg on PATH this must be the
+    // deterministic stub; with ffmpeg it must still never throw
+    val junk = Array.tabulate[Byte](256)(i => i.toByte)
+    val a = FfmpegCodec.decodeAudio(2L, junk)
+    if (!FfmpegCodec.available) {
+      val st = Binary.decodeAudioStub(2L, junk)
+      assert(a.sample_rate == st.sample_rate && a.n_frames == st.n_frames &&
+        a.features.sameElements(st.features))
+    } else assert(a.n_frames >= 0)
+    val v = FfmpegCodec.decode(3L, junk)
+    if (!FfmpegCodec.available) {
+      val st = Binary.decodeStub(3L, junk)
+      assert(v.width == st.width && v.height == st.height &&
+        v.features.sameElements(st.features))
+    }
+    // when ffmpeg IS installed, prove the real transcode path with
+    // media ffmpeg itself synthesizes (skipped honestly otherwise)
+    if (FfmpegCodec.available) {
+      val mp3 = FfmpegCodec.run(Seq("-f", "mp3"), wav)
+      mp3.foreach { bytes =>
+        val d = FfmpegCodec.decodeAudio(4L, bytes)
+        assert(d.sample_rate == 16000 && d.channels == 1)
+        assert(d.n_frames > 6000 && d.n_frames < 10000) // ~0.5s at 16k
+      }
+    }
+    // SPI wiring: resolvable by name like any external codec jar
+    assert(Codec.load("graft.multimodal.FfmpegCodec").isInstanceOf[Codec])
+  }
+
   test("Codec SPI: an injected codec replaces the decode path wholesale") {
     val s = spark
     import s.implicits._

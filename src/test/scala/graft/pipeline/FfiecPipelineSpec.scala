@@ -27,6 +27,29 @@ class FfiecPipelineSpec extends SparkSpec {
     "RCON3838" -> "xbrli:pureItemType",
     "RIAD4340" -> "xbrli:integerItemType")
 
+  test("fetchPlan: quarter ends in range; names round-trip through " +
+    "listZips' pattern for both kinds") {
+    val s = spark
+    import s.implicits._
+    val plan = FfiecPipeline.fetchPlan(s, "2001-02-15", "2002-12-31", "xbrl")
+      .as[(java.sql.Date, String, String, String)].collect.toSeq
+    // 2001-02-15 start: Q1 2001-03-31 is the first end; 8 quarters total
+    assert(plan.map(_._2) == Seq("20010331", "20010630", "20010930",
+      "20011231", "20020331", "20020630", "20020930", "20021231"))
+    assert(plan.head._3 == "FFIEC CDR Call Bulk XBRL 03312001.zip")
+    // every planned name must parse back through the listZips pattern
+    // (drop a plan into the download dir -> the pipeline picks it up)
+    for (kind <- Seq("tsv", "xbrl")) {
+      val tmp = java.nio.file.Files.createTempDirectory("fplan").toFile
+      val names = FfiecPipeline.fetchPlan(s, "2001-01-01", "2001-12-31", kind)
+        .select("zip_name", "period").as[(String, String)].collect.toSeq
+      names.foreach { case (n, _) =>
+        writeZip(tmp, n, "dummy.txt" -> "x") }
+      val listed = FfiecPipeline.listZips(s, tmp.getAbsolutePath, kind)
+      assert(listed.map(_._2).sorted == names.map(_._2).sorted)
+    }
+  }
+
   test("processZip: multipart combine, typed long tables, metadata, POR") {
     val dir = java.nio.file.Files.createTempDirectory("ffiec_raw").toFile
     val outDir = java.nio.file.Files.createTempDirectory("ffiec_pq").toFile
