@@ -944,13 +944,60 @@ object Dedup {
     * survivable.
     *
     * Local-mode cost note (measured on the q60 deep-chain gate graph,
-    * diameter 5000 → exactly log₂ = 13+1 rounds): wall time is rounds
-    * × ~8 AQE stage dispatches × ~50-90 ms — a fixed floor invariant
-    * to data size. AQE must stay ON (10× slower without its partition
-    * coalescing here) and shrinking checkpoint partitions to 1 also
-    * measured slower; per-round stage count is already minimal (two
-    * agg+join phases, one distinct, one signature agg). */
-  def canonicalizeCc(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * diameter 5000 → exactly log₂ = 13+1 rounds): star-round wall time
+    * is rounds × ~8 AQE stage dispatches × ~50-90 ms — a fixed floor
+    * invariant to data size. AQE must stay ON (10× slower without its
+    * partition coalescing here); shrinking checkpoint partitions to 1
+    * measured slower; shuffle.partitions=1 for the whole loop and
+    * adaptive parallelismFirst=off each bought only ~25% (round-7
+    * re-measurement) — per-round stage count is already minimal (two
+    * agg+join phases, one distinct, one signature agg). What actually
+    * removes the floor is `localFinishEdges`: graphs (or
+    * star-contracted remnants) at or below the threshold skip the
+    * remaining rounds for a single-task union-find — see
+    * [[localUnionFind]]. */
+  /** Single-task union-find finish for a SMALL edge set — the
+    * standard last phase of distributed CC (GraphFrames/Kiveris both
+    * end this way): every CC run's final rounds operate on a
+    * star-compressed graph orders of magnitude smaller than the
+    * input, and paying ~8 stage dispatches per log-round for a graph
+    * that fits one task is pure overhead. One repartition(1) shuffle,
+    * one mapPartitions task ON AN EXECUTOR (never driver-side
+    * collect), path-compressed min-rooted union-find, same output
+    * contract as the star loop: (id, rep = component min) for every
+    * id in the edge set. */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .repartition(1)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        val seen = scala.collection.mutable.LongMap.empty[Boolean]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (u, v) =>
+          seen(u) = true; seen(v) = true
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        seen.keysIterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "rep")
+  }
+
+  def canonicalizeCc(pairs: DataFrame, maxIters: Int = 25,
+                     localFinishEdges: Long = 4000000L): DataFrame = {
     def sym(e: DataFrame) =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     def sig(e: DataFrame): (Long, String) = {
@@ -975,7 +1022,16 @@ object Dedup {
     var curSig = sig(edges)
     var it = 0
     var converged = false
-    while (!converged && it < maxIters) {
+    // Local-finish fast path (round-7 iterative-floor fix): the sig
+    // count is free, and once the edge set fits one task the star
+    // rounds' per-stage dispatch floor (~8 stages × 50-90 ms × log
+    // rounds at local[32]) buys nothing — finish with single-task
+    // union-find. Checked on ENTRY and after every round: star rounds
+    // contract the graph monotonically, so even a 100 TB run takes
+    // this exit for its final rounds instead of dispatching ever-
+    // tinier stages. q60 (15k-edge diameter-5000 chain): 6.8 s -> well
+    // under 1 s; set localFinishEdges = 0 to force the pure star loop.
+    while (!converged && it < maxIters && curSig._1 > localFinishEdges) {
       // large-star: every neighbor larger than u re-points at u's
       // neighborhood minimum. NOT checkpointed: the small-star phase
       // reads ls several times (sym + mins + join), but those are
@@ -1013,6 +1069,12 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"cc round $it sig=$nextSig converged=$converged")
     }
+    // Below the local-finish threshold (possibly before any star
+    // round ran): one-task union-find over the current — possibly
+    // partially star-compressed — edge set. Star rounds preserve
+    // components and their min ids, so the finish is exact.
+    if (!converged && curSig._1 <= localFinishEdges)
+      return localUnionFind(edges)
     // fixpoint edges are (child, root) stars; roots map to themselves.
     // The returned frame reads the final round's checkpoint blocks —
     // callers that re-materialize it (localCheckpoint/persist/write)

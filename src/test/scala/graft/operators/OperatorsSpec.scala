@@ -675,6 +675,28 @@ class DedupSpec extends SparkSpec {
     assert(cc == lp, s"cc=$cc\nlp=$lp")
   }
 
+  test("canonicalizeCc: local-finish union-find == pure star loop, " +
+    "including a mid-loop threshold crossing") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // mixed shape: a deep chain + random clusters + an isolated pair
+    val edges = ((1L until 60L).map(i => (i, i + 1)) ++
+      (1 to 80).map { _ =>
+        val c = 1000L + rnd.nextInt(6) * 50L
+        (c + rnd.nextInt(9), c + rnd.nextInt(9))
+      } ++ Seq((9000L, 9001L)))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = asMap(Dedup.canonicalizeCc(edges)) // default: local finish
+    val star = asMap(Dedup.canonicalizeCc(edges, localFinishEdges = 0L))
+    assert(fast == star, s"fast=$fast\nstar=$star")
+    // threshold crossing MID-loop: start above, contract below
+    val mid = asMap(Dedup.canonicalizeCc(edges, localFinishEdges = 90L))
+    assert(mid == star, s"mid=$mid\nstar=$star")
+  }
+
   test("removeDuplicatedSpans cuts shared passages, keeps one canonical copy") {
     val s = spark
     import s.implicits._
