@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRule)
   }
 }
 
@@ -137,6 +138,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.LevenshteinThresholdRule
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.SortedIntersectRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.SortedIntersectRule
   }
 }
 

@@ -877,24 +877,40 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object IntersectKernel {
   import org.apache.spark.unsafe.types.UTF8String
-  /** |A ∩ B| of two ASCENDING-sorted string arrays by a single merge
-    * pass — the exact-verify inner loop of the set-similarity joins.
-    * O(|A|+|B|) comparisons, zero allocation, vs the O(|A|·|B|)-ish
-    * interpreted `array_intersect` + `size` tree it replaces. Inputs
-    * must be sorted with Spark's string ordering (binary UTF-8 — what
-    * `sort_array` / `array_sort` produce) and DISTINCT within each
-    * array; both hold for the token/shingle sets built upstream. */
+  /** |distinct(A) ∩ distinct(B)| of two ASCENDING-sorted string arrays
+    * by a single merge pass — the exact-verify inner loop of the
+    * set-similarity joins, and exactly `size(array_intersect(a, b))`
+    * for sorted arrays (array_intersect dedupes — the merge skips
+    * equal-runs so duplicates count once — and null elements, sorted
+    * FIRST per sort_array-ascending's ordering, intersect as one
+    * shared element when present on both sides). O(|A|+|B|)
+    * comparisons, zero allocation, vs the interpreted
+    * `array_intersect` + `size` tree it replaces. Inputs must be
+    * sorted with Spark's string ordering (binary UTF-8 — what
+    * `sort_array` / `array_sort` produce). */
   def count(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var n = 0L
+    // `sort_array(_, asc)` places null elements FIRST; array_intersect
+    // treats null as equal to null, deduped — a null run on both sides
+    // is one shared element
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    if (i > 0 && j > 0) n += 1
     while (i < na && j < nb) {
       val sa = a.getUTF8String(i)
       val sb = b.getUTF8String(j)
       val c = sa.compareTo(sb)
-      if (c == 0) { n += 1; i += 1; j += 1 }
+      if (c == 0) {
+        n += 1
+        // skip the equal-run on both sides: duplicates count once
+        i += 1; j += 1
+        while (i < na && a.getUTF8String(i).compareTo(sa) == 0) i += 1
+        while (j < nb && b.getUTF8String(j).compareTo(sb) == 0) j += 1
+      }
       else if (c < 0) i += 1
       else j += 1
     }

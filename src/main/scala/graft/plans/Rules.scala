@@ -59,3 +59,44 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
       if (newCond fastEquals cond) f else Filter(newCond, child)
   }
 }
+
+/** Optimizer rule: sorted set-intersection counting.
+  *
+  * `size(array_intersect(a, b))` builds the intersection ARRAY (a
+  * hash-set membership pass plus an output buffer, interpreted
+  * per row) only to take its length. When both inputs are provably
+  * sorted — syntactically `sort_array(_, asc)` — the same number is a
+  * single zero-allocation merge pass, the [[SortedIntersectCount]]
+  * codegen kernel the set-similarity joins use internally. The
+  * rewrite
+  *
+  *   size(array_intersect(sort_array(a), sort_array(b)))
+  *     ⟶ cast(sorted_intersect_count(sort_array(a), sort_array(b)) as int)
+  *
+  * fires anywhere in any expression tree, so a user writing plain
+  * Spark SQL gets the kernel for free. Guards: both sides must be
+  * `sort_array(..., ascending)` over `array<string>` (null ELEMENTS
+  * are fine — sort_array asc places them first and the kernel counts
+  * a shared null run once, array_intersect's exact semantics), and
+  * only non-legacy `size` (null input → null, matching the kernel's
+  * null flow; legacy size-of-null = −1 keeps the original form).
+  * Semantics are exact: array_intersect dedupes its output, and the
+  * kernel counts equal-runs once. Idempotent: the rewritten tree no
+  * longer contains size(array_intersect). */
+object SortedIntersectRule extends Rule[LogicalPlan] {
+  private def sortedStringArray(e: Expression): Boolean = e match {
+    case SortArray(child, Literal(true, _)) => child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan transformAllExpressions {
+      case Size(ArrayIntersect(a, b), false)
+          if sortedStringArray(a) && sortedStringArray(b) =>
+        Cast(SortedIntersectCount(a, b), IntegerType)
+    }
+}

@@ -71,6 +71,52 @@ class RulesSpec extends SparkSpec {
     }
   }
 
+  test("SortedIntersectRule: size(array_intersect(sort,sort)) rewrites " +
+    "to the merge kernel with identical results, duplicates included") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      // non-foldable on BOTH sides: extraOptimizations run after
+      // ConstantFolding, so a literal side would already be a folded
+      // array and (correctly) not match the sort_array guard
+      val df = spark.range(4).selectExpr(
+          "array('b', 'a', 'c', 'a', CAST(id AS STRING)) AS a", // dups
+          "array('c', 'a', 'x', CAST(id % 2 AS STRING)) AS b")
+        .select(expr("size(array_intersect(sort_array(a), sort_array(b))) AS k"),
+          expr("size(array_intersect(a, b)) AS ref"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("sorted_intersect_count"), opt)
+      // the unsorted form must NOT rewrite
+      assert(opt.contains("array_intersect"), opt)
+      df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+      // null ELEMENTS: a shared null run counts once, like
+      // array_intersect (sort_array asc puts nulls first)
+      val withNulls = spark.range(2).selectExpr(
+          "array(CAST(NULL AS STRING), 'a', CAST(NULL AS STRING), CAST(id AS STRING)) AS a",
+          "array(CAST(NULL AS STRING), 'z', CAST(id AS STRING)) AS b")
+        .select(expr("size(array_intersect(sort_array(a), sort_array(b))) AS k"),
+          expr("size(array_intersect(a, b)) AS ref"))
+      assert(withNulls.queryExecution.optimizedPlan.toString
+        .contains("sorted_intersect_count"))
+      withNulls.collect().foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+    }
+  }
+
+  test("SortedIntersectRule: descending sort and non-string arrays " +
+    "keep the original form") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val df = Seq((Seq("a", "b"), Seq("b"), Seq(1, 2), Seq(2)))
+        .toDF("a", "b", "x", "y")
+        .select(
+          expr("size(array_intersect(sort_array(a, false), sort_array(b, false)))"),
+          expr("size(array_intersect(sort_array(x), sort_array(y)))"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("sorted_intersect_count"), opt)
+    }
+  }
+
   test("column-valued bounds keep the unbounded form (no rewrite)") {
     withRule {
       val s = spark
