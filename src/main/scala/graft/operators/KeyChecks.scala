@@ -317,6 +317,44 @@ object KeyChecks {
     cached
   }
 
+  /** Jensen–Shannon divergence between two categorical distributions,
+    * reported as per-value terms (Σ = JS in nats·10⁻⁶) —
+    * [[categoricalKl]]'s SYMMETRIC, always-finite sibling (KL needs
+    * smoothing to survive a zero; JS's mixture M = (P+Q)/2 absorbs
+    * zeros by the 0·ln 0 = 0 limit, so probabilities here are the
+    * raw unsmoothed counts). Per value v:
+    *   term = ½·p_a·ln(p_a/m) + ½·p_b·ln(p_b/m),  m = (p_a+p_b)/2
+    * with each half dropped when its count is zero. Counts exact
+    * (full-outer join of two map-side-combined aggregates); the term
+    * is ONE fixed-order float expression over identical integers →
+    * bit-stable micros. Output: (v, c_a, c_b, js_term_micro). */
+  def jsDivergenceCells(a: DataFrame, b: DataFrame,
+                        valueCol: String): DataFrame = {
+    val ca = a.groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c_a"))
+    val cb = b.groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c_b"))
+    val joined = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = joined.agg(
+      coalesce(sum("c_a"), lit(0L)), coalesce(sum("c_b"), lit(0L))).head()
+    val (na, nb) = (totals.getLong(0), totals.getLong(1))
+    val pa = col("c_a").cast("double") / lit(math.max(1L, na).toDouble)
+    val pb = col("c_b").cast("double") / lit(math.max(1L, nb).toDouble)
+    val m = (pa + pb) / lit(2.0)
+    val term =
+      when(col("c_a") > 0, pa * log(pa / m)).otherwise(lit(0.0)) * lit(0.5) +
+      when(col("c_b") > 0, pb * log(pb / m)).otherwise(lit(0.0)) * lit(0.5)
+    val out = joined.select(col("v"), col("c_a"), col("c_b"),
+      round(term * 1e6).cast("long").as("js_term_micro"))
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    joined.unpersist(false)
+    cached
+  }
+
   /** Mutual information between two categorical columns, reported as
     * per-cell terms (Σ = MI in nats·10⁻⁶) — the dependence screen
     * beside [[chiSquareCells]]'s deviation view: does `source` carry

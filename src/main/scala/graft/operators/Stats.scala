@@ -1219,4 +1219,66 @@ object Stats {
       .select(col("stratum"), col("id"), col("x"), col("x_match"),
         abs(col("x") - col("x_match")).as("gap"))
   }
+
+  /** Brown–Forsythe homogeneity-of-variance test (Levene's test with
+    * MEDIAN centering — the robust default): are the groups' spreads
+    * equal? Transform each row to its absolute deviation from the
+    * group's exact type-1 median, then [[anovaF]] over the deviations
+    * IS the statistic. Medians come from [[quantilesPerKey]]'s
+    * distinct-count rank selection (integer-exact, hot keys pay
+    * distinct values not rows); the median table is group-cardinality
+    * bounded and broadcasts into the row-side join. Output: (n, k,
+    * f_micro) — one row. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull && col("g").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = quantilesPerKey(rows, "g", "x", Seq(500000L))
+      .select(col("key").as("g"), col("value").as("m"))
+    val z = rows.join(broadcast(med), Seq("g"))
+      .select(lit("all").as("all"), col("g"), abs(col("x") - col("m")).as("z"))
+    val out = anovaF(z, "all", "g", "z").select("n", "k", "f_micro")
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    rows.unpersist(false)
+    cached
+  }
+
+  /** Method-of-moments Gumbel fit over calendar-month block maxima —
+    * the extreme-value screen ("what does a 1-in-N-months peak look
+    * like?"): per month the exact MAX of the value, then
+    *   β̂ = s·√6/π,   μ̂ = x̄ − γ·β̂   (γ = Euler–Mascheroni)
+    * from the maxima's exact integer moments (Σ, Σ² via DECIMAL;
+    * sample variance over n−1). The block maxima are one map-side-
+    * combined aggregate; the fit is one fixed-order float expression
+    * over three exact integers → bit-stable micros. Blocks with
+    * n < 2 emit NULL fit. Output: (n_blocks, mean_micro, beta_micro,
+    * mu_micro) — one row; values in input units ×10⁻⁶. */
+  def gumbelBlockMaxima(df: DataFrame, tsCol: String,
+                        valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val blocks = df
+      .select(date_trunc("month", col(tsCol)).as("block"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull && col("block").isNotNull)
+      .groupBy("block").agg(max("x").as("mx"))
+    val m = blocks.agg(count(lit(1)).as("n_blocks"),
+      sum("mx").as("s"),
+      sum(col("mx").cast(dec) * col("mx").cast(dec)).as("ss"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("s") / d("n_blocks")
+    val varS = (d("ss") - d("s") * d("s") / d("n_blocks")) /
+      (d("n_blocks") - lit(1.0))
+    val beta = sqrt(varS * lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(0.5772156649015329) * beta
+    m.select(col("n_blocks"),
+      when(col("n_blocks") >= 1, round(mean * 1e6).cast("long"))
+        .as("mean_micro"),
+      when(col("n_blocks") >= 2 && varS > 0,
+        round(beta * 1e6).cast("long")).as("beta_micro"),
+      when(col("n_blocks") >= 2 && varS > 0,
+        round(mu * 1e6).cast("long")).as("mu_micro"))
+  }
 }

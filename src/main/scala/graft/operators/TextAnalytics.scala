@@ -1168,4 +1168,41 @@ object TextAnalytics {
             - lit(84.6) * (d(col("n_syllables")) / d(col("n_words")))))
             .cast("long")))
   }
+
+  /** Zipf rank–frequency fit over the corpus's top `maxRank` tokens —
+    * the "is this corpus natural language?" diagnostic (natural text
+    * slopes ≈ −1; templated/generated corpora flatten or kink). The
+    * head is a TakeOrdered top-k (count desc, token asc — no global
+    * sort; everything downstream is k-bounded regardless of corpus or
+    * vocabulary size), ranks come from one window over those ≤ k
+    * rows, and the log-log OLS runs over per-rank micro-quantized
+    * (ln rank, ln freq) terms summed as exact integers, closed with
+    * one fixed-order float expression — the q219/alpha discipline.
+    * Output (one row): (n_ranks, slope_micro, intercept_micro). */
+  def zipfFit(df: DataFrame, textCol: String,
+              maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2, s"need maxRank >= 2, got $maxRank")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val top = topTerms(df, textCol, maxRank)
+    val ranked = top
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term").asc)))
+    val lx = round(log(col("r").cast("double")) * 1e6).cast("long")
+    val ly = round(log(col("n").cast("double")) * 1e6).cast("long")
+    val m = ranked.select(lx.as("x"), ly.as("y"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+    def d(c: String) = col(c).cast("double")
+    val det = d("k") * d("sxx") - d("sx") * d("sx")
+    val slope = (d("k") * d("sxy") - d("sx") * d("sy")) / det
+    val icept = (d("sy") - slope * d("sx")) / d("k") / lit(1e6)
+    m.select(col("k").as("n_ranks"),
+      when(col("k") >= 2 && det =!= 0.0,
+        round(slope * 1e6).cast("long")).as("slope_micro"),
+      when(col("k") >= 2 && det =!= 0.0,
+        round(icept * 1e6).cast("long")).as("intercept_micro"))
+  }
 }
