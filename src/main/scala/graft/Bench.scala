@@ -175,9 +175,13 @@ object Bench {
         if (!sfOk || only.nonEmpty) Map.empty // subset runs: no ratio
         else {
           val qBlock = txt.indexOf("\"queries\"")
-          val body = txt.substring(txt.indexOf('{', qBlock) + 1)
-          """"(q[^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val brace = if (qBlock < 0) -1 else txt.indexOf('{', qBlock)
+          if (brace < 0) Map.empty[String, Double] // no queries block
+          else {
+            val body = txt.substring(brace + 1)
+            """"(q[^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
         }
       } catch { case _: Throwable => Map.empty }
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0

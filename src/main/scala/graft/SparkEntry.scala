@@ -3002,6 +3002,43 @@ object SparkEntry {
         .orderBy("arity", "columns")
     }),
 
+    // Zipf rank-frequency fit over the corpus's top-200 tokens — the
+    // "is this natural language?" diagnostic: k-bounded top terms,
+    // micro-quantized log-log OLS closed in one fixed-order float
+    // expression (q219 discipline).
+    "q244_zipf_fit" -> ((s, dir) => {
+      operators.TextAnalytics.zipfFit(t(s, dir, "documents"), "text",
+        maxRank = 200)
+    }),
+
+    // Brown-Forsythe spread homogeneity of doc length across sources:
+    // exact type-1 medians per group, |x - median| deviations, then
+    // the one-way ANOVA F over the deviations.
+    "q245_brown_forsythe" -> ((s, dir) => {
+      operators.Stats.brownForsythe(
+        t(s, dir, "documents").where(col("source").isNotNull),
+        "source", "n_chars")
+    }),
+
+    // Gumbel method-of-moments fit over calendar-month block maxima
+    // of event value milli-units — the extreme-value screen.
+    "q246_gumbel" -> ((s, dir) => {
+      operators.Stats.gumbelBlockMaxima(
+        events(s, dir).select(col("ts"),
+          round(col("value") * 1000).cast("long").as("v")),
+        "ts", "v")
+    }),
+
+    // Jensen-Shannon divergence between the source mixes of the
+    // English and non-English corpus halves, per-value terms.
+    "q247_js_divergence" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("source").isNotNull)
+      operators.KeyChecks.jsDivergenceCells(
+        d.where(col("lang") === "en"),
+        d.where(col("lang") =!= "en"), "source")
+        .orderBy("v")
+    }),
+
     "q36_asof_join" -> ((s, dir) => {
       // dedupe orders to one per (custkey, orderdate) so the as-of pick
       // is unique, then point-in-time join events → latest prior order
@@ -6968,6 +7005,148 @@ object SparkEntry {
         |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
         |ORDER BY total_cents DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    // topTerms replay (q33 tokenization), row_number ranks over the
+    // k-bounded head, micro-quantized logs summed exactly, then the
+    // OLS close in the identical float order.
+    "q244_zipf_fit" ->
+      """WITH terms AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                              x -> x <> '')) AS term
+        |    FROM documents) t
+        |  GROUP BY term ORDER BY n DESC, term ASC LIMIT 200),
+        |ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+        |  FROM terms),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM ranked),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM pts),
+        |f AS (SELECT k,
+        |        CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS det,
+        |        (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |        sx, sy FROM m)
+        |SELECT k AS n_ranks,
+        |  CASE WHEN k >= 2 AND det <> 0.0
+        |    THEN CAST(round(slope * 1e6) AS BIGINT) END AS slope_micro,
+        |  CASE WHEN k >= 2 AND det <> 0.0
+        |    THEN CAST(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / CAST(k AS DOUBLE) / 1e6 * 1e6) AS BIGINT) END AS intercept_micro
+        |FROM f""".stripMargin,
+
+    // Type-1 median per source (q223 rank rule), |x − m| deviations,
+    // then the q197 ANOVA replay over the deviations with a single
+    // 'all' stratum — Brown–Forsythe IS that composition.
+    "q245_brown_forsythe" ->
+      """WITH r AS (
+        |  SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |g1 AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM r GROUP BY 1, 2),
+        |c1 AS (SELECT g, x, c,
+        |         SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |         SUM(c) OVER (PARTITION BY g) AS n
+        |       FROM g1),
+        |med AS (SELECT g, x AS m FROM c1
+        |        WHERE cum - c < GREATEST((500000 * n + 999999) // 1000000, 1)
+        |          AND GREATEST((500000 * n + 999999) // 1000000, 1) <= cum),
+        |z AS (SELECT r.g, abs(r.x - med.m) AS z
+        |      FROM r JOIN med ON r.g = med.g),
+        |grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |          CAST(SUM(z) AS BIGINT) AS sg,
+        |          SUM(CAST(z AS HUGEINT) * z) AS ssg
+        |        FROM z GROUP BY 1),
+        |q AS (SELECT ng, sg, ssg,
+        |        CAST(round((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |          / CAST(ng AS DOUBLE)) * 1e6) AS HUGEINT) AS rq6
+        |      FROM grp),
+        |a AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS k,
+        |        CAST(SUM(sg) AS BIGINT) AS s, SUM(ssg) AS ss,
+        |        SUM(rq6) AS rq6
+        |      FROM q),
+        |f AS (SELECT n, k,
+        |        CAST(rq6 AS DOUBLE) / 1e6
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |            / CAST(n AS DOUBLE) AS ssb,
+        |        CAST(ss AS DOUBLE) - CAST(rq6 AS DOUBLE) / 1e6 AS ssw
+        |      FROM a)
+        |SELECT n, k,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0
+        |    THEN CAST(round((ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6)
+        |      AS BIGINT) END AS f_micro
+        |FROM f""".stripMargin,
+
+    // Calendar-month block maxima, then the method-of-moments close
+    // (β = s·√6/π, μ = x̄ − γβ) in the identical float order over
+    // exact integer moments.
+    "q246_gumbel" ->
+      """WITH blocks AS (
+        |  SELECT date_trunc('month', ts) AS block,
+        |    MAX(CAST(round(value * 1000) AS BIGINT)) AS mx
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |        CAST(SUM(mx) AS BIGINT) AS s,
+        |        SUM(CAST(mx AS HUGEINT) * mx) AS ss
+        |      FROM blocks),
+        |f AS (SELECT n_blocks,
+        |        CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean,
+        |        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |           / CAST(n_blocks AS DOUBLE))
+        |          / (CAST(n_blocks AS DOUBLE) - 1.0) AS vs
+        |      FROM m)
+        |SELECT n_blocks,
+        |  CASE WHEN n_blocks >= 1
+        |    THEN CAST(round(mean * 1e6) AS BIGINT) END AS mean_micro,
+        |  CASE WHEN n_blocks >= 2 AND vs > 0
+        |    THEN CAST(round(sqrt(vs * 6.0) / pi() * 1e6) AS BIGINT)
+        |  END AS beta_micro,
+        |  CASE WHEN n_blocks >= 2 AND vs > 0
+        |    THEN CAST(round((mean - 0.5772156649015329
+        |      * (sqrt(vs * 6.0) / pi())) * 1e6) AS BIGINT)
+        |  END AS mu_micro
+        |FROM f""".stripMargin,
+
+    // Exact counts per source on each side, full-outer aligned, then
+    // the JS term ½p·ln(p/m) per half in the identical float order —
+    // raw unsmoothed probabilities (the mixture absorbs zeros).
+    "q247_js_divergence" ->
+      """WITH a AS (
+        |  SELECT CAST(source AS VARCHAR) AS v, CAST(COUNT(*) AS BIGINT) AS c_a
+        |  FROM documents WHERE source IS NOT NULL AND lang = 'en'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(source AS VARCHAR) AS v, CAST(COUNT(*) AS BIGINT) AS c_b
+        |  FROM documents WHERE source IS NOT NULL AND lang <> 'en'
+        |  GROUP BY 1),
+        |j AS (SELECT COALESCE(a.v, b.v) AS v,
+        |        COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        |      FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |t AS (SELECT CAST(GREATEST(1, SUM(c_a)) AS BIGINT) AS na,
+        |        CAST(GREATEST(1, SUM(c_b)) AS BIGINT) AS nb FROM j),
+        |p AS (SELECT v, c_a, c_b,
+        |        CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |        CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
+        |      FROM j CROSS JOIN t)
+        |SELECT v, c_a, c_b,
+        |  CAST(round((CASE WHEN c_a > 0
+        |      THEN pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END * 0.5
+        |    + CASE WHEN c_b > 0
+        |      THEN pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0.0 END * 0.5)
+        |    * 1e6) AS BIGINT) AS js_term_micro
+        |FROM p ORDER BY v""".stripMargin,
 
     // Integer micro-cents revenue: round-to-cents × (10000 − bp) —
     // identical longs on both engines, exact HUGEINT sum.

@@ -67,7 +67,12 @@ object FfmpegCodec extends Codec {
       drain.start(); err.start()
       try { p.getOutputStream.write(payload); p.getOutputStream.close() }
       catch { case _: java.io.IOException => () } // encoder closed early
-      val ok = p.waitFor() == 0
+      // Bounded wait: a wedged ffmpeg must degrade to the stub
+      // fallback (None), not hang the executor task forever.
+      val finished =
+        p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) { p.destroyForcibly(); p.waitFor() }
+      val ok = finished && p.exitValue() == 0
       drain.join(10000); err.join(1000)
       if (ok && out.size() > 0) Some(out.toByteArray) else None
     } catch { case scala.util.control.NonFatal(_) => None }

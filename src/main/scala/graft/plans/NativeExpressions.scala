@@ -891,28 +891,37 @@ object IntersectKernel {
   def count(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
+    // In ANY sorted array nulls form one contiguous run at an END —
+    // `sort_array(_, asc)` puts them FIRST, `array_sort` LAST — so
+    // null-presence is an O(1) endpoint check, and array_intersect's
+    // "null equals null, deduped" rule is one shared element when
+    // both sides carry one. The merge below skips null slots wherever
+    // they sit, so both producers are safe (round-8: the old loop
+    // only skipped LEADING nulls and NPE'd on array_sort input).
+    val nullA = na > 0 && (a.isNullAt(0) || a.isNullAt(na - 1))
+    val nullB = nb > 0 && (b.isNullAt(0) || b.isNullAt(nb - 1))
     var i = 0
     var j = 0
-    var n = 0L
-    // `sort_array(_, asc)` places null elements FIRST; array_intersect
-    // treats null as equal to null, deduped — a null run on both sides
-    // is one shared element
-    while (i < na && a.isNullAt(i)) i += 1
-    while (j < nb && b.isNullAt(j)) j += 1
-    if (i > 0 && j > 0) n += 1
+    var n = if (nullA && nullB) 1L else 0L
     while (i < na && j < nb) {
-      val sa = a.getUTF8String(i)
-      val sb = b.getUTF8String(j)
-      val c = sa.compareTo(sb)
-      if (c == 0) {
-        n += 1
-        // skip the equal-run on both sides: duplicates count once
-        i += 1; j += 1
-        while (i < na && a.getUTF8String(i).compareTo(sa) == 0) i += 1
-        while (j < nb && b.getUTF8String(j).compareTo(sb) == 0) j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val sa = a.getUTF8String(i)
+        val sb = b.getUTF8String(j)
+        val c = sa.compareTo(sb)
+        if (c == 0) {
+          n += 1
+          // skip the equal-run on both sides: duplicates count once
+          i += 1; j += 1
+          while (i < na && !a.isNullAt(i) &&
+            a.getUTF8String(i).compareTo(sa) == 0) i += 1
+          while (j < nb && !b.isNullAt(j) &&
+            b.getUTF8String(j).compareTo(sb) == 0) j += 1
+        }
+        else if (c < 0) i += 1
+        else j += 1
       }
-      else if (c < 0) i += 1
-      else j += 1
     }
     n
   }

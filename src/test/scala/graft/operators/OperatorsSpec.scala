@@ -167,6 +167,36 @@ class KeyChecksSpec extends SparkSpec {
     assert(shifted.map(x => (x.getLong(0), x.getString(1))).toSeq ==
       Seq((1L, "changed")), "boundary shift must read as changed")
   }
+
+  test("jsDivergenceCells: hand-replayed terms, zeros absorbed, " +
+    "Σ bounded by ln 2, disjoint supports hit the bound") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("x", "x", "y").toDF("v")
+    val b = Seq("y", "z").toDF("v")
+    val got = KeyChecks.jsDivergenceCells(a, b, "v")
+      .as[(String, Long, Long, Long)].collect
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def term(ca: Long, cb: Long): Long = {
+      val pa = ca.toDouble / 3.0; val pb = cb.toDouble / 2.0
+      val m = (pa + pb) / 2.0
+      val t = (if (ca > 0) pa * math.log(pa / m) else 0.0) * 0.5 +
+        (if (cb > 0) pb * math.log(pb / m) else 0.0) * 0.5
+      math.round(t * 1e6)
+    }
+    assert(got == Map("x" -> ((2L, 0L, term(2, 0))),
+      "y" -> ((1L, 1L, term(1, 1))), "z" -> ((0L, 1L, term(0, 1)))),
+      got.toString)
+    // Σ terms = JS ∈ [0, ln 2]
+    val js = got.values.map(_._3).sum
+    assert(js > 0 && js <= math.round(math.log(2.0) * 1e6), s"js=$js")
+    // disjoint supports: JS = ln 2 exactly (micro-rounded per term)
+    val d1 = Seq("p", "q").toDF("v"); val d2 = Seq("r").toDF("v")
+    val disjoint = KeyChecks.jsDivergenceCells(d1, d2, "v")
+      .as[(String, Long, Long, Long)].collect.map(_._4).sum
+    assert(math.abs(disjoint - math.round(math.log(2.0) * 1e6)) <= 2,
+      s"disjoint js=$disjoint")
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -695,6 +725,31 @@ class DedupSpec extends SparkSpec {
     // threshold crossing MID-loop: start above, contract below
     val mid = asMap(Dedup.canonicalizeCc(edges, localFinishEdges = 90L))
     assert(mid == star, s"mid=$mid\nstar=$star")
+  }
+
+  test("canonicalizeCc: string ids bypass the local-finish path " +
+    "(type-generic contract survives the default threshold)") {
+    val s = spark
+    import s.implicits._
+    // the round-7 fast path cast ids to long: string ids became null
+    // and the decode threw; this pins the type-generic contract
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"),
+      ("url-2", "url-9"), ("url-9", "url-5")).toDF("id_a", "id_b")
+    val cc = Dedup.canonicalizeCc(pairs) // default localFinishEdges=4M
+    assert(cc.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val m = cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "url-2" -> "url-2", "url-5" -> "url-2",
+      "url-9" -> "url-2"), s"got $m")
+    // integral-but-narrow ids keep their type through the fast path
+    val ints = Seq((2, 1), (3, 2), (10, 11)).toDF("id_a", "id_b")
+    val cci = Dedup.canonicalizeCc(ints)
+    assert(cci.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val mi = cci.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(mi == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10),
+      s"got $mi")
   }
 
   test("removeDuplicatedSpans cuts shared passages, keeps one canonical copy") {

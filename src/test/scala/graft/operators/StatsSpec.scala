@@ -365,4 +365,68 @@ class StatsSpec extends SparkSpec {
     }.toMap
     assert(got == want)
   }
+
+  test("brownForsythe matches a hand-replayed median-deviation ANOVA") {
+    // group a: 1,3,5 → median 3 (type-1 rank 2 of 3), |dev| = 2,0,2
+    // group b: 10,10,10,20 → median 10 (rank 2 lands in the 10-run),
+    //          |dev| = 0,0,0,10
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      ("b", 10L), ("b", 10L), ("b", 10L), ("b", 20L)).toDF("g", "x")
+    val out = Stats.brownForsythe(df, "g", "x")
+      .as[(Long, Long, Option[Long])].collect.toSeq
+    assert(out.size == 1)
+    val (n, k, f) = out.head
+    assert(n == 7 && k == 2)
+    // replay the op's exact arithmetic: per-group q6-quantized ratio
+    val ratioSum = (math.round(16.0 / 3.0 * 1e6) +
+      math.round(100.0 / 4.0 * 1e6)).toDouble / 1e6
+    val ssb = ratioSum - 14.0 * 14.0 / 7.0
+    val ssw = 108.0 - ratioSum
+    val want = math.round((ssb / 1.0) / (ssw / 5.0) * 1e6)
+    assert(f.contains(want), s"got $f want $want")
+  }
+
+  test("brownForsythe: single group yields NULL F; null rows dropped") {
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      (null.asInstanceOf[String], Some(9L))).toDF("g", "x")
+    val out = Stats.brownForsythe(df, "g", "x")
+      .as[(Long, Long, Option[Long])].collect.toSeq
+    assert(out == Seq((2L, 1L, None)))
+  }
+
+  test("gumbelBlockMaxima matches the method-of-moments close") {
+    val ts = Seq(
+      ("2024-01-03 10:00:00", 4L), ("2024-01-20 11:00:00", 10L),
+      ("2024-02-01 00:00:00", 20L), ("2024-02-15 09:30:00", 7L),
+      ("2024-03-31 23:59:59", 30L))
+      .map { case (t, v) => (java.sql.Timestamp.valueOf(t), v) }
+      .toDF("ts", "v")
+    val out = Stats.gumbelBlockMaxima(ts, "ts", "v")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect.toSeq
+    assert(out.size == 1)
+    val (nb, mean, beta, mu) = out.head
+    assert(nb == 3) // maxima 10, 20, 30
+    // replay: s=60, ss=1400, n=3 → mean 20, var 100
+    val m = 60.0 / 3.0
+    val vs = (1400.0 - 60.0 * 60.0 / 3.0) / 2.0
+    val b = math.sqrt(vs * 6.0) / math.Pi
+    assert(mean.contains(math.round(m * 1e6)))
+    assert(beta.contains(math.round(b * 1e6)))
+    assert(mu.contains(math.round((m - 0.5772156649015329 * b) * 1e6)))
+  }
+
+  test("gumbelBlockMaxima: one block → mean only; zero variance → NULL fit") {
+    val one = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L))
+      .toDF("ts", "v")
+    val o1 = Stats.gumbelBlockMaxima(one, "ts", "v")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect.head
+    assert(o1 == ((1L, Some(5000000L), None, None)))
+    val flat = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L),
+      (java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 5L))
+      .toDF("ts", "v")
+    val o2 = Stats.gumbelBlockMaxima(flat, "ts", "v")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect.head
+    assert(o2 == ((2L, Some(5000000L), None, None)))
+  }
 }

@@ -582,4 +582,48 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(got.head == (("x", "y", 2L, 2L, 1L, 1L,
       math.round(1e6 * ((2 - 0.5) / 2.0 + (1 / (2.0 * 2.0)) * (1.0 / 2.0))))))
   }
+
+  test("zipfFit matches a hand-replayed log-log OLS over known ranks") {
+    import spark.implicits._
+    // exact Zipf frequencies n = 24/r: a:24, b:12, c:8, d:6 →
+    // ranks 1..4 by (n desc, term asc)
+    val docs = Seq(("a " * 24).trim, ("b " * 12).trim,
+      ("c " * 8).trim, ("d " * 6).trim).toDF("text")
+    val out = TextAnalytics.zipfFit(docs, "text", maxRank = 10)
+      .as[(Long, Option[Long], Option[Long])].collect.toSeq
+    assert(out.size == 1)
+    val (k, slope, icept) = out.head
+    assert(k == 4)
+    // replay the micro-quantized OLS exactly
+    val pts = Seq((1, 24L), (2, 12L), (3, 8L), (4, 6L)).map { case (r, n) =>
+      (math.round(math.log(r.toDouble) * 1e6),
+        math.round(math.log(n.toDouble) * 1e6))
+    }
+    val kk = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+    val det = kk * sxx - sx * sx
+    val s = (kk * sxy - sx * sy) / det
+    assert(slope.contains(math.round(s * 1e6)), s"got $slope")
+    assert(icept.contains(math.round((sy - s * sx) / kk / 1e6 * 1e6)))
+    // the exact power law n = 8 / r^1 has log-log slope −1: micro
+    // slope must sit within quantization error of −1.0
+    assert(math.abs(slope.get + 1000000L) < 2000L, s"slope $slope")
+  }
+
+  test("zipfFit: maxRank bounds the head; degenerate one-term corpus " +
+    "yields NULL fit") {
+    import spark.implicits._
+    val docs = Seq("z z z", "z z").toDF("text")
+    val one = TextAnalytics.zipfFit(docs, "text", maxRank = 5)
+      .as[(Long, Option[Long], Option[Long])].collect.head
+    // single rank: k < 2 → NULL slope/intercept (det would also be 0)
+    assert(one == ((1L, None, None)))
+    val many = Seq("a a a b b c d e f g").toDF("text")
+    val capped = TextAnalytics.zipfFit(many, "text", maxRank = 3)
+      .as[(Long, Option[Long], Option[Long])].collect.head
+    assert(capped._1 == 3L) // head truncated at maxRank
+  }
 }

@@ -99,6 +99,16 @@ class RulesSpec extends SparkSpec {
       assert(withNulls.queryExecution.optimizedPlan.toString
         .contains("sorted_intersect_count"))
       withNulls.collect().foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+      // nulls-LAST ordering (what array_sort produces — the ppjoin
+      // verify feeds the kernel this shape directly): the merge must
+      // skip mid/trailing null slots, not NPE on them (round-8 fix)
+      val nullsLast = spark.range(2).selectExpr(
+          "array_sort(array(CAST(NULL AS STRING), 'a', 'b', CAST(id AS STRING))) AS a",
+          "array_sort(array('b', CAST(NULL AS STRING), CAST(id AS STRING))) AS b")
+        .select(
+          graft.plans.native.sortedIntersectCount(col("a"), col("b")).as("k"),
+          expr("size(array_intersect(a, b)) AS ref"))
+      nullsLast.collect().foreach(r => assert(r.getLong(0) == r.getInt(1), r))
     }
   }
 
