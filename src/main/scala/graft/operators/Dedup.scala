@@ -630,14 +630,27 @@ object Dedup {
     *
     * Classic blocking (Fellegi–Sunter practice): only records sharing
     * `blockCol` are compared, so the quadratic Levenshtein stage runs
-    * inside blocks, never corpus × corpus. The self-join is
-    * block-co-keyed (one shuffle per side); oversized blocks — a NULL
-    * or default-valued key would cross-product — are dropped via the
-    * SAME broadcast anti-join guard as the LSH bucket cap (`maxBlock`,
-    * count map-side combined, droppees keys-only). Within a block
-    * every survivor pair is scored with the codegen'd `levenshtein`
-    * and kept at distance <= `maxDist` — an INTEGER, so the gate
-    * replays it exactly (DuckDB `levenshtein`, same metric).
+    * inside blocks, never corpus × corpus. ONE corpus exchange
+    * (round-8 rework, the q168/q16 in-row shape): groupBy(block)
+    * collects each block's records into a SORTED list — oversized
+    * blocks (a NULL or default-valued key would cross-product) drop
+    * via the size filter BEFORE any pair fans out; the i<j pairs then
+    * generate in-row with nested posexplode/slice, replacing the
+    * former block-keyed self-join (two corpus shuffles + join
+    * build/probe). A degenerate block costs one spillable list buffer
+    * (ObjectHashAggregate), then drops — the quadratic stage is never
+    * reached. Each survivor pair pays a length pre-filter and then
+    * the BANDED threshold kernel `levenshtein(a, b, k)` — O(k·min)
+    * with early exit, the same rewrite LevenshteinThresholdRule
+    * applies to user SQL (the rule itself can't see this shape: the
+    * long-cast compare doesn't match its integer-literal pattern, so
+    * the operator calls the kernel directly) — and keeps distance <=
+    * `maxDist`, an INTEGER the gate replays exactly (DuckDB
+    * `levenshtein`, same metric).
+    *
+    * Round-8 measured (q141 gate, sf0.1, local[32], 2-pass min):
+    * self-join + full-DP verify 2.48 s → in-row pairs + banded
+    * kernel, see commit bench.
     *
     * Output: (id_a < id_b, block, dist). Compose for multi-field
     * rules: link on name, then join phone/address equality as
@@ -650,15 +663,27 @@ object Dedup {
     require(maxBlock >= 2, "maxBlock must allow at least one pair")
     val recs = df.select(col(idCol).as("id"), col(valueCol).as("v"),
       blockCol.as("block")).where(col("block").isNotNull)
-    val hot = recs.groupBy("block").agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") > maxBlock).select("block")
-    val capped = recs.join(broadcast(hot), Seq("block"), "left_anti")
-    val a = capped.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = capped.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("v_a"), col("v_b")).cast("long"))
-      .where(col("dist") <= maxDist)
+    val groups = recs.groupBy("block")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
+      .where(size(col("xs")) <= maxBlock)
+    val pairs = groups
+      .select(col("block"), col("xs"), posexplode(col("xs")))
+      .select(col("block"),
+        col("col").getField("id").as("id_a"),
+        col("col").getField("v").as("v_a"),
+        explode(slice(col("xs"), col("pos") + lit(2), size(col("xs"))))
+          .as("y"))
+      .select(col("block"), col("id_a"), col("v_a"),
+        col("y").getField("id").as("id_b"),
+        col("y").getField("v").as("v_b"))
+    pairs
+      // =!= replicates the former `id_a < id_b` drop semantics for
+      // NULL and duplicate ids (struct sort already orders the rest)
+      .where(col("id_a") =!= col("id_b"))
+      .where(abs(length(col("v_a")) - length(col("v_b"))) <= maxDist)
+      .withColumn("dist", graft.plans.native
+        .levenshteinWithin(col("v_a"), col("v_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("block"), col("dist"))
   }
 

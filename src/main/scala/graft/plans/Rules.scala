@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.IntegerType
   * exceeds k) answers the same predicate. The rewrite
   *
   *   levenshtein(a, b) ≤ k   ⟶   abs(length(a) − length(b)) ≤ k
-  *                                 AND levenshtein(a, b, k) ≥ 0
+  *                                 AND levenshtein_within(a, b, k) ≥ 0
   *
   * (and the analogous `<` with threshold k−1) makes every
   * edit-distance verify — including [[graft.operators.Dedup
@@ -29,8 +29,8 @@ import org.apache.spark.sql.types.IntegerType
   * distance when ≤ k and −1 otherwise, so `≥ 0` ⟺ `distance ≤ k`;
   * NULL inputs flow to NULL under both forms (And(NULL-guard,
   * NULL-cmp) filters the row exactly as the original NULL compare
-  * did). Idempotent by construction: the rewritten Levenshtein
-  * carries Some(threshold) and no longer matches the pattern.
+  * did). Idempotent by construction: the rewritten form contains no
+  * bare Levenshtein and no longer matches the pattern.
   * Only literal non-negative integer bounds rewrite — a column-
   * valued bound keeps the original form. */
 object LevenshteinThresholdRule extends Rule[LogicalPlan] {
@@ -38,7 +38,12 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
   private def bounded(a: Expression, b: Expression, t: Literal) =
     And(
       LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), t),
-      GreaterThanOrEqual(Levenshtein(a, b, Some(t)), Literal(0)))
+      // round 8: the rewrite target is the graft kernel — common
+      // prefix/suffix TRIM first (near-dup strings share long affixes
+      // by construction), then Spark's own banded DP on the remainder
+      // (LevenshteinKernel delegates, so semantics are bit-identical)
+      GreaterThanOrEqual(
+        LevenshteinWithin(a, b, t.value.asInstanceOf[Int]), Literal(0)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, child) =>

@@ -299,6 +299,18 @@ class PlanSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q141 linkage verify runs the trimmed banded kernel — no " +
+    "unbounded levenshtein survives, pairs generate in-row") {
+    val s = planString("q141_record_linkage")
+    // every levenshtein in the plan is the trimmed threshold kernel
+    val lev = "levenshtein".r.findAllIn(s).size
+    val within = "levenshtein_within".r.findAllIn(s).size
+    assert(within > 0 && lev == within, s)
+    assert(s.contains("Generate"), s)       // in-row pair generation
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s)                                     // the self-join is gone
+  }
+
   test("every query stays under a sane exchange budget at this size") {
     // a runaway operator shape (e.g. re-shuffling per band) would blow
     // this budget long before it melts a cluster. q17 included since

@@ -30,7 +30,8 @@ class RulesSpec extends SparkSpec {
         .selectExpr("CAST(id AS STRING) AS a", "repeat('x', 2) AS b")
         .where(expr("levenshtein(a, b) <= 2"))
       val opt = df.queryExecution.optimizedPlan.toString
-      assert(opt.contains("Some(2)) >= 0"), opt)
+      assert(opt.contains("levenshtein_within("), opt)
+      assert(!opt.toLowerCase.contains("levenshtein(a"), opt) // no full DP
       assert(opt.contains("abs((length"), opt)
     }
   }
@@ -109,6 +110,34 @@ class RulesSpec extends SparkSpec {
           graft.plans.native.sortedIntersectCount(col("a"), col("b")).as("k"),
           expr("size(array_intersect(a, b)) AS ref"))
       nullsLast.collect().foreach(r => assert(r.getLong(0) == r.getInt(1), r))
+    }
+  }
+
+  test("LevenshteinKernel: trim+band equals the builtin on random " +
+    "strings including multibyte") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abγ日本€x" // 1-, 2-, 3-byte code points
+    def word(): String =
+      (0 until rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 3000; k <- Seq(0, 1, 2, 5)) {
+      val (a, b) = (word(), word())
+      // shared affixes exercise the trim paths
+      val (pa, pb) = if (rnd.nextBoolean()) ("共通pre" + a, "共通pre" + b)
+        else (a + "suf尾", b + "suf尾")
+      val ua = UTF8String.fromString(pa); val ub = UTF8String.fromString(pb)
+      val got = LevenshteinKernel.dist(ua, ub, k)
+      val want = ua.levenshteinDistance(ub, k)
+      assert(got == want, s"a='$pa' b='$pb' k=$k got=$got want=$want")
+    }
+    // identical strings, empty strings, full containment
+    val cases = Seq(("", ""), ("abc", "abc"), ("", "abc"), ("日本語", "日本"),
+      ("日本語", "日本語です"))
+    for ((x, y) <- cases; k <- 0 to 4) {
+      val ux = UTF8String.fromString(x); val uy = UTF8String.fromString(y)
+      assert(LevenshteinKernel.dist(ux, uy, k) ==
+        ux.levenshteinDistance(uy, k), s"'$x' '$y' k=$k")
     }
   }
 
