@@ -46,6 +46,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match the gate session
       .config("spark.ui.enabled", "false")
+      // collect-based aggregates (posting lists, signatures, baskets)
+      // sort-fall-back at Spark's ultra-conservative 128 in-memory
+      // groups; buffers here are cap-bounded (capped_collect_list /
+      // maxDf / maxBlock), so a few thousand in-memory groups per
+      // task are small and skip the per-partition sort (~15% on the
+      // set-similarity queries, measured round 8)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first timed query doesn't absorb

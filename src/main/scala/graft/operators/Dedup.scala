@@ -126,20 +126,25 @@ object Dedup {
           array_repeat(size(shArr).cast("long"), size(shArr)).as("n_sh")))
           .as("e"))
       .select(col("id"), col("e.n_sh").as("n_sh"), col("e.shingle").as("shingle"))
-    // The hot list is a partial-aggregated count groupBy (safe for
-    // viral keys) and tiny by construction; re-deriving `shingled` for
-    // it is a map-side re-scan — cheaper than persisting the exploded
-    // corpus.
-    val capped =
-      if (maxDf >= Int.MaxValue / 2) shingled // cap disabled
-      else {
-        val hot = shingled.groupBy("shingle")
-          .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
-          .select("shingle")
-        shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
-      }
-    val groups = capped.groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("xs"))
+    // df cap + posting-list collect fused into ONE aggregate (round
+    // 8): capped_collect_list's buffer stops growing at maxDf+1
+    // elements — partials and merges both truncate, so a viral
+    // shingle costs each task at most maxDf+1 buffered postings and
+    // then evaluates to NULL (filtered below). Replaces the former
+    // keys-only df-count pass + broadcast anti-join, which paid a
+    // SECOND corpus shingle scan; semantics are identical (groups at
+    // or under the cap collect exactly; df > maxDf drops).
+    val groups = (
+      if (maxDf >= Int.MaxValue / 2) // cap disabled
+        shingled.groupBy("shingle")
+          .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
+            .as("xs"))
+      else
+        shingled.groupBy("shingle")
+          .agg(sort_array(graft.plans.native.cappedCollectList(
+            struct(col("id"), col("n_sh")), maxDf)).as("xs"))
+          .where(col("xs").isNotNull)
+      )
     groups
       .select(col("xs"), posexplode(col("xs")))
       .select(col("col").getField("id").as("id_a"),

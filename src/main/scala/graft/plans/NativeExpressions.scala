@@ -927,6 +927,81 @@ object IntersectKernel {
   }
 }
 
+/** Bounded-buffer collect with an OVERFLOW-TO-NULL contract:
+  * `capped_collect_list(e, cap)` returns the collected array when the
+  * group has ≤ cap elements and NULL once it exceeds the cap — the
+  * viral-key guard of the set-similarity family expressed as a single
+  * aggregate. The former shape paid a second corpus scan (keys-only
+  * df counts) plus a broadcast anti-join to drop hot keys BEFORE the
+  * posting-list shuffle; this buffer simply stops growing at cap+1
+  * elements (update, and merge of partials, both truncate — a
+  * truncated partial already proves the group exceeds the cap, so
+  * the flag survives merging exactly), which bounds every partial
+  * and final buffer at cap+1 elements REGARDLESS of key virality: a
+  * shingle appearing in every document of a 100 TB corpus costs each
+  * aggregation task at most cap+1 buffered elements, then evaluates
+  * to NULL and is filtered. One corpus exchange, no funnel hazard,
+  * no re-scan. Distinct from approx/sampling caps: groups at or
+  * under the cap collect EXACTLY (order normalized by the caller's
+  * sort_array), so downstream semantics are identical to the
+  * count-then-anti-join form the oracles replay. */
+case class CappedCollectList(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.Collect[
+    scala.collection.mutable.ArrayBuffer[Any]] {
+  require(cap >= 1, s"cap must be >= 1, got $cap")
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  override def convertToBufferElement(value: Any): Any =
+    org.apache.spark.sql.catalyst.InternalRow.copyValue(value)
+
+  override protected lazy val bufferElementType: DataType = child.dataType
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "capped_collect_list"
+
+  override def update(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.ArrayBuffer[Any] =
+    if (buffer.length > cap) buffer else super.update(buffer, input)
+
+  override def merge(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      other: scala.collection.mutable.ArrayBuffer[Any])
+      : scala.collection.mutable.ArrayBuffer[Any] = {
+    val it = other.iterator
+    while (buffer.length <= cap && it.hasNext) buffer += it.next()
+    buffer
+  }
+
+  override def eval(
+      buffer: scala.collection.mutable.ArrayBuffer[Any]): Any =
+    if (buffer.length > cap) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.toArray)
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): CappedCollectList =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): CappedCollectList =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CappedCollectList =
+    copy(child = newChildren.head)
+}
+
 object LevenshteinKernel {
   import org.apache.spark.unsafe.types.UTF8String
   /** Thresholded edit distance with COMMON PREFIX/SUFFIX TRIMMING:
@@ -1025,6 +1100,10 @@ object native {
   def levenshteinWithin(a: Column, b: Column, k: Int): Column =
     GraftBridge.column(LevenshteinWithin(GraftBridge.expression(a),
       GraftBridge.expression(b), k))
+
+  def cappedCollectList(e: Column, cap: Int): Column =
+    GraftBridge.column(CappedCollectList(GraftBridge.expression(e), cap)
+      .toAggregateExpression())
 
   def nfcNormalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))

@@ -156,6 +156,35 @@ class RulesSpec extends SparkSpec {
     }
   }
 
+  test("capped_collect_list: exact at or under cap, NULL over cap, " +
+    "truncation survives partial merges") {
+    val s = spark
+    import s.implicits._
+    // key "hot" has 40 members spread over 8 partitions (every partial
+    // buffer small, only the MERGED size exceeds the cap); "warm" has
+    // exactly cap members; "cold" fewer
+    val rows = (1 to 40).map(i => ("hot", i)) ++
+      (1 to 10).map(i => ("warm", i)) ++ Seq(("cold", 1), ("cold", 2))
+    val df = rows.toDF("k", "v").repartition(8)
+    val got = df.groupBy("k")
+      .agg(sort_array(graft.plans.native.cappedCollectList(col("v"), 10))
+        .as("xs"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq))
+      .toMap
+    assert(got("hot").isEmpty, s"hot must overflow to NULL: $got")
+    assert(got("warm").contains((1 to 10).toSeq))
+    assert(got("cold").contains(Seq(1, 2)))
+    // nulls in the input are skipped (collect_list semantics)
+    val withNulls = Seq(("a", Some(1)), ("a", None), ("a", Some(2)))
+      .toDF("k", "v")
+      .groupBy("k")
+      .agg(sort_array(graft.plans.native.cappedCollectList(col("v"), 5))
+        .as("xs")).collect()
+    assert(withNulls.head.get(1)
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+  }
+
   test("column-valued bounds keep the unbounded form (no rewrite)") {
     withRule {
       val s = spark
