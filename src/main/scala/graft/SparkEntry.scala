@@ -2963,6 +2963,38 @@ object SparkEntry {
         LIMIT 100""")
     }),
 
+    // TPC-H Q21 SHAPE: the double-correlated EXISTS / NOT EXISTS over
+    // lineitem self-references — authored as SQL so Catalyst's
+    // decorrelation (RewritePredicateSubquery: EXISTS → LeftSemi,
+    // NOT EXISTS → LeftAnti, both with the <> residual) is the
+    // machinery under test; PlanSpec asserts no per-row subquery and
+    // no BNLJ survive. The synthetic lineitem has no
+    // receipt/commit dates, so "late" is a fixed ship-date cutoff —
+    // the correlation structure (same order, OTHER supplier, none of
+    // the others late) is Q21's exactly.
+    "q248_tpch_q21" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM g_supplier, g_lineitem l1, g_orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM g_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > TIMESTAMP '1997-01-01')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""")
+    }),
+
     // The CDR fetch-step twin (reference data-raw/get_xbrl_zips.py):
     // quarterly period ends in range with the exact bulk-zip names the
     // pipeline's listZips pattern expects — pure date arithmetic, no
@@ -2999,6 +3031,29 @@ object SparkEntry {
       operators.KeyChecks.compositeKeys(t(s, dir, "orders"),
         Seq("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
         maxArity = 2)
+        .orderBy("arity", "columns")
+    }),
+
+    // Arity-3 lattice SCAN path: no single or pair among these four
+    // lineitem columns is a key, so level 3 actually scans — and
+    // (l_orderkey, l_partkey, l_suppkey) surfaces as the only
+    // minimal TRIPLE key ((l_orderkey, l_linenumber) is famously
+    // non-unique in this synthetic data).
+    "q249_composite_arity3" -> ((s, dir) => {
+      operators.KeyChecks.compositeKeys(t(s, dir, "lineitem"),
+        Seq("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"),
+        maxArity = 3)
+        .orderBy("arity", "columns")
+    }),
+
+    // Arity-3 lattice PRUNE path: o_orderkey (single) and the two
+    // pair keys imply every one of the four triples — level 3 emits
+    // only -1 sentinels and never scans (the compounding claim the
+    // arity-2 gate q240 could not exercise).
+    "q250_composite_pruned" -> ((s, dir) => {
+      operators.KeyChecks.compositeKeys(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        maxArity = 3)
         .orderBy("arity", "columns")
     }),
 
@@ -7006,6 +7061,30 @@ object SparkEntry {
         |ORDER BY total_cents DESC, o_orderkey
         |LIMIT 100""".stripMargin,
 
+    "q249_composite_arity3" -> compositeKeysOracleSql("lineitem",
+      Seq("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"), 3),
+
+    "q250_composite_pruned" -> compositeKeysOracleSql("orders",
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"), 3),
+
+    "q248_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > TIMESTAMP '1997-01-01')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
     // topTerms replay (q33 tokenization), row_number ranks over the
     // k-bounded head, micro-quantized logs summed exactly, then the
     // OLS close in the identical float order.
@@ -8678,6 +8757,46 @@ object SparkEntry {
        |  CASE WHEN n_truth = 0 THEN 1.0
        |       ELSE CAST(hits AS DOUBLE) / n_truth END AS recall
        |FROM m ORDER BY bands, rows_per_band""".stripMargin
+  }
+
+  /** Generated DuckDB replay for [[graft.operators.KeyChecks
+    * .compositeKeys]]: every combo's exact distinct/null counts in one
+    * aggregate, then the lattice-implication CASE per row. A combo is
+    * implied iff ANY proper subset's distinct count equals n — the
+    * transitive closure of the operator's level-by-level key set
+    * (supersets of keys are keys, so subset d = n is exactly
+    * "contains a key"). Implied rows carry the -1 sentinels. */
+  private def compositeKeysOracleSql(table: String, cols: Seq[String],
+                                     maxArity: Int): String = {
+    val combos = (1 to maxArity).flatMap(a =>
+      cols.combinations(a).map(_.toList)).toList
+    def alias(s: List[String]) = s.mkString("_").replaceAll("[^a-zA-Z0-9_]", "")
+    val aggs = combos.flatMap { s =>
+      val nullCond = s.map(c => s"$c IS NULL").mkString(" OR ")
+      Seq(
+        s"CAST(COUNT(DISTINCT row(${s.mkString(", ")})) AS BIGINT) AS d_${alias(s)}",
+        s"CAST(COALESCE(SUM(CASE WHEN $nullCond THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_${alias(s)}")
+    }
+    val rows = combos.map { s =>
+      val subs = (1 until s.length).flatMap(a => s.combinations(a)).toList
+      val cond =
+        if (subs.isEmpty) "FALSE"
+        else subs.map(sub => s"d_${alias(sub)} = n").mkString(" OR ")
+      val d = s"d_${alias(s)}"; val m = s"m_${alias(s)}"
+      s"""SELECT '${s.mkString(",")}' AS columns, ${s.length} AS arity, n,
+         |    CASE WHEN $cond THEN -1 ELSE $d END AS n_distinct,
+         |    CASE WHEN $cond THEN -1 ELSE $m END AS n_nulls,
+         |    CASE WHEN $cond THEN TRUE ELSE $d = n END AS is_key,
+         |    CASE WHEN $cond THEN FALSE ELSE $d = n END AS is_minimal_key
+         |  FROM s""".stripMargin
+    }
+    s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${aggs.mkString(",\n  ")}
+       |FROM $table)
+       |SELECT columns, CAST(arity AS BIGINT) AS arity, n, n_distinct,
+       |  n_nulls, is_key, is_minimal_key
+       |FROM (${rows.mkString("\n  UNION ALL ")})
+       |ORDER BY arity, columns""".stripMargin
   }
 
   private lazy val ivfOracleSql =

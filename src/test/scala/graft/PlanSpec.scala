@@ -299,6 +299,16 @@ class PlanSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q248's double-correlated EXISTS/NOT EXISTS decorrelate to " +
+    "semi + anti joins — no per-row subquery, no BNLJ") {
+    val s = planString("q248_tpch_q21")
+    assert(s.contains("LeftSemi"), s)
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("InSubquery") && !s.contains("exists#"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q141 linkage verify runs the trimmed banded kernel — no " +
     "unbounded levenshtein survives, pairs generate in-row") {
     val s = planString("q141_record_linkage")
