@@ -148,6 +148,59 @@ object Binary {
       length(col(textCol)).cast("long").as("n_bytes"),
       col(textCol).cast("binary").as("payload"))
 
+  case class DecodedFrame(media_id: Long, frame_index: Int, width: Int,
+                          height: Int, channels: Int,
+                          features: Array[Float])
+
+  /** Deterministic per-frame stub: the frame-i view of [[decodeStub]]
+    * (byte features sampled at an index-dependent offset) so
+    * codec-less environments still exercise the multi-frame schema
+    * with reproducible values. */
+  def decodeFrameStub(mediaId: Long, frameIndex: Int,
+                      payload: Array[Byte]): DecodedFrame = {
+    val n = if (payload == null) 0 else payload.length
+    val base = decodeStub(mediaId, payload)
+    val feats = Array.tabulate(8) { i =>
+      if (n == 0) 0f else payload((i + frameIndex * 7) % n).toFloat / 128f
+    }
+    DecodedFrame(mediaId, frameIndex, base.width, base.height,
+      base.channels, feats)
+  }
+
+  /** Default multi-frame decode for codecs without a video path:
+    * frame 0 through the codec's single-frame `decode` (real for
+    * images / ffmpeg-first-frame), frames 1..n−1 deterministic stubs.
+    * [[FfmpegCodec]] overrides this with real fps-sampled frames. */
+  def decodeFramesDefault(codec: Codec, mediaId: Long,
+                          payload: Array[Byte],
+                          maxFrames: Int): Seq[DecodedFrame] = {
+    val first = codec.decode(mediaId, payload)
+    DecodedFrame(mediaId, 0, first.width, first.height, first.channels,
+      first.features) +:
+      (1 until maxFrames).map(i => decodeFrameStub(mediaId, i, payload))
+  }
+
+  /** Batched MULTI-FRAME decode — the video sibling of
+    * [[decodeFeatures]]: one codec session per partition, each payload
+    * fans out to ≤ `maxFrames` (media_id, frame_index) feature rows
+    * inside the task (flatMap — frames never materialize as payload
+    * copies in the shuffle). Pair with [[repartitionForDecode]] so a
+    * partition's decode work is byte-balanced before the fan-out. */
+  def decodeFrameFeatures(media: DataFrame, maxFrames: Int,
+                          codec: Codec = JvmCodec): Dataset[DecodedFrame] = {
+    require(maxFrames >= 1, s"need maxFrames >= 1, got $maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        codec.init()
+        rows.flatMap { case (id, bytes) =>
+          codec.decodeFrames(id, bytes, maxFrames)
+        }
+      }
+  }
+
   /** Frame-sample stand-in: pick every `stride`-th byte window as a
     * "frame" — exercises the explode/repartition shape of video frame
     * extraction without a video codec. */
@@ -397,6 +450,14 @@ trait Codec extends Serializable {
   def init(): Unit = ()
   def decode(mediaId: Long, payload: Array[Byte]): Binary.DecodedFeatures
   def decodeAudio(mediaId: Long, payload: Array[Byte]): Binary.DecodedAudio
+  /** Multi-frame video decode: ≤ maxFrames sampled frames with real
+    * per-frame features where the codec can extract them. Default
+    * (source-compatible for existing codecs): frame 0 via `decode`,
+    * later frames deterministic stubs — see
+    * [[Binary.decodeFramesDefault]]. */
+  def decodeFrames(mediaId: Long, payload: Array[Byte],
+                   maxFrames: Int): Seq[Binary.DecodedFrame] =
+    Binary.decodeFramesDefault(this, mediaId, payload, maxFrames)
 }
 
 object Codec {

@@ -85,12 +85,58 @@ object FfmpegCodec extends Codec {
   private def firstFramePng(payload: Array[Byte]): Option[Array[Byte]] =
     run(Seq("-frames:v", "1", "-f", "image2", "-vcodec", "png"), payload)
 
+  /** Up to `maxFrames` fps-sampled frames as a concatenated PNG
+    * stream (`image2pipe`), split on the PNG signature. One ffmpeg
+    * run per payload regardless of frame count. */
+  private[multimodal] def framePngs(payload: Array[Byte], maxFrames: Int,
+                                    fps: Double): Seq[Array[Byte]] =
+    run(Seq("-vf", s"fps=$fps", "-frames:v", maxFrames.toString,
+      "-f", "image2pipe", "-vcodec", "png"), payload)
+      .map(splitPngStream).getOrElse(Seq.empty)
+
+  /** Split a concatenated PNG byte stream at each PNG signature —
+    * image2pipe writes frames back to back with no framing of its
+    * own; the 8-byte signature cannot occur inside a well-formed PNG
+    * chunk stream's critical positions at frame starts, and a false
+    * split would simply fail imageio and drop to the stub. */
+  private[multimodal] def splitPngStream(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    def isSigAt(i: Int): Boolean =
+      i + sig.length <= bytes.length &&
+        (0 until sig.length).forall(j => bytes(i + j) == sig(j))
+    val starts = (0 to bytes.length - sig.length).filter(isSigAt)
+    starts.zipWithIndex.map { case (s, i) =>
+      val end = if (i + 1 < starts.length) starts(i + 1) else bytes.length
+      java.util.Arrays.copyOfRange(bytes, s, end)
+    }
+  }
+
   override def decode(mediaId: Long,
                       payload: Array[Byte]): Binary.DecodedFeatures =
     Binary.decodeImage(mediaId, payload)
       .orElse(firstFramePng(payload)
         .flatMap(png => Binary.decodeImage(mediaId, png)))
       .getOrElse(Binary.decodeStub(mediaId, payload))
+
+  /** REAL multi-frame sampling: one ffmpeg run extracts ≤ maxFrames
+    * fps-sampled frames as PNGs; each rides the normal imageio
+    * feature path, so frames 2..n carry real per-frame features —
+    * not the stub echo of frame 1. Falls back to the default shape
+    * (frame 1 best-effort + stubs) when ffmpeg is missing or the
+    * payload defeats it. Sampling rate fixed at 1 fps — the
+    * training-data convention of frame-per-second thumbnailing;
+    * callers needing denser sampling run framePngs directly. */
+  override def decodeFrames(mediaId: Long, payload: Array[Byte],
+                            maxFrames: Int): Seq[Binary.DecodedFrame] = {
+    val real = framePngs(payload, maxFrames, fps = 1.0)
+      .take(maxFrames).zipWithIndex.flatMap { case (png, i) =>
+        Binary.decodeImage(mediaId, png).map(f =>
+          Binary.DecodedFrame(mediaId, i, f.width, f.height, f.channels,
+            f.features))
+      }
+    if (real.nonEmpty) real
+    else Binary.decodeFramesDefault(this, mediaId, payload, maxFrames)
+  }
 
   override def decodeAudio(mediaId: Long,
                            payload: Array[Byte]): Binary.DecodedAudio =

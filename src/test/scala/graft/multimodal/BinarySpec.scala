@@ -256,6 +256,68 @@ class BinarySpec extends SparkSpec {
     // Scala objects resolve too (MODULE$ / trailing-$ both accepted)
     assert(Codec.load("graft.multimodal.StubCodec").isInstanceOf[Codec])
   }
+
+  test("decodeFrameFeatures: maxFrames fan-out per payload; frame 0 " +
+    "real for images, later frames deterministic stubs (default codec)") {
+    val s = spark
+    import s.implicits._
+    val png = encode(twoToneImage(), "png")
+    val junk = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    val media = Seq(
+      (1L, "image/png", png.length.toLong, png),
+      (2L, "video/mp4", junk.length.toLong, junk))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val out = Binary.decodeFrameFeatures(media, maxFrames = 3).collect()
+      .sortBy(f => (f.media_id, f.frame_index))
+    assert(out.length == 6) // 2 payloads × 3 frames
+    assert(out.map(f => (f.media_id, f.frame_index)).toSeq ==
+      Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0), (2L, 1), (2L, 2)))
+    // image frame 0: the REAL decode (20×10 two-tone)
+    assert(out(0).width == 20 && out(0).height == 10)
+    // image frames 1..2: the stub shape, index-dependent features
+    val s1 = Binary.decodeFrameStub(1L, 1, png)
+    assert(out(1).features.sameElements(s1.features))
+    assert(!out(1).features.sameElements(out(2).features),
+      "frame stubs must vary by index")
+    // non-image frame 0 equals the single-frame stub decode
+    assert(out(3).features.sameElements(Binary.decodeStub(2L, junk).features))
+  }
+
+  test("FfmpegCodec.decodeFrames: PNG-stream splitter is exact; real " +
+    "multi-frame sampling where ffmpeg exists, default shape where not") {
+    val png = encode(twoToneImage(), "png")
+    // splitter: two concatenated PNGs come back apart and decodable
+    val two = png ++ png
+    val split = FfmpegCodec.splitPngStream(two)
+    assert(split.length == 2)
+    split.foreach(p => assert(Binary.decodeImage(9L, p).exists(_.width == 20)))
+    assert(FfmpegCodec.splitPngStream(Array[Byte](1, 2, 3)).isEmpty)
+    val junk = Array.tabulate[Byte](64)(i => i.toByte)
+    val frames = FfmpegCodec.decodeFrames(5L, junk, maxFrames = 4)
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_index) == Seq(0, 1, 2, 3))
+    if (!FfmpegCodec.available) {
+      // honest default: frame 0 via decode (stub for junk), stub tail
+      assert(frames(1).features.sameElements(
+        Binary.decodeFrameStub(5L, 1, junk).features))
+    } else {
+      // REAL path: loop the png into a ~3 s video via ffmpeg itself,
+      // then 1-fps sampling must return ≥ 2 real frames at the
+      // image's true dimensions with imageio features
+      val video = FfmpegCodec.run(
+        Seq("-vf", "loop=loop=74:size=1", "-r", "25",
+          "-f", "avi", "-vcodec", "mpeg4"), png)
+      video.foreach { v =>
+        val fs = FfmpegCodec.decodeFrames(6L, v, maxFrames = 5)
+        assert(fs.length >= 2, s"expected multi-frame, got ${fs.length}")
+        assert(fs.forall(f => f.width == 20 && f.height == 10),
+          fs.map(f => (f.width, f.height)).toString)
+        assert(!fs(0).features.sameElements(
+          Binary.decodeFrameStub(6L, 0, v).features),
+          "frame 0 must be a real decode, not the stub")
+      }
+    }
+  }
 }
 
 /** Stands in for a codec class shipped in an external jar: no-arg
