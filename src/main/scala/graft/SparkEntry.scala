@@ -2995,6 +2995,38 @@ object SparkEntry {
         LIMIT 100""")
     }),
 
+    // TPC-H Q20 SHAPE: an IN-subquery that itself nests an IN plus a
+    // CORRELATED scalar aggregate — multi-level decorrelation (the
+    // synthetic schema has no partsupp, so the per-(part) half-average
+    // threshold correlates on lineitem directly; the nesting depth is
+    // Q20's). AVG over integral-valued doubles replays bit-identically
+    // (exact partial sums), the q241 precedent.
+    "q251_tpch_q20" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""
+        SELECT s_name
+        FROM g_supplier
+        WHERE s_suppkey IN (
+          SELECT l0.l_suppkey FROM g_lineitem l0
+          WHERE l0.l_partkey IN (SELECT p_partkey FROM g_part
+                                 WHERE p_name LIKE '%red gear%')
+            AND l0.l_quantity > (SELECT 1.9 * AVG(l2.l_quantity)
+                                 FROM g_lineitem l2
+                                 WHERE l2.l_partkey = l0.l_partkey))
+        ORDER BY s_name""")
+    }),
+
+    // Margin-criterion neighbor mining (Artetxe & Schwenk 2019) over
+    // the approximate kNN graph: hubness-corrected cosine. Exact
+    // integer-micro neighborhood sums; one fixed-order float close.
+    "q252_margin_pairs" -> ((s, dir) => {
+      Knn.marginPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, c = 16, nprobe = 2, portableHash = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // The CDR fetch-step twin (reference data-raw/get_xbrl_zips.py):
     // quarterly period ends in range with the exact bulk-zip names the
     // pipeline's listZips pattern expects — pure date arithmetic, no
@@ -7061,6 +7093,20 @@ object SparkEntry {
         |ORDER BY total_cents DESC, o_orderkey
         |LIMIT 100""".stripMargin,
 
+    "q251_tpch_q20" ->
+      """SELECT s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l0.l_suppkey FROM lineitem l0
+        |  WHERE l0.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE '%red gear%')
+        |    AND l0.l_quantity > (SELECT 1.9 * AVG(l2.l_quantity)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = l0.l_partkey))
+        |ORDER BY s_name""".stripMargin,
+
+    "q252_margin_pairs" -> marginPairsOracleSql,
+
     "q249_composite_arity3" -> compositeKeysOracleSql("lineitem",
       Seq("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"), 3),
 
@@ -8798,6 +8844,58 @@ object SparkEntry {
        |FROM (${rows.mkString("\n  UNION ALL ")})
        |ORDER BY arity, columns""".stripMargin
   }
+
+  /** The q65 kNN-graph replay (k=3, c=16, nprobe=2, portable md5
+    * hash) extended with the margin close: neighborhood sums as exact
+    * BIGINT micros, margin in the operator's fixed float order. */
+  private lazy val marginPairsOracleSql =
+    s"""WITH hashed AS (
+       |  SELECT vec_id, embedding,
+       |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM hashed ORDER BY h LIMIT 16),
+       |assign AS (
+       |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+       |    row_number() OVER (PARTITION BY hd.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+       |               c.cell DESC) AS rn
+       |  FROM hashed hd CROSS JOIN cents c),
+       |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+       |qa AS (
+       |  SELECT query_id, qvec, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+       |                 c.cell DESC) AS rk
+       |    FROM embeddings q CROSS JOIN cents c) x
+       |  WHERE rk <= 2),
+       |scored AS (
+       |  SELECT qa.query_id, cl.id AS neighbor_id,
+       |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+       |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+       |  WHERE cl.id <> qa.query_id),
+       |g AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored QUALIFY rank <= 3),
+       |deg AS (
+       |  SELECT query_id AS id,
+       |    CAST(SUM(CAST(round(sim * 1e6) AS BIGINT)) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM g GROUP BY 1)
+       |SELECT g.query_id, g.neighbor_id, g.sim, g.rank,
+       |  CAST(round(
+       |    CAST(CAST(round(g.sim * 1e6) AS BIGINT) AS DOUBLE)
+       |      / ((CAST(dq.s AS DOUBLE) / CAST(dq.n AS DOUBLE)
+       |          + CAST(dn.s AS DOUBLE) / CAST(dn.n AS DOUBLE)) / 2.0)
+       |    * 1e6) AS BIGINT) AS margin_micro
+       |FROM g
+       |JOIN deg dq ON dq.id = g.query_id
+       |JOIN deg dn ON dn.id = g.neighbor_id
+       |ORDER BY g.query_id, g.rank""".stripMargin
 
   private lazy val ivfOracleSql =
     s"""WITH hashed AS (

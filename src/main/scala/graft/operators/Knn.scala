@@ -325,4 +325,52 @@ object Knn {
         round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL 2019 —
+    * margin criterion for parallel-corpus mining with multilingual
+    * sentence embeddings; public algorithm): per directed kNN edge
+    * (x → y),
+    *
+    *   margin = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+    *
+    * — raw cosine corrected for HUBNESS: a vector whose whole
+    * neighborhood is uniformly close (a hub / boilerplate embedding)
+    * has a high denominator and scores low, while a genuinely
+    * exceptional pair stands out. The standard mining criterion for
+    * bitext pairs and the same correction SemDeDup-style pipelines
+    * use to rank near-dup candidates.
+    *
+    * Built ON the [[knnGraph]] edges (one graph pass; margins for
+    * pairs outside the kNN graph are by definition below their
+    * endpoints' neighborhood average, so forward-kNN mining loses
+    * nothing of rank ≤ k). Neighborhood sums ride integer micros
+    * (sims are 6-dp rounded, so ×10⁶ is exact) — order-independent
+    * exact longs; the margin is ONE fixed-order float expression over
+    * them → bit-stable micros the oracle replays. Edges whose
+    * neighbor has no neighborhood of its own (isolated cell) drop
+    * with the inner join — no denominator, no margin.
+    * Output: (query_id, neighbor_id, sim, rank, margin_micro). */
+  def marginPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, c: Int = 16, nprobe: Int = 2,
+                  portableHash: Boolean = false): DataFrame = {
+    val g = knnGraph(corpus, idCol, vecCol, k, c, nprobe, portableHash)
+      .localCheckpoint(false)
+    val simMicro = round(col("sim") * 1e6).cast("long")
+    val deg = g.groupBy(col("query_id").as("id"))
+      .agg(sum(simMicro).as("s"), count(lit(1)).as("n"))
+    val margin = round(
+      simMicro.cast("double") /
+        ((col("s_q").cast("double") / col("n_q").cast("double") +
+          col("s_n").cast("double") / col("n_n").cast("double")) / lit(2.0))
+        * 1e6).cast("long")
+    // deg is corpus-cardinality (one row per vector) — NOT broadcast;
+    // both joins are keys-plus-two-longs shuffles on the id (AQE may
+    // still broadcast at gate scale)
+    g.join(deg.select(col("id").as("query_id"),
+        col("s").as("s_q"), col("n").as("n_q")), Seq("query_id"))
+      .join(deg.select(col("id").as("neighbor_id"),
+        col("s").as("s_n"), col("n").as("n_n")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"),
+        margin.as("margin_micro"))
+  }
 }

@@ -213,12 +213,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("containmentPairs caps hot shingles with a broadcast anti-join, no Window") {
+  test("containmentPairs caps hot shingles INSIDE the collect " +
+    "aggregate — one corpus exchange, no anti-join pass, no Window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val s = operators.Dedup.containmentPairs(docs, "doc_id", "text",
-      n = 3, tau = 0.5).queryExecution.executedPlan.toString
-    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"), s)
+    val qe = operators.Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5).queryExecution
+    val s = qe.executedPlan.toString
+    // round 8: the df cap is capped_collect_list's bounded buffer —
+    // the former count + broadcast-anti-join pre-pass (and its second
+    // corpus shingle scan) must be gone
+    assert(s.contains("capped_collect_list"), s)
+    assert(!s.contains("LeftAnti"), s)
     assert(!s.contains("Window"), s)
+    // exactly one scan of the documents parquet survives
+    assert("Scan parquet".r.findAllIn(s).size == 1, s)
   }
 
   test("temperatureWeights: one corpus aggregate, metadata joins broadcast") {
@@ -307,6 +315,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("InSubquery") && !s.contains("exists#"), s)
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q251's nested IN + correlated scalar AVG fully decorrelate — " +
+    "no per-row subquery of either kind, no BNLJ") {
+    val s = planString("q251_tpch_q20")
+    assert(s.contains("LeftSemi"), s)
+    assert(!s.contains("ScalarSubquery"), s)
+    assert(!s.contains("InSubquery"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q252 margin close joins degree sums by key — no broadcast of " +
+    "the corpus-cardinality degree table is forced") {
+    val s = planString("q252_margin_pairs")
+    assert(!s.contains("CartesianProduct"), s)
   }
 
   test("q141 linkage verify runs the trimmed banded kernel — no " +

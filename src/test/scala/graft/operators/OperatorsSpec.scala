@@ -826,6 +826,47 @@ class DedupSpec extends SparkSpec {
 }
 
 class KnnSpec extends SparkSpec {
+  test("marginPairs: margin replays from the kNN graph exactly and " +
+    "demotes hub neighborhoods") {
+    val s = spark
+    import s.implicits._
+    // a tight hub cluster (ids 1-4, nearly identical vectors) and an
+    // exceptional isolated pair (10, 11): raw cosine ranks both ~1,
+    // the margin criterion must score the isolated pair higher
+    // because the hub's denominator (its neighborhood average) is
+    // itself ~1 while the pair's neighborhoods include the far hub
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1, 0, 0.00)), (2L, v(1, 0, 0.01)),
+      (3L, v(1, 0, 0.02)), (4L, v(1, 0, 0.03)),
+      (10L, v(0, 1, 0.00)), (11L, v(0, 1, 0.012))
+    ).toDF("vec_id", "embedding")
+    val out = Knn.marginPairs(emb, "vec_id", "embedding",
+      k = 3, c = 1, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(4))).toMap
+    // replay the margin from the graph the operator itself builds
+    val g = Knn.knnGraph(emb, "vec_id", "embedding", k = 3, c = 1,
+      nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val deg = g.groupBy(_._1).view.mapValues { es =>
+      (es.map(e => math.round(e._3 * 1e6)).sum, es.size.toLong)
+    }.toMap
+    g.foreach { case (a, b, sim) =>
+      val (sa, na) = deg(a); val (sb, nb) = deg(b)
+      val want = math.round(math.round(sim * 1e6).toDouble /
+        ((sa.toDouble / na + sb.toDouble / nb) / 2.0) * 1e6)
+      assert(out((a, b))._2 == want, s"($a,$b): ${out((a, b))._2} vs $want")
+    }
+    // hubness correction: the isolated pair's margin beats every
+    // intra-hub margin even though raw sims are all ≈ 1
+    val pairMargin = out((10L, 11L))._2
+    val hubMargins = out.collect {
+      case ((a, b), (_, m)) if a <= 4 && b <= 4 => m }
+    assert(hubMargins.nonEmpty && hubMargins.forall(_ < pairMargin),
+      s"pair=$pairMargin hub=${hubMargins.toSeq.sorted}")
+  }
+
   test("groupCentroids production/ordered agree; centroidContrast geometry") {
     val s = spark
     import s.implicits._
