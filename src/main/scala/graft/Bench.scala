@@ -196,13 +196,20 @@ object Bench {
     val vsBaseline =
       if (baselinePerQuery.isEmpty) ""
       else {
-        // baseline subtotals over EXACTLY the queries this run timed OK
+        // ratios over EXACTLY the intersection: queries this run timed
+        // OK that ALSO have a baseline number — round-8 fix: queries
+        // newer than the baseline artifact previously entered the
+        // numerator but not the denominator, silently inflating every
+        // ratio as coverage grew
         val okNames = best.collect { case (n, v) if v >= 0 => n }
           .filter(baselinePerQuery.contains)
+        val okSet = okNames.toSet
         val bTotal = okNames.map(baselinePerQuery).sum
+        val sTotal = best.collect {
+          case (n, v) if v >= 0 && okSet(n) => v }.sum
         val bBySec = okNames.groupBy(sectionOf)
           .view.mapValues(_.map(baselinePerQuery).sum).toMap
-        val sBySec = best.collect { case (n, v) if v >= 0 => (n, v) }
+        val sBySec = best.collect { case (n, v) if v >= 0 && okSet(n) => (n, v) }
           .groupBy { case (n, _) => sectionOf(n) }
           .view.mapValues(_.map(_._2).sum).toMap
         def sec(name: String): String = {
@@ -211,8 +218,9 @@ object Bench {
           if (b <= 0) "" else
             s""","baseline_${name}_sec":${r3(b)},"vs_baseline_$name":${r3(s / b)}"""
         }
-        s""","baseline_total_sec":${r3(bTotal)},"vs_baseline":${
-          r3(total / bTotal)}${sec("scan")}${sec("lifecycle")}${sec("iterative")}"""
+        s""","baseline_total_sec":${r3(bTotal)},"baselined_spark_sec":${
+          r3(sTotal)},"vs_baseline":${
+          r3(sTotal / bTotal)}${sec("scan")}${sec("lifecycle")}${sec("iterative")}"""
       }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

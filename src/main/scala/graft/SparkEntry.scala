@@ -3027,6 +3027,62 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Tokenizer fertility per language — pieces-per-word with the
+    // RE2-portable piece regex; the per-language token-budget signal.
+    "q253_fertility" -> ((s, dir) => {
+      operators.TextAnalytics.tokenizerFertility(
+        t(s, dir, "documents"), "lang", "text")
+        .orderBy("key")
+    }),
+
+    // Per-domain boilerplate removal (CCNet/RefinedWeb step): two
+    // injected chrome lines per synthetic domain must vanish from
+    // every doc of that domain, organic lines survive.
+    "q254_domain_boilerplate" -> ((s, dir) => {
+      val dom = pmod(col("doc_id"), lit(12)).cast("string")
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        dom.as("dom"),
+        concat(lit("NAV home about contact dom="), dom, lit("\n"),
+          col("text"), lit("\nCopyright dom="), dom).as("raw"))
+      Dedup.removeDomainBoilerplate(synth, "doc_id", "dom", "raw",
+        minShare = 0.6, minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    // One-pass pairwise-complete Pearson correlation matrix over the
+    // integer-quantized lineitem measures.
+    "q255_corr_matrix" -> ((s, dir) => {
+      operators.Stats.corrMatrix(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_discount") * 10000).cast("long").as("disc_bp"),
+          round(col("l_tax") * 10000).cast("long").as("tax_bp")),
+        Seq("qty", "price_c", "disc_bp", "tax_bp"))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // TPC-H Q2 SHAPE: a correlated scalar MIN through a TWO-TABLE
+    // join (cheapest supplier per part) — a different decorrelation
+    // muscle than q241's single-table correlate: the rewrite must
+    // aggregate over the join and re-join on the outer key.
+    "q256_tpch_q2" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""
+        SELECT DISTINCT p.p_partkey, s.s_name,
+          CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM g_part p, g_supplier s, g_lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+          AND p.p_size = 10
+          AND s.s_acctbal = (SELECT MIN(s2.s_acctbal)
+                             FROM g_supplier s2, g_lineitem l2
+                             WHERE l2.l_partkey = p.p_partkey
+                               AND l2.l_suppkey = s2.s_suppkey)
+        ORDER BY p_partkey, s_name""")
+    }),
+
     // The CDR fetch-step twin (reference data-raw/get_xbrl_zips.py):
     // quarterly period ends in range with the exact bulk-zip names the
     // pipeline's listZips pattern expects — pure date arithmetic, no
@@ -7107,6 +7163,77 @@ object SparkEntry {
 
     "q252_margin_pairs" -> marginPairsOracleSql,
 
+    // q22's whitespace words + the RE2-portable piece regex, summed
+    // exactly per lang; the ratio in the operator's float order.
+    "q253_fertility" ->
+      """WITH h AS (
+        |  SELECT lang AS key,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                    x -> x <> '')) AS w,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS p
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(w), 0) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pieces,
+        |  CASE WHEN COALESCE(SUM(w), 0) > 0
+        |    THEN CAST(round(CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+        |      * 1e6) AS BIGINT) END AS fertility_micro
+        |FROM h GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // Same synthetic chrome injection, per-(domain, line) distinct-doc
+    // share vs domain doc count in pure integers, reassembly by
+    // position-ordered string_agg of surviving lines.
+    "q254_domain_boilerplate" ->
+      """WITH synth AS (
+        |  SELECT doc_id, CAST(doc_id % 12 AS VARCHAR) AS dom,
+        |    'NAV home about contact dom=' || CAST(doc_id % 12 AS VARCHAR)
+        |      || chr(10) || text || chr(10)
+        |      || 'Copyright dom=' || CAST(doc_id % 12 AS VARCHAR) AS raw
+        |  FROM documents),
+        |base AS (SELECT doc_id, dom, string_split(raw, chr(10)) AS paras
+        |         FROM synth),
+        |kz AS (SELECT doc_id, dom,
+        |         unnest(list_zip(paras, range(1, len(paras) + 1))) AS z
+        |       FROM base),
+        |k AS (SELECT doc_id, dom, z[1] AS line, z[2] AS pos FROM kz),
+        |ld AS (SELECT dom, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS c
+        |       FROM k GROUP BY 1, 2),
+        |nd AS (SELECT dom, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+        |boiler AS (SELECT ld.dom, ld.line FROM ld JOIN nd ON ld.dom = nd.dom
+        |           WHERE n >= 3 AND c * 1000000 >= 600000 * n),
+        |keep AS (SELECT k.doc_id, k.pos, k.line FROM k
+        |         LEFT JOIN boiler b ON k.dom = b.dom AND k.line = b.line
+        |         WHERE b.line IS NULL),
+        |agg AS (SELECT doc_id,
+        |          string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |          CAST(COUNT(*) AS BIGINT) AS kept
+        |        FROM keep GROUP BY 1)
+        |SELECT base.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(len(base.paras) AS INTEGER) AS n_lines,
+        |  CAST(len(base.paras) - COALESCE(kept, 0) AS INTEGER) AS n_removed
+        |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "q255_corr_matrix" -> corrMatrixOracleSql(
+      """SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |  CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+        |  CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+        |FROM lineitem""".stripMargin,
+      Seq("qty", "price_c", "disc_bp", "tax_bp")),
+
+    "q256_tpch_q2" ->
+      """SELECT DISTINCT p.p_partkey, s.s_name,
+        |  CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM part p, supplier s, lineitem l
+        |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND p.p_size = 10
+        |  AND s.s_acctbal = (SELECT MIN(s2.s_acctbal)
+        |                     FROM supplier s2, lineitem l2
+        |                     WHERE l2.l_partkey = p.p_partkey
+        |                       AND l2.l_suppkey = s2.s_suppkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
     "q249_composite_arity3" -> compositeKeysOracleSql("lineitem",
       Seq("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"), 3),
 
@@ -8843,6 +8970,46 @@ object SparkEntry {
        |  n_nulls, is_key, is_minimal_key
        |FROM (${rows.mkString("\n  UNION ALL ")})
        |ORDER BY arity, columns""".stripMargin
+  }
+
+  /** Generated DuckDB replay for [[graft.operators.Stats.corrMatrix]]:
+    * per pair, the six pairwise-complete exact moments as HUGEINTs in
+    * one aggregate, then the Pearson close in the operator's fixed
+    * float order (exact-integer → double casts on both engines round
+    * identically). */
+  private def corrMatrixOracleSql(srcSelect: String,
+                                  cols: Seq[String]): String = {
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+      Seq(
+        s"CAST(COUNT(CASE WHEN $both THEN 1 END) AS BIGINT) AS n_$i",
+        s"COALESCE(SUM(CASE WHEN $both THEN CAST($a AS HUGEINT) END), 0) AS sx_$i",
+        s"COALESCE(SUM(CASE WHEN $both THEN CAST($b AS HUGEINT) END), 0) AS sy_$i",
+        s"COALESCE(SUM(CASE WHEN $both THEN CAST($a AS HUGEINT) * $a END), 0) AS sxx_$i",
+        s"COALESCE(SUM(CASE WHEN $both THEN CAST($b AS HUGEINT) * $b END), 0) AS syy_$i",
+        s"COALESCE(SUM(CASE WHEN $both THEN CAST($a AS HUGEINT) * $b END), 0) AS sxy_$i")
+    }
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val vx = s"CAST(n_$i AS DOUBLE) * CAST(sxx_$i AS DOUBLE) " +
+        s"- CAST(sx_$i AS DOUBLE) * CAST(sx_$i AS DOUBLE)"
+      val vy = s"CAST(n_$i AS DOUBLE) * CAST(syy_$i AS DOUBLE) " +
+        s"- CAST(sy_$i AS DOUBLE) * CAST(sy_$i AS DOUBLE)"
+      val cov = s"CAST(n_$i AS DOUBLE) * CAST(sxy_$i AS DOUBLE) " +
+        s"- CAST(sx_$i AS DOUBLE) * CAST(sy_$i AS DOUBLE)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n_$i AS n,
+         |  CASE WHEN n_$i >= 2 AND $vx > 0 AND $vy > 0
+         |    THEN CAST(round(($cov) / (sqrt($vx) * sqrt($vy)) * 1e6)
+         |      AS BIGINT)
+         |  END AS corr_micro FROM m""".stripMargin
+    }
+    s"""WITH src AS ($srcSelect),
+       |m AS (SELECT
+       |  ${aggs.mkString(",\n  ")}
+       |FROM src)
+       |SELECT col_a, col_b, n, corr_micro
+       |FROM (${rows.mkString("\n  UNION ALL ")})
+       |ORDER BY col_a, col_b""".stripMargin
   }
 
   /** The q65 kNN-graph replay (k=3, c=16, nprobe=2, portable md5

@@ -585,6 +585,58 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Per-DOMAIN boilerplate removal (the CCNet / RefinedWeb cleaning
+    * step): a line appearing in at least `minShare` of a domain's
+    * documents is site chrome — nav bars, cookie banners, footers —
+    * not content, and is cut from EVERY document of that domain.
+    * The corpus-dedup sibling of [[dedupParagraphs]] (which keeps one
+    * copy corpus-wide; boilerplate must instead vanish everywhere,
+    * and only within its own domain — "Privacy Policy" is chrome on
+    * site A yet content in a legal corpus).
+    *
+    * Scale shape: lines hash to 16-byte md5 keys before any shuffle
+    * (line text never leaves its doc row until the final in-row
+    * filter); per-(domain, line) distinct-doc counts and per-domain
+    * doc counts are map-side-combined aggregates; the share test is
+    * pure integers (ld·10⁶ ≥ share_micro·nd). `minDocs` guards tiny
+    * domains where a share is meaningless. Output: (id, clean_text,
+    * n_lines, n_removed) — every input doc exactly once. */
+  def removeDomainBoilerplate(df: DataFrame, idCol: String,
+                              domainCol: String, textCol: String,
+                              minShare: Double = 0.5, minDocs: Int = 3,
+                              sep: String = "\n"): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      s"minShare must be in (0, 1], got $minShare")
+    val shareMicro = math.round(minShare * 1e6)
+    val base = df.select(col(idCol), col(domainCol).as("__dom"),
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)).as("paras"))
+    val keyed = base
+      .select(col(idCol), col("__dom"),
+        posexplode(col("paras")).as(Seq("pos", "para")))
+      .select(col(idCol), col("__dom"), col("pos"),
+        md5(col("para").cast("binary")).as("h"))
+    val lineDocs = keyed.groupBy("__dom", "h")
+      .agg(count_distinct(col(idCol)).as("ld"))
+    val domDocs = base.groupBy("__dom").agg(count(lit(1)).as("nd"))
+    val boiler = lineDocs.join(domDocs, Seq("__dom"))
+      .where(col("nd") >= minDocs &&
+        col("ld") * lit(1000000L) >= lit(shareMicro) * col("nd"))
+      .select(col("__dom"), col("h"))
+    val drops = keyed.join(boiler, Seq("__dom", "h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("drop"))
+    base.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(col("paras"), (p, i) =>
+            col("drop").isNull || !array_contains(col("drop"), i)), sep)
+          .as("clean_text"),
+        size(col("paras")).as("n_lines"),
+        when(col("drop").isNull, lit(0)).otherwise(size(col("drop")))
+          .as("n_removed"))
+  }
+
   /** Cross-corpus near-dup decontamination: MinHash+LSH candidate
     * pairs BETWEEN two tables — training docs banding with any eval
     * doc (the doc-granular train/test-leak scan; ngramOverlapLarge is

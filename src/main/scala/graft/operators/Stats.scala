@@ -1281,4 +1281,57 @@ object Stats {
       when(col("n_blocks") >= 2 && varS > 0,
         round(mu * 1e6).cast("long")).as("mu_micro"))
   }
+
+  /** Pairwise-complete Pearson correlation MATRIX over integer-valued
+    * columns in ONE map-side-combined aggregate — the numeric-profile
+    * screen beside [[graft.operators.KeyChecks.analyze]]: which
+    * columns move together? Per unordered pair, six exact moments (n
+    * over rows where BOTH sides are non-null — pairwise-complete, the
+    * R `use = "pairwise"` semantics — plus Σx, Σy, Σx², Σy², Σxy as
+    * DECIMAL(38,0)), every pair in the same single scan
+    * (column-pair-count bounded, like compositeKeys' level scan).
+    * The correlation
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²)·√(n·Σy² − Σy²))
+    * closes driver-side in one fixed float order over the exact
+    * integers → bit-stable micros. Degenerate pairs (n < 2 or a
+    * zero-variance side) emit NULL. Callers pre-quantize float
+    * columns to integer units (cents, bp, milli). Output:
+    * (col_a, col_b, n, corr_micro), pair order = input order. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    val dec = DecimalType(38, 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val x = col(a).cast("long"); val y = col(b).cast("long")
+      val both = x.isNotNull && y.isNotNull
+      Seq(
+        count(when(both, lit(1))).as(s"__n_$i"),
+        coalesce(sum(when(both, x.cast(dec))), lit(0).cast(dec)).as(s"__sx_$i"),
+        coalesce(sum(when(both, y.cast(dec))), lit(0).cast(dec)).as(s"__sy_$i"),
+        coalesce(sum(when(both, x.cast(dec) * x.cast(dec))),
+          lit(0).cast(dec)).as(s"__sxx_$i"),
+        coalesce(sum(when(both, y.cast(dec) * y.cast(dec))),
+          lit(0).cast(dec)).as(s"__syy_$i"),
+        coalesce(sum(when(both, x.cast(dec) * y.cast(dec))),
+          lit(0).cast(dec)).as(s"__sxy_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = row.getLong(6 * i)
+      def d(j: Int): Double = row.getDecimal(6 * i + j).doubleValue()
+      val (sx, sy, sxx, syy, sxy) = (d(1), d(2), d(3), d(4), d(5))
+      val nd = n.toDouble
+      val cov = nd * sxy - sx * sy
+      val vx = nd * sxx - sx * sx
+      val vy = nd * syy - sy * sy
+      val corr: Option[Long] =
+        if (n >= 2 && vx > 0 && vy > 0)
+          Some(math.round(cov / (math.sqrt(vx) * math.sqrt(vy)) * 1e6))
+        else None
+      (a, b, n, corr)
+    }
+    out.toDF("col_a", "col_b", "n", "corr_micro")
+  }
 }

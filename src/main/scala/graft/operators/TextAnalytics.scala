@@ -1205,4 +1205,34 @@ object TextAnalytics {
       when(col("k") >= 2 && det =!= 0.0,
         round(icept * 1e6).cast("long")).as("intercept_micro"))
   }
+
+  /** Tokenizer FERTILITY per key (pieces-per-word): how many subword
+    * pieces a tokenizer spends per whitespace word, the standard
+    * tokenizer-efficiency readout per language/source — fertility ≈ 1
+    * for languages the vocabulary fits, ≫ 1 where everything
+    * fragments (the signal behind per-language token budgeting).
+    * Pieces here are the RE2-PORTABLE proxy `[A-Za-z0-9_]+` runs plus
+    * individual non-space symbols (one regexp_extract_all both
+    * engines evaluate identically — deliberately NOT
+    * [[graft.functions.Text.subwordCount]], whose lookaround split
+    * has no RE2 twin). One map-side-combined aggregate; the ratio is
+    * one fixed-order float expression over exact long sums. Output:
+    * (key, n_docs, n_words, n_pieces, fertility_micro). */
+  def tokenizerFertility(df: DataFrame, keyCol: String,
+                         textCol: String): DataFrame = {
+    val words = Text.tokenCount(col(textCol)).cast("long")
+    val pieces = size(regexp_extract_all(col(textCol),
+      lit("[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]"), lit(0))).cast("long")
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(words).as("n_words"),
+        sum(pieces).as("n_pieces"))
+      .select(col("key"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          round(col("n_pieces").cast("double") /
+            col("n_words").cast("double") * 1e6).cast("long"))
+          .as("fertility_micro"))
+  }
 }

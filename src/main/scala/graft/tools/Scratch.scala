@@ -12,10 +12,12 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SCRATCH_OHA_FALLBACK", "128"))
       .appName("scratch").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     def time(name: String)(f: => Long): Unit = {
       f; f
@@ -26,33 +28,42 @@ object Scratch {
       println(f"PROF $name%-28s ${ts.map(_._1).min}%8.3f s  rows=${ts.head._2}")
     }
 
-    time("scan customer")(cust.count())
-    val recs = cust.select(col("c_custkey").as("id"), col("c_name").as("v"),
-      substring(col("c_name"), 1, 16).as("block"))
-      .where(col("block").isNotNull)
-    val groups = recs.groupBy("block")
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
-      .where(size(col("xs")) <= 10000)
-    time("groups")(groups.count())
-    val pairs = groups
-      .select(col("block"), col("xs"), posexplode(col("xs")))
-      .select(col("block"),
-        col("col").getField("id").as("id_a"),
-        col("col").getField("v").as("v_a"),
+    val n = 3; val maxDf = 1000
+    time("scan docs")(docs.count())
+    val shArr = array_distinct(graft.plans.native.wordShingles(col("text"), n))
+    val shingled = docs.select(col("doc_id").as("id"),
+        explode(arrays_zip(shArr.as("shingle"),
+          array_repeat(size(shArr).cast("long"), size(shArr)).as("n_sh")))
+          .as("e"))
+      .select(col("id"), col("e.n_sh").as("n_sh"), col("e.shingle").as("shingle"))
+    time("shingle explode")(shingled.count())
+    val hot = shingled.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+      .select("shingle")
+    time("hot list")(hot.count())
+    val capped = shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
+    time("capped")(capped.count())
+    val groups = capped.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("xs"))
+    time("groups collect_list")(groups.count())
+    val stream = groups
+      .select(col("xs"), posexplode(col("xs")))
+      .select(col("col").getField("id").as("id_a"),
+        col("col").getField("n_sh").as("n_a"),
         explode(slice(col("xs"), col("pos") + lit(2), size(col("xs")))).as("y"))
-      .select(col("block"), col("id_a"), col("v_a"),
-        col("y").getField("id").as("id_b"), col("y").getField("v").as("v_b"))
-    time("pair stream")(pairs.count())
-    val lenOk = pairs.where(col("id_a") =!= col("id_b"))
-      .where(abs(length(col("v_a")) - length(col("v_b"))) <= 1)
-    time("len filter")(lenOk.count())
-    val verified = lenOk
-      .withColumn("dist", levenshtein(col("v_a"), col("v_b"), 1).cast("long"))
-      .where(col("dist") >= 0)
-    time("banded verify")(verified.count())
-    val full = graft.operators.Dedup.linkRecords(cust, "c_custkey", "c_name",
-      substring(col("c_name"), 1, 16), maxDist = 1)
-    time("full linkRecords")(full.count())
+      .select(col("id_a"), col("n_a"),
+        col("y").getField("id").as("id_b"),
+        col("y").getField("n_sh").as("n_b"))
+    time("pair stream")(stream.count())
+    val agg = stream.groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= 0.5)
+    time("pair agg+tau")(agg.count())
+    val full = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5, maxDf = 1000)
+    time("full q16")(full.count())
     spark.stop()
   }
 }

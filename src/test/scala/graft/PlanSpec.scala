@@ -327,6 +327,15 @@ class PlanSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q256's correlated MIN-through-a-join decorrelates to an " +
+    "aggregate re-joined on the outer key") {
+    val s = planString("q256_tpch_q2")
+    assert(!s.contains("ScalarSubquery"), s)
+    assert(s.contains("HashAggregate") || s.contains("SortAggregate"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q252 margin close joins degree sums by key — no broadcast of " +
     "the corpus-cardinality degree table is forced") {
     val s = planString("q252_margin_pairs")

@@ -752,6 +752,36 @@ class DedupSpec extends SparkSpec {
       s"got $mi")
   }
 
+  test("removeDomainBoilerplate: domain chrome vanishes everywhere, " +
+    "organic lines survive, tiny domains untouched, all-chrome doc empties") {
+    val s = spark
+    import s.implicits._
+    val nav = "NAV home about"; val foot = "(c) example"
+    val docs = Seq(
+      // domain A: 4 docs, nav+foot on all → chrome at share 1.0
+      (1L, "A", s"$nav\nalpha body one\n$foot"),
+      (2L, "A", s"$nav\nbeta body two\n$foot"),
+      (3L, "A", s"$nav\ngamma body three\n$foot"),
+      (4L, "A", s"$nav\n$foot"), // all chrome → empties
+      // domain B: nav present in 1 of 3 docs (share 1/3 < 0.6) → kept
+      (5L, "B", s"$nav\ndelta"),
+      (6L, "B", "epsilon\nzeta"),
+      (7L, "B", "eta"),
+      // domain C: below minDocs → untouched even at share 1.0
+      (8L, "C", s"$nav\ntheta"),
+      (9L, "C", s"$nav\niota"))
+      .toDF("id", "dom", "text")
+    val out = Dedup.removeDomainBoilerplate(docs, "id", "dom", "text",
+      minShare = 0.6, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == (("alpha body one", 3, 2)))
+    assert(out(4L) == (("", 2, 2))) // all-chrome doc survives as a row
+    assert(out(5L) == ((s"$nav\ndelta", 2, 0))) // under share in B
+    assert(out(8L) == ((s"$nav\ntheta", 2, 0))) // under minDocs in C
+    assert(out.size == 9)
+  }
+
   test("removeDuplicatedSpans cuts shared passages, keeps one canonical copy") {
     val s = spark
     import s.implicits._

@@ -394,6 +394,48 @@ class StatsSpec extends SparkSpec {
     assert(out == Seq((2L, 1L, None)))
   }
 
+  test("corrMatrix: perfect/anti correlation, pairwise-complete " +
+    "nulls, constant column → NULL") {
+    val df = Seq(
+      (Some(1L), Some(2L), Some(3L), Some(7L)),
+      (Some(2L), Some(4L), Some(2L), Some(7L)),
+      (Some(3L), Some(6L), Some(1L), Some(7L)),
+      (Some(4L), None, Some(0L), Some(7L)) // b missing: (a,b) skips row
+    ).toDF("a", "b", "c", "k")
+    val got = Stats.corrMatrix(df, Seq("a", "b", "c", "k")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(("a", "b")) == ((3L, Some(1000000L))))   // y = 2x on 3 rows
+    assert(got(("a", "c"))._1 == 4L)
+    assert(got(("a", "c"))._2.contains(-1000000L))      // exact anti on 4
+    assert(got(("a", "k")) == ((4L, None)))             // zero variance
+    assert(got(("b", "c"))._2.contains(-1000000L))      // 3 shared rows
+    assert(got.size == 6)
+  }
+
+  test("corrMatrix randomized equals a driver-side replay") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong,
+        (rnd.nextInt(50) + rnd.nextInt(50)).toLong))
+    val got = Stats.corrMatrix(rows.toDF("x", "y", "z"), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.get(3).asInstanceOf[Long]).toMap
+    def corr(xs: Seq[Long], ys: Seq[Long]): Long = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxx = xs.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+      val syy = ys.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * BigInt(y) }
+        .sum.toDouble
+      math.round((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)) * 1e6)
+    }
+    assert(got(("x", "y")) == corr(rows.map(_._1), rows.map(_._2)))
+    assert(got(("x", "z")) == corr(rows.map(_._1), rows.map(_._3)))
+    assert(got(("y", "z")) == corr(rows.map(_._2), rows.map(_._3)))
+  }
+
   test("gumbelBlockMaxima matches the method-of-moments close") {
     val ts = Seq(
       ("2024-01-03 10:00:00", 4L), ("2024-01-20 11:00:00", 10L),

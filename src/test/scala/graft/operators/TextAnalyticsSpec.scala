@@ -583,6 +583,26 @@ class TextAnalyticsSpec extends SparkSpec {
       math.round(1e6 * ((2 - 0.5) / 2.0 + (1 / (2.0 * 2.0)) * (1.0 / 2.0))))))
   }
 
+  test("tokenizerFertility: hand case, zero-word guard, null keys drop") {
+    import spark.implicits._
+    // "don't stop." → 2 whitespace words; pieces: don ' t stop . = 5
+    val df = Seq(
+      (Some("en"), "don't stop."),
+      (Some("en"), "plain words here"),   // 3 words, 3 pieces
+      (Some("xx"), "..."),                // 1 word, 3 pieces (dots split)
+      (None, "dropped entirely")
+    ).toDF("lang", "text")
+    val got = TextAnalytics.tokenizerFertility(df, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got.keySet == Set("en", "xx"))
+    val (nd, w, p, f) = got("en")
+    assert(nd == 2 && w == 5 && p == 8)
+    assert(f.contains(math.round(8.0 / 5.0 * 1e6)))
+    assert(got("xx") == ((1L, 1L, 3L, Some(3000000L))))
+  }
+
   test("zipfFit matches a hand-replayed log-log OLS over known ranks") {
     import spark.implicits._
     // exact Zipf frequencies n = 24/r: a:24, b:12, c:8, d:6 →
