@@ -516,16 +516,36 @@ object KeyChecks {
         out += ((s.mkString(","), arity.toLong, n, -1L, -1L, true, false))
       }
       if (scan.nonEmpty) {
-        val aggs = scan.zipWithIndex.flatMap { case (s, i) =>
-          val anyNull = s.map(col(_).isNull).reduce(_ || _)
-          Seq(count_distinct(struct(s.map(col): _*)).as(s"__d_$i"),
-            coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
-              .as(s"__m_$i"))
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        val found = scan.zipWithIndex.flatMap { case (s, i) =>
-          val d = row.getLong(2 * i)
-          val m = row.getLong(2 * i + 1)
+        // CONCURRENT per-combo jobs instead of one multi-distinct
+        // aggregate (round 8): Spark plans k distinct groups in one
+        // agg as an Expand that copies every input row k+1 times
+        // through the map side — measured 3.3× slower than k
+        // independent jobs at the q249 gate. Per-combo jobs also
+        // column-prune their parquet scan to exactly the combo's
+        // columns and shuffle only that combo's partial-deduped keys;
+        // a bounded pool keeps concurrent scheduler pressure sane and
+        // the cluster's scan parallelism shared fairly. Pruning
+        // semantics are untouched — levels stay sequential so found
+        // keys still imply away supersets before they scan.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, scan.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val results = try {
+          val fs = scan.map { s =>
+            scala.concurrent.Future {
+              val anyNull = s.map(col(_).isNull).reduce(_ || _)
+              val r = df.agg(
+                count_distinct(struct(s.map(col): _*)).as("__d"),
+                coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
+                  .as("__m")).head()
+              (s, r.getLong(0), r.getLong(1))
+            }
+          }
+          fs.map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+        val found = results.flatMap { case (s, d, m) =>
           val isKey = d == n
           out += ((s.mkString(","), arity.toLong, n, d, m, isKey, isKey))
           if (isKey) Some(s.toSet) else None
