@@ -84,6 +84,32 @@ object GraftExtensions {
         require(args.size == 1, "nfc_normalize(text)")
         NfcNormalize(args(0))
       }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.plans.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "sorted_intersect_count(a, b)")
+        graft.plans.SortedIntersectCount(args(0), args(1))
+      }),
+    (FunctionIdentifier("levenshtein_within"),
+      new ExpressionInfo(
+        classOf[graft.plans.LevenshteinWithin].getName,
+        "levenshtein_within"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "levenshtein_within(a, b, k)")
+        graft.plans.LevenshteinWithin(args(0), args(1),
+          intArg(args(2), "k"))
+      }),
+    (FunctionIdentifier("capped_collect_list"),
+      new ExpressionInfo(
+        classOf[graft.plans.CappedCollectList].getName,
+        "capped_collect_list"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "capped_collect_list(e, cap)")
+        graft.plans.CappedCollectList(args(0), intArg(args(1), "cap"))
+          .toAggregateExpression()
+      }),
     // Composition functions built from CATALYST nodes (a Column-built
     // tree carries unresolved ColumnNode wrappers the analyzer won't
     // touch inside a registry builder). They share the TextAnalytics

@@ -236,6 +236,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(7) == "a & b")
     assert(r.getString(8) == "it’s")
     assert(r.getLong(9) == 2L)
+    // round-8 kernels on the SQL surface
+    val r2 = spark.sql(
+      """SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+        |       levenshtein_within('kitten', 'sitting', 3) AS lv,
+        |       levenshtein_within('kitten', 'karton', 1) AS lv2
+        |""".stripMargin).collect()(0)
+    assert(r2.getLong(0) == 2L)
+    assert(r2.getInt(1) == 3)
+    assert(r2.getInt(2) == -1) // over threshold → -1, banded early-exit
+    val r3 = spark.sql(
+      """SELECT k, sort_array(capped_collect_list(v, 2)) AS xs
+        |FROM VALUES ('a', 1), ('a', 2), ('b', 1), ('b', 2), ('b', 3) t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(r3(0).getSeq[Int](1) == Seq(1, 2))
+    assert(r3(1).isNullAt(1)) // over cap → NULL
   }
 
   test("SQL composition functions equal their Column-API forms (drift guard)") {
