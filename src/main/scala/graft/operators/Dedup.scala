@@ -1310,6 +1310,16 @@ object Dedup {
       .select(col("id"), col("sz"), col("col").getField("token").as("token"),
         (col("pos") + 1).as("p"))
 
+  /** Round-8 measured NEGATIVE result (recorded so the experiment is
+    * not repeated): replacing this prefix SELF-JOIN with the in-row
+    * posexplode/slice pair stream that won on q168/q141/q16 made BOTH
+    * prefix joins SLOWER at sf0.1 (q176 2.4 s → 3.5 s, q192 3.2 s →
+    * 6.7 s, 2-pass min). Unlike the shingle paths, the prefix frame
+    * is small and both self-join sides reuse ONE exchange
+    * (ReuseExchange) feeding a codegen'd ShuffledHashJoin whose extra
+    * filters evaluate during the probe; the in-row variant pays
+    * collect_list materialization plus a nested Generate chain for no
+    * join build worth removing. The join below IS the fast form. */
   def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                         tau: Double, lowercase: Boolean = true): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
