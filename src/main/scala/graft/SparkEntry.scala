@@ -3083,6 +3083,70 @@ object SparkEntry {
         ORDER BY p_partkey, s_name""")
     }),
 
+    // TPC-H Q11 SHAPE: grouped aggregate filtered by an UNCORRELATED
+    // scalar subquery over the same table (global-total fraction in
+    // HAVING) — integer cents×qty value, integer DIV threshold.
+    "q257_tpch_q11" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l_partkey,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+        FROM g_lineitem
+        GROUP BY l_partkey
+        HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(l_quantity AS BIGINT))
+          > (SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) FROM g_lineitem) DIV 2000
+        ORDER BY value_c DESC, l_partkey""")
+    }),
+
+    // TPC-H Q15 SHAPE: the top-revenue supplier — an aggregate CTE
+    // referenced twice (row side + MAX scalar), exact micro-cents.
+    "q258_tpch_q15" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+              AS BIGINT) AS total_e6
+          FROM g_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_e6
+        FROM g_supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_e6 = (SELECT MAX(total_e6) FROM rev)
+        ORDER BY s_suppkey""")
+    }),
+
+    // TPC-H Q22 SHAPE: anti-join (customers with NO orders) gated by
+    // an uncorrelated scalar AVG threshold — balances quantized to
+    // integer cents INSIDE the subquery so the average replays
+    // bit-identically.
+    "q259_tpch_q22" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+          CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+            AS totacctbal_c
+        FROM g_customer c
+        WHERE c_nationkey IN (1, 3, 5, 7)
+          AND CAST(round(c_acctbal * 100) AS BIGINT)
+            > (SELECT AVG(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+               FROM g_customer c2
+               WHERE CAST(round(c2.c_acctbal * 100) AS BIGINT) > 0
+                 AND c2.c_nationkey IN (1, 3, 5, 7))
+          AND NOT EXISTS (SELECT 1 FROM g_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")
+    }),
+
     // The CDR fetch-step twin (reference data-raw/get_xbrl_zips.py):
     // quarterly period ends in range with the exact bulk-zip names the
     // pipeline's listZips pattern expects — pure date arithmetic, no
@@ -7162,6 +7226,50 @@ object SparkEntry {
         |ORDER BY s_name""".stripMargin,
 
     "q252_margin_pairs" -> marginPairsOracleSql,
+
+    "q257_tpch_q11" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT))
+        |  > (SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |       * CAST(l_quantity AS BIGINT)) FROM lineitem) // 2000
+        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+
+    "q258_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+        |      AS BIGINT) AS total_e6
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_e6
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_e6 = (SELECT MAX(total_e6) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q259_tpch_q22" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS totacctbal_c
+        |FROM customer c
+        |WHERE c_nationkey IN (1, 3, 5, 7)
+        |  AND CAST(round(c_acctbal * 100) AS BIGINT)
+        |    > (SELECT AVG(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+        |       FROM customer c2
+        |       WHERE CAST(round(c2.c_acctbal * 100) AS BIGINT) > 0
+        |         AND c2.c_nationkey IN (1, 3, 5, 7))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     // q22's whitespace words + the RE2-portable piece regex, summed
     // exactly per lang; the ratio in the operator's float order.

@@ -336,6 +336,20 @@ class PlanSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q257/q258/q259 scalar-threshold shapes: subqueries fold to " +
+    "joins/aggregates, the Q22 anti decorrelates, no BNLJ anywhere") {
+    val s11 = planString("q257_tpch_q11")
+    assert(!s11.contains("CartesianProduct") &&
+      !s11.contains("BroadcastNestedLoopJoin"), s11)
+    val s15 = planString("q258_tpch_q15")
+    assert(!s15.contains("CartesianProduct") &&
+      !s15.contains("BroadcastNestedLoopJoin"), s15)
+    val s22 = planString("q259_tpch_q22")
+    assert(s22.contains("LeftAnti"), s22)
+    assert(!s22.contains("CartesianProduct") &&
+      !s22.contains("BroadcastNestedLoopJoin"), s22)
+  }
+
   test("q252 margin close joins degree sums by key — no broadcast of " +
     "the corpus-cardinality degree table is forced") {
     val s = planString("q252_margin_pairs")
