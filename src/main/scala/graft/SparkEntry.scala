@@ -3083,6 +3083,18 @@ object SparkEntry {
         ORDER BY p_partkey, s_name""")
     }),
 
+    // Entropy l-diversity: the homogeneity-attack refinement beside
+    // q200's distinct-count check — per (priority, year) group the
+    // exact sensitive-status entropy in order-independent micros.
+    "q260_entropy_ldiv" -> ((s, dir) => {
+      operators.KeyChecks.entropyLDiversity(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderstatus").as("status")),
+        Seq("pri", "yr"), "status", l = 2)
+        .orderBy("pri", "yr")
+    }),
+
     // TPC-H Q11 SHAPE: grouped aggregate filtered by an UNCORRELATED
     // scalar subquery over the same table (global-total fraction in
     // HAVING) — integer cents×qty value, integer DIV threshold.
@@ -7226,6 +7238,30 @@ object SparkEntry {
         |ORDER BY s_name""".stripMargin,
 
     "q252_margin_pairs" -> marginPairsOracleSql,
+
+    "q260_entropy_ldiv" -> {
+      val lnL = math.round(math.log(2.0) * 1e6)
+      s"""WITH cells AS (
+         |  SELECT o_orderpriority AS pri,
+         |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    o_orderstatus AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderstatus IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |g AS (SELECT pri, yr, c,
+         |        CAST(SUM(c) OVER (PARTITION BY pri, yr) AS BIGINT) AS n
+         |      FROM cells),
+         |t AS (SELECT pri, yr, n,
+         |        CAST(round((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+         |          * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+         |          AS BIGINT) AS tm
+         |      FROM g)
+         |SELECT pri, yr, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS n_values,
+         |  CAST(SUM(tm) AS BIGINT) AS entropy_micro,
+         |  (SUM(tm) < $lnL) AS risky,
+         |  CAST($lnL AS BIGINT) AS threshold_micro
+         |FROM t GROUP BY 1, 2 ORDER BY pri, yr""".stripMargin
+    },
 
     "q257_tpch_q11" ->
       """SELECT l_partkey,

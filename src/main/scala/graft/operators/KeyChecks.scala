@@ -472,6 +472,42 @@ object KeyChecks {
       .withColumn("risky_l", col("n_sensitive") < l)
   }
 
+  /** ENTROPY l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    * Privacy Beyond k-Anonymity", TKDD 2007 — the refinement of the
+    * distinct-count check [[kAnonymity]] reports): a quasi-identifier
+    * group passes entropy-l iff the Shannon entropy of its sensitive
+    * distribution is ≥ ln l — distinct counting alone misses a group
+    * where one sensitive value dominates (99 cancer + 1 flu has l=2
+    * but near-zero entropy, still a disclosure). Counts are exact;
+    * each value's −p·ln p term quantizes to integer MICROS before the
+    * group sum, so the entropy is an order-independent exact long
+    * (the mutualInformationCells discipline). Output per group:
+    * (quasi cols..., n, n_values, entropy_micro, risky = entropy <
+    * ln l, threshold ln(l)·10⁶ as a column for replay). */
+  def entropyLDiversity(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"need l >= 2, got $l")
+    val lnLMicro = math.round(math.log(l.toDouble) * 1e6)
+    val qs = quasiCols.map(col)
+    val cells = df
+      .where(col(sensitiveCol).isNotNull)
+      .groupBy(qs :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    // per-value micro term over exact integers, one fixed float order
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    cells
+      .withColumn("__n", sum("__c").over(wAll))
+      .withColumn("__t", round(-p * log(p) * 1e6).cast("long"))
+      .groupBy(qs: _*)
+      .agg(max("__n").as("n"), count(lit(1)).as("n_values"),
+        sum("__t").as("entropy_micro"))
+      .withColumn("risky", col("entropy_micro") < lnLMicro)
+      .withColumn("threshold_micro", lit(lnLMicro))
+  }
+
   /** Composite candidate-key discovery over the column-subset lattice
     * up to `maxArity` — the schema-inference step [[candidateKeys]]
     * can't do: it finds SINGLE-column keys only, while real tables

@@ -168,6 +168,29 @@ class KeyChecksSpec extends SparkSpec {
       Seq((1L, "changed")), "boundary shift must read as changed")
   }
 
+  test("entropyLDiversity: balanced group passes, dominated group " +
+    "fails despite same distinct count (the homogeneity attack)") {
+    val s = spark
+    import s.implicits._
+    // both groups have TWO distinct sensitive values (distinct-l = 2
+    // passes for both) — only entropy separates them
+    val df = (Seq.fill(50)(("bal", "a")) ++ Seq.fill(50)(("bal", "b")) ++
+      Seq.fill(99)(("dom", "a")) ++ Seq(("dom", "b")))
+      .toDF("g", "v")
+    val got = KeyChecks.entropyLDiversity(df, Seq("g"), "v", l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    def term(c: Long, n: Long): Long = {
+      val p = c.toDouble / n.toDouble
+      math.round(-p * math.log(p) * 1e6)
+    }
+    val lnL = math.round(math.log(2.0) * 1e6)
+    assert(got("bal") == ((100L, 2L, term(50, 100) * 2, false)))
+    assert(got("dom")._3 == term(99, 100) + term(1, 100))
+    assert(got("dom")._4, "dominated group must be risky")
+    assert(got("bal")._3 >= lnL && got("dom")._3 < lnL)
+  }
+
   test("jsDivergenceCells: hand-replayed terms, zeros absorbed, " +
     "Σ bounded by ln 2, disjoint supports hit the bound") {
     val s = spark
