@@ -600,14 +600,11 @@ object Dedup {
     * doc counts are map-side-combined aggregates; the share test is
     * pure integers (ld·10⁶ ≥ share_micro·nd). `minDocs` guards tiny
     * domains where a share is meaningless. Output: (id, clean_text,
-    * n_lines, n_removed) — every input doc exactly once. */
-  def removeDomainBoilerplate(df: DataFrame, idCol: String,
-                              domainCol: String, textCol: String,
-                              minShare: Double = 0.5, minDocs: Int = 3,
-                              sep: String = "\n"): DataFrame = {
-    require(minShare > 0.0 && minShare <= 1.0,
-      s"minShare must be in (0, 1], got $minShare")
-    val shareMicro = math.round(minShare * 1e6)
+    * n_lines, n_removed) — every input doc exactly once. Doc applies
+    * to [[removeDomainBoilerplate]] below; [[domainBoilerplateLines]]
+    * exposes the learned chrome set on its own. */
+  private def boilerBase(df: DataFrame, idCol: String, domainCol: String,
+                         textCol: String, sep: String): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol), col(domainCol).as("__dom"),
       split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep)).as("paras"))
@@ -616,13 +613,43 @@ object Dedup {
         posexplode(col("paras")).as(Seq("pos", "para")))
       .select(col(idCol), col("__dom"), col("pos"),
         md5(col("para").cast("binary")).as("h"))
+    (base, keyed)
+  }
+
+  private def boilerLines(base: DataFrame, keyed: DataFrame, idCol: String,
+                          minShare: Double, minDocs: Int): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      s"minShare must be in (0, 1], got $minShare")
+    val shareMicro = math.round(minShare * 1e6)
     val lineDocs = keyed.groupBy("__dom", "h")
       .agg(count_distinct(col(idCol)).as("ld"))
     val domDocs = base.groupBy("__dom").agg(count(lit(1)).as("nd"))
-    val boiler = lineDocs.join(domDocs, Seq("__dom"))
+    lineDocs.join(domDocs, Seq("__dom"))
       .where(col("nd") >= minDocs &&
         col("ld") * lit(1000000L) >= lit(shareMicro) * col("nd"))
       .select(col("__dom"), col("h"))
+  }
+
+  /** The LEARNED chrome set behind [[removeDomainBoilerplate]]: one
+    * (__dom, h = line-md5) row per boilerplate line. Exposed
+    * separately so a batch pass over the historical corpus can feed
+    * the STREAMING filter ([[graft.streaming.StreamClean
+    * .boilerplateFilterStream]]) — chrome is learned offline, applied
+    * continuously. */
+  def domainBoilerplateLines(df: DataFrame, idCol: String,
+                             domainCol: String, textCol: String,
+                             minShare: Double = 0.5, minDocs: Int = 3,
+                             sep: String = "\n"): DataFrame = {
+    val (base, keyed) = boilerBase(df, idCol, domainCol, textCol, sep)
+    boilerLines(base, keyed, idCol, minShare, minDocs)
+  }
+
+  def removeDomainBoilerplate(df: DataFrame, idCol: String,
+                              domainCol: String, textCol: String,
+                              minShare: Double = 0.5, minDocs: Int = 3,
+                              sep: String = "\n"): DataFrame = {
+    val (base, keyed) = boilerBase(df, idCol, domainCol, textCol, sep)
+    val boiler = boilerLines(base, keyed, idCol, minShare, minDocs)
     val drops = keyed.join(boiler, Seq("__dom", "h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("drop"))

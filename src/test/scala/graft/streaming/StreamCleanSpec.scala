@@ -14,6 +14,46 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 class StreamCleanSpec extends SparkSpec {
 
+  test("boilerplateFilterStream: batch-learned chrome set applied on " +
+    "a stream equals the batch removal exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val nav = "NAV home"; val foot = "(c) corp"
+    val corpus = Seq(
+      (1L, "A", s"$nav\nalpha\n$foot"), (2L, "A", s"$nav\nbeta\n$foot"),
+      (3L, "A", s"$nav\ngamma\n$foot"), (4L, "B", "delta\nepsilon"),
+      (5L, "B", "zeta"), (6L, "B", "eta"))
+    val corpusDf = corpus.toDF("id", "dom", "text")
+    // learn chrome batch-side from the historical corpus
+    val chrome = graft.operators.Dedup.domainBoilerplateLines(
+      corpusDf, "id", "dom", "text", minShare = 0.6, minDocs = 3)
+      .localCheckpoint(true)
+    // stream the SAME docs through the learned set
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamClean.boilerplateFilterStream(
+        input.toDF().toDF("id", "dom", "text"), "id", "dom", "text", chrome)
+      .writeStream.format("memory").queryName("boiler_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpus.take(3))
+      q.processAllAvailable()
+      input.addData(corpus.drop(3))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val streamed = spark.table("boiler_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      val batch = graft.operators.Dedup.removeDomainBoilerplate(
+        corpusDf, "id", "dom", "text", minShare = 0.6, minDocs = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+      assert(streamed.exists(_._4 > 0), "chrome must actually be cut")
+    } finally q.stop()
+  }
+
   test("cleaners and chunker run unchanged on a stream, matching batch") {
     val s = spark
     import s.implicits._
