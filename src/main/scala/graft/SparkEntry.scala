@@ -3083,6 +3083,14 @@ object SparkEntry {
         ORDER BY p_partkey, s_name""")
     }),
 
+    // Hard-negative band (DPR recipe): ranks 2..5 of the approximate
+    // kNN graph per anchor — rank 1 reserved as presumed-positive.
+    "q261_hard_negatives" -> ((s, dir) => {
+      Knn.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
+        kLo = 2, kHi = 5, c = 16, nprobe = 2, portableHash = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // Entropy l-diversity: the homogeneity-attack refinement beside
     // q200's distinct-count check — per (priority, year) group the
     // exact sensitive-status entropy in order-independent micros.
@@ -7238,6 +7246,43 @@ object SparkEntry {
         |ORDER BY s_name""".stripMargin,
 
     "q252_margin_pairs" -> marginPairsOracleSql,
+
+    "q261_hard_negatives" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c) x
+         |  WHERE rk <= 2),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked
+         |WHERE rank BETWEEN 2 AND 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q260_entropy_ldiv" -> {
       val lnL = math.round(math.log(2.0) * 1e6)

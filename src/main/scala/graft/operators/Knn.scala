@@ -326,6 +326,24 @@ object Knn {
     topKPerQuery(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training (the DPR /
+    * sentence-transformers recipe; Karpukhin et al., EMNLP 2020):
+    * per anchor, the neighbors ranked `kLo`..`kHi` in the approximate
+    * kNN graph — close enough to be informative, far enough to be
+    * (presumed) non-positives. Rank 1..kLo−1 is reserved as the
+    * presumed-positive band the caller filters against labels; the
+    * band is exact within the graph ([[knnGraph]]'s deterministic
+    * (sim desc, id asc) ranking). One graph pass, no extra shuffle
+    * beyond the graph's own. Output: (query_id, neighbor_id, sim,
+    * rank) with kLo ≤ rank ≤ kHi. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    kLo: Int, kHi: Int, c: Int = 16, nprobe: Int = 2,
+                    portableHash: Boolean = false): DataFrame = {
+    require(kLo >= 1 && kHi >= kLo, s"need 1 <= kLo <= kHi, got $kLo..$kHi")
+    knnGraph(corpus, idCol, vecCol, kHi, c, nprobe, portableHash)
+      .where(col("rank") >= kLo)
+  }
+
   /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL 2019 —
     * margin criterion for parallel-corpus mining with multilingual
     * sentence embeddings; public algorithm): per directed kNN edge
