@@ -3083,6 +3083,13 @@ object SparkEntry {
         ORDER BY p_partkey, s_name""")
     }),
 
+    // Greedy k-center coreset (farthest-first): 5 diversity-maximal
+    // representatives of the embedding table, every pick replayed.
+    "q262_kcenter_coreset" -> ((s, dir) => {
+      Knn.kCenterCoreset(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5).orderBy("rank")
+    }),
+
     // Hard-negative band (DPR recipe): ranks 2..5 of the approximate
     // kNN graph per anchor — rank 1 reserved as presumed-positive.
     "q261_hard_negatives" -> ((s, dir) => {
@@ -7247,6 +7254,8 @@ object SparkEntry {
 
     "q252_margin_pairs" -> marginPairsOracleSql,
 
+    "q262_kcenter_coreset" -> kCenterOracleSql(5),
+
     "q261_hard_negatives" ->
       s"""WITH hashed AS (
          |  SELECT vec_id, embedding,
@@ -9199,6 +9208,38 @@ object SparkEntry {
        |SELECT col_a, col_b, n, corr_micro
        |FROM (${rows.mkString("\n  UNION ALL ")})
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Generated DuckDB replay of the greedy k-center traversal: one
+    * chained CTE per round — pick i is the argmax of 1 − max(6-dp
+    * cosines to centers 1..i−1), ties to the smallest id, previous
+    * picks excluded — exactly the operator's per-round aggregate. */
+  private def kCenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, " +
+      "embedding AS vec FROM embeddings),\n"
+    sb ++= "c1 AS (SELECT MIN(id) AS id, CAST(0 AS BIGINT) " +
+      "AS dist_micro FROM e),\n"
+    sb ++= "v1 AS (SELECT e.vec FROM e JOIN c1 ON e.id = c1.id),\n"
+    for (i <- 2 to k) {
+      val sims = (1 until i).map(j => s"ROUND(${cosSql("e.vec", s"v$j.vec")}, 6)")
+      val g = if (sims.size == 1) sims.head
+        else s"GREATEST(${sims.mkString(", ")})"
+      val joins = (1 until i).map(j => s"v$j").mkString(", ")
+      val excl = (1 until i).map(j => s"SELECT id FROM c$j")
+        .mkString(" UNION ALL ")
+      sb ++= s"s$i AS (SELECT e.id, 1.0 - $g AS d FROM e, $joins " +
+        s"WHERE e.id NOT IN ($excl)),\n"
+      sb ++= s"c$i AS (SELECT id, CAST(round(d * 1e6) AS BIGINT) " +
+        s"AS dist_micro FROM s$i ORDER BY d DESC, id LIMIT 1),\n"
+      sb ++= s"v$i AS (SELECT e.vec FROM e JOIN c$i ON e.id = c$i.id),\n"
+    }
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS rank, id, dist_micro FROM c$i").mkString("\nUNION ALL ")
+    sb ++= s"out AS ($sel)\n"
+    sb ++= "SELECT CAST(rank AS BIGINT) AS rank, id, dist_micro " +
+      "FROM out ORDER BY rank"
+    sb.toString
   }
 
   /** The q65 kNN-graph replay (k=3, c=16, nprobe=2, portable md5

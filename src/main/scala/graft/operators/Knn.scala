@@ -326,6 +326,55 @@ object Knn {
     topKPerQuery(scored, k)
   }
 
+  /** Greedy k-CENTER coreset selection (farthest-first traversal —
+    * the 2-approximation of Gonzalez 1985, used as the coreset
+    * data-selection recipe of Sener & Savarese, ICLR 2018): seed with
+    * the smallest id, then k−1 times add the point FARTHEST (max over
+    * rows of min over centers of cosine distance) from the current
+    * centers — the diversity-maximizing subset that covers the
+    * embedding space with k balls of minimal radius (within 2×).
+    *
+    * Each round is ONE distributed aggregate (TakeOrdered argmax over
+    * a projection against the ≤ k broadcast center vectors — centers
+    * are driver-side metadata, never a shuffle); k rounds total, the
+    * classic sequential-greedy structure. Distances use 6-dp-rounded
+    * cosine (d = 1 − max sim, ties → smallest id, already-picked ids
+    * excluded) so every pick replays bit-identically in the oracle.
+    * Output: (rank 1..k, id, dist_micro = the pick's distance to the
+    * centers before it; seed row carries 0). */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = base.agg(min("id")).head().getLong(0)
+    def vecOf(id: Long): Seq[Float] =
+      base.where(col("id") === id).head().getSeq[Float](1)
+    var centers = Vector(seed)
+    var centerVecs = Vector(vecOf(seed))
+    val out = scala.collection.mutable.ArrayBuffer((1L, seed, 0L))
+    for (i <- 2 to k) {
+      val sims = centerVecs.map(cv =>
+        round(Vectors.cosine(col("vec"),
+          typedLit(cv.toArray)), 6))
+      val maxSim = sims.reduce((a, b) => greatest(a, b))
+      val pick = base
+        .where(!col("id").isInCollection(centers))
+        .select(col("id"), (lit(1.0) - maxSim).as("d"))
+        .orderBy(col("d").desc, col("id").asc)
+        .limit(1).head()
+      val id = pick.getLong(0)
+      out += ((i.toLong, id, math.round(pick.getDouble(1) * 1e6)))
+      centers = centers :+ id
+      centerVecs = centerVecs :+ vecOf(id)
+    }
+    base.unpersist(false)
+    out.toSeq.toDF("rank", "id", "dist_micro")
+  }
+
   /** HARD-NEGATIVE mining for contrastive training (the DPR /
     * sentence-transformers recipe; Karpukhin et al., EMNLP 2020):
     * per anchor, the neighbors ranked `kLo`..`kHi` in the approximate

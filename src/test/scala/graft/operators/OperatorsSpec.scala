@@ -879,6 +879,32 @@ class DedupSpec extends SparkSpec {
 }
 
 class KnnSpec extends SparkSpec {
+  test("kCenterCoreset: farthest-first picks one point per cluster, " +
+    "radius non-increasing, no repeats") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // three tight clusters on orthogonal axes + jitter; k=3 must
+    // land exactly one pick per cluster (greedy 2-approx behavior)
+    val emb = Seq(
+      (1L, v(1, 0, 0)), (2L, v(1, 0, 0.02)), (3L, v(1, 0, 0.04)),
+      (10L, v(0, 1, 0)), (11L, v(0, 1, 0.02)),
+      (20L, v(0, 0.02, 1)), (21L, v(0, 0.04, 1))
+    ).toDF("vec_id", "embedding")
+    val out = Knn.kCenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val ids = out.map(_._2)
+    assert(ids.distinct.length == 3)
+    assert(ids(0) == 1L) // seed = min id
+    // one pick per cluster: the three picks are pairwise far
+    val clusters = ids.map(i => if (i <= 3) 0 else if (i <= 11) 1 else 2)
+    assert(clusters.distinct.length == 3, s"picks $ids")
+    // selection distance is non-increasing after the seed
+    assert(out(1)._3 >= out(2)._3, out.toSeq.toString)
+  }
+
   test("marginPairs: margin replays from the kNN graph exactly and " +
     "demotes hub neighborhoods") {
     val s = spark
