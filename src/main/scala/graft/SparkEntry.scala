@@ -3174,6 +3174,193 @@ object SparkEntry {
         ORDER BY c_nationkey""")
     }),
 
+    // TPC-H Q7 SHAPE: volume shipping between two nations — the same
+    // dimension table joined TWICE under different roles (nation n1
+    // supplier-side, n2 customer-side) with the symmetric pair
+    // disjunction applied across both aliases. Exact e6 revenue.
+    "q263_tpch_q7" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      s.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+          CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_e6
+        FROM g_supplier s, g_lineitem l, g_orders o, g_customer c,
+             g_nation n1, g_nation n2
+        WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_nationkey = n1.n_nationkey
+          AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // TPC-H Q8 SHAPE: national market share — a conditional aggregate
+    // (CASE on the supplier's nation) over a 6-table snowflake where
+    // one branch of the nation dimension filters (customer region) and
+    // the other only labels. Numerator and denominator kept as exact
+    // e6 integers instead of the reference's float ratio.
+    "q264_tpch_q8" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+            THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+            ELSE 0 END) AS BIGINT) AS nation_vol_e6,
+          CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS total_vol_e6
+        FROM g_part p, g_supplier s, g_lineitem l, g_orders o,
+             g_customer c, g_nation n1, g_nation n2
+        WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = 0
+          AND s.s_nationkey = n2.n_nationkey
+          AND p.p_type = 'PROMO'
+        GROUP BY 1
+        ORDER BY o_year""")
+    }),
+
+    // TPC-H Q9 SHAPE: product-type profit — LIKE-filtered part join
+    // with a two-term measure (revenue minus cost; p_retailprice
+    // stands in for the absent ps_supplycost), grouped by the
+    // SUPPLIER's nation and order year. Exact e6 profit.
+    "q265_tpch_q9" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT n.n_name AS nation,
+          CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+            - CAST(round(p.p_retailprice * 100) AS BIGINT) * 10000
+              * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_e6
+        FROM g_part p, g_supplier s, g_lineitem l, g_orders o, g_nation n
+        WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+          AND o.o_orderkey = l.l_orderkey
+          AND s.s_nationkey = n.n_nationkey
+          AND p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC""")
+    }),
+
+    // TPC-H Q12 SHAPE: two-way conditional counts after a fact-fact
+    // join (l_returnflag stands in for the absent l_shipmode) — the
+    // CASE-IN bucketing aggregate.
+    "q266_tpch_q12" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT l.l_returnflag AS shipmode,
+          CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM g_orders o JOIN g_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY shipmode""")
+    }),
+
+    // TPC-H Q13 SHAPE: customer order-count distribution — a LEFT
+    // OUTER join with an extra non-key join predicate (the priority
+    // exclusion must stay IN the join condition, not become a filter),
+    // then a histogram over the per-customer counts.
+    "q267_tpch_q13" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+          SELECT c.c_custkey,
+            CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM g_customer c LEFT OUTER JOIN g_orders o
+            ON c.c_custkey = o.o_custkey
+            AND o.o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c.c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    }),
+
+    // TPC-H Q14 SHAPE: promo revenue share — conditional numerator
+    // over a dimension attribute with a tight date slice; exact e6
+    // numerator/denominator instead of the float percentage.
+    "q268_tpch_q14" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT
+          CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+            ELSE 0 END) AS BIGINT) AS promo_e6,
+          CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS total_e6
+        FROM g_lineitem l JOIN g_part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01'""")
+    }),
+
+    // TPC-H Q16 SHAPE: COUNT(DISTINCT) per attribute triple with a
+    // NOT-IN exclusion subquery (null-aware anti join on the fact
+    // side's supplier key).
+    "q269_tpch_q16" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""
+        SELECT p.p_brand, p.p_type, p.p_size,
+          CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM g_part p JOIN g_lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'MED%'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM g_supplier
+                                  WHERE s_name LIKE '%000000014%')
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    }),
+
+    // TPC-H Q19 SHAPE: a DISJUNCTION of cross-table conjunctions
+    // (brand × size × quantity brackets) — the predicate must ride the
+    // equi-join as a post-join condition without degrading the join
+    // itself to a nested loop.
+    "q270_tpch_q19" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT
+          CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_e6,
+          CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+            AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+            AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+            AND l.l_quantity BETWEEN 20 AND 30)""")
+    }),
+
     // The CDR fetch-step twin (reference data-raw/get_xbrl_zips.py):
     // quarterly period ends in range with the exact bulk-zip names the
     // pipeline's listZips pattern expects — pure date arithmetic, no
@@ -7360,6 +7547,120 @@ object SparkEntry {
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    "q263_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_e6
+        |FROM supplier s, lineitem l, orders o, customer c,
+        |     nation n1, nation n2
+        |WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        |  AND c.c_custkey = o.o_custkey
+        |  AND s.s_nationkey = n1.n_nationkey
+        |  AND c.c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q264_tpch_q8" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS nation_vol_e6,
+        |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |    AS BIGINT) AS total_vol_e6
+        |FROM part p, supplier s, lineitem l, orders o,
+        |     customer c, nation n1, nation n2
+        |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |  AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = 0
+        |  AND s.s_nationkey = n2.n_nationkey
+        |  AND p.p_type = 'PROMO'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+
+    "q265_tpch_q9" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+        |    - CAST(round(p.p_retailprice * 100) AS BIGINT) * 10000
+        |      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_e6
+        |FROM part p, supplier s, lineitem l, orders o, nation n
+        |WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+        |  AND o.o_orderkey = l.l_orderkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND p.p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q266_tpch_q12" ->
+      """SELECT l.l_returnflag AS shipmode,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY shipmode""".stripMargin,
+
+    "q267_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey,
+        |    CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q268_tpch_q14" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS promo_e6,
+        |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |    AS BIGINT) AS total_e6
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q269_tpch_q16" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'MED%'
+        |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_name LIKE '%000000014%')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q270_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_e6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     // q22's whitespace words + the RE2-portable piece regex, summed
     // exactly per lang; the ratio in the operator's float order.

@@ -350,6 +350,41 @@ class PlanSpec extends SparkSpec {
       !s22.contains("BroadcastNestedLoopJoin"), s22)
   }
 
+  test("q263/q264/q265 snowflake shapes (Q7/Q8/Q9): role-aliased " +
+    "dimensions join hash-side — no cartesian, no nested loop") {
+    for (q <- Seq("q263_tpch_q7", "q264_tpch_q8", "q265_tpch_q9")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"), s"$q:\n$s")
+      assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+        s"$q:\n$s")
+    }
+  }
+
+  test("q267 (Q13) keeps the priority exclusion inside the LEFT OUTER " +
+    "join condition — outer preserved, no nested loop") {
+    val s = planString("q267_tpch_q13")
+    assert(s.contains("LeftOuter"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q269 (Q16) NOT-IN exclusion plans as an anti join, never a " +
+    "per-row subquery") {
+    val s = planString("q269_tpch_q16")
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("InSubquery"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q270 (Q19) cross-table disjunction rides the equi-join as a " +
+    "post-join condition — the join itself stays hash-based") {
+    val s = planString("q270_tpch_q19")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q252 margin close joins degree sums by key — no broadcast of " +
     "the corpus-cardinality degree table is forced") {
     val s = planString("q252_margin_pairs")
