@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Ffiec, Text, Vectors}
-import graft.operators.{CombineParts, Dedup, KeyChecks, Knn, LongPivot, Pq, TextAnalytics}
+import graft.operators.{CombineParts, Dedup, Graph, KeyChecks, Knn, LongPivot, Pq, Sampling, TextAnalytics}
 import graft.sources.{Scan, XbrlZip}
 import graft.streaming.Sessions
 
@@ -3359,6 +3359,95 @@ object SparkEntry {
             AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
             AND l.l_quantity BETWEEN 20 AND 30)""")
+    }),
+
+    // HITS hubs/authorities in exact path-count form over the
+    // customer→supplier engagement graph; supplier ids negated into
+    // their own namespace (the q219 id-collapse lesson).
+    "q271_hits" -> ((s, dir) => {
+      val e = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (-col("l_suppkey") - 1).as("dst"))
+        .distinct() // classical 0/1 adjacency, not purchase-weighted
+      Graph.hitsCounts(e, "src", "dst", rounds = 2).orderBy("node")
+    }),
+
+    // Adamic–Adar link prediction: supplier pairs sharing customers,
+    // promiscuous customers df-capped away, per-neighbor log terms
+    // micro-quantized pre-sum.
+    "q272_adamic_adar" -> ((s, dir) => {
+      val e = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      Graph.adamicAdar(e, "s", "c", maxDeg = 40, minCommon = 2)
+        .orderBy("a", "b")
+    }),
+
+    // Kruskal–Wallis rank test per line status across return-flag
+    // groups — integer double-ranks, micro-quantized ratio terms.
+    "q273_kruskal_wallis" -> ((s, dir) => {
+      operators.Stats.kruskalWallis(t(s, dir, "lineitem"),
+        "l_linestatus", "l_returnflag", "l_quantity")
+        .orderBy("stratum")
+    }),
+
+    // Unary inclusion-dependency profile across the star schema: the
+    // four real FKs hold; the two reversed/cross probes measure how
+    // far containment fails.
+    "q274_inclusion_deps" -> ((s, dir) => {
+      operators.KeyChecks.inclusionDeps(Seq(
+        ("cust_nation_in_nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("li_part_in_part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("li_supp_in_supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        ("ord_cust_in_customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("part_in_li_part", t(s, dir, "part"), "p_partkey",
+          t(s, dir, "lineitem"), "l_partkey"),
+        ("supp_nation_in_cust_nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "customer"), "c_nationkey")))
+        .orderBy("pair")
+    }),
+
+    // One DoReMi reweighting step over the document domains: initial
+    // weights ∝ doc counts, excess loss = relative mean-length
+    // deviation, η=2, 10% uniform smoothing.
+    "q275_doremi_step" -> ((s, dir) => {
+      val g = t(s, dir, "documents").groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sc"))
+      val tot = g.agg(sum("n").as("tn"), sum("sc").as("tsc"))
+      val avgAll = col("tsc").cast("double") / col("tn").cast("double")
+      val d = g.crossJoin(broadcast(tot))
+        .select(col("domain"),
+          expr("n * 1000000L div tn").as("weight_ppm"),
+          round((col("sc").cast("double") / col("n").cast("double") -
+            avgAll) / avgAll * 1e6).cast("long").as("loss_micro"))
+      Sampling.doremiStep(d, "domain", "weight_ppm", "loss_micro",
+        etaMicro = 2000000L, smoothPpm = 100000L)
+        .orderBy("domain")
+    }),
+
+    // Matryoshka truncation audit: recall@5 of the 8-dim prefix
+    // retrieval against the full 64-dim exact top-5.
+    "q276_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+      Knn.matryoshkaRecall(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, prefixDims = 8)
+        .orderBy("query_id")
+    }),
+
+    // Jarque–Bera normality per return flag from exact integer power
+    // sums; the one float close is IEEE-deterministic (+,−,×,÷,√).
+    "q277_jarque_bera" -> ((s, dir) => {
+      operators.Stats.jarqueBera(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty")),
+        "flag", "qty")
+        .orderBy("key")
     }),
 
     // The CDR fetch-step twin (reference data-raw/get_xbrl_zips.py):
@@ -7661,6 +7750,206 @@ object SparkEntry {
         |    AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
         |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q271_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src,
+        |    -(l_suppkey + 1) AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |hub1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS h
+        |         FROM e GROUP BY src),
+        |auth1 AS (SELECT e.dst, CAST(SUM(h) AS BIGINT) AS a
+        |          FROM e JOIN hub1 ON e.src = hub1.src GROUP BY e.dst),
+        |hub2 AS (SELECT e.src, CAST(SUM(a) AS BIGINT) AS h
+        |         FROM e JOIN auth1 ON e.dst = auth1.dst GROUP BY e.src),
+        |auth2 AS (SELECT e.dst, CAST(SUM(h) AS BIGINT) AS a
+        |          FROM e JOIN hub2 ON e.src = hub2.src GROUP BY e.dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        |SELECT n.node, COALESCE(hub2.h, 0) AS hub,
+        |  COALESCE(auth2.a, 0) AS auth
+        |FROM nodes n
+        |LEFT JOIN hub2 ON n.node = hub2.src
+        |LEFT JOIN auth2 ON n.node = auth2.dst
+        |ORDER BY n.node""".stripMargin,
+
+    "q272_adamic_adar" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS a, o_custkey AS z
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY z),
+        |keep AS (SELECT z,
+        |    CAST(round(1e6 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS term
+        |  FROM deg WHERE d BETWEEN 2 AND 40),
+        |p AS (SELECT e1.a AS a, e2.a AS b, k.term
+        |      FROM e e1 JOIN e e2 ON e1.z = e2.z
+        |      JOIN keep k ON k.z = e1.z
+        |      WHERE e1.a < e2.a)
+        |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+        |  CAST(SUM(term) AS BIGINT) AS aa_micro
+        |FROM p GROUP BY a, b HAVING COUNT(*) >= 2
+        |ORDER BY a, b""".stripMargin,
+
+    "q273_kruskal_wallis" ->
+      """WITH base AS (
+        |  SELECT l_linestatus AS stratum, l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT stratum, v, CAST(COUNT(*) AS BIGINT) AS t
+        |          FROM base GROUP BY 1, 2),
+        |cells2 AS (SELECT stratum, v, t,
+        |    COALESCE(CAST(SUM(t) OVER (PARTITION BY stratum ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS c
+        |  FROM cells),
+        |r2 AS (SELECT stratum, v, 2 * c + t + 1 AS rank2 FROM cells2),
+        |gv AS (SELECT stratum, g, v, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM base GROUP BY 1, 2, 3),
+        |grp AS (SELECT gv.stratum, g, CAST(SUM(m) AS BIGINT) AS ng,
+        |    CAST(SUM(m * rank2) AS BIGINT) AS r2g
+        |  FROM gv JOIN r2 ON gv.stratum = r2.stratum AND gv.v = r2.v
+        |  GROUP BY 1, 2),
+        |sums AS (SELECT stratum, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM grp GROUP BY 1),
+        |terms AS (SELECT grp.stratum, n, k,
+        |    CAST(round(3.0 * CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |         * CAST(ng AS DOUBLE)) * 1e6) AS BIGINT) AS tq
+        |  FROM grp JOIN sums ON grp.stratum = sums.stratum),
+        |agg AS (SELECT stratum, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MAX(k) AS BIGINT) AS k,
+        |    CAST(SUM(tq) AS BIGINT) AS h_plus
+        |  FROM terms GROUP BY 1),
+        |ties AS (SELECT stratum,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+        |  FROM cells GROUP BY 1),
+        |hcalc AS (SELECT a.stratum, n, k,
+        |    h_plus - 3 * (n + 1) * 1000000 AS hm,
+        |    1.0 - CAST(tie_sum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         - CAST(n AS DOUBLE)) AS cfac
+        |  FROM agg a JOIN ties t ON a.stratum = t.stratum)
+        |SELECT stratum, n, k,
+        |  CASE WHEN k >= 2 AND n > k
+        |    THEN CAST(hm AS BIGINT) END AS h_micro,
+        |  CASE WHEN k >= 2 AND n > k AND cfac > 0
+        |    THEN CAST(round(CAST(hm AS DOUBLE) / cfac) AS BIGINT)
+        |    END AS h_tied_micro
+        |FROM hcalc ORDER BY stratum""".stripMargin,
+
+    "q274_inclusion_deps" -> Seq(
+      ("cust_nation_in_nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("li_part_in_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("li_supp_in_supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("ord_cust_in_customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("part_in_li_part", "part", "p_partkey", "lineitem", "l_partkey"),
+      ("supp_nation_in_cust_nation", "supplier", "s_nationkey",
+        "customer", "c_nationkey"))
+      .map { case (label, ct, cc, pt, pc) =>
+        s"""SELECT '$label' AS pair,
+           |  (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) FROM $ct
+           |   WHERE $cc IS NOT NULL) AS n_child_distinct,
+           |  (SELECT CAST(COUNT(DISTINCT $pc) AS BIGINT) FROM $pt
+           |   WHERE $pc IS NOT NULL) AS n_parent_distinct,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+           |    (SELECT DISTINCT $cc AS v FROM $ct
+           |     WHERE $cc IS NOT NULL) c
+           |   WHERE v NOT IN (SELECT $pc FROM $pt
+           |                   WHERE $pc IS NOT NULL)) AS n_missing""".stripMargin
+      }
+      .map(q => s"SELECT pair, n_child_distinct, n_parent_distinct, " +
+        s"n_missing, (n_missing = 0) AS holds FROM ($q)")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY pair"),
+
+    "q275_doremi_step" ->
+      """WITH g AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sc
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(sc) AS BIGINT) AS tsc FROM g),
+        |d AS (SELECT domain, CAST((n * 1000000) // tn AS BIGINT) AS weight_ppm,
+        |    CAST(round((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(tsc AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      / (CAST(tsc AS DOUBLE) / CAST(tn AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS loss_micro
+        |  FROM g CROSS JOIN tot),
+        |r AS (SELECT domain, weight_ppm,
+        |    CAST(round(CAST(weight_ppm AS DOUBLE)
+        |      * exp(2000000.0 * CAST(loss_micro AS DOUBLE) / 1e12))
+        |      AS BIGINT) AS raw_micro
+        |  FROM d),
+        |t2 AS (SELECT CAST(SUM(raw_micro) AS BIGINT) AS tot2,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM r)
+        |SELECT domain, weight_ppm, raw_micro,
+        |  CAST((900000 * ((raw_micro * 1000000) // tot2)) // 1000000
+        |    + (100000 // k) AS BIGINT) AS alpha_ppm
+        |FROM r CROSS JOIN t2 ORDER BY domain""".stripMargin,
+
+    "q276_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |fs AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |fr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM fs) x WHERE rank <= 5),
+         |ps AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ROUND(${cosSql("e.embedding[1:8]", "q.qvec[1:8]")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |pr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM ps) x WHERE rank <= 5)
+         |SELECT fr.query_id, CAST(5 AS BIGINT) AS k,
+         |  CAST(COUNT(pr.neighbor_id) AS BIGINT) AS hits
+         |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
+         |  AND fr.neighbor_id = pr.neighbor_id
+         |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q277_jarque_bera" ->
+      """WITH base AS (SELECT l_returnflag AS key,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q*q) AS BIGINT) AS s2,
+        |    CAST(SUM(q*q*q) AS BIGINT) AS s3,
+        |    CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+        |  FROM base GROUP BY 1),
+        |m AS (SELECT key, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM g),
+        |cm AS (SELECT key, n,
+        |    r2 - m1 * m1 AS m2,
+        |    r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+        |    r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+        |      - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |  FROM m),
+        |sk AS (SELECT key, n, m2,
+        |    m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+        |  FROM cm)
+        |SELECT key, n,
+        |  CASE WHEN n >= 2 AND m2 > 0
+        |    THEN CAST(round(skew * 1e6) AS BIGINT) END AS skew_micro,
+        |  CASE WHEN n >= 2 AND m2 > 0
+        |    THEN CAST(round(kurt * 1e6) AS BIGINT) END AS kurt_micro,
+        |  CASE WHEN n >= 2 AND m2 > 0
+        |    THEN CAST(round(CAST(n AS DOUBLE) / 6.0
+        |      * (skew * skew + 0.25 * (kurt - 3.0) * (kurt - 3.0)) * 1e6)
+        |      AS BIGINT) END AS jb_micro
+        |FROM sk ORDER BY key""".stripMargin,
 
     // q22's whitespace words + the RE2-portable piece regex, summed
     // exactly per lang; the ratio in the operator's float order.

@@ -321,4 +321,112 @@ object Graph {
         round(lit(1e6) + col("n").cast("double") * 1e12
           / col("slog_micro").cast("double")).cast("long").as("alpha_micro"))
   }
+
+  /** HITS hub/authority scores (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") in EXACT path-count form: with the
+    * all-ones start vector and NO per-round normalization, each
+    * alternating update
+    *   hub(u) = Σ_{u→v} auth(v),   auth(v) = Σ_{u→v} hub(u)
+    * keeps every score an integer count of bounded-length alternating
+    * walks — the [[pagerankInt]] replay discipline with no micro-units
+    * needed at all. Normalization only rescales within a round, so
+    * rankings (top hubs / top authorities — the curation signal) are
+    * identical to the classical iteration's.
+    *
+    * Scale shape: each half-round is one dst- (or src-) keyed
+    * edges ⋈ scores join plus a keyed aggregate with map-side
+    * combine — the iterative-join skeleton of pagerankInt. Magnitudes
+    * grow like (d_avg²)^rounds; ANSI mode throws on Long overflow
+    * rather than corrupting, so callers keep `rounds` small (2-3) on
+    * dense graphs. Edge multiplicity acts as weight — callers wanting
+    * the classical 0/1 adjacency pass distinct edges.
+    *
+    * Output: (node, hub, auth) over every node in the edge set. */
+  def hitsCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                 rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .persist(lvl)
+    // auth_0 = 1 everywhere → hub_1 = outdeg; subsequent rounds join.
+    // Each half-round is checkpointed (pagerankIntRounds rationale:
+    // without the cut, every round re-plans the full prior lineage —
+    // exchange count and job DAG grow quadratically in rounds);
+    // superseded checkpoints are freed as soon as the next lands.
+    var prevCps = List.empty[DataFrame]
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      prevCps.foreach(graft.plans.Blocks.free)
+      prevCps = List(c)
+      c
+    }
+    var hub = cp(e.groupBy("src").agg(count(lit(1)).as("hub"))
+      .select(col("src").as("node"), col("hub")))
+    var auth = e.join(hub, e("src") === hub("node"))
+      .groupBy("dst").agg(sum("hub").as("auth"))
+      .select(col("dst").as("node"), col("auth"))
+      .localCheckpoint(true)
+    for (_ <- 2 to rounds) {
+      hub = cp(e.join(auth, e("dst") === auth("node"))
+        .groupBy("src").agg(sum("auth").as("hub"))
+        .select(col("src").as("node"), col("hub")))
+      val nextAuth = e.join(hub, e("src") === hub("node"))
+        .groupBy("dst").agg(sum("hub").as("auth"))
+        .select(col("dst").as("node"), col("auth"))
+        .localCheckpoint(true)
+      graft.plans.Blocks.free(auth)
+      auth = nextAuth
+    }
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val out = nodes
+      .join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+    e.unpersist(false)
+    // the final hub/auth checkpoints back the returned frame; freed at
+    // the caller's query boundary (graft.plans.Blocks.releaseAll)
+    out
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003, "Friends and
+    * neighbors on the Web") over a bipartite edge set: for left-side
+    * pairs (a, b) sharing right-side neighbors z,
+    *   score(a, b) = Σ_z 1 / ln(deg(z))
+    * — common neighbors discounted by their promiscuity. The missing-
+    * edge recommender over co-engagement graphs (and the link-based
+    * near-dup signal over doc→entity graphs).
+    *
+    * Exact-replay discipline: each z contributes round(1e6/ln deg z)
+    * micros — quantized PER NEIGHBOR before the order-free integer
+    * sum (q219's per-term log pattern). Hot right-side nodes with
+    * deg > maxDeg are DROPPED, not truncated (the df-cap semantic of
+    * [[Dedup.cappedShinglePairs]]): a z shared by everyone carries
+    * ~zero signal and would alone generate O(deg²) pairs. Pair
+    * generation is in-row over the sorted per-z neighbor list
+    * (posexplode + slice — q168's shape: no self-join, one exchange).
+    *
+    * Output: (a, b, common, aa_micro) for pairs with ≥ minCommon
+    * shared neighbors; a < b. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxDeg: Int = 64, minCommon: Int = 2): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("z")).distinct()
+    val byZ = e.groupBy("z").agg(sort_array(collect_list("a")).as("ns"))
+      .where(size(col("ns")).between(2, maxDeg))
+      .withColumn("term_micro",
+        round(lit(1e6) / log(size(col("ns")).cast("double"))).cast("long"))
+    val pairs = byZ
+      .select(col("term_micro"), posexplode(col("ns")).as(Seq("i", "a")),
+        col("ns"))
+      .select(col("term_micro"), col("a"),
+        explode(slice(col("ns"), col("i") + lit(2),
+          greatest(size(col("ns")) - col("i") - lit(1), lit(0))))
+          .as("b"))
+    pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum("term_micro").as("aa_micro"))
+      .where(col("common") >= minCommon)
+  }
 }

@@ -593,4 +593,58 @@ object KeyChecks {
       .toDF("columns", "arity", "n", "n_distinct", "n_nulls",
         "is_key", "is_minimal_key")
   }
+
+  /** Unary inclusion-dependency profile — the cross-table sibling of
+    * [[fkOrphans]] and the discovery primitive behind schema-level
+    * profilers (Papenbrock et al. 2015, "Divide & conquer-based
+    * inclusion dependency discovery", VLDB — the SPIDER/Metanome
+    * family): for each candidate `child.col ⊆ parent.col` pair, the
+    * exact distinct-value counts on both sides, how many child values
+    * are missing from the parent, and whether the IND holds.
+    *
+    * Scale shape: each pair reduces to DISTINCT value sets (keys-only
+    * aggregates — row volume never shuffles) left-joined for the miss
+    * count; pairs run as CONCURRENT bounded-pool jobs assembled
+    * driver-side (the compositeKeys level-scan pattern — p pairs stay
+    * at a per-pair exchange budget instead of a p-wide union plan).
+    * NULLs are ignored on both sides (SQL IND semantics).
+    *
+    * Output: (pair, n_child_distinct, n_parent_distinct, n_missing,
+    * holds), input order preserved via the pair label. */
+  def inclusionDeps(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    val spark = pairs.head._2.sparkSession
+    import spark.implicits._
+    // concurrent per-pair jobs, driver-assembled (compositeKeys
+    // rationale): each pair's plan column-prunes its two scans to one
+    // column each and shuffles only distinct keys; a union-of-branches
+    // single plan would multiply the exchange count by the pair count
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, pairs.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rows = try {
+      val fs = pairs.map { case (label, child, childCol, parent, parentCol) =>
+        scala.concurrent.Future {
+          val c = child.where(col(childCol).isNotNull)
+            .select(col(childCol).cast("string").as("v")).distinct()
+          val p = parent.where(col(parentCol).isNotNull)
+            .select(col(parentCol).cast("string").as("v")).distinct()
+          val r = c.join(p.withColumn("__in", lit(1)), Seq("v"), "left")
+            .agg(count(lit(1)).as("n_child_distinct"),
+              coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)),
+                lit(0L)).as("n_missing"))
+            .crossJoin(p.agg(count(lit(1)).as("n_parent_distinct")))
+            .head()
+          (label, r.getLong(0), r.getLong(2), r.getLong(1),
+            r.getLong(1) == 0L)
+        }
+      }
+      fs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+    rows.toDF("pair", "n_child_distinct", "n_parent_distinct",
+      "n_missing", "holds")
+  }
 }

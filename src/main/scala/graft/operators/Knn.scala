@@ -440,4 +440,42 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"),
         margin.as("margin_micro"))
   }
+
+  /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022,
+    * "Matryoshka representation learning", arXiv:2205.13147): per
+    * query, the exact cosine top-k under the FULL embedding vs under
+    * its `prefixDims`-dimensional prefix, and the overlap — the
+    * recall@k readout that decides how short MRL embeddings can be
+    * truncated for the cheap first retrieval stage (prefix ANN +
+    * full-dim rerank).
+    *
+    * Both rankings ride [[bruteForce]] (broadcast queries, bounded
+    * TopK heaps, corpus never shuffles); truncation is an in-scan
+    * `slice` projection. Deterministic: sims round to micros with id
+    * tie-breaks before ranking, so the two top-k SETS — and therefore
+    * the overlap count — replay exactly in any engine.
+    *
+    * Output: (query_id, k, hits) — hits = |full-top-k ∩ prefix-top-k|,
+    * one row per query. */
+  def matryoshkaRecall(corpus: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, queryIdCol: String,
+                       queryVecCol: String, k: Int,
+                       prefixDims: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    val full = bruteForce(corpus, idCol, vecCol,
+      queries, queryIdCol, queryVecCol, k)
+    val pre = bruteForce(
+      corpus.select(col(idCol),
+        slice(col(vecCol), 1, prefixDims).as(vecCol)),
+      idCol, vecCol,
+      queries.select(col(queryIdCol),
+        slice(col(queryVecCol), 1, prefixDims).as(queryVecCol)),
+      queryIdCol, queryVecCol, k)
+    full.select(col("query_id"), col("neighbor_id"))
+      .join(pre.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), lit(k.toLong).as("k"), col("hits"))
+  }
 }

@@ -946,4 +946,47 @@ object Sampling {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(path)
+
+  /** One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
+    * Optimizing data mixtures speeds up language model pretraining",
+    * arXiv:2305.10429): the proxy-training loop's multiplicative-
+    * weights update on the domain distribution —
+    *   w′_i ∝ w_i · exp(η · ℓ_i)   (ℓ_i = per-domain excess loss),
+    *   α_i  = (1−c) · w′_i/Σw′ + c/k   (uniform smoothing)
+    * — run repeatedly, it concentrates the mixture on domains where
+    * the proxy underperforms. [[temperatureWeights]] is the static
+    * heuristic; this is the optimizer step a tuning pipeline iterates.
+    *
+    * Exact-replay discipline: the one transcendental (exp) is
+    * micro-rounded PER DOMAIN before anything aggregates, then the
+    * normalize and smooth steps run in pure integer ppm arithmetic
+    * (non-negative DIVs only — the cross-engine floor/trunc trap):
+    *   raw_i  = round(w_ppm_i · exp(η_μ·ℓ_μ/1e12))        (BIGINT)
+    *   α_ppm_i = ((1e6−c_ppm)·((raw_i·1e6) div Σraw)) div 1e6
+    *             + c_ppm div k.
+    * Rounding crumbs (≤ k ppm total) are deliberate — exactness
+    * beats summing to exactly 1e6.
+    *
+    * Plan shape: domain-count-scale metadata only — one k-row input,
+    * a 1-row total broadcast back; never row-scale. Output: (domain,
+    * weight_ppm, raw_micro, alpha_ppm). */
+  def doremiStep(domains: DataFrame, domainCol: String,
+                 weightPpmCol: String, lossMicroCol: String,
+                 etaMicro: Long, smoothPpm: Long): DataFrame = {
+    require(smoothPpm >= 0 && smoothPpm <= 1000000L,
+      s"smoothPpm must be in [0, 1e6], got $smoothPpm")
+    val w = col(weightPpmCol).cast("long")
+    val l = col(lossMicroCol).cast("long")
+    val raw = round(w.cast("double") *
+      exp(lit(etaMicro).cast("double") * l.cast("double") / lit(1e12)))
+      .cast("long")
+    val base = domains.select(col(domainCol).as("domain"),
+      w.as("weight_ppm"), raw.as("raw_micro"))
+    val tot = base.agg(sum("raw_micro").as("tot"),
+      count(lit(1)).as("k"))
+    base.crossJoin(broadcast(tot))
+      .select(col("domain"), col("weight_ppm"), col("raw_micro"),
+        expr(s"((${1000000L - smoothPpm}L * ((raw_micro * 1000000L) div tot))" +
+          s" div 1000000L) + (${smoothPpm}L div k)").as("alpha_ppm"))
+  }
 }

@@ -1334,4 +1334,121 @@ object Stats {
     }
     out.toDF("col_a", "col_b", "n", "corr_micro")
   }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the rank-based
+    * one-way ANOVA, the nonparametric sibling of [[anovaF]] for
+    * skewed/ordinal quality scores. Works per stratum over the groups
+    * of `groupCol`.
+    *
+    * Exact-replay discipline: tied ranks are kept as INTEGER
+    * double-ranks — for a distinct value with exclusive prefix count c
+    * and multiplicity t, twice the average rank is the integer
+    * 2c + t + 1 — so every per-group rank sum R2_g = Σ (2c+t+1) is an
+    * exact BIGINT any engine reproduces. The float close
+    *   H = Σ_g 3·R2_g²/(N(N+1)·n_g) − 3(N+1)
+    * quantizes each GROUP's contribution to BIGINT micros before the
+    * order-independent integer sum (the anovaF per-group-then-fold
+    * pattern, at H's own small magnitude so no quantized term can
+    * overflow), and the tie correction C = 1 − Σ(t³−t)/(N³−N) divides
+    * the already-integral h_micro once at the end.
+    *
+    * Scale shape: one (stratum, value) cell aggregate, one
+    * (stratum, group, value) cell aggregate, a cells-only window for
+    * the prefix counts (value cardinality per stratum, never row
+    * scale), and metadata-scale folds — no row ever carries a window.
+    * Output: (stratum, n, k, h_micro, h_tied_micro). */
+  def kruskalWallis(df: DataFrame, stratumCol: String, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val v = col(valueCol).cast("long")
+    val base = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(groupCol).as("g"),
+        v.as("v"))
+    // the ONE row-scale exchange: (stratum, group, value) cells; the
+    // value cells derive from them, so every downstream exchange is
+    // value-cardinality, never row-cardinality
+    val gv = base.groupBy("stratum", "g", "v").agg(count(lit(1)).as("m"))
+      .localCheckpoint(false)
+    // per-(stratum, value) multiplicity t and exclusive prefix count c
+    val cells = gv.groupBy("stratum", "v").agg(sum("m").as("t"))
+      .withColumn("c",
+        coalesce(sum("t").over(Window.partitionBy("stratum").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("c") + col("t") + lit(1L))
+    val groups = gv.join(cells.select("stratum", "v", "rank2"),
+        Seq("stratum", "v"))
+      .groupBy("stratum", "g")
+      .agg(sum("m").as("ng"),
+        sum(col("m").cast(dec) * col("rank2").cast(dec)).as("r2g"))
+    // each group's H contribution 3·R2_g²/(N(N+1)·n_g) is
+    // micro-quantized pre-sum (anovaF's per-group-then-exact-fold
+    // pattern, at H's own magnitude so the micros stay BIGINT-safe);
+    // h_micro = Σ terms − 3(N+1)·1e6 is then pure integer arithmetic.
+    // N and k attach via a window over the GROUP-scale frame (bounded
+    // by stratum×group cardinality) — an agg+re-join would duplicate
+    // the whole groups subtree in the plan
+    val wS = Window.partitionBy("stratum")
+    val withNk = groups
+      .withColumn("n", sum("ng").over(wS))
+      .withColumn("k", count(lit(1)).over(wS))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n")
+    val term = round(lit(3.0) * col("r2g").cast("double") *
+      col("r2g").cast("double") /
+      (nd * (nd + lit(1.0)) * col("ng").cast("double")) * 1e6)
+      .cast("long")
+    val g = withNk.groupBy("stratum").agg(
+      max("n").as("n"), max("k").as("k"),
+      sum(term).as("h_plus_micro"))
+    val ties = cells.groupBy("stratum").agg(
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("tie_sum"))
+    val hMicro = col("h_plus_micro") -
+      lit(3L) * (col("n") + lit(1L)) * lit(1000000L)
+    val cFac = lit(1.0) - col("tie_sum").cast("double") / (nd * nd * nd - nd)
+    g.join(ties, Seq("stratum"))
+      .select(col("stratum"), col("n"), col("k"),
+        when(col("k") >= 2 && col("n") > col("k"),
+          hMicro).as("h_micro"),
+        when(col("k") >= 2 && col("n") > col("k") && cFac > 0,
+          round(hMicro.cast("double") / cFac).cast("long"))
+          .as("h_tied_micro"))
+  }
+
+  /** Jarque–Bera normality test (Jarque & Bera 1980) per key, from
+    * exact integer power sums: callers pre-quantize to integer units
+    * (the corrMatrix contract) and keep |x| small enough that Σx⁴
+    * fits DECIMAL(38,0) — the aggregate itself is overflow-checked.
+    * The float close (central moments → skewness, excess kurtosis,
+    * JB = n/6·(S² + (K−3)²/4)) runs in ONE fixed expression shape
+    * over the exact sums: +, −, ×, ÷, √ are all IEEE
+    * correctly-rounded, so any engine replays the micros
+    * bit-identically. Output: (key, n, skew_micro, kurt_micro,
+    * jb_micro); NULL micros for n < 2 or zero variance. */
+  def jarqueBera(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col(valueCol).cast("long").cast(dec)
+    val g = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+        sum(x * x * x * x).as("s4"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n")
+    val m1 = d("s1") / nd
+    val m2 = d("s2") / nd - m1 * m1
+    val m3 = d("s3") / nd - lit(3.0) * m1 * (d("s2") / nd) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = d("s4") / nd - lit(4.0) * m1 * (d("s3") / nd) +
+      lit(6.0) * m1 * m1 * (d("s2") / nd) - lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val jb = nd / lit(6.0) *
+      (skew * skew + lit(0.25) * (kurt - lit(3.0)) * (kurt - lit(3.0)))
+    val ok = col("n") >= 2 && m2 > 0
+    g.select(col("key"), col("n"),
+      when(ok, round(skew * 1e6).cast("long")).as("skew_micro"),
+      when(ok, round(kurt * 1e6).cast("long")).as("kurt_micro"),
+      when(ok, round(jb * 1e6).cast("long")).as("jb_micro"))
+  }
 }

@@ -800,4 +800,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.filter(_._3 == 0L).forall(_._4.isEmpty))
     assert(out.filter(_._3 > 0L).forall(_._4.contains(5000000L)))
   }
+
+  test("inclusionDeps: containment holds, fails with exact miss counts, " +
+    "NULLs ignored") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None)
+      .toDF("c")
+    val parent = Seq(Some(1L), Some(2L), None).toDF("p")
+    val out = KeyChecks.inclusionDeps(Seq(
+      ("c_in_p", child, "c", parent, "p"),
+      ("p_in_c", parent, "p", child, "c")))
+      .as[(String, Long, Long, Long, Boolean)].collect
+      .map(r => r._1 -> r).toMap
+    // child {1,2,3} vs parent {1,2}: 3 distinct, 1 missing, fails
+    assert(out("c_in_p") == (("c_in_p", 3L, 2L, 1L, false)))
+    // parent {1,2} ⊆ child {1,2,3}: holds
+    assert(out("p_in_c") == (("p_in_c", 2L, 3L, 0L, true)))
+  }
 }

@@ -186,4 +186,44 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == full)
   }
+
+  test("hitsCounts: hand-computed path counts on a tiny bipartite graph") {
+    val s = spark
+    import s.implicits._
+    // 1→10, 2→10, 2→11. hub1 = outdeg: (1)=1, (2)=2.
+    // auth1(10) = 1+2 = 3, auth1(11) = 2.
+    // hub2(1) = auth1(10) = 3; hub2(2) = 3+2 = 5.
+    // auth2(10) = hub2(1)+hub2(2) = 8; auth2(11) = hub2(2) = 5.
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val r2 = Graph.hitsCounts(e, "src", "dst", rounds = 2)
+      .as[(Long, Long, Long)].collect.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r2 == Map(1L -> ((3L, 0L)), 2L -> ((5L, 0L)),
+      10L -> ((0L, 8L)), 11L -> ((0L, 5L))), r2)
+    // rounds=1 is the degree half-step
+    val r1 = Graph.hitsCounts(e, "src", "dst", rounds = 1)
+      .as[(Long, Long, Long)].collect.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r1 == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L)),
+      10L -> ((0L, 3L)), 11L -> ((0L, 2L))), r1)
+  }
+
+  test("adamicAdar: hand-computed terms, df cap and minCommon filters") {
+    val s = spark
+    import s.implicits._
+    // z=100 shared by {1,2,3} (deg 3), z=101 by {1,2} (deg 2),
+    // z=102 only {1} (deg 1 → no pair), z=103 by {1,2,3,4,5} (deg 5
+    // → dropped at maxDeg=4)
+    val e = (Seq(1L, 2L, 3L).map((_, 100L)) ++ Seq(1L, 2L).map((_, 101L)) ++
+      Seq((1L, 102L)) ++ Seq(1L, 2L, 3L, 4L, 5L).map((_, 103L)))
+      .toDF("a", "z")
+    val t3 = math.round(1e6 / math.log(3.0)) // 910239
+    val t2 = math.round(1e6 / math.log(2.0)) // 1442695
+    val got = Graph.adamicAdar(e, "a", "z", maxDeg = 4, minCommon = 2)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 2L, 2L, t3 + t2)), got)
+    // minCommon=1 surfaces the single-neighbor pairs too
+    val loose = Graph.adamicAdar(e, "a", "z", maxDeg = 4, minCommon = 1)
+      .as[(Long, Long, Long, Long)].collect
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(loose((1L, 3L)) == ((1L, t3)) && loose((2L, 3L)) == ((1L, t3)))
+  }
 }

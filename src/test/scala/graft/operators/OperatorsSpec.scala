@@ -1515,4 +1515,27 @@ class KnnSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(ids == ids.sorted, "cell rows are not id-sorted")
   }
+
+  test("matryoshkaRecall: prefix retrieval misses exactly the neighbor " +
+    "whose tail carries the signal") {
+    val s = spark
+    import s.implicits._
+    // query [1,0,1,0]: full top2 = {1, 2} (sims 1.0, 0.866);
+    // 2-dim prefix [1,0]: top2 = {1, 3} (sims 1.0, 1.0 — vector 2's
+    // prefix only scores 0.707) → hits = 1
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 1f, 0f)),
+      (2L, Array(0.5f, 0.5f, 1f, 0f)),
+      (3L, Array(1f, 0f, -0.5f, 0f))).toDF("id", "vec")
+    val q = Seq((99L, Array(1f, 0f, 1f, 0f))).toDF("id", "vec")
+    val got = Knn.matryoshkaRecall(corpus, "id", "vec", q, "id", "vec",
+      k = 2, prefixDims = 2)
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(got == Seq((99L, 2L, 1L)), got)
+    // prefix = full dims → recall is perfect by construction
+    val full = Knn.matryoshkaRecall(corpus, "id", "vec", q, "id", "vec",
+      k = 2, prefixDims = 4)
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(full == Seq((99L, 2L, 2L)), full)
+  }
 }

@@ -674,4 +674,27 @@ class SamplingSpec extends SparkSpec {
     // r*N/n_k = r: identity mapping onto its own sorted values
     assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 9L))
   }
+
+  test("doremiStep: hand-computed multiplicative update, smoothing, " +
+    "and ppm normalization") {
+    val s2 = spark
+    import s2.implicits._
+    // η = 1: domain a keeps exp(0) = 1, domain b gets exp(ln 2) ≈ 2
+    val d = Seq(("a", 500000L, 0L), ("b", 500000L, 693147L))
+      .toDF("domain", "weight_ppm", "loss_micro")
+    val flat = Sampling.doremiStep(d, "domain", "weight_ppm",
+      "loss_micro", etaMicro = 1000000L, smoothPpm = 0L)
+      .as[(String, Long, Long, Long)].collect
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // raw: a = 500000, b = round(500000·e^0.693147) = 1000000
+    // alpha: a = (5e11 div 1.5e6) = 333333; b = 666666
+    assert(flat == Map("a" -> ((500000L, 333333L)),
+      "b" -> ((1000000L, 666666L))), flat)
+    val smooth = Sampling.doremiStep(d, "domain", "weight_ppm",
+      "loss_micro", etaMicro = 1000000L, smoothPpm = 200000L)
+      .as[(String, Long, Long, Long)].collect
+      .map(r => r._1 -> r._4).toMap
+    // a: (800000·333333) div 1e6 + 200000 div 2 = 266666 + 100000
+    assert(smooth == Map("a" -> 366666L, "b" -> 633332L), smooth)
+  }
 }

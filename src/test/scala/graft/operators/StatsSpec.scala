@@ -471,4 +471,59 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Long], Option[Long])].collect.head
     assert(o2 == ((2L, Some(5000000L), None, None)))
   }
+
+  test("kruskalWallis matches the hand-computed no-tie case") {
+    // a = {1,2}, b = {3,4}: ranks 1..4, R_a = 3, R_b = 7
+    // H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 17.4 − 15 = 2.4
+    val df = Seq(("s", "a", 1L), ("s", "a", 2L),
+      ("s", "b", 3L), ("s", "b", 4L)).toDF("st", "g", "v")
+    val out = Stats.kruskalWallis(df, "st", "g", "v")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect.head
+    assert(out._2 == 4L && out._3 == 2L)
+    assert(out._4.contains(2400000L), out)
+    // no ties → correction is identity
+    assert(out._5.contains(2400000L), out)
+  }
+
+  test("kruskalWallis tie correction: a={1,1} b={2,2} → H=2.4, Hc=3.0") {
+    // avg ranks 1.5,1.5,3.5,3.5 → same H as the no-tie case; tie_sum
+    // = 2·(2³−2) = 12, C = 1 − 12/60 = 0.8 → H/C = 3.0
+    val df = Seq(("s", "a", 1L), ("s", "a", 1L),
+      ("s", "b", 2L), ("s", "b", 2L)).toDF("st", "g", "v")
+    val out = Stats.kruskalWallis(df, "st", "g", "v")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect.head
+    assert(out._4.contains(2400000L), out)
+    assert(out._5.contains(3000000L), out)
+  }
+
+  test("kruskalWallis: single group gives NULL H") {
+    val df = Seq(("s", "a", 1L), ("s", "a", 2L)).toDF("st", "g", "v")
+    val out = Stats.kruskalWallis(df, "st", "g", "v")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect.head
+    assert(out._4.isEmpty && out._5.isEmpty, out)
+  }
+
+  test("jarqueBera matches the hand-computed uniform case") {
+    // {1,2,3,4}: m2 = 1.25, m3 = 0, m4 = 2.5625 → skew 0,
+    // kurt = 1.64, JB = 4/6 · 0.25 · 1.36² = 0.3082667
+    val df = Seq(("k", 1L), ("k", 2L), ("k", 3L), ("k", 4L))
+      .toDF("key", "v")
+    val out = Stats.jarqueBera(df, "key", "v")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect.head
+    assert(out._2 == 4L)
+    assert(out._3.contains(0L), out)
+    assert(out._4.contains(1640000L), out)
+    assert(out._5.contains(308267L), out)
+  }
+
+  test("jarqueBera: zero variance and n<2 give NULL micros") {
+    val df = Seq(("flat", 7L), ("flat", 7L), ("one", 3L))
+      .toDF("key", "v")
+    val out = Stats.jarqueBera(df, "key", "v")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect.map(r => r._1 -> r).toMap
+    assert(out("flat")._3.isEmpty && out("flat")._5.isEmpty)
+    assert(out("one")._3.isEmpty && out("one")._5.isEmpty)
+  }
 }
