@@ -350,33 +350,32 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
       .persist(lvl)
     // auth_0 = 1 everywhere → hub_1 = outdeg; subsequent rounds join.
-    // Each half-round is checkpointed (pagerankIntRounds rationale:
-    // without the cut, every round re-plans the full prior lineage —
-    // exchange count and job DAG grow quadratically in rounds);
-    // superseded checkpoints are freed as soon as the next lands.
-    var prevCps = List.empty[DataFrame]
+    // ONE checkpoint per full round, on the hub half only
+    // (pagerankIntRounds rationale — uncut, the lineage and exchange
+    // count grow quadratically in rounds): the auth half stays LAZY,
+    // so its single join+agg over the checkpointed hub fuses into the
+    // next round's checkpoint job. Superseded hub checkpoints are
+    // freed as soon as the next lands; job count is rounds+1, not
+    // 2·rounds+1.
+    var prevCp: Option[DataFrame] = None
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(true)
-      prevCps.foreach(graft.plans.Blocks.free)
-      prevCps = List(c)
+      prevCp.foreach(graft.plans.Blocks.free)
+      prevCp = Some(c)
       c
     }
+    def authOf(hub: DataFrame): DataFrame =
+      e.join(hub, e("src") === hub("node"))
+        .groupBy("dst").agg(sum("hub").as("auth"))
+        .select(col("dst").as("node"), col("auth"))
     var hub = cp(e.groupBy("src").agg(count(lit(1)).as("hub"))
       .select(col("src").as("node"), col("hub")))
-    var auth = e.join(hub, e("src") === hub("node"))
-      .groupBy("dst").agg(sum("hub").as("auth"))
-      .select(col("dst").as("node"), col("auth"))
-      .localCheckpoint(true)
+    var auth = authOf(hub)
     for (_ <- 2 to rounds) {
       hub = cp(e.join(auth, e("dst") === auth("node"))
         .groupBy("src").agg(sum("auth").as("hub"))
         .select(col("src").as("node"), col("hub")))
-      val nextAuth = e.join(hub, e("src") === hub("node"))
-        .groupBy("dst").agg(sum("hub").as("auth"))
-        .select(col("dst").as("node"), col("auth"))
-        .localCheckpoint(true)
-      graft.plans.Blocks.free(auth)
-      auth = nextAuth
+      auth = authOf(hub)
     }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
@@ -384,9 +383,9 @@ object Graph {
       .join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
-    e.unpersist(false)
-    // the final hub/auth checkpoints back the returned frame; freed at
-    // the caller's query boundary (graft.plans.Blocks.releaseAll)
+    // e stays persisted — the returned frame still reads it (nodes +
+    // the lazy final auth); the caller's query boundary frees it along
+    // with the final hub checkpoint (graft.plans.Blocks.releaseAll)
     out
   }
 
