@@ -3440,6 +3440,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // t-closeness EMD audit per (priority, year) cell over bucketed
+    // order totals — the privacy triad's third leg beside q200/q260.
+    "q278_tcloseness" -> ((s, dir) => {
+      operators.KeyChecks.tCloseness(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          floor(col("o_totalprice") / 20000.0).cast("long").as("bucket")),
+        Seq("pri", "yr"), "bucket", tMicro = 150000L)
+        .orderBy("pri", "yr")
+    }),
+
+    // Personalized PageRank on the q94 mod-hub graph, teleport mass
+    // concentrated on the doc_id%50 seed set, 3 exact integer rounds.
+    "q279_ppr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+        .where(col("src") =!= col("dst"))
+      val seeds = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("node"))
+      operators.Graph.personalizedPagerankInt(edges, "src", "dst",
+        seeds, "node", iters = 3)
+        .orderBy("node")
+    }),
+
     // Jarque–Bera normality per return flag from exact integer power
     // sums; the one float close is IEEE-deterministic (+,−,×,÷,√).
     "q277_jarque_bera" -> ((s, dir) => {
@@ -7915,6 +7942,70 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q278_tcloseness" ->
+      """WITH base AS (SELECT o_orderpriority AS pri,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |gc AS (SELECT pri, yr, v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM base GROUP BY 1, 2, 3),
+        |vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cg
+        |       FROM base GROUP BY 1),
+        |grp AS (SELECT pri, yr, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM gc GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS nn,
+        |        CAST(COUNT(*) AS BIGINT) AS m FROM vc),
+        |grid AS (SELECT g.pri, g.yr, g.n, vc.v, vc.cg,
+        |    COALESCE(gc.c, 0) AS c, tot.nn, tot.m
+        |  FROM grp g CROSS JOIN vc
+        |  LEFT JOIN gc ON gc.pri = g.pri AND gc.yr = g.yr AND gc.v = vc.v
+        |  CROSS JOIN tot),
+        |cum AS (SELECT pri, yr, n, m, nn,
+        |    SUM(c * nn - cg * n) OVER (PARTITION BY pri, yr
+        |      ORDER BY v) AS d
+        |  FROM grid),
+        |agg AS (SELECT pri, yr, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MAX(m) AS BIGINT) AS m, CAST(MAX(nn) AS BIGINT) AS nn,
+        |    CAST(SUM(ABS(d)) AS BIGINT) AS sabs
+        |  FROM cum GROUP BY 1, 2),
+        |e AS (SELECT pri, yr, n, m,
+        |    CASE WHEN m <= 1 THEN 0
+        |      ELSE CAST(round(CAST(sabs AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+        |           * (CAST(m AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)
+        |      END AS emd_micro
+        |  FROM agg)
+        |SELECT pri, yr, n, m, emd_micro, (emd_micro > 150000) AS risky
+        |FROM e ORDER BY pri, yr""".stripMargin,
+
+    "q279_ppr" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e2.dst, SUM(r.rank_micro // o.n) AS s
+           |       FROM e2 JOIN r${i - 1} r ON r.node = e2.src
+           |       JOIN outdeg o ON o.src = e2.src GROUP BY e2.dst),
+           |r$i AS (SELECT nodes.node,
+           |         CAST(CASE WHEN nodes.node % 50 = 0 THEN bs.b ELSE 0 END
+           |              + (COALESCE(c$i.s, 0) * 85) // 100 AS BIGINT)
+           |           AS rank_micro
+           |       FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node
+           |       CROSS JOIN bs)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 31 FROM documents),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+         |ns AS (SELECT COUNT(*) AS n,
+         |       COUNT(*) FILTER (node % 50 = 0) AS s FROM nodes),
+         |bs AS (SELECT (15 * 10000 * n) // s AS b FROM ns),
+         |outdeg AS (SELECT src, COUNT(*) AS n FROM e2 GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro
+         |       FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin
+    },
 
     "q277_jarque_bera" ->
       """WITH base AS (SELECT l_returnflag AS key,

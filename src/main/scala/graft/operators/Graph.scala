@@ -128,6 +128,65 @@ object Graph {
     (ranks, round)
   }
 
+  /** Personalized PageRank in integer micro-units — [[pagerankInt]]'s
+    * exact-replay discipline with the teleport mass concentrated on a
+    * SEED set (Haveliwala 2002, "Topic-sensitive PageRank"; the
+    * random-walk-with-restart relevance): each round
+    *   rank' = [node ∈ S] · (((100−d)·10⁴·N) div |S|)
+    *           + (d · Σ_in floor(rank/outdeg)) div 100
+    * — total teleport mass matches pagerankInt's (1−d)·N·10⁶ but
+    * flows only through the seeds, so rank concentrates in the seeds'
+    * link neighborhood: the expansion step that turns a curated
+    * whitelist (trusted domains, verified sources) into a ranked
+    * crawl/keep frontier. Start vector is uniform 10⁶ (fixed-round
+    * gates replay it; the limit is seed-relative regardless of
+    * start). Scale shape identical to pagerankInt: one co-keyed join
+    * plus one keyed aggregate per round, per-round eager checkpoints,
+    * superseded blocks freed immediately.
+    * Output: (node, rank_micro). */
+  def personalizedPagerankInt(edges: DataFrame, srcCol: String,
+                              dstCol: String, seeds: DataFrame,
+                              seedCol: String, iters: Int,
+                              dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist(lvl)
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .persist(lvl)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("n")).persist(lvl)
+    val nNodes = nodes.count()
+    val nSeeds = nodes.where(col("__s") === 1).count()
+    require(nSeeds > 0, "no seed appears in the edge set")
+    val baseSeed = (100L - dampingPct) * 10000L * nNodes / nSeeds
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
+    var prevCp: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("rank_micro div n").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__s") === 1, lit(baseSeed)).otherwise(lit(0L)) +
+            expr(s"coalesce(s, 0L) * $dampingPct div 100"))
+            .as("rank_micro"))
+      ranks = next.localCheckpoint(true)
+      prevCp.foreach(graft.plans.Blocks.free)
+      prevCp = Some(ranks)
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    outdeg.unpersist(false)
+    ranks
+  }
+
   /** Exact triangle count per node via the degree-ordered
     * node-iterator (Schank–Wagner / Cohen's MapReduce form): orient
     * every undirected edge from the (degree, id)-smaller endpoint to

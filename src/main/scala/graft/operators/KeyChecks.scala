@@ -647,4 +647,59 @@ object KeyChecks {
     rows.toDF("pair", "n_child_distinct", "n_parent_distinct",
       "n_missing", "holds")
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, ICDE) — the
+    * third leg of the privacy triad beside [[kAnonymity]] and
+    * [[entropyLDiversity]]: per quasi-identifier group, the Earth
+    * Mover's Distance between the group's sensitive-value distribution
+    * and the GLOBAL one, over an ordered numeric sensitive attribute
+    * (ordinal EMD = mean |cumulative difference|). A group whose
+    * distribution sits far from the table's leaks the attribute even
+    * when it is k-anonymous and l-diverse.
+    *
+    * Exact-replay discipline: cumulative differences are kept as
+    * EXACT integers on the common denominator n_g·N —
+    *   D_j = Σ_{i≤j} (c_i·N − C_i·n_g)
+    * — so Σ|D_j| is a BIGINT any engine reproduces; ONE double
+    * division closes EMD_micro = round(Σ|D_j| / (n_g·N·(m−1)) · 1e6).
+    *
+    * Scale shape: two keyed aggregates (group×value cells — the only
+    * row-scale exchange — and value cells), then a groups×values grid
+    * (bounded by quasi-group count × value-domain size; callers
+    * pre-bucket continuous sensitive columns) with a cell-scale
+    * cumulative window. Output: (quasi..., n, m, emd_micro, risky)
+    * where risky ⇔ emd_micro > tMicro; m = 1 → EMD 0. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi column")
+    val v = col(sensitiveCol).cast("long").as("v")
+    val base = df.where(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+ v: _*)
+    val groupCells = base
+      .groupBy(quasiCols.map(col) :+ col("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val globalCells = base.groupBy("v").agg(count(lit(1)).as("cg"))
+    val groups = groupCells.groupBy(quasiCols.map(col): _*)
+      .agg(sum("c").as("n"))
+    val total = globalCells.agg(sum("cg").as("nn"),
+      count(lit(1)).as("m"))
+    val grid = groups
+      .crossJoin(broadcast(globalCells.select(col("v"), col("cg"))))
+      .join(groupCells, quasiCols :+ "v", "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(total))
+      .withColumn("d", col("c") * col("nn") - col("cg") * col("n"))
+      .withColumn("cum", sum("d").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(quasiCols.map(col): _*).orderBy("v")))
+    val emd = round(col("sabs").cast("double") /
+      (col("n").cast("double") * col("nn").cast("double") *
+        (col("m").cast("double") - lit(1.0))) * 1e6).cast("long")
+    grid.groupBy(quasiCols.map(col): _*)
+      .agg(max("n").as("n"), max("m").as("m"), max("nn").as("nn"),
+        sum(abs(col("cum"))).as("sabs"))
+      .select(quasiCols.map(col) ++ Seq(col("n"), col("m"),
+        when(col("m") <= 1, lit(0L)).otherwise(emd).as("emd_micro")): _*)
+      .withColumn("risky", col("emd_micro") > lit(tMicro))
+  }
 }

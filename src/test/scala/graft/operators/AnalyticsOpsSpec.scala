@@ -816,4 +816,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     // parent {1,2} ⊆ child {1,2,3}: holds
     assert(out("p_in_c") == (("p_in_c", 2L, 3L, 0L, true)))
   }
+
+  test("tCloseness: hand-computed ordinal EMD, global-matching group " +
+    "scores zero") {
+    // global over {A:(1,1), B:(2,2), C:(1,2)}: C1=3, C2=3, N=6, m=2.
+    // A: D1 = 2·6 − 3·2 = 6 → EMD = 6/(2·6·1) = 0.5; B symmetric;
+    // C matches the global distribution → EMD 0.
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
+      ("C", 1L), ("C", 2L)).toDF("g", "v")
+    val out = KeyChecks.tCloseness(df, Seq("g"), "v", tMicro = 400000L)
+      .as[(String, Long, Long, Long, Boolean)].collect
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 2L, 2L, 500000L, true)), out("A"))
+    assert(out("B") == (("B", 2L, 2L, 500000L, true)), out("B"))
+    assert(out("C") == (("C", 2L, 2L, 0L, false)), out("C"))
+  }
+
+  test("tCloseness: single-value domain gives EMD 0") {
+    val df = Seq(("A", 5L), ("B", 5L)).toDF("g", "v")
+    val out = KeyChecks.tCloseness(df, Seq("g"), "v", tMicro = 0L)
+      .as[(String, Long, Long, Long, Boolean)].collect.toSeq
+    assert(out.forall(r => r._4 == 0L && !r._5), out)
+  }
 }

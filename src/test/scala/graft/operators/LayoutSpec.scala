@@ -226,4 +226,30 @@ class GraphSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(loose((1L, 3L)) == ((1L, t3)) && loose((2L, 3L)) == ((1L, t3)))
   }
+
+  test("personalizedPagerankInt: teleport mass lands only on seeds, " +
+    "hand-computed round") {
+    val s = spark
+    import s.implicits._
+    // 1→2, 2→1, 3→1; seed {1}. N=3, |S|=1 → baseSeed = 15·10⁴·3 = 450000.
+    // Round 1 from uniform 1e6 (all outdeg 1):
+    //   node1: 450000 + 85%·(r(2)+r(3)) = 450000 + 1700000 = 2150000
+    //   node2: 0 + 85%·r(1) = 850000;  node3: 0 (no in-edges)
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r1 = Graph.personalizedPagerankInt(e, "src", "dst", seeds,
+      "node", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2150000L, 2L -> 850000L, 3L -> 0L), r1)
+    // rank keeps concentrating near the seed set over rounds
+    val r3 = Graph.personalizedPagerankInt(e, "src", "dst", seeds,
+      "node", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(1L) > r3(2L) && r3(2L) > r3(3L), r3)
+    // a seed that never appears in the edge set is rejected
+    val bad = Seq(Tuple1(99L)).toDF("node")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPagerankInt(e, "src", "dst", bad, "node", 1)
+    }
+  }
 }
