@@ -3440,6 +3440,35 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // RAKE keyphrases over the corpus: stopword/punct-delimited
+    // candidate phrases, degree/frequency word scores, top 25.
+    "q282_rake" -> ((s, dir) => {
+      operators.TextAnalytics.rakeKeywords(t(s, dir, "documents"), "text",
+        Seq("the", "a", "an", "of", "and", "or", "to", "in", "on", "for",
+          "with", "is", "are", "was", "be", "as", "at", "by", "it",
+          "this", "that", "from"), topN = 25, maxWords = 4)
+    }),
+
+    // Gap-constrained episode pairs (WINEPI length-2): which event
+    // types follow which within 24h of the same user's stream, every
+    // in-window occurrence pair counted.
+    "q280_episode_pairs" -> ((s, dir) => {
+      operators.Sequences.episodePairs(events(s, dir), "user_id", "ts",
+        "event_type", gapSeconds = 86400L, minSupport = 10L)
+        .orderBy("a", "b")
+    }),
+
+    // Positional phrase index: exact two-word phrase occurrences via
+    // position intersection — must equal the token-scan ground truth.
+    "q281_phrase_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pos").toString
+      operators.InvertedIndex.writePositional(docs, "doc_id", "text", tmp,
+        buckets = 16)
+      operators.InvertedIndex.searchPhrase(s, tmp, "table hash")
+        .orderBy("doc_id")
+    }),
+
     // t-closeness EMD audit per (priority, year) cell over bucketed
     // order totals — the privacy triad's third leg beside q200/q260.
     "q278_tcloseness" -> ((s, dir) => {
@@ -7942,6 +7971,64 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q282_rake" ->
+      """WITH t0 AS (
+        |  SELECT ' ' || regexp_replace(lower(text), '[^a-z0-9\s]+',
+        |    ' | ', 'g') || ' ' AS s
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT regexp_replace(regexp_replace(s,
+        |    ' (?:the|a|an|of|and|or|to|in|on|for|with|is|are|was|be|as|at|by|it|this|that|from) ',
+        |    ' | ', 'g'),
+        |    ' (?:the|a|an|of|and|or|to|in|on|for|with|is|are|was|be|as|at|by|it|this|that|from) ',
+        |    ' | ', 'g') AS s
+        |  FROM t0),
+        |ph0 AS (SELECT unnest(string_split(s, '|')) AS p FROM t2),
+        |ww AS (SELECT list_filter(string_split_regex(trim(p), '\s+'),
+        |         x -> x <> '') AS w
+        |       FROM ph0),
+        |ph AS (SELECT array_to_string(w, ' ') AS phrase,
+        |         CAST(len(w) AS BIGINT) AS plen, w
+        |       FROM ww WHERE len(w) BETWEEN 1 AND 4),
+        |wstat AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg
+        |  FROM (SELECT unnest(w) AS word, plen FROM ph) x
+        |  GROUP BY 1),
+        |wsc AS (SELECT word, (deg * 1000000) // freq AS ws FROM wstat),
+        |pc AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |       FROM ph GROUP BY 1),
+        |psc AS (SELECT pc.phrase, pc.n_occurrences,
+        |    CAST(SUM(ws) AS BIGINT) AS score_micro
+        |  FROM pc, unnest(string_split(pc.phrase, ' ')) AS t(word)
+        |  JOIN wsc USING (word)
+        |  GROUP BY 1, 2)
+        |SELECT phrase, n_occurrences, score_micro FROM psc
+        |ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin,
+
+    "q280_episode_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+        |SELECT a.t AS a, b.t AS b, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM e a JOIN e b ON a.u = b.u AND b.ts > a.ts
+        |  AND b.ts - a.ts <= 86400 * CAST(1000000 AS BIGINT)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |ORDER BY a, b""".stripMargin,
+
+    "q281_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, i
+        |  FROM tk, unnest(range(1, len(t))) AS u(i)
+        |  WHERE t[i] = 'table' AND t[i+1] = 'hash')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM hits GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q278_tcloseness" ->
       """WITH base AS (SELECT o_orderpriority AS pri,

@@ -141,6 +141,69 @@ object InvertedIndex {
       .where(col(textCol).contains(needle))
   }
 
+  /** Positional postings index — the third index sibling: BM25 ranks
+    * bags of words, trigrams answer substrings, POSITIONS answer
+    * exact multi-word PHRASES without a corpus scan. Layout:
+    * `path/postings/bucket=<b>/` rows (term, doc_id, positions
+    * ARRAY<pos>) partitioned by `bucket = pmod(xxhash64(term),
+    * buckets)`; `path/_stats` one row (buckets). Tokenization matches
+    * the BM25 index (lowercase, \s+ split, empties dropped), so a
+    * position is an index into that token list.
+    *
+    * Build is one corpus shuffle (the (doc, term) positions collect);
+    * postings are vocabulary-hash-sliced like the BM25 layout, so
+    * bucket balance follows the vocabulary, not document skew. */
+  def writePositional(df: DataFrame, idCol: String, textCol: String,
+                      path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(toks(textCol)).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list("pos")).as("positions"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    import df.sparkSession.implicits._
+    Seq(buckets.toLong).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Exact phrase search through the positional index: for phrase
+    * tokens t₀..t_{m−1}, a doc matches at anchor p iff every tᵢ has
+    * a posting at p+i — the classic position-intersection, expressed
+    * relationally: each (term, offset) pair explodes its positions
+    * SHIFTED by −offset, and an (doc, anchor) cell holding all m
+    * offsets is one occurrence. Reads only the probed buckets
+    * (partition pruning, the searchBm25 posture); repeated phrase
+    * terms are handled (each offset counts separately). EXACTLY
+    * equals the direct scan's whitespace-token phrase count.
+    * Output: (doc_id, n_occurrences), matches only. */
+  def searchPhrase(spark: SparkSession, path: String,
+                   phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.size >= 2, "phrase must have >= 2 tokens")
+    val buckets = spark.read.parquet(s"$path/_stats").head().getLong(0)
+    import spark.implicits._
+    val offsets = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+    val distinctTerms = terms.distinct
+    val bks = distinctTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val posts = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(bks: _*) &&
+        col("term").isin(distinctTerms: _*))
+    posts.join(broadcast(offsets.toDF("term", "off")), Seq("term"))
+      .select(col("doc_id"), col("off"),
+        explode(col("positions")).as("p"))
+      .select(col("doc_id"), (col("p") - col("off")).as("anchor"),
+        col("off"))
+      .groupBy("doc_id", "anchor")
+      .agg(count_distinct(col("off")).as("n"))
+      .where(col("n") === lit(offsets.size.toLong))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Top-`k` docs by BM25 over the query `terms`, reading ONLY the
     * buckets those terms hash into. Scores are integer MICRO-units
     * with bm25Scores' exact operation order (same oracle replay);

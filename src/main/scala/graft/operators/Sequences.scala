@@ -157,4 +157,37 @@ object Sequences {
       .groupBy("t1", "t2").agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
   }
+
+  /** Gap-constrained serial episode pairs (the length-2 WINEPI
+    * episodes of Mannila, Toivonen & Verkamo 1997, "Discovery of
+    * frequent episodes in event sequences"): support of the ordered
+    * pair a → b counts every (occurrence-of-a, occurrence-of-b) with
+    * 0 < t_b − t_a ≤ gap in the same key's stream.
+    * [[markovTransitions]] sees only ADJACENT steps and
+    * [[precedencePairs]] ignores distance entirely; the gap band is
+    * the "users who do X do Y within the hour" support a rule miner
+    * needs. Strictly-after semantics (simultaneous events never
+    * pair) keep the count replayable with no ordering tie-breaks.
+    *
+    * Scale shape: a key-co-partitioned band self-join — both sides
+    * shuffle ONCE on the key, the band bounds per-row fan-out by the
+    * key's event rate × gap (the rangeJoin posture; a skewed hot key
+    * bounds at rate·gap pairs, not n²). Output: (a, b, support) for
+    * support ≥ minSupport. */
+  def episodePairs(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, gapSeconds: Long,
+                   minSupport: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
+    val base = df
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("u"), col(typeCol).as("t"),
+        unix_micros(col(tsCol)).as("ts"))
+    val l = base.select(col("u"), col("t").as("a"), col("ts").as("ta"))
+    val r = base.select(col("u"), col("t").as("b"), col("ts").as("tb"))
+    l.join(r, Seq("u"))
+      .where(col("tb") > col("ta") &&
+        col("tb") - col("ta") <= lit(gapSeconds * 1000000L))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
 }

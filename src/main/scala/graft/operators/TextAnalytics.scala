@@ -1235,4 +1235,56 @@ object TextAnalytics {
             col("n_words").cast("double") * 1e6).cast("long"))
           .as("fertility_micro"))
   }
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic keyword extraction from individual documents"):
+    * candidate phrases are maximal stopword/punctuation-free token
+    * runs; word score = degree/frequency over those phrases (degree =
+    * Σ phrase length across a word's occurrences — co-occurring words
+    * boost each other); phrase score = Σ member word scores. The
+    * unsupervised keyphrase extractor that needs no corpus statistics
+    * beyond one pass.
+    *
+    * Exact-replay discipline: word scores are (deg·10⁶) div freq —
+    * non-negative integer division both engines agree on — so phrase
+    * scores are order-free integer sums. Phrase splitting is two
+    * deterministic regex passes (punctuation → break; ' stop ' →
+    * break, twice, because a replacement consumes the delimiter space
+    * of its neighbor — two passes close any run of adjacent
+    * stopwords in both Java and RE2 regex engines).
+    *
+    * Scale shape: pure scan projections until the two keyed
+    * aggregates (word stats, phrase counts — both vocabulary/phrase-
+    * cardinality); the top-n cut is a bounded TakeOrdered. Output:
+    * (phrase, n_occurrences, score_micro), ties broken by phrase. */
+  def rakeKeywords(df: DataFrame, textCol: String,
+                   stopwords: Seq[String], topN: Int,
+                   maxWords: Int = 4): DataFrame = {
+    require(stopwords.nonEmpty && topN >= 1 && maxWords >= 1)
+    val stopAlt = stopwords.map(java.util.regex.Pattern.quote)
+      .mkString("|")
+    val pat = s" (?:$stopAlt) "
+    val t0 = concat(lit(" "),
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]+", " | "),
+      lit(" "))
+    val t2 = regexp_replace(regexp_replace(t0, pat, " | "), pat, " | ")
+    val words = filter(split(trim(col("p")), "\\s+"), w => w =!= "")
+    val ph = df.select(explode(split(t2, "\\|")).as("p"))
+      .select(words.as("w"))
+      .where(size(col("w")).between(1, maxWords))
+      .select(array_join(col("w"), " ").as("phrase"),
+        size(col("w")).as("plen"), col("w"))
+    val wsc = ph.select(col("plen"), explode(col("w")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("word"), expr("deg * 1000000L div freq").as("ws"))
+    val pc = ph.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    pc.select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wsc, Seq("word"))
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum("ws").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(topN)
+  }
 }

@@ -80,4 +80,29 @@ class InvertedIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(after == Seq(1L, 4L, 6L), s"appended doc must be found: $after")
   }
+
+  test("positional index: phrase hits by position intersection, " +
+    "multiple and repeated-term occurrences counted") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "big cat sat"),
+      (2L, "the big cat big cat"),
+      (3L, "big dog"),
+      (4L, "cat big")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pos_t").toString
+    InvertedIndex.writePositional(docs, "doc_id", "text", tmp, buckets = 4)
+    val hits = InvertedIndex.searchPhrase(s, tmp, "big cat")
+      .as[(Long, Long)].collect.toMap
+    // doc2 holds the phrase twice; doc4 has both words but reversed
+    assert(hits == Map(1L -> 1L, 2L -> 2L), hits)
+    // a phrase with a REPEATED term must require both offsets
+    val rep = InvertedIndex.searchPhrase(s, tmp, "big cat big")
+      .as[(Long, Long)].collect.toMap
+    assert(rep == Map(2L -> 1L), rep)
+    // ground truth parity: equals the direct token-scan count
+    val none = InvertedIndex.searchPhrase(s, tmp, "cat sat big")
+      .collect()
+    assert(none.isEmpty)
+  }
 }

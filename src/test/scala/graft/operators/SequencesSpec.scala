@@ -76,4 +76,24 @@ class SequencesSpec extends SparkSpec {
       .as[(String, String, String, Long)].collect.toSeq
     assert(top1 == Seq(("a", "b", "c", 2L)))
   }
+
+  test("episodePairs: gap band, strict order, per-key isolation, " +
+    "every in-window occurrence pair counted") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // u1: A@0, B@30, B@50, C@120; u2: B@10 (must not pair with u1's A)
+    val df = Seq(
+      ("u1", ts(0), "A"), ("u1", ts(30), "B"), ("u1", ts(50), "B"),
+      ("u1", ts(120), "C"), ("u2", ts(10), "B"))
+      .toDF("u", "ts", "et")
+    // gap 60s: A→B twice (Δ30, Δ50), B→B once (Δ20); C out of range
+    val got = Sequences.episodePairs(df, "u", "ts", "et",
+      gapSeconds = 60L, minSupport = 1L)
+      .as[(String, String, Long)].collect.map(r => (r._1, r._2) -> r._3)
+      .toMap
+    assert(got == Map(("A", "B") -> 2L, ("B", "B") -> 1L), got)
+    // support threshold drops the singleton pair
+    val top = Sequences.episodePairs(df, "u", "ts", "et", 60L, 2L)
+      .as[(String, String, Long)].collect.toSeq
+    assert(top == Seq(("A", "B", 2L)), top)
+  }
 }

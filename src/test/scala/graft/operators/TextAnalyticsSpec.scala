@@ -646,4 +646,31 @@ class TextAnalyticsSpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Long])].collect.head
     assert(capped._1 == 3L) // head truncated at maxRank
   }
+
+  test("rakeKeywords: hand-computed degree/frequency scores, stopword " +
+    "and punctuation phrase breaks") {
+    val s = spark
+    import s.implicits._
+    // "deep learning, of deep models": phrases "deep learning" and
+    // "deep models" (comma and 'of' both break). deep: freq 2,
+    // deg 4 → 2e6; learning/models: freq 1, deg 2 → 2e6.
+    // Both phrases score 4e6; tie broken by phrase asc.
+    val df = Seq("deep learning, of deep models").toDF("text")
+    val got = TextAnalytics.rakeKeywords(df, "text", Seq("of"), topN = 5)
+      .as[(String, Long, Long)].collect.toSeq
+    assert(got == Seq(("deep learning", 1L, 4000000L),
+      ("deep models", 1L, 4000000L)), got)
+    // repeated phrase aggregates occurrences; adjacent stopwords break
+    val rep = Seq("deep learning of the deep learning").toDF("text")
+    val got2 = TextAnalytics.rakeKeywords(rep, "text",
+      Seq("of", "the"), topN = 5)
+      .as[(String, Long, Long)].collect.toSeq
+    assert(got2 == Seq(("deep learning", 2L, 4000000L)), got2)
+    // phrases longer than maxWords are dropped entirely
+    val long = Seq("one two three four five").toDF("text")
+    val got3 = TextAnalytics.rakeKeywords(long, "text", Seq("zzz"),
+      topN = 5, maxWords = 4)
+      .collect()
+    assert(got3.isEmpty, got3.toSeq)
+  }
 }
