@@ -3440,6 +3440,19 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Deterministic synchronous label propagation on the symmetrized
+    // mod-hub graph: 3 rounds, mode-of-neighbors with the fixed
+    // (count desc, label asc) tie-break.
+    "q283_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+      operators.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+        .orderBy("node")
+    }),
+
     // RAKE keyphrases over the corpus: stopword/punct-delimited
     // candidate phrases, degree/frequency word scores, top 25.
     "q282_rake" -> ((s, dir) => {
@@ -7971,6 +7984,29 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q283_label_prop" -> {
+      def round(i: Int): String =
+        s"""l$i AS (SELECT node, label FROM (
+           |    SELECT g.src AS node, l.label,
+           |      ROW_NUMBER() OVER (PARTITION BY g.src
+           |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+           |    FROM sym g JOIN l${i - 1} l ON l.node = g.dst
+           |    GROUP BY g.src, l.label) x
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 31 FROM documents),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0
+         |    UNION ALL SELECT dst, src FROM e0) u
+         |  WHERE src <> dst),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
 
     "q282_rake" ->
       """WITH t0 AS (

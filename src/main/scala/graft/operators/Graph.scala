@@ -187,6 +187,56 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007, "Near linear time algorithm to detect
+    * community structures") made DETERMINISTIC: labels start as node
+    * ids; each round every node adopts the MODE of its neighbors'
+    * labels with the fixed tie-break (count desc, label asc) — the
+    * random tie-breaks and asynchronous sweep of the original are
+    * exactly what a replayable engine cannot ship. Fixed `rounds`
+    * (data-dependent convergence is not SQL-replayable; label
+    * cycling, LPA's known pathology under synchronous update, is
+    * bounded by the round budget either way). Edges are symmetrized
+    * and self-loops dropped.
+    *
+    * Scale shape: per round, one co-keyed edges ⋈ labels join, one
+    * (node, label) count aggregate, and a per-node top-1 cut via
+    * max_by-style struct max — map-side combinable, no row-scale
+    * window. Per-round eager checkpoints (pagerankIntRounds
+    * rationale). Output: (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(lvl)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var prevCp: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val counts = sym
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // top-1 by (count desc, label asc) as an order-embedding struct
+      // max: (c, -label) maximizes exactly that ordering — aggregate,
+      // not window, so partials combine map-side
+      val next = counts
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      labels = next.localCheckpoint(true)
+      prevCp.foreach(graft.plans.Blocks.free)
+      prevCp = Some(labels)
+    }
+    sym.unpersist(false)
+    labels
+  }
+
   /** Exact triangle count per node via the degree-ordered
     * node-iterator (Schank–Wagner / Cohen's MapReduce form): orient
     * every undirected edge from the (degree, id)-smaller endpoint to

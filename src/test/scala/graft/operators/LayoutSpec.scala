@@ -252,4 +252,25 @@ class GraphSpec extends SparkSpec {
       Graph.personalizedPagerankInt(e, "src", "dst", bad, "node", 1)
     }
   }
+
+  test("labelPropagation: two bridged triangles split into their own " +
+    "communities, hand-replayed rounds") {
+    val s = spark
+    import s.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3–4. After 3 synchronous
+    // rounds with the (count desc, label asc) tie-break the labels
+    // settle to {1,1,1, 3,3,3} (hand-replayed round by round).
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect.toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got)
+    // symmetrization: direction of the input edges must not matter
+    val rev = Graph.labelPropagation(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect.toMap
+    assert(rev == got)
+  }
 }
