@@ -3440,6 +3440,46 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Benjamini–Hochberg step-up over portable-hash pseudo p-values:
+    // the reject set is decided in pure integer arithmetic.
+    "q284_bh_fdr" -> ((s, dir) => {
+      val tests = t(s, dir, "nation").select(col("n_name").as("test"),
+        pmod(graft.functions.Hashes.md5Hash64(col("n_name")),
+          lit(1000000L)).as("p_micro"))
+      operators.Stats.bhFdr(tests, "test", "p_micro",
+        alphaMicro = 200000L)
+        .orderBy("rank")
+    }),
+
+    // Pairwise source-vocabulary overlap: exact intersection/union
+    // sizes and integer Jaccard for all 190 source pairs.
+    "q285_vocab_overlap" -> ((s, dir) => {
+      operators.TextAnalytics.vocabOverlap(t(s, dir, "documents"),
+        "source", "text")
+        .orderBy("g_a", "g_b")
+    }),
+
+    // Neyman budget allocation across order priorities by exact
+    // integer largest-remainder apportionment of B·N_h·σ_h.
+    "q286_neyman" -> ((s, dir) => {
+      operators.Sampling.neymanAllocation(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "pri", "cents", budget = 1000L)
+        .orderBy("stratum")
+    }),
+
+    // Cochran–Armitage dose-ordered trend: does the F-status rate
+    // drift with the numeric priority level?
+    "q287_cochran_armitage" -> ((s, dir) => {
+      operators.Stats.cochranArmitage(
+        t(s, dir, "orders").select(
+          substring(col("o_orderpriority"), 1, 1).cast("long")
+            .as("dose"),
+          (col("o_orderstatus") === "F").as("success")),
+        "dose", "success")
+    }),
+
     // Deterministic synchronous label propagation on the symmetrized
     // mod-hub graph: 3 rounds, mode-of-neighbors with the fixed
     // (count desc, label asc) tie-break.
@@ -7984,6 +8024,116 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q284_bh_fdr" ->
+      s"""WITH tests AS (
+         |  SELECT n_name AS test,
+         |    ${md5Hash64Sql("n_name")} % 1000000 AS p_micro
+         |  FROM nation),
+         |ranked AS (SELECT test, CAST(p_micro AS BIGINT) AS p_micro,
+         |    ROW_NUMBER() OVER (ORDER BY p_micro, test) AS rank,
+         |    COUNT(*) OVER () AS m
+         |  FROM tests),
+         |ks AS (SELECT test, p_micro, CAST(rank AS BIGINT) AS rank,
+         |    MAX(CASE WHEN p_micro * m <= rank * 200000
+         |        THEN rank ELSE 0 END) OVER () AS kstar
+         |  FROM ranked)
+         |SELECT test, p_micro, rank, (rank <= kstar) AS reject
+         |FROM ks ORDER BY rank""".stripMargin,
+
+    "q285_vocab_overlap" ->
+      """WITH gt AS (
+        |  SELECT DISTINCT source AS g,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)),
+        |      '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS v
+        |          FROM gt GROUP BY g),
+        |inter AS (SELECT a.g AS g_a, b.g AS g_b,
+        |    CAST(COUNT(*) AS BIGINT) AS intersection
+        |  FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT g_a, g_b, sa.v AS vocab_a, sb.v AS vocab_b, intersection,
+        |  (intersection * 1000000) // (sa.v + sb.v - intersection)
+        |    AS jaccard_micro
+        |FROM inter JOIN sizes sa ON sa.g = g_a
+        |JOIN sizes sb ON sb.g = g_b
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    "q286_neyman" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |sg AS (SELECT stratum, n_rows,
+        |    CASE WHEN n_rows >= 2 AND
+        |      (CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))
+        |      > 0
+        |    THEN CAST(round(sqrt(
+        |      (CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))))
+        |      AS BIGINT)
+        |    ELSE 0 END AS sigma_int
+        |  FROM g),
+        |w AS (SELECT stratum, n_rows, sigma_int,
+        |    n_rows * sigma_int AS w,
+        |    CAST(SUM(n_rows * sigma_int) OVER () AS BIGINT) AS tw
+        |  FROM sg),
+        |b AS (SELECT stratum, n_rows, sigma_int, tw,
+        |    CASE WHEN tw > 0 THEN (1000 * w) // tw ELSE 0 END AS base,
+        |    CASE WHEN tw > 0 THEN (1000 * w) % tw ELSE 0 END AS rem
+        |  FROM w),
+        |fin AS (SELECT stratum, n_rows, sigma_int, tw, base,
+        |    1000 - CAST(SUM(base) OVER () AS BIGINT) AS leftn,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS pri
+        |  FROM b)
+        |SELECT stratum, n_rows, sigma_int,
+        |  CAST(CASE WHEN tw > 0
+        |    THEN base + (CASE WHEN pri <= leftn THEN 1 ELSE 0 END)
+        |    ELSE 0 END AS BIGINT) AS alloc
+        |FROM fin ORDER BY stratum""".stripMargin,
+
+    "q287_cochran_armitage" ->
+      """WITH cells AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1),
+        |c2 AS (SELECT w, n, r,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+        |    CAST(SUM(r) OVER () AS BIGINT) AS tot_r
+        |  FROM cells),
+        |agg AS (SELECT CAST(MAX(tot_n) AS BIGINT) AS nn,
+        |    CAST(MAX(tot_r) AS BIGINT) AS rr,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(w * n) AS swn, SUM(w * w * n) AS swwn,
+        |    SUM(w * (r * tot_n - n * tot_r)) AS t_num
+        |  FROM c2)
+        |SELECT nn AS n, k, CAST(t_num AS BIGINT) AS t_num,
+        |  CASE WHEN CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * CAST(nn AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) * CAST(swwn AS DOUBLE)
+        |         - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)) > 0
+        |    THEN CAST(round(CAST(t_num AS DOUBLE)
+        |      / sqrt(CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) * CAST(swwn AS DOUBLE)
+        |           - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)))
+        |      * 1e6) AS BIGINT)
+        |    END AS z_micro
+        |FROM agg""".stripMargin,
 
     "q283_label_prop" -> {
       def round(i: Int): String =

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus shaping operators for training-data curation. */
 object Sampling {
@@ -946,6 +947,58 @@ object Sampling {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(path)
+
+  /** Neyman allocation (Neyman 1934) of a sampling budget across
+    * strata: n_h ∝ N_h·σ_h — under a fixed total, variance-optimal
+    * stratified sampling oversamples big AND noisy strata. The
+    * eval-set construction step after [[splitStratified]] decides the
+    * strata: how many rows each stratum DESERVES.
+    *
+    * Exact-replay discipline: σ_h comes from exact integer moments
+    * (callers pass an integer-unit column — the corrMatrix contract)
+    * with one IEEE √ close, then QUANTIZED to integer units, so the
+    * weight w_h = N_h·σ_int is a BIGINT; the allocation itself is
+    * largest-remainder apportionment in pure integer arithmetic —
+    * base_h = B·w_h div W, leftovers to the largest B·w_h mod W
+    * (ties by stratum asc) — which both sums EXACTLY to the budget
+    * and replays in any engine. Zero-variance strata get weight 0
+    * (they need one row at most — take it from the base share of a
+    * caller-side floor if needed).
+    *
+    * Windows run over the STRATUM list — metadata-scale. Output:
+    * (stratum, n_rows, sigma_int, alloc). */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val dec = DecimalType(38, 0)
+    val x = col(valueCol).cast("long").cast(dec)
+    val g = df.where(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(x).as("s1"),
+        sum(x * x).as("s2"))
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n_rows")
+    val varN = (nD * d("s2") - d("s1") * d("s1")) / (nD * (nD - lit(1.0)))
+    val sigma = when(col("n_rows") >= 2 && varN > 0,
+      round(sqrt(varN))).otherwise(lit(0.0)).cast("long")
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("rem").desc, col("stratum").asc)
+    g.withColumn("sigma_int", sigma)
+      .withColumn("w", col("n_rows") * col("sigma_int"))
+      .withColumn("tw", sum("w").over(wAll))
+      .withColumn("base",
+        when(col("tw") > 0, expr(s"(${budget}L * w) div tw"))
+          .otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("tw") > 0, expr(s"(${budget}L * w) % tw"))
+          .otherwise(lit(0L)))
+      .withColumn("left", lit(budget) - sum("base").over(wAll))
+      .withColumn("pri", row_number().over(wRem))
+      .select(col("stratum"), col("n_rows"), col("sigma_int"),
+        when(col("tw") > 0,
+          col("base") + when(col("pri") <= col("left"), 1L)
+            .otherwise(0L)).otherwise(lit(0L)).as("alloc"))
+  }
 
   /** One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
     * Optimizing data mixtures speeds up language model pretraining",

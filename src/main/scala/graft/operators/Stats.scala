@@ -1415,6 +1415,90 @@ object Stats {
           .as("h_tied_micro"))
   }
 
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995,
+    * "Controlling the false discovery rate"): given m tests with
+    * micro-unit p-values, reject the k* smallest where k* = max{k :
+    * p₍ₖ₎ ≤ k·α/m} — the multiple-testing gate every per-key test in
+    * this file feeds when run across thousands of strata. PURE
+    * integer arithmetic: the step-up condition is evaluated as
+    * p_micro·m ≤ rank·alpha_micro (exact BIGINTs, no division), so
+    * the reject set replays exactly in any engine.
+    *
+    * Ties in p break by test id (deterministic ranks); rejection is
+    * by rank ≤ k*, so equal-p tests straddling k* resolve
+    * deterministically too. The windows run over the TEST list —
+    * m rows, metadata-scale by construction.
+    * Output: (test, p_micro, rank, reject). */
+  def bhFdr(df: DataFrame, testCol: String, pMicroCol: String,
+            alphaMicro: Long): DataFrame = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [0, 1e6], got $alphaMicro")
+    val w = Window.orderBy(col("p_micro"), col("test"))
+    val all = Window.partitionBy()
+    val ranked = df
+      .select(col(testCol).as("test"),
+        col(pMicroCol).cast("long").as("p_micro"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(all))
+    val kstar = max(when(
+      col("p_micro") * col("m") <= col("rank") * lit(alphaMicro),
+      col("rank")).otherwise(lit(0L))).over(all)
+    ranked
+      .withColumn("reject", col("rank") <= kstar)
+      .select(col("test"), col("p_micro"),
+        col("rank").cast("long").as("rank"), col("reject"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) for a
+    * DOSE-ORDERED proportion drift: strata carry integer dose scores
+    * w_i, per-stratum totals n_i and successes r_i; the statistic's
+    * numerator T = Σ w_i·(r_i·N − n_i·R) and variance pieces are
+    * EXACT integers (DECIMAL(38,0) accumulation), with one IEEE
+    * close z = T / √(p̄(1−p̄)·N·(N·Σw²n − (Σwn)²)) micro-rounded.
+    * The monotone-drift sibling of [[proportionsZ]] (two groups) and
+    * [[mannKendallDaily]] (continuous): is the success rate RISING
+    * with the ordered bucket?
+    * Input: one row per observation; `doseCol` integral. Output: one
+    * row (n, k_doses, t_num, z_micro). */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+                      successCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wI = col(doseCol).cast("long")
+    val sI = col(successCol).cast("boolean")
+    val cells = df.where(wI.isNotNull && sI.isNotNull)
+      .groupBy(wI.as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(sI, 1L).otherwise(0L)).as("r"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // totals attach via a window over the k-row dose-cell frame
+    // (metadata scale), so T's per-cell terms stay exact integers
+    val wAll = Window.partitionBy()
+    val cells2 = cells
+      .withColumn("tot_n", sum("n").over(wAll))
+      .withColumn("tot_r", sum("r").over(wAll))
+    val agg = cells2.agg(
+      max("tot_n").cast(dec).as("nn"), max("tot_r").cast(dec).as("rr"),
+      count(lit(1)).as("k"),
+      sum(col("w").cast(dec) * col("n").cast(dec)).as("swn"),
+      sum(col("w").cast(dec) * col("w").cast(dec) * col("n").cast(dec))
+        .as("swwn"),
+      sum(col("w").cast(dec) *
+        (col("r").cast(dec) * col("tot_n").cast(dec) -
+          col("n").cast(dec) * col("tot_r").cast(dec)))
+        .as("t_num"))
+    agg.select(col("nn").cast("long").as("n"), col("k"),
+      col("t_num").cast("long").as("t_num"),
+      {
+        val nD = d(col("nn")); val rD = d(col("rr"))
+        val pbar = rD / nD
+        val vr = pbar * (lit(1.0) - pbar) * nD *
+          (nD * d(col("swwn")) - d(col("swn")) * d(col("swn")))
+        when(vr > 0,
+          round(d(col("t_num")) / sqrt(vr) * 1e6).cast("long"))
+          .as("z_micro")
+      })
+  }
+
   /** Jarque–Bera normality test (Jarque & Bera 1980) per key, from
     * exact integer power sums: callers pre-quantize to integer units
     * (the corrMatrix contract) and keep |x| small enough that Σx⁴

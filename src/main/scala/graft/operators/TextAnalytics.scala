@@ -1236,6 +1236,44 @@ object TextAnalytics {
           .as("fertility_micro"))
   }
 
+  /** Pairwise vocabulary overlap between corpus groups (sources,
+    * languages, time slices): for each group pair, exact distinct-
+    * token intersection/union sizes and Jaccard micros — the
+    * corpus-composition drift readout at the VOCABULARY level
+    * ([[Dedup]] compares documents; [[KeyChecks.statsDrift]] compares
+    * numeric moments; this compares what words each slice even uses).
+    *
+    * Scale shape: one row-scale (group, token) distinct aggregate,
+    * then a token-keyed self-join whose per-token fan-out is bounded
+    * by the GROUP count squared — groups are metadata-scale by
+    * construction (sources, languages), so the pair stream is
+    * G²-bounded per token, never corpus². Jaccard closes in integer
+    * arithmetic: inter·10⁶ div (va + vb − inter).
+    * Output: (g_a, g_b, vocab_a, vocab_b, intersection,
+    * jaccard_micro) for pairs g_a < g_b. */
+  def vocabOverlap(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val gt = df
+      .select(col(groupCol).cast("string").as("g"),
+        explode(graft.functions.Text.tokens(lower(col(textCol))))
+          .as("tok"))
+      .distinct()
+    val sizes = gt.groupBy("g").agg(count(lit(1)).as("v"))
+    val inter = gt.select(col("g").as("g_a"), col("tok"))
+      .join(gt.select(col("g").as("g_b"), col("tok")), Seq("tok"))
+      .where(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.select(col("g").as("g_a"), col("v").as("vocab_a")),
+        Seq("g_a"))
+      .join(sizes.select(col("g").as("g_b"), col("v").as("vocab_b")),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("vocab_a"), col("vocab_b"),
+        col("intersection"),
+        expr("intersection * 1000000L div " +
+          "(vocab_a + vocab_b - intersection)").as("jaccard_micro"))
+  }
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
     * "Automatic keyword extraction from individual documents"):
     * candidate phrases are maximal stopword/punctuation-free token

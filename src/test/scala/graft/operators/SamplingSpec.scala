@@ -675,6 +675,25 @@ class SamplingSpec extends SparkSpec {
     assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 9L))
   }
 
+  test("neymanAllocation: largest-remainder apportionment sums to the " +
+    "budget, zero-variance strata get zero weight") {
+    val s2 = spark
+    import s2.implicits._
+    // A: {0,0,10,10} σ→6, w=24; B: {5,5,5} σ=0, w=0; C: {0,20} σ→14,
+    // w=28. W=52, budget 10: base A=4 (rem 32), C=5 (rem 20), B=0 →
+    // 1 leftover goes to A (largest remainder).
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 10L), ("A", 10L),
+      ("B", 5L), ("B", 5L), ("B", 5L), ("C", 0L), ("C", 20L))
+      .toDF("st", "v")
+    val got = Sampling.neymanAllocation(df, "st", "v", budget = 10L)
+      .as[(String, Long, Long, Long)].collect
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 4L, 6L, 5L)), got("A"))
+    assert(got("B") == (("B", 3L, 0L, 0L)), got("B"))
+    assert(got("C") == (("C", 2L, 14L, 5L)), got("C"))
+    assert(got.values.map(_._4).sum == 10L)
+  }
+
   test("doremiStep: hand-computed multiplicative update, smoothing, " +
     "and ppm normalization") {
     val s2 = spark

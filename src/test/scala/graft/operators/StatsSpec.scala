@@ -503,6 +503,40 @@ class StatsSpec extends SparkSpec {
     assert(out._4.isEmpty && out._5.isEmpty, out)
   }
 
+  test("bhFdr: hand-computed step-up — k* cuts after the largest " +
+    "passing rank, step-up rescues larger p-values") {
+    val df = Seq(("A", 10000L), ("B", 30000L), ("C", 200000L),
+      ("D", 500000L), ("E", 900000L)).toDF("t", "p")
+    // thresholds k·α/m = k·50000: ranks 1,2 pass; 3,4,5 fail → k*=2
+    val got = Stats.bhFdr(df, "t", "p", alphaMicro = 250000L)
+      .as[(String, Long, Long, Boolean)].collect
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map("A" -> true, "B" -> true, "C" -> false,
+      "D" -> false, "E" -> false), got)
+    // step-up: rank 3 passes (140000 ≤ 150000) so EVERYTHING below
+    // rejects even though rank 2 alone would too
+    val up = Seq(("A", 40000L), ("B", 90000L), ("C", 140000L))
+      .toDF("t", "p")
+    val got2 = Stats.bhFdr(up, "t", "p", alphaMicro = 150000L)
+      .as[(String, Long, Long, Boolean)].collect.map(_._4).toSeq
+    assert(got2 == Seq(true, true, true), got2)
+  }
+
+  test("cochranArmitage matches the hand-computed two-dose case") {
+    // dose 0: 0/2 successes, dose 1: 2/2. T = 1·(2·4 − 2·2) = 4;
+    // var = 0.5·0.5·4·(4·2 − 2²) = 4 → z = 2.0
+    val df = Seq((0L, false), (0L, false), (1L, true), (1L, true))
+      .toDF("dose", "s")
+    val out = Stats.cochranArmitage(df, "dose", "s")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(out == ((4L, 2L, 4L, Some(2000000L))), out)
+    // zero-variance (all successes) → NULL z
+    val flat = Seq((0L, true), (1L, true)).toDF("dose", "s")
+    val out2 = Stats.cochranArmitage(flat, "dose", "s")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(out2._4.isEmpty, out2)
+  }
+
   test("jarqueBera matches the hand-computed uniform case") {
     // {1,2,3,4}: m2 = 1.25, m3 = 0, m4 = 2.5625 → skew 0,
     // kurt = 1.64, JB = 4/6 · 0.25 · 1.36² = 0.3082667

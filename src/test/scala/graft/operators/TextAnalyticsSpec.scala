@@ -647,6 +647,21 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(capped._1 == 3L) // head truncated at maxRank
   }
 
+  test("vocabOverlap: exact pairwise Jaccard; zero-overlap pairs are " +
+    "absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g1", "a b c"), ("g2", "b c d"), ("g3", "a"))
+      .toDF("src", "text")
+    val got = TextAnalytics.vocabOverlap(df, "src", "text")
+      .as[(String, String, Long, Long, Long, Long)].collect
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("g1", "g2")) == (("g1", "g2", 3L, 3L, 2L, 500000L)))
+    assert(got(("g1", "g3")) == (("g1", "g3", 3L, 1L, 1L, 333333L)))
+    assert(!got.contains(("g2", "g3")), "disjoint vocabularies must " +
+      "emit no pair row")
+  }
+
   test("rakeKeywords: hand-computed degree/frequency scores, stopword " +
     "and punctuation phrase breaks") {
     val s = spark
