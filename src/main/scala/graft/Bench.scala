@@ -145,7 +145,10 @@ object Bench {
       "q66_semdedup_graph", "q85_bpe_train", "q92_bpe_tokens",
       "q94_pagerank", "q98_bpe_kernel", "q99_pagerank_dangling",
       "q102_bpe_hashed_ids", "q112_lsh_grid", "q115_bpe_vocab",
-      "q116_bpe_vocab_ids", "q118_lsh_pick", "q194_kcore", "q195_bfs")
+      "q116_bpe_vocab_ids", "q118_lsh_pick", "q194_kcore", "q195_bfs",
+      // round-8 checkpointed multi-job rounds: HITS, personalized
+      // PageRank, label propagation
+      "q271_hits", "q279_ppr", "q283_label_prop")
     def sectionOf(n: String): String =
       if (lifecycle(n)) "lifecycle" else if (iterative(n)) "iterative"
       else "scan"

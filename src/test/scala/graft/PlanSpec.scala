@@ -385,6 +385,28 @@ class PlanSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q272 adamicAdar generates pairs IN-ROW from per-neighbor " +
+    "posting lists — no self-join anywhere in the plan") {
+    val s = planString("q272_adamic_adar")
+    assert(s.contains("Generate"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin")
+      && !s.contains("CartesianProduct"), s)
+  }
+
+  test("q280 episode band join stays an equi-join on the key — the " +
+    "gap condition rides it, never degrades to a nested loop") {
+    val s = planString("q280_episode_pairs")
+    assert(s.contains("Join"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q281 phrase search prunes to the probed bucket partitions") {
+    val s = planString("q281_phrase_search")
+    assert(s.contains("PartitionFilters") && s.contains("bucket"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q252 margin close joins degree sums by key — no broadcast of " +
     "the corpus-cardinality degree table is forced") {
     val s = planString("q252_margin_pairs")
