@@ -3440,6 +3440,26 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Holt level+trend smoothing (α=β=1/2) per user in exact integer
+    // millis — floor-halving via arithmetic shift on both engines.
+    "q288_holt" -> ((s, dir) => {
+      operators.TimeSeries.holtHalfPerKey(
+        events(s, dir).select(col("user_id"), col("ts"),
+          round(col("value") * 1000).cast("long").as("milli")),
+        "user_id", "ts", "milli")
+        .orderBy("user_id")
+    }),
+
+    // UniMax waterfill of a fixed character budget across sources at
+    // maxEpochs=2 — exact integer closed form, crumbs deterministic.
+    "q289_unimax" -> ((s, dir) => {
+      operators.Sampling.unimaxAllocation(t(s, dir, "documents"),
+        "source", "n_chars", budget = 600000L, maxEpochs = 2L)
+        .select(col("group").as("grp"), col("n_units"), col("capacity"),
+          col("capped"), col("alloc"))
+        .orderBy("grp")
+    }),
+
     // Benjamini–Hochberg step-up over portable-hash pseudo p-values:
     // the reject set is decided in pure integer arithmetic.
     "q284_bh_fdr" -> ((s, dir) => {
@@ -8024,6 +8044,67 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    // packed-BIGINT state (see holtHalfPerKey scaladoc: DuckDB's
+    // list_reduce updates struct accumulators field-IN-PLACE, so a
+    // struct fold diverges — a scalar state cannot); a raw first
+    // element is < 2^40, any packed state is > 10^17
+    "q288_holt" ->
+      """SELECT user_id, CAST(cnt AS BIGINT) AS n,
+        |  CASE WHEN st < 1099511627776 THEN st
+        |    ELSE st // 2147483648 - 1073741824 END AS level_milli,
+        |  CASE WHEN st < 1099511627776 THEN 0
+        |    ELSE st % 2147483648 - 1073741824 END AS trend_milli
+        |FROM (
+        |  SELECT user_id, COUNT(*) AS cnt,
+        |    list_reduce(
+        |      list(CAST(round(value * 1000) AS BIGINT)
+        |           ORDER BY ts, CAST(round(value * 1000) AS BIGINT)),
+        |      (a, x) -> CASE WHEN a < 1099511627776 THEN
+        |          ((x + a) // 2 + 1073741824) * 2147483648
+        |          + ((((x + a) // 2) - a) // 2 + 1073741824)
+        |        ELSE
+        |          ((x + ((a // 2147483648) - 1073741824)
+        |              + ((a % 2147483648) - 1073741824)) // 2
+        |            + 1073741824) * 2147483648
+        |          + ((((a % 2147483648) - 1073741824)
+        |              + ((x + ((a // 2147483648) - 1073741824)
+        |                  + ((a % 2147483648) - 1073741824)) // 2
+        |                 - ((a // 2147483648) - 1073741824))) // 2
+        |            + 1073741824)
+        |        END) AS st
+        |  FROM events GROUP BY user_id) z
+        |ORDER BY user_id""".stripMargin,
+
+    "q289_unimax" ->
+      """WITH g AS (SELECT source AS grp,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_units
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (SELECT grp, n_units, n_units * 2 AS capacity FROM g),
+        |r1 AS (SELECT grp, n_units, capacity,
+        |    ROW_NUMBER() OVER (ORDER BY capacity, grp) AS k,
+        |    COUNT(*) OVER () AS n,
+        |    COALESCE(SUM(capacity) OVER (ORDER BY capacity, grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prefix
+        |  FROM c),
+        |r2 AS (SELECT *,
+        |    (capacity * (n - k + 1) <= 600000 - prefix) AS capped
+        |  FROM r1),
+        |r3 AS (SELECT *,
+        |    COALESCE(SUM(CASE WHEN capped THEN capacity END) OVER (), 0)
+        |      AS cap_total,
+        |    n - COALESCE(SUM(CASE WHEN capped THEN 1 END) OVER (), 0)
+        |      AS m,
+        |    ROW_NUMBER() OVER (ORDER BY capped, capacity, grp) AS ur
+        |  FROM r2)
+        |SELECT grp, n_units, CAST(capacity AS BIGINT) AS capacity,
+        |  capped,
+        |  CAST(CASE WHEN capped THEN capacity
+        |    ELSE (600000 - cap_total) // m
+        |      + (CASE WHEN ur <= (600000 - cap_total) % m
+        |         THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+        |FROM r3 ORDER BY grp""".stripMargin,
 
     "q284_bh_fdr" ->
       s"""WITH tests AS (

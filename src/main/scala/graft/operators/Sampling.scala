@@ -1000,6 +1000,63 @@ object Sampling {
             .otherwise(0L)).otherwise(lit(0L)).as("alloc"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * more effective language sampling for large-scale multilingual
+    * pretraining", arXiv:2304.09151): spread a token budget as
+    * UNIFORMLY as possible across groups while capping each group at
+    * `maxEpochs` passes over its own data — the anti-power-law
+    * alternative to [[temperatureWeights]] (which still tilts toward
+    * head languages).
+    *
+    * Closed-form waterfill in EXACT integers: sort groups by capacity
+    * c_i = maxEpochs·n_i ascending; group k is CAPPED iff even
+    * granting every remaining group c_k fits the remaining budget —
+    *   c_k·(n−k+1) ≤ B − prefix_{k−1}
+    * (capping is a prefix of the sorted order since both sides are
+    * monotone); uncapped groups split the residual R equally with the
+    * R mod m leftover crumbs going to the first uncapped groups in
+    * (capacity, group) order. Sums EXACTLY to min(B, Σc); a crumb can
+    * never push an uncapped group past its capacity (first uncapped k
+    * has c_k·m > R ⇒ c_k ≥ R div m + 1). Windows run over the GROUP
+    * list — metadata-scale. Output: (group, n_units, capacity,
+    * capped, alloc). */
+  def unimaxAllocation(df: DataFrame, groupCol: String, unitsCol: String,
+                       budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1,
+      s"budget >= 0 and maxEpochs >= 1 required, got $budget, $maxEpochs")
+    val g = df.where(col(unitsCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(sum(col(unitsCol).cast("long")).as("n_units"))
+      .withColumn("capacity", col("n_units") * lit(maxEpochs))
+    val wOrd = Window.orderBy(col("capacity").asc, col("group").asc)
+    val wAll = Window.partitionBy()
+    val ranked = g
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("prefix", coalesce(sum("capacity").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("capacity") * (col("n") - col("k") + 1) <=
+          lit(budget) - col("prefix"))
+    val withR = ranked
+      .withColumn("cap_total",
+        coalesce(sum(when(col("capped"), col("capacity"))).over(wAll),
+          lit(0L)))
+      .withColumn("m", col("n") -
+        coalesce(sum(when(col("capped"), 1L)).over(wAll), lit(0L)))
+      .withColumn("r", lit(budget) - col("cap_total"))
+      .withColumn("uncapped_rank", row_number().over(
+        Window.orderBy(col("capped").asc, col("capacity").asc,
+          col("group").asc)))
+    withR.select(col("group"), col("n_units"), col("capacity"),
+      col("capped"),
+      when(col("capped"), col("capacity"))
+        .otherwise(expr("r div m") +
+          when(col("uncapped_rank") <= expr("r % m"), 1L)
+            .otherwise(0L))
+        .as("alloc"))
+  }
+
   /** One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
     * Optimizing data mixtures speeds up language model pretraining",
     * arXiv:2305.10429): the proxy-training loop's multiplicative-

@@ -257,6 +257,69 @@ object TimeSeries {
           .as("ewma_milli"))
   }
 
+  /** Holt double exponential smoothing (Holt 1957) with α = β = ½ in
+    * EXACT integer milli-units — [[ewmaHalfPerKey]]'s in-row fold
+    * extended to a (level, trend) state:
+    *   l′ = trunc((v + l + b) / 2),  b′ = trunc((b + (l′ − l)) / 2)
+    * (init l = v₁, b = 0). Every halving TRUNCATES TOWARD ZERO on
+    * both engines (Spark `div` and DuckDB `//` both truncate —
+    * measured, not assumed: a floor formulation via shiftright
+    * diverged on the first declining series). The level+trend
+    * forecast primitive where ewma alone lags a drifting series.
+    *
+    * The (level, trend) state is PACKED into one offset BIGINT
+    * ((l + 2³⁰)·2³¹ + (b + 2³⁰)) instead of a struct: DuckDB's
+    * list_reduce evaluates struct-literal fields against an
+    * accumulator it updates IN PLACE — the second field's expression
+    * sees the first field's NEW value — so a struct-state fold
+    * silently diverges between engines; a scalar state cannot.
+    * Values must satisfy |v| < 2³⁰ milli-units (≈ ±10⁹ —
+    * guard-raised), which bounds |l|, |b| the same way.
+    *
+    * Same scale posture as ewmaHalfPerKey: one key-partitioned
+    * collect of (ts, v) structs, the fold runs in-row; `maxPerKey`
+    * raises before any key assembles an unbounded series on one
+    * task. Output: (key, n, level_milli, trend_milli). */
+  def holtHalfPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                     milliCol: String, maxPerKey: Long = 1L << 22): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    val guards = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), max(abs(col(milliCol))).as("__a"))
+      .agg(coalesce(max("__n"), lit(0L)).as("__mx"),
+        coalesce(max("__a"), lit(0L)).as("__mxa"))
+    val v = when(col("__mx") > maxPerKey,
+      raise_error(concat(lit("holtHalfPerKey: a key holds "), col("__mx"),
+        lit(s" rows > maxPerKey=$maxPerKey; the sequential fold would" +
+          " assemble that series on one task."))).cast("long"))
+      .when(col("__mxa") >= lit(1L << 30),
+        raise_error(lit("holtHalfPerKey: |value| must be < 2^30 " +
+          "milli-units (packed-state bound)")).cast("long"))
+      .otherwise(col(milliCol).cast("long"))
+    // C = 2^30 offset, M = 2^31 radix; packed = (l+C)*M + (b+C)
+    df.crossJoin(broadcast(guards))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).as("t"), v.as("v")))).as("sr"))
+      .select(col(keyCol), size(col("sr")).cast("long").as("n"),
+        expr("""aggregate(sr, CAST(NULL AS BIGINT),
+          |  (acc, e) -> CASE
+          |    WHEN acc IS NULL THEN
+          |      (e.v + 1073741824L) * 2147483648L + 1073741824L
+          |    ELSE
+          |      (((e.v + ((acc div 2147483648L) - 1073741824L)
+          |          + ((acc % 2147483648L) - 1073741824L)) div 2)
+          |        + 1073741824L) * 2147483648L
+          |      + (((((acc % 2147483648L) - 1073741824L)
+          |          + (((e.v + ((acc div 2147483648L) - 1073741824L)
+          |              + ((acc % 2147483648L) - 1073741824L)) div 2)
+          |             - ((acc div 2147483648L) - 1073741824L))) div 2)
+          |        + 1073741824L)
+          |    END)""".stripMargin).as("st"))
+      .select(col(keyCol), col("n"),
+        (expr("st div 2147483648L") - lit(1073741824L)).as("level_milli"),
+        (expr("st % 2147483648L") - lit(1073741824L)).as("trend_milli"))
+  }
+
   /** Lag-k Pearson autocorrelation of each key's daily measure — the
     * seasonality/burstiness screen over a metric grid (lag 1: is
     * today's volume predictive of tomorrow's? lag 7: weekly cycle?).

@@ -42,4 +42,30 @@ class EwmaSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(ok.head._2 == 50L)
   }
+
+  test("holtHalfPerKey: hand-computed level+trend, truncating halves " +
+    "on a declining series, single point, value-bound guard") {
+    val s = spark
+    import s.implicits._
+    def series(vs: Seq[Long]) = vs.zipWithIndex
+      .map { case (v, i) => (1L, new java.sql.Timestamp(1000L * (i + 1)), v) }
+      .toDF("k", "ts", "v")
+    // [10,20,30]: l=10,b=0 → l=15,b=2 → l=23,b=5
+    val up = TimeSeries.holtHalfPerKey(series(Seq(10L, 20L, 30L)),
+      "k", "ts", "v").as[(Long, Long, Long, Long)].collect.head
+    assert(up == ((1L, 3L, 23L, 5L)), up)
+    // [30,20,10]: trunc halving on negatives: b = -5 div 2 = -2,
+    // then l=16, b = -11 div 2 = -5
+    val down = TimeSeries.holtHalfPerKey(series(Seq(30L, 20L, 10L)),
+      "k", "ts", "v").as[(Long, Long, Long, Long)].collect.head
+    assert(down == ((1L, 3L, 16L, -5L)), down)
+    val one = TimeSeries.holtHalfPerKey(series(Seq(7L)),
+      "k", "ts", "v").as[(Long, Long, Long, Long)].collect.head
+    assert(one == ((1L, 1L, 7L, 0L)), one)
+    val err = intercept[Exception] {
+      TimeSeries.holtHalfPerKey(series(Seq(1L << 31)), "k", "ts", "v")
+        .collect()
+    }
+    assert(err.getMessage.contains("2^30"), err.getMessage)
+  }
 }

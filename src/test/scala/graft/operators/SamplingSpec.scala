@@ -694,6 +694,26 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.map(_._4).sum == 10L)
   }
 
+  test("unimaxAllocation: hand-computed waterfill — caps are a sorted " +
+    "prefix, residual splits equally, crumbs deterministic") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(("a", 10L), ("b", 100L), ("c", 50L)).toDF("g", "n")
+    def alloc(budget: Long) =
+      Sampling.unimaxAllocation(df, "g", "n", budget, maxEpochs = 2L)
+        .as[(String, Long, Long, Boolean, Long)].collect
+        .map(r => r._1 -> ((r._4, r._5))).toMap
+    // caps 20/200/100; B=150: a capped at 20, c and b split 130
+    assert(alloc(150L) == Map("a" -> ((true, 20L)),
+      "c" -> ((false, 65L)), "b" -> ((false, 65L))))
+    // budget above total capacity: everyone capped
+    assert(alloc(1000L) == Map("a" -> ((true, 20L)),
+      "c" -> ((true, 100L)), "b" -> ((true, 200L))))
+    // odd residual: the crumb goes to the smaller-capacity uncapped
+    assert(alloc(151L) == Map("a" -> ((true, 20L)),
+      "c" -> ((false, 66L)), "b" -> ((false, 65L))))
+  }
+
   test("doremiStep: hand-computed multiplicative update, smoothing, " +
     "and ppm normalization") {
     val s2 = spark
