@@ -3440,6 +3440,25 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // One-pass multi-needle scan (Aho–Corasick): per-doc occurrence
+    // counts of five border-free needles — equals the replace-based
+    // non-overlapping oracle exactly because the needles are
+    // border-free.
+    "q290_multi_needle" -> ((s, dir) => {
+      TextAnalytics.multiNeedleScan(t(s, dir, "documents"), "doc_id",
+        "text", Seq("spark", "batch window", "key agg",
+          "customer query", "slow key"))
+        .orderBy("doc_id", "needle")
+    }),
+
+    // Misra–Gries candidates + exact verify pass: bounded-memory
+    // heavy hitters whose final top-15 equals the unconstrained
+    // exact top-15.
+    "q291_heavy_hitters" -> ((s, dir) => {
+      TextAnalytics.heavyHitters(t(s, dir, "documents"), "text",
+        k = 256, topN = 15)
+    }),
+
     // Holt level+trend smoothing (α=β=1/2) per user in exact integer
     // millis — floor-halving via arithmetic shift on both engines.
     "q288_holt" -> ((s, dir) => {
@@ -8044,6 +8063,25 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q290_multi_needle" ->
+      """WITH needles(needle) AS (VALUES ('batch window'),
+        |  ('customer query'), ('key agg'), ('slow key'), ('spark'))
+        |SELECT doc_id, needle,
+        |  CAST((length(text) - length(replace(text, needle, '')))
+        |    // length(needle) AS BIGINT) AS n_hits
+        |FROM documents CROSS JOIN needles
+        |WHERE contains(text, needle)
+        |ORDER BY doc_id, needle""".stripMargin,
+
+    "q291_heavy_hitters" ->
+      """SELECT term, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+        |                            '\s+'), x -> x <> '')) AS term
+        |  FROM documents) t
+        |GROUP BY term
+        |ORDER BY n DESC, term ASC
+        |LIMIT 15""".stripMargin,
 
     // packed-BIGINT state (see holtHalfPerKey scaladoc: DuckDB's
     // list_reduce updates struct accumulators field-IN-PLACE, so a

@@ -1236,6 +1236,151 @@ object TextAnalytics {
           .as("fertility_micro"))
   }
 
+  /** Multi-needle containment scan through ONE broadcast Aho–Corasick
+    * automaton (Aho & Corasick 1975, "Efficient string matching: an
+    * aid to bibliographic search") — the scale path for benchmark-
+    * contamination screens: [[contamination]]'s per-needle `contains`
+    * projection re-reads every document once PER NEEDLE, fine for a
+    * handful, hopeless for the 10k-needle eval-suite n-gram lists;
+    * the automaton finds all needles' occurrences in one left-to-
+    * right pass per document regardless of needle count.
+    *
+    * mapPartitions is the documented last resort and earns its place
+    * here: a failure-link state machine is genuinely imperative
+    * per-character state, inexpressible as columnar functions. The
+    * needle list broadcasts; each partition builds the automaton once
+    * (O(Σ|needle|) — amortized across the partition's rows).
+    * Occurrence counts are OVERLAPPING (standard AC semantics; equal
+    * to non-overlapping counts whenever needles are border-free).
+    * Output: (idCol, needle, n_hits), hit rows only. */
+  def multiNeedleScan(df: DataFrame, idCol: String, textCol: String,
+                      needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty && needles.forall(_.nonEmpty),
+      "needles must be non-empty strings")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(needles.toArray)
+    df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pats = bc.value
+        val ac = AhoCorasick.build(pats)
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val counts = ac.countAll(text)
+            Iterator.range(0, pats.length)
+              .filter(counts(_) > 0L)
+              .map(i => (id, pats(i), counts(i)))
+          }
+        }
+      }
+      .toDF("id", "needle", "n_hits")
+      .withColumnRenamed("id", idCol)
+  }
+
+  private object AhoCorasick {
+    final class Automaton(goto: Array[scala.collection.mutable.HashMap[Char, Int]],
+                          fail: Array[Int], out: Array[Array[Int]],
+                          nNeedles: Int) extends Serializable {
+      def countAll(text: String): Array[Long] = {
+        val counts = new Array[Long](nNeedles)
+        var s = 0
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          while (s != 0 && !goto(s).contains(c)) s = fail(s)
+          s = goto(s).getOrElse(c, 0)
+          val o = out(s)
+          var j = 0
+          while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+          i += 1
+        }
+        counts
+      }
+    }
+
+    def build(pats: Array[String]): Automaton = {
+      import scala.collection.mutable
+      val goto = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+      val own = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+      for (pi <- pats.indices) {
+        var s = 0
+        for (c <- pats(pi)) {
+          s = goto(s).getOrElseUpdate(c, {
+            goto += mutable.HashMap.empty[Char, Int]
+            own += mutable.ArrayBuffer.empty[Int]
+            goto.size - 1
+          })
+        }
+        own(s) += pi
+      }
+      val n = goto.size
+      val fail = new Array[Int](n)
+      val out = Array.fill(n)(Array.empty[Int])
+      val queue = mutable.Queue.empty[Int]
+      for ((_, v) <- goto(0)) { fail(v) = 0; queue += v }
+      out(0) = own(0).toArray
+      for ((_, v) <- goto(0)) out(v) = own(v).toArray ++ out(0)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        for ((c, v) <- goto(u)) {
+          queue += v
+          var f = fail(u)
+          while (f != 0 && !goto(f).contains(c)) f = fail(f)
+          fail(v) = if (goto(f).contains(c) && goto(f)(c) != v) goto(f)(c)
+                    else 0
+          out(v) = own(v).toArray ++ out(fail(v))
+        }
+      }
+      new Automaton(goto.map(identity).toArray, fail, out, pats.length)
+    }
+  }
+
+  /** Exact heavy hitters in BOUNDED memory — the Misra–Gries summary
+    * (Misra & Gries 1982, "Finding repeated elements") as pass 1,
+    * exact verification as pass 2: each partition keeps at most k
+    * decrement-counters over its token stream (mapPartitions —
+    * bounded imperative state is the whole point); any token with
+    * global frequency > N/(k+1) is GUARANTEED to survive in at least
+    * one partition's summary (pigeonhole over the per-partition
+    * guarantee), so the union of summaries is a provable candidate
+    * superset. Pass 2 rescans counting ONLY the ≤ partitions·k
+    * candidates (broadcast semi join) and keeps the exact top n —
+    * equal to the unconstrained exact top n whenever the nth
+    * frequency clears N/(k+1) (size k accordingly: k ≥ N/f_n).
+    * The deterministic cousin of the CMS/TopK sketches: no hash
+    * collisions, no approximation in the final answer.
+    * Output: (term, n) by (n desc, term asc), n rows. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int,
+                   topN: Int): DataFrame = {
+    require(k >= 1 && topN >= 1, "k and topN must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(Text.tokens(lower(col(textCol))))
+      .as("term"))
+    val partials = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      for (t <- it) {
+        if (m.contains(t)) m(t) += 1L
+        else if (m.size < k) m(t) = 1L
+        else {
+          val dead = List.newBuilder[String]
+          for ((key, v) <- m) {
+            if (v == 1L) dead += key else m(key) = v - 1L
+          }
+          dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator.map(Tuple1(_))
+    }.toDF("term").distinct()
+    toks.join(broadcast(partials), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topN)
+  }
+
   /** Pairwise vocabulary overlap between corpus groups (sources,
     * languages, time slices): for each group pair, exact distinct-
     * token intersection/union sizes and Jaccard micros — the

@@ -647,6 +647,45 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(capped._1 == 3L) // head truncated at maxRank
   }
 
+  test("multiNeedleScan: classic he/she/his/hers automaton case, " +
+    "overlapping counts, shared-prefix needles") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ushers"), (2L, "his history"), (3L, "aaa"),
+      (4L, "none here")).toDF("id", "text")
+    val got = TextAnalytics.multiNeedleScan(docs, "id", "text",
+      Seq("he", "she", "his", "hers", "aa"))
+      .as[(Long, String, Long)].collect
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // "ushers": she@1, he@2, hers@2
+    assert(got((1L, "she")) == 1L && got((1L, "he")) == 1L &&
+      got((1L, "hers")) == 1L, got)
+    // "his history": his twice (word + prefix of history)
+    assert(got((2L, "his")) == 2L, got)
+    // OVERLAPPING semantics: "aa" hits "aaa" twice
+    assert(got((3L, "aa")) == 2L, got)
+    // "none here" contains he (in "here")
+    assert(got((4L, "he")) == 1L)
+    assert(!got.contains((4L, "she")))
+  }
+
+  test("heavyHitters: equals the exact top-n; tiny k still surfaces " +
+    "the dominant token (MG guarantee)") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: a×60, b×25, c×10, d..h ×1
+    val text = (Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ Seq("d", "e", "f", "g", "h")).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val got = TextAnalytics.heavyHitters(df, "text", k = 64, topN = 3)
+      .as[(String, Long)].collect.toSeq
+    assert(got == Seq(("a", 60L), ("b", 25L), ("c", 10L)), got)
+    // k=2: frequency(a)=60 > N/(k+1)=100/3 → a must survive
+    val tiny = TextAnalytics.heavyHitters(df, "text", k = 2, topN = 1)
+      .as[(String, Long)].collect.toSeq
+    assert(tiny == Seq(("a", 60L)), tiny)
+  }
+
   test("vocabOverlap: exact pairwise Jaccard; zero-overlap pairs are " +
     "absent") {
     val s = spark
