@@ -132,7 +132,8 @@ object Bench {
       "q97_store_compacted", "q105_warc_roundtrip", "q113_store_semantic",
       "q114_centroid_drift", "q131_hll_store", "q132_cms_store",
       "q140_inverted_index", "q147_trigram_search", "q173_hist_store",
-      "q175_mdrm_dict", "q191_cc_store", "q224_selectivity")
+      "q175_mdrm_dict", "q191_cc_store", "q224_selectivity",
+      "q281_phrase_search")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

@@ -3440,6 +3440,51 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Split-conformal threshold per priority: the k-th smallest cent
+    // total with k = ceil((n+1)·0.9), selected from value cells.
+    "q292_conformal" -> ((s, dir) => {
+      operators.Stats.conformalThreshold(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "pri", "cents", alphaPpm = 100000L)
+        .orderBy("group")
+    }),
+
+    // Gini–Simpson token diversity per source — the concentration
+    // readout beside the entropy family.
+    "q293_simpson" -> ((s, dir) => {
+      operators.TextAnalytics.simpsonDiversity(t(s, dir, "documents"),
+        "source", "text")
+        .orderBy("group")
+    }),
+
+    // Nelson–Aalen cumulative hazard over the q228 survival frame —
+    // the additive sibling of Kaplan–Meier on identical cells.
+    "q294_nelson_aalen" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("u"))
+        .agg(min(unix_micros(col("ts"))).as("ta"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("tb"))
+        .join(a, Seq("u")).where(col("tb") > col("ta"))
+        .groupBy("u", "ta").agg(min("tb").as("tb"))
+        .select(col("u"), expr("(tb - ta) div 1000000L").as("t"),
+          lit(true).as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val last = ev.groupBy(col("user_id").as("u"))
+        .agg(max(unix_micros(col("ts"))).as("tmax"))
+      val cens = a.join(last, Seq("u"))
+        .join(conv.select(col("u"), lit(1).as("__c")), Seq("u"), "left_anti")
+        .select(col("u"), expr("(tmax - ta) div 1000000L").as("t"),
+          lit(false).as("e"))
+      val subjects = conv.unionByName(cens)
+        .withColumn("cohort", concat(lit("c"), pmod(col("u"), lit(2L))))
+      operators.Stats.nelsonAalen(subjects, "cohort", "t", "e")
+        .orderBy("key", "t")
+    }),
+
     // One-pass multi-needle scan (Aho–Corasick): per-doc occurrence
     // counts of five border-free needles — equals the replace-based
     // non-overlapping oracle exactly because the needles are
@@ -8063,6 +8108,84 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q292_conformal" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT grp, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM cells),
+        |k AS (SELECT grp, v, cum, n,
+        |    LEAST(n, ((n + 1) * 900000 + 999999) // 1000000) AS k
+        |  FROM r)
+        |SELECT grp AS "group", CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(k) AS BIGINT) AS k,
+        |  CAST(MIN(v) AS BIGINT) AS threshold
+        |FROM k WHERE cum >= k GROUP BY grp
+        |ORDER BY "group"""".stripMargin,
+
+    "q293_simpson" ->
+      """WITH cells AS (
+        |  SELECT source AS grp, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |      unnest(list_filter(string_split_regex(trim(lower(text)),
+        |        '\s+'), x -> x <> '')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(c * (c - 1)) AS s2
+        |  FROM cells GROUP BY 1)
+        |SELECT grp AS "group", n_tokens, n_types,
+        |  CASE WHEN n_tokens >= 2 THEN
+        |    CAST(round(CAST(s2 AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE)
+        |         * (CAST(n_tokens AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)
+        |    END AS simpson_micro,
+        |  CASE WHEN n_tokens >= 2 THEN
+        |    CAST(round((1.0 - CAST(s2 AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE)
+        |         * (CAST(n_tokens AS DOUBLE) - 1.0))) * 1e6) AS BIGINT)
+        |    END AS gini_simpson_micro
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    "q294_nelson_aalen" ->
+      """WITH a AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS ta
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT a.u, (MIN(tb) - ta) // 1000000 AS t, true AS e
+        |         FROM a JOIN (SELECT user_id AS u, epoch_us(ts) AS tb
+        |                      FROM events WHERE event_type = 'purchase') b
+        |           ON a.u = b.u AND b.tb > a.ta
+        |         GROUP BY a.u, ta),
+        |lastev AS (SELECT user_id AS u, MAX(epoch_us(ts)) AS tmax
+        |           FROM events GROUP BY 1),
+        |cens AS (SELECT a.u, (tmax - ta) // 1000000 AS t, false AS e
+        |         FROM a JOIN lastev ON a.u = lastev.u
+        |         WHERE a.u NOT IN (SELECT u FROM conv)),
+        |subj AS (SELECT 'c' || CAST(u % 2 AS VARCHAR) AS key, t,
+        |           CAST(e AS BIGINT) AS e
+        |         FROM (SELECT * FROM conv UNION ALL SELECT * FROM cens)),
+        |cells AS (SELECT key, t, CAST(COUNT(*) AS BIGINT) AS c,
+        |            CAST(SUM(e) AS BIGINT) AS d
+        |          FROM subj GROUP BY 1, 2),
+        |ar AS (SELECT key, t, d,
+        |         CAST(SUM(c) OVER (PARTITION BY key ORDER BY t DESC)
+        |           AS BIGINT) AS n_risk
+        |       FROM cells),
+        |terms AS (SELECT key, t, n_risk, d,
+        |    CAST(round(CAST(d AS DOUBLE) * 1e6
+        |      / CAST(n_risk AS DOUBLE)) AS BIGINT) AS tm
+        |  FROM ar WHERE d > 0)
+        |SELECT key, t, n_risk, d,
+        |  CAST(SUM(tm) OVER (PARTITION BY key ORDER BY t) AS BIGINT)
+        |    AS h_micro
+        |FROM terms ORDER BY key, t""".stripMargin,
 
     "q290_multi_needle" ->
       """WITH needles(needle) AS (VALUES ('batch window'),

@@ -1415,6 +1415,76 @@ object Stats {
           .as("h_tied_micro"))
   }
 
+  /** Split-conformal prediction threshold (Vovk et al. 2005; Lei et
+    * al. 2018, "Distribution-free predictive inference"): per group,
+    * the k-th smallest nonconformity score with
+    *   k = min(n, ⌈(n+1)·(1−α)⌉)
+    * — the finite-sample-valid cutoff giving ≥ (1−α) marginal
+    * coverage on exchangeable data. The model-deployment calibration
+    * step after [[calibrationBins]] measures and before anything
+    * promises coverage.
+    *
+    * Exact: k in pure integer ppm arithmetic (⌈x/10⁶⌉ as
+    * (x + 10⁶−1) div 10⁶ — non-negative, engine-agnostic), and the
+    * k-th order statistic selected from VALUE CELLS (distinct-value
+    * counts + cumulative window — value-cardinality, never row-scale
+    * windows; the quantilesPerKey posture), which also makes the
+    * selected value tie-proof by construction.
+    * Output: (group, n, k, threshold). */
+  def conformalThreshold(df: DataFrame, groupCol: String,
+                         scoreCol: String, alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      s"alphaPpm must be in (0, 1e6), got $alphaPpm")
+    val q = 1000000L - alphaPpm
+    val cells = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("group"),
+        col(scoreCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("group").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("group")
+    val ranked = cells
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("k", least(col("n"),
+        expr(s"((n + 1L) * ${q}L + 999999L) div 1000000L")))
+    ranked.where(col("cum") >= col("k"))
+      .groupBy("group")
+      .agg(max("n").as("n"), max("k").as("k"),
+        min("v").as("threshold"))
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) per
+    * key — [[kaplanMeier]]'s additive sibling (H(t) = Σ_{tᵢ≤t}
+    * dᵢ/nᵢ): the estimator of choice when hazard RATES are compared
+    * or fed to downstream models (KM's product form compounds
+    * multiplicatively). Same cells as KM: per event time the deaths
+    * dᵢ and the at-risk count nᵢ (a descending-time cumulative over
+    * the duration cells — value-cardinality windows only). Each
+    * per-time term dᵢ·10⁶/nᵢ is micro-quantized BEFORE the exact
+    * integer cumulative sum (the q219 per-term discipline).
+    * Output: (key, t, n_risk, d, h_micro) at event times. */
+  def nelsonAalen(df: DataFrame, keyCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val rows = df.select(col(keyCol).as("key"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").cast("long").as("e"))
+      .where(col("t").isNotNull && col("t") >= 0 && col("e").isNotNull)
+    val cells = rows.groupBy("key", "t")
+      .agg(count(lit(1)).as("c"), sum("e").as("d"))
+    val wGe = Window.partitionBy("key").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = cells.withColumn("n_risk", sum("c").over(wGe))
+      .where(col("d") > 0)
+    val term = round(col("d").cast("double") * 1e6 /
+      col("n_risk").cast("double")).cast("long")
+    val wCum = Window.partitionBy("key").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atRisk.withColumn("__term", term)
+      .select(col("key"), col("t"), col("n_risk"), col("d"),
+        sum("__term").over(wCum).as("h_micro"))
+  }
+
   /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995,
     * "Controlling the false discovery rate"): given m tests with
     * micro-unit p-values, reject the k* smallest where k* = max{k :

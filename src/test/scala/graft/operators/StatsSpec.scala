@@ -503,6 +503,38 @@ class StatsSpec extends SparkSpec {
     assert(out._4.isEmpty && out._5.isEmpty, out)
   }
 
+  test("conformalThreshold: hand-computed k = ceil((n+1)(1-α)), " +
+    "tie-proof value-cell selection") {
+    // {1..10}, α=0.2: k = ceil(11·0.8) = 9 → threshold 9
+    val df = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val out = Stats.conformalThreshold(df, "g", "v", alphaPpm = 200000L)
+      .as[(String, Long, Long, Long)].collect.head
+    assert(out == (("g", 10L, 9L, 9L)), out)
+    // ties: {1,1,1,2}, α=0.25: k = ceil(5·0.75) = 4 → threshold 2
+    val ties = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 2L))
+      .toDF("g", "v")
+    val out2 = Stats.conformalThreshold(ties, "g", "v", 250000L)
+      .as[(String, Long, Long, Long)].collect.head
+    assert(out2 == (("g", 4L, 4L, 2L)), out2)
+    // k clamps to n on tiny groups
+    val one = Seq(("g", 5L)).toDF("g", "v")
+    val out3 = Stats.conformalThreshold(one, "g", "v", 500000L)
+      .as[(String, Long, Long, Long)].collect.head
+    assert(out3 == (("g", 1L, 1L, 5L)), out3)
+  }
+
+  test("nelsonAalen: hand-computed hazard accumulation with censoring") {
+    // durations (1,e),(2,e),(2,cens),(3,e): at-risk 4,3,1 at t=1,2,3
+    // → terms 250000, 333333, 1000000 → H = 250000, 583333, 1583333
+    val df = Seq(("k", 1L, true), ("k", 2L, true), ("k", 2L, false),
+      ("k", 3L, true)).toDF("k", "t", "e")
+    val out = Stats.nelsonAalen(df, "k", "t", "e")
+      .as[(String, Long, Long, Long, Long)].collect
+      .sortBy(_._2).toSeq
+    assert(out == Seq(("k", 1L, 4L, 1L, 250000L),
+      ("k", 2L, 3L, 1L, 583333L), ("k", 3L, 1L, 1L, 1583333L)), out)
+  }
+
   test("bhFdr: hand-computed step-up — k* cuts after the largest " +
     "passing rank, step-up rescues larger p-values") {
     val df = Seq(("A", 10000L), ("B", 30000L), ("C", 200000L),

@@ -647,6 +647,20 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(capped._1 == 3L) // head truncated at maxRank
   }
 
+  test("simpsonDiversity: hand-computed concentration, degenerate " +
+    "single-token group") {
+    val s = spark
+    import s.implicits._
+    // "a a b": D = 2·1/(3·2) = 1/3; single token → NULL micros
+    val df = Seq(("g1", "a a b"), ("g2", "solo")).toDF("src", "text")
+    val got = TextAnalytics.simpsonDiversity(df, "src", "text")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect
+      .map(r => r._1 -> r).toMap
+    assert(got("g1") == (("g1", 3L, 2L, Some(333333L), Some(666667L))),
+      got("g1"))
+    assert(got("g2")._4.isEmpty && got("g2")._5.isEmpty, got("g2"))
+  }
+
   test("multiNeedleScan: classic he/she/his/hers automaton case, " +
     "overlapping counts, shared-prefix needles") {
     val s = spark
