@@ -3440,6 +3440,19 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Salted skew join: lineitem ⋈ supplier on a salt-composited key,
+    // row-identical to the plain join the oracle runs.
+    "q295_salted_join" -> ((s, dir) => {
+      val j = operators.Joins.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", salts = 8)
+      j.groupBy("s_name").agg(count(lit(1)).as("n"),
+        sum("cents").as("cents_total"))
+        .orderBy("s_name")
+    }),
+
     // Split-conformal threshold per priority: the k-th smallest cent
     // total with k = ceil((n+1)·0.9), selected from value cells.
     "q292_conformal" -> ((s, dir) => {
@@ -8108,6 +8121,14 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q295_salted_join" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents_total
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
 
     "q292_conformal" ->
       """WITH cells AS (

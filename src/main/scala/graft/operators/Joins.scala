@@ -79,4 +79,30 @@ object Joins {
       .join(dim.select(col(dimKey).cast(big.schema(bigKey).dataType).as(bigKey))
         .distinct(), Seq(bigKey), "left_semi")
   }
+
+  /** Salted inner equi-join for SKEWED keys — the join-side companion
+    * of [[Sampling.saltedAgg]]: when one key holds a disproportionate
+    * share of the probe side AND the build side is too big to
+    * broadcast, a plain shuffle join funnels that key's rows through
+    * ONE reducer. Salting composites the key: the big side tags each
+    * row with a per-row salt in [0, salts) (row-level source, not the
+    * key — a hot key must spread by construction), the small side
+    * REPLICATES salts× via an inline explode, and the join runs on
+    * (key, salt) — the hot key now spans `salts` reducers. The result
+    * is row-for-row IDENTICAL to the plain inner join (each big row
+    * meets exactly its own salt's replica), which the gate proves
+    * against a plain-join oracle. Cost: small side inflates salts× —
+    * size it so salts·|small| stays shuffle-cheap. AQE's skew-join
+    * handles SORT-merge skew adaptively; explicit salting is the
+    * plan-stable form that also covers hash joins and pre-AQE
+    * engines. Output: big ⋈ small columns (salt dropped). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val b = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -64,4 +64,25 @@ class JoinsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(p.values.toSet.subsetOf(three.toSet))
   }
+
+  test("saltedJoin: row-identical to the plain inner join on a " +
+    "skewed key; the salt composites into the join key") {
+    val s = spark
+    import s.implicits._
+    // one hot key (90% of rows) + tail
+    val big = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, i.toLong)))
+      .toDF("k", "payload")
+    val small = (1L to 10L).map(k => (k, s"name$k")).toDF("k", "nm")
+    val salted = Joins.saltedJoin(big, small, "k", salts = 8)
+      .groupBy("k", "nm").agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect.toSet
+    val plain = big.join(small, Seq("k"))
+      .groupBy("k", "nm").agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect.toSet
+    assert(salted == plain && plain.exists(_._3 == 900L), salted)
+    val plan = Joins.saltedJoin(big, small, "k", salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
 }
