@@ -3440,6 +3440,21 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // g3 approximate-FD error: how far is l_partkey → l_linestatus
+    // from holding (min fraction of rows to remove)?
+    "q297_fd_error" -> ((s, dir) => {
+      operators.KeyChecks.fdError(t(s, dir, "lineitem"),
+        Seq("l_partkey"), "l_linestatus")
+    }),
+
+    // Ljung–Box portmanteau over each event type's daily series:
+    // pooled lag-1..4 autocorrelation, white-noise screen.
+    "q296_ljung_box" -> ((s, dir) => {
+      operators.TimeSeries.ljungBox(events(s, dir), "event_type", "ts",
+        maxLag = 4)
+        .orderBy("key")
+    }),
+
     // Salted skew join: lineitem ⋈ supplier on a salt-composited key,
     // row-identical to the plain join the oracle runs.
     "q295_salted_join" -> ((s, dir) => {
@@ -8121,6 +8136,71 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q297_fd_error" ->
+      """WITH cells AS (
+        |  SELECT l_partkey AS x, l_linestatus AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_partkey IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |px AS (SELECT x, CAST(MAX(c) AS BIGINT) AS mx,
+        |    CAST(SUM(c) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1)
+        |SELECT CAST(SUM(nx) AS BIGINT) AS n,
+        |  CAST(SUM(mx) AS BIGINT) AS n_keep,
+        |  CAST(SUM(nx) - SUM(mx) AS BIGINT) AS n_remove,
+        |  CAST(((SUM(nx) - SUM(mx)) * 1000000) // SUM(nx) AS BIGINT)
+        |    AS g3_ppm,
+        |  (SUM(mx) = SUM(nx)) AS holds
+        |FROM px""".stripMargin,
+
+    "q296_ljung_box" -> {
+      def lagCte(k: Int): String =
+        s"""SELECT a.key, $k AS lag, CAST(COUNT(*) AS BIGINT) AS m,
+           |  CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+           |  CAST(SUM(a.x) AS BIGINT) AS sh,
+           |  CAST(SUM(b.x) AS BIGINT) AS st
+           |FROM daily a JOIN daily b
+           |  ON a.key = b.key AND b.d = a.d + $k
+           |GROUP BY 1""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT event_type AS key,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS s1,
+         |    CAST(SUM(x * x) AS BIGINT) AS s2
+         |  FROM daily GROUP BY 1),
+         |lags AS (${(1 to 4).map(lagCte).mkString("\n|UNION ALL\n|")}),
+         |t AS (SELECT l.key, l.m,
+         |    CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)
+         |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS den,
+         |    (CAST(sxy AS DOUBLE)
+         |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+         |      + CAST(m AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+         |    / (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)
+         |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS r,
+         |    n
+         |  FROM lags l JOIN g ON l.key = g.key
+         |  WHERE l.m > 0)
+         |SELECT key, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS k_lags,
+         |  CASE WHEN MAX(n) > 4 AND
+         |    COUNT(CASE WHEN den > 0 THEN 1 END) = COUNT(*)
+         |  THEN CAST(MAX(n) * (MAX(n) + 2)
+         |    * SUM(CASE WHEN den > 0
+         |        THEN CAST(round(r * r * 1e6 / CAST(m AS DOUBLE))
+         |          AS BIGINT) END) AS BIGINT)
+         |  END AS q_micro
+         |FROM t GROUP BY key ORDER BY key""".stripMargin
+    },
 
     "q295_salted_join" ->
       """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n,

@@ -648,6 +648,37 @@ object KeyChecks {
       "n_missing", "holds")
   }
 
+  /** Approximate functional-dependency error — the g₃ measure
+    * (Kivinen & Mannila 1995, "Approximate inference of functional
+    * dependencies from relations"): the minimum FRACTION of rows
+    * whose removal makes X → Y hold exactly,
+    *   g₃ = (n − Σ_x max_y |rows(x, y)|) / n.
+    * [[fdViolations]] LISTS the violating groups; g₃ ranks near-FDs
+    * by how close they are — the score schema-discovery sweeps sort
+    * candidates with. Rows with NULL in X or Y are excluded (SQL FD
+    * semantics).
+    *
+    * Exact integers end-to-end: (X, Y) cell counts, per-X keeper via
+    * MAX over the cell counts (an aggregate with map-side combine —
+    * never a row-scale window), and the ratio in ppm via
+    * non-negative integer division. Output: one row (n, n_keep,
+    * n_remove, g3_ppm, holds). */
+  def fdError(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "lhs must be non-empty")
+    val ok = lhs.map(col(_).isNotNull).reduce(_ && _) &&
+      col(rhs).isNotNull
+    val cells = df.where(ok)
+      .groupBy(lhs.map(col) :+ col(rhs): _*)
+      .agg(count(lit(1)).as("c"))
+    val perX = cells.groupBy(lhs.map(col): _*)
+      .agg(max("c").as("mx"), sum("c").as("nx"))
+    perX.agg(sum("nx").as("n"), sum("mx").as("n_keep"))
+      .select(col("n"), col("n_keep"),
+        (col("n") - col("n_keep")).as("n_remove"),
+        expr("(n - n_keep) * 1000000L div n").as("g3_ppm"),
+        (col("n_keep") === col("n")).as("holds"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007, ICDE) — the
     * third leg of the privacy triad beside [[kAnonymity]] and
     * [[entropyLDiversity]]: per quasi-identifier group, the Earth

@@ -320,6 +320,70 @@ object TimeSeries {
         (expr("st % 2147483648L") - lit(1073741824L)).as("trend_milli"))
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978, "On a measure of
+    * lack of fit in time series models") over each key's daily event
+    * counts: Q = n(n+2)·Σ_{k≤K} r_k²/m_k — "is this series white
+    * noise, or does SOME autocorrelation structure exist?" — the
+    * one-number screen before fitting anything seasonal
+    * ([[lagCorrDaily]] inspects one lag; this pools K).
+    *
+    * Conventions (explicit, since ACF variants differ): r_k is the
+    * Pearson correlation of the OBSERVED day pairs (d, d+k) against
+    * the full-series mean and variance — on a complete grid this is
+    * the textbook sample ACF with m_k = n − k pairs; with holes the
+    * pair set (and m_k) shrinks to what is observed (compose after
+    * [[gapFill]] for strict regularity). Per-lag terms r_k²·10⁶/m_k
+    * are micro-rounded from exact integer moments and one fixed
+    * float order, then Q_micro = n(n+2)·Σ terms is pure integer
+    * arithmetic (q219 discipline).
+    *
+    * Scale shape: one daily aggregate (persisted — K lag joins read
+    * it), K (key, day)-co-keyed self-joins each producing key-scale
+    * moment rows, and metadata-scale closes.
+    * Output: (key, n, k_lags, q_micro); keys with n ≤ maxLag or zero
+    * variance emit NULL q_micro. */
+  def ljungBox(df: DataFrame, keyCol: String, tsCol: String,
+               maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val daily = df
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("key"),
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("d"),
+        col("x"))
+      .persist(lvl)
+    val g = daily.groupBy("key").agg(count(lit(1)).as("n"),
+      sum("x").as("s1"), sum(col("x") * col("x")).as("s2"))
+    val lagStats = (1 to maxLag).map { k =>
+      daily.as("a").join(daily.as("b"),
+          col("a.key") === col("b.key") &&
+            col("b.d") === col("a.d") + lit(k.toLong))
+        .groupBy(col("a.key").as("key"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("a.x") * col("b.x")).as("sxy"),
+          sum(col("a.x")).as("sh"), sum(col("b.x")).as("st"))
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    def d(c: String) = col(c).cast("double")
+    val xbar = d("s1") / d("n")
+    val num = d("sxy") - xbar * (d("sh") + d("st")) +
+      d("m") * xbar * xbar
+    val den = d("s2") - d("n") * xbar * xbar
+    val r = num / den
+    val term = round(r * r * 1e6 / d("m")).cast("long")
+    lagStats.join(g, Seq("key"))
+      .where(col("m") > 0)
+      .groupBy("key")
+      .agg(max("n").as("n"), count(lit(1)).as("k_lags"),
+        sum(when(den > 0, term)).as("tsum"))
+      .select(col("key"), col("n"), col("k_lags"),
+        when(col("n") > lit(maxLag.toLong) && col("tsum").isNotNull,
+          col("n") * (col("n") + lit(2L)) * col("tsum"))
+          .as("q_micro"))
+  }
+
   /** Lag-k Pearson autocorrelation of each key's daily measure — the
     * seasonality/burstiness screen over a metric grid (lag 1: is
     * today's volume predictive of tomorrow's? lag 7: weekly cycle?).

@@ -817,6 +817,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("p_in_c") == (("p_in_c", 2L, 3L, 0L, true)))
   }
 
+  test("fdError: hand-computed g3, exact FDs report holds") {
+    // a → {1,1,2}: keep 2 of 3; b → {3,3}: keep 2 of 2
+    // → n=5, keep=4, remove=1, g3 = 200000 ppm
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 3L), ("b", 3L))
+      .toDF("x", "y")
+    val out = KeyChecks.fdError(df, Seq("x"), "y")
+      .as[(Long, Long, Long, Long, Boolean)].collect.head
+    assert(out == ((5L, 4L, 1L, 200000L, false)), out)
+    // exact FD: every x maps to one y
+    val clean = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("x", "y")
+    val out2 = KeyChecks.fdError(clean, Seq("x"), "y")
+      .as[(Long, Long, Long, Long, Boolean)].collect.head
+    assert(out2 == ((3L, 3L, 0L, 0L, true)), out2)
+  }
+
   test("tCloseness: hand-computed ordinal EMD, global-matching group " +
     "scores zero") {
     // global over {A:(1,1), B:(2,2), C:(1,2)}: C1=3, C2=3, N=6, m=2.

@@ -68,4 +68,30 @@ class EwmaSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("2^30"), err.getMessage)
   }
+
+  test("ljungBox: hand-computed lag-1 case, degenerate series NULL out") {
+    val s = spark
+    import s.implicits._
+    // daily counts 1..6 (event multiplicity per day): x̄=3.5,
+    // den=17.5; lag-1: sxy=70, sh=15, st=20, m=5 → r=0.5,
+    // term=round(0.25e6/5)=50000 → Q = 6·8·50000 = 2 400 000
+    def evts(key: Long, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)((key,
+        java.sql.Timestamp.valueOf(s"2024-01-${"%02d".format(d + 1)} 12:00:00")))
+    }
+    val df = (evts(1L, Seq(1, 2, 3, 4, 5, 6)) ++
+      evts(2L, Seq(7, 7, 7, 7, 7, 7)) ++ // constant → zero variance
+      evts(3L, Seq(3, 4)) ++             // minimal two-day series
+      evts(4L, Seq(5)))                  // single day: no lag pair
+      .toDF("k", "ts")
+    val got = TimeSeries.ljungBox(df, "k", "ts", maxLag = 1)
+      .as[(Long, Long, Long, Option[Long])].collect
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 1L, Some(2400000L))), got(1L))
+    assert(got(2L)._4.isEmpty, got(2L))   // zero variance
+    // [3,4]: r = −0.5, term = 250000·1 → Q = 2·4·250000
+    assert(got(3L) == ((3L, 2L, 1L, Some(2000000L))), got(3L))
+    // a key with no lag pairs at all emits no row
+    assert(!got.contains(4L), got.get(4L))
+  }
 }
