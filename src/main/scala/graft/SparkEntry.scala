@@ -3440,6 +3440,16 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Kendall τ-b between quantity and discount basis points, from
+    // the 50×11 contingency cells — never row pairs.
+    "q298_kendall_tau" -> ((s, dir) => {
+      operators.Stats.kendallTauB(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_discount") * 100).cast("long").as("disc_pct")),
+        "qty", "disc_pct")
+    }),
+
     // g3 approximate-FD error: how far is l_partkey → l_linestatus
     // from holding (min fraction of rows to remove)?
     "q297_fd_error" -> ((s, dir) => {
@@ -8136,6 +8146,38 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q298_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT
+        |    COALESCE(SUM(CASE WHEN b.y > a.y THEN a.c * b.c END), 0) AS cc,
+        |    COALESCE(SUM(CASE WHEN b.y < a.y THEN a.c * b.c END), 0) AS dd
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |tx AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS tx2,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS ty2
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y))
+        |SELECT n, CAST(cc AS BIGINT) AS concordant,
+        |  CAST(dd AS BIGINT) AS discordant,
+        |  CASE WHEN n >= 2
+        |    AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        - CAST(tx2 AS DOUBLE) > 0
+        |    AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        - CAST(ty2 AS DOUBLE) > 0
+        |  THEN CAST(round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+        |    / (sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        - CAST(tx2 AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        - CAST(ty2 AS DOUBLE))) / 2.0) * 1e6) AS BIGINT)
+        |  END AS tau_micro
+        |FROM p CROSS JOIN tx CROSS JOIN ty""".stripMargin,
 
     "q297_fd_error" ->
       """WITH cells AS (

@@ -1415,6 +1415,58 @@ object Stats {
           .as("h_tied_micro"))
   }
 
+  /** Kendall's τ-b rank correlation (Kendall 1945, with the tie
+    * correction) between two INTEGER-VALUED columns, computed from
+    * the JOINT CONTINGENCY CELLS instead of row pairs: concordant /
+    * discordant mass is Σ n_ab·n_a'b' over cell pairs with a<a' and
+    * b≷b' — a cells×cells join bounded by the VALUE DOMAINS (callers
+    * pre-bucket continuous columns; the corrMatrix contract), never
+    * the O(n²) row-pair blowup. [[spearmanByKey]] ranks rows; τ-b is
+    * the pair-concordance view, robust to monotone transforms and
+    * the standard effect size for ordinal×ordinal tables.
+    *
+    *   τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+    * n₀ = n(n−1)/2, n₁/n₂ = Σ t(t−1)/2 over each margin's ties. C,
+    * D, and all tie sums are EXACT integers (DECIMAL(38,0)); one
+    * IEEE √ close → deterministic micros.
+    * Output: one row (n, concordant, discordant, tau_micro). */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("c").cast(dec).as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("c").cast(dec).as("cb"))
+    val pairs = a.join(b, col("xa") < col("xb"))
+      .agg(
+        coalesce(sum(when(col("yb") > col("ya"),
+          col("ca") * col("cb"))), lit(0).cast(dec)).as("cc"),
+        coalesce(sum(when(col("yb") < col("ya"),
+          col("ca") * col("cb"))), lit(0).cast(dec)).as("dd"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t").cast(dec) - 1)),
+        lit(0).cast(dec)).as("tx2"), sum("t").as("n"))
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t").cast(dec) - 1)),
+        lit(0).cast(dec)).as("ty2"))
+    def d(c: String) = col(c).cast("double")
+    val n0x2 = d("n") * (d("n") - lit(1.0)) // 2·n0
+    val denom = sqrt((n0x2 - d("tx2")) * (n0x2 - d("ty2"))) / lit(2.0)
+    val tau = (d("cc") - d("dd")) / denom
+    pairs.crossJoin(tx).crossJoin(ty)
+      .select(col("n"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        when(col("n") >= 2 && (n0x2 - d("tx2")) > 0 &&
+          (n0x2 - d("ty2")) > 0,
+          round(tau * 1e6).cast("long")).as("tau_micro"))
+  }
+
   /** Split-conformal prediction threshold (Vovk et al. 2005; Lei et
     * al. 2018, "Distribution-free predictive inference"): per group,
     * the k-th smallest nonconformity score with

@@ -503,6 +503,28 @@ class StatsSpec extends SparkSpec {
     assert(out._4.isEmpty && out._5.isEmpty, out)
   }
 
+  test("kendallTauB: perfect concordance, reversal, and tie-corrected " +
+    "zero") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val got = Stats.kendallTauB(up, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(got == ((3L, 3L, 0L, Some(1000000L))), got)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val got2 = Stats.kendallTauB(down, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(got2 == ((3L, 0L, 3L, Some(-1000000L))), got2)
+    // balanced 2x2 with ties on both margins: C = D = 1 → τ_b = 0
+    val sq = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val got3 = Stats.kendallTauB(sq, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(got3 == ((4L, 1L, 1L, Some(0L))), got3)
+    // a constant margin has no untied pairs → NULL τ
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    val got4 = Stats.kendallTauB(const, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(got4._4.isEmpty, got4)
+  }
+
   test("conformalThreshold: hand-computed k = ceil((n+1)(1-α)), " +
     "tie-proof value-cell selection") {
     // {1..10}, α=0.2: k = ceil(11·0.8) = 9 → threshold 9
