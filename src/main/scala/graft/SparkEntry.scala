@@ -3440,6 +3440,14 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Cliff's delta: stochastic dominance of R-flag over A-flag
+    // quantities per line status, from value cells.
+    "q299_cliffs_delta" -> ((s, dir) => {
+      operators.Stats.cliffsDelta(t(s, dir, "lineitem"),
+        "l_linestatus", "l_returnflag", "R", "A", "l_quantity")
+        .orderBy("stratum")
+    }),
+
     // Kendall τ-b between quantity and discount basis points, from
     // the 50×11 contingency cells — never row pairs.
     "q298_kendall_tau" -> ((s, dir) => {
@@ -8146,6 +8154,29 @@ object SparkEntry {
          |FROM fr LEFT JOIN pr ON fr.query_id = pr.query_id
          |  AND fr.neighbor_id = pr.neighbor_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    "q299_cliffs_delta" ->
+      """WITH cells AS (
+        |  SELECT l_linestatus AS stratum, l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'A')
+        |  GROUP BY 1, 2, 3),
+        |p AS (SELECT a.stratum,
+        |    COALESCE(SUM(CASE WHEN a.v > b.v THEN a.c * b.c END), 0)
+        |      AS gt,
+        |    COALESCE(SUM(CASE WHEN a.v < b.v THEN a.c * b.c END), 0)
+        |      AS lt,
+        |    SUM(a.c * b.c) AS nn
+        |  FROM cells a JOIN cells b
+        |    ON a.stratum = b.stratum AND a.g = 'R' AND b.g = 'A'
+        |  GROUP BY 1)
+        |SELECT stratum,
+        |  CAST(round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+        |    / CAST(nn AS DOUBLE) * 1e6) AS BIGINT) AS delta_micro,
+        |  CAST(nn AS BIGINT) AS n_pairs
+        |FROM p ORDER BY stratum""".stripMargin,
 
     "q298_kendall_tau" ->
       """WITH cells AS (

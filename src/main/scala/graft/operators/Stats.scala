@@ -1415,6 +1415,47 @@ object Stats {
           .as("h_tied_micro"))
   }
 
+  /** Cliff's delta (Cliff 1993, "Dominance statistics") per stratum —
+    * the distribution-free effect size companion to [[mannWhitneyU]]:
+    *   δ = P(X > Y) − P(X < Y) = (#gt − #lt) / (n_a·n_b)
+    * over all cross-group pairs, read directly as stochastic
+    * dominance (δ = ±1 total separation, 0 overlap). Computed from
+    * per-group VALUE CELLS — a cells×cells join bounded by the value
+    * domains (pre-bucket continuous columns), never n_a·n_b row
+    * pairs. #gt/#lt are exact DECIMAL integers; one double division
+    * closes the micros. Output: (stratum, n_a, n_b, delta_micro). */
+  def cliffsDelta(df: DataFrame, stratumCol: String, groupCol: String,
+                  aName: String, bName: String,
+                  valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .where(col(valueCol).isNotNull &&
+        col(groupCol).isin(aName, bName))
+      .groupBy(col(stratumCol).as("stratum"), col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val a = cells.where(col("g") === aName)
+      .select(col("stratum"), col("v").as("va"), col("c").cast(dec).as("ca"))
+    val b = cells.where(col("g") === bName)
+      .select(col("stratum"), col("v").as("vb"), col("c").cast(dec).as("cb"))
+    val pairs = a.join(b, Seq("stratum"))
+      .groupBy("stratum")
+      .agg(
+        coalesce(sum(when(col("va") > col("vb"), col("ca") * col("cb"))),
+          lit(0).cast(dec)).as("gt"),
+        coalesce(sum(when(col("va") < col("vb"), col("ca") * col("cb"))),
+          lit(0).cast(dec)).as("lt"),
+        sum(col("ca") * col("cb")).as("nn"))
+    def d(c: String) = col(c).cast("double")
+    pairs
+      // nn = n_a·n_b exactly (every cell pair contributes ca·cb)
+      .select(col("stratum"),
+        round((d("gt") - d("lt")) / d("nn") * 1e6).cast("long")
+          .as("delta_micro"),
+        col("nn").cast("long").as("n_pairs"))
+  }
+
   /** Kendall's τ-b rank correlation (Kendall 1945, with the tie
     * correction) between two INTEGER-VALUED columns, computed from
     * the JOINT CONTINGENCY CELLS instead of row pairs: concordant /

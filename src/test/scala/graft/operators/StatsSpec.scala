@@ -503,6 +503,27 @@ class StatsSpec extends SparkSpec {
     assert(out._4.isEmpty && out._5.isEmpty, out)
   }
 
+  test("cliffsDelta: hand-computed dominance, separation, and overlap") {
+    // a={3,4}, b={1,2}: all 4 pairs a>b → δ = 1
+    // a={1,2}, b={1,2}: gt=1 (2>1), lt=1 (1<2), ties 2 → δ = 0
+    val df = Seq(
+      ("sep", "a", 3L), ("sep", "a", 4L), ("sep", "b", 1L), ("sep", "b", 2L),
+      ("mix", "a", 1L), ("mix", "a", 2L), ("mix", "b", 1L), ("mix", "b", 2L))
+      .toDF("st", "g", "v")
+    val got = Stats.cliffsDelta(df, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long)].collect.map(r => r._1 -> r).toMap
+    assert(got("sep") == (("sep", 1000000L, 4L)), got("sep"))
+    assert(got("mix") == (("mix", 0L, 4L)), got("mix"))
+    // partial: a={2,3}, b={1,3}: gt = 3 (2>1, 3>1 ... 2>1,3>1,3? 3>3 tie
+    // → gt=2+... pairs: (2,1) gt, (2,3) lt, (3,1) gt, (3,3) tie →
+    // δ = (2−1)/4 = 0.25
+    val part = Seq(("p", "a", 2L), ("p", "a", 3L),
+      ("p", "b", 1L), ("p", "b", 3L)).toDF("st", "g", "v")
+    val got2 = Stats.cliffsDelta(part, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long)].collect.head
+    assert(got2 == (("p", 250000L, 4L)), got2)
+  }
+
   test("kendallTauB: perfect concordance, reversal, and tie-corrected " +
     "zero") {
     val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
