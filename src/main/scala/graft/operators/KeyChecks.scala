@@ -14,6 +14,47 @@ import org.apache.spark.sql.functions._
   */
 object KeyChecks {
 
+  private val jobGroupSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Run `body` over `items` on a bounded thread pool, each branch
+    * tagged with a shared Spark JOB GROUP. Unlike a bare
+    * `Await.result(…, Duration.Inf)` per future (the round-8 form):
+    * (a) the wait is FINITE — a wedged executor surfaces as a
+    * TimeoutException instead of hanging the driver thread forever —
+    * and (b) on ANY failure (timeout or a failed branch) the whole
+    * job group is cancelled (`interruptOnCancel`), so sibling futures
+    * stop submitting work instead of racing on after
+    * `pool.shutdown()`. Used by [[compositeKeys]] / [[inclusionDeps]];
+    * `Future.sequence` fails fast on the first error. */
+  private def runBoundedJobs[A, B](
+      spark: org.apache.spark.sql.SparkSession, items: Seq[A],
+      parallelism: Int,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(1, "hour"))(
+      body: A => B): Seq[B] = {
+    val sc = spark.sparkContext
+    val groupId = s"graft-keychecks-${jobGroupSeq.incrementAndGet()}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, items.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = items.map { a =>
+        scala.concurrent.Future {
+          sc.setJobGroup(groupId, groupId, interruptOnCancel = true)
+          try body(a) finally sc.clearJobGroup()
+        }
+      }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs), timeout)
+      catch {
+        case e: Throwable =>
+          sc.cancelJobGroup(groupId)
+          throw e
+      }
+    } finally pool.shutdown()
+  }
+
   /** Duplicate key groups: rows per `cols` combination having count>1. */
   def pkViolations(df: DataFrame, cols: Seq[String]): DataFrame =
     df.groupBy(cols.map(col): _*)
@@ -563,24 +604,14 @@ object KeyChecks {
         // the cluster's scan parallelism shared fairly. Pruning
         // semantics are untouched — levels stay sequential so found
         // keys still imply away supersets before they scan.
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(8, scan.size))
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val results = try {
-          val fs = scan.map { s =>
-            scala.concurrent.Future {
-              val anyNull = s.map(col(_).isNull).reduce(_ || _)
-              val r = df.agg(
-                count_distinct(struct(s.map(col): _*)).as("__d"),
-                coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
-                  .as("__m")).head()
-              (s, r.getLong(0), r.getLong(1))
-            }
-          }
-          fs.map(f => scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf))
-        } finally pool.shutdown()
+        val results = runBoundedJobs(spark, scan, 8) { s =>
+          val anyNull = s.map(col(_).isNull).reduce(_ || _)
+          val r = df.agg(
+            count_distinct(struct(s.map(col): _*)).as("__d"),
+            coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
+              .as("__m")).head()
+          (s, r.getLong(0), r.getLong(1))
+        }
         val found = results.flatMap { case (s, d, m) =>
           val isKey = d == n
           out += ((s.mkString(","), arity.toLong, n, d, m, isKey, isKey))
@@ -620,30 +651,21 @@ object KeyChecks {
     // rationale): each pair's plan column-prunes its two scans to one
     // column each and shuffles only distinct keys; a union-of-branches
     // single plan would multiply the exchange count by the pair count
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, pairs.size))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val rows = try {
-      val fs = pairs.map { case (label, child, childCol, parent, parentCol) =>
-        scala.concurrent.Future {
-          val c = child.where(col(childCol).isNotNull)
-            .select(col(childCol).cast("string").as("v")).distinct()
-          val p = parent.where(col(parentCol).isNotNull)
-            .select(col(parentCol).cast("string").as("v")).distinct()
-          val r = c.join(p.withColumn("__in", lit(1)), Seq("v"), "left")
-            .agg(count(lit(1)).as("n_child_distinct"),
-              coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)),
-                lit(0L)).as("n_missing"))
-            .crossJoin(p.agg(count(lit(1)).as("n_parent_distinct")))
-            .head()
-          (label, r.getLong(0), r.getLong(2), r.getLong(1),
-            r.getLong(1) == 0L)
-        }
-      }
-      fs.map(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
+    val rows = runBoundedJobs(spark, pairs, 8) {
+      case (label, child, childCol, parent, parentCol) =>
+        val c = child.where(col(childCol).isNotNull)
+          .select(col(childCol).cast("string").as("v")).distinct()
+        val p = parent.where(col(parentCol).isNotNull)
+          .select(col(parentCol).cast("string").as("v")).distinct()
+        val r = c.join(p.withColumn("__in", lit(1)), Seq("v"), "left")
+          .agg(count(lit(1)).as("n_child_distinct"),
+            coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("n_missing"))
+          .crossJoin(p.agg(count(lit(1)).as("n_parent_distinct")))
+          .head()
+        (label, r.getLong(0), r.getLong(2), r.getLong(1),
+          r.getLong(1) == 0L)
+    }
     rows.toDF("pair", "n_child_distinct", "n_parent_distinct",
       "n_missing", "holds")
   }

@@ -334,44 +334,62 @@ object Knn {
     * centers — the diversity-maximizing subset that covers the
     * embedding space with k balls of minimal radius (within 2×).
     *
-    * Each round is ONE distributed aggregate (TakeOrdered argmax over
-    * a projection against the ≤ k broadcast center vectors — centers
-    * are driver-side metadata, never a shuffle); k rounds total, the
-    * classic sequential-greedy structure. Distances use 6-dp-rounded
-    * cosine (d = 1 − max sim, ties → smallest id, already-picked ids
-    * excluded) so every pick replays bit-identically in the oracle.
-    * Output: (rank 1..k, id, dist_micro = the pick's distance to the
-    * centers before it; seed row carries 0). */
+    * CACHED MIN-DISTANCE form (the standard O(k·n) greedy): the frame
+    * carries a `dmin` column — each round folds in ONE cosine against
+    * the newest center (`least(dmin, 1 − round(sim, 6))`, identical to
+    * recomputing `1 − max sim` because round() distributes over max),
+    * materialized under an eager localCheckpoint (pagerankIntRounds
+    * pattern, previous round's blocks freed), then one TakeOrdered
+    * argmax picks the farthest point — 2 O(n) jobs per pick instead of
+    * the previous 3 jobs with an O(i·n) recompute against ALL prior
+    * centers (O(k²·n) total; measured at sf0.01 k=12: 2.0 s → 1.1 s,
+    * same rows). Picked rows leave the frame, so no exclusion-list
+    * scan. Distances use 6-dp-rounded cosine (ties → smallest id) so
+    * every pick replays bit-identically in the oracle. If k exceeds
+    * the number of distinct vectors the result is short (all points),
+    * not an error. Output: (rank 1..k, id, dist_micro = the pick's
+    * distance to the centers before it; seed row carries 0). */
   def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = base.agg(min("id")).head().getLong(0)
-    def vecOf(id: Long): Seq[Float] =
-      base.where(col("id") === id).head().getSeq[Float](1)
-    var centers = Vector(seed)
-    var centerVecs = Vector(vecOf(seed))
+      col(vecCol).as("vec"))
+    val seedRow = base.orderBy(col("id").asc).limit(1).head()
+    val seed = seedRow.getLong(0)
+    var centerVec = seedRow.getSeq[Float](1)
     val out = scala.collection.mutable.ArrayBuffer((1L, seed, 0L))
-    for (i <- 2 to k) {
-      val sims = centerVecs.map(cv =>
-        round(Vectors.cosine(col("vec"),
-          typedLit(cv.toArray)), 6))
-      val maxSim = sims.reduce((a, b) => greatest(a, b))
-      val pick = base
-        .where(!col("id").isInCollection(centers))
-        .select(col("id"), (lit(1.0) - maxSim).as("d"))
-        .orderBy(col("d").desc, col("id").asc)
-        .limit(1).head()
-      val id = pick.getLong(0)
-      out += ((i.toLong, id, math.round(pick.getDouble(1) * 1e6)))
-      centers = centers :+ id
-      centerVecs = centerVecs :+ vecOf(id)
+    // dmin vs the seed only; later rounds fold in one least() each.
+    var state = base.where(col("id") =!= seed)
+      .withColumn("dmin", lit(1.0) -
+        round(Vectors.cosine(col("vec"), typedLit(centerVec.toArray)), 6))
+      .localCheckpoint(true)
+    var i = 2
+    var done = i > k
+    while (!done) {
+      val pick = state.orderBy(col("dmin").desc, col("id").asc)
+        .limit(1).head(1).headOption
+      pick match {
+        case None => done = true // k > distinct vectors: short result
+        case Some(row) =>
+          val id = row.getLong(0)
+          out += ((i.toLong, id, math.round(row.getDouble(2) * 1e6)))
+          centerVec = row.getSeq[Float](1)
+          i += 1
+          if (i > k) done = true
+          else {
+            val prev = state
+            state = state.where(col("id") =!= id)
+              .withColumn("dmin", least(col("dmin"), lit(1.0) -
+                round(Vectors.cosine(col("vec"),
+                  typedLit(centerVec.toArray)), 6)))
+              .localCheckpoint(true)
+            graft.plans.Blocks.free(prev)
+          }
+      }
     }
-    base.unpersist(false)
+    graft.plans.Blocks.free(state)
     out.toSeq.toDF("rank", "id", "dist_micro")
   }
 

@@ -1422,11 +1422,17 @@ object Stats {
     * dominance (δ = ±1 total separation, 0 overlap). Computed from
     * per-group VALUE CELLS — a cells×cells join bounded by the value
     * domains (pre-bucket continuous columns), never n_a·n_b row
-    * pairs. #gt/#lt are exact DECIMAL integers; one double division
-    * closes the micros. Output: (stratum, n_a, n_b, delta_micro). */
+    * pairs. The pre-bucket contract is ENFORCED: the operator counts
+    * the distinct cells (materializing the checkpoint the join reuses,
+    * so the guard job is not wasted work) and fails fast with a clear
+    * message when they exceed `maxCells` — a raw continuous column
+    * would otherwise silently plan a 10¹²-pair nested-loop join.
+    * #gt/#lt are exact DECIMAL integers; one double division closes
+    * the micros. Output: (stratum, delta_micro, n_pairs) with
+    * n_pairs = n_a·n_b. */
   def cliffsDelta(df: DataFrame, stratumCol: String, groupCol: String,
                   aName: String, bName: String,
-                  valueCol: String): DataFrame = {
+                  valueCol: String, maxCells: Int = 1 << 16): DataFrame = {
     val dec = DecimalType(38, 0)
     val cells = df
       .where(col(valueCol).isNotNull &&
@@ -1435,6 +1441,11 @@ object Stats {
         col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"cliffsDelta: $nCells distinct (stratum, group, value) cells " +
+        s"exceed maxCells=$maxCells; pre-bucket $valueCol (the scaladoc " +
+        "contract) or raise maxCells explicitly")
     val a = cells.where(col("g") === aName)
       .select(col("stratum"), col("v").as("va"), col("c").cast(dec).as("ca"))
     val b = cells.where(col("g") === bName)
@@ -1461,7 +1472,10 @@ object Stats {
     * the JOINT CONTINGENCY CELLS instead of row pairs: concordant /
     * discordant mass is Σ n_ab·n_a'b' over cell pairs with a<a' and
     * b≷b' — a cells×cells join bounded by the VALUE DOMAINS (callers
-    * pre-bucket continuous columns; the corrMatrix contract), never
+    * pre-bucket continuous columns; the corrMatrix contract — and the
+    * contract is ENFORCED: a distinct-cell count over `maxCells` fails
+    * fast instead of silently planning a 10¹²-pair nested-loop join;
+    * the count materializes the checkpoint the join reuses), never
     * the O(n²) row-pair blowup. [[spearmanByKey]] ranks rows; τ-b is
     * the pair-concordance view, robust to monotone transforms and
     * the standard effect size for ordinal×ordinal tables.
@@ -1471,7 +1485,8 @@ object Stats {
     * D, and all tie sums are EXACT integers (DECIMAL(38,0)); one
     * IEEE √ close → deterministic micros.
     * Output: one row (n, concordant, discordant, tau_micro). */
-  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String,
+                  maxCells: Int = 1 << 16): DataFrame = {
     val dec = DecimalType(38, 0)
     val cells = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -1479,6 +1494,11 @@ object Stats {
         col(yCol).cast("long").as("y"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTauB: $nCells distinct ($xCol, $yCol) cells exceed " +
+        s"maxCells=$maxCells; pre-bucket the continuous column (the " +
+        "scaladoc contract) or raise maxCells explicitly")
     val a = cells.select(col("x").as("xa"), col("y").as("ya"),
       col("c").cast(dec).as("ca"))
     val b = cells.select(col("x").as("xb"), col("y").as("yb"),

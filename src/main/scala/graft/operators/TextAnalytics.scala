@@ -1388,11 +1388,32 @@ object TextAnalytics {
   def heavyHitters(df: DataFrame, textCol: String, k: Int,
                    topN: Int): DataFrame = {
     require(k >= 1 && topN >= 1, "k and topN must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
     val toks = df.select(explode(Text.tokens(lower(col(textCol))))
       .as("term"))
-    val partials = toks.as[String].mapPartitions { it =>
+    val partials = mgSummaries(toks, k).select("term").distinct()
+    toks.join(broadcast(partials), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topN)
+  }
+
+  /** Per-partition Misra–Gries summaries WITH their retained counter
+    * weights: at most k (term, w) rows per partition, where each
+    * retained w satisfies c_p(t) − n_p/(k+1) ≤ w ≤ c_p(t) (the MG
+    * guarantee per partition of n_p tokens). Weighted summaries are
+    * MERGEABLE by plain cell-wise addition — summing over partitions
+    * (or micro-batches) keeps the additive error ≤ N/(k+1) because
+    * the per-partition decrement rounds sum (Agarwal et al., "
+    * Mergeable summaries", TODS 2013) — which is what lets
+    * [[heavyHitters]]'s pass 1 and the streaming twin
+    * ([[graft.streaming.StreamMonitor.misraGriesStream]]) share this
+    * kernel: batch keeps only the keys (candidates for an exact
+    * second pass); streaming keeps the weights (no second pass over
+    * an unbounded stream). `toks` is a single-column frame of terms. */
+  private[graft] def mgSummaries(toks: DataFrame, k: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       for (t <- it) {
         if (m.contains(t)) m(t) += 1L
@@ -1405,12 +1426,8 @@ object TextAnalytics {
           dead.result().foreach(m.remove)
         }
       }
-      m.keysIterator.map(Tuple1(_))
-    }.toDF("term").distinct()
-    toks.join(broadcast(partials), Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("term").asc)
-      .limit(topN)
+      m.iterator
+    }.toDF("term", "w")
   }
 
   /** Pairwise vocabulary overlap between corpus groups (sources,

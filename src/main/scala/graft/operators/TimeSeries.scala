@@ -273,8 +273,13 @@ object TimeSeries {
     * accumulator it updates IN PLACE — the second field's expression
     * sees the first field's NEW value — so a struct-state fold
     * silently diverges between engines; a scalar state cannot.
-    * Values must satisfy |v| < 2³⁰ milli-units (≈ ±10⁹ —
-    * guard-raised), which bounds |l|, |b| the same way.
+    * Values must satisfy |v| < 2²⁹ milli-units (≈ ±5·10⁸ —
+    * guard-raised), which bounds |l|, |b| the same way (the fold is
+    * a convex-combination recurrence). The 2²⁹ bound — HALF the 2³⁰
+    * packing offset — keeps every packed state ≥ (2³⁰−2²⁹)·2³¹ = 2⁶⁰,
+    * so the oracle's raw-first-element vs packed-state disambiguation
+    * (`a < 2⁴⁰`) can never misread a packed state whose level sits
+    * near the −2³⁰ packing bound as a raw element.
     *
     * Same scale posture as ewmaHalfPerKey: one key-partitioned
     * collect of (ts, v) structs, the fold runs in-row; `maxPerKey`
@@ -291,9 +296,10 @@ object TimeSeries {
       raise_error(concat(lit("holtHalfPerKey: a key holds "), col("__mx"),
         lit(s" rows > maxPerKey=$maxPerKey; the sequential fold would" +
           " assemble that series on one task."))).cast("long"))
-      .when(col("__mxa") >= lit(1L << 30),
-        raise_error(lit("holtHalfPerKey: |value| must be < 2^30 " +
-          "milli-units (packed-state bound)")).cast("long"))
+      .when(col("__mxa") >= lit(1L << 29),
+        raise_error(lit("holtHalfPerKey: |value| must be < 2^29 " +
+          "milli-units (packed-state bound with margin for the " +
+          "oracle's raw-vs-packed disambiguation)")).cast("long"))
       .otherwise(col(milliCol).cast("long"))
     // C = 2^30 offset, M = 2^31 radix; packed = (l+C)*M + (b+C)
     df.crossJoin(broadcast(guards))

@@ -83,9 +83,17 @@ object StreamMonitor {
     *    (the target is excluded from its own inputs) and no-ops.
     *
     * Single-writer discipline (one stream owns a store) is assumed,
-    * same as every store in the family. */
+    * same as every store in the family.
+    *
+    * `reduce` post-processes the cell-wise sum before it lands (state
+    * families whose compaction is MORE than addition — the
+    * Misra–Gries summary reduction in [[misraGriesStream]]); the
+    * default is identity (pure additive cells). Crash-safety is
+    * unchanged: the reduction happens inside the recompute branch, so
+    * a replay reapplies it from the untouched sources. */
   def compactShards(spark: SparkSession, storeDir: String,
-                    targetName: String): Unit = {
+                    targetName: String,
+                    reduce: DataFrame => DataFrame = identity): Unit = {
     val base = new Path(storeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(base, targetName)
@@ -102,8 +110,8 @@ object StreamMonitor {
         .map(_.getPath.getName)
         .filterNot(n => n.startsWith("_") || n.startsWith("."))
       if (sources.nonEmpty) {
-        spark.read.parquet(sources.map(n => s"$storeDir/$n"): _*)
-          .groupBy("stratum", "v").agg(sum("cb").as("cb"))
+        reduce(spark.read.parquet(sources.map(n => s"$storeDir/$n"): _*)
+            .groupBy("stratum", "v").agg(sum("cb").as("cb")))
           .coalesce(1)
           .write.mode("overwrite").parquet(target.toString)
         val out = fs.create(marker, true)
@@ -185,6 +193,102 @@ object StreamMonitor {
       .select(col("stratum").as("key"), col("cb").cast("long").as("n"))
       .orderBy(col("n").desc, col("key").asc)
       .limit(k)
+
+  /** Streaming Misra–Gries heavy TERMS — the live twin of
+    * [[graft.operators.TextAnalytics.heavyHitters]] with the state
+    * posture inverted to fit an unbounded stream: the batch operator
+    * keeps only candidate KEYS and rescans for exact counts; a stream
+    * cannot rescan, so this keeps the candidates' retained WEIGHTS,
+    * which are mergeable by plain cell-wise addition with the additive
+    * error guarantee preserved — for every term,
+    *   c(t) − N/(k+1) ≤ ĉ(t) ≤ c(t)
+    * over the whole stream so far (Misra & Gries 1982; mergeability:
+    * Agarwal et al., "Mergeable summaries", TODS 2013). Any term with
+    * true frequency > N/(k+1) is guaranteed present.
+    *
+    * State rides the same parquet shard store as [[ksDriftStream]]
+    * (idempotent batchId-shard overwrite, crash-safe compaction):
+    * counter cells as (stratum = term, v = 0, cb = retained weight)
+    * plus one token-total cell (v = 1) per shard — both additive, so
+    * readback is a plain cell-wise sum. Compaction additionally
+    * applies the MG summary REDUCTION (subtract the (k+1)-th largest
+    * counter from all, drop non-positive — the TODS 2013 merge step),
+    * so the compacted store holds ≤ k counters regardless of stream
+    * lifetime; between compactions the store is bounded by
+    * shards·partitions·k, never vocabulary-scale.
+    *
+    * Sink receives ([[heavyTermsFromStore]] frame, batchId):
+    * (term, n_min, n_max) — true count bracketed by the summary
+    * weight and weight + ⌊N/(k+1)⌋ — top `topN` by n_min. */
+  def misraGriesStream(live: DataFrame, textCol: String, k: Int,
+                       topN: Int, storeDir: String, checkpointDir: String,
+                       compactEvery: Int = 32)
+                      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(k >= 1 && topN >= 1, "k and topN must be >= 1")
+    val spark = live.sparkSession
+    live
+      .select(col(textCol).cast("string").as("text"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val toks = batch.select(explode(
+          graft.functions.Text.tokens(lower(col("text")))).as("term"))
+          .persist()
+        val nTok = toks.count()
+        val counters = graft.operators.TextAnalytics.mgSummaries(toks, k)
+          .groupBy("term").agg(sum("w").as("cb"))
+          .select(col("term").as("stratum"), lit(0L).as("v"), col("cb"))
+        counters
+          .unionByName(Seq(("__total__", 1L, nTok))
+            .toDF("stratum", "v", "cb"))
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        toks.unpersist(false)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactShards(spark, storeDir, s"c$batchId", mgReduce(k))
+        sink(heavyTermsFromStore(spark, storeDir, k, topN), batchId)
+      }
+      .start()
+  }
+
+  /** The MG summary reduction for [[compactShards]]: keep the total
+    * cell, subtract the (k+1)-th largest counter weight from every
+    * counter, drop non-positive — at most k counters survive and the
+    * store-wide error bound N/(k+1) is preserved (Agarwal et al.,
+    * TODS 2013, Lemma 1 applied to the summed summary). */
+  private def mgReduce(k: Int)(cells: DataFrame): DataFrame = {
+    // one bounded TakeOrdered probe (k+1 longs driver-side) decides
+    // both "any reduction needed?" and the threshold — no caching, so
+    // nothing outlives the compaction that calls this
+    val top = cells.where(col("v") === 0L)
+      .orderBy(col("cb").desc).limit(k + 1).select("cb").collect()
+    if (top.length <= k) cells
+    else {
+      val th = top.map(_.getLong(0)).min
+      cells.where(col("v") === 0L)
+        .select(col("stratum"), col("v"), (col("cb") - lit(th)).as("cb"))
+        .where(col("cb") > 0L)
+        .unionByName(cells.where(col("v") === 1L))
+    }
+  }
+
+  /** Accumulated heavy terms from a Misra–Gries store — also the
+    * offline entry point. (term, n_min, n_max): the true stream count
+    * of `term` lies in [n_min, n_max]; top `topN` by n_min, term ASC
+    * tie-break. */
+  def heavyTermsFromStore(spark: SparkSession, storeDir: String,
+                          k: Int, topN: Int): DataFrame = {
+    // two store reads, zero retained state per trigger (a cached
+    // frame here would leak blocks across a long stream's triggers)
+    val total = readStore(spark, storeDir).where(col("v") === 1L)
+      .agg(coalesce(sum("cb"), lit(0L))).head().getLong(0)
+    val slack = total / (k + 1L)
+    readStore(spark, storeDir).where(col("v") === 0L)
+      .select(col("stratum").as("term"), col("cb").as("n_min"),
+        (col("cb") + lit(slack)).as("n_max"))
+      .orderBy(col("n_min").desc, col("term").asc)
+      .limit(topN)
+  }
 
   /** Streaming peak-concurrency monitor: the live twin of
     * [[graft.operators.TimeSeries.maxConcurrent]] — "what is the

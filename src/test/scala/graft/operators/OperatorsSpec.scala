@@ -905,6 +905,23 @@ class KnnSpec extends SparkSpec {
     assert(out(1)._3 >= out(2)._3, out.toSeq.toString)
   }
 
+  test("kCenterCoreset: k beyond the corpus returns all points, " +
+    "short, in pick order — not an exception") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(1, 0.1)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.kCenterCoreset(emb, "vec_id", "embedding", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 3, out.toSeq.toString)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(out(0)._2 == 1L) // seed = min id
+    assert(out(1)._2 == 2L) // farthest from seed = the orthogonal axis
+  }
+
   test("marginPairs: margin replays from the kNN graph exactly and " +
     "demotes hub neighborhoods") {
     val s = spark

@@ -546,6 +546,28 @@ class StatsSpec extends SparkSpec {
     assert(got4._4.isEmpty, got4)
   }
 
+  test("cliffsDelta / kendallTauB: pre-bucket contract enforced — an " +
+    "over-cap cell count fails fast with a clean error, not a BNLJ") {
+    // 40 distinct values with maxCells=16 must raise BEFORE the
+    // cells×cells join plans (the guard is a require, so the failure
+    // is an IllegalArgumentException naming the fix)
+    val wide = (1L to 40L).map(i => ("s", if (i % 2 == 0) "a" else "b", i))
+      .toDF("st", "g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.cliffsDelta(wide, "st", "g", "a", "b", "v", maxCells = 16)
+        .collect()
+    }
+    assert(e1.getMessage.contains("pre-bucket"), e1.getMessage)
+    val xy = (1L to 40L).map(i => (i, i * 2)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.kendallTauB(xy, "x", "y", maxCells = 16).collect()
+    }
+    assert(e2.getMessage.contains("pre-bucket"), e2.getMessage)
+    // and the same shapes pass untouched under the default cap
+    assert(Stats.cliffsDelta(wide, "st", "g", "a", "b", "v").count() == 1L)
+    assert(Stats.kendallTauB(xy, "x", "y").count() == 1L)
+  }
+
   test("conformalThreshold: hand-computed k = ceil((n+1)(1-α)), " +
     "tie-proof value-cell selection") {
     // {1..10}, α=0.2: k = ceil(11·0.8) = 9 → threshold 9

@@ -162,6 +162,109 @@ class StreamMonitorSpec extends SparkSpec {
     assert(offline == Seq(("c", 10L), ("a", 5L), ("b", 5L)))
   }
 
+  test("misraGriesStream: exact-regime parity with batch heavyHitters, " +
+    "counts bracket truth") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.TextAnalytics
+    val tmp = java.nio.file.Files.createTempDirectory("mgmon").toFile
+    val wave1 = Seq("apple apple banana", "apple cherry", "banana apple")
+    val wave2 = Seq("cherry cherry apple", "banana banana banana date")
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long)])]
+    val input = MemoryStream[String]
+    // k = 100 >> vocabulary: no decrements ever fire, so the summary
+    // weights ARE the exact counts and n_min == true count
+    val q = StreamMonitor.misraGriesStream(
+      input.toDF().toDF("text"), "text", k = 100, topN = 3,
+      s"$tmp/store", s"$tmp/ckpt") { (top, batchId) =>
+      seen += batchId -> top.collect().map(r =>
+        (r.getAs[String]("term"), r.getAs[Long]("n_min"),
+          r.getAs[Long]("n_max"))).toSeq
+    }
+    try {
+      input.addData(wave1: _*); q.processAllAvailable()
+      input.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.map(_._1) == Seq(0L, 1L))
+    // parity oracle: the batch Misra–Gries operator over wave1 ∪ wave2
+    val expect = TextAnalytics.heavyHitters(
+      (wave1 ++ wave2).toDF("text"), "text", k = 100, topN = 3)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("n"))).toSeq
+    assert(seen.last._2.map(t => (t._1, t._2)) == expect, seen.last._2)
+    // exact regime: slack still reported (n_max = n_min + N/(k+1))
+    assert(seen.last._2.forall(t => t._3 >= t._2))
+    // offline entry point sees the same accumulated frame
+    val offline = StreamMonitor.heavyTermsFromStore(s, s"$tmp/store", 100, 3)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("n_min"))).toSeq
+    assert(offline == expect)
+  }
+
+  test("misraGriesStream: small k keeps bounded state under compaction " +
+    "and preserves the N/(k+1) guarantee") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("mgmonc").toFile
+    // each wave: 30 "hot" tokens + 10 unique rare tokens
+    def wave(i: Int): Seq[String] =
+      Seq.fill(30)("hot") ++ (0 until 10).map(j => s"rare${i}x$j")
+    var last = Seq.empty[(String, Long, Long)]
+    val input = MemoryStream[String]
+    val q = StreamMonitor.misraGriesStream(
+      input.toDF().toDF("text"), "text", k = 2, topN = 2,
+      s"$tmp/store", s"$tmp/ckpt", compactEvery = 2) { (top, _) =>
+      last = top.collect().map(r =>
+        (r.getAs[String]("term"), r.getAs[Long]("n_min"),
+          r.getAs[Long]("n_max"))).toSeq
+    }
+    try {
+      for (i <- 0 until 3) {
+        input.addData(wave(i).mkString(" ")); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // N = 120, k = 2 → any term with c > 40 MUST survive; c(hot) = 90
+    val hot = last.find(_._1 == "hot")
+    assert(hot.nonEmpty, s"hot term evicted: $last")
+    // the bracket holds: n_min ≤ 90 ≤ n_max, with n_max − n_min = ⌊N/3⌋
+    assert(hot.get._2 <= 90L && hot.get._3 >= 90L, hot.get)
+    // batchId 2 compacted shards b0..b2 into c2 with ≤ k counter rows
+    val c2 = s.read.parquet(s"$tmp/store/c2")
+    assert(c2.where($"v" === 0L).count() <= 2L, "MG reduction not applied")
+    // shard dirs: only the compacted one survives its sources
+    val dirs = new java.io.File(s"$tmp/store").listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dirs.sorted.toSeq == Seq("c2"), dirs.toSeq)
+  }
+
+  test("multiNeedleScan composes onto a streaming frame statelessly " +
+    "with batch parity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.TextAnalytics
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "no hits here"), (4L, "gamma alpha gamma"))
+    val needles = Seq("alpha", "beta", "gamma")
+    val input = MemoryStream[(Long, String)]
+    val q = TextAnalytics.multiNeedleScan(
+      input.toDF().toDF("id", "text"), "id", "text", needles)
+      .writeStream.format("memory").queryName("mns_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("mns_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = TextAnalytics.multiNeedleScan(
+      rows.toDF("id", "text"), "id", "text", needles)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect, s"stream $got vs batch $expect")
+    assert(got.nonEmpty && !got.exists(_._1 == 3L))
+  }
+
   test("histStream: streamed cells answer the same quantiles and " +
     "selectivity as the batch HistStore over the same rows") {
     val s = spark
