@@ -51,9 +51,11 @@ object Bench {
       // groups; buffers here are cap-bounded (capped_collect_list /
       // maxDf / maxBlock), so a few thousand in-memory groups per
       // task are small and skip the per-partition sort (~15% on the
-      // set-similarity queries, measured round 8)
+      // set-similarity queries, measured round 8; A/B re-measured
+      // round 9 on the BPE/aggregate family after the r8 driver-bench
+      // drift — env knob below for the controlled comparison)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4096")
+        sys.env.getOrElse("SPARK_GRAFT_FALLBACK_THRESHOLD", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first timed query doesn't absorb

@@ -3001,20 +3001,35 @@ object SparkEntry {
     // threshold correlates on lineitem directly; the nesting depth is
     // Q20's). AVG over integral-valued doubles replays bit-identically
     // (exact partial sums), the q241 precedent.
+    // TPC-H Q20, FULL FIDELITY (round 9 — derived partsupp): the
+    // nested IN chain partsupp→part plus a TWO-KEY correlated scalar
+    // SUM over lineitem (excess-inventory suppliers in one nation).
+    // Spark must decorrelate the (l_partkey, l_suppkey) correlate to
+    // a grouped aggregate re-joined on BOTH keys. Integer quantities;
+    // a pair with no 1995 shipments yields NULL → excluded (both
+    // engines agree on NULL comparison semantics here).
     "q251_tpch_q20" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
       t(s, dir, "part").createOrReplaceTempView("g_part")
       t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      val nSup = t(s, dir, "supplier").count()
+      s.sql(partsuppSparkSql(nSup)).createOrReplaceTempView("g_partsupp")
       s.sql("""
-        SELECT s_name
-        FROM g_supplier
-        WHERE s_suppkey IN (
-          SELECT l0.l_suppkey FROM g_lineitem l0
-          WHERE l0.l_partkey IN (SELECT p_partkey FROM g_part
-                                 WHERE p_name LIKE '%red gear%')
-            AND l0.l_quantity > (SELECT 1.9 * AVG(l2.l_quantity)
-                                 FROM g_lineitem l2
-                                 WHERE l2.l_partkey = l0.l_partkey))
+        SELECT s.s_name
+        FROM g_supplier s JOIN g_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+            SELECT ps.ps_suppkey FROM g_partsupp ps
+            WHERE ps.ps_partkey IN (SELECT p_partkey FROM g_part
+                                    WHERE p_name LIKE 'red%')
+              AND 2 * ps.ps_availqty >
+                (SELECT CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                 FROM g_lineitem l
+                 WHERE l.l_partkey = ps.ps_partkey
+                   AND l.l_suppkey = ps.ps_suppkey
+                   AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+                   AND l.l_shipdate < TIMESTAMP '1996-01-01'))
         ORDER BY s_name""")
     }),
 
@@ -3062,25 +3077,36 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
-    // TPC-H Q2 SHAPE: a correlated scalar MIN through a TWO-TABLE
-    // join (cheapest supplier per part) — a different decorrelation
-    // muscle than q241's single-table correlate: the rewrite must
-    // aggregate over the join and re-join on the outer key.
+    // TPC-H Q2, FULL FIDELITY (round 9 — derived partsupp closes the
+    // r8 schema gap): min-cost EUROPE supplier per qualifying part,
+    // the correlated scalar MIN through a FOUR-TABLE join
+    // (partsupp⋈supplier⋈nation⋈region) — the decorrelation must
+    // aggregate over the whole snowflake and re-join on the outer
+    // part key. Cost kept in integer cents (ps_supplycost_c).
     "q256_tpch_q2" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
       t(s, dir, "part").createOrReplaceTempView("g_part")
       t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      t(s, dir, "region").createOrReplaceTempView("g_region")
+      val nSup = t(s, dir, "supplier").count()
+      s.sql(partsuppSparkSql(nSup)).createOrReplaceTempView("g_partsupp")
       s.sql("""
-        SELECT DISTINCT p.p_partkey, s.s_name,
-          CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
-        FROM g_part p, g_supplier s, g_lineitem l
-        WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
-          AND p.p_size = 10
-          AND s.s_acctbal = (SELECT MIN(s2.s_acctbal)
-                             FROM g_supplier s2, g_lineitem l2
-                             WHERE l2.l_partkey = p.p_partkey
-                               AND l2.l_suppkey = s2.s_suppkey)
-        ORDER BY p_partkey, s_name""")
+        SELECT CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+          s.s_name, n.n_name, p.p_partkey, ps.ps_supplycost_c
+        FROM g_part p, g_supplier s, g_partsupp ps, g_nation n, g_region r
+        WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+          AND p.p_size IN (5, 15, 25, 45) AND p.p_type LIKE '%MALL'
+          AND s.s_nationkey = n.n_nationkey
+          AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+          AND ps.ps_supplycost_c = (
+            SELECT MIN(ps2.ps_supplycost_c)
+            FROM g_partsupp ps2, g_supplier s2, g_nation n2, g_region r2
+            WHERE ps2.ps_partkey = p.p_partkey
+              AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
     }),
 
     // Greedy k-center coreset (farthest-first): 5 diversity-maximal
@@ -3110,22 +3136,29 @@ object SparkEntry {
         .orderBy("pri", "yr")
     }),
 
-    // TPC-H Q11 SHAPE: grouped aggregate filtered by an UNCORRELATED
-    // scalar subquery over the same table (global-total fraction in
-    // HAVING) — integer cents×qty value, integer DIV threshold.
+    // TPC-H Q11, FULL FIDELITY (round 9 — derived partsupp): one
+    // nation's inventory value per part, filtered by an UNCORRELATED
+    // scalar fraction of the SAME three-way join in HAVING — pure
+    // integer value (supplycost_c × availqty), integer DIV threshold.
     "q257_tpch_q11" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      val nSup = t(s, dir, "supplier").count()
+      s.sql(partsuppSparkSql(nSup)).createOrReplaceTempView("g_partsupp")
       s.sql("""
-        SELECT l_partkey,
-          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
-        FROM g_lineitem
-        GROUP BY l_partkey
-        HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-            * CAST(l_quantity AS BIGINT))
-          > (SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(l_quantity AS BIGINT)) FROM g_lineitem) DIV 2000
-        ORDER BY value_c DESC, l_partkey""")
+        SELECT ps_partkey,
+          CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+        FROM g_partsupp, g_supplier, g_nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7'
+        GROUP BY ps_partkey
+        HAVING SUM(ps_supplycost_c * ps_availqty)
+          > (SELECT SUM(ps_supplycost_c * ps_availqty) DIV 3000
+             FROM g_partsupp, g_supplier, g_nation
+             WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+               AND n_name = 'NATION_7')
+        ORDER BY value_c DESC, ps_partkey""")
     }),
 
     // TPC-H Q15 SHAPE: the top-revenue supplier — an aggregate CTE
@@ -3320,21 +3353,23 @@ object SparkEntry {
           AND l.l_shipdate < TIMESTAMP '1997-04-01'""")
     }),
 
-    // TPC-H Q16 SHAPE: COUNT(DISTINCT) per attribute triple with a
-    // NOT-IN exclusion subquery (null-aware anti join on the fact
-    // side's supplier key).
+    // TPC-H Q16, FULL FIDELITY (round 9 — derived partsupp):
+    // COUNT(DISTINCT ps_suppkey) per attribute triple with a NOT-IN
+    // exclusion subquery (null-aware anti join on partsupp's
+    // supplier key).
     "q269_tpch_q16" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
       t(s, dir, "part").createOrReplaceTempView("g_part")
       t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      val nSup = t(s, dir, "supplier").count()
+      s.sql(partsuppSparkSql(nSup)).createOrReplaceTempView("g_partsupp")
       s.sql("""
         SELECT p.p_brand, p.p_type, p.p_size,
-          CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-        FROM g_part p JOIN g_lineitem l ON p.p_partkey = l.l_partkey
+          CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM g_part p JOIN g_partsupp ps ON p.p_partkey = ps.ps_partkey
         WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'MED%'
           AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
-          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM g_supplier
-                                  WHERE s_name LIKE '%000000014%')
+          AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM g_supplier
+                                    WHERE s_name LIKE '%000000014%')
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
     }),
@@ -3839,6 +3874,46 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  /** Deterministic derived PARTSUPP — the dbgen partsupp generator
+    * (4 suppliers per part, stride S/4 + partkey/S, 0-based keys)
+    * re-expressed as pure non-negative integer SQL so BOTH engines
+    * derive the IDENTICAL table (the test schema ships no partsupp
+    * parquet; this closes the Q2/Q11/Q16/Q20 fidelity gap without
+    * touching the read-only testdata). availqty / supplycost_c are
+    * affine mixes mod primes — integers end-to-end, so no decimal
+    * drift can enter the oracle compare. Spark side: `n` (the
+    * supplier count) is inlined as a LITERAL and the 4-way fan-out is
+    * `explode(array(...))` — a Generate over the part scan, ZERO
+    * joins, so the TPC-H PlanSpec no-BNLJ asserts keep their teeth
+    * (a VALUES cross join would plan as a 1×4 BroadcastNestedLoop). */
+  private def partsuppSparkSql(n: Long): String =
+    s"""SELECT ps_partkey, ps_suppkey,
+       |  (ps_partkey * 7 + i * 13) % 9999 + 1 AS ps_availqty,
+       |  (ps_partkey * 31 + ps_suppkey * 17) % 99901 + 100
+       |    AS ps_supplycost_c
+       |FROM (SELECT ps_partkey, i,
+       |        (ps_partkey + i * (${n / 4}L + ps_partkey DIV ${n}L))
+       |          % ${n}L AS ps_suppkey
+       |      FROM (SELECT p_partkey AS ps_partkey,
+       |              explode(array(0L, 1L, 2L, 3L)) AS i
+       |            FROM g_part))""".stripMargin
+
+  /** The DuckDB twin of [[partsuppSparkSql]]: same math with `n`
+    * computed in-query (oracle strings are static — no data access),
+    * `//` for the truncating division Spark spells `DIV` (both
+    * truncate; operands non-negative, so they agree exactly). */
+  private val partsuppDuckSql: String =
+    """SELECT p_partkey AS ps_partkey,
+      |  (p_partkey + i.i * ((ns.n // 4) + (p_partkey // ns.n))) % ns.n
+      |    AS ps_suppkey,
+      |  (p_partkey * 7 + i.i * 13) % 9999 + 1 AS ps_availqty,
+      |  (p_partkey * 31
+      |    + ((p_partkey + i.i * ((ns.n // 4) + (p_partkey // ns.n)))
+      |       % ns.n) * 17) % 99901 + 100 AS ps_supplycost_c
+      |FROM part
+      |CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+      |CROSS JOIN (SELECT COUNT(*) AS n FROM supplier) ns""".stripMargin
 
   /** md5-hex first-15-chars → 60-bit int, the DuckDB twin of
     * Hashes.md5Hash64. The lambda variable is deliberately obscure
@@ -7756,16 +7831,22 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
 
     "q251_tpch_q20" ->
-      """SELECT s_name
-        |FROM supplier
-        |WHERE s_suppkey IN (
-        |  SELECT l0.l_suppkey FROM lineitem l0
-        |  WHERE l0.l_partkey IN (SELECT p_partkey FROM part
-        |                         WHERE p_name LIKE '%red gear%')
-        |    AND l0.l_quantity > (SELECT 1.9 * AVG(l2.l_quantity)
-        |                         FROM lineitem l2
-        |                         WHERE l2.l_partkey = l0.l_partkey))
-        |ORDER BY s_name""".stripMargin,
+      s"""WITH partsupp AS ($partsuppDuckSql)
+         |SELECT s.s_name
+         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE n.n_name = 'NATION_3'
+         |  AND s.s_suppkey IN (
+         |    SELECT ps.ps_suppkey FROM partsupp ps
+         |    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+         |                            WHERE p_name LIKE 'red%')
+         |      AND 2 * ps.ps_availqty >
+         |        (SELECT CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+         |         FROM lineitem l
+         |         WHERE l.l_partkey = ps.ps_partkey
+         |           AND l.l_suppkey = ps.ps_suppkey
+         |           AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+         |           AND l.l_shipdate < TIMESTAMP '1996-01-01'))
+         |ORDER BY s_name""".stripMargin,
 
     "q252_margin_pairs" -> marginPairsOracleSql,
 
@@ -7833,16 +7914,19 @@ object SparkEntry {
     },
 
     "q257_tpch_q11" ->
-      """SELECT l_partkey,
-        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
-        |FROM lineitem
-        |GROUP BY l_partkey
-        |HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |    * CAST(l_quantity AS BIGINT))
-        |  > (SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |       * CAST(l_quantity AS BIGINT)) FROM lineitem) // 2000
-        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+      s"""WITH partsupp AS ($partsuppDuckSql)
+         |SELECT ps_partkey,
+         |  CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+         |FROM partsupp, supplier, nation
+         |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND n_name = 'NATION_7'
+         |GROUP BY ps_partkey
+         |HAVING SUM(ps_supplycost_c * ps_availqty)
+         |  > (SELECT SUM(ps_supplycost_c * ps_availqty) // 3000
+         |     FROM partsupp, supplier, nation
+         |     WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |       AND n_name = 'NATION_7')
+         |ORDER BY value_c DESC, ps_partkey""".stripMargin,
 
     "q258_tpch_q15" ->
       """WITH rev AS (
@@ -7966,15 +8050,16 @@ object SparkEntry {
         |  AND l.l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
 
     "q269_tpch_q16" ->
-      """SELECT p.p_brand, p.p_type, p.p_size,
-        |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
-        |WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'MED%'
-        |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
-        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                          WHERE s_name LIKE '%000000014%')
-        |GROUP BY 1, 2, 3
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+      s"""WITH partsupp AS ($partsuppDuckSql)
+         |SELECT p.p_brand, p.p_type, p.p_size,
+         |  CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM part p JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+         |WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'MED%'
+         |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         |  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                            WHERE s_name LIKE '%000000014%')
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q270_tpch_q19" ->
       """SELECT
@@ -8791,16 +8876,23 @@ object SparkEntry {
       Seq("qty", "price_c", "disc_bp", "tax_bp")),
 
     "q256_tpch_q2" ->
-      """SELECT DISTINCT p.p_partkey, s.s_name,
-        |  CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
-        |FROM part p, supplier s, lineitem l
-        |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
-        |  AND p.p_size = 10
-        |  AND s.s_acctbal = (SELECT MIN(s2.s_acctbal)
-        |                     FROM supplier s2, lineitem l2
-        |                     WHERE l2.l_partkey = p.p_partkey
-        |                       AND l2.l_suppkey = s2.s_suppkey)
-        |ORDER BY p_partkey, s_name""".stripMargin,
+      s"""WITH partsupp AS ($partsuppDuckSql)
+         |SELECT CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |  s.s_name, n.n_name, p.p_partkey, ps.ps_supplycost_c
+         |FROM part p, supplier s, partsupp ps, nation n, region r
+         |WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+         |  AND p.p_size IN (5, 15, 25, 45) AND p.p_type LIKE '%MALL'
+         |  AND s.s_nationkey = n.n_nationkey
+         |  AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+         |  AND ps.ps_supplycost_c = (
+         |    SELECT MIN(ps2.ps_supplycost_c)
+         |    FROM partsupp ps2, supplier s2, nation n2, region r2
+         |    WHERE ps2.ps_partkey = p.p_partkey
+         |      AND s2.s_suppkey = ps2.ps_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey
+         |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+         |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
 
     "q249_composite_arity3" -> compositeKeysOracleSql("lineitem",
       Seq("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"), 3),
