@@ -456,6 +456,122 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Binary quantization end-to-end (round 9 — the 32× endpoint of
+    // the float→SQ8→PQ/RQ→BQ family): per-dim midpoint thresholds
+    // from the exact min/max aggregate (oracle recomputes in SQL),
+    // sign-bit packing into 63-bit-portable words, symmetric Hamming
+    // top-k. Distances are pure INTEGER popcounts — no float fold at
+    // all, the only quantizer whose search replays bit-exactly by
+    // construction.
+    "q300_bq_hamming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = Pq.sq8Train(emb, "embedding", 64)
+      val th = Pq.bqThresholds(mins, maxs)
+      val enc = Pq.bqEncode(emb, "vec_id", "embedding", th)
+      Pq.searchBq(enc, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", th, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Winnowing fingerprints (round 9 — Schleimer et al., SIGMOD
+    // 2003): per-window rightmost-min gram hashes, the local
+    // fingerprinting guarantee (any shared ≥ w+k−1 substring shares a
+    // fingerprint). One in-row projection, zero shuffle; md5-portable
+    // hash mode so the oracle replays every pick.
+    "q301_winnowing" -> ((s, dir) => {
+      operators.TextAnalytics.winnowFingerprints(
+        t(s, dir, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 8, w = 8, portableHash = true)
+        .orderBy("id", "pos")
+    }),
+
+    // Exact ROC AUC per stratum from score CELLS (Mann–Whitney
+    // identity, ties half-credit): label = order finished, score =
+    // total price in kilodollar buckets (the cell-join pre-bucket
+    // contract, enforced).
+    "q302_roc_auc" -> ((s, dir) => {
+      operators.Stats.rocAuc(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          (col("o_orderstatus") === "F").as("y"),
+          round(col("o_totalprice") / 1000).cast("long").as("s1k")),
+        "pri", "y", "s1k")
+        .orderBy("stratum")
+    }),
+
+    // Cohen's κ: labeled lang vs the q23 marker-word prediction — the
+    // chance-corrected one-number summary of q227's confusion matrix.
+    "q303_cohens_kappa" -> ((s, dir) => {
+      operators.Stats.cohensKappa(
+        t(s, dir, "documents").select(col("lang"),
+          Text.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
+    // Log-rank test between q228's two parity cohorts over the same
+    // censored view→purchase durations — "do the two cohorts' KM
+    // curves differ?", closed from the identical subjects frame.
+    "q304_log_rank" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("u"))
+        .agg(min(unix_micros(col("ts"))).as("ta"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("tb"))
+        .join(a, Seq("u")).where(col("tb") > col("ta"))
+        .groupBy("u", "ta").agg(min("tb").as("tb"))
+        .select(col("u"), expr("(tb - ta) div 1000000L").as("t"),
+          lit(true).as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val last = ev.groupBy(col("user_id").as("u"))
+        .agg(max(unix_micros(col("ts"))).as("tmax"))
+      val cens = a.join(last, Seq("u"))
+        .join(conv.select(col("u"), lit(1).as("__c")), Seq("u"), "left_anti")
+        .select(col("u"), expr("(tmax - ta) div 1000000L").as("t"),
+          lit(false).as("e"))
+      val subjects = conv.unionByName(cens)
+        .withColumn("cohort", concat(lit("c"), pmod(col("u"), lit(2L))))
+      operators.Stats.logRank(subjects, "cohort", "c0", "c1", "t", "e")
+    }),
+
+    // Quantile normalization: every priority's price distribution
+    // mapped rank-for-rank onto the 1-URGENT reference (Bolstad et
+    // al. 2003) — all-integer ranks + ceiling division, engine-exact.
+    "q305_quantile_norm" -> ((s, dir) => {
+      operators.Sampling.quantileNormalize(
+        t(s, dir, "orders").where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("oid"),
+            col("o_orderpriority").as("pri"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "oid", "pri", "cents", "1-URGENT")
+        .orderBy("id")
+    }),
+
+    // Mantel–Haenszel pooled odds ratio: urgent-priority exposure vs
+    // order-finished outcome, stratified by order year — the
+    // Simpson's-paradox guard before trusting the marginal OR.
+    "q306_mantel_haenszel" -> ((s, dir) => {
+      operators.Stats.mantelHaenszel(
+        t(s, dir, "orders").select(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("x"),
+          (col("o_orderstatus") === "F").as("y")),
+        "yr", "x", "y")
+    }),
+
+    // Fleiss' κ over three deterministic raters per document (labeled
+    // lang, the q23 prediction, the q23 prediction on the first 120
+    // chars) — fixed r = 3 enforced; the multi-rater agreement score
+    // annotation pipelines gate on.
+    "q307_fleiss_kappa" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val raters = d0.select(col("doc_id"), col("lang").as("cat"))
+        .unionByName(d0.select(col("doc_id"),
+          Text.langId(col("text")).as("cat")))
+        .unionByName(d0.select(col("doc_id"),
+          Text.langId(substring(col("text"), 1, 120)).as("cat")))
+      operators.Stats.fleissKappa(raters, "doc_id", "cat")
+    }),
+
     // BPE tokenizer training under the gate: 8 merge rounds over the
     // corpus word-frequency table. The oracle unrolls the SAME
     // argmax + string-replace rounds as CTEs — an iterative trainer
@@ -3856,6 +3972,27 @@ object SparkEntry {
   private val toksLower =
     """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
 
+  /** The q23 marker-word language prediction as a CTE chain over a
+    * source CTE/table exposing (doc_id, text) — shared by the
+    * q303/q307 agreement oracles (q23/q227 keep their inline copies).
+    * Emits three CTE definitions named `${p}t`, `${p}h`, `${p}p`;
+    * `${p}p` holds (doc_id, cat). */
+  private def langPredCtes(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, $toksLower AS toks FROM $src),
+       |${p}h AS (SELECT doc_id,
+       |  len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht','das','ein','zu'], x))) AS de,
+       |  len(list_filter(toks, x -> list_contains(['the','and','is','of','to','in','that','it'], x))) AS en,
+       |  len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una','es','por'], x))) AS es,
+       |  len(list_filter(toks, x -> list_contains(['le','la','les','des','est','une','dans','pas'], x))) AS fr
+       |  FROM ${p}t),
+       |${p}p AS (SELECT doc_id,
+       |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       |       WHEN en >= es AND en >= fr THEN 'en'
+       |       WHEN es >= fr THEN 'es'
+       |       ELSE 'fr' END AS cat
+       |  FROM ${p}h)""".stripMargin
+
   private val shinglesSql =
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -4460,6 +4597,239 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q300_bq_hamming" ->
+      """WITH rng AS (
+        |  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+        |         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        |  GROUP BY d),
+        |thl AS (SELECT list((mn + mx) / 2.0 ORDER BY d) AS th FROM rng),
+        |bits AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(range(1, 64), d ->
+        |      CASE WHEN CAST(embedding[d] AS DOUBLE) > th[d]
+        |           THEN (CAST(1 AS BIGINT) << ((d - 1) % 63)) ELSE 0 END),
+        |      (a, b) -> a | b) AS w0,
+        |    CASE WHEN CAST(embedding[64] AS DOUBLE) > th[64]
+        |         THEN CAST(1 AS BIGINT) ELSE 0 END AS w1
+        |  FROM embeddings CROSS JOIN thl),
+        |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+        |      FROM bits WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    CAST(64 - bit_count(xor(b.w0, q.q0))
+        |            - bit_count(xor(b.w1, q.q1)) AS DOUBLE) AS sim
+        |  FROM bits b CROSS JOIN q
+        |  WHERE b.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q301_winnowing" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id AS id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |g AS (SELECT id, t, length(t) - 7 AS n FROM norm),
+         |hs AS (SELECT id, n, list_transform(range(1, n + 1), __d ->
+         |    ${md5Hash64Sql("substr(t, __d, 8)")}) AS hl FROM g),
+         |wm AS (SELECT id, hl, list_transform(range(1, n - 6), __s2 ->
+         |    list_min(hl[__s2 : __s2 + 7])) AS wl FROM hs),
+         |picks AS (SELECT id, hl,
+         |    list_distinct(list_transform(range(1, len(wl) + 1), __s ->
+         |      list_max(list_transform(range(__s, __s + 8), __p ->
+         |        CASE WHEN hl[__p] = wl[__s]
+         |             THEN CAST(__p AS BIGINT)
+         |             ELSE CAST(-1 AS BIGINT) END)))) AS pl
+         |  FROM wm),
+         |r AS (SELECT id, hl, unnest(pl) AS pos FROM picks)
+         |SELECT id, pos, hl[pos] AS fp FROM r
+         |ORDER BY id, pos""".stripMargin,
+
+    "q302_roc_auc" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS stratum, (o_orderstatus = 'F') AS y,
+        |    CAST(round(o_totalprice / 1000) AS BIGINT) AS s1k,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2, 3),
+        |p AS (SELECT stratum, s1k AS sp, c AS cp FROM cells WHERE y),
+        |n AS (SELECT stratum, s1k AS sn, c AS cn FROM cells WHERE NOT y),
+        |pairs AS (SELECT p.stratum,
+        |    SUM(CASE WHEN sp > sn THEN cp * cn ELSE 0 END) AS gt,
+        |    SUM(CASE WHEN sp = sn THEN cp * cn ELSE 0 END) AS eq,
+        |    SUM(cp * cn) AS nn
+        |  FROM p JOIN n ON p.stratum = n.stratum GROUP BY 1),
+        |sizes AS (SELECT stratum,
+        |    CAST(SUM(CASE WHEN y THEN c ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN NOT y THEN c ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM cells GROUP BY 1)
+        |SELECT sizes.stratum, n_pos, n_neg,
+        |  CASE WHEN n_pos >= 1 AND n_neg >= 1 THEN
+        |    CAST(round((2.0 * CAST(gt AS DOUBLE) + CAST(eq AS DOUBLE))
+        |      / (2.0 * CAST(nn AS DOUBLE)) * 1e6) AS BIGINT) END AS auc_micro
+        |FROM sizes LEFT JOIN pairs ON sizes.stratum = pairs.stratum
+        |ORDER BY 1""".stripMargin,
+
+    "q303_cohens_kappa" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "l")},
+         |pairs AS (SELECT s.lang AS a, l.cat AS b
+         |          FROM src s JOIN lp l ON s.doc_id = l.doc_id),
+         |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM pairs GROUP BY 1, 2),
+         |ra AS (SELECT a, SUM(c) AS rc FROM cells GROUP BY 1),
+         |cb AS (SELECT b, SUM(c) AS cc FROM cells GROUP BY 1),
+         |pe AS (SELECT CAST(COALESCE(SUM(rc * cc), 0) AS DOUBLE) AS pe_num
+         |       FROM ra JOIN cb ON ra.a = cb.b),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) AS BIGINT)
+         |      AS agree
+         |  FROM cells)
+         |SELECT n, agree,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - pe_num > 0 THEN
+         |    CAST(round((CAST(n AS DOUBLE) * CAST(agree AS DOUBLE) - pe_num)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - pe_num) * 1e6)
+         |      AS BIGINT) END AS kappa_micro
+         |FROM tot CROSS JOIN pe""".stripMargin,
+
+    "q304_log_rank" ->
+      """WITH a AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS ta
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT a.u, (MIN(tb) - ta) // 1000000 AS t, true AS e
+        |         FROM a JOIN (SELECT user_id AS u, epoch_us(ts) AS tb
+        |                      FROM events WHERE event_type = 'purchase') b
+        |           ON a.u = b.u AND b.tb > a.ta
+        |         GROUP BY a.u, ta),
+        |lastev AS (SELECT user_id AS u, MAX(epoch_us(ts)) AS tmax
+        |           FROM events GROUP BY 1),
+        |cens AS (SELECT a.u, (tmax - ta) // 1000000 AS t, false AS e
+        |         FROM a JOIN lastev ON a.u = lastev.u
+        |         WHERE a.u NOT IN (SELECT u FROM conv)),
+        |subj AS (SELECT CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END AS g1, t,
+        |           CAST(e AS BIGINT) AS e
+        |         FROM (SELECT * FROM conv UNION ALL SELECT * FROM cens)),
+        |cells AS (SELECT t,
+        |    CAST(SUM(g1) AS BIGINT) AS c1,
+        |    CAST(SUM(1 - g1) AS BIGINT) AS c2,
+        |    CAST(SUM(g1 * e) AS BIGINT) AS d1,
+        |    CAST(SUM((1 - g1) * e) AS BIGINT) AS d2
+        |  FROM subj GROUP BY 1),
+        |ar AS (SELECT t, d1, d2,
+        |    CAST(SUM(c1) OVER (ORDER BY t DESC) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER (ORDER BY t DESC) AS BIGINT) AS n2
+        |  FROM cells),
+        |terms AS (SELECT d1,
+        |    CAST(round(
+        |      (CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE))
+        |        * CAST(n1 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS e1m,
+        |    CAST(round(
+        |      CASE WHEN CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) > 1 THEN
+        |        (CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE))
+        |          * (CAST(n1 AS DOUBLE)
+        |             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |          * (1.0 - CAST(n1 AS DOUBLE)
+        |             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |             - (CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE)))
+        |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)
+        |      ELSE 0.0 END * 1e6) AS BIGINT) AS vm
+        |  FROM ar WHERE d1 + d2 > 0),
+        |totals AS (SELECT CAST(SUM(g1) AS BIGINT) AS n_a,
+        |    CAST(SUM(1 - g1) AS BIGINT) AS n_b FROM subj),
+        |agg AS (SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+        |    CAST(COALESCE(SUM(e1m), 0) AS BIGINT) AS e1_micro,
+        |    CAST(COALESCE(SUM(vm), 0) AS BIGINT) AS v_micro FROM terms)
+        |SELECT n_a, n_b, o1, e1_micro, v_micro,
+        |  CASE WHEN v_micro > 0 THEN
+        |    CAST(round((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
+        |      / sqrt(CAST(v_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM totals CROSS JOIN agg""".stripMargin,
+
+    "q305_quantile_norm" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |ranked AS (SELECT id, g, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id)
+        |      AS BIGINT) AS rk
+        |  FROM rows_),
+        |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng
+        |          FROM ranked GROUP BY 1),
+        |ref AS (SELECT rk AS pos, v AS v_ref FROM ranked
+        |        WHERE g = '1-URGENT'),
+        |nref AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM ref)
+        |SELECT r.id, r.g AS grp, r.v, ref.v_ref AS v_norm
+        |FROM ranked r JOIN sizes s ON r.g = s.g CROSS JOIN nref
+        |JOIN ref ON ref.pos = (r.rk * nr + s.ng - 1) // s.ng
+        |ORDER BY id""".stripMargin,
+
+    "q306_mantel_haenszel" ->
+      """WITH rows_ AS (
+        |  SELECT year(o_orderdate) AS st,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS x,
+        |    (o_orderstatus = 'F') AS y
+        |  FROM orders),
+        |cells AS (SELECT st,
+        |    CAST(SUM(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM rows_ GROUP BY 1),
+        |terms AS (SELECT
+        |    CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |         + CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS rm,
+        |    CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |         + CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS sm
+        |  FROM cells)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  CAST(COALESCE(SUM(rm), 0) AS BIGINT) AS r_micro,
+        |  CAST(COALESCE(SUM(sm), 0) AS BIGINT) AS s_micro,
+        |  CASE WHEN COALESCE(SUM(sm), 0) > 0 THEN
+        |    CAST(round(CAST(SUM(rm) AS DOUBLE) / CAST(SUM(sm) AS DOUBLE)
+        |      * 1e6) AS BIGINT) END AS or_micro
+        |FROM terms""".stripMargin,
+
+    "q307_fleiss_kappa" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "f")},
+         |trunc3 AS (SELECT doc_id, substr(text, 1, 120) AS text FROM src),
+         |${langPredCtes("trunc3", "g")},
+         |allr AS (
+         |  SELECT doc_id, lang AS cat FROM src
+         |  UNION ALL SELECT doc_id, cat FROM fp
+         |  UNION ALL SELECT doc_id, cat FROM gp),
+         |cells AS (SELECT doc_id AS item, cat, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM allr GROUP BY 1, 2),
+         |peri AS (SELECT item, CAST(SUM(c) AS BIGINT) AS r,
+         |           SUM(c * c) AS t2i FROM cells GROUP BY 1),
+         |chk AS (SELECT MIN(r) AS rmin, MAX(r) AS rmax,
+         |          CAST(COUNT(*) AS BIGINT) AS ni,
+         |          CAST(COALESCE(SUM(t2i), 0) AS DOUBLE) AS t2 FROM peri),
+         |pc AS (SELECT CAST(COALESCE(SUM(ck * ck), 0) AS DOUBLE) AS s2
+         |       FROM (SELECT SUM(c) AS ck FROM cells GROUP BY cat))
+         |SELECT ni AS n_items, CAST(rmax AS BIGINT) AS n_raters,
+         |  CASE WHEN rmax >= 2 AND
+         |    CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE) * CAST(ni AS DOUBLE)
+         |      * CAST(rmax AS DOUBLE) - s2 > 0 THEN
+         |    CAST(round((CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE)
+         |        * (t2 - CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE))
+         |      - (CAST(rmax AS DOUBLE) - 1.0) * s2)
+         |      / ((CAST(rmax AS DOUBLE) - 1.0)
+         |        * (CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE)
+         |           * CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE) - s2))
+         |      * 1e6) AS BIGINT) END AS kappa_micro
+         |FROM chk CROSS JOIN pc""".stripMargin,
 
     "q85_bpe_train" -> bpeOracleSql(8),
 

@@ -281,6 +281,73 @@ object Pq {
     Knn.topKPerQuery(scored, k)
   }
 
+  // ---- binary quantization (BQ): one SIGN BIT per dimension around
+  // the per-dim range midpoint — the 32× compression endpoint of the
+  // family (floats → SQ8 → PQ/RQ → BQ) and the representation modern
+  // binary-embedding search serves from (Hamming distance over packed
+  // words; see e.g. Yamada et al. 2021 "Efficient passage retrieval
+  // with hashing" — BPR; public algorithm). Distances are pure
+  // INTEGER (popcount of XOR), so search replays bit-exactly in any
+  // engine — no float fold to keep in order, unlike SQ8/PQ ADC.
+
+  /** Per-dim midpoint thresholds from [[sq8Train]]'s exact (min, max):
+    * th_d = (min_d + max_d) / 2 — one IEEE op on two exact aggregates,
+    * engine-identical (an AVG threshold would drift with summation
+    * order). */
+  def bqThresholds(mins: Array[Double], maxs: Array[Double]): Array[Double] =
+    mins.indices.map(d => (mins(d) + maxs(d)) / 2.0).toArray
+
+  /** Encode each vector as ⌈dim/63⌉ packed BIGINT words: bit (d−1)%63
+    * of word (d−1)/63 is set iff v_d > th_d — 63 data bits per word,
+    * never the sign bit, because a portable replay must left-shift in
+    * ANY engine and `1::BIGINT << 63` overflows in e.g. DuckDB.
+    * Bitwise OR assembly (an arithmetic add of a high bit would
+    * ANSI-overflow). One projection, zero shuffle. */
+  def bqEncode(df: DataFrame, idCol: String, vecCol: String,
+               th: Array[Double]): DataFrame = {
+    val dim = th.length
+    val words = (dim + 62) / 63
+    val thL = typedLit(th.toSeq)
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 63 + 1
+      val hi = math.min((w + 1) * 63, dim)
+      expr(s"""aggregate(sequence($lo, $hi), 0L, (acc, d) ->
+              |  acc | CASE WHEN element_at(__v, d) > element_at(__th, d)
+              |             THEN shiftleft(1L, (d - 1) % 63) ELSE 0L END)"""
+          .stripMargin)
+    }
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("__v"),
+        thL.as("__th"))
+      .select(col("id"), array(wordCols: _*).as("bits"))
+  }
+
+  /** Symmetric BQ search: queries encode with the SAME thresholds,
+    * sim = dim − Hamming = dim − Σ_w popcount(a_w XOR b_w) — integer
+    * end-to-end, deterministic ties → neighbor_id ASC. Queries
+    * broadcast; the corpus side touches only (id, bits) — the
+    * 32×-smaller scan — and ranking goes through the bounded TopK
+    * aggregator, never a window. The standard first-stage filter
+    * ahead of an exact re-rank on the shortlist. */
+  def searchBq(encoded: DataFrame, queries: DataFrame,
+               queryId: String, queryVec: String,
+               th: Array[Double], k: Int): DataFrame = {
+    val dim = th.length
+    val words = (dim + 62) / 63
+    val q = broadcast(
+      bqEncode(queries, queryId, queryVec, th)
+        .select(col("id").as("query_id"), col("bits").as("qbits")))
+    val ham = (0 until words).map(w =>
+      bit_count(expr(s"element_at(bits, ${w + 1})")
+        .bitwiseXOR(expr(s"element_at(qbits, ${w + 1})"))).cast("long"))
+      .reduce(_ + _)
+    val scored = encoded.join(q)
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (lit(dim.toLong) - ham).cast("double").as("sim"))
+    Knn.topKPerQuery(scored, k)
+  }
+
   // ---- residual quantization: a second codebook level per subspace,
   // trained on the level-1 residuals. Reconstruction cw1[c1] + cw2[c2]
   // is strictly finer than one level at the cost of one extra code per

@@ -403,6 +403,45 @@ object Sampling {
       .select(col(idCol), scoreKey.as("score_key"), col("rank"), col("pct_micro"))
   }
 
+  /** Quantile normalization onto a REFERENCE group (the microarray /
+    * batch-effect recipe — Bolstad et al. 2003, "A comparison of
+    * normalization methods", Bioinformatics; public): every group's
+    * value distribution is mapped onto the reference group's, rank
+    * for rank — row with rank i of n_g in its group takes the
+    * reference value at position ⌈i·n_ref/n_g⌉. Kills scale/shift/
+    * shape differences between batches while preserving each group's
+    * internal ordering; all-integer (ranks + a ceiling division), so
+    * engine-exact by construction.
+    *
+    * Scale shape: per-group ranks ride a (group)-partitioned window
+    * — the standard per-batch sort; the reference column is ONE
+    * group's (pos, value) table, joined back by the computed
+    * position (n_ref-bounded build side). Ties break by id, so the
+    * map is total and deterministic. Output: (id, grp, v, v_norm).
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        valueCol: String, refGroup: String): DataFrame = {
+    val rows = df
+      .where(col(valueCol).isNotNull)
+      .select(col(idCol).as("id"), col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+    val wg = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val ranked = rows.withColumn("rk", row_number().over(wg).cast("long"))
+    val sizes = ranked.groupBy("g").agg(count(lit(1)).as("ng"))
+    val ref = ranked.where(col("g") === refGroup)
+      .select(col("rk").as("pos"), col("v").as("v_ref"))
+    val nRef = ref.count()
+    require(nRef >= 1, s"quantileNormalize: reference group '$refGroup' is empty")
+    ranked.join(broadcast(sizes), Seq("g"))
+      // pos = ceil(rk * nRef / ng) via (a + b - 1) div b (portable:
+      // non-negative operands)
+      .withColumn("pos",
+        expr(s"(rk * ${nRef}L + ng - 1L) div ng"))
+      .join(ref, Seq("pos"))
+      .select(col("id"), col("g").as("grp"), col("v"),
+        col("v_ref").as("v_norm"))
+  }
+
   /** Rank-blend ensemble: heterogeneous quality signals (classifier
     * scores, PageRank, token entropy, …) are incomparable in raw
     * units — normalize each to its exact global percentile

@@ -1718,4 +1718,233 @@ object Stats {
       when(ok, round(kurt * 1e6).cast("long")).as("kurt_micro"),
       when(ok, round(jb * 1e6).cast("long")).as("jb_micro"))
   }
+
+  /** ROC AUC per stratum, EXACT from value cells — the Mann–Whitney
+    * identity (Hanley & McNeil 1982, "The meaning and use of the area
+    * under a ROC curve"): AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) over all
+    * positive×negative pairs, computed as Σ c⁺·c⁻ over score-CELL
+    * pairs (never row pairs; the [[cliffsDelta]] machinery with ties
+    * counted half). (2·gt + eq) and 2·n⁺·n⁻ are exact DECIMAL
+    * integers; ONE double division closes auc_micro. Pre-bucket
+    * contract enforced via `maxCells` like the other cell joins.
+    * Output: (stratum, n_pos, n_neg, auc_micro — NULL when either
+    * class is empty). */
+  def rocAuc(df: DataFrame, stratumCol: String, labelCol: String,
+             scoreCol: String, maxCells: Int = 1 << 16): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        col(labelCol).cast("boolean").as("y"),
+        col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"rocAuc: $nCells distinct (stratum, label, score) cells exceed " +
+        s"maxCells=$maxCells; pre-bucket $scoreCol or raise maxCells")
+    val p = cells.where(col("y"))
+      .select(col("stratum"), col("s").as("sp"), col("c").cast(dec).as("cp"))
+    val n = cells.where(!col("y"))
+      .select(col("stratum"), col("s").as("sn"), col("c").cast(dec).as("cn"))
+    val pairs = p.join(n, Seq("stratum"))
+      .groupBy("stratum")
+      .agg(
+        coalesce(sum(when(col("sp") > col("sn"), col("cp") * col("cn"))),
+          lit(0).cast(dec)).as("gt"),
+        coalesce(sum(when(col("sp") === col("sn"), col("cp") * col("cn"))),
+          lit(0).cast(dec)).as("eq"),
+        sum(col("cp") * col("cn")).as("nn"))
+    val sizes = cells.groupBy("stratum").agg(
+      coalesce(sum(when(col("y"), col("c"))), lit(0L)).as("n_pos"),
+      coalesce(sum(when(!col("y"), col("c"))), lit(0L)).as("n_neg"))
+    def d(c: String) = col(c).cast("double")
+    sizes.join(pairs, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") >= 1 && col("n_neg") >= 1,
+          round((lit(2.0) * d("gt") + d("eq"))
+            / (lit(2.0) * d("nn")) * 1e6).cast("long")).as("auc_micro"))
+  }
+
+  /** Cohen's κ (Cohen 1960, "A coefficient of agreement for nominal
+    * scales") between two categorical raters, from the joint
+    * CONTINGENCY CELLS: κ = (p_o − p_e)/(1 − p_e) with chance
+    * agreement p_e from the margins. Closed exactly as ONE integer
+    * rational — κ = (n·agree − Σ_k row_k·col_k) / (n² − Σ_k
+    * row_k·col_k) in DECIMAL(38,0) — then one double division to
+    * micros; NULL when the margins force p_e = 1 (both raters
+    * constant). The one-number summary over [[q227]]-style confusion
+    * matrices (rater QA for annotation / weak-label pipelines).
+    * Output: one row (n, agree, kappa_micro). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val ra = cells.groupBy("a").agg(sum("c").as("rc"))
+    val cb = cells.groupBy("b").agg(sum("c").as("cc"))
+    val pe = ra.join(cb, col("a") === col("b"))
+      .agg(coalesce(sum(col("rc").cast(dec) * col("cc").cast(dec)),
+        lit(0).cast(dec)).as("pe_num"))
+    val tot = cells.agg(
+      coalesce(sum("c"), lit(0L)).as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c")).otherwise(0L)),
+        lit(0L)).as("agree"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    tot.crossJoin(pe)
+      .select(col("n"), col("agree"),
+        when(d(col("n")) * d(col("n")) - d(col("pe_num")) > 0,
+          round((d(col("n")) * d(col("agree")) - d(col("pe_num")))
+            / (d(col("n")) * d(col("n")) - d(col("pe_num"))) * 1e6)
+            .cast("long")).as("kappa_micro"))
+  }
+
+  /** Fleiss' κ (Fleiss 1971, "Measuring nominal scale agreement among
+    * many raters"): agreement among a FIXED number r of raters per
+    * item, from the (item, category) count cells n_ik:
+    *   P̄ = (Σ_ik n_ik² − N·r) / (N·r·(r−1)),  p_k = Σ_i n_ik/(N·r),
+    *   P_e = Σ_k p_k²,  κ = (P̄ − P_e)/(1 − P_e)
+    * closed as ONE exact integer rational — κ = (A·(T₂ − A) − B·S) /
+    * (B·(A² − S)) with A = N·r, B = r−1, T₂ = Σ n_ik², S = Σ_k c_k² —
+    * then one double division to micros. Requires every item to carry
+    * the same rater count (enforced); NULL when A² = S (all raters
+    * always one category). Output: one row (n_items, n_raters,
+    * kappa_micro). */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  catCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .where(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("item"), col(catCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val perItem = cells.groupBy("item").agg(
+      sum("c").as("r"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("t2i"))
+    val rChk = perItem.agg(min("r").as("rmin"), max("r").as("rmax"),
+      count(lit(1)).as("ni"),
+      coalesce(sum("t2i"), lit(0).cast(dec)).as("t2"))
+    val perCat = cells.groupBy("k").agg(sum("c").as("ck"))
+      .agg(coalesce(sum(col("ck").cast(dec) * col("ck").cast(dec)),
+        lit(0).cast(dec)).as("s2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    rChk.crossJoin(perCat)
+      .select(col("ni").as("n_items"),
+        when(col("rmin") === col("rmax"), col("rmin"))
+          .otherwise(raise_error(concat(
+            lit("fleissKappa: rater counts differ across items ("),
+            col("rmin"), lit(" vs "), col("rmax"),
+            lit("); Fleiss requires a fixed r"))).cast("long"))
+          .as("n_raters"),
+        when(col("rmax") >= 2 &&
+          d(col("ni")) * d(col("rmax")) * d(col("ni")) * d(col("rmax"))
+            - d(col("s2")) > 0,
+          round((d(col("ni")) * d(col("rmax"))
+              * (d(col("t2")) - d(col("ni")) * d(col("rmax")))
+            - (d(col("rmax")) - lit(1.0)) * d(col("s2")))
+            / ((d(col("rmax")) - lit(1.0))
+              * (d(col("ni")) * d(col("rmax")) * d(col("ni"))
+                 * d(col("rmax")) - d(col("s2")))) * 1e6)
+            .cast("long")).as("kappa_micro"))
+  }
+
+  /** Log-rank test (Mantel 1966; Peto & Peto 1972) comparing two
+    * groups' survival over right-censored (duration, event) rows —
+    * the hypothesis-test companion to [[kaplanMeier]] (which draws
+    * the curves this decides between). At each distinct event time:
+    * hypergeometric expectation E₁ = d·n₁/n and variance
+    * V = d·(n₁/n)·(1 − n₁/n)·(n − d)/(n − 1) from the EXACT integer
+    * at-risk/death counts (cells + a descending-cumulative window —
+    * the kaplanMeier shape, one per group side); per-time terms are
+    * micro-rounded in one fixed float order and integer-summed (the
+    * ljungBox discipline), then z = (O₁ − E₁)/√V closes. Output: one
+    * row (n_a, n_b, o1, e1_micro, v_micro, z_micro — NULL z when
+    * V = 0). */
+  def logRank(df: DataFrame, groupCol: String, groupA: String,
+              groupB: String, durationCol: String,
+              eventCol: String): DataFrame = {
+    val rows = df
+      .where(col(groupCol).isin(groupA, groupB) &&
+        col(durationCol).isNotNull && col(durationCol) >= 0 &&
+        col(eventCol).isNotNull)
+      .select(when(col(groupCol) === groupA, lit(1L)).otherwise(lit(0L))
+          .as("g1"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").cast("long").as("e"))
+    val cells = rows.groupBy("t").agg(
+      sum("g1").as("c1"), sum(lit(1L) - col("g1")).as("c2"),
+      sum(col("g1") * col("e")).as("d1"),
+      sum((lit(1L) - col("g1")) * col("e")).as("d2"))
+    val wGe = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = cells
+      .withColumn("n1", sum("c1").over(wGe))
+      .withColumn("n2", sum("c2").over(wGe))
+      .where(col("d1") + col("d2") > 0)
+    def d(c: String) = col(c).cast("double")
+    val dd = d("d1") + d("d2")
+    val nn = d("n1") + d("n2")
+    val e1t = dd * d("n1") / nn
+    val vt = when(nn > 1,
+      dd * (d("n1") / nn) * (lit(1.0) - d("n1") / nn) *
+        (nn - dd) / (nn - lit(1.0))).otherwise(lit(0.0))
+    val terms = atRisk.select(col("d1"), col("c1"), col("c2"),
+      round(e1t * 1e6).cast("long").as("e1m"),
+      round(vt * 1e6).cast("long").as("vm"))
+    val totals = rows.agg(
+      coalesce(sum("g1"), lit(0L)).as("n_a"),
+      coalesce(sum(lit(1L) - col("g1")), lit(0L)).as("n_b"))
+    val agg = terms.agg(
+      coalesce(sum("d1"), lit(0L)).as("o1"),
+      coalesce(sum("e1m"), lit(0L)).as("e1_micro"),
+      coalesce(sum("vm"), lit(0L)).as("v_micro"))
+    totals.crossJoin(agg)
+      .select(col("n_a"), col("n_b"), col("o1"), col("e1_micro"),
+        col("v_micro"),
+        when(col("v_micro") > 0,
+          round((col("o1").cast("double") -
+            col("e1_micro").cast("double") / 1e6)
+            / sqrt(col("v_micro").cast("double") / 1e6) * 1e6)
+            .cast("long")).as("z_micro"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959)
+    * across stratified 2×2 tables — "does the exposure/outcome
+    * association survive controlling for the stratifier?", the
+    * confounding screen run before trusting any marginal odds ratio
+    * (Simpson's-paradox guard). Per stratum (a, b, c, d) counts are
+    * exact integers; the per-stratum terms a·d/n and b·c/n are
+    * micro-rounded in one fixed float order and integer-summed
+    * ([[ljungBox]] discipline); OR_MH = R/S closes in one division.
+    * Output: one row (n_strata, r_micro, s_micro, or_micro — NULL
+    * when S = 0). */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+                     exposureCol: String, outcomeCol: String): DataFrame = {
+    val rows = df
+      .where(col(exposureCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(stratumCol).as("st"),
+        col(exposureCol).cast("boolean").as("x"),
+        col(outcomeCol).cast("boolean").as("y"))
+    val cells = rows.groupBy("st").agg(
+      sum(when(col("x") && col("y"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("x") && !col("y"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("x") && col("y"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("x") && !col("y"), 1L).otherwise(0L)).as("d"))
+    def d2(c: String) = col(c).cast("double")
+    val n = d2("a") + d2("b") + d2("c") + d2("d")
+    val terms = cells.select(
+      round(d2("a") * d2("d") / n * 1e6).cast("long").as("rm"),
+      round(d2("b") * d2("c") / n * 1e6).cast("long").as("sm"))
+    terms.agg(count(lit(1)).as("n_strata"),
+        coalesce(sum("rm"), lit(0L)).as("r_micro"),
+        coalesce(sum("sm"), lit(0L)).as("s_micro"))
+      .select(col("n_strata"), col("r_micro"), col("s_micro"),
+        when(col("s_micro") > 0,
+          round(col("r_micro").cast("double")
+            / col("s_micro").cast("double") * 1e6).cast("long"))
+          .as("or_micro"))
+  }
 }

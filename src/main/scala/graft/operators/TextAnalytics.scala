@@ -1430,6 +1430,70 @@ object TextAnalytics {
     }.toDF("term", "w")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003, "Winnowing: local algorithms for document
+    * fingerprinting" — the MOSS algorithm; public): hash every k-char
+    * gram of the whitespace-normalized lowercased text, slide a
+    * w-hash window, and keep each window's MINIMUM hash with ties
+    * broken by RIGHTMOST position (the paper's choice — consecutive
+    * windows then mostly re-pick the same gram, minimizing distinct
+    * fingerprints); identical picks dedup. The local-selection
+    * guarantee: any shared substring of length ≥ w + k − 1 between
+    * two documents yields at least one SHARED fingerprint, and no
+    * document gap longer than w goes unfingerprinted — the
+    * position-robust alternative to fixed-stride shingling for
+    * copy/plagiarism/near-dup detection.
+    *
+    * Shape: ONE in-row projection per document (normalize → gram
+    * hashes → per-window min → rightmost-argmin → dedup → explode) —
+    * zero shuffle at any corpus size. The gram-hash and window-min
+    * arrays are bound as LAMBDA VARIABLES (`transform(array(x),
+    * v -> …)[1]`, the SQL let-trick) instead of chained withColumns:
+    * Catalyst collapses stacked projections and re-inlines an array
+    * expression into every `element_at` site, which turns the fold
+    * into an O(n²·w) recompute-per-access blowup (measured: a 300-
+    * char doc hung the gate) — a lambda binding evaluates each array
+    * exactly once per row. Folds use SCALAR accumulators only
+    * (array_min + a rightmost-position fold) because engines disagree
+    * on struct-accumulator fold semantics (the q288 DuckDB in-place
+    * finding). `portableHash = true` swaps xxhash64 for the md5
+    * 60-bit gate hash so oracles replay bit-identically; production
+    * keeps xxhash64, and at 100 TB the per-gram hash would be the
+    * O(1)-per-step rolling form — the winnowing SELECTION is
+    * identical either way. Output: (id, pos, fp) — 1-based gram
+    * position, ordered by the caller. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int,
+                         portableHash: Boolean = false): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    val h = if (portableHash)
+      s"CAST(conv(substring(md5(CAST(substr(__t, __d, $k) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    else s"xxhash64(substr(__t, __d, $k))"
+    val picks =
+      s"""CASE WHEN __n >= $w THEN
+         |  element_at(transform(
+         |    array(transform(sequence(1, __n), __d -> $h)), __hl ->
+         |    element_at(transform(
+         |      array(transform(sequence(1, __n - ${w - 1}), __s2 ->
+         |        array_min(slice(__hl, __s2, $w)))), __wl ->
+         |      transform(
+         |        array_distinct(transform(sequence(1, size(__wl)), __s ->
+         |          aggregate(sequence(__s, __s + ${w - 1}), -1L,
+         |            (__acc, __p) -> IF(element_at(__hl, __p)
+         |                = element_at(__wl, __s),
+         |              CAST(__p AS BIGINT), __acc)))),
+         |        __p2 -> named_struct(
+         |          'm', element_at(__hl, CAST(__p2 AS INT)),
+         |          'pos', __p2))), 1)), 1)
+         |ELSE CAST(array() AS ARRAY<STRUCT<m: BIGINT, pos: BIGINT>>)
+         |END""".stripMargin
+    df.select(col(idCol).as("id"),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__t"))
+      .withColumn("__n", length(col("__t")) - lit(k - 1))
+      .select(col("id"), explode(expr(picks)).as("pk"))
+      .select(col("id"), col("pk.pos").as("pos"), col("pk.m").as("fp"))
+  }
+
   /** Pairwise vocabulary overlap between corpus groups (sources,
     * languages, time slices): for each group pair, exact distinct-
     * token intersection/union sizes and Jaccard micros — the

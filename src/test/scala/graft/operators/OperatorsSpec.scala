@@ -1140,6 +1140,53 @@ class KnnSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.5, s"SQ8 recall collapsed: $recalls")
   }
 
+  test("BQ: sign bits pack portably (63 bits/word, never bit 63), " +
+    "Hamming search is exact on hand vectors, recall sane at scale") {
+    val s = spark
+    import s.implicits._
+    // hand case: dim 2, thresholds (0.5, 0.5)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val tiny = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(1, 1)))
+      .toDF("vec_id", "embedding")
+    val th = Array(0.5, 0.5)
+    val enc = Pq.bqEncode(tiny, "vec_id", "embedding", th)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) == Seq(1L) && enc(2L) == Seq(2L) && enc(3L) == Seq(3L),
+      enc.toString)
+    // sim(1,3) = 2 − popcount(1^3) = 1; sim(1,2) = 2 − popcount(3) = 0
+    val res = Pq.searchBq(Pq.bqEncode(tiny, "vec_id", "embedding", th),
+        tiny.where(col("vec_id") === 1), "vec_id", "embedding", th, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(res.toSeq == Seq((3L, 1.0), (2L, 0.0)), res.toSeq.toString)
+    // dim 64 spans two words with bit 63 of word 0 never set
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val (mins, maxs) = Pq.sq8Train(vecs, "embedding", 64)
+    val th64 = Pq.bqThresholds(mins, maxs)
+    val enc64 = Pq.bqEncode(vecs, "vec_id", "embedding", th64).collect()
+    assert(enc64.forall(_.getSeq[Long](1).length == 2))
+    assert(enc64.forall(r => (r.getSeq[Long](1).head & Long.MinValue) == 0L),
+      "bit 63 must never be set (portable-shift contract)")
+    // recall vs brute force stays non-degenerate at 32x compression
+    val queries = vecs.where(col("vec_id") < 5)
+    val exact = Knn.bruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val bq = Pq.searchBq(Pq.bqEncode(vecs, "vec_id", "embedding", th64),
+      queries, "vec_id", "embedding", th64, k = 10)
+    val recalls = (0L until 5L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val p = bq.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      (e & p).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.2,
+      s"BQ recall collapsed: $recalls")
+  }
+
   test("PQ codes compress 32x and ADC+rerank recall tracks brute force") {
     val s = spark
     import s.implicits._

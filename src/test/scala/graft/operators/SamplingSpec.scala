@@ -736,4 +736,25 @@ class SamplingSpec extends SparkSpec {
     // a: (800000·333333) div 1e6 + 200000 div 2 = 266666 + 100000
     assert(smooth == Map("a" -> 366666L, "b" -> 633332L), smooth)
   }
+
+  test("quantileNormalize: rank-for-rank map onto the reference, " +
+    "reference maps to itself, empty reference raises") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x", 5L), (2L, "x", 1L), (3L, "x", 9L), (4L, "x", 3L),
+      (10L, "r", 10L), (11L, "r", 20L)).toDF("id", "g", "v")
+    val got = Sampling.quantileNormalize(df, "id", "g", "v", "r")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // group x ranks (by v, id): 2→1, 4→2, 1→3, 3→4 of n=4 onto n_ref=2:
+    // pos = ceil(rk·2/4) → ranks 1,2 → ref pos 1 (10); ranks 3,4 → 20
+    assert(got == Map(2L -> 10L, 4L -> 10L, 1L -> 20L, 3L -> 20L,
+      10L -> 10L, 11L -> 20L), got)
+    // the reference group is the identity map
+    val e = intercept[IllegalArgumentException] {
+      Sampling.quantileNormalize(df, "id", "g", "v", "missing")
+    }
+    assert(e.getMessage.contains("reference group"), e.getMessage)
+  }
 }

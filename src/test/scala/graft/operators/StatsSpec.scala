@@ -568,6 +568,93 @@ class StatsSpec extends SparkSpec {
     assert(Stats.kendallTauB(xy, "x", "y").count() == 1L)
   }
 
+  test("rocAuc: hand-computed dominance with half-credit ties, " +
+    "empty class gives NULL") {
+    // pos {3, 2}, neg {1, 2}: gt = 3, eq = 1 → AUC = 3.5/4 = 0.875
+    val df = Seq(("s", true, 3L), ("s", true, 2L),
+      ("s", false, 1L), ("s", false, 2L)).toDF("st", "y", "v")
+    val got = Stats.rocAuc(df, "st", "y", "v")
+      .as[(String, Long, Long, Option[Long])].collect.head
+    assert(got == (("s", 2L, 2L, Some(875000L))), got)
+    // perfect separation → 1; reversed → 0
+    val sep = Seq(("s", true, 9L), ("s", false, 1L)).toDF("st", "y", "v")
+    assert(Stats.rocAuc(sep, "st", "y", "v")
+      .as[(String, Long, Long, Option[Long])].collect.head._4
+      == Some(1000000L))
+    // one class empty → NULL auc
+    val onecls = Seq(("s", true, 1L), ("s", true, 2L)).toDF("st", "y", "v")
+    assert(Stats.rocAuc(onecls, "st", "y", "v")
+      .as[(String, Long, Long, Option[Long])].collect.head._4.isEmpty)
+  }
+
+  test("cohensKappa: textbook 2x2 table, constant raters give NULL") {
+    // [[20 yes-yes, 5 yes-no], [10 no-yes, 15 no-no]]:
+    // po = 0.7, pe = (25·30 + 25·20)/2500 = 0.5 → κ = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val got = Stats.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Long])].collect.head
+    assert(got == ((50L, 35L, Some(400000L))), got)
+    // both raters constant → pe = 1 → NULL
+    val const = Seq(("y", "y"), ("y", "y")).toDF("a", "b")
+    assert(Stats.cohensKappa(const, "a", "b")
+      .as[(Long, Long, Option[Long])].collect.head._3.isEmpty)
+  }
+
+  test("fleissKappa: perfect agreement = 1, hand-computed mixed case, " +
+    "unequal rater counts raise") {
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+      .toDF("item", "cat")
+    val g1 = Stats.fleissKappa(perfect, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect.head
+    assert(g1 == ((2L, 2L, Some(1000000L))), g1)
+    // i1: A,A; i2: A,B → P̄ = 0.5, Pe = 0.625 → κ = −1/3
+    val mixed = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"))
+      .toDF("item", "cat")
+    val g2 = Stats.fleissKappa(mixed, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect.head
+    assert(g2 == ((2L, 2L, Some(-333333L))), g2)
+    val uneven = Seq((1L, "A"), (1L, "A"), (2L, "B")).toDF("item", "cat")
+    val e = intercept[Exception] {
+      Stats.fleissKappa(uneven, "item", "cat").collect()
+    }
+    assert(e.getMessage.contains("rater counts differ"), e.getMessage)
+  }
+
+  test("logRank: hand-computed two-subject case and symmetric null") {
+    // A dies at 1 (n1=1,n2=1,d=1): E1 = .5, V = .25; B dies at 2
+    // (n1=0): E1 = 0, V = 0 → O−E = .5, z = .5/√.25 = 1
+    val df = Seq(("a", 1L, true), ("b", 2L, true)).toDF("g", "t", "e")
+    val got = Stats.logRank(df, "g", "a", "b", "t", "e")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect.head
+    assert(got == ((1L, 1L, 1L, 500000L, 250000L, Some(1000000L))), got)
+    // identical groups → O = E exactly → z = 0
+    val same = Seq(("a", 1L, true), ("b", 1L, true),
+      ("a", 2L, true), ("b", 2L, true)).toDF("g", "t", "e")
+    val z = Stats.logRank(same, "g", "a", "b", "t", "e")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect.head
+    assert(z._6 == Some(0L), z)
+    // censored rows enter at-risk but never the death counts
+    val cens = Seq(("a", 1L, true), ("b", 2L, false)).toDF("g", "t", "e")
+    val c = Stats.logRank(cens, "g", "a", "b", "t", "e")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect.head
+    assert(c._3 == 1L && c._4 == 500000L, c)
+  }
+
+  test("mantelHaenszel: single stratum equals the plain odds ratio; " +
+    "S = 0 gives NULL") {
+    // [[10, 5], [2, 8]]: OR = (10·8/25)/(5·2/25) = 8
+    val rows = Seq.fill(10)((1, true, true)) ++ Seq.fill(5)((1, true, false)) ++
+      Seq.fill(2)((1, false, true)) ++ Seq.fill(8)((1, false, false))
+    val got = Stats.mantelHaenszel(rows.toDF("st", "x", "y"), "st", "x", "y")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(got == ((1L, 3200000L, 400000L, Some(8000000L))), got)
+    // no discordant b·c mass anywhere → S = 0 → NULL
+    val nodisc = Seq((1, true, true), (1, false, false)).toDF("st", "x", "y")
+    assert(Stats.mantelHaenszel(nodisc, "st", "x", "y")
+      .as[(Long, Long, Long, Option[Long])].collect.head._4.isEmpty)
+  }
+
   test("conformalThreshold: hand-computed k = ceil((n+1)(1-α)), " +
     "tie-proof value-cell selection") {
     // {1..10}, α=0.2: k = ceil(11·0.8) = 9 → threshold 9

@@ -741,4 +741,57 @@ class TextAnalyticsSpec extends SparkSpec {
       .collect()
     assert(got3.isEmpty, got3.toSeq)
   }
+
+  test("winnowFingerprints: no gap longer than w, fingerprints are real " +
+    "gram hashes, shared substrings share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB padding text here to extend one"),
+      (2L, s"zz $shared yy completely different tail content xx"),
+      (3L, "zzzzz qqqqq wwwww eeeee rrrrr ttttt uuuuu iiiii ooooo"))
+      .toDF("doc_id", "text")
+    val k = 5; val w = 4
+    val fps = TextAnalytics.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1)
+    // winnowing guarantee #1: consecutive selected positions are at
+    // most w apart (no fingerprint-free gap longer than a window)
+    byDoc.values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      ps.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a <= w, s"gap $a -> $b exceeds w=$w")
+      case _ => }
+    }
+    // guarantee #2: docs 1 and 2 share the long substring → at least
+    // one shared fingerprint; doc 3 shares nothing with either
+    val f1 = byDoc(1L).map(_._3).toSet
+    val f2 = byDoc(2L).map(_._3).toSet
+    val f3 = byDoc(3L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, "shared substring produced no shared fp")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty,
+      "unrelated doc collided")
+    // each fp is the hash of the k-gram at its position (recompute)
+    val norm = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        .as("t")).as[(Long, String)].collect().toMap
+    val probe = fps.take(20).map { case (id, pos, _) =>
+      (id, pos, norm(id).substring(pos.toInt - 1, pos.toInt - 1 + k))
+    }.toSeq.toDF("doc_id", "pos", "gram")
+      .withColumn("h", xxhash64(col("gram")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    fps.take(20).foreach { case (id, pos, fp) =>
+      assert(probe((id, pos)) == fp, s"fp mismatch at ($id, $pos)")
+    }
+    // portable-hash mode selects by the SAME winnowing rule (positions
+    // may differ — different hash — but the invariants hold)
+    val port = TextAnalytics.winnowFingerprints(docs, "doc_id", "text",
+      k, w, portableHash = true).collect()
+    assert(port.nonEmpty)
+    // texts shorter than k + w − 1 yield no fingerprints, not an error
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(TextAnalytics.winnowFingerprints(short, "doc_id", "text",
+      k, w).collect().isEmpty)
+  }
 }
