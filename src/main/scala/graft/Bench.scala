@@ -51,9 +51,13 @@ object Bench {
       // groups; buffers here are cap-bounded (capped_collect_list /
       // maxDf / maxBlock), so a few thousand in-memory groups per
       // task are small and skip the per-partition sort (~15% on the
-      // set-similarity queries, measured round 8; A/B re-measured
-      // round 9 on the BPE/aggregate family after the r8 driver-bench
-      // drift — env knob below for the controlled comparison)
+      // set-similarity queries, measured round 8). Round-9 A/B on an
+      // idle host EXONERATED this config for the r8 driver-bench
+      // drift: 4096 vs 128 over the drifted family (q98/q99/q115/
+      // q116/q75, best-of-3) = 12.46 vs 13.28 s total — 4096 faster
+      // or tied on every query (q98 2.10 vs 2.41, q99 1.90 vs 2.12,
+      // q75 3.08 vs 3.50). The drift was host state. Env knob kept
+      // for future controlled comparisons.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_FALLBACK_THRESHOLD", "4096"))
       .getOrCreate()

