@@ -572,6 +572,59 @@ object SparkEntry {
       operators.Stats.fleissKappa(raters, "doc_id", "cat")
     }),
 
+    // Newman modularity of a fixed mod-7 partition over the q283 link
+    // graph — exact integer numerator Q·4m² = Σ(4m·e_c − d_c²), one
+    // double close. The quality score a community assignment is
+    // graded with before anyone trusts it.
+    "q308_modularity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .select(col("node"), pmod(col("node"), lit(7)).as("label"))
+      operators.Graph.modularity(edges, "src", "dst", nodes,
+        "node", "label")
+    }),
+
+    // Degree assortativity (Newman 2002) of the same graph — Pearson
+    // over symmetrized edge-endpoint degrees, exact DECIMAL moments.
+    "q309_assortativity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+      operators.Graph.assortativity(edges, "src", "dst")
+    }),
+
+    // Friedman test: order volume per (year block, priority
+    // treatment) — doubled in-row block ranks, exact integer moments,
+    // the repeated-measures companion of q273's Kruskal–Wallis.
+    "q310_friedman" -> ((s, dir) => {
+      val cells = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).cast("long").as("v"))
+      operators.Stats.friedman(cells, "yr", "pri", "v")
+    }),
+
+    // Von Neumann randomness ratio of each event type's daily counts
+    // — the "is a trend fit even warranted?" screen before q158.
+    "q311_von_neumann" -> ((s, dir) => {
+      operators.TimeSeries.vonNeumannRatio(events(s, dir),
+        "event_type", "ts").orderBy("key")
+    }),
+
+    // Dunning G² collocations — the significance-weighted companion
+    // of q142's PMI (PMI over-ranks rare pairs; G² weighs evidence).
+    "q312_llr_collocations" -> ((s, dir) => {
+      operators.TextAnalytics.llrCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, k = 40)
+    }),
+
     // BPE tokenizer training under the gate: 8 merge rounds over the
     // corpus word-frequency table. The oracle unrolls the SAME
     // argmax + string-replace rounds as CTEs — an iterative trainer
@@ -4830,6 +4883,149 @@ object SparkEntry {
          |           * CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE) - s2))
          |      * 1e6) AS BIGINT) END AS kappa_micro
          |FROM chk CROSS JOIN pc""".stripMargin,
+
+    "q308_modularity" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS src, doc_id % 97 AS dst FROM docs
+        |       UNION ALL SELECT doc_id, doc_id % 31 FROM docs),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |          greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        |deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u % 7 AS c FROM und
+        |          UNION ALL SELECT v % 7 FROM und) GROUP BY 1),
+        |intra AS (SELECT u % 7 AS c, CAST(COUNT(*) AS BIGINT) AS e
+        |          FROM und WHERE u % 7 = v % 7 GROUP BY 1),
+        |terms AS (SELECT 4 * mm.m * COALESCE(i.e, 0) - d.d * d.d AS t
+        |          FROM deg d LEFT JOIN intra i ON d.c = i.c CROSS JOIN mm)
+        |SELECT mm.m AS m, CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |  CASE WHEN mm.m > 0 THEN
+        |    CAST(round(CAST(SUM(t) AS DOUBLE)
+        |      / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+        |      * 1e6) AS BIGINT) END AS q_micro
+        |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin,
+
+    "q309_assortativity" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS src, doc_id % 97 AS dst FROM docs
+        |       UNION ALL SELECT doc_id, doc_id % 31 FROM docs),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |          greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS node FROM und
+        |          UNION ALL SELECT v FROM und) GROUP BY 1),
+        |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |wd AS (SELECT dx.d AS dx, dy.d AS dy
+        |       FROM sym JOIN deg dx ON sym.u = dx.node
+        |                JOIN deg dy ON sym.v = dy.node),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+        |          CAST(SUM(dx) AS DOUBLE) AS sx,
+        |          CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+        |          CAST(SUM(dx * dy) AS DOUBLE) AS sxy
+        |        FROM wd)
+        |SELECT CAST(n2 / 2 AS BIGINT) AS m,
+        |  CASE WHEN CAST(n2 AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    CAST(round((CAST(n2 AS DOUBLE) * sxy - sx * sx)
+        |      / (CAST(n2 AS DOUBLE) * sxx - sx * sx) * 1e6) AS BIGINT)
+        |  END AS r_micro
+        |FROM agg""".stripMargin,
+
+    "q310_friedman" ->
+      """WITH cell AS (SELECT year(o_orderdate) AS b, o_orderpriority AS tr,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |r2 AS (SELECT b, tr,
+        |    CAST(2 * (SELECT COUNT(*) FROM cell c2
+        |              WHERE c2.b = c1.b AND c2.v < c1.v)
+        |      + (SELECT COUNT(*) FROM cell c3
+        |         WHERE c3.b = c1.b AND c3.v = c1.v) + 1 AS BIGINT) AS r2
+        |  FROM cell c1),
+        |dims AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb,
+        |           CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM cell),
+        |perT AS (SELECT tr, CAST(SUM(r2) AS BIGINT) AS rj
+        |         FROM r2 GROUP BY 1),
+        |num AS (SELECT CAST(SUM((rj - nb * (k + 1)) * (rj - nb * (k + 1)))
+        |          AS DOUBLE) AS num
+        |        FROM perT CROSS JOIN dims),
+        |s2 AS (SELECT CAST(SUM(r2 * r2) AS DOUBLE) AS s2 FROM r2)
+        |SELECT nb AS n_blocks, k,
+        |  CASE WHEN s2 - CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE) > 0 THEN
+        |    CAST(round(CAST(k - 1 AS DOUBLE) * num
+        |      / (s2 - CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+        |      * 1e6) AS BIGINT) END AS q_micro
+        |FROM dims CROSS JOIN num CROSS JOIN s2""".stripMargin,
+
+    "q311_von_neumann" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |diffs AS (SELECT a.key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM((b.v - a.v) * (b.v - a.v)) AS BIGINT) AS sd2
+        |  FROM daily a JOIN daily b
+        |    ON a.key = b.key AND b.d = a.d + 1
+        |  GROUP BY 1),
+        |moms AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sx,
+        |    CAST(SUM(v * v) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT m.key, m.n, COALESCE(d.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN m.n >= 2 AND CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+        |      - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) > 0 THEN
+        |    CAST(round(CAST(m.n AS DOUBLE)
+        |        * COALESCE(CAST(d.sd2 AS DOUBLE), 0.0)
+        |      / (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+        |        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) * 1e6)
+        |      AS BIGINT) END AS vn_micro
+        |FROM moms m LEFT JOIN diffs d ON m.key = d.key
+        |ORDER BY m.key""".stripMargin,
+
+    "q312_llr_collocations" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |bgl AS (
+         |  SELECT CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |    END AS bg
+         |  FROM tk),
+         |big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |        FROM (SELECT unnest(bg) AS bg FROM bgl) GROUP BY bg),
+         |firsts AS (SELECT split_part(bg, ' ', 1) AS t,
+         |             CAST(SUM(c_ab) AS BIGINT) AS c_a_first
+         |           FROM big GROUP BY 1),
+         |seconds AS (SELECT split_part(bg, ' ', 2) AS t,
+         |              CAST(SUM(c_ab) AS BIGINT) AS c_b_second
+         |            FROM big GROUP BY 1),
+         |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM big),
+         |jj AS (SELECT bg, c_ab, c_a_first, c_b_second, nb.n,
+         |         c_a_first - c_ab AS k12, c_b_second - c_ab AS k21,
+         |         nb.n - c_a_first - c_b_second + c_ab AS k22
+         |       FROM big
+         |       JOIN firsts ON split_part(bg, ' ', 1) = firsts.t
+         |       JOIN seconds ON split_part(bg, ' ', 2) = seconds.t
+         |       CROSS JOIN nb
+         |       WHERE c_ab >= 5)
+         |SELECT bg AS bigram, c_ab, c_a_first, c_b_second,
+         |  CAST(round(2.0 * ((((
+         |      CASE WHEN c_ab > 0 THEN CAST(c_ab AS DOUBLE) * ln(CAST(c_ab AS DOUBLE)) ELSE 0.0 END
+         |    + CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+         |    + CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+         |    + CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+         |    - (CASE WHEN c_a_first > 0 THEN CAST(c_a_first AS DOUBLE) * ln(CAST(c_a_first AS DOUBLE)) ELSE 0.0 END
+         |       + CASE WHEN n - c_a_first > 0 THEN CAST(n - c_a_first AS DOUBLE) * ln(CAST(n - c_a_first AS DOUBLE)) ELSE 0.0 END)
+         |    - (CASE WHEN c_b_second > 0 THEN CAST(c_b_second AS DOUBLE) * ln(CAST(c_b_second AS DOUBLE)) ELSE 0.0 END
+         |       + CASE WHEN n - c_b_second > 0 THEN CAST(n - c_b_second AS DOUBLE) * ln(CAST(n - c_b_second AS DOUBLE)) ELSE 0.0 END)
+         |    + CASE WHEN n > 0 THEN CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ELSE 0.0 END)
+         |    * 1e6) AS BIGINT) AS g2_micro
+         |FROM jj
+         |ORDER BY g2_micro DESC, bigram ASC
+         |LIMIT 40""".stripMargin,
 
     "q85_bpe_train" -> bpeOracleSql(8),
 

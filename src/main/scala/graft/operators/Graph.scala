@@ -237,6 +237,104 @@ object Graph {
     labels
   }
 
+  /** Newman modularity of a node partition (Newman & Girvan 2004,
+    * "Finding and evaluating community structure in networks"):
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    * over communities c, with e_c = intra-community edge count, d_c =
+    * total degree inside c, m = undirected edge count. THE quality
+    * score for a community assignment — grade [[labelPropagation]]'s
+    * output (or any clustering projected onto a graph) before
+    * trusting it. Closed EXACTLY: Q·4m² = Σ_c (4m·e_c − d_c²) is pure
+    * integer (DECIMAL(38,0)); one double division to micros.
+    *
+    * Scale shape: normalize edges once (dedupe + orient, the
+    * [[triangleCounts]] discipline), one join per endpoint against
+    * the labels (keys-only), then community-keyed aggregates — no
+    * windows, no collect. Nodes missing from `labels` raise (a silent
+    * drop would misattribute degree mass).
+    * Output: one row (m, n_communities, q_micro). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("c"))
+    // the missing-endpoint guard rides the cu/cv columns themselves
+    // (an unused check column would be pruned and never fire)
+    def guarded(c: String) =
+      when(col(c).isNull, raise_error(
+        lit("modularity: edge endpoint missing from labels")).cast("long"))
+        .otherwise(col(c)).as(c)
+    val both = und
+      .join(lab.select(col("node").as("u"), col("c").as("cu")), Seq("u"), "left")
+      .join(lab.select(col("node").as("v"), col("c").as("cv")), Seq("v"), "left")
+      .select(col("u"), col("v"), guarded("cu"), guarded("cv"))
+    val m = und.count()
+    // degree mass per community: each edge adds 1 to both endpoints
+    val degByC = both.select(explode(array(col("cu"), col("cv"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).cast(dec).as("d"))
+    val intraByC = both.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).cast(dec).as("e"))
+    val terms = degByC.join(intraByC, Seq("c"), "left")
+      .select((lit(4L).cast(dec) * lit(m).cast(dec)
+        * coalesce(col("e"), lit(0).cast(dec))
+        - col("d") * col("d")).as("t"))
+    terms.agg(count(lit(1)).as("n_communities"),
+        coalesce(sum("t"), lit(0).cast(dec)).as("num"))
+      .select(lit(m).as("m"), col("n_communities"),
+        when(lit(m) > 0,
+          round(col("num").cast("double")
+            / (lit(4.0) * lit(m).cast("double") * lit(m).cast("double"))
+            * 1e6).cast("long")).as("q_micro"))
+  }
+
+  /** Degree assortativity coefficient (Newman 2002, "Assortative
+    * mixing in networks"): the Pearson correlation of degrees across
+    * edge endpoints — positive on social-style graphs (hubs link
+    * hubs), negative on web/biology-style hub-and-spoke graphs. The
+    * one-number mixing diagnostic next to [[degreeDistribution]].
+    * Computed over the SYMMETRIZED edge list (each undirected edge
+    * contributes both orientations, the standard convention, so the
+    * two marginals coincide); degree products are exact
+    * DECIMAL(38,0) sums; one fixed-order float close. Output: one
+    * row (m, r_micro — NULL when the degree variance is 0). */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val withDeg = sym
+      .join(deg.select(col("node").as("u"), col("d").as("dx")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dy")), Seq("v"))
+    val x = col("dx").cast(dec)
+    val y = col("dy").cast(dec)
+    val agg = withDeg.agg(count(lit(1)).as("n2"),
+      sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(x * y).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    // both marginals equal by symmetry: r = (n·Σxy − (Σx)²) /
+    // (n·Σx² − (Σx)²)
+    val num = d("n2") * d("sxy") - d("sx") * d("sx")
+    val den = d("n2") * d("sxx") - d("sx") * d("sx")
+    agg.select((col("n2") / 2).cast("long").as("m"),
+      when(den > 0, round(num / den * 1e6).cast("long")).as("r_micro"))
+  }
+
   /** Exact triangle count per node via the degree-ordered
     * node-iterator (Schank–Wagner / Cohen's MapReduce form): orient
     * every undirected edge from the (degree, id)-smaller endpoint to

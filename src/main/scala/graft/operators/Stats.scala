@@ -1911,6 +1911,76 @@ object Stats {
             .cast("long")).as("z_micro"))
   }
 
+  /** Friedman test (Friedman 1937, "The use of ranks to avoid the
+    * assumption of normality") — k related treatments ranked WITHIN
+    * each of n blocks (the repeated-measures companion of
+    * [[kruskalWallis]]): with doubled average ranks r₂ (exact under
+    * ties, the [[spearmanByKey]] device),
+    *   Q = (k−1) · Σ_j (R₂_j − n(k+1))² / (Σ_ij r₂² − n·k·(k+1)²)
+    * — the tie-corrected general form (Conover; reduces to the
+    * textbook 12/(nk(k+1))·Σ(R_j − n(k+1)/2)² when untied — the
+    * hand-check that caught an n× coefficient slip in the first cut
+    * of BOTH engines); every moment an exact integer
+    * (DECIMAL), one double division closes q_micro. Blocks are
+    * k-bounded, so ranking runs IN-ROW over a per-block collect
+    * (O(k²) per block, k = treatments — metadata-scale by
+    * construction); no windows. Every block must carry the same k
+    * treatments exactly once (enforced). Output: one row (n_blocks,
+    * k, q_micro — NULL when the rank variance is 0, i.e. all-tied). */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+               valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df
+      .where(col(valueCol).isNotNull)
+      .select(col(blockCol).as("b"), col(treatmentCol).cast("string").as("tr"),
+        col(valueCol).cast("long").as("v"))
+    val blocks = rows.groupBy("b")
+      .agg(collect_list(struct(col("tr"), col("v"))).as("xs"),
+        count_distinct(col("tr")).as("ndt"), count(lit(1)).as("nr"))
+    // doubled average rank 2·(#smaller) + (#ties incl self) + 1; the
+    // repeated-treatment guard rides the CONSUMED rs column (an
+    // unused check column would be pruned and never fire)
+    val rsExpr = when(col("ndt") =!= col("nr"),
+      raise_error(lit("friedman: a block repeats a treatment"))
+        .cast("array<struct<tr:string,r2:bigint>>"))
+      .otherwise(expr(
+        """transform(xs, __e -> named_struct(
+          |  'tr', __e.tr,
+          |  'r2', CAST(2 * size(filter(xs, __f -> __f.v < __e.v))
+          |        + size(filter(xs, __f -> __f.v = __e.v)) + 1 AS BIGINT)))"""
+          .stripMargin))
+    val exploded = blocks
+      .select(col("b"), col("nr"), explode(rsExpr).as("e"))
+      .select(col("b"), col("nr"), col("e.tr").as("tr"),
+        col("e.r2").cast(dec).as("r2"))
+      .localCheckpoint(false)
+    // block count / treatment count are metadata-scale: collect once
+    // (the codebook-collect precedent) and close with plan literals
+    val kRow = exploded.groupBy("b").agg(max("nr").as("k"))
+      .agg(min("k"), max("k"), count(lit(1))).head()
+    val (kmin, kmax, nB) = (kRow.getLong(0), kRow.getLong(1), kRow.getLong(2))
+    require(kmin == kmax,
+      s"friedman: block sizes differ ($kmin vs $kmax); every block " +
+        "must carry the same k treatments")
+    val k = kmax
+    val perT = exploded.groupBy("tr").agg(sum("r2").as("rj"))
+    val num = perT.agg(coalesce(sum(
+      (col("rj") - lit(nB * (k + 1)).cast(dec))
+        * (col("rj") - lit(nB * (k + 1)).cast(dec))), lit(0).cast(dec))
+      .as("num"))
+    val s2 = exploded.agg(coalesce(sum(col("r2") * col("r2")),
+      lit(0).cast(dec)).as("s2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    num.crossJoin(s2)
+      .select(lit(nB).as("n_blocks"), lit(k).as("k"),
+        when(d(col("s2")) - lit(nB.toDouble) * lit(k.toDouble)
+            * lit((k + 1).toDouble) * lit((k + 1).toDouble) > 0,
+          round(lit((k - 1).toDouble) * d(col("num"))
+            / (d(col("s2")) - lit(nB.toDouble) * lit(k.toDouble)
+              * lit((k + 1).toDouble) * lit((k + 1).toDouble))
+            * 1e6).cast("long")).as("q_micro"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959)
     * across stratified 2×2 tables — "does the exposure/outcome
     * association survive controlling for the stratifier?", the

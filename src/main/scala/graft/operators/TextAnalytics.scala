@@ -821,6 +821,70 @@ object TextAnalytics {
       .limit(k)
   }
 
+  /** Log-likelihood-ratio collocations (Dunning 1993, "Accurate
+    * methods for the statistics of surprise and coincidence") —
+    * the SIGNIFICANCE-weighted companion of [[pmiCollocations]]: PMI
+    * over-ranks rare pairs (two hapaxes that co-occur once score
+    * maximal PMI); G² weighs the evidence, so frequent-but-strong
+    * collocations rank first. Over the adjacent-bigram table with
+    * first/second-position margins:
+    *   G² = 2·(Σ_cells x·ln x − Σ_rows x·ln x − Σ_cols x·ln x
+    *           + N·ln N)
+    * (the entropy form; 0-count cells contribute 0). Counts are
+    * exact integers; the ln terms evaluate in ONE documented
+    * parenthesization and micro-round once, so any engine replays
+    * the ranking. Same shuffle shape as PMI (bigram agg + two margin
+    * joins). Output: (bigram, c_ab, c_a_first, c_b_second, g2_micro),
+    * top `k` by (g2 desc, bigram asc). */
+  def llrCollocations(df: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val toks = df.select(
+      filter(graft.plans.native.wordShingles(col(textCol), 1), t => t =!= "")
+        .as("tk"))
+    val bgArr = {
+      val tk = col("tk")
+      when(size(tk) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+    }
+    val big = toks.select(explode(bgArr).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(false)
+    val firsts = big.groupBy(substring_index(col("bg"), " ", 1).as("t"))
+      .agg(sum("c_ab").as("c_a_first"))
+    val seconds = big.groupBy(substring_index(col("bg"), " ", -1).as("t"))
+      .agg(sum("c_ab").as("c_b_second"))
+    val nBi = big.agg(coalesce(sum("c_ab"), lit(0L))).head().getLong(0)
+    if (nBi == 0)
+      return big.select(col("bg").as("bigram"), col("c_ab"),
+        lit(0L).as("c_a_first"), lit(0L).as("c_b_second"),
+        lit(0L).as("g2_micro")).limit(0)
+    // x·ln x with x·ln 0 := 0 (the entropy-form convention)
+    def xlx(c: org.apache.spark.sql.Column) =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    val k11 = col("c_ab")
+    val k12 = col("c_a_first") - col("c_ab")
+    val k21 = col("c_b_second") - col("c_ab")
+    val k22 = lit(nBi) - col("c_a_first") - col("c_b_second") + col("c_ab")
+    // ONE parenthesization, replayed verbatim by the oracle
+    val g2 = lit(2.0) * ((((xlx(k11) + xlx(k12)) + xlx(k21)) + xlx(k22))
+      - (xlx(col("c_a_first")) + xlx(lit(nBi) - col("c_a_first")))
+      - (xlx(col("c_b_second")) + xlx(lit(nBi) - col("c_b_second")))
+      + xlx(lit(nBi)))
+    big.where(col("c_ab") >= minCount)
+      .join(firsts, substring_index(col("bg"), " ", 1) === col("t"))
+      .drop("t")
+      .join(seconds, substring_index(col("bg"), " ", -1) === col("t"))
+      .drop("t")
+      .select(col("bg").as("bigram"), col("c_ab"), col("c_a_first"),
+        col("c_b_second"), round(g2 * 1e6).cast("long").as("g2_micro"))
+      .orderBy(col("g2_micro").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Interpolated Kneser-Ney bigram model (fixed discount d = 0.5) —
     * the smoothing that actually ranks continuations well, because
     * the backoff is the CONTINUATION probability (in how many distinct

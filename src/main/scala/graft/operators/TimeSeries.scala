@@ -430,6 +430,51 @@ object TimeSeries {
         round(cov / sqrt(vx * vy) * 1e6).cast("long")).as("r_micro"))
   }
 
+  /** Von Neumann ratio (von Neumann 1941, "Distribution of the ratio
+    * of the mean square successive difference to the variance") of
+    * each key's daily event counts:
+    *   η = Σ_{t}(x_{t+1} − x_t)² / Σ(x_t − x̄)²
+    * — the classic randomness / trend screen: η ≈ 2 for white noise,
+    * → 0 under positive serial correlation (trend), → 4 under
+    * alternation. The Durbin–Watson statistic is this ratio computed
+    * on regression residuals; on raw counts it answers "is this
+    * series even worth a trend fit?" one step before [[trendPerKey]].
+    *
+    * Successive pairs are consecutive CALENDAR days with both
+    * observed (the [[lagCorrDaily]] convention — compose after
+    * [[gapFill]] for strict regularity). Both sums close from exact
+    * DECIMAL integer moments; η_micro = round(1e6·n·Σd² /
+    * (n·Σx² − (Σx)²)) in one double division. Output: (key, n,
+    * n_pairs, vn_micro — NULL when the variance is 0 or n < 2). */
+  def vonNeumannRatio(df: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("v"))
+      .localCheckpoint(false)
+    val a = daily.select(col("key"), col("d"), col("v").as("x"))
+    val b = daily.select(col("key"), date_sub(col("d"), 1).as("d"),
+      col("v").as("y"))
+    val diffs = a.join(b, Seq("key", "d"))
+      .groupBy("key").agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum((col("y").cast(dec) - col("x").cast(dec))
+          * (col("y").cast(dec) - col("x").cast(dec))), lit(0).cast(dec))
+          .as("sd2"))
+    val moms = daily.groupBy("key").agg(count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("sx"),
+      sum(col("v").cast(dec) * col("v").cast(dec)).as("sxx"))
+    def d2(c: String) = col(c).cast("double")
+    moms.join(diffs, Seq("key"), "left")
+      .select(col("key"), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n") >= 2 &&
+          d2("n") * d2("sxx") - d2("sx") * d2("sx") > 0,
+          round(d2("n") * coalesce(d2("sd2"), lit(0.0))
+            / (d2("n") * d2("sxx") - d2("sx") * d2("sx")) * 1e6)
+            .cast("long")).as("vn_micro"))
+  }
+
   /** Peak concurrency per key over half-open intervals [start, end) —
     * the capacity statistic (max simultaneous sessions, peak open
     * connections). Classic sweep line: +1 at start, −1 at end, peak =

@@ -89,4 +89,39 @@ class GraphTriangleSpec extends SparkSpec {
       .as[(Long, Long)].collect.toMap
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
+
+  test("modularity: two clean components = 0.5, one community = 0, " +
+    "missing label raises") {
+    // two disjoint triangles, labels = component
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (11L, 12L), (12L, 13L), (13L, 11L)).toDF("src", "dst")
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (11L, 1L), (12L, 1L), (13L, 1L)).toDF("node", "label")
+    // m = 6; per c: e = 3, d = 6 → Q = 2·(3/6 − (6/12)²) = 0.5
+    val got = Graph.modularity(tri, "src", "dst", lab, "node", "label")
+      .as[(Long, Long, Option[Long])].collect.head
+    assert(got == ((6L, 2L, Some(500000L))), got)
+    // everything in one community: Q = m/m − 1² = 0
+    val one = lab.select(col("node"), lit(0L).as("label"))
+    assert(Graph.modularity(tri, "src", "dst", one, "node", "label")
+      .as[(Long, Long, Option[Long])].collect.head._3 == Some(0L))
+    // an endpoint missing from labels must raise, not silently drop
+    val e = intercept[Exception] {
+      Graph.modularity(tri, "src", "dst", lab.where($"node" =!= 13L),
+        "node", "label").collect()
+    }
+    assert(e.getMessage.contains("missing from labels"), e.getMessage)
+  }
+
+  test("assortativity: a star is perfectly disassortative (−1), a " +
+    "regular cycle has zero degree variance (NULL)") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Graph.assortativity(star, "src", "dst")
+      .as[(Long, Option[Long])].collect.head
+    assert(got == ((3L, Some(-1000000L))), got)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got2 = Graph.assortativity(cycle, "src", "dst")
+      .as[(Long, Option[Long])].collect.head
+    assert(got2 == ((4L, None)), got2)
+  }
 }

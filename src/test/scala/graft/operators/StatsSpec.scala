@@ -641,6 +641,30 @@ class StatsSpec extends SparkSpec {
     assert(c._3 == 1L && c._4 == 500000L, c)
   }
 
+  test("friedman: textbook untied case Q = 6, all-tied gives NULL, " +
+    "unequal blocks raise") {
+    // 3 blocks, 3 treatments, consistent order A<B<C in every block:
+    // Q = 12·Σ(R_j − n(k+1)/2)²/(nk(k+1)) = 12·18/36 = 6
+    val df = (1L to 3L).flatMap(b => Seq(
+      (b, "A", b * 10L + 1), (b, "B", b * 10L + 2), (b, "C", b * 10L + 3)))
+      .toDF("b", "tr", "v")
+    val got = Stats.friedman(df, "b", "tr", "v")
+      .as[(Long, Long, Option[Long])].collect.head
+    assert(got == ((3L, 3L, Some(6000000L))), got)
+    // every block fully tied → zero rank variance → NULL
+    val tied = (1L to 3L).flatMap(b => Seq(
+      (b, "A", 7L), (b, "B", 7L), (b, "C", 7L))).toDF("b", "tr", "v")
+    assert(Stats.friedman(tied, "b", "tr", "v")
+      .as[(Long, Long, Option[Long])].collect.head._3.isEmpty)
+    // a block missing a treatment raises
+    val uneven = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 1L))
+      .toDF("b", "tr", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.friedman(uneven, "b", "tr", "v").collect()
+    }
+    assert(e.getMessage.contains("block sizes differ"), e.getMessage)
+  }
+
   test("mantelHaenszel: single stratum equals the plain odds ratio; " +
     "S = 0 gives NULL") {
     // [[10, 5], [2, 8]]: OR = (10·8/25)/(5·2/25) = 8

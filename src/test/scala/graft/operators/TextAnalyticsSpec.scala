@@ -742,6 +742,36 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(got3.isEmpty, got3.toSeq)
   }
 
+  test("llrCollocations: hand-computed G², frequent evidence outranks " +
+    "the rare pair PMI overrates") {
+    val s = spark
+    import s.implicits._
+    // bigrams: "a b"×10 (strong, frequent), "a x"×3 (dilution), and a
+    // CHANCE-compatible rare pair "c d"×1 whose margins also appear
+    // in "c y"×3 / "z d"×3 → N = 20. PMI would rank "c d" on its
+    // 1-in-1 co-occurrence; G² sees the margins and demotes it.
+    val docs = (Seq.fill(10)("a b") ++ Seq.fill(3)("a x") ++ Seq("c d") ++
+      Seq.fill(3)("c y") ++ Seq.fill(3)("z d"))
+      .toDF("text")
+    val got = TextAnalytics.llrCollocations(docs, "text",
+      minCount = 1, k = 8)
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    def xlx(x: Double) = if (x > 0) x * math.log(x) else 0.0
+    def g2(k11: Long, r1: Long, c1: Long, n: Long): Long = {
+      val k12 = r1 - k11; val k21 = c1 - k11; val k22 = n - r1 - c1 + k11
+      math.round(2.0 * ((((xlx(k11) + xlx(k12)) + xlx(k21)) + xlx(k22))
+        - (xlx(r1) + xlx(n - r1)) - (xlx(c1) + xlx(n - c1))
+        + xlx(n)) * 1e6)
+    }
+    val ab = got.find(_._1 == "a b").get
+    val cd = got.find(_._1 == "c d").get
+    assert(ab == (("a b", 10L, 13L, 10L, g2(10, 13, 10, 20))), ab)
+    assert(cd == (("c d", 1L, 4L, 4L, g2(1, 4, 4, 20))), cd)
+    // the frequent collocation carries more evidence than the hapax
+    assert(ab._5 > cd._5, s"G² must weigh evidence: $ab vs $cd")
+    assert(got.head._1 == "a b")
+  }
+
   test("winnowFingerprints: no gap longer than w, fingerprints are real " +
     "gram hashes, shared substrings share a fingerprint") {
     val s = spark

@@ -216,4 +216,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("gap") == ("gap", 1L, None))
     assert(out("flat") == ("flat", 2L, None))
   }
+
+  test("vonNeumannRatio: trend → 0.6, alternation → 3, constant → NULL") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // trend: counts 1,2,3,4 → n·Σd²/(nΣx²−(Σx)²) = 12/20 = 0.6
+    val trend = (1 to 4).flatMap(d => Seq.fill(d)(("t", day(d))))
+    // alternation: 1,3,1,3 → 4·12/16 = 3
+    val alt = Seq(1, 3, 1, 3).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("a", day(i + 1))) }
+    // constant: 2,2,2 → zero variance → NULL
+    val const = (1 to 3).flatMap(d => Seq.fill(2)(("c", day(d))))
+    val got = TimeSeries.vonNeumannRatio(
+      (trend ++ alt ++ const).toDF("k", "ts"), "k", "ts")
+      .as[(String, Long, Long, Option[Long])].collect
+      .map(r => r._1 -> r).toMap
+    assert(got("t") == (("t", 4L, 3L, Some(600000L))), got("t"))
+    assert(got("a") == (("a", 4L, 3L, Some(3000000L))), got("a"))
+    assert(got("c") == (("c", 3L, 2L, None)), got("c"))
+  }
 }
