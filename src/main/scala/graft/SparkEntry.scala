@@ -625,6 +625,69 @@ object SparkEntry {
         t(s, dir, "documents"), "text", minCount = 5, k = 40)
     }),
 
+    // Jaro–Winkler record-linkage scorer as a codegen'd Catalyst
+    // expression with DuckDB-parity semantics (probed: window
+    // ⌊max/2⌋−1, boost only when j > 0.7, either-empty → 0) — the
+    // oracle replays it with the engine's own jaro_winkler_similarity.
+    "q313_jaro_winkler" -> ((s, dir) => {
+      val dirty = concat(substring(col("c_name"), 1, 10),
+        reverse(substring(col("c_name"), 11, 4)),
+        substring(col("c_name"), 15, 100))
+      t(s, dir, "customer").select(col("c_custkey"),
+          round(graft.plans.native.jaroWinkler(col("c_name"), dirty), 6)
+            .as("jw"))
+        .orderBy("c_custkey")
+    }),
+
+    // First-order partial correlation per return flag: price ~ qty
+    // controlling for discount — the continuous confounder screen
+    // beside q306's categorical Mantel–Haenszel.
+    "q314_partial_corr" -> ((s, dir) => {
+      operators.Stats.partialCorrByKey(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice")).cast("long").as("price"),
+          round(col("l_discount") * 10000).cast("long").as("disc_bp")),
+        "rf", "qty", "price", "disc_bp")
+        .orderBy("key")
+    }),
+
+    // Wald–Wolfowitz runs test per event type: do high and low days
+    // cluster? — the sign-based randomness screen beside q311's
+    // magnitude-based von Neumann ratio.
+    "q315_runs_test" -> ((s, dir) => {
+      operators.TimeSeries.runsTest(events(s, dir), "event_type", "ts")
+        .orderBy("key")
+    }),
+
+    // Cronbach's α across three deterministic per-document "items"
+    // (char count, token count, uppercase count) — the reliability
+    // score beside q307's Fleiss κ.
+    "q316_cronbach_alpha" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val items = d0.select(col("doc_id"), lit("chars").as("item"),
+          length(col("text")).cast("long").as("v"))
+        .unionByName(d0.select(col("doc_id"), lit("toks").as("item"),
+          Text.tokenCount(col("text")).cast("long").as("v")))
+        .unionByName(d0.select(col("doc_id"), lit("upper").as("item"),
+          length(regexp_replace(col("text"), "[^A-Z]", ""))
+            .cast("long").as("v")))
+      operators.Stats.cronbachAlpha(items, "doc_id", "item", "v")
+    }),
+
+    // Global clustering coefficient (transitivity) of the q163
+    // co-purchase projection — 3·triangles/wedges, integers
+    // end-to-end.
+    "q317_clustering_coeff" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .where(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = lp.join(lp.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      operators.Graph.clusteringCoeff(e, "src", "dst")
+    }),
+
     // BPE tokenizer training under the gate: 8 merge rounds over the
     // corpus word-frequency table. The oracle unrolls the SAME
     // argmax + string-replace rounds as CTEs — an iterative trainer
@@ -5026,6 +5089,132 @@ object SparkEntry {
          |FROM jj
          |ORDER BY g2_micro DESC, bigram ASC
          |LIMIT 40""".stripMargin,
+
+    "q313_jaro_winkler" ->
+      """SELECT c_custkey,
+        |  round(jaro_winkler_similarity(c_name,
+        |    substr(c_name, 1, 10) || reverse(substr(c_name, 11, 4))
+        |      || substr(c_name, 15, 100)), 6) AS jw
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q314_partial_corr" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS key,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS z
+        |  FROM lineitem),
+        |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(z) AS DOUBLE) AS sz,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(z * z) AS DOUBLE) AS szz,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * z) AS DOUBLE) AS sxz,
+        |    CAST(SUM(y * z) AS DOUBLE) AS syz
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT key, n,
+        |    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+        |    (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+        |    (n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz,
+        |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+        |    n * szz - sz * sz AS vz
+        |  FROM g)
+        |SELECT key, n,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0 THEN
+        |    CAST(round(rxy * 1e6) AS BIGINT) END AS r_xy_micro,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0
+        |      AND sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) > 0 THEN
+        |    CAST(round((rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1e6) AS BIGINT)
+        |  END AS r_xy_z_micro
+        |FROM c ORDER BY key""".stripMargin,
+
+    "q315_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS nd,
+        |         CAST(SUM(v) AS BIGINT) AS sv
+        |       FROM daily GROUP BY 1),
+        |signed AS (SELECT daily.key, d, (v * nd > sv) AS hi
+        |           FROM daily JOIN st ON daily.key = st.key
+        |           WHERE v * nd <> sv),
+        |chg AS (SELECT key, hi,
+        |    CASE WHEN lag(hi) OVER (PARTITION BY key ORDER BY d) IS NULL
+        |           OR lag(hi) OVER (PARTITION BY key ORDER BY d) <> hi
+        |         THEN 1 ELSE 0 END AS c
+        |  FROM signed),
+        |agg AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+        |    CAST(SUM(c) AS BIGINT) AS runs
+        |  FROM chg GROUP BY 1)
+        |SELECT key, n, n_above, n_below, runs,
+        |  CASE WHEN n_above >= 1 AND n_below >= 1 AND n >= 2
+        |      AND (2.0 * n_above * n_below)
+        |        * (2.0 * n_above * n_below - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |           * (CAST(n AS DOUBLE) - 1.0)) > 0 THEN
+        |    CAST(round((CAST(runs AS DOUBLE)
+        |        - ((2.0 * n_above * n_below) / CAST(n AS DOUBLE) + 1.0))
+        |      / sqrt((2.0 * n_above * n_below)
+        |        * (2.0 * n_above * n_below - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |           * (CAST(n AS DOUBLE) - 1.0))) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM agg ORDER BY key""".stripMargin,
+
+    "q316_cronbach_alpha" ->
+      """WITH items AS (
+        |  SELECT doc_id, 'chars' AS item, CAST(length(text) AS BIGINT) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'toks',
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'upper',
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+        |  FROM documents),
+        |dims AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ns,
+        |           CAST(COUNT(DISTINCT item) AS BIGINT) AS k FROM items),
+        |si AS (SELECT CAST(SUM(t) AS DOUBLE) AS si FROM (
+        |  SELECT ns * SUM(v * v) - SUM(v) * SUM(v) AS t
+        |  FROM items CROSS JOIN dims GROUP BY item, ns)),
+        |vt AS (SELECT CAST(ns * SUM(t * t) - SUM(t) * SUM(t) AS DOUBLE) AS vt
+        |  FROM (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS t
+        |        FROM items GROUP BY 1) CROSS JOIN dims
+        |  GROUP BY ns)
+        |SELECT ns AS n_subjects, k,
+        |  CASE WHEN vt > 0 THEN
+        |    CAST(round(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |      * (1.0 - si / vt) * 1e6) AS BIGINT) END AS alpha_micro
+        |FROM dims CROSS JOIN si CROSS JOIN vt""".stripMargin,
+
+    "q317_clustering_coeff" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |wed AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |          CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT n_nodes, w AS n_wedges, t AS n_triangles,
+        |  CASE WHEN w > 0 THEN
+        |    CAST(round(CAST(3 * t AS DOUBLE) / CAST(w AS DOUBLE) * 1e6)
+        |      AS BIGINT) END AS c_micro
+        |FROM wed CROSS JOIN tri""".stripMargin,
 
     "q85_bpe_train" -> bpeOracleSql(8),
 

@@ -237,6 +237,39 @@ object Graph {
     labels
   }
 
+  /** Global clustering coefficient (transitivity; Watts & Strogatz
+    * 1998 / Newman 2003 convention): C = 3·triangles / wedges with
+    * wedges = Σ_v d_v(d_v−1)/2 — "what fraction of connected triples
+    * close?" — the one-number cohesion score composing
+    * [[triangleCounts]] (whose m^{3/2} enumeration does the hard
+    * part) with one exact degree aggregate. Integers end-to-end; one
+    * double division. Output: one row (n_nodes, n_wedges,
+    * n_triangles, c_micro — NULL when the graph has no wedges). */
+  def clusteringCoeff(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast(dec).as("d"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0).cast(dec))
+        .as("w"))
+    val tri = triangleCounts(und, "u", "v")
+      .agg(coalesce(sum("n_triangles"), lit(0L)).as("t3"))
+    wedges.crossJoin(tri)
+      .select(col("n_nodes"), col("w").cast("long").as("n_wedges"),
+        (col("t3") / 3).cast("long").as("n_triangles"),
+        when(col("w") > 0,
+          round(col("t3").cast("double") / col("w").cast("double") * 1e6)
+            .cast("long")).as("c_micro"))
+  }
+
   /** Newman modularity of a node partition (Newman & Girvan 2004,
     * "Finding and evaluating community structure in networks"):
     *   Q = Σ_c [ e_c/m − (d_c/2m)² ]

@@ -1981,6 +1981,98 @@ object Stats {
             * 1e6).cast("long")).as("q_micro"))
   }
 
+  /** First-order partial correlation per key (the CONTROLLED
+    * association screen — "does x still correlate with y once z is
+    * held fixed?"; Fisher 1924):
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)).
+    * All three pairwise correlations close from ONE pass of exact
+    * DECIMAL moments (the [[corrMatrix]] discipline) in a single
+    * documented float order, so the result replays in any engine.
+    * The confounder check beside [[mantelHaenszel]] (categorical) —
+    * this is its continuous twin. Output: (key, n, r_xy_micro,
+    * r_xy_z_micro — NULLs when any variance is 0 or a control
+    * correlation is ±1). */
+  def partialCorrByKey(df: DataFrame, keyCol: String, xCol: String,
+                       yCol: String, zCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    val z = col(zCol).cast("long").cast(dec)
+    val g = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+        sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    def cv(sab: String, sa: String, sb: String) =
+      n * d(sab) - d(sa) * d(sb)
+    def vr(saa: String, sa: String) = n * d(saa) - d(sa) * d(sa)
+    val vx = vr("sxx", "sx"); val vy = vr("syy", "sy"); val vz = vr("szz", "sz")
+    val rxy = cv("sxy", "sx", "sy") / sqrt(vx * vy)
+    val rxz = cv("sxz", "sx", "sz") / sqrt(vx * vz)
+    val ryz = cv("syz", "sy", "sz") / sqrt(vy * vz)
+    val denom = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    val ok = col("n") >= 3 && vx > 0 && vy > 0 && vz > 0
+    g.select(col("key"), col("n"),
+      when(ok, round(rxy * 1e6).cast("long")).as("r_xy_micro"),
+      when(ok && denom > 0,
+        round((rxy - rxz * ryz) / denom * 1e6).cast("long"))
+        .as("r_xy_z_micro"))
+  }
+
+  /** Cronbach's α (Cronbach 1951, "Coefficient alpha and the internal
+    * structure of tests"): internal-consistency reliability of k
+    * items measured on the same subjects —
+    *   α = k/(k−1) · (1 − Σᵢ σᵢ² / σ_T²)
+    * with per-item POPULATION variances σᵢ² and the variance of
+    * subject totals σ_T² (divisor convention documented; both sides
+    * replay it). The annotation/eval-suite reliability score beside
+    * [[fleissKappa]] (κ grades categorical agreement; α grades
+    * graded-score consistency). Every subject must answer every item
+    * exactly once (enforced). Exact DECIMAL moments; one float
+    * close. Output: one row (n_subjects, k, alpha_micro — NULL when
+    * σ_T² = 0 or k < 2). */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+                    valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(subjectCol).as("s"), col(itemCol).cast("string").as("i"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(false)
+    val shape = rows.groupBy("s")
+      .agg(count(lit(1)).as("nr"), count_distinct(col("i")).as("ni"))
+      .agg(min("nr"), max("nr"), min("ni"), count(lit(1))).head()
+    require(shape.getLong(0) == shape.getLong(1) &&
+      shape.getLong(0) == shape.getLong(2),
+      s"cronbachAlpha: every subject must answer every item once " +
+        s"(row counts ${shape.getLong(0)}..${shape.getLong(1)}, " +
+        s"distinct items ${shape.getLong(2)})")
+    val k = shape.getLong(0)
+    val nSub = shape.getLong(3)
+    require(k >= 2, s"cronbachAlpha: need k >= 2 items, got $k")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // Σᵢ n·σᵢ²·n = Σᵢ (n·Σv² − (Σv)²) — exact integers
+    val items = rows.groupBy("i")
+      .agg(sum(col("v").cast(dec)).as("sv"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("svv"))
+      .agg(coalesce(sum(lit(nSub).cast(dec) * col("svv")
+        - col("sv") * col("sv")), lit(0).cast(dec)).as("si"))
+    val totals = rows.groupBy("s").agg(sum(col("v").cast(dec)).as("t"))
+      .agg(sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"))
+      .select((lit(nSub).cast(dec) * col("stt")
+        - col("st") * col("st")).as("vt"))
+    items.crossJoin(totals)
+      .select(lit(nSub).as("n_subjects"), lit(k).as("k"),
+        when(d(col("vt")) > 0,
+          round(lit(k.toDouble) / lit((k - 1).toDouble)
+            * (lit(1.0) - d(col("si")) / d(col("vt"))) * 1e6)
+            .cast("long")).as("alpha_micro"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959)
     * across stratified 2×2 tables — "does the exposure/outcome
     * association survive controlling for the stratifier?", the

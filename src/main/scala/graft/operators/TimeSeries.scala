@@ -475,6 +475,53 @@ object TimeSeries {
             .cast("long")).as("vn_micro"))
   }
 
+  /** Wald–Wolfowitz runs test (1940) per key over daily event
+    * counts: binarize each day as above/below the key's MEAN (the
+    * exact integer comparison v·n ≷ Σv — no float cutpoint; days
+    * exactly AT the mean drop, the standard tie convention), count
+    * the runs R over the day-ordered sequence, and close
+    *   z = (R − E[R]) / √Var,  E[R] = 2·n₁n₂/n + 1,
+    *   Var = 2n₁n₂(2n₁n₂ − n) / (n²(n − 1))
+    * — "do high and low days CLUSTER?" — the sign-based randomness
+    * screen beside [[vonNeumannRatio]]'s magnitude-based one. R is
+    * exact (a key-partitioned lag over the observed day order); one
+    * fixed-order float close. Output: (key, n, n_above, n_below,
+    * runs, z_micro — NULL when either side is empty or n < 2). */
+  def runsTest(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("v"))
+      .localCheckpoint(false)
+    val stats = daily.groupBy("key")
+      .agg(count(lit(1)).as("nd"), sum(col("v").cast(dec)).as("sv"))
+    val signed = daily.join(stats, Seq("key"))
+      .where(col("v").cast(dec) * col("nd") =!= col("sv"))
+      .select(col("key"), col("d"),
+        (col("v").cast(dec) * col("nd") > col("sv")).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("d")
+    val runs = signed
+      .withColumn("__chg",
+        when(lag(col("hi"), 1).over(w).isNull ||
+          lag(col("hi"), 1).over(w) =!= col("hi"), 1L).otherwise(0L))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("hi"), 1L).otherwise(0L)), lit(0L)).as("n_above"),
+        coalesce(sum(when(!col("hi"), 1L).otherwise(0L)), lit(0L)).as("n_below"),
+        coalesce(sum("__chg"), lit(0L)).as("runs"))
+    def d2(c: String) = col(c).cast("double")
+    val p = lit(2.0) * d2("n_above") * d2("n_below")
+    val er = p / d2("n") + lit(1.0)
+    val vr = p * (p - d2("n")) / (d2("n") * d2("n") * (d2("n") - lit(1.0)))
+    runs.select(col("key"), col("n"), col("n_above"), col("n_below"),
+      col("runs"),
+      when(col("n_above") >= 1 && col("n_below") >= 1 && col("n") >= 2 &&
+        vr > 0,
+        round((d2("runs") - er) / sqrt(vr) * 1e6).cast("long"))
+        .as("z_micro"))
+  }
+
   /** Peak concurrency per key over half-open intervals [start, end) —
     * the capacity statistic (max simultaneous sessions, peak open
     * connections). Classic sweep line: +1 at start, −1 at end, peak =

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketch/vector hot paths.
   *
@@ -130,6 +131,89 @@ case class CosineSim(left: Expression, right: Expression)
       s"graft.plans.VectorKernel.cosine($c1, $c2, $aFloat, $bFloat)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object JaroWinklerKernel {
+  /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990), the exact
+    * semantics DuckDB's `jaro_winkler_similarity` implements
+    * (probed empirically, round 9): matching window
+    * ⌊max(|s|,|t|)/2⌋ − 1, transpositions halved, Winkler prefix
+    * boost min(4, common prefix)·0.1·(1 − j) applied only when
+    * j > 0.7, and EITHER empty string → 0.0 (including both empty —
+    * DuckDB's convention, not the return-1 variant). One flat JVM
+    * double pass per pair, called from whole-stage codegen. */
+  def sim(aU: UTF8String, bU: UTF8String): Double = {
+    val s = aU.toString
+    val t = bU.toString
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val sMatch = new Array[Boolean](n)
+    val tMatch = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var trans = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = matches.toDouble
+    val j = (md / n + md / m + (md - trans / 2.0) / md) / 3.0
+    if (j > 0.7) {
+      var p = 0
+      val maxP = math.min(4, math.min(n, m))
+      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+      j + p * 0.1 * (1.0 - j)
+    } else j
+  }
+}
+
+/** Jaro–Winkler similarity between two string columns — the
+  * record-linkage scorer beside [[LevenshteinWithin]] (edit distance
+  * counts operations; JW weighs position and common prefixes, the
+  * convention for person/entity names). DuckDB-parity semantics, so
+  * gate queries replay it with `jaro_winkler_similarity`. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (string, string), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c1, c2) =>
+      s"graft.plans.JaroWinklerKernel.sim($c1, $c2)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
     copy(left = l, right = r)
 }
 
@@ -1100,6 +1184,10 @@ object native {
   def levenshteinWithin(a: Column, b: Column, k: Int): Column =
     GraftBridge.column(LevenshteinWithin(GraftBridge.expression(a),
       GraftBridge.expression(b), k))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftBridge.column(JaroWinklerSim(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
 
   def cappedCollectList(e: Column, cap: Int): Column =
     GraftBridge.column(CappedCollectList(GraftBridge.expression(e), cap)

@@ -145,3 +145,29 @@ class RandomProjectionSpec extends SparkSpec {
     assert(distortions.max < 1.0, s"worst distortion ${distortions.max}")
   }
 }
+
+class JaroWinklerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaroWinkler: canonical literature values, boost threshold, " +
+    "empty-string convention") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.961111),   // the textbook example
+      ("DIXON", "DICKSONX", 0.813333),
+      ("JELLYFISH", "SMELLYFISH", 0.896296), // no common prefix → no boost
+      ("DWAYNE", "DUANE", 0.84),
+      ("TRATE", "TRACE", 0.906667),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6), // j = 0.6 ≤ 0.7 → boost withheld
+      ("a", "", 0.0),                    // either empty → 0 (DuckDB parity)
+      ("", "", 0.0))
+    val got = cases.map(_._1).zip(cases.map(_._2)).toDF("a", "b")
+      .select(org.apache.spark.sql.functions.round(
+        graft.plans.native.jaroWinkler($"a", $"b"), 6).as("jw"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g == want, s"jw($a, $b) = $g, want $want")
+    }
+  }
+}

@@ -113,6 +113,18 @@ class GraphTriangleSpec extends SparkSpec {
     assert(e.getMessage.contains("missing from labels"), e.getMessage)
   }
 
+  test("clusteringCoeff: triangle + pendant = 3/5, triangle-free = 0") {
+    // triangle 1-2-3 plus pendant 3-4: wedges 1+1+3+0 = 5, tri = 1
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoeff(g, "src", "dst")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(got == ((4L, 5L, 1L, Some(600000L))), got)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got2 = Graph.clusteringCoeff(path, "src", "dst")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(got2 == ((3L, 1L, 0L, Some(0L))), got2)
+  }
+
   test("assortativity: a star is perfectly disassortative (−1), a " +
     "regular cycle has zero degree variance (NULL)") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")

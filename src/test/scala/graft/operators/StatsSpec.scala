@@ -641,6 +641,66 @@ class StatsSpec extends SparkSpec {
     assert(c._3 == 1L && c._4 == 500000L, c)
   }
 
+  test("partialCorrByKey: perfect xy survives any control, y ≡ z " +
+    "degenerates to NULL partial") {
+    // y = x: r_xy = 1; partial given z stays 1 (rxz = ryz cancel)
+    val same = Seq((1L, 1L, 1L), (2L, 2L, 5L), (3L, 3L, 2L), (4L, 4L, 8L))
+      .map { case (x, y, z) => ("k", x, y, z) }.toDF("k", "x", "y", "z")
+    val got = Stats.partialCorrByKey(same, "k", "x", "y", "z")
+      .as[(String, Long, Option[Long], Option[Long])].collect.head
+    assert(got == (("k", 4L, Some(1000000L), Some(1000000L))), got)
+    // y = z exactly: ryz = 1 → denominator 0 → NULL partial, r_xy kept
+    val dup = Seq(("k", 1L, 1L, 1L), ("k", 2L, 3L, 3L), ("k", 3L, 2L, 2L))
+      .toDF("k", "x", "y", "z")
+    val got2 = Stats.partialCorrByKey(dup, "k", "x", "y", "z")
+      .as[(String, Long, Option[Long], Option[Long])].collect.head
+    assert(got2._3.nonEmpty && got2._4.isEmpty, got2)
+    // hand-replayed general case via the identical formula
+    val gen = Seq(("k", 1L, 1L, 1L), ("k", 2L, 3L, 1L),
+      ("k", 3L, 2L, 2L), ("k", 4L, 4L, 2L)).toDF("k", "x", "y", "z")
+    val r = Stats.partialCorrByKey(gen, "k", "x", "y", "z")
+      .as[(String, Long, Option[Long], Option[Long])].collect.head
+    def corr(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val (xs, ys, zs) = (Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4), Seq(1.0, 1, 2, 2))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val want = math.round((rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) * 1e6)
+    assert(r._4 == Some(want), s"got ${r._4}, want $want")
+  }
+
+  test("cronbachAlpha: duplicate items give α = 1, hand case 2/3, " +
+    "constant totals NULL, ragged matrix raises") {
+    val dup = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (1L, "B", 1L), (2L, "B", 2L), (3L, "B", 3L)).toDF("s", "i", "v")
+    val g1 = Stats.cronbachAlpha(dup, "s", "i", "v")
+      .as[(Long, Long, Option[Long])].collect.head
+    assert(g1 == ((3L, 2L, Some(1000000L))), g1)
+    // A = [1,2,3], B = [1,3,2]: Σσᵢ²/σ_T² = 12/18 → α = 2(1/3) = 2/3
+    val mix = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (1L, "B", 1L), (2L, "B", 3L), (3L, "B", 2L)).toDF("s", "i", "v")
+    val g2 = Stats.cronbachAlpha(mix, "s", "i", "v")
+      .as[(Long, Long, Option[Long])].collect.head
+    assert(g2 == ((3L, 2L, Some(666667L))), g2)
+    // anti-correlated items → constant totals → σ_T² = 0 → NULL
+    val anti = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (1L, "B", 3L), (2L, "B", 2L), (3L, "B", 1L)).toDF("s", "i", "v")
+    assert(Stats.cronbachAlpha(anti, "s", "i", "v")
+      .as[(Long, Long, Option[Long])].collect.head._3.isEmpty)
+    val ragged = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 1L))
+      .toDF("s", "i", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.cronbachAlpha(ragged, "s", "i", "v")
+    }
+    assert(e.getMessage.contains("every subject"), e.getMessage)
+  }
+
   test("friedman: textbook untied case Q = 6, all-tied gives NULL, " +
     "unequal blocks raise") {
     // 3 blocks, 3 treatments, consistent order A<B<C in every block:

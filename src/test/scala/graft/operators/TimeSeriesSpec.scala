@@ -217,6 +217,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("flat") == ("flat", 2L, None))
   }
 
+  test("runsTest: clustered signs → 2 runs (z < 0), alternating → " +
+    "4 runs (z > 0), at-mean days drop") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d 12:00:00")
+    // counts 3,3,1,1 (mean 2): hi,hi,lo,lo → 2 runs
+    val clus = Seq(3, 3, 1, 1).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("c", day(i + 1))) }
+    // counts 3,1,3,1 → 4 runs
+    val alt = Seq(3, 1, 3, 1).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("a", day(i + 1))) }
+    // counts 3,2,1 (mean 2): the middle AT-mean day drops → n = 2
+    val tie = Seq(3, 2, 1).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("t", day(i + 1))) }
+    val got = TimeSeries.runsTest(
+      (clus ++ alt ++ tie).toDF("k", "ts"), "k", "ts")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect
+      .map(r => r._1 -> r).toMap
+    // n1 = n2 = 2: E = 3, Var = 8·4/(16·3) = 2/3
+    val z0 = math.round(1.0 / math.sqrt(2.0 / 3.0) * 1e6)
+    assert(got("c") == (("c", 4L, 2L, 2L, 2L, Some(-z0))), got("c"))
+    assert(got("a") == (("a", 4L, 2L, 2L, 4L, Some(z0))), got("a"))
+    assert(got("t")._2 == 2L && got("t")._5 == 2L, got("t"))
+  }
+
   test("vonNeumannRatio: trend → 0.6, alternation → 3, constant → NULL") {
     val s = spark
     import s.implicits._
