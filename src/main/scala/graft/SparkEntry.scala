@@ -688,6 +688,90 @@ object SparkEntry {
       operators.Graph.clusteringCoeff(e, "src", "dst")
     }),
 
+    // Sorted-neighborhood blocking composed with the q313 JW scorer:
+    // window pairs filtered at τ = 0.95 — the classic merge-purge
+    // candidate path with the name-linkage verifier.
+    "q318_jw_linkage" -> ((s, dir) => {
+      operators.Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "customer"), "c_custkey", col("c_name"), w = 5)
+        .withColumn("jw", round(graft.plans.native.jaroWinkler(
+          col("key_a"), col("key_b")), 6))
+        .where(col("jw") >= 0.95)
+        .select(col("id_a"), col("id_b"), col("jw"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Murphy decomposition of the binned Brier score — calibration
+    // (REL), discrimination (RES), base rate (UNC) in one row; the
+    // quantitative summary over q193's reliability bins.
+    "q319_brier_decomposition" -> ((s, dir) => {
+      operators.Stats.brierDecomposition(
+        t(s, dir, "orders").select(
+          least(lit(999L), floor(col("o_totalprice") / 300).cast("long"))
+            .as("score_milli"),
+          (col("o_orderstatus") === "F").as("y")),
+        "score_milli", "y", bins = 10, loMilli = 0L, hiMilli = 1000L)
+    }),
+
+    // Theil's U — the normalized, asymmetric association readout
+    // over q199's MI cells: what fraction of the true lang's
+    // uncertainty does the q23 prediction remove?
+    "q320_theil_u" -> ((s, dir) => {
+      operators.KeyChecks.theilU(
+        t(s, dir, "documents").select(col("lang"),
+          Text.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
+    // Krippendorff's α with VARIABLE rater counts (rater 3 missing
+    // on every 4th doc) — the agreement stat Cohen/Fleiss can't do.
+    "q321_krippendorff" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val raters = d0.select(col("doc_id"), col("lang").as("cat"))
+        .unionByName(d0.select(col("doc_id"),
+          Text.langId(col("text")).as("cat")))
+        .unionByName(d0.where(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id"),
+            Text.langId(substring(col("text"), 1, 120)).as("cat")))
+      operators.Stats.krippendorffAlpha(raters, "doc_id", "cat")
+    }),
+
+    // Lin's concordance correlation per market segment: account
+    // balances vs a deterministically shifted copy — Pearson r
+    // penalized by the location/scale shift it deliberately carries.
+    "q322_lin_ccc" -> ((s, dir) => {
+      operators.Stats.linCcc(
+        t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("x"),
+          (round(col("c_acctbal") * 100).cast("long")
+            + pmod(col("c_custkey"), lit(200)) - lit(100)).as("y")),
+        "seg", "x", "y")
+        .orderBy("key")
+    }),
+
+    // Hellinger distance between finished and open orders' price
+    // distributions per priority — the bounded symmetric drift
+    // measure beside q170's KS and q247's JS.
+    "q323_hellinger" -> ((s, dir) => {
+      operators.Stats.hellingerByStratum(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") / 1000).cast("long").as("v1k")),
+        "pri", "st", "F", "O", "v1k")
+        .orderBy("stratum")
+    }),
+
+    // Population stability index on the same cells — the industry
+    // drift score with the documented add-one smoothing convention.
+    "q324_psi" -> ((s, dir) => {
+      operators.Stats.psiByStratum(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") / 1000).cast("long").as("v1k")),
+        "pri", "st", "F", "O", "v1k")
+        .orderBy("stratum")
+    }),
+
     // BPE tokenizer training under the gate: 8 merge rounds over the
     // corpus word-frequency table. The oracle unrolls the SAME
     // argmax + string-replace rounds as CTEs — an iterative trainer
@@ -5215,6 +5299,185 @@ object SparkEntry {
         |    CAST(round(CAST(3 * t AS DOUBLE) / CAST(w AS DOUBLE) * 1e6)
         |      AS BIGINT) END AS c_micro
         |FROM wed CROSS JOIN tri""".stripMargin,
+
+    "q318_jw_linkage" ->
+      """WITH pos AS (SELECT c_custkey AS id, c_name AS k,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS BIGINT)
+        |      AS p
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+        |FROM pos a JOIN pos b ON b.p > a.p AND b.p <= a.p + 5
+        |WHERE round(jaro_winkler_similarity(a.k, b.k), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q319_brier_decomposition" ->
+      """WITH r AS (
+        |  SELECT LEAST(999, CAST(FLOOR(o_totalprice / 300) AS BIGINT)) AS s,
+        |    (o_orderstatus = 'F') AS y
+        |  FROM orders),
+        |cells AS (SELECT LEAST(GREATEST((s - 0) * 10 // 1000, 0), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(s) AS BIGINT) AS sp,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS so
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n,
+        |    CAST(SUM(so) AS DOUBLE) / CAST(SUM(nk) AS DOUBLE) AS obar
+        |  FROM cells),
+        |terms AS (SELECT
+        |    CAST(round((CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / 1000.0
+        |        - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / 1000.0
+        |        - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * CAST(nk AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS relt,
+        |    CAST(round((CAST(so AS DOUBLE) / CAST(nk AS DOUBLE) - obar)
+        |      * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE) - obar)
+        |      * CAST(nk AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS rest
+        |  FROM cells CROSS JOIN tot)
+        |SELECT n,
+        |  CAST(SUM(relt) AS BIGINT) AS rel_micro,
+        |  CAST(SUM(rest) AS BIGINT) AS res_micro,
+        |  CAST(round(obar * (1.0 - obar) * 1e6) AS BIGINT) AS unc_micro,
+        |  CAST(SUM(relt) - SUM(rest)
+        |    + round(obar * (1.0 - obar) * 1e6) AS BIGINT) AS brier_micro
+        |FROM terms CROSS JOIN tot GROUP BY n, obar""".stripMargin,
+
+    "q320_theil_u" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "u")},
+         |pairs AS (SELECT s.lang AS a, u.cat AS b
+         |          FROM src s JOIN up u ON s.doc_id = u.doc_id),
+         |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |          FROM pairs GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+         |       FROM cells GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b
+         |       FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cells),
+         |mi AS (SELECT CAST(SUM(CAST(round(
+         |      (CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+         |        / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6)
+         |      AS BIGINT)) AS BIGINT) AS mi_micro
+         |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+         |ha AS (SELECT CAST(SUM(CAST(round(
+         |      (CAST(c_a AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln(CAST(n AS DOUBLE) / CAST(c_a AS DOUBLE)) * 1e6)
+         |      AS BIGINT)) AS BIGINT) AS h_a_micro
+         |  FROM ma CROSS JOIN nn)
+         |SELECT nn.n, mi_micro, h_a_micro,
+         |  CASE WHEN h_a_micro > 0 THEN
+         |    CAST(round(CAST(mi_micro AS DOUBLE)
+         |      / CAST(h_a_micro AS DOUBLE) * 1e6) AS BIGINT)
+         |  END AS u_micro
+         |FROM mi CROSS JOIN ha CROSS JOIN nn""".stripMargin,
+
+    "q321_krippendorff" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "f")},
+         |trunc3 AS (SELECT doc_id, substr(text, 1, 120) AS text FROM src
+         |           WHERE doc_id % 4 <> 0),
+         |${langPredCtes("trunc3", "g")},
+         |allr AS (
+         |  SELECT doc_id, lang AS cat FROM src
+         |  UNION ALL SELECT doc_id, cat FROM fp
+         |  UNION ALL SELECT doc_id, cat FROM gp),
+         |cells AS (SELECT doc_id AS item, cat, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM allr GROUP BY 1, 2),
+         |peri AS (SELECT item, CAST(SUM(c) AS BIGINT) AS ri
+         |         FROM cells GROUP BY 1 HAVING SUM(c) >= 2),
+         |pair AS (SELECT cells.item, cat, c, ri
+         |         FROM cells JOIN peri ON cells.item = peri.item),
+         |dosum AS (SELECT CAST(SUM(CAST(round(
+         |      CAST(c AS DOUBLE) * (CAST(ri AS DOUBLE) - CAST(c AS DOUBLE))
+         |      / (CAST(ri AS DOUBLE) - 1.0) * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS do_micro,
+         |    CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items
+         |  FROM pair),
+         |de AS (SELECT CAST(SUM(nc * (n - nc)) AS DOUBLE) AS se
+         |  FROM (SELECT cat, CAST(SUM(c) AS BIGINT) AS nc
+         |        FROM pair GROUP BY 1) CROSS JOIN dosum)
+         |SELECT n AS n_values, n_items,
+         |  CASE WHEN se > 0 THEN
+         |    CAST(round((1.0 -
+         |      (CAST(do_micro AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+         |        / (se / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+         |      * 1e6) AS BIGINT) END AS alpha_micro
+         |FROM dosum CROSS JOIN de""".stripMargin,
+
+    "q322_lin_ccc" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment AS key,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+        |    CAST(round(c_acctbal * 100) AS BIGINT)
+        |      + c_custkey % 200 - 100 AS y
+        |  FROM customer),
+        |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT key, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      + (CAST(n AS DOUBLE) * syy - sy * sy)
+        |      + (sx - sy) * (sx - sy) > 0 THEN
+        |    CAST(round(2.0 * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        + (CAST(n AS DOUBLE) * syy - sy * sy)
+        |        + (sx - sy) * (sx - sy)) * 1e6) AS BIGINT)
+        |  END AS ccc_micro
+        |FROM g ORDER BY key""".stripMargin,
+
+    "q323_hellinger" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS stratum, o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |cells AS (SELECT stratum, v,
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM r GROUP BY 1, 2),
+        |sizes AS (SELECT stratum, CAST(SUM(a) AS BIGINT) AS n_a,
+        |            CAST(SUM(b) AS BIGINT) AS n_b
+        |          FROM cells GROUP BY 1),
+        |bc AS (SELECT cells.stratum, n_a, n_b,
+        |    CAST(SUM(CAST(round(sqrt(
+        |      CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS bc_micro
+        |  FROM cells JOIN sizes ON cells.stratum = sizes.stratum
+        |  GROUP BY 1, 2, 3)
+        |SELECT stratum, n_a, n_b, bc_micro,
+        |  CAST(round(sqrt(GREATEST(0.0,
+        |    1.0 - CAST(bc_micro AS DOUBLE) / 1e6)) * 1e6) AS BIGINT)
+        |    AS h_micro
+        |FROM bc ORDER BY stratum""".stripMargin,
+
+    "q324_psi" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS stratum, o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |cells AS (SELECT stratum, v,
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM r GROUP BY 1, 2),
+        |sizes AS (SELECT stratum, CAST(SUM(a) AS BIGINT) AS n_a,
+        |            CAST(SUM(b) AS BIGINT) AS n_b,
+        |            CAST(COUNT(*) AS BIGINT) AS n_cells
+        |          FROM cells GROUP BY 1)
+        |SELECT cells.stratum, n_a, n_b, n_cells,
+        |  CAST(SUM(CAST(round(
+        |    ((CAST(a AS DOUBLE) + 1.0) / (CAST(n_a AS DOUBLE) + CAST(n_cells AS DOUBLE))
+        |      - (CAST(b AS DOUBLE) + 1.0) / (CAST(n_b AS DOUBLE) + CAST(n_cells AS DOUBLE)))
+        |    * ln(((CAST(a AS DOUBLE) + 1.0) / (CAST(n_a AS DOUBLE) + CAST(n_cells AS DOUBLE)))
+        |      / ((CAST(b AS DOUBLE) + 1.0) / (CAST(n_b AS DOUBLE) + CAST(n_cells AS DOUBLE))))
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM cells JOIN sizes ON cells.stratum = sizes.stratum
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     "q85_bpe_train" -> bpeOracleSql(8),
 

@@ -431,6 +431,50 @@ object KeyChecks {
     cached
   }
 
+  /** Theil's uncertainty coefficient U(a|b) (Theil 1970) — the
+    * NORMALIZED, asymmetric readout over [[mutualInformationCells]]:
+    * U = I(a;b)/H(a) ∈ [0,1], "what fraction of a's uncertainty does
+    * knowing b remove?" — unlike raw MI it is comparable across
+    * features, the standard feature-association screen in profiling
+    * suites. Per-cell MI terms and per-margin entropy terms each
+    * micro-round in one fixed float order and integer-sum (the
+    * q199/ljungBox discipline), then one division. Output: one row
+    * (n, mi_micro, h_a_micro, u_micro — NULL when H(a) = 0). */
+  def theilU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(false)
+    val ma = cells.groupBy("a").agg(sum("c_ab").as("c_a"))
+      .localCheckpoint(false)
+    val mb = cells.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val n = cells.agg(coalesce(sum("c_ab"), lit(0L))).head().getLong(0)
+    if (n == 0) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq((0L, 0L, 0L, Option.empty[Long]))
+        .toDF("n", "mi_micro", "h_a_micro", "u_micro").limit(0)
+    }
+    def d(c: String) = col(c).cast("double")
+    val miT = round((d("c_ab") / lit(n.toDouble)) *
+      log(d("c_ab") * lit(n.toDouble) / (d("c_a") * d("c_b"))) * 1e6)
+      .cast("long")
+    val mi = cells
+      .join(broadcast(ma), Seq("a"))
+      .join(broadcast(mb), Seq("b"))
+      .agg(coalesce(sum(miT), lit(0L)).as("mi_micro"))
+    val haT = round((d("c_a") / lit(n.toDouble)) *
+      log(lit(n.toDouble) / d("c_a")) * 1e6).cast("long")
+    val ha = ma.agg(coalesce(sum(haT), lit(0L)).as("h_a_micro"))
+    mi.crossJoin(ha)
+      .select(lit(n).as("n"), col("mi_micro"), col("h_a_micro"),
+        when(col("h_a_micro") > 0,
+          round(col("mi_micro").cast("double")
+            / col("h_a_micro").cast("double") * 1e6).cast("long"))
+          .as("u_micro"))
+  }
+
   /** Declarative expectation-suite audit — the "great-expectations"
     * contract check a pipeline runs before publishing a table: each
     * rule is a (name, predicate Column) pair that every row SHOULD

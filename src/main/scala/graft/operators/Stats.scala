@@ -1981,6 +1981,209 @@ object Stats {
             * 1e6).cast("long")).as("q_micro"))
   }
 
+  /** Murphy decomposition of the (binned) Brier score (Murphy 1973,
+    * "A new vector partition of the probability score"):
+    *   Brier = REL − RES + UNC,
+    *   REL = Σ_k n_k(p̄_k − ō_k)²/N   (calibration error),
+    *   RES = Σ_k n_k(ō_k − ō)²/N     (discrimination),
+    *   UNC = ō(1 − ō)                (irreducible base-rate term)
+    * over the same clamp-binned score cells [[calibrationBins]]
+    * draws — this is its one-row quantitative summary. Per-bin score
+    * sums and event counts are exact integers; per-bin terms
+    * micro-round in one fixed float order and integer-sum (the
+    * ljungBox discipline), so both engines agree bit-for-bit.
+    * Output: one row (n, rel_micro, res_micro, unc_micro,
+    * brier_micro = rel − res + unc). */
+  def brierDecomposition(df: DataFrame, scoreMilliCol: String,
+                         labelCol: String, bins: Int,
+                         loMilli: Long, hiMilli: Long): DataFrame = {
+    require(bins >= 1 && hiMilli > loMilli,
+      s"need bins >= 1 and lo < hi, got bins=$bins [$loMilli, $hiMilli)")
+    val dec = DecimalType(38, 0)
+    val span = hiMilli - loMilli
+    val idx = expr(s"((CAST($scoreMilliCol AS BIGINT) - ${loMilli}L)" +
+      s" * ${bins}L) div ${span}L")
+    val bin = least(greatest(idx, lit(0L)), lit(bins - 1L))
+    val cells = df
+      .where(col(scoreMilliCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("nk"),
+        sum(col(scoreMilliCol).cast("long").cast(dec)).as("sp"),
+        sum(col(labelCol).cast("boolean").cast("long").cast(dec)).as("so"))
+      .localCheckpoint(false)
+    val tot = cells.agg(coalesce(sum("nk"), lit(0L)).as("n"),
+      coalesce(sum("so"), lit(0).cast(dec)).as("o")).head()
+    val n = tot.getLong(0)
+    val oAll: Double =
+      if (tot.isNullAt(1)) 0.0 else tot.getDecimal(1).doubleValue()
+    if (n == 0) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq((0L, 0L, 0L, 0L, 0L))
+        .toDF("n", "rel_micro", "res_micro", "unc_micro", "brier_micro")
+        .limit(0)
+    }
+    val oBar = oAll / n
+    def d(c: String) = col(c).cast("double")
+    // p̄_k in [0,1]: score milli / 1000; per-bin terms → micro, summed
+    val relT = round((d("sp") / d("nk") / 1000.0 - d("so") / d("nk"))
+      * (d("sp") / d("nk") / 1000.0 - d("so") / d("nk"))
+      * d("nk") / lit(n.toDouble) * 1e6).cast("long")
+    val resT = round((d("so") / d("nk") - lit(oBar))
+      * (d("so") / d("nk") - lit(oBar))
+      * d("nk") / lit(n.toDouble) * 1e6).cast("long")
+    val agg = cells.agg(
+      coalesce(sum(relT), lit(0L)).as("rel_micro"),
+      coalesce(sum(resT), lit(0L)).as("res_micro"))
+    val unc = math.round(oBar * (1.0 - oBar) * 1e6)
+    agg.select(lit(n).as("n"), col("rel_micro"), col("res_micro"),
+      lit(unc).as("unc_micro"),
+      (col("rel_micro") - col("res_micro") + lit(unc)).as("brier_micro"))
+  }
+
+  /** Krippendorff's α for NOMINAL data (Krippendorff 1970/2004) —
+    * the agreement coefficient that, unlike [[cohensKappa]] (2
+    * raters) and [[fleissKappa]] (fixed r, no missing), tolerates
+    * VARIABLE rater counts per item: items with r_i ≥ 2 pairable
+    * values contribute; α = 1 − D_o/D_e with
+    *   D_o = Σ_i Σ_c n_ic(r_i − n_ic)/(r_i − 1) / n,
+    *   D_e = Σ_c n_c(n − n_c) / (n(n − 1)).
+    * Per-item disagreement terms micro-round in one fixed float
+    * order and integer-sum (variable r_i denominators make a single
+    * exact rational impractical; the ljungBox discipline applies);
+    * D_e stays exact integer. Output: one row (n_values, n_items,
+    * alpha_micro — NULL when D_e = 0, i.e. one category total). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        catCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .where(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("item"), col(catCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val perItem = cells.groupBy("item").agg(sum("c").as("ri"))
+      .where(col("ri") >= 2)
+    val pairable = cells.join(perItem, Seq("item"))
+    def d(c: String) = col(c).cast("double")
+    // per-item-category disagreement term, micro-rounded
+    val doT = round(d("c") * (d("ri") - d("c")) / (d("ri") - lit(1.0))
+      * 1e6).cast("long")
+    val doSum = pairable.agg(coalesce(sum(doT), lit(0L)).as("do_micro"),
+      coalesce(sum("c"), lit(0L)).as("n"),
+      count_distinct(col("item")).as("n_items"))
+    val catTot = pairable.groupBy("k").agg(sum(col("c").cast(dec)).as("nc"))
+    val de = catTot.crossJoin(doSum.select(col("n").as("__n")))
+      .agg(coalesce(sum(col("nc") * (col("__n").cast(dec) - col("nc"))),
+        lit(0).cast(dec)).as("se"))
+    doSum.crossJoin(de)
+      .select(col("n").as("n_values"), col("n_items"),
+        when(col("se").cast("double") > 0,
+          round((lit(1.0) -
+            (col("do_micro").cast("double") / 1e6 / col("n").cast("double"))
+              / (col("se").cast("double")
+                / (col("n").cast("double")
+                  * (col("n").cast("double") - lit(1.0)))))
+            * 1e6).cast("long")).as("alpha_micro"))
+  }
+
+  /** Lin's concordance correlation coefficient (Lin 1989, "A
+    * concordance correlation coefficient to evaluate
+    * reproducibility"): agreement of two CONTINUOUS measurements —
+    * Pearson r penalized by scale and location shift,
+    *   CCC = 2·cov(x,y) / (σx² + σy² + (x̄ − ȳ)²).
+    * Closed from exact DECIMAL moments via the n²-scaled identity
+    *   CCC = 2(nΣxy − ΣxΣy) / ((nΣx² − (Σx)²) + (nΣy² − (Σy)²)
+    *         + (Σx − Σy)²)
+    * — every term an exact integer, ONE double division. The
+    * continuous companion of [[cohensKappa]] for method-comparison /
+    * duplicate-measurement QA. Output: (key, n, ccc_micro — NULL
+    * when the denominator is 0). */
+  def linCcc(df: DataFrame, keyCol: String, xCol: String,
+             yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    val g = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val num = lit(2.0) * (n * d("sxy") - d("sx") * d("sy"))
+    val den = (n * d("sxx") - d("sx") * d("sx")) +
+      (n * d("syy") - d("sy") * d("sy")) +
+      (d("sx") - d("sy")) * (d("sx") - d("sy"))
+    g.select(col("key"), col("n"),
+      when(den > 0, round(num / den * 1e6).cast("long")).as("ccc_micro"))
+  }
+
+  /** Hellinger distance between two groups' value distributions per
+    * stratum (Hellinger 1909; the bounded, symmetric drift measure
+    * beside [[ksByStratum]]'s sup-gap and q247's JS divergence):
+    *   H = √(1 − Σ_c √(p_c·q_c)),  BC = Σ √(p_c·q_c)
+    * over the shared value cells. Per-cell √((a·b)/(A·B)) terms
+    * micro-round in one fixed float order and integer-sum; H closes
+    * with one √. Output: (stratum, n_a, n_b, bc_micro, h_micro). */
+  def hellingerByStratum(df: DataFrame, stratumCol: String,
+                         groupCol: String, groupA: String, groupB: String,
+                         valueCol: String): DataFrame = {
+    val cells = df
+      .where(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(false)
+    val sizes = cells.groupBy("stratum")
+      .agg(sum("a").as("n_a"), sum("b").as("n_b"))
+    def d(c: String) = col(c).cast("double")
+    val joined = cells.join(sizes, Seq("stratum"))
+    val bcT = round(sqrt(d("a") * d("b") / (d("n_a") * d("n_b"))) * 1e6)
+      .cast("long")
+    joined.groupBy("stratum")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        coalesce(sum(bcT), lit(0L)).as("bc_micro"))
+      .select(col("stratum"), col("n_a"), col("n_b"), col("bc_micro"),
+        round(sqrt(greatest(lit(0.0),
+          lit(1.0) - col("bc_micro").cast("double") / 1e6)) * 1e6)
+          .cast("long").as("h_micro"))
+  }
+
+  /** Population stability index per stratum (the standard
+    * model-monitoring drift score; e.g. Siddiqi 2006, "Credit risk
+    * scorecards"): PSI = Σ_c (p_c − q_c)·ln(p_c/q_c) over value
+    * cells, ADD-ONE smoothed over the union of observed cells (PSI
+    * is undefined on empty cells; the smoothing convention is
+    * documented and replayed by the oracle — deterministic, no ε
+    * tuning). Per-cell terms micro-round fixed-order and
+    * integer-sum. Rule of thumb: < 0.1 stable, > 0.25 investigate.
+    * Output: (stratum, n_a, n_b, n_cells, psi_micro). */
+  def psiByStratum(df: DataFrame, stratumCol: String, groupCol: String,
+                   groupA: String, groupB: String,
+                   valueCol: String): DataFrame = {
+    val cells = df
+      .where(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(false)
+    val sizes = cells.groupBy("stratum")
+      .agg(sum("a").as("n_a"), sum("b").as("n_b"),
+        count(lit(1)).as("n_cells"))
+    def d(c: String) = col(c).cast("double")
+    val joined = cells.join(sizes, Seq("stratum"))
+    // add-one smoothing: p = (a+1)/(n_a + n_cells), q likewise
+    val p = (d("a") + lit(1.0)) / (d("n_a") + d("n_cells"))
+    val q = (d("b") + lit(1.0)) / (d("n_b") + d("n_cells"))
+    val term = round((p - q) * log(p / q) * 1e6).cast("long")
+    joined.groupBy("stratum")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        max("n_cells").as("n_cells"),
+        coalesce(sum(term), lit(0L)).as("psi_micro"))
+  }
+
   /** First-order partial correlation per key (the CONTROLLED
     * association screen — "does x still correlate with y once z is
     * held fixed?"; Fisher 1924):

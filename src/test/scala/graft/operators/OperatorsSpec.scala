@@ -222,6 +222,27 @@ class KeyChecksSpec extends SparkSpec {
   }
 }
 
+class TheilUSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("theilU: a perfect predictor removes all uncertainty (U = 1), " +
+    "a constant one removes none (U = 0)") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z"))
+      .toDF("a", "b")
+    val g1 = graft.operators.KeyChecks.theilU(perfect, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(g1._1 == 4L && g1._2 == g1._3 && g1._4 == Some(1000000L), g1)
+    val const = Seq(("x", "k"), ("y", "k"), ("z", "k")).toDF("a", "b")
+    val g2 = graft.operators.KeyChecks.theilU(const, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect.head
+    assert(g2._2 == 0L && g2._4 == Some(0L), g2)
+    // constant TARGET: H(a) = 0 → NULL
+    val constA = Seq(("k", "x"), ("k", "y")).toDF("a", "b")
+    assert(graft.operators.KeyChecks.theilU(constA, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect.head._4.isEmpty)
+  }
+}
+
 class DedupSpec extends SparkSpec {
   private def corpus = {
     val s = spark

@@ -641,6 +641,71 @@ class StatsSpec extends SparkSpec {
     assert(c._3 == 1L && c._4 == 500000L, c)
   }
 
+  test("brierDecomposition: hand-computed two-bin Murphy split") {
+    // bin0: p̄ = .25, ō = .75 (4 rows); bin1: p̄ = .75, ō = .25 →
+    // REL = .25, RES = .0625, UNC = .25, Brier = .4375
+    val rows = Seq.fill(3)((250L, true)) ++ Seq((250L, false)) ++
+      Seq.fill(3)((750L, false)) ++ Seq((750L, true))
+    val got = Stats.brierDecomposition(rows.toDF("s", "y"), "s", "y",
+      bins = 2, loMilli = 0L, hiMilli = 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect.head
+    assert(got == ((8L, 250000L, 62500L, 250000L, 437500L)), got)
+  }
+
+  test("krippendorffAlpha: perfect = 1, complete 2x2 disagreement = " +
+    "−0.5, single-rating items drop") {
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+      .toDF("item", "cat")
+    assert(Stats.krippendorffAlpha(perfect, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect.head
+      == ((4L, 2L, Some(1000000L))))
+    val disagree = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"))
+      .toDF("item", "cat")
+    assert(Stats.krippendorffAlpha(disagree, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect.head
+      == ((4L, 2L, Some(-500000L))))
+    // an un-pairable single-rating item contributes nothing
+    val withSingle = perfect.unionByName(Seq((3L, "C")).toDF("item", "cat"))
+    assert(Stats.krippendorffAlpha(withSingle, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect.head
+      == ((4L, 2L, Some(1000000L))))
+  }
+
+  test("linCcc: identity = 1, pure shift penalized to 2/3, Pearson " +
+    "would have said 1") {
+    val id = Seq(("k", 0L, 0L), ("k", 2L, 2L)).toDF("k", "x", "y")
+    assert(Stats.linCcc(id, "k", "x", "y")
+      .as[(String, Long, Option[Long])].collect.head._3
+      == Some(1000000L))
+    // y = x + 1: vx = vy = 4, sxy num = 8, den = 4 + 4 + 4 → 2/3
+    val shift = Seq(("k", 0L, 1L), ("k", 2L, 3L)).toDF("k", "x", "y")
+    val got = Stats.linCcc(shift, "k", "x", "y")
+      .as[(String, Long, Option[Long])].collect.head
+    assert(got == (("k", 2L, Some(666667L))), got)
+    val const = Seq(("k", 1L, 1L), ("k", 1L, 1L)).toDF("k", "x", "y")
+    assert(Stats.linCcc(const, "k", "x", "y")
+      .as[(String, Long, Option[Long])].collect.head._3.isEmpty)
+  }
+
+  test("hellingerByStratum and psiByStratum: identical distributions " +
+    "→ 0, disjoint → H = 1") {
+    val same = (1L to 4L).flatMap(v =>
+      Seq(("s", "a", v), ("s", "b", v))).toDF("st", "g", "v")
+    val h0 = Stats.hellingerByStratum(same, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Long)].collect.head
+    assert(h0._4 == 1000000L && h0._5 == 0L, h0)
+    assert(Stats.psiByStratum(same, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Long)].collect.head._5 == 0L)
+    val disj = Seq(("s", "a", 1L), ("s", "a", 2L),
+      ("s", "b", 8L), ("s", "b", 9L)).toDF("st", "g", "v")
+    val h1 = Stats.hellingerByStratum(disj, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Long)].collect.head
+    assert(h1._4 == 0L && h1._5 == 1000000L, h1)
+    // PSI on disjoint support is large (rule of thumb: > 0.25)
+    assert(Stats.psiByStratum(disj, "st", "g", "a", "b", "v")
+      .as[(String, Long, Long, Long, Long)].collect.head._5 > 250000L)
+  }
+
   test("partialCorrByKey: perfect xy survives any control, y ≡ z " +
     "degenerates to NULL partial") {
     // y = x: r_xy = 1; partial given z stays 1 (rxz = ryz cancel)
