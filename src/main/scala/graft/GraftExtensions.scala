@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{CosineSim, Md5MinHashSig, Md5SimHash, MinHashSig, NfcNormalize, SimHash64, WordShingles}
+import graft.plans.{CosineSim, JaroWinklerSim, Md5MinHashSig, Md5SimHash, MinHashSig, NfcNormalize, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRule)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerThresholdRule)
   }
 }
 
@@ -46,6 +47,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "cosine_sim(a, b)")
         CosineSim(args(0), args(1))
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "jaro_winkler(a, b)")
+        JaroWinklerSim(args(0), args(1))
       }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
@@ -169,6 +176,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.SortedIntersectRule
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.JaroWinklerThresholdRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.JaroWinklerThresholdRule
   }
 }
 

@@ -194,8 +194,15 @@ object JaroWinklerKernel {
   * record-linkage scorer beside [[LevenshteinWithin]] (edit distance
   * counts operations; JW weighs position and common prefixes, the
   * convention for person/entity names). DuckDB-parity semantics, so
-  * gate queries replay it with `jaro_winkler_similarity`. */
-case class JaroWinklerSim(left: Expression, right: Expression)
+  * gate queries replay it with `jaro_winkler_similarity`.
+  *
+  * `guarded` is [[JaroWinklerThresholdRule]]'s idempotency marker:
+  * the rule rewrites threshold predicates over an UNGUARDED node
+  * (adding the length prefilter) and flips the flag, so the
+  * fixed-point optimizer batch cannot stack prefilters. Evaluation
+  * ignores it. */
+case class JaroWinklerSim(left: Expression, right: Expression,
+                          guarded: Boolean = false)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

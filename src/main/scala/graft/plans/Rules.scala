@@ -65,6 +65,70 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: length prefilter for Jaro–Winkler thresholds.
+  *
+  * For any lengths with ratio ρ = min/max, the similarity is bounded:
+  * j ≤ (ρ + 2)/3 (at most min(|a|,|b|) characters can match, zero
+  * transpositions) and the Winkler boost adds at most 0.4·(1 − j), so
+  *
+  *   jw(a, b) ≤ 0.6·(ρ + 2)/3 + 0.4 = 0.2·ρ + 0.8.
+  *
+  * Hence `jw(a, b) ≥ τ` with τ > 0.8 implies
+  * `min_len ≥ (5τ − 4)·max_len` — a pure length comparison that
+  * short-circuits the O(|a|·|b|)-window JW kernel on every
+  * hopelessly-mismatched pair (on a blocking join the verify is the
+  * hot inner loop; at τ = 0.95 any pair whose lengths differ by more
+  * than 25% never runs the kernel). The rewrite
+  *
+  *   jw(a, b) ≥ τ  ⟶  cast(least(len a, len b) as double)
+  *                      ≥ (5τ−4)·cast(greatest(len a, len b) as double)
+  *                    AND jw(a, b) ≥ τ
+  *
+  * is EXACT (the bound is an implication, the original predicate
+  * still decides) and NULL-faithful (NULL lengths → NULL And → row
+  * filtered, as the original NULL compare did). Idempotent via the
+  * expression's `guarded` marker — the rewritten JW node no longer
+  * matches, so the fixed-point optimizer batch cannot stack
+  * prefilters. Fires on ≥ and > with a literal double threshold
+  * > 0.8 (at or below 0.8 the bound is vacuous), in both operand
+  * orders, anywhere in a Filter condition. */
+object JaroWinklerThresholdRule extends Rule[LogicalPlan] {
+
+  private def guard(a: Expression, b: Expression, tau: Double,
+                    cmp: Expression): Expression =
+    And(
+      GreaterThanOrEqual(
+        Cast(Least(Seq(Length(a), Length(b))),
+          org.apache.spark.sql.types.DoubleType),
+        Multiply(Literal(5.0 * tau - 4.0),
+          Cast(Greatest(Seq(Length(a), Length(b))),
+            org.apache.spark.sql.types.DoubleType))),
+      cmp)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      val newCond = cond transform {
+        case GreaterThanOrEqual(jw @ JaroWinklerSim(a, b, false),
+            lit @ Literal(t: Double, org.apache.spark.sql.types.DoubleType))
+            if t > 0.8 =>
+          guard(a, b, t, GreaterThanOrEqual(jw.copy(guarded = true), lit))
+        case LessThanOrEqual(
+            lit @ Literal(t: Double, org.apache.spark.sql.types.DoubleType),
+            jw @ JaroWinklerSim(a, b, false)) if t > 0.8 =>
+          guard(a, b, t, LessThanOrEqual(lit, jw.copy(guarded = true)))
+        case GreaterThan(jw @ JaroWinklerSim(a, b, false),
+            lit @ Literal(t: Double, org.apache.spark.sql.types.DoubleType))
+            if t > 0.8 =>
+          guard(a, b, t, GreaterThan(jw.copy(guarded = true), lit))
+        case LessThan(
+            lit @ Literal(t: Double, org.apache.spark.sql.types.DoubleType),
+            jw @ JaroWinklerSim(a, b, false)) if t > 0.8 =>
+          guard(a, b, t, LessThan(lit, jw.copy(guarded = true)))
+      }
+      if (newCond fastEquals cond) f else Filter(newCond, child)
+  }
+}
+
 /** Optimizer rule: sorted set-intersection counting.
   *
   * `size(array_intersect(a, b))` builds the intersection ARRAY (a

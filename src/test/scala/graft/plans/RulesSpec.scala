@@ -196,4 +196,59 @@ class RulesSpec extends SparkSpec {
       assert(df.count() == 1)
     }
   }
+
+  test("jaro_winkler >= tau grows a length prefilter; low thresholds " +
+    "and the guarded marker stay untouched") {
+    withRule {
+      val df = spark.range(4)
+        .selectExpr("CAST(id AS STRING) AS a", "repeat('x', 2) AS b")
+        .where(expr("jaro_winkler(a, b) >= 0.95"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      // the prefilter: least(len) >= 0.75 * greatest(len)
+      assert(opt.contains("least(length"), opt)
+      assert(opt.contains("greatest(length"), opt)
+      assert(opt.contains("0.75"), opt)
+      // exactly ONE jw node survives and it is the guarded one —
+      // the fixed-point batch must not stack prefilters
+      assert("jaro_winkler".r.findAllIn(opt).size == 1, opt)
+      // τ ≤ 0.8 is vacuous — no rewrite
+      val low = spark.range(4)
+        .selectExpr("CAST(id AS STRING) AS a", "repeat('x', 2) AS b")
+        .where(expr("jaro_winkler(a, b) >= 0.5"))
+      val lowOpt = low.queryExecution.optimizedPlan.toString
+      assert(!lowOpt.contains("least(length"), lowOpt)
+    }
+  }
+
+  test("jaro_winkler prefilter preserves every row across thresholds " +
+    "and operand orders") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(7)
+      val words = Vector("MARTHA", "MARHTA", "DIXON", "DICKSONX",
+        "JELLYFISH", "SMELLYFISH", "DWAYNE", "DUANE", "a", "",
+        "Customer#000000001", "Customer#000000010", "Customer#000001001")
+      val rows = (1 to 300).map { _ =>
+        (words(rnd.nextInt(words.size)), words(rnd.nextInt(words.size)))
+      }
+      val df = rows.toDF("a", "b")
+      for (pred <- Seq("jaro_winkler(a, b) >= 0.9",
+        "jaro_winkler(a, b) > 0.93", "0.9 <= jaro_winkler(a, b)",
+        "jaro_winkler(a, b) >= 0.95")) {
+        val got = df.where(expr(pred)).count()
+        // reference: same predicate evaluated WITHOUT the filter
+        // rewrite path (projection, then a driver-side filter)
+        val ref = df.selectExpr("a", "b", "jaro_winkler(a, b) AS jw")
+          .collect().count { r =>
+            val jw = r.getDouble(2)
+            if (pred.contains(">=") && pred.startsWith("0.9")) jw >= 0.9
+            else if (pred.contains("> 0.93")) jw > 0.93
+            else if (pred.contains("0.95")) jw >= 0.95
+            else jw >= 0.9
+          }
+        assert(got == ref, s"$pred: $got vs $ref")
+      }
+    }
+  }
 }
