@@ -772,6 +772,20 @@ object SparkEntry {
         .orderBy("stratum")
     }),
 
+    // Graph beam search (NSW single-layer, Malkov & Yashunin 2018):
+    // the q65 kNN graph navigated from the deterministic min-id
+    // entry, 2 hops × beam 4 → top 3 — the ANN family's graph-walk
+    // member; every hop unrolled as an oracle CTE.
+    "q325_graph_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = Knn.knnGraph(emb, "vec_id", "embedding", k = 3, c = 16,
+        nprobe = 2, portableHash = true)
+      Knn.searchGraph(g, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // BPE tokenizer training under the gate: 8 merge rounds over the
     // corpus word-frequency table. The oracle unrolls the SAME
     // argmax + string-replace rounds as CTEs — an iterative trainer
@@ -4193,6 +4207,44 @@ object SparkEntry {
        |       ELSE 'fr' END AS cat
        |  FROM ${p}h)""".stripMargin
 
+  /** The q65 kNN-GRAPH edge derivation (bottom-16 md5 centroids,
+    * nprobe-2 probe, 6-dp cosine, rank ≤ 3) as a CTE chain ending in
+    * `ranked` — shared by the q65 gate and the q325 beam-search
+    * oracle, which navigates these exact edges. */
+  private lazy val knnGraphCtes: String =
+    s"""hashed AS (
+       |  SELECT vec_id, embedding,
+       |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM hashed ORDER BY h LIMIT 16),
+       |assign AS (
+       |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+       |    row_number() OVER (PARTITION BY hd.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+       |               c.cell DESC) AS rn
+       |  FROM hashed hd CROSS JOIN cents c),
+       |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+       |qa AS (
+       |  SELECT query_id, qvec, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+       |                 c.cell DESC) AS rk
+       |    FROM embeddings q CROSS JOIN cents c) x
+       |  WHERE rk <= 2),
+       |scored AS (
+       |  SELECT qa.query_id, cl.id AS neighbor_id,
+       |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+       |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+       |  WHERE cl.id <> qa.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+
   private val shinglesSql =
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -5671,39 +5723,49 @@ object SparkEntry {
     // q21's replay with queries = the whole corpus, nprobe 2, k 3 —
     // the graph edges every vector contributes to its probed cells.
     "q65_knn_graph" ->
-      s"""WITH hashed AS (
-         |  SELECT vec_id, embedding,
-         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM hashed ORDER BY h LIMIT 16),
-         |assign AS (
-         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
-         |    row_number() OVER (PARTITION BY hd.vec_id
-         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
-         |               c.cell DESC) AS rn
-         |  FROM hashed hd CROSS JOIN cents c),
-         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
-         |qa AS (
-         |  SELECT query_id, qvec, cell FROM (
-         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
-         |                 c.cell DESC) AS rk
-         |    FROM embeddings q CROSS JOIN cents c) x
-         |  WHERE rk <= 2),
-         |scored AS (
-         |  SELECT qa.query_id, cl.id AS neighbor_id,
-         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
-         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
-         |  WHERE cl.id <> qa.query_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
+      s"""WITH $knnGraphCtes
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q325_graph_search" ->
+      s"""WITH $knnGraphCtes,
+         |gedges AS (SELECT query_id AS src, neighbor_id AS dst
+         |           FROM ranked WHERE rank <= 3),
+         |gq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |gv AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |ent AS (SELECT MIN(vec_id) AS n0 FROM embeddings),
+         |b0 AS (SELECT qid, gv.node,
+         |         ROUND(list_cosine_similarity(gv.nvec, gq.qvec), 6) AS sim
+         |       FROM gq CROSS JOIN ent JOIN gv ON gv.node = ent.n0),
+         |c1 AS (SELECT qid, node FROM b0
+         |       UNION SELECT b0.qid, e.dst AS node
+         |             FROM b0 JOIN gedges e ON e.src = b0.node),
+         |s1 AS (SELECT c1.qid, c1.node,
+         |         ROUND(list_cosine_similarity(gv.nvec, gq.qvec), 6) AS sim
+         |       FROM c1 JOIN gv ON gv.node = c1.node
+         |            JOIN gq ON gq.qid = c1.qid),
+         |b1 AS (SELECT qid, node, sim FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, node ASC) AS rn FROM s1)
+         |       WHERE rn <= 4),
+         |c2 AS (SELECT qid, node FROM b1
+         |       UNION SELECT b1.qid, e.dst AS node
+         |             FROM b1 JOIN gedges e ON e.src = b1.node),
+         |s2 AS (SELECT c2.qid, c2.node,
+         |         ROUND(list_cosine_similarity(gv.nvec, gq.qvec), 6) AS sim
+         |       FROM c2 JOIN gv ON gv.node = c2.node
+         |            JOIN gq ON gq.qid = c2.qid),
+         |b2 AS (SELECT qid, node, sim FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, node ASC) AS rn FROM s2)
+         |       WHERE rn <= 4),
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM b2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     // Shingle count with multiplicity (kernel semantics: < n tokens →

@@ -326,6 +326,82 @@ object Knn {
     topKPerQuery(scored, k)
   }
 
+  /** Greedy BEAM SEARCH over a precomputed kNN graph — the
+    * navigable-small-world search pattern (Malkov & Yashunin 2018,
+    * "Efficient and robust approximate nearest neighbor search using
+    * hierarchical navigable small world graphs"; this is the
+    * single-layer NSW core, public algorithm): start every query at
+    * a deterministic ENTRY node (the smallest id), then `hops` times
+    * expand the beam's out-neighbors through the graph, score
+    * candidates against the query (6-dp cosine, the gate-portable
+    * rounding), and keep the best `beam` nodes by (sim DESC, node
+    * ASC). The final beam answers top-k. Completes the ANN family:
+    * brute force scans everything, IVF probes cells, THIS walks the
+    * neighborhood graph — the shape that wins when the graph is
+    * already materialized (e.g. [[knnGraph]]'s output kept for
+    * hard-negative mining).
+    *
+    * Scale shape: per hop ONE (node)-keyed join of the beam against
+    * the edge list (beam rows = queries×beam, never corpus-scale), a
+    * broadcast of the query vectors, and a bounded TopK aggregate —
+    * no windows; beam state materializes per hop under an eager
+    * localCheckpoint (pagerankIntRounds pattern, previous hop
+    * freed). Deterministic end-to-end, so the oracle unrolls the
+    * same hops as CTEs. Output: (query_id, neighbor_id, sim, rank ≤
+    * k), the query itself excluded from the answer (it may still
+    * navigate through the beam). */
+  def searchGraph(edges: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, queries: DataFrame, queryIdCol: String,
+                  queryVecCol: String, beam: Int, hops: Int,
+                  k: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0 && k >= 1,
+      s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vecs = corpus.select(col(idCol).cast("long").as("node"),
+        transform(col(vecCol), _.cast("double")).as("nvec"))
+      .persist(lvl)
+    val q = broadcast(queries.select(
+      col(queryIdCol).cast("long").as("qid"),
+      transform(col(queryVecCol), _.cast("double")).as("qvec")))
+    val e = edges.select(col("query_id").cast("long").as("src"),
+        col("neighbor_id").cast("long").as("dst"))
+      .persist(lvl)
+    val entry = vecs.agg(min("node")).head().getLong(0)
+    def score(nodes: DataFrame): DataFrame = nodes
+      .join(vecs, Seq("node"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("node"),
+        round(graft.plans.native.cosineSim(col("nvec"), col("qvec")), 6)
+          .as("sim"))
+    def trim(df: DataFrame, n: Int): DataFrame = {
+      val topk = TopKAggregator.udaf(n)
+      df.groupBy("qid")
+        .agg(topk(col("node"), col("sim")).as("top"))
+        .select(col("qid"), explode(col("top")).as("s"))
+        .select(col("qid"), col("s._2").as("node"), col("s._1").as("sim"))
+    }
+    var beamDf = score(q.select(col("qid"), lit(entry).as("node")))
+      .localCheckpoint(true)
+    var prev = beamDf
+    for (_ <- 1 to hops) {
+      val cand = beamDf.select(col("qid"), col("node").as("src"))
+        .join(e, Seq("src"))
+        .select(col("qid"), col("dst").as("node"))
+        .distinct()
+      val merged = beamDf.unionByName(score(cand))
+        .groupBy("qid", "node").agg(max("sim").as("sim"))
+      beamDf = trim(merged, beam).localCheckpoint(true)
+      graft.plans.Blocks.free(prev)
+      prev = beamDf
+    }
+    val fin = beamDf.where(col("node") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        col("sim"))
+    vecs.unpersist(false)
+    e.unpersist(false)
+    topKPerQuery(fin, k)
+  }
+
   /** Greedy k-CENTER coreset selection (farthest-first traversal —
     * the 2-approximation of Gonzalez 1985, used as the coreset
     * data-selection recipe of Sener & Savarese, ICLR 2018): seed with

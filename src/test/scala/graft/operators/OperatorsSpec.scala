@@ -926,6 +926,41 @@ class KnnSpec extends SparkSpec {
     assert(out(1)._3 >= out(2)._3, out.toSeq.toString)
   }
 
+  test("searchGraph: the beam walks the kNN graph to the true " +
+    "neighborhood; hops=0 stays at the entry") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53)
+    // one connected gaussian cloud (a kNN graph over well-SEPARATED
+    // clusters is disconnected — the walk can't cross, correctly; the
+    // spec exercises navigation, so the graph must be navigable)
+    val emb = (0L until 60L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val g = Knn.knnGraph(emb, "vec_id", "embedding", k = 6, c = 8,
+      nprobe = 2)
+    val queries = emb.where(col("vec_id") >= 50)
+    val got = Knn.searchGraph(g, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", beam = 12, hops = 6, k = 3)
+    val exact = Knn.bruteForce(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    val recalls = (50L until 60L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val p = got.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      (e & p).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"beam search failed to navigate: $recalls")
+    // hops = 0: the beam never leaves the entry node
+    val frozen = Knn.searchGraph(g, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", beam = 12, hops = 0, k = 3)
+      .collect()
+    assert(frozen.forall(_.getAs[Long]("neighbor_id") == 0L),
+      frozen.mkString(","))
+  }
+
   test("kCenterCoreset: k beyond the corpus returns all points, " +
     "short, in pick order — not an exception") {
     val s = spark
