@@ -2056,22 +2056,31 @@ object Stats {
   def krippendorffAlpha(df: DataFrame, itemCol: String,
                         catCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
+    // one (item, cat) cell aggregate, then the per-item disagreement
+    // folds IN-ROW over the item's cell list (bounded by its rater
+    // count) — no cells⋈perItem join, one exchange fewer, and the
+    // per-cell micro-rounding is identical to the joined form
     val cells = df
       .where(col(itemCol).isNotNull && col(catCol).isNotNull)
       .groupBy(col(itemCol).as("item"), col(catCol).cast("string").as("k"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
-    val perItem = cells.groupBy("item").agg(sum("c").as("ri"))
+    val items = cells.groupBy("item")
+      .agg(collect_list(struct(col("k"), col("c"))).as("xs"),
+        sum("c").as("ri"))
       .where(col("ri") >= 2)
-    val pairable = cells.join(perItem, Seq("item"))
-    def d(c: String) = col(c).cast("double")
-    // per-item-category disagreement term, micro-rounded
-    val doT = round(d("c") * (d("ri") - d("c")) / (d("ri") - lit(1.0))
-      * 1e6).cast("long")
-    val doSum = pairable.agg(coalesce(sum(doT), lit(0L)).as("do_micro"),
-      coalesce(sum("c"), lit(0L)).as("n"),
-      count_distinct(col("item")).as("n_items"))
-    val catTot = pairable.groupBy("k").agg(sum(col("c").cast(dec)).as("nc"))
+      .select(col("item"), col("xs"), col("ri"),
+        expr("""aggregate(xs, 0L, (acc, e) ->
+          |  acc + CAST(round(CAST(e.c AS DOUBLE)
+          |    * (CAST(ri AS DOUBLE) - CAST(e.c AS DOUBLE))
+          |    / (CAST(ri AS DOUBLE) - 1.0) * 1e6) AS BIGINT))"""
+          .stripMargin).as("do_i"))
+      .localCheckpoint(false)
+    val doSum = items.agg(coalesce(sum("do_i"), lit(0L)).as("do_micro"),
+      coalesce(sum("ri"), lit(0L)).as("n"),
+      count(lit(1)).as("n_items"))
+    val catTot = items
+      .select(explode(col("xs")).as("e"))
+      .groupBy(col("e.k").as("k")).agg(sum(col("e.c").cast(dec)).as("nc"))
     val de = catTot.crossJoin(doSum.select(col("n").as("__n")))
       .agg(coalesce(sum(col("nc") * (col("__n").cast(dec) - col("nc"))),
         lit(0).cast(dec)).as("se"))
