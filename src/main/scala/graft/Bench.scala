@@ -155,7 +155,10 @@ object Bench {
       "q116_bpe_vocab_ids", "q118_lsh_pick", "q194_kcore", "q195_bfs",
       // round-8 checkpointed multi-job rounds: HITS, personalized
       // PageRank, label propagation
-      "q271_hits", "q279_ppr", "q283_label_prop")
+      "q271_hits", "q279_ppr", "q283_label_prop",
+      // round-9: beam search loops hops on the driver over the kNN
+      // graph it first builds (same dispatch-floor profile as q65)
+      "q325_graph_search")
     def sectionOf(n: String): String =
       if (lifecycle(n)) "lifecycle" else if (iterative(n)) "iterative"
       else "scan"

@@ -62,11 +62,18 @@ class EwmaSpec extends SparkSpec {
     val one = TimeSeries.holtHalfPerKey(series(Seq(7L)),
       "k", "ts", "v").as[(Long, Long, Long, Long)].collect.head
     assert(one == ((1L, 1L, 7L, 0L)), one)
+    // round 9: the bound tightened 2^30 → 2^29 so a packed state can
+    // never fall under the oracle's 2^40 raw-vs-packed line; a value
+    // AT the old bound's floor (2^29) must now raise too
     val err = intercept[Exception] {
-      TimeSeries.holtHalfPerKey(series(Seq(1L << 31)), "k", "ts", "v")
+      TimeSeries.holtHalfPerKey(series(Seq(1L << 29)), "k", "ts", "v")
         .collect()
     }
-    assert(err.getMessage.contains("2^30"), err.getMessage)
+    assert(err.getMessage.contains("2^29"), err.getMessage)
+    // just inside the new bound still folds
+    val ok = TimeSeries.holtHalfPerKey(series(Seq((1L << 29) - 1)),
+      "k", "ts", "v").as[(Long, Long, Long, Long)].collect.head
+    assert(ok._3 == (1L << 29) - 1 && ok._4 == 0L, ok)
   }
 
   test("ljungBox: hand-computed lag-1 case, degenerate series NULL out") {
