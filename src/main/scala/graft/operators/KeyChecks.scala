@@ -439,7 +439,8 @@ object KeyChecks {
     * suites. Per-cell MI terms and per-margin entropy terms each
     * micro-round in one fixed float order and integer-sum (the
     * q199/ljungBox discipline), then one division. Output: one row
-    * (n, mi_micro, h_a_micro, u_micro — NULL when H(a) = 0). */
+    * (n, mi_micro, h_a_micro, u_micro — NULL when H(a) = 0), ALWAYS
+    * one row — empty/all-null input returns (0, 0, 0, NULL). */
   def theilU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("string").as("a"),
@@ -451,10 +452,13 @@ object KeyChecks {
     val mb = cells.groupBy("b").agg(sum("c_ab").as("c_b"))
     val n = cells.agg(coalesce(sum("c_ab"), lit(0L))).head().getLong(0)
     if (n == 0) {
+      // Empty input still honors the one-row contract (round-9
+      // advice: .limit(0) broke callers doing .head() on the
+      // documented single row): n=0, zero MI/entropy, NULL U.
       val spark = df.sparkSession
       import spark.implicits._
       return Seq((0L, 0L, 0L, Option.empty[Long]))
-        .toDF("n", "mi_micro", "h_a_micro", "u_micro").limit(0)
+        .toDF("n", "mi_micro", "h_a_micro", "u_micro")
     }
     def d(c: String) = col(c).cast("double")
     val miT = round((d("c_ab") / lit(n.toDouble)) *

@@ -2266,6 +2266,20 @@ object Stats {
     val k = shape.getLong(0)
     val nSub = shape.getLong(3)
     require(k >= 2, s"cronbachAlpha: need k >= 2 items, got $k")
+    // Per-subject counts alone admit DISJOINT k-item sets (two
+    // subjects each answering k different items pass the check above
+    // yet make the per-item variance term use the wrong n) — also pin
+    // the GLOBAL item universe to exactly k items, each answered by
+    // every subject (round-9 advice).
+    val itemShape = rows.groupBy("i").agg(count(lit(1)).as("nresp"))
+      .agg(count(lit(1)), min("nresp"), max("nresp")).head()
+    require(itemShape.getLong(0) == k,
+      s"cronbachAlpha: subjects answer DIFFERENT item sets " +
+        s"(global distinct items ${itemShape.getLong(0)}, per-subject $k)")
+    require(itemShape.getLong(1) == nSub && itemShape.getLong(2) == nSub,
+      s"cronbachAlpha: every item must be answered by every subject " +
+        s"(item response counts ${itemShape.getLong(1)}.." +
+        s"${itemShape.getLong(2)}, subjects $nSub)")
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     // Σᵢ n·σᵢ²·n = Σᵢ (n·Σv² − (Σv)²) — exact integers
     val items = rows.groupBy("i")

@@ -135,17 +135,29 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object JaroWinklerKernel {
-  /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990), the exact
-    * semantics DuckDB's `jaro_winkler_similarity` implements
-    * (probed empirically, round 9): matching window
-    * ⌊max(|s|,|t|)/2⌋ − 1, transpositions halved, Winkler prefix
-    * boost min(4, common prefix)·0.1·(1 − j) applied only when
+  /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990): matching
+    * window ⌊max(|s|,|t|)/2⌋ − 1, transpositions halved, Winkler
+    * prefix boost min(4, common prefix)·0.1·(1 − j) applied only when
     * j > 0.7, and EITHER empty string → 0.0 (including both empty —
-    * DuckDB's convention, not the return-1 variant). One flat JVM
-    * double pass per pair, called from whole-stage codegen. */
+    * the DuckDB convention, not the return-1 variant). One flat JVM
+    * double pass per pair, called from whole-stage codegen.
+    *
+    * UNIT: |s| counts Unicode CODE POINTS (round 10) — the same unit
+    * Catalyst's `Length` reports, so [[JaroWinklerThresholdRule]]'s
+    * length prefilter `min_len ≥ (5τ−4)·max_len` is a sound
+    * implication on every input, including supplementary-plane text
+    * (a UTF-16-unit kernel under a code-point guard silently dropped
+    * matching astral pairs — round-9 advice). The code-point decode
+    * is a single linear pre-pass; the match loops are unchanged.
+    *
+    * DuckDB parity: `jaro_winkler_similarity` iterates BYTES, so the
+    * empirically-probed parity holds for ASCII inputs only (where
+    * bytes = code units = code points). Gate oracles keep their
+    * corpora ASCII; do not assume cross-engine parity on non-ASCII
+    * names (round-9 advice, documented here on purpose). */
   def sim(aU: UTF8String, bU: UTF8String): Double = {
-    val s = aU.toString
-    val t = bU.toString
+    val s = aU.toString.codePoints().toArray
+    val t = bU.toString.codePoints().toArray
     val n = s.length
     val m = t.length
     if (n == 0 || m == 0) return 0.0
@@ -160,7 +172,7 @@ object JaroWinklerKernel {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
         }
         j += 1
@@ -174,7 +186,7 @@ object JaroWinklerKernel {
     while (i < n) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) trans += 1
+        if (s(i) != t(k)) trans += 1
         k += 1
       }
       i += 1
@@ -184,7 +196,7 @@ object JaroWinklerKernel {
     if (j > 0.7) {
       var p = 0
       val maxP = math.min(4, math.min(n, m))
-      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+      while (p < maxP && s(p) == t(p)) p += 1
       j + p * 0.1 * (1.0 - j)
     } else j
   }
@@ -193,8 +205,11 @@ object JaroWinklerKernel {
 /** Jaro–Winkler similarity between two string columns — the
   * record-linkage scorer beside [[LevenshteinWithin]] (edit distance
   * counts operations; JW weighs position and common prefixes, the
-  * convention for person/entity names). DuckDB-parity semantics, so
-  * gate queries replay it with `jaro_winkler_similarity`.
+  * convention for person/entity names). DuckDB-parity semantics on
+  * ASCII input (gate queries replay it with
+  * `jaro_winkler_similarity`); on non-ASCII the engines differ by
+  * unit — this kernel iterates code points, DuckDB bytes (see
+  * [[JaroWinklerKernel.sim]]).
   *
   * `guarded` is [[JaroWinklerThresholdRule]]'s idempotency marker:
   * the rule rewrites threshold predicates over an UNGUARDED node

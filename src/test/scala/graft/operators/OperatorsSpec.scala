@@ -241,6 +241,19 @@ class TheilUSpec extends SparkSpec {
     assert(graft.operators.KeyChecks.theilU(constA, "a", "b")
       .as[(Long, Long, Long, Option[Long])].collect.head._4.isEmpty)
   }
+
+  test("theilU: empty and all-null inputs honor the one-row contract " +
+    "(round-10 fix)") {
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    val g1 = graft.operators.KeyChecks.theilU(empty, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect.toSeq
+    assert(g1 == Seq((0L, 0L, 0L, None)), g1)
+    val nulls = Seq((Option.empty[String], Option("x")),
+      (Option("y"), Option.empty[String])).toDF("a", "b")
+    val g2 = graft.operators.KeyChecks.theilU(nulls, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect.toSeq
+    assert(g2 == Seq((0L, 0L, 0L, None)), g2)
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -764,6 +764,23 @@ class StatsSpec extends SparkSpec {
       Stats.cronbachAlpha(ragged, "s", "i", "v")
     }
     assert(e.getMessage.contains("every subject"), e.getMessage)
+    // round-10 fix: DISJOINT item sets pass the per-subject counts
+    // (each subject answers 2 items) but must still raise — the item
+    // universe is 4 ≠ k = 2
+    val disjoint = Seq((1L, "A", 1L), (1L, "B", 2L),
+      (2L, "C", 1L), (2L, "D", 2L)).toDF("s", "i", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.cronbachAlpha(disjoint, "s", "i", "v")
+    }
+    assert(e2.getMessage.contains("DIFFERENT item sets"), e2.getMessage)
+    // overlapping-but-unequal sets with equal per-subject and global
+    // counts: A,B / A,C / B,C over 3 subjects — global items = 3 ≠ 2
+    val overlap = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 1L),
+      (2L, "C", 2L), (3L, "B", 1L), (3L, "C", 2L)).toDF("s", "i", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      Stats.cronbachAlpha(overlap, "s", "i", "v")
+    }
+    assert(e3.getMessage.contains("DIFFERENT item sets"), e3.getMessage)
   }
 
   test("friedman: textbook untied case Q = 6, all-tied gives NULL, " +

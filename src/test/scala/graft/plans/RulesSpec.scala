@@ -220,6 +220,36 @@ class RulesSpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler: code-point unit — kernel and length guard agree " +
+    "on supplementary-plane text (round-10 fix)") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val clef = "𝄞" // 𝄞 U+1D11E, 2 UTF-16 units, 1 code point
+      // The round-9 advice counterexample: under a UTF-16 kernel this
+      // pair scores 0.914 ≥ 0.9 while the code-point guard tests
+      // 2 ≥ 2.5 and silently drops it. Under the code-point kernel it
+      // scores 0.84 — guard and kernel now agree it is below τ.
+      val jw = Seq((clef * 2, clef * 2 + "xxx")).toDF("a", "b")
+        .select(round(graft.plans.native.jaroWinkler($"a", $"b"), 6))
+        .head().getDouble(0)
+      assert(jw == 0.84, s"code-point jw = $jw")
+      // full agreement sweep: filtered rows == projection-then-filter
+      // reference on an astral-heavy corpus, at guarded thresholds
+      val words = Vector(clef * 2, clef * 2 + "xxx", clef * 5,
+        clef * 4 + "x", clef + "abc", "abc" + clef, clef * 3,
+        "MARTHA", "MARHTA" + clef)
+      val rows = for (a <- words; b <- words) yield (a, b)
+      val df = rows.toDF("a", "b")
+      for (tau <- Seq(0.85, 0.9, 0.95)) {
+        val got = df.where(expr(s"jaro_winkler(a, b) >= $tau")).count()
+        val ref = df.selectExpr("jaro_winkler(a, b) AS jw")
+          .collect().count(_.getDouble(0) >= tau)
+        assert(got == ref, s"tau=$tau: $got vs $ref")
+      }
+    }
+  }
+
   test("jaro_winkler prefilter preserves every row across thresholds " +
     "and operand orders") {
     withRule {
