@@ -786,6 +786,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The persisted kNN-graph lifecycle (round 10 — the last index
+    // family to gain a build-once/probe-many store): graph over the
+    // base 90%, written bucketed; the held-out 10% NSW-inserted (each
+    // new node beam-searches the pre-append graph for its k out-
+    // neighbors, reverse links added, touched sources re-trimmed to
+    // k); then a multi-seed beam search over the appended store. The
+    // oracle replays build, insert beam, re-trim, entry maintenance,
+    // and search beam as one CTE chain.
+    "q326_graph_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_graphidx_gate").toString
+      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
+        buckets = 8, portableHash = true)
+      Knn.appendGraphIndex(emb.where(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", tmp, beam = 4, hops = 2)
+      Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // BPE tokenizer training under the gate: 8 merge rounds over the
     // corpus word-frequency table. The oracle unrolls the SAME
     // argmax + string-replace rounds as CTEs — an iterative trainer
@@ -4245,6 +4267,49 @@ object SparkEntry {
        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM scored)""".stripMargin
 
+  /** Beam-walk CTE generator for the graph-index oracles: multi-seed
+    * start (score every per-cell entry, keep the top `beam`), then
+    * `hops` expand/score/trim rounds — the SQL twin of
+    * Knn.beamSearchIndexed. `qCte`(qid, qvec DOUBLE[]),
+    * `vCte`(node, nvec DOUBLE[]), `eCte`(src, dst), `entCte`(node).
+    * Emits CTEs `${pfx}s0`, `${pfx}b0` .. `${pfx}b$hops`; the final
+    * beam is `${pfx}b$hops`(qid, node, sim). */
+  private def graphBeamCtes(pfx: String, qCte: String, vCte: String,
+                            eCte: String, entCte: String,
+                            beam: Int, hops: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""${pfx}s0 AS (
+         |  SELECT q.qid, en.node,
+         |    ROUND(list_cosine_similarity(v.nvec, q.qvec), 6) AS sim
+         |  FROM $qCte q CROSS JOIN $entCte en
+         |  JOIN $vCte v ON v.node = en.node),
+         |${pfx}b0 AS (
+         |  SELECT qid, node, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}s0)
+         |  WHERE rn <= $beam)""".stripMargin)
+    for (h <- 1 to hops) {
+      val p = s"${pfx}b${h - 1}"
+      sb.append(",\n").append(
+        s"""${pfx}c$h AS (
+           |  SELECT qid, node FROM $p
+           |  UNION SELECT $p.qid, e.dst AS node
+           |        FROM $p JOIN $eCte e ON e.src = $p.node),
+           |${pfx}s$h AS (
+           |  SELECT c.qid, c.node,
+           |    ROUND(list_cosine_similarity(v.nvec, q.qvec), 6) AS sim
+           |  FROM ${pfx}c$h c JOIN $vCte v ON v.node = c.node
+           |       JOIN $qCte q ON q.qid = c.qid),
+           |${pfx}b$h AS (
+           |  SELECT qid, node, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}s$h)
+           |  WHERE rn <= $beam)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private val shinglesSql =
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -5765,6 +5830,86 @@ object SparkEntry {
          |          row_number() OVER (PARTITION BY qid
          |            ORDER BY sim DESC, node ASC) AS rank
          |        FROM b2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // The persisted-graph lifecycle replayed end-to-end: base build
+    // (q65's machinery over the 90% subset), NSW insert of the held-
+    // out 10% (append beam over the base graph, reverse links, per-
+    // source re-trim to k), entry-table maintenance, and the final
+    // multi-seed search over the post-append graph.
+    "q326_graph_index" ->
+      s"""WITH bhashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |bcents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM bhashed ORDER BY h LIMIT 16),
+         |bassign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM bhashed hd CROSS JOIN bcents c),
+         |bcells AS (SELECT id, vec, cell FROM bassign WHERE rn = 1),
+         |bqa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT hd.vec_id AS query_id, hd.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY hd.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM bhashed hd CROSS JOIN bcents c) x
+         |  WHERE rk <= 2),
+         |bscored AS (
+         |  SELECT bqa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "bqa.qvec")}, 6) AS sim
+         |  FROM bcells cl JOIN bqa ON cl.cell = bqa.cell
+         |  WHERE cl.id <> bqa.query_id),
+         |e0 AS (
+         |  SELECT query_id AS src, neighbor_id AS dst, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM bscored)
+         |  WHERE rank <= 3),
+         |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bcells),
+         |ent0 AS (SELECT cell, MIN(id) AS node FROM bcells GROUP BY cell),
+         |nq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 10 = 7),
+         |${graphBeamCtes("a", "nq", "gv", "e0", "ent0", beam = 4, hops = 2)},
+         |aout AS (
+         |  SELECT qid AS src, node AS dst, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, node ASC) AS rn FROM ab2)
+         |  WHERE rn <= 3),
+         |arev AS (SELECT dst AS src, src AS dst, sim FROM aout),
+         |e1 AS (
+         |  SELECT src, dst, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY sim DESC, dst ASC) AS rn
+         |    FROM (SELECT * FROM e0 UNION ALL SELECT * FROM aout
+         |          UNION ALL SELECT * FROM arev))
+         |  WHERE rn <= 3),
+         |bat AS (
+         |  SELECT qid AS id, cell FROM (
+         |    SELECT nq.qid, c.cell,
+         |      row_number() OVER (PARTITION BY nq.qid
+         |        ORDER BY list_cosine_similarity(nq.qvec, c.cvec) DESC,
+         |                 c.cell DESC) AS rn
+         |    FROM nq CROSS JOIN bcents c) x
+         |  WHERE rn = 1),
+         |ent1 AS (
+         |  SELECT cell, MIN(id) AS node FROM (
+         |    SELECT cell, id FROM bcells
+         |    UNION ALL SELECT cell, id FROM bat) GROUP BY cell),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |${graphBeamCtes("z", "sq", "av", "e1", "ent1", beam = 4, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM zb2 WHERE node <> qid)
          |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -1169,6 +1169,93 @@ class KnnSpec extends SparkSpec {
       "probe scan lost its partition filter")
   }
 
+  test("persisted kNN-graph index: build/search/append lifecycle — " +
+    "multi-seed recall, bucket pruning, bounded degree, appended nodes " +
+    "findable as top hits") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    // three well-separated clusters — the shape where a single global
+    // entry node strands whole regions and multi-seed must not
+    def point(center: Int, noise: Float = 0.5f): Array[Float] = {
+      val base = Array.fill(8)(noise * rnd.nextGaussian().toFloat)
+      base(center) += 5.0f
+      base
+    }
+    val corpus = (0L until 90L).map(i => (i, point((i % 3).toInt)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_idx").toFile
+    Knn.writeGraphIndex(df, "vec_id", "embedding", dir.getAbsolutePath,
+      k = 6, c = 8, nprobe = 2, buckets = 8)
+    // layout: bucketed edges + nodes, per-cell entries with vectors
+    val edgeDirs = new java.io.File(dir, "edges").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(edgeDirs.length == 8, edgeDirs.toSeq.toString)
+    val entries = spark.read.parquet(s"${dir.getAbsolutePath}/entries")
+    assert(entries.count() <= 8 && entries.columns.toSeq ==
+      Seq("cell", "node", "nvec"))
+
+    val queries = df.where(col("vec_id") % 30 === 1) // one per cluster
+    val hits = Knn.searchGraphIndex(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", beam = 6, hops = 2, k = 4)
+    // the returned frame is checkpointed — the hop's pruned scans live
+    // in the captured hop plan (edge expansion + node scoring)
+    val plan = Knn.lastHopPlan
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "graph probe lost its bucket partition filter")
+    // every query's hits come from ITS cluster (multi-seed start —
+    // a single global entry cannot reach the other clusters' regions)
+    val got = hits.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(q % 3 == n % 3, s"query $q got cross-cluster neighbor $n")
+    }
+    // deterministic: a second probe returns the identical rows
+    val again = Knn.searchGraphIndex(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", beam = 6, hops = 2, k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == got.map(_.toString).sorted.toSeq)
+
+    // append: new nodes near each cluster center, NSW insert
+    // near-center vectors: systematically closer to every cluster
+    // member than members are to each other → reverse edges survive
+    val batch = (1000L until 1006L)
+      .map(i => (i, point((i % 3).toInt, noise = 0.02f)))
+      .toDF("vec_id", "embedding")
+    Knn.appendGraphIndex(batch, "vec_id", "embedding",
+      dir.getAbsolutePath, beam = 8, hops = 2)
+    val edgesAfter = spark.read.parquet(s"${dir.getAbsolutePath}/edges")
+    // degree stays bounded at k for EVERY source, old and new
+    val deg = edgesAfter.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head()
+    assert(deg.getLong(0) <= 6, s"max degree ${deg.getLong(0)} > k")
+    // appended nodes have out-edges of their own AND keep at least one
+    // in-edge through the reverse-link re-trim (what findability rides
+    // on — probabilistic in general, deterministic in this config)
+    val newSrc = edgesAfter
+      .where(col("src") >= 1000L).select("src").distinct().count()
+    assert(newSrc == 6, s"appended sources with edges: $newSrc")
+    val newIn = edgesAfter
+      .where(col("dst") >= 1000L).select("dst").distinct().count()
+    assert(newIn == 6, s"appended nodes with an in-edge: $newIn")
+    // an appended node is FINDABLE: querying its exact vector (fresh
+    // query id) returns it as the top hit via reverse edges
+    val probe = batch.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val found = Knn.searchGraphIndex(spark, dir.getAbsolutePath, probe,
+      "vec_id", "embedding", beam = 8, hops = 3, k = 2)
+      .where(col("rank") === 1).collect()
+    assert(found.length == 6)
+    found.foreach { r =>
+      val want = r.getAs[Long]("query_id") - 100000L
+      assert(r.getAs[Long]("neighbor_id") == want,
+        s"query ${r.getAs[Long]("query_id")} top hit " +
+          s"${r.getAs[Long]("neighbor_id")}, want $want")
+      assert(r.getAs[Double]("sim") == 1.0, r.toString)
+    }
+  }
+
   test("SQ8: codes stay in [0,255], dequant error <= scale/2, recall near brute force") {
     val s = spark
     import s.implicits._
