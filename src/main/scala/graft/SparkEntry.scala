@@ -820,6 +820,20 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // BYTE-LEVEL BPE training (round 10 — the GPT-2 form production
+    // tokenizers ship): words start from UTF-8 bytes remapped through
+    // the fixed bytes_to_unicode bijection, so multibyte characters
+    // decompose and no input is ever OOV. Same 8 merge rounds; the
+    // oracle re-derives the byte alphabet with hex()+strpos parsing
+    // and the CASE remap, then replays the identical rounds.
+    "q327_bpe_bytes" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text",
+          numMerges = 8, byteLevel = true)
+        .toDF("step", "lhs", "rhs", "merged", "freq")
+        .orderBy("step")
+    }),
+
     // Train-then-tokenize end-to-end: the corpus tokenized with its
     // OWN learned merges; per-doc subword vs word counts. The oracle
     // joins the unrolled trainer's final vocabulary back to each doc.
@@ -4408,7 +4422,27 @@ object SparkEntry {
     * boundaries pinned, so the pattern can never false-match a
     * symbol's prefix mid-symbol); `word` rides along so the
     * token-count oracle can join the final vocabulary back to docs. */
-  private def bpeRoundsCte(rounds: Int): String = {
+  /** Byte j (1-based) of a DuckDB string's UTF-8 encoding, parsed from
+    * the hex dump (the md5Hash64Sql strpos discipline — no blob
+    * indexing needed). */
+  private def byteAtSql(word: String, j: String): String =
+    s"""(16 * (strpos('0123456789ABCDEF',
+       |         substr(hex(encode($word)), 2 * $j - 1, 1)) - 1)
+       |   + strpos('0123456789ABCDEF',
+       |         substr(hex(encode($word)), 2 * $j, 1)) - 1)""".stripMargin
+
+  /** GPT-2 bytes_to_unicode as a CASE over a byte expression — the
+    * DuckDB twin of BpeKernel.byteToUnicode: identity for the
+    * printable/latin ranges, 256+n in byte order for the shifted rest
+    * (0–32 → +256, 127–160 → +162, 173 → 323). */
+  private def byteRemapSql(b: String): String =
+    s"""chr(CAST(CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172)
+       |            OR ($b >= 174) THEN $b
+       |         WHEN $b <= 32 THEN 256 + $b
+       |         WHEN $b <= 160 THEN $b + 162
+       |         ELSE 323 END AS INTEGER))""".stripMargin
+
+  private def bpeRoundsCte(rounds: Int, byteLevel: Boolean = false): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS f FROM (
@@ -4425,11 +4459,15 @@ object SparkEntry {
          |          freq
          |        FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
+    val sym =
+      if (byteLevel) byteRemapSql(byteAtSql("word", "j"))
+      else "word[j]"
+    val n = if (byteLevel) "octet_length(encode(word))" else "len(word)"
     s"""WITH w0 AS (
        |  SELECT word,
        |         array_to_string(
-       |           list_transform(range(1, len(word)+1),
-       |                          j -> chr(31) || word[j] || chr(30)), '') AS symstr,
+       |           list_transform(range(1, $n+1),
+       |                          j -> chr(31) || $sym || chr(30)), '') AS symstr,
        |         CAST(f AS BIGINT) AS freq
        |  FROM (SELECT tok AS word, COUNT(*) AS f
        |        FROM (SELECT unnest($toksLower) AS tok FROM documents) z
@@ -4461,11 +4499,11 @@ object SparkEntry {
        |      + CAST(row_number() OVER (ORDER BY st) - 1 AS BIGINT) AS id
        |  FROM mfirst)""".stripMargin
 
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleSql(rounds: Int, byteLevel: Boolean = false): String = {
     val steps = (1 to rounds).map(r =>
       s"SELECT $r AS step, a AS lhs, b AS rhs, a || b AS merged, f AS freq FROM b$r")
       .mkString("\n  UNION ALL ")
-    s"""${bpeRoundsCte(rounds)}
+    s"""${bpeRoundsCte(rounds, byteLevel)}
        |SELECT step, lhs, rhs, merged, freq FROM (
        |  $steps) m
        |ORDER BY step""".stripMargin
@@ -5597,6 +5635,8 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     "q85_bpe_train" -> bpeOracleSql(8),
+
+    "q327_bpe_bytes" -> bpeOracleSql(8, byteLevel = true),
 
     "q92_bpe_tokens" -> bpeTokensOracleSql(8),
 

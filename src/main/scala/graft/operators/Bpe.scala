@@ -53,6 +53,22 @@ object Bpe {
     array_join(transform(sequence(lit(1), length(word)),
       j => concat(lit(SEP), word.substr(j, lit(1)), lit(END))), "")
 
+  /** Byte-level initial symbol string (GPT-2 form): the word's UTF-8
+    * bytes, each remapped through the fixed bytes_to_unicode bijection
+    * ([[graft.plans.BpeKernel.byteToUnicode]]) to a visible code point
+    * and SEP/END-wrapped. Byte access rides hex(encode(...)) — two hex
+    * digits per byte parsed with conv(), the remap a 256-entry
+    * plan-literal map — all codegen'd builtins, and the identical walk
+    * replays in DuckDB (hex + strpos parse + CASE remap). */
+  private def initialSymstrBytes(word: Column): Column = {
+    val hx = hex(encode(word, "UTF-8"))
+    array_join(transform(sequence(lit(1), (length(hx) / lit(2)).cast("int")),
+      j => concat(lit(SEP),
+        element_at(typedLit(graft.plans.BpeKernel.byteToUnicode),
+          conv(hx.substr(j * 2 - 1, lit(2)), 16, 10).cast("int")),
+        lit(END))), "")
+  }
+
   /** Symbols of a symstr: strip the outer wrappers, split on the
     * END+SEP boundary between consecutive symbols. */
   private def symbolsOf(symstr: Column): Column =
@@ -73,11 +89,13 @@ object Bpe {
     * `checkpointEvery` rounds the symbol table's lineage is cut
     * (lazy localCheckpoint — same rationale as canonicalizeCc). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minFreq: Long = 2L,
-            checkpointEvery: Int = 8): Seq[(Int, String, String, String, Long)] = {
+            minFreq: Long = 2L, checkpointEvery: Int = 8,
+            byteLevel: Boolean = false): Seq[(Int, String, String, String, Long)] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val init = if (byteLevel) initialSymstrBytes(col("word"))
+               else initialSymstr(col("word"))
     val base = wordCounts(df, textCol)
-      .select(initialSymstr(col("word")).as("symstr"), col("freq"))
+      .select(init.as("symstr"), col("freq"))
       .persist(lvl)
     base.count()
     var words = base
@@ -147,9 +165,11 @@ object Bpe {
     * inline and for SQL-replayable oracles; [[encodeColumnFast]] is
     * the production form for large vocabularies). Output: array of
     * subword tokens. */
-  def encodeColumn(textCol: Column, merges: Seq[(String, String)]): Column = {
+  def encodeColumn(textCol: Column, merges: Seq[(String, String)],
+                   byteLevel: Boolean = false): Column = {
     val perWord = (w: Column) => {
-      val merged = merges.foldLeft(initialSymstr(w)) { case (c, (a, b)) =>
+      val init = if (byteLevel) initialSymstrBytes(w) else initialSymstr(w)
+      val merged = merges.foldLeft(init) { case (c, (a, b)) =>
         replace(c, lit(SEP + a + END + SEP + b + END), lit(SEP + a + b + END))
       }
       symbolsOf(merged)
@@ -165,8 +185,9 @@ object Bpe {
     * 30k times. Equal to encodeColumn for every rank-consistent merge
     * list (anything [[train]] emits); see the kernel scaladoc for the
     * consistency argument. */
-  def encodeColumnFast(textCol: Column, merges: Seq[(String, String)]): Column =
-    graft.plans.native.bpeTokens(textCol, merges)
+  def encodeColumnFast(textCol: Column, merges: Seq[(String, String)],
+                       byteLevel: Boolean = false): Column =
+    graft.plans.native.bpeTokens(textCol, merges, byteLevel)
 
   /** Vocabulary TABLE artifact: (token, id) with stable CONTIGUOUS ids
     * — the embedding-matrix-row contract (row i = token id i) that the

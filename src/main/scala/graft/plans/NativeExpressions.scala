@@ -842,6 +842,27 @@ case class BloomContains(child: Expression,
 object BpeKernel {
   private val SEP = "\\u001f"
 
+  /** GPT-2's bytes_to_unicode bijection (Radford et al. 2019,
+    * public `encoder.py`): printable/latin bytes map to themselves
+    * (33–126, 161–172, 174–255); the rest — controls, space, DEL,
+    * NBSP block, soft hyphen — map to 256+n in byte order, so every
+    * byte gets a VISIBLE single code point and merges operate on
+    * plain strings with no escaping. The byte-level BPE alphabet is
+    * therefore exactly 256 symbols and any UTF-8 input tokenizes
+    * without an OOV path — the property production tokenizers ship
+    * byte-level for. */
+  lazy val byteToUnicode: Map[Int, String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 until 256).map { b =>
+      val cp = if (keep(b)) b else { n += 1; 256 + n }
+      b -> new String(Character.toChars(cp))
+    }.toMap
+  }
+
+  private lazy val byteSym: Array[String] =
+    Array.tabulate(256)(byteToUnicode)
+
   /** Merge table → rank map keyed "a␟b" (rank = merge priority,
     * 0 = learned first). */
   def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
@@ -857,18 +878,25 @@ object BpeKernel {
     * adjacent symbol pair present (all leftmost non-overlapping
     * occurrences per sweep) until no learnable pair remains — Sennrich
     * 2016's apply_bpe loop. O(word·merges-applied) per word, vocab
-    * size irrelevant to per-row cost. */
+    * size irrelevant to per-row cost. `byteLevel` starts each word
+    * from its UTF-8 bytes remapped through [[byteToUnicode]] instead
+    * of its characters (GPT-2 form — multibyte chars decompose, no
+    * OOV possible). */
   def encode(text: org.apache.spark.unsafe.types.UTF8String,
-             ranks: java.util.HashMap[String, Integer]): ArrayData = {
+             ranks: java.util.HashMap[String, Integer],
+             byteLevel: Boolean): ArrayData = {
     val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
     var t = 0
     while (t < toks.length) {
       val word = toks(t)
-      var len = word.length
-      val syms = new Array[String](len)
-      var c = 0
-      while (c < len) { syms(c) = String.valueOf(word.charAt(c)); c += 1 }
+      val syms: Array[String] =
+        if (byteLevel) {
+          val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Array.tabulate(bs.length)(i => byteSym(bs(i) & 0xff))
+        } else
+          Array.tabulate(word.length)(i => String.valueOf(word.charAt(i)))
+      var len = syms.length
       var done = len < 2
       while (!done) {
         var bestRank = Int.MaxValue
@@ -920,7 +948,8 @@ object BpeKernel {
   * merged symbol can only be learned AFTER the merge that created the
   * symbol, so applying pairs in rank order never misses a lower-rank
   * pair created by a higher-rank merge (property-spec'd in BpeSpec). */
-case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+case class BpeTokens(child: Expression, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -934,11 +963,13 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
 
   override def nullSafeEval(input: Any): Any =
     BpeKernel.encode(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks,
+      byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ranksRef = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
-    defineCodeGen(ctx, ev, c => s"graft.plans.BpeKernel.encode($c, $ranksRef)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.BpeKernel.encode($c, $ranksRef, $byteLevel)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =
@@ -1218,8 +1249,10 @@ object native {
   def nfcNormalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
 
-  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
-    GraftBridge.column(BpeTokens(GraftBridge.expression(text), merges))
+  def bpeTokens(text: Column, merges: Seq[(String, String)],
+                byteLevel: Boolean = false): Column =
+    GraftBridge.column(BpeTokens(GraftBridge.expression(text), merges,
+      byteLevel))
 
   def wordShingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))

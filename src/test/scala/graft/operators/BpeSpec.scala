@@ -88,6 +88,60 @@ class BpeSpec extends SparkSpec {
     assert(untouched == Seq("p", "l", "a", "i", "n"))
   }
 
+  test("byte-level mode: GPT-2 remap table is a 256-symbol bijection, " +
+    "multibyte chars decompose, train/encode/kernel agree (round 10)") {
+    val s = spark
+    import s.implicits._
+    // the fixed bytes_to_unicode table: total on 0..255, injective,
+    // printable identity ranges, canonical shifted anchors
+    val tab = graft.plans.BpeKernel.byteToUnicode
+    assert(tab.size == 256 && tab.values.toSet.size == 256)
+    assert(tab(97) == "a" && tab(126) == "~" && tab(255) == "ÿ")
+    assert(tab(32) == "Ġ" && tab(0) == "Ā" && tab(10) == "Ċ"
+      && tab(173) == "Ń") // Ġ, Ā, Ċ, Ń — the GPT-2 anchors
+    // 'é' is 2 UTF-8 bytes (C3 A9) → 2 symbols Ã© before any merge
+    val plain = Seq((1L, "é")).toDF("doc_id", "text")
+      .select(Bpe.encodeColumn(col("text"), Seq.empty, byteLevel = true))
+      .collect()(0).getSeq[String](0)
+    assert(plain == Seq(tab(0xc3), tab(0xa9)), plain.toString)
+    // byte-level training rejoins the bytes of frequent multibyte
+    // chars; ASCII merges behave exactly like the char-level trainer
+    val docs = Seq(
+      (1L, "café café café naïve naïve"),
+      (2L, "the cat sat on the mat日本 the 日本 café 日本")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 10, minFreq = 2L,
+      byteLevel = true).map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    // parity: the unrolled Column form == the rank-map kernel, byte
+    // mode, including unseen multibyte words and empty text
+    val probe = docs.union(Seq(
+      (3L, "unseen émigré 中文 mixed日本text"),
+      (4L, "")).toDF("doc_id", "text"))
+    val rows = probe.select(col("doc_id"),
+        Bpe.encodeColumn(col("text"), merges, byteLevel = true).as("slow"),
+        Bpe.encodeColumnFast(col("text"), merges, byteLevel = true).as("fast"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: slow=${r.getSeq[String](1)} " +
+          s"fast=${r.getSeq[String](2)}")
+    }
+    // no OOV path: every token's chars come from the 256-symbol
+    // alphabet or merges of it, and inverse-remapping the
+    // concatenated tokens rebuilds each word's exact UTF-8 bytes
+    val inv = tab.map { case (b, c) => c.codePointAt(0) -> b }
+    val words = Seq("café", "日本", "naïve", "the")
+    val toks = words.map(w => (w, Seq((1L, w)).toDF("doc_id", "text")
+      .select(Bpe.encodeColumnFast(col("text"), merges, byteLevel = true))
+      .collect()(0).getSeq[String](0)))
+    toks.foreach { case (w, ts) =>
+      val bytes = ts.mkString.codePoints().toArray
+        .map(cp => inv(cp).toByte)
+      assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == w,
+        s"$w did not round-trip from $ts")
+    }
+  }
+
   test("encodeHashedIds: one bounded id per subword, deterministic") {
     val s = spark
     import s.implicits._
