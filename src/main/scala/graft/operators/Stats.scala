@@ -1285,43 +1285,61 @@ object Stats {
   /** Pairwise-complete Pearson correlation MATRIX over integer-valued
     * columns in ONE map-side-combined aggregate — the numeric-profile
     * screen beside [[graft.operators.KeyChecks.analyze]]: which
-    * columns move together? Per unordered pair, six exact moments (n
-    * over rows where BOTH sides are non-null — pairwise-complete, the
-    * R `use = "pairwise"` semantics — plus Σx, Σy, Σx², Σy², Σxy as
-    * DECIMAL(38,0)), every pair in the same single scan
-    * (column-pair-count bounded, like compositeKeys' level scan).
-    * The correlation
+    * columns move together? Per unordered pair, exact moments (n over
+    * rows where BOTH sides are non-null — pairwise-complete, the R
+    * `use = "pairwise"` semantics — plus Σx, Σy, Σx², Σy², Σxy),
+    * every pair in the same single scan (column-pair-count bounded,
+    * like compositeKeys' level scan). The correlation
     *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²)·√(n·Σy² − Σy²))
     * closes driver-side in one fixed float order over the exact
     * integers → bit-stable micros. Degenerate pairs (n < 2 or a
     * zero-variance side) emit NULL. Callers pre-quantize float
     * columns to integer units (cents, bp, milli). Output:
-    * (col_a, col_b, n, corr_micro), pair order = input order. */
+    * (col_a, col_b, n, corr_micro), pair order = input order.
+    *
+    * SPLIT-LONG moment encoding (round 10, replacing DECIMAL(38,0) —
+    * the r9-adjudicated "exactness tax", q255 at 21× its oracle):
+    * each per-row product p = x·y (and x², y²) splits into
+    * p = (p >> 31)·2³¹ + (p & 0x7FFFFFFF) — arithmetic shift is
+    * floor-division, so the identity holds for negative p — and the
+    * hi/lo halves integer-sum as plain LONGs (codegen'd, no
+    * BigDecimal in the hot loop). The exact Σp reassembles
+    * driver-side as BigInt(Σhi)·2³¹ + Σlo; its double value is
+    * IDENTICAL to the old decimal path's (same exact integer, same
+    * round-to-nearest), so the oracle is unchanged. Headroom: per-row
+    * products must fit a signed long (|x·y| < 2⁶³ — quantized-unit
+    * inputs are orders below this) and Σ|p| < 2⁹³ ≈ 10²⁸ before the
+    * hi-sum overflows — beyond any 100 TB corpus of quantized ints;
+    * ANSI mode makes both bounds FAIL LOUDLY rather than wrap. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least two columns, got $cols")
-    val dec = DecimalType(38, 0)
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val x = col(a).cast("long"); val y = col(b).cast("long")
       val both = x.isNotNull && y.isNotNull
+      def hiLo(p: org.apache.spark.sql.Column, tag: String) = Seq(
+        coalesce(sum(when(both, shiftright(p, 31))), lit(0L))
+          .as(s"__${tag}h_$i"),
+        coalesce(sum(when(both, p.bitwiseAND(lit(0x7FFFFFFFL)))), lit(0L))
+          .as(s"__${tag}l_$i"))
       Seq(
         count(when(both, lit(1))).as(s"__n_$i"),
-        coalesce(sum(when(both, x.cast(dec))), lit(0).cast(dec)).as(s"__sx_$i"),
-        coalesce(sum(when(both, y.cast(dec))), lit(0).cast(dec)).as(s"__sy_$i"),
-        coalesce(sum(when(both, x.cast(dec) * x.cast(dec))),
-          lit(0).cast(dec)).as(s"__sxx_$i"),
-        coalesce(sum(when(both, y.cast(dec) * y.cast(dec))),
-          lit(0).cast(dec)).as(s"__syy_$i"),
-        coalesce(sum(when(both, x.cast(dec) * y.cast(dec))),
-          lit(0).cast(dec)).as(s"__sxy_$i"))
+        coalesce(sum(when(both, x)), lit(0L)).as(s"__sx_$i"),
+        coalesce(sum(when(both, y)), lit(0L)).as(s"__sy_$i")) ++
+        hiLo(x * x, "xx") ++ hiLo(y * y, "yy") ++ hiLo(x * y, "xy")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val out = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val n = row.getLong(6 * i)
-      def d(j: Int): Double = row.getDecimal(6 * i + j).doubleValue()
-      val (sx, sy, sxx, syy, sxy) = (d(1), d(2), d(3), d(4), d(5))
+      val base = 9 * i
+      val n = row.getLong(base)
+      def joined(off: Int): Double =
+        ((BigInt(row.getLong(base + off)) << 31) +
+          BigInt(row.getLong(base + off + 1))).toDouble
+      val sx = row.getLong(base + 1).toDouble
+      val sy = row.getLong(base + 2).toDouble
+      val sxx = joined(3); val syy = joined(5); val sxy = joined(7)
       val nd = n.toDouble
       val cov = nd * sxy - sx * sy
       val vx = nd * sxx - sx * sx
