@@ -35,6 +35,15 @@ import org.apache.spark.sql.SparkSession
   * baseline subtotal + vs_baseline ratio, so the scan-shaped queries'
   * closeness to the engine floor reads directly from the JSON instead
   * of being buried under the soaks.
+  *
+  * Round 10 (r9 verdict ask #2 — the decomposition becomes OFFICIAL):
+  * scan queries further split by what their ORACLE costs —
+  * `scan_real` (oracle ≥ 80 ms: a genuine engine-vs-engine ratio) vs
+  * `scan_micro` (sub-80 ms oracle: the ratio measures Spark's
+  * data-size-invariant per-query dispatch floor, not plan quality) —
+  * and the JSON carries a per-query `sections` tag map plus all four
+  * per-section ratios, so the headline can no longer drift floor-ward
+  * unnoticed as micro-gates accumulate.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -139,7 +148,9 @@ object Bench {
       "q114_centroid_drift", "q131_hll_store", "q132_cms_store",
       "q140_inverted_index", "q147_trigram_search", "q173_hist_store",
       "q175_mdrm_dict", "q191_cc_store", "q224_selectivity",
-      "q281_phrase_search")
+      "q281_phrase_search",
+      // round-10: persisted kNN-graph build → NSW append → search
+      "q326_graph_index")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB
@@ -158,7 +169,10 @@ object Bench {
       "q271_hits", "q279_ppr", "q283_label_prop",
       // round-9: beam search loops hops on the driver over the kNN
       // graph it first builds (same dispatch-floor profile as q65)
-      "q325_graph_search")
+      "q325_graph_search",
+      // round-10: byte-level BPE trains the same 8 driver-looped
+      // merge rounds as q85
+      "q327_bpe_bytes")
     def sectionOf(n: String): String =
       if (lifecycle(n)) "lifecycle" else if (iterative(n)) "iterative"
       else "scan"
@@ -206,6 +220,23 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    // Per-query section TAG, in the artifact itself (round-9 verdict
+    // ask #2 — the decomposition previously lived in a notes file):
+    // lifecycle / iterative as above; scan-shaped queries split into
+    // REAL-WORK (the DuckDB oracle itself spends ≥ 80 ms — a genuine
+    // engine-vs-engine comparison) vs MICRO-floor (a sub-80 ms oracle:
+    // the ratio measures Spark's data-size-invariant per-query
+    // dispatch constant, not plan quality). Falls back to plain
+    // "scan" when no baseline artifact is present.
+    def tagOf(n: String): String =
+      if (lifecycle(n)) "lifecycle"
+      else if (iterative(n)) "iterative"
+      else baselinePerQuery.get(n) match {
+        case Some(b) => if (b >= 0.08) "scan_real" else "scan_micro"
+        case None => "scan"
+      }
+    val sectionsJson = names.map(n => s"\"" + n + "\":\"" + tagOf(n) + "\"")
+      .mkString("{", ",", "}")
     val vsBaseline =
       if (baselinePerQuery.isEmpty) ""
       else {
@@ -220,10 +251,10 @@ object Bench {
         val bTotal = okNames.map(baselinePerQuery).sum
         val sTotal = best.collect {
           case (n, v) if v >= 0 && okSet(n) => v }.sum
-        val bBySec = okNames.groupBy(sectionOf)
+        val bBySec = okNames.groupBy(tagOf)
           .view.mapValues(_.map(baselinePerQuery).sum).toMap
         val sBySec = best.collect { case (n, v) if v >= 0 && okSet(n) => (n, v) }
-          .groupBy { case (n, _) => sectionOf(n) }
+          .groupBy { case (n, _) => tagOf(n) }
           .view.mapValues(_.map(_._2).sum).toMap
         def sec(name: String): String = {
           val b = bBySec.getOrElse(name, 0.0)
@@ -231,15 +262,23 @@ object Bench {
           if (b <= 0) "" else
             s""","baseline_${name}_sec":${r3(b)},"vs_baseline_$name":${r3(s / b)}"""
         }
+        // combined scan kept for cross-round continuity with r6–r9
+        val bScan = bBySec.getOrElse("scan_real", 0.0) +
+          bBySec.getOrElse("scan_micro", 0.0) + bBySec.getOrElse("scan", 0.0)
+        val sScan = sBySec.getOrElse("scan_real", 0.0) +
+          sBySec.getOrElse("scan_micro", 0.0) + sBySec.getOrElse("scan", 0.0)
+        val scanCombined = if (bScan <= 0) "" else
+          s""","baseline_scan_sec":${r3(bScan)},"vs_baseline_scan":${r3(sScan / bScan)}"""
         s""","baseline_total_sec":${r3(bTotal)},"baselined_spark_sec":${
           r3(sTotal)},"vs_baseline":${
-          r3(sTotal / bTotal)}${sec("scan")}${sec("lifecycle")}${sec("iterative")}"""
+          r3(sTotal / bTotal)}$scanCombined${sec("scan_real")}${sec("scan_micro")
+          }${sec("lifecycle")}${sec("iterative")}"""
       }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning":$ps,"err":$errJson,""" +
       s""""lifecycle_sec":$lifecycleSec,"iterative_sec":$iterativeSec,""" +
-      s""""scan_sec":$scanSec$vsBaseline,""" +
+      s""""scan_sec":$scanSec$vsBaseline,"sections":$sectionsJson,""" +
       s""""sf":"$sfDir","env":$env}"""
     // Truncation-proofing (the r5 artifact lesson): the driver may keep
     // only the last ~2000 stdout chars, and the full line is ~6 KB — so
@@ -263,9 +302,10 @@ object Bench {
     println(fullJson)
     val slowest = best.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
-    // aggregates + errs + env ≈ 500 chars; keep the whole line < 1900
+    // aggregates + errs + env + section ratios ≈ 700 chars; keep the
+    // whole line < 1900
     val topQs = {
-      val budget = 1300
+      val budget = 1100
       val sb = new StringBuilder
       slowest.takeWhile { s =>
         if (sb.length + s.length + 1 > budget) false
