@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality REGRESSION floors (round-9 verdict ask #4): every
+  * production-hash ANN index and the LSH pair generator must clear a
+  * pinned recall floor on a fixed seeded clustered corpus — the shape
+  * ANN indexes are built for (the RECALL_r{N}.json artifact records
+  * the same measurements on the driver's near-uniform testdata, where
+  * recall is bounded by probe coverage; here clusters make high
+  * recall achievable, so a silent quality regression trips a floor
+  * instead of hiding inside data hardness). All builds are
+  * deterministic (fixed seed, xxhash ids, seeded planes), so the
+  * floors sit ~10 recall points under the measured values. */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 10
+  private val dim = 16
+
+  // 8 well-separated gaussian clusters x 50 members, fixed seed
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(23)
+    (0L until 400L).map { i =>
+      val c = (i % 8).toInt
+      val v = Array.fill(dim)(0.35f * rnd.nextGaussian().toFloat)
+      v(c) += 4.0f
+      v(c + 8) += 2.0f
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+  private lazy val queries = corpus.where(col("vec_id") % 20 === 3)
+
+  private lazy val truth: Map[Long, Set[Long]] =
+    Knn.bruteForce(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def recallOf(hits: DataFrame): Double = {
+    val got = hits.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = truth.map { case (q, ts) =>
+      got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+    }
+    per.sum / per.size
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"recall_spec_$tag").toString
+
+  test("IVF (production hash) clears its recall floor on clustered data") {
+    val r = recallOf(Knn.ivf(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, c = 16, nprobe = 4))
+    assert(r >= 0.80, s"ivf recall@$k = $r")
+  }
+
+  test("IVF+PQ / IVF+RQ / IVF+SQ8 persisted probes clear their floors") {
+    val dpq = tmp("pq")
+    Pq.writeIvfPqIndex(corpus, "vec_id", "embedding", dpq, c = 16, m = 8,
+      k = 16, dim = dim)
+    val rpq = recallOf(Pq.searchIvfPq(spark, dpq, queries,
+      "vec_id", "embedding", k, nprobe = 4, shortlist = 50))
+    assert(rpq >= 0.70, s"ivfpq recall@$k = $rpq")
+    val drq = tmp("rq")
+    Pq.writeIvfRqIndex(corpus, "vec_id", "embedding", drq, c = 16, m = 8,
+      k = 16, dim = dim)
+    val rrq = recallOf(Pq.searchIvfRq(spark, drq, queries,
+      "vec_id", "embedding", k, nprobe = 4, shortlist = 50))
+    assert(rrq >= 0.70, s"ivfrq recall@$k = $rrq")
+    val dsq = tmp("sq8")
+    Pq.writeIvfSq8Index(corpus, "vec_id", "embedding", dsq, c = 16, dim = dim)
+    val rsq = recallOf(Pq.searchIvfSq8(spark, dsq, queries,
+      "vec_id", "embedding", k, nprobe = 4, shortlist = 50))
+    assert(rsq >= 0.75, s"ivfsq8 recall@$k = $rsq")
+    // the compression ladder must stay ordered within tolerance: the
+    // finer the code, the better (or equal) the recall
+    assert(rsq + 1e-9 >= rrq - 0.10 && rrq + 1e-9 >= rpq - 0.10,
+      s"ladder inverted: pq=$rpq rq=$rrq sq8=$rsq")
+  }
+
+  test("BQ Hamming first stage clears its floor") {
+    val (mins, maxs) = Pq.sq8Train(corpus, "embedding", dim)
+    val th = Pq.bqThresholds(mins, maxs)
+    val enc = Pq.bqEncode(corpus, "vec_id", "embedding", th)
+    val r = recallOf(Pq.searchBq(enc, queries, "vec_id", "embedding", th, k))
+    // BQ is the 32x-compressed FIRST stage: on clustered data all
+    // cluster members share the spike bits, so within-cluster ranking
+    // rides noise bits — random-within-cluster is ~k/cluster = 0.2
+    // here (measured 0.25). The floor guards "finds the right
+    // cluster"; production re-ranks the Hamming shortlist exactly.
+    assert(r >= 0.15, s"bq recall@$k = $r")
+  }
+
+  test("persisted NSW graph search clears its floor") {
+    val d = tmp("graph")
+    Knn.writeGraphIndex(corpus, "vec_id", "embedding", d, k = 8, c = 16,
+      nprobe = 2, buckets = 16)
+    val r = recallOf(Knn.searchGraphIndex(spark, d, queries,
+      "vec_id", "embedding", beam = 12, hops = 3, k = k))
+    assert(r >= 0.80, s"graph recall@$k = $r")
+  }
+
+  test("hyperplane LSH pair recall at tau clears its floor") {
+    val tau = 0.9 // intra-cluster pairs on this corpus
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
+      .where(graft.functions.Vectors.cosine(col("va"), col("vb")) >= tau)
+      .count()
+    assert(truePairs > 100, s"fixture drift: only $truePairs true pairs")
+    val found = Dedup.embeddingPairs(corpus, "vec_id", "embedding",
+      tau = tau, planes = 4, dim = dim, seed = 7L, tables = 8).count()
+    val r = found.toDouble / truePairs
+    assert(r >= 0.85, s"lsh pair recall = $r ($found/$truePairs)")
+  }
+}
