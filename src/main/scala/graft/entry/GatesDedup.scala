@@ -1,0 +1,2195 @@
+package graft
+package entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ffiec, Text, Vectors}
+import graft.operators.{CombineParts, Dedup, Graph, KeyChecks, Knn, LongPivot, Pq, Sampling, TextAnalytics}
+import graft.sources.{Scan, XbrlZip}
+import graft.streaming.Sessions
+
+import graft.entry.EntryHelpers._
+
+/** Gate registry, the dedup family (exact, MinHash/LSH, SimHash, semantic, spans) — split verbatim out of
+  * SparkEntry.scala (round 10, r9 verdict ask #8; zero behavior
+  * change, every entry byte-identical to the monolith at split
+  * time). SparkEntry concatenates the family maps back into the
+  * driver contract.
+  */
+private[graft] object GatesDedup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+"q15_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("fp")
+    }),
+
+// maxDf hot-shingle cap ACTIVE in the gate (the oracle applies the
+    // same QUALIFY) — viral shingles are dropped from the inverted
+    // index before the candidate join in both engines.
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5, maxDf = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
+// Gate queries run the md5-portable hash mode so signature, banding
+    // and pair verification are exactly replayed by the DuckDB oracle;
+    // production default stays the xxhash64 codegen kernels (ScalaTest
+    // asserts both modes implement the same algorithm).
+    "q17_minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.35,
+        portableHash = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+"q18_simhash" -> ((s, dir) => {
+      Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        portableHash = true)
+        .orderBy("id")
+    }),
+
+// Duplicated-passage signal (substring-dedup metric): fraction of
+    // each doc's 3-token windows (with multiplicity) occurring >= 2
+    // times corpus-wide.
+    "q57_duplicated_windows" -> ((s, dir) => {
+      Dedup.duplicatedWindowFraction(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDf = 2)
+        .orderBy("doc_id")
+    }),
+
+// Span-level duplicated-passage removal (Lee et al. cut): 3-token
+    // windows occurring >= 2 times corpus-wide are removed from every
+    // doc except the globally-first occurrence (keepOne).
+    "q59_remove_dup_spans" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDf = 2, keepOne = true)
+        .orderBy("doc_id")
+    }),
+
+// Connected components on a deliberately DEEP graph: chain edges
+    // (k, k-3) make three components of depth n/3 — far beyond any
+    // fixed-round label propagation, trivial for the convergence-
+    // checked star algorithm. The oracle is the closed-form ground
+    // truth (components are residue classes mod 3, rep = class min).
+    "q60_connected_components" -> ((s, dir) => {
+      val pairs = t(s, dir, "customer").where(col("c_custkey") > 3)
+        .select(col("c_custkey").as("id_a"), (col("c_custkey") - 3).as("id_b"))
+      Dedup.canonicalizeCc(pairs).orderBy("id")
+    }),
+
+// Graph-clustered SemDeDup: the q19 exact pair set collapsed to
+    // connected components by the star algorithm; the oracle computes
+    // the SAME components via a recursive-CTE transitive closure — a
+    // genuine cross-algorithm check (epsilon-GRAPH components, the
+    // transitive alternative to q61's one-shot marking).
+    "q66_semdedup_graph" -> ((s, dir) => {
+      val pairs = Dedup.embeddingPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.45, planes = 0)
+      Dedup.canonicalizeCc(pairs.select("id_a", "id_b")).orderBy("id")
+    }),
+
+// Cross-corpus decontamination: training docs (doc_id%10!=0) that
+    // MinHash-band with any eval doc (doc_id%10==0) at est_jaccard >=
+    // tau — md5-portable mode, replayed key-for-key by the oracle.
+    "q58_decontam_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalDocs = docs.where(col("doc_id") % 10 === 0)
+      val train = docs.where(col("doc_id") % 10 =!= 0)
+      Dedup.minhashLshPairsAcross(train, "doc_id", "text",
+        evalDocs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, tau = 0.35,
+        portableHash = true)
+        .orderBy("id_l", "id_r")
+    }),
+
+// The persisted-fingerprint incremental-dedup lifecycle under the
+    // gate: build the store from one corpus slice, APPEND a second
+    // slice, then probe a batch against the combined history — the
+    // on-disk build-once/probe-many analog of q58's in-memory
+    // cross-corpus pairs (same banding semantics, so the oracle is the
+    // same replay with an even/odd split).
+    "q82_minhash_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
+      graft.operators.MinhashStore.write(
+        docs.where(col("doc_id") % 4 === 0), "doc_id", "text", tmp,
+        shingleN = 3, bands = 16, rowsPerBand = 4, portableHash = true)
+      graft.operators.MinhashStore.append(
+        docs.where(col("doc_id") % 4 === 2), "doc_id", "text", tmp)
+      graft.operators.MinhashStore.probe(s, tmp,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        tau = 0.35, maxBucket = 1000)
+        .orderBy("id_new", "id_store")
+    }),
+
+// The store MAINTENANCE lifecycle under the gate: build + append as
+    // q82, then DELETE a slice (tombstones) and COMPACT (rewrite minus
+    // tombstones, bucket_counts recounted in one shard) before probing.
+    // The oracle is q82's replay with the deleted ids filtered out of
+    // the banded universe — pairs AND hot-bucket accounting must both
+    // behave as if the deleted docs were never ingested.
+    "q97_store_compacted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mh_cmp").toString
+      graft.operators.MinhashStore.write(
+        docs.where(col("doc_id") % 4 === 0), "doc_id", "text", tmp,
+        shingleN = 3, bands = 16, rowsPerBand = 4, portableHash = true)
+      graft.operators.MinhashStore.append(
+        docs.where(col("doc_id") % 4 === 2), "doc_id", "text", tmp)
+      graft.operators.MinhashStore.delete(
+        docs.where(col("doc_id") % 8 === 0).select("doc_id"), "doc_id", tmp)
+      graft.operators.MinhashStore.compactStore(s, tmp)
+      graft.operators.MinhashStore.probe(s, tmp,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        tau = 0.35, maxBucket = 1000)
+        .orderBy("id_new", "id_store")
+    }),
+
+// The EMBEDDING-store maintenance lifecycle under the gate — q97's
+    // posture at the semantic layer: build the IVF-backed store from
+    // the even embeddings, DELETE a slice (tombstones filter the cells
+    // scan BEFORE top-k ranking — post-ranking masking would let the
+    // deleted doc eat the k=1 slot and hide a live near-dup), COMPACT
+    // (cells rewritten minus tombstones, pruning layout preserved),
+    // then probe the odd embeddings against the surviving history.
+    "q113_store_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_emb_life").toString
+      graft.operators.EmbeddingStore.write(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", tmp,
+        c = 16, portableHash = true)
+      graft.operators.EmbeddingStore.delete(
+        emb.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id", tmp)
+      graft.operators.EmbeddingStore.compactStore(s, tmp)
+      graft.operators.EmbeddingStore.probe(s, tmp,
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        tau = 0.3, nprobe = 4)
+        .orderBy("id_new")
+    }),
+
+// Centroid-drift metric under the gate: centroids frozen on the
+    // even half, the odd half APPENDED against them, drift reported in
+    // exact integer micro-units (per-row round at 1e-6, integer DIV
+    // means) — the number a rebuild scheduler compares across runs, so
+    // it must be bit-stable across engines.
+    "q114_centroid_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_emb_drift").toString
+      graft.operators.EmbeddingStore.write(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", tmp,
+        c = 16, portableHash = true)
+      graft.operators.EmbeddingStore.append(
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", tmp)
+      graft.operators.EmbeddingStore.drift(s, tmp)
+    }),
+
+// WARC ingest round-trip under the gate: corpus → WARC shards
+    // (Content-Length-framed response records, metadata as headers) →
+    // record walk back (plus a planted garbage shard that must vanish)
+    // → per-(lang, source) fidelity digest vs the original parquet —
+    // the q83 JSONL posture for the web-crawl wire format.
+    "q105_warc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      def warcCols(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+        col("text").cast("binary").as("payload"),
+        map(lit("X-Lang"), col("lang"),
+            lit("X-Source"), col("source")).as("hdrs"))
+      // evens travel as plain .warc; odds through GZIPPED shards (the
+      // Common Crawl .warc.gz form — each shard one gzip stream here;
+      // the concatenated-member case is spec'd in SourcesSpec). The
+      // digest only matches the parquet oracle if BOTH paths decode.
+      graft.sources.Warc.write(
+        warcCols(docs.where(col("doc_id") % 2 === 0)),
+        tmp, "uri", "payload", Some("hdrs"))
+      val gzTmp = java.nio.file.Files.createTempDirectory("graft_warc_gz").toString
+      graft.sources.Warc.write(
+        warcCols(docs.where(col("doc_id") % 2 === 1)),
+        gzTmp, "uri", "payload", Some("hdrs"))
+      new java.io.File(gzTmp).listFiles().filter(_.getName.endsWith(".warc"))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(s"$tmp/gz-${f.getName}.gz")
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(java.nio.file.Files.readAllBytes(f.toPath))
+          gz.close()
+        }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/zz-corrupt.warc"),
+        "garbage, not a warc record\r\n\r\n")
+      graft.sources.Warc.read(s, tmp).toDF()
+        .where(col("record_type") === "response")
+        .select(col("headers")("X-Lang").as("lang"),
+          col("headers")("X-Source").as("source"),
+          col("payload").cast("string").as("text"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          min(md5(col("text").cast("binary"))).as("min_md5"))
+        .orderBy("lang", "source")
+    }),
+
+// JSONL ingest round-trip under the gate: corpus → JSONL shards →
+    // tolerant read (a deliberately malformed shard is planted — its
+    // lines must vanish, not fail the job or skew the aggregate) →
+    // per-(lang, source) fidelity digest. The md5-of-text MIN proves
+    // the text column survived JSON escaping byte-for-byte; the oracle
+    // reads the original parquet, so any round-trip corruption breaks
+    // the value compare.
+    "q83_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.sources.Jsonl.write(docs, tmp)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/zz-corrupt.json"),
+        "{not json at all\n\"also broken\n{\"doc_id\": }\n")
+      graft.sources.Jsonl.readClean(s, tmp, docs.schema)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min(md5(col("text").cast("binary"))).as("min_md5"))
+        .orderBy("lang", "source")
+    }),
+
+// Scalar quantization end-to-end: per-dim min/max train (an exact,
+    // order-insensitive aggregate — the oracle RECOMPUTES it in SQL,
+    // no driver literals), uint8 encode, asymmetric dequantized-dot
+    // search. Every float step is an ordered fold, replayed
+    // step-for-step by the oracle.
+    "q84_sq8_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = Pq.sq8Train(emb, "embedding", 64)
+      val enc = Pq.sq8Encode(emb, "vec_id", "embedding", mins, maxs)
+      Pq.searchSq8(enc, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", mins, maxs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+// Binary quantization end-to-end (round 9 — the 32× endpoint of
+    // the float→SQ8→PQ/RQ→BQ family): per-dim midpoint thresholds
+    // from the exact min/max aggregate (oracle recomputes in SQL),
+    // sign-bit packing into 63-bit-portable words, symmetric Hamming
+    // top-k. Distances are pure INTEGER popcounts — no float fold at
+    // all, the only quantizer whose search replays bit-exactly by
+    // construction.
+    "q300_bq_hamming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = Pq.sq8Train(emb, "embedding", 64)
+      val th = Pq.bqThresholds(mins, maxs)
+      val enc = Pq.bqEncode(emb, "vec_id", "embedding", th)
+      Pq.searchBq(enc, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", th, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+// Winnowing fingerprints (round 9 — Schleimer et al., SIGMOD
+    // 2003): per-window rightmost-min gram hashes, the local
+    // fingerprinting guarantee (any shared ≥ w+k−1 substring shares a
+    // fingerprint). One in-row projection, zero shuffle; md5-portable
+    // hash mode so the oracle replays every pick.
+    "q301_winnowing" -> ((s, dir) => {
+      operators.TextAnalytics.winnowFingerprints(
+        t(s, dir, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 8, w = 8, portableHash = true)
+        .orderBy("id", "pos")
+    }),
+
+// Exact ROC AUC per stratum from score CELLS (Mann–Whitney
+    // identity, ties half-credit): label = order finished, score =
+    // total price in kilodollar buckets (the cell-join pre-bucket
+    // contract, enforced).
+    "q302_roc_auc" -> ((s, dir) => {
+      operators.Stats.rocAuc(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          (col("o_orderstatus") === "F").as("y"),
+          round(col("o_totalprice") / 1000).cast("long").as("s1k")),
+        "pri", "y", "s1k")
+        .orderBy("stratum")
+    }),
+
+// Cohen's κ: labeled lang vs the q23 marker-word prediction — the
+    // chance-corrected one-number summary of q227's confusion matrix.
+    "q303_cohens_kappa" -> ((s, dir) => {
+      operators.Stats.cohensKappa(
+        t(s, dir, "documents").select(col("lang"),
+          Text.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
+// Log-rank test between q228's two parity cohorts over the same
+    // censored view→purchase durations — "do the two cohorts' KM
+    // curves differ?", closed from the identical subjects frame.
+    "q304_log_rank" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("u"))
+        .agg(min(unix_micros(col("ts"))).as("ta"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("tb"))
+        .join(a, Seq("u")).where(col("tb") > col("ta"))
+        .groupBy("u", "ta").agg(min("tb").as("tb"))
+        .select(col("u"), expr("(tb - ta) div 1000000L").as("t"),
+          lit(true).as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val last = ev.groupBy(col("user_id").as("u"))
+        .agg(max(unix_micros(col("ts"))).as("tmax"))
+      val cens = a.join(last, Seq("u"))
+        .join(conv.select(col("u"), lit(1).as("__c")), Seq("u"), "left_anti")
+        .select(col("u"), expr("(tmax - ta) div 1000000L").as("t"),
+          lit(false).as("e"))
+      val subjects = conv.unionByName(cens)
+        .withColumn("cohort", concat(lit("c"), pmod(col("u"), lit(2L))))
+      operators.Stats.logRank(subjects, "cohort", "c0", "c1", "t", "e")
+    }),
+
+// Quantile normalization: every priority's price distribution
+    // mapped rank-for-rank onto the 1-URGENT reference (Bolstad et
+    // al. 2003) — all-integer ranks + ceiling division, engine-exact.
+    "q305_quantile_norm" -> ((s, dir) => {
+      operators.Sampling.quantileNormalize(
+        t(s, dir, "orders").where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("oid"),
+            col("o_orderpriority").as("pri"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "oid", "pri", "cents", "1-URGENT")
+        .orderBy("id")
+    }),
+
+// Mantel–Haenszel pooled odds ratio: urgent-priority exposure vs
+    // order-finished outcome, stratified by order year — the
+    // Simpson's-paradox guard before trusting the marginal OR.
+    "q306_mantel_haenszel" -> ((s, dir) => {
+      operators.Stats.mantelHaenszel(
+        t(s, dir, "orders").select(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("x"),
+          (col("o_orderstatus") === "F").as("y")),
+        "yr", "x", "y")
+    }),
+
+// Fleiss' κ over three deterministic raters per document (labeled
+    // lang, the q23 prediction, the q23 prediction on the first 120
+    // chars) — fixed r = 3 enforced; the multi-rater agreement score
+    // annotation pipelines gate on.
+    "q307_fleiss_kappa" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val raters = d0.select(col("doc_id"), col("lang").as("cat"))
+        .unionByName(d0.select(col("doc_id"),
+          Text.langId(col("text")).as("cat")))
+        .unionByName(d0.select(col("doc_id"),
+          Text.langId(substring(col("text"), 1, 120)).as("cat")))
+      operators.Stats.fleissKappa(raters, "doc_id", "cat")
+    }),
+
+// Newman modularity of a fixed mod-7 partition over the q283 link
+    // graph — exact integer numerator Q·4m² = Σ(4m·e_c − d_c²), one
+    // double close. The quality score a community assignment is
+    // graded with before anyone trusts it.
+    "q308_modularity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .select(col("node"), pmod(col("node"), lit(7)).as("label"))
+      operators.Graph.modularity(edges, "src", "dst", nodes,
+        "node", "label")
+    }),
+
+// Degree assortativity (Newman 2002) of the same graph — Pearson
+    // over symmetrized edge-endpoint degrees, exact DECIMAL moments.
+    "q309_assortativity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(97)).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(31)).as("dst")))
+      operators.Graph.assortativity(edges, "src", "dst")
+    }),
+
+// Friedman test: order volume per (year block, priority
+    // treatment) — doubled in-row block ranks, exact integer moments,
+    // the repeated-measures companion of q273's Kruskal–Wallis.
+    "q310_friedman" -> ((s, dir) => {
+      val cells = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).cast("long").as("v"))
+      operators.Stats.friedman(cells, "yr", "pri", "v")
+    }),
+
+// Von Neumann randomness ratio of each event type's daily counts
+    // — the "is a trend fit even warranted?" screen before q158.
+    "q311_von_neumann" -> ((s, dir) => {
+      operators.TimeSeries.vonNeumannRatio(events(s, dir),
+        "event_type", "ts").orderBy("key")
+    }),
+
+// Dunning G² collocations — the significance-weighted companion
+    // of q142's PMI (PMI over-ranks rare pairs; G² weighs evidence).
+    "q312_llr_collocations" -> ((s, dir) => {
+      operators.TextAnalytics.llrCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, k = 40)
+    }),
+
+// Jaro–Winkler record-linkage scorer as a codegen'd Catalyst
+    // expression with DuckDB-parity semantics (probed: window
+    // ⌊max/2⌋−1, boost only when j > 0.7, either-empty → 0) — the
+    // oracle replays it with the engine's own jaro_winkler_similarity.
+    "q313_jaro_winkler" -> ((s, dir) => {
+      val dirty = concat(substring(col("c_name"), 1, 10),
+        reverse(substring(col("c_name"), 11, 4)),
+        substring(col("c_name"), 15, 100))
+      t(s, dir, "customer").select(col("c_custkey"),
+          round(graft.plans.native.jaroWinkler(col("c_name"), dirty), 6)
+            .as("jw"))
+        .orderBy("c_custkey")
+    }),
+
+// First-order partial correlation per return flag: price ~ qty
+    // controlling for discount — the continuous confounder screen
+    // beside q306's categorical Mantel–Haenszel.
+    "q314_partial_corr" -> ((s, dir) => {
+      operators.Stats.partialCorrByKey(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice")).cast("long").as("price"),
+          round(col("l_discount") * 10000).cast("long").as("disc_bp")),
+        "rf", "qty", "price", "disc_bp")
+        .orderBy("key")
+    }),
+
+// Wald–Wolfowitz runs test per event type: do high and low days
+    // cluster? — the sign-based randomness screen beside q311's
+    // magnitude-based von Neumann ratio.
+    "q315_runs_test" -> ((s, dir) => {
+      operators.TimeSeries.runsTest(events(s, dir), "event_type", "ts")
+        .orderBy("key")
+    }),
+
+// Cronbach's α across three deterministic per-document "items"
+    // (char count, token count, uppercase count) — the reliability
+    // score beside q307's Fleiss κ.
+    "q316_cronbach_alpha" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val items = d0.select(col("doc_id"), lit("chars").as("item"),
+          length(col("text")).cast("long").as("v"))
+        .unionByName(d0.select(col("doc_id"), lit("toks").as("item"),
+          Text.tokenCount(col("text")).cast("long").as("v")))
+        .unionByName(d0.select(col("doc_id"), lit("upper").as("item"),
+          length(regexp_replace(col("text"), "[^A-Z]", ""))
+            .cast("long").as("v")))
+      operators.Stats.cronbachAlpha(items, "doc_id", "item", "v")
+    }),
+
+// Global clustering coefficient (transitivity) of the q163
+    // co-purchase projection — 3·triangles/wedges, integers
+    // end-to-end.
+    "q317_clustering_coeff" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .where(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = lp.join(lp.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      operators.Graph.clusteringCoeff(e, "src", "dst")
+    }),
+
+// Sorted-neighborhood blocking composed with the q313 JW scorer:
+    // window pairs filtered at τ = 0.95 — the classic merge-purge
+    // candidate path with the name-linkage verifier.
+    "q318_jw_linkage" -> ((s, dir) => {
+      operators.Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "customer"), "c_custkey", col("c_name"), w = 5)
+        .withColumn("jw", round(graft.plans.native.jaroWinkler(
+          col("key_a"), col("key_b")), 6))
+        .where(col("jw") >= 0.95)
+        .select(col("id_a"), col("id_b"), col("jw"))
+        .orderBy("id_a", "id_b")
+    }),
+
+// Murphy decomposition of the binned Brier score — calibration
+    // (REL), discrimination (RES), base rate (UNC) in one row; the
+    // quantitative summary over q193's reliability bins.
+    "q319_brier_decomposition" -> ((s, dir) => {
+      operators.Stats.brierDecomposition(
+        t(s, dir, "orders").select(
+          least(lit(999L), floor(col("o_totalprice") / 300).cast("long"))
+            .as("score_milli"),
+          (col("o_orderstatus") === "F").as("y")),
+        "score_milli", "y", bins = 10, loMilli = 0L, hiMilli = 1000L)
+    }),
+
+// Theil's U — the normalized, asymmetric association readout
+    // over q199's MI cells: what fraction of the true lang's
+    // uncertainty does the q23 prediction remove?
+    "q320_theil_u" -> ((s, dir) => {
+      operators.KeyChecks.theilU(
+        t(s, dir, "documents").select(col("lang"),
+          Text.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
+// Krippendorff's α with VARIABLE rater counts (rater 3 missing
+    // on every 4th doc) — the agreement stat Cohen/Fleiss can't do.
+    "q321_krippendorff" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val raters = d0.select(col("doc_id"), col("lang").as("cat"))
+        .unionByName(d0.select(col("doc_id"),
+          Text.langId(col("text")).as("cat")))
+        .unionByName(d0.where(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id"),
+            Text.langId(substring(col("text"), 1, 120)).as("cat")))
+      operators.Stats.krippendorffAlpha(raters, "doc_id", "cat")
+    }),
+
+// Lin's concordance correlation per market segment: account
+    // balances vs a deterministically shifted copy — Pearson r
+    // penalized by the location/scale shift it deliberately carries.
+    "q322_lin_ccc" -> ((s, dir) => {
+      operators.Stats.linCcc(
+        t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("x"),
+          (round(col("c_acctbal") * 100).cast("long")
+            + pmod(col("c_custkey"), lit(200)) - lit(100)).as("y")),
+        "seg", "x", "y")
+        .orderBy("key")
+    }),
+
+// Hellinger distance between finished and open orders' price
+    // distributions per priority — the bounded symmetric drift
+    // measure beside q170's KS and q247's JS.
+    "q323_hellinger" -> ((s, dir) => {
+      operators.Stats.hellingerByStratum(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") / 1000).cast("long").as("v1k")),
+        "pri", "st", "F", "O", "v1k")
+        .orderBy("stratum")
+    }),
+
+// Population stability index on the same cells — the industry
+    // drift score with the documented add-one smoothing convention.
+    "q324_psi" -> ((s, dir) => {
+      operators.Stats.psiByStratum(
+        t(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") / 1000).cast("long").as("v1k")),
+        "pri", "st", "F", "O", "v1k")
+        .orderBy("stratum")
+    }),
+
+// Graph beam search (NSW single-layer, Malkov & Yashunin 2018):
+    // the q65 kNN graph navigated from the deterministic min-id
+    // entry, 2 hops × beam 4 → top 3 — the ANN family's graph-walk
+    // member; every hop unrolled as an oracle CTE.
+    "q325_graph_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = Knn.knnGraph(emb, "vec_id", "embedding", k = 3, c = 16,
+        nprobe = 2, portableHash = true)
+      Knn.searchGraph(g, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+// The persisted kNN-graph lifecycle (round 10 — the last index
+    // family to gain a build-once/probe-many store): graph over the
+    // base 90%, written bucketed; the held-out 10% NSW-inserted (each
+    // new node beam-searches the pre-append graph for its k out-
+    // neighbors, reverse links added, touched sources re-trimmed to
+    // k); then a multi-seed beam search over the appended store. The
+    // oracle replays build, insert beam, re-trim, entry maintenance,
+    // and search beam as one CTE chain.
+    "q326_graph_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_graphidx_gate").toString
+      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
+        buckets = 8, portableHash = true)
+      Knn.appendGraphIndex(emb.where(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", tmp, beam = 4, hops = 2)
+      Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+// BPE tokenizer training under the gate: 8 merge rounds over the
+    // corpus word-frequency table. The oracle unrolls the SAME
+    // argmax + string-replace rounds as CTEs — an iterative trainer
+    // replayed exactly, round for round (the driver loop is the Spark
+    // side's only non-SQL element).
+    "q85_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 8)
+        .toDF("step", "lhs", "rhs", "merged", "freq")
+        .orderBy("step")
+    }),
+
+// BYTE-LEVEL BPE training (round 10 — the GPT-2 form production
+    // tokenizers ship): words start from UTF-8 bytes remapped through
+    // the fixed bytes_to_unicode bijection, so multibyte characters
+    // decompose and no input is ever OOV. Same 8 merge rounds; the
+    // oracle re-derives the byte alphabet with hex()+strpos parsing
+    // and the CASE remap, then replays the identical rounds.
+    "q327_bpe_bytes" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text",
+          numMerges = 8, byteLevel = true)
+        .toDF("step", "lhs", "rhs", "merged", "freq")
+        .orderBy("step")
+    }),
+
+// Train-then-tokenize end-to-end: the corpus tokenized with its
+    // OWN learned merges; per-doc subword vs word counts. The oracle
+    // joins the unrolled trainer's final vocabulary back to each doc.
+    "q92_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      docs.where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(graft.operators.Bpe.encodeColumn(col("text"), merges))
+            .cast("long").as("n_bpe_tokens"),
+          Text.tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+// The PRODUCTION tokenizer path under the gate: the same
+    // train-then-tokenize as q92 but through the rank-map kernel
+    // (Bpe.encodeColumnFast / BpeTokens) instead of the per-merge
+    // unrolled replaces — the form that carries a 30k-merge vocabulary.
+    // Same oracle family, different doc slice; a kernel/unrolled
+    // divergence on any word breaks the value compare.
+    "q98_bpe_kernel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      docs.where(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          size(graft.operators.Bpe.encodeColumnFast(col("text"), merges))
+            .cast("long").as("n_bpe_tokens"),
+          Text.tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+// Paragraph dedup + reassembly. The corpus has no multi-paragraph
+    // docs, so the gate synthesizes them: every doc gets a second
+    // paragraph — its decade-anchor's text — so each anchor paragraph
+    // recurs 11× and only the globally-first copy (the anchor doc's
+    // OWN first paragraph) survives.
+    "q86_dedup_paragraphs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val anchors = docs.select(col("doc_id").as("aid"), col("text").as("atext"))
+      val pdocs = docs
+        .withColumn("aid", col("doc_id") - pmod(col("doc_id"), lit(10)))
+        .join(anchors, Seq("aid"))
+        .select(col("doc_id").as("pid"),
+          concat(col("text"), lit("\n\n"), col("atext")).as("text"))
+      Dedup.dedupParagraphs(pdocs, "pid", "text").orderBy("pid")
+    }),
+
+// Canonical-URL dedup: four synthesized crawl variants of each
+    // logical page (tracking params / http + trailing slash / HTTPS
+    // shouting + :443 + fragment / bare) must collapse per page key.
+    "q87_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(lit("site"), pmod(col("doc_id"), lit(20)), lit(".example.com"))
+      val path = concat(lit("/page/"), pmod(col("doc_id"), lit(50)))
+      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("https://www."), host, path, lit("/?utm_source=x&ref=y")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("http://"), host, path, lit("/")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          upper(concat(lit("https://"), host, lit(":443"), path)))
+        .otherwise(concat(host, path, lit("#frag")))
+      TextAnalytics.dedupByUrl(
+        docs.select(col("doc_id"), url.as("url")), "doc_id", "url")
+        .orderBy("url_canon")
+    }),
+
+// Compaction binning: exclusive-cumsum-div-target over (size DESC,
+    // id) — the documents table stands in as the file manifest (one
+    // row per file, metadata-scale; Layout.compact drives the same
+    // rule against real directories in ScalaTest).
+    "q88_compaction_plan" -> ((s, dir) => {
+      operators.Layout.packBySize(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", targetBytes = 4000L)
+        .orderBy("doc_id")
+    }),
+
+// The IVF+SQ8 lifecycle under the gate: bottom-k centroids, exact
+    // min/max ranges, cell-partitioned uint8 codes on disk, then the
+    // pruned codes-only ADC probe + shortlist + exact re-rank — q75's
+    // scaffold with the closed-form SQ8 "codebook".
+    "q90_ivfsq8_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfsq8_gate").toString
+      Pq.writeIvfSq8Index(emb, "vec_id", "embedding", tmp,
+        c = 16, dim = 64, portableHash = true)
+      Pq.searchIvfSq8(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+// ANALYZE-style one-pass column profile (nulls synthesized as in
+    // q14 so n_null is non-trivial); min/max rendered as strings over
+    // engine-portable column types.
+    "q89_analyze_table" -> ((s, dir) => {
+      val src = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_name")).as("c_name"),
+        col("c_mktsegment"), col("c_nationkey"))
+      KeyChecks.analyze(src,
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+        .orderBy("col_name")
+    }),
+
+"q19_embedding_dedup" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.45, planes = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+// The scale path: hyperplane-LSH buckets first, cosine verify inside
+    // buckets only — the shape that survives 100 TB (q19 is the recall
+    // baseline). Two OR-amplified tables; the oracle replays the same
+    // 2×8 seeded hyperplanes.
+    "q45_embedding_lsh" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.45, planes = 8, dim = 64, seed = 7L, tables = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+// SemDeDup: IVF-cluster the embedding space, pair ONLY within a
+    // cluster, mark dup iff a smaller-id cluster-mate has cosine >=
+    // tau. Portable centroid hash so the oracle replays the pick,
+    // the NearestCell assignment, the maxCell QUALIFY and the
+    // epsilon-ball marking key-for-key.
+    "q61_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.45, c = 16, maxCell = 1000, portableHash = true)
+        .orderBy("id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+"q15_dedup_exact" ->
+      s"""SELECT md5($normText) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+"q16_ngram_jaccard" ->
+      s"""$shinglesSql,
+         |capped AS (
+         |  SELECT * FROM ex QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000)
+         |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) p
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+"q17_minhash_dedup" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_a[i] = sig_b[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+"q57_duplicated_windows" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(1, len(tk) - 1),
+         |                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS w
+         |  FROM toks),
+         |g AS (SELECT w, COUNT(*) AS c FROM wins GROUP BY w),
+         |per AS (
+         |  SELECT x.doc_id, COUNT(*) AS tot,
+         |         SUM(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS dup
+         |  FROM wins x JOIN g USING (w) GROUP BY x.doc_id)
+         |SELECT doc_id, ROUND(dup * 1.0 / tot, 6) AS dup_frac
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+// Span removal replay: windows with positions, per-window count +
+    // first-occurrence exemption (row_number over (doc_id, pos)), and
+    // the token rewrite as a list_filter with DuckDB's 1-BASED lambda
+    // index (Spark's filter index is 0-based — hence i - 1).
+    "q59_remove_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, u.pos, u.w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)), i ->
+        |      struct_pack(pos := i - 1, w := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS u
+        |    FROM toks) x),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+        |    COUNT(*) OVER (PARTITION BY w) AS c
+        |  FROM wins),
+        |spans AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+        |  FROM occ WHERE c >= 2 AND rn > 1 GROUP BY doc_id),
+        |joined AS (
+        |  SELECT t.doc_id, t.tk, s.starts FROM toks t
+        |  LEFT JOIN spans s ON t.doc_id = s.doc_id),
+        |kept AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN starts IS NULL THEN tk
+        |         ELSE list_filter(tk, (x, i) ->
+        |           NOT len(list_filter(starts, ss -> i - 1 >= ss AND i - 1 <= ss + 2)) > 0)
+        |    END AS kp
+        |  FROM joined)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kp, ' '), '') AS clean_text,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(tk) - len(kp) AS INT) AS n_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
+// Components via WITH RECURSIVE transitive closure — a different
+    // algorithm than the Spark side's large-star/small-star, agreeing
+    // on the fixpoint. Closure stays small: epsilon-graph components
+    // at this tau are a handful of docs each.
+    "q66_semdedup_graph" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM r GROUP BY u)
+         |SELECT id, rep FROM m ORDER BY id""".stripMargin,
+
+// Ground-truth oracle, not a replay: with chain edges (k, k-3) the
+    // components are exactly the residue classes mod 3, so the
+    // expected rep is the class minimum — a closed form the window MIN
+    // computes directly.
+    "q60_connected_components" ->
+      """WITH ids AS (
+        |  SELECT c_custkey AS id FROM customer WHERE c_custkey > 3
+        |  UNION
+        |  SELECT c_custkey - 3 FROM customer WHERE c_custkey > 3)
+        |SELECT id, MIN(id) OVER (PARTITION BY id % 3) AS rep
+        |FROM ids ORDER BY id""".stripMargin,
+
+// Cross-corpus decontamination: same signature/banding replay as
+    // q17, with the pair join split train-side × eval-side. The
+    // hot-bucket QUALIFY runs over ALL banded rows (each doc bands on
+    // exactly one side, so the union equals the full corpus banding —
+    // key-for-key the operator's union cap).
+    "q58_decontam_pairs" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |         any_value(a.sig) AS sig_l, any_value(b.sig) AS sig_r
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_l, id_r, est_jaccard FROM (
+         |  SELECT id_l, id_r,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_l[i] = sig_r[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_l, id_r""".stripMargin,
+
+// Store-probe replay: identical banding to q58, batch = odd ids
+    // (left), store = even ids (right). The operator's hot-bucket cap
+    // sums prebuilt store counts + batch counts, which equals the full
+    // corpus banding count — key-for-key this QUALIFY.
+    "q82_minhash_store" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_store,
+         |         any_value(a.sig) AS sig_new, any_value(b.sig) AS sig_store
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_new, id_store, est_jaccard FROM (
+         |  SELECT id_new, id_store,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_new[i] = sig_store[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_new, id_store""".stripMargin,
+
+// q82's replay over the post-delete universe: doc_id % 8 = 0 rows
+    // vanish from the banded CTE BEFORE the hot-bucket QUALIFY — after
+    // compactStore the recounted bucket_counts must make the Spark
+    // probe's cap accounting identical to a store that never held them.
+    "q97_store_compacted" ->
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, ${md5Hash64Sql("shingle")} AS h FROM ex),
+         |slot AS (
+         |  SELECT doc_id, j, MIN(xor(h, salt)) AS m
+         |  FROM hs CROSS JOIN (VALUES ${xorSaltsSql(64, 42L)}) s(j, salt)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  WHERE doc_id % 8 <> 0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_store,
+         |         any_value(a.sig) AS sig_new, any_value(b.sig) AS sig_store
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_new, id_store, est_jaccard FROM (
+         |  SELECT id_new, id_store,
+         |    ROUND(len(list_filter(range(1,65), i -> sig_new[i] = sig_store[i])) / 64.0, 6) AS est_jaccard
+         |  FROM pairs) p
+         |WHERE est_jaccard >= 0.35
+         |ORDER BY id_new, id_store""".stripMargin,
+
+// Same fidelity-digest posture as q83, WARC framing instead of
+    // JSON escaping; sum_chars recomputed from text on both sides.
+    "q105_warc_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  MIN(md5(text)) AS min_md5
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+// The oracle reads the ORIGINAL parquet — the Spark side must
+    // round-trip through JSONL (plus planted garbage lines) and land on
+    // identical values, digest included.
+    "q83_jsonl_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(md5(text)) AS min_md5
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+// SQ8 replay: min/max recomputed per dimension, then the same
+    // round-encode and the same ordered dequantized-dot fold. ROUND(x)
+    // is half-away-from-zero in both engines (all operands >= 0 here),
+    // and CAST after ROUND is exact, so codes match bit-for-bit.
+    "q84_sq8_adc" ->
+      """WITH rng AS (
+        |  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+        |         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        |  GROUP BY d),
+        |scd AS (SELECT d, mn,
+        |         CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS sc
+        |       FROM rng),
+        |mnl AS (SELECT list(mn ORDER BY d) AS mn, list(sc ORDER BY d) AS sc FROM scd),
+        |codes AS (
+        |  SELECT vec_id, list_transform(range(1, 65), d ->
+        |    CASE WHEN sc[d] = 0 THEN 0
+        |         ELSE CAST(ROUND((CAST(embedding[d] AS DOUBLE) - mn[d]) / sc[d]) AS INT)
+        |    END) AS codes
+        |  FROM embeddings CROSS JOIN mnl),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_reduce(list_transform(range(1, 65), d ->
+        |      CAST(q.qvec[d] AS DOUBLE) * (mn[d] + codes[d] * sc[d])),
+        |      (a, b) -> a + b), 6) AS sim
+        |  FROM codes c CROSS JOIN q CROSS JOIN mnl
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+"q300_bq_hamming" ->
+      """WITH rng AS (
+        |  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+        |         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        |  GROUP BY d),
+        |thl AS (SELECT list((mn + mx) / 2.0 ORDER BY d) AS th FROM rng),
+        |bits AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(range(1, 64), d ->
+        |      CASE WHEN CAST(embedding[d] AS DOUBLE) > th[d]
+        |           THEN (CAST(1 AS BIGINT) << ((d - 1) % 63)) ELSE 0 END),
+        |      (a, b) -> a | b) AS w0,
+        |    CASE WHEN CAST(embedding[64] AS DOUBLE) > th[64]
+        |         THEN CAST(1 AS BIGINT) ELSE 0 END AS w1
+        |  FROM embeddings CROSS JOIN thl),
+        |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+        |      FROM bits WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    CAST(64 - bit_count(xor(b.w0, q.q0))
+        |            - bit_count(xor(b.w1, q.q1)) AS DOUBLE) AS sim
+        |  FROM bits b CROSS JOIN q
+        |  WHERE b.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+"q301_winnowing" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id AS id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |g AS (SELECT id, t, length(t) - 7 AS n FROM norm),
+         |hs AS (SELECT id, n, list_transform(range(1, n + 1), __d ->
+         |    ${md5Hash64Sql("substr(t, __d, 8)")}) AS hl FROM g),
+         |wm AS (SELECT id, hl, list_transform(range(1, n - 6), __s2 ->
+         |    list_min(hl[__s2 : __s2 + 7])) AS wl FROM hs),
+         |picks AS (SELECT id, hl,
+         |    list_distinct(list_transform(range(1, len(wl) + 1), __s ->
+         |      list_max(list_transform(range(__s, __s + 8), __p ->
+         |        CASE WHEN hl[__p] = wl[__s]
+         |             THEN CAST(__p AS BIGINT)
+         |             ELSE CAST(-1 AS BIGINT) END)))) AS pl
+         |  FROM wm),
+         |r AS (SELECT id, hl, unnest(pl) AS pos FROM picks)
+         |SELECT id, pos, hl[pos] AS fp FROM r
+         |ORDER BY id, pos""".stripMargin,
+
+"q302_roc_auc" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS stratum, (o_orderstatus = 'F') AS y,
+        |    CAST(round(o_totalprice / 1000) AS BIGINT) AS s1k,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2, 3),
+        |p AS (SELECT stratum, s1k AS sp, c AS cp FROM cells WHERE y),
+        |n AS (SELECT stratum, s1k AS sn, c AS cn FROM cells WHERE NOT y),
+        |pairs AS (SELECT p.stratum,
+        |    SUM(CASE WHEN sp > sn THEN cp * cn ELSE 0 END) AS gt,
+        |    SUM(CASE WHEN sp = sn THEN cp * cn ELSE 0 END) AS eq,
+        |    SUM(cp * cn) AS nn
+        |  FROM p JOIN n ON p.stratum = n.stratum GROUP BY 1),
+        |sizes AS (SELECT stratum,
+        |    CAST(SUM(CASE WHEN y THEN c ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN NOT y THEN c ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM cells GROUP BY 1)
+        |SELECT sizes.stratum, n_pos, n_neg,
+        |  CASE WHEN n_pos >= 1 AND n_neg >= 1 THEN
+        |    CAST(round((2.0 * CAST(gt AS DOUBLE) + CAST(eq AS DOUBLE))
+        |      / (2.0 * CAST(nn AS DOUBLE)) * 1e6) AS BIGINT) END AS auc_micro
+        |FROM sizes LEFT JOIN pairs ON sizes.stratum = pairs.stratum
+        |ORDER BY 1""".stripMargin,
+
+"q303_cohens_kappa" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "l")},
+         |pairs AS (SELECT s.lang AS a, l.cat AS b
+         |          FROM src s JOIN lp l ON s.doc_id = l.doc_id),
+         |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM pairs GROUP BY 1, 2),
+         |ra AS (SELECT a, SUM(c) AS rc FROM cells GROUP BY 1),
+         |cb AS (SELECT b, SUM(c) AS cc FROM cells GROUP BY 1),
+         |pe AS (SELECT CAST(COALESCE(SUM(rc * cc), 0) AS DOUBLE) AS pe_num
+         |       FROM ra JOIN cb ON ra.a = cb.b),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) AS BIGINT)
+         |      AS agree
+         |  FROM cells)
+         |SELECT n, agree,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - pe_num > 0 THEN
+         |    CAST(round((CAST(n AS DOUBLE) * CAST(agree AS DOUBLE) - pe_num)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - pe_num) * 1e6)
+         |      AS BIGINT) END AS kappa_micro
+         |FROM tot CROSS JOIN pe""".stripMargin,
+
+"q304_log_rank" ->
+      """WITH a AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS ta
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT a.u, (MIN(tb) - ta) // 1000000 AS t, true AS e
+        |         FROM a JOIN (SELECT user_id AS u, epoch_us(ts) AS tb
+        |                      FROM events WHERE event_type = 'purchase') b
+        |           ON a.u = b.u AND b.tb > a.ta
+        |         GROUP BY a.u, ta),
+        |lastev AS (SELECT user_id AS u, MAX(epoch_us(ts)) AS tmax
+        |           FROM events GROUP BY 1),
+        |cens AS (SELECT a.u, (tmax - ta) // 1000000 AS t, false AS e
+        |         FROM a JOIN lastev ON a.u = lastev.u
+        |         WHERE a.u NOT IN (SELECT u FROM conv)),
+        |subj AS (SELECT CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END AS g1, t,
+        |           CAST(e AS BIGINT) AS e
+        |         FROM (SELECT * FROM conv UNION ALL SELECT * FROM cens)),
+        |cells AS (SELECT t,
+        |    CAST(SUM(g1) AS BIGINT) AS c1,
+        |    CAST(SUM(1 - g1) AS BIGINT) AS c2,
+        |    CAST(SUM(g1 * e) AS BIGINT) AS d1,
+        |    CAST(SUM((1 - g1) * e) AS BIGINT) AS d2
+        |  FROM subj GROUP BY 1),
+        |ar AS (SELECT t, d1, d2,
+        |    CAST(SUM(c1) OVER (ORDER BY t DESC) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER (ORDER BY t DESC) AS BIGINT) AS n2
+        |  FROM cells),
+        |terms AS (SELECT d1,
+        |    CAST(round(
+        |      (CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE))
+        |        * CAST(n1 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS e1m,
+        |    CAST(round(
+        |      CASE WHEN CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) > 1 THEN
+        |        (CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE))
+        |          * (CAST(n1 AS DOUBLE)
+        |             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |          * (1.0 - CAST(n1 AS DOUBLE)
+        |             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |             - (CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE)))
+        |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)
+        |      ELSE 0.0 END * 1e6) AS BIGINT) AS vm
+        |  FROM ar WHERE d1 + d2 > 0),
+        |totals AS (SELECT CAST(SUM(g1) AS BIGINT) AS n_a,
+        |    CAST(SUM(1 - g1) AS BIGINT) AS n_b FROM subj),
+        |agg AS (SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+        |    CAST(COALESCE(SUM(e1m), 0) AS BIGINT) AS e1_micro,
+        |    CAST(COALESCE(SUM(vm), 0) AS BIGINT) AS v_micro FROM terms)
+        |SELECT n_a, n_b, o1, e1_micro, v_micro,
+        |  CASE WHEN v_micro > 0 THEN
+        |    CAST(round((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
+        |      / sqrt(CAST(v_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM totals CROSS JOIN agg""".stripMargin,
+
+"q305_quantile_norm" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |ranked AS (SELECT id, g, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id)
+        |      AS BIGINT) AS rk
+        |  FROM rows_),
+        |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng
+        |          FROM ranked GROUP BY 1),
+        |ref AS (SELECT rk AS pos, v AS v_ref FROM ranked
+        |        WHERE g = '1-URGENT'),
+        |nref AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM ref)
+        |SELECT r.id, r.g AS grp, r.v, ref.v_ref AS v_norm
+        |FROM ranked r JOIN sizes s ON r.g = s.g CROSS JOIN nref
+        |JOIN ref ON ref.pos = (r.rk * nr + s.ng - 1) // s.ng
+        |ORDER BY id""".stripMargin,
+
+"q306_mantel_haenszel" ->
+      """WITH rows_ AS (
+        |  SELECT year(o_orderdate) AS st,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS x,
+        |    (o_orderstatus = 'F') AS y
+        |  FROM orders),
+        |cells AS (SELECT st,
+        |    CAST(SUM(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM rows_ GROUP BY 1),
+        |terms AS (SELECT
+        |    CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |         + CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS rm,
+        |    CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |         + CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS sm
+        |  FROM cells)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  CAST(COALESCE(SUM(rm), 0) AS BIGINT) AS r_micro,
+        |  CAST(COALESCE(SUM(sm), 0) AS BIGINT) AS s_micro,
+        |  CASE WHEN COALESCE(SUM(sm), 0) > 0 THEN
+        |    CAST(round(CAST(SUM(rm) AS DOUBLE) / CAST(SUM(sm) AS DOUBLE)
+        |      * 1e6) AS BIGINT) END AS or_micro
+        |FROM terms""".stripMargin,
+
+"q307_fleiss_kappa" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "f")},
+         |trunc3 AS (SELECT doc_id, substr(text, 1, 120) AS text FROM src),
+         |${langPredCtes("trunc3", "g")},
+         |allr AS (
+         |  SELECT doc_id, lang AS cat FROM src
+         |  UNION ALL SELECT doc_id, cat FROM fp
+         |  UNION ALL SELECT doc_id, cat FROM gp),
+         |cells AS (SELECT doc_id AS item, cat, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM allr GROUP BY 1, 2),
+         |peri AS (SELECT item, CAST(SUM(c) AS BIGINT) AS r,
+         |           SUM(c * c) AS t2i FROM cells GROUP BY 1),
+         |chk AS (SELECT MIN(r) AS rmin, MAX(r) AS rmax,
+         |          CAST(COUNT(*) AS BIGINT) AS ni,
+         |          CAST(COALESCE(SUM(t2i), 0) AS DOUBLE) AS t2 FROM peri),
+         |pc AS (SELECT CAST(COALESCE(SUM(ck * ck), 0) AS DOUBLE) AS s2
+         |       FROM (SELECT SUM(c) AS ck FROM cells GROUP BY cat))
+         |SELECT ni AS n_items, CAST(rmax AS BIGINT) AS n_raters,
+         |  CASE WHEN rmax >= 2 AND
+         |    CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE) * CAST(ni AS DOUBLE)
+         |      * CAST(rmax AS DOUBLE) - s2 > 0 THEN
+         |    CAST(round((CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE)
+         |        * (t2 - CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE))
+         |      - (CAST(rmax AS DOUBLE) - 1.0) * s2)
+         |      / ((CAST(rmax AS DOUBLE) - 1.0)
+         |        * (CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE)
+         |           * CAST(ni AS DOUBLE) * CAST(rmax AS DOUBLE) - s2))
+         |      * 1e6) AS BIGINT) END AS kappa_micro
+         |FROM chk CROSS JOIN pc""".stripMargin,
+
+"q308_modularity" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS src, doc_id % 97 AS dst FROM docs
+        |       UNION ALL SELECT doc_id, doc_id % 31 FROM docs),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |          greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        |deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u % 7 AS c FROM und
+        |          UNION ALL SELECT v % 7 FROM und) GROUP BY 1),
+        |intra AS (SELECT u % 7 AS c, CAST(COUNT(*) AS BIGINT) AS e
+        |          FROM und WHERE u % 7 = v % 7 GROUP BY 1),
+        |terms AS (SELECT 4 * mm.m * COALESCE(i.e, 0) - d.d * d.d AS t
+        |          FROM deg d LEFT JOIN intra i ON d.c = i.c CROSS JOIN mm)
+        |SELECT mm.m AS m, CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |  CASE WHEN mm.m > 0 THEN
+        |    CAST(round(CAST(SUM(t) AS DOUBLE)
+        |      / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+        |      * 1e6) AS BIGINT) END AS q_micro
+        |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin,
+
+"q309_assortativity" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS src, doc_id % 97 AS dst FROM docs
+        |       UNION ALL SELECT doc_id, doc_id % 31 FROM docs),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |          greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS node FROM und
+        |          UNION ALL SELECT v FROM und) GROUP BY 1),
+        |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |wd AS (SELECT dx.d AS dx, dy.d AS dy
+        |       FROM sym JOIN deg dx ON sym.u = dx.node
+        |                JOIN deg dy ON sym.v = dy.node),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+        |          CAST(SUM(dx) AS DOUBLE) AS sx,
+        |          CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+        |          CAST(SUM(dx * dy) AS DOUBLE) AS sxy
+        |        FROM wd)
+        |SELECT CAST(n2 / 2 AS BIGINT) AS m,
+        |  CASE WHEN CAST(n2 AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    CAST(round((CAST(n2 AS DOUBLE) * sxy - sx * sx)
+        |      / (CAST(n2 AS DOUBLE) * sxx - sx * sx) * 1e6) AS BIGINT)
+        |  END AS r_micro
+        |FROM agg""".stripMargin,
+
+"q310_friedman" ->
+      """WITH cell AS (SELECT year(o_orderdate) AS b, o_orderpriority AS tr,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |r2 AS (SELECT b, tr,
+        |    CAST(2 * (SELECT COUNT(*) FROM cell c2
+        |              WHERE c2.b = c1.b AND c2.v < c1.v)
+        |      + (SELECT COUNT(*) FROM cell c3
+        |         WHERE c3.b = c1.b AND c3.v = c1.v) + 1 AS BIGINT) AS r2
+        |  FROM cell c1),
+        |dims AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb,
+        |           CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM cell),
+        |perT AS (SELECT tr, CAST(SUM(r2) AS BIGINT) AS rj
+        |         FROM r2 GROUP BY 1),
+        |num AS (SELECT CAST(SUM((rj - nb * (k + 1)) * (rj - nb * (k + 1)))
+        |          AS DOUBLE) AS num
+        |        FROM perT CROSS JOIN dims),
+        |s2 AS (SELECT CAST(SUM(r2 * r2) AS DOUBLE) AS s2 FROM r2)
+        |SELECT nb AS n_blocks, k,
+        |  CASE WHEN s2 - CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE) > 0 THEN
+        |    CAST(round(CAST(k - 1 AS DOUBLE) * num
+        |      / (s2 - CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+        |      * 1e6) AS BIGINT) END AS q_micro
+        |FROM dims CROSS JOIN num CROSS JOIN s2""".stripMargin,
+
+"q311_von_neumann" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |diffs AS (SELECT a.key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM((b.v - a.v) * (b.v - a.v)) AS BIGINT) AS sd2
+        |  FROM daily a JOIN daily b
+        |    ON a.key = b.key AND b.d = a.d + 1
+        |  GROUP BY 1),
+        |moms AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sx,
+        |    CAST(SUM(v * v) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT m.key, m.n, COALESCE(d.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN m.n >= 2 AND CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+        |      - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) > 0 THEN
+        |    CAST(round(CAST(m.n AS DOUBLE)
+        |        * COALESCE(CAST(d.sd2 AS DOUBLE), 0.0)
+        |      / (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+        |        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) * 1e6)
+        |      AS BIGINT) END AS vn_micro
+        |FROM moms m LEFT JOIN diffs d ON m.key = d.key
+        |ORDER BY m.key""".stripMargin,
+
+"q312_llr_collocations" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |bgl AS (
+         |  SELECT CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |    END AS bg
+         |  FROM tk),
+         |big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |        FROM (SELECT unnest(bg) AS bg FROM bgl) GROUP BY bg),
+         |firsts AS (SELECT split_part(bg, ' ', 1) AS t,
+         |             CAST(SUM(c_ab) AS BIGINT) AS c_a_first
+         |           FROM big GROUP BY 1),
+         |seconds AS (SELECT split_part(bg, ' ', 2) AS t,
+         |              CAST(SUM(c_ab) AS BIGINT) AS c_b_second
+         |            FROM big GROUP BY 1),
+         |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM big),
+         |jj AS (SELECT bg, c_ab, c_a_first, c_b_second, nb.n,
+         |         c_a_first - c_ab AS k12, c_b_second - c_ab AS k21,
+         |         nb.n - c_a_first - c_b_second + c_ab AS k22
+         |       FROM big
+         |       JOIN firsts ON split_part(bg, ' ', 1) = firsts.t
+         |       JOIN seconds ON split_part(bg, ' ', 2) = seconds.t
+         |       CROSS JOIN nb
+         |       WHERE c_ab >= 5)
+         |SELECT bg AS bigram, c_ab, c_a_first, c_b_second,
+         |  CAST(round(2.0 * ((((
+         |      CASE WHEN c_ab > 0 THEN CAST(c_ab AS DOUBLE) * ln(CAST(c_ab AS DOUBLE)) ELSE 0.0 END
+         |    + CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+         |    + CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+         |    + CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+         |    - (CASE WHEN c_a_first > 0 THEN CAST(c_a_first AS DOUBLE) * ln(CAST(c_a_first AS DOUBLE)) ELSE 0.0 END
+         |       + CASE WHEN n - c_a_first > 0 THEN CAST(n - c_a_first AS DOUBLE) * ln(CAST(n - c_a_first AS DOUBLE)) ELSE 0.0 END)
+         |    - (CASE WHEN c_b_second > 0 THEN CAST(c_b_second AS DOUBLE) * ln(CAST(c_b_second AS DOUBLE)) ELSE 0.0 END
+         |       + CASE WHEN n - c_b_second > 0 THEN CAST(n - c_b_second AS DOUBLE) * ln(CAST(n - c_b_second AS DOUBLE)) ELSE 0.0 END)
+         |    + CASE WHEN n > 0 THEN CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ELSE 0.0 END)
+         |    * 1e6) AS BIGINT) AS g2_micro
+         |FROM jj
+         |ORDER BY g2_micro DESC, bigram ASC
+         |LIMIT 40""".stripMargin,
+
+"q313_jaro_winkler" ->
+      """SELECT c_custkey,
+        |  round(jaro_winkler_similarity(c_name,
+        |    substr(c_name, 1, 10) || reverse(substr(c_name, 11, 4))
+        |      || substr(c_name, 15, 100)), 6) AS jw
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+"q314_partial_corr" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS key,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS z
+        |  FROM lineitem),
+        |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(z) AS DOUBLE) AS sz,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(z * z) AS DOUBLE) AS szz,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * z) AS DOUBLE) AS sxz,
+        |    CAST(SUM(y * z) AS DOUBLE) AS syz
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT key, n,
+        |    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+        |    (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+        |    (n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz,
+        |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+        |    n * szz - sz * sz AS vz
+        |  FROM g)
+        |SELECT key, n,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0 THEN
+        |    CAST(round(rxy * 1e6) AS BIGINT) END AS r_xy_micro,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0
+        |      AND sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) > 0 THEN
+        |    CAST(round((rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1e6) AS BIGINT)
+        |  END AS r_xy_z_micro
+        |FROM c ORDER BY key""".stripMargin,
+
+"q315_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS nd,
+        |         CAST(SUM(v) AS BIGINT) AS sv
+        |       FROM daily GROUP BY 1),
+        |signed AS (SELECT daily.key, d, (v * nd > sv) AS hi
+        |           FROM daily JOIN st ON daily.key = st.key
+        |           WHERE v * nd <> sv),
+        |chg AS (SELECT key, hi,
+        |    CASE WHEN lag(hi) OVER (PARTITION BY key ORDER BY d) IS NULL
+        |           OR lag(hi) OVER (PARTITION BY key ORDER BY d) <> hi
+        |         THEN 1 ELSE 0 END AS c
+        |  FROM signed),
+        |agg AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+        |    CAST(SUM(c) AS BIGINT) AS runs
+        |  FROM chg GROUP BY 1)
+        |SELECT key, n, n_above, n_below, runs,
+        |  CASE WHEN n_above >= 1 AND n_below >= 1 AND n >= 2
+        |      AND (2.0 * n_above * n_below)
+        |        * (2.0 * n_above * n_below - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |           * (CAST(n AS DOUBLE) - 1.0)) > 0 THEN
+        |    CAST(round((CAST(runs AS DOUBLE)
+        |        - ((2.0 * n_above * n_below) / CAST(n AS DOUBLE) + 1.0))
+        |      / sqrt((2.0 * n_above * n_below)
+        |        * (2.0 * n_above * n_below - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |           * (CAST(n AS DOUBLE) - 1.0))) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM agg ORDER BY key""".stripMargin,
+
+"q316_cronbach_alpha" ->
+      """WITH items AS (
+        |  SELECT doc_id, 'chars' AS item, CAST(length(text) AS BIGINT) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'toks',
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'upper',
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+        |  FROM documents),
+        |dims AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ns,
+        |           CAST(COUNT(DISTINCT item) AS BIGINT) AS k FROM items),
+        |si AS (SELECT CAST(SUM(t) AS DOUBLE) AS si FROM (
+        |  SELECT ns * SUM(v * v) - SUM(v) * SUM(v) AS t
+        |  FROM items CROSS JOIN dims GROUP BY item, ns)),
+        |vt AS (SELECT CAST(ns * SUM(t * t) - SUM(t) * SUM(t) AS DOUBLE) AS vt
+        |  FROM (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS t
+        |        FROM items GROUP BY 1) CROSS JOIN dims
+        |  GROUP BY ns)
+        |SELECT ns AS n_subjects, k,
+        |  CASE WHEN vt > 0 THEN
+        |    CAST(round(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |      * (1.0 - si / vt) * 1e6) AS BIGINT) END AS alpha_micro
+        |FROM dims CROSS JOIN si CROSS JOIN vt""".stripMargin,
+
+"q317_clustering_coeff" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |wed AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |          CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT n_nodes, w AS n_wedges, t AS n_triangles,
+        |  CASE WHEN w > 0 THEN
+        |    CAST(round(CAST(3 * t AS DOUBLE) / CAST(w AS DOUBLE) * 1e6)
+        |      AS BIGINT) END AS c_micro
+        |FROM wed CROSS JOIN tri""".stripMargin,
+
+"q318_jw_linkage" ->
+      """WITH pos AS (SELECT c_custkey AS id, c_name AS k,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS BIGINT)
+        |      AS p
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+        |FROM pos a JOIN pos b ON b.p > a.p AND b.p <= a.p + 5
+        |WHERE round(jaro_winkler_similarity(a.k, b.k), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+"q319_brier_decomposition" ->
+      """WITH r AS (
+        |  SELECT LEAST(999, CAST(FLOOR(o_totalprice / 300) AS BIGINT)) AS s,
+        |    (o_orderstatus = 'F') AS y
+        |  FROM orders),
+        |cells AS (SELECT LEAST(GREATEST((s - 0) * 10 // 1000, 0), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(s) AS BIGINT) AS sp,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS so
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n,
+        |    CAST(SUM(so) AS DOUBLE) / CAST(SUM(nk) AS DOUBLE) AS obar
+        |  FROM cells),
+        |terms AS (SELECT
+        |    CAST(round((CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / 1000.0
+        |        - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / 1000.0
+        |        - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * CAST(nk AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS relt,
+        |    CAST(round((CAST(so AS DOUBLE) / CAST(nk AS DOUBLE) - obar)
+        |      * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE) - obar)
+        |      * CAST(nk AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS rest
+        |  FROM cells CROSS JOIN tot)
+        |SELECT n,
+        |  CAST(SUM(relt) AS BIGINT) AS rel_micro,
+        |  CAST(SUM(rest) AS BIGINT) AS res_micro,
+        |  CAST(round(obar * (1.0 - obar) * 1e6) AS BIGINT) AS unc_micro,
+        |  CAST(SUM(relt) - SUM(rest)
+        |    + round(obar * (1.0 - obar) * 1e6) AS BIGINT) AS brier_micro
+        |FROM terms CROSS JOIN tot GROUP BY n, obar""".stripMargin,
+
+"q320_theil_u" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "u")},
+         |pairs AS (SELECT s.lang AS a, u.cat AS b
+         |          FROM src s JOIN up u ON s.doc_id = u.doc_id),
+         |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |          FROM pairs GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+         |       FROM cells GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b
+         |       FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cells),
+         |mi AS (SELECT CAST(SUM(CAST(round(
+         |      (CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+         |        / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6)
+         |      AS BIGINT)) AS BIGINT) AS mi_micro
+         |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+         |ha AS (SELECT CAST(SUM(CAST(round(
+         |      (CAST(c_a AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln(CAST(n AS DOUBLE) / CAST(c_a AS DOUBLE)) * 1e6)
+         |      AS BIGINT)) AS BIGINT) AS h_a_micro
+         |  FROM ma CROSS JOIN nn)
+         |SELECT nn.n, mi_micro, h_a_micro,
+         |  CASE WHEN h_a_micro > 0 THEN
+         |    CAST(round(CAST(mi_micro AS DOUBLE)
+         |      / CAST(h_a_micro AS DOUBLE) * 1e6) AS BIGINT)
+         |  END AS u_micro
+         |FROM mi CROSS JOIN ha CROSS JOIN nn""".stripMargin,
+
+"q321_krippendorff" ->
+      s"""WITH src AS (SELECT doc_id, lang, text FROM documents),
+         |${langPredCtes("src", "f")},
+         |trunc3 AS (SELECT doc_id, substr(text, 1, 120) AS text FROM src
+         |           WHERE doc_id % 4 <> 0),
+         |${langPredCtes("trunc3", "g")},
+         |allr AS (
+         |  SELECT doc_id, lang AS cat FROM src
+         |  UNION ALL SELECT doc_id, cat FROM fp
+         |  UNION ALL SELECT doc_id, cat FROM gp),
+         |cells AS (SELECT doc_id AS item, cat, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM allr GROUP BY 1, 2),
+         |peri AS (SELECT item, CAST(SUM(c) AS BIGINT) AS ri
+         |         FROM cells GROUP BY 1 HAVING SUM(c) >= 2),
+         |pair AS (SELECT cells.item, cat, c, ri
+         |         FROM cells JOIN peri ON cells.item = peri.item),
+         |dosum AS (SELECT CAST(SUM(CAST(round(
+         |      CAST(c AS DOUBLE) * (CAST(ri AS DOUBLE) - CAST(c AS DOUBLE))
+         |      / (CAST(ri AS DOUBLE) - 1.0) * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS do_micro,
+         |    CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items
+         |  FROM pair),
+         |de AS (SELECT CAST(SUM(nc * (n - nc)) AS DOUBLE) AS se
+         |  FROM (SELECT cat, CAST(SUM(c) AS BIGINT) AS nc
+         |        FROM pair GROUP BY 1) CROSS JOIN dosum)
+         |SELECT n AS n_values, n_items,
+         |  CASE WHEN se > 0 THEN
+         |    CAST(round((1.0 -
+         |      (CAST(do_micro AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+         |        / (se / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+         |      * 1e6) AS BIGINT) END AS alpha_micro
+         |FROM dosum CROSS JOIN de""".stripMargin,
+
+"q322_lin_ccc" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment AS key,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+        |    CAST(round(c_acctbal * 100) AS BIGINT)
+        |      + c_custkey % 200 - 100 AS y
+        |  FROM customer),
+        |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT key, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      + (CAST(n AS DOUBLE) * syy - sy * sy)
+        |      + (sx - sy) * (sx - sy) > 0 THEN
+        |    CAST(round(2.0 * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        + (CAST(n AS DOUBLE) * syy - sy * sy)
+        |        + (sx - sy) * (sx - sy)) * 1e6) AS BIGINT)
+        |  END AS ccc_micro
+        |FROM g ORDER BY key""".stripMargin,
+
+"q323_hellinger" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS stratum, o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |cells AS (SELECT stratum, v,
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM r GROUP BY 1, 2),
+        |sizes AS (SELECT stratum, CAST(SUM(a) AS BIGINT) AS n_a,
+        |            CAST(SUM(b) AS BIGINT) AS n_b
+        |          FROM cells GROUP BY 1),
+        |bc AS (SELECT cells.stratum, n_a, n_b,
+        |    CAST(SUM(CAST(round(sqrt(
+        |      CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS bc_micro
+        |  FROM cells JOIN sizes ON cells.stratum = sizes.stratum
+        |  GROUP BY 1, 2, 3)
+        |SELECT stratum, n_a, n_b, bc_micro,
+        |  CAST(round(sqrt(GREATEST(0.0,
+        |    1.0 - CAST(bc_micro AS DOUBLE) / 1e6)) * 1e6) AS BIGINT)
+        |    AS h_micro
+        |FROM bc ORDER BY stratum""".stripMargin,
+
+"q324_psi" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS stratum, o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |cells AS (SELECT stratum, v,
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM r GROUP BY 1, 2),
+        |sizes AS (SELECT stratum, CAST(SUM(a) AS BIGINT) AS n_a,
+        |            CAST(SUM(b) AS BIGINT) AS n_b,
+        |            CAST(COUNT(*) AS BIGINT) AS n_cells
+        |          FROM cells GROUP BY 1)
+        |SELECT cells.stratum, n_a, n_b, n_cells,
+        |  CAST(SUM(CAST(round(
+        |    ((CAST(a AS DOUBLE) + 1.0) / (CAST(n_a AS DOUBLE) + CAST(n_cells AS DOUBLE))
+        |      - (CAST(b AS DOUBLE) + 1.0) / (CAST(n_b AS DOUBLE) + CAST(n_cells AS DOUBLE)))
+        |    * ln(((CAST(a AS DOUBLE) + 1.0) / (CAST(n_a AS DOUBLE) + CAST(n_cells AS DOUBLE)))
+        |      / ((CAST(b AS DOUBLE) + 1.0) / (CAST(n_b AS DOUBLE) + CAST(n_cells AS DOUBLE))))
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM cells JOIN sizes ON cells.stratum = sizes.stratum
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+"q85_bpe_train" -> bpeOracleSql(8),
+
+"q327_bpe_bytes" -> bpeOracleSql(8, byteLevel = true),
+
+"q92_bpe_tokens" -> bpeTokensOracleSql(8),
+
+"q98_bpe_kernel" -> bpeTokensOracleSql(8, docFilter = "doc_id % 7 = 3"),
+
+// Paragraph-dedup replay: same synthesized two-paragraph docs,
+    // first-occurrence via row_number over (pid, pos), rewrite as the
+    // 1-based list_filter twin of Spark's 0-based filter-by-index.
+    "q86_dedup_paragraphs" ->
+      """WITH pdocs AS (
+        |  SELECT d.doc_id AS pid,
+        |         d.text || chr(10) || chr(10) || a.text AS text
+        |  FROM documents d
+        |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 10)),
+        |sp AS (SELECT pid, string_split(text, chr(10) || chr(10)) AS ps FROM pdocs),
+        |paras AS (
+        |  SELECT pid, u.pos, u.para FROM (
+        |    SELECT pid, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> struct_pack(pos := i - 1, para := ps[i]))) AS u
+        |    FROM sp) x),
+        |occ AS (
+        |  SELECT pid, pos,
+        |         row_number() OVER (PARTITION BY md5(para) ORDER BY pid, pos) AS rn
+        |  FROM paras),
+        |drops AS (
+        |  SELECT pid, list(pos ORDER BY pos) AS dr
+        |  FROM occ WHERE rn > 1 GROUP BY pid)
+        |SELECT sp.pid,
+        |  COALESCE(array_to_string(CASE WHEN dr IS NULL THEN ps
+        |    ELSE list_filter(ps, (x, i) -> NOT list_contains(dr, i - 1)) END,
+        |    chr(10) || chr(10)), '') AS clean_text,
+        |  CAST(len(ps) AS INT) AS n_paras,
+        |  CAST(CASE WHEN dr IS NULL THEN 0 ELSE len(dr) END AS INT) AS n_removed
+        |FROM sp LEFT JOIN drops USING (pid)
+        |ORDER BY pid""".stripMargin,
+
+// Canonical-URL replay: same synthesized variants, same ordered
+    // replace chain (DuckDB regexp_replace is first-match-only, which
+    // is exactly what these anchored patterns need).
+    "q87_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://www.site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 50) || '/?utm_source=x&ref=y'
+        |      WHEN 1 THEN 'http://site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 50) || '/'
+        |      WHEN 2 THEN upper('https://site' || (doc_id % 20) || '.example.com:443/page/' || (doc_id % 50))
+        |      ELSE 'site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 50) || '#frag'
+        |    END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        replace(replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(trim(lower(url)), '#.*$', ''),
+        |                '\?.*$', ''),
+        |              '^https?://', ''),
+        |            '^www\.', ''),
+        |          ':80/', '/'), ':443/', '/'),
+        |        ':(80|443)$', ''),
+        |      '/+$', '') AS url_canon
+        |  FROM raw)
+        |SELECT url_canon, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+        |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+"q88_compaction_plan" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000 AS BIGINT) AS bin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+"q89_analyze_table" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS c_name,
+        |         c_mktsegment, c_nationkey
+        |  FROM customer),
+        |long AS (
+        |  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM src
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_name) AS BIGINT),
+        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_mktsegment IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*),
+        |    CAST(COUNT(*) FILTER (c_nationkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+        |    CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM src)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM long ORDER BY col_name""".stripMargin,
+
+"q18_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex($normText, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |                        / power(2, 3 - b % 4)) AS INT) % 2 = 1
+         |             THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+         |  GROUP BY doc_id, b),
+         |nibbles AS (
+         |  SELECT doc_id, CAST(b // 4 AS INT) AS ci,
+         |    CAST(SUM(CASE WHEN v > 0 THEN power(2, 3 - b % 4) ELSE 0 END) AS INT) AS nib
+         |  FROM votes GROUP BY doc_id, CAST(b // 4 AS INT)),
+         |fp AS (
+         |  SELECT doc_id, string_agg(substr('0123456789abcdef', nib + 1, 1), '' ORDER BY ci) AS simhash
+         |  FROM nibbles GROUP BY doc_id)
+         |SELECT d.doc_id AS id, COALESCE(fp.simhash, '0000000000000000') AS simhash
+         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+         |ORDER BY id""".stripMargin,
+
+"q19_embedding_dedup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+
+"q45_embedding_lsh" ->
+      s"""WITH planes(t, i, plane) AS (VALUES
+         |      ${hyperplanesSql(planes = 8, dim = 64, seed = 7L, tables = 2)}),
+         |bucketed AS (
+         |  SELECT e.vec_id, p.t,
+         |    SUM(CASE WHEN ${seqDotSql("e.embedding", "p.plane", 64)} >= 0
+         |        THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bucketed a
+         |  JOIN bucketed b ON a.t = b.t AND a.bucket = b.bucket
+         |                 AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  ROUND(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+
+// Replays the full SemDeDup chain: bottom-k centroid pick (same
+    // md5 hash), NearestCell assignment (sim DESC, cell DESC
+    // tie-break — the kernel's rule), hot-cell QUALIFY aligned with
+    // the Spark maxCell anti-join, then the within-cluster
+    // smaller-id epsilon-ball marking.
+    "q61_semantic_dedup" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |capped AS (
+         |  SELECT * FROM cells
+         |  QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 1000),
+         |dup AS (
+         |  SELECT DISTINCT a.id
+         |  FROM capped a JOIN capped b ON a.cell = b.cell AND b.id < a.id
+         |  WHERE ${cosSql("a.vec", "b.vec")} >= 0.45)
+         |SELECT c.id, c.cell, (d.id IS NOT NULL) AS is_dup
+         |FROM cells c LEFT JOIN dup d ON c.id = d.id
+         |ORDER BY c.id""".stripMargin,
+
+"q325_graph_search" ->
+      s"""WITH $knnGraphCtes,
+         |gedges AS (SELECT query_id AS src, neighbor_id AS dst
+         |           FROM ranked WHERE rank <= 3),
+         |gq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |gv AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |ent AS (SELECT MIN(vec_id) AS n0 FROM embeddings),
+         |b0 AS (SELECT qid, gv.node,
+         |         ROUND(list_cosine_similarity(gv.nvec, gq.qvec), 6) AS sim
+         |       FROM gq CROSS JOIN ent JOIN gv ON gv.node = ent.n0),
+         |c1 AS (SELECT qid, node FROM b0
+         |       UNION SELECT b0.qid, e.dst AS node
+         |             FROM b0 JOIN gedges e ON e.src = b0.node),
+         |s1 AS (SELECT c1.qid, c1.node,
+         |         ROUND(list_cosine_similarity(gv.nvec, gq.qvec), 6) AS sim
+         |       FROM c1 JOIN gv ON gv.node = c1.node
+         |            JOIN gq ON gq.qid = c1.qid),
+         |b1 AS (SELECT qid, node, sim FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, node ASC) AS rn FROM s1)
+         |       WHERE rn <= 4),
+         |c2 AS (SELECT qid, node FROM b1
+         |       UNION SELECT b1.qid, e.dst AS node
+         |             FROM b1 JOIN gedges e ON e.src = b1.node),
+         |s2 AS (SELECT c2.qid, c2.node,
+         |         ROUND(list_cosine_similarity(gv.nvec, gq.qvec), 6) AS sim
+         |       FROM c2 JOIN gv ON gv.node = c2.node
+         |            JOIN gq ON gq.qid = c2.qid),
+         |b2 AS (SELECT qid, node, sim FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, node ASC) AS rn FROM s2)
+         |       WHERE rn <= 4),
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM b2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+// The persisted-graph lifecycle replayed end-to-end: base build
+    // (q65's machinery over the 90% subset), NSW insert of the held-
+    // out 10% (append beam over the base graph, reverse links, per-
+    // source re-trim to k), entry-table maintenance, and the final
+    // multi-seed search over the post-append graph.
+    "q326_graph_index" ->
+      s"""WITH bhashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |bcents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM bhashed ORDER BY h LIMIT 16),
+         |bassign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM bhashed hd CROSS JOIN bcents c),
+         |bcells AS (SELECT id, vec, cell FROM bassign WHERE rn = 1),
+         |bqa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT hd.vec_id AS query_id, hd.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY hd.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM bhashed hd CROSS JOIN bcents c) x
+         |  WHERE rk <= 2),
+         |bscored AS (
+         |  SELECT bqa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "bqa.qvec")}, 6) AS sim
+         |  FROM bcells cl JOIN bqa ON cl.cell = bqa.cell
+         |  WHERE cl.id <> bqa.query_id),
+         |e0 AS (
+         |  SELECT query_id AS src, neighbor_id AS dst, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM bscored)
+         |  WHERE rank <= 3),
+         |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bcells),
+         |ent0 AS (SELECT cell, MIN(id) AS node FROM bcells GROUP BY cell),
+         |nq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 10 = 7),
+         |${graphBeamCtes("a", "nq", "gv", "e0", "ent0", beam = 4, hops = 2)},
+         |aout AS (
+         |  SELECT qid AS src, node AS dst, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, node ASC) AS rn FROM ab2)
+         |  WHERE rn <= 3),
+         |arev AS (SELECT dst AS src, src AS dst, sim FROM aout),
+         |e1 AS (
+         |  SELECT src, dst, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY sim DESC, dst ASC) AS rn
+         |    FROM (SELECT * FROM e0 UNION ALL SELECT * FROM aout
+         |          UNION ALL SELECT * FROM arev))
+         |  WHERE rn <= 3),
+         |bat AS (
+         |  SELECT qid AS id, cell FROM (
+         |    SELECT nq.qid, c.cell,
+         |      row_number() OVER (PARTITION BY nq.qid
+         |        ORDER BY list_cosine_similarity(nq.qvec, c.cvec) DESC,
+         |                 c.cell DESC) AS rn
+         |    FROM nq CROSS JOIN bcents c) x
+         |  WHERE rn = 1),
+         |ent1 AS (
+         |  SELECT cell, MIN(id) AS node FROM (
+         |    SELECT cell, id FROM bcells
+         |    UNION ALL SELECT cell, id FROM bat) GROUP BY cell),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |${graphBeamCtes("z", "sq", "av", "e1", "ent1", beam = 4, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM zb2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+// q75's probe scaffolding with the SQ8 closed-form codebook: ranges
+    // recomputed per dimension (q84), codes per doc, ADC = the
+    // dequantized-dot fold restricted to probed cells, then shortlist
+    // + exact cosine re-rank.
+    "q90_ivfsq8_persisted" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |rng AS (
+         |  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+         |         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+         |  GROUP BY d),
+         |scd AS (SELECT d, mn,
+         |         CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS sc
+         |       FROM rng),
+         |mnl AS (SELECT list(mn ORDER BY d) AS mn, list(sc ORDER BY d) AS sc FROM scd),
+         |codes AS (
+         |  SELECT vec_id, list_transform(range(1, 65), d ->
+         |    CASE WHEN sc[d] = 0 THEN 0
+         |         ELSE CAST(ROUND((CAST(embedding[d] AS DOUBLE) - mn[d]) / sc[d]) AS INT)
+         |    END) AS codes
+         |  FROM embeddings CROSS JOIN mnl),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 65), d ->
+         |      CAST(qa.qvec[d] AS DOUBLE) * (mn[d] + en.codes[d] * sc[d])),
+         |      (a, b) -> a + b) AS adc
+         |  FROM cells cl
+         |  JOIN qa ON cl.cell = qa.cell
+         |  JOIN codes en ON en.vec_id = cl.id
+         |  CROSS JOIN mnl
+         |  WHERE cl.id <> qa.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+         |    FROM scored) x WHERE rn <= 50),
+         |exact AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM exact)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+// The embedding-store lifecycle replay: q72's IVF machinery with
+    // centroids picked from the EVEN half (the write-time universe,
+    // INCLUDING later-deleted rows — deletion does not retrain) and
+    // the cells universe filtered to the compaction survivors
+    // (id % 4 <> 0): pairs must behave as if the deleted docs were
+    // never ingested, while the centroid pick must remember they were.
+    "q113_store_semantic" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1 AND id % 4 <> 0),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 2 = 1) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id AS id_new, neighbor_id AS id_store, sim
+         |FROM ranked WHERE rank = 1 AND sim >= 0.3
+         |ORDER BY id_new""".stripMargin,
+
+// Drift replay: the same frozen even-half centroid pick and
+    // nearest-cell assignment over ALL vectors (evens at write, odds
+    // at append), per-row angular distance rounded to micro-units,
+    // then integer-DIV means — SUM/COUNT stay in exact integer
+    // arithmetic so the metric is bit-stable across engines.
+    "q114_centroid_drift" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cell, c.cvec,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |d AS (
+         |  SELECT cell,
+         |    CAST(round(1e6 * (1.0 - ${cosSql("vec", "cvec")})) AS BIGINT) AS d
+         |  FROM assign WHERE rn = 1),
+         |pc AS (SELECT cell, COUNT(*) AS n, SUM(d) AS s FROM d GROUP BY cell)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(s) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS mean_drift_micro,
+         |  MAX(CAST(s AS BIGINT) // CAST(n AS BIGINT)) AS max_cell_drift_micro
+         |FROM pc""".stripMargin)
+}

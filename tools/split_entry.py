@@ -152,15 +152,23 @@ fam_entries = {}
 for section, entry in q_entries:
     if section is not None:
         current = FAMILY_OF_SECTION[section]
-    m = re.match(r'\s*"(q[0-9]+[a-z0-9_]*)"', entry, re.S)
+    m = re.search(r'"(q[0-9]+[a-z0-9_]*)"\s*->', entry)
     if not m:
         raise RuntimeError("entry without name: " + entry[:120])
     name = m.group(1)
-    fam_of_query[name] = current
-    fam_entries.setdefault(current, {"q": [], "o": []})["q"].append(entry)
+    fam = current
+    if fam == "Analytics":
+        num = int(re.match(r"q(\d+)", name).group(1))
+        fam = ("AnalyticsCore" if num < 160 else
+               "AnalyticsStats" if num < 240 else
+               "AnalyticsShapes" if num < 300 else "AnalyticsAgreement")
+    fam_of_query[name] = fam
+    fam_entries.setdefault(fam, {"q": [], "o": []})["q"].append(entry)
 
 for section, entry in o_entries:
-    m = re.match(r'\s*"(q[0-9]+[a-z0-9_]*)"', entry, re.S)
+    m = re.search(r'"(q[0-9]+[a-z0-9_]*)"\s*->', entry)
+    if not m:
+        raise RuntimeError("oracle entry without name: " + entry[:120])
     name = m.group(1)
     fam = fam_of_query.get(name)
     if fam is None:
@@ -220,7 +228,10 @@ FAM_DOC = {
     "Similarity": "ANN / similarity search (brute force, IVF ladder, graph, PQ)",
     "TextAnalysis": "text analysis (tokens, quality, contamination, BPE)",
     "Events": "events / streaming batch twins",
-    "Analytics": "corpus analytics (stats, time series, graphs, sampling, stores)",
+    "AnalyticsCore": "corpus analytics, rounds 1-4 (mixing, packing, stores, sampling)",
+    "AnalyticsStats": "corpus analytics, rounds 5-6 (stats tests, time series, graphs)",
+    "AnalyticsShapes": "corpus analytics, rounds 7-8 (TPC-H shapes, keys, agreement)",
+    "AnalyticsAgreement": "corpus analytics, rounds 9-10 (agreement, drift, quantizer gates)",
 }
 
 for fam, ent in fam_entries.items():
