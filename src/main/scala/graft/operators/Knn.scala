@@ -297,11 +297,29 @@ object Knn {
     *    must not happen here.
     *
     * Output: (query_id, neighbor_id, sim, rank), k rows per vector,
-    * same ordering contract as [[bruteForce]]. */
+    * same ordering contract as [[bruteForce]].
+    *
+    * `targetCellSize` (round 10, from the §5c scale sweep): the cell
+    * join scores ~n²·nprobe/c pairs, so a FIXED c turns the build
+    * quadratic as the corpus grows — measured at 20k vectors:
+    * c=16 → 85.0 s, c=160 (125-row cells) → 12.4 s. Setting
+    * targetCellSize > 0 sizes c = max(c, ⌈n / targetCellSize⌉) with
+    * one count job, keeping per-cell cardinality — and therefore the
+    * per-row scoring work — BOUNDED, which restores linear build cost
+    * at any corpus size (the same discipline the IVF store documents
+    * for probe fan-out). Gate/oracle runs keep the fixed-c default so
+    * the SQL replay stays closed-form. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                k: Int, c: Int = 16, nprobe: Int = 2,
-               portableHash: Boolean = false): DataFrame = {
-    val centroids = sampleCentroids(corpus, idCol, vecCol, c, portableHash)
+               portableHash: Boolean = false,
+               targetCellSize: Int = 0): DataFrame = {
+    val cEff =
+      if (targetCellSize > 0) {
+        val n = corpus.count()
+        math.max(c.toLong, (n + targetCellSize - 1) / targetCellSize)
+          .min(Int.MaxValue).toInt
+      } else c
+    val centroids = sampleCentroids(corpus, idCol, vecCol, cEff, portableHash)
     val cells = assignCells(corpus, idCol, vecCol, centroids)
     val rows = centroids
       .select(col("cell"), transform(col("cvec"), _.cast("double")).as("cvec"))
@@ -428,14 +446,23 @@ object Knn {
   def writeGraphIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, k: Int, c: Int = 16, nprobe: Int = 2,
                       buckets: Int = 32,
-                      portableHash: Boolean = false): Unit = {
+                      portableHash: Boolean = false,
+                      targetCellSize: Int = 0): Unit = {
     require(k >= 1 && buckets >= 1 && c >= 1,
       s"need k/buckets/c >= 1, got k=$k buckets=$buckets c=$c")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // bounded-cell auto-sizing (see knnGraph): one count, then the
+    // SAME cEff for the entry-cell frame and the graph build
+    val cEff =
+      if (targetCellSize > 0) {
+        val n = corpus.count()
+        math.max(c.toLong, (n + targetCellSize - 1) / targetCellSize)
+          .min(Int.MaxValue).toInt
+      } else c
     Seq((k, buckets)).toDF("k", "buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
-    sampleCentroids(corpus, idCol, vecCol, c, portableHash)
+    sampleCentroids(corpus, idCol, vecCol, cEff, portableHash)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cents = spark.read.parquet(s"$path/centroids")
     val nodes = corpus.select(col(idCol).cast("long").as("id"),
@@ -443,7 +470,7 @@ object Knn {
     nodes
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
-    knnGraph(corpus, idCol, vecCol, k, c, nprobe, portableHash)
+    knnGraph(corpus, idCol, vecCol, k, cEff, nprobe, portableHash)
       .select(col("query_id").cast("long").as("src"),
         col("neighbor_id").cast("long").as("dst"), col("sim"))
       .withColumn("bucket", pmod(col("src"), lit(buckets.toLong)).cast("int"))

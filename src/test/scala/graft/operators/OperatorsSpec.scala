@@ -1137,6 +1137,33 @@ class KnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
+    "equals the explicit c, and grows with n (round-10 scale fix)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 320L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    // n=320, targetCellSize=40 → cEff = max(16, 8) = 16 (floor keeps
+    // the explicit minimum); targetCellSize=5 → cEff = 64
+    val auto = Knn.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        c = 16, nprobe = 2, targetCellSize = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val explicit = Knn.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        c = 64, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == explicit, "auto-sized c must equal the explicit c")
+    // and the floor: a large cell target degrades to the explicit c
+    val floored = Knn.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        c = 16, nprobe = 2, targetCellSize = 400)
+      .collect().map(_.toString).sorted.toSeq
+    val base = Knn.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        c = 16, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(floored == base)
+  }
+
   test("persisted IVF index probes with partition pruning") {
     val s = spark
     import s.implicits._
