@@ -567,6 +567,30 @@ object Knn {
     graft.plans.Blocks.free(newNodes)
   }
 
+  /** Continuous NSW ingest — the streaming twin every other persisted
+    * store already has (MinhashStore/CcStore convention): each
+    * micro-batch of (id, vec) rows lands via [[appendGraphIndex]]'s
+    * atomic batch insert (the batch beam-searches the pre-append
+    * graph, reverse links, touched-bucket re-trim), so the on-disk
+    * graph stays searchable between batches with degree ≤ k
+    * throughout. foreachBatch because the append is a multi-write
+    * transaction (edges + nodes + entries), not a row sink. Exactly-
+    * once caveat is the standard foreachBatch one: a replayed batch
+    * re-inserts its ids — feed this from a source with unique ids per
+    * batch (the same contract as the batch append). */
+  def ingestGraphStream(batches: DataFrame, idCol: String, vecCol: String,
+                        path: String, checkpoint: String, beam: Int,
+                        hops: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) appendGraphIndex(batch, idCol, vecCol, path,
+          beam, hops)
+        ()
+      }
+      .start()
+
   /** Probe a persisted graph index: [[searchGraph]]'s beam walk, but
     * against the on-disk store — per-cell MULTI-SEED starts (every
     * query scores all entry seeds and keeps the best `beam`) and

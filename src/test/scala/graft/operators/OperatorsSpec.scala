@@ -1137,6 +1137,48 @@ class KnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ingestGraphStream: micro-batches NSW-insert into the persisted " +
+    "graph; inserted nodes searchable between batches (round 10)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    def point(center: Int, noise: Float): Array[Float] = {
+      val v = Array.fill(8)(noise * rnd.nextGaussian().toFloat)
+      v(center) += 5.0f
+      v
+    }
+    val base = (0L until 60L).map(i => (i, point((i % 3).toInt, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_ing").toString
+    Knn.writeGraphIndex(base, "vec_id", "embedding", dir,
+      k = 6, c = 8, nprobe = 2, buckets = 8)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = Knn.ingestGraphStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir,
+      java.nio.file.Files.createTempDirectory("graph_ing_ck").toString,
+      beam = 8, hops = 2)
+    try {
+      input.addData((1000L, point(0, 0.02f)), (1001L, point(1, 0.02f)))
+      q.processAllAvailable()
+      // first batch landed and is findable mid-stream
+      val hit1 = Knn.searchGraphIndex(spark, dir,
+        Seq((900000L, point(0, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", beam = 8, hops = 3, k = 3)
+        .where(col("neighbor_id") === 1000L).count()
+      assert(hit1 == 1, "batch-1 node not reachable")
+      input.addData((1002L, point(2, 0.02f)))
+      q.processAllAvailable()
+      val edges = spark.read.parquet(s"$dir/edges")
+      assert(edges.groupBy("src").count().agg(max("count"))
+        .head().getLong(0) <= 6, "degree bound broken by streaming ingest")
+      val srcs = edges.where(col("src") >= 1000L)
+        .select("src").distinct().count()
+      assert(srcs == 3, s"appended sources: $srcs")
+    } finally q.stop()
+  }
+
   test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
     "equals the explicit c, and grows with n (round-10 scale fix)") {
     val s = spark
