@@ -47,6 +47,15 @@ private[graft] object GatesTextAnalysis {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // Per-doc trigram novelty vs everything earlier (round 10):
+    // first-occurrence ownership by min doc_id, no pair join — the
+    // novelty-subsampling curation signal.
+    "q328_ngram_novelty" -> ((s, dir) => {
+      TextAnalytics.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 3)
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -93,5 +102,19 @@ private[graft] object GatesTextAnalysis {
          |FROM t ORDER BY doc_id""".stripMargin,
 
 "q25_fingerprint" ->
-      s"""SELECT doc_id, md5($normText) AS fp FROM documents ORDER BY doc_id""".stripMargin)
+      s"""SELECT doc_id, md5($normText) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q328_ngram_novelty" ->
+      s"""$shinglesSql,
+         |firsts AS (
+         |  SELECT shingle, MIN(doc_id) AS first_id FROM ex GROUP BY shingle),
+         |nov AS (
+         |  SELECT first_id AS doc_id, COUNT(*) AS n_novel
+         |  FROM firsts GROUP BY 1),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         |  COALESCE(v.n_novel, 0) AS n_novel,
+         |  (COALESCE(v.n_novel, 0) * 1000000) // t.n_shingles AS novelty_micro
+         |FROM tot t LEFT JOIN nov v USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin)
 }

@@ -593,6 +593,44 @@ object TextAnalytics {
             size(sh).cast("double"), 6)).as("overlap"))
   }
 
+  /** Per-document n-gram NOVELTY against everything EARLIER in the
+    * corpus: the fraction of a doc's distinct word-n-gram shingles
+    * whose FIRST corpus occurrence (smallest doc id — "earlier" is
+    * the deterministic id order, the ingestion order in a crawl
+    * pipeline) is this document. Novelty ~1 = genuinely new content;
+    * ~0 = restates what earlier docs already said — the ranking
+    * signal for novelty-based subsampling and curriculum ordering
+    * (the diversity-pruning family of Sorscher et al. 2022, "Beyond
+    * neural scaling laws", applied at the n-gram level), far cheaper
+    * than pairwise dedup because NO pair join exists:
+    *
+    * Scale shape: one shingle-keyed aggregate finds each shingle's
+    * first owner, its (already shingle-cardinality) result
+    * re-aggregates by owner into per-doc novel counts, and per-doc
+    * totals come from a doc-keyed aggregate of the same scan — the
+    * two doc-keyed frames then join at DOC cardinality. No
+    * shingle-scale join, no posting lists, no window. Docs whose text
+    * yields no shingles (NULL text) are absent; docs under n tokens
+    * contribute their whole-text shingle (wordShingles contract).
+    * Output: (doc_id, n_shingles, n_novel, novelty_micro =
+    * n_novel·10⁶ ÷ n_shingles, truncating — non-negative, so Spark
+    * DIV and DuckDB // agree exactly). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(
+        graft.plans.native.wordShingles(col(textCol), n))).as("sh"))
+    val novel = sh.groupBy("sh").agg(min("doc_id").as("first_id"))
+      .groupBy(col("first_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("CAST((COALESCE(n_novel, 0) * 1000000) DIV n_shingles AS BIGINT)")
+          .as("novelty_micro"))
+  }
+
   /** ngramOverlap's scale twin for LARGE decontamination sets (a full
     * eval-benchmark suite is millions of shingles — too big for an
     * in-plan literal). The needle set arrives as a DataFrame with a

@@ -63,6 +63,31 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(groups.length == 1 && groups(0).getLong(2) == 5L)
   }
 
+  test("ngramNovelty: first-occurrence ownership by min doc_id, exact " +
+    "hand case, no pair join in the plan (round 10)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // shingles {a b c, b c d} — both novel
+      (2L, "a b c x"),      // {a b c (seen), b c x (novel)} → 1/2
+      (3L, "a b c d"),      // exact restatement → 0/2
+      (4L, "zz")            // <3 tokens → whole-text shingle, novel
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 2L, 0L, 0L),
+      (4L, 1L, 1L, 1000000L)), got.toString)
+    // scale shape: aggregates only — the doc-keyed close may broadcast,
+    // but no shingle-scale SortMergeJoin/CartesianProduct anywhere
+    val plan = TextAnalytics.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ngramOverlapLarge equals the literal-needle ngramOverlap") {
     val s = spark
     import s.implicits._
