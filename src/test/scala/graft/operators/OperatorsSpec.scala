@@ -1256,13 +1256,15 @@ class KnnSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graph_idx").toFile
     Knn.writeGraphIndex(df, "vec_id", "embedding", dir.getAbsolutePath,
       k = 6, c = 8, nprobe = 2, buckets = 8)
-    // layout: bucketed edges + nodes, per-cell entries with vectors
-    val edgeDirs = new java.io.File(dir, "edges").listFiles()
+    // layout: (layer, bucket)-partitioned edges + bucketed nodes,
+    // per-(layer, cell) entries with vectors (layer 0 only here)
+    val edgeDirs = new java.io.File(new java.io.File(dir, "edges"),
+        "layer=0").listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName)
     assert(edgeDirs.length == 8, edgeDirs.toSeq.toString)
     val entries = spark.read.parquet(s"${dir.getAbsolutePath}/entries")
-    assert(entries.count() <= 8 && entries.columns.toSeq ==
-      Seq("cell", "node", "nvec"))
+    assert(entries.count() <= 8 && entries.columns.toSet ==
+      Set("layer", "cell", "node", "nvec"))
 
     val queries = df.where(col("vec_id") % 30 === 1) // one per cluster
     val hits = Knn.searchGraphIndex(spark, dir.getAbsolutePath, queries,
@@ -1322,6 +1324,100 @@ class KnnSpec extends SparkSpec {
         s"query ${r.getAs[Long]("query_id")} top hit " +
           s"${r.getAs[Long]("neighbor_id")}, want $want")
       assert(r.getAs[Double]("sim") == 1.0, r.toString)
+    }
+  }
+
+  test("layered HNSW graph index: geometric levels, per-layer edges and " +
+    "entries, descent search finds the right cluster, layered append " +
+    "maintains the upper layers (round 11)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    def point(center: Int, noise: Float = 0.5f): Array[Float] = {
+      val base = Array.fill(8)(noise * rnd.nextGaussian().toFloat)
+      base(center) += 5.0f
+      base
+    }
+    val df = (0L until 240L).map(i => (i, point((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_hnsw").toFile
+    Knn.writeGraphIndex(df, "vec_id", "embedding", dir.getAbsolutePath,
+      k = 6, c = 8, nprobe = 2, buckets = 8, layers = 2)
+    val meta = spark.read.parquet(s"${dir.getAbsolutePath}/meta").head()
+    val top = meta.getAs[Int]("layers")
+    assert(top >= 1, s"240 ids should populate at least layer 1, got $top")
+    // every upper-layer edge endpoint carries the hash level the layer
+    // demands — the membership invariant the descent relies on
+    val edges = spark.read.parquet(s"${dir.getAbsolutePath}/edges")
+    for (l <- 1 to top) {
+      val members = df
+        .where(Knn.levelOf(col("vec_id"), top, portableHash = false) >= l)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(members.nonEmpty)
+      val lsrc = edges.where(col("layer") === l)
+        .select("src", "dst").collect()
+      assert(lsrc.nonEmpty, s"layer $l has no edges")
+      lsrc.foreach { r =>
+        assert(members(r.getLong(0)) && members(r.getLong(1)),
+          s"layer $l edge ${r.getLong(0)}->${r.getLong(1)} off-layer")
+      }
+      // layers thin geometrically: strictly fewer sources than below
+      val below = edges.where(col("layer") === (l - 1))
+        .select("src").distinct().count()
+      val here = edges.where(col("layer") === l)
+        .select("src").distinct().count()
+      assert(here < below, s"layer $l ($here) not thinner than ${l - 1} ($below)")
+    }
+    // entries exist per layer; upper entries are layer members
+    val entries = spark.read.parquet(s"${dir.getAbsolutePath}/entries")
+    assert((0 to top).forall(l =>
+      entries.where(col("layer") === l).count() > 0))
+    // descent search: right cluster, deterministic
+    val queries = df.where(col("vec_id") % 80 === 1)
+    val hits = Knn.searchGraphIndex(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", beam = 6, hops = 2, k = 4)
+    val got = hits.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("query_id") % 3 ==
+        r.getAs[Long]("neighbor_id") % 3, r.toString)
+    }
+    val again = Knn.searchGraphIndex(spark, dir.getAbsolutePath, queries,
+      "vec_id", "embedding", beam = 6, hops = 2, k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == got.map(_.toString).sorted.toSeq)
+    // layered append: pick batch ids whose hash level >= 1 exists by
+    // construction (scan candidate ids for one of each level)
+    val lvlOf = (id: Long) => spark.range(1)
+      .select(Knn.levelOf(lit(id), top, portableHash = false))
+      .head().getInt(0)
+    val idL1 = (2000L until 2400L).find(i => lvlOf(i) >= 1).get
+    val idL0 = (2000L until 2400L).find(i => lvlOf(i) == 0).get
+    val batch = Seq((idL1, point(0, 0.02f)), (idL0, point(1, 0.02f)))
+      .toDF("vec_id", "embedding")
+    Knn.appendGraphIndex(batch, "vec_id", "embedding",
+      dir.getAbsolutePath, beam = 8, hops = 2)
+    val after = spark.read.parquet(s"${dir.getAbsolutePath}/edges")
+    // the level>=1 node joined layer 1's graph; the level-0 node did not
+    assert(after.where(col("layer") === 1 && col("src") === idL1)
+      .count() > 0, s"append missed layer 1 for id $idL1")
+    assert(after.where(col("layer") > 0 &&
+      (col("src") === idL0 || col("dst") === idL0)).count() == 0,
+      s"level-0 id $idL0 leaked into an upper layer")
+    // degree bound holds per (layer, src) after the append
+    val maxDeg = after.groupBy("layer", "src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(maxDeg <= 6, s"max per-layer degree $maxDeg > k")
+    // both appended nodes findable as the top hit at their exact vector
+    val probe = batch.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val found = Knn.searchGraphIndex(spark, dir.getAbsolutePath, probe,
+      "vec_id", "embedding", beam = 8, hops = 3, k = 2)
+      .where(col("rank") === 1).collect()
+    assert(found.length == 2)
+    found.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") ==
+        r.getAs[Long]("query_id") - 100000L, r.toString)
     }
   }
 
