@@ -150,7 +150,10 @@ object Bench {
       "q175_mdrm_dict", "q191_cc_store", "q224_selectivity",
       "q281_phrase_search",
       // round-10: persisted kNN-graph build → NSW append → search
-      "q326_graph_index")
+      "q326_graph_index",
+      // round-11: layered HNSW store build → descent search; streaming
+      // two-micro-batch NSW ingest → search
+      "q329_graph_hnsw", "q333_graph_ingest_stream")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB
@@ -172,7 +175,11 @@ object Bench {
       "q325_graph_search",
       // round-10: byte-level BPE trains the same 8 driver-looped
       // merge rounds as q85
-      "q327_bpe_bytes")
+      "q327_bpe_bytes",
+      // round-11: auto-sized knnGraph (q65's loop profile + a count
+      // job); byte-level vocab twins train the q85 rounds first
+      "q330_graph_autosized", "q331_bpe_vocab_bytes",
+      "q332_bpe_vocab_ids_bytes")
     def sectionOf(n: String): String =
       if (lifecycle(n)) "lifecycle" else if (iterative(n)) "iterative"
       else "scan"

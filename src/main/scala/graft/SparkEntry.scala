@@ -32,6 +32,7 @@ object SparkEntry {
     graft.entry.GatesSimilarity.queries ++
     graft.entry.GatesTextAnalysis.queries ++
     graft.entry.GatesEvents.queries ++
+    graft.entry.GatesGraphAnn.queries ++
     graft.entry.GatesAnalyticsCore.queries ++
     graft.entry.GatesAnalyticsStats.queries ++
     graft.entry.GatesAnalyticsShapes.queries
@@ -46,6 +47,7 @@ object SparkEntry {
     graft.entry.GatesSimilarity.oracles ++
     graft.entry.GatesTextAnalysis.oracles ++
     graft.entry.GatesEvents.oracles ++
+    graft.entry.GatesGraphAnn.oracles ++
     graft.entry.GatesAnalyticsCore.oracles ++
     graft.entry.GatesAnalyticsStats.oracles ++
     graft.entry.GatesAnalyticsShapes.oracles

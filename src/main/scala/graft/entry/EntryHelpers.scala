@@ -148,6 +148,27 @@ private[graft] object EntryHelpers {
          |    SELECT *, row_number() OVER (PARTITION BY qid
          |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}s0)
          |  WHERE rn <= $beam)""".stripMargin)
+    sb.append(beamHopCtes(pfx, qCte, vCte, eCte, beam, hops))
+    sb.toString
+  }
+
+  /** The HNSW DESCENT variant of [[graphBeamCtes]]: the walk's b0 is
+    * the layer above's final beam (`seedCte`, already (qid, node, sim)
+    * rows) instead of entry-seed scoring — the SQL twin of
+    * Knn.beamSearchIndexed's `seed` handoff. Emits `${pfx}b0` ..
+    * `${pfx}b$hops`. */
+  def graphDescentCtes(pfx: String, seedCte: String, qCte: String,
+                       vCte: String, eCte: String,
+                       beam: Int, hops: Int): String =
+    s"""${pfx}b0 AS (SELECT qid, node, sim FROM $seedCte)""" +
+      beamHopCtes(pfx, qCte, vCte, eCte, beam, hops)
+
+  /** Shared hop loop of the two beam-walk generators: `hops` rounds of
+    * expand (beam ∪ out-neighbors, dedup) → score → trim. Assumes
+    * `${pfx}b0` is already defined; emits a LEADING comma. */
+  private def beamHopCtes(pfx: String, qCte: String, vCte: String,
+                          eCte: String, beam: Int, hops: Int): String = {
+    val sb = new StringBuilder
     for (h <- 1 to hops) {
       val p = s"${pfx}b${h - 1}"
       sb.append(",\n").append(
@@ -168,6 +189,87 @@ private[graft] object EntryHelpers {
     }
     sb.toString
   }
+
+  /** The knnGraph edge derivation over a SUBSET CTE `subCte`(id, vec,
+    * h) — bottom-`c` md5 centroids OF THE SUBSET, nearest-cell
+    * assignment, `nprobe` probe cells per member (the probe ranking is
+    * the assignment ranking, so one window serves both), 6-dp cosine,
+    * rank ≤ `k`. Emits `${pfx}cents/assign/cells/e`; the edge list is
+    * `${pfx}e`(src, dst). The per-layer building block of the layered
+    * graph-index oracles (q329). */
+  def layerKnnGraphCtes(pfx: String, subCte: String,
+                        c: Int, nprobe: Int, k: Int): String =
+    s"""${pfx}cents AS (
+       |  SELECT h AS cell, CAST(vec AS DOUBLE[]) AS cvec
+       |  FROM $subCte ORDER BY h LIMIT $c),
+       |${pfx}assign AS (
+       |  SELECT s.id, s.vec, c.cell,
+       |    row_number() OVER (PARTITION BY s.id
+       |      ORDER BY list_cosine_similarity(CAST(s.vec AS DOUBLE[]), c.cvec) DESC,
+       |               c.cell DESC) AS rn
+       |  FROM $subCte s CROSS JOIN ${pfx}cents c),
+       |${pfx}cells AS (SELECT id, vec, cell FROM ${pfx}assign WHERE rn = 1),
+       |${pfx}scored AS (
+       |  SELECT qa.id AS query_id, cl.id AS neighbor_id,
+       |    ROUND(${cosSql("cl.vec", "qa.vec")}, 6) AS sim
+       |  FROM ${pfx}cells cl
+       |  JOIN (SELECT id, vec, cell FROM ${pfx}assign WHERE rn <= $nprobe) qa
+       |    ON cl.cell = qa.cell
+       |  WHERE cl.id <> qa.id),
+       |${pfx}e AS (
+       |  SELECT query_id AS src, neighbor_id AS dst, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM ${pfx}scored) WHERE rank <= $k)""".stripMargin
+
+  /** One NSW INSERT round as CTEs — the SQL twin of one
+    * appendGraphIndex batch at one layer (beam-search the PRE-append
+    * graph, k out-edges, reverse links, per-source re-trim to k,
+    * entry-cell maintenance, vector-table growth). Inputs:
+    * `batchCte`(id, vec), `vPrevCte`(node, nvec DOUBLE[]),
+    * `ePrevCte`(src, dst, sim), `entPrevCte`(cell, node),
+    * `centsCte`(cell, cvec) — the store's centroid table. Emits
+    * `${pfx}e` (the post-insert edges), `${pfx}ent` (post-insert
+    * entries) and `${pfx}v` (post-insert vectors), so rounds CHAIN:
+    * feed one round's outputs as the next round's prev CTEs (the
+    * streaming-ingest oracle's micro-batch unroll). */
+  def graphInsertCtes(pfx: String, batchCte: String, vPrevCte: String,
+                      ePrevCte: String, entPrevCte: String,
+                      centsCte: String, beam: Int, hops: Int,
+                      k: Int): String =
+    s"""${pfx}q AS (SELECT id AS qid, CAST(vec AS DOUBLE[]) AS qvec
+       |        FROM $batchCte),
+       |${graphBeamCtes(s"${pfx}w", s"${pfx}q", vPrevCte, ePrevCte,
+                        entPrevCte, beam, hops)},
+       |${pfx}out AS (
+       |  SELECT qid AS src, node AS dst, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}wb$hops)
+       |  WHERE rn <= $k),
+       |${pfx}rev AS (SELECT dst AS src, src AS dst, sim FROM ${pfx}out),
+       |${pfx}e AS (
+       |  SELECT src, dst, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rn
+       |    FROM (SELECT * FROM $ePrevCte UNION ALL SELECT * FROM ${pfx}out
+       |          UNION ALL SELECT * FROM ${pfx}rev))
+       |  WHERE rn <= $k),
+       |${pfx}asg AS (
+       |  SELECT id, cell FROM (
+       |    SELECT b.id, c.cell,
+       |      row_number() OVER (PARTITION BY b.id
+       |        ORDER BY list_cosine_similarity(CAST(b.vec AS DOUBLE[]), c.cvec) DESC,
+       |                 c.cell DESC) AS rn
+       |    FROM $batchCte b CROSS JOIN $centsCte c) x
+       |  WHERE rn = 1),
+       |${pfx}ent AS (
+       |  SELECT cell, MIN(id) AS node FROM (
+       |    SELECT cell, node AS id FROM $entPrevCte
+       |    UNION ALL SELECT cell, id FROM ${pfx}asg) GROUP BY cell),
+       |${pfx}v AS (
+       |  SELECT node, nvec FROM $vPrevCte
+       |  UNION ALL SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec
+       |            FROM $batchCte)""".stripMargin
 
   val shinglesSql =
     s"""WITH toks AS (
@@ -331,7 +433,26 @@ private[graft] object EntryHelpers {
        |                                 j -> word[j])) AS t
        |    FROM w0) x
        |  WHERE t <> ''),
-       |base AS (
+       |$bpeVocabTailCtes""".stripMargin
+
+  /** Byte-level twin of [[bpeVocabCtes]] (round 11): the base-symbol
+    * universe is each word's UTF-8 bytes through the GPT-2 remap —
+    * the same hex-parse + CASE walk bpeRoundsCte(byteLevel) seeds w0
+    * with, so ids replay exactly against Bpe.vocabTable(byteLevel). */
+  lazy val bpeVocabCtesBytes: String =
+    s"""chars AS (
+       |  SELECT DISTINCT t AS token FROM (
+       |    SELECT unnest(list_transform(
+       |             range(1, octet_length(encode(word))+1),
+       |             j -> ${byteRemapSql(byteAtSql("word", "j"))})) AS t
+       |    FROM w0) x
+       |  WHERE t <> ''),
+       |$bpeVocabTailCtes""".stripMargin
+
+  /** Shared tail of the two vocab builders: lexical contiguous base
+    * ids, then first-occurrence merge outputs appended in rank order. */
+  private lazy val bpeVocabTailCtes: String =
+    s"""base AS (
        |  SELECT token,
        |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
        |  FROM chars),

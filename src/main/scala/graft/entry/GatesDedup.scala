@@ -648,6 +648,44 @@ private[graft] object GatesDedup {
         .orderBy("step")
     }),
 
+// Byte-level vocab TABLE (round 11, completing the GPT-2 artifact
+    // lifecycle q327 trains): base symbols are the remapped bytes the
+    // byte-level trainer starts from, lexically contiguous ids, merge
+    // outputs appended in rank order — q115's contract on the byte
+    // alphabet. The oracle re-derives the byte universe with the same
+    // hex-parse + CASE remap as the training replay.
+    "q331_bpe_vocab_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8,
+          byteLevel = true)
+        .map(m => (m._2, m._3))
+      graft.operators.Bpe.vocabTable(docs, "text", merges,
+          byteLevel = true)
+        .orderBy("id")
+    }),
+
+// Byte-level contiguous-id tokenization end-to-end (round 11):
+    // a doc slice encoded through the byte vocab TABLE via the
+    // byteLevel rank-map kernel; OOV impossible by construction
+    // (byte alphabet ⊇ any input), so any -1 is a real bug.
+    "q332_bpe_vocab_ids_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8,
+          byteLevel = true)
+        .map(m => (m._2, m._3))
+      val vocab = graft.operators.Bpe.vocabTable(docs, "text", merges,
+          byteLevel = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // comma-joined for the driver's comparator (q27 precedent)
+      docs.where(col("doc_id") % 9 === 6)
+        .select(col("doc_id"),
+          concat_ws(",", transform(
+            graft.operators.Bpe.encodeIds(col("text"), merges, vocab,
+              byteLevel = true),
+            x => x.cast("string"))).as("token_ids"))
+        .orderBy("doc_id")
+    }),
+
 // Train-then-tokenize end-to-end: the corpus tokenized with its
     // OWN learned merges; per-doc subword vs word counts. The oracle
     // joins the unrolled trainer's final vocabulary back to each doc.
@@ -1740,6 +1778,53 @@ private[graft] object GatesDedup {
 "q85_bpe_train" -> bpeOracleSql(8),
 
 "q327_bpe_bytes" -> bpeOracleSql(8, byteLevel = true),
+
+// q115's vocab rebuild on the byte alphabet: the unrolled
+    // byte-level trainer's base symbols (hex-parse + CASE remap) in
+    // lexical order, then the 8 merge outputs in rank order.
+    "q331_bpe_vocab_bytes" ->
+      s"""${bpeRoundsCte(8, byteLevel = true)},
+         |$bpeVocabCtesBytes
+         |SELECT token, id
+         |FROM (SELECT * FROM base UNION ALL SELECT * FROM mids) v
+         |ORDER BY id""".stripMargin,
+
+// q116's ordered per-doc reconstruction through the byte vocab:
+    // final-round symstrs split per word, ids joined through the
+    // rebuilt byte table, flattened in word order.
+    "q332_bpe_vocab_ids_bytes" ->
+      s"""${bpeRoundsCte(8, byteLevel = true)},
+         |$bpeVocabCtesBytes,
+         |voc AS (SELECT * FROM base UNION ALL SELECT * FROM mids),
+         |vt AS (SELECT word,
+         |         string_split(substr(symstr, 2, len(symstr) - 2),
+         |                      chr(30)||chr(31)) AS toks
+         |       FROM w8),
+         |vt2 AS (
+         |  SELECT word, u.j AS j, u.t AS tok FROM (
+         |    SELECT word, unnest(list_transform(range(1, len(toks)+1),
+         |             i -> struct_pack(j := i, t := toks[i]))) AS u
+         |    FROM vt) x),
+         |docw AS (
+         |  SELECT doc_id, u.i AS wi, u.w AS word FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+         |             i -> struct_pack(i := i, w := ws[i]))) AS u
+         |    FROM (SELECT doc_id, $toksLower AS ws FROM documents
+         |          WHERE doc_id % 9 = 6) z) x),
+         |wid AS (
+         |  SELECT dw.doc_id, dw.wi, v2.j, v.id AS tid
+         |  FROM docw dw JOIN vt2 v2 ON v2.word = dw.word
+         |  JOIN voc v ON v.token = v2.tok),
+         |agg1 AS (SELECT doc_id, wi, list(tid ORDER BY j) AS ids
+         |         FROM wid GROUP BY doc_id, wi),
+         |agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS token_ids
+         |        FROM agg1 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  array_to_string(COALESCE(agg.token_ids, CAST([] AS BIGINT[])), ',')
+         |    AS token_ids
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 9 = 6) d
+         |LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
 "q92_bpe_tokens" -> bpeTokensOracleSql(8),
 

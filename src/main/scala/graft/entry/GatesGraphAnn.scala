@@ -1,0 +1,199 @@
+package graft
+package entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+
+import graft.entry.EntryHelpers._
+
+/** Gate registry, graph-ANN index family (round 11) — the layered
+  * HNSW store, the auto-sized graph build, and the streaming ingest
+  * twin. Split into its own family file at birth (SURVEY §7 registry
+  * growth watch: GatesDedup/GatesSimilarity were already near the 3k
+  * sub-split threshold).
+  */
+private[graft] object GatesGraphAnn {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multi-layer HNSW lifecycle (round 11, r10 verdict ask #1): the
+    // persisted graph store built with TWO express layers (geometric
+    // md5 levels, P(level>=l) = 4^-l), then a descent search — beam
+    // walk seeded at layer 2's per-cell entries, each lower layer
+    // re-walked seeded by the beam above. The oracle replays the
+    // level CASE, all three per-layer kNN graphs, the entry table,
+    // and every walk round as one CTE chain.
+    "q329_graph_hnsw" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_gate").toString
+      Knn.writeGraphIndex(emb, "vec_id", "embedding", tmp, k = 3, c = 16,
+        nprobe = 2, buckets = 8, portableHash = true, layers = 2)
+      Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The AUTO-SIZED graph build under the gate (round 11, r10
+    // verdict ask #4): targetCellSize drives cEff = max(c, ceil(n /
+    // target)) — the configuration the §5c scale sweep showed restores
+    // linear build cost, previously shipped without an oracle. The
+    // oracle derives the same cEff from a count CTE and bounds the
+    // centroid pick with it, then replays the identical cell join.
+    "q330_graph_autosized" -> ((s, dir) => {
+      Knn.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, c = 4, nprobe = 2, portableHash = true,
+        targetCellSize = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Streaming NSW ingest under the gate (round 11, r10 verdict ask
+    // #8): the store built over 60% of the corpus, then TWO
+    // micro-batches land through ingestGraphStream's foreachBatch
+    // append (batch 2 beam-searches the post-batch-1 graph), then a
+    // multi-seed search over the final store. The oracle chains two
+    // graphInsertCtes rounds — each round's edges/entries/vectors feed
+    // the next — so the micro-batch sequencing itself is replayed.
+    "q333_graph_ingest_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ingest_gate").toString
+      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 < 6),
+        "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
+        buckets = 8, portableHash = true)
+      def rows(m: Seq[Int]): Seq[(Long, Seq[Float])] =
+        emb.where(pmod(col("vec_id"), lit(10)).isin(m: _*))
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = Knn.ingestGraphStream(input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", tmp,
+        java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString,
+        beam = 4, hops = 2)
+      try {
+        input.addData(rows(Seq(6, 7)))
+        q.processAllAvailable()
+        input.addData(rows(Seq(8, 9)))
+        q.processAllAvailable()
+      } finally q.stop()
+      Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }))
+
+  /** Level CASE over the md5 hash — the SQL twin of Knn.levelOf
+    * (largest l ≤ 2 with h mod 4^l = 0; h is the non-negative 60-bit
+    * md5-derived hash, so % is safe). */
+  private val lvlCase =
+    "CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END"
+
+  val oracles: Map[String, String] = Map(
+
+    "q329_graph_hnsw" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |lv AS (SELECT id, vec, h, $lvlCase AS lev FROM hs),
+         |sub1 AS (SELECT id, vec, h FROM lv WHERE lev >= 1),
+         |sub2 AS (SELECT id, vec, h FROM lv WHERE lev >= 2),
+         |${layerKnnGraphCtes("l0", "hs", 16, 2, 3)},
+         |${layerKnnGraphCtes("l1", "sub1", 16, 2, 3)},
+         |${layerKnnGraphCtes("l2", "sub2", 16, 2, 3)},
+         |gcents AS (
+         |  SELECT h AS cell, CAST(vec AS DOUBLE[]) AS cvec
+         |  FROM hs ORDER BY h LIMIT 16),
+         |easg2 AS (
+         |  SELECT s.id, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY list_cosine_similarity(CAST(s.vec AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM sub2 s CROSS JOIN gcents c),
+         |ent2 AS (SELECT cell, MIN(id) AS node FROM easg2
+         |         WHERE rn = 1 GROUP BY cell),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |${graphBeamCtes("t2", "sq", "av", "l2e", "ent2", beam = 4, hops = 2)},
+         |${graphDescentCtes("t1", "t2b2", "sq", "av", "l1e", beam = 4, hops = 2)},
+         |${graphDescentCtes("t0", "t1b2", "sq", "av", "l0e", beam = 4, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM t0b2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // cEff derived in-query: GREATEST(4, ceil(n/50)) via the count
+    // CTE (non-negative operands, so // truncation = the Scala ceil
+    // trick exactly), bounding a row_number over the md5 order — the
+    // closed-form twin of the one count job the Scala side runs.
+    "q330_graph_autosized" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |ce AS (SELECT GREATEST(4, (COUNT(*) + 49) // 50) AS c
+         |       FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(vec AS DOUBLE[]) AS cvec FROM (
+         |    SELECT *, row_number() OVER (ORDER BY h) AS rn FROM hs) x
+         |  CROSS JOIN ce WHERE x.rn <= ce.c),
+         |assign AS (
+         |  SELECT s.id, s.vec, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY list_cosine_similarity(CAST(s.vec AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hs s CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |scored AS (
+         |  SELECT qa.id AS query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.vec")}, 6) AS sim
+         |  FROM cells cl
+         |  JOIN (SELECT id, vec, cell FROM assign WHERE rn <= 2) qa
+         |    ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Build over 60%, two chained insert rounds, search — each
+    // graphInsertCtes round is exactly one foreachBatch append.
+    "q333_graph_ingest_stream" ->
+      s"""WITH bhs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 10 < 6),
+         |${layerKnnGraphCtes("g", "bhs", 16, 2, 3)},
+         |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
+         |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bhs),
+         |b1 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |       WHERE vec_id % 10 IN (6, 7)),
+         |b2 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |       WHERE vec_id % 10 IN (8, 9)),
+         |${graphInsertCtes("i1", "b1", "gv", "ge", "gent", "gcents",
+                            beam = 4, hops = 2, k = 3)},
+         |${graphInsertCtes("i2", "b2", "i1v", "i1e", "i1ent", "gcents",
+                            beam = 4, hops = 2, k = 3)},
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |${graphBeamCtes("z", "sq", "av", "i2e", "i2ent", beam = 4, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM zb2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin)
+}

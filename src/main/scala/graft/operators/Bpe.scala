@@ -206,14 +206,21 @@ object Bpe {
     * vocab-scale — the id window's single task orders distinct
     * CHARACTERS, not the corpus. */
   def vocabTable(df: DataFrame, textCol: String,
-                 merges: Seq[(String, String)]): DataFrame = {
+                 merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // char extraction mirrors initialSymstr's substr walk so the char
-    // universe is exactly the trainer's base-symbol universe
+    // base-symbol extraction mirrors the trainer's initial symstr walk
+    // so the universe is exactly the trainer's base-symbol universe:
+    // characters (substr walk) or GPT-2 remapped bytes (symbolsOf over
+    // the byte symstr) — byte mode completes the tokenizer-artifact
+    // lifecycle for byteLevel training (round 11, r10 verdict ask #5)
+    val baseSyms =
+      if (byteLevel) symbolsOf(initialSymstrBytes(col("word")))
+      else transform(sequence(lit(1), length(col("word"))),
+        j => col("word").substr(j, lit(1)))
     val chars = wordCounts(df, textCol)
-      .select(explode(transform(sequence(lit(1), length(col("word"))),
-        j => col("word").substr(j, lit(1)))).as("token"))
+      .select(explode(baseSyms).as("token"))
       .where(col("token") =!= "")
       .distinct()
     val base = chars.withColumn("id",
@@ -245,8 +252,9 @@ object Bpe {
     * kernel, no per-token join, no shuffle. Unseen subwords (characters
     * the training corpus never saw) map to `oovId`. */
   def encodeIds(textCol: Column, merges: Seq[(String, String)],
-                vocab: Map[String, Long], oovId: Long = -1L): Column =
-    transform(encodeColumnFast(textCol, merges),
+                vocab: Map[String, Long], oovId: Long = -1L,
+                byteLevel: Boolean = false): Column =
+    transform(encodeColumnFast(textCol, merges, byteLevel),
       t => coalesce(element_at(typedLit(vocab), t), lit(oovId)))
 
   /** Subword token IDS via the hashing trick: each [[encodeColumnFast]]

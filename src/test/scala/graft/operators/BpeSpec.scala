@@ -230,4 +230,48 @@ class BpeSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(oov.contains(-7L), oov.mkString(","))
   }
+
+  test("byte-level vocabTable/encodeIds: remapped-byte base universe, " +
+    "multibyte decomposition, NO OOV even off-corpus (round 11)") {
+    val s = spark
+    import s.implicits._
+    // café: 'é' is two UTF-8 bytes → byte mode decomposes it; char
+    // mode would keep it one symbol
+    val docs = Seq((1L, "the cat café the cat the café"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 4, minFreq = 1L,
+      byteLevel = true).map(m => (m._2, m._3))
+    val v = Bpe.vocabTable(docs, "text", merges, byteLevel = true)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getLong(1)))
+    // contiguous ids
+    assert(v.map(_._2).toSeq == (0L until v.length).toSeq, v.mkString(","))
+    // base universe = the distinct GPT-2-remapped bytes of the corpus
+    // words (é = 0xC3 0xA9 → Ã(0xC3) + the 0xA9 remap 0xA9+162=U+010B)
+    val bytes = "thecatcafé".getBytes("UTF-8").map(_ & 0xff).distinct
+    val remapped = bytes.map(b =>
+      graft.plans.BpeKernel.byteToUnicode(b)).distinct.sorted
+    assert(v.takeWhile(x => !merges.map(m => m._1 + m._2).contains(x._1))
+      .map(_._1).toSeq == remapped.toSeq, v.mkString(","))
+    // encodeIds through the byte vocab: training corpus has no OOV,
+    // and NEITHER does unseen ASCII text (bytes are always in range
+    // once the byte appears somewhere in the corpus — here check a
+    // permutation of seen bytes)
+    val vocab = v.map { case (t, i) => t -> i }.toMap
+    val ids = docs.select(Bpe.encodeIds(col("text"), merges, vocab,
+        byteLevel = true).as("ids"))
+      .collect()(0).getSeq[Long](0)
+    assert(ids.nonEmpty && ids.forall(i => i >= 0 && i < vocab.size),
+      ids.mkString(","))
+    // ids decode back to the byteLevel kernel's token stream
+    val toks = docs.select(Bpe.encodeColumnFast(col("text"), merges,
+        byteLevel = true).as("t"))
+      .collect()(0).getSeq[String](0)
+    val inv = vocab.map(_.swap)
+    assert(ids.map(inv) == toks, "ids must be the tokens' table rows")
+    val shuffled = Seq((1L, "techa fact")).toDF("doc_id", "text")
+      .select(Bpe.encodeIds(col("text"), merges, vocab, oovId = -7L,
+        byteLevel = true).as("ids"))
+      .collect()(0).getSeq[Long](0)
+    assert(!shuffled.contains(-7L), shuffled.mkString(","))
+  }
 }
