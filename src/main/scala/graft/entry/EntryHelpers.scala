@@ -45,6 +45,20 @@ private[graft] object EntryHelpers {
     }
   }
 
+  /** Round-11 advice guard: the JaroWinkler kernel iterates CODE
+    * POINTS while DuckDB's jaro_winkler_similarity iterates BYTES, so
+    * the cross-engine oracle parity the JW gates rely on holds only on
+    * ASCII input. The gates ASSERT their corpus column is ASCII
+    * instead of assuming the generator never changes — a non-ASCII
+    * testdata regen fails loudly here, not as a silent value
+    * divergence. One tiny scan (limit-1 after the filter). */
+  def assertAscii(df: DataFrame, c: String): DataFrame = {
+    val bad = df.where(col(c).rlike("[^\\x00-\\x7F]")).limit(1).count()
+    require(bad == 0, s"JW oracle parity requires ASCII '$c' " +
+      "(kernel walks code points, DuckDB walks bytes)")
+    df
+  }
+
   /** Exact cross-engine sum of a double column: quantize each value to
     * DECIMAL(28,4) (deterministic per stored double), sum exactly, cast
     * back to double. Immune to partial-aggregation order. */

@@ -447,7 +447,7 @@ private[graft] object GatesDedup {
       val dirty = concat(substring(col("c_name"), 1, 10),
         reverse(substring(col("c_name"), 11, 4)),
         substring(col("c_name"), 15, 100))
-      t(s, dir, "customer").select(col("c_custkey"),
+      assertAscii(t(s, dir, "customer"), "c_name").select(col("c_custkey"),
           round(graft.plans.native.jaroWinkler(col("c_name"), dirty), 6)
             .as("jw"))
         .orderBy("c_custkey")
@@ -507,7 +507,8 @@ private[graft] object GatesDedup {
     // candidate path with the name-linkage verifier.
     "q318_jw_linkage" -> ((s, dir) => {
       operators.Dedup.sortedNeighborhoodPairs(
-        t(s, dir, "customer"), "c_custkey", col("c_name"), w = 5)
+        assertAscii(t(s, dir, "customer"), "c_name"),
+        "c_custkey", col("c_name"), w = 5)
         .withColumn("jw", round(graft.plans.native.jaroWinkler(
           col("key_a"), col("key_b")), 6))
         .where(col("jw") >= 0.95)

@@ -1300,17 +1300,21 @@ object Stats {
     * SPLIT-LONG moment encoding (round 10, replacing DECIMAL(38,0) —
     * the r9-adjudicated "exactness tax", q255 at 21× its oracle):
     * each per-row product p = x·y (and x², y²) splits into
-    * p = (p >> 31)·2³¹ + (p & 0x7FFFFFFF) — arithmetic shift is
+    * p = (p >> 20)·2²⁰ + (p & 0xFFFFF) — arithmetic shift is
     * floor-division, so the identity holds for negative p — and the
     * hi/lo halves integer-sum as plain LONGs (codegen'd, no
     * BigDecimal in the hot loop). The exact Σp reassembles
-    * driver-side as BigInt(Σhi)·2³¹ + Σlo; its double value is
+    * driver-side as BigInt(Σhi)·2²⁰ + Σlo; its double value is
     * IDENTICAL to the old decimal path's (same exact integer, same
-    * round-to-nearest), so the oracle is unchanged. Headroom: per-row
-    * products must fit a signed long (|x·y| < 2⁶³ — quantized-unit
-    * inputs are orders below this) and Σ|p| < 2⁹³ ≈ 10²⁸ before the
-    * hi-sum overflows — beyond any 100 TB corpus of quantized ints;
-    * ANSI mode makes both bounds FAIL LOUDLY rather than wrap. */
+    * round-to-nearest), so the oracle is unchanged. Headroom (split
+    * point re-derived round 11 — the r10 31-bit split's BINDING bound
+    * was the lo-sum, overflowing at ~2³² non-null rows, far below the
+    * documented hi-sum figure): per-row products must fit a signed
+    * long (|x·y| < 2⁶³ — quantized-unit inputs are orders below
+    * this); the lo-sum (each lo < 2²⁰) binds at 2⁴³ ≈ 8.8·10¹² rows
+    * per pair, and the hi-sum binds at Σ|p| < 2⁸³ ≈ 10²⁵ — both
+    * beyond any 100 TB corpus of quantized ints; ANSI mode makes
+    * every bound FAIL LOUDLY rather than wrap. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least two columns, got $cols")
     val spark = df.sparkSession
@@ -1320,9 +1324,9 @@ object Stats {
       val x = col(a).cast("long"); val y = col(b).cast("long")
       val both = x.isNotNull && y.isNotNull
       def hiLo(p: org.apache.spark.sql.Column, tag: String) = Seq(
-        coalesce(sum(when(both, shiftright(p, 31))), lit(0L))
+        coalesce(sum(when(both, shiftright(p, 20))), lit(0L))
           .as(s"__${tag}h_$i"),
-        coalesce(sum(when(both, p.bitwiseAND(lit(0x7FFFFFFFL)))), lit(0L))
+        coalesce(sum(when(both, p.bitwiseAND(lit(0xFFFFFL)))), lit(0L))
           .as(s"__${tag}l_$i"))
       Seq(
         count(when(both, lit(1))).as(s"__n_$i"),
@@ -1335,7 +1339,7 @@ object Stats {
       val base = 9 * i
       val n = row.getLong(base)
       def joined(off: Int): Double =
-        ((BigInt(row.getLong(base + off)) << 31) +
+        ((BigInt(row.getLong(base + off)) << 20) +
           BigInt(row.getLong(base + off + 1))).toDouble
       val sx = row.getLong(base + 1).toDouble
       val sy = row.getLong(base + 2).toDouble
