@@ -279,6 +279,8 @@ object Knn {
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
+    if (countCandidates)
+      lastScored += scored.select("query_id", "neighbor_id").count()
     topKPerQuery(scored, k)
   }
 

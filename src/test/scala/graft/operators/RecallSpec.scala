@@ -105,6 +105,23 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.80, s"graph recall@$k = $r")
   }
 
+  test("IVF mid-curve point (nprobe=2) clears its floor — the curve " +
+    "artifact's knee is pinned, not just the headline point (round 11)") {
+    val r = recallOf(Knn.ivf(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, c = 16, nprobe = 2))
+    assert(r >= 0.70, s"ivf nprobe=2 recall@$k = $r") // measured 0.835
+  }
+
+  test("layered HNSW store clears its floor at the mid-curve point " +
+    "(beam=12, hops=2, layers=2) (round 11)") {
+    val d = tmp("hnsw")
+    Knn.writeGraphIndex(corpus, "vec_id", "embedding", d, k = 8, c = 16,
+      nprobe = 2, buckets = 16, layers = 2)
+    val r = recallOf(Knn.searchGraphIndex(spark, d, queries,
+      "vec_id", "embedding", beam = 12, hops = 2, k = k))
+    assert(r >= 0.85, s"hnsw recall@$k = $r") // measured 0.985
+  }
+
   test("hyperplane LSH pair recall at tau clears its floor") {
     val tau = 0.9 // intra-cluster pairs on this corpus
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
