@@ -1375,8 +1375,22 @@ object Dedup {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     val tauMicro = math.round(tau * 1e6)
     val docs = ppjoinDocs(df, idCol, textCol, lowercase)
-    // prefix length s - ceil(tau*s) + 1, in exact integer arithmetic
-    val prefix = ppjoinPrefix(docs,
+    // ASYMMETRIC prefixes (round 11 — the Bayardo/Vernica probe/index
+    // split, previously symmetric): pairs orient smaller-set-probes-
+    // larger ((sz, id) order), so the PROBE side needs only the
+    // 2τ/(1+τ) bound — for sb ≥ sa, α = ⌈τ/(1+τ)·(sa+sb)⌉ ≥
+    // ⌈2τ/(1+τ)·sa⌉, so a true pair's first shared token (global df
+    // order) sits within a's first sa − ⌈2τ/(1+τ)·sa⌉ + 1 tokens —
+    // while the INDEX side keeps the τ bound (α ≥ τ·sb via the size
+    // filter sa ≥ τ·sb). At τ=0.7 the probe prefix shrinks 0.30·sz →
+    // 0.18·sz; candidate volume on hot mid-frequency tokens falls
+    // proportionally, and the join stays LOSSLESS (the first shared
+    // token is inside BOTH prefixes, so every true pair still meets).
+    val pm = 2L * tauMicro
+    val dMicro = 1000000L + tauMicro
+    val probe = ppjoinPrefix(docs,
+      col("sz") - expr(s"(sz * ${pm}L + ${dMicro - 1}L) div ${dMicro}L") + 1)
+    val index = ppjoinPrefix(docs,
       col("sz") - expr(s"(sz * ${tauMicro}L + 999999L) div 1000000L") + 1)
     // J >= tau needs overlap alpha = ceil(tau/(1+tau) * (sa+sb)). A
     // shared prefix token at 1-based positions (pa, pb) bounds the
@@ -1389,19 +1403,23 @@ object Dedup {
     // floor instead of ceil: a sound UNDER-estimate of alpha (prunes
     // one candidate fewer in the tie case, never a true pair); keeps
     // the arithmetic in double-exact range without an integer-div expr
-    val dMicro = 1000000L + tauMicro
     val alpha = (lit(tauMicro) * (col("a.sz") + col("b.sz")))
       .divide(lit(dMicro)).cast("long")
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.token") === col("b.token") && col("a.id") < col("b.id") &&
+    val cand = probe.as("a")
+      .join(index.as("b"),
+        col("a.token") === col("b.token") &&
+          // smaller (sz, then id) probes larger — the orientation the
+          // asymmetric bounds are proved under
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
           // symmetric size filter: ceil(tau*max) <= min is implied by these
           col("b.sz") * lit(1000000L) >= col("a.sz") * lit(tauMicro) &&
           col("a.sz") * lit(1000000L) >= col("b.sz") * lit(tauMicro) &&
           least(col("a.p"), col("b.p")) +
             least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))
             >= alpha)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .agg(count(lit(1)).as("__pfx_overlap")) // dedupe; map-side combined
     val out = cand
       .join(docs.select(col("id").as("id_a"), col("toks").as("ta"),
@@ -1545,17 +1563,26 @@ object Dedup {
     val t2 = tauMicro * tauMicro // τ² in units of 1e-12 — fits a long
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val docs = ppjoinDocs(df, idCol, textCol, lowercase)
-    // prefix length sz − ⌈τ²·sz⌉ + 1 in exact integer micros²
-    val prefix = ppjoinPrefix(docs,
+    // ASYMMETRIC prefixes (round 11, see setSimilarityJoin): the PROBE
+    // (smaller) side needs only sz − ⌈τ·sz⌉ + 1 tokens — for sb ≥ sa,
+    // α = ⌈τ·√(sa·sb)⌉ ≥ ⌈τ·sa⌉ — while the INDEX side keeps the τ²
+    // bound (α ≥ τ²·sb via the size filter sa ≥ τ²·sb). At τ=0.6 the
+    // probe prefix shrinks 0.64·sz → 0.40·sz; lossless by the same
+    // first-shared-token argument.
+    val probe = ppjoinPrefix(docs,
+      col("sz") - expr(s"(sz * ${tauMicro}L + 999999L) div 1000000L") + 1)
+    val index = ppjoinPrefix(docs,
       col("sz") - expr(s"(sz * ${t2}L + 999999999999L) div 1000000000000L") + 1)
     // cos >= tau needs overlap alpha = ceil(tau*sqrt(sa*sb)); floor of
     // the double sqrt is a sound under-estimate (double-exact for
     // sa*sb < 2^52; sqrt rounds half-ulp — never above the true ceil)
     val alpha = floor(sqrt((col("a.sz") * col("b.sz")).cast("double"))
       * lit(tauMicro / 1e6)).cast("long")
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.token") === col("b.token") && col("a.id") < col("b.id") &&
+    val cand = probe.as("a")
+      .join(index.as("b"),
+        col("a.token") === col("b.token") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
           // cosine size filter: s_small ≥ τ²·s_big, both directions
           col("b.sz") * lit(1000000000000L) >= col("a.sz") * lit(t2) &&
           col("a.sz") * lit(1000000000000L) >= col("b.sz") * lit(t2) &&
@@ -1563,7 +1590,8 @@ object Dedup {
           least(col("a.p"), col("b.p")) +
             least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))
             >= alpha)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .agg(count(lit(1)).as("__pfx_overlap")) // dedupe; map-side combined
     val out = cand
       .join(docs.select(col("id").as("id_a"), col("toks").as("ta"),

@@ -30,9 +30,22 @@ Validation: the same derivation applied to sf0.01 produces sfd0.1;
 benching the sweep list on NATIVE sf0.1 vs DERIVED sfd0.1 measures the
 derivation bias directly (see SCALE_r10.json).
 
-Usage: derive_sf.py <src_dir> <dst_dir> [copies=10]
+PERTURB mode (round 11, r10 verdict ask #3): word rotation preserves
+token MULTISETS — and therefore token SETS — so set-similarity
+operators (setSimilarityJoin, cosineSetJoin) see every replica as an
+exact set TWIN: their true-pair population grows quadratically in the
+copy count and the measured exponent reflects synthetic twins, not the
+operator. With `perturb` as the 4th arg, each copy i > 0 additionally
+replaces ~40%% of tokens with copy-tagged forms (deterministic
+crc32(word:pos:copy) %% 100 < 40 -> "<word>x<i>q") AFTER the rotation:
+cross-copy Jaccard drops to ~0.36/(2-0.36) = 0.22, far below the swept
+taus (0.5-0.7), so derived copies are NOT set twins and the pair
+population scales linearly like a real 10x corpus.
+
+Usage: derive_sf.py <src_dir> <dst_dir> [copies=10] [perturb]
 """
 import sys
+import zlib
 
 import duckdb
 import numpy as np
@@ -42,6 +55,7 @@ import pyarrow.parquet as pq
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfd1"
 copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+perturb = len(sys.argv) > 4 and sys.argv[4] == "perturb"
 OFF = 10_000_000
 
 import os
@@ -98,6 +112,12 @@ for i in range(copies):
             if len(words) > 1:
                 rot = (i * len(words)) // copies
                 words = words[rot:] + words[:rot]
+            if perturb:
+                words = [
+                    f"{w}x{i}q"
+                    if zlib.crc32(f"{w}:{j}:{i}".encode()) % 100 < 40
+                    else w
+                    for j, w in enumerate(words)]
             row["text"] = " ".join(words)
             row["n_chars"] = len(row["text"])
         out.append(row)
