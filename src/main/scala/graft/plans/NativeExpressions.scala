@@ -464,6 +464,96 @@ object NearestCellKernel {
   }
 }
 
+object NearestCellsKernel {
+  /** Top-`k` cells by (cosine DESC, cell id DESC) — the bounded-heap
+    * probe ranking for [[graft.operators.Knn.knnGraph]] (round 11,
+    * replacing the per-row O(c log c) struct-sort + reverse + slice:
+    * the r10 verdict watch item for targetCellSize-driven large c).
+    * Selection is an insertion into k sorted slots — O(c·k) with k the
+    * tiny nprobe (2–8), no per-row struct array allocation, and the
+    * SAME tie order as the old max(struct(sim, cell)) formulation, so
+    * every gate oracle replays unchanged. */
+  def nearestK(vec: ArrayData, vecFloat: Boolean, cells: Array[Long],
+               cents: Array[Array[Double]], k: Int): ArrayData = {
+    val n = vec.numElements()
+    val kk = math.min(k, cents.length)
+    val simBest = new Array[Double](kk)
+    val cellBest = new Array[Long](kk)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = cent(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (denom == 0.0) 0.0 else dot / denom
+      val cell = cells(c)
+      // insertion position: before the first slot this candidate BEATS
+      // under (sim DESC, cell DESC)
+      var j = filled
+      while (j > 0 && (sim > simBest(j - 1) ||
+        (sim == simBest(j - 1) && cell > cellBest(j - 1)))) j -= 1
+      if (j < kk) {
+        val last = math.min(filled, kk - 1)
+        var t = last
+        while (t > j) {
+          simBest(t) = simBest(t - 1); cellBest(t) = cellBest(t - 1)
+          t -= 1
+        }
+        simBest(j) = sim; cellBest(j) = cell
+        if (filled < kk) filled += 1
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    var o = 0
+    while (o < filled) { out(o) = cellBest(o); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Top-nprobe nearest-centroid cell ids (array<long>, best first) —
+  * the multi-probe sibling of [[NearestCell]], same no-join/no-shuffle
+  * posture; see [[NearestCellsKernel.nearestK]]. */
+case class NearestCells(child: Expression, cells: Array[Long],
+                        cents: Array[Array[Double]], k: Int)
+    extends UnaryExpression {
+  require(cells.length == cents.length && cells.nonEmpty && k >= 1,
+    "cells/centroids must be non-empty and aligned, k >= 1")
+  private lazy val vecFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCellsKernel.nearestK(input.asInstanceOf[ArrayData], vecFloat,
+      cells, cents, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("cells", cells, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.NearestCellsKernel.nearestK($c, $vecFloat, $cellsRef, $centsRef, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid cell id for an array<float|double> vector column.
   * The centroid set rides along as a reference object into generated
   * code — assignment is a per-row expression with NO join and NO
@@ -1267,6 +1357,11 @@ object native {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def nearestCells(vec: Column, cells: Array[Long],
+                   cents: Array[Array[Double]], k: Int): Column =
+    GraftBridge.column(NearestCells(GraftBridge.expression(vec), cells,
+      cents, k))
 
   def nearestCell(vec: Column, cells: Array[Long],
                   cents: Array[Array[Double]]): Column =

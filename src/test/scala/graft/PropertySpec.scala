@@ -90,6 +90,42 @@ class PropertySpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
   }
 
+  test("NearestCells bounded-heap kernel equals the struct-sort " +
+    "formulation for random vectors and every nprobe (round 11)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(300 + seed)
+      val dim = 8
+      val c = 13
+      val cellIds = Array.tabulate(c)(i => (i * 37 + seed).toLong)
+      // include DUPLICATE centroids so sim ties exercise the cell DESC
+      // tie-break on both paths
+      val base = Array.fill(c)(Array.fill(dim)(rnd.nextGaussian()))
+      base(5) = base(2).clone()
+      base(9) = base(2).clone()
+      val vecs = (0L until 60L)
+        .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+        .toDF("id", "vec")
+      for (np <- Seq(1, 2, 4, 13, 20)) {
+        val kernel = vecs.select(col("id"),
+            graft.plans.native.nearestCells(col("vec"), cellIds, base, np)
+              .as("cs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+        val scs = cellIds.zip(base).map { case (cell, cent) =>
+          struct(functions.Vectors.cosine(col("vec"),
+            typedLit(cent.toSeq)).as("sim"), lit(cell).as("cell"))
+        }
+        val ref = vecs.select(col("id"),
+            slice(reverse(array_sort(array(scs.toSeq: _*))), 1, np).as("sc"))
+          .collect().map(r => r.getLong(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq)
+          .toMap
+        assert(kernel == ref, s"seed=$seed nprobe=$np")
+      }
+    }
+  }
+
   test("md5-portable minhash tracks the same overlap structure as the kernel path") {
     val s = spark
     import s.implicits._
