@@ -152,8 +152,9 @@ object Bench {
       // round-10: persisted kNN-graph build → NSW append → search
       "q326_graph_index",
       // round-11: layered HNSW store build → descent search; streaming
-      // two-micro-batch NSW ingest → search
-      "q329_graph_hnsw", "q333_graph_ingest_stream")
+      // two-micro-batch NSW ingest → search; layered append lifecycle
+      "q329_graph_hnsw", "q333_graph_ingest_stream",
+      "q334_graph_hnsw_append")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

@@ -49,6 +49,29 @@ private[graft] object GatesGraphAnn {
         .orderBy("query_id", "rank")
     }),
 
+    // LAYERED NSW append under the oracle (round 11, closing the
+    // "layered insert is spec-only" gap the same round it opened):
+    // a layers=1 store built over 90%, the held-out 10% NSW-inserted
+    // at EVERY layer its hash level reaches (layer-0 insert for the
+    // whole batch, layer-1 insert for the level>=1 members — both
+    // walks against the PRE-append graph, per appendGraphIndex's
+    // read-then-write phases), then a descent search over the
+    // appended store. The oracle runs graphInsertCtes once per layer
+    // and descends through the post-insert edge/entry tables.
+    "q334_graph_hnsw_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hnswapp_gate").toString
+      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
+        buckets = 8, portableHash = true, layers = 1)
+      Knn.appendGraphIndex(emb.where(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", tmp, beam = 4, hops = 2)
+      Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // Streaming NSW ingest under the gate (round 11, r10 verdict ask
     // #8): the store built over 60% of the corpus, then TWO
     // micro-batches land through ingestGraphStream's foreachBatch
@@ -165,6 +188,55 @@ private[graft] object GatesGraphAnn {
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Layered build over 90% (level CASE at Lmax=1), per-layer
+    // inserts of the 10% batch — BOTH against pre-append state (the
+    // appendGraphIndex read phase) — then the descent search: top
+    // walk over the post-insert layer-1 tables, handed down into the
+    // post-insert layer-0 tables. Layer-1 entries assign against the
+    // GLOBAL centroid table (l0cents — the store's path/centroids),
+    // not the layer's own edge-build sample, mirroring
+    // writeGraphIndex's entry maintenance.
+    "q334_graph_hnsw_append" ->
+      s"""WITH bhs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |bsub1 AS (SELECT id, vec, h FROM bhs WHERE h % 4 = 0),
+         |${layerKnnGraphCtes("l0", "bhs", 16, 2, 3)},
+         |${layerKnnGraphCtes("l1", "bsub1", 16, 2, 3)},
+         |ent0 AS (SELECT cell, MIN(id) AS node FROM l0cells GROUP BY cell),
+         |gea1 AS (
+         |  SELECT s.id, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY list_cosine_similarity(CAST(s.vec AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM bsub1 s CROSS JOIN l0cents c),
+         |ent1 AS (SELECT cell, MIN(id) AS node FROM gea1
+         |         WHERE rn = 1 GROUP BY cell),
+         |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bhs),
+         |bat AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 10 = 7),
+         |bat0 AS (SELECT id, vec FROM bat),
+         |bat1 AS (SELECT id, vec FROM bat WHERE h % 4 = 0),
+         |${graphInsertCtes("i0", "bat0", "gv", "l0e", "ent0", "l0cents",
+                            beam = 4, hops = 2, k = 3)},
+         |${graphInsertCtes("i1", "bat1", "gv", "l1e", "ent1", "l0cents",
+                            beam = 4, hops = 2, k = 3)},
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |${graphBeamCtes("t1", "sq", "av", "i1e", "i1ent", beam = 4, hops = 2)},
+         |${graphDescentCtes("t0", "t1b2", "sq", "av", "i0e", beam = 4, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM t0b2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     // Build over 60%, two chained insert rounds, search — each
