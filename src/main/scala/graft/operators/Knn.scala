@@ -568,19 +568,40 @@ object Knn {
     * the batch present-but-unlinked (degraded recall for those ids)
     * but never an edge referencing a node absent from path/nodes;
     * re-running the append with the same batch is NOT idempotent
-    * (duplicate node rows), so recover by rebuilding or de-duping the
-    * batch first. */
+    * (duplicate node rows) unless `skipExisting` is set: then the
+    * batch is anti-joined against the store's node ids (bucket-pruned
+    * read of only the batch's buckets) and already-present ids drop
+    * out, making a replayed batch a no-op — the knob that upgrades
+    * [[ingestGraphStream]] from at-least-once to effectively-once on
+    * replays. */
   def appendGraphIndex(batch: DataFrame, idCol: String, vecCol: String,
-                       path: String, beam: Int, hops: Int): Unit = {
+                       path: String, beam: Int, hops: Int,
+                       skipExisting: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val k = meta.getAs[Int]("k")
     val buckets = meta.getAs[Int]("buckets")
     val layers = meta.getAs[Int]("layers")
     val portable = meta.getAs[Boolean]("portable")
-    val newNodes = batch.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol), _.cast("double")).as("vec"))
-      .localCheckpoint(true)
+    val incoming = batch.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("vec"))
+    val deduped =
+      if (!skipExisting) incoming
+      else {
+        // prune the node read to the batch's own buckets before the
+        // anti-join — a replayed batch touches O(batch) directories
+        val bks = incoming
+          .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val existing = spark.read.parquet(s"$path/nodes")
+          .where(col("bucket").isin(bks: _*)).select("id")
+        incoming.join(existing, Seq("id"), "left_anti")
+      }
+    val newNodes = deduped.localCheckpoint(true)
+    if (skipExisting && newNodes.isEmpty) {
+      graft.plans.Blocks.free(newNodes)
+      return
+    }
     val topk = TopKAggregator.udaf(k)
     // Phase 1 — READS: per-layer re-trimmed edge deltas, each
     // checkpointed so no later write invalidates its lineage.
@@ -671,18 +692,21 @@ object Knn {
     * [[appendGraphIndex]]'s crash semantics: interruption can leave
     * the batch present-but-unlinked, never a dangling edge), not a
     * row sink. Exactly-once caveat is the standard foreachBatch one:
-    * a replayed batch re-inserts its ids — feed this from a source
-    * with unique ids per batch (the same contract as the batch
-    * append). */
+    * a replayed batch re-inserts its ids — either feed this from a
+    * source with unique ids per batch (the batch append's contract)
+    * or set `skipExisting`, which anti-joins each batch against the
+    * store's node ids (bucket-pruned) so replays become no-ops —
+    * effectively-once at the cost of one pruned node read per
+    * batch. */
   def ingestGraphStream(batches: DataFrame, idCol: String, vecCol: String,
                         path: String, checkpoint: String, beam: Int,
-                        hops: Int)
+                        hops: Int, skipExisting: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) appendGraphIndex(batch, idCol, vecCol, path,
-          beam, hops)
+          beam, hops, skipExisting)
         ()
       }
       .start()

@@ -1327,6 +1327,51 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("appendGraphIndex skipExisting: a replayed batch is a no-op, a " +
+    "mixed batch inserts only the new ids (round 11 — the " +
+    "effectively-once knob for streaming ingest)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(67)
+    def point(center: Int, noise: Float = 0.5f): Array[Float] = {
+      val base = Array.fill(8)(noise * rnd.nextGaussian().toFloat)
+      base(center) += 5.0f
+      base
+    }
+    val df = (0L until 60L).map(i => (i, point((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_idem").toString
+    Knn.writeGraphIndex(df, "vec_id", "embedding", dir,
+      k = 6, c = 8, nprobe = 2, buckets = 8)
+    val batch = Seq((1000L, point(0, 0.02f)), (1001L, point(1, 0.02f)))
+      .toDF("vec_id", "embedding")
+    Knn.appendGraphIndex(batch, "vec_id", "embedding", dir,
+      beam = 8, hops = 2, skipExisting = true)
+    def snap() = (
+      spark.read.parquet(s"$dir/nodes").count(),
+      spark.read.parquet(s"$dir/edges").collect()
+        .map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$dir/entries").collect()
+        .map(_.toString).sorted.toSeq)
+    val after1 = snap()
+    assert(after1._1 == 62)
+    // REPLAY the same batch: byte-identical store
+    Knn.appendGraphIndex(batch, "vec_id", "embedding", dir,
+      beam = 8, hops = 2, skipExisting = true)
+    assert(snap() == after1, "replayed batch mutated the store")
+    // mixed batch: only the genuinely-new id lands
+    val mixed = Seq((1001L, point(1, 0.02f)), (1002L, point(2, 0.02f)))
+      .toDF("vec_id", "embedding")
+    Knn.appendGraphIndex(mixed, "vec_id", "embedding", dir,
+      beam = 8, hops = 2, skipExisting = true)
+    val after2 = snap()
+    assert(after2._1 == 63)
+    assert(spark.read.parquet(s"$dir/nodes")
+      .where(col("id") === 1001L).count() == 1, "dup id re-inserted")
+    assert(spark.read.parquet(s"$dir/edges")
+      .where(col("src") === 1002L).count() > 0, "new id not linked")
+  }
+
   test("layered HNSW graph index: geometric levels, per-layer edges and " +
     "entries, descent search finds the right cluster, layered append " +
     "maintains the upper layers (round 11)") {
