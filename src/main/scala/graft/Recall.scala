@@ -284,6 +284,20 @@ object Recall {
       tables = lshTables).count()
     val lshRecall = if (truePairs == 0) 1.0
       else foundPairs.toDouble / truePairs
+    // LSH tradeoff curve (round 11 — the last family still at one
+    // point): pair recall across the (planes, tables) amplification
+    // grid. Fewer planes per table = wider buckets (recall ↑, candidate
+    // volume ↑); more tables = more OR-amplification at linear hash
+    // cost. Collision prob per table is (1 − θ/π)^planes, so the grid
+    // IS the S-curve, measured.
+    val lshCurve = Seq((2, 8), (4, 4), (4, 8), (4, 16), (6, 8)).map {
+      case (p, t) =>
+        val f = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+          tau = tau, planes = p, dim = dim, seed = 7L, tables = t).count()
+        val r = if (truePairs == 0) 1.0 else f.toDouble / truePairs
+        s"""{"planes":$p,"tables":$t,"found_pairs":$f,""" +
+          s""""pair_recall":${r4(r)}}"""
+    }
 
     val recallJson = results
       .map { case (n, r) => s"\"" + n + "\":" + r4(r) }.mkString("{", ",", "}")
@@ -301,7 +315,8 @@ object Recall {
       s""""equal_budget":$equalBudget},""" +
       s""""lsh":{"tau":$tau,"planes":$lshPlanes,"tables":$lshTables,""" +
       s""""true_pairs":$truePairs,"found_pairs":$foundPairs,""" +
-      s""""pair_recall":${r4(lshRecall)}},""" +
+      s""""pair_recall":${r4(lshRecall)},""" +
+      s""""curve":${lshCurve.mkString("[", ",", "]")}},""" +
       s""""timestamp":"${java.time.Instant.now()}"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("RECALL_LOCAL.json"), json)
