@@ -77,6 +77,44 @@ private[graft] object GatesAnalyticsShapes {
     // receipt/commit dates, so "late" is a fixed ship-date cutoff —
     // the correlation structure (same order, OTHER supplier, none of
     // the others late) is Q21's exactly.
+    // TPC-H Q6 shape (forecasting revenue change — round 11,
+    // completing the 22-query TPC-H sweep): the pure scan query —
+    // date-range + discount-band + quantity filters, one global sum.
+    // The discount band compares ROUNDED basis points on both
+    // engines so no float boundary can flap; revenue sums exact
+    // integer micro-cents (the q236 discipline). The plan is the
+    // benchmark's point: filters push to the parquet scan, no
+    // shuffle beyond the final partial-agg exchange.
+    "q335_tpch_q6" -> ((s, dir) => {
+      val bp = round(col("l_discount") * 10000).cast("long")
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+          && bp >= 500L && bp <= 700L && col("l_quantity") < 24)
+        .agg(sum((round(col("l_extendedprice") * 100).cast("long") * bp)
+          .cast(DecimalType(38, 0))).cast("long").as("revenue_e6"))
+    }),
+
+    // TPC-H Q4 shape (order-priority checking — round 11): date-range
+    // on orders + CORRELATED EXISTS against lineitem on a non-key
+    // predicate (the schema ships no l_commitdate/l_receiptdate, so
+    // "late line" is l_shipdate ≥ o_orderdate + 60 days — same
+    // correlated-semi shape, outer column inside the subquery
+    // predicate), then the per-priority count. Spark plans it as a
+    // left-semi join with the date arithmetic in the join condition.
+    "q336_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q248_tpch_q21" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
       t(s, dir, "orders").createOrReplaceTempView("g_orders")
@@ -2090,6 +2128,33 @@ private[graft] object GatesAnalyticsShapes {
 
 "q250_composite_pruned" -> compositeKeysOracleSql("orders",
       Seq("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"), 3),
+
+// Q6: same rounded-bp band and exact micro-cents sum; the COALESCE
+    // keeps the one-row output non-null if the band were empty.
+    "q335_tpch_q6" ->
+      """SELECT CAST(COALESCE(SUM(
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |      * CAST(round(l_discount * 10000) AS BIGINT)), 0)
+        |  AS BIGINT) AS revenue_e6
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(round(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Q4: the correlated EXISTS verbatim — the outer o_orderdate
+    // rides into the subquery's date arithmetic.
+    "q336_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
 "q248_tpch_q21" ->
       """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
