@@ -49,6 +49,29 @@ private[graft] object GatesGraphAnn {
         .orderBy("query_id", "rank")
     }),
 
+    // Graph-store DELETE → COMPACT lifecycle (round 11 — the last
+    // persisted index family to gain the delete/compact pair every
+    // other store carries): build over the full corpus, tombstone the
+    // %10==3 decile, compact (nodes/edges drop deleted endpoints,
+    // entries recompute as the min SURVIVING id per cell against the
+    // ORIGINAL centroids), then search. The oracle filters the
+    // replayed full-corpus graph the same way — edges lose either
+    // deleted endpoint, entry cells re-min over survivors.
+    "q337_graph_delete_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gdel_gate").toString
+      Knn.writeGraphIndex(emb, "vec_id", "embedding", tmp, k = 3, c = 16,
+        nprobe = 2, buckets = 8, portableHash = true)
+      Knn.deleteFromGraphIndex(
+        emb.where(col("vec_id") % 10 === 3).select("vec_id"),
+        "vec_id", tmp)
+      Knn.compactGraphStore(s, tmp)
+      Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // LAYERED NSW append under the oracle (round 11, closing the
     // "layered insert is spec-only" gap the same round it opened):
     // a layers=1 store built over 90%, the held-out 10% NSW-inserted
@@ -188,6 +211,34 @@ private[graft] object GatesGraphAnn {
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Full-corpus graph replay, then the compaction filters: edges
+    // drop either deleted endpoint, entries re-min over survivors
+    // (assignment to the ORIGINAL centroids is per-id, so filtering
+    // the assigned table = assigning the survivors).
+    "q337_graph_delete_compact" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |${layerKnnGraphCtes("g", "hs", 16, 2, 3)},
+         |del AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 10 = 3),
+         |ce AS (SELECT src, dst FROM ge
+         |       WHERE src NOT IN (SELECT id FROM del)
+         |         AND dst NOT IN (SELECT id FROM del)),
+         |ent AS (SELECT cell, MIN(id) AS node FROM gcells
+         |        WHERE id NOT IN (SELECT id FROM del) GROUP BY cell),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |${graphBeamCtes("z", "sq", "av", "ce", "ent", beam = 4, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM zb2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     // Layered build over 90% (level CASE at Lmax=1), per-layer

@@ -502,6 +502,10 @@ object Knn {
     Seq((k, buckets, topEff, portableHash))
       .toDF("k", "buckets", "layers", "portable")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // empty tombstone table — the delete/compact lifecycle handle
+    // (same convention as every other persisted store)
+    Seq.empty[Long].toDF("id")
+      .write.mode("overwrite").parquet(s"$path/deletes")
     sampleCentroids(corpus, idCol, vecCol, cEff, portableHash)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cents = spark.read.parquet(s"$path/centroids")
@@ -681,6 +685,70 @@ object Knn {
     graft.plans.Blocks.free(newNodes)
   }
 
+  /** TOMBSTONE delete for a persisted graph index (round 11 — the
+    * delete/compact lifecycle every OTHER store already carries;
+    * the graph member was the last without one): ids append to
+    * `path/deletes`, and every subsequent search drops tombstoned
+    * nodes from its entry seeds and candidate expansions BEFORE
+    * scoring (the EmbeddingStore pre-top-k discipline — a masked hit
+    * must not eat a rank slot). A cell whose entry seed is
+    * tombstoned contributes no seed until [[compactGraphStore]]
+    * recomputes entries — the documented tombstone-vs-compacted
+    * difference (soft deletes degrade seeding, never correctness).
+    * Tombstones must stay broadcast-scale between compactions, the
+    * same bound as every tombstone store. */
+  def deleteFromGraphIndex(ids: DataFrame, idCol: String,
+                           path: String): Unit =
+    ids.select(col(idCol).cast("long").as("id"))
+      .write.mode("append").parquet(s"$path/deletes")
+
+  /** MATERIALIZE deletions: nodes and edges drop every tombstoned id
+    * (an edge loses either endpoint → the edge goes; surviving
+    * degree may fall below k — re-linking is a rebuild decision, the
+    * standard soft-delete trade), entries recompute per (layer, cell)
+    * as the min surviving id (levels re-derived from the meta's hash
+    * mode), and the tombstone table resets. Only rewrites what a
+    * compaction must: each table reads, checkpoints (lineage off the
+    * overwrite path), and lands once. */
+  def compactGraphStore(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val layers = meta.getAs[Int]("layers")
+    val portable = meta.getAs[Boolean]("portable")
+    val del = broadcast(spark.read.parquet(s"$path/deletes"))
+    val nodes2 = spark.read.parquet(s"$path/nodes")
+      .join(del, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val edges2 = spark.read.parquet(s"$path/edges")
+      .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst", "sim", "layer", "bucket")
+      .localCheckpoint(true)
+    nodes2.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/nodes")
+    edges2.write.mode("overwrite").partitionBy("layer", "bucket")
+      .parquet(s"$path/edges")
+    graft.plans.Blocks.free(edges2)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val survivors = nodes2.select(col("id"), col("vec"))
+    val entries = (0 to layers).map { l =>
+      val sub =
+        if (l == 0) survivors
+        else survivors.where(levelOf(col("id"), layers, portable) >= l)
+      assignCells(sub, "id", "vec", cents)
+        .groupBy("cell")
+        .agg(min_by(struct(col("id"), col("vec")), col("id")).as("m"))
+        .select(lit(l).as("layer"), col("cell"), col("m.id").as("node"),
+          col("m.vec").as("nvec"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    entries.write.mode("overwrite").parquet(s"$path/entries")
+    graft.plans.Blocks.free(entries)
+    graft.plans.Blocks.free(nodes2)
+    Seq.empty[Long].toDF("id")
+      .write.mode("overwrite").parquet(s"$path/deletes")
+  }
+
   /** Continuous NSW ingest — the streaming twin every other persisted
     * store already has (MinhashStore/CcStore convention): each
     * micro-batch of (id, vec) rows lands via [[appendGraphIndex]]'s
@@ -775,6 +843,18 @@ object Knn {
                                 beam: Int, hops: Int, layer: Int = 0,
                                 seed: Option[DataFrame] = None): DataFrame = {
     val q = broadcast(queries)
+    // tombstones (deleteFromGraphIndex): drop deleted nodes from
+    // seeds and candidate expansions BEFORE scoring — a masked hit
+    // must never eat a rank slot. Broadcast-scale by the store's
+    // delete contract; pre-r11 stores have no table → empty.
+    val del = broadcast(
+      scala.util.Try(spark.read.parquet(s"$path/deletes").select("id"))
+        .getOrElse {
+          import spark.implicits._
+          Seq.empty[Long].toDF("id")
+        })
+    def live(df: DataFrame): DataFrame =
+      df.join(del.select(col("id").as("node")), Seq("node"), "left_anti")
     def trim(df: DataFrame, n: Int): DataFrame = {
       val topk = TopKAggregator.udaf(n)
       df.groupBy("qid")
@@ -785,8 +865,9 @@ object Knn {
     var beamDf = seed match {
       case Some(b) => b // already ≤ beam rows/query, checkpointed
       case None =>
-        val entries = broadcast(spark.read.parquet(s"$path/entries")
-          .where(col("layer") === layer))
+        val entries = broadcast(live(
+          spark.read.parquet(s"$path/entries")
+            .where(col("layer") === layer)))
         if (countCandidates)
           lastScored += queries.count() * entries.count()
         trim(
@@ -804,10 +885,11 @@ object Knn {
       val edges = spark.read.parquet(s"$path/edges")
         .where(col("layer") === layer && col("bucket").isin(bks: _*))
         .select(col("src"), col("dst"))
-      val candRaw = beamDf.select(col("qid"), col("node").as("src"))
-        .join(edges, Seq("src"))
-        .select(col("qid"), col("dst").as("node"))
-        .distinct()
+      val candRaw = live(
+        beamDf.select(col("qid"), col("node").as("src"))
+          .join(edges, Seq("src"))
+          .select(col("qid"), col("dst").as("node"))
+          .distinct())
       val cand = candRaw.localCheckpoint(true)
       if (countCandidates) lastScored += cand.count()
       val nbks = cand

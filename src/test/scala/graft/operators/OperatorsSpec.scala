@@ -1327,6 +1327,62 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("graph store delete/compact: tombstoned ids vanish from results " +
+    "pre-top-k, compaction materializes (no deleted id anywhere, " +
+    "entries recomputed), post-compact search deterministic (round 11)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(71)
+    def point(center: Int, noise: Float = 0.5f): Array[Float] = {
+      val base = Array.fill(8)(noise * rnd.nextGaussian().toFloat)
+      base(center) += 5.0f
+      base
+    }
+    val df = (0L until 90L).map(i => (i, point((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_del").toString
+    Knn.writeGraphIndex(df, "vec_id", "embedding", dir,
+      k = 6, c = 8, nprobe = 2, buckets = 8)
+    // the exact top hit for a probe of vector 3's own position
+    val probe = Seq((900000L, point(0, 0.0f))).toDF("vec_id", "embedding")
+    val before = Knn.searchGraphIndex(spark, dir, probe,
+      "vec_id", "embedding", beam = 8, hops = 3, k = 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(before.nonEmpty)
+    val victims = before.take(2).toSeq
+    Knn.deleteFromGraphIndex(victims.toDF("vec_id"), "vec_id", dir)
+    // tombstone search: victims gone, k slots still filled by LIVE
+    // neighbors (pre-top-k exclusion, not post-ranking masking)
+    val tomb = Knn.searchGraphIndex(spark, dir, probe,
+      "vec_id", "embedding", beam = 8, hops = 3, k = 5)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(victims.forall(v => !tomb.contains(v)), tomb.mkString(","))
+    assert(tomb.length == 5, s"masked hit ate a rank slot: ${tomb.length}")
+    Knn.compactGraphStore(spark, dir)
+    // materialized: no deleted id in any table, tombstones reset
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val entries = spark.read.parquet(s"$dir/entries")
+    victims.foreach { v =>
+      assert(nodes.where(col("id") === v).count() == 0)
+      assert(edges.where(col("src") === v || col("dst") === v).count() == 0)
+      assert(entries.where(col("node") === v).count() == 0)
+    }
+    assert(spark.read.parquet(s"$dir/deletes").count() == 0)
+    // entries recomputed: every (layer, cell) entry is a live min id
+    assert(entries.join(nodes.select(col("id").as("node")), Seq("node"))
+      .count() == entries.count())
+    // post-compact search: deterministic and victim-free
+    val after = Knn.searchGraphIndex(spark, dir, probe,
+      "vec_id", "embedding", beam = 8, hops = 3, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val again = Knn.searchGraphIndex(spark, dir, probe,
+      "vec_id", "embedding", beam = 8, hops = 3, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == again)
+    assert(!after.exists(r => victims.exists(v => r.contains(s"[$v,"))))
+  }
+
   test("appendGraphIndex skipExisting: a replayed batch is a no-op, a " +
     "mixed batch inserts only the new ids (round 11 — the " +
     "effectively-once knob for streaming ingest)") {
