@@ -440,6 +440,42 @@ object Knn {
     }
   }
 
+  /** Graph-store meta with pre-r11 backward compatibility (round-12
+    * advice): stores written before the layered rework carry only
+    * (k, buckets) — default the missing fields (layers = 0, portable
+    * = false) from a schema check, the same graceful posture the
+    * missing-deletes fallback already takes, instead of throwing on
+    * getAs. */
+  private[graft] case class GraphMeta(k: Int, buckets: Int, layers: Int,
+                                      portable: Boolean)
+
+  private def readGraphMeta(spark: SparkSession, path: String): GraphMeta = {
+    val df = spark.read.parquet(s"$path/meta")
+    val names = df.schema.fieldNames.toSet
+    val row = df.head()
+    GraphMeta(
+      row.getAs[Int]("k"),
+      row.getAs[Int]("buckets"),
+      if (names("layers")) row.getAs[Int]("layers") else 0,
+      if (names("portable")) row.getAs[Boolean]("portable") else false)
+  }
+
+  /** Pin partitionOverwriteMode to STATIC for the store-table
+    * overwrites (round-12 advice): under a session-level `dynamic`
+    * mode (which appendGraphIndex itself toggles and restores), an
+    * overwrite only replaces the partitions PRESENT in the frame — a
+    * (layer, bucket) partition whose rows were all tombstoned would
+    * keep its old files and resurrect deleted nodes after compaction,
+    * and a rebuild at an existing path would keep stale partitions.
+    * Static mode replaces the whole table, which is what "overwrite
+    * the store" means. */
+  private def withStaticOverwrite[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Build a PERSISTED kNN-graph (NSW / HNSW) index — the
     * build-once/probe-many store the graph ANN member was missing
     * (every other family — IVF/PQ/RQ/SQ8, inverted, trigram, Minhash —
@@ -485,11 +521,23 @@ object Knn {
       s"need k/buckets/c >= 1 and layers >= 0, got k=$k buckets=$buckets c=$c layers=$layers")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // ONE canonical id for every level derivation (round-12 advice):
+    // xxhash64 is type-sensitive (xxhash64(int 1) != xxhash64(1L)), so
+    // leveling the raw idCol here while append/compact level the
+    // long-cast id would give edge layers and entry layers DIFFERENT
+    // member sets on any non-bigint id column. Everything below — the
+    // topEff clamp, the per-layer subsets, the centroid sample, the
+    // graph builds — derives from this long-cast frame, matching
+    // appendGraphIndex/compactGraphStore exactly. (md5 portable mode
+    // casts to string and was already immune; the cast is a value
+    // no-op there, so every gate oracle replays unchanged.)
+    val canon = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
     // bounded-cell auto-sizing (see knnGraph): one count, then the
     // SAME cEff for the entry-cell frame and the graph build
     val cEff =
       if (targetCellSize > 0) {
-        val n = corpus.count()
+        val n = canon.count()
         math.max(c.toLong, (n + targetCellSize - 1) / targetCellSize)
           .min(Int.MaxValue).toInt
       } else c
@@ -497,8 +545,9 @@ object Knn {
     val topEff =
       if (layers == 0) 0
       else math.min(layers,
-        corpus.agg(max(levelOf(col(idCol), layers, portableHash)))
+        canon.agg(max(levelOf(col("id"), layers, portableHash)))
           .head().getInt(0))
+    withStaticOverwrite(spark) {
     Seq((k, buckets, topEff, portableHash))
       .toDF("k", "buckets", "layers", "portable")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -506,19 +555,19 @@ object Knn {
     // (same convention as every other persisted store)
     Seq.empty[Long].toDF("id")
       .write.mode("overwrite").parquet(s"$path/deletes")
-    sampleCentroids(corpus, idCol, vecCol, cEff, portableHash)
+    sampleCentroids(canon, "id", "vec", cEff, portableHash)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cents = spark.read.parquet(s"$path/centroids")
-    val nodes = corpus.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), _.cast("double")).as("vec"))
+    val nodes = canon.select(col("id"),
+      transform(col("vec"), _.cast("double")).as("vec"))
     nodes
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
     for (l <- 0 to topEff) {
       val sub =
-        if (l == 0) corpus
-        else corpus.where(levelOf(col(idCol), topEff, portableHash) >= l)
-      knnGraph(sub, idCol, vecCol, k, cEff, nprobe, portableHash)
+        if (l == 0) canon
+        else canon.where(levelOf(col("id"), topEff, portableHash) >= l)
+      knnGraph(sub, "id", "vec", k, cEff, nprobe, portableHash)
         .select(col("query_id").cast("long").as("src"),
           col("neighbor_id").cast("long").as("dst"), col("sim"))
         .withColumn("layer", lit(l))
@@ -535,6 +584,7 @@ object Knn {
           col("m.vec").as("nvec"))
         .write.mode(if (l == 0) "overwrite" else "append")
         .parquet(s"$path/entries")
+    }
     }
   }
 
@@ -582,11 +632,7 @@ object Knn {
                        path: String, beam: Int, hops: Int,
                        skipExisting: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val k = meta.getAs[Int]("k")
-    val buckets = meta.getAs[Int]("buckets")
-    val layers = meta.getAs[Int]("layers")
-    val portable = meta.getAs[Boolean]("portable")
+    val GraphMeta(k, buckets, layers, portable) = readGraphMeta(spark, path)
     val incoming = batch.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), _.cast("double")).as("vec"))
     val deduped =
@@ -707,16 +753,22 @@ object Knn {
     * degree may fall below k — re-linking is a rebuild decision, the
     * standard soft-delete trade), entries recompute per (layer, cell)
     * as the min surviving id (levels re-derived from the meta's hash
-    * mode), and the tombstone table resets. Only rewrites what a
-    * compaction must: each table reads, checkpoints (lineage off the
-    * overwrite path), and lands once. */
+    * mode), the meta layer count RE-CLAMPS to the deepest surviving
+    * level (an emptied top layer must not strand descent seeds), and
+    * the tombstone table resets. Only rewrites what a compaction must:
+    * each table reads, checkpoints (lineage off the overwrite path),
+    * and lands once — under static partition-overwrite, so
+    * fully-tombstoned partitions' old files are replaced, not kept. */
   def compactGraphStore(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val buckets = meta.getAs[Int]("buckets")
-    val layers = meta.getAs[Int]("layers")
-    val portable = meta.getAs[Boolean]("portable")
-    val del = broadcast(spark.read.parquet(s"$path/deletes"))
+    val GraphMeta(k, buckets, layers, portable) = readGraphMeta(spark, path)
+    // pre-r11 stores have no deletes table — compacting one is a no-op
+    // rewrite, not an error (same fallback the walk takes)
+    val del = broadcast(
+      scala.util.Try(spark.read.parquet(s"$path/deletes").select("id"))
+        .getOrElse {
+          Seq.empty[Long].toDF("id")
+        })
     val nodes2 = spark.read.parquet(s"$path/nodes")
       .join(del, Seq("id"), "left_anti")
       .localCheckpoint(true)
@@ -725,6 +777,21 @@ object Knn {
       .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
       .select("src", "dst", "sim", "layer", "bucket")
       .localCheckpoint(true)
+    // RE-CLAMP the layer count to the deepest SURVIVING level (round-12
+    // advice): if compaction removes every top-layer node, a search
+    // descending from the recorded top would seed an empty beam — the
+    // same "empty top layer would strand seeds" hazard the build-time
+    // clamp guards against. Level sets are nested (level >= l implies
+    // level >= l-1), so the max surviving level IS the deepest
+    // populated layer. One metadata-scale agg over survivors; an empty
+    // store re-clamps to 0.
+    val newLayers =
+      if (layers == 0) 0
+      else {
+        val row = nodes2.agg(max(levelOf(col("id"), layers, portable))).head()
+        if (row.isNullAt(0)) 0 else math.min(layers, row.getInt(0))
+      }
+    withStaticOverwrite(spark) {
     nodes2.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/nodes")
     edges2.write.mode("overwrite").partitionBy("layer", "bucket")
@@ -732,7 +799,7 @@ object Knn {
     graft.plans.Blocks.free(edges2)
     val cents = spark.read.parquet(s"$path/centroids")
     val survivors = nodes2.select(col("id"), col("vec"))
-    val entries = (0 to layers).map { l =>
+    val entries = (0 to newLayers).map { l =>
       val sub =
         if (l == 0) survivors
         else survivors.where(levelOf(col("id"), layers, portable) >= l)
@@ -745,8 +812,12 @@ object Knn {
     entries.write.mode("overwrite").parquet(s"$path/entries")
     graft.plans.Blocks.free(entries)
     graft.plans.Blocks.free(nodes2)
+    Seq((k, buckets, newLayers, portable))
+      .toDF("k", "buckets", "layers", "portable")
+      .write.mode("overwrite").parquet(s"$path/meta")
     Seq.empty[Long].toDF("id")
       .write.mode("overwrite").parquet(s"$path/deletes")
+    }
   }
 
   /** Continuous NSW ingest — the streaming twin every other persisted
@@ -798,9 +869,7 @@ object Knn {
                        k: Int): DataFrame = {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val buckets = meta.getAs[Int]("buckets")
-    val layers = meta.getAs[Int]("layers")
+    val GraphMeta(_, buckets, layers, _) = readGraphMeta(spark, path)
     val q = queries.select(col(queryIdCol).cast("long").as("qid"),
       transform(col(queryVecCol), _.cast("double")).as("qvec"))
     var fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,
@@ -846,15 +915,22 @@ object Knn {
     // tombstones (deleteFromGraphIndex): drop deleted nodes from
     // seeds and candidate expansions BEFORE scoring — a masked hit
     // must never eat a rank slot. Broadcast-scale by the store's
-    // delete contract; pre-r11 stores have no table → empty.
-    val del = broadcast(
-      scala.util.Try(spark.read.parquet(s"$path/deletes").select("id"))
-        .getOrElse {
-          import spark.implicits._
-          Seq.empty[Long].toDF("id")
-        })
+    // delete contract; pre-r11 stores have no table → empty. When the
+    // table IS empty (the common case — a store between deletes), the
+    // anti-joins are identity and skipped outright: the r11 bench
+    // showed every walk paying +0.2–1.3 s for a tombstone check on
+    // stores with zero tombstones. One limit-1 read decides.
+    val delDf = scala.util.Try(spark.read.parquet(s"$path/deletes")
+        .select("id"))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[Long].toDF("id")
+      }
+    val hasDel = !delDf.isEmpty
+    val del = broadcast(delDf)
     def live(df: DataFrame): DataFrame =
-      df.join(del.select(col("id").as("node")), Seq("node"), "left_anti")
+      if (!hasDel) df
+      else df.join(del.select(col("id").as("node")), Seq("node"), "left_anti")
     def trim(df: DataFrame, n: Int): DataFrame = {
       val topk = TopKAggregator.udaf(n)
       df.groupBy("qid")
@@ -862,20 +938,29 @@ object Knn {
         .select(col("qid"), explode(col("top")).as("s"))
         .select(col("qid"), col("s._2").as("node"), col("s._1").as("sim"))
     }
+    def entrySeed(): DataFrame = {
+      val entries = broadcast(live(
+        spark.read.parquet(s"$path/entries")
+          .where(col("layer") === layer)))
+      if (countCandidates)
+        lastScored += queries.count() * entries.count()
+      trim(
+        q.join(entries)
+          .select(col("qid"), col("node"),
+            round(graft.plans.native.cosineSim(col("nvec"), col("qvec")), 6)
+              .as("sim")),
+        beam).localCheckpoint(true)
+    }
+    // a handed-down beam can be EMPTY (every top-layer entry seed
+    // tombstoned, or a pre-re-clamp store whose top layer compacted
+    // away): fall back to this layer's own entry seeds instead of
+    // propagating the empty beam to layer 0 and returning zero rows
+    // for every query — soft deletes degrade seeding, never
+    // correctness (round-12 advice). The isEmpty probe is a limit-1
+    // scan of an already-checkpointed ≤ beam-rows/query frame.
     var beamDf = seed match {
-      case Some(b) => b // already ≤ beam rows/query, checkpointed
-      case None =>
-        val entries = broadcast(live(
-          spark.read.parquet(s"$path/entries")
-            .where(col("layer") === layer)))
-        if (countCandidates)
-          lastScored += queries.count() * entries.count()
-        trim(
-          q.join(entries)
-            .select(col("qid"), col("node"),
-              round(graft.plans.native.cosineSim(col("nvec"), col("qvec")), 6)
-                .as("sim")),
-          beam).localCheckpoint(true)
+      case Some(b) if !b.isEmpty => b // already ≤ beam rows/query, checkpointed
+      case _ => entrySeed()
     }
     var prev = beamDf
     for (_ <- 1 to hops) {

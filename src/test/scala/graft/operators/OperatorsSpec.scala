@@ -1522,6 +1522,158 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("graph store on a non-bigint id column (xxhash64 levels): edge " +
+    "layers and entry layers share one member set, search returns hits " +
+    "(round 12 — levels derive from the long-cast id everywhere)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(83)
+    def point(center: Int): Array[Float] = {
+      val base = Array.fill(8)(0.5f * rnd.nextGaussian().toFloat)
+      base(center) += 5.0f
+      base
+    }
+    // INT ids — xxhash64(int 1) != xxhash64(1L), the round-11 hazard:
+    // leveling the raw column here while append/search level the
+    // long-cast id would split the member sets
+    val df = (0 until 240).map(i => (i, point(i % 3)))
+      .toDF("vec_id", "embedding")
+    assert(df.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val dir = java.nio.file.Files.createTempDirectory("graph_intid").toString
+    Knn.writeGraphIndex(df, "vec_id", "embedding", dir,
+      k = 6, c = 8, nprobe = 2, buckets = 8, layers = 2)
+    val top = spark.read.parquet(s"$dir/meta").head().getAs[Int]("layers")
+    assert(top >= 1, s"240 ids should populate at least layer 1, got $top")
+    // the membership invariant: every layer-l edge endpoint and every
+    // layer-l entry node carries levelOf(long id) >= l — the SAME set
+    // append/compact/search derive
+    val edges = spark.read.parquet(s"$dir/edges")
+    val entries = spark.read.parquet(s"$dir/entries")
+    for (l <- 1 to top) {
+      val members = df
+        .where(Knn.levelOf(col("vec_id").cast("long"), top,
+          portableHash = false) >= l)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      val lsrc = edges.where(col("layer") === l).select("src", "dst").collect()
+      assert(lsrc.nonEmpty, s"layer $l has no edges")
+      lsrc.foreach(r => assert(members(r.getLong(0)) && members(r.getLong(1)),
+        s"layer $l edge ${r.getLong(0)}->${r.getLong(1)} off-layer"))
+      val lent = entries.where(col("layer") === l)
+      assert(lent.count() > 0, s"layer $l has no entry seeds")
+      lent.select("node").collect().foreach(r =>
+        assert(members(r.getLong(0)), s"layer $l entry ${r.getLong(0)} off-layer"))
+    }
+    val hits = Knn.searchGraphIndex(spark, dir,
+      df.where(col("vec_id") % 80 === 1), "vec_id", "embedding",
+      beam = 6, hops = 2, k = 4).collect()
+    assert(hits.nonEmpty, "int-id store returned zero rows")
+    hits.foreach(r => assert(r.getAs[Long]("query_id") % 3 ==
+      r.getAs[Long]("neighbor_id") % 3, r.toString))
+  }
+
+  test("graph store descent survives a dead top layer: tombstoned top " +
+    "seeds fall back to the lower layer's own entries; compaction " +
+    "re-clamps meta layers to the deepest surviving level (round 12)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(89)
+    def point(center: Int): Array[Float] = {
+      val base = Array.fill(8)(0.5f * rnd.nextGaussian().toFloat)
+      base(center) += 5.0f
+      base
+    }
+    val df = (0L until 240L).map(i => (i, point((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_deadtop").toString
+    Knn.writeGraphIndex(df, "vec_id", "embedding", dir,
+      k = 6, c = 8, nprobe = 2, buckets = 8, layers = 2)
+    val top = spark.read.parquet(s"$dir/meta").head().getAs[Int]("layers")
+    assert(top >= 1)
+    // tombstone EVERY member of the top layer — its entry seeds all
+    // die, so the handed-down beam would be empty without the fallback
+    val topMembers = df
+      .where(Knn.levelOf(col("vec_id"), top, portableHash = false) >= top)
+      .select(col("vec_id"))
+    val nTop = topMembers.count()
+    assert(nTop > 0)
+    Knn.deleteFromGraphIndex(topMembers, "vec_id", dir)
+    val probe = df.where(col("vec_id") % 80 === 1)
+    val hits = Knn.searchGraphIndex(spark, dir, probe,
+      "vec_id", "embedding", beam = 6, hops = 2, k = 4).collect()
+    assert(hits.nonEmpty,
+      "search returned zero rows through a fully-tombstoned top layer")
+    val topSet = topMembers.collect().map(_.getLong(0)).toSet
+    hits.foreach { r =>
+      assert(!topSet(r.getAs[Long]("neighbor_id")),
+        s"tombstoned id surfaced: $r")
+      assert(r.getAs[Long]("query_id") % 3 ==
+        r.getAs[Long]("neighbor_id") % 3, r.toString)
+    }
+    // compaction re-clamps: the emptied top layer leaves meta
+    Knn.compactGraphStore(spark, dir)
+    val metaAfter = spark.read.parquet(s"$dir/meta").head()
+    assert(metaAfter.getAs[Int]("layers") < top,
+      s"meta still claims layer $top after its members compacted away")
+    val entriesAfter = spark.read.parquet(s"$dir/entries")
+    assert(entriesAfter.agg(max("layer")).head().getInt(0) ==
+      metaAfter.getAs[Int]("layers"))
+    val after = Knn.searchGraphIndex(spark, dir, probe,
+      "vec_id", "embedding", beam = 6, hops = 2, k = 4).collect()
+    assert(after.nonEmpty)
+    after.foreach(r => assert(!topSet(r.getAs[Long]("neighbor_id"))))
+  }
+
+  test("graph store under a dynamic-overwrite session + pre-r11 meta " +
+    "compatibility: compaction does not resurrect a fully-tombstoned " +
+    "bucket; (k, buckets)-only meta defaults layers/portable (round 12)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(97)
+    def point(center: Int): Array[Float] = {
+      val base = Array.fill(8)(0.5f * rnd.nextGaussian().toFloat)
+      base(center) += 5.0f
+      base
+    }
+    val df = (0L until 60L).map(i => (i, point((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_dyn").toString
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic") // hostile session default
+    try {
+      Knn.writeGraphIndex(df, "vec_id", "embedding", dir,
+        k = 6, c = 8, nprobe = 2, buckets = 4)
+      // kill bucket 3 outright: every id ≡ 3 (mod 4)
+      Knn.deleteFromGraphIndex(
+        df.where(col("vec_id") % 4 === 3).select("vec_id"), "vec_id", dir)
+      Knn.compactGraphStore(spark, dir)
+      // under dynamic semantics the emptied bucket partition would be
+      // absent from the compacted frame and its old files would
+      // survive — the static pin replaces the whole table
+      assert(spark.read.parquet(s"$dir/nodes")
+        .where(col("id") % 4 === 3).count() == 0, "deleted bucket resurrected")
+      assert(spark.read.parquet(s"$dir/edges")
+        .where(col("src") % 4 === 3 || col("dst") % 4 === 3).count() == 0)
+      assert(spark.conf.get(key) == "dynamic", "session conf not restored")
+    } finally spark.conf.set(key, prev)
+    // pre-r11 meta: only (k, buckets) — search/append/compact default
+    // layers = 0, portable = false instead of throwing
+    Seq((6, 4)).toDF("k", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val hits = Knn.searchGraphIndex(spark, dir,
+      df.where(col("vec_id") === 1L), "vec_id", "embedding",
+      beam = 6, hops = 2, k = 3).collect()
+    assert(hits.nonEmpty, "pre-r11 meta store unreadable")
+    Knn.appendGraphIndex(
+      Seq((5000L, point(0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, beam = 6, hops = 2)
+    assert(spark.read.parquet(s"$dir/nodes")
+      .where(col("id") === 5000L).count() == 1)
+    Knn.compactGraphStore(spark, dir)
+    assert(spark.read.parquet(s"$dir/meta").head().getAs[Int]("layers") == 0)
+  }
+
   test("SQ8: codes stay in [0,255], dequant error <= scale/2, recall near brute force") {
     val s = spark
     import s.implicits._
