@@ -154,7 +154,9 @@ object Bench {
       // round-11: layered HNSW store build → descent search; streaming
       // two-micro-batch NSW ingest → search; layered append lifecycle
       "q329_graph_hnsw", "q333_graph_ingest_stream",
-      "q334_graph_hnsw_append", "q337_graph_delete_compact")
+      "q334_graph_hnsw_append", "q337_graph_delete_compact",
+      // diversified build + NSW append → search (round 12)
+      "q338_graph_diverse")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

@@ -236,6 +236,75 @@ private[graft] object EntryHelpers {
        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
        |    FROM ${pfx}scored) WHERE rank <= $k)""".stripMargin
 
+  /** The α-RNG neighbor-diversification selection as CTEs — the SQL
+    * twin of Knn.diversifyNeighbors (round 12). `candCte` exposes
+    * (gid, nid, sim, rank) — rank already the (sim DESC, nid ASC)
+    * candidate order; `vecCte` exposes (node, nvec DOUBLE[]) covering
+    * every candidate nid. Emits `${pfx}dv` (vectors joined),
+    * `${pfx}dp` (pruned pairs: some higher-ranked candidate is closer
+    * to the candidate than the query is, by factor α on micros-exact
+    * distances) and `${pfx}ds`(gid, nid, sim) — the k survivors,
+    * diversity-kept first, pruned backfilled in rank order. */
+  def diversifySelCtes(pfx: String, candCte: String, vecCte: String,
+                       k: Int, alphaMicro: Long): String =
+    s"""${pfx}dv AS MATERIALIZED (
+       |  SELECT c.gid, c.nid, c.sim, c.rank, v.nvec
+       |  FROM $candCte c JOIN $vecCte v ON v.node = c.nid),
+       |${pfx}dp AS (
+       |  SELECT DISTINCT e.gid, e.nid
+       |  FROM ${pfx}dv e JOIN ${pfx}dv r
+       |    ON e.gid = r.gid AND r.rank < e.rank
+       |  WHERE $alphaMicro * (1000000 - CAST(ROUND(ROUND(
+       |          list_cosine_similarity(e.nvec, r.nvec), 6) * 1e6) AS BIGINT))
+       |        <= 1000000 * (1000000 - CAST(ROUND(e.sim * 1e6) AS BIGINT))),
+       |${pfx}ds AS (
+       |  SELECT gid, nid, sim FROM (
+       |    SELECT c.gid, c.nid, c.sim,
+       |      row_number() OVER (PARTITION BY c.gid
+       |        ORDER BY CASE WHEN p.nid IS NULL THEN 0 ELSE 1 END ASC,
+       |                 c.rank ASC) AS rn
+       |    FROM $candCte c LEFT JOIN ${pfx}dp p
+       |      ON p.gid = c.gid AND p.nid = c.nid) z
+       |  WHERE rn <= $k)""".stripMargin
+
+  /** [[layerKnnGraphCtes]] with α-RNG-diversified edges: the scored
+    * candidate ranking runs to `kCand`, then [[diversifySelCtes]]
+    * selects k. Same emitted contract (`${pfx}cents/assign/cells/e`,
+    * edges in `${pfx}e`(src, dst, sim)) so entry/search CTEs compose
+    * unchanged. */
+  def layerKnnGraphDivCtes(pfx: String, subCte: String,
+                           c: Int, nprobe: Int, kCand: Int, k: Int,
+                           alphaMicro: Long): String =
+    s"""${pfx}cents AS (
+       |  SELECT h AS cell, CAST(vec AS DOUBLE[]) AS cvec
+       |  FROM $subCte ORDER BY h LIMIT $c),
+       |${pfx}assign AS (
+       |  SELECT s.id, s.vec, c.cell,
+       |    row_number() OVER (PARTITION BY s.id
+       |      ORDER BY list_cosine_similarity(CAST(s.vec AS DOUBLE[]), c.cvec) DESC,
+       |               c.cell DESC) AS rn
+       |  FROM $subCte s CROSS JOIN ${pfx}cents c),
+       |${pfx}cells AS (SELECT id, vec, cell FROM ${pfx}assign WHERE rn = 1),
+       |${pfx}scored AS (
+       |  SELECT qa.id AS query_id, cl.id AS neighbor_id,
+       |    ROUND(${cosSql("cl.vec", "qa.vec")}, 6) AS sim
+       |  FROM ${pfx}cells cl
+       |  JOIN (SELECT id, vec, cell FROM ${pfx}assign WHERE rn <= $nprobe) qa
+       |    ON cl.cell = qa.cell
+       |  WHERE cl.id <> qa.id),
+       |${pfx}cand AS MATERIALIZED (
+       |  SELECT gid, nid, sim, rank FROM (
+       |    SELECT query_id AS gid, neighbor_id AS nid, sim,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM ${pfx}scored) WHERE rank <= $kCand),
+       |${pfx}vv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec
+       |             FROM $subCte),
+       |${diversifySelCtes(s"${pfx}x", s"${pfx}cand", s"${pfx}vv",
+                           k, alphaMicro)},
+       |${pfx}e AS (SELECT gid AS src, nid AS dst, sim FROM ${pfx}xds)"""
+      .stripMargin
+
   /** One NSW INSERT round as CTEs — the SQL twin of one
     * appendGraphIndex batch at one layer (beam-search the PRE-append
     * graph, k out-edges, reverse links, per-source re-trim to k,
@@ -284,6 +353,59 @@ private[graft] object EntryHelpers {
        |  SELECT node, nvec FROM $vPrevCte
        |  UNION ALL SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec
        |            FROM $batchCte)""".stripMargin
+
+  /** [[graphInsertCtes]] with α-RNG diversification (round 12) — the
+    * SQL twin of one appendGraphIndex batch on a diversified store
+    * (meta alphamicro > 0): the new nodes' out-edges are selected via
+    * [[diversifySelCtes]] from a kCand-deep beam candidate ranking,
+    * and the per-source re-trim re-selects with the SAME rule over the
+    * full merged candidate set (no kCand cap — matching the Scala
+    * re-trim). Emits the same contract as graphInsertCtes:
+    * `${pfx}e` / `${pfx}ent` / `${pfx}v`, so rounds chain. */
+  def graphInsertDivCtes(pfx: String, batchCte: String, vPrevCte: String,
+                         ePrevCte: String, entPrevCte: String,
+                         centsCte: String, beam: Int, hops: Int,
+                         k: Int, kCand: Int, alphaMicro: Long): String =
+    s"""${pfx}q AS (SELECT id AS qid, CAST(vec AS DOUBLE[]) AS qvec
+       |        FROM $batchCte),
+       |${graphBeamCtes(s"${pfx}w", s"${pfx}q", vPrevCte, ePrevCte,
+                        entPrevCte, beam, hops)},
+       |${pfx}v AS (
+       |  SELECT node, nvec FROM $vPrevCte
+       |  UNION ALL SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec
+       |            FROM $batchCte),
+       |${pfx}oc AS MATERIALIZED (
+       |  SELECT gid, nid, sim, rank FROM (
+       |    SELECT qid AS gid, node AS nid, sim,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, node ASC) AS rank
+       |    FROM ${pfx}wb$hops) WHERE rank <= $kCand),
+       |${diversifySelCtes(s"${pfx}o", s"${pfx}oc", vPrevCte,
+                           k, alphaMicro)},
+       |${pfx}out AS (SELECT gid AS src, nid AS dst, sim FROM ${pfx}ods),
+       |${pfx}rev AS (SELECT dst AS src, src AS dst, sim FROM ${pfx}out),
+       |${pfx}mc AS MATERIALIZED (
+       |  SELECT src AS gid, dst AS nid, sim,
+       |    row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rank
+       |  FROM (SELECT * FROM $ePrevCte UNION ALL SELECT * FROM ${pfx}out
+       |        UNION ALL SELECT * FROM ${pfx}rev)),
+       |${diversifySelCtes(s"${pfx}m", s"${pfx}mc", s"${pfx}v",
+                           k, alphaMicro)},
+       |${pfx}e AS (SELECT gid AS src, nid AS dst, sim FROM ${pfx}mds),
+       |${pfx}asg AS (
+       |  SELECT id, cell FROM (
+       |    SELECT b.id, c.cell,
+       |      row_number() OVER (PARTITION BY b.id
+       |        ORDER BY list_cosine_similarity(CAST(b.vec AS DOUBLE[]), c.cvec) DESC,
+       |                 c.cell DESC) AS rn
+       |    FROM $batchCte b CROSS JOIN $centsCte c) x
+       |  WHERE rn = 1),
+       |${pfx}ent AS (
+       |  SELECT cell, MIN(id) AS node FROM (
+       |    SELECT cell, node AS id FROM $entPrevCte
+       |    UNION ALL SELECT cell, id FROM ${pfx}asg) GROUP BY cell)"""
+      .stripMargin
 
   val shinglesSql =
     s"""WITH toks AS (

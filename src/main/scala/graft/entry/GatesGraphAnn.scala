@@ -95,6 +95,29 @@ private[graft] object GatesGraphAnn {
         .orderBy("query_id", "rank")
     }),
 
+    // α-RNG NEIGHBOR-DIVERSIFIED graph store under the gate (round 12,
+    // r11 verdict ask #1): build over 90% with diversified edge
+    // selection (k=3 edges α-selected from a kCand=6 candidate pool),
+    // NSW-append the held-out decile (diversified out-edges AND
+    // diversified per-source re-trim), then search. The oracle replays
+    // the candidate ranking, the pairwise α-prune, the rank-order
+    // backfill, the diversified insert, and every walk round as one
+    // CTE chain — the select-neighbors heuristic itself is under the
+    // cross-engine value gate, at both build and append.
+    "q338_graph_diverse" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gdiv_gate").toString
+      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
+        buckets = 8, portableHash = true, alpha = 1.0, kCand = 6)
+      Knn.appendGraphIndex(emb.where(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", tmp, beam = 4, hops = 2)
+      Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // Streaming NSW ingest under the gate (round 11, r10 verdict ask
     // #8): the store built over 60% of the corpus, then TWO
     // micro-batches land through ingestGraphStream's foreachBatch
@@ -287,6 +310,35 @@ private[graft] object GatesGraphAnn {
          |          row_number() OVER (PARTITION BY qid
          |            ORDER BY sim DESC, node ASC) AS rank
          |        FROM t0b2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Diversified build over 90% (α-RNG selection from the kCand-deep
+    // candidate ranking, rank-order backfill), diversified insert of
+    // the 10% batch against pre-append state, then the beam search
+    // over the post-insert tables.
+    "q338_graph_diverse" ->
+      s"""WITH bhs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |${layerKnnGraphDivCtes("g", "bhs", 16, 2, 6, 3, 1000000L)},
+         |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
+         |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bhs),
+         |bat AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |        WHERE vec_id % 10 = 7),
+         |${graphInsertDivCtes("i1", "bat", "gv", "ge", "gent", "gcents",
+                               beam = 4, hops = 2, k = 3, kCand = 6,
+                               alphaMicro = 1000000L)},
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |${graphBeamCtes("z", "sq", "av", "i1e", "i1ent", beam = 4, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM zb2 WHERE node <> qid)
          |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -346,6 +346,100 @@ object Knn {
     topKPerQuery(scored, k)
   }
 
+  /** NEIGHBOR-DIVERSIFIED edge selection — the α-RNG pruning rule of
+    * the HNSW select-neighbors heuristic family (Malkov & Yashunin
+    * 2018, Algorithm 4; the α-relaxation is DiskANN's RobustPrune,
+    * Subramanya et al., NeurIPS 2019 — both public algorithms),
+    * re-expressed as a deterministic, engine-replayable relational
+    * pipeline: rank each query's candidates by (sim DESC, id ASC),
+    * PRUNE candidate e when some higher-ranked candidate r is closer
+    * to e than the query is (by factor α on distances:
+    * α·(1 − sim(e,r)) ≤ 1 − sim(q,e), exact long micros), then
+    * BACKFILL pruned candidates in rank order until degree k (the
+    * keepPrunedConnections trade — a node never ends up under-linked
+    * because its whole neighborhood was dense).
+    *
+    * Why: a raw kNN edge list on clustered corpora points every edge
+    * into the same tight ball — the walk re-scores the same
+    * neighborhood each hop and recall stalls (RECALL_r11's clustered
+    * equal-budget block: graph 0.32 vs IVF 0.99). Diversified edges
+    * span the neighborhood's DIRECTIONS instead of its nearest
+    * members, so each hop extends the frontier — the published
+    * mechanism that buys recall per edge, now at both graph build and
+    * NSW append (this round's top verdict ask).
+    *
+    * Variant note (documented, deliberate): the prune check runs
+    * against ALL higher-ranked candidates, not just the accepted
+    * prefix — the relative-neighborhood-graph form, which is
+    * order-free and therefore expressible as one anti-join instead of
+    * a sequential fold (the backfill restores any over-pruning).
+    * Deterministic end-to-end: sims are 6-dp-rounded before
+    * comparison, candidate rank breaks ties, so the SQL twin
+    * (EntryHelpers.diversifyCtes) replays bit-identically.
+    *
+    * Scale shape: candidates are ≤ kCand per query, so the pairwise
+    * prune join is O(n·kCand²) rows co-keyed on query_id — one keyed
+    * shuffle, no corpus² term; the vector join is one keyed shuffle of
+    * (id → vec). `scored`: (query_id, neighbor_id, sim); `vecs`:
+    * (id, vec) covering every candidate id. Output: (query_id,
+    * neighbor_id, sim, rank ≤ k), rank = selection order (kept by
+    * diversity first, backfilled by candidate rank after). */
+  private[graft] def diversifyNeighbors(scored: DataFrame, vecs: DataFrame,
+                                        kCand: Int, k: Int,
+                                        alphaMicro: Long): DataFrame = {
+    require(k >= 1 && kCand >= k && alphaMicro >= 1000000L,
+      s"need 1 <= k <= kCand and alpha >= 1, got k=$k kCand=$kCand alphaMicro=$alphaMicro")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val cand = scored
+      .withColumn("__crank", row_number().over(w))
+      .where(col("__crank") <= kCand)
+    val nv = vecs.select(col("id").as("neighbor_id"),
+      transform(col("vec"), _.cast("double")).as("__nv"))
+    val cv = cand.join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("__crank"), col("__nv"))
+    val e = cv.select(col("query_id"), col("neighbor_id"), col("sim"),
+      col("__crank"), col("__nv").as("__ev"))
+    val r = cv.select(col("query_id"), col("__crank").as("__rrank"),
+      col("__nv").as("__rv"))
+    val eMicro = round(col("sim") * 1e6).cast("long")
+    val erMicro = round(
+      round(graft.plans.native.cosineSim(col("__ev"), col("__rv")), 6) * 1e6)
+      .cast("long")
+    val pruned = e.join(r, Seq("query_id"))
+      .where(col("__rrank") < col("__crank"))
+      .where(lit(alphaMicro) * (lit(1000000L) - erMicro) <=
+        lit(1000000L) * (lit(1000000L) - eMicro))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val flagged = cand.join(
+      pruned.withColumn("__p", lit(1)), Seq("query_id", "neighbor_id"), "left")
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(coalesce(col("__p"), lit(0)).asc, col("__crank").asc)
+    flagged.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** [[knnGraph]] with α-RNG diversified edges: probe a kCand-deep
+    * candidate list per vector, then [[diversifyNeighbors]] down to k.
+    * Same output contract as knnGraph (rank ≤ k, deterministic), but
+    * rank is SELECTION order, not similarity order — the edge set is
+    * the point. kCand bounds the extra probe cost (kCand/k more
+    * scored candidates at build; the search-time graph is the same
+    * size and shape as an undiversified one). */
+  def knnGraphDiverse(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, kCand: Int, c: Int = 16, nprobe: Int = 2,
+                      portableHash: Boolean = false, alpha: Double = 1.0,
+                      targetCellSize: Int = 0): DataFrame = {
+    val cand = knnGraph(corpus, idCol, vecCol, kCand, c, nprobe,
+      portableHash, targetCellSize)
+      .select("query_id", "neighbor_id", "sim")
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    diversifyNeighbors(cand, vecs, kCand, k, math.round(alpha * 1e6))
+  }
+
   /** Greedy BEAM SEARCH over a precomputed kNN graph — the
     * navigable-small-world search pattern (Malkov & Yashunin 2018,
     * "Efficient and robust approximate nearest neighbor search using
@@ -447,7 +541,8 @@ object Knn {
     * missing-deletes fallback already takes, instead of throwing on
     * getAs. */
   private[graft] case class GraphMeta(k: Int, buckets: Int, layers: Int,
-                                      portable: Boolean)
+                                      portable: Boolean,
+                                      alphaMicro: Long, kCand: Int)
 
   private def readGraphMeta(spark: SparkSession, path: String): GraphMeta = {
     val df = spark.read.parquet(s"$path/meta")
@@ -457,7 +552,11 @@ object Knn {
       row.getAs[Int]("k"),
       row.getAs[Int]("buckets"),
       if (names("layers")) row.getAs[Int]("layers") else 0,
-      if (names("portable")) row.getAs[Boolean]("portable") else false)
+      if (names("portable")) row.getAs[Boolean]("portable") else false,
+      // pre-r12 stores carry no diversification fields → 0 = off, the
+      // same graceful default posture as layers/portable above
+      if (names("alphamicro")) row.getAs[Long]("alphamicro") else 0L,
+      if (names("kcand")) row.getAs[Int]("kcand") else 0)
   }
 
   /** Pin partitionOverwriteMode to STATIC for the store-table
@@ -516,9 +615,20 @@ object Knn {
                       buckets: Int = 32,
                       portableHash: Boolean = false,
                       targetCellSize: Int = 0,
-                      layers: Int = 0): Unit = {
+                      layers: Int = 0,
+                      alpha: Double = 0.0,
+                      kCand: Int = 0): Unit = {
     require(k >= 1 && buckets >= 1 && c >= 1 && layers >= 0,
       s"need k/buckets/c >= 1 and layers >= 0, got k=$k buckets=$buckets c=$c layers=$layers")
+    // α-RNG edge diversification (round 12): alpha > 0 turns it on —
+    // each layer's edge list is selected via [[diversifyNeighbors]]
+    // from a kCand-deep candidate pool (default 2k). Recorded in meta
+    // so appendGraphIndex keeps the build's selection discipline.
+    val alphaMicro = if (alpha > 0) math.round(alpha * 1e6) else 0L
+    val kCandEff =
+      if (alphaMicro == 0L) 0
+      else if (kCand > 0) { require(kCand >= k); kCand }
+      else 2 * k
     val spark = corpus.sparkSession
     import spark.implicits._
     // ONE canonical id for every level derivation (round-12 advice):
@@ -548,8 +658,8 @@ object Knn {
         canon.agg(max(levelOf(col("id"), layers, portableHash)))
           .head().getInt(0))
     withStaticOverwrite(spark) {
-    Seq((k, buckets, topEff, portableHash))
-      .toDF("k", "buckets", "layers", "portable")
+    Seq((k, buckets, topEff, portableHash, alphaMicro, kCandEff))
+      .toDF("k", "buckets", "layers", "portable", "alphamicro", "kcand")
       .write.mode("overwrite").parquet(s"$path/meta")
     // empty tombstone table — the delete/compact lifecycle handle
     // (same convention as every other persisted store)
@@ -567,7 +677,12 @@ object Knn {
       val sub =
         if (l == 0) canon
         else canon.where(levelOf(col("id"), topEff, portableHash) >= l)
-      knnGraph(sub, "id", "vec", k, cEff, nprobe, portableHash)
+      val layerEdges =
+        if (alphaMicro > 0)
+          knnGraphDiverse(sub, "id", "vec", k, kCandEff, cEff, nprobe,
+            portableHash, alpha)
+        else knnGraph(sub, "id", "vec", k, cEff, nprobe, portableHash)
+      layerEdges
         .select(col("query_id").cast("long").as("src"),
           col("neighbor_id").cast("long").as("dst"), col("sim"))
         .withColumn("layer", lit(l))
@@ -632,7 +747,8 @@ object Knn {
                        path: String, beam: Int, hops: Int,
                        skipExisting: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val GraphMeta(k, buckets, layers, portable) = readGraphMeta(spark, path)
+    val GraphMeta(k, buckets, layers, portable, alphaMicro, kCand) =
+      readGraphMeta(spark, path)
     val incoming = batch.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), _.cast("double")).as("vec"))
     val deduped =
@@ -666,8 +782,23 @@ object Knn {
         val found = beamSearchIndexed(spark, path, buckets,
           sub.select(col("id").as("qid"), col("vec").as("qvec")),
           beam, hops, layer = l)
-        val out = topKPerQuery(found.select(col("qid").as("query_id"),
-            col("node").as("neighbor_id"), col("sim")), k)
+        val foundScored = found.select(col("qid").as("query_id"),
+          col("node").as("neighbor_id"), col("sim"))
+        // out-edges: on a diversified store (meta alphamicro > 0) the
+        // new node's k edges are α-RNG-selected from its beam
+        // candidates — the build's selection discipline carried into
+        // maintenance (candidate vectors via one bucket-pruned node
+        // read); otherwise the plain top-k
+        val out = (if (alphaMicro > 0) {
+            val cbks = foundScored
+              .select(pmod(col("neighbor_id"), lit(buckets.toLong))
+                .cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val cvecs = spark.read.parquet(s"$path/nodes")
+              .where(col("bucket").isin(cbks: _*))
+              .select(col("id"), col("vec"))
+            diversifyNeighbors(foundScored, cvecs, kCand, k, alphaMicro)
+          } else topKPerQuery(foundScored, k))
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
             col("sim"))
         val rev = out.select(col("dst").as("src"), col("src").as("dst"),
@@ -683,11 +814,35 @@ object Knn {
         val existing = spark.read.parquet(s"$path/edges")
           .where(col("layer") === l && col("bucket").isin(touched: _*))
           .select("src", "dst", "sim")
-        val merged = existing.unionByName(delta)
-          .groupBy(col("src").as("qid"))
-          .agg(topk(col("dst"), col("sim")).as("top"))
-          .select(col("qid").as("src"), explode(col("top")).as("s"))
-          .select(col("src"), col("s._2").as("dst"), col("s._1").as("sim"))
+        val merged0 = existing.unionByName(delta)
+        // re-trim: diversified stores re-select each touched source's
+        // k edges with the SAME α-RNG rule over the merged candidate
+        // set (all candidates considered — no kCand cap here; the set
+        // is ≤ k existing + delta per source), matching the HNSW
+        // shrink step; dst vectors come from one bucket-pruned node
+        // read unioned with the in-flight batch (its nodes land in
+        // Phase 2, after all reads)
+        val trimmed =
+          if (alphaMicro > 0) {
+            val scored = merged0.select(col("src").as("query_id"),
+              col("dst").as("neighbor_id"), col("sim"))
+            val dbks = scored
+              .select(pmod(col("neighbor_id"), lit(buckets.toLong))
+                .cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val dvecs = spark.read.parquet(s"$path/nodes")
+              .where(col("bucket").isin(dbks: _*))
+              .select(col("id"), col("vec"))
+              .unionByName(newNodes.select(col("id"), col("vec")))
+            diversifyNeighbors(scored, dvecs, Int.MaxValue, k, alphaMicro)
+              .select(col("query_id").as("src"),
+                col("neighbor_id").as("dst"), col("sim"))
+          } else merged0
+            .groupBy(col("src").as("qid"))
+            .agg(topk(col("dst"), col("sim")).as("top"))
+            .select(col("qid").as("src"), explode(col("top")).as("s"))
+            .select(col("src"), col("s._2").as("dst"), col("s._1").as("sim"))
+        val merged = trimmed
           .withColumn("layer", lit(l))
           .withColumn("bucket",
             pmod(col("src"), lit(buckets.toLong)).cast("int"))
@@ -761,7 +916,8 @@ object Knn {
     * fully-tombstoned partitions' old files are replaced, not kept. */
   def compactGraphStore(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    val GraphMeta(k, buckets, layers, portable) = readGraphMeta(spark, path)
+    val GraphMeta(k, buckets, layers, portable, alphaMicro, kCand) =
+      readGraphMeta(spark, path)
     // pre-r11 stores have no deletes table — compacting one is a no-op
     // rewrite, not an error (same fallback the walk takes)
     val del = broadcast(
@@ -812,8 +968,8 @@ object Knn {
     entries.write.mode("overwrite").parquet(s"$path/entries")
     graft.plans.Blocks.free(entries)
     graft.plans.Blocks.free(nodes2)
-    Seq((k, buckets, newLayers, portable))
-      .toDF("k", "buckets", "layers", "portable")
+    Seq((k, buckets, newLayers, portable, alphaMicro, kCand))
+      .toDF("k", "buckets", "layers", "portable", "alphamicro", "kcand")
       .write.mode("overwrite").parquet(s"$path/meta")
     Seq.empty[Long].toDF("id")
       .write.mode("overwrite").parquet(s"$path/deletes")
@@ -869,7 +1025,7 @@ object Knn {
                        k: Int): DataFrame = {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
-    val GraphMeta(_, buckets, layers, _) = readGraphMeta(spark, path)
+    val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
     val q = queries.select(col(queryIdCol).cast("long").as("qid"),
       transform(col(queryVecCol), _.cast("double")).as("qvec"))
     var fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,

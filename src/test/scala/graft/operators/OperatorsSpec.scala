@@ -1179,6 +1179,115 @@ class KnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("diversifyNeighbors: α-RNG prune keeps the diverse candidate " +
+    "over the redundant closer one, and backfill restores degree k " +
+    "(round 12)") {
+    val s = spark
+    import s.implicits._
+    // query along e0; a = nearest, b = nearly coincident with a
+    // (redundant: closer to a than to q → pruned), c = a different
+    // direction (diverse: closer to q than to a → kept)
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    val q = unit(1, 0, 0, 0)
+    val vecs = Seq(
+      (1L, unit(0.95, 0.30, 0, 0)), // a: sim(q,a) ~ 0.954
+      (2L, unit(0.93, 0.35, 0, 0)), // b: sim(q,b) ~ 0.936, sim(a,b) ~ 0.999
+      (3L, unit(0.80, 0, 0.60, 0))  // c: sim(q,c) = 0.8,   sim(a,c) ~ 0.76
+    ).toDF("id", "vec")
+    def cos6(x: Array[Float], y: Array[Float]): Double = {
+      val d = x.zip(y).map { case (u, v) => u.toDouble * v }.sum
+      val nx = math.sqrt(x.map(u => u.toDouble * u).sum)
+      val ny = math.sqrt(y.map(u => u.toDouble * u).sum)
+      math.round(d / (nx * ny) * 1e6) / 1e6
+    }
+    val byId = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val scored = Seq(1L, 2L, 3L).map(i => (0L, i, cos6(q, byId(i))))
+      .toDF("query_id", "neighbor_id", "sim")
+    // k=2: the redundant b is pruned, the diverse c takes rank 2
+    val k2 = Knn.diversifyNeighbors(scored, vecs, kCand = 3, k = 2,
+        alphaMicro = 1000000L)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(k2.toSeq == Seq((1L, 1), (3L, 2)), k2.mkString(","))
+    // k=3: backfill brings the pruned b back at the LAST rank
+    val k3 = Knn.diversifyNeighbors(scored, vecs, kCand = 3, k = 3,
+        alphaMicro = 1000000L)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(k3.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)), k3.mkString(","))
+    // a large α relaxes the rule until nothing prunes: pure rank order
+    val loose = Knn.diversifyNeighbors(scored, vecs, kCand = 3, k = 3,
+        alphaMicro = 100000000L)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(loose.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)), loose.mkString(","))
+  }
+
+  test("knnGraphDiverse: edges are a subset of the kCand candidate " +
+    "pool, degree stays k, and rank 1 is always the nearest candidate " +
+    "(round 12)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    val emb = (0L until 80L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cand = Knn.knnGraph(emb, "vec_id", "embedding", k = 8, c = 8,
+        nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val candSet = cand.map(t => (t._1, t._2)).toSet
+    val nearest = cand.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    val div = Knn.knnGraphDiverse(emb, "vec_id", "embedding", k = 4,
+        kCand = 8, c = 8, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(div.forall(t => candSet((t._1, t._2))),
+      "diversified edge outside the candidate pool")
+    val deg = div.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(deg.values.forall(_ <= 4), s"degree bound broken: $deg")
+    div.filter(_._3 == 1).foreach { case (q, n, _) =>
+      assert(nearest(q) == n, s"rank-1 edge of $q is not the nearest") }
+  }
+
+  test("diversified graph store: build + NSW append keep the α-RNG " +
+    "selection (meta roundtrip through compact), appended nodes stay " +
+    "reachable (round 12)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(67)
+    def point(center: Int, noise: Float): Array[Float] = {
+      val v = Array.fill(8)(noise * rnd.nextGaussian().toFloat)
+      v(center) += 5.0f
+      v
+    }
+    val base = (0L until 60L).map(i => (i, point((i % 3).toInt, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_div").toString
+    Knn.writeGraphIndex(base, "vec_id", "embedding", dir,
+      k = 4, c = 8, nprobe = 2, buckets = 8, alpha = 1.0, kCand = 8)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getAs[Long]("alphamicro") == 1000000L)
+    assert(meta.getAs[Int]("kcand") == 8)
+    val d0 = spark.read.parquet(s"$dir/edges")
+      .groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(d0 <= 4, s"build degree bound broken: $d0")
+    Knn.appendGraphIndex(Seq((1000L, point(1, 0.02f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      beam = 8, hops = 2)
+    val d1 = spark.read.parquet(s"$dir/edges")
+      .groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(d1 <= 4, s"append degree bound broken: $d1")
+    val hit = Knn.searchGraphIndex(spark, dir,
+      Seq((900000L, point(1, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", beam = 8, hops = 3, k = 3)
+      .where(col("neighbor_id") === 1000L).count()
+    assert(hit == 1, "appended node not reachable on the diversified store")
+    Knn.deleteFromGraphIndex(Seq(5L).toDF("vec_id"), "vec_id", dir)
+    Knn.compactGraphStore(spark, dir)
+    val meta2 = spark.read.parquet(s"$dir/meta").head()
+    assert(meta2.getAs[Long]("alphamicro") == 1000000L,
+      "compaction dropped the diversification meta")
+  }
+
   test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
     "equals the explicit c, and grows with n (round-10 scale fix)") {
     val s = spark
