@@ -29,6 +29,7 @@ object SparkEntry {
     graft.entry.GatesRelational.queries ++
     graft.entry.GatesEtl.queries ++
     graft.entry.GatesDedup.queries ++
+    graft.entry.GatesMetrics.queries ++
     graft.entry.GatesSimilarity.queries ++
     graft.entry.GatesTextAnalysis.queries ++
     graft.entry.GatesEvents.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
     graft.entry.GatesRelational.oracles ++
     graft.entry.GatesEtl.oracles ++
     graft.entry.GatesDedup.oracles ++
+    graft.entry.GatesMetrics.oracles ++
     graft.entry.GatesSimilarity.oracles ++
     graft.entry.GatesTextAnalysis.oracles ++
     graft.entry.GatesEvents.oracles ++

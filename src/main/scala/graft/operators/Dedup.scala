@@ -363,6 +363,62 @@ object Dedup {
       .distinct()
   }
 
+  /** MULTI-PROBE hyperplane-LSH embedding pairs (Lv et al., VLDB 2007,
+    * "Multi-probe LSH: efficient indexing for high-dimensional
+    * similarity search"; public algorithm) — the memory-lean recall
+    * knob [[embeddingPairs]] was missing: instead of buying recall
+    * with MORE TABLES (each a full extra copy of the bucketed corpus
+    * through the join), each point also PROBES the `probes` buckets
+    * that flip its least-confident plane bits (smallest |dot| — the
+    * sides a true neighbor most plausibly landed across). A pair is a
+    * candidate when either side's probe set hits the other's exact
+    * bucket, so tables can drop ~2-4× at equal pair recall — the
+    * standard production trade (probe rows are (probes+1)× per point
+    * per table vs a whole extra table per recall step).
+    *
+    * Scale shape: identical to [[embeddingPairs]] — one (tbl, bucket)
+    * keyed join, probe-side amplified (probes+1)×; no new shuffle
+    * classes, no driver state. Deterministic: the probe selection
+    * orders planes by (|dot|, plane index) over the same sequential
+    * dot fold the bucket bits use, so the gate oracle replays the
+    * probe set exactly. probes = 0 degenerates to [[embeddingPairs]]
+    * (spec-pinned). Output: (id_a < id_b, cosine >= tau, 6-dp). */
+  def embeddingPairsMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                               tau: Double = 0.95, planes: Int = 8,
+                               dim: Int = 0, seed: Long = 7L,
+                               tables: Int = 1, probes: Int = 2): DataFrame = {
+    require(planes > 0 && dim > 0, "planes/dim required")
+    require(probes >= 0 && probes <= planes,
+      s"need 0 <= probes <= planes, got $probes")
+    val rnd = new scala.util.Random(seed)
+    val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val idxKeys = all.zipWithIndex.map { case (hps, t) =>
+      struct(lit(t).as("tbl"),
+        graft.plans.native.hyperplaneBucket(col("vec"),
+          hps.map(_.toArray).toArray).as("bucket"))
+    }
+    val index = base.withColumn("bk", explode(array(idxKeys: _*)))
+      .select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val probeKeys = all.zipWithIndex.map { case (hps, t) =>
+      struct(lit(t).as("tbl"),
+        graft.plans.native.hyperplaneProbes(col("vec"),
+          hps.map(_.toArray).toArray, probes).as("pb"))
+    }
+    val probe = base.withColumn("pk", explode(array(probeKeys: _*)))
+      .select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("pk.tbl").as("tbl"), explode(col("pk.pb")).as("bucket"))
+    probe.join(index, Seq("tbl", "bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= tau)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
   /** Cross-corpus embedding near-dup pairs — the embedding-layer twin
     * of [[minhashLshPairsAcross]] (semantic decontamination: training
     * docs whose EMBEDDING collides with an eval doc even when their

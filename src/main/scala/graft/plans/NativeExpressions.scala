@@ -751,6 +751,82 @@ object HyperplaneKernel {
     }
     b
   }
+
+  /** Multi-probe bucket list (Lv et al., VLDB 2007 — query-directed
+    * multi-probe LSH; public algorithm): element 0 is the exact
+    * bucket, elements 1..nProbes flip the bit of the nProbes planes
+    * with the SMALLEST |dot| (the least-confident sides — the
+    * perturbations most likely to recover a near neighbor that landed
+    * across a close hyperplane), ties to the lower plane index. Dots
+    * are the same sequential fold as [[bucket]] (and the oracle's
+    * seqDotSql), so probe selection replays bit-identically. */
+  def probes(vec: ArrayData, vecFloat: Boolean,
+             planes: Array[Array[Double]], nProbes: Int): ArrayData = {
+    val np = planes.length
+    val dots = new Array[Double](np)
+    var b = 0L
+    var p = 0
+    while (p < np) {
+      val plane = planes(p)
+      val m = math.min(vec.numElements(), plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        dot += x * plane(i)
+        i += 1
+      }
+      dots(p) = dot
+      if (dot >= 0) b |= (1L << p)
+      p += 1
+    }
+    val order = Array.range(0, np)
+      .sortBy(p => (math.abs(dots(p)), p))
+    val out = new Array[Long](nProbes + 1)
+    out(0) = b
+    var j = 0
+    while (j < nProbes) {
+      out(j + 1) = b ^ (1L << order(j))
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Multi-probe hyperplane-LSH bucket list for a vector column: the
+  * exact bucket plus `nProbes` one-bit perturbations of the
+  * least-confident planes (see HyperplaneKernel.probes). One kernel
+  * call replaces `planes` dot HOFs + a per-row sort. */
+case class HyperplaneProbes(child: Expression, planes: Array[Array[Double]],
+                            nProbes: Int)
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 63, "need 1..63 planes")
+  require(nProbes >= 0 && nProbes <= planes.length,
+    s"need 0 <= nProbes <= planes, got $nProbes")
+  private lazy val vecFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_probes expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_probes"
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneKernel.probes(input.asInstanceOf[ArrayData], vecFloat, planes,
+      nProbes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HyperplaneKernel.probes($c, $vecFloat, $planesRef, $nProbes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbes =
+    copy(child = newChild)
 }
 
 /** Packed hyperplane-LSH bucket id for an array<float|double> vector
@@ -1372,6 +1448,11 @@ object native {
 
   def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes))
+
+  def hyperplaneProbes(vec: Column, planes: Array[Array[Double]],
+                       nProbes: Int): Column =
+    GraftBridge.column(HyperplaneProbes(GraftBridge.expression(vec), planes,
+      nProbes))
 
   def residualCodes(vec: Column, books1: Array[Array[Array[Double]]],
                     books2: Array[Array[Array[Double]]]): Column =

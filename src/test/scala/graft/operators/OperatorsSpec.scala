@@ -356,6 +356,48 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute)) // LSH may miss, must not invent
   }
 
+  test("multi-probe LSH: probes=0 degenerates to embeddingPairs, probing " +
+    "only adds candidates, and the probe list flips least-|dot| planes " +
+    "(round 12)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(83)
+    val vecs = (0L until 120L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.fill(8)(0.3f * rnd.nextGaussian().toFloat)
+      v(c) += 2.0f
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairSet(Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      tau = 0.45, planes = 4, dim = 8, seed = 7L, tables = 2))
+    val p0 = pairSet(Dedup.embeddingPairsMultiProbe(vecs, "vec_id",
+      "embedding", tau = 0.45, planes = 4, dim = 8, seed = 7L,
+      tables = 2, probes = 0))
+    assert(p0 == plain, "probes=0 must equal embeddingPairs")
+    val p2 = pairSet(Dedup.embeddingPairsMultiProbe(vecs, "vec_id",
+      "embedding", tau = 0.45, planes = 4, dim = 8, seed = 7L,
+      tables = 2, probes = 2))
+    assert(plain.subsetOf(p2), "probing must only add candidates")
+    assert(p2.size > plain.size, "fixture drift: probing added nothing")
+    // brute truth: every probed pair is a true pair (tau filter exact)
+    val brute = pairSet(Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      tau = 0.45, planes = 0))
+    assert(p2.subsetOf(brute), "multi-probe invented a pair")
+    // kernel contract on a hand geometry: plane 1 has the smallest
+    // |dot| for a vector nearly ON it, so probe 1 flips bit 1
+    val planes = Array(Array(1.0, 0.0), Array(0.01, 1.0))
+    val out = Seq((1L, Array(1.0f, -0.012f))).toDF("id", "v")
+      .select(graft.plans.native.hyperplaneProbes(col("v"), planes, 2)
+        .as("pb"))
+      .head().getSeq[Long](0)
+    // dots: plane0 = 1.0 (bit 0 set), plane1 = 0.01 - 0.012 = -0.002
+    // (bit 1 clear) → bucket = 1; probes flip plane 1 first (|−0.002|
+    // < |1.0|) then plane 0
+    assert(out == Seq(1L, 3L, 0L), out.toString)
+  }
+
   test("embeddingPairsAcross finds cross-corpus twins, never within-side pairs") {
     val s = spark
     import s.implicits._
