@@ -348,6 +348,30 @@ object Pq {
     Knn.topKPerQuery(scored, k)
   }
 
+  /** BQ first stage + EXACT re-rank (round 12): Hamming-shortlist
+    * `shortlist` candidates per query, then rank the shortlist by
+    * exact cosine against the full vectors — the production posture
+    * the symmetric filter is built for ([[searchBq]] alone reports
+    * the honest first-stage quality). The re-rank join touches
+    * vectors only for queries × shortlist rows. */
+  def searchBqReranked(encoded: DataFrame, corpus: DataFrame,
+                       corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String,
+                       queryVec: String, th: Array[Double], k: Int,
+                       shortlist: Int = 50): DataFrame = {
+    val short = searchBq(encoded, queries, queryId, queryVec, th, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec")))
+    val cv = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cvec"))
+    val scored = short.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.Vectors.cosine(col("cvec"), col("qvec")), 6)
+          .as("sim"))
+    Knn.topKPerQuery(scored, k)
+  }
+
   // ---- residual quantization: a second codebook level per subspace,
   // trained on the level-1 residuals. Reconstruction cw1[c1] + cw2[c2]
   // is strictly finer than one level at the cost of one extra code per

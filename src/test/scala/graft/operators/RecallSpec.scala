@@ -122,6 +122,46 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.85, s"hnsw recall@$k = $r") // measured 0.985
   }
 
+  test("budget-fit diversified graph store clears its floor at the " +
+    "within-IVF-budget operating point (round 12)") {
+    val d = tmp("div_fit")
+    Knn.writeGraphIndex(corpus, "vec_id", "embedding", d, k = 4, c = 8,
+      nprobe = 2, buckets = 16, alpha = 1.0, kCand = 16)
+    val r = recallOf(Knn.searchGraphIndex(spark, d, queries,
+      "vec_id", "embedding", beam = 12, hops = 2, k = k))
+    // measured 0.68 at ~74 cand/q — within IVF nprobe=4's ~75 budget;
+    // the r11 equal-budget fallback point was 0.32
+    assert(r >= 0.55, s"diversified budget-fit recall@$k = $r")
+  }
+
+  test("BQ re-ranked recall clears its floor — the production posture " +
+    "over the Hamming shortlist (round 12)") {
+    val (mins, maxs) = Pq.sq8Train(corpus, "embedding", dim)
+    val th = Pq.bqThresholds(mins, maxs)
+    val enc = Pq.bqEncode(corpus, "vec_id", "embedding", th)
+    val r = recallOf(Pq.searchBqReranked(enc, corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", th, k, shortlist = 50))
+    assert(r >= 0.60, s"bq reranked recall@$k = $r")
+  }
+
+  test("multi-probe LSH at 2 tables reaches the plain 2-table recall " +
+    "plus a margin (round 12)") {
+    val tau = 0.9
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
+      .where(graft.functions.Vectors.cosine(col("va"), col("vb")) >= tau)
+      .count()
+    val plain2 = Dedup.embeddingPairs(corpus, "vec_id", "embedding",
+      tau = tau, planes = 4, dim = dim, seed = 7L, tables = 2).count()
+      .toDouble / truePairs
+    val mp2 = Dedup.embeddingPairsMultiProbe(corpus, "vec_id", "embedding",
+      tau = tau, planes = 4, dim = dim, seed = 7L, tables = 2,
+      probes = 2).count().toDouble / truePairs
+    assert(mp2 >= plain2, s"multi-probe lost recall: $mp2 < $plain2")
+    assert(mp2 >= 0.60, s"multi-probe 2-table recall = $mp2")
+  }
+
   test("hyperplane LSH pair recall at tau clears its floor") {
     val tau = 0.9 // intra-cluster pairs on this corpus
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
