@@ -25,11 +25,16 @@ private[graft] object GatesGraphAnn {
     // re-walked seeded by the beam above. The oracle replays the
     // level CASE, all three per-layer kNN graphs, the entry table,
     // and every walk round as one CTE chain.
+    // Gate corpus = the EVEN half (round-12 bench hygiene, r11
+    // verdict ask #8): halves the per-layer kNN builds and the
+    // oracle's CTE chains without touching the query set (every
+    // vec_id % 100 == 0 id is even). Same trim on q333/q334/q338.
     "q329_graph_hnsw" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_hnsw_gate").toString
-      Knn.writeGraphIndex(emb, "vec_id", "embedding", tmp, k = 3, c = 16,
+      Knn.writeGraphIndex(half, "vec_id", "embedding", tmp, k = 3, c = 16,
         nprobe = 2, buckets = 8, portableHash = true, layers = 2)
       Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", beam = 4, hops = 2, k = 3)
@@ -83,12 +88,13 @@ private[graft] object GatesGraphAnn {
     // and descends through the post-insert edge/entry tables.
     "q334_graph_hnsw_append" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_hnswapp_gate").toString
-      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 =!= 7),
+      Knn.writeGraphIndex(half.where(col("vec_id") % 10 =!= 6),
         "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
         buckets = 8, portableHash = true, layers = 1)
-      Knn.appendGraphIndex(emb.where(col("vec_id") % 10 === 7),
+      Knn.appendGraphIndex(half.where(col("vec_id") % 10 === 6),
         "vec_id", "embedding", tmp, beam = 4, hops = 2)
       Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", beam = 4, hops = 2, k = 3)
@@ -106,12 +112,13 @@ private[graft] object GatesGraphAnn {
     // cross-engine value gate, at both build and append.
     "q338_graph_diverse" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_gdiv_gate").toString
-      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 =!= 7),
+      Knn.writeGraphIndex(half.where(col("vec_id") % 10 =!= 6),
         "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
         buckets = 8, portableHash = true, alpha = 1.0, kCand = 6)
-      Knn.appendGraphIndex(emb.where(col("vec_id") % 10 === 7),
+      Knn.appendGraphIndex(half.where(col("vec_id") % 10 === 6),
         "vec_id", "embedding", tmp, beam = 4, hops = 2)
       Knn.searchGraphIndex(s, tmp, emb.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", beam = 4, hops = 2, k = 3)
@@ -129,13 +136,14 @@ private[graft] object GatesGraphAnn {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ingest_gate").toString
-      Knn.writeGraphIndex(emb.where(col("vec_id") % 10 < 6),
+      Knn.writeGraphIndex(half.where(col("vec_id") % 10 < 6),
         "vec_id", "embedding", tmp, k = 3, c = 16, nprobe = 2,
         buckets = 8, portableHash = true)
       def rows(m: Seq[Int]): Seq[(Long, Seq[Float])] =
-        emb.where(pmod(col("vec_id"), lit(10)).isin(m: _*))
+        half.where(pmod(col("vec_id"), lit(10)).isin(m: _*))
           .select(col("vec_id").cast("long"), col("embedding"))
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
@@ -167,7 +175,7 @@ private[graft] object GatesGraphAnn {
       s"""WITH hs AS (
          |  SELECT vec_id AS id, embedding AS vec,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings),
+         |  FROM embeddings WHERE vec_id % 2 = 0),
          |lv AS (SELECT id, vec, h, $lvlCase AS lev FROM hs),
          |sub1 AS (SELECT id, vec, h FROM lv WHERE lev >= 1),
          |sub2 AS (SELECT id, vec, h FROM lv WHERE lev >= 2),
@@ -276,7 +284,7 @@ private[graft] object GatesGraphAnn {
       s"""WITH bhs AS (
          |  SELECT vec_id AS id, embedding AS vec,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 6),
          |bsub1 AS (SELECT id, vec, h FROM bhs WHERE h % 4 = 0),
          |${layerKnnGraphCtes("l0", "bhs", 16, 2, 3)},
          |${layerKnnGraphCtes("l1", "bsub1", 16, 2, 3)},
@@ -293,7 +301,7 @@ private[graft] object GatesGraphAnn {
          |bat AS (
          |  SELECT vec_id AS id, embedding AS vec,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings WHERE vec_id % 10 = 7),
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 = 6),
          |bat0 AS (SELECT id, vec FROM bat),
          |bat1 AS (SELECT id, vec FROM bat WHERE h % 4 = 0),
          |${graphInsertCtes("i0", "bat0", "gv", "l0e", "ent0", "l0cents",
@@ -321,12 +329,12 @@ private[graft] object GatesGraphAnn {
       s"""WITH bhs AS (
          |  SELECT vec_id AS id, embedding AS vec,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 6),
          |${layerKnnGraphDivCtes("g", "bhs", 16, 2, 6, 3, 1000000L)},
          |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
          |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bhs),
          |bat AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
-         |        WHERE vec_id % 10 = 7),
+         |        WHERE vec_id % 2 = 0 AND vec_id % 10 = 6),
          |${graphInsertDivCtes("i1", "bat", "gv", "ge", "gent", "gcents",
                                beam = 4, hops = 2, k = 3, kCand = 6,
                                alphaMicro = 1000000L)},
@@ -348,14 +356,14 @@ private[graft] object GatesGraphAnn {
       s"""WITH bhs AS (
          |  SELECT vec_id AS id, embedding AS vec,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings WHERE vec_id % 10 < 6),
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 < 6),
          |${layerKnnGraphCtes("g", "bhs", 16, 2, 3)},
          |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
          |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bhs),
          |b1 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
-         |       WHERE vec_id % 10 IN (6, 7)),
+         |       WHERE vec_id % 2 = 0 AND vec_id % 10 IN (6, 7)),
          |b2 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
-         |       WHERE vec_id % 10 IN (8, 9)),
+         |       WHERE vec_id % 2 = 0 AND vec_id % 10 IN (8, 9)),
          |${graphInsertCtes("i1", "b1", "gv", "ge", "gent", "gcents",
                             beam = 4, hops = 2, k = 3)},
          |${graphInsertCtes("i2", "b2", "i1v", "i1e", "i1ent", "gcents",
