@@ -36,6 +36,7 @@ object SparkEntry {
     graft.entry.GatesGraphAnn.queries ++
     graft.entry.GatesAnalyticsCore.queries ++
     graft.entry.GatesAnalyticsStats.queries ++
+    graft.entry.GatesAnalyticsInference.queries ++
     graft.entry.GatesAnalyticsShapes.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -52,5 +53,6 @@ object SparkEntry {
     graft.entry.GatesGraphAnn.oracles ++
     graft.entry.GatesAnalyticsCore.oracles ++
     graft.entry.GatesAnalyticsStats.oracles ++
+    graft.entry.GatesAnalyticsInference.oracles ++
     graft.entry.GatesAnalyticsShapes.oracles
 }
