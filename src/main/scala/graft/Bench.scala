@@ -155,8 +155,9 @@ object Bench {
       // two-micro-batch NSW ingest → search; layered append lifecycle
       "q329_graph_hnsw", "q333_graph_ingest_stream",
       "q334_graph_hnsw_append", "q337_graph_delete_compact",
-      // diversified build + NSW append → search (round 12)
-      "q338_graph_diverse")
+      // diversified build + NSW append → search; coded build → ADC
+      // walk (round 12)
+      "q338_graph_diverse", "q340_graph_adc")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

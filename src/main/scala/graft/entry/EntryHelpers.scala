@@ -204,6 +204,50 @@ private[graft] object EntryHelpers {
     sb.toString
   }
 
+  /** ADC-scored beam-walk CTE generator (round 12) — the coded twin
+    * of [[graphBeamCtes]] for Knn.searchGraphIndexAdc: every score is
+    * the ADC table lookup `Σ_s tabs[s][codes[s]+1]` (the q51 fold)
+    * instead of a cosine. `qCte`(qid, tabs), `encCte`(node, codes),
+    * `eCte`(src, dst), `entCte`(node). Emits `${pfx}s0`, `${pfx}b0`
+    * .. `${pfx}b$hops`; final beam `${pfx}b$hops`(qid, node, sim)
+    * carries ADC sims — callers re-rank exactly. */
+  def graphBeamAdcCtes(pfx: String, qCte: String, encCte: String,
+                       eCte: String, entCte: String,
+                       beam: Int, hops: Int, m: Int): String = {
+    def adc(c: String, q: String): String =
+      s"""list_reduce(list_transform(range(1, ${m + 1}), s ->
+         |      $q.tabs[s][$c.codes[s] + 1]), (a, b) -> a + b)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""${pfx}s0 AS (
+         |  SELECT q.qid, en.node, ${adc("c", "q")} AS sim
+         |  FROM $qCte q CROSS JOIN $entCte en
+         |  JOIN $encCte c ON c.node = en.node),
+         |${pfx}b0 AS (
+         |  SELECT qid, node, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}s0)
+         |  WHERE rn <= $beam)""".stripMargin)
+    for (h <- 1 to hops) {
+      val p = s"${pfx}b${h - 1}"
+      sb.append(",\n").append(
+        s"""${pfx}c$h AS (
+           |  SELECT qid, node FROM $p
+           |  UNION SELECT $p.qid, e.dst AS node
+           |        FROM $p JOIN $eCte e ON e.src = $p.node),
+           |${pfx}s$h AS (
+           |  SELECT x.qid, x.node, ${adc("c", "q")} AS sim
+           |  FROM ${pfx}c$h x JOIN $encCte c ON c.node = x.node
+           |       JOIN $qCte q ON q.qid = x.qid),
+           |${pfx}b$h AS (
+           |  SELECT qid, node, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}s$h)
+           |  WHERE rn <= $beam)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** The knnGraph edge derivation over a SUBSET CTE `subCte`(id, vec,
     * h) — bottom-`c` md5 centroids OF THE SUBSET, nearest-cell
     * assignment, `nprobe` probe cells per member (the probe ranking is

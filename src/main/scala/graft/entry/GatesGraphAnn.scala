@@ -125,6 +125,31 @@ private[graft] object GatesGraphAnn {
         .orderBy("query_id", "rank")
     }),
 
+    // CODED graph walk under the gate (round 12 — the DiskANN layout:
+    // walk on PQ codes, exact re-rank at the end): flat store over
+    // the even half + the writeGraphCodes sidecar (seeded gaussian
+    // codebooks, the q51 convention — walk correctness doesn't depend
+    // on codebook quality; data-trained books stay spec-covered),
+    // then searchGraphIndexAdc: ADC-scored seeds and hops over the
+    // codes scan, full vectors read only for the final beam's exact
+    // 6-dp cosine re-rank. The oracle replays the argmin-L2 encode,
+    // the per-query dot tables, every ADC-ranked walk round, and the
+    // re-rank as one CTE chain.
+    "q340_graph_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
+      val books = pqBooks(m = 8, k = 16, subDim = 8, seed = 13L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gadc_gate").toString
+      Knn.writeGraphIndex(half, "vec_id", "embedding", tmp, k = 3, c = 16,
+        nprobe = 2, buckets = 8, portableHash = true)
+      Knn.writeGraphCodes(s, tmp, books)
+      Knn.searchGraphIndexAdc(s, tmp, books,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // Streaming NSW ingest under the gate (round 11, r10 verdict ask
     // #8): the store built over 60% of the corpus, then TWO
     // micro-batches land through ingestGraphStream's foreachBatch
@@ -319,6 +344,59 @@ private[graft] object GatesGraphAnn {
          |            ORDER BY sim DESC, node ASC) AS rank
          |        FROM t0b2 WHERE node <> qid)
          |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Half-corpus graph replay + q51's encode/table folds + the
+    // ADC-ranked beam rounds + the exact re-rank.
+    "q340_graph_adc" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |books(s, c, cw) AS (VALUES
+         |      ${pqBooksSql(m = 8, k = 16, subDim = 8, seed = 13L)}),
+         |${layerKnnGraphCtes("g", "hs", 16, 2, 3)},
+         |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
+         |dist AS (
+         |  SELECT e.id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (CAST(e.vec[b.s * 8 + j] AS DOUBLE) - b.cw[j])
+         |        * (CAST(e.vec[b.s * 8 + j] AS DOUBLE) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM hs e CROSS JOIN books b),
+         |enc AS MATERIALIZED (
+         |  SELECT id AS node, list(c ORDER BY s) AS codes FROM (
+         |    SELECT id, s, c,
+         |      row_number() OVER (PARTITION BY id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1 GROUP BY id),
+         |qd AS (
+         |  SELECT q.vec_id AS qid, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         |qtab AS MATERIALIZED (
+         |  SELECT qid, list(dots ORDER BY s) AS tabs FROM (
+         |    SELECT qid, s, list(dp ORDER BY c) AS dots
+         |    FROM qd GROUP BY qid, s) x
+         |  GROUP BY qid),
+         |${graphBeamAdcCtes("z", "qtab", "enc", "ge", "gent",
+                             beam = 4, hops = 2, m = 8)},
+         |fin AS (
+         |  SELECT zb2.qid AS query_id, zb2.node AS neighbor_id,
+         |    ROUND(${cosSql("nv.vec", "qv.embedding")}, 6) AS sim
+         |  FROM zb2
+         |  JOIN hs nv ON nv.id = zb2.node
+         |  JOIN embeddings qv ON qv.vec_id = zb2.qid
+         |  WHERE zb2.node <> zb2.qid),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM fin)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     // Diversified build over 90% (α-RNG selection from the kCand-deep

@@ -976,6 +976,146 @@ object Knn {
     }
   }
 
+  /** PQ codes SIDECAR for a persisted graph index (round 12 — the
+    * DiskANN memory layout: Subramanya et al., NeurIPS 2019 keep
+    * compressed vectors in memory for walk-time scoring and read full
+    * vectors only for the final re-rank; public algorithm): every
+    * store node's m-subspace PQ codes land at `path/codes`,
+    * partitionBy(bucket) — the SAME pruning handle as nodes/edges, so
+    * a coded walk's per-hop scan reads m bytes per candidate instead
+    * of dim×4 (32× less I/O at dim=64/m=8, which is what makes the
+    * walk memory-resident at 100 TB). Codes are a pure projection of
+    * path/nodes (deterministic argmin-L2 encode), so re-running after
+    * appends refreshes the sidecar — no incremental state. */
+  def writeGraphCodes(spark: SparkSession, path: String,
+                      books: Array[Array[Array[Double]]]): Unit = {
+    val nodes = spark.read.parquet(s"$path/nodes")
+    withStaticOverwrite(spark) {
+      nodes.select(col("id"), col("bucket"),
+        Pq.codesColumn(col("vec"), books).as("codes"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/codes")
+    }
+  }
+
+  /** CODED beam walk over a persisted graph index + exact re-rank —
+    * the DiskANN search recipe on the [[writeGraphCodes]] sidecar:
+    * seeds and every hop candidate score by ADC (per-query dot tables
+    * against the broadcast codebooks, AdcScore kernel over the
+    * bucket-pruned CODES scan — the 32×-smaller read), the walk
+    * navigates on approximate similarities, and only the FINAL beam's
+    * ids read their full vectors for the exact 6-dp cosine re-rank
+    * (queries × beam rows — driver-bounded). Single-layer walk (layer
+    * 0, per-cell entry seeds): the coded variant of the flat store;
+    * layered descent composes the same way and stays exact in
+    * [[searchGraphIndex]]. Tombstones honored pre-top-k (same live()
+    * discipline). Deterministic: ADC sims are bit-identical ordered
+    * folds in both engines (the q51 contract), ties → node ASC, so
+    * the gate oracle replays every hop. Output contract matches
+    * [[searchGraphIndex]]: (query_id, neighbor_id, sim, rank ≤ k),
+    * self excluded, sim = EXACT re-ranked cosine. */
+  def searchGraphIndexAdc(spark: SparkSession, path: String,
+                          books: Array[Array[Array[Double]]],
+                          queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, beam: Int, hops: Int,
+                          k: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0 && k >= 1,
+      s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
+    val GraphMeta(_, buckets, _, _, _, _) = readGraphMeta(spark, path)
+    val m = books.length
+    val subDim = books(0)(0).length
+    // per-query ADC tables (the Pq.search construction): tables[s][c]
+    // = dot(q_sub_s, cw_c), ordered folds — broadcast with the query
+    val tableCol = array((0 until m).map { s =>
+      val qSub = slice(transform(col("qvec"), _.cast("double")),
+        s * subDim + 1, subDim)
+      transform(typedLit(books(s).map(_.toSeq).toSeq), cw =>
+        aggregate(zip_with(qSub, cw, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v))
+    }: _*)
+    val q = broadcast(queries
+      .select(col(queryIdCol).cast("long").as("qid"),
+        transform(col(queryVecCol), _.cast("double")).as("qvec"))
+      .withColumn("tabs", tableCol))
+    val delDf = scala.util.Try(spark.read.parquet(s"$path/deletes")
+        .select("id"))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[Long].toDF("id")
+      }
+    val hasDel = !delDf.isEmpty
+    val del = broadcast(delDf)
+    def live(df: DataFrame): DataFrame =
+      if (!hasDel) df
+      else df.join(del.select(col("id").as("node")), Seq("node"), "left_anti")
+    def trim(df: DataFrame, n: Int): DataFrame = {
+      val topk = TopKAggregator.udaf(n)
+      df.groupBy("qid")
+        .agg(topk(col("node"), col("sim")).as("top"))
+        .select(col("qid"), explode(col("top")).as("s"))
+        .select(col("qid"), col("s._2").as("node"), col("s._1").as("sim"))
+    }
+    // seeds: layer-0 entries, ADC-scored (codes derived on the fly
+    // from the inlined entry vector — identical to the stored codes,
+    // deterministic encode)
+    val entries = broadcast(live(
+      spark.read.parquet(s"$path/entries").where(col("layer") === 0)))
+    var beamDf = trim(
+      q.join(entries)
+        .select(col("qid"), col("node"),
+          graft.plans.native.adcScore(
+            Pq.codesColumn(col("nvec"), books), col("tabs")).as("sim")),
+      beam).localCheckpoint(true)
+    var prev = beamDf
+    for (_ <- 1 to hops) {
+      val bks = beamDf
+        .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val edges = spark.read.parquet(s"$path/edges")
+        .where(col("layer") === 0 && col("bucket").isin(bks: _*))
+        .select(col("src"), col("dst"))
+      val cand = live(
+        beamDf.select(col("qid"), col("node").as("src"))
+          .join(edges, Seq("src"))
+          .select(col("qid"), col("dst").as("node"))
+          .distinct()).localCheckpoint(true)
+      if (countCandidates) lastScored += cand.count()
+      val nbks = cand
+        .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      // the coded hop: the scan is (id, codes) — m bytes/node
+      val codes = spark.read.parquet(s"$path/codes")
+        .where(col("bucket").isin(nbks: _*)) // partition pruning
+        .select(col("id").as("node"), col("codes"))
+      val scored = cand.join(codes, Seq("node")).join(q, Seq("qid"))
+        .select(col("qid"), col("node"),
+          graft.plans.native.adcScore(col("codes"), col("tabs")).as("sim"))
+      val merged = beamDf.unionByName(scored)
+        .groupBy("qid", "node").agg(max("sim").as("sim"))
+      beamDf = trim(merged, beam).localCheckpoint(true)
+      graft.plans.Blocks.free(cand)
+      graft.plans.Blocks.free(prev)
+      prev = beamDf
+    }
+    // exact re-rank: full vectors read ONLY for the final beam's ids
+    val fbks = beamDf
+      .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .where(col("bucket").isin(fbks: _*))
+      .select(col("id").as("node"), col("vec").as("nvec"))
+    val exact = beamDf.select(col("qid"), col("node"))
+      .where(col("node") =!= col("qid"))
+      .join(nodes, Seq("node")).join(q, Seq("qid"))
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        round(graft.plans.native.cosineSim(col("nvec"), col("qvec")), 6)
+          .as("sim"))
+    // beamDf stays checkpointed under the returned plan — the
+    // Verify/Bench query-boundary releaseAll reclaims it (freeing it
+    // here would pull the blocks out from under the re-rank job)
+    topKPerQuery(exact, k)
+  }
+
   /** Continuous NSW ingest — the streaming twin every other persisted
     * store already has (MinhashStore/CcStore convention): each
     * micro-batch of (id, vec) rows lands via [[appendGraphIndex]]'s

@@ -1330,6 +1330,58 @@ class KnnSpec extends SparkSpec {
       "compaction dropped the diversification meta")
   }
 
+  test("coded graph walk (ADC + exact re-rank): finds the true " +
+    "neighborhood through PQ-scored hops, returned sims are the exact " +
+    "cosines (round 12)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(71)
+    def point(center: Int, noise: Float): Array[Float] = {
+      val v = Array.fill(16)(noise * rnd.nextGaussian().toFloat)
+      v(center) += 5.0f
+      v
+    }
+    val base = (0L until 80L).map(i => (i, point((i % 2).toInt, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_adc").toString
+    Knn.writeGraphIndex(base, "vec_id", "embedding", dir,
+      k = 6, c = 8, nprobe = 2, buckets = 8)
+    val books = graft.entry.EntryHelpers.pqBooks(m = 4, k = 16,
+      subDim = 4, seed = 13L)
+    Knn.writeGraphCodes(spark, dir, books)
+    // sidecar is bucket-partitioned (the walk's pruning handle)
+    assert(new java.io.File(s"$dir/codes").listFiles()
+      .exists(_.getName.startsWith("bucket=")), "codes not bucketed")
+    val queries = base.where(col("vec_id") >= 70)
+    val got = Knn.searchGraphIndexAdc(spark, dir, books, queries,
+      "vec_id", "embedding", beam = 10, hops = 3, k = 3)
+    val rows = got.collect()
+    assert(rows.length == 10 * 3, s"expected 30 rows, got ${rows.length}")
+    // re-ranked sims must be the EXACT 6-dp cosines, not ADC scores
+    val vecs = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      val (qid, nid, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (a, b) = (vecs(qid), vecs(nid))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      assert(math.abs(sim - math.round(dot / (na * nb) * 1e6) / 1e6) < 1e-9,
+        s"sim of ($qid,$nid) is not the exact cosine")
+    }
+    // the coded walk navigates: decent recall vs brute force
+    val exact = Knn.bruteForce(base, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    val recalls = (70L until 80L).map { qid =>
+      val e = exact.where(col("query_id") === qid)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val p = rows.filter(_.getLong(0) == qid).map(_.getLong(1)).toSet
+      (e & p).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"coded walk failed to navigate: $recalls")
+  }
+
   test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
     "equals the explicit c, and grows with n (round-10 scale fix)") {
     val s = spark
