@@ -56,6 +56,28 @@ private[graft] object GatesTextAnalysis {
       TextAnalytics.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
         n = 3)
         .orderBy("doc_id")
+    }),
+
+    // HYBRID lexical + semantic retrieval (round 12): per query (a
+    // doc that also has an embedding; terms = its first 3 tokens),
+    // BM25 top-20 over documents ⊕ exact-cosine top-20 over
+    // embeddings, integer-RRF fused, top-5. The oracle replays the
+    // q64 BM25 folds per query term, the bruteForce ranking, and the
+    // `div`-exact fusion.
+    "q341_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .select(col("doc_id").as("qid"),
+          slice(filter(graft.plans.native.wordShingles(col("text"), 1),
+            x => x =!= ""), 1, 3).as("terms"),
+          col("embedding").as("qvec"))
+      TextAnalytics.hybridRetrieve(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", queries, "qid", "terms", "qvec",
+        n = 20, k = 5)
+        .orderBy("query_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +125,67 @@ private[graft] object GatesTextAnalysis {
 
 "q25_fingerprint" ->
       s"""SELECT doc_id, md5($normText) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q341_hybrid_retrieval" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |st AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+         |tot AS (SELECT COUNT(*) AS n,
+         |          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM st),
+         |q AS (
+         |  SELECT d.doc_id AS qid, k.tk[1:3] AS terms, e.embedding AS qvec
+         |  FROM documents d
+         |  JOIN tk k ON k.doc_id = d.doc_id
+         |  JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.doc_id % 100 = 0),
+         |qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
+         |ts AS (SELECT DISTINCT term FROM qt),
+         |ex AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM ex
+         |  JOIN ts USING (term) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(round(1e6 * (ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+         |      ((tf.tf * (1.2 + 1.0)) /
+         |       (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (s.dl / t.avgdl))))))
+         |      AS BIGINT) AS m
+         |  FROM tf JOIN dfreq d ON tf.term = d.term
+         |  JOIN st s ON tf.doc_id = s.doc_id CROSS JOIN tot t),
+         |lex AS (
+         |  SELECT qt.qid, sc.doc_id AS id, CAST(SUM(sc.m) AS BIGINT) AS score
+         |  FROM sc JOIN qt ON qt.term = sc.term GROUP BY qt.qid, sc.doc_id),
+         |lext AS (
+         |  SELECT qid, id, lex_rank FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, id ASC) AS lex_rank FROM lex) x
+         |  WHERE lex_rank <= 20),
+         |sem0 AS (
+         |  SELECT q.qid, e.vec_id AS id,
+         |    ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |semt AS (
+         |  SELECT qid, id, sem_rank FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, id ASC) AS sem_rank FROM sem0) x
+         |  WHERE sem_rank <= 20),
+         |fused AS (
+         |  SELECT qid AS query_id, id AS doc_id,
+         |    (CASE WHEN lex_rank IS NOT NULL
+         |          THEN 1000000 // (60 + lex_rank) ELSE 0 END
+         |     + CASE WHEN sem_rank IS NOT NULL
+         |            THEN 1000000 // (60 + sem_rank) ELSE 0 END) AS rrf
+         |  FROM lext FULL OUTER JOIN semt USING (qid, id)),
+         |ranked AS (
+         |  SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, rrf_micro, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q328_ngram_novelty" ->
       s"""$shinglesSql,

@@ -1105,6 +1105,100 @@ object TextAnalytics {
         coalesce(col("score_micro"), lit(0L)).as("score_micro"))
   }
 
+  /** HYBRID lexical + semantic retrieval (round 12) — the standard
+    * two-tower curation recipe: per query, Okapi BM25 top-`n` over
+    * the text corpus AND exact-cosine top-`n` over the embedding
+    * corpus, fused by reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009 — the same integer convention as [[Sampling.rrfFuse]]:
+    * term = 1e6 div (rrfK + rank), missing from a list = no term).
+    * BM25 catches exact lexical matches embeddings blur; the ANN side
+    * catches paraphrases BM25 misses — fused, it is the "pull the
+    * corpus slice most relevant to these seed topics" operator a
+    * training-data pipeline runs at selection time.
+    *
+    * `queries`: (query_id, terms array<string> — lowercased, vector)
+    * — broadcast-small (the [[graft.operators.Knn.bruteForce]]
+    * contract). The two corpora may have different id universes
+    * (text-only docs can only surface lexically, embedding-only ids
+    * only semantically) — the fusion's outer join handles both.
+    *
+    * Deterministic end-to-end: per-(doc, term) BM25 micros (q64's
+    * fixed operation order) summed exactly per (query, doc), ranks
+    * break ties on id ASC, RRF terms are integer division, final
+    * top-k by (rrf DESC, id ASC). Scale shape: the tf explode is
+    * restricted to the queries' (broadcast) term union before any
+    * shuffle; the semantic side is the broadcast-queries bruteForce;
+    * fusion joins are (query, doc)-keyed at n-rows-per-query scale.
+    * Output: (query_id, doc_id, rrf_micro, rank ≤ k). */
+  def hybridRetrieve(docs: DataFrame, docIdCol: String, textCol: String,
+                     embs: DataFrame, embIdCol: String, vecCol: String,
+                     queries: DataFrame, queryIdCol: String,
+                     termsCol: String, queryVecCol: String,
+                     n: Int, k: Int, rrfK: Int = 60,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n >= 1 && k >= 1 && rrfK >= 0,
+      s"need n/k >= 1 and rrfK >= 0, got n=$n k=$k rrfK=$rrfK")
+    import org.apache.spark.sql.expressions.Window
+    // ---- lexical tower: multi-query BM25 ---------------------------
+    val qt = broadcast(queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(col(termsCol)).as("term")).distinct())
+    val toks = docs.select(col(docIdCol).cast("long").as("id"),
+      filter(graft.plans.native.wordShingles(col(textCol), 1),
+        t => t =!= "").as("tk"))
+    val lens = toks.select(col("id"), size(col("tk")).cast("long").as("dl"))
+    val totRow = lens.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    val nDocs = totRow.getLong(0)
+    require(nDocs > 0, "empty text corpus")
+    val avgdl = totRow.getLong(1).toDouble / nDocs
+    val termSet = broadcast(qt.select("term").distinct())
+    val tf = toks.select(col("id"), explode(col("tk")).as("term"))
+      .join(termSet, Seq("term")) // broadcast semi — corpus-side prune
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))
+    val pairMicro = round(lit(1e6) *
+      (idf * ((col("tf") * lit(k1 + 1.0)) / denom))).cast("long")
+    val lexScores = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("id"))
+      .select(col("id"), col("term"), pairMicro.as("m"))
+      .join(qt, Seq("term"))
+      .groupBy("query_id", "id").agg(sum("m").as("score_micro"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("id").asc)
+    val lexTop = lexScores.withColumn("lex_rank", row_number().over(wLex))
+      .where(col("lex_rank") <= n)
+      .select(col("query_id"), col("id"), col("lex_rank"))
+    // ---- semantic tower: exact cosine top-n ------------------------
+    val semTop = Knn.bruteForce(embs, embIdCol, vecCol,
+        queries.select(col(queryIdCol), col(queryVecCol)),
+        queryIdCol, queryVecCol, n)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").cast("long").as("id"),
+        col("rank").as("sem_rank"))
+    // ---- reciprocal-rank fusion ------------------------------------
+    // rrfFuse's exact-integer convention: `div`, never float division
+    // (a correctly-rounded double quotient can truncate differently)
+    val fused = lexTop.join(semTop, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        (when(col("lex_rank").isNotNull,
+            expr(s"1000000L div (${rrfK}L + lex_rank)"))
+          .otherwise(lit(0L)) +
+         when(col("sem_rank").isNotNull,
+            expr(s"1000000L div (${rrfK}L + sem_rank)"))
+          .otherwise(lit(0L))).as("rrf_micro"))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("rrf_micro"), col("rank"))
+  }
+
   /** Token-type Shannon entropy per document — low entropy flags
     * repetitive/boilerplate text (a handful of token types dominate),
     * high entropy tracks lexical diversity; complements

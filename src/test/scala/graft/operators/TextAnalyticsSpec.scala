@@ -849,4 +849,48 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(TextAnalytics.winnowFingerprints(short, "doc_id", "text",
       k, w).collect().isEmpty)
   }
+
+  test("hybridRetrieve: lexical-only docs and embedding-only ids both " +
+    "surface, a doc strong in BOTH towers outranks single-tower hits " +
+    "(round 12)") {
+    val s = spark
+    import s.implicits._
+    // doc 1: lexical match only (no embedding); doc 2: both towers
+    // (text match + near-identical vector); doc 3: semantic only
+    // (vector close, text unrelated); doc 4: noise
+    val docs = Seq(
+      (1L, "quantum flux capacitor theory and experiments"),
+      (2L, "quantum flux review of recent results"),
+      (3L, "unrelated cooking recipes and kitchen notes"),
+      (4L, "gardening tips for dry climates")
+    ).toDF("doc_id", "text")
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val embs = Seq(
+      (2L, v(1.0, 0.02, 0)),
+      (3L, v(1.0, 0.05, 0)),
+      (4L, v(0, 0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Seq("quantum", "flux"), v(1.0, 0.0, 0.0))
+    ).toDF("qid", "terms", "qvec")
+    val out = TextAnalytics.hybridRetrieve(docs, "doc_id", "text",
+        embs, "vec_id", "embedding", queries, "qid", "terms", "qvec",
+        n = 3, k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byId = out.map(t => t._1 -> t._2).toMap
+    // doc 2 hits both towers → its rrf has two terms, strictly above
+    // every single-tower doc
+    assert(out.head._1 == 2L, s"both-tower doc not rank 1: ${out.toSeq}")
+    assert(byId.contains(1L), "lexical-only doc missing")
+    assert(byId.contains(3L), "semantic-only doc missing")
+    assert(byId(2L) > byId(1L) && byId(2L) > byId(3L))
+    // rrf terms are the exact integer-division values
+    // doc 2: lex rank 1 or 2 + sem rank 1 → 1000000/(60+r) sums
+    val legal = (1 to 3).map(r => 1000000L / (60 + r)).toSet
+    out.foreach { case (_, m, _) =>
+      val parts = for (a <- legal + 0L; b <- legal + 0L) yield a + b
+      assert(parts.contains(m), s"rrf_micro $m is not a legal term sum")
+    }
+  }
 }
