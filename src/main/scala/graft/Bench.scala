@@ -157,7 +157,7 @@ object Bench {
       "q334_graph_hnsw_append", "q337_graph_delete_compact",
       // diversified build + NSW append → search; coded build → ADC
       // walk (round 12)
-      "q338_graph_diverse", "q340_graph_adc")
+      "q338_graph_diverse", "q340_graph_adc", "q343_graph_adc_layered")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

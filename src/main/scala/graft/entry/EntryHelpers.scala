@@ -248,6 +248,38 @@ private[graft] object EntryHelpers {
     sb.toString
   }
 
+  /** The HNSW DESCENT variant of [[graphBeamAdcCtes]]: b0 is the
+    * layer above's final beam (`seedCte`, (qid, node, sim) rows on
+    * ADC scores) instead of entry-seed scoring — the SQL twin of
+    * Knn.beamSearchCoded's `seed` handoff. */
+  def graphDescentAdcCtes(pfx: String, seedCte: String, qCte: String,
+                          encCte: String, eCte: String,
+                          beam: Int, hops: Int, m: Int): String = {
+    def adc(c: String, q: String): String =
+      s"""list_reduce(list_transform(range(1, ${m + 1}), s ->
+         |      $q.tabs[s][$c.codes[s] + 1]), (a, b) -> a + b)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(s"""${pfx}b0 AS (SELECT qid, node, sim FROM $seedCte)""")
+    for (h <- 1 to hops) {
+      val p = s"${pfx}b${h - 1}"
+      sb.append(",\n").append(
+        s"""${pfx}c$h AS (
+           |  SELECT qid, node FROM $p
+           |  UNION SELECT $p.qid, e.dst AS node
+           |        FROM $p JOIN $eCte e ON e.src = $p.node),
+           |${pfx}s$h AS (
+           |  SELECT x.qid, x.node, ${adc("c", "q")} AS sim
+           |  FROM ${pfx}c$h x JOIN $encCte c ON c.node = x.node
+           |       JOIN $qCte q ON q.qid = x.qid),
+           |${pfx}b$h AS (
+           |  SELECT qid, node, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}s$h)
+           |  WHERE rn <= $beam)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** The knnGraph edge derivation over a SUBSET CTE `subCte`(id, vec,
     * h) — bottom-`c` md5 centroids OF THE SUBSET, nearest-cell
     * assignment, `nprobe` probe cells per member (the probe ranking is

@@ -524,6 +524,21 @@ private[graft] object GatesDedup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Cross-corpus multi-probe (round 12): the decontamination join
+    // with the probing on the LEFT (eval) side only — the right
+    // (training) corpus indexes at exact buckets and never amplifies.
+    // Even ids probe against odd ids; the oracle replays the per-plane
+    // dots, the left-side probe ranking, and the asymmetric join.
+    "q342_lsh_multiprobe_across" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingPairsAcrossMultiProbe(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        tau = 0.45, planes = 4, dim = 64, seed = 7L, tables = 2,
+        probes = 2)
+        .orderBy("id_l", "id_r")
+    }),
+
 // SemDeDup: IVF-cluster the embedding space, pair ONLY within a
     // cluster, mark dup iff a smaller-id cluster-mate has cosine >=
     // tau. Portable centroid hash so the oracle replays the pick,
@@ -1025,6 +1040,44 @@ private[graft] object GatesDedup {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+
+"q342_lsh_multiprobe_across" ->
+      s"""WITH planes(t, i, plane) AS (VALUES
+         |      ${hyperplanesSql(planes = 4, dim = 64, seed = 7L, tables = 2)}),
+         |dl AS (
+         |  SELECT e.vec_id AS id, p.t, p.i,
+         |    ${seqDotSql("e.embedding", "p.plane", 64)} AS dot
+         |  FROM embeddings e CROSS JOIN planes p WHERE e.vec_id % 2 = 0),
+         |bkl AS (
+         |  SELECT id, t,
+         |    SUM(CASE WHEN dot >= 0 THEN CAST(power(2, i) AS BIGINT)
+         |        ELSE 0 END) AS bucket
+         |  FROM dl GROUP BY id, t),
+         |prl AS (
+         |  SELECT d.id, d.t,
+         |    xor(b.bucket, CAST(power(2, d.i) AS BIGINT)) AS bucket,
+         |    row_number() OVER (PARTITION BY d.id, d.t
+         |      ORDER BY abs(d.dot) ASC, d.i ASC) AS rn
+         |  FROM dl d JOIN bkl b ON b.id = d.id AND b.t = d.t),
+         |probe AS (
+         |  SELECT id, t, bucket FROM bkl
+         |  UNION ALL SELECT id, t, bucket FROM prl WHERE rn <= 2),
+         |bkr AS (
+         |  SELECT e.vec_id AS id, p.t,
+         |    SUM(CASE WHEN ${seqDotSql("e.embedding", "p.plane", 64)} >= 0
+         |        THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p WHERE e.vec_id % 2 = 1
+         |  GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS id_l, r.id AS id_r
+         |  FROM probe l JOIN bkr r ON l.t = r.t AND l.bucket = r.bucket)
+         |SELECT c.id_l, c.id_r,
+         |  ROUND(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_l
+         |JOIN embeddings eb ON eb.vec_id = c.id_r
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+         |ORDER BY id_l, id_r""".stripMargin,
 
 "q339_lsh_multiprobe" ->
       s"""WITH planes(t, i, plane) AS (VALUES

@@ -135,6 +135,27 @@ private[graft] object GatesGraphAnn {
     // 6-dp cosine re-rank. The oracle replays the argmin-L2 encode,
     // the per-query dot tables, every ADC-ranked walk round, and the
     // re-rank as one CTE chain.
+    // LAYERED coded walk (round 12, closing the flat-only scope the
+    // same round it opened): a layers=1 store + codes sidecar, the
+    // ADC descent — top-layer walk seeded from its entries, layer 0
+    // re-walked seeded by the beam above, every score an ADC lookup —
+    // then the exact re-rank. Oracle: per-layer graph builds, the
+    // argmin encode, ADC beam + descent CTEs, re-rank.
+    "q343_graph_adc_layered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
+      val books = pqBooks(m = 8, k = 16, subDim = 8, seed = 13L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gadcl_gate").toString
+      Knn.writeGraphIndex(half, "vec_id", "embedding", tmp, k = 3, c = 16,
+        nprobe = 2, buckets = 8, portableHash = true, layers = 1)
+      Knn.writeGraphCodes(s, tmp, books)
+      Knn.searchGraphIndexAdc(s, tmp, books,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "q340_graph_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val half = emb.where(col("vec_id") % 2 === 0)
@@ -344,6 +365,71 @@ private[graft] object GatesGraphAnn {
          |            ORDER BY sim DESC, node ASC) AS rank
          |        FROM t0b2 WHERE node <> qid)
          |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Layered build (level CASE at Lmax=1), per-layer edge graphs,
+    // the argmin encode, ADC beam walk at layer 1 handed down into
+    // layer 0, exact re-rank.
+    "q343_graph_adc_layered" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |books(s, c, cw) AS (VALUES
+         |      ${pqBooksSql(m = 8, k = 16, subDim = 8, seed = 13L)}),
+         |sub1 AS (SELECT id, vec, h FROM hs WHERE h % 4 = 0),
+         |${layerKnnGraphCtes("l0", "hs", 16, 2, 3)},
+         |${layerKnnGraphCtes("l1", "sub1", 16, 2, 3)},
+         |gea1 AS (
+         |  SELECT s.id, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY list_cosine_similarity(CAST(s.vec AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM sub1 s CROSS JOIN l0cents c),
+         |ent1 AS (SELECT cell, MIN(id) AS node FROM gea1
+         |         WHERE rn = 1 GROUP BY cell),
+         |dist AS (
+         |  SELECT e.id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (CAST(e.vec[b.s * 8 + j] AS DOUBLE) - b.cw[j])
+         |        * (CAST(e.vec[b.s * 8 + j] AS DOUBLE) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM hs e CROSS JOIN books b),
+         |enc AS MATERIALIZED (
+         |  SELECT id AS node, list(c ORDER BY s) AS codes FROM (
+         |    SELECT id, s, c,
+         |      row_number() OVER (PARTITION BY id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1 GROUP BY id),
+         |qd AS (
+         |  SELECT q.vec_id AS qid, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         |qtab AS MATERIALIZED (
+         |  SELECT qid, list(dots ORDER BY s) AS tabs FROM (
+         |    SELECT qid, s, list(dp ORDER BY c) AS dots
+         |    FROM qd GROUP BY qid, s) x
+         |  GROUP BY qid),
+         |${graphBeamAdcCtes("t1", "qtab", "enc", "l1e", "ent1",
+                             beam = 4, hops = 2, m = 8)},
+         |${graphDescentAdcCtes("t0", "t1b2", "qtab", "enc", "l0e",
+                                beam = 4, hops = 2, m = 8)},
+         |fin AS (
+         |  SELECT t0b2.qid AS query_id, t0b2.node AS neighbor_id,
+         |    ROUND(${cosSql("nv.vec", "qv.embedding")}, 6) AS sim
+         |  FROM t0b2
+         |  JOIN hs nv ON nv.id = t0b2.node
+         |  JOIN embeddings qv ON qv.vec_id = t0b2.qid
+         |  WHERE t0b2.node <> t0b2.qid),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM fin)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     // Half-corpus graph replay + q51's encode/table folds + the

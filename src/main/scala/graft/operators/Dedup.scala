@@ -441,6 +441,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus MULTI-PROBE twin of [[embeddingPairsAcross]] (round
+    * 12 — the q339 mechanism at the decontamination join): the LEFT
+    * side probes its `probes` least-|dot| bit flips while the right
+    * side indexes at exact buckets only, so the left's perturbations
+    * recover right-side neighbors that landed across a close
+    * hyperplane at (probes+1)× left rows instead of extra whole
+    * tables. Asymmetric on purpose: one probing side suffices for
+    * pair recovery (a Hamming-1 pair is found when the left flips the
+    * differing bit), and the right side — typically the big training
+    * corpus — never amplifies. Output contract matches
+    * [[embeddingPairsAcross]]: (id_l, id_r, cosine >= tau, 6-dp). */
+  def embeddingPairsAcrossMultiProbe(left: DataFrame, leftId: String,
+                                     leftVec: String, right: DataFrame,
+                                     rightId: String, rightVec: String,
+                                     tau: Double = 0.95, planes: Int = 8,
+                                     dim: Int = 0, seed: Long = 7L,
+                                     tables: Int = 1,
+                                     probes: Int = 2): DataFrame = {
+    require(planes > 0 && dim > 0, "planes/dim required")
+    require(probes >= 0 && probes <= planes,
+      s"need 0 <= probes <= planes, got $probes")
+    val rnd = new scala.util.Random(seed)
+    val all = Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+    val probeKeys = all.zipWithIndex.map { case (hps, t) =>
+      struct(lit(t).as("tbl"),
+        graft.plans.native.hyperplaneProbes(col("vec"),
+          hps.map(_.toArray).toArray, probes).as("pb"))
+    }
+    val a = left.select(col(leftId).as("id_l"), col(leftVec).as("vec"))
+      .withColumn("pk", explode(array(probeKeys: _*)))
+      .select(col("id_l"), col("vec").as("vec_l"),
+        col("pk.tbl").as("tbl"), explode(col("pk.pb")).as("bucket"))
+    val idxKeys = all.zipWithIndex.map { case (hps, t) =>
+      struct(lit(t).as("tbl"),
+        graft.plans.native.hyperplaneBucket(col("vec"),
+          hps.map(_.toArray).toArray).as("bucket"))
+    }
+    val b = right.select(col(rightId).as("id_r"), col(rightVec).as("vec"))
+      .withColumn("bk", explode(array(idxKeys: _*)))
+      .select(col("id_r"), col("vec").as("vec_r"),
+        col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .withColumn("cosine", Vectors.cosine(col("vec_l"), col("vec_r")))
+      .where(col("cosine") >= tau)
+      .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
   /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", Abbas et
     * al. 2023, arXiv:2303.09540): cluster the embedding space (IVF

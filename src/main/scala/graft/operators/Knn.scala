@@ -1005,11 +1005,12 @@ object Knn {
     * bucket-pruned CODES scan — the 32×-smaller read), the walk
     * navigates on approximate similarities, and only the FINAL beam's
     * ids read their full vectors for the exact 6-dp cosine re-rank
-    * (queries × beam rows — driver-bounded). Single-layer walk (layer
-    * 0, per-cell entry seeds): the coded variant of the flat store;
-    * layered descent composes the same way and stays exact in
-    * [[searchGraphIndex]]. Tombstones honored pre-top-k (same live()
-    * discipline). Deterministic: ADC sims are bit-identical ordered
+    * (queries × beam rows — driver-bounded). On a layered store the
+    * walk DESCENDS HNSW-style (top layer seeded from its entries,
+    * each lower layer seeded by the beam above — all on ADC scores);
+    * a layers = 0 store is exactly the flat coded walk. Tombstones
+    * honored pre-top-k (same live() discipline). Deterministic: ADC
+    * sims are bit-identical ordered
     * folds in both engines (the q51 contract), ties → node ASC, so
     * the gate oracle replays every hop. Output contract matches
     * [[searchGraphIndex]]: (query_id, neighbor_id, sim, rank ≤ k),
@@ -1021,7 +1022,7 @@ object Knn {
                           k: Int): DataFrame = {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
-    val GraphMeta(_, buckets, _, _, _, _) = readGraphMeta(spark, path)
+    val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
     val m = books.length
     val subDim = books(0)(0).length
     // per-query ADC tables (the Pq.search construction): tables[s][c]
@@ -1037,6 +1038,48 @@ object Knn {
       .select(col(queryIdCol).cast("long").as("qid"),
         transform(col(queryVecCol), _.cast("double")).as("qvec"))
       .withColumn("tabs", tableCol))
+    // HNSW descent on ADC scores (round 12, flat-store-only before):
+    // walk the top layer seeded from its entries, hand each lower
+    // layer the beam above — the searchGraphIndex shape with every
+    // score an ADC lookup
+    var beamDf = beamSearchCoded(spark, path, buckets, q, books,
+      beam, hops, layer = layers)
+    for (l <- layers - 1 to 0 by -1)
+      beamDf = beamSearchCoded(spark, path, buckets, q, books,
+        beam, hops, layer = l, seed = Some(beamDf))
+    // exact re-rank: full vectors read ONLY for the final beam's ids
+    val fbks = beamDf
+      .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .where(col("bucket").isin(fbks: _*))
+      .select(col("id").as("node"), col("vec").as("nvec"))
+    val exact = beamDf.select(col("qid"), col("node"))
+      .where(col("node") =!= col("qid"))
+      .join(nodes, Seq("node")).join(q, Seq("qid"))
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        round(graft.plans.native.cosineSim(col("nvec"), col("qvec")), 6)
+          .as("sim"))
+    // beamDf stays checkpointed under the returned plan — the
+    // Verify/Bench query-boundary releaseAll reclaims it (freeing it
+    // here would pull the blocks out from under the re-rank job)
+    topKPerQuery(exact, k)
+  }
+
+  /** One LAYER of the coded walk — [[beamSearchIndexed]]'s shape with
+    * every score an ADC table lookup over the [[writeGraphCodes]]
+    * sidecar: seed from the layer's entries (codes derived on the fly
+    * from the inlined entry vector — identical to the stored codes) or
+    * from the layer above's beam (`seed`, the HNSW descent handoff;
+    * empty-beam fallback to own entries), then `hops` (layer, bucket)-
+    * pruned expand/score/trim rounds where the candidate scan is
+    * (id, codes) — m bytes/node. Tombstones pre-top-k. `q` carries
+    * (qid, qvec, tabs). */
+  private def beamSearchCoded(spark: SparkSession, path: String,
+                              buckets: Int, q: DataFrame,
+                              books: Array[Array[Array[Double]]],
+                              beam: Int, hops: Int, layer: Int = 0,
+                              seed: Option[DataFrame] = None): DataFrame = {
     val delDf = scala.util.Try(spark.read.parquet(s"$path/deletes")
         .select("id"))
       .getOrElse {
@@ -1055,24 +1098,27 @@ object Knn {
         .select(col("qid"), explode(col("top")).as("s"))
         .select(col("qid"), col("s._2").as("node"), col("s._1").as("sim"))
     }
-    // seeds: layer-0 entries, ADC-scored (codes derived on the fly
-    // from the inlined entry vector — identical to the stored codes,
-    // deterministic encode)
-    val entries = broadcast(live(
-      spark.read.parquet(s"$path/entries").where(col("layer") === 0)))
-    var beamDf = trim(
-      q.join(entries)
-        .select(col("qid"), col("node"),
-          graft.plans.native.adcScore(
-            Pq.codesColumn(col("nvec"), books), col("tabs")).as("sim")),
-      beam).localCheckpoint(true)
+    def entrySeed(): DataFrame = {
+      val entries = broadcast(live(
+        spark.read.parquet(s"$path/entries").where(col("layer") === layer)))
+      trim(
+        q.join(entries)
+          .select(col("qid"), col("node"),
+            graft.plans.native.adcScore(
+              Pq.codesColumn(col("nvec"), books), col("tabs")).as("sim")),
+        beam).localCheckpoint(true)
+    }
+    var beamDf = seed match {
+      case Some(b) if !b.isEmpty => b
+      case _ => entrySeed()
+    }
     var prev = beamDf
     for (_ <- 1 to hops) {
       val bks = beamDf
         .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val edges = spark.read.parquet(s"$path/edges")
-        .where(col("layer") === 0 && col("bucket").isin(bks: _*))
+        .where(col("layer") === layer && col("bucket").isin(bks: _*))
         .select(col("src"), col("dst"))
       val cand = live(
         beamDf.select(col("qid"), col("node").as("src"))
@@ -1097,23 +1143,7 @@ object Knn {
       graft.plans.Blocks.free(prev)
       prev = beamDf
     }
-    // exact re-rank: full vectors read ONLY for the final beam's ids
-    val fbks = beamDf
-      .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val nodes = spark.read.parquet(s"$path/nodes")
-      .where(col("bucket").isin(fbks: _*))
-      .select(col("id").as("node"), col("vec").as("nvec"))
-    val exact = beamDf.select(col("qid"), col("node"))
-      .where(col("node") =!= col("qid"))
-      .join(nodes, Seq("node")).join(q, Seq("qid"))
-      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
-        round(graft.plans.native.cosineSim(col("nvec"), col("qvec")), 6)
-          .as("sim"))
-    // beamDf stays checkpointed under the returned plan — the
-    // Verify/Bench query-boundary releaseAll reclaims it (freeing it
-    // here would pull the blocks out from under the re-rank job)
-    topKPerQuery(exact, k)
+    beamDf
   }
 
   /** Continuous NSW ingest — the streaming twin every other persisted

@@ -385,6 +385,26 @@ class DedupSpec extends SparkSpec {
     val brute = pairSet(Dedup.embeddingPairs(vecs, "vec_id", "embedding",
       tau = 0.45, planes = 0))
     assert(p2.subsetOf(brute), "multi-probe invented a pair")
+    // cross-corpus twin: probes=0 == embeddingPairsAcross; probing
+    // only adds, never invents (brute truth check)
+    val lft = vecs.where(col("vec_id") % 2 === 0)
+    val rgt = vecs.where(col("vec_id") % 2 === 1)
+    def xSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xPlain = xSet(Dedup.embeddingPairsAcross(lft, "vec_id", "embedding",
+      rgt, "vec_id", "embedding", tau = 0.45, planes = 4, dim = 8,
+      seed = 7L, tables = 2))
+    val x0 = xSet(Dedup.embeddingPairsAcrossMultiProbe(lft, "vec_id",
+      "embedding", rgt, "vec_id", "embedding", tau = 0.45, planes = 4,
+      dim = 8, seed = 7L, tables = 2, probes = 0))
+    assert(x0 == xPlain, "across probes=0 must equal embeddingPairsAcross")
+    val x2 = xSet(Dedup.embeddingPairsAcrossMultiProbe(lft, "vec_id",
+      "embedding", rgt, "vec_id", "embedding", tau = 0.45, planes = 4,
+      dim = 8, seed = 7L, tables = 2, probes = 2))
+    assert(xPlain.subsetOf(x2), "across probing must only add candidates")
+    val xBrute = xSet(Dedup.embeddingPairsAcross(lft, "vec_id", "embedding",
+      rgt, "vec_id", "embedding", tau = 0.45, planes = 0))
+    assert(x2.subsetOf(xBrute), "across multi-probe invented a pair")
     // kernel contract on a hand geometry: plane 1 has the smallest
     // |dot| for a vector nearly ON it, so probe 1 flips bit 1
     val planes = Array(Array(1.0, 0.0), Array(0.01, 1.0))
