@@ -306,7 +306,7 @@ private[graft] object EntryHelpers {
        |  JOIN (SELECT id, vec, cell FROM ${pfx}assign WHERE rn <= $nprobe) qa
        |    ON cl.cell = qa.cell
        |  WHERE cl.id <> qa.id),
-       |${pfx}e AS (
+       |${pfx}e AS MATERIALIZED (
        |  SELECT query_id AS src, neighbor_id AS dst, sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
@@ -400,13 +400,13 @@ private[graft] object EntryHelpers {
        |        FROM $batchCte),
        |${graphBeamCtes(s"${pfx}w", s"${pfx}q", vPrevCte, ePrevCte,
                         entPrevCte, beam, hops)},
-       |${pfx}out AS (
+       |${pfx}out AS MATERIALIZED (
        |  SELECT qid AS src, node AS dst, sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
        |      ORDER BY sim DESC, node ASC) AS rn FROM ${pfx}wb$hops)
        |  WHERE rn <= $k),
        |${pfx}rev AS (SELECT dst AS src, src AS dst, sim FROM ${pfx}out),
-       |${pfx}e AS (
+       |${pfx}e AS MATERIALIZED (
        |  SELECT src, dst, sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY sim DESC, dst ASC) AS rn
@@ -421,11 +421,11 @@ private[graft] object EntryHelpers {
        |                 c.cell DESC) AS rn
        |    FROM $batchCte b CROSS JOIN $centsCte c) x
        |  WHERE rn = 1),
-       |${pfx}ent AS (
+       |${pfx}ent AS MATERIALIZED (
        |  SELECT cell, MIN(id) AS node FROM (
        |    SELECT cell, node AS id FROM $entPrevCte
        |    UNION ALL SELECT cell, id FROM ${pfx}asg) GROUP BY cell),
-       |${pfx}v AS (
+       |${pfx}v AS MATERIALIZED (
        |  SELECT node, nvec FROM $vPrevCte
        |  UNION ALL SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec
        |            FROM $batchCte)""".stripMargin
