@@ -67,7 +67,11 @@ private[graft] object GatesTextAnalysis {
     "q341_hybrid_retrieval" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val queries = docs.where(col("doc_id") % 100 === 0)
+      // broadcast the (tiny) filtered-docs side: the queries frame is
+      // re-planned at every reference inside hybridRetrieve, and an
+      // unbroadcast join here re-enters the plan as 2 exchanges per
+      // occurrence (PlanSpec exchange-budget finding)
+      val queries = broadcast(docs.where(col("doc_id") % 100 === 0))
         .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
           Seq("doc_id"))
         .select(col("doc_id").as("qid"),

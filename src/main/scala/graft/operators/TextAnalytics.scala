@@ -1140,21 +1140,30 @@ object TextAnalytics {
       s"need n/k >= 1 and rrfK >= 0, got n=$n k=$k rrfK=$rrfK")
     import org.apache.spark.sql.expressions.Window
     // ---- lexical tower: multi-query BM25 ---------------------------
+    // per-query terms dedup IN-ROW (array_distinct) — no distinct
+    // shuffle; the same broadcast frame serves both the corpus-side
+    // prune (left_semi dedups) and the per-query score join
     val qt = broadcast(queries.select(
       col(queryIdCol).cast("long").as("query_id"),
-      explode(col(termsCol)).as("term")).distinct())
+      explode(array_distinct(col(termsCol))).as("term")))
     val toks = docs.select(col(docIdCol).cast("long").as("id"),
       filter(graft.plans.native.wordShingles(col(textCol), 1),
         t => t =!= "").as("tk"))
-    val lens = toks.select(col("id"), size(col("tk")).cast("long").as("dl"))
-    val totRow = lens.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val totRow = toks.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
     val nDocs = totRow.getLong(0)
     require(nDocs > 0, "empty text corpus")
     val avgdl = totRow.getLong(1).toDouble / nDocs
-    val termSet = broadcast(qt.select("term").distinct())
-    val tf = toks.select(col("id"), explode(col("tk")).as("term"))
-      .join(termSet, Seq("term")) // broadcast semi — corpus-side prune
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // dl RIDES the explode through the tf aggregate (functionally
+    // determined by id — no corpus-wide length join back later), and
+    // the term-pruned tf MATERIALIZES once (queries × terms matched
+    // docs — small by the broadcast-queries contract): both dfreq and
+    // the score join read it, so the corpus is tokenized ONE time,
+    // not re-planned per consumer
+    val tf = toks.select(col("id"), col("dl"), explode(col("tk")).as("term"))
+      .join(qt.select("term"), Seq("term"), "left_semi")
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -1164,7 +1173,6 @@ object TextAnalytics {
       (idf * ((col("tf") * lit(k1 + 1.0)) / denom))).cast("long")
     val lexScores = tf
       .join(broadcast(dfreq), Seq("term"))
-      .join(lens, Seq("id"))
       .select(col("id"), col("term"), pairMicro.as("m"))
       .join(qt, Seq("term"))
       .groupBy("query_id", "id").agg(sum("m").as("score_micro"))

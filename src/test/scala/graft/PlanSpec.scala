@@ -440,7 +440,14 @@ class PlanSpec extends SparkSpec {
     //         the two (key,value) joins attaching ranks to rows — same
     //         rationale as q160: no per-key window ever sees row-scale
     //         data on a hot key.
-    val budget = Map("q160_gini" -> 14, "q204_spearman" -> 14)
+    //   q341: hybrid retrieval is structurally TWO pipelines fused —
+    //         per tower an aggregate + a rank window, then the
+    //         full-outer RRF join (2) and the final rank + sort; the
+    //         round-12 slimming (in-row term dedup, left_semi prune,
+    //         tf materialized once so the corpus tokenizes one time)
+    //         took it 22 → 13, all 8 remaining shuffles load-bearing.
+    val budget = Map("q160_gini" -> 14, "q204_spearman" -> 14,
+      "q341_hybrid_retrieval" -> 13)
       .withDefaultValue(12)
     for ((name, fn) <- SparkEntry.queries) {
       val exchanges = exchangesIn(fn(spark, dir))
