@@ -35,6 +35,7 @@ object SparkEntry {
     graft.entry.GatesEvents.queries ++
     graft.entry.GatesGraphAnn.queries ++
     graft.entry.GatesAnalyticsCore.queries ++
+    graft.entry.GatesAnalyticsPipeline.queries ++
     graft.entry.GatesAnalyticsStats.queries ++
     graft.entry.GatesAnalyticsInference.queries ++
     graft.entry.GatesAnalyticsShapes.queries
@@ -52,6 +53,7 @@ object SparkEntry {
     graft.entry.GatesEvents.oracles ++
     graft.entry.GatesGraphAnn.oracles ++
     graft.entry.GatesAnalyticsCore.oracles ++
+    graft.entry.GatesAnalyticsPipeline.oracles ++
     graft.entry.GatesAnalyticsStats.oracles ++
     graft.entry.GatesAnalyticsInference.oracles ++
     graft.entry.GatesAnalyticsShapes.oracles
