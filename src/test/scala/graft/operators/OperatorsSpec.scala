@@ -1402,6 +1402,70 @@ class KnnSpec extends SparkSpec {
       s"coded walk failed to navigate: $recalls")
   }
 
+  test("codes sidecar lifecycle (round 13): append encodes the batch " +
+    "through the stored books (appended vector ADC-visible as a top " +
+    "hit), compaction re-projects survivors, and a stale sidecar " +
+    "fails loudly instead of silently dropping nodes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(73)
+    def point(center: Int, noise: Float): Array[Float] = {
+      val v = Array.fill(16)(noise * rnd.nextGaussian().toFloat)
+      v(center) += 5.0f
+      v
+    }
+    val base = (0L until 80L).map(i => (i, point((i % 2).toInt, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_capp").toString
+    Knn.writeGraphIndex(base, "vec_id", "embedding", dir,
+      k = 6, c = 8, nprobe = 2, buckets = 8)
+    // data-trained books: random-gaussian codewords quantize the
+    // center-spike structure away and ADC ties then trim by node ASC —
+    // the appended (large) id would lose its beam slot to quantization
+    // noise, not to a maintenance bug
+    val books = Pq.trainCodebooks(base, "vec_id", "embedding",
+      m = 4, k = 16, dim = 16)
+    Knn.writeGraphCodes(spark, dir, books)
+    // 1) append maintains the sidecar: the new vector's codes land in
+    // the same append, so the ADC walk finds it with NO manual
+    // re-encode (pre-r13: silently invisible)
+    val appVec = point(1, 0.02f)
+    Knn.appendGraphIndex(Seq((1000L, appVec))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      beam = 8, hops = 2)
+    assert(spark.read.parquet(s"$dir/codes").count() == 81,
+      "append did not extend the codes sidecar")
+    val hit = Knn.searchGraphIndexAdc(spark, dir, books,
+      Seq((900000L, appVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", beam = 12, hops = 3, k = 3)
+      .where(col("neighbor_id") === 1000L).count()
+    assert(hit == 1, "appended vector not ADC-visible")
+    // 2) compaction re-projects the survivors' codes
+    Knn.deleteFromGraphIndex(Seq(5L).toDF("vec_id"), "vec_id", dir)
+    Knn.compactGraphStore(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() == 80,
+      "compaction left the tombstoned row in the sidecar")
+    assert(Knn.searchGraphIndexAdc(spark, dir, books,
+      Seq((900000L, appVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", beam = 12, hops = 3, k = 3).count() == 3)
+    // 3) a pre-r13-style store (codes but no books sidecar) appended
+    // to goes STALE — the guard must error, not degrade recall
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/codes_books"))
+    Knn.appendGraphIndex(Seq((2000L, point(0, 0.02f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      beam = 8, hops = 2)
+    val err = intercept[IllegalArgumentException] {
+      Knn.searchGraphIndexAdc(spark, dir, books,
+        Seq((900001L, point(0, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", beam = 8, hops = 3, k = 3)
+    }
+    assert(err.getMessage.contains("stale codes sidecar"))
+  }
+
   test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
     "equals the explicit c, and grows with n (round-10 scale fix)") {
     val s = spark
