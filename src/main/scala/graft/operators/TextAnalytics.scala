@@ -1125,10 +1125,17 @@ object TextAnalytics {
     * Deterministic end-to-end: per-(doc, term) BM25 micros (q64's
     * fixed operation order) summed exactly per (query, doc), ranks
     * break ties on id ASC, RRF terms are integer division, final
-    * top-k by (rrf DESC, id ASC). Scale shape: the tf explode is
-    * restricted to the queries' (broadcast) term union before any
-    * shuffle; the semantic side is the broadcast-queries bruteForce;
-    * fusion joins are (query, doc)-keyed at n-rows-per-query scale.
+    * top-k by (rrf DESC, id ASC). Scale shape (round-13 rework, r12
+    * verdict ask #2 — 13 → ~9 exchanges, corpus passes 2 → 1): the
+    * corpus is tokenized ONCE — the term prune happens IN-ROW against
+    * the queries' literal term union (no pre-shuffle join) and the
+    * corpus stats (n, Σdl) ride the SAME pass as `observe` metrics
+    * instead of their own aggregate job; df comes from a window over
+    * the checkpointed term-pruned tf (no dfreq aggregate + broadcast
+    * join back); the two towers fuse by UNION + one (query, doc)-keyed
+    * sum (missing-from-a-list = no term — set union), not a full-outer
+    * sort-merge join. The semantic side is the broadcast-queries
+    * bruteForce; everything after tf is n-rows-per-query scale.
     * Output: (query_id, doc_id, rrf_micro, rank ≤ k). */
   def hybridRetrieve(docs: DataFrame, docIdCol: String, textCol: String,
                      embs: DataFrame, embIdCol: String, vecCol: String,
@@ -1139,66 +1146,78 @@ object TextAnalytics {
     require(n >= 1 && k >= 1 && rrfK >= 0,
       s"need n/k >= 1 and rrfK >= 0, got n=$n k=$k rrfK=$rrfK")
     import org.apache.spark.sql.expressions.Window
-    // ---- lexical tower: multi-query BM25 ---------------------------
-    // per-query terms dedup IN-ROW (array_distinct) — no distinct
-    // shuffle; the same broadcast frame serves both the corpus-side
-    // prune (left_semi dedups) and the per-query score join
-    val qt = broadcast(queries.select(
-      col(queryIdCol).cast("long").as("query_id"),
-      explode(array_distinct(col(termsCol))).as("term")))
-    val toks = docs.select(col(docIdCol).cast("long").as("id"),
-      filter(graft.plans.native.wordShingles(col(textCol), 1),
-        t => t =!= "").as("tk"))
-      .withColumn("dl", size(col("tk")).cast("long"))
-    val totRow = toks.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
-    val nDocs = totRow.getLong(0)
-    require(nDocs > 0, "empty text corpus")
-    val avgdl = totRow.getLong(1).toDouble / nDocs
-    // dl RIDES the explode through the tf aggregate (functionally
-    // determined by id — no corpus-wide length join back later), and
-    // the term-pruned tf MATERIALIZES once (queries × terms matched
-    // docs — small by the broadcast-queries contract): both dfreq and
-    // the score join read it, so the corpus is tokenized ONE time,
-    // not re-planned per consumer
-    val tf = toks.select(col("id"), col("dl"), explode(col("tk")).as("term"))
-      .join(qt.select("term"), Seq("term"), "left_semi")
-      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // queries materialize ONCE (they are broadcast-small by contract —
+    // the bruteForce bound): the operator references them four ways
+    // (term union, per-query term attribution, the semantic probe) and
+    // an unmaterialized frame re-executes its whole upstream plan per
+    // reference — the round-13 profile measured ~0.2 s × 4 of exactly
+    // that on the gate's broadcast-join-shaped queries frame
+    val q0 = queries.select(col(queryIdCol).cast("long").as("query_id"),
+        array_distinct(col(termsCol)).as("terms"),
+        col(queryVecCol).as("qvec"))
       .localCheckpoint(true)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ---- lexical tower: multi-query BM25 ---------------------------
+    // the term union collects to a literal, so the corpus-side prune
+    // is an in-row set-membership filter with ZERO join machinery; qt
+    // (per-query terms) still broadcasts for the score attribution
+    val qt = broadcast(q0.select(col("query_id"),
+      explode(col("terms")).as("term")))
+    val termSet = q0
+      .select(explode(col("terms")).as("t"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // ONE corpus pass: tokenize, keep the full-length dl, prune the
+    // token list in-row to query terms; (nDocs, Σdl) are observe
+    // metrics on that same pass — no second tokenize for avgdl
+    val obs = new org.apache.spark.sql.Observation()
+    val tf = docs.select(col(docIdCol).cast("long").as("id"),
+        filter(graft.plans.native.wordShingles(col(textCol), 1),
+          t => t =!= "").as("tk"))
+      // isInCollection → InSet (hash-set membership, O(1) per token)
+      // once the term union passes the optimizer's In threshold — an
+      // array_contains over a literal array would be O(|terms|)/token
+      .select(col("id"), size(col("tk")).cast("long").as("dl"),
+        filter(col("tk"), t => t.isInCollection(termSet)).as("mtk"))
+      .observe(obs, count(lit(1)).as("n"), sum("dl").as("s"))
+      .select(col("id"), col("dl"), explode(col("mtk")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // eager: the observe metrics are now set
+    val nDocs = obs.get("n").asInstanceOf[Long]
+    require(nDocs > 0, "empty text corpus")
+    val avgdl = obs.get("s").asInstanceOf[Long].toDouble / nDocs
+    // df in-window over the checkpointed tf (matched docs × terms —
+    // small): no dfreq aggregate, no broadcast join back
+    val df = count(lit(1)).over(Window.partitionBy("term"))
     val idf = log(lit(1.0) +
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))
     val pairMicro = round(lit(1e6) *
       (idf * ((col("tf") * lit(k1 + 1.0)) / denom))).cast("long")
-    val lexScores = tf
-      .join(broadcast(dfreq), Seq("term"))
-      .select(col("id"), col("term"), pairMicro.as("m"))
+    val lexScores = tf.withColumn("df", df)
       .join(qt, Seq("term"))
-      .groupBy("query_id", "id").agg(sum("m").as("score_micro"))
+      .groupBy("query_id", "id").agg(sum(pairMicro).as("score_micro"))
     val wLex = Window.partitionBy("query_id")
       .orderBy(col("score_micro").desc, col("id").asc)
     val lexTop = lexScores.withColumn("lex_rank", row_number().over(wLex))
       .where(col("lex_rank") <= n)
-      .select(col("query_id"), col("id"), col("lex_rank"))
+      .select(col("query_id"), col("id"), col("lex_rank").as("r"))
     // ---- semantic tower: exact cosine top-n ------------------------
     val semTop = Knn.bruteForce(embs, embIdCol, vecCol,
-        queries.select(col(queryIdCol), col(queryVecCol)),
-        queryIdCol, queryVecCol, n)
+        q0.select(col("query_id"), col("qvec")),
+        "query_id", "qvec", n)
       .select(col("query_id").cast("long").as("query_id"),
         col("neighbor_id").cast("long").as("id"),
-        col("rank").as("sem_rank"))
+        col("rank").as("r"))
     // ---- reciprocal-rank fusion ------------------------------------
     // rrfFuse's exact-integer convention: `div`, never float division
-    // (a correctly-rounded double quotient can truncate differently)
-    val fused = lexTop.join(semTop, Seq("query_id", "id"), "full_outer")
-      .select(col("query_id"), col("id"),
-        (when(col("lex_rank").isNotNull,
-            expr(s"1000000L div (${rrfK}L + lex_rank)"))
-          .otherwise(lit(0L)) +
-         when(col("sem_rank").isNotNull,
-            expr(s"1000000L div (${rrfK}L + sem_rank)"))
-          .otherwise(lit(0L))).as("rrf_micro"))
+    // (a correctly-rounded double quotient can truncate differently).
+    // UNION + one keyed sum replaces the full-outer join: each list
+    // contributes its term, a doc missing from a list contributes
+    // nothing — identical semantics, two sorts and a join fewer.
+    val term = expr(s"1000000L div (${rrfK}L + r)").as("m")
+    val fused = lexTop.select(col("query_id"), col("id"), term)
+      .unionByName(semTop.select(col("query_id"), col("id"), term))
+      .groupBy("query_id", "id").agg(sum("m").as("rrf_micro"))
     val wF = Window.partitionBy("query_id")
       .orderBy(col("rrf_micro").desc, col("id").asc)
     fused.withColumn("rank", row_number().over(wF))
