@@ -157,7 +157,10 @@ object Bench {
       "q334_graph_hnsw_append", "q337_graph_delete_compact",
       // diversified build + NSW append → search; coded build → ADC
       // walk (round 12)
-      "q338_graph_diverse", "q340_graph_adc", "q343_graph_adc_layered")
+      "q338_graph_diverse", "q340_graph_adc", "q343_graph_adc_layered",
+      // round-13: coded store build → writeGraphCodes → NSW append
+      // (sidecar encoded in-append) → ADC search
+      "q344_graph_codes_append")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB
@@ -200,8 +203,16 @@ object Bench {
     val rt = Runtime.getRuntime
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // host-state provenance (round 13, r12 verdict ask #3): record the
+    // CPU frequency governor with every run — the three same-code r12
+    // runs spanned 297.7–348.9 s on host state alone, and a committed
+    // artifact should say which regime it was measured under
+    val governor = try java.nio.file.Files.readString(java.nio.file.Paths
+        .get("/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor")).trim
+      catch { case _: Throwable => "unknown" }
     val env = s"""{"driver_mem_gb":${rt.maxMemory / 1e9},"cpus":"$cpus",""" +
       s""""host_cpus":${rt.availableProcessors()},"load_avg":$load,""" +
+      s""""cpu_governor":"$governor",""" +
       s""""passes":$passes,"pass_totals":$passTotals,""" +
       s""""planning_total_sec":$planningTotal,""" +
       s""""timestamp":"${java.time.Instant.now()}"}"""

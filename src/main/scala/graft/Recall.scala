@@ -230,6 +230,22 @@ object Recall {
     results("graph_hnsw_div") = recallOf(truth, Knn.searchGraphIndex(spark,
       dv, queries, "vec_id", "embedding", beam = 12, hops = 2, k = k))
     graft.plans.Blocks.releaseAll(spark)
+    // α=1.15 DIVERSIFIED build (round 13, r12 verdict ask #6): the
+    // SAME k=8 edges / kCand=16 / nprobe=4 build as graph_hnsw_div —
+    // identical probe cost, identical edge memory — with the DiskANN
+    // RobustPrune relaxation (α > 1 prunes e only when r is MUCH
+    // closer, keeping a few longer detour edges). The round-13 sweep
+    // (SWEEP_DIV_r13.json) measured it at or above α=1.0 at every
+    // operating point; at the high-budget end it crosses IVF
+    // nprobe=8's 0.70 @ 992 INSIDE the budget (0.705 @ ~925,
+    // beam=16/hops=3) — the uniform high-budget ceiling ask.
+    val dv2 = tmp("hnsw_div115")
+    Knn.writeGraphIndex(emb, "vec_id", "embedding", dv2, k = 8, c = 16,
+      nprobe = 4, buckets = 32, layers = 2, alpha = 1.15, kCand = 16)
+    results("graph_hnsw_div115") = recallOf(truth, Knn.searchGraphIndex(
+      spark, dv2, queries, "vec_id", "embedding", beam = 12, hops = 2,
+      k = k))
+    graft.plans.Blocks.releaseAll(spark)
 
     def ivfCurve(corpus: DataFrame, qs: DataFrame, nq: Long,
                  tr: Map[Long, Set[Long]]): Seq[String] =
@@ -245,6 +261,18 @@ object Recall {
     val curveHnsw = graphCurve(d2, 2)
     val curveHnswHq = graphCurve(dq, 2)
     val curveHnswDiv = graphCurve(dv, 2)
+    // the α=1.15 store's curve runs the HIGH-BUDGET grid (the sweep's
+    // winning shapes) — the budget range where this store is the
+    // answer; the low/mid range is graph_hnsw_div's
+    val hbGrid = Seq((12, 2), (16, 2), (20, 2), (16, 3), (12, 4))
+    val curveHnswDiv115 = hbGrid.map { case (b, h) =>
+      val (r, cand) = measured(truth, nQ)(
+        Knn.searchGraphIndex(spark, dv2, queries,
+          "vec_id", "embedding", beam = b, hops = h, k = k))
+      graft.plans.Blocks.releaseAll(spark)
+      s"""{"layers":2,"beam":$b,"hops":$h,""" +
+        s""""cand_per_q":${math.round(cand)},"recall":${r4(r)}}"""
+    }
 
     // equal-budget adjudication on the NEAR-UNIFORM testdata — the
     // regime where cells do not align with query neighborhoods (the
@@ -278,6 +306,38 @@ object Recall {
       s""""graph":{"layers":2,"beam":${uBest._1},"hops":${uBest._2},""" +
       s""""cand_per_q":${uBest._3},"recall":${uBest._4}},""" +
       s""""graph_ge_ivf":${uBest._4 >= uIvf4._2}}"""
+    // HIGH-budget adjudication (round 13, r12 verdict ask #6): IVF's
+    // nprobe=8 point (≈ half the corpus scanned) vs the best
+    // diversified point — α=1.0 and α=1.15 stores, the high-budget
+    // grid — whose measured budget does not exceed it. Build cost is
+    // identical across the two diversified stores (k=8 edges selected
+    // from the same kCand=16 / nprobe=4 pool).
+    val uIvf8 = {
+      val (r, cand) = measured(truth, nQ)(
+        Knn.ivf(emb, "vec_id", "embedding", queries,
+          "vec_id", "embedding", k, c = 16, nprobe = 8))
+      (math.round(cand), r4(r))
+    }
+    val uHb = Seq(("1.0", dv), ("1.15", dv2)).flatMap { case (a, store) =>
+      hbGrid.map { case (b, h) =>
+        val (r, cand) = measured(truth, nQ)(
+          Knn.searchGraphIndex(spark, store, queries,
+            "vec_id", "embedding", beam = b, hops = h, k = k))
+        graft.plans.Blocks.releaseAll(spark)
+        (a, b, h, math.round(cand), r4(r))
+      }
+    }
+    val uHbWithin = uHb.filter(_._4 <= uIvf8._1)
+    val uHbBest =
+      if (uHbWithin.nonEmpty) uHbWithin.maxBy(p => (p._5, -p._4))
+      else uHb.minBy(_._4)
+    val uniformHighBudget =
+      s"""{"ivf":{"nprobe":8,"cand_per_q":${uIvf8._1},""" +
+      s""""recall":${uIvf8._2}},""" +
+      s""""graph":{"layers":2,"k":8,"alpha":${uHbBest._1},""" +
+      s""""beam":${uHbBest._2},"hops":${uHbBest._3},""" +
+      s""""cand_per_q":${uHbBest._4},"recall":${uHbBest._5}},""" +
+      s""""graph_ge_ivf":${uHbBest._5 >= uIvf8._2}}"""
 
     // ---- clustered corpus: the equal-budget adjudication -----------
     // plain LocalTableScan — must NOT be checkpointed: the per-point
@@ -402,11 +462,13 @@ object Recall {
       s""""graph":${curveGraph.mkString("[", ",", "]")},""" +
       s""""graph_hnsw":${curveHnsw.mkString("[", ",", "]")},""" +
       s""""graph_hnsw_hq":${curveHnswHq.mkString("[", ",", "]")},""" +
-      s""""graph_hnsw_div":${curveHnswDiv.mkString("[", ",", "]")}},""" +
+      s""""graph_hnsw_div":${curveHnswDiv.mkString("[", ",", "]")},""" +
+      s""""graph_hnsw_div115":${curveHnswDiv115.mkString("[", ",", "]")}},""" +
       s""""rerank":${rerank.map { case (n, (f, r)) =>
         s"\"$n\":{\"first_stage\":${r4(f)},\"reranked\":${r4(r)},\"shortlist\":50}"
       }.mkString("{", ",", "}")},""" +
       s""""equal_budget":$uniformBudget,""" +
+      s""""equal_budget_high":$uniformHighBudget,""" +
       s""""clustered":{"n":400,"dim":16,"n_queries":${clTruth.size},""" +
       s""""ivf":${clIvfJson.mkString("[", ",", "]")},""" +
       s""""graph_hnsw":${clGraphJson.mkString("[", ",", "]")},""" +
