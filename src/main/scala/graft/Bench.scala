@@ -159,8 +159,9 @@ object Bench {
       // walk (round 12)
       "q338_graph_diverse", "q340_graph_adc", "q343_graph_adc_layered",
       // round-13: coded store build → writeGraphCodes → NSW append
-      // (sidecar encoded in-append) → ADC search
-      "q344_graph_codes_append")
+      // (sidecar encoded in-append) → ADC search; IVF store builds
+      // under the filtered / range probes
+      "q344_graph_codes_append", "q345_ivf_filtered", "q346_ivf_range")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

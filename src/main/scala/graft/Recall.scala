@@ -246,6 +246,29 @@ object Recall {
       spark, dv2, queries, "vec_id", "embedding", beam = 12, hops = 2,
       k = k))
     graft.plans.Blocks.releaseAll(spark)
+    // CODED walk recall, gaussian vs DATA-TRAINED books (round 13,
+    // r12 verdict ask #4): same store (the k=8 layered build), same
+    // walk params as the graph_hnsw point — the delta is purely the
+    // codebook distribution the ADC hops navigate on. Data books =
+    // Pq.trainCodebooks's bottom-16-md5 sample (the q75/q340-gate
+    // convention). The exact-walk point (graph_hnsw) is the ceiling
+    // the coded walk approximates.
+    locally {
+      val gb = graft.entry.EntryHelpers.pqBooks(m = 8, k = 16,
+        subDim = 8, seed = 13L)
+      Knn.writeGraphCodes(spark, d2, gb)
+      results("graph_adc_gaussian") = recallOf(truth,
+        Knn.searchGraphIndexAdc(spark, d2, gb, queries,
+          "vec_id", "embedding", beam = 12, hops = 4, k = k))
+      graft.plans.Blocks.releaseAll(spark)
+      val tb = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, dim = dim)
+      Knn.writeGraphCodes(spark, d2, tb)
+      results("graph_adc_trained") = recallOf(truth,
+        Knn.searchGraphIndexAdc(spark, d2, tb, queries,
+          "vec_id", "embedding", beam = 12, hops = 4, k = k))
+      graft.plans.Blocks.releaseAll(spark)
+    }
 
     def ivfCurve(corpus: DataFrame, qs: DataFrame, nq: Long,
                  tr: Map[Long, Set[Long]]): Seq[String] =

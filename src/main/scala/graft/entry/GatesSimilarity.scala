@@ -81,6 +81,42 @@ private[graft] object GatesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED vector search (round 13): the metadata-predicate + kNN
+    // combination — the store built with keep=Seq("label") co-locates
+    // the attribute inside the cell directories, and the predicate
+    // (label % 3 = 1) evaluates on the pruned cell scan BEFORE any
+    // scoring, so filtered-out rows never eat a rank slot. The oracle
+    // replays the q72 probe chain with the label carried through and
+    // the same pre-rank WHERE.
+    "q345_ivf_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivff_gate").toString
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tmp, c = 16,
+        portableHash = true, keep = Seq("label"))
+      Knn.searchIvfFiltered(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, pred = col("label") % 3 === 1,
+        nprobe = 4)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // RANGE search (round 13): every neighbor at 6-dp cosine >= tau
+    // among the probed cells, no top-k cap — the "all near-duplicates
+    // of these probes" index query. Output unique on (query_id,
+    // neighbor_id); the oracle replays the probe chain with the
+    // threshold instead of the rank cap.
+    "q346_ivf_range" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfr_gate").toString
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tmp, c = 16,
+        portableHash = true)
+      Knn.searchIvfRange(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", tau = 0.25, nprobe = 4)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
 // The WHOLE on-disk IVF+PQ lifecycle under the gate: data-sampled
     // codebooks (bottom-k md5 — deterministic and SQL-replayable),
     // portable centroid pick, cell-partitioned build, then the
@@ -500,6 +536,77 @@ private[graft] object GatesSimilarity {
 // Persisted-index twin: identical semantics, answered through the
     // on-disk cell-partitioned index + pruned probe.
     "q72_ivf_persisted" -> ivfOracleSql,
+
+    // q72's probe chain with the label attribute carried through the
+    // assignment and the pre-rank predicate (the Spark side filters
+    // the pruned cell scan before scoring — same algebra).
+    "q345_ivf_filtered" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding, label,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, hd.label, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, label, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id AND cl.label % 3 = 1),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q72's probe chain with the threshold replacing the rank cap.
+    "q346_ivf_range" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id)
+         |SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= 0.25
+         |ORDER BY query_id, neighbor_id""".stripMargin,
 
 "q20_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

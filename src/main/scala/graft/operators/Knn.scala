@@ -171,15 +171,16 @@ object Knn {
     * same bound that makes them broadcastable), which is how k-means
     * assignment is done everywhere centroids fit on one node. */
   def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame): DataFrame = {
+                  centroids: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val rows = centroids
       .select(col("cell"), transform(col("cvec"), _.cast("double")).as("cvec"))
       .collect()
     require(rows.nonEmpty, "no centroids")
     val cells = rows.map(_.getLong(0))
     val cents = rows.map(_.getSeq[Double](1).toArray)
-    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      graft.plans.native.nearestCell(col(vecCol), cells, cents).as("cell"))
+    vectors.select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+      graft.plans.native.nearestCell(col(vecCol), cells, cents).as("cell") +:
+      keep.map(col): _*)
   }
 
   /** Build a persisted IVF index: corpus assigned to cells and written
@@ -190,14 +191,19 @@ object Knn {
     * probe many. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, c: Int = 16, refineIters: Int = 0,
-                    portableHash: Boolean = false): Unit = {
+                    portableHash: Boolean = false,
+                    keep: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     val centroids =
       if (refineIters > 0) kmeansCentroids(corpus, idCol, vecCol, c, refineIters)
       else sampleCentroids(corpus, idCol, vecCol, c, portableHash)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // `keep` (round 13): attribute columns persisted INSIDE the cell
+    // directories alongside (id, vec) — the filtered-search handle:
+    // a predicate over kept columns evaluates on the pruned cell scan
+    // itself, no corpus-wide metadata join at probe time.
     assignCells(corpus, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), keep)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -208,10 +214,10 @@ object Knn {
     * intact); centroid drift from distribution shift is handled by a
     * periodic full rebuild, the standard IVF maintenance trade. */
   def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
-                     path: String): Unit = {
+                     path: String, keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     assignCells(batch, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), keep)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -227,7 +233,57 @@ object Knn {
   def searchIvf(spark: SparkSession, path: String,
                 queries: DataFrame, queryId: String, queryVec: String,
                 k: Int, nprobe: Int = 4,
-                exclude: Option[DataFrame] = None): DataFrame = {
+                exclude: Option[DataFrame] = None): DataFrame =
+    topKPerQuery(probeIvf(spark, path, queries, queryId, queryVec,
+      nprobe, None, exclude), k)
+
+  /** FILTERED vector search over a persisted IVF index (round 13) —
+    * the metadata-predicate + kNN combination every production vector
+    * store exposes (e.g. "top-k nearest WHERE lang = 'en'"): `pred`
+    * evaluates over the store's `keep` attribute columns ON THE PRUNED
+    * CELL SCAN, before any scoring — so a filtered-out row can never
+    * eat a rank slot (the tombstone pre-top-k discipline applied to
+    * arbitrary predicates), and the filter costs zero extra joins (the
+    * attributes were co-located with the vectors at build time by
+    * [[writeIvfIndex]]'s `keep`). POST-filtering semantics: the probe
+    * set is the same nprobe cells the unfiltered search visits, so a
+    * very selective predicate wants a larger nprobe — the standard
+    * filtered-ANN recall trade, the caller's knob. */
+  def searchIvfFiltered(spark: SparkSession, path: String,
+                        queries: DataFrame, queryId: String,
+                        queryVec: String, k: Int, pred: Column,
+                        nprobe: Int = 4,
+                        exclude: Option[DataFrame] = None): DataFrame =
+    topKPerQuery(probeIvf(spark, path, queries, queryId, queryVec,
+      nprobe, Some(pred), exclude), k)
+
+  /** RANGE search over a persisted IVF index (round 13) — every
+    * neighbor with 6-dp cosine ≥ `tau` among the probed cells, no
+    * top-k cap: the "find all near-duplicates of these probes" shape
+    * ([[graft.operators.Dedup.decontaminate]]'s probe side as a
+    * first-class index query). Same approximate-coverage contract as
+    * every IVF probe: neighbors outside the nprobe nearest cells are
+    * not seen. Output (query_id, neighbor_id, sim), unique on the
+    * pair. `pred` filters kept attribute columns pre-threshold. */
+  def searchIvfRange(spark: SparkSession, path: String,
+                     queries: DataFrame, queryId: String,
+                     queryVec: String, tau: Double, nprobe: Int = 4,
+                     pred: Option[Column] = None,
+                     exclude: Option[DataFrame] = None): DataFrame =
+    probeIvf(spark, path, queries, queryId, queryVec, nprobe, pred,
+      exclude)
+      .where(col("sim") >= tau)
+
+  /** Shared IVF probe: nprobe nearest cells per query (broadcast
+    * centroid ranking), directory-pruned cell scan, optional
+    * attribute predicate + exclude anti-join BEFORE scoring, 6-dp
+    * cosine per (query, candidate). Returns the scored candidate
+    * stream; callers cap (top-k) or threshold (range) it. */
+  private def probeIvf(spark: SparkSession, path: String,
+                       queries: DataFrame, queryId: String,
+                       queryVec: String, nprobe: Int,
+                       pred: Option[Column],
+                       exclude: Option[DataFrame]): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
       .join(broadcast(centroids))
@@ -242,13 +298,13 @@ object Knn {
       .collect().map(_.getLong(0)).toSeq
     val cellsRaw = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probedCells: _*)) // partition pruning
-    val cells = exclude.fold(cellsRaw)(t =>
-      cellsRaw.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
-    val scored = cells.join(broadcast(qAssign), Seq("cell"))
+    val cellsPred = pred.fold(cellsRaw)(p => cellsRaw.where(p))
+    val cells = exclude.fold(cellsPred)(t =>
+      cellsPred.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
+    cells.join(broadcast(qAssign), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(Vectors.cosine(col("vec"), col("qvec")), 6).as("sim"))
-    topKPerQuery(scored, k)
   }
 
   /** IVF search: probe the `nprobe` nearest cells per query. Recall<1

@@ -1466,6 +1466,61 @@ class KnnSpec extends SparkSpec {
     assert(err.getMessage.contains("stale codes sidecar"))
   }
 
+  test("filtered IVF search (round 13): predicate evaluates pre-top-k " +
+    "(filtered-out rows never eat a rank slot), kept attributes ride " +
+    "the cell directories, range search matches the brute threshold") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    def point(center: Int): Array[Float] = {
+      val v = Array.fill(8)(0.3f * rnd.nextGaussian().toFloat)
+      v(center) += 4.0f
+      v
+    }
+    val corpus = (0L until 120L).map { i =>
+      (i, point((i % 4).toInt), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "grp")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filt").toString
+    Knn.writeIvfIndex(corpus, "vec_id", "embedding", dir, c = 4,
+      keep = Seq("grp"))
+    val queries = corpus.where(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+    // nprobe = c: every cell probed, so the filtered search must EQUAL
+    // brute force over the predicate-satisfying subset — the rank
+    // slots are all spent on grp=1 rows
+    val got = Knn.searchIvfFiltered(spark, dir, queries,
+      "vec_id", "embedding", k = 5, pred = col("grp") === 1, nprobe = 4)
+    val want = Knn.bruteForce(corpus.where(col("grp") === 1),
+      "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+    assert(got.select("query_id", "neighbor_id", "sim", "rank")
+        .collect().map(_.toString).sorted.toSeq ==
+      want.select("query_id", "neighbor_id", "sim", "rank")
+        .collect().map(_.toString).sorted.toSeq,
+      "filtered search != brute force over the filtered subset")
+    // every hit satisfies the predicate
+    val grpOf = corpus.select("vec_id", "grp").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.collect().foreach(r =>
+      assert(grpOf(r.getAs[Long]("neighbor_id")) == 1, "pred violated"))
+    // range search at full probe coverage = the brute-force threshold
+    val tau = 0.6
+    val gotR = Knn.searchIvfRange(spark, dir, queries,
+        "vec_id", "embedding", tau = tau, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val wantR = (for {
+      q <- 0L until 4L; n <- 0L until 120L
+      if n != q && math.round(cos(vecs(q), vecs(n)) * 1e6) / 1e6 >= tau
+    } yield (q, n)).toSet
+    assert(gotR == wantR, s"range mismatch: ${gotR.size} vs ${wantR.size}")
+  }
+
   test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
     "equals the explicit c, and grows with n (round-10 scale fix)") {
     val s = spark
