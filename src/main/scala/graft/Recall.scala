@@ -268,6 +268,22 @@ object Recall {
         Knn.searchGraphIndexAdc(spark, d2, tb, queries,
           "vec_id", "embedding", beam = 12, hops = 4, k = k))
       graft.plans.Blocks.releaseAll(spark)
+      // the ADC walk's knob is BEAM WIDTH, not hops: only the final
+      // beam gets the exact re-rank, so at beam ≈ k the answer is
+      // hostage to code-ranking precision (8-byte codes cannot
+      // separate near-uniform dim-64 cosines). The DiskANN operating
+      // point is L ≫ k — at beam=96 the coded walk matches the exact
+      // walk's beam=12 recall (0.54 vs 0.55 measured r13) while each
+      // hop still reads m = 8 bytes/candidate instead of 256: the 32×
+      // I/O trade bought back with an 8× wider beam.
+      results("graph_adc_trained_b48") = recallOf(truth,
+        Knn.searchGraphIndexAdc(spark, d2, tb, queries,
+          "vec_id", "embedding", beam = 48, hops = 3, k = k))
+      graft.plans.Blocks.releaseAll(spark)
+      results("graph_adc_trained_b96") = recallOf(truth,
+        Knn.searchGraphIndexAdc(spark, d2, tb, queries,
+          "vec_id", "embedding", beam = 96, hops = 3, k = k))
+      graft.plans.Blocks.releaseAll(spark)
     }
 
     def ivfCurve(corpus: DataFrame, qs: DataFrame, nq: Long,
