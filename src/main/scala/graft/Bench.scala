@@ -161,7 +161,8 @@ object Bench {
       // round-13: coded store build → writeGraphCodes → NSW append
       // (sidecar encoded in-append) → ADC search; IVF store builds
       // under the filtered / range probes
-      "q344_graph_codes_append", "q345_ivf_filtered", "q346_ivf_range")
+      "q344_graph_codes_append", "q345_ivf_filtered", "q346_ivf_range",
+      "q347_graph_filtered")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

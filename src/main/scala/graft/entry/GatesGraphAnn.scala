@@ -208,6 +208,26 @@ private[graft] object GatesGraphAnn {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED graph search (round 13 — the graph twin of q345): the
+    // store built with keep=Seq("label") carries the attribute in
+    // path/nodes; the walk navigates UNFILTERED (filtering navigation
+    // would disconnect the graph) and the predicate evaluates on the
+    // final beam pre-top-k, beam >> k to leave post-filter slack. The
+    // oracle replays the walk and applies the same pre-rank WHERE.
+    "q347_graph_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gfil_gate").toString
+      Knn.writeGraphIndex(half, "vec_id", "embedding", tmp, k = 3, c = 16,
+        nprobe = 2, buckets = 8, portableHash = true,
+        keep = Seq("label"))
+      Knn.searchGraphIndexFiltered(s, tmp,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        beam = 8, hops = 2, k = 3, pred = col("label") % 3 === 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // Streaming NSW ingest under the gate (round 11, r10 verdict ask
     // #8): the store built over 60% of the corpus, then TWO
     // micro-batches land through ingestGraphStream's foreachBatch
@@ -620,6 +640,29 @@ private[graft] object GatesGraphAnn {
          |          row_number() OVER (PARTITION BY qid
          |            ORDER BY sim DESC, node ASC) AS rank
          |        FROM zb2 WHERE node <> qid)
+         |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Half-corpus graph replay + the walk at beam=8, then the label
+    // predicate applied BEFORE the rank window (the Spark side filters
+    // the final beam pre-top-k — same algebra).
+    "q347_graph_filtered" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |${layerKnnGraphCtes("g", "hs", 16, 2, 3)},
+         |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
+         |av AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nvec
+         |       FROM embeddings),
+         |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |${graphBeamCtes("z", "sq", "av", "ge", "gent", beam = 8, hops = 2)},
+         |fin AS (SELECT qid AS query_id, node AS neighbor_id, sim,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, node ASC) AS rank
+         |        FROM zb2 JOIN embeddings e ON e.vec_id = zb2.node
+         |        WHERE zb2.node <> zb2.qid AND e.label % 3 = 1)
          |SELECT query_id, neighbor_id, sim, rank FROM fin WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 

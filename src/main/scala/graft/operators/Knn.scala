@@ -673,7 +673,8 @@ object Knn {
                       targetCellSize: Int = 0,
                       layers: Int = 0,
                       alpha: Double = 0.0,
-                      kCand: Int = 0): Unit = {
+                      kCand: Int = 0,
+                      keep: Seq[String] = Nil): Unit = {
     require(k >= 1 && buckets >= 1 && c >= 1 && layers >= 0,
       s"need k/buckets/c >= 1 and layers >= 0, got k=$k buckets=$buckets c=$c layers=$layers")
     // α-RNG edge diversification (round 12): alpha > 0 turns it on —
@@ -697,8 +698,12 @@ object Knn {
     // appendGraphIndex/compactGraphStore exactly. (md5 portable mode
     // casts to string and was already immune; the cast is a value
     // no-op there, so every gate oracle replays unchanged.)
-    val canon = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("vec"))
+    // `keep` (round 13, the q345 convention on the graph member):
+    // attribute columns ride path/nodes beside (id, vec) — the
+    // filtered-search handle ([[searchGraphIndexFiltered]]); the
+    // edge/entry builds below ignore them.
+    val canon = corpus.select(col(idCol).cast("long").as("id") +:
+      col(vecCol).as("vec") +: keep.map(col): _*)
     // bounded-cell auto-sizing (see knnGraph): one count, then the
     // SAME cEff for the entry-cell frame and the graph build
     val cEff =
@@ -724,8 +729,9 @@ object Knn {
     sampleCentroids(canon, "id", "vec", cEff, portableHash)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cents = spark.read.parquet(s"$path/centroids")
-    val nodes = canon.select(col("id"),
-      transform(col("vec"), _.cast("double")).as("vec"))
+    val nodes = canon.select(col("id") +:
+      transform(col("vec"), _.cast("double")).as("vec") +:
+      keep.map(col): _*)
     nodes
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
@@ -805,8 +811,15 @@ object Knn {
     val spark = batch.sparkSession
     val GraphMeta(k, buckets, layers, portable, alphaMicro, kCand) =
       readGraphMeta(spark, path)
-    val incoming = batch.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), _.cast("double")).as("vec"))
+    // kept attribute columns (a `keep` store): the batch must carry
+    // the same attributes the store's node table holds — schema
+    // discovery from path/nodes, so appends stay schema-consistent
+    // without a new meta field
+    val extras = spark.read.parquet(s"$path/nodes").schema.fieldNames
+      .filterNot(Set("id", "vec", "bucket")).toSeq
+    val incoming = batch.select(col(idCol).cast("long").as("id") +:
+      transform(col(vecCol), _.cast("double")).as("vec") +:
+      extras.map(col): _*)
     val deduped =
       if (!skipExisting) incoming
       else {
@@ -1349,6 +1362,45 @@ object Knn {
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
         col("sim")), k)
     res
+  }
+
+  /** FILTERED search over a persisted graph index (round 13 — the
+    * graph-family twin of [[searchIvfFiltered]]): the walk itself is
+    * UNCHANGED and navigates through non-matching nodes (filtering
+    * navigation would disconnect the graph under selective predicates
+    * — the standard filtered-graph-ANN design), and `pred` evaluates
+    * over the store's `keep` attribute columns on the FINAL beam,
+    * before the top-k ranking — a filtered-out candidate never eats a
+    * rank slot. The attribute read is one bucket-pruned scan of the
+    * beam's ids (queries × beam rows). Post-filtering semantics: at
+    * most `beam` candidates per query survive to the filter, so a
+    * selective predicate wants `beam` ≫ k (the q345 nprobe guidance,
+    * graph-shaped). */
+  def searchGraphIndexFiltered(spark: SparkSession, path: String,
+                               queries: DataFrame, queryIdCol: String,
+                               queryVecCol: String, beam: Int, hops: Int,
+                               k: Int, pred: Column): DataFrame = {
+    require(beam >= 1 && hops >= 0 && k >= 1,
+      s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
+    val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
+    val q = queries.select(col(queryIdCol).cast("long").as("qid"),
+      transform(col(queryVecCol), _.cast("double")).as("qvec"))
+    var fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,
+      layer = layers)
+    for (l <- layers - 1 to 0 by -1)
+      fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,
+        layer = l, seed = Some(fin))
+    val fbks = fin
+      .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val attrs = spark.read.parquet(s"$path/nodes")
+      .where(col("bucket").isin(fbks: _*)) // partition pruning
+      .drop("vec").withColumnRenamed("id", "node")
+    topKPerQuery(fin.where(col("node") =!= col("qid"))
+      .join(attrs, Seq("node"))
+      .where(pred)
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        col("sim")), k)
   }
 
   /** Formatted plans of the LAST indexed hop's candidate expansion and

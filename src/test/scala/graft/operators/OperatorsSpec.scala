@@ -1521,6 +1521,56 @@ class KnnSpec extends SparkSpec {
     assert(gotR == wantR, s"range mismatch: ${gotR.size} vs ${wantR.size}")
   }
 
+  test("filtered graph search (round 13): predicate holds on every " +
+    "hit, always-true pred equals the unfiltered search, and appends " +
+    "carry the kept attributes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    def point(center: Int): Array[Float] = {
+      val v = Array.fill(8)(0.4f * rnd.nextGaussian().toFloat)
+      v(center) += 4.0f
+      v
+    }
+    val corpus = (0L until 100L).map { i =>
+      (i, point((i % 4).toInt), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "grp")
+    val dir = java.nio.file.Files.createTempDirectory("graph_filt").toString
+    Knn.writeGraphIndex(corpus, "vec_id", "embedding", dir, k = 4, c = 8,
+      nprobe = 2, buckets = 8, keep = Seq("grp"))
+    val queries = corpus.where(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+    val got = Knn.searchGraphIndexFiltered(spark, dir, queries,
+      "vec_id", "embedding", beam = 10, hops = 3, k = 3,
+      pred = col("grp") === 1)
+    val grpOf = corpus.select("vec_id", "grp").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty, "filtered search returned nothing")
+    rows.foreach(r =>
+      assert(grpOf(r.getAs[Long]("neighbor_id")) == 1, "pred violated"))
+    // identity: an always-true predicate must EQUAL the plain search
+    val all = Knn.searchGraphIndexFiltered(spark, dir, queries,
+        "vec_id", "embedding", beam = 10, hops = 3, k = 3,
+        pred = lit(true))
+      .collect().map(_.toString).sorted.toSeq
+    val plain = Knn.searchGraphIndex(spark, dir, queries,
+        "vec_id", "embedding", beam = 10, hops = 3, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(all == plain, "always-true pred diverged from plain search")
+    // appends carry the kept attribute (schema discovered from the
+    // store) and the appended node filters correctly
+    Knn.appendGraphIndex(Seq((500L, point(1), 1))
+      .toDF("vec_id", "embedding", "grp"), "vec_id", "embedding", dir,
+      beam = 8, hops = 2)
+    val post = Knn.searchGraphIndexFiltered(spark, dir,
+      Seq((900000L, point(1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", beam = 10, hops = 3, k = 5,
+      pred = col("grp") === 1)
+    assert(post.where(col("neighbor_id") === 500L).count() == 1,
+      "appended keep-store node not findable under the predicate")
+  }
+
   test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
     "equals the explicit c, and grows with n (round-10 scale fix)") {
     val s = spark
