@@ -188,7 +188,10 @@ object Bench {
       // round-11: auto-sized knnGraph (q65's loop profile + a count
       // job); byte-level vocab twins train the q85 rounds first
       "q330_graph_autosized", "q331_bpe_vocab_bytes",
-      "q332_bpe_vocab_ids_bytes")
+      "q332_bpe_vocab_ids_bytes",
+      // round-13: MMR greedily driver-loops k selection rounds over
+      // the shortlist
+      "q349_mmr_select")
     def sectionOf(n: String): String =
       if (lifecycle(n)) "lifecycle" else if (iterative(n)) "iterative"
       else "scan"

@@ -519,6 +519,69 @@ private[graft] object EntryHelpers {
   def cosSql(a: String, b: String): String =
     s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** The ORDERED-fold cosine (round 13) — dot and both norms
+    * accumulated in index order, bit-identical to VectorKernel.cosine;
+    * use where the similarity VALUE feeds a selection decision (prune,
+    * argmax) so a rounding-boundary flip cannot diverge cross-engine.
+    * Operands must already be DOUBLE[]. */
+  def cosFoldSql(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_reduce(list_transform($a,
+       |        __dx -> __dx * __dx), (__da, __db) -> __da + __db))
+       |      * sqrt(list_reduce(list_transform($b,
+       |        __dx -> __dx * __dx), (__da, __db) -> __da + __db)) = 0
+       |  THEN 0.0
+       |  ELSE list_reduce(list_transform(range(1, len($a) + 1),
+       |        __di -> $a[__di] * $b[__di]), (__da, __db) -> __da + __db)
+       |    / (sqrt(list_reduce(list_transform($a,
+       |        __dx -> __dx * __dx), (__da, __db) -> __da + __db))
+       |      * sqrt(list_reduce(list_transform($b,
+       |        __dx -> __dx * __dx), (__da, __db) -> __da + __db)))
+       |  END)""".stripMargin
+
+  /** The MMR greedy-selection rounds as CTEs (round 13) — the SQL twin
+    * of Knn.mmrSelect: `candCte` exposes (query_id, id, rel, vec
+    * DOUBLE[]); round 1 picks per-query argmax rel, each later round
+    * scores the remaining candidates λμ·rel − (1e6−λμ)·max-sim-to-
+    * selected (6-dp-micro ordered-fold cosines) and picks the argmax,
+    * ties → id ASC. Emits `${pfx}a$k` — the accumulated (query_id, id,
+    * rank) selections. Every accumulator CTE is MATERIALIZED (each is
+    * referenced by all later rounds — the CTE re-execution trap). */
+  def mmrRoundCtes(pfx: String, candCte: String, k: Int,
+                   lambdaMicro: Long): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""${pfx}a1 AS MATERIALIZED (
+         |  SELECT query_id, id, 1 AS rank FROM (
+         |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, id ASC) AS rn FROM $candCte)
+         |  WHERE rn = 1)""".stripMargin)
+    for (r <- 2 to k) {
+      val p = s"${pfx}a${r - 1}"
+      sb.append(",\n").append(
+        s"""${pfx}m$r AS (
+           |  SELECT c.query_id, c.id, c.rel,
+           |    MAX(CAST(ROUND(ROUND(${cosFoldSql("c.vec", "sv.vec")},
+           |      6) * 1e6) AS BIGINT)) AS maxsim
+           |  FROM $candCte c
+           |  JOIN $p s ON s.query_id = c.query_id
+           |  JOIN $candCte sv ON sv.query_id = s.query_id AND sv.id = s.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM $p x
+           |                    WHERE x.query_id = c.query_id AND x.id = c.id)
+           |  GROUP BY c.query_id, c.id, c.rel),
+           |${pfx}s$r AS (
+           |  SELECT query_id, id, $r AS rank FROM (
+           |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel * $lambdaMicro
+           |               - maxsim * ${1000000L - lambdaMicro} DESC,
+           |               id ASC) AS rn
+           |    FROM ${pfx}m$r) WHERE rn = 1),
+           |${pfx}a$r AS MATERIALIZED (
+           |  SELECT * FROM $p UNION ALL SELECT * FROM ${pfx}s$r)"""
+          .stripMargin)
+    }
+    sb.toString
+  }
+
   /** Deterministic derived PARTSUPP — the dbgen partsupp generator
     * (4 suppliers per part, stride S/4 + partkey/S, 0-based keys)
     * re-expressed as pure non-negative integer SQL so BOTH engines

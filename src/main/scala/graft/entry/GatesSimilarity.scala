@@ -101,6 +101,42 @@ private[graft] object GatesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // LATE-INTERACTION retrieval (round 13) — ColBERT MaxSim (Khattab
+    // & Zaharia 2020): docs and queries are BAGS of token vectors
+    // (vec_id div 20 groups the embeddings into 20-token docs),
+    // score(q, d) = sum over query tokens of the max 6-dp-micro
+    // cosine against d's tokens. The oracle replays the pair scores,
+    // the per-token max, the integer sum, and the rank.
+    "q348_late_interaction" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dt = emb.select(expr("vec_id div 20").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      val qt = dt.where(col("doc_id") % 10 === 0)
+      Knn.lateInteractionTopK(dt, "doc_id", "embedding",
+        qt, "doc_id", "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // MMR diversity-aware re-rank (round 13) — Carbonell & Goldstein
+    // 1998: brute-force top-20 per query is the relevance shortlist,
+    // then 5 greedy rounds pick argmax of lambda*rel -
+    // (1-lambda)*max-sim-to-picked (integer micros, ties id ASC). The
+    // oracle unrolls every round; the ordered-fold cosine keeps the
+    // argmax boundary identical cross-engine.
+    "q349_mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      val cand = Knn.bruteForce(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          round(col("sim") * 1e6).cast("long").as("rel"))
+        .join(emb.select(col("vec_id").as("id"),
+          col("embedding").as("vec")), Seq("id"))
+      Knn.mmrSelect(cand, "query_id", "id", "rel", "vec", k = 5,
+        lambdaMicro = 700000L)
+        .orderBy("query_id", "rank")
+    }),
+
     // RANGE search (round 13): every neighbor at 6-dp cosine >= tau
     // among the probed cells, no top-k cap — the "all near-duplicates
     // of these probes" index query. Output unique on (query_id,
@@ -574,6 +610,54 @@ private[graft] object GatesSimilarity {
          |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Pair micros -> per-query-token MAX -> integer SUM -> rank; the
+    // HUGEINT sum casts back to BIGINT (the decSum convention).
+    "q348_late_interaction" ->
+      s"""WITH dt AS (
+         |  SELECT vec_id // 20 AS doc_id, vec_id, embedding
+         |  FROM embeddings),
+         |qt AS (
+         |  SELECT doc_id AS query_id, vec_id AS tok, embedding AS qvec
+         |  FROM dt WHERE doc_id % 10 = 0),
+         |pair AS (
+         |  SELECT q.query_id, q.tok, d.doc_id,
+         |    CAST(ROUND(1e6 * ROUND(${cosSql("d.embedding", "q.qvec")}, 6))
+         |      AS BIGINT) AS m
+         |  FROM dt d JOIN qt q ON d.doc_id <> q.query_id),
+         |mx AS (
+         |  SELECT query_id, tok, doc_id, MAX(m) AS mx
+         |  FROM pair GROUP BY query_id, tok, doc_id),
+         |sc AS (
+         |  SELECT query_id, doc_id, CAST(SUM(mx) AS BIGINT) AS score_micro
+         |  FROM mx GROUP BY query_id, doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, doc_id, score_micro, rank FROM ranked
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Brute top-20 shortlist, then the unrolled greedy rounds.
+    "q349_mmr_select" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim,
+         |    CAST(e.embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings e
+         |  JOIN embeddings q ON q.vec_id % 100 = 0
+         |                   AND e.vec_id <> q.vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, id, CAST(ROUND(sim * 1e6) AS BIGINT) AS rel,
+         |         vec
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY sim DESC, id ASC) AS rn FROM scored)
+         |  WHERE rn <= 20),
+         |${mmrRoundCtes("g", "cand", k = 5, lambdaMicro = 700000L)}
+         |SELECT query_id, id, rank FROM ga5
          |ORDER BY query_id, rank""".stripMargin,
 
     // q72's probe chain with the threshold replacing the rank cap.

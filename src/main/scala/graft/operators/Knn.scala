@@ -37,6 +37,121 @@ object Knn {
     topKPerQuery(scored, k)
   }
 
+  /** LATE-INTERACTION retrieval (round 13) — the ColBERT MaxSim
+    * operator (Khattab & Zaharia, SIGIR 2020; public algorithm): both
+    * documents and queries are BAGS of token vectors, and
+    * score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d} cos(qt, dt) — each query
+    * token finds its best-matching document token, the per-token
+    * maxima sum. Catches fine-grained term-level matches a single
+    * pooled embedding blurs; the third member of the retrieval ladder
+    * (BM25 lexical → pooled-vector cosine → late interaction).
+    *
+    * Exactness: per-pair cosines are 6-dp-rounded then scaled to
+    * integer MICROS before the max/sum (the q63/q341 trick), so the
+    * score is decimal-exact cross-engine; ties → doc_id ASC.
+    *
+    * Scale shape: queries are broadcast-small (queries × query-tokens
+    * rows — the bruteForce contract); the corpus token table scans
+    * ONCE and never shuffles at full width — the (qid, qtok, doc)
+    * max-reduce happens in the scan-stage partial aggregate, so
+    * shuffle volume is queries × qtokens × docs keys, not corpus
+    * tokens. Output: (query_id, doc_id, score_micro, rank ≤ k), the
+    * query's own doc excluded. */
+  def lateInteractionTopK(docTokens: DataFrame, docIdCol: String,
+                          vecCol: String, queryTokens: DataFrame,
+                          queryIdCol: String, queryTokIdCol: String,
+                          queryVecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    // the token id column keeps duplicate token VECTORS distinct (each
+    // query token contributes its own max — MaxSim semantics) and is
+    // caller-provided so the aggregation keys are deterministic across
+    // replans and replayable by the oracle
+    val q = broadcast(queryTokens.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(queryTokIdCol).cast("long").as("__qt"),
+      col(queryVecCol).as("qvec")))
+    val pair = docTokens
+      .select(col(docIdCol).cast("long").as("doc_id"), col(vecCol).as("dvec"))
+      .join(q) // broadcast nested loop; corpus tokens never shuffle
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("__qt"), col("doc_id"),
+        round(lit(1e6) * round(Vectors.cosine(col("dvec"), col("qvec")), 6))
+          .cast("long").as("m"))
+    val perTok = pair.groupBy("query_id", "__qt", "doc_id")
+      .agg(max("m").as("mx"))
+    val scored = perTok.groupBy("query_id", "doc_id")
+      .agg(sum("mx").as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("rank"))
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE selection (round 13) — the
+    * diversity-aware top-k (Carbonell & Goldstein, SIGIR 1998; public
+    * algorithm): greedily pick k results per query, each round's pick
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    * the de-duplicating re-rank a curation pipeline runs after any
+    * retrieval tower (near-identical candidates stop crowding the
+    * top-k). Exact integer arithmetic end-to-end: `relMicroCol` is a
+    * caller-provided micros relevance, candidate-candidate cosines
+    * round to 6-dp micros, scores are λμ·rel − (1e6−λμ)·maxSim (≤ 1e12,
+    * no overflow), ties → id ASC — so the greedy trace is
+    * deterministic and the oracle unrolls it round for round.
+    *
+    * Scale shape: `cands` is a per-query SHORTLIST (top-n of a
+    * retrieval stage — the caller's contract, n ≪ corpus). Each of the
+    * k rounds is one (query)-co-keyed join of remaining × selected
+    * (≤ n·k rows per query) plus one argmax window — k driver-looped
+    * jobs on shortlist-scale frames, the iterative class; the corpus
+    * is never touched. Output: (query_id, id, rank ≤ k) in selection
+    * order. */
+  def mmrSelect(cands: DataFrame, queryIdCol: String, idCol: String,
+                relMicroCol: String, vecCol: String, k: Int,
+                lambdaMicro: Long = 700000L): DataFrame = {
+    require(k >= 1 && lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"need k >= 1 and lambdaMicro in [0, 1e6], got k=$k lambdaMicro=$lambdaMicro")
+    val base = cands.select(col(queryIdCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("id"),
+        col(relMicroCol).cast("long").as("rel"),
+        transform(col(vecCol), _.cast("double")).as("vec"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id").asc)
+    var sel = base
+      .withColumn("score", col("rel") * lambdaMicro)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("query_id"), col("id"), lit(1).as("rank"))
+      .localCheckpoint(true)
+    var prev = sel
+    for (r <- 2 to k) {
+      val remaining = base.join(sel.select("query_id", "id"),
+        Seq("query_id", "id"), "left_anti")
+      val selVecs = sel.select("query_id", "id")
+        .join(base.select(col("query_id"), col("id"),
+          col("vec").as("__sv")), Seq("query_id", "id"))
+        .select(col("query_id"), col("__sv"))
+      val maxSim = remaining.join(selVecs, Seq("query_id"))
+        .select(col("query_id"), col("id"),
+          round(round(graft.plans.native.cosineSim(col("vec"), col("__sv")),
+            6) * 1e6).cast("long").as("sm"))
+        .groupBy("query_id", "id").agg(max("sm").as("maxsim"))
+      val pick = remaining.join(maxSim, Seq("query_id", "id"))
+        .withColumn("score", col("rel") * lambdaMicro -
+          col("maxsim") * (1000000L - lambdaMicro))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("query_id"), col("id"), lit(r).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+      graft.plans.Blocks.free(prev)
+      prev = sel
+    }
+    sel
+  }
+
   /** Rank scored candidates and keep the top k per query, via the
     * bounded TopKAggregator: ObjectHashAggregate with map-side partial
     * heaps, so only O(partitions · queries · k) rows reach the shuffle.

@@ -1571,6 +1571,65 @@ class KnnSpec extends SparkSpec {
       "appended keep-store node not findable under the predicate")
   }
 
+  test("late-interaction MaxSim (round 13): score equals the " +
+    "hand-computed sum-of-maxes, duplicate query tokens each count, " +
+    "self-doc excluded") {
+    val s = spark
+    import s.implicits._
+    // doc 1: tokens aligned to axes 0 and 1; doc 2: axes 2 and 3;
+    // query 10: tokens on axes 0 and 2 (one best match in EACH doc)
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(i) = 1.0f; v
+    }
+    val docs = Seq(
+      (1L, 100L, axis(0)), (1L, 101L, axis(1)),
+      (2L, 200L, axis(2)), (2L, 201L, axis(3)),
+      (10L, 900L, axis(0))
+    ).toDF("doc_id", "tok", "vec")
+    val queries = Seq(
+      (10L, 1L, axis(0)), (10L, 2L, axis(2)),
+      (10L, 3L, axis(0)) // duplicate of token 1 — must count twice
+    ).toDF("doc_id", "tok", "vec")
+    val got = Knn.lateInteractionTopK(docs, "doc_id", "vec",
+        queries, "doc_id", "tok", "vec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq.sortBy(r => (r._1, r._4))
+    // doc 1: tok1 max = cos(a0,a0)=1, tok2 max = cos(a2,a1)=0,
+    // tok3 max = 1 -> 2e6; doc 2: tok2 max = 1, others 0 -> 1e6
+    assert(got == Seq((10L, 1L, 2000000L, 1), (10L, 2L, 1000000L, 2)),
+      s"MaxSim mismatch: $got")
+    // self-doc 10 excluded even though its token matches perfectly
+    assert(!got.exists(_._2 == 10L))
+  }
+
+  test("mmrSelect (round 13): the greedy trace picks relevance first, " +
+    "then diversity over a near-duplicate of the first pick; " +
+    "lambda=1 degenerates to plain top-k") {
+    val s = spark
+    import s.implicits._
+    // candidates for query 1: ids 10 and 11 are near-identical twins
+    // (both highly relevant), id 20 is orthogonal and less relevant
+    val v0 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val v0b = Array(0.999f, 0.04f, 0.0f, 0.0f) // cos ~ 0.999 to v0
+    val v1 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val cand = Seq(
+      (1L, 10L, 990000L, v0), (1L, 11L, 980000L, v0b),
+      (1L, 20L, 600000L, v1)
+    ).toDF("query_id", "id", "rel", "vec")
+    val got = Knn.mmrSelect(cand, "query_id", "id", "rel", "vec",
+        k = 2, lambdaMicro = 500000L)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq.sortBy(_._2)
+    // round 1: argmax rel = 10. round 2 at lambda=.5:
+    //   11: .5*980000 - .5*999199 < 0;  20: .5*600000 - .5*0 > 0
+    assert(got == Seq((10L, 1), (20L, 2)),
+      s"MMR did not diversify: $got")
+    val plain = Knn.mmrSelect(cand, "query_id", "id", "rel", "vec",
+        k = 2, lambdaMicro = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq.sortBy(_._2)
+    assert(plain == Seq((10L, 1), (11L, 2)),
+      s"lambda=1 is not plain top-k: $plain")
+  }
+
   test("knnGraph targetCellSize bounds cell cardinality: auto-sized c " +
     "equals the explicit c, and grows with n (round-10 scale fix)") {
     val s = spark
