@@ -36,9 +36,11 @@ object SparkEntry {
     graft.entry.GatesGraphAnn.queries ++
     graft.entry.GatesAnalyticsCore.queries ++
     graft.entry.GatesAnalyticsPipeline.queries ++
+    graft.entry.GatesProductAnalytics.queries ++
     graft.entry.GatesAnalyticsStats.queries ++
     graft.entry.GatesAnalyticsInference.queries ++
-    graft.entry.GatesAnalyticsShapes.queries
+    graft.entry.GatesAnalyticsShapes.queries ++
+    graft.entry.GatesTpch.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Non-SQL-expressible ops are omitted (driver
@@ -54,7 +56,9 @@ object SparkEntry {
     graft.entry.GatesGraphAnn.oracles ++
     graft.entry.GatesAnalyticsCore.oracles ++
     graft.entry.GatesAnalyticsPipeline.oracles ++
+    graft.entry.GatesProductAnalytics.oracles ++
     graft.entry.GatesAnalyticsStats.oracles ++
     graft.entry.GatesAnalyticsInference.oracles ++
-    graft.entry.GatesAnalyticsShapes.oracles
+    graft.entry.GatesAnalyticsShapes.oracles ++
+    graft.entry.GatesTpch.oracles
 }

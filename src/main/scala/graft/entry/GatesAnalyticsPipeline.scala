@@ -13,11 +13,12 @@ import graft.streaming.Sessions
 
 import graft.entry.EntryHelpers._
 
-/** Gate registry, corpus-pipeline analytics (q104-q159: sampling,
-  * mixtures, sketch stores, time-series, linkage, cleaners) — moved
-  * verbatim out of GatesAnalyticsCore at round 13 (registry growth
-  * watch: Core was at 2,984 lines; zero behavior change, every entry
-  * byte-identical at split time). SparkEntry concatenates the family
+/** Gate registry, corpus-pipeline analytics (q104-q138: sampling,
+  * mixtures, sketch stores, cleaners) — moved verbatim out of
+  * GatesAnalyticsCore at round 13 (registry growth watch). Round 14:
+  * the q139-q159 linkage / text-index / product-analytics block moved
+  * verbatim to [[GatesProductAnalytics]] (Pipeline was at 1,906
+  * lines; zero behavior change). SparkEntry concatenates the family
   * maps back into the driver contract.
   */
 private[graft] object GatesAnalyticsPipeline {
@@ -345,237 +346,6 @@ private[graft] object GatesAnalyticsPipeline {
         .orderBy("doc_id")
     }),
 
-// TF-IDF keyword extraction: top-3 terms per doc by tf·idf with
-    // integer micro-unit scores; the oracle replays the whole chain
-    // (tf, df, the fixed-order ln, the window pick) from the raw text.
-    "q139_tfidf_keywords" -> ((s, dir) => {
-      operators.TextAnalytics.tfidfKeywords(
-        t(s, dir, "documents"), "doc_id", "text", 3)
-        .orderBy("doc_id", "rank")
-    }),
-
-// Inverted-index lifecycle: build the bucket-partitioned postings
-    // index, then the top-20 BM25 search must reproduce — through the
-    // persisted denormalized (tf, dl, df) postings and the pruned
-    // bucket read — exactly what DuckDB computes from the raw text.
-    "q140_inverted_index" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_inv").toString
-      operators.InvertedIndex.write(
-        t(s, dir, "documents"), "doc_id", "text", tmp, buckets = 16)
-      operators.InvertedIndex.searchBm25(s, tmp,
-        terms = Seq("spark", "join", "vector", "stream"), k = 20)
-    }),
-
-// Record linkage on the customer table: prefix blocking, then
-    // in-block Levenshtein <= 1 — integer metric, exact cross-engine.
-    "q141_record_linkage" -> ((s, dir) => {
-      operators.Dedup.linkRecords(t(s, dir, "customer"), "c_custkey",
-        "c_name", substring(col("c_name"), 1, 16), maxDist = 1)
-        .orderBy("id_a", "id_b")
-    }),
-
-// PMI collocation mining: top-50 above-chance token pairs in
-    // micro-nats; the oracle replays counts, the fixed-order ln, and
-    // the deterministic (pmi desc, bigram asc) cut.
-    "q142_pmi_collocations" -> ((s, dir) => {
-      operators.TextAnalytics.pmiCollocations(
-        t(s, dir, "documents"), "text", minCount = 5, k = 50)
-    }),
-
-// Fellegi-Sunter linkage: customer vs a dirtied copy of itself
-    // (segments nulled on %10, balances shifted on %7); every record
-    // must find its twin as match/possible, neighbors score negative.
-    "q144_linkage_score" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val dirty = cust
-        .withColumn("c_mktsegment", when(col("c_custkey") % 10 === 0,
-          lit(null).cast("string")).otherwise(col("c_mktsegment")))
-        .withColumn("c_acctbal", when(col("c_custkey") % 7 === 0,
-          col("c_acctbal") + lit(1.0)).otherwise(col("c_acctbal")))
-      operators.Dedup.linkScoreFs(cust, dirty, "c_custkey", "c_custkey",
-        substring(col("c_name"), 1, 17), substring(col("c_name"), 1, 17),
-        fields = fsFields, upperMicro = 12000000L, lowerMicro = 0L)
-        .orderBy("id_a", "id_b")
-    }),
-
-// Per-priority revenue trend: OLS slope over (day index, cents)
-    // from exact integer moments.
-    "q158_trend" -> ((s, dir) => {
-      val sp = t(s, dir, "orders")
-        .where(col("o_orderkey") % 50 === 0)
-        .groupBy(col("o_orderpriority").as("grp"),
-          to_date(col("o_orderdate")).as("d"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val d0 = sp.agg(min("d")).head().getDate(0)
-      operators.TimeSeries.trendPerKey(
-        sp.withColumn("x", datediff(col("d"), lit(d0))),
-        "grp", "x", "cents")
-        .orderBy("grp")
-    }),
-
-// Rendezvous routing of customers onto 5 shards, md5 gate mode;
-    // every per-key argmax must replay.
-    "q157_rendezvous" -> ((s, dir) => {
-      operators.Joins.rendezvousAssign(
-        t(s, dir, "customer").select("c_custkey"),
-        "c_custkey", Seq("s1", "s2", "s3", "s4", "s5"), portableHash = true)
-        .orderBy("c_custkey")
-    }),
-
-// Per-source weighted draw: 10 docs per source by n_chars mass.
-    "q156_weighted_per_key" -> ((s, dir) => {
-      operators.Sampling.sampleWeightedPerKey(
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        "source", "doc_id", "n_chars", k = 10, seed = 7L)
-        .select("source", "draw_rank", "doc_id", "n_chars", "priority_micro")
-        .orderBy("source", "draw_rank")
-    }),
-
-// Weighted sample: 100 docs drawn by n_chars mass, seeded-hash
-    // deterministic; the oracle replays hash, uniform, and priority.
-    "q155_weighted_sample" -> ((s, dir) => {
-      operators.Sampling.sampleWeighted(
-        t(s, dir, "documents").select("doc_id", "n_chars"),
-        "doc_id", "n_chars", k = 100, seed = 7L)
-        .orderBy("priority_micro", "doc_id")
-    }),
-
-// Trailing z-score anomalies on the zero-filled grid: spikes
-    // against a 14-day self-excluding baseline, |z| >= 3.
-    "q154_rolling_anomaly" -> ((s, dir) => {
-      val daily = t(s, dir, "orders")
-        .where(col("o_orderkey") % 50 === 0)
-        .groupBy(col("o_orderpriority").as("grp"),
-          to_date(col("o_orderdate")).as("d"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val filled = operators.TimeSeries.gapFill(daily, "grp", "d", "cents",
-        forward = false)
-      operators.TimeSeries.anomalies(filled, "grp", "d", "cents",
-        days = 14, zThresholdMicro = 3000000L, minPoints = 5)
-        .orderBy("grp", "d")
-    }),
-
-// 7-day trailing revenue over the zero-filled daily grid — the
-    // rolling window rides the regular grid gapFill guarantees.
-    "q152_rolling_window" -> ((s, dir) => {
-      val daily = t(s, dir, "orders")
-        .where(col("o_orderkey") % 50 === 0)
-        .groupBy(col("o_orderpriority").as("grp"),
-          to_date(col("o_orderdate")).as("d"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val filled = operators.TimeSeries.gapFill(daily, "grp", "d", "cents",
-        forward = false)
-      operators.TimeSeries.rollingSum(filled, "grp", "d", "cents", days = 7)
-        .orderBy("grp", "d")
-    }),
-
-// Ordered funnel over a 3-day slice: view -> click -> purchase,
-    // each step strictly after the previous step's first touch.
-    "q153_funnel" -> ((s, dir) => {
-      operators.TimeSeries.funnel(
-        events(s, dir).where(col("ts") < lit("2024-01-04").cast("timestamp")),
-        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
-        .orderBy("step")
-    }),
-
-// Cohort retention triangle over the event stream: weekly
-    // first-touch cohorts x activity-week offsets, distinct users.
-    // The event_id >= user_id*300 filter staggers first touches so
-    // the triangle has real off-diagonal mass at gate scale.
-    "q151_cohort_retention" -> ((s, dir) => {
-      operators.TimeSeries.cohortRetention(
-        events(s, dir).where(col("event_id") >= col("user_id") * 300),
-        "user_id", "ts")
-        .select(unix_timestamp(col("cohort_week")).as("cohort_epoch"),
-          col("offset_weeks"), col("n_users"))
-        .orderBy("cohort_epoch", "offset_weeks")
-    }),
-
-// Bloom-filtered semi-join: the runtime-filter technique made
-    // explicit — result must equal the plain semi-join exactly.
-    "q150_bloom_semijoin" -> ((s, dir) => {
-      operators.Joins.bloomSemiJoin(
-        t(s, dir, "lineitem"), "l_suppkey",
-        t(s, dir, "supplier").where(col("s_suppkey") % 97 === 0), "s_suppkey")
-        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-          col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "qty", "cents")
-    }),
-
-// Gap-fill: sparse daily revenue (2% of orders) per priority is
-    // completed to the full day grid with forward-carried levels;
-    // pre-first-observation days must stay NULL.
-    "q149_gap_fill" -> ((s, dir) => {
-      val daily = t(s, dir, "orders")
-        .where(col("o_orderkey") % 50 === 0)
-        .groupBy(col("o_orderpriority").as("grp"),
-          to_date(col("o_orderdate")).as("d"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      operators.TimeSeries.gapFill(daily, "grp", "d", "cents", forward = true)
-        .orderBy("grp", "d")
-    }),
-
-// Cluster auto-labeling (c-TF-IDF): embeddings assign to cells via
-    // the q21 kernel machinery, then each cluster's top-5 distinctive
-    // terms; the oracle replays assignment AND labeling end-to-end.
-    "q148_cluster_keywords" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val docs = t(s, dir, "documents")
-      val cents = Knn.sampleCentroids(emb, "vec_id", "embedding", 16,
-        portableHash = true)
-      val assigned = Knn.assignCells(emb, "vec_id", "embedding", cents)
-        .select(col("id").as("doc_id"), col("cell"))
-      operators.TextAnalytics.clusterKeywords(
-        docs.join(assigned, Seq("doc_id")), "cell", "text", 5)
-        .orderBy("cell", "rank")
-    }),
-
-// Trigram-index substring search: build the bucket-partitioned
-    // trigram postings, then the index-mediated lookup must equal
-    // DuckDB's direct contains() scan doc-for-doc.
-    "q147_trigram_search" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_trgm").toString
-      operators.InvertedIndex.writeTrigram(docs, "doc_id", "text", tmp,
-        buckets = 16)
-      operators.InvertedIndex.searchSubstring(s, tmp, docs, "doc_id", "text",
-        needle = "stream batch")
-        .select(col("doc_id"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-
-// Equal-width histogram of order totals: 2-dp money scales at 100,
-    // bin assignment is then pure integer arithmetic in both engines.
-    "q145_histogram" -> ((s, dir) => {
-      operators.KeyChecks.histogram(t(s, dir, "orders"), "o_totalprice",
-        bins = 32, scale = 100L)
-        .orderBy("bin")
-    }),
-
-// FK orphans: orders pointing at a customer subset with a
-    // residue class removed — every orphan group must surface.
-    "q146_fk_orphans" -> ((s, dir) => {
-      operators.KeyChecks.fkOrphans(
-        t(s, dir, "orders"), "o_custkey",
-        t(s, dir, "customer").where(col("c_custkey") % 9 =!= 4), "c_custkey")
-        .orderBy("o_custkey")
-    }),
-
-// Row-level snapshot diff: two snapshots derived from documents
-    // (residue-class drops on each side + a planted text mutation);
-    // the diff must classify every id added/removed/changed exactly.
-    "q143_snapshot_diff" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val old = docs.where(col("doc_id") % 11 =!= 3)
-      val neu = docs.where(col("doc_id") % 13 =!= 5)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-      operators.KeyChecks.snapshotDiff(old, neu, "doc_id",
-        Seq("text", "source"))
-        .orderBy("id")
-    }),
-
 // One-call decontamination: q58's cross-corpus pairs as a REMOVAL —
     // train docs near-dup'ing any eval doc are anti-joined out; the
     // oracle replays the pairs then NOT-INs the leaked ids.
@@ -658,24 +428,6 @@ private[graft] object GatesAnalyticsPipeline {
         "doc_id", labels,
         Seq(("train", 80), ("val", 10), ("test", 10)))
         .orderBy("doc_id")
-    }),
-
-// CDC last-writer-wins merge: orders as a change log over the
-    // customer base — status F rows delete the key, others upsert
-    // (bal := totalprice, seg := priority); o_orderkey breaks same-day
-    // ties so the merge is total-ordered and replayable.
-    "q159_cdc_apply" -> ((s, dir) => {
-      val base = t(s, dir, "customer")
-        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
-          col("c_mktsegment").as("seg"))
-      val log = t(s, dir, "orders")
-        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
-          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
-          col("o_totalprice").as("bal"), col("o_orderpriority").as("seg"),
-          col("o_orderkey").as("seq"))
-      operators.Scd.applyChangeLog(base, log, "k", "ts", "op",
-        Seq("bal", "seg"), tieCols = Seq("seq"))
-        .orderBy("k")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -992,448 +744,6 @@ private[graft] object GatesAnalyticsPipeline {
          |SELECT b.doc_id, b.n_sh, COALESCE(bh.n_bloom, 0) AS n_bloom, exact.n_exact
          |FROM base b JOIN exact USING (doc_id) LEFT JOIN bh USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-
-// tf and df are integer counts; idf replays with the same
-    // fixed-order ln then micro-rounds, so score_micro = tf · idf_micro
-    // is pure integer arithmetic in both engines.
-    "q139_tfidf_keywords" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $toksLower AS tk FROM documents),
-         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
-         |tfg AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) t
-         |  GROUP BY doc_id, term),
-         |dfg AS (SELECT term, COUNT(*) AS df FROM tfg GROUP BY term),
-         |sc AS (
-         |  SELECT doc_id, term, tf, df,
-         |    tf * (CAST(round(1e6 * ln((n.n + 1.0) / (df + 1.0))) AS BIGINT)
-         |          + 1000000) AS score_micro
-         |  FROM tfg JOIN dfg USING (term) CROSS JOIN n)
-         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
-         |       CAST(df AS BIGINT) AS df, score_micro
-         |FROM (
-         |  SELECT doc_id, term, tf, df, score_micro,
-         |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY score_micro DESC, term ASC) AS rank
-         |  FROM sc QUALIFY rank <= 3) q
-         |ORDER BY doc_id, rank""".stripMargin,
-
-// The q64 BM25 replay (identical operation order) cut to the
-    // top-20 by (score desc, doc asc) — what the index-mediated
-    // search must reproduce through its persisted postings.
-    "q140_inverted_index" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
-         |  FROM documents),
-         |st AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
-         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-         |        FROM st),
-         |ex AS (SELECT doc_id, unnest(tk) AS term FROM tk),
-         |tf AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf FROM ex
-         |  WHERE term IN ('spark', 'join', 'vector', 'stream')
-         |  GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |    CAST(round(1e6 * (ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
-         |      ((tf.tf * (1.2 + 1.0)) /
-         |       (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (s.dl / t.avgdl))))))
-         |      AS BIGINT) AS m
-         |  FROM tf JOIN dfreq d ON tf.term = d.term
-         |  JOIN st s ON tf.doc_id = s.doc_id CROSS JOIN tot t),
-         |agg AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS score_micro
-         |        FROM sc GROUP BY doc_id)
-         |SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank,
-         |       doc_id, score_micro
-         |FROM agg
-         |ORDER BY score_micro DESC, doc_id ASC
-         |LIMIT 20""".stripMargin,
-
-// Same blocking key, same hot-block cap, same integer edit
-    // distance — DuckDB's levenshtein is the identical metric.
-    "q141_record_linkage" ->
-      """WITH r AS (
-        |  SELECT c_custkey AS id, c_name AS v, substr(c_name, 1, 16) AS block
-        |  FROM customer),
-        |cap AS (
-        |  SELECT * FROM r QUALIFY COUNT(*) OVER (PARTITION BY block) <= 10000)
-        |SELECT a.id AS id_a, b.id AS id_b, a.block AS block,
-        |       CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
-        |FROM cap a JOIN cap b ON a.block = b.block AND a.id < b.id
-        |WHERE levenshtein(a.v, b.v) <= 1
-        |ORDER BY id_a, id_b""".stripMargin,
-
-// Strict adjacent bigrams (q79's CTE), grand totals over the
-    // UNFILTERED counts, then ln((c_ab/N_bi) / ((c_a/N_uni) *
-    // (c_b/N_uni))) operand-for-operand.
-    "q142_pmi_collocations" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex($normText, ' '), x -> x <> '') AS tk
-         |  FROM documents),
-         |bgl AS (
-         |  SELECT CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
-         |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
-         |    END AS bg
-         |  FROM tk),
-         |uni AS (SELECT t, COUNT(*) AS c
-         |        FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
-         |big AS (SELECT bg, COUNT(*) AS c_ab
-         |        FROM (SELECT unnest(bg) AS bg FROM bgl) GROUP BY bg),
-         |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
-         |nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n FROM big)
-         |SELECT bg AS bigram, CAST(c_ab AS BIGINT) AS c_ab,
-         |  CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b,
-         |  CAST(round(1e6 * ln((c_ab / nb.n) /
-         |    ((a.c / nu.n) * (b.c / nu.n)))) AS BIGINT) AS pmi_micro
-         |FROM big
-         |JOIN uni a ON split_part(bg, ' ', 1) = a.t
-         |JOIN uni b ON split_part(bg, ' ', 2) = b.t
-         |CROSS JOIN nu CROSS JOIN nb
-         |WHERE c_ab >= 5
-         |ORDER BY pmi_micro DESC, bigram ASC
-         |LIMIT 50""".stripMargin,
-
-// Exact integer moments, then the identical fixed-order slope /
-    // intercept floats, rounded once to micro.
-    "q158_trend" ->
-      """WITH sp AS (
-        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
-        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderkey % 50 = 0
-        |  GROUP BY 1, 2),
-        |d0 AS (SELECT MIN(d) AS d0 FROM sp),
-        |xy AS (SELECT grp, date_diff('day', d0, d) AS x, cents AS y
-        |       FROM sp CROSS JOIN d0),
-        |m AS (
-        |  SELECT grp, COUNT(*) AS n,
-        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
-        |  FROM xy GROUP BY grp)
-        |SELECT grp, n,
-        |  CAST(round(1e6 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS BIGINT)
-        |    AS slope_micro,
-        |  CAST(round(1e6 * ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-        |         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT)
-        |    AS intercept_micro
-        |FROM m
-        |WHERE n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-        |ORDER BY grp""".stripMargin,
-
-// argmax by (score desc, shard desc) mirrors greatest's struct
-    // ordering tie-break.
-    "q157_rendezvous" ->
-      s"""WITH scored AS (
-         |  SELECT c_custkey, sh.shard,
-         |    ${md5Hash64Sql("sh.shard || ':' || CAST(c_custkey AS VARCHAR)")} AS s
-         |  FROM customer
-         |  CROSS JOIN (SELECT unnest(['s1','s2','s3','s4','s5']) AS shard) sh)
-         |SELECT c_custkey, shard FROM (
-         |  SELECT c_custkey, shard,
-         |    row_number() OVER (PARTITION BY c_custkey
-         |                       ORDER BY s DESC, shard DESC) AS rn
-         |  FROM scored QUALIFY rn = 1) q
-         |ORDER BY c_custkey""".stripMargin,
-
-// The q155 priority math cut per key with QUALIFY row_number.
-    "q156_weighted_per_key" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, source, n_chars,
-         |    ${md5Hash64Sql("'7:' || CAST(doc_id AS VARCHAR)")} AS h
-         |  FROM documents WHERE n_chars > 0),
-         |pr AS (
-         |  SELECT doc_id, source, n_chars,
-         |    CAST(round(1e6 * (-ln((CAST(h % 1000000007 AS DOUBLE) + 1.0)
-         |                          / 1000000008.0)
-         |                      / CAST(n_chars AS DOUBLE))) AS BIGINT)
-         |      AS priority_micro
-         |  FROM h)
-         |SELECT source, rank AS draw_rank, doc_id, n_chars, priority_micro
-         |FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY source
-         |    ORDER BY priority_micro ASC, doc_id ASC) AS rank
-         |  FROM pr QUALIFY rank <= 10) q
-         |ORDER BY source, draw_rank""".stripMargin,
-
-// u = (h mod p + 1)/(p + 1) of the shared md5 hash, then
-    // -ln(u)/w in fixed order; cut by (rounded priority, id).
-    "q155_weighted_sample" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, n_chars,
-         |    ${md5Hash64Sql("'7:' || CAST(doc_id AS VARCHAR)")} AS h
-         |  FROM documents WHERE n_chars > 0),
-         |pr AS (
-         |  SELECT doc_id, n_chars,
-         |    CAST(round(1e6 * (-ln((CAST(h % 1000000007 AS DOUBLE) + 1.0)
-         |                          / 1000000008.0)
-         |                      / CAST(n_chars AS DOUBLE))) AS BIGINT)
-         |      AS priority_micro
-         |  FROM h)
-         |SELECT doc_id, n_chars, priority_micro FROM pr
-         |ORDER BY priority_micro, doc_id
-         |LIMIT 100""".stripMargin,
-
-// Integer window moments (sum v, sum v^2), fixed-order float z,
-    // IEEE sqrt — bit-identical before the micro rounding.
-    "q154_rolling_anomaly" ->
-      """WITH sp AS (
-        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
-        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderkey % 50 = 0
-        |  GROUP BY 1, 2),
-        |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM sp),
-        |days AS (
-        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
-        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
-        |  FROM bounds),
-        |grid AS (SELECT grp, d FROM (SELECT DISTINCT grp FROM sp) CROSS JOIN days),
-        |f AS (SELECT g.grp, g.d, COALESCE(sp.cents, 0) AS cents
-        |      FROM grid g LEFT JOIN sp ON g.grp = sp.grp AND g.d = sp.d),
-        |st AS (SELECT grp, d, cents,
-        |  CAST(SUM(cents) OVER w AS BIGINT) AS s1,
-        |  CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2,
-        |  COUNT(cents) OVER w AS n
-        |  FROM f WINDOW w AS (PARTITION BY grp ORDER BY d
-        |                      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)),
-        |z AS (SELECT grp, d, cents,
-        |  CAST(round(1e6 * ((cents - CAST(s1 AS DOUBLE) / n) /
-        |    sqrt(CAST(s2 AS DOUBLE) / n -
-        |         (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))))
-        |    AS BIGINT) AS z_micro
-        |  FROM st
-        |  WHERE n >= 5 AND (CAST(s2 AS DOUBLE) / n -
-        |        (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) > 0)
-        |SELECT grp, d, cents, z_micro FROM z
-        |WHERE abs(z_micro) >= 3000000
-        |ORDER BY grp, d""".stripMargin,
-
-// The q149 grid with zero fill, then SUM OVER 6 PRECEDING.
-    "q152_rolling_window" ->
-      """WITH sp AS (
-        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
-        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderkey % 50 = 0
-        |  GROUP BY 1, 2),
-        |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM sp),
-        |days AS (
-        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
-        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
-        |  FROM bounds),
-        |grid AS (SELECT grp, d FROM (SELECT DISTINCT grp FROM sp) CROSS JOIN days),
-        |f AS (SELECT g.grp, g.d, COALESCE(sp.cents, 0) AS cents
-        |      FROM grid g LEFT JOIN sp ON g.grp = sp.grp AND g.d = sp.d)
-        |SELECT grp, d, cents,
-        |  CAST(SUM(cents) OVER (PARTITION BY grp ORDER BY d
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
-        |FROM f
-        |ORDER BY grp, d""".stripMargin,
-
-// Each step's threshold chains off the previous: first qualifying
-    // event strictly after the prior step's first touch.
-    "q153_funnel" ->
-      """WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
-        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
-        |       WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-        |         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
-        |  UNION ALL
-        |  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
-        |  UNION ALL
-        |  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
-        |ORDER BY step""".stripMargin,
-
-// Monday-start week truncation and integer day-diff div 7 on
-    // both engines; distinct users per (cohort, offset).
-    "q151_cohort_retention" ->
-      """WITH e AS (
-        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
-        |  WHERE event_id >= user_id * 300),
-        |c AS (SELECT user_id, MIN(wk) AS c0 FROM e GROUP BY user_id)
-        |SELECT CAST(floor(epoch(c0)) AS BIGINT) AS cohort_epoch,
-        |  CAST(date_diff('day', CAST(c0 AS DATE), CAST(wk AS DATE)) // 7
-        |       AS BIGINT) AS offset_weeks,
-        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
-        |FROM e JOIN c USING (user_id)
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-// The Bloom is an optimization, not a semantic: ground truth is
-    // the plain IN-subquery semi-join.
-    "q150_bloom_semijoin" ->
-      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |       l_suppkey, CAST(l_quantity AS BIGINT) AS qty,
-        |       CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
-        |FROM lineitem
-        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
-        |                    WHERE s_suppkey % 97 = 0)
-        |ORDER BY l_orderkey, l_linenumber, l_suppkey, qty, cents""".stripMargin,
-
-// Same grid (generate_series over the sparse set's bounds), same
-    // IGNORE NULLS running last — cents are exact integers.
-    "q149_gap_fill" ->
-      """WITH sp AS (
-        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
-        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderkey % 50 = 0
-        |  GROUP BY 1, 2),
-        |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM sp),
-        |days AS (
-        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
-        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
-        |  FROM bounds),
-        |grid AS (SELECT grp, d FROM (SELECT DISTINCT grp FROM sp) CROSS JOIN days),
-        |j AS (SELECT g.grp, g.d, sp.cents FROM grid g
-        |      LEFT JOIN sp ON g.grp = sp.grp AND g.d = sp.d)
-        |SELECT grp, d,
-        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY grp ORDER BY d
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
-        |FROM j
-        |ORDER BY grp, d""".stripMargin,
-
-// The q21 assignment CTEs feeding the q139 labeling CTEs keyed by
-    // cell — assignment and c-TF-IDF replayed end-to-end.
-    "q148_cluster_keywords" ->
-      s"""WITH hashed AS (
-         |  SELECT vec_id, embedding,
-         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM hashed ORDER BY h LIMIT 16),
-         |assign AS (
-         |  SELECT hd.vec_id AS doc_id, c.cell,
-         |    row_number() OVER (PARTITION BY hd.vec_id
-         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
-         |               c.cell DESC) AS rn
-         |  FROM hashed hd CROSS JOIN cents c),
-         |cl AS (SELECT doc_id, cell FROM assign WHERE rn = 1),
-         |toks AS (SELECT doc_id, $toksLower AS tk FROM documents),
-         |lab AS (SELECT cl.cell, t.tk FROM toks t JOIN cl ON t.doc_id = cl.doc_id),
-         |n AS (SELECT COUNT(DISTINCT cell) AS n FROM lab),
-         |tfg AS (
-         |  SELECT cell, term, COUNT(*) AS tf
-         |  FROM (SELECT cell, unnest(tk) AS term FROM lab) x
-         |  GROUP BY cell, term),
-         |dfg AS (SELECT term, COUNT(*) AS df FROM tfg GROUP BY term),
-         |sc AS (
-         |  SELECT cell, term, tf, df,
-         |    tf * (CAST(round(1e6 * ln((n.n + 1.0) / (df + 1.0))) AS BIGINT)
-         |          + 1000000) AS score_micro
-         |  FROM tfg JOIN dfg USING (term) CROSS JOIN n)
-         |SELECT cell, rank, term, CAST(tf AS BIGINT) AS tf,
-         |       CAST(df AS BIGINT) AS df, score_micro
-         |FROM (
-         |  SELECT cell, term, tf, df, score_micro,
-         |    row_number() OVER (PARTITION BY cell
-         |                       ORDER BY score_micro DESC, term ASC) AS rank
-         |  FROM sc QUALIFY rank <= 5) q
-         |ORDER BY cell, rank""".stripMargin,
-
-// The ground truth the index must reproduce: the direct scan.
-    "q147_trigram_search" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE contains(text, 'stream batch')
-        |ORDER BY doc_id""".stripMargin,
-
-// Scaled-integer bin arithmetic: both engines compute
-    // ((v - min) * bins) div (range + 1) on nonnegative longs.
-    "q145_histogram" ->
-      """WITH v AS (
-        |  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v
-        |  FROM orders WHERE o_totalprice IS NOT NULL),
-        |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM v)
-        |SELECT ((v - mn) * 32) // (mx - mn + 1) AS bin,
-        |       COUNT(*) AS n_rows
-        |FROM v CROSS JOIN mm
-        |GROUP BY 1
-        |ORDER BY bin""".stripMargin,
-
-"q146_fk_orphans" ->
-      """SELECT o_custkey, COUNT(*) AS n_rows
-        |FROM orders
-        |WHERE o_custkey IS NOT NULL
-        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer
-        |                        WHERE c_custkey % 9 <> 4 AND c_custkey IS NOT NULL)
-        |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin,
-
-// Weights are Scala-computed integer literals in BOTH plans; the
-    // score is then pure integer CASE arithmetic on field equality.
-    "q144_linkage_score" -> {
-      val ws = fsFields.map { case (_, _, m, u) =>
-        operators.Dedup.fsWeightsMicro(m, u) }
-      def fieldCase(ca: String, cb: String, w: (Long, Long)) =
-        s"""(CASE WHEN a.$ca IS NULL OR b.$cb IS NULL THEN 0
-           |      WHEN a.$ca = b.$cb THEN ${w._1} ELSE ${w._2} END)""".stripMargin
-      val scoreSql = fsFields.zip(ws).map { case ((ca, cb, _, _), w) =>
-        fieldCase(ca, cb, w) }.mkString(" +\n")
-      s"""WITH a AS (
-         |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
-         |         substr(c_name, 1, 17) AS blk
-         |  FROM customer),
-         |b AS (
-         |  SELECT c_custkey, c_name,
-         |    CASE WHEN c_custkey % 10 = 0 THEN NULL
-         |         ELSE c_mktsegment END AS c_mktsegment,
-         |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0
-         |         ELSE c_acctbal END AS c_acctbal,
-         |    substr(c_name, 1, 17) AS blk
-         |  FROM customer),
-         |cnt AS (SELECT blk, COUNT(*) AS c FROM
-         |        (SELECT blk FROM a UNION ALL SELECT blk FROM b) GROUP BY blk),
-         |ok AS (SELECT blk FROM cnt WHERE c <= 10000),
-         |p AS (
-         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-         |    CAST($scoreSql AS BIGINT) AS score_micro
-         |  FROM a JOIN ok USING (blk) JOIN b ON a.blk = b.blk)
-         |SELECT id_a, id_b, score_micro,
-         |  CASE WHEN score_micro >= 12000000 THEN 'match'
-         |       WHEN score_micro > 0 THEN 'possible'
-         |       ELSE 'non_match' END AS decision
-         |FROM p
-         |WHERE score_micro > 0
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-
-// The digests never cross engines — DuckDB re-derives the status
-    // from its own md5 over the same derived snapshots.
-    "q143_snapshot_diff" ->
-      """WITH o AS (
-        |  SELECT doc_id AS id, md5(concat_ws(chr(1), text, source)) AS h
-        |  FROM documents WHERE doc_id % 11 <> 3),
-        |n AS (
-        |  SELECT doc_id AS id,
-        |    md5(concat_ws(chr(1),
-        |      CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
-        |      source)) AS h
-        |  FROM documents WHERE doc_id % 13 <> 5)
-        |SELECT COALESCE(o.id, n.id) AS id,
-        |  CASE WHEN o.h IS NULL THEN 'added'
-        |       WHEN n.h IS NULL THEN 'removed'
-        |       WHEN o.h <> n.h THEN 'changed'
-        |       ELSE 'unchanged' END AS status
-        |FROM o FULL OUTER JOIN n ON o.id = n.id
-        |WHERE (CASE WHEN o.h IS NULL THEN 'added'
-        |       WHEN n.h IS NULL THEN 'removed'
-        |       WHEN o.h <> n.h THEN 'changed'
-        |       ELSE 'unchanged' END) <> 'unchanged'
-        |ORDER BY id""".stripMargin,
 
 // Median and MAD of integers land on .0/.5 — exact doubles both
     // engines rescale to the SAME micro longs; the row expression is
@@ -1883,24 +1193,5 @@ private[graft] object GatesAnalyticsPipeline {
          |  FROM probes CROSS JOIN (SELECT unnest(range(4)) AS i) ii)
          |SELECT term, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
          |FROM pc LEFT JOIN cells USING (row, col)
-         |GROUP BY term ORDER BY term""".stripMargin,
-
-// Base rows enter at ts NULL (sorted last under DESC NULLS LAST)
-    // so any log row beats the base; op DESC is a dead tie-break kept
-    // for parity with the operator's total order.
-    "q159_cdc_apply" ->
-      """WITH log AS (
-        |  SELECT o_custkey AS k, o_orderdate AS ts,
-        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-        |    o_totalprice AS bal, o_orderpriority AS seg, o_orderkey AS seq
-        |  FROM orders),
-        |base AS (
-        |  SELECT c_custkey AS k, CAST(NULL AS TIMESTAMP) AS ts, 'U' AS op,
-        |    c_acctbal AS bal, c_mktsegment AS seg, CAST(NULL AS BIGINT) AS seq
-        |  FROM customer),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM log),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY k
-        |        ORDER BY ts DESC NULLS LAST, seq DESC NULLS LAST, op DESC) AS rn
-        |      FROM u)
-        |SELECT k, bal, seg FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin)
+         |GROUP BY term ORDER BY term""".stripMargin)
 }
