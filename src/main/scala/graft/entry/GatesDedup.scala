@@ -481,6 +481,34 @@ private[graft] object GatesDedup {
         .orderBy("query_id", "rank")
     }),
 
+    // DELETE/COMPACT lifecycle through the CODED probe path (round 14,
+    // r13 verdict ask #1's PQ/SQ8-twin leg): same store as q90, the
+    // %7==3 residue class tombstoned — a deleted id must never eat an
+    // ADC SHORTLIST slot, not just a rank slot — then the bucket-pruned
+    // compact; both phases must answer identically. Ranges and codes
+    // stay as built (compaction carries codes verbatim; they are a
+    // deterministic projection of the stored ranges).
+    "q351_ivfsq8_delete_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sq8del_gate").toString
+      Pq.writeIvfSq8Index(emb, "vec_id", "embedding", tmp,
+        c = 16, dim = 64, portableHash = true)
+      Knn.deleteFromIvfIndex(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", tmp)
+      val qs = emb.where(col("vec_id") % 100 === 0)
+      def probe() = Pq.searchIvfSq8(s, tmp, qs, "vec_id", "embedding",
+        k = 5, nprobe = 4, shortlist = 50)
+        .select("query_id", "neighbor_id", "sim", "rank")
+      // materialize the tombstoned phase before compaction rewrites
+      // the directories the lazy plan would read
+      val tombstoned = probe().localCheckpoint(true)
+      Knn.compactIvfStore(s, tmp)
+      tombstoned.withColumn("phase", lit("tombstoned"))
+        .unionByName(probe().withColumn("phase", lit("compacted")))
+        .orderBy("phase", "query_id", "rank")
+    }),
+
 // ANALYZE-style one-pass column profile (nulls synthesized as in
     // q14 so n_null is non-trivial); min/max rendered as strings over
     // engine-portable column types.
@@ -1358,6 +1386,82 @@ private[graft] object GatesDedup {
          |  FROM exact)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // q90's ADC chain with the survivors-only candidate set (the
+    // id % 7 <> 3 filter lands BEFORE the shortlist window — the
+    // pre-shortlist contract) and both lifecycle phases reading the
+    // same MATERIALIZED result.
+    "q351_ivfsq8_delete_compact" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign
+         |          WHERE rn = 1 AND id % 7 <> 3),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |rng AS (
+         |  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+         |         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+         |  GROUP BY d),
+         |scd AS (SELECT d, mn,
+         |         CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS sc
+         |       FROM rng),
+         |mnl AS (SELECT list(mn ORDER BY d) AS mn, list(sc ORDER BY d) AS sc FROM scd),
+         |codes AS (
+         |  SELECT vec_id, list_transform(range(1, 65), d ->
+         |    CASE WHEN sc[d] = 0 THEN 0
+         |         ELSE CAST(ROUND((CAST(embedding[d] AS DOUBLE) - mn[d]) / sc[d]) AS INT)
+         |    END) AS codes
+         |  FROM embeddings CROSS JOIN mnl),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 65), d ->
+         |      CAST(qa.qvec[d] AS DOUBLE) * (mn[d] + en.codes[d] * sc[d])),
+         |      (a, b) -> a + b) AS adc
+         |  FROM cells cl
+         |  JOIN qa ON cl.cell = qa.cell
+         |  JOIN codes en ON en.vec_id = cl.id
+         |  CROSS JOIN mnl
+         |  WHERE cl.id <> qa.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+         |    FROM scored) x WHERE rn <= 50),
+         |exact AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id),
+         |res AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, sim, rank FROM (
+         |    SELECT query_id, neighbor_id, sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM exact) r WHERE rank <= 5)
+         |SELECT 'tombstoned' AS phase, * FROM res
+         |UNION ALL
+         |SELECT 'compacted' AS phase, * FROM res
+         |ORDER BY phase, query_id, rank""".stripMargin,
 
 // The embedding-store lifecycle replay: q72's IVF machinery with
     // centroids picked from the EVEN half (the write-time universe,

@@ -67,6 +67,58 @@ private[graft] object GatesSimilarity {
         ORDER BY d.doc_id""")
     }),
 
+// DELETE/COMPACT lifecycle for the persisted IVF store (round 14,
+    // r13 verdict ask #1 — the family's last missing lifecycle leg,
+    // now that IVF is the filtered-search workhorse): build, tombstone
+    // the %7==3 residue class, search (a deleted id must never eat a
+    // rank slot — the pre-top-k anti-join), bucket-pruned compact,
+    // search again: the two phases must be IDENTICAL, which is the
+    // lifecycle contract. The oracle replays q72's probe chain over
+    // the survivors, once per phase.
+    "q350_ivf_delete_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfdel_gate").toString
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tmp, c = 16,
+        portableHash = true)
+      Knn.deleteFromIvfIndex(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", tmp)
+      val qs = emb.where(col("vec_id") % 100 === 0)
+      def probe() = Knn.searchIvf(s, tmp, qs, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+        .select("query_id", "neighbor_id", "sim", "rank")
+      // materialize the tombstoned-phase answer BEFORE compaction
+      // rewrites the directories (and drops the tombstone table) the
+      // lazy plan would otherwise read post-rewrite
+      val tombstoned = probe().localCheckpoint(true)
+      Knn.compactIvfStore(s, tmp)
+      tombstoned.withColumn("phase", lit("tombstoned"))
+        .unionByName(probe().withColumn("phase", lit("compacted")))
+        .orderBy("phase", "query_id", "rank")
+    }),
+
+    // IVF+RQ APPEND lifecycle (round 14 — closes the one append gap in
+    // the IVF family): two-level books + centroids trained on the 80%
+    // build slice, the held-out %5==4 slice appended THROUGH THE
+    // STORED BOOKS (deterministic re-encode, the q344 discipline),
+    // then the interleaved ADC probe over the merged store. The oracle
+    // is q76's chain with the training CTEs scoped to the build slice
+    // and encode/assignment over everything.
+    "q352_ivfrq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfrqapp_gate").toString
+      Pq.writeIvfRqIndex(emb.where(col("vec_id") % 5 =!= 4),
+        "vec_id", "embedding", tmp, c = 16, m = 8, k = 16, dim = 64,
+        portableHash = true)
+      Pq.appendIvfRqIndex(emb.where(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", tmp)
+      Pq.searchIvfRq(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
 // The persisted-index lifecycle under the gate: build the
     // cell-partitioned IVF index on disk, then answer through the
     // directory-pruned probe path — results must equal the in-memory
@@ -572,6 +624,184 @@ private[graft] object GatesSimilarity {
 // Persisted-index twin: identical semantics, answered through the
     // on-disk cell-partitioned index + pruned probe.
     "q72_ivf_persisted" -> ivfOracleSql,
+
+    // q72's probe chain over the post-delete survivors (id % 7 <> 3
+    // drops BEFORE ranking — the pre-top-k contract), emitted once per
+    // lifecycle phase; tombstoned and compacted answers must be
+    // identical, so both phases read the same MATERIALIZED result.
+    "q350_ivf_delete_compact" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign
+         |          WHERE rn = 1 AND id % 7 <> 3),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |res AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, sim, rank FROM (
+         |    SELECT query_id, neighbor_id, sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored) r WHERE rank <= 5)
+         |SELECT 'tombstoned' AS phase, * FROM res
+         |UNION ALL
+         |SELECT 'compacted' AS phase, * FROM res
+         |ORDER BY phase, query_id, rank""".stripMargin,
+
+    // q76's chain with the training CTEs (centroids + both codebook
+    // levels) scoped to the 80% build slice and encode/assignment over
+    // the full corpus — exactly what build-then-append produces.
+    "q352_ivfrq_append" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |tr AS (SELECT h, embedding FROM hashed WHERE vec_id % 5 <> 4),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM tr ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |cw32 AS (
+         |  SELECT row_number() OVER (ORDER BY h) - 1 AS code,
+         |         CAST(embedding AS DOUBLE[]) AS v
+         |  FROM (SELECT h, embedding FROM tr ORDER BY h LIMIT 32) y),
+         |b1 AS (
+         |  SELECT ss.s, cw32.code AS c, cw32.v[ss.s*8+1 : ss.s*8+8] AS cw
+         |  FROM cw32 CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+         |  WHERE cw32.code < 16),
+         |hsub AS (
+         |  SELECT ss.s, cw32.code - 16 AS j2, cw32.v[ss.s*8+1 : ss.s*8+8] AS sub
+         |  FROM cw32 CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+         |  WHERE cw32.code >= 16),
+         |hd2 AS (
+         |  SELECT h.s, h.j2, b.c, h.sub, b.cw,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (h.sub[j] - b.cw[j]) * (h.sub[j] - b.cw[j])), (a, x) -> a + x) AS d
+         |  FROM hsub h JOIN b1 b ON b.s = h.s),
+         |b2 AS (
+         |  SELECT s, j2 AS c,
+         |    list_transform(range(1, 9), j -> sub[j] - cw[j]) AS cw FROM (
+         |    SELECT s, j2, sub, cw,
+         |      row_number() OVER (PARTITION BY s, j2 ORDER BY d ASC, c ASC) AS rn
+         |    FROM hd2) x WHERE rn = 1),
+         |dist1 AS (
+         |  SELECT e.vec_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])
+         |        * (CAST(e.embedding[b.s * 8 + j] AS DOUBLE) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM embeddings e CROSS JOIN b1 b),
+         |c1 AS (
+         |  SELECT vec_id, s, c AS c1 FROM (
+         |    SELECT vec_id, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist1) x WHERE rn = 1),
+         |dist2 AS (
+         |  SELECT c1.vec_id, c1.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      ((CAST(e.embedding[c1.s * 8 + j] AS DOUBLE) - w1.cw[j]) - b.cw[j])
+         |        * ((CAST(e.embedding[c1.s * 8 + j] AS DOUBLE) - w1.cw[j]) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM c1
+         |  JOIN embeddings e ON e.vec_id = c1.vec_id
+         |  JOIN b1 w1 ON w1.s = c1.s AND w1.c = c1.c1
+         |  JOIN b2 b ON b.s = c1.s),
+         |c2 AS (
+         |  SELECT vec_id, s, c AS c2 FROM (
+         |    SELECT vec_id, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist2) x WHERE rn = 1),
+         |enc AS (
+         |  SELECT vec_id, list(code ORDER BY pos) AS codes FROM (
+         |    SELECT vec_id, s * 2 AS pos, c1 AS code FROM c1
+         |    UNION ALL
+         |    SELECT vec_id, s * 2 + 1 AS pos, c2 AS code FROM c2) u
+         |  GROUP BY vec_id),
+         |qd1 AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN b1 b WHERE q.vec_id % 100 = 0),
+         |qd2 AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN b2 b WHERE q.vec_id % 100 = 0),
+         |qtab AS (
+         |  SELECT query_id, list(dots ORDER BY pos) AS tabs FROM (
+         |    SELECT query_id, s * 2 AS pos, list(dp ORDER BY c) AS dots
+         |    FROM qd1 GROUP BY query_id, s
+         |    UNION ALL
+         |    SELECT query_id, s * 2 + 1 AS pos, list(dp ORDER BY c) AS dots
+         |    FROM qd2 GROUP BY query_id, s) u
+         |  GROUP BY query_id),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      qt.tabs[i][en.codes[i] + 1]), (a, b) -> a + b) AS adc
+         |  FROM cells cl
+         |  JOIN qa ON cl.cell = qa.cell
+         |  JOIN enc en ON en.vec_id = cl.id
+         |  JOIN qtab qt ON qt.query_id = qa.query_id
+         |  WHERE cl.id <> qa.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+         |    FROM scored) x WHERE rn <= 50),
+         |exact AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM exact)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // q72's probe chain with the label attribute carried through the
     // assignment and the pre-rank predicate (the Spark side filters

@@ -389,11 +389,117 @@ object Knn {
       exclude)
       .where(col("sim") >= tau)
 
+  /** TOMBSTONE delete for a persisted IVF index (round 14 — the
+    * delete/compact lifecycle the graph store, EmbeddingStore,
+    * MinhashStore and CcStore already carry; the writeIvfIndex family
+    * was the last without one, and round 13 just made it the
+    * filtered-search workhorse). Ids append to `path/tombstones`, and
+    * every subsequent probe — [[searchIvf]], [[searchIvfFiltered]],
+    * [[searchIvfRange]], and the coded twins
+    * [[Pq.searchIvfPq]]/[[Pq.searchIvfRq]]/[[Pq.searchIvfSq8]] (all
+    * store under the same layout) — drops tombstoned ids from the
+    * pruned cell scan BEFORE scoring, so a deleted id can never eat a
+    * rank slot or an ADC shortlist slot (the EmbeddingStore pre-top-k
+    * discipline). Append-only metadata, no store rewrite — safe
+    * per-batch (takedowns, retraction feeds); the tombstone set must
+    * stay broadcast-scale between compactions (it rides into every
+    * probe as a broadcast anti-join), the same bound as every
+    * tombstone store in the repo. Bytes reclaim at
+    * [[compactIvfStore]]. */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String,
+                         path: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The tombstone table if one exists (pre-r14 stores have none —
+    * probing or compacting one is the no-tombstone fast path, not an
+    * error). Distinct: delete batches may overlap. */
+  private[operators] def ivfTombstonesOpt(spark: SparkSession,
+                                          path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select("id").distinct())
+    else None
+  }
+
+  /** MATERIALIZE IVF deletions — BUCKET-PRUNED: only the cells that
+    * actually contain a tombstoned id are rewritten (one column-pruned
+    * pass over (id, cell) finds them — cell is the partition column,
+    * so that scan reads id bytes only), survivors land back under
+    * dynamic partition overwrite (exactly the affected directories are
+    * replaced), and a fully-tombstoned cell's directory is deleted
+    * explicitly (dynamic overwrite only replaces partitions PRESENT in
+    * the output — round-14 hazard, covered by IvfLifecycleSpec).
+    * Untouched cells' files are never read at full width or
+    * rewritten — at 100 TB a compaction costs O(affected cells), not
+    * O(store). Survivor rows are carried verbatim (schema-discovered,
+    * so the flat store's `keep` attributes and the PQ/SQ8/RQ twins'
+    * `codes` columns all ride through — codes are a deterministic pure
+    * projection of the stored books, so carrying beats re-encoding),
+    * re-sorted by id within each cell (the coded twins' re-rank
+    * pushdown relies on tight row-group id stats). Centroids are NOT
+    * retrained: compaction reclaims bytes, it does not answer
+    * distribution shift — that is [[EmbeddingStore.drift]]'s
+    * metric and a full rebuild's job. Returns a manifest
+    * (component, rows). Run in a maintenance window (the partition
+    * swap is not atomic w.r.t. concurrent probes) — same contract as
+    * [[compactGraphStore]] / [[EmbeddingStore.compactStore]]. */
+  def compactIvfStore(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellsPath = s"$path/cells"
+    ivfTombstonesOpt(spark, path) match {
+      case None =>
+        Seq(("tombstones_applied", 0L), ("cells_rewritten", 0L),
+          ("cells_emptied", 0L)).toDF("component", "rows")
+      case Some(tombRaw) =>
+        val tomb = tombRaw.localCheckpoint(true)
+        val nTomb = tomb.count()
+        val affected = spark.read.parquet(cellsPath).select("id", "cell")
+          .join(broadcast(tomb), Seq("id"), "left_semi")
+          .select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val (rewritten, emptied) =
+          if (affected.isEmpty) (0L, 0L)
+          else {
+            // lineage OFF the overwrite path: the write below replaces
+            // the very partitions this frame reads
+            val survivors = spark.read.parquet(cellsPath)
+              .where(col("cell").isin(affected: _*))
+              .join(broadcast(tomb), Seq("id"), "left_anti")
+              .localCheckpoint(true)
+            val keptCells = survivors.select(col("cell").cast("long"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            val key = "spark.sql.sources.partitionOverwriteMode"
+            val prev = spark.conf.get(key)
+            spark.conf.set(key, "dynamic")
+            try survivors.repartition(col("cell"))
+              .sortWithinPartitions("cell", "id")
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(cellsPath)
+            finally spark.conf.set(key, prev)
+            graft.plans.Blocks.free(survivors)
+            val gone = affected.filterNot(keptCells)
+            gone.foreach(c => fs.delete(
+              new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c"), true))
+            (keptCells.size.toLong, gone.size.toLong)
+          }
+        graft.plans.Blocks.free(tomb)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        Seq(("tombstones_applied", nTomb), ("cells_rewritten", rewritten),
+          ("cells_emptied", emptied)).toDF("component", "rows")
+    }
+  }
+
   /** Shared IVF probe: nprobe nearest cells per query (broadcast
     * centroid ranking), directory-pruned cell scan, optional
-    * attribute predicate + exclude anti-join BEFORE scoring, 6-dp
-    * cosine per (query, candidate). Returns the scored candidate
-    * stream; callers cap (top-k) or threshold (range) it. */
+    * attribute predicate + exclude anti-join BEFORE scoring — the
+    * store's own tombstones ([[deleteFromIvfIndex]]) merge into that
+    * same pre-scoring anti-join — 6-dp cosine per (query, candidate).
+    * Returns the scored candidate stream; callers cap (top-k) or
+    * threshold (range) it. */
   private def probeIvf(spark: SparkSession, path: String,
                        queries: DataFrame, queryId: String,
                        queryVec: String, nprobe: Int,
@@ -414,8 +520,10 @@ object Knn {
     val cellsRaw = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probedCells: _*)) // partition pruning
     val cellsPred = pred.fold(cellsRaw)(p => cellsRaw.where(p))
-    val cells = exclude.fold(cellsPred)(t =>
-      cellsPred.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
+    val excl = (exclude.map(_.select(col("id"))).toSeq ++
+      ivfTombstonesOpt(spark, path).toSeq).reduceOption(_ unionByName _)
+    val cells = excl.fold(cellsPred)(t =>
+      cellsPred.join(broadcast(t), Seq("id"), "left_anti"))
     cells.join(broadcast(qAssign), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

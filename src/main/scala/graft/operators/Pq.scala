@@ -565,10 +565,17 @@ object Pq {
     val probed = qAssign.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val q = broadcast(qAssign.withColumn("tables", tableCol))
-    // ADC pass: codes-only projection of the probed cells
-    val codesScan = spark.read.parquet(s"$path/cells")
+    // ADC pass: codes-only projection of the probed cells; the
+    // store's tombstones (Knn.deleteFromIvfIndex — same layout, same
+    // lifecycle) drop BEFORE scoring, so a deleted id can never eat
+    // an ADC shortlist slot (the pre-top-k discipline; the re-rank
+    // vec scan below only ever reads shortlisted ids, so it needs no
+    // second guard).
+    val codesRaw = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probed: _*))
       .select("id", "codes", "cell")
+    val codesScan = Knn.ivfTombstonesOpt(spark, path).fold(codesRaw)(t =>
+      codesRaw.join(broadcast(t), Seq("id"), "left_anti"))
     val scored = codesScan.join(q, Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -641,6 +648,26 @@ object Pq {
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     (b1, b2)
+  }
+
+  /** Append a new batch to a persisted IVF+RQ index (round 14 —
+    * closing the one append gap in the IVF family): encode with the
+    * EXISTING two-level codebooks, assign against the existing
+    * centroids, append id-sorted cell files. Same contract as
+    * [[appendIvfPqIndex]]/[[appendIvfSq8Index]]: build-once /
+    * append-many; codebook and centroid drift are a periodic-rebuild
+    * concern. */
+  def appendIvfRqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = batch.sparkSession
+    val (b1, b2) = loadResidualCodebooks(spark, path)
+    Knn.assignCells(batch, idCol, vecCol,
+      spark.read.parquet(s"$path/centroids"))
+      .withColumn("codes", graft.plans.native.residualCodes(col("vec"), b1, b2))
+      .select("id", "codes", "vec", "cell")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Reload two-level codebooks written by writeIvfRqIndex. */

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round 14: delete/compact lifecycle for the persisted IVF family
+  * (flat + filtered + range + the coded PQ/SQ8/RQ twins) and the
+  * IVF+RQ append that closed the family's one ingest gap. */
+class IvfLifecycleSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def corpus4 = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.045f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1.0f, 0f)),
+      (4L, Array(0f, 0f, 0.98f, 0.2f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  private def probe1 = {
+    val s = spark
+    import s.implicits._
+    Seq((100L, Array(0.9999f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding")
+  }
+
+  test("deleteFromIvfIndex hides ids pre-top-k in searchIvf (runner-up surfaces)") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_del")
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
+    def top1() = Knn.searchIvf(spark, path, probe1, "vec_id", "embedding",
+      k = 1, nprobe = 1).collect().map(_.getLong(1)).toSet
+    assert(top1() == Set(1L))
+    Knn.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), "vec_id", path)
+    // a post-ranking mask would return nothing: 1 ate the k=1 slot
+    assert(top1() == Set(2L),
+      "deleting the top neighbor must surface the live runner-up")
+  }
+
+  test("filtered and range probes honor tombstones pre-scoring") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_delfr")
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1,
+      keep = Seq("vec_id"))
+    Knn.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), "vec_id", path)
+    val filt = Knn.searchIvfFiltered(spark, path, probe1,
+      "vec_id", "embedding", k = 1, pred = col("id") < 3L, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(filt == Set(2L))
+    val rng = Knn.searchIvfRange(spark, path, probe1,
+      "vec_id", "embedding", tau = 0.9, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(rng == Set(2L), s"range must drop the tombstone, got $rng")
+  }
+
+  test("coded twin (SQ8) drops tombstoned ids before the ADC shortlist") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_delsq8")
+    Pq.writeIvfSq8Index(corpus4, "vec_id", "embedding", path, c = 1, dim = 4)
+    def top1() = Pq.searchIvfSq8(spark, path, probe1, "vec_id", "embedding",
+      k = 1, nprobe = 1, shortlist = 2).collect().map(_.getLong(1)).toSet
+    assert(top1() == Set(1L))
+    Knn.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), "vec_id", path)
+    assert(top1() == Set(2L),
+      "tombstone must not eat a shortlist slot in the coded probe")
+  }
+
+  test("compactIvfStore: bucket-pruned rewrite, emptied-cell cleanup, manifest") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_cmp")
+    // c=2 on this corpus: two populated cells (x-axis pair, z-axis pair)
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 2,
+      portableHash = true)
+    val cellOf = spark.read.parquet(s"$path/cells")
+      .select(col("id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf.values.toSet.size == 2, s"want 2 populated cells: $cellOf")
+    // tombstone BOTH members of 3's cell (empties it) + one of 1's
+    val sameCellAs3 = cellOf.filter(_._2 == cellOf(3L)).keys.toSeq
+    val dead = (sameCellAs3 :+ 1L).distinct
+    Knn.deleteFromIvfIndex(dead.toDF("vec_id"), "vec_id", path)
+    def results() = Knn.searchIvf(spark, path, corpus4.unionByName(probe1),
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tombstoned = results()
+    assert(!tombstoned.exists(t => dead.contains(t._2)))
+    val manifest = Knn.compactIvfStore(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifest("tombstones_applied") == dead.size.toLong)
+    assert(manifest("cells_emptied") == 1L, s"manifest=$manifest")
+    assert(manifest("cells_rewritten") == 1L, s"manifest=$manifest")
+    // compacted search answers identically; tombstones + emptied dir gone
+    assert(results() == tombstoned)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/cells/cell=${cellOf(3L)}")),
+      "fully-tombstoned cell directory must be deleted")
+    val survivors = spark.read.parquet(s"$path/cells")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == corpus4.collect().map(_.getLong(0)).toSet -- dead)
+  }
+
+  test("compactIvfStore without tombstones is a no-op manifest") {
+    val path = tmpDir("ivf_cmp_noop")
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
+    val before = spark.read.parquet(s"$path/cells").count()
+    val manifest = Knn.compactIvfStore(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifest == Map("tombstones_applied" -> 0L,
+      "cells_rewritten" -> 0L, "cells_emptied" -> 0L))
+    assert(spark.read.parquet(s"$path/cells").count() == before)
+  }
+
+  test("appendIvfRqIndex encodes through the STORED books; appended ids searchable") {
+    val s = spark
+    import s.implicits._
+    // 40 deterministic 8-dim vectors so the bottom-32-md5 book sample
+    // is well-populated; split 30 build / 10 append
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => (((i * 31 + d * 17) % 97).toFloat - 48f) / 48f)
+    val all = (1L to 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val build = all.where(col("vec_id") <= 30)
+    val batch = all.where(col("vec_id") > 30)
+    val path = tmpDir("ivfrq_app")
+    Pq.writeIvfRqIndex(build, "vec_id", "embedding", path,
+      c = 4, m = 2, k = 8, dim = 8, portableHash = true)
+    val (b1, b2) = Pq.loadResidualCodebooks(spark, path)
+    Pq.appendIvfRqIndex(batch, "vec_id", "embedding", path)
+    val stored = spark.read.parquet(s"$path/cells")
+      .where(col("id") > 30)
+      .select(col("id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored.keySet == (31L to 40L).toSet, "all appended ids present")
+    // appended codes must equal a fresh encode through the STORED books
+    val direct = Pq.encodeResidual(batch, "vec_id", "embedding", b1, b2)
+      .select(col("id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == direct, "append must encode through the stored books")
+    // and the probe path sees them: query an appended vector, nprobe=all
+    val q = Seq((1000L, vec(35L))).toDF("vec_id", "embedding")
+    val hit = Pq.searchIvfRq(spark, path, q, "vec_id", "embedding",
+      k = 1, nprobe = 4, shortlist = 10).collect()
+    assert(hit.head.getLong(1) == 35L && hit.head.getDouble(2) == 1.0)
+  }
+}
