@@ -185,7 +185,10 @@ object Bench {
       // round-14: IVF delete/compact lifecycles (flat + SQ8 coded
       // twin) and the IVF+RQ build→append→probe soak
       "q350_ivf_delete_compact", "q351_ivfsq8_delete_compact",
-      "q352_ivfrq_append")
+      "q352_ivfrq_append",
+      // round-14: wide-beam coded walk over a built store; pooled-IVF
+      // build → shortlist → exact MaxSim re-rank composition
+      "q353_graph_adc_widebeam", "q354_plaid_maxsim")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

@@ -160,6 +160,30 @@ private[graft] object GatesGraphAnn {
         .orderBy("query_id", "rank")
     }),
 
+    // WIDE-BEAM ADC operating point (round 14, r13 verdict ask #4 —
+    // the DiskANN recipe, now GATED cross-engine instead of only
+    // recall-measured): the coded walk with beam ≫ k (16 vs 3; q340
+    // gates beam=4) — wide coded exploration, exact re-rank on the
+    // final beam. RECALL_r13 measured this operating point at 0.54 @
+    // beam 96 ≈ the exact walk's 0.55; this gate pins the beam-wide
+    // walk's VALUE semantics (every ADC-ranked hop at width 16, the
+    // re-rank boundary) against the oracle's unrolled replay.
+    "q353_graph_adc_widebeam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
+      val books = Pq.trainCodebooks(half, "vec_id", "embedding",
+        m = 8, k = 16, dim = 64)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gadcw_gate").toString
+      Knn.writeGraphIndex(half, "vec_id", "embedding", tmp, k = 3, c = 16,
+        nprobe = 2, buckets = 8, portableHash = true)
+      Knn.writeGraphCodes(s, tmp, books)
+      Knn.searchGraphIndexAdc(s, tmp, books,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        beam = 16, hops = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "q340_graph_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val half = emb.where(col("vec_id") % 2 === 0)
@@ -486,6 +510,64 @@ private[graft] object GatesGraphAnn {
          |  JOIN hs nv ON nv.id = t0b2.node
          |  JOIN embeddings qv ON qv.vec_id = t0b2.qid
          |  WHERE t0b2.node <> t0b2.qid),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM fin)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q340's replay at beam width 16: the same encode/table folds,
+    // the ADC beam rounds carrying 16 states per query, exact re-rank.
+    "q353_graph_adc_widebeam" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |cwr AS (
+         |  SELECT row_number() OVER (ORDER BY h) - 1 AS code,
+         |         CAST(vec AS DOUBLE[]) AS v
+         |  FROM (SELECT h, vec FROM hs ORDER BY h LIMIT 16) y),
+         |books AS (
+         |  SELECT ss.s, cwr.code AS c, cwr.v[ss.s*8+1 : ss.s*8+8] AS cw
+         |  FROM cwr CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |${layerKnnGraphCtes("g", "hs", 16, 2, 3)},
+         |gent AS (SELECT cell, MIN(id) AS node FROM gcells GROUP BY cell),
+         |dist AS (
+         |  SELECT e.id, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      (CAST(e.vec[b.s * 8 + j] AS DOUBLE) - b.cw[j])
+         |        * (CAST(e.vec[b.s * 8 + j] AS DOUBLE) - b.cw[j])),
+         |      (a, x) -> a + x) AS d
+         |  FROM hs e CROSS JOIN books b),
+         |enc AS MATERIALIZED (
+         |  SELECT id AS node, list(c ORDER BY s) AS codes FROM (
+         |    SELECT id, s, c,
+         |      row_number() OVER (PARTITION BY id, s
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1 GROUP BY id),
+         |qd AS (
+         |  SELECT q.vec_id AS qid, b.s, b.c,
+         |    list_reduce(list_transform(range(1, 9), j ->
+         |      CAST(q.embedding[b.s * 8 + j] AS DOUBLE) * b.cw[j]),
+         |      (a, x) -> a + x) AS dp
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         |qtab AS MATERIALIZED (
+         |  SELECT qid, list(dots ORDER BY s) AS tabs FROM (
+         |    SELECT qid, s, list(dp ORDER BY c) AS dots
+         |    FROM qd GROUP BY qid, s) x
+         |  GROUP BY qid),
+         |${graphBeamAdcCtes("z", "qtab", "enc", "ge", "gent",
+                             beam = 16, hops = 2, m = 8)},
+         |fin AS (
+         |  SELECT zb2.qid AS query_id, zb2.node AS neighbor_id,
+         |    ROUND(${cosSql("nv.vec", "qv.embedding")}, 6) AS sim
+         |  FROM zb2
+         |  JOIN hs nv ON nv.id = zb2.node
+         |  JOIN embeddings qv ON qv.vec_id = zb2.qid
+         |  WHERE zb2.node <> zb2.qid),
          |ranked AS (
          |  SELECT query_id, neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id

@@ -189,6 +189,33 @@ private[graft] object GatesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN-SHORTLIST → exact MaxSim RE-RANK (round 14, r13 verdict ask
+    // #5 — the PLAID/ColBERTv2 composition closing the retrieval
+    // ladder at scale): token bags pool into exact integer-milli
+    // vectors (order-independent, cosine is scale-invariant), a
+    // persisted IVF store over the pooled vectors produces a top-10
+    // candidate set per query, and q348's exact MaxSim arithmetic
+    // re-ranks ONLY those pairs — corpus tokens are scanned once,
+    // pruned by the broadcast candidate list. q348 stays the exact
+    // brute-force baseline; this is the production path.
+    "q354_plaid_maxsim" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dt = emb.select(expr("vec_id div 20").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      val qt = dt.where(col("doc_id") % 10 === 0)
+      val pooled = Knn.poolTokens(dt, "doc_id", "embedding")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_plaid_gate").toString
+      Knn.writeIvfIndex(pooled, "id", "vec", tmp, c = 8,
+        portableHash = true)
+      val cands = Knn.searchIvf(s, tmp, pooled.where(col("id") % 10 === 0),
+        "id", "vec", k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      Knn.lateInteractionRerank(dt, "doc_id", "embedding",
+        qt, "doc_id", "vec_id", "embedding", cands, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // RANGE search (round 13): every neighbor at 6-dp cosine >= tau
     // among the probed cells, no top-k cap — the "all near-duplicates
     // of these probes" index query. Output unique on (query_id,
@@ -888,6 +915,80 @@ private[graft] object GatesSimilarity {
          |  WHERE rn <= 20),
          |${mmrRoundCtes("g", "cand", k = 5, lambdaMicro = 700000L)}
          |SELECT query_id, id, rank FROM ga5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Pooled integer-milli vectors → q72's probe chain over them
+    // (c=8 centroids from the pooled table's own bottom-8 md5) →
+    // top-10 candidate docs → q348's MaxSim micros restricted to the
+    // candidate pairs.
+    "q354_plaid_maxsim" ->
+      s"""WITH dt AS (
+         |  SELECT vec_id // 20 AS doc_id, vec_id, embedding
+         |  FROM embeddings),
+         |mv AS (
+         |  SELECT doc_id, d,
+         |    CAST(SUM(CAST(ROUND(1000 * CAST(embedding[d] AS DOUBLE))
+         |      AS BIGINT)) AS BIGINT) AS s
+         |  FROM dt CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+         |  GROUP BY doc_id, d),
+         |pooled AS (
+         |  SELECT doc_id AS id, list(CAST(s AS DOUBLE) ORDER BY d) AS vec
+         |  FROM mv GROUP BY doc_id),
+         |hashed AS (
+         |  SELECT id, vec, ${md5Hash64Sql("CAST(id AS VARCHAR)")} AS h
+         |  FROM pooled),
+         |cents AS (
+         |  SELECT h AS cell, vec AS cvec FROM hashed ORDER BY h LIMIT 8),
+         |assign AS (
+         |  SELECT hd.id, hd.vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.id
+         |      ORDER BY list_cosine_similarity(hd.vec, c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.id AS query_id, q.vec AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY list_cosine_similarity(q.vec, c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM pooled q CROSS JOIN cents c WHERE q.id % 10 = 0) x
+         |  WHERE rk <= 4),
+         |cscored AS (
+         |  SELECT qa.query_id, cl.id AS doc_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, doc_id ASC) AS rn
+         |    FROM cscored) x WHERE rn <= 10),
+         |qt AS (
+         |  SELECT doc_id AS query_id, vec_id AS tok, embedding AS qvec
+         |  FROM dt WHERE doc_id % 10 = 0),
+         |pair AS (
+         |  SELECT c.query_id, q.tok, c.doc_id,
+         |    CAST(ROUND(1e6 * ROUND(${cosSql("d.embedding", "q.qvec")}, 6))
+         |      AS BIGINT) AS m
+         |  FROM cand c
+         |  JOIN dt d ON d.doc_id = c.doc_id
+         |  JOIN qt q ON q.query_id = c.query_id
+         |  WHERE c.doc_id <> c.query_id),
+         |mx AS (
+         |  SELECT query_id, tok, doc_id, MAX(m) AS mx
+         |  FROM pair GROUP BY query_id, tok, doc_id),
+         |sc AS (
+         |  SELECT query_id, doc_id, CAST(SUM(mx) AS BIGINT) AS score_micro
+         |  FROM mx GROUP BY query_id, doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, doc_id, score_micro, rank FROM ranked
+         |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     // q72's probe chain with the threshold replacing the rank cap.

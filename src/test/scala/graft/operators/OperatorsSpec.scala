@@ -1602,6 +1602,46 @@ class KnnSpec extends SparkSpec {
     assert(!got.exists(_._2 == 10L))
   }
 
+  test("PLAID composition (round 14): poolTokens is the exact integer " +
+    "sum, and rerank over a candidate set covering the true top-k " +
+    "equals the brute-force baseline") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    // 12 docs × 4 tokens of 8-dim vectors
+    val docs = (0L until 48L).map { t =>
+      (t / 4, t, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("doc_id", "tok", "vec")
+    val pooled = Knn.poolTokens(docs, "doc_id", "vec")
+    // exactness: pooled component = sum of per-token rounded millis
+    val expect = docs.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](2).map(x =>
+        math.round(x.toDouble * 1000).toDouble).toArray)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })).toMap
+    pooled.collect().foreach { r =>
+      assert(r.getSeq[Double](1).toArray.sameElements(expect(r.getLong(0))),
+        s"pooled mismatch for doc ${r.getLong(0)}")
+    }
+    // rerank over ALL candidate pairs == brute-force MaxSim
+    val queries = docs.where(col("doc_id") < 3)
+    val allPairs = queries.select(col("doc_id").as("query_id")).distinct()
+      .crossJoin(docs.select(col("doc_id")).distinct())
+    val rr = Knn.lateInteractionRerank(docs, "doc_id", "vec",
+        queries, "doc_id", "tok", "vec", allPairs, k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val bf = Knn.lateInteractionTopK(docs, "doc_id", "vec",
+        queries, "doc_id", "tok", "vec", k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rr == bf, "full-candidate rerank must equal brute force")
+    // and a RESTRICTED candidate set only ever returns its own docs
+    val narrow = Knn.lateInteractionRerank(docs, "doc_id", "vec",
+        queries, "doc_id", "tok", "vec",
+        allPairs.where(col("doc_id") < 6), k = 4)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(narrow.forall(_ < 6L), "rerank scored outside the shortlist")
+  }
+
   test("mmrSelect (round 13): the greedy trace picks relevance first, " +
     "then diversity over a near-duplicate of the first pick; " +
     "lambda=1 degenerates to plain top-k") {
