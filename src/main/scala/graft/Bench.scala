@@ -187,8 +187,10 @@ object Bench {
       "q350_ivf_delete_compact", "q351_ivfsq8_delete_compact",
       "q352_ivfrq_append",
       // round-14: wide-beam coded walk over a built store; pooled-IVF
-      // build → shortlist → exact MaxSim re-rank composition
-      "q353_graph_adc_widebeam", "q354_plaid_maxsim")
+      // build → shortlist → exact MaxSim re-rank composition;
+      // token-level IVF build → candidate union → MaxSim re-rank
+      "q353_graph_adc_widebeam", "q354_plaid_maxsim",
+      "q356_colbert_candidates")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

@@ -216,6 +216,35 @@ private[graft] object GatesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // TOKEN-LEVEL candidate generation (round 14 — the ColBERTv2
+    // retrieval shape proper, complementing q354's pooled shortlist):
+    // the IVF store indexes TOKENS; each query token retrieves its
+    // top-8 nearest tokens (nprobe=2), retrieved tokens map to their
+    // owning docs (vec_id div 20 — the corpus grouping), and the
+    // distinct (query_doc, cand_doc) union re-ranks under exact
+    // MaxSim. Fine-grained token matches surface docs a pooled
+    // vector blurs away — the standard two-stage multi-vector design.
+    "q356_colbert_candidates" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dt = emb.select(expr("vec_id div 20").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      val qt = dt.where(col("doc_id") % 10 === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_colbert_gate").toString
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tmp, c = 16,
+        portableHash = true)
+      val tokHits = Knn.searchIvf(s, tmp,
+        qt.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 8, nprobe = 2)
+      val cands = tokHits
+        .select(expr("query_id div 20").as("query_id"),
+          expr("neighbor_id div 20").as("doc_id"))
+        .where(col("query_id") =!= col("doc_id")).distinct()
+      Knn.lateInteractionRerank(dt, "doc_id", "embedding",
+        qt, "doc_id", "vec_id", "embedding", cands, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // RANGE search (round 13): every neighbor at 6-dp cosine >= tau
     // among the probed cells, no top-k cap — the "all near-duplicates
     // of these probes" index query. Output unique on (query_id,
@@ -260,6 +289,26 @@ private[graft] object GatesSimilarity {
         "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+// Ranked-retrieval EVAL metrics (round 14): the measurement loop
+    // for the whole index family as a first-class operator — IVF
+    // (nprobe=4) is the SYSTEM, brute force the TRUTH, and recall@5 /
+    // MRR / AP@5 come out per query in exact integer micros
+    // (truncating division on both engines). The oracle replays both
+    // retrieval chains and the same integer metric algebra.
+    "q355_retrieval_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      val sys = Knn.ivf(emb, "vec_id", "embedding", queries,
+          "vec_id", "embedding", k = 5, c = 16, nprobe = 4,
+          portableHash = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val truth = Knn.bruteForce(emb, "vec_id", "embedding", queries,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      Knn.retrievalMetrics(sys, truth, k = 5).orderBy("query_id")
     }),
 
 // K-means-refined IVF, oracle mode: one Lloyd round with the
@@ -648,6 +697,78 @@ private[graft] object GatesSimilarity {
 
 "q21_knn_ivf" -> ivfOracleSql,
 
+    // Both retrieval chains (IVF system, brute-force truth) + the
+    // integer metric algebra: hits join, running-precision window,
+    // truncating-division micros on both engines.
+    "q355_retrieval_metrics" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |iscored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |sys AS (
+         |  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |    SELECT query_id, neighbor_id, sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM iscored) r WHERE rank <= 5),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM embeddings e
+         |  JOIN embeddings q ON q.vec_id % 100 = 0
+         |                   AND e.vec_id <> q.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id AS doc_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM bscored) r WHERE rank <= 5),
+         |hitj AS (
+         |  SELECT s.query_id, s.rank,
+         |    CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM sys s LEFT JOIN truth t
+         |    ON t.query_id = s.query_id AND t.doc_id = s.doc_id),
+         |cum AS (
+         |  SELECT query_id, rank, hit,
+         |    SUM(hit) OVER (PARTITION BY query_id ORDER BY rank) AS cum
+         |  FROM hitj),
+         |per AS (
+         |  SELECT query_id, CAST(SUM(hit) AS BIGINT) AS hits,
+         |    MIN(CASE WHEN hit = 1 THEN rank END) AS fr,
+         |    CAST(SUM(hit * ((cum * 1000000) // rank)) AS BIGINT) AS apnum
+         |  FROM cum GROUP BY query_id),
+         |nt AS (SELECT query_id, COUNT(*) AS n_truth FROM truth
+         |       GROUP BY query_id)
+         |SELECT p.query_id, CAST(nt.n_truth AS BIGINT) AS n_truth, p.hits,
+         |  CAST((p.hits * 1000000) // nt.n_truth AS BIGINT) AS recall_micro,
+         |  CAST(COALESCE(1000000 // p.fr, 0) AS BIGINT) AS mrr_micro,
+         |  CAST(p.apnum // LEAST(nt.n_truth, 5) AS BIGINT) AS ap_micro
+         |FROM per p JOIN nt ON nt.query_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
+
 // Persisted-index twin: identical semantics, answered through the
     // on-disk cell-partitioned index + pruned probe.
     "q72_ivf_persisted" -> ivfOracleSql,
@@ -965,6 +1086,78 @@ private[graft] object GatesSimilarity {
          |      row_number() OVER (PARTITION BY query_id
          |                         ORDER BY sim DESC, doc_id ASC) AS rn
          |    FROM cscored) x WHERE rn <= 10),
+         |qt AS (
+         |  SELECT doc_id AS query_id, vec_id AS tok, embedding AS qvec
+         |  FROM dt WHERE doc_id % 10 = 0),
+         |pair AS (
+         |  SELECT c.query_id, q.tok, c.doc_id,
+         |    CAST(ROUND(1e6 * ROUND(${cosSql("d.embedding", "q.qvec")}, 6))
+         |      AS BIGINT) AS m
+         |  FROM cand c
+         |  JOIN dt d ON d.doc_id = c.doc_id
+         |  JOIN qt q ON q.query_id = c.query_id
+         |  WHERE c.doc_id <> c.query_id),
+         |mx AS (
+         |  SELECT query_id, tok, doc_id, MAX(m) AS mx
+         |  FROM pair GROUP BY query_id, tok, doc_id),
+         |sc AS (
+         |  SELECT query_id, doc_id, CAST(SUM(mx) AS BIGINT) AS score_micro
+         |  FROM mx GROUP BY query_id, doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, doc_id, score_micro, rank FROM ranked
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Token-level IVF probe chain (q72's shape, queries = the query
+    // docs' tokens, rn <= 8 at nprobe 2), token→doc mapping, distinct
+    // candidate union minus self, then q348's MaxSim micros over the
+    // candidate pairs.
+    "q356_colbert_candidates" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c
+         |    WHERE (q.vec_id // 20) % 10 = 0) x
+         |  WHERE rk <= 2),
+         |tscored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    ROUND(${cosSql("cl.vec", "qa.qvec")}, 6) AS sim
+         |  FROM cells cl JOIN qa ON cl.cell = qa.cell
+         |  WHERE cl.id <> qa.query_id),
+         |tokhits AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM tscored) r WHERE rank <= 8),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT query_id // 20 AS query_id,
+         |         neighbor_id // 20 AS doc_id
+         |  FROM tokhits WHERE query_id // 20 <> neighbor_id // 20),
+         |dt AS (
+         |  SELECT vec_id // 20 AS doc_id, vec_id, embedding
+         |  FROM embeddings),
          |qt AS (
          |  SELECT doc_id AS query_id, vec_id AS tok, embedding AS qvec
          |  FROM dt WHERE doc_id % 10 = 0),

@@ -422,6 +422,66 @@ object Knn {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Streaming ingest for a persisted IVF index (round 14 — the
+    * [[ingestGraphStream]] twin; the graph store had continuous ingest
+    * since round 11, the IVF family only batch appends): each
+    * micro-batch lands through [[appendIvfIndex]] — assign against the
+    * frozen centroids, append into the cell directories. Probes need
+    * no coordination (same layout, pruning intact); exactly-once per
+    * batch rides on the checkpoint like every foreachBatch sink in the
+    * repo. Centroid drift remains a periodic-rebuild decision
+    * ([[EmbeddingStore.drift]] is the scheduler's metric). */
+  def ingestIvfStream(batches: DataFrame, idCol: String, vecCol: String,
+                      path: String, checkpoint: String,
+                      keep: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) appendIvfIndex(batch, idCol, vecCol, path, keep)
+        ()
+      }
+      .start()
+
+  /** Ranked-retrieval EVAL metrics (round 14) — the measurement loop
+    * every index family feeds (recall harnesses measured these
+    * ad-hoc; this is the first-class operator): given a system's
+    * ranked `results` (query_id, doc_id, rank) and a `truth` set
+    * (query_id, doc_id — e.g. brute-force top-k, the repo's exact
+    * baseline), emit per query: hits@k, recall@k, MRR and AP@k — all
+    * in EXACT integer micros (1e6-scaled truncating division on both
+    * engines, which agree: Spark `div` and DuckDB `//` both truncate
+    * toward zero on non-negative operands), so the metric table is
+    * value-exact cross-engine, no float folds. AP@k uses the standard
+    * min(|truth|, k) denominator; MRR is 1e6 div first-hit-rank.
+    * One shuffle each side (join on (query, doc), per-query window on
+    * ≤ k rows); truth must be distinct per (query, doc). */
+  def retrievalMetrics(results: DataFrame, truth: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    val res = results.select(col("query_id").cast("long"),
+        col("doc_id").cast("long"), col("rank").cast("long"))
+      .where(col("rank") <= k)
+    val tr = truth.select(col("query_id").cast("long"),
+      col("doc_id").cast("long")).distinct()
+    val nTruth = tr.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    val wcum = Window.partitionBy("query_id").orderBy("rank")
+    val scored = res
+      .join(tr.withColumn("hit", lit(1L)), Seq("query_id", "doc_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("cum", sum("hit").over(wcum))
+      .withColumn("prec_micro", expr("(cum * 1000000L) div rank"))
+    scored.groupBy("query_id")
+      .agg(sum("hit").as("hits"),
+        min(when(col("hit") === 1L, col("rank"))).as("__fr"),
+        sum(col("hit") * col("prec_micro")).as("__apnum"))
+      .join(nTruth, Seq("query_id"))
+      .select(col("query_id"), col("n_truth"), col("hits"),
+        expr("(hits * 1000000L) div n_truth").as("recall_micro"),
+        coalesce(expr("1000000L div __fr"), lit(0L)).as("mrr_micro"),
+        expr(s"__apnum div least(n_truth, ${k}L)").as("ap_micro"))
+  }
+
   /** Probe a persisted IVF index. The probed cell set (queries × nprobe,
     * driver-bounded) becomes an `isin` filter on the partition column,
     * so the scan prunes to the probed directories before any join.

@@ -121,6 +121,57 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/cells").count() == before)
   }
 
+  test("ingestIvfStream: micro-batches append into the persisted IVF " +
+    "store; ingested vectors searchable between batches (round 14)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("ivf_ing")
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = Knn.ingestIvfStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, tmpDir("ivf_ing_ck"))
+    try {
+      input.addData((50L, Array(0.7f, 0.7f, 0f, 0f)))
+      q.processAllAvailable()
+      val hit1 = Knn.searchIvf(spark, path,
+        Seq((900L, Array(0.71f, 0.7f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nprobe = 1)
+        .collect().map(_.getLong(1)).toSet
+      assert(hit1 == Set(50L), s"batch-1 vector not top hit: $hit1")
+      input.addData((51L, Array(0f, 0f, 0f, 1.0f)))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$path/cells")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L, 4L, 50L, 51L))
+    } finally q.stop()
+  }
+
+  test("retrievalMetrics: exact integer micros on a hand-checked case") {
+    val s = spark
+    import s.implicits._
+    // truth for query 1: docs {10, 20, 30}; system ranks 10 (hit),
+    // 99 (miss), 20 (hit) at k=3
+    val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L))
+      .toDF("query_id", "doc_id")
+    val sys = Seq((1L, 10L, 1L), (1L, 99L, 2L), (1L, 20L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val m = Knn.retrievalMetrics(sys, truth, k = 3).collect().head
+    assert(m.getLong(1) == 3L)                 // n_truth
+    assert(m.getLong(2) == 2L)                 // hits
+    assert(m.getLong(3) == 666666L)            // recall = 2e6/3
+    assert(m.getLong(4) == 1000000L)           // first hit at rank 1
+    // AP@3 = (prec@1 + prec@3) / min(3,3) = (1e6 + 666666) / 3
+    assert(m.getLong(5) == 555555L, s"ap=${m.getLong(5)}")
+    // a query with zero hits reports zero MRR/AP, not null
+    val none = Knn.retrievalMetrics(
+      Seq((2L, 99L, 1L)).toDF("query_id", "doc_id", "rank"),
+      Seq((2L, 10L)).toDF("query_id", "doc_id"), k = 3).collect().head
+    assert(none.getLong(2) == 0L && none.getLong(4) == 0L &&
+      none.getLong(5) == 0L)
+  }
+
   test("appendIvfRqIndex encodes through the STORED books; appended ids searchable") {
     val s = spark
     import s.implicits._
