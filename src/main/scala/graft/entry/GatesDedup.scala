@@ -481,6 +481,27 @@ private[graft] object GatesDedup {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED search through the CODED probe path (round 14 —
+    // completing the filtered-ANN matrix: flat IVF q345, graph q347,
+    // and now the compressed family, whose shared ADC core serves
+    // PQ/RQ/SQ8 alike): the store built with keep=Seq("label")
+    // co-locates the attribute in the cell files, and the predicate
+    // evaluates on the pruned scan BEFORE the ADC pass — a
+    // filtered-out row never eats a shortlist slot. Oracle = q90's
+    // chain with the label carried and the same pre-shortlist WHERE.
+    "q357_ivfsq8_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sq8fil_gate").toString
+      Pq.writeIvfSq8Index(emb, "vec_id", "embedding", tmp,
+        c = 16, dim = 64, portableHash = true, keep = Seq("label"))
+      Pq.searchIvfSq8(s, tmp, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50,
+        pred = Some(col("label") % 3 === 1))
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // DELETE/COMPACT lifecycle through the CODED probe path (round 14,
     // r13 verdict ask #1's PQ/SQ8-twin leg): same store as q90, the
     // %7==3 residue class tombstoned — a deleted id must never eat an
@@ -1367,6 +1388,76 @@ private[graft] object GatesDedup {
          |  JOIN codes en ON en.vec_id = cl.id
          |  CROSS JOIN mnl
          |  WHERE cl.id <> qa.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+         |    FROM scored) x WHERE rn <= 50),
+         |exact AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM exact)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q90's ADC chain with the label carried through assignment and
+    // the pre-shortlist WHERE (the filtered coded probe).
+    "q357_ivfsq8_filtered" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding, label,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, hd.embedding AS vec, hd.label, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, vec, label, cell FROM assign WHERE rn = 1),
+         |qa AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+         |                 c.cell DESC) AS rk
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) x
+         |  WHERE rk <= 4),
+         |rng AS (
+         |  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+         |         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+         |  GROUP BY d),
+         |scd AS (SELECT d, mn,
+         |         CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS sc
+         |       FROM rng),
+         |mnl AS (SELECT list(mn ORDER BY d) AS mn, list(sc ORDER BY d) AS sc FROM scd),
+         |codes AS (
+         |  SELECT vec_id, list_transform(range(1, 65), d ->
+         |    CASE WHEN sc[d] = 0 THEN 0
+         |         ELSE CAST(ROUND((CAST(embedding[d] AS DOUBLE) - mn[d]) / sc[d]) AS INT)
+         |    END) AS codes
+         |  FROM embeddings CROSS JOIN mnl),
+         |scored AS (
+         |  SELECT qa.query_id, cl.id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 65), d ->
+         |      CAST(qa.qvec[d] AS DOUBLE) * (mn[d] + en.codes[d] * sc[d])),
+         |      (a, b) -> a + b) AS adc
+         |  FROM cells cl
+         |  JOIN qa ON cl.cell = qa.cell
+         |  JOIN codes en ON en.vec_id = cl.id
+         |  CROSS JOIN mnl
+         |  WHERE cl.id <> qa.query_id AND cl.label % 3 = 1),
          |short AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,

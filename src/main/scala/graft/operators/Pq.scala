@@ -472,7 +472,8 @@ object Pq {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, c: Int = 16, m: Int = 8, k: Int = 16,
                       dim: Int = 64, trainIters: Int = 0,
-                      portableHash: Boolean = false): Array[Array[Array[Double]]] = {
+                      portableHash: Boolean = false,
+                      keep: Seq[String] = Nil): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
@@ -486,11 +487,15 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codebooks")
     // One file per cell, rows SORTED BY id: the re-rank pass filters the
     // vec scan by the shortlisted ids, and sorted row groups give that
-    // filter tight min/max stats to prune with.
+    // filter tight min/max stats to prune with. `keep` (round 14):
+    // attribute columns ride inside the cell directories — the
+    // filtered-search handle for the coded probe (q345's discipline on
+    // the compressed family).
     Knn.assignCells(corpus, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), keep)
       .withColumn("codes", codesColumn(col("vec"), books))
-      .select("id", "codes", "vec", "cell")
+      .select(Seq("id", "codes", "vec").map(col) ++ keep.map(col) :+
+        col("cell"): _*)
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -550,7 +555,9 @@ object Pq {
   private def searchIvfAdc(spark: SparkSession, path: String,
                            queries: DataFrame, queryId: String, queryVec: String,
                            k: Int, nprobe: Int, shortlist: Int,
-                           tableCol: org.apache.spark.sql.Column): DataFrame = {
+                           tableCol: org.apache.spark.sql.Column,
+                           pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val qAssign = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
@@ -571,8 +578,14 @@ object Pq {
     // an ADC shortlist slot (the pre-top-k discipline; the re-rank
     // vec scan below only ever reads shortlisted ids, so it needs no
     // second guard).
-    val codesRaw = spark.read.parquet(s"$path/cells")
+    // `pred` (round 14 — q345's filtered-search discipline on the
+    // compressed family): evaluates over kept attribute columns on the
+    // pruned scan BEFORE the ADC pass, so a filtered-out row never
+    // eats a shortlist slot; column pruning pulls in only the
+    // referenced attributes beside (id, codes, cell).
+    val cellsScan = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probed: _*))
+    val codesRaw = pred.fold(cellsScan)(p => cellsScan.where(p))
       .select("id", "codes", "cell")
     val codesScan = Knn.ivfTombstonesOpt(spark, path).fold(codesRaw)(t =>
       codesRaw.join(broadcast(t), Seq("id"), "left_anti"))
@@ -612,11 +625,13 @@ object Pq {
   /** Probe the IVF+PQ index built by writeIvfPqIndex. */
   def searchIvfPq(spark: SparkSession, path: String,
                   queries: DataFrame, queryId: String, queryVec: String,
-                  k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+                  k: Int, nprobe: Int = 4, shortlist: Int = 50,
+                  pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val books = loadCodebooks(spark, path)
     val subDim = books(0)(0).length
     searchIvfAdc(spark, path, queries, queryId, queryVec, k, nprobe, shortlist,
-      array(books.indices.map(dotTable(books, _, subDim)): _*))
+      array(books.indices.map(dotTable(books, _, subDim)): _*), pred)
   }
 
   /** IVF + RESIDUAL quantization on disk: same layout as
@@ -686,12 +701,14 @@ object Pq {
     * the same ADC core (score = q·(cw1+cw2) per subspace). */
   def searchIvfRq(spark: SparkSession, path: String,
                   queries: DataFrame, queryId: String, queryVec: String,
-                  k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+                  k: Int, nprobe: Int = 4, shortlist: Int = 50,
+                  pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val (b1, b2) = loadResidualCodebooks(spark, path)
     val subDim = b1(0)(0).length
     searchIvfAdc(spark, path, queries, queryId, queryVec, k, nprobe, shortlist,
       array(b1.indices.flatMap(s =>
-        Seq(dotTable(b1, s, subDim), dotTable(b2, s, subDim))): _*))
+        Seq(dotTable(b1, s, subDim), dotTable(b2, s, subDim))): _*), pred)
   }
 
   /** IVF + SQ8 on disk — FAISS's "IVF,SQ8" point on the recall/size
@@ -705,7 +722,8 @@ object Pq {
     * the same AdcScore kernel over the codes-only scan). */
   def writeIvfSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
                        path: String, c: Int = 16, dim: Int = 64,
-                       portableHash: Boolean = false)
+                       portableHash: Boolean = false,
+                       keep: Seq[String] = Nil)
       : (Array[Double], Array[Double]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -715,9 +733,10 @@ object Pq {
     mins.indices.map(d => (d, mins(d), maxs(d))).toDF("d", "mn", "mx")
       .write.mode("overwrite").parquet(s"$path/ranges")
     Knn.assignCells(corpus, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), keep)
       .withColumn("codes", sq8CodesColumn(col("vec"), mins, maxs))
-      .select("id", "codes", "vec", "cell")
+      .select(Seq("id", "codes", "vec").map(col) ++ keep.map(col) :+
+        col("cell"): _*)
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -755,9 +774,11 @@ object Pq {
     * codes-scan + shortlist + exact-re-rank core. */
   def searchIvfSq8(spark: SparkSession, path: String,
                    queries: DataFrame, queryId: String, queryVec: String,
-                   k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+                   k: Int, nprobe: Int = 4, shortlist: Int = 50,
+                   pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val (mins, maxs) = loadSq8Ranges(spark, path)
     searchIvfAdc(spark, path, queries, queryId, queryVec, k, nprobe, shortlist,
-      sq8Tables(col("qvec"), mins, maxs))
+      sq8Tables(col("qvec"), mins, maxs), pred)
   }
 }

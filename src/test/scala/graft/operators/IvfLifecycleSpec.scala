@@ -172,6 +172,32 @@ class IvfLifecycleSpec extends SparkSpec {
       none.getLong(5) == 0L)
   }
 
+  test("filtered coded probe (PQ path): pred holds pre-shortlist, " +
+    "always-true pred equals the plain search") {
+    val s = spark
+    import s.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => (((i * 29 + d * 13) % 89).toFloat - 44f) / 44f)
+    val corpus = (1L to 40L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "grp")
+    val path = tmpDir("ivfpq_fil")
+    Pq.writeIvfPqIndex(corpus, "vec_id", "embedding", path,
+      c = 4, m = 2, k = 8, dim = 8, keep = Seq("grp"))
+    val q = Seq((900L, vec(7L))).toDF("vec_id", "embedding")
+    val filt = Pq.searchIvfPq(spark, path, q, "vec_id", "embedding",
+      k = 5, nprobe = 4, shortlist = 20, pred = Some(col("grp") === 1))
+      .collect().map(_.getLong(1))
+    assert(filt.nonEmpty && filt.forall(_ % 3 == 1),
+      s"pred violated: ${filt.mkString(",")}")
+    val all = Pq.searchIvfPq(spark, path, q, "vec_id", "embedding",
+        k = 5, nprobe = 4, shortlist = 20, pred = Some(lit(true)))
+      .collect().map(_.toString).sorted.toSeq
+    val plain = Pq.searchIvfPq(spark, path, q, "vec_id", "embedding",
+        k = 5, nprobe = 4, shortlist = 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(all == plain, "always-true pred diverged from plain search")
+  }
+
   test("appendIvfRqIndex encodes through the STORED books; appended ids searchable") {
     val s = spark
     import s.implicits._
