@@ -190,7 +190,8 @@ object Bench {
       // build → shortlist → exact MaxSim re-rank composition;
       // token-level IVF build → candidate union → MaxSim re-rank
       "q353_graph_adc_widebeam", "q354_plaid_maxsim",
-      "q356_colbert_candidates", "q357_ivfsq8_filtered")
+      "q356_colbert_candidates", "q357_ivfsq8_filtered",
+      "q358_ivf_store_stats")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

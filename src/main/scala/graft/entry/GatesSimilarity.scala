@@ -119,6 +119,21 @@ private[graft] object GatesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+// IVF store MAINTENANCE STATS (round 14): the compaction/rebuild
+    // policy's input — per-cell live row counts and tombstone backlog
+    // from one column-pruned (id, cell) scan, no vectors read. The
+    // oracle replays the assignment chain and counts the same way.
+    "q358_ivf_store_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfstat_gate").toString
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tmp, c = 16,
+        portableHash = true)
+      Knn.deleteFromIvfIndex(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", tmp)
+      Knn.ivfStoreStats(s, tmp).orderBy("cell")
+    }),
+
 // The persisted-index lifecycle under the gate: build the
     // cell-partitioned IVF index on disk, then answer through the
     // directory-pruned probe path — results must equal the in-memory
@@ -772,6 +787,28 @@ private[graft] object GatesSimilarity {
 // Persisted-index twin: identical semantics, answered through the
     // on-disk cell-partitioned index + pruned probe.
     "q72_ivf_persisted" -> ivfOracleSql,
+
+    // The assignment chain + per-cell counts with the tombstone class
+    // tallied (not removed — stats see the backlog, probes do not).
+    "q358_ivf_store_stats" ->
+      s"""WITH hashed AS (
+         |  SELECT vec_id, embedding,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT h AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM hashed ORDER BY h LIMIT 16),
+         |assign AS (
+         |  SELECT hd.vec_id AS id, c.cell,
+         |    row_number() OVER (PARTITION BY hd.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(hd.embedding AS DOUBLE[]), c.cvec) DESC,
+         |               c.cell DESC) AS rn
+         |  FROM hashed hd CROSS JOIN cents c),
+         |cells AS (SELECT id, cell FROM assign WHERE rn = 1)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tombstoned
+         |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
 
     // q72's probe chain over the post-delete survivors (id % 7 <> 3
     // drops BEFORE ranking — the pre-top-k contract), emitted once per

@@ -639,6 +639,25 @@ object Knn {
     }
   }
 
+  /** Maintenance dashboard for a persisted IVF store (round 14 — the
+    * scheduler's input beside [[EmbeddingStore.drift]]): per cell, the
+    * live layout facts a compaction/rebuild policy reads — row count
+    * and tombstone backlog. One column-pruned (id, cell) scan joined
+    * to the broadcast tombstone set; no vectors are read. Skewed
+    * n_rows → centroid retrain (full rebuild); n_tombstoned/n_rows
+    * past a threshold → [[compactIvfStore]]. Works on every store the
+    * family writes (flat, PQ, RQ, SQ8 — same layout). */
+  def ivfStoreStats(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("id"), col("cell").cast("long").as("cell"))
+    val tagged = ivfTombstonesOpt(spark, path).fold(
+      cells.withColumn("__t", lit(0L)))(t =>
+      cells.join(broadcast(t.withColumn("__t", lit(1L))), Seq("id"), "left")
+        .withColumn("__t", coalesce(col("__t"), lit(0L))))
+    tagged.groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"), sum("__t").as("n_tombstoned"))
+  }
+
   /** Shared IVF probe: nprobe nearest cells per query (broadcast
     * centroid ranking), directory-pruned cell scan, optional
     * attribute predicate + exclude anti-join BEFORE scoring — the
