@@ -658,6 +658,29 @@ object Knn {
       .agg(count(lit(1)).as("n_rows"), sum("__t").as("n_tombstoned"))
   }
 
+  /** Threshold-driven store maintenance (round 14) — the policy loop
+    * over [[ivfStoreStats]] → [[compactIvfStore]]: compact when the
+    * tombstone backlog exceeds `maxTombstoneFrac` of stored rows,
+    * otherwise do nothing (tombstones are cheap until they aren't —
+    * they ride every probe as a broadcast anti-join, so the bound is
+    * broadcast-scale hygiene, the same reason every tombstone store
+    * documents a compaction cadence). Returns Some(manifest) when a
+    * compaction ran, None when the store is within budget — callers
+    * schedule this after append/delete batches (e.g. from a
+    * foreachBatch hook beside [[ingestIvfStream]]). */
+  def maintainIvfStore(spark: SparkSession, path: String,
+                       maxTombstoneFrac: Double = 0.1): Option[DataFrame] = {
+    require(maxTombstoneFrac >= 0.0,
+      s"need maxTombstoneFrac >= 0, got $maxTombstoneFrac")
+    val agg = ivfStoreStats(spark, path)
+      .agg(sum("n_rows").as("r"), sum("n_tombstoned").as("t")).head()
+    val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val tomb = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    if (rows > 0 && tomb.toDouble / rows > maxTombstoneFrac)
+      Some(compactIvfStore(spark, path))
+    else None
+  }
+
   /** Shared IVF probe: nprobe nearest cells per query (broadcast
     * centroid ranking), directory-pruned cell scan, optional
     * attribute predicate + exclude anti-join BEFORE scoring — the

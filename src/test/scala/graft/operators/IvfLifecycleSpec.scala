@@ -110,6 +110,32 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(survivors == corpus4.collect().map(_.getLong(0)).toSet -- dead)
   }
 
+  test("maintainIvfStore compacts only past the tombstone-fraction threshold") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_maint")
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
+    // 1 of 4 tombstoned = 0.25: under a 0.5 budget -> no compaction
+    Knn.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), "vec_id", path)
+    assert(Knn.maintainIvfStore(spark, path, maxTombstoneFrac = 0.5).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "under-budget maintenance must not touch the store")
+    // 2 of 4 = 0.5: over a 0.4 budget -> compacts and reports
+    Knn.deleteFromIvfIndex(Seq(2L).toDF("vec_id"), "vec_id", path)
+    val manifest = Knn.maintainIvfStore(spark, path, maxTombstoneFrac = 0.4)
+    assert(manifest.nonEmpty)
+    val m = manifest.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("tombstones_applied") == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    val ids = spark.read.parquet(s"$path/cells")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L, 4L))
+    // freshly compacted store is within any budget
+    assert(Knn.maintainIvfStore(spark, path, maxTombstoneFrac = 0.0).isEmpty)
+  }
+
   test("compactIvfStore without tombstones is a no-op manifest") {
     val path = tmpDir("ivf_cmp_noop")
     Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
