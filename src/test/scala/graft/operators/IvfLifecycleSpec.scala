@@ -174,6 +174,30 @@ class IvfLifecycleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retrievalMetrics: a perfect system scores 1e6 on every metric; " +
+    "poolTokens is token-order independent") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    // perfect system: results == truth, random ranks 1..k
+    val rows = (1L to 8L).flatMap(q => (1 to 4).map(r =>
+      (q, q * 100 + r, r.toLong)))
+    val res = rows.toDF("query_id", "doc_id", "rank")
+    val truth = res.select("query_id", "doc_id")
+    Knn.retrievalMetrics(res, truth, k = 4).collect().foreach { m =>
+      assert(m.getLong(3) == 1000000L && m.getLong(4) == 1000000L &&
+        m.getLong(5) == 1000000L, s"perfect system not 1e6: $m")
+    }
+    // order independence: shuffled token rows pool identically
+    val toks = (0L until 30L).map(t =>
+      (t / 5, t, Array.fill(6)(rnd.nextGaussian().toFloat)))
+    val a = Knn.poolTokens(toks.toDF("d", "t", "v"), "d", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Knn.poolTokens(rnd.shuffle(toks).toDF("d", "t", "v"), "d", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "poolTokens must not depend on token order")
+  }
+
   test("retrievalMetrics: exact integer micros on a hand-checked case") {
     val s = spark
     import s.implicits._
