@@ -29,8 +29,10 @@ object SparkEntry {
     graft.entry.GatesRelational.queries ++
     graft.entry.GatesEtl.queries ++
     graft.entry.GatesDedup.queries ++
+    graft.entry.GatesVectorStore.queries ++
     graft.entry.GatesMetrics.queries ++
     graft.entry.GatesSimilarity.queries ++
+    graft.entry.GatesRetrieval.queries ++
     graft.entry.GatesTextAnalysis.queries ++
     graft.entry.GatesEvents.queries ++
     graft.entry.GatesGraphAnn.queries ++
@@ -49,8 +51,10 @@ object SparkEntry {
     graft.entry.GatesRelational.oracles ++
     graft.entry.GatesEtl.oracles ++
     graft.entry.GatesDedup.oracles ++
+    graft.entry.GatesVectorStore.oracles ++
     graft.entry.GatesMetrics.oracles ++
     graft.entry.GatesSimilarity.oracles ++
+    graft.entry.GatesRetrieval.oracles ++
     graft.entry.GatesTextAnalysis.oracles ++
     graft.entry.GatesEvents.oracles ++
     graft.entry.GatesGraphAnn.oracles ++
