@@ -191,7 +191,11 @@ object Bench {
       // token-level IVF build → candidate union → MaxSim re-rank
       "q353_graph_adc_widebeam", "q354_plaid_maxsim",
       "q356_colbert_candidates", "q357_ivfsq8_filtered",
-      "q358_ivf_store_stats")
+      "q358_ivf_store_stats",
+      // round-15: pooled GRAPH store build → beam-walk shortlist →
+      // exact MaxSim re-rank (q354's composition through the graph
+      // candidate generator)
+      "q359_graph_plaid_maxsim")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB

@@ -507,15 +507,22 @@ object Pq {
     * append id-sorted cell files (each appended file keeps tight
     * row-group id stats, so the re-rank pushdown keeps pruning).
     * Build-once / append-many; codebook drift is a periodic-rebuild
-    * concern, as with the centroids. */
+    * concern, as with the centroids. Kept attribute columns are
+    * DISCOVERED from the store's cells schema (round 15, r14 advice):
+    * a keep-built store requires every append batch to carry the same
+    * attribute columns, so appended rows can never be silently
+    * invisible to a later filtered search. */
   def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
     val spark = batch.sparkSession
     val books = loadCodebooks(spark, path)
+    val kept = Knn.storedKeepColumns(spark, path, codes = true)
+    Knn.requireKeepCovered(batch, kept, path)
     Knn.assignCells(batch, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), kept)
       .withColumn("codes", codesColumn(col("vec"), books))
-      .select("id", "codes", "vec", "cell")
+      .select(Seq("id", "codes", "vec").map(col) ++ kept.map(col) :+
+        col("cell"): _*)
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
@@ -676,10 +683,13 @@ object Pq {
                        path: String): Unit = {
     val spark = batch.sparkSession
     val (b1, b2) = loadResidualCodebooks(spark, path)
+    val kept = Knn.storedKeepColumns(spark, path, codes = true)
+    Knn.requireKeepCovered(batch, kept, path)
     Knn.assignCells(batch, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), kept)
       .withColumn("codes", graft.plans.native.residualCodes(col("vec"), b1, b2))
-      .select("id", "codes", "vec", "cell")
+      .select(Seq("id", "codes", "vec").map(col) ++ kept.map(col) :+
+        col("cell"): _*)
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
@@ -752,10 +762,13 @@ object Pq {
                         path: String): Unit = {
     val spark = batch.sparkSession
     val (mins, maxs) = loadSq8Ranges(spark, path)
+    val kept = Knn.storedKeepColumns(spark, path, codes = true)
+    Knn.requireKeepCovered(batch, kept, path)
     Knn.assignCells(batch, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), kept)
       .withColumn("codes", sq8CodesColumn(col("vec"), mins, maxs))
-      .select("id", "codes", "vec", "cell")
+      .select(Seq("id", "codes", "vec").map(col) ++ kept.map(col) :+
+        col("cell"): _*)
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")

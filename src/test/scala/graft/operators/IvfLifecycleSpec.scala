@@ -136,6 +136,108 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(Knn.maintainIvfStore(spark, path, maxTombstoneFrac = 0.0).isEmpty)
   }
 
+  test("maintainIvfStore counts orphan tombstones against the backlog " +
+    "(round 15): tombstones matching no stored row still ride every " +
+    "probe's broadcast anti-join") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_maint_orphan")
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
+    // 3 orphan tombstones against 4 stored rows: the stats-side
+    // backlog is 0 (nothing matches), but the broadcast-hygiene bound
+    // is 0.75 — over a 0.5 budget the policy must compact (which
+    // clears the table)
+    Knn.deleteFromIvfIndex(Seq(100L, 101L, 102L).toDF("vec_id"),
+      "vec_id", path)
+    val manifest = Knn.maintainIvfStore(spark, path, maxTombstoneFrac = 0.5)
+    assert(manifest.nonEmpty,
+      "orphan tombstones must trigger hygiene compaction")
+    val m = manifest.get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("tombstones_applied") == 3L && m("cells_rewritten") == 0L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    assert(spark.read.parquet(s"$path/cells").count() == 4L)
+  }
+
+  test("coded appends discover and carry the store's kept attribute " +
+    "columns; a batch missing them is rejected (round 15, r14 advice)") {
+    val s = spark
+    import s.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => (((i * 29 + d * 13) % 89).toFloat - 44f) / 44f)
+    val corpus = (1L to 30L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "grp")
+    val batch = (31L to 40L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "grp")
+    val q = Seq((900L, vec(34L))).toDF("vec_id", "embedding")
+    // PQ twin
+    val p1 = tmpDir("ivfpq_keep_app")
+    Pq.writeIvfPqIndex(corpus, "vec_id", "embedding", p1,
+      c = 2, m = 2, k = 8, dim = 8, keep = Seq("grp"))
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", p1)
+    val hits = Pq.searchIvfPq(spark, p1, q, "vec_id", "embedding",
+        k = 40, nprobe = 2, shortlist = 40,
+        pred = Some(col("grp") === 1))
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(34L),
+      s"appended row invisible to filtered search: $hits")
+    val bad = intercept[IllegalArgumentException] {
+      Pq.appendIvfPqIndex(
+        Seq((41L, vec(41L))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", p1)
+    }
+    assert(bad.getMessage.contains("grp"))
+    // SQ8 twin
+    val p2 = tmpDir("ivfsq8_keep_app")
+    Pq.writeIvfSq8Index(corpus, "vec_id", "embedding", p2,
+      c = 2, dim = 8, keep = Seq("grp"))
+    Pq.appendIvfSq8Index(batch, "vec_id", "embedding", p2)
+    val hits2 = Pq.searchIvfSq8(spark, p2, q, "vec_id", "embedding",
+        k = 40, nprobe = 2, shortlist = 40,
+        pred = Some(col("grp") === 1))
+      .collect().map(_.getLong(1)).toSet
+    assert(hits2.contains(34L),
+      s"SQ8 appended row invisible to filtered search: $hits2")
+  }
+
+  test("appendIvfIndex: keep reconciles against the store schema; " +
+    "skipExisting makes a replayed batch a no-op (round 15)") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_app_keep")
+    val corpus = Seq((1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1)).toDF("vec_id", "embedding", "grp")
+    Knn.writeIvfIndex(corpus, "vec_id", "embedding", path, c = 1,
+      keep = Seq("grp"))
+    // kept columns discovered from the store: a bare batch fails
+    val err = intercept[IllegalArgumentException] {
+      Knn.appendIvfIndex(
+        Seq((3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path)
+    }
+    assert(err.getMessage.contains("grp"))
+    // an explicit keep that contradicts the store fails
+    val err2 = intercept[IllegalArgumentException] {
+      Knn.appendIvfIndex(
+        Seq((3L, Array(0f, 0f, 1f, 0f), "x"))
+          .toDF("vec_id", "embedding", "other"),
+        "vec_id", "embedding", path, keep = Seq("other"))
+    }
+    assert(err2.getMessage.contains("does not match"))
+    // replayed batch under skipExisting: second append is a no-op
+    val batch = Seq((3L, Array(0f, 0f, 1f, 0f), 2))
+      .toDF("vec_id", "embedding", "grp")
+    Knn.appendIvfIndex(batch, "vec_id", "embedding", path,
+      skipExisting = true)
+    Knn.appendIvfIndex(batch, "vec_id", "embedding", path,
+      skipExisting = true)
+    val n = spark.read.parquet(s"$path/cells")
+      .where(col("id") === 3L).count()
+    assert(n == 1L, s"replayed batch duplicated: $n rows for id 3")
+  }
+
   test("compactIvfStore without tombstones is a no-op manifest") {
     val path = tmpDir("ivf_cmp_noop")
     Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
@@ -214,12 +316,45 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(m.getLong(4) == 1000000L)           // first hit at rank 1
     // AP@3 = (prec@1 + prec@3) / min(3,3) = (1e6 + 666666) / 3
     assert(m.getLong(5) == 555555L, s"ap=${m.getLong(5)}")
+    // NDCG@3 binary: dcg = w1 + w3, idcg = w1 + w2 + w3 (round 15)
+    assert(m.getLong(6) == 703918L, s"ndcg=${m.getLong(6)}")
     // a query with zero hits reports zero MRR/AP, not null
     val none = Knn.retrievalMetrics(
       Seq((2L, 99L, 1L)).toDF("query_id", "doc_id", "rank"),
       Seq((2L, 10L)).toDF("query_id", "doc_id"), k = 3).collect().head
     assert(none.getLong(2) == 0L && none.getLong(4) == 0L &&
-      none.getLong(5) == 0L)
+      none.getLong(5) == 0L && none.getLong(6) == 0L)
+  }
+
+  test("retrievalMetrics: truth-absent-from-results queries emit " +
+    "all-zero rows; graded NDCG is exact (round 15)") {
+    val s = spark
+    import s.implicits._
+    // query 3 exists ONLY in truth (zero results) — r14 advice: it
+    // must still emit a row with every metric 0, or a harness
+    // averaging the table overstates recall
+    val sys = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (3L, 10L)).toDF("query_id", "doc_id")
+    val rows = Knn.retrievalMetrics(sys, truth, k = 3)
+      .orderBy("query_id").collect()
+    assert(rows.length == 2, s"expected a row per truth query: ${rows.toSeq}")
+    val zero = rows(1)
+    assert(zero.getLong(0) == 3L && zero.getLong(1) == 1L &&
+      (2 to 6).forall(i => zero.getLong(i) == 0L),
+      s"zero-results row wrong: $zero")
+    // graded: truth {10 g=3, 20 g=1}; system ranks 20 then 10 —
+    // dcg = 1·w1 + 3·w2, idcg = 3·w1 + 1·w2 (grades sorted desc)
+    val gsys = Seq((1L, 20L, 1L), (1L, 10L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val gtruth = Seq((1L, 10L, 3L), (1L, 20L, 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val g = Knn.retrievalMetrics(gsys, gtruth, k = 3).collect().head
+    assert(g.getLong(6) == 796707L, s"graded ndcg=${g.getLong(6)}")
+    // ideal-ranked system scores exactly 1e6
+    val perfect = Seq((1L, 10L, 1L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val p = Knn.retrievalMetrics(perfect, gtruth, k = 3).collect().head
+    assert(p.getLong(6) == 1000000L, s"perfect graded ndcg=${p.getLong(6)}")
   }
 
   test("filtered coded probe (PQ path): pred holds pre-shortlist, " +

@@ -1466,6 +1466,40 @@ class KnnSpec extends SparkSpec {
     assert(err.getMessage.contains("stale codes sidecar"))
   }
 
+  test("ADC staleness guard rejects DUPLICATE codes rows (round 15): " +
+    "a double-coded node would be scored twice and eat two beam slots") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(74)
+    def point(center: Int, noise: Float): Array[Float] = {
+      val v = Array.fill(16)(noise * rnd.nextGaussian().toFloat)
+      v(center) += 5.0f
+      v
+    }
+    val base = (0L until 40L).map(i => (i, point((i % 2).toInt, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_cdup").toString
+    Knn.writeGraphIndex(base, "vec_id", "embedding", dir,
+      k = 4, c = 4, nprobe = 2, buckets = 4)
+    val books = Pq.trainCodebooks(base, "vec_id", "embedding",
+      m = 4, k = 16, dim = 16)
+    Knn.writeGraphCodes(spark, dir, books)
+    val q = Seq((900L, point(0, 0.0f))).toDF("vec_id", "embedding")
+    assert(Knn.searchGraphIndexAdc(spark, dir, books, q,
+      "vec_id", "embedding", beam = 6, hops = 2, k = 3).count() == 3)
+    // hand-maintained sidecar gone wrong: one node's codes row lands
+    // twice (same cardinality trick as the r13 count-check bypass —
+    // the id-level union audit must still fail loudly)
+    val one = spark.read.parquet(s"$dir/codes").limit(1)
+      .localCheckpoint(true)
+    one.write.mode("append").partitionBy("bucket").parquet(s"$dir/codes")
+    val err = intercept[IllegalArgumentException] {
+      Knn.searchGraphIndexAdc(spark, dir, books, q,
+        "vec_id", "embedding", beam = 6, hops = 2, k = 3)
+    }
+    assert(err.getMessage.contains("duplicate codes"))
+  }
+
   test("filtered IVF search (round 13): predicate evaluates pre-top-k " +
     "(filtered-out rows never eat a rank slot), kept attributes ride " +
     "the cell directories, range search matches the brute threshold") {
