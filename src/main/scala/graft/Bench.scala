@@ -44,6 +44,15 @@ import org.apache.spark.sql.SparkSession
   * and the JSON carries a per-query `sections` tag map plus all four
   * per-section ratios, so the headline can no longer drift floor-ward
   * unnoticed as micro-gates accumulate.
+  *
+  * Round 15 (r14 verdict ask #1 — the lifecycle class leaves the
+  * headline): `vs_baseline` now covers the work-comparable classes
+  * (scan_real/scan_micro/scan/iterative); the all-in ratio is kept
+  * verbatim as `vs_baseline_all`, and vs_baseline_lifecycle is
+  * unchanged. Mechanism adjudicated by measurement in PARITY_r15.json
+  * (the AS MATERIALIZED route measurably LOWERS the DuckDB
+  * denominator instead of charging build work — see the quarantine
+  * comment at the ratio emit below).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -194,8 +203,8 @@ object Bench {
       "q358_ivf_store_stats",
       // round-15: pooled GRAPH store build → beam-walk shortlist →
       // exact MaxSim re-rank (q354's composition through the graph
-      // candidate generator)
-      "q359_graph_plaid_maxsim")
+      // candidate generator); graph store build → stats dashboard
+      "q359_graph_plaid_maxsim", "q361_graph_store_stats")
     // Iterative driver-loop convergence/training gates: wall time is
     // dominated by per-round stage dispatch (a data-size-INVARIANT
     // local-mode constant, measured in the q60 scaladoc) — the DuckDB
@@ -330,8 +339,32 @@ object Bench {
           sBySec.getOrElse("scan_micro", 0.0) + sBySec.getOrElse("scan", 0.0)
         val scanCombined = if (bScan <= 0) "" else
           s""","baseline_scan_sec":${r3(bScan)},"vs_baseline_scan":${r3(sScan / bScan)}"""
-        s""","baseline_total_sec":${r3(bTotal)},"baselined_spark_sec":${
-          r3(sTotal)},"vs_baseline":${
+        // HEADLINE QUARANTINE (round 15, r14 verdict ask #1): the
+        // store-lifecycle gates' oracles replay only the final query
+        // of a build→mutate→probe soak, so every new lifecycle gate
+        // mechanically inflated the all-in ratio (~+0.13x/round,
+        // r12–r14) with zero code regressions. The verdict's proposed
+        // fix — pin the build CTEs AS MATERIALIZED so DuckDB "pays
+        // build cost" — was MEASURED and does the opposite
+        // (PARITY_r15.json: pinning every CTE takes the 40 lifecycle
+        // oracles from 35.7 s to 18.2 s at sf0.1; DuckDB already runs
+        // the full build chain inline, and materialization only
+        // caches double-referenced subtrees — the Spark/DuckDB gap is
+        // store parquet I/O + multi-job dispatch, unreachable from a
+        // CTE annotation). So round 15 takes the verdict's "and/or"
+        // branch: `vs_baseline` (the number the 2x rule reads) now
+        // covers the WORK-COMPARABLE classes — scan_real, scan_micro,
+        // scan, iterative — and the all-in ratio survives verbatim as
+        // `vs_baseline_all` for cross-round continuity, beside the
+        // unchanged per-section ratios (lifecycle stays fully
+        // visible in vs_baseline_lifecycle).
+        val bComp = bTotal - bBySec.getOrElse("lifecycle", 0.0)
+        val sComp = sTotal - sBySec.getOrElse("lifecycle", 0.0)
+        val headline = if (bComp <= 0) "" else
+          s""""baseline_total_sec":${r3(bComp)},"baselined_spark_sec":${
+            r3(sComp)},"vs_baseline":${r3(sComp / bComp)},"""
+        s""",$headline"baseline_all_sec":${r3(bTotal)},"all_spark_sec":${
+          r3(sTotal)},"vs_baseline_all":${
           r3(sTotal / bTotal)}$scanCombined${sec("scan_real")}${sec("scan_micro")
           }${sec("lifecycle")}${sec("iterative")}"""
       }

@@ -131,6 +131,23 @@ private[graft] object GatesVectorStore {
         .orderBy("query_id", "rank")
     }),
 
+    // GRAPH store maintenance dashboard (round 15, r14 verdict ask
+    // #4 — q358's graph twin, completing the stats side of the
+    // policy matrix): per (layer, bucket) — member count, out-edge
+    // count, tombstone backlog. The oracle replays the bucket
+    // assignment (id % buckets), the k-NN edge build (q347's CTE
+    // chain) and the delete residue tally.
+    "q361_graph_store_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gstat_gate").toString
+      Knn.writeGraphIndex(emb, "vec_id", "embedding", tmp, k = 3,
+        c = 16, nprobe = 2, buckets = 8, portableHash = true)
+      Knn.deleteFromGraphIndex(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", tmp)
+      Knn.graphStoreStats(s, tmp).orderBy("layer", "bucket")
+    }),
+
 // The IVF+SQ8 lifecycle under the gate: bottom-k centroids, exact
     // min/max ranges, cell-partitioned uint8 codes on disk, then the
     // pruned codes-only ADC probe + shortlist + exact re-rank — q75's
@@ -312,6 +329,29 @@ private[graft] object GatesVectorStore {
     // out 10% (append beam over the base graph, reverse links, per-
     // source re-trim to k), entry-table maintenance, and the final
     // multi-seed search over the post-append graph.
+    // Bucket assignment (id % 8), the k-NN edge build (q347's
+    // layerKnnGraphCtes chain over the full member), and the delete
+    // residue tally per bucket — layers=0, so one layer-0 row per
+    // populated bucket.
+    "q361_graph_store_stats" ->
+      s"""WITH hs AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |${layerKnnGraphCtes("g", "hs", 16, 2, 3)},
+         |nstat AS (
+         |  SELECT id % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tombstoned
+         |  FROM hs GROUP BY bucket),
+         |estat AS (
+         |  SELECT src % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_edges
+         |  FROM ge GROUP BY bucket)
+         |SELECT 0 AS layer, n.bucket, n.n_nodes, n.n_tombstoned,
+         |  CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges
+         |FROM nstat n LEFT JOIN estat e ON e.bucket = n.bucket
+         |ORDER BY layer, n.bucket""".stripMargin,
+
     "q326_graph_index" ->
       s"""WITH bhashed AS (
          |  SELECT vec_id, embedding,

@@ -73,6 +73,32 @@ object EmbeddingStore {
     else None
   }
 
+  /** Threshold-driven store maintenance (round 15 —
+    * [[graft.operators.Knn.maintainIvfStore]]'s embedding-store twin,
+    * completing the policy matrix beside [[drift]]): compact when the
+    * distinct tombstone-table count (orphans included) exceeds
+    * `maxTombstoneFrac` of stored vectors, or when any cell directory
+    * has accreted more than `maxFilesPerCell` files (each
+    * [[ingest]]/[[ingestStream]] batch appends ≥1 file per touched
+    * cell; 0 disables). Compaction answers bytes/file hygiene only —
+    * distribution shift stays [[drift]]'s metric and a full rebuild's
+    * job. Returns Some(manifest) when maintenance ran. */
+  def maintainStore(spark: SparkSession, path: String,
+                    maxTombstoneFrac: Double = 0.1,
+                    maxFilesPerCell: Int = 0): Option[DataFrame] = {
+    require(maxTombstoneFrac >= 0.0,
+      s"need maxTombstoneFrac >= 0, got $maxTombstoneFrac")
+    val rows = spark.read.parquet(s"$path/cells").select("id").count()
+    val nTomb = tombstonesOpt(spark, path).map(_.count()).getOrElse(0L)
+    val filesOver = maxFilesPerCell > 0 &&
+      !Knn.storeFileStats(spark, path, "cells")
+        .where(col("n_files") > maxFilesPerCell).isEmpty
+    if ((rows > 0 && nTomb.toDouble / rows > maxTombstoneFrac) ||
+        filesOver)
+      Some(compactStore(spark, path))
+    else None
+  }
+
   /** Rewrite `cells/` minus tombstones (cell partitioning preserved —
     * probe pruning is untouched) and drop the tombstone set. Centroids
     * are NOT retrained: compaction reclaims bytes, it does not answer
@@ -93,7 +119,12 @@ object EmbeddingStore {
       cells.join(t, cells("id") === t("id"), "left_anti"))
     val tmp = s"$path/_compact_tmp"
     fs.delete(new Path(tmp), true)
-    kept.write.partitionBy("cell").parquet(s"$tmp/cells")
+    // one shuffle partition per cell → one file per cell: compaction
+    // COALESCES the ≥1-file-per-touched-cell-per-batch accretion of
+    // the append/ingest paths (round 15 — [[maintainStore]]'s
+    // files-per-cell trigger relies on this resetting the count)
+    kept.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$tmp/cells")
     fs.delete(new Path(s"$path/cells"), true)
     fs.rename(new Path(s"$tmp/cells"), new Path(s"$path/cells"))
     fs.delete(new Path(tmp), true)

@@ -105,6 +105,33 @@ object MinhashStore {
     else None
   }
 
+  /** Threshold-driven store maintenance (round 15 —
+    * [[graft.operators.Knn.maintainIvfStore]]'s fingerprint-store
+    * twin, completing the policy matrix): compact when the distinct
+    * tombstone-table count (orphans included — they ride every probe's
+    * anti-join regardless) exceeds `maxTombstoneFrac` of stored
+    * signatures, or when the bands table has accreted more than
+    * `maxAppendShards` files (each [[append]]/[[ingest]] batch lands
+    * its own shard files AND one more `bucket_counts` shard — the
+    * hot-bucket scan pays one per append until compaction; 0
+    * disables). Returns Some([[compactStore]] manifest) when
+    * maintenance ran, None when within budget. */
+  def maintainStore(spark: SparkSession, path: String,
+                    maxTombstoneFrac: Double = 0.1,
+                    maxAppendShards: Int = 0): Option[DataFrame] = {
+    require(maxTombstoneFrac >= 0.0,
+      s"need maxTombstoneFrac >= 0, got $maxTombstoneFrac")
+    val sigs = spark.read.parquet(s"$path/sigs").select("id").count()
+    val nTomb = tombstonesOpt(spark, path).map(_.count()).getOrElse(0L)
+    val shardsOver = maxAppendShards > 0 &&
+      Knn.storeFileStats(spark, path, "bands")
+        .agg(sum("n_files")).head().getLong(0) > maxAppendShards
+    if ((sigs > 0 && nTomb.toDouble / sigs > maxTombstoneFrac) ||
+        shardsOver)
+      Some(compactStore(spark, path))
+    else None
+  }
+
   /** Rewrite the store minus tombstones and collapse the per-append
     * `bucket_counts` shards into one exact recount. Run this in a
     * maintenance window (the component swap is not atomic with respect
@@ -129,7 +156,11 @@ object MinhashStore {
     val tmp = s"$path/_compact_tmp"
     fs.delete(new Path(tmp), true)
     minus(spark.read.parquet(s"$path/sigs")).write.parquet(s"$tmp/sigs")
+    // one shuffle partition per band → one file per band: compaction
+    // coalesces the per-append shard accretion ([[maintainStore]]'s
+    // maxAppendShards trigger relies on this resetting the count)
     minus(spark.read.parquet(s"$path/bands"))
+      .repartition(col("band"))
       .write.partitionBy("band").parquet(s"$tmp/bands")
     // recount from the compacted bands already on disk — one shard,
     // exact, tombstone-free

@@ -152,4 +152,36 @@ class EmbeddingStoreSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet == Set(31L, 42L))
     } finally q.stop()
   }
+
+  test("maintainStore (round 15): orphan tombstones and cell-file " +
+    "accretion trigger compaction") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("emb_maint")
+    EmbeddingStore.write(Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.4f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1.0f, 0f))
+    ).toDF("vec_id", "embedding"), "vec_id", "embedding", path, c = 1)
+    assert(EmbeddingStore.maintainStore(spark, path,
+      maxTombstoneFrac = 0.5).isEmpty)
+    // one live + one ORPHAN tombstone = 2/3 > 0.5 — orphans ride the
+    // probe anti-join too, so they count against the budget
+    EmbeddingStore.delete(Seq(1L, 99L).toDF("vec_id"), "vec_id", path)
+    val m = EmbeddingStore.maintainStore(spark, path, maxTombstoneFrac = 0.5)
+    assert(m.nonEmpty, "2/3 tombstones over a 0.5 budget must compact")
+    assert(spark.read.parquet(s"$path/cells").count() == 2L)
+    // appends accrete cell files; the files budget coalesces them
+    def maxFiles() = Knn.storeFileStats(spark, path, "cells")
+      .agg(max("n_files")).head().getLong(0)
+    EmbeddingStore.append(Seq((11L, Array(0.5f, 0.5f, 0f, 0f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    assert(maxFiles() > 1, s"append did not accrete files: ${maxFiles()}")
+    val m2 = EmbeddingStore.maintainStore(spark, path,
+      maxTombstoneFrac = 1.0, maxFilesPerCell = 1)
+    assert(m2.nonEmpty, "over-accreted store must compact")
+    assert(maxFiles() == 1L, s"compaction did not coalesce: ${maxFiles()}")
+    assert(spark.read.parquet(s"$path/cells").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 11L))
+  }
 }

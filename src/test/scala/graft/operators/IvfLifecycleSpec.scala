@@ -238,6 +238,27 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(n == 1L, s"replayed batch duplicated: $n rows for id 3")
   }
 
+  test("ADC big-batch re-rank (round 15, r14 verdict ask #7): past the " +
+    "shortlist-collect bound the distributed join path returns the " +
+    "same results as the collected path") {
+    val s = spark
+    import s.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => (((i * 31 + d * 17) % 97).toFloat - 48f) / 48f)
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val path = tmpDir("ivfpq_bigbatch")
+    Pq.writeIvfPqIndex(corpus, "vec_id", "embedding", path,
+      c = 4, m = 2, k = 8, dim = 8)
+    val qs = (200L to 205L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def run(bound: Long) = Pq.searchIvfPq(spark, path, qs,
+        "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 10,
+        maxShortlistCollect = bound)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(run(1L) == run(4000000L),
+      "distributed re-rank must equal the collected path")
+  }
+
   test("compactIvfStore without tombstones is a no-op manifest") {
     val path = tmpDir("ivf_cmp_noop")
     Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
@@ -245,8 +266,39 @@ class IvfLifecycleSpec extends SparkSpec {
     val manifest = Knn.compactIvfStore(spark, path)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(manifest == Map("tombstones_applied" -> 0L,
-      "cells_rewritten" -> 0L, "cells_emptied" -> 0L))
+      "cells_rewritten" -> 0L, "cells_emptied" -> 0L,
+      "cells_coalesced" -> 0L))
     assert(spark.read.parquet(s"$path/cells").count() == before)
+  }
+
+  test("maintainIvfStore files-per-cell trigger coalesces streamed " +
+    "appends (round 15): every row survives, one file per cell after") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("ivf_files")
+    Knn.writeIvfIndex(corpus4, "vec_id", "embedding", path, c = 1)
+    Knn.appendIvfIndex(Seq((50L, Array(0.7f, 0.7f, 0f, 0f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    Knn.appendIvfIndex(Seq((51L, Array(0f, 0f, 0f, 1.0f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    def maxFiles() = Knn.storeFileStats(spark, path, "cells")
+      .agg(max("n_files")).head().getLong(0)
+    val before = maxFiles()
+    assert(before >= 3, s"expected accreted files, got $before")
+    // no tombstones at all: only the files trigger can fire
+    val m = Knn.maintainIvfStore(spark, path, maxTombstoneFrac = 1.0,
+      maxFilesPerCell = 2)
+    assert(m.nonEmpty, "over-accreted cell must compact")
+    val mm = m.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mm("tombstones_applied") == 0L && mm("cells_coalesced") == 1L,
+      s"$mm")
+    assert(maxFiles() == 1L, s"coalesce left ${maxFiles()} files")
+    assert(spark.read.parquet(s"$path/cells").select("id")
+      .collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L, 50L, 51L))
+    // back in budget
+    assert(Knn.maintainIvfStore(spark, path, maxTombstoneFrac = 1.0,
+      maxFilesPerCell = 2).isEmpty)
   }
 
   test("ingestIvfStream: micro-batches append into the persisted IVF " +

@@ -158,6 +158,35 @@ class MinhashStoreSpec extends SparkSpec {
     assert(again == Set((22L, 5L)), s"post-compact append lost: $again")
   }
 
+  test("maintainStore (round 15): tombstone-fraction and append-shard " +
+    "triggers drive compaction; orphan tombstones count") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("mh_maint")
+    MinhashStore.write(store, "doc_id", "text", path) // 4 docs
+    assert(MinhashStore.maintainStore(spark, path,
+      maxTombstoneFrac = 0.4).isEmpty, "fresh store must be in budget")
+    // one live + one ORPHAN tombstone = 2/4 > 0.4: both ride every
+    // probe's anti-join, so both count (the r15 IVF posture)
+    MinhashStore.delete(Seq(1L, 99L).toDF("doc_id"), "doc_id", path)
+    val m = MinhashStore.maintainStore(spark, path, maxTombstoneFrac = 0.4)
+    assert(m.nonEmpty, "2/4 tombstones over a 0.4 budget must compact")
+    val mm = m.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mm("tombstones_applied") == 2L && mm("sigs") == 3L, s"$mm")
+    // appends accrete band-table shards; the shard budget compacts
+    // them back to one file per band
+    def bandFiles() = Knn.storeFileStats(spark, path, "bands")
+      .agg(sum("n_files")).head().getLong(0)
+    val n0 = bandFiles()
+    MinhashStore.append(batch, "doc_id", "text", path)
+    val n1 = bandFiles()
+    assert(n1 > n0, s"append did not accrete shards: $n0 -> $n1")
+    val m2 = MinhashStore.maintainStore(spark, path,
+      maxTombstoneFrac = 1.0, maxAppendShards = (n1 - 1).toInt)
+    assert(m2.nonEmpty, "over-shard store must compact")
+    assert(bandFiles() <= n0, s"compaction did not coalesce: ${bandFiles()}")
+  }
+
   test("probe never shuffles the store: its scans sit under broadcast joins only") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

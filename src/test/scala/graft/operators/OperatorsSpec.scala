@@ -1500,6 +1500,57 @@ class KnnSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate codes"))
   }
 
+  test("graphStoreStats + maintainGraphStore (round 15): the stats " +
+    "dashboard and the tombstone / files-per-bucket policy loop") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(75)
+    def point(center: Int): Array[Float] = {
+      val v = Array.fill(8)(0.4f * rnd.nextGaussian().toFloat)
+      v(center) += 4.0f
+      v
+    }
+    val base = (0L until 40L).map(i => (i, point((i % 2).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graph_maint").toString
+    Knn.writeGraphIndex(base, "vec_id", "embedding", dir,
+      k = 3, c = 4, nprobe = 2, buckets = 4)
+    // dashboard: every node counted once at layer 0, edges grouped by
+    // src bucket, zero backlog on a fresh store
+    val st0 = Knn.graphStoreStats(spark, dir).collect()
+    assert(st0.map(_.getLong(2)).sum == 40L, s"n_nodes: ${st0.toSeq}")
+    assert(st0.map(_.getLong(4)).sum ==
+      spark.read.parquet(s"$dir/edges").count(), s"n_edges: ${st0.toSeq}")
+    assert(st0.forall(_.getLong(3) == 0L), "fresh store has no backlog")
+    assert(Knn.maintainGraphStore(spark, dir,
+      maxTombstoneFrac = 0.2).isEmpty, "fresh store must be in budget")
+    // 8 live + 1 orphan tombstones = 9/40 > 0.2 -> compacts
+    Knn.deleteFromGraphIndex(
+      ((0L until 40L by 5L) :+ 999L).toDF("vec_id"), "vec_id", dir)
+    val st1 = Knn.graphStoreStats(spark, dir)
+      .agg(sum("n_tombstoned")).head().getLong(0)
+    assert(st1 == 8L, s"live backlog: $st1")
+    val m = Knn.maintainGraphStore(spark, dir, maxTombstoneFrac = 0.2)
+    assert(m.nonEmpty, "9/40 tombstones over a 0.2 budget must compact")
+    val mm = m.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mm("tombstones_applied") == 9L && mm("nodes_live") == 32L, s"$mm")
+    assert(Knn.graphStoreStats(spark, dir)
+      .agg(sum("n_tombstoned")).head().getLong(0) == 0L,
+      "compaction must clear the backlog")
+    // appends accrete node files; the files budget coalesces them
+    def maxFiles() = Knn.storeFileStats(spark, dir, "nodes")
+      .agg(max("n_files")).head().getLong(0)
+    Knn.appendGraphIndex((100L to 103L).map(i => (i, point((i % 2).toInt)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      beam = 4, hops = 2)
+    assert(maxFiles() > 1, s"append did not accrete files: ${maxFiles()}")
+    val m2 = Knn.maintainGraphStore(spark, dir,
+      maxTombstoneFrac = 1.0, maxFilesPerBucket = 1)
+    assert(m2.nonEmpty, "over-accreted store must compact")
+    assert(maxFiles() == 1L, s"compaction did not coalesce: ${maxFiles()}")
+    assert(spark.read.parquet(s"$dir/nodes").count() == 36L)
+  }
+
   test("filtered IVF search (round 13): predicate evaluates pre-top-k " +
     "(filtered-out rows never eat a rank slot), kept attributes ride " +
     "the cell directories, range search matches the brute threshold") {
