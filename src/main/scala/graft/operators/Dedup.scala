@@ -995,19 +995,38 @@ object Dedup {
       .persist(cacheLevel)
     val nTruth = truth.count()
     val signed = minhashSigned(df, idCol, textCol, shingleN, k, portableHash)
-    val rows = configs.map { case (b, r) =>
-      val banded = minhashBanded(
+    // ONE tagged self-join + two grouped counts for the WHOLE grid
+    // (round 15, guide §2.4): the per-config loop previously ran
+    // |configs| sequential (join → distinct → count → semi-join →
+    // count) rounds over the same cached signatures — 2·|configs|
+    // count jobs and |configs| separate shuffles. Tagging each
+    // config's banded rows with its index and self-joining on
+    // (cfg, band, bucket) computes every config's candidate set in
+    // one shuffle, then per-config counts fall out of two aggregate
+    // jobs. Counts — and therefore every output row — are identical:
+    // the cfg tag isolates configs exactly as the loop did.
+    val bandedAll = configs.zipWithIndex.map { case ((b, r), i) =>
+      minhashBanded(
         signed.select(col("id"), slice(col("sig"), 1, b * r).as("sig")),
         b, r, portableHash)
-      val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-        .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-          Seq("band", "bucket"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .persist(cacheLevel)
-      val nCand = cand.count()
-      val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi").count()
-      cand.unpersist(false)
+        .select(lit(i).as("cfg"), col("band"), col("bucket"), col("id"))
+    }.reduce(_ unionByName _)
+    val cand = bandedAll
+      .select(col("cfg"), col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bandedAll.select(col("cfg"), col("band"), col("bucket"),
+        col("id").as("id_b")), Seq("cfg", "band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("cfg", "id_a", "id_b").distinct()
+      .persist(cacheLevel)
+    val nCandByCfg = cand.groupBy("cfg").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hitsByCfg = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("cfg").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cand.unpersist(false)
+    val rows = configs.zipWithIndex.map { case ((b, r), i) =>
+      val nCand = nCandByCfg.getOrElse(i, 0L)
+      val hits = hitsByCfg.getOrElse(i, 0L)
       (b, r, nCand, nTruth, hits,
         if (nCand == 0) 1.0 else hits.toDouble / nCand,
         if (nTruth == 0) 1.0 else hits.toDouble / nTruth)

@@ -1212,6 +1212,38 @@ object Knn {
       if (names("kcand")) row.getAs[Int]("kcand") else 0)
   }
 
+  /** The store tables of one persisted graph index, each read ONCE
+    * per operator call (round 15, guide §6: every `spark.read.parquet`
+    * pays driver-side file listing + footer schema inference, and the
+    * hop/layer loops previously re-read edges/nodes/entries/deletes on
+    * EVERY hop of EVERY layer). The loops filter these shared frames,
+    * so (layer, bucket) partition pruning is unchanged — pruning
+    * happens at each action's planning — while the InMemoryFileIndex
+    * and the tombstone-emptiness probe (one job) are paid once.
+    * Callers must construct this BEFORE any write of the same call
+    * (the append's read-then-write phase discipline already
+    * guarantees that). */
+  private[operators] final case class GraphFrames(
+      edges: DataFrame, nodes: DataFrame, entries: DataFrame,
+      del: DataFrame, hasDel: Boolean, codes: Option[DataFrame])
+
+  private def graphFrames(spark: SparkSession, path: String,
+                          withCodes: Boolean = false): GraphFrames = {
+    val delDf = scala.util.Try(spark.read.parquet(s"$path/deletes")
+        .select("id"))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[Long].toDF("id")
+      }
+    val hasDel = !delDf.isEmpty
+    GraphFrames(
+      spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$path/nodes"),
+      spark.read.parquet(s"$path/entries"),
+      broadcast(delDf), hasDel,
+      if (withCodes) Some(spark.read.parquet(s"$path/codes")) else None)
+  }
+
   /** Pin partitionOverwriteMode to STATIC for the store-table
     * overwrites (round-12 advice): under a session-level `dynamic`
     * mode (which appendGraphIndex itself toggles and restores), an
@@ -1332,7 +1364,15 @@ object Knn {
     nodes
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
-    for (l <- 0 to topEff) {
+    // ONE unioned write per store table instead of one write per layer
+    // (round 15, guide §2.6/§1.2): the per-layer kNN builds are
+    // independent subtrees, so unioning them under a single write job
+    // lets Spark schedule their stages CONCURRENTLY (previously each
+    // layer's build+write ran to completion before the next started,
+    // leaving the tail of every layer's stages under-parallelized) and
+    // collapses 2×(layers+1) write jobs to 2. Same rows, same
+    // (layer, bucket) directories — value-identical store.
+    val allEdges = (0 to topEff).map { l =>
       val sub =
         if (l == 0) canon
         else canon.where(levelOf(col("id"), topEff, portableHash) >= l)
@@ -1346,9 +1386,12 @@ object Knn {
           col("neighbor_id").cast("long").as("dst"), col("sim"))
         .withColumn("layer", lit(l))
         .withColumn("bucket", pmod(col("src"), lit(buckets.toLong)).cast("int"))
-        .write.mode(if (l == 0) "overwrite" else "append")
-        .partitionBy("layer", "bucket").parquet(s"$path/edges")
-      val subNodes = spark.read.parquet(s"$path/nodes")
+    }.reduce(_ unionByName _)
+    allEdges.write.mode("overwrite")
+      .partitionBy("layer", "bucket").parquet(s"$path/edges")
+    val writtenNodes = spark.read.parquet(s"$path/nodes") // read-back once
+    val allEntries = (0 to topEff).map { l =>
+      val subNodes = writtenNodes
         .where(if (l == 0) lit(true)
                else levelOf(col("id"), topEff, portableHash) >= l)
       assignCells(subNodes, "id", "vec", cents)
@@ -1356,9 +1399,8 @@ object Knn {
         .agg(min_by(struct(col("id"), col("vec")), col("id")).as("m"))
         .select(lit(l).as("layer"), col("cell"), col("m.id").as("node"),
           col("m.vec").as("nvec"))
-        .write.mode(if (l == 0) "overwrite" else "append")
-        .parquet(s"$path/entries")
-    }
+    }.reduce(_ unionByName _)
+    allEntries.write.mode("overwrite").parquet(s"$path/entries")
     }
   }
 
@@ -1408,11 +1450,15 @@ object Knn {
     val spark = batch.sparkSession
     val GraphMeta(k, buckets, layers, portable, alphaMicro, kCand) =
       readGraphMeta(spark, path)
+    // every store table read once for the whole append (all Phase-1
+    // reads strictly precede the Phase-2 writes, so the shared file
+    // index is never stale within this call)
+    val fr = graphFrames(spark, path)
     // kept attribute columns (a `keep` store): the batch must carry
     // the same attributes the store's node table holds — schema
     // discovery from path/nodes, so appends stay schema-consistent
     // without a new meta field
-    val extras = spark.read.parquet(s"$path/nodes").schema.fieldNames
+    val extras = fr.nodes.schema.fieldNames
       .filterNot(Set("id", "vec", "bucket")).toSeq
     val incoming = batch.select(col(idCol).cast("long").as("id") +:
       transform(col(vecCol), _.cast("double")).as("vec") +:
@@ -1425,7 +1471,7 @@ object Knn {
         val bks = incoming
           .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        val existing = spark.read.parquet(s"$path/nodes")
+        val existing = fr.nodes
           .where(col("bucket").isin(bks: _*)).select("id")
         incoming.join(existing, Seq("id"), "left_anti")
       }
@@ -1445,7 +1491,7 @@ object Knn {
       else {
         // out-edges: beam search of the layer's new nodes over the
         // existing graph AT THIS LAYER
-        val found = beamSearchIndexed(spark, path, buckets,
+        val found = beamSearchIndexed(spark, fr, buckets,
           sub.select(col("id").as("qid"), col("vec").as("qvec")),
           beam, hops, layer = l)
         val foundScored = found.select(col("qid").as("query_id"),
@@ -1460,7 +1506,7 @@ object Knn {
               .select(pmod(col("neighbor_id"), lit(buckets.toLong))
                 .cast("int").as("b"))
               .distinct().collect().map(_.getInt(0)).toSeq
-            val cvecs = spark.read.parquet(s"$path/nodes")
+            val cvecs = fr.nodes
               .where(col("bucket").isin(cbks: _*))
               .select(col("id"), col("vec"))
             diversifyNeighbors(foundScored, cvecs, kCand, k, alphaMicro)
@@ -1477,7 +1523,7 @@ object Knn {
         val touched = delta
           .select(pmod(col("src"), lit(buckets.toLong)).cast("int").as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        val existing = spark.read.parquet(s"$path/edges")
+        val existing = fr.edges
           .where(col("layer") === l && col("bucket").isin(touched: _*))
           .select("src", "dst", "sim")
         // DEDUP the merged candidate set on (src, dst) before any
@@ -1514,7 +1560,7 @@ object Knn {
               .select(pmod(col("neighbor_id"), lit(buckets.toLong))
                 .cast("int").as("b"))
               .distinct().collect().map(_.getInt(0)).toSeq
-            val dvecs = spark.read.parquet(s"$path/nodes")
+            val dvecs = fr.nodes
               .where(col("bucket").isin(dbks: _*))
               .select(col("id"), col("vec"))
               .unionByName(newNodes.select(col("id"), col("vec")))
@@ -1571,7 +1617,7 @@ object Knn {
       .withColumn("lv", levelOf(col("id"), layers, portable))
       .select(explode(sequence(lit(0), col("lv"))).as("layer"),
         col("cell"), col("id"), col("vec"))
-    val newEntries = spark.read.parquet(s"$path/entries")
+    val newEntries = fr.entries
       .select(col("layer"), col("cell"), col("node").as("id"),
         col("nvec").as("vec"))
       .unionByName(newAssigned)
@@ -1839,6 +1885,7 @@ object Knn {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
     val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
+    val fr = graphFrames(spark, path, withCodes = true)
     // STALENESS GUARD (round 13, r12 verdict ask #1; TIGHTENED round
     // 14 per r13 advice, and again round 15 per r14 advice): the walk
     // scans path/codes for every hop candidate, so a node without a
@@ -1850,9 +1897,9 @@ object Knn {
     // codes rows (uncoded) or more than one codes row (duplicate).
     // (Codes rows without a node are harmless: candidates only ever
     // arrive via edges, which reference nodes.)
-    val badIds = spark.read.parquet(s"$path/nodes").select("id")
+    val badIds = fr.nodes.select("id")
       .withColumn("__c", lit(0L))
-      .unionByName(spark.read.parquet(s"$path/codes").select("id")
+      .unionByName(fr.codes.get.select("id")
         .withColumn("__c", lit(1L)))
       .groupBy("id")
       .agg(sum("__c").as("n_codes"), count(lit(1)).as("n_all"))
@@ -1882,16 +1929,16 @@ object Knn {
     // walk the top layer seeded from its entries, hand each lower
     // layer the beam above — the searchGraphIndex shape with every
     // score an ADC lookup
-    var beamDf = beamSearchCoded(spark, path, buckets, q, books,
+    var beamDf = beamSearchCoded(spark, fr, buckets, q, books,
       beam, hops, layer = layers)
     for (l <- layers - 1 to 0 by -1)
-      beamDf = beamSearchCoded(spark, path, buckets, q, books,
+      beamDf = beamSearchCoded(spark, fr, buckets, q, books,
         beam, hops, layer = l, seed = Some(beamDf))
     // exact re-rank: full vectors read ONLY for the final beam's ids
     val fbks = beamDf
       .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val nodes = spark.read.parquet(s"$path/nodes")
+    val nodes = fr.nodes
       .where(col("bucket").isin(fbks: _*))
       .select(col("id").as("node"), col("vec").as("nvec"))
     val exact = beamDf.select(col("qid"), col("node"))
@@ -1915,22 +1962,17 @@ object Knn {
     * pruned expand/score/trim rounds where the candidate scan is
     * (id, codes) — m bytes/node. Tombstones pre-top-k. `q` carries
     * (qid, qvec, tabs). */
-  private def beamSearchCoded(spark: SparkSession, path: String,
+  private def beamSearchCoded(spark: SparkSession, fr: GraphFrames,
                               buckets: Int, q: DataFrame,
                               books: Array[Array[Array[Double]]],
                               beam: Int, hops: Int, layer: Int = 0,
                               seed: Option[DataFrame] = None): DataFrame = {
-    val delDf = scala.util.Try(spark.read.parquet(s"$path/deletes")
-        .select("id"))
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[Long].toDF("id")
-      }
-    val hasDel = !delDf.isEmpty
-    val del = broadcast(delDf)
+    // store reads + tombstone-emptiness probe hoisted to
+    // [[graphFrames]] — once per operator call (round 15, guide §6)
     def live(df: DataFrame): DataFrame =
-      if (!hasDel) df
-      else df.join(del.select(col("id").as("node")), Seq("node"), "left_anti")
+      if (!fr.hasDel) df
+      else df.join(fr.del.select(col("id").as("node")), Seq("node"),
+        "left_anti")
     def trim(df: DataFrame, n: Int): DataFrame = {
       val topk = TopKAggregator.udaf(n)
       df.groupBy("qid")
@@ -1940,7 +1982,7 @@ object Knn {
     }
     def entrySeed(): DataFrame = {
       val entries = broadcast(live(
-        spark.read.parquet(s"$path/entries").where(col("layer") === layer)))
+        fr.entries.where(col("layer") === layer)))
       // seed scoring counts into the probe budget (round-13 advice):
       // beamSearchIndexed already charges queries × entries — an
       // equal-budget cand/q comparison must see the same accounting
@@ -1963,7 +2005,7 @@ object Knn {
       val bks = beamDf
         .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val edges = spark.read.parquet(s"$path/edges")
+      val edges = fr.edges
         .where(col("layer") === layer && col("bucket").isin(bks: _*))
         .select(col("src"), col("dst"))
       val cand = live(
@@ -1976,7 +2018,7 @@ object Knn {
         .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       // the coded hop: the scan is (id, codes) — m bytes/node
-      val codes = spark.read.parquet(s"$path/codes")
+      val codes = fr.codes.get
         .where(col("bucket").isin(nbks: _*)) // partition pruning
         .select(col("id").as("node"), col("codes"))
       val scored = cand.join(codes, Seq("node")).join(q, Seq("qid"))
@@ -2042,12 +2084,13 @@ object Knn {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
     val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
+    val fr = graphFrames(spark, path)
     val q = queries.select(col(queryIdCol).cast("long").as("qid"),
       transform(col(queryVecCol), _.cast("double")).as("qvec"))
-    var fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,
+    var fin = beamSearchIndexed(spark, fr, buckets, q, beam, hops,
       layer = layers)
     for (l <- layers - 1 to 0 by -1)
-      fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,
+      fin = beamSearchIndexed(spark, fr, buckets, q, beam, hops,
         layer = l, seed = Some(fin))
     val res = topKPerQuery(fin.where(col("node") =!= col("qid"))
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
@@ -2074,17 +2117,18 @@ object Knn {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam/hops/k sane, got beam=$beam hops=$hops k=$k")
     val GraphMeta(_, buckets, layers, _, _, _) = readGraphMeta(spark, path)
+    val fr = graphFrames(spark, path)
     val q = queries.select(col(queryIdCol).cast("long").as("qid"),
       transform(col(queryVecCol), _.cast("double")).as("qvec"))
-    var fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,
+    var fin = beamSearchIndexed(spark, fr, buckets, q, beam, hops,
       layer = layers)
     for (l <- layers - 1 to 0 by -1)
-      fin = beamSearchIndexed(spark, path, buckets, q, beam, hops,
+      fin = beamSearchIndexed(spark, fr, buckets, q, beam, hops,
         layer = l, seed = Some(fin))
     val fbks = fin
       .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val attrs = spark.read.parquet(s"$path/nodes")
+    val attrs = fr.nodes
       .where(col("bucket").isin(fbks: _*)) // partition pruning
       .drop("vec").withColumnRenamed("id", "node")
     topKPerQuery(fin.where(col("node") =!= col("qid"))
@@ -2098,8 +2142,16 @@ object Knn {
     * scoring (edge scan + node scan) — the returned beam is
     * checkpointed, so its own plan no longer shows the bucket-pruned
     * scans; specs assert the pruning here (diagnostics only, one
-    * string, no job). */
+    * string, no job). Captured only when [[capturePlans]] is set
+    * (round 15, guide §1.2: building two formatted explain strings
+    * per hop is pure driver work in the walk's hot loop — the
+    * pruning spec flips the flag, production walks skip it). */
   @volatile private[graft] var lastHopPlan: String = ""
+
+  /** When true, each indexed hop records [[lastHopPlan]]. Off by
+    * default — plan capture costs a full analyze/optimize/plan pass
+    * of the hop's candidate and merge frames per hop. */
+  @volatile private[graft] var capturePlans: Boolean = false
 
   /** When true, each [[beamSearchIndexed]] walk adds its scored-
     * candidate count (seed scorings + per-hop candidate pairs) to
@@ -2118,7 +2170,7 @@ object Knn {
     * construction, search filters). Beam state materializes per hop
     * under eager localCheckpoints with the previous hop freed
     * ([[searchGraph]] discipline). */
-  private def beamSearchIndexed(spark: SparkSession, path: String,
+  private def beamSearchIndexed(spark: SparkSession, fr: GraphFrames,
                                 buckets: Int, queries: DataFrame,
                                 beam: Int, hops: Int, layer: Int = 0,
                                 seed: Option[DataFrame] = None): DataFrame = {
@@ -2128,20 +2180,13 @@ object Knn {
     // must never eat a rank slot. Broadcast-scale by the store's
     // delete contract; pre-r11 stores have no table → empty. When the
     // table IS empty (the common case — a store between deletes), the
-    // anti-joins are identity and skipped outright: the r11 bench
-    // showed every walk paying +0.2–1.3 s for a tombstone check on
-    // stores with zero tombstones. One limit-1 read decides.
-    val delDf = scala.util.Try(spark.read.parquet(s"$path/deletes")
-        .select("id"))
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[Long].toDF("id")
-      }
-    val hasDel = !delDf.isEmpty
-    val del = broadcast(delDf)
+    // anti-joins are identity and skipped outright. The read and the
+    // emptiness probe live in [[graphFrames]] — paid once per
+    // OPERATOR call, not once per layer walk (round 15, guide §6).
     def live(df: DataFrame): DataFrame =
-      if (!hasDel) df
-      else df.join(del.select(col("id").as("node")), Seq("node"), "left_anti")
+      if (!fr.hasDel) df
+      else df.join(fr.del.select(col("id").as("node")), Seq("node"),
+        "left_anti")
     def trim(df: DataFrame, n: Int): DataFrame = {
       val topk = TopKAggregator.udaf(n)
       df.groupBy("qid")
@@ -2151,8 +2196,7 @@ object Knn {
     }
     def entrySeed(): DataFrame = {
       val entries = broadcast(live(
-        spark.read.parquet(s"$path/entries")
-          .where(col("layer") === layer)))
+        fr.entries.where(col("layer") === layer)))
       if (countCandidates)
         lastScored += queries.count() * entries.count()
       trim(
@@ -2178,7 +2222,7 @@ object Knn {
       val bks = beamDf
         .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val edges = spark.read.parquet(s"$path/edges")
+      val edges = fr.edges
         .where(col("layer") === layer && col("bucket").isin(bks: _*))
         .select(col("src"), col("dst"))
       val candRaw = live(
@@ -2191,7 +2235,7 @@ object Knn {
       val nbks = cand
         .select(pmod(col("node"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val nodes = spark.read.parquet(s"$path/nodes")
+      val nodes = fr.nodes
         .where(col("bucket").isin(nbks: _*)) // partition pruning
         .select(col("id").as("node"), col("vec").as("nvec"))
       val scored = cand.join(nodes, Seq("node")).join(q, Seq("qid"))
@@ -2200,10 +2244,11 @@ object Knn {
             .as("sim"))
       val merged = beamDf.unionByName(scored)
         .groupBy("qid", "node").agg(max("sim").as("sim"))
-      lastHopPlan = candRaw.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode) +
-        merged.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+      if (capturePlans)
+        lastHopPlan = candRaw.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode) +
+          merged.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
       beamDf = trim(merged, beam).localCheckpoint(true)
       graft.plans.Blocks.free(cand)
       graft.plans.Blocks.free(prev)

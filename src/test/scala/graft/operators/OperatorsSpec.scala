@@ -1843,8 +1843,12 @@ class KnnSpec extends SparkSpec {
       Set("layer", "cell", "node", "nvec"))
 
     val queries = df.where(col("vec_id") % 30 === 1) // one per cluster
-    val hits = Knn.searchGraphIndex(spark, dir.getAbsolutePath, queries,
+    // plan capture is opt-in since round 15 (building two formatted
+    // explains per hop is pure driver cost in production walks)
+    Knn.capturePlans = true
+    val hits = try Knn.searchGraphIndex(spark, dir.getAbsolutePath, queries,
       "vec_id", "embedding", beam = 6, hops = 2, k = 4)
+    finally Knn.capturePlans = false
     // the returned frame is checkpointed — the hop's pruned scans live
     // in the captured hop plan (edge expansion + node scoring)
     val plan = Knn.lastHopPlan
