@@ -867,8 +867,36 @@ object Knn {
     else None
   }
 
-  /** Shared IVF probe: nprobe nearest cells per query (broadcast
-    * centroid ranking), directory-pruned cell scan, optional
+  /** (query_id, qvec, cell) probe assignments — each query's top
+    * `nprobe` cells by (cosine DESC, cell DESC) via the NearestCells
+    * bounded-heap kernel over the COLLECTED (metadata-scale) centroid
+    * frame: a narrow per-row projection, no join, no window, no
+    * Exchange (round 15; the knnGraph round-11 ranking, shared by
+    * every IVF probe path). Empty centroid frame → no assignments
+    * (the empty-store posture of the old broadcast join). */
+  private[operators] def ivfAssignProbes(centroids: DataFrame,
+                                         queries: DataFrame, queryId: String,
+                                         queryVec: String,
+                                         nprobe: Int): DataFrame = {
+    val rows = centroids
+      .select(col("cell"), transform(col("cvec"), _.cast("double")).as("cvec"))
+      .collect()
+    val base = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec"))
+    if (rows.isEmpty)
+      base.select(col("query_id"), col("qvec"),
+        explode(array().cast("array<bigint>")).as("cell"))
+    else {
+      val cellIds = rows.map(_.getLong(0))
+      val centArrs = rows.map(_.getSeq[Double](1).toArray)
+      base.select(col("query_id"), col("qvec"),
+        explode(graft.plans.native.nearestCells(col("qvec"), cellIds,
+          centArrs, nprobe)).as("cell"))
+    }
+  }
+
+  /** Shared IVF probe: nprobe nearest cells per query (per-row
+    * bounded-heap centroid ranking), directory-pruned cell scan, optional
     * attribute predicate + exclude anti-join BEFORE scoring — the
     * store's own tombstones ([[deleteFromIvfIndex]]) merge into that
     * same pre-scoring anti-join — 6-dp cosine per (query, candidate).
@@ -879,16 +907,17 @@ object Knn {
                        queryVec: String, nprobe: Int,
                        pred: Option[Column],
                        exclude: Option[DataFrame]): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
-      .join(broadcast(centroids))
-      .select(col("query_id"), col("qvec"),
-        struct(Vectors.cosine(col("qvec"), col("cvec")).as("sim"), col("cell")).as("sc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sc.sim").desc, col("sc.cell").desc)))
-      .where(col("rk") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
+    // Probe assignment as a PER-ROW bounded-heap expression (round 15,
+    // guide §2.4 — the knnGraph round-11 swap, now on the store probe
+    // path): the centroid frame is metadata-scale (c rows), so collect
+    // it once and rank cells with the NearestCells kernel instead of
+    // crossing every query with every centroid through a
+    // query_id-window — that was one Exchange of queries×c rows plus a
+    // per-query sort, per probe. Same (sim DESC, cell DESC) tie order,
+    // so every oracle replays unchanged.
+    val qAssign = ivfAssignProbes(
+      spark.read.parquet(s"$path/centroids"),
+      queries, queryId, queryVec, nprobe)
     val probedCells = qAssign.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val cellsRaw = spark.read.parquet(s"$path/cells")
@@ -919,15 +948,12 @@ object Knn {
         kmeansCentroids(corpus, corpusId, corpusVec, c, refineIters)
       else sampleCentroids(corpus, corpusId, corpusVec, c, portableHash)
     val cells = assignCells(corpus, corpusId, corpusVec, centroids)
-    val qAssign = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
-      .join(broadcast(centroids))
-      .select(col("query_id"), col("qvec"),
-        struct(Vectors.cosine(col("qvec"), col("cvec")).as("sim"), col("cell")).as("sc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sc.sim").desc, col("sc.cell").desc)))
-      .where(col("rk") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
+    // per-row bounded-heap probe ranking (round 15 — see
+    // [[ivfAssignProbes]]): replaces the broadcast centroid cross +
+    // query_id window, removing one Exchange of queries×c rows; same
+    // (sim DESC, cell DESC) tie order, every oracle replays unchanged
+    val qAssign = ivfAssignProbes(centroids, queries, queryId, queryVec,
+      nprobe)
     val scored = cells.join(broadcast(qAssign), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -1227,6 +1253,22 @@ object Knn {
       edges: DataFrame, nodes: DataFrame, entries: DataFrame,
       del: DataFrame, hasDel: Boolean, codes: Option[DataFrame])
 
+  /** Run independent Spark actions from a small driver thread pool
+    * (guide §2.6: actions are only sequential because the driver
+    * calls them sequentially; overlapping lets a tiny write's commit
+    * latency hide under a big sibling job's tail). Strictly for
+    * MUTUALLY INDEPENDENT work — distinct output paths, no shared
+    * mutable state. Exceptions propagate (first one wins). */
+  private def awaitAll[T](work: Seq[() => T]): Seq[T] =
+    if (work.size <= 1) work.map(_())
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fs = work.map(w => Future(w()))
+      fs.map(Await.result(_, Duration.Inf))
+    }
+
   private def graphFrames(spark: SparkSession, path: String,
                           withCodes: Boolean = false): GraphFrames = {
     val delDf = scala.util.Try(spark.read.parquet(s"$path/deletes")
@@ -1348,22 +1390,6 @@ object Knn {
         canon.agg(max(levelOf(col("id"), layers, portableHash)))
           .head().getInt(0))
     withStaticOverwrite(spark) {
-    Seq((k, buckets, topEff, portableHash, alphaMicro, kCandEff))
-      .toDF("k", "buckets", "layers", "portable", "alphamicro", "kcand")
-      .write.mode("overwrite").parquet(s"$path/meta")
-    // empty tombstone table — the delete/compact lifecycle handle
-    // (same convention as every other persisted store)
-    Seq.empty[Long].toDF("id")
-      .write.mode("overwrite").parquet(s"$path/deletes")
-    sampleCentroids(canon, "id", "vec", cEff, portableHash)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val nodes = canon.select(col("id") +:
-      transform(col("vec"), _.cast("double")).as("vec") +:
-      keep.map(col): _*)
-    nodes
-      .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
     // ONE unioned write per store table instead of one write per layer
     // (round 15, guide §2.6/§1.2): the per-layer kNN builds are
     // independent subtrees, so unioning them under a single write job
@@ -1372,23 +1398,45 @@ object Knn {
     // leaving the tail of every layer's stages under-parallelized) and
     // collapses 2×(layers+1) write jobs to 2. Same rows, same
     // (layer, bucket) directories — value-identical store.
-    val allEdges = (0 to topEff).map { l =>
-      val sub =
-        if (l == 0) canon
-        else canon.where(levelOf(col("id"), topEff, portableHash) >= l)
-      val layerEdges =
-        if (alphaMicro > 0)
-          knnGraphDiverse(sub, "id", "vec", k, kCandEff, cEff, nprobe,
-            portableHash, alpha)
-        else knnGraph(sub, "id", "vec", k, cEff, nprobe, portableHash)
-      layerEdges
-        .select(col("query_id").cast("long").as("src"),
-          col("neighbor_id").cast("long").as("dst"), col("sim"))
-        .withColumn("layer", lit(l))
-        .withColumn("bucket", pmod(col("src"), lit(buckets.toLong)).cast("int"))
-    }.reduce(_ unionByName _)
-    allEdges.write.mode("overwrite")
-      .partitionBy("layer", "bucket").parquet(s"$path/edges")
+    // The five independent table writes (meta, deletes, centroids,
+    // nodes, edges — distinct paths, no read of each other) overlap
+    // from a driver pool ([[awaitAll]], guide §2.6) so the tiny
+    // writes' commit latency hides under the edge build; only the
+    // entry table, which reads centroids and nodes back, waits.
+    awaitAll(Seq(
+      () => Seq((k, buckets, topEff, portableHash, alphaMicro, kCandEff))
+        .toDF("k", "buckets", "layers", "portable", "alphamicro", "kcand")
+        .write.mode("overwrite").parquet(s"$path/meta"),
+      // empty tombstone table — the delete/compact lifecycle handle
+      // (same convention as every other persisted store)
+      () => Seq.empty[Long].toDF("id")
+        .write.mode("overwrite").parquet(s"$path/deletes"),
+      () => sampleCentroids(canon, "id", "vec", cEff, portableHash)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => canon.select(col("id") +:
+          transform(col("vec"), _.cast("double")).as("vec") +:
+          keep.map(col): _*)
+        .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes"),
+      () => (0 to topEff).map { l =>
+          val sub =
+            if (l == 0) canon
+            else canon.where(levelOf(col("id"), topEff, portableHash) >= l)
+          val layerEdges =
+            if (alphaMicro > 0)
+              knnGraphDiverse(sub, "id", "vec", k, kCandEff, cEff, nprobe,
+                portableHash, alpha)
+            else knnGraph(sub, "id", "vec", k, cEff, nprobe, portableHash)
+          layerEdges
+            .select(col("query_id").cast("long").as("src"),
+              col("neighbor_id").cast("long").as("dst"), col("sim"))
+            .withColumn("layer", lit(l))
+            .withColumn("bucket",
+              pmod(col("src"), lit(buckets.toLong)).cast("int"))
+        }.reduce(_ unionByName _)
+        .write.mode("overwrite")
+        .partitionBy("layer", "bucket").parquet(s"$path/edges")))
+    val cents = spark.read.parquet(s"$path/centroids")
     val writtenNodes = spark.read.parquet(s"$path/nodes") // read-back once
     val allEntries = (0 to topEff).map { l =>
       val subNodes = writtenNodes
@@ -1483,7 +1531,13 @@ object Knn {
     val topk = TopKAggregator.udaf(k)
     // Phase 1 — READS: per-layer re-trimmed edge deltas, each
     // checkpointed so no later write invalidates its lineage.
-    val mergedPerLayer = (0 to layers).flatMap { l =>
+    // The layers are MUTUALLY INDEPENDENT (every one beam-searches
+    // the same PRE-append store), so they run from a driver pool
+    // ([[awaitAll]], guide §2.6) and overlap their many small jobs;
+    // kept sequential under countCandidates (the probe-budget
+    // accumulator is not an atomic counter) — that flag is
+    // instrumentation-only, never set in gate/bench paths.
+    def layerDelta(l: Int): Option[DataFrame] = {
       val sub =
         if (l == 0) newNodes
         else newNodes.where(levelOf(col("id"), layers, portable) >= l)
@@ -1581,6 +1635,9 @@ object Knn {
         Some(merged)
       }
     }
+    val mergedPerLayer: Seq[DataFrame] =
+      if (countCandidates) (0 to layers).flatMap(layerDelta)
+      else awaitAll((0 to layers).map(l => () => layerDelta(l))).flatten
     // Phase 2 — WRITES, nodes FIRST (round-11 advice): an interrupted
     // append leaves unlinked nodes, never dangling edges.
     newNodes

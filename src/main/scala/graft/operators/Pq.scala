@@ -577,19 +577,25 @@ object Pq {
                            pred: Option[org.apache.spark.sql.Column] = None,
                            maxShortlistCollect: Long = 4000000L)
       : DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val qAssign = queries
-      .select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
-      .join(broadcast(centroids))
-      .select(col("query_id"), col("qvec"),
-        struct(Vectors.cosine(col("qvec"), col("cvec")).as("sim"), col("cell")).as("sc"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("sc.sim").desc, col("sc.cell").desc)))
-      .where(col("rk") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("sc.cell").as("cell"))
-    val probed = qAssign.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // per-row bounded-heap probe ranking (round 15 — see
+    // Knn.ivfAssignProbes): replaces the broadcast centroid cross +
+    // query_id window, removing one Exchange of queries×c rows from
+    // every coded probe; same (sim DESC, cell DESC) tie order, every
+    // oracle replays unchanged
+    val qAssign = Knn.ivfAssignProbes(
+      spark.read.parquet(s"$path/centroids"),
+      queries, queryId, queryVec, nprobe)
+    // ONE metadata-scale job returns both the probed-cell set (the
+    // pruning isin below) and the distinct query count (the
+    // collect-vs-distributed re-rank path choice) — previously two
+    // jobs, the second a re-scan of the query frame (round 15, guide
+    // §1.2: the counts only steer execution, results are identical on
+    // either path).
+    val probeAgg = qAssign
+      .agg(collect_set(col("cell")).as("cells"),
+        count_distinct(col("query_id")).as("nq")).head()
+    val probed = probeAgg.getSeq[Long](0)
+    val nQueries = probeAgg.getLong(1)
     val q = broadcast(qAssign.withColumn("tables", tableCol))
     // ADC pass: codes-only projection of the probed cells; the
     // store's tombstones (Knn.deleteFromIvfIndex — same layout, same
@@ -612,7 +618,6 @@ object Pq {
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         graft.plans.native.adcScore(col("codes"), col("tables")).as("sim"))
-    val nQueries = queries.select(col(queryId)).distinct().count()
     if (nQueries * shortlist > maxShortlistCollect) {
       // DISTRIBUTED re-rank (round 15): the shortlist never reaches
       // the driver — checkpointed once (it feeds one join and the
