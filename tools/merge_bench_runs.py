@@ -64,9 +64,20 @@ b_total = sum(base_q[n] for n in ok)
 s_total = sum(merged[n] for n in ok)
 ratios = {}
 if b_total > 0:
-    ratios["baseline_total_sec"] = round(b_total, 3)
-    ratios["baselined_spark_sec"] = round(s_total, 3)
-    ratios["vs_baseline"] = round(s_total / b_total, 3)
+    # round-15 headline split, mirroring Bench.scala: `vs_baseline`
+    # covers the WORK-COMPARABLE classes (everything but lifecycle,
+    # whose oracles replay only the final query of a build soak); the
+    # all-in ratio survives verbatim as `vs_baseline_all`.
+    b_life = sum(base_q[n] for n in ok if tag(n) == "lifecycle")
+    s_life = sum(merged[n] for n in ok if tag(n) == "lifecycle")
+    ratios["baseline_total_sec"] = round(b_total - b_life, 3)
+    ratios["baselined_spark_sec"] = round(s_total - s_life, 3)
+    if b_total - b_life > 0:
+        ratios["vs_baseline"] = round(
+            (s_total - s_life) / (b_total - b_life), 3)
+    ratios["baseline_all_sec"] = round(b_total, 3)
+    ratios["all_spark_sec"] = round(s_total, 3)
+    ratios["vs_baseline_all"] = round(s_total / b_total, 3)
     for sec in ("scan_real", "scan_micro", "lifecycle", "iterative"):
         bs = sum(base_q[n] for n in ok if tag(n) == sec)
         ss = sum(merged[n] for n in ok if tag(n) == sec)
