@@ -48,15 +48,17 @@ object InvertedIndex {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    postings.join(dfreq, Seq("term"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    lens.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("total_tokens"),
-        lit(buckets.toLong).as("buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    // postings and _stats are independent writes — overlap (guide §2.6)
+    graft.operators.Knn.awaitAll(Seq(
+      () => postings.join(dfreq, Seq("term"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings"),
+      () => lens.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("total_tokens"),
+          lit(buckets.toLong).as("buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")))
   }
 
   /** Character trigrams of a string column: substr positions 1 ..
@@ -79,15 +81,17 @@ object InvertedIndex {
   def writeTrigram(df: DataFrame, idCol: String, textCol: String,
                    path: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, "buckets must be >= 1")
-    df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(charTrigrams(textCol))).as("tri"))
-      .withColumn("bucket", pmod(xxhash64(col("tri")), lit(buckets.toLong)))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/trigrams")
     import df.sparkSession.implicits._
-    Seq(buckets.toLong).toDF("buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    // trigram postings and _stats are independent writes — overlap
+    graft.operators.Knn.awaitAll(Seq(
+      () => df.select(col(idCol).as("doc_id"),
+          explode(array_distinct(charTrigrams(textCol))).as("tri"))
+        .withColumn("bucket", pmod(xxhash64(col("tri")), lit(buckets.toLong)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/trigrams"),
+      () => Seq(buckets.toLong).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")))
   }
 
   /** Append new docs' trigram postings to an existing index — sound

@@ -1259,7 +1259,7 @@ object Knn {
     * latency hide under a big sibling job's tail). Strictly for
     * MUTUALLY INDEPENDENT work — distinct output paths, no shared
     * mutable state. Exceptions propagate (first one wins). */
-  private def awaitAll[T](work: Seq[() => T]): Seq[T] =
+  private[operators] def awaitAll[T](work: Seq[() => T]): Seq[T] =
     if (work.size <= 1) work.map(_())
     else {
       import scala.concurrent.{Await, Future, ExecutionContext}

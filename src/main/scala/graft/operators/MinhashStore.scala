@@ -79,10 +79,16 @@ object MinhashStore {
     // counts write (keys-only rows, bands× the doc count)
     val banded = Dedup.minhashBanded(signed, p.bands, p.rowsPerBand, p.portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    signed.write.mode(mode).parquet(s"$path/sigs")
-    banded.write.mode(mode).partitionBy("band").parquet(s"$path/bands")
-    banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .write.mode(mode).parquet(s"$path/bucket_counts")
+    // sigs vs (bands -> counts) are independent chains over the two
+    // cached frames — overlap them (guide §2.6; counts stays behind
+    // bands so the banded cache materializes once)
+    graft.operators.Knn.awaitAll(Seq(
+      () => signed.write.mode(mode).parquet(s"$path/sigs"),
+      () => {
+        banded.write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+        banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+          .write.mode(mode).parquet(s"$path/bucket_counts")
+      }))
     banded.unpersist(false)
     signed.unpersist(false)
   }

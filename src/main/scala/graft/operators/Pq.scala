@@ -476,29 +476,36 @@ object Pq {
                       keep: Seq[String] = Nil): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val books =
-      if (trainIters > 0) trainCodebooksKmeans(corpus, idCol, vecCol, m, k, dim, trainIters)
-      else trainCodebooks(corpus, idCol, vecCol, m, k, dim)
-    books.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.map { case (cw, code) => (s, code, cw.toSeq) }
-    }.toSeq.toDF("sub", "code", "cw")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // centroid write and codebook training are independent; so are the
+    // codebook write and the big cell encode+write — two awaitAll
+    // phases (guide §2.6, the writeGraphIndex discipline) hide the
+    // small artifacts' commit latency under the real work.
+    var books: Array[Array[Array[Double]]] = null
+    Knn.awaitAll(Seq(
+      () => Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => books =
+        if (trainIters > 0) trainCodebooksKmeans(corpus, idCol, vecCol, m, k, dim, trainIters)
+        else trainCodebooks(corpus, idCol, vecCol, m, k, dim)))
     // One file per cell, rows SORTED BY id: the re-rank pass filters the
     // vec scan by the shortlisted ids, and sorted row groups give that
     // filter tight min/max stats to prune with. `keep` (round 14):
     // attribute columns ride inside the cell directories — the
     // filtered-search handle for the coded probe (q345's discipline on
     // the compressed family).
-    Knn.assignCells(corpus, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"), keep)
-      .withColumn("codes", codesColumn(col("vec"), books))
-      .select(Seq("id", "codes", "vec").map(col) ++ keep.map(col) :+
-        col("cell"): _*)
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    Knn.awaitAll(Seq(
+      () => books.zipWithIndex.flatMap { case (cws, s) =>
+          cws.zipWithIndex.map { case (cw, code) => (s, code, cw.toSeq) }
+        }.toSeq.toDF("sub", "code", "cw")
+        .write.mode("overwrite").parquet(s"$path/codebooks"),
+      () => Knn.assignCells(corpus, idCol, vecCol,
+          spark.read.parquet(s"$path/centroids"), keep)
+        .withColumn("codes", codesColumn(col("vec"), books))
+        .select(Seq("id", "codes", "vec").map(col) ++ keep.map(col) :+
+          col("cell"): _*)
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")))
     books
   }
 
@@ -692,23 +699,28 @@ object Pq {
       : (Array[Array[Array[Double]]], Array[Array[Array[Double]]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val (b1, b2) = trainResidualCodebooks(corpus, idCol, vecCol, m, k, dim)
-    Seq(b1, b2).zipWithIndex.flatMap { case (books, level) =>
-      books.zipWithIndex.flatMap { case (cws, s) =>
-        cws.zipWithIndex.map { case (cw, code) => (level, s, code, cw.toSeq) }
-      }.toSeq
-    }.toDF("level", "sub", "code", "cw")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // two awaitAll phases — the writeIvfPqIndex overlap discipline
+    var trained: (Array[Array[Array[Double]]], Array[Array[Array[Double]]]) = null
+    Knn.awaitAll(Seq(
+      () => Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => trained = trainResidualCodebooks(corpus, idCol, vecCol, m, k, dim)))
+    val (b1, b2) = trained
     // Same sorted-by-id cell layout as writeIvfPqIndex (re-rank pruning).
-    Knn.assignCells(corpus, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"))
-      .withColumn("codes", graft.plans.native.residualCodes(col("vec"), b1, b2))
-      .select("id", "codes", "vec", "cell")
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    Knn.awaitAll(Seq(
+      () => Seq(b1, b2).zipWithIndex.flatMap { case (books, level) =>
+          books.zipWithIndex.flatMap { case (cws, s) =>
+            cws.zipWithIndex.map { case (cw, code) => (level, s, code, cw.toSeq) }
+          }.toSeq
+        }.toDF("level", "sub", "code", "cw")
+        .write.mode("overwrite").parquet(s"$path/codebooks"),
+      () => Knn.assignCells(corpus, idCol, vecCol,
+          spark.read.parquet(s"$path/centroids"))
+        .withColumn("codes", graft.plans.native.residualCodes(col("vec"), b1, b2))
+        .select("id", "codes", "vec", "cell")
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")))
     (b1, b2)
   }
 
@@ -779,19 +791,24 @@ object Pq {
       : (Array[Double], Array[Double]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val (mins, maxs) = sq8Train(corpus, vecCol, dim)
-    mins.indices.map(d => (d, mins(d), maxs(d))).toDF("d", "mn", "mx")
-      .write.mode("overwrite").parquet(s"$path/ranges")
-    Knn.assignCells(corpus, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"), keep)
-      .withColumn("codes", sq8CodesColumn(col("vec"), mins, maxs))
-      .select(Seq("id", "codes", "vec").map(col) ++ keep.map(col) :+
-        col("cell"): _*)
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // two awaitAll phases — the writeIvfPqIndex overlap discipline
+    var trained: (Array[Double], Array[Double]) = null
+    Knn.awaitAll(Seq(
+      () => Knn.sampleCentroids(corpus, idCol, vecCol, c, portableHash)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => trained = sq8Train(corpus, vecCol, dim)))
+    val (mins, maxs) = trained
+    Knn.awaitAll(Seq(
+      () => mins.indices.map(d => (d, mins(d), maxs(d))).toDF("d", "mn", "mx")
+        .write.mode("overwrite").parquet(s"$path/ranges"),
+      () => Knn.assignCells(corpus, idCol, vecCol,
+          spark.read.parquet(s"$path/centroids"), keep)
+        .withColumn("codes", sq8CodesColumn(col("vec"), mins, maxs))
+        .select(Seq("id", "codes", "vec").map(col) ++ keep.map(col) :+
+          col("cell"): _*)
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")))
     (mins, maxs)
   }
 
